@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": "total_sec", "value": N, "unit": "sec",
+"queries": {name: sec}, "sf": X}.
+
+Each query is fully materialized through the `noop` sink (all columns
+computed, nothing collected to the driver) — the closest local analog of a
+cluster job writing output.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from slice_db_spark.plans import queries as Q
+from slice_db_spark.session import get_spark
+
+HEADLINE = [
+    "closure_customers",     # flagship: iterative semi-join slice capture
+    "slice_export_lineitem", # slice row export (reuses the cached traversal)
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "window_top_orders",
+    "events_bucket_agg",
+    "dedup_exact",
+    "dedup_jaccard",
+    "minhash_lsh",
+    "simhash_sigs",
+    "doc_fingerprints",
+    "token_stats",
+    "quality",
+    "language_id",
+    "ann_brute",
+    "ann_lsh",
+    "media_decode",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = sf_dir
+    spark = get_spark("bench", cpus=cpus)
+    qs = Q.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s", file=sys.stderr)
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

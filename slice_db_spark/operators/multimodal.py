@@ -1,0 +1,122 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+Images/audio/video travel as ``binary`` columns with a metadata struct;
+decode / feature-extraction / resize / frame-sampling run as Arrow-batched
+``mapInPandas`` stages.  The actual codec work is STUBBED (no image/audio
+libraries in this environment — clearly marked below); the Spark-side
+contract — schemas, batch shapes, partitioning behavior — is real and
+tested, so swapping a stub body for PIL/librosa is a local change.
+
+Batch sizing note for 100 TB: payload rows are wide, so cap
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (the session default
+10k rows/batch is too big for multi-MB blobs) and partition by size
+(``maxPartitionBytes``), not row count.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("format", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, id_col: str, text_col: str, kind: str = "image") -> DataFrame:
+    """Build a media table from any source column by treating its bytes as
+    the opaque payload — the test-data path (documents → fake media)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("raw").alias("format"),
+        F.length(F.encode(F.col(text_col), "UTF-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def _stub_decode(payload: bytes, n_features: int = 8) -> tuple[int, int, int, list[float]]:
+    """STUB — deterministic fake decoder.
+
+    A real deployment decodes with PIL/ffmpeg here; this environment ships
+    neither, so we derive (width, height, n_frames, features) from the
+    payload's md5 so tests are deterministic and the plumbing (schema,
+    Arrow batching, partition behavior) is exercised for real.
+    """
+    d = hashlib.md5(payload or b"").digest()
+    width = 16 + d[0] % 240
+    height = 16 + d[1] % 240
+    n_frames = 1 + d[2] % 8
+    features = [
+        int.from_bytes(d[(4 + 2 * i) % 16 : (4 + 2 * i) % 16 + 2] or b"\0\0", "big") / 65535.0
+        for i in range(n_features)
+    ]
+    return width, height, n_frames, features
+
+
+def decode_media(df: DataFrame, n_features: int = 8) -> DataFrame:
+    """Decode/feature-extract media payloads via Arrow-batched mapInPandas.
+
+    Input rows follow MEDIA_SCHEMA; output DECODED_SCHEMA.  One Python
+    worker per partition, Arrow transfer both ways; payload column is
+    dropped as early as possible so only features shuffle downstream.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_stub_decode(p, n_features) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_frames": [d[2] for d in decoded],
+                    "features": [d[3] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
+    """Frame-sampling contract: one output row per kept frame index.
+
+    Pure column ops — the per-frame payload decode would live in a
+    mapInPandas stage like :func:`decode_media` (stubbed environment)."""
+    return df.select(
+        "media_id",
+        "kind",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every))).alias("frame_idx"),
+        "features",
+    )

@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two strategies:
+
+* :func:`brute_force_topk` — exact cosine top-k: query set (small) is
+  broadcast and crossed with the corpus; dot products run JVM-side via
+  ``aggregate(zip_with(...))`` in whole-stage codegen.  O(|Q|·|C|) — the
+  correctness baseline and the right plan when |Q| is small.
+* :func:`lsh_topk` — the scale path: random-hyperplane LSH (sign of the
+  projection onto fixed pseudo-random planes) buckets vectors; only
+  candidates within a signature Hamming radius are scored (multi-probe).
+  Planes come from :func:`random_planes` — md5-derived constants computed
+  once on the driver and inlined as literals, so the DuckDB oracle uses
+  the *identical* numbers and the operator stays fully deterministic.
+
+At cluster scale the LSH candidate step is a hash-shuffle join on the
+short signature (bucket join); the broadcast-crossjoin-with-Hamming-filter
+below is the small-|Q| plan — Catalyst evaluates the cheap signature
+filter before the expensive cosine, so non-candidates never pay the
+dot product.
+
+Cosine values are rounded (1e-6) before ranking so cross-engine float
+summation differences cannot flip ranks; ties break on vec_id.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def random_planes(planes: int, dim: int, seed: str = "lsh") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, i) =
+    ``md5(seed:p:i)[:15 hex] / 2^59 - 1`` ∈ [-1, 1).  Pure driver-side
+    constants — inline the same numbers into any engine's SQL."""
+    out = []
+    for p in range(planes):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[:15], 16)
+            row.append(h / float(1 << 59) - 1.0)
+        out.append(row)
+    return out
+
+
+def signature(vec, planes: list[list[float]]):
+    """Sign signature (array<int> of 0/1) of ``vec`` against ``planes``;
+    projection = dot(plane, vec) computed by index so term order (and thus
+    float rounding) matches the SQL oracle exactly."""
+    comps = []
+    for row in planes:
+        proj = None
+        for i, w in enumerate(row):
+            term = F.lit(w) * F.element_at(vec, i + 1).cast("double")
+            proj = term if proj is None else proj + term
+        comps.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+    return F.array(*comps)
+
+
+def signature_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """DuckDB rendering of :func:`signature` (list of 0/1)."""
+    comps = []
+    for row in planes:
+        terms = " + ".join(
+            f"({w!r}) * CAST({vec_expr}[{i + 1}] AS DOUBLE)" for i, w in enumerate(row)
+        )
+        comps.append(f"CASE WHEN ({terms}) >= 0 THEN 1 ELSE 0 END")
+    return "[" + ", ".join(comps) + "]"
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    ``queries``: (q_id, embedding).  Output: (q_id, vec_id, sim, rank) with
+    rank 1..k, sim rounded to 6 places, deterministic tie-break on vec_id.
+    Self-matches (same id) are not excluded — filter upstream if needed.
+    """
+    q = F.broadcast(
+        queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv"))
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv"))
+    scored = q.crossJoin(c).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only candidates whose hyperplane signature
+    is within ``probe_hamming`` bits of the query's.
+
+    Output schema matches :func:`brute_force_topk`; recall < 1 by design —
+    the oracle for this operator is the *same algorithm* in SQL, not exact
+    top-k.
+    """
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
+    ).withColumn("__csig", signature(F.col("__cv"), planes))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
+    ).withColumn("__qsig", signature(F.col("__qv"), planes))
+    hamming = F.aggregate(
+        F.zip_with(F.col("__qsig"), F.col("__csig"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(hamming <= probe_hamming)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )

@@ -1,0 +1,156 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure built-in column expressions (whole-stage codegen; no UDFs):
+tokenization, token counting, quality scoring, n-gram language ID, and
+winnowing-style document fingerprints.  Each operator is deterministic and
+has an exact DuckDB-SQL oracle (see ``__spark_entry__.oracle_sql``).
+
+Scale notes: every operator is a narrow per-row map over ``text`` —
+embarrassingly parallel, no shuffle; fingerprints explode to ~1 row per
+k-gram window, which is bounded by document length and partitions with the
+input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .hashing import hash64_spark_sql
+
+# Tiny stopword inventories for the n-gram/stopword language heuristic.
+# Deliberately small + frozen so oracles can inline them.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "los", "las", "y", "es", "una", "en", "por", "con", "para"],
+}
+
+
+def normalize(col: Column | str) -> Column:
+    """Lowercase, strip non-alphanumerics to spaces, squeeze whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "), " +", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize(col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    n = normalize(col)
+    return F.when(n == "", F.lit(0)).otherwise(F.size(F.split(n, " ")))
+
+
+def word_token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics: counts, distinct counts, mean word
+    length — the 'token counting' operator."""
+    t = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        F.round(
+            F.length(F.regexp_replace(normalize(text_col), " ", ""))
+            / F.greatest(token_count(text_col), F.lit(1)),
+            4,
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality features + composite score in [0, 1]:
+
+    * length score   — saturating chars/500
+    * alpha ratio    — alphabetic chars / all chars
+    * stopword ratio — English stopword tokens / tokens (fluency proxy)
+    * repetition     — distinct tokens / tokens (degenerate-text detector)
+
+    Composite = mean of the four; the exact formula is pinned by the oracle.
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    toks = tokens(text_col)
+    n_tok = token_count(text_col)
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_sw = F.size(F.array_intersect(toks, sw))  # distinct stopwords present
+    # ratio uses per-token membership, not distinct intersection:
+    n_sw_tokens = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = alpha / F.greatest(n_chars, F.lit(1))
+    sw_ratio = n_sw_tokens / F.greatest(n_tok, F.lit(1))
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        F.round(length_score, 4).alias("length_score"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(sw_ratio, 4).alias("stopword_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(
+            (length_score + alpha_ratio + sw_ratio + distinct_ratio) / F.lit(4.0), 4
+        ).alias("quality_score"),
+        n_sw.alias("n_stopwords_present"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-overlap language ID: score each language by the fraction of
+    its stopword list present in the document's token set; argmax wins
+    (deterministic tie-break by language code)."""
+    toks = F.array_distinct(tokens(text_col))
+    scores = [
+        F.struct(
+            (F.size(F.array_intersect(toks, F.array([F.lit(w) for w in ws]))) / F.lit(len(ws)))
+            .alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in sorted(STOPWORDS.items())
+    ]
+    # array_max compares struct fields in order (score, then lang): ties
+    # resolve to the alphabetically-last language — documented; the oracle
+    # mirrors the same (score, lang) max.
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col),
+        best["lang"].alias("pred_lang"),
+        F.round(best["score"], 4).alias("lang_score"),
+    )
+
+
+def fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken MOSS
+    scheme): hash every k-gram of word tokens, slide a ``window`` over the
+    hash sequence, keep each window's minimum — the classic near-dup /
+    provenance fingerprint set.  Output: (id, fingerprint) distinct pairs.
+
+    Built entirely from array expressions: sequence → transform(slice) →
+    min-per-window → explode.  Hash = md5-derived :mod:`hashing` so the
+    DuckDB oracle matches bit-for-bit.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    kgram_hash = hash64_spark_sql(f"concat_ws(' ', slice(__toks, i, {k}))")
+    hashes = F.expr(
+        f"transform(sequence(1, greatest(size(__toks) - {k} + 1, 1)), i -> "
+        f"{kgram_hash})"
+    )
+    mins = F.expr(
+        f"transform(sequence(1, greatest(size(__hashes) - {window} + 1, 1)), i -> "
+        f"array_min(slice(__hashes, i, {window})))"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .where(n > 0)
+        .withColumn("__hashes", hashes)
+        .select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint"))
+        .distinct()
+    )

@@ -1,0 +1,813 @@
+"""The engine's query surface for the driver contract (`__spark_entry__.py`):
+every operator from SURVEY.md §2 plus the LLM-pipeline extensions, each as a
+``(spark, sf_dir) -> DataFrame`` callable with (where SQL-expressible) a
+DuckDB oracle string computing the identical result.
+
+Cross-engine determinism rules used throughout:
+
+* integers stay BIGINT; ratios of integers divide in double (exact same
+  result both engines);
+* money aggregates cast to DECIMAL before SUM (exact), then to DOUBLE;
+* every md5-derived hash uses :mod:`..operators.hashing` (identical bits in
+  Spark and DuckDB);
+* rankings order by a rounded value + id tie-break so float ulps can't
+  flip ranks;
+* column names are aliased identically on both sides (the driver sorts
+  columns by name and hashes values).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..config.model import Root
+from ..operators import dedup, multimodal, similarity
+from ..operators import text as textops
+from ..functions.transforms import build_registry, transform_dataframe
+from ..session import load_catalog
+from .subset import Subsetter
+from .tpch import KEY_EXPRS, tpch_schema
+
+# --------------------------------------------------------------------- caches
+
+_CATALOGS: dict[str, dict[str, DataFrame]] = {}
+_SUBSETS: dict = {}
+
+
+def catalog(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    if sf_dir not in _CATALOGS:
+        _CATALOGS[sf_dir] = load_catalog(spark, sf_dir)
+    return _CATALOGS[sf_dir]
+
+
+def _subset(spark: SparkSession, sf_dir: str, name: str, roots: list[Root]):
+    """Traversals are shared by several queries (closure, export, manifest
+    counts) — memoize per (sf_dir, root-set)."""
+    key = (sf_dir, name)
+    if key not in _SUBSETS:
+        schema = tpch_schema()
+        cat = {t: catalog(spark, sf_dir)[t] for t in schema.tables}
+        eng = Subsetter(spark, cat, schema)
+        _SUBSETS[key] = (eng, eng.run(roots))
+    return _SUBSETS[key]
+
+
+# =====================================================================
+# DuckDB oracle SQL builders (shared fragments)
+# =====================================================================
+
+def _norm_sql(c: str) -> str:
+    # mirrors operators.text.normalize
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'),"
+        f" ' +', ' ', 'g'))"
+    )
+
+
+def _toks_sql(c: str) -> str:
+    return f"str_split({_norm_sql(c)}, ' ')"
+
+
+def _ntok_sql(c: str) -> str:
+    return f"(CASE WHEN {_norm_sql(c)} = '' THEN 0 ELSE len({_toks_sql(c)}) END)"
+
+
+def _hash64_sql(e: str) -> str:
+    return f"CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
+
+
+def _shingles_sql(c: str, n: int) -> str:
+    # mirrors operators.dedup.shingles: distinct word n-grams over tokens
+    toks = _toks_sql(c)
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1),"
+        f" i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+    )
+
+
+_SHINGLE_CTE = (
+    "st AS (SELECT DISTINCT doc_id, unnest({sh}) AS shingle FROM documents)"
+)
+
+
+def _closure_oracle(roots_sql: str, customer_fanout: bool) -> str:
+    """WITH RECURSIVE closure over the star-schema FK graph, single-bigint
+    surrogate keys (same KEY_EXPRS as the Spark side).  Forward edges =
+    child pulls parent; fanout edges = parent pulls children.  The
+    no-backtrack rule (reference `slice_db/dump_temp_table.py:75-86`) only
+    bites on the customer→orders fanout when customers are *discovered*;
+    queries rooted at customers keep it, others drop it."""
+    edges = """
+      SELECT 'nation' AS t1, CAST(n_nationkey AS BIGINT) k1, 'region' t2, CAST(n_regionkey AS BIGINT) k2 FROM nation
+      UNION ALL SELECT 'customer', c_custkey, 'nation', c_nationkey FROM customer
+      UNION ALL SELECT 'supplier', s_suppkey, 'nation', s_nationkey FROM supplier
+      UNION ALL SELECT 'orders', o_orderkey, 'customer', o_custkey FROM orders
+      UNION ALL SELECT 'lineitem', l_orderkey * 8 + l_linenumber, 'orders', l_orderkey FROM lineitem
+      UNION ALL SELECT 'lineitem', l_orderkey * 8 + l_linenumber, 'part', l_partkey FROM lineitem
+      UNION ALL SELECT 'lineitem', l_orderkey * 8 + l_linenumber, 'supplier', l_suppkey FROM lineitem
+      UNION ALL SELECT 'orders', l_orderkey, 'lineitem', l_orderkey * 8 + l_linenumber FROM lineitem
+    """
+    if customer_fanout:
+        edges += "  UNION ALL SELECT 'customer', o_custkey, 'orders', o_orderkey FROM orders\n"
+    return f"""
+WITH RECURSIVE edges AS ({edges}),
+roots AS ({roots_sql}),
+closure AS (
+  SELECT t1, k1 FROM roots
+  UNION
+  SELECT e.t2, e.k2 FROM closure c JOIN edges e ON e.t1 = c.t1 AND e.k1 = c.k1
+)
+"""
+
+
+CLOSURE_ROOTS = {
+    "closure_customers": (
+        [Root("customer", "c_custkey <= 20")],
+        "SELECT 'customer' t1, CAST(c_custkey AS BIGINT) k1 FROM customer WHERE c_custkey <= 20",
+        True,
+    ),
+    "closure_orders_recent": (
+        [Root("orders", "o_orderdate >= timestamp '2001-06-01'")],
+        "SELECT 'orders' t1, CAST(o_orderkey AS BIGINT) k1 FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '2001-06-01'",
+        False,
+    ),
+    "closure_multi_root": (
+        [Root("customer", "c_custkey <= 5"), Root("supplier", "s_suppkey <= 3")],
+        "SELECT 'customer' t1, CAST(c_custkey AS BIGINT) k1 FROM customer WHERE c_custkey <= 5 "
+        "UNION ALL SELECT 'supplier', CAST(s_suppkey AS BIGINT) FROM supplier WHERE s_suppkey <= 3",
+        True,
+    ),
+}
+
+
+def _closure_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    roots, _, _ = CLOSURE_ROOTS[name]
+    eng, res = _subset(spark, sf_dir, name, roots)
+    return eng.closure_keys(res, KEY_EXPRS)
+
+
+# =====================================================================
+# Query functions
+# =====================================================================
+
+# ---------------------------------------------------- reference operators
+
+
+def root_scan(spark, sf_dir):
+    """S2/P2: arbitrary SQL predicate scan returning row keys + columns."""
+    return (
+        catalog(spark, sf_dir)["orders"]
+        .where(F.expr("o_totalprice > 400000"))
+        .select("o_orderkey", "o_custkey", F.col("o_totalprice").alias("total"))
+    )
+
+
+def projection(spark, sf_dir):
+    """P1: explicit ordered column projection."""
+    return catalog(spark, sf_dir)["customer"].select("c_custkey", "c_name", "c_mktsegment")
+
+
+def semi_join(spark, sf_dir):
+    """J1-style forward discovery: parents referenced by a filtered child
+    frontier (left_semi gives DISTINCT for free)."""
+    c = catalog(spark, sf_dir)
+    frontier = c["orders"].where("o_totalprice > 400000")
+    return (
+        c["customer"]
+        .join(
+            F.broadcast(frontier.select(F.col("o_custkey").alias("c_custkey")).distinct()),
+            on="c_custkey",
+            how="left_semi",
+        )
+        .select("c_custkey", "c_name")
+    )
+
+
+def anti_join(spark, sf_dir):
+    """A1/U2 visited-set semantics: keys NOT already seen (left_anti)."""
+    c = catalog(spark, sf_dir)
+    return (
+        c["customer"]
+        .join(
+            c["orders"].where("o_totalprice > 400000").select(F.col("o_custkey").alias("c_custkey")),
+            on="c_custkey",
+            how="left_anti",
+        )
+        .select("c_custkey", "c_name")
+    )
+
+
+def multicol_semi_join(spark, sf_dir):
+    """J4: multi-column equi semi-join on the composite lineitem key."""
+    c = catalog(spark, sf_dir)
+    keys = (
+        c["lineitem"]
+        .where("l_returnflag = 'R' AND l_discount > 0.08")
+        .select("l_orderkey", "l_linenumber")
+        .distinct()
+    )
+    return (
+        c["lineitem"]
+        .join(keys, on=["l_orderkey", "l_linenumber"], how="left_semi")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+
+
+def slice_export_lineitem(spark, sf_dir):
+    """S3/S6: full rows of one table for a captured slice closure."""
+    eng, res = _subset(spark, sf_dir, "closure_customers", CLOSURE_ROOTS["closure_customers"][0])
+    return eng.export(res)["lineitem"]
+
+
+def slice_manifest_counts(spark, sf_dir):
+    """A2: manifest per-table row (key) counts for a slice."""
+    return (
+        _closure_df(spark, sf_dir, "closure_customers")
+        .groupBy(F.col("tbl"))
+        .agg(F.count(F.lit(1)).alias("row_count"))
+    )
+
+
+def sequence_last_value(spark, sf_dir):
+    """S4/A4: sequence last_value = max of the owning column."""
+    return (
+        catalog(spark, sf_dir)["orders"]
+        .agg(F.max("o_orderkey").alias("last_value"))
+        .select(F.lit("orders_o_orderkey_seq").alias("seq_id"), "last_value")
+    )
+
+
+def scrub_deterministic(spark, sf_dir):
+    """T4/T5/T6/T7 through the real pandas-UDF scrub path: const, replace
+    (case-insensitive literal), null, and the stateful counter
+    (row_number-over-key-order reading of IncrementingConstTransform)."""
+    reg, _ = build_registry(
+        {
+            "toconst": {"class": "ConstTransform", "config": {"value": "REDACTED"}},
+            "fixname": {"class": "ReplaceTransform", "config": {"old": "Customer#", "new": "Client#"}},
+            "wipe": {"class": "NullTransform"},
+        },
+        pepper="abc",
+    )
+    df = catalog(spark, sf_dir)["customer"].select(
+        "c_custkey",
+        F.col("c_name").alias("name_const"),
+        F.col("c_name").alias("name_replaced"),
+        F.col("c_acctbal").alias("acct_null"),
+        F.col("c_name").alias("demo_counter"),
+    )
+    return transform_dataframe(
+        df,
+        {"name_const": reg["toconst"], "name_replaced": reg["fixname"], "acct_null": reg["wipe"]},
+        stateful={"demo_counter": ({"value": "DEMO"}, ["c_custkey"])},
+    )
+
+
+def scrub_pseudonym(spark, sf_dir):
+    """T1/T2/T9: RNG-backed pseudonymization (alphanumeric, FPE-unique,
+    given-name) — deterministic for pepper 'abc' but not SQL-expressible;
+    the driver records the rows-only check, pytest goldens pin values."""
+    reg, _ = build_registry(
+        {
+            "anon": {"class": "AlphanumericTransform"},
+            "uniq": {"class": "AlphanumericTransform", "config": {"unique": True}},
+            "gname": {"class": "GivenNameTransform"},
+        },
+        pepper="abc",
+    )
+    df = catalog(spark, sf_dir)["customer"].select(
+        "c_custkey",
+        F.col("c_name").alias("name_anon"),
+        F.col("c_name").alias("name_fpe"),
+        F.col("c_mktsegment").alias("segment_name"),
+    )
+    return transform_dataframe(
+        df, {"name_anon": reg["anon"], "name_fpe": reg["uniq"], "segment_name": reg["gname"]}
+    )
+
+
+# ----------------------------------------------------------- analytics
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape (scan → filter → groupBy agg).  DECIMAL-exact sums
+    cast to DOUBLE; averages derived from exact sums by double division."""
+    li = catalog(spark, sf_dir)["lineitem"].where("l_shipdate <= timestamp '2001-09-01'")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).alias("_sq"),
+        F.sum(dec("l_extendedprice")).alias("_sbp"),
+        F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount")))).alias("_sdp"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("_sq"), 2).cast("double").alias("sum_qty"),
+        F.round(F.col("_sbp"), 2).cast("double").alias("sum_base_price"),
+        F.round(F.col("_sdp"), 2).cast("double").alias("sum_disc_price"),
+        (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("_sbp").cast("double") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+def q3_top_orders(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join → agg → deterministic top-10 (rounded
+    revenue + orderkey tie-break instead of LIMIT-with-ties)."""
+    c = catalog(spark, sf_dir)
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    rev = (
+        c["customer"].where("c_mktsegment = 'BUILDING'")
+        .join(c["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .where("o_orderdate < timestamp '1999-01-01'")
+        .join(c["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .where("l_shipdate > timestamp '1999-01-01'")
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg((F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount")))).alias("_rev"))
+        .select("o_orderkey", "o_orderpriority", F.round(F.col("_rev"), 2).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where("rank <= 10")
+        .select("o_orderkey", "o_orderpriority", "revenue", "rank")
+    )
+
+
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way star join with broadcast dims → per-nation
+    revenue."""
+    c = catalog(spark, sf_dir)
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    return (
+        c["lineitem"]
+        .join(c["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .where("o_orderdate >= timestamp '1996-01-01' AND o_orderdate < timestamp '1998-01-01'")
+        .join(c["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(c["supplier"], (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(c["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(c["region"]).where("r_name = 'ASIA'"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))).alias("_rev"))
+        .select("n_name", F.round(F.col("_rev"), 2).cast("double").alias("revenue"))
+    )
+
+
+def window_top_orders(spark, sf_dir):
+    """W1/O1: ranking window — top-3 orders per customer, deterministic
+    tie-breaks."""
+    o = catalog(spark, sf_dir)["orders"].where("o_custkey <= 200")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where("rn <= 3")
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").alias("total"), "rn")
+    )
+
+
+def events_bucket_agg(spark, sf_dir):
+    """Tumbling-window batch aggregation over the event stream table:
+    5-minute buckets (epoch-second keys for engine-neutral output)."""
+    e = catalog(spark, sf_dir)["events"]
+    bucket = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("bigint")
+    return (
+        e.groupBy(bucket.alias("bucket_s"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"),
+        )
+    )
+
+
+def events_json_extract(spark, sf_dir):
+    """T17-adjacent data-plane JSON: extract a JSON field, aggregate."""
+    e = catalog(spark, sf_dir)["events"]
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ------------------------------------------------------------ LLM ops
+
+
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(catalog(spark, sf_dir)["documents"], ["text"])
+
+
+def dedup_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(catalog(spark, sf_dir)["documents"], threshold=0.8)
+
+
+def minhash_sigs(spark, sf_dir):
+    """MinHash signatures, exploded to scalar rows (doc_id, j, minhash)."""
+    sigs = dedup.minhash_signatures(catalog(spark, sf_dir)["documents"], k=16)
+    return sigs.select("doc_id", F.posexplode("sig").alias("j", "minhash")).select(
+        "doc_id", F.col("j").cast("bigint").alias("j"), "minhash"
+    )
+
+
+def minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        catalog(spark, sf_dir)["documents"], k=16, bands=4, threshold=0.5
+    )
+
+
+def simhash_sigs(spark, sf_dir):
+    return dedup.simhash_signatures(catalog(spark, sf_dir)["documents"], n=2, bits=32)
+
+
+def doc_fingerprints(spark, sf_dir):
+    return textops.fingerprints(catalog(spark, sf_dir)["documents"], k=5, window=8)
+
+
+def token_stats(spark, sf_dir):
+    df = textops.word_token_stats(catalog(spark, sf_dir)["documents"])
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("bigint").alias("n_distinct_tokens"),
+        "mean_token_len",
+    )
+
+
+def quality(spark, sf_dir):
+    df = textops.quality_score(catalog(spark, sf_dir)["documents"])
+    return df.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "length_score",
+        "alpha_ratio",
+        "stopword_ratio",
+        "distinct_ratio",
+        "quality_score",
+        F.col("n_stopwords_present").cast("bigint").alias("n_stopwords_present"),
+    )
+
+
+def language_id(spark, sf_dir):
+    return textops.lang_id(catalog(spark, sf_dir)["documents"])
+
+
+ANN_PLANES = similarity.random_planes(8, 64)
+
+
+def ann_brute(spark, sf_dir):
+    emb = catalog(spark, sf_dir)["embeddings"]
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    df = similarity.brute_force_topk(emb.where("vec_id >= 5"), q, k=5)
+    return df.select("q_id", "vec_id", "sim", F.col("rank").cast("bigint").alias("rank"))
+
+
+def ann_lsh(spark, sf_dir):
+    emb = catalog(spark, sf_dir)["embeddings"]
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    df = similarity.lsh_topk(emb.where("vec_id >= 5"), q, ANN_PLANES, k=5, probe_hamming=1)
+    return df.select("q_id", "vec_id", "sim", F.col("rank").cast("bigint").alias("rank"))
+
+
+def media_decode(spark, sf_dir):
+    """Multimodal plumbing: binary payload → mapInPandas decode (stubbed
+    codec, real schema/batching).  Deterministic rows; no SQL oracle."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.decode_media(multimodal.attach_payload(docs, "doc_id", "text"))
+
+
+def media_frames(spark, sf_dir):
+    return multimodal.sample_frames(media_decode(spark, sf_dir), every=2)
+
+
+# =====================================================================
+# Oracle SQL (DuckDB dialect, same parquet views)
+# =====================================================================
+
+
+def _q(s: str) -> str:
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def _simhash_oracle(n: int, bits: int) -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(bits)
+    )
+    recompose = " + ".join(f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH sh AS (SELECT DISTINCT doc_id, unnest({_shingles_sql('text', n)}) AS s FROM documents),
+h AS (SELECT doc_id, {_hash64_sql('s')} AS h FROM sh),
+bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+SELECT doc_id, {recompose} AS simhash FROM bits
+"""
+
+
+def _minhash_cte(k: int, n: int) -> str:
+    return f"""
+sh AS (SELECT DISTINCT doc_id, unnest({_shingles_sql('text', n)}) AS shingle FROM documents),
+mh AS (
+  SELECT doc_id, j, min({_hash64_sql("CAST(j AS VARCHAR) || ':' || shingle")}) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(range({k})) AS j) GROUP BY doc_id, j
+)"""
+
+
+def _ann_scored_sql(planes: list[list[float]] | None, probe_hamming: int | None) -> str:
+    """Shared scored-pairs CTE for the ANN oracles."""
+    sig_q = similarity.signature_sql("qv", planes) if planes else None
+    sig_c = similarity.signature_sql("cv", planes) if planes else None
+    cand_filter = ""
+    sig_cols = ""
+    if planes:
+        sig_cols = f", {sig_q} AS qsig, {sig_c} AS csig"
+        cand_filter = (
+            f"WHERE list_sum(list_transform(range(1, {len(planes)} + 1),"
+            f" i -> abs(qsig[i] - csig[i]))) <= {probe_hamming}"
+        )
+    return f"""
+q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id >= 5),
+pairs AS (SELECT q_id, vec_id, qv, cv{sig_cols} FROM q CROSS JOIN c),
+scored AS (
+  SELECT q_id, vec_id,
+    round(
+      list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))
+      / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+         * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6) AS sim
+  FROM pairs {cand_filter}
+)"""
+
+
+def oracle_sql() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    o["root_scan"] = "SELECT o_orderkey, o_custkey, o_totalprice AS total FROM orders WHERE o_totalprice > 400000"
+    o["projection"] = "SELECT c_custkey, c_name, c_mktsegment FROM customer"
+    o["semi_join"] = _q("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """)
+    o["anti_join"] = _q("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """)
+    o["multicol_semi_join"] = _q("""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem k
+          WHERE k.l_orderkey = lineitem.l_orderkey AND k.l_linenumber = lineitem.l_linenumber
+            AND k.l_returnflag = 'R' AND k.l_discount > 0.08)
+    """)
+
+    for name, (_, roots_sql, fanout) in CLOSURE_ROOTS.items():
+        o[name] = _closure_oracle(roots_sql, fanout) + "SELECT t1 AS tbl, k1 AS key FROM closure"
+
+    croots, csql, cfan = CLOSURE_ROOTS["closure_customers"]
+    closure = _closure_oracle(csql, cfan)
+    o["slice_export_lineitem"] = closure + _q("""
+        SELECT l.* FROM lineitem l
+        JOIN (SELECT k1 FROM closure WHERE t1 = 'lineitem') c
+          ON l.l_orderkey * 8 + l.l_linenumber = c.k1
+    """)
+    o["slice_manifest_counts"] = closure + "SELECT t1 AS tbl, count(*) AS row_count FROM closure GROUP BY t1"
+
+    o["sequence_last_value"] = (
+        "SELECT 'orders_o_orderkey_seq' AS seq_id, max(o_orderkey) AS last_value FROM orders"
+    )
+
+    o["scrub_deterministic"] = _q("""
+        SELECT c_custkey,
+          CASE WHEN c_name IS NULL THEN NULL ELSE 'REDACTED' END AS name_const,
+          regexp_replace(c_name, '(?i)Customer\\#', 'Client#', 'g') AS name_replaced,
+          CAST(NULL AS DOUBLE) AS acct_null,
+          CASE WHEN c_name IS NULL OR c_name = '' THEN c_name
+               ELSE 'DEMO ' || CAST(row_number() OVER (ORDER BY c_custkey) AS VARCHAR)
+          END AS demo_counter
+        FROM customer
+    """)
+
+    o["q1_pricing_summary"] = _q("""
+        WITH g AS (
+          SELECT l_returnflag, l_linestatus,
+                 sum(CAST(l_quantity AS DECIMAL(18,6))) AS sq,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sbp,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS sdp,
+                 count(*) AS count_order
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+          GROUP BY l_returnflag, l_linestatus)
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(sq, 2) AS DOUBLE) AS sum_qty,
+               CAST(round(sbp, 2) AS DOUBLE) AS sum_base_price,
+               CAST(round(sdp, 2) AS DOUBLE) AS sum_disc_price,
+               CAST(sq AS DOUBLE) / count_order AS avg_qty,
+               CAST(sbp AS DOUBLE) / count_order AS avg_price,
+               count_order
+        FROM g
+    """)
+
+    o["q3_top_orders"] = _q("""
+        WITH rev AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1999-01-01'
+            AND l_shipdate > TIMESTAMP '1999-01-01'
+          GROUP BY o_orderkey, o_orderpriority)
+        SELECT o_orderkey, o_orderpriority, revenue,
+               CAST(row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS BIGINT) AS rank
+        FROM rev QUALIFY rank <= 10
+    """)
+
+    o["q5_region_revenue"] = _q("""
+        SELECT n_name,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """)
+
+    o["window_top_orders"] = _q("""
+        SELECT o_custkey, o_orderkey, o_totalprice AS total,
+               CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders WHERE o_custkey <= 200 QUALIFY rn <= 3
+    """)
+
+    o["events_bucket_agg"] = _q("""
+        SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s, event_type,
+               count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """)
+
+    o["events_json_extract"] = _q("""
+        SELECT CAST(props->>'$.k' AS BIGINT) AS k, count(*) AS n FROM events GROUP BY 1
+    """)
+
+    sep, nul = "\x1f", "\x00"
+    o["dedup_exact"] = _q(f"""
+        SELECT min(doc_id) AS doc_id,
+               {_hash64_sql(f"coalesce(CAST(text AS VARCHAR), chr(0))")} AS content_hash,
+               count(*) AS dup_count
+        FROM documents GROUP BY 2
+    """)
+
+    o["dedup_jaccard"] = f"""
+WITH {_SHINGLE_CTE.format(sh=_shingles_sql('text', 3))},
+sizes AS (SELECT doc_id, count(*) AS n FROM st GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM st a JOIN st b USING (shingle) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(shared / (sa.n + sb.n - shared), 6) AS jaccard
+FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(shared / (sa.n + sb.n - shared), 6) >= 0.8
+"""
+
+    o["minhash_sigs"] = f"WITH {_minhash_cte(16, 3)} SELECT doc_id, j, minhash FROM mh"
+
+    o["minhash_lsh"] = f"""
+WITH {_minhash_cte(16, 3)},
+bands AS (
+  SELECT doc_id, j // 4 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j)) AS band_hash
+  FROM mh GROUP BY doc_id, j // 4),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_hash) WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT id_a, id_b, count(*) AS shared
+  FROM cands JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+  WHERE a.shingle = b.shingle GROUP BY 1, 2)
+SELECT id_a, id_b, round(shared / (sa.n + sb.n - shared), 6) AS jaccard
+FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(shared / (sa.n + sb.n - shared), 6) >= 0.5
+"""
+
+    o["simhash_sigs"] = _simhash_oracle(2, 32)
+
+    o["doc_fingerprints"] = f"""
+WITH t AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+h AS (SELECT doc_id,
+        list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
+          i -> {_hash64_sql("array_to_string(list_slice(toks, i, i + 4), ' ')")}) AS hashes
+      FROM t WHERE len(toks) > 0),
+w AS (SELECT doc_id,
+        list_distinct(list_transform(range(1, greatest(len(hashes) - 7, 1) + 1),
+          i -> list_min(list_slice(hashes, i, i + 7)))) AS fps
+      FROM h)
+SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM w
+"""
+
+    o["token_stats"] = _q(f"""
+        SELECT doc_id,
+          CAST({_ntok_sql('text')} AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct({_toks_sql('text')})) AS BIGINT) AS n_distinct_tokens,
+          round(length(regexp_replace({_norm_sql('text')}, ' ', '', 'g'))
+                / greatest({_ntok_sql('text')}, 1), 4) AS mean_token_len
+        FROM documents
+    """)
+
+    sw = ", ".join(f"'{w}'" for w in textops.STOPWORDS["en"])
+    o["quality"] = _q(f"""
+        WITH q AS (
+          SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+            {_toks_sql('text')} AS toks,
+            {_ntok_sql('text')} AS n_tok
+          FROM documents),
+        r AS (
+          SELECT doc_id, n_chars,
+            least(n_chars / 500.0, 1.0) AS length_score,
+            alpha / greatest(n_chars, 1) AS alpha_ratio,
+            len(list_filter(toks, x -> list_contains([{sw}], x))) / greatest(n_tok, 1) AS stopword_ratio,
+            len(list_distinct(toks)) / greatest(n_tok, 1) AS distinct_ratio,
+            CAST(len(list_intersect(list_distinct(toks), [{sw}])) AS BIGINT) AS n_stopwords_present
+          FROM q)
+        SELECT doc_id, n_chars,
+          round(length_score, 4) AS length_score,
+          round(alpha_ratio, 4) AS alpha_ratio,
+          round(stopword_ratio, 4) AS stopword_ratio,
+          round(distinct_ratio, 4) AS distinct_ratio,
+          round((length_score + alpha_ratio + stopword_ratio + distinct_ratio) / 4.0, 4) AS quality_score,
+          n_stopwords_present
+        FROM r
+    """)
+
+    lang_rows = " UNION ALL ".join(
+        f"SELECT '{lang}' AS lang, [{', '.join(repr(w) for w in ws)}] AS sw"
+        for lang, ws in sorted(textops.STOPWORDS.items())
+    )
+    o["language_id"] = _q(f"""
+        WITH langs AS ({lang_rows}),
+        t AS (SELECT doc_id, list_distinct({_toks_sql('text')}) AS toks FROM documents),
+        scores AS (
+          SELECT doc_id, lang, len(list_intersect(toks, sw)) / CAST(len(sw) AS DOUBLE) AS score
+          FROM t CROSS JOIN langs)
+        SELECT doc_id, lang AS pred_lang, round(score, 4) AS lang_score
+        FROM scores
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) = 1
+    """)
+
+    o["ann_brute"] = f"""
+WITH {_ann_scored_sql(None, None)}
+SELECT q_id, vec_id, sim,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
+    o["ann_lsh"] = f"""
+WITH {_ann_scored_sql(ANN_PLANES, 1)}
+SELECT q_id, vec_id, sim,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
+    return o
+
+
+def queries():
+    return {
+        "root_scan": root_scan,
+        "projection": projection,
+        "semi_join": semi_join,
+        "anti_join": anti_join,
+        "multicol_semi_join": multicol_semi_join,
+        "closure_customers": lambda s, d: _closure_df(s, d, "closure_customers"),
+        "closure_orders_recent": lambda s, d: _closure_df(s, d, "closure_orders_recent"),
+        "closure_multi_root": lambda s, d: _closure_df(s, d, "closure_multi_root"),
+        "slice_export_lineitem": slice_export_lineitem,
+        "slice_manifest_counts": slice_manifest_counts,
+        "sequence_last_value": sequence_last_value,
+        "scrub_deterministic": scrub_deterministic,
+        "scrub_pseudonym": scrub_pseudonym,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_region_revenue": q5_region_revenue,
+        "window_top_orders": window_top_orders,
+        "events_bucket_agg": events_bucket_agg,
+        "events_json_extract": events_json_extract,
+        "dedup_exact": dedup_exact,
+        "dedup_jaccard": dedup_jaccard,
+        "minhash_sigs": minhash_sigs,
+        "minhash_lsh": minhash_lsh,
+        "simhash_sigs": simhash_sigs,
+        "doc_fingerprints": doc_fingerprints,
+        "token_stats": token_stats,
+        "quality": quality,
+        "language_id": language_id,
+        "ann_brute": ann_brute,
+        "ann_lsh": ann_lsh,
+        "media_decode": media_decode,
+        "media_frames": media_frames,
+    }

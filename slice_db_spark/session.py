@@ -1,0 +1,81 @@
+"""SparkSession construction tuned for this engine.
+
+Local testing runs on ``local[N]`` (single JVM); the conf below is written so
+the same code scales to a 1000-executor cluster: AQE enabled for runtime
+re-planning (skew joins, partition coalescing), shuffle partitions sized by
+env, Arrow enabled for the pandas-UDF scrub path, UTC session timezone so
+results are comparable across engines (DuckDB oracles are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "slice_db_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # test parquet uses TIMESTAMP(NANOS) which the vectorized reader
+        # rejects; read as long and convert in load_catalog
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_catalog(spark: SparkSession, sf_dir: str, tables=TABLES):
+    """Load the test star schema as a dict of DataFrames.
+
+    Missing tables are skipped so older sf dirs without documents/embeddings
+    still load.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    out = {}
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        # TIMESTAMP(NANOS) columns arrive as long (nanosAsLong conf);
+        # convert to microsecond timestamps to match every other engine.
+        arrow_schema = pq.read_schema(path)
+        for field in arrow_schema:
+            if str(field.type) == "timestamp[ns]":
+                df = df.withColumn(
+                    field.name, F.timestamp_micros((F.col(field.name) / 1000).cast("long"))
+                )
+        out[t] = df
+    return out

@@ -1,0 +1,6 @@
+from .events import (  # noqa: F401
+    sessionized_counts,
+    sliding_event_rates,
+    streaming_dedup,
+    tumbling_event_counts,
+)
