@@ -1,0 +1,169 @@
+"""Command-line surface mirroring the reference CLI (``slicedb`` —
+`slice_db/cli/main.py:56-90`), re-based on parquet + Spark:
+
+* ``dump``            — capture a referentially-closed slice
+  (``--root table condition`` repeatable, ``--schema`` JSON config,
+  ``--transform`` JSON config, ``--pepper``) from a parquet catalog dir
+  into a slice dir (parquet or TSV compat via ``--format``).
+* ``restore``         — append a slice into a parquet "database" dir in
+  FK dependency order.
+* ``schema-filter``   — the reference's ``schema-filter children``:
+  prune reverse fanout outside a subtree (`slice_db/cli/schema_filter.py`).
+* ``transform-field`` — scalar REPL for one value
+  (`slice_db/cli/transform_field.py:8-24`).
+
+The reference's ``schema`` command introspects pg_catalog over a live
+connection; here ``schema-infer`` derives a config skeleton from parquet
+files (tables + columns; FK edges must be declared by hand, as the
+reference allows editing too).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import secrets
+import sys
+
+
+def _load_schema(path: str):
+    from .config.model import SchemaConfig
+
+    with open(path) as f:
+        cfg = SchemaConfig.from_dict(json.load(f))
+    cfg.validate()
+    return cfg
+
+
+def cmd_dump(args) -> int:
+    from .config.model import Root
+    from .functions.transforms import build_registry, transform_dataframe
+    from .plans.subset import Subsetter
+    from .session import get_spark
+    from .sources.slice import write_slice
+
+    schema = _load_schema(args.schema)
+    spark = get_spark("slicedb-dump")
+    catalog = {
+        tid: spark.read.parquet(os.path.join(args.input, f"{t.name}.parquet"))
+        for tid, t in schema.tables.items()
+        if os.path.exists(os.path.join(args.input, f"{t.name}.parquet"))
+    }
+    roots = [Root(table, condition) for table, condition in args.root]
+    eng = Subsetter(spark, catalog, schema)
+    result = eng.run(roots)
+    tables = eng.export(result)
+
+    if args.transform:
+        with open(args.transform) as f:
+            tcfg = json.load(f)
+        pepper = args.pepper or secrets.token_hex(8)
+        reg, stateful_specs = build_registry(tcfg.get("transforms", {}), pepper)
+        for tid, spec in tcfg.get("tables", {}).items():
+            if tid not in tables:
+                continue
+            cols = spec.get("columns", {})
+            scalar = {c: reg[n] for c, n in cols.items() if n in reg}
+            stateful = {
+                c: (stateful_specs[n].get("config", {}), schema.tables[tid].keys())
+                for c, n in cols.items()
+                if n in stateful_specs
+            }
+            tables[tid] = transform_dataframe(tables[tid], scalar, stateful=stateful)
+
+    manifest = write_slice(tables, schema, args.output, fmt=args.format)
+    counts = {t: sum(s["rowCount"] for s in m["segments"]) for t, m in manifest.tables.items()}
+    print(json.dumps({"rounds": result.rounds, "rows": counts}))
+    return 0
+
+
+def cmd_restore(args) -> int:
+    from .plans.restore import restore_to_parquet
+    from .session import get_spark
+    from .sources.slice import read_slice
+
+    schema = _load_schema(args.schema)
+    spark = get_spark("slicedb-restore")
+    tables, _manifest = read_slice(spark, args.input, fmt=args.format)
+    order = restore_to_parquet(tables, schema, args.output)
+    print(json.dumps({"order": order}))
+    return 0
+
+
+def cmd_schema_filter(args) -> int:
+    from .config.graph import filter_children
+
+    schema = _load_schema(args.schema)
+    out = filter_children(schema, args.tables)
+    print(out.dumps())
+    return 0
+
+
+def cmd_schema_infer(args) -> int:
+    import pyarrow.parquet as pq
+
+    tables = {}
+    for fn in sorted(os.listdir(args.input)):
+        if not fn.endswith(".parquet"):
+            continue
+        name = fn[: -len(".parquet")]
+        cols = [f.name for f in pq.read_schema(os.path.join(args.input, fn))]
+        tables[name] = {"name": name, "schema": "", "columns": cols, "idColumns": cols[:1]}
+    print(json.dumps({"tables": tables, "references": {}, "sequences": {}}, indent=2, sort_keys=True))
+    return 0
+
+
+def cmd_transform_field(args) -> int:
+    from .functions.transforms import build_registry
+
+    with open(args.transform) as f:
+        tcfg = json.load(f)
+    reg, _ = build_registry(tcfg.get("transforms", {}), args.pepper)
+    print(reg[args.name](args.field))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="slicedb-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("dump", help="capture a referentially-closed slice")
+    d.add_argument("--schema", required=True, help="schema config JSON path")
+    d.add_argument("--root", nargs=2, action="append", required=True, metavar=("TABLE", "COND"))
+    d.add_argument("--transform", help="transform config JSON path")
+    d.add_argument("--pepper", help="determinism pepper (random when omitted)")
+    d.add_argument("--format", choices=["parquet", "tsv"], default="parquet")
+    d.add_argument("input", help="catalog dir of <table>.parquet files")
+    d.add_argument("output", help="slice output dir")
+    d.set_defaults(fn=cmd_dump)
+
+    r = sub.add_parser("restore", help="materialize a slice in FK order")
+    r.add_argument("--schema", required=True)
+    r.add_argument("--format", choices=["parquet", "tsv"], default="parquet")
+    r.add_argument("input", help="slice dir")
+    r.add_argument("output", help="target dir")
+    r.set_defaults(fn=cmd_restore)
+
+    sf = sub.add_parser("schema-filter", help="children-closure reverse pruning")
+    sf.add_argument("--schema", required=True)
+    sf.add_argument("tables", nargs="+")
+    sf.set_defaults(fn=cmd_schema_filter)
+
+    si = sub.add_parser("schema-infer", help="schema config skeleton from parquet dir")
+    si.add_argument("input")
+    si.set_defaults(fn=cmd_schema_infer)
+
+    tf = sub.add_parser("transform-field", help="transform one value")
+    tf.add_argument("--transform", required=True)
+    tf.add_argument("--pepper", required=True)
+    tf.add_argument("name", help="named transform")
+    tf.add_argument("field", help="value to transform")
+    tf.set_defaults(fn=cmd_transform_field)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

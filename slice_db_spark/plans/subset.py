@@ -15,18 +15,22 @@ PostgreSQL, with a driver-side sorted-array visited set
 Spark-first re-design (NOT a translation):
 
 * One BFS **round = one batch of Spark jobs**.  Each FK edge with a
-  non-empty frontier becomes a ``left_semi`` join (discovery) followed by a
+  non-empty frontier is a ``left_semi`` discovery join followed by a
   ``left_anti`` join against the visited-key DataFrame (the reference's
   IntSet dedup, distributed).
-* The no-backtrack rule is tracked per *arrival group*: each table's
-  frontier is a set of (keys, blocked-edge) groups, where blocked-edge is
-  the inverse of the edge the keys arrived through.  An edge traverses the
-  union of the groups it is not blocked for.  Round-synchronous BFS makes
-  this deterministic (the reference's task ordering is scheduler-dependent
-  in multi-path graphs; ours is not — keys discovered by several edges in
-  the same round expand under the union of their allowances).
+* Per table the frontier is ONE DataFrame of key columns plus a
+  ``__blocked`` tag — the inverse of the edge each key arrived through
+  (NULL for roots).  An edge expands every frontier row not blocked for it;
+  keys discovered by several edges in one round carry several tags and
+  expand under the union of their allowances (round-synchronous reading of
+  the reference's scheduler-dependent ordering).
+* Action budget: ONE persist+count per destination table per round (the
+  count doubles as the termination check and the broadcast-size estimate).
+  Catalyst sees everything else lazily — source-row re-attachment is one
+  join per source table per round, shared by all its outgoing edges
+  through the persisted-plan cache.
 * Frontiers and visited sets hold **key columns only** (narrow rows); full
-  rows are re-attached by one semi-join at export (the reference similarly
+  rows re-attach by one semi-join at export (the reference similarly
   re-fetches rows by ctid, `slice_db/dump_temp_table.py:170-186`).
 * Small frontiers are **broadcast** — the analog of the reference loading
   frontier ids into an ANALYZEd temp table so the PG planner joins well
@@ -34,11 +38,10 @@ Spark-first re-design (NOT a translation):
 * ``localCheckpoint`` every few rounds truncates iterative lineage.
 
 Scale notes (100 TB, 1000 executors): per-round cost is bounded by frontier
-size, not table size, whenever frontiers broadcast; visited sets are pure
-key columns and can persist ``DISK_ONLY``.  Termination needs one count per
-new frontier group per round — the same action that decides broadcast
-eligibility.  Edge processing is ordered by destination-table size
-ascending, the reference's heuristic (`slice_db/dump_temp_table.py:110-117`).
+size whenever frontiers broadcast — the big-table side never shuffles, the
+scan is pruned to key+FK columns by Catalyst.  Visited sets are pure key
+columns (persist ``MEMORY_AND_DISK``); termination costs exactly one count
+per active table per round.
 """
 
 from __future__ import annotations
@@ -55,6 +58,8 @@ from ..config.model import FORWARD, REVERSE, Root, SchemaConfig
 BROADCAST_ROWS = 2_000_000
 CHECKPOINT_EVERY = 5
 
+_BLOCKED = "__blocked"
+
 
 @dataclass
 class SubsetResult:
@@ -66,21 +71,12 @@ class SubsetResult:
     history: list[dict] = field(default_factory=list)
 
 
-@dataclass
-class _Group:
-    """A frontier slice of one table: keys that arrived the same way.
-
-    ``blocked`` is the (reference-id, direction) traversal these keys must
-    not take — the inverse of their arrival edge (None for roots).
-    """
-
-    keys: DataFrame
-    blocked: tuple[str, str] | None
-    count: int
-
-
 def _inverse(direction: str) -> str:
     return REVERSE if direction == FORWARD else FORWARD
+
+
+def _sig(rid: str, direction: str) -> str:
+    return f"{rid}|{direction}"
 
 
 class Subsetter:
@@ -112,16 +108,40 @@ class Subsetter:
     def _maybe_broadcast(self, df: DataFrame, n: int) -> DataFrame:
         return F.broadcast(df) if n <= self.broadcast_rows else df
 
+    def _edge_plan(self) -> list[tuple[str, str, str, str]]:
+        """(rid, direction, src, dst) for every configured traversal,
+        deterministically ordered.  The reference orders edges by
+        destination-table stats ascending (cheap edges first,
+        `slice_db/dump_temp_table.py:110-117`); in a synchronous round
+        order only affects job submission, so a stable name sort avoids
+        paying a count per table."""
+        plan = []
+        for r in self.schema.references.values():
+            for d in r.directions:
+                src = r.table if d == FORWARD else r.reference_table
+                dst = self._dst(r.id, d)
+                if src in self.catalog and dst in self.catalog:
+                    plan.append((r.id, d, src, dst))
+        plan.sort(key=lambda e: (e[3], e[0], e[1]))
+        return plan
+
     # ------------------------------------------------------------------ run
     def run(self, roots: list[Root]) -> SubsetResult:
         visited: dict[str, DataFrame] = {}
-        frontier: dict[str, list[_Group]] = {}
+        # frontier[t]: DataFrame(keys..., __blocked) — distinct rows
+        frontier: dict[str, DataFrame] = {}
+        fsize: dict[str, int] = {}
         history: list[dict] = []
+        plan = self._edge_plan()
 
         # Seed: union of root predicate scans per table (reference: multiple
         # --root args share one visited set, slice_db/dump.py:84-91).
         seeds: dict[str, DataFrame] = {}
         for root in roots:
+            if root.table not in self.catalog:
+                raise ValueError(
+                    f"unknown root table {root.table!r}; catalog tables: {sorted(self.catalog)}"
+                )
             df = self.catalog[root.table]
             keys = df.where(F.expr(root.condition)).select(*self._keys(root.table)).distinct()
             seeds[root.table] = (
@@ -133,112 +153,106 @@ class Subsetter:
             if n == 0:
                 keys.unpersist()
                 continue
-            frontier[t] = [_Group(keys, None, n)]
+            frontier[t] = keys.withColumn(_BLOCKED, F.lit(None).cast("string"))
+            fsize[t] = n
             visited[t] = keys
 
         rounds = 0
         while frontier and rounds < self.max_rounds:
             rounds += 1
-            # (rid, direction, src) for every traversable edge this round,
-            # ordered by destination-table size ascending (reference
-            # heuristic: cheap edges first).
-            plan: list[tuple[str, str, str]] = []
-            for r in self.schema.references.values():
-                for d in r.directions:
-                    src = r.table if d == FORWARD else r.reference_table
-                    if src in frontier and self._dst(r.id, d) in self.catalog:
-                        plan.append((r.id, d, src))
-            # Deterministic edge order; the reference sorts by destination
-            # row-count stats (cheapest first) to shrink later frontiers —
-            # in a synchronous round the order only affects job submission,
-            # so we use a stable sort by destination name instead of paying
-            # a count() per table.
-            plan.sort(key=lambda e: (self._dst(e[0], e[1]), e[0], e[1]))
 
-            # full-row re-attachment cache keyed by the participating groups
-            rows_cache: dict[tuple, DataFrame] = {}
-            # dst -> blocked-edge -> list of discovered-key DataFrames
-            discovered: dict[str, dict[tuple[str, str], list[DataFrame]]] = {}
+            # One source-row re-attachment join per active table, shared by
+            # all its outgoing edges (lazy; materialized by the per-dst
+            # actions below, reused through the persisted plan).
+            src_rows: dict[str, DataFrame] = {}
+            for t, keys_df in frontier.items():
+                need = set(self._keys(t))
+                for rid, d, src, _ in plan:
+                    if src == t:
+                        r = self.schema.references[rid]
+                        need.update(r.columns if d == FORWARD else r.reference_columns)
+                src_rows[t] = (
+                    self.catalog[t]
+                    .select(*sorted(need))
+                    .join(self._maybe_broadcast(keys_df, fsize[t]), on=self._keys(t))
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                )
 
-            for rid, d, src in plan:
-                groups = [g for g in frontier[src] if g.blocked != (rid, d)]
-                if not groups:
-                    continue  # no-backtrack: every arrival blocks this edge
+            # dst -> list of (tagged new-key DataFrames)
+            discovered: dict[str, list[DataFrame]] = {}
+            for rid, d, src, dst in plan:
+                if src not in frontier:
+                    continue
                 r = self.schema.references[rid]
-                dst = self._dst(rid, d)
-                cache_key = (src, tuple(id(g) for g in groups))
-                if cache_key not in rows_cache:
-                    keys = groups[0].keys
-                    for g in groups[1:]:
-                        keys = keys.union(g.keys)
-                    if len(groups) > 1:
-                        keys = keys.distinct()
-                    n = sum(g.count for g in groups)
-                    rows_cache[cache_key] = self.catalog[src].join(
-                        self._maybe_broadcast(keys, n), on=self._keys(src), how="left_semi"
-                    )
-                src_rows = rows_cache[cache_key]
-                n_src = sum(g.count for g in groups)
-
-                if d == FORWARD:
-                    # child frontier pulls parents: dst.ref_cols == src.cols
-                    out_cols, dst_cols = r.columns, r.reference_columns
-                else:
-                    # parent frontier pulls children: dst.cols == src.ref_cols
-                    out_cols, dst_cols = r.reference_columns, r.columns
-                src_side = src_rows.select(
+                out_cols = r.columns if d == FORWARD else r.reference_columns
+                dst_cols = r.reference_columns if d == FORWARD else r.columns
+                sig = _sig(rid, d)
+                elig = src_rows[src].where(
+                    F.col(_BLOCKED).isNull() | (F.col(_BLOCKED) != sig)
+                )
+                join_keys = elig.select(
                     *[F.col(c).alias(f"__k{i}") for i, c in enumerate(out_cols)]
                 ).distinct()
                 cond = [F.col(c) == F.col(f"__k{i}") for i, c in enumerate(dst_cols)]
                 found = (
                     self.catalog[dst]
-                    .join(self._maybe_broadcast(src_side, n_src), on=cond, how="left_semi")
+                    .join(self._maybe_broadcast(join_keys, fsize[src]), on=cond, how="left_semi")
                     .select(*self._keys(dst))
                 )
                 if dst in visited:
                     found = found.join(visited[dst], on=self._keys(dst), how="left_anti")
-                discovered.setdefault(dst, {}).setdefault((rid, _inverse(d)), []).append(found)
+                discovered.setdefault(dst, []).append(
+                    found.withColumn(_BLOCKED, F.lit(_sig(rid, _inverse(d))))
+                )
 
-            # Merge discoveries → next frontier groups; update visited sets.
-            next_frontier: dict[str, list[_Group]] = {}
-            round_new: dict[str, int] = {}
-            for dst, by_block in discovered.items():
-                new_groups: list[_Group] = []
-                for blocked, parts in by_block.items():
-                    new = parts[0]
-                    for p in parts[1:]:
-                        new = new.union(p)
-                    new = new.distinct().persist(StorageLevel.MEMORY_AND_DISK)
-                    if rounds % self.checkpoint_every == 0:
-                        new = new.localCheckpoint(eager=True)
-                    n = new.count()
+            # Merge discoveries → candidate frontiers (persisted lazily),
+            # then ONE union-count job materializes every candidate and
+            # returns all sizes — termination + broadcast estimates for the
+            # whole round in a single Spark action.
+            candidates: dict[str, DataFrame] = {}
+            for dst, parts in discovered.items():
+                new = parts[0]
+                for p in parts[1:]:
+                    new = new.union(p)
+                new = new.distinct()
+                if rounds % self.checkpoint_every == 0:
+                    # localCheckpoint truncates the iterative lineage AND
+                    # caches — no extra persist on those rounds
+                    new = new.localCheckpoint(eager=False)
+                else:
+                    new = new.persist(StorageLevel.MEMORY_AND_DISK)
+                candidates[dst] = new
+
+            next_frontier: dict[str, DataFrame] = {}
+            next_size: dict[str, int] = {}
+            if candidates:
+                tagged = None
+                for dst, new in candidates.items():
+                    part = new.select(F.lit(dst).alias("__t"))
+                    tagged = part if tagged is None else tagged.union(part)
+                sizes = {r["__t"]: r["count"] for r in tagged.groupBy("__t").count().collect()}
+                for dst, new in candidates.items():
+                    n = sizes.get(dst, 0)
                     if n == 0:
                         new.unpersist()
                         continue
-                    new_groups.append(_Group(new, blocked, n))
-                if not new_groups:
-                    continue
-                next_frontier[dst] = new_groups
-                all_new = new_groups[0].keys
-                for g in new_groups[1:]:
-                    all_new = all_new.union(g.keys)
-                if len(new_groups) > 1:
-                    all_new = all_new.distinct()
-                round_new[dst] = sum(g.count for g in new_groups)
-                prev = visited.get(dst)
-                merged = (prev.union(all_new).distinct() if prev is not None else all_new).persist(
-                    StorageLevel.MEMORY_AND_DISK
-                )
-                if rounds % self.checkpoint_every == 0:
-                    merged = merged.localCheckpoint(eager=True)
-                visited[dst] = merged
+                    next_frontier[dst] = new
+                    next_size[dst] = n
+                    new_keys = new.select(*self._keys(dst)).distinct()
+                    prev = visited.get(dst)
+                    merged = prev.union(new_keys).distinct() if prev is not None else new_keys
+                    if rounds % self.checkpoint_every == 0:
+                        merged = merged.localCheckpoint(eager=False)
+                    else:
+                        merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+                    visited[dst] = merged
 
-            history.append({"round": rounds, "new": round_new})
-            for t, groups in frontier.items():
-                for g in groups:
-                    if g.keys is not visited.get(t):
-                        g.keys.unpersist()
-            frontier = next_frontier
+            history.append({"round": rounds, "new": dict(next_size)})
+            for df in src_rows.values():
+                df.unpersist()
+            for t, df in frontier.items():
+                df.unpersist()
+            frontier, fsize = next_frontier, next_size
 
         row_counts = {t: v.count() for t, v in visited.items()}
         return SubsetResult(keys=visited, rounds=rounds, row_counts=row_counts, history=history)
@@ -246,7 +260,10 @@ class Subsetter:
     # ---------------------------------------------------------------- export
     def export(self, result: SubsetResult) -> dict[str, DataFrame]:
         """Full rows for every table in the slice — one semi-join per table
-        (the reference's row re-fetch by id, `slice_db/dump_temp_table.py:170-186`)."""
+        (the reference's row re-fetch by id, `slice_db/dump_temp_table.py:170-186`).
+        Row identity is the declared key tuple: all rows sharing a visited
+        key tuple are exported (the reference keys on physical ctid —
+        SURVEY §7 hard parts)."""
         out = {}
         for t, keys in result.keys.items():
             k = self._maybe_broadcast(keys, result.row_counts.get(t, 0))

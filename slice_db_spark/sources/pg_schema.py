@@ -1,0 +1,159 @@
+"""Live-database schema introspection (the reference's ``slicedb schema``,
+`slice_db/schema.py:6-105`) over Spark JDBC.
+
+One catalog query returns tables with ordered columns, multi-column FK
+references with ordinal-aligned column pairs, and owned sequences; the
+driver assembles the same JSON config shape (`slice_db/formats/dump.py`).
+The query reads ``pg_catalog`` directly (``information_schema`` hides
+non-privileged objects and loses ordinality guarantees).
+
+JDBC usage notes (cluster scale): catalog queries are tiny — read them as
+single-partition JDBC subqueries; the snapshot-consistency concern of data
+reads (`slice_db/dump.py:126-144`) does not apply to metadata.  For data
+reads, :func:`jdbc_table` shows the pushdown-friendly shape: partition by
+an indexed numeric column so each executor reads one range slice, and use
+``sessionInitStatement`` to pin ``SET TRANSACTION SNAPSHOT`` for
+point-in-time consistency across partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config.model import Reference, SchemaConfig, Sequence, Table
+
+#: pg_catalog queries (executed as JDBC subqueries).  Shapes mirror the
+#: reference's single introspection query, split into three scans.
+TABLES_SQL = """
+SELECT n.nspname AS schema, c.relname AS name,
+       a.attnum AS ordinal, a.attname AS column
+FROM pg_catalog.pg_class c
+JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+JOIN pg_catalog.pg_attribute a ON a.attrelid = c.oid
+WHERE c.relkind = 'r' AND a.attnum > 0 AND NOT a.attisdropped
+  AND n.nspname NOT IN ('pg_catalog', 'information_schema')
+"""
+
+REFERENCES_SQL = """
+SELECT con.conname AS id,
+       cn.nspname AS child_schema, cc.relname AS child_name,
+       pn.nspname AS parent_schema, pc.relname AS parent_name,
+       ca.attname AS child_column, pa.attname AS parent_column,
+       k.ord AS ordinal
+FROM pg_catalog.pg_constraint con
+JOIN LATERAL unnest(con.conkey, con.confkey) WITH ORDINALITY AS k(conkey, confkey, ord) ON true
+JOIN pg_catalog.pg_class cc ON cc.oid = con.conrelid
+JOIN pg_catalog.pg_namespace cn ON cn.oid = cc.relnamespace
+JOIN pg_catalog.pg_class pc ON pc.oid = con.confrelid
+JOIN pg_catalog.pg_namespace pn ON pn.oid = pc.relnamespace
+JOIN pg_catalog.pg_attribute ca ON ca.attrelid = cc.oid AND ca.attnum = k.conkey
+JOIN pg_catalog.pg_attribute pa ON pa.attrelid = pc.oid AND pa.attnum = k.confkey
+WHERE con.contype = 'f'
+"""
+
+SEQUENCES_SQL = """
+SELECT sn.nspname AS seq_schema, sc.relname AS seq_name,
+       tn.nspname AS table_schema, tc.relname AS table_name
+FROM pg_catalog.pg_class sc
+JOIN pg_catalog.pg_namespace sn ON sn.oid = sc.relnamespace
+JOIN pg_catalog.pg_depend d ON d.objid = sc.oid AND d.deptype = 'a'
+JOIN pg_catalog.pg_class tc ON tc.oid = d.refobjid
+JOIN pg_catalog.pg_namespace tn ON tn.oid = tc.relnamespace
+WHERE sc.relkind = 'S'
+"""
+
+
+def _jdbc_query(spark: SparkSession, url: str, sql: str, properties: dict) -> DataFrame:
+    reader = spark.read.format("jdbc").option("url", url).option(
+        "query", sql.strip()
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def assemble_schema(table_rows, ref_rows, seq_rows) -> SchemaConfig:
+    """Build a SchemaConfig from catalog scan rows (pure function — unit
+    testable without a database).  Rows are dicts/Rows with the column
+    names of the three SQL shapes above."""
+    tables: dict[str, Table] = {}
+    cols: dict[str, list[tuple[int, str]]] = {}
+    for r in table_rows:
+        tid = f"{r['schema']}.{r['name']}"
+        if tid not in tables:
+            tables[tid] = Table(id=tid, name=r["name"], schema=r["schema"])
+        cols.setdefault(tid, []).append((r["ordinal"], r["column"]))
+    for tid, cl in cols.items():
+        tables[tid].columns = [c for _, c in sorted(cl)]
+
+    refs: dict[str, Reference] = {}
+    pairs: dict[str, list[tuple[int, str, str]]] = {}
+    for r in ref_rows:
+        rid = r["id"]
+        if rid not in refs:
+            refs[rid] = Reference(
+                id=rid,
+                table=f"{r['child_schema']}.{r['child_name']}",
+                columns=[],
+                reference_table=f"{r['parent_schema']}.{r['parent_name']}",
+                reference_columns=[],
+            )
+        pairs.setdefault(rid, []).append((r["ordinal"], r["child_column"], r["parent_column"]))
+    for rid, pl in pairs.items():
+        pl.sort()
+        refs[rid].columns = [c for _, c, _ in pl]
+        refs[rid].reference_columns = [p for _, _, p in pl]
+
+    seqs: dict[str, Sequence] = {}
+    for r in seq_rows:
+        sid = f"{r['seq_schema']}.{r['seq_name']}"
+        seqs[sid] = Sequence(id=sid, schema=r["seq_schema"], name=r["seq_name"])
+        tid = f"{r['table_schema']}.{r['table_name']}"
+        if tid in tables and sid not in tables[tid].sequences:
+            tables[tid].sequences.append(sid)
+
+    return SchemaConfig(tables=tables, references=refs, sequences=seqs)
+
+
+def introspect(spark: SparkSession, url: str, properties: dict | None = None) -> SchemaConfig:
+    """``slicedb schema`` over JDBC: three catalog scans → SchemaConfig."""
+    properties = properties or {}
+    t = _jdbc_query(spark, url, TABLES_SQL, properties).collect()
+    r = _jdbc_query(spark, url, REFERENCES_SQL, properties).collect()
+    s = _jdbc_query(spark, url, SEQUENCES_SQL, properties).collect()
+    return assemble_schema([x.asDict() for x in t], [x.asDict() for x in r], [x.asDict() for x in s])
+
+
+def jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    bounds: tuple[int, int] | None = None,
+    snapshot_id: str | None = None,
+    properties: dict | None = None,
+) -> DataFrame:
+    """Partitioned, snapshot-pinned JDBC read of one table — the engine's
+    live-database scan shape.  Filters/projections on the result push down
+    to the database (Spark JDBC pushdown); ``snapshot_id`` replays the
+    reference's exported-snapshot consistency
+    (`pg_export_snapshot`, `slice_db/dump.py:126-144`) across partition
+    readers via ``sessionInitStatement``."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column and bounds:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", bounds[0])
+            .option("upperBound", bounds[1])
+            .option("numPartitions", num_partitions)
+        )
+    if snapshot_id:
+        reader = reader.option(
+            "sessionInitStatement",
+            "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ; "
+            f"SET TRANSACTION SNAPSHOT '{snapshot_id}'",
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -1,0 +1,165 @@
+"""Slice artifact sink/source.
+
+The reference packages a slice as a ZIP of ``manifest.json`` + per-table
+TSV segments + per-sequence value files (`slice_db/slice.py:9-105`,
+manifest shape `slice_db/formats/manifest.py:9-61`).  Our native layout is
+cluster-friendly parquet — one directory per table, written in parallel —
+with the same camelCase ``manifest.json`` shape at the root (tables:
+columns/name/schema/segments, sequences: name/schema + value, preData/
+postData counts) so reference tooling can read the metadata unchanged.
+
+Segment accounting: the reference caps segments at 50k ids
+(`slice_db/dump_temp_table.py:30`); parquet files play the segment role,
+so ``segments`` records one entry per written file part with its row
+count summed to the table total (manifest-count parity is what restore
+validates, `slice_db/restore.py:172-217`).
+
+A TSV compatibility codec (PostgreSQL COPY text escapes,
+`slice_db/pg/copy.py:7-63`) is provided for interop with reference
+slices: all escaping runs JVM-side as chained string expressions — no
+Python in the row path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config.model import SchemaConfig
+
+
+# ------------------------------------------------------------ COPY escapes
+
+_COPY_ESCAPES = [("\\", "\\\\"), ("\b", "\\b"), ("\f", "\\f"), ("\n", "\\n"),
+                 ("\r", "\\r"), ("\t", "\\t"), ("\v", "\\v")]
+
+
+def copy_escape(col) -> "F.Column":
+    """PostgreSQL COPY text escaping of a string column; NULL → ``\\N``.
+    (The reference's serializer maps ``\\v`` to ``\\t`` — a bug at
+    `slice_db/pg/copy.py:56` we do not reproduce.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c
+    for raw, esc in _COPY_ESCAPES:
+        out = F.replace(out, F.lit(raw), F.lit(esc))
+    return F.coalesce(out, F.lit("\\N"))
+
+
+def copy_unescape(col) -> "F.Column":
+    """Inverse of :func:`copy_escape` (``\\N`` → NULL first)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.when(c == "\\N", F.lit(None).cast("string")).otherwise(c)
+    # unescape via a single pass: replace escape pairs longest-first,
+    # using a placeholder for the literal backslash to avoid re-matching
+    out = F.replace(out, F.lit("\\\\"), F.lit("\x00"))
+    for raw, esc in _COPY_ESCAPES[1:]:
+        out = F.replace(out, F.lit(esc), F.lit(raw))
+    return F.replace(out, F.lit("\x00"), F.lit("\\"))
+
+
+# ---------------------------------------------------------------- manifest
+
+
+@dataclass
+class SliceManifest:
+    tables: dict[str, dict] = field(default_factory=dict)
+    sequences: dict[str, dict] = field(default_factory=dict)
+    pre_data: int = 0
+    post_data: int = 0
+
+    def to_dict(self) -> dict:
+        return {
+            "preData": {"count": self.pre_data},
+            "postData": {"count": self.post_data},
+            "sequences": self.sequences,
+            "tables": self.tables,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "SliceManifest":
+        return cls(
+            tables=dict(d.get("tables", {})),
+            sequences=dict(d.get("sequences", {})),
+            pre_data=d.get("preData", {}).get("count", 0),
+            post_data=d.get("postData", {}).get("count", 0),
+        )
+
+
+def _table_dir(out_dir: str, tid: str) -> str:
+    return os.path.join(out_dir, tid.replace(".", "__"))
+
+
+def write_slice(
+    tables: dict[str, DataFrame],
+    schema: SchemaConfig,
+    out_dir: str,
+    sequences: dict[str, int] | None = None,
+    fmt: str = "parquet",
+) -> SliceManifest:
+    """Materialize a slice: per-table parquet (or COPY-escaped TSV) +
+    ``manifest.json``.  Each written file part is one manifest segment."""
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = SliceManifest()
+    for tid, df in tables.items():
+        t = schema.tables.get(tid)
+        cols = t.columns if t and t.columns else df.columns
+        path = _table_dir(out_dir, tid)
+        out = df.select(*cols)
+        if fmt == "tsv":
+            line = F.concat_ws("\t", *[copy_escape(F.col(c).cast("string")) for c in cols])
+            out.select(line.alias("value")).write.mode("overwrite").text(path)
+        else:
+            out.write.mode("overwrite").parquet(path)
+        # segment accounting from the files actually written
+        segs = []
+        spark = df.sparkSession
+        back = spark.read.parquet(path) if fmt == "parquet" else spark.read.text(path)
+        for row in (
+            back.withColumn("__f", F.input_file_name())
+            .groupBy("__f").count().orderBy("__f").collect()
+        ):
+            segs.append({"rowCount": row["count"]})
+        manifest.tables[tid] = {
+            "columns": list(cols),
+            "name": t.name if t else tid,
+            "schema": t.schema if t else "",
+            "segments": segs,
+        }
+    for sid, value in (sequences or {}).items():
+        s = schema.sequences.get(sid)
+        manifest.sequences[sid] = {
+            "name": s.name if s else sid,
+            "schema": s.schema if s else "",
+            "value": value,
+        }
+        with open(os.path.join(out_dir, f"{sid}.txt"), "w") as f:
+            f.write(str(value))
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest.to_dict(), f, indent=2, sort_keys=True)
+    return manifest
+
+
+def read_slice(
+    spark: SparkSession, in_dir: str, fmt: str = "parquet"
+) -> tuple[dict[str, DataFrame], SliceManifest]:
+    """Open a slice directory: manifest + per-table DataFrames.  TSV slices
+    are split + COPY-unescaped back to string columns in manifest column
+    order (typed restore casts against the target schema)."""
+    with open(os.path.join(in_dir, "manifest.json")) as f:
+        manifest = SliceManifest.from_dict(json.load(f))
+    tables: dict[str, DataFrame] = {}
+    for tid, meta in manifest.tables.items():
+        path = _table_dir(in_dir, tid)
+        if fmt == "tsv":
+            raw = spark.read.text(path)
+            parts = F.split(F.col("value"), "\t", -1)
+            cols = [
+                copy_unescape(parts.getItem(i)).alias(c) for i, c in enumerate(meta["columns"])
+            ]
+            tables[tid] = raw.select(*cols)
+        else:
+            tables[tid] = spark.read.parquet(path).select(*meta["columns"])
+    return tables, manifest

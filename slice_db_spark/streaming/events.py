@@ -1,0 +1,104 @@
+"""Structured-Streaming operators over the event stream.
+
+The reference is batch-only (`slice_db/dump.py:133-144` — one consistent
+snapshot per run); these operators are the engine's streaming extension,
+specced directly against Spark Structured Streaming semantics on the
+``events`` table shape (event_id, ts, user_id, event_type, value, props).
+
+Each builder takes any streaming *or* batch DataFrame with that schema —
+Spark's unified API means the same plan runs under ``readStream`` (tests
+feed a file/memory source with ``trigger(availableNow=True)``) or as a
+batch query.  Watermarks bound state for late data; at cluster scale state
+lives in the state store keyed by (window, group) — partition count =
+``spark.sql.shuffle.partitions`` — and RocksDB state backend is the knob
+to turn for 100 TB jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tumbling_event_counts(events: DataFrame, window: str = "5 minutes",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Per-(window, event_type) counts + value sums over tumbling windows.
+
+    With a streaming source, the watermark closes windows ``watermark``
+    past max(ts) and drops later data (append-mode compatible).
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_event_rates(events: DataFrame, window: str = "10 minutes",
+                        slide: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Sliding-window event rate per type (overlapping windows)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def sessionized_counts(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "30 minutes") -> DataFrame:
+    """Session windows per user: events closer than ``gap`` merge into one
+    session (``F.session_window`` — dynamic-length state per key)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Exactly-once event stream: drop duplicate event_ids within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` bounds state; the
+    batch path degrades to plain dropDuplicates)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+    return events.dropDuplicates(["event_id"])
+
+
+def run_stream_to_memory(spark, stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Execute a streaming plan against a memory sink until all available
+    data is processed; returns the result table DataFrame.  Test/driver
+    utility — production jobs point writeStream at kafka/delta/parquet."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

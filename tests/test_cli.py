@@ -1,0 +1,90 @@
+"""CLI end-to-end: dump (with scrub) → restore on parquet dirs, plus the
+metadata commands — the reference's test style (`test/test_dump.py`,
+`test/test_dump_transform.py`) on the star-schema fixtures."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+from contextlib import redirect_stdout
+
+import pytest
+
+from slice_db_spark import cli
+from slice_db_spark.plans.tpch import tpch_schema
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def schema_json(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cfg") / "schema.json"
+    p.write_text(tpch_schema().dumps())
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def transform_json(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cfg") / "transform.json"
+    p.write_text(json.dumps({
+        "tables": {"customer": {"columns": {"c_name": "gname", "c_acctbal": "wipe"}}},
+        "transforms": {
+            "gname": {"class": "GivenNameTransform"},
+            "wipe": {"class": "NullTransform"},
+            "anon": {"class": "AlphanumericTransform"},
+        },
+    }))
+    return str(p)
+
+
+def run_cli(*argv) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main(list(argv))
+    assert rc == 0
+    return buf.getvalue()
+
+
+def test_dump_restore_roundtrip(spark, schema_json, transform_json, tmp_path):
+    slice_dir = str(tmp_path / "slice")
+    out = run_cli(
+        "dump", "--schema", schema_json, "--root", "customer", "c_custkey = 1",
+        "--transform", transform_json, "--pepper", "abc",
+        SF_DIR, slice_dir,
+    )
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["rows"]["customer"] == 1 and stats["rows"]["orders"] >= 1
+    assert os.path.exists(os.path.join(slice_dir, "manifest.json"))
+
+    # scrubbed: c_name is a wordlist name, acctbal NULL
+    cust = spark.read.parquet(os.path.join(slice_dir, "customer")).collect()
+    assert cust[0].c_acctbal is None
+    assert not cust[0].c_name.startswith("Customer#")
+
+    target = str(tmp_path / "restored")
+    out = run_cli("restore", "--schema", schema_json, slice_dir, target)
+    order = json.loads(out.strip().splitlines()[-1])["order"]
+    assert order.index("region") < order.index("nation") < order.index("customer")
+    assert spark.read.parquet(os.path.join(target, "customer")).count() == 1
+
+
+def test_schema_filter_cli(schema_json):
+    out = run_cli("schema-filter", "--schema", schema_json, "customer")
+    cfg = json.loads(out)
+    assert "reverse" in cfg["references"]["orders_customer_fkey"]["directions"]
+
+
+def test_schema_infer_cli():
+    out = run_cli("schema-infer", SF_DIR)
+    cfg = json.loads(out)
+    assert "lineitem" in cfg["tables"]
+    assert cfg["tables"]["lineitem"]["columns"][0] == "l_orderkey"
+
+
+def test_transform_field_cli(transform_json):
+    out1 = run_cli("transform-field", "--transform", transform_json, "--pepper", "abc",
+                   "anon", "Sample 42")
+    out2 = run_cli("transform-field", "--transform", transform_json, "--pepper", "abc",
+                   "anon", "Sample 42")
+    assert out1 == out2 and out1.strip() != "Sample 42"

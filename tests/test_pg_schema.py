@@ -1,0 +1,40 @@
+"""Unit tests for the catalog-introspection assembly (S1) — pure function
+over catalog scan rows; the JDBC round-trip needs a live PostgreSQL and is
+exercised by `introspect` in deployment."""
+
+from slice_db_spark.sources.pg_schema import assemble_schema
+
+
+def rows(*dicts):
+    return list(dicts)
+
+
+def test_assemble_schema_orders_columns_and_ref_pairs():
+    t = rows(
+        {"schema": "public", "name": "child", "ordinal": 2, "column": "b"},
+        {"schema": "public", "name": "child", "ordinal": 1, "column": "a"},
+        {"schema": "public", "name": "parent", "ordinal": 1, "column": "x"},
+        {"schema": "public", "name": "parent", "ordinal": 2, "column": "y"},
+    )
+    r = rows(
+        {"id": "fk", "child_schema": "public", "child_name": "child",
+         "parent_schema": "public", "parent_name": "parent",
+         "child_column": "b", "parent_column": "y", "ordinal": 2},
+        {"id": "fk", "child_schema": "public", "child_name": "child",
+         "parent_schema": "public", "parent_name": "parent",
+         "child_column": "a", "parent_column": "x", "ordinal": 1},
+    )
+    s = rows(
+        {"seq_schema": "public", "seq_name": "child_a_seq",
+         "table_schema": "public", "table_name": "child"},
+    )
+    cfg = assemble_schema(t, r, s)
+    assert cfg.tables["public.child"].columns == ["a", "b"]  # attnum order
+    ref = cfg.references["fk"]
+    assert ref.columns == ["a", "b"] and ref.reference_columns == ["x", "y"]  # ordinal-aligned
+    assert cfg.tables["public.child"].sequences == ["public.child_a_seq"]
+    cfg.validate()
+    # round-trips through the reference JSON shape
+    from slice_db_spark.config.model import SchemaConfig
+
+    assert SchemaConfig.loads(cfg.dumps()).to_dict() == cfg.to_dict()
