@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .hashing import hash64, hash64_spark_sql
+from .hashing import hash64
 from .text import normalize
 
 
@@ -60,12 +60,16 @@ def shingles(col, n: int = 3):
     """Distinct word n-gram shingles of the normalized text (array<string>).
 
     ``transform(sequence(...))`` over the token array — no explode until the
-    caller asks for the inverted index."""
+    caller asks for the inverted index.  Built from O(1) ``get`` lookups,
+    not ``slice`` (higher-order functions evaluate interpreted, so a
+    slice-per-position would cost O(len²) per document); ``get`` returns
+    NULL past the end and ``concat_ws`` drops NULLs, which reproduces the
+    slice semantics on short token lists."""
     toks = F.split(normalize(col), " ")
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0))),
+            lambda i: F.concat_ws(" ", *[F.get(toks, i + F.lit(j)) for j in range(n)]),
         )
     )
 
@@ -92,7 +96,9 @@ def ngram_jaccard_pairs(
     (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6 places.
     Inverted-index join: pairs sharing ≥1 shingle are the only candidates.
     """
-    st = shingle_table(df, text_col, id_col, n)
+    # the inverted index feeds three plan branches (both join sides +
+    # sizes); cache it so the explode+distinct computes once
+    st = shingle_table(df, text_col, id_col, n).persist()
     shared = (
         st.select(F.col(id_col).alias("id_a"), "shingle")
         .join(st.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
@@ -122,6 +128,26 @@ def _jaccard_filter(shared: DataFrame, st: DataFrame, id_col: str, threshold: fl
 # ----------------------------------------------------------------- minhash
 
 
+# Universal-hash family parameters for MinHash: h_j(x) = (a_j·x + b_j) mod P
+# over 30-bit base hashes, so products stay < 2^60 (no BIGINT overflow in
+# any engine).  a/b derive from md5 of the family index — fixed public
+# constants, identical in the DuckDB oracle.
+MINHASH_MOD = 1 << 30
+MINHASH_P = 1073741789  # largest prime < 2^30
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for j in range(k):
+        d = hashlib.md5(f"mh:{j}".encode()).digest()
+        a = 1 + int.from_bytes(d[:8], "big") % (MINHASH_P - 1)
+        b = int.from_bytes(d[8:], "big") % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     k: int = 16,
@@ -131,20 +157,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per document.
 
-    minhash_j = min over shingles of hash64(j || ':' || shingle) — the
-    standard "k independent hash functions" construction with salted md5.
-    Output: (id, sig array<bigint> of length k).  Pure map, no shuffle.
+    minhash_j = min over shingles of (a_j·h + b_j) mod P, h = md5-derived
+    base hash — ONE md5 per shingle, then k cheap integer mixes (the
+    classic universal-hash construction; k salted md5 passes would cost
+    k× the hashing).  Output: (id, sig array<bigint> of length k).
+    Pure map, no shuffle.
     """
-    mh_exprs = [
-        F.expr(
-            f"array_min(transform(__shingles, s -> {hash64_spark_sql(f'''concat('{j}:', s)''')}))"
-        ).alias(f"mh{j}")
-        for j in range(k)
+    # Relational formulation: explode the (distinct) shingles, hash once in
+    # whole-stage codegen, then k vectorized min-aggregates.  The
+    # array-fold alternative (array_min over transform) evaluates
+    # interpreted per element and loses 10×+ on wide documents; one
+    # narrow-row shuffle per doc is the better trade at every scale.
+    st = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__s")
+    ).withColumn("__h", hash64(F.col("__s")) % MINHASH_MOD)
+    aggs = [
+        F.min((F.col("__h") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"mh{j}")
+        for j, (a, b) in enumerate(minhash_params(k))
     ]
     return (
-        df.select(F.col(id_col), shingles(F.col(text_col), n).alias("__shingles"))
-        .where(F.size("__shingles") > 0)
-        .select(F.col(id_col), F.array(*mh_exprs).alias("sig"))
+        st.groupBy(id_col)
+        .agg(*aggs)
+        .select(F.col(id_col), F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig"))
     )
 
 
@@ -193,7 +227,7 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cands
-    st = shingle_table(df, text_col, id_col, n)
+    st = shingle_table(df, text_col, id_col, n).persist()
     shared = (
         cands.join(st.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
         .join(
@@ -222,26 +256,25 @@ def simhash_signatures(
     set else -1) > 0.  Output (id, simhash BIGINT).  Pure map +
     aggregate-free (array reduce per row) — no shuffle.
     """
-    hashes = F.expr(
-        f"transform(__shingles, s -> {hash64_spark_sql('s')})"
-    )
-    bit_terms = [
-        F.expr(
-            "aggregate(__hashes, 0L, (acc, h) -> acc + "
-            f"CASE WHEN (h div {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)"
-        )
+    # Relational formulation (same rationale as minhash_signatures): hash
+    # every exploded shingle in codegen, then `bits` vectorized ±1 sum
+    # aggregates, then recompose the signature from the sign bits.
+    st = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__s")
+    ).withColumn("__h", hash64(F.col("__s")))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright("__h", b) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{b}")
         for b in range(bits)
     ]
     sim = None
-    for b, term in enumerate(bit_terms):
-        contrib = F.when(term > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    for b in range(bits):
+        contrib = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
         sim = contrib if sim is None else sim + contrib
-    return (
-        df.select(F.col(id_col), shingles(F.col(text_col), n).alias("__shingles"))
-        .where(F.size("__shingles") > 0)
-        .withColumn("__hashes", hashes)
-        .select(F.col(id_col), sim.alias("simhash"))
-    )
+    return st.groupBy(id_col).agg(*bit_aggs).select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_near_pairs(

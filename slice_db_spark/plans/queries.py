@@ -502,11 +502,14 @@ SELECT doc_id, {recompose} AS simhash FROM bits
 
 
 def _minhash_cte(k: int, n: int) -> str:
+    params = dedup.minhash_params(k)
+    values = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(params))
     return f"""
 sh AS (SELECT DISTINCT doc_id, unnest({_shingles_sql('text', n)}) AS shingle FROM documents),
 mh AS (
-  SELECT doc_id, j, min({_hash64_sql("CAST(j AS VARCHAR) || ':' || shingle")}) AS minhash
-  FROM sh CROSS JOIN (SELECT unnest(range({k})) AS j) GROUP BY doc_id, j
+  SELECT doc_id, j,
+         min((({_hash64_sql('shingle')} % {dedup.MINHASH_MOD}) * a + b) % {dedup.MINHASH_P}) AS minhash
+  FROM sh CROSS JOIN (VALUES {values}) AS fam(j, a, b) GROUP BY doc_id, j
 )"""
 
 

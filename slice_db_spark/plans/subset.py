@@ -127,6 +127,7 @@ class Subsetter:
 
     # ------------------------------------------------------------------ run
     def run(self, roots: list[Root]) -> SubsetResult:
+        persisted: list[DataFrame] = []  # every intermediate cache, released at the end
         visited: dict[str, DataFrame] = {}
         # frontier[t]: DataFrame(keys..., __blocked) — distinct rows
         frontier: dict[str, DataFrame] = {}
@@ -149,6 +150,7 @@ class Subsetter:
             )
         for t, keys in seeds.items():
             keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(keys)
             n = keys.count()
             if n == 0:
                 keys.unpersist()
@@ -177,6 +179,7 @@ class Subsetter:
                     .join(self._maybe_broadcast(keys_df, fsize[t]), on=self._keys(t))
                     .persist(StorageLevel.MEMORY_AND_DISK)
                 )
+                persisted.append(src_rows[t])
 
             # dst -> list of (tagged new-key DataFrames)
             discovered: dict[str, list[DataFrame]] = {}
@@ -221,6 +224,7 @@ class Subsetter:
                     new = new.localCheckpoint(eager=False)
                 else:
                     new = new.persist(StorageLevel.MEMORY_AND_DISK)
+                persisted.append(new)
                 candidates[dst] = new
 
             next_frontier: dict[str, DataFrame] = {}
@@ -245,6 +249,7 @@ class Subsetter:
                         merged = merged.localCheckpoint(eager=False)
                     else:
                         merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+                        persisted.append(merged)
                     visited[dst] = merged
 
             history.append({"round": rounds, "new": dict(next_size)})
@@ -254,8 +259,16 @@ class Subsetter:
                 df.unpersist()
             frontier, fsize = next_frontier, next_size
 
-        row_counts = {t: v.count() for t, v in visited.items()}
-        return SubsetResult(keys=visited, rounds=rounds, row_counts=row_counts, history=history)
+        # Truncate lineage on the results and release every intermediate
+        # cache: a traversal leaves dozens of persisted plans with deep
+        # iterative lineage behind, and every LATER query compilation pays
+        # plan canonicalization against the cache registry — checkpointed
+        # leaf plans make that cost constant.
+        final = {t: v.localCheckpoint(eager=True) for t, v in visited.items()}
+        for df in persisted:
+            df.unpersist()
+        row_counts = {t: v.count() for t, v in final.items()}
+        return SubsetResult(keys=final, rounds=rounds, row_counts=row_counts, history=history)
 
     # ---------------------------------------------------------------- export
     def export(self, result: SubsetResult) -> dict[str, DataFrame]:

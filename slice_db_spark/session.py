@@ -59,10 +59,20 @@ def load_catalog(spark: SparkSession, sf_dir: str, tables=TABLES):
 
     Missing tables are skipped so older sf dirs without documents/embeddings
     still load.
+
+    The fixtures are single-row-group parquet files, which Spark cannot
+    split — every scan would run as ONE task.  The text/embedding tables
+    feed interpreted higher-order-function and Arrow-Python operators
+    (CPU-bound per row), so those are round-robin repartitioned to the
+    session's parallelism at load; on a real cluster multi-file inputs
+    split naturally and this is a no-op concern.  Relational tables are
+    left unsplit so selective filters keep their parquet pushdown.
     """
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
+    cpu_heavy = {"documents", "embeddings"}
+    parallelism = spark.sparkContext.defaultParallelism
     out = {}
     for t in tables:
         path = os.path.join(sf_dir, f"{t}.parquet")
@@ -77,5 +87,7 @@ def load_catalog(spark: SparkSession, sf_dir: str, tables=TABLES):
                 df = df.withColumn(
                     field.name, F.timestamp_micros((F.col(field.name) / 1000).cast("long"))
                 )
+        if t in cpu_heavy:
+            df = df.repartition(parallelism)
         out[t] = df
     return out
