@@ -39,6 +39,7 @@ HEADLINE = [
     "language_id",
     "ann_brute",
     "ann_lsh",
+    "dedup_embedding",
     "media_decode",
 ]
 

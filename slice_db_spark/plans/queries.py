@@ -468,6 +468,20 @@ def ann_lsh(spark, sf_dir):
     return df.select("q_id", "vec_id", "sim", F.col("rank").cast("bigint").alias("rank"))
 
 
+DEDUP_PLANES = similarity.random_planes(16, 64, seed="dedup")
+DEDUP_EMB_THRESHOLD = 0.42
+DEDUP_EMB_BANDS = 4
+
+
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup with banded hyperplane-LSH blocking (the
+    100 TB plan: per-band hash joins, no cross join)."""
+    emb = catalog(spark, sf_dir)["embeddings"]
+    return similarity.embedding_near_pairs(
+        emb, threshold=DEDUP_EMB_THRESHOLD, planes=DEDUP_PLANES, bands=DEDUP_EMB_BANDS
+    )
+
+
 def media_decode(spark, sf_dir):
     """Multimodal plumbing: binary payload → mapInPandas decode (stubbed
     codec, real schema/batching).  Deterministic rows; no SQL oracle."""
@@ -776,6 +790,26 @@ SELECT q_id, vec_id, sim,
 FROM scored QUALIFY rank <= 5
 """
 
+    r = len(DEDUP_PLANES) // DEDUP_EMB_BANDS
+    o["dedup_embedding"] = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+s AS (SELECT vec_id, {similarity.signature_sql('v', DEDUP_PLANES)} AS sig FROM v),
+b AS (SELECT vec_id, band,
+        array_to_string(list_transform(list_slice(sig, band * {r} + 1, band * {r} + {r}),
+                                       x -> CAST(x AS VARCHAR)), '') AS key
+      FROM s CROSS JOIN (SELECT unnest(range({DEDUP_EMB_BANDS})) AS band)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2 USING (band, key) WHERE a.vec_id < b2.vec_id),
+scored AS (
+  SELECT id_a, id_b,
+    round(list_sum(list_transform(range(1, len(va.v) + 1), i -> va.v[i] * vb.v[i]))
+      / (sqrt(list_sum(list_transform(va.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(vb.v, x -> x * x)))), 6) AS sim
+  FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b)
+SELECT id_a, id_b, sim FROM scored WHERE sim >= {DEDUP_EMB_THRESHOLD}
+"""
+
     return o
 
 
@@ -811,6 +845,7 @@ def queries():
         "language_id": language_id,
         "ann_brute": ann_brute,
         "ann_lsh": ann_lsh,
+        "dedup_embedding": dedup_embedding,
         "media_decode": media_decode,
         "media_frames": media_frames,
     }
