@@ -96,12 +96,23 @@ def ngram_jaccard_pairs(
     (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6 places.
     Inverted-index join: pairs sharing ≥1 shingle are the only candidates.
     """
-    # the inverted index feeds three plan branches (both join sides +
-    # sizes); cache it so the explode+distinct computes once
+    # the inverted index feeds four plan branches (both join sides, the
+    # doc-frequency filter, sizes); cache it so the explode+distinct
+    # computes once
     st = shingle_table(df, text_col, id_col, n).persist()
+    # A shingle appearing in exactly one document can never contribute a
+    # pair; with natural text most shingles are unique, so dropping them
+    # BEFORE the quadratic self-join shrinks its input by ~an order of
+    # magnitude while provably not changing the result (shared counts are
+    # over co-occurring shingles only).
+    paired = st.join(
+        st.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")).where("__df > 1").select("shingle"),
+        "shingle",
+        "left_semi",
+    )
     shared = (
-        st.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(st.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        paired.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(paired.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))

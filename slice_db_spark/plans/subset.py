@@ -244,7 +244,11 @@ class Subsetter:
                     next_size[dst] = n
                     new_keys = new.select(*self._keys(dst)).distinct()
                     prev = visited.get(dst)
-                    merged = prev.union(new_keys).distinct() if prev is not None else new_keys
+                    # no distinct on the union: new_keys is anti-joined
+                    # against prev and internally distinct, so the union is
+                    # already a set — a distinct here would re-shuffle the
+                    # whole visited table every round
+                    merged = prev.union(new_keys) if prev is not None else new_keys
                     if rounds % self.checkpoint_every == 0:
                         merged = merged.localCheckpoint(eager=False)
                     else:

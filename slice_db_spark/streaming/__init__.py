@@ -3,4 +3,5 @@ from .events import (  # noqa: F401
     sliding_event_rates,
     streaming_dedup,
     tumbling_event_counts,
+    user_activity_state,
 )

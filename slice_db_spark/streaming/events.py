@@ -89,6 +89,62 @@ def streaming_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFra
     return events.dropDuplicates(["event_id"])
 
 
+USER_STATE_SCHEMA = "n bigint, sv double, last_us bigint"
+USER_ACTIVITY_SCHEMA = "user_id bigint, n_events bigint, sum_value double, last_ts timestamp"
+
+
+def user_activity_state(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    running totals — event count, value sum, last event time — carried in
+    the state store across micro-batches and emitted (update mode) for
+    every user active in the batch.
+
+    The Arrow-batched state function is the engine's template for stateful
+    logic Spark's built-in aggregates can't express (per-key models,
+    sessionized ML features, CDC merge).  State is (n, sv, last_us) —
+    fixed-width, so 100 TB of events costs |users| × ~24 bytes of state.
+    The batch path computes the identical result relationally — the
+    unified-API oracle the stream tests compare against.
+    """
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        n, sv, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            sv += float(pdf["value"].sum())
+            last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+        state.update((n, sv, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [sv],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            USER_ACTIVITY_SCHEMA,
+            USER_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(spark, stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Execute a streaming plan against a memory sink until all available
     data is processed; returns the result table DataFrame.  Test/driver

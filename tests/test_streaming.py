@@ -70,3 +70,41 @@ def test_streaming_dedup(spark, events_batch, events_stream):
     want = events_batch.dropDuplicates(["event_id"]).count()
     got = run_stream_to_memory(spark, streaming_dedup(events_stream), "t_dedup").count()
     assert got == want
+
+
+def test_user_activity_state_stream_matches_batch(spark, events_batch, tmp_path_factory):
+    """applyInPandasWithState across MULTIPLE micro-batches: stage the
+    events as several files, process one file per trigger, and check the
+    final per-user state equals the batch aggregate."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from slice_db_spark.streaming import user_activity_state
+
+    d = tmp_path_factory.mktemp("events_multi")
+    events_batch.repartition(4).write.mode("overwrite").parquet(str(d))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(d)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = run_stream_to_memory(
+        spark, user_activity_state(stream), "t_state", output_mode="update"
+    )
+    # update mode emits a row per (user, batch); the final state is the row
+    # with the highest running count
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = {
+        r.user_id: r
+        for r in out.withColumn("rn", F.row_number().over(w)).where("rn = 1").collect()
+    }
+    want = {r.user_id: r for r in user_activity_state(events_batch).collect()}
+    assert set(final) == set(want) and len(want) > 0
+    for uid, got in final.items():
+        exp = want[uid]
+        assert got.n_events == exp.n_events, uid
+        assert math.isclose(got.sum_value, exp.sum_value, rel_tol=1e-9), uid
+        assert got.last_ts == exp.last_ts, uid
