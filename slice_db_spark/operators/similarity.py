@@ -13,11 +13,11 @@ Two strategies:
   once on the driver and inlined as literals, so the DuckDB oracle uses
   the *identical* numbers and the operator stays fully deterministic.
 
-At cluster scale the LSH candidate step is a hash-shuffle join on the
-short signature (bucket join); the broadcast-crossjoin-with-Hamming-filter
-below is the small-|Q| plan — Catalyst evaluates the cheap signature
-filter before the expensive cosine, so non-candidates never pay the
-dot product.
+The LSH candidate step is an equi-join on the signature key: the query
+side is expanded to every signature within the probe Hamming radius
+(multi-probe), so "within distance h" becomes a plain hash join — a
+broadcast join for small query sets, a shuffle bucket join at cluster
+scale.  No cross join exists anywhere on the scale path.
 
 Cosine values are rounded (1e-6) before ranking so cross-engine float
 summation differences cannot flip ranks; ties break on vec_id.
@@ -154,26 +154,54 @@ def lsh_topk(
     """Approximate top-k: score only candidates whose hyperplane signature
     is within ``probe_hamming`` bits of the query's.
 
+    Candidate generation is a multi-probe HASH JOIN, not a filtered cross
+    join: each query row explodes into every signature key within the
+    probe radius (``sum_{d<=h} C(planes, d)`` probes — 9 for 8 planes at
+    h=1) and joins the corpus on signature equality.  A corpus vector's
+    single signature can match at most one distinct probe, so the join
+    emits each candidate exactly once — the same candidate set as a
+    Hamming-distance filter, as one equi-join that scales to any corpus
+    size.
+
     Output schema matches :func:`brute_force_topk`; recall < 1 by design —
     the oracle for this operator is the *same algorithm* in SQL, not exact
     top-k.
     """
+    from itertools import combinations
+
+    nb = len(planes)
     sig = signature_vec(planes)
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
-    ).withColumn("__csig", sig(F.col("__cv")))
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
-    ).withColumn("__qsig", sig(F.col("__qv")))
-    hamming = F.aggregate(
-        F.zip_with(F.col("__qsig"), F.col("__csig"), lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, v: acc + v,
+
+    def key_of(bits, flipped=()):
+        return F.concat_ws(
+            "",
+            *[
+                (F.lit(1) - F.element_at(bits, i + 1) if i in flipped else F.element_at(bits, i + 1)).cast(
+                    "string"
+                )
+                for i in range(nb)
+            ],
+        )
+
+    c = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv"))
+        .withColumn("__csig", sig(F.col("__cv")))
+        .withColumn("__key", key_of(F.col("__csig")))
+        .drop("__csig")
+    )
+    flip_sets = [fs for d in range(probe_hamming + 1) for fs in combinations(range(nb), d)]
+    q = (
+        queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv"))
+        .withColumn("__qsig", sig(F.col("__qv")))
+        .select(
+            query_id_col,
+            "__qv",
+            F.explode(F.array(*[key_of(F.col("__qsig"), fs) for fs in flip_sets])).alias("__key"),
+        )
     )
     scored = (
         F.broadcast(q)
-        .crossJoin(c)
-        .where(hamming <= probe_hamming)
+        .join(c, "__key")
         .select(
             query_id_col,
             id_col,
