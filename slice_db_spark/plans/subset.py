@@ -36,6 +36,12 @@ Spark-first re-design (NOT a translation):
   frontier ids into an ANALYZEd temp table so the PG planner joins well
   (`slice_db/dump_temp_table.py:234-250`); large ones go through AQE.
 * ``localCheckpoint`` every few rounds truncates iterative lineage.
+* Every table touched by the traversal is scanned ONCE: its key+FK-column
+  projection is persisted up front and every round's discovery joins hit
+  the cache instead of re-reading the source R×edges times (the reference
+  equivalently keeps all ids server-side and never re-reads table data).
+  The projection is a few percent of table width, so even at 100 TB the
+  cached working set is cluster-RAM/disk sized.
 
 Scale notes (100 TB, 1000 executors): per-round cost is bounded by frontier
 size whenever frontiers broadcast — the big-table side never shuffles, the
@@ -46,9 +52,11 @@ per active table per round.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 from pyspark.storagelevel import StorageLevel
 
 from ..config.model import FORWARD, REVERSE, Root, SchemaConfig
@@ -57,6 +65,10 @@ from ..config.model import FORWARD, REVERSE, Root, SchemaConfig
 # frontier side (no shuffle of the big table).
 BROADCAST_ROWS = 2_000_000
 CHECKPOINT_EVERY = 5
+# Traversal-state budget for the driver regime (rows held on the driver —
+# the reference holds ALL ids driver-side in a numpy IntSet at ~4 B/row;
+# our rows carry a few key/FK values, so 200k ≈ tens of MB).
+DRIVER_ROWS = 200_000
 
 _BLOCKED = "__blocked"
 
@@ -75,6 +87,20 @@ def _inverse(direction: str) -> str:
     return REVERSE if direction == FORWARD else FORWARD
 
 
+def _tagged_counts(dfs: dict[str, DataFrame]) -> dict[str, int]:
+    """Materialize every DataFrame and return its row count in ONE Spark
+    job: union single-column tagged projections, groupBy-count, collect.
+    (N separate .count() actions would serialize N job submissions — the
+    dominant cost of small iterative rounds.)"""
+    if not dfs:
+        return {}
+    tagged = None
+    for name, df in dfs.items():
+        part = df.select(F.lit(name).alias("__t"))
+        tagged = part if tagged is None else tagged.union(part)
+    return {r["__t"]: r["count"] for r in tagged.groupBy("__t").count().collect()}
+
+
 def _sig(rid: str, direction: str) -> str:
     return f"{rid}|{direction}"
 
@@ -88,6 +114,8 @@ class Subsetter:
         broadcast_rows: int = BROADCAST_ROWS,
         checkpoint_every: int = CHECKPOINT_EVERY,
         max_rounds: int = 200,
+        cache_scans: bool = True,
+        driver_rows: int = DRIVER_ROWS,
     ):
         schema.validate()
         self.spark = spark
@@ -96,6 +124,8 @@ class Subsetter:
         self.broadcast_rows = broadcast_rows
         self.checkpoint_every = checkpoint_every
         self.max_rounds = max_rounds
+        self.cache_scans = cache_scans
+        self.driver_rows = driver_rows
 
     # ------------------------------------------------------------------ util
     def _keys(self, table: str) -> list[str]:
@@ -127,41 +157,287 @@ class Subsetter:
 
     # ------------------------------------------------------------------ run
     def run(self, roots: list[Root]) -> SubsetResult:
-        persisted: list[DataFrame] = []  # every intermediate cache, released at the end
-        visited: dict[str, DataFrame] = {}
-        # frontier[t]: DataFrame(keys..., __blocked) — distinct rows
-        frontier: dict[str, DataFrame] = {}
-        fsize: dict[str, int] = {}
-        history: list[dict] = []
-        plan = self._edge_plan()
+        """Capture the referential closure of ``roots``.
 
-        # Seed: union of root predicate scans per table (reference: multiple
-        # --root args share one visited set, slice_db/dump.py:84-91).
-        seeds: dict[str, DataFrame] = {}
+        Two regimes, both producing identical closures:
+
+        * **driver regime** (traversal state ≤ ``driver_rows``): visited and
+          frontier sets live in driver dicts — the distributed reading of the
+          reference's driver-side ``IntSet`` (`slice_db/collection/set.py`).
+          Each round runs ONE broadcast semi-join per active edge against the
+          cached scans, collected in parallel threads; dedup/no-backtrack
+          bookkeeping is plain Python.  No persists, no anti-joins, no
+          checkpoint lineage — a round costs one tiny Spark job per edge.
+        * **distributed regime**: frontiers/visited as DataFrames with
+          anti-join dedup (the 100 TB path).  Entered from the start when the
+          roots already exceed the budget, or mid-traversal when a round's
+          discoveries overflow it (the completed driver state is lifted into
+          DataFrames and the loop continues distributed).
+        """
         for root in roots:
             if root.table not in self.catalog:
                 raise ValueError(
                     f"unknown root table {root.table!r}; catalog tables: {sorted(self.catalog)}"
                 )
+        plan = self._edge_plan()
+        persisted: list[DataFrame] = []
+        scan_cols, scans = self._build_scans(plan, persisted)
+        history: list[dict] = []
+
+        state = None
+        if self.driver_rows > 0:
+            out = self._run_driver(roots, plan, scan_cols, scans, history)
+            if isinstance(out, SubsetResult):
+                for df in persisted:
+                    df.unpersist()
+                return out
+            state = out  # mid-flight spill (or None: roots exceed budget)
+
+        if state is None:
+            state = self._seed_distributed(roots, persisted)
+        return self._run_distributed(state, plan, scans, persisted, history)
+
+    def _build_scans(self, plan, persisted):
+        """ONE pruned scan per participating table, shared by every round:
+        keys + every FK column any edge needs.  Without this each round
+        re-reads the source once per edge touching the table."""
+        scan_cols: dict[str, set] = {}
+        for rid, d, src, dst in plan:
+            r = self.schema.references[rid]
+            out_cols = r.columns if d == FORWARD else r.reference_columns
+            dst_cols = r.reference_columns if d == FORWARD else r.columns
+            scan_cols.setdefault(src, set(self._keys(src))).update(out_cols)
+            scan_cols.setdefault(dst, set(self._keys(dst))).update(dst_cols)
+        scans: dict[str, DataFrame] = {}
+        for t, cols in scan_cols.items():
+            df = self.catalog[t].select(*sorted(cols))
+            if self.cache_scans:
+                df = df.persist(StorageLevel.MEMORY_AND_DISK)
+                persisted.append(df)
+            scans[t] = df
+        return scan_cols, scans
+
+    def _key_schema(self, t: str, extra_blocked: bool = False) -> StructType:
+        fields = [
+            StructField(c, self.catalog[t].schema[c].dataType, True) for c in self._keys(t)
+        ]
+        if extra_blocked:
+            fields.append(StructField(_BLOCKED, StringType(), True))
+        return StructType(fields)
+
+    # ------------------------------------------------------------ driver mode
+    def _run_driver(self, roots, plan, scan_cols, scans, history):
+        """Driver-regime traversal; returns a SubsetResult, a lifted
+        distributed state (mid-flight spill), or None (roots exceed the
+        budget — caller reseeds distributed from scratch)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        budget = self.driver_rows
+        tcols: dict[str, list] = {}
+
+        def cols_of(t: str) -> list:
+            if t not in tcols:
+                tcols[t] = sorted(scan_cols[t]) if t in scan_cols else list(self._keys(t))
+            return tcols[t]
+
+        # ---- seed: predicate → key set → ALL physical rows sharing those
+        # keys (test data may contain duplicate key tuples; the closure is
+        # defined over key identity, so every row of a visited key both
+        # exports and expands — same as the distributed src_rows re-join).
+        def by_key_rows(t: str, key_df):
+            base = scans[t] if t in scans else self.catalog[t].select(*self._keys(t))
+            return (
+                base.join(F.broadcast(key_df), on=self._keys(t), how="left_semi")
+                .select(*cols_of(t))
+                .limit(budget + 1)
+            )
+
+        seed_jobs = []
+        for root in roots:
+            seed_keys = (
+                self.catalog[root.table]
+                .where(F.expr(root.condition))
+                .select(*self._keys(root.table))
+                .distinct()
+            )
+            seed_jobs.append((root.table, by_key_rows(root.table, seed_keys)))
+        with ThreadPoolExecutor(max_workers=min(16, len(seed_jobs))) as ex:
+            seed_rows = list(ex.map(lambda j: (j[0], j[1].collect()), seed_jobs))
+
+        # store[t]: key tuple -> list of collected Rows (every physical row
+        # of the key; carries the FK values outgoing edges need, so rounds
+        # never re-fetch source rows).
+        store: dict[str, dict] = {}
+        # frontier[t]: key tuple -> set of blocked edge signatures (empty =
+        # unblocked root; multiple tags = discovered via several edges, blocked
+        # only for an edge ALL its arrivals block — same as the distributed
+        # row-per-tag encoding).
+        frontier: dict[str, dict] = {}
+        total_rows = 0
+        if sum(len(rows) for _, rows in seed_rows) > budget:
+            return None
+        for t, rows in seed_rows:
+            ks = self._keys(t)
+            st = store.setdefault(t, {})
+            fr = frontier.setdefault(t, {})
+            seen_roots = set()
+            for row in rows:
+                k = tuple(row[c] for c in ks)
+                if k in st and k not in seen_roots:
+                    continue  # seeded by an earlier root (row set complete)
+                if k not in st:
+                    st[k] = []
+                    fr[k] = set()
+                    seen_roots.add(k)
+                if k in seen_roots:
+                    st[k].append(row)
+                    total_rows += 1
+        frontier = {t: fr for t, fr in frontier.items() if fr}
+
+        rounds = 0
+        while frontier and rounds < self.max_rounds:
+            rounds += 1
+            t0 = time.time()
+            jobs = []
+            for rid, d, src, dst in plan:
+                if src not in frontier:
+                    continue
+                r = self.schema.references[rid]
+                out_cols = r.columns if d == FORWARD else r.reference_columns
+                dst_cols = r.reference_columns if d == FORWARD else r.columns
+                sig = _sig(rid, d)
+                st = store[src]
+                vals = set()
+                for k, tags in frontier[src].items():
+                    if tags == {sig}:
+                        continue  # no-backtrack: every arrival blocks this edge
+                    for row in st[k]:
+                        v = tuple(row[c] for c in out_cols)
+                        if None not in v:  # NULL FKs never equi-join
+                            vals.add(v)
+                if not vals:
+                    continue
+                fields = StructType(
+                    [
+                        StructField(f"__k{i}", self.catalog[src].schema[c].dataType, True)
+                        for i, c in enumerate(out_cols)
+                    ]
+                )
+                local = self.spark.createDataFrame(list(vals), fields)
+                cond = [F.col(c) == F.col(f"__k{i}") for i, c in enumerate(dst_cols)]
+                found_keys = (
+                    scans[dst]
+                    .join(F.broadcast(local), on=cond, how="left_semi")
+                    .select(*self._keys(dst))
+                    .distinct()
+                )
+                jobs.append((rid, d, dst, by_key_rows(dst, found_keys)))
+
+            results = []
+            if jobs:
+                with ThreadPoolExecutor(max_workers=min(16, len(jobs))) as ex:
+                    results = list(ex.map(lambda j: (j[0], j[1], j[2], j[3].collect()), jobs))
+
+            # Overflow check BEFORE mutating state: if this round's raw
+            # collect volume blows the budget, redo the round distributed
+            # from the intact round-start state.
+            if total_rows + sum(len(r[3]) for r in results) > budget:
+                return self._lift_state(store, frontier, rounds - 1)
+
+            new_frontier: dict[str, dict] = {}
+            owners: dict[tuple, int] = {}  # (dst, key) -> discovering edge index
+            for ei, (rid, d, dst, rows) in enumerate(results):
+                inv = _sig(rid, _inverse(d))
+                ks = self._keys(dst)
+                st = store.setdefault(dst, {})
+                fr = new_frontier.setdefault(dst, {})
+                for row in rows:
+                    k = tuple(row[c] for c in ks)
+                    ok = (dst, k)
+                    if k in st and ok not in owners:
+                        continue  # visited in an earlier round
+                    if ok not in owners:
+                        owners[ok] = ei
+                        st[k] = []
+                    if owners[ok] == ei:
+                        # two edges discovering the same key both return its
+                        # complete physical row set — only the first appends
+                        st[k].append(row)
+                        total_rows += 1
+                    fr.setdefault(k, set()).add(inv)
+            new_frontier = {t: fr for t, fr in new_frontier.items() if fr}
+            history.append(
+                {
+                    "round": rounds,
+                    "new": {t: len(fr) for t, fr in new_frontier.items()},
+                    "sec": round(time.time() - t0, 3),
+                    "mode": "driver",
+                }
+            )
+            frontier = new_frontier
+
+        keys = {}
+        row_counts = {}
+        for t, rows in store.items():
+            if not rows:
+                continue
+            keys[t] = self.spark.createDataFrame(list(rows.keys()), self._key_schema(t))
+            row_counts[t] = len(rows)
+        return SubsetResult(keys=keys, rounds=rounds, row_counts=row_counts, history=history)
+
+    def _lift_state(self, store, frontier, rounds_done):
+        """Lift driver dicts into the distributed-state tuple."""
+        visited, vsize, fdfs, fsize = {}, {}, {}, {}
+        for t, rows in store.items():
+            if not rows:
+                continue
+            visited[t] = self.spark.createDataFrame(list(rows.keys()), self._key_schema(t))
+            vsize[t] = len(rows)
+        for t, fr in frontier.items():
+            data = []
+            for k, tags in fr.items():
+                if tags:
+                    data.extend((*k, tag) for tag in tags)
+                else:
+                    data.append((*k, None))
+            fdfs[t] = self.spark.createDataFrame(data, self._key_schema(t, extra_blocked=True))
+            fsize[t] = len(data)
+        return fdfs, fsize, visited, vsize, rounds_done
+
+    # ------------------------------------------------------- distributed mode
+    def _seed_distributed(self, roots, persisted):
+        """Union of root predicate scans per table (reference: multiple
+        --root args share one visited set, slice_db/dump.py:84-91)."""
+        seeds: dict[str, DataFrame] = {}
+        for root in roots:
             df = self.catalog[root.table]
             keys = df.where(F.expr(root.condition)).select(*self._keys(root.table)).distinct()
             seeds[root.table] = (
                 seeds[root.table].union(keys).distinct() if root.table in seeds else keys
             )
+        seed_sizes = _tagged_counts(
+            {t: keys.persist(StorageLevel.MEMORY_AND_DISK) for t, keys in seeds.items()}
+        )
+        frontier: dict[str, DataFrame] = {}
+        fsize: dict[str, int] = {}
+        visited: dict[str, DataFrame] = {}
+        vsize: dict[str, int] = {}
         for t, keys in seeds.items():
-            keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
             persisted.append(keys)
-            n = keys.count()
+            n = seed_sizes.get(t, 0)
             if n == 0:
-                keys.unpersist()
                 continue
             frontier[t] = keys.withColumn(_BLOCKED, F.lit(None).cast("string"))
             fsize[t] = n
             visited[t] = keys
+            vsize[t] = n
+        return frontier, fsize, visited, vsize, 0
 
-        rounds = 0
+    def _run_distributed(self, state, plan, scans, persisted, history) -> SubsetResult:
+        frontier, fsize, visited, vsize, rounds = state
         while frontier and rounds < self.max_rounds:
             rounds += 1
+            _t0 = time.time()
 
             # One source-row re-attachment join per active table, shared by
             # all its outgoing edges (lazy; materialized by the per-dst
@@ -173,9 +449,9 @@ class Subsetter:
                     if src == t:
                         r = self.schema.references[rid]
                         need.update(r.columns if d == FORWARD else r.reference_columns)
+                base = scans[t] if t in scans else self.catalog[t]
                 src_rows[t] = (
-                    self.catalog[t]
-                    .select(*sorted(need))
+                    base.select(*sorted(need))
                     .join(self._maybe_broadcast(keys_df, fsize[t]), on=self._keys(t))
                     .persist(StorageLevel.MEMORY_AND_DISK)
                 )
@@ -195,15 +471,24 @@ class Subsetter:
                 )
                 join_keys = elig.select(
                     *[F.col(c).alias(f"__k{i}") for i, c in enumerate(out_cols)]
-                ).distinct()
+                )
+                if fsize[src] > self.broadcast_rows:
+                    # shuffle path: shrink the join input; the broadcast
+                    # path skips this — left_semi ignores build-side dupes
+                    # and the extra shuffle costs more than it saves
+                    join_keys = join_keys.distinct()
                 cond = [F.col(c) == F.col(f"__k{i}") for i, c in enumerate(dst_cols)]
                 found = (
-                    self.catalog[dst]
+                    scans[dst]
                     .join(self._maybe_broadcast(join_keys, fsize[src]), on=cond, how="left_semi")
                     .select(*self._keys(dst))
                 )
                 if dst in visited:
-                    found = found.join(visited[dst], on=self._keys(dst), how="left_anti")
+                    found = found.join(
+                        self._maybe_broadcast(visited[dst], vsize[dst]),
+                        on=self._keys(dst),
+                        how="left_anti",
+                    )
                 discovered.setdefault(dst, []).append(
                     found.withColumn(_BLOCKED, F.lit(_sig(rid, _inverse(d))))
                 )
@@ -230,11 +515,7 @@ class Subsetter:
             next_frontier: dict[str, DataFrame] = {}
             next_size: dict[str, int] = {}
             if candidates:
-                tagged = None
-                for dst, new in candidates.items():
-                    part = new.select(F.lit(dst).alias("__t"))
-                    tagged = part if tagged is None else tagged.union(part)
-                sizes = {r["__t"]: r["count"] for r in tagged.groupBy("__t").count().collect()}
+                sizes = _tagged_counts(candidates)
                 for dst, new in candidates.items():
                     n = sizes.get(dst, 0)
                     if n == 0:
@@ -249,6 +530,7 @@ class Subsetter:
                     # already a set — a distinct here would re-shuffle the
                     # whole visited table every round
                     merged = prev.union(new_keys) if prev is not None else new_keys
+                    vsize[dst] = vsize.get(dst, 0) + n
                     if rounds % self.checkpoint_every == 0:
                         merged = merged.localCheckpoint(eager=False)
                     else:
@@ -256,11 +538,14 @@ class Subsetter:
                         persisted.append(merged)
                     visited[dst] = merged
 
-            history.append({"round": rounds, "new": dict(next_size)})
+            history.append(
+                {"round": rounds, "new": dict(next_size), "sec": round(time.time() - _t0, 3)}
+            )
             for df in src_rows.values():
                 df.unpersist()
             for t, df in frontier.items():
-                df.unpersist()
+                if hasattr(df, "unpersist"):
+                    df.unpersist()
             frontier, fsize = next_frontier, next_size
 
         # Truncate lineage on the results and release every intermediate
@@ -268,10 +553,12 @@ class Subsetter:
         # iterative lineage behind, and every LATER query compilation pays
         # plan canonicalization against the cache registry — checkpointed
         # leaf plans make that cost constant.
-        final = {t: v.localCheckpoint(eager=True) for t, v in visited.items()}
+        final = {t: v.localCheckpoint(eager=False) for t, v in visited.items()}
+        # ONE job materializes every checkpoint and returns all counts;
+        # intermediates are released only after the finals are solid.
+        row_counts = _tagged_counts(final)
         for df in persisted:
             df.unpersist()
-        row_counts = {t: v.count() for t, v in final.items()}
         return SubsetResult(keys=final, rounds=rounds, row_counts=row_counts, history=history)
 
     # ---------------------------------------------------------------- export

@@ -131,3 +131,29 @@ def test_empty_root(spark, catalog):
     eng, res = run_subset(spark, catalog, [Root("customer", "c_custkey = -42")])
     assert res.keys == {}
     assert res.row_counts == {}
+
+
+def test_regimes_agree(spark, catalog, ddb):
+    """Driver regime, mid-flight spill, and pure distributed produce the
+    identical closure (the spill lifts completed driver state into
+    DataFrames and the distributed loop redoes the overflowing round)."""
+    schema = tpch_schema()
+    cat = {t: catalog[t] for t in schema.tables}
+    roots = [Root("customer", "c_custkey <= 3")]
+    want = ddb_set(
+        ddb,
+        oracle_sql(
+            "SELECT 'customer' t1, CAST(c_custkey AS BIGINT) k1 FROM customer WHERE c_custkey <= 3"
+        ),
+    )
+    seen_modes = set()
+    for driver_rows in (200_000, 40, 0):
+        eng = Subsetter(spark, cat, schema, checkpoint_every=100, driver_rows=driver_rows)
+        res = eng.run(roots)
+        got = rows_set(eng.closure_keys(res, KEY_EXPRS))
+        assert got == want, f"driver_rows={driver_rows}"
+        seen_modes.add(tuple(h.get("mode", "dist") for h in res.history))
+    # all three regimes actually exercised
+    assert any(all(m == "driver" for m in ms) for ms in seen_modes)
+    assert any(ms and ms[0] == "driver" and ms[-1] == "dist" for ms in seen_modes)
+    assert any(all(m == "dist" for m in ms) for ms in seen_modes)
