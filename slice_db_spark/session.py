@@ -68,9 +68,6 @@ def load_catalog(spark: SparkSession, sf_dir: str, tables=TABLES):
     split naturally and this is a no-op concern.  Relational tables are
     left unsplit so selective filters keep their parquet pushdown.
     """
-    import pyarrow.parquet as pq
-    from pyspark.sql import functions as F
-
     cpu_heavy = {"documents", "embeddings"}
     parallelism = spark.sparkContext.defaultParallelism
     out = {}
@@ -78,16 +75,36 @@ def load_catalog(spark: SparkSession, sf_dir: str, tables=TABLES):
         path = os.path.join(sf_dir, f"{t}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
-        # TIMESTAMP(NANOS) columns arrive as long (nanosAsLong conf);
-        # convert to microsecond timestamps to match every other engine.
-        arrow_schema = pq.read_schema(path)
-        for field in arrow_schema:
-            if str(field.type) == "timestamp[ns]":
-                df = df.withColumn(
-                    field.name, F.timestamp_micros((F.col(field.name) / 1000).cast("long"))
-                )
+        df = normalize_timestamps(spark.read.parquet(path), path)
         if t in cpu_heavy:
             df = df.repartition(parallelism)
         out[t] = df
     return out
+
+
+def normalize_timestamps(df, path: str | None = None):
+    """Normalize event-time columns to session-timezone TIMESTAMP (LTZ).
+
+    Fixture parquet has shipped both TIMESTAMP(NANOS) (read as ``long``
+    under ``nanosAsLong``) and naive TIMESTAMP(MICROS) (read as
+    ``TIMESTAMP_NTZ``).  Watermarks and cross-engine comparisons want
+    plain ``timestamp``; with a UTC session timezone the NTZ→LTZ cast is
+    value-preserving, so both shapes converge to the same column.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ns_fields = set()
+    if path is not None:
+        import pyarrow.parquet as pq
+
+        arrow_schema = pq.read_schema(path)
+        ns_fields = {f.name for f in arrow_schema if str(f.type) == "timestamp[ns]"}
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.LongType) and field.name in ns_fields:
+            df = df.withColumn(
+                field.name, F.timestamp_micros((F.col(field.name) / 1000).cast("long"))
+            )
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df

@@ -19,6 +19,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _event_time(events: DataFrame) -> DataFrame:
+    """Watermarks require TIMESTAMP (LTZ); parquet fixtures read naive
+    micros as TIMESTAMP_NTZ, which ``withWatermark`` rejects.  The session
+    timezone is UTC, so the NTZ→LTZ cast is value-preserving."""
+    from pyspark.sql import types as T
+
+    if isinstance(events.schema["ts"].dataType, T.TimestampNTZType):
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events
+
+
 def tumbling_event_counts(events: DataFrame, window: str = "5 minutes",
                           watermark: str = "10 minutes") -> DataFrame:
     """Per-(window, event_type) counts + value sums over tumbling windows.
@@ -26,6 +37,7 @@ def tumbling_event_counts(events: DataFrame, window: str = "5 minutes",
     With a streaming source, the watermark closes windows ``watermark``
     past max(ts) and drops later data (append-mode compatible).
     """
+    events = _event_time(events)
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window("ts", window).alias("win"), "event_type")
@@ -46,6 +58,7 @@ def tumbling_event_counts(events: DataFrame, window: str = "5 minutes",
 def sliding_event_rates(events: DataFrame, window: str = "10 minutes",
                         slide: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
     """Sliding-window event rate per type (overlapping windows)."""
+    events = _event_time(events)
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window("ts", window, slide).alias("win"), "event_type")
@@ -63,6 +76,7 @@ def sessionized_counts(events: DataFrame, gap: str = "30 minutes",
                        watermark: str = "30 minutes") -> DataFrame:
     """Session windows per user: events closer than ``gap`` merge into one
     session (``F.session_window`` — dynamic-length state per key)."""
+    events = _event_time(events)
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
@@ -84,6 +98,7 @@ def streaming_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFra
     """Exactly-once event stream: drop duplicate event_ids within the
     watermark horizon (``dropDuplicatesWithinWatermark`` bounds state; the
     batch path degrades to plain dropDuplicates)."""
+    events = _event_time(events)
     if events.isStreaming:
         return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
     return events.dropDuplicates(["event_id"])
@@ -106,6 +121,7 @@ def user_activity_state(events: DataFrame, watermark: str = "10 minutes") -> Dat
     The batch path computes the identical result relationally — the
     unified-API oracle the stream tests compare against.
     """
+    events = _event_time(events)
     if not events.isStreaming:
         return events.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -31,13 +31,12 @@ def events_stream(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("events_stream")
     src = os.path.join(SF_DIR, "events.parquet")
     os.link(src, d / "events.parquet")
-    # raw schema has ts as long (TIMESTAMP(NANOS) under nanosAsLong conf);
-    # apply the same ns→µs conversion load_catalog does for batch
-    from pyspark.sql import functions as F
+    # apply the same timestamp normalization load_catalog does for batch
+    from slice_db_spark.session import normalize_timestamps
 
     raw_schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(raw_schema).parquet(str(d))
-    return stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return normalize_timestamps(stream, src)
 
 
 def test_tumbling_stream_matches_batch(spark, events_batch, events_stream):
