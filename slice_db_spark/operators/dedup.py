@@ -90,11 +90,25 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard similarity ≥ threshold.
 
     (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6 places.
     Inverted-index join: pairs sharing ≥1 shingle are the only candidates.
+
+    ``max_df`` caps posting lists: shingles occurring in more than
+    ``max_df`` documents are excluded from the candidate self-join (a
+    shingle in 10⁴ docs would emit 10⁸ candidate rows — the standard
+    stop-shingle cap).  **Recall contract**: shared counts can only
+    shrink, and union sizes stay exact, so reported jaccard is a lower
+    bound — no false positives ever; a pair is missed only when its
+    similarity above ``threshold`` depends on shingles shared by more
+    than ``max_df`` documents.  Near-dup pairs share mostly rare
+    shingles, so practical recall loss is ~0; for guaranteed recall on
+    huge corpora use :func:`minhash_lsh_pairs` (probabilistic but
+    df-independent).  ``None`` = exact all-pairs (only safe for small
+    corpora).
     """
     # the inverted index feeds four plan branches (both join sides, the
     # doc-frequency filter, sizes); cache it so the explode+distinct
@@ -105,8 +119,11 @@ def ngram_jaccard_pairs(
     # BEFORE the quadratic self-join shrinks its input by ~an order of
     # magnitude while provably not changing the result (shared counts are
     # over co-occurring shingles only).
+    df_filter = (F.col("__df") > 1) & (
+        F.col("__df") <= max_df if max_df is not None else F.lit(True)
+    )
     paired = st.join(
-        st.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")).where("__df > 1").select("shingle"),
+        st.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")).where(df_filter).select("shingle"),
         "shingle",
         "left_semi",
     )

@@ -150,9 +150,16 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
     probe_hamming: int = 1,
+    broadcast_rows: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k: score only candidates whose hyperplane signature
     is within ``probe_hamming`` bits of the query's.
+
+    The probe side (|Q| × n_probes rows, each carrying the query vector)
+    is broadcast only while it stays under ``broadcast_rows`` — decided by
+    a capped count on ``queries`` (reads at most the cap, not the full
+    set).  Bigger query sets fall back to a shuffle hash join on the
+    signature key, the plan that survives |Q| at corpus scale.
 
     Candidate generation is a multi-probe HASH JOIN, not a filtered cross
     join: each query row explodes into every signature key within the
@@ -199,8 +206,10 @@ def lsh_topk(
             F.explode(F.array(*[key_of(F.col("__qsig"), fs) for fs in flip_sets])).alias("__key"),
         )
     )
+    q_cap = max(1, broadcast_rows // len(flip_sets))
+    n_q = queries.limit(q_cap + 1).count()
     scored = (
-        F.broadcast(q)
+        (F.broadcast(q) if n_q <= q_cap else q)
         .join(c, "__key")
         .select(
             query_id_col,

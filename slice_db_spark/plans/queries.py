@@ -419,6 +419,14 @@ def simhash_sigs(spark, sf_dir):
     return dedup.simhash_signatures(catalog(spark, sf_dir)["documents"], n=2, bits=32)
 
 
+def simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: pigeonhole band join + bit_count(xor) verify."""
+    df = dedup.simhash_near_pairs(
+        catalog(spark, sf_dir)["documents"], max_hamming=3, n=2, bits=32, bands=4
+    )
+    return df.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def doc_fingerprints(spark, sf_dir):
     return textops.fingerprints(catalog(spark, sf_dir)["documents"], k=5, window=8)
 
@@ -482,15 +490,41 @@ def dedup_embedding(spark, sf_dir):
     )
 
 
-def media_decode(spark, sf_dir):
-    """Multimodal plumbing: binary payload → mapInPandas decode (stubbed
-    codec, real schema/batching).  Deterministic rows; no SQL oracle."""
+def _media_decoded(spark, sf_dir):
     docs = catalog(spark, sf_dir)["documents"]
     return multimodal.decode_media(multimodal.attach_payload(docs, "doc_id", "text"))
 
 
+def media_decode(spark, sf_dir):
+    """Multimodal plumbing: binary payload → mapInPandas decode (stubbed
+    md5 codec, real schema/Arrow batching).  Gated cross-engine: the
+    ``array<float>`` features are exploded to scalar rows and re-quantized
+    to the u16 the stub derived them from (exact round-trip — float32 of
+    n/65535 scaled back recovers n), so the driver's canonicalizer can
+    hash rows and DuckDB can reproduce them from ``md5(text)``."""
+    decoded = _media_decoded(spark, sf_dir)
+    return decoded.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_frames",
+        F.posexplode("features").alias("feat_idx", "feat"),
+    ).select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_frames",
+        "feat_idx",
+        F.round(F.col("feat") * 65535).cast("int").alias("feat_u16"),
+    )
+
+
 def media_frames(spark, sf_dir):
-    return multimodal.sample_frames(media_decode(spark, sf_dir), every=2)
+    """Frame-sampling contract over the decoded stub (scalar projection)."""
+    frames = multimodal.sample_frames(_media_decoded(spark, sf_dir), every=2)
+    return frames.select("media_id", "kind", F.col("frame_idx").cast("bigint").alias("frame_idx"))
 
 
 # =====================================================================
@@ -712,6 +746,20 @@ WHERE round(shared / (sa.n + sb.n - shared), 6) >= 0.5
 
     o["simhash_sigs"] = _simhash_oracle(2, 32)
 
+    # pigeonhole banding: 32 bits / 4 bands = 8-bit chunks; any pair at
+    # Hamming distance < 4 shares at least one exact chunk
+    o["simhash_pairs"] = f"""
+WITH sigs AS ({_simhash_oracle(2, 32)}),
+b AS (SELECT doc_id, simhash, band, (simhash // (1 << (band * 8))) % 256 AS chunk
+      FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS band)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         a.simhash AS sa, b2.simhash AS sb
+  FROM b a JOIN b b2 USING (band, chunk) WHERE a.doc_id < b2.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
     o["doc_fingerprints"] = f"""
 WITH t AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
 h AS (SELECT doc_id,
@@ -810,6 +858,35 @@ scored AS (
 SELECT id_a, id_b, sim FROM scored WHERE sim >= {DEDUP_EMB_THRESHOLD}
 """
 
+    # the multimodal stub decoder is md5-derived (operators/multimodal.py:
+    # _stub_decode), so DuckDB reproduces it from md5(text); features are
+    # 16-bit windows of the digest at byte offsets (4+2i) mod 16, i.e. hex
+    # positions 9,13,17,21,25,29,1,5
+    feat_vals = ", ".join(f"({i}, {2 * ((4 + 2 * i) % 16) + 1})" for i in range(8))
+    media_cte = """
+m AS (SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS kind,
+             md5(coalesce(text, '')) AS h
+      FROM documents),
+d AS (SELECT media_id, kind,
+        16 + ('0x' || substr(h, 1, 2))::INT % 240 AS width,
+        16 + ('0x' || substr(h, 3, 2))::INT % 240 AS height,
+        1 + ('0x' || substr(h, 5, 2))::INT % 8 AS n_frames,
+        h
+      FROM m)
+"""
+    o["media_decode"] = f"""
+WITH {media_cte}
+SELECT media_id, kind, width, height, n_frames, feat_idx,
+       ('0x' || substr(h, pos, 4))::INT AS feat_u16
+FROM d CROSS JOIN (VALUES {feat_vals}) AS f(feat_idx, pos)
+"""
+
+    o["media_frames"] = f"""
+WITH {media_cte}
+SELECT media_id, kind, unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
+FROM d
+"""
+
     return o
 
 
@@ -839,6 +916,7 @@ def queries():
         "minhash_sigs": minhash_sigs,
         "minhash_lsh": minhash_lsh,
         "simhash_sigs": simhash_sigs,
+        "simhash_pairs": simhash_pairs,
         "doc_fingerprints": doc_fingerprints,
         "token_stats": token_stats,
         "quality": quality,

@@ -126,6 +126,7 @@ class Subsetter:
         self.max_rounds = max_rounds
         self.cache_scans = cache_scans
         self.driver_rows = driver_rows
+        self._key_mult: dict[str, float] = {}
 
     # ------------------------------------------------------------------ util
     def _keys(self, table: str) -> list[str]:
@@ -137,6 +138,25 @@ class Subsetter:
 
     def _maybe_broadcast(self, df: DataFrame, n: int) -> DataFrame:
         return F.broadcast(df) if n <= self.broadcast_rows else df
+
+    def _mult(self, t: str, scans: dict[str, DataFrame]) -> float:
+        """Rows-per-key multiplicity estimate for ``t`` (≥ 1).
+
+        Frontier sizes count (key, tag) rows; the discovery join's build
+        side is the frontier re-joined to the table's physical rows, so
+        for tables whose declared keys are NOT unique the build input is
+        frontier × multiplicity and gating the broadcast on the frontier
+        count alone could OOM executors.  One approx_count_distinct per
+        table (cached for the whole traversal, over the persisted scan)
+        buys a safe estimate."""
+        if t not in self._key_mult:
+            base = scans.get(t, self.catalog[t])
+            row = base.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct(F.struct(*self._keys(t))).alias("d"),
+            ).first()
+            self._key_mult[t] = max(1.0, row["n"] / max(row["d"], 1))
+        return self._key_mult[t]
 
     def _edge_plan(self) -> list[tuple[str, str, str, str]]:
         """(rid, direction, src, dst) for every configured traversal,
@@ -274,8 +294,6 @@ class Subsetter:
         # row-per-tag encoding).
         frontier: dict[str, dict] = {}
         total_rows = 0
-        if sum(len(rows) for _, rows in seed_rows) > budget:
-            return None
         for t, rows in seed_rows:
             ks = self._keys(t)
             st = store.setdefault(t, {})
@@ -289,9 +307,12 @@ class Subsetter:
                     st[k] = []
                     fr[k] = set()
                     seen_roots.add(k)
-                if k in seen_roots:
-                    st[k].append(row)
-                    total_rows += 1
+                st[k].append(row)
+                total_rows += 1
+        # budget check AFTER dedup so rows shared by overlapping roots
+        # count once (None → caller reseeds the distributed regime)
+        if total_rows > budget:
+            return None
         frontier = {t: fr for t, fr in frontier.items() if fr}
 
         rounds = 0
@@ -338,10 +359,19 @@ class Subsetter:
                 with ThreadPoolExecutor(max_workers=min(16, len(jobs))) as ex:
                     results = list(ex.map(lambda j: (j[0], j[1], j[2], j[3].collect()), jobs))
 
-            # Overflow check BEFORE mutating state: if this round's raw
-            # collect volume blows the budget, redo the round distributed
-            # from the intact round-start state.
-            if total_rows + sum(len(r[3]) for r in results) > budget:
+            # Overflow check BEFORE mutating state: if this round's fresh
+            # discoveries blow the budget, redo the round distributed from
+            # the intact round-start state.  Count only never-visited keys'
+            # rows — hub keys (nation/region reached by every customer) are
+            # re-collected each round and must not trigger a spurious
+            # spill.  Rows discovered by two edges in the same round count
+            # twice: a conservative (early-spill) over-estimate.
+            fresh_rows = 0
+            for _, _, dst, rows in results:
+                st = store.get(dst, {})
+                ks = self._keys(dst)
+                fresh_rows += sum(1 for row in rows if tuple(row[c] for c in ks) not in st)
+            if total_rows + fresh_rows > budget:
                 return self._lift_state(store, frontier, rounds - 1)
 
             new_frontier: dict[str, dict] = {}
@@ -472,7 +502,11 @@ class Subsetter:
                 join_keys = elig.select(
                     *[F.col(c).alias(f"__k{i}") for i, c in enumerate(out_cols)]
                 )
-                if fsize[src] > self.broadcast_rows:
+                # the build side is frontier (key, tag) rows × the source
+                # table's rows-per-key multiplicity — gate the broadcast on
+                # that estimate, not the frontier count alone
+                build_rows = int(fsize[src] * self._mult(src, scans))
+                if build_rows > self.broadcast_rows:
                     # shuffle path: shrink the join input; the broadcast
                     # path skips this — left_semi ignores build-side dupes
                     # and the extra shuffle costs more than it saves
@@ -480,7 +514,7 @@ class Subsetter:
                 cond = [F.col(c) == F.col(f"__k{i}") for i, c in enumerate(dst_cols)]
                 found = (
                     scans[dst]
-                    .join(self._maybe_broadcast(join_keys, fsize[src]), on=cond, how="left_semi")
+                    .join(self._maybe_broadcast(join_keys, build_rows), on=cond, how="left_semi")
                     .select(*self._keys(dst))
                 )
                 if dst in visited:
@@ -538,14 +572,21 @@ class Subsetter:
                         persisted.append(merged)
                     visited[dst] = merged
 
+            # telemetry: distributed 'new' counts (key, blocked-tag) rows
+            # (what the round actually shuffles); driver rounds count
+            # distinct keys — the 'mode' field disambiguates the units
             history.append(
-                {"round": rounds, "new": dict(next_size), "sec": round(time.time() - _t0, 3)}
+                {
+                    "round": rounds,
+                    "new": dict(next_size),
+                    "sec": round(time.time() - _t0, 3),
+                    "mode": "dist",
+                }
             )
             for df in src_rows.values():
                 df.unpersist()
-            for t, df in frontier.items():
-                if hasattr(df, "unpersist"):
-                    df.unpersist()
+            for df in frontier.values():
+                df.unpersist()
             frontier, fsize = next_frontier, next_size
 
         # Truncate lineage on the results and release every intermediate

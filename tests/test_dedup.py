@@ -1,0 +1,63 @@
+"""Dedup operator contracts beyond the driver's oracle gate: SimHash
+banding completeness, the hot-shingle posting-list cap's recall contract,
+and the ANN broadcast/shuffle path equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from slice_db_spark.operators import dedup, similarity
+
+
+def test_simhash_banding_complete(catalog):
+    """Pigeonhole guarantee: with 32 bits / 4 bands, every pair at Hamming
+    distance ≤ 3 (< bands) shares a full 8-bit chunk, so the banded join
+    must find EXACTLY the pairs the brute-force signature comparison finds."""
+    docs = catalog["documents"]
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
+    ids = sorted(sigs)
+    want = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {tuple(r) for r in dedup.simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_jaccard_max_df_matches_exact(catalog):
+    """Recall contract: near-dup pairs share mostly rare shingles, so a
+    posting-list cap well above the near-dup cluster size changes nothing
+    on this corpus — while bounding the self-join's worst case."""
+    docs = catalog["documents"]
+    exact = {tuple(r) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    capped = {
+        tuple(r) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8, max_df=50).collect()
+    }
+    assert capped == exact and len(exact) > 0
+
+
+def test_jaccard_max_df_is_lower_bound(catalog):
+    """An aggressive cap may only DROP pairs / lower jaccard — never invent
+    pairs (false positives are impossible by construction)."""
+    docs = catalog["documents"]
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+              dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=3).collect()}
+    for pair, j in capped.items():
+        assert pair in exact and j <= exact[pair] + 1e-9
+
+
+def test_lsh_topk_shuffle_path_matches_broadcast(catalog):
+    """broadcast_rows=1 forces the shuffle hash join; results must equal
+    the broadcast plan's (same candidates, same scores)."""
+    emb = catalog["embeddings"]
+    planes = similarity.random_planes(8, 64)
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    c = emb.where("vec_id >= 5")
+    bc = {tuple(r) for r in similarity.lsh_topk(c, q, planes, k=5).collect()}
+    sh = {tuple(r) for r in similarity.lsh_topk(c, q, planes, k=5, broadcast_rows=1).collect()}
+    assert sh == bc and len(bc) > 0
