@@ -72,9 +72,29 @@ def cmd_dump(args) -> int:
             }
             tables[tid] = transform_dataframe(tables[tid], scalar, stateful=stateful)
 
-    manifest = write_slice(tables, schema, args.output, fmt=args.format)
+    pre_data = post_data = None
+    if args.include_schema:
+        from .sources.ddl import synthesize_ddl
+
+        pre_data, post_data = synthesize_ddl(schema, tables)
+
+    from .plans.restore import capture_sequences
+
+    manifest = write_slice(
+        tables,
+        schema,
+        args.output,
+        sequences=capture_sequences(tables, schema),
+        fmt=args.format,
+        pre_data=pre_data,
+        post_data=post_data,
+    )
     counts = {t: sum(s["rowCount"] for s in m["segments"]) for t, m in manifest.tables.items()}
-    print(json.dumps({"rounds": result.rounds, "rows": counts}))
+    out = {"rounds": result.rounds, "rows": counts}
+    if args.include_schema:
+        out["preData"] = manifest.pre_data
+        out["postData"] = manifest.post_data
+    print(json.dumps(out))
     return 0
 
 
@@ -85,9 +105,10 @@ def cmd_restore(args) -> int:
 
     schema = _load_schema(args.schema)
     spark = get_spark("slicedb-restore")
-    tables, _manifest = read_slice(spark, args.input, fmt=args.format)
-    order = restore_to_parquet(tables, schema, args.output)
-    print(json.dumps({"order": order}))
+    tables, manifest = read_slice(spark, args.input, fmt=args.format)
+    seqs = {sid: int(m["value"]) for sid, m in manifest.sequences.items()}
+    order = restore_to_parquet(tables, schema, args.output, sequences=seqs)
+    print(json.dumps({"order": order, "sequences": seqs}))
     return 0
 
 
@@ -134,6 +155,11 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--transform", help="transform config JSON path")
     d.add_argument("--pepper", help="determinism pepper (random when omitted)")
     d.add_argument("--format", choices=["parquet", "tsv"], default="parquet")
+    d.add_argument(
+        "--include-schema",
+        action="store_true",
+        help="store synthesized pre-data/post-data DDL sections in the slice",
+    )
     d.add_argument("input", help="catalog dir of <table>.parquet files")
     d.add_argument("output", help="slice output dir")
     d.set_defaults(fn=cmd_dump)

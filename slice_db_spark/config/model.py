@@ -29,9 +29,17 @@ REVERSE = "reverse"
 
 @dataclass
 class Sequence:
+    """A sequence.  The reference reads ``last_value`` from the live
+    sequence (`slice_db/dump.py:227-257`); a parquet catalog has no
+    sequence object, so the engine-specific ``table``/``column`` binding
+    (optional, like ``idColumns``) lets dump compute it as ``max(column)``
+    of the owning table (SURVEY §1.1)."""
+
     id: str
     schema: str = ""
     name: str = ""
+    table: str = ""
+    column: str = ""
 
 
 @dataclass
@@ -104,7 +112,13 @@ class SchemaConfig:
             for rid, r in d.get("references", {}).items()
         }
         sequences = {
-            sid: Sequence(id=sid, schema=s.get("schema", ""), name=s.get("name", ""))
+            sid: Sequence(
+                id=sid,
+                schema=s.get("schema", ""),
+                name=s.get("name", ""),
+                table=s.get("table", ""),
+                column=s.get("column", ""),
+            )
             for sid, s in d.get("sequences", {}).items()
         }
         return cls(tables=tables, references=references, sequences=sequences)
@@ -132,7 +146,13 @@ class SchemaConfig:
                 for r in self.references.values()
             },
             "sequences": {
-                s.id: {"schema": s.schema, "name": s.name} for s in self.sequences.values()
+                s.id: {
+                    "schema": s.schema,
+                    "name": s.name,
+                    **({"table": s.table} if s.table else {}),
+                    **({"column": s.column} if s.column else {}),
+                }
+                for s in self.sequences.values()
             },
         }
 

@@ -17,12 +17,15 @@ Spark mapping: topological order is metadata work on the driver
 
 from __future__ import annotations
 
+import json
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..config.graph import CycleError, topo_order
 from ..config.model import SchemaConfig
+
+SEQUENCES_FILE = "_sequences.json"
 
 
 def restore_order(schema: SchemaConfig, tables: list[str]) -> list[str]:
@@ -30,14 +33,59 @@ def restore_order(schema: SchemaConfig, tables: list[str]) -> list[str]:
     return topo_order(schema, tables)
 
 
+def capture_sequences(
+    tables: dict[str, DataFrame], schema: SchemaConfig
+) -> dict[str, int]:
+    """last_value per configured sequence with a table/column binding
+    (S4: the parquet analog of ``SELECT last_value FROM seq``,
+    `slice_db/dump.py:227-257`) — computed over the SLICED rows, one
+    combined aggregate job per owning table."""
+    by_table: dict[str, list] = {}
+    for sid, s in schema.sequences.items():
+        if s.table and s.column and s.table in tables:
+            by_table.setdefault(s.table, []).append(sid)
+    out: dict[str, int] = {}
+    for t, sids in by_table.items():
+        row = tables[t].agg(
+            *[F.max(schema.sequences[sid].column).alias(sid) for sid in sids]
+        ).first()
+        for sid in sids:
+            if row[sid] is not None:
+                out[sid] = int(row[sid])
+    return out
+
+
+def restore_sequences(out_dir: str, sequences: dict[str, int]) -> dict[str, int]:
+    """Apply sequence values to a parquet target dir with the reference's
+    monotonic-max semantics — setval only when greater
+    (`slice_db/restore.py:100-115`, `slice_db/sql.py:44`).  Values live in
+    ``_sequences.json``; returns the merged state."""
+    path = os.path.join(out_dir, SEQUENCES_FILE)
+    state: dict[str, int] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            state = {k: int(v) for k, v in json.load(f).items()}
+    for sid, value in sequences.items():
+        if state.get(sid, -(1 << 63)) < int(value):
+            state[sid] = int(value)
+    if state:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(state, f, indent=2, sort_keys=True)
+    return state
+
+
 def restore_to_parquet(
     tables: dict[str, DataFrame],
     schema: SchemaConfig,
     out_dir: str,
     mode: str = "append",
+    sequences: dict[str, int] | None = None,
 ) -> list[str]:
     """Materialize slice tables under ``out_dir/<table>`` in dependency
-    order; returns the order used."""
+    order; returns the order used.  ``sequences`` (id → last_value) are
+    merged into the target's ``_sequences.json`` with monotonic-max
+    semantics."""
     try:
         order = restore_order(schema, list(tables))
     except CycleError:
@@ -47,6 +95,8 @@ def restore_to_parquet(
         order = sorted(tables)
     for t in order:
         tables[t].write.mode(mode).parquet(os.path.join(out_dir, t.replace(".", "__")))
+    if sequences:
+        restore_sequences(out_dir, sequences)
     return order
 
 

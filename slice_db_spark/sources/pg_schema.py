@@ -124,6 +124,42 @@ def introspect(spark: SparkSession, url: str, properties: dict | None = None) ->
     return assemble_schema([x.asDict() for x in t], [x.asDict() for x in r], [x.asDict() for x in s])
 
 
+def snapshot_session_init(snapshot_id: str) -> str:
+    """The per-connection init pinning every JDBC partition reader to one
+    exported snapshot — the reference's worker-connection setup
+    (`pg_export_snapshot` + ``SET TRANSACTION SNAPSHOT``,
+    `slice_db/dump.py:126-144`, `slice_db/pg/__init__.py:25-31`)."""
+    sid = snapshot_id.replace("'", "''")
+    return (
+        "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ; "
+        f"SET TRANSACTION SNAPSHOT '{sid}'"
+    )
+
+
+def jdbc_scan_options(
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    bounds: tuple[int, int] | None = None,
+    snapshot_id: str | None = None,
+) -> dict[str, str]:
+    """JDBC reader options for one table scan (pure function — unit
+    testable without a database): range partitioning when a numeric
+    partition column + bounds are known, snapshot pinning when a
+    ``pg_export_snapshot`` id is supplied."""
+    opts: dict[str, str] = {"dbtable": table}
+    if partition_column and bounds:
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(bounds[0]),
+            upperBound=str(bounds[1]),
+            numPartitions=str(num_partitions),
+        )
+    if snapshot_id:
+        opts["sessionInitStatement"] = snapshot_session_init(snapshot_id)
+    return opts
+
+
 def jdbc_table(
     spark: SparkSession,
     url: str,
@@ -140,20 +176,42 @@ def jdbc_table(
     reference's exported-snapshot consistency
     (`pg_export_snapshot`, `slice_db/dump.py:126-144`) across partition
     readers via ``sessionInitStatement``."""
-    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
-    if partition_column and bounds:
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("lowerBound", bounds[0])
-            .option("upperBound", bounds[1])
-            .option("numPartitions", num_partitions)
-        )
-    if snapshot_id:
-        reader = reader.option(
-            "sessionInitStatement",
-            "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ; "
-            f"SET TRANSACTION SNAPSHOT '{snapshot_id}'",
-        )
+    reader = spark.read.format("jdbc").option("url", url)
+    for k, v in jdbc_scan_options(
+        table, partition_column, num_partitions, bounds, snapshot_id
+    ).items():
+        reader = reader.option(k, v)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def jdbc_snapshot_catalog(
+    spark: SparkSession,
+    url: str,
+    schema: SchemaConfig,
+    snapshot_id: str | None = None,
+    partition_columns: dict[str, tuple[str, tuple[int, int]]] | None = None,
+    num_partitions: int = 32,
+    properties: dict | None = None,
+) -> dict[str, DataFrame]:
+    """One snapshot-consistent DataFrame per configured table — the live-DB
+    drop-in for ``load_catalog``: every table (and every partition reader
+    within it) sees the same exported snapshot, the reference's
+    point-in-time guarantee for parallel dumps.  ``partition_columns``
+    maps table id → (numeric column, (lower, upper)) for range-split
+    reads; unlisted tables read on one connection."""
+    out: dict[str, DataFrame] = {}
+    for tid, t in schema.tables.items():
+        pc = (partition_columns or {}).get(tid)
+        out[tid] = jdbc_table(
+            spark,
+            url,
+            f'"{t.schema}"."{t.name}"' if t.schema else f'"{t.name}"',
+            partition_column=pc[0] if pc else None,
+            num_partitions=num_partitions,
+            bounds=pc[1] if pc else None,
+            snapshot_id=snapshot_id,
+            properties=properties,
+        )
+    return out

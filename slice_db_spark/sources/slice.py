@@ -92,17 +92,39 @@ def _table_dir(out_dir: str, tid: str) -> str:
     return os.path.join(out_dir, tid.replace(".", "__"))
 
 
+def _schema_section_path(out_dir: str, section: str, index: int) -> str:
+    # same entry layout as the reference zip (`slice_db/slice.py:20-22`)
+    return os.path.join(out_dir, section, f"{index + 1}.sql")
+
+
 def write_slice(
     tables: dict[str, DataFrame],
     schema: SchemaConfig,
     out_dir: str,
     sequences: dict[str, int] | None = None,
     fmt: str = "parquet",
+    pre_data: list[str] | None = None,
+    post_data: list[str] | None = None,
 ) -> SliceManifest:
     """Materialize a slice: per-table parquet (or COPY-escaped TSV) +
-    ``manifest.json``.  Each written file part is one manifest segment."""
+    ``manifest.json``.  Each written file part is one manifest segment.
+    ``pre_data``/``post_data`` DDL statements (S5) are stored one per
+    ``pre-data/{i}.sql`` / ``post-data/{i}.sql`` file with their counts in
+    the manifest — the reference's include-schema layout
+    (`slice_db/dump.py:443-455`)."""
     os.makedirs(out_dir, exist_ok=True)
     manifest = SliceManifest()
+    for section, stmts in (("pre-data", pre_data), ("post-data", post_data)):
+        if not stmts:
+            continue
+        os.makedirs(os.path.join(out_dir, section), exist_ok=True)
+        for i, stmt in enumerate(stmts):
+            with open(_schema_section_path(out_dir, section, i), "w") as f:
+                f.write(stmt)
+        if section == "pre-data":
+            manifest.pre_data = len(stmts)
+        else:
+            manifest.post_data = len(stmts)
     for tid, df in tables.items():
         t = schema.tables.get(tid)
         cols = t.columns if t and t.columns else df.columns
@@ -163,3 +185,16 @@ def read_slice(
         else:
             tables[tid] = spark.read.parquet(path).select(*meta["columns"])
     return tables, manifest
+
+
+def read_slice_schema(in_dir: str, manifest: SliceManifest) -> tuple[list[str], list[str]]:
+    """DDL sections of a slice, in replay order (restore runs pre-data
+    before rows and post-data after — `slice_db/restore.py:69-75,91-97`)."""
+    out: list[list[str]] = []
+    for section, count in (("pre-data", manifest.pre_data), ("post-data", manifest.post_data)):
+        stmts = []
+        for i in range(count):
+            with open(_schema_section_path(in_dir, section, i)) as f:
+                stmts.append(f.read())
+        out.append(stmts)
+    return out[0], out[1]

@@ -37,12 +37,17 @@ def write_sql_script(
     path: str,
     sequences: dict[str, int] | None = None,
     defer_constraints: bool = False,
+    pre_data: list[str] | None = None,
+    post_data: list[str] | None = None,
 ) -> list[str]:
     """Write an executable SQL script restoring the slice; returns the
     table order used.  ``defer_constraints`` wraps the script in a
     transaction with ``SET CONSTRAINTS ALL DEFERRED`` — the reference's
     cyclic-FK escape hatch (`slice_db/restore.py:131-142`), and the only
-    legal order for cyclic schemas."""
+    legal order for cyclic schemas.  ``pre_data``/``post_data`` DDL
+    statements (S5) replay around the rows exactly as the reference's
+    include-schema restore does (`slice_db/restore.py:69-75,91-97`) —
+    with both provided the script restores into an EMPTY database."""
     try:
         order = topo_order(schema, list(tables))
     except CycleError:
@@ -51,6 +56,8 @@ def write_sql_script(
         order = sorted(tables)
 
     with open(path, "w") as out:
+        for stmt in pre_data or ():
+            out.write(stmt.rstrip().rstrip(";") + ";\n")
         if defer_constraints:
             out.write("BEGIN;\nSET CONSTRAINTS ALL DEFERRED;\n")
         for tid in order:
@@ -75,4 +82,6 @@ def write_sql_script(
             )
         if defer_constraints:
             out.write("COMMIT;\n")
+        for stmt in post_data or ():
+            out.write(stmt.rstrip().rstrip(";") + ";\n")
     return order

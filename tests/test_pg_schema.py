@@ -38,3 +38,27 @@ def test_assemble_schema_orders_columns_and_ref_pairs():
     from slice_db_spark.config.model import SchemaConfig
 
     assert SchemaConfig.loads(cfg.dumps()).to_dict() == cfg.to_dict()
+
+
+def test_jdbc_scan_options_snapshot():
+    """Snapshot-consistent read recipe (`slice_db/dump.py:126-144`): every
+    partition reader pins the exported snapshot via sessionInitStatement."""
+    from slice_db_spark.sources.pg_schema import jdbc_scan_options, snapshot_session_init
+
+    opts = jdbc_scan_options(
+        '"public"."orders"',
+        partition_column="o_orderkey",
+        num_partitions=8,
+        bounds=(1, 60_000),
+        snapshot_id="00000003-0000001B-1",
+    )
+    assert opts["dbtable"] == '"public"."orders"'
+    assert opts["partitionColumn"] == "o_orderkey"
+    assert (opts["lowerBound"], opts["upperBound"], opts["numPartitions"]) == ("1", "60000", "8")
+    init = opts["sessionInitStatement"]
+    assert init.startswith("BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ")
+    assert "SET TRANSACTION SNAPSHOT '00000003-0000001B-1'" in init
+    # quoting is safe, unpartitioned scans carry no range options
+    assert "''" in snapshot_session_init("it's")
+    plain = jdbc_scan_options("t")
+    assert plain == {"dbtable": "t"}
