@@ -59,7 +59,9 @@ def cmd_dump(args) -> int:
         with open(args.transform) as f:
             tcfg = json.load(f)
         pepper = args.pepper or secrets.token_hex(8)
-        reg, stateful_specs = build_registry(tcfg.get("transforms", {}), pepper)
+        reg, stateful_specs = build_registry(
+            tcfg.get("transforms", {}), pepper, wordlist_dir=args.wordlist_dir
+        )
         for tid, spec in tcfg.get("tables", {}).items():
             if tid not in tables:
                 continue
@@ -140,7 +142,9 @@ def cmd_transform_field(args) -> int:
 
     with open(args.transform) as f:
         tcfg = json.load(f)
-    reg, _ = build_registry(tcfg.get("transforms", {}), args.pepper)
+    reg, _ = build_registry(
+        tcfg.get("transforms", {}), args.pepper, wordlist_dir=args.wordlist_dir
+    )
     print(reg[args.name](args.field))
     return 0
 
@@ -154,6 +158,11 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--root", nargs=2, action="append", required=True, metavar=("TABLE", "COND"))
     d.add_argument("--transform", help="transform config JSON path")
     d.add_argument("--pepper", help="determinism pepper (random when omitted)")
+    d.add_argument(
+        "--wordlist-dir",
+        help="load transform wordlists from a reference-layout directory "
+        "(given-name.txt etc.) for golden compatibility",
+    )
     d.add_argument("--format", choices=["parquet", "tsv"], default="parquet")
     d.add_argument(
         "--include-schema",
@@ -183,6 +192,7 @@ def main(argv: list[str] | None = None) -> int:
     tf = sub.add_parser("transform-field", help="transform one value")
     tf.add_argument("--transform", required=True)
     tf.add_argument("--pepper", required=True)
+    tf.add_argument("--wordlist-dir", help="reference-layout wordlist directory")
     tf.add_argument("name", help="named transform")
     tf.add_argument("field", help="value to transform")
     tf.set_defaults(fn=cmd_transform_field)

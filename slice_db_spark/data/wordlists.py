@@ -86,15 +86,77 @@ WORDS = [
 ]
 
 
-def words_by_length() -> dict[int, list[str]]:
+def words_by_length(words: list[str] | None = None) -> dict[int, list[str]]:
     out: dict[int, list[str]] = {}
-    for w in WORDS:
+    for w in WORDS if words is None else words:
         out.setdefault(len(w), []).append(w)
     return out
 
 
-def zips_by_prefix() -> dict[str, list[str]]:
+def zips_by_prefix(zips: list[str] | None = None) -> dict[str, list[str]]:
     out: dict[str, list[str]] = {}
-    for z in ZIPS:
+    for z in ZIPS if zips is None else zips:
         out.setdefault(z[:3], []).append(z)
     return out
+
+
+# -------------------------------------------------- external wordlist sets
+
+from dataclasses import dataclass, field  # noqa: E402
+
+
+@dataclass
+class WordlistSet:
+    """The wordlists a transform registry draws from.
+
+    ``default()`` uses the in-code lists above.  ``from_dir()`` is the
+    reference-golden compat mode: point it at a directory laid out like
+    the reference's data package (``given-name.txt``, ``surname.txt``,
+    ``street.txt``, ``city.txt``, ``zip.txt``, ``us-state.txt`` +
+    parallel ``us-state-abbr.txt``, ``word.txt`` — one entry per line,
+    `slice_db/transforms/person.py:9-22`, `address.py:10-146`,
+    `text.py:141-146`) and a user supplying the reference's own files
+    reproduces its pseudonym streams without this repo shipping them."""
+
+    given_names: list[str] = field(default_factory=lambda: list(GIVEN_NAMES))
+    surnames: list[str] = field(default_factory=lambda: list(SURNAMES))
+    streets: list[str] = field(default_factory=lambda: list(STREETS))
+    cities: list[str] = field(default_factory=lambda: list(CITIES))
+    zips: list[str] = field(default_factory=lambda: list(ZIPS))
+    states: list[tuple[str, str]] = field(default_factory=lambda: list(US_STATES))
+    words: list[str] = field(default_factory=lambda: list(WORDS))
+
+    @classmethod
+    def default(cls) -> "WordlistSet":
+        return cls()
+
+    @classmethod
+    def from_dir(cls, path: str) -> "WordlistSet":
+        import os
+
+        def lines(fn: str, fallback: list[str]) -> list[str]:
+            p = os.path.join(path, fn)
+            if not os.path.exists(p):
+                return list(fallback)
+            with open(p) as f:
+                return [ln.strip() for ln in f if ln.strip()]
+
+        abbrs = lines("us-state-abbr.txt", [a for a, _ in US_STATES])
+        names = lines("us-state.txt", [n for _, n in US_STATES])
+        if len(abbrs) != len(names):
+            raise ValueError("us-state.txt and us-state-abbr.txt must be parallel lists")
+        return cls(
+            given_names=lines("given-name.txt", GIVEN_NAMES),
+            surnames=lines("surname.txt", SURNAMES),
+            streets=lines("street.txt", STREETS),
+            cities=lines("city.txt", CITIES),
+            zips=lines("zip.txt", ZIPS),
+            states=list(zip(abbrs, names)),
+            words=lines("word.txt", WORDS),
+        )
+
+    def words_by_length(self) -> dict[int, list[str]]:
+        return words_by_length(self.words)
+
+    def zips_by_prefix(self) -> dict[str, list[str]]:
+        return zips_by_prefix(self.zips)

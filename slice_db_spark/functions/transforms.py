@@ -71,6 +71,9 @@ class TransformContext:
 
     pepper: str
     named: dict[str, Transform] = field(default_factory=dict)
+    #: wordlists the registry draws from — swap via build_registry's
+    #: wordlist_dir for reference-golden compat (data/wordlists.py)
+    lists: "wordlists.WordlistSet" = field(default_factory=lambda: wordlists.WordlistSet())
 
     def instance_pepper(self, name: str) -> str:
         # reference appends the transform *name* to the pepper per instance
@@ -248,32 +251,37 @@ def _wordlist_transform(pepper: str, choices: list[str]) -> Transform:
     return f
 
 
-def given_name(pepper: str) -> Transform:
+def _lists(lists: "wordlists.WordlistSet | None") -> "wordlists.WordlistSet":
+    return lists if lists is not None else wordlists.WordlistSet()
+
+
+def given_name(pepper: str, lists=None) -> Transform:
     """Random given name, input case pattern preserved (reference
     `slice_db/transforms/person.py:9-14,25-37`)."""
-    return _wordlist_transform(pepper, wordlists.GIVEN_NAMES)
+    return _wordlist_transform(pepper, _lists(lists).given_names)
 
 
-def surname(pepper: str) -> Transform:
+def surname(pepper: str, lists=None) -> Transform:
     """Reference `slice_db/transforms/person.py:17-22`."""
-    return _wordlist_transform(pepper, wordlists.SURNAMES)
+    return _wordlist_transform(pepper, _lists(lists).surnames)
 
 
-def city(pepper: str) -> Transform:
+def city(pepper: str, lists=None) -> Transform:
     """Reference `slice_db/transforms/address.py:56-78`."""
-    return _wordlist_transform(pepper, wordlists.CITIES)
+    return _wordlist_transform(pepper, _lists(lists).cities)
 
 
-def address_line1(pepper: str) -> Transform:
+def address_line1(pepper: str, lists=None) -> Transform:
     """``"{1-9999} {street}"`` case-matched (reference
     `slice_db/transforms/address.py:10-35`)."""
+    streets = _lists(lists).streets
 
     def f(text: Optional[str]) -> Optional[str]:
         if text is None:
             return None
         rng = _seed_rng(text, pepper)
         num = rng.randint(1, 9999)
-        street = _pick_cased(rng, wordlists.STREETS, text)
+        street = _pick_cased(rng, streets, text)
         return f"{num} {street}"
 
     return f
@@ -290,40 +298,42 @@ def address_line2(pepper: str) -> Transform:
     return f
 
 
-def geozip(pepper: str) -> Transform:
+def geozip(pepper: str, lists=None) -> Transform:
     """Random zip sharing the input's first-3-digit prefix, falling back to
     any zip; zero-padded to 5 (reference `slice_db/transforms/address.py:81-113`)."""
-    by_prefix = wordlists.zips_by_prefix()
+    ls = _lists(lists)
+    by_prefix = ls.zips_by_prefix()
 
     def f(text: Optional[str]) -> Optional[str]:
         if text is None:
             return None
         rng = _seed_rng(text, pepper)
-        zs = by_prefix.get(text.strip()[:3], wordlists.ZIPS)
+        zs = by_prefix.get(text.strip()[:3], ls.zips)
         return rng.choice(zs).zfill(5)
 
     return f
 
 
-def us_state(pepper: str, abbr: bool = False) -> Transform:
+def us_state(pepper: str, abbr: bool = False, lists=None) -> Transform:
     """Random US state name or abbreviation (reference
     `slice_db/transforms/address.py:116-146`)."""
+    states = _lists(lists).states
 
     def f(text: Optional[str]) -> Optional[str]:
         if text is None:
             return None
-        ab, name = _seed_rng(text, pepper).choice(wordlists.US_STATES)
+        ab, name = _seed_rng(text, pepper).choice(states)
         return ab if abbr else name
 
     return f
 
 
-def word(pepper: str) -> Transform:
+def word(pepper: str, lists=None) -> Transform:
     """Replace every letter-run with a dictionary word of the same length
     (longest available as fallback) preserving the word's case pattern;
     digits → random digits; everything else fixed; ONE RNG seeded from the
     full value (reference `slice_db/transforms/text.py:107-192`)."""
-    by_len = wordlists.words_by_length()
+    by_len = _lists(lists).words_by_length()
     max_len = max(by_len)
 
     def f(text: Optional[str]) -> Optional[str]:
@@ -430,14 +440,16 @@ _BUILTIN: dict[str, Callable] = {
         [ctx.named[name] for name in cfg["transforms"]]
     ),
     "DateYearTransform": lambda cfg, pep, ctx: date_year(pep),
-    "GivenNameTransform": lambda cfg, pep, ctx: given_name(pep),
-    "SurnameTransform": lambda cfg, pep, ctx: surname(pep),
-    "AddressLine1Transform": lambda cfg, pep, ctx: address_line1(pep),
+    "GivenNameTransform": lambda cfg, pep, ctx: given_name(pep, lists=ctx.lists),
+    "SurnameTransform": lambda cfg, pep, ctx: surname(pep, lists=ctx.lists),
+    "AddressLine1Transform": lambda cfg, pep, ctx: address_line1(pep, lists=ctx.lists),
     "AddressLine2Transform": lambda cfg, pep, ctx: address_line2(pep),
-    "CityTransform": lambda cfg, pep, ctx: city(pep),
-    "GeozipTransform": lambda cfg, pep, ctx: geozip(pep),
-    "UsStateTransform": lambda cfg, pep, ctx: us_state(pep, abbr=bool(cfg.get("abbr"))),
-    "WordTransform": lambda cfg, pep, ctx: word(pep),
+    "CityTransform": lambda cfg, pep, ctx: city(pep, lists=ctx.lists),
+    "GeozipTransform": lambda cfg, pep, ctx: geozip(pep, lists=ctx.lists),
+    "UsStateTransform": lambda cfg, pep, ctx: us_state(
+        pep, abbr=bool(cfg.get("abbr")), lists=ctx.lists
+    ),
+    "WordTransform": lambda cfg, pep, ctx: word(pep, lists=ctx.lists),
     "JsonPathTransform": lambda cfg, pep, ctx: json_path(
         {p: ctx.named[name] for p, name in cfg["paths"].items()}
     ),
@@ -449,7 +461,7 @@ STATEFUL_CLASSES = {"IncrementingConstTransform"}
 
 
 def build_registry(
-    transforms: dict[str, dict], pepper: str
+    transforms: dict[str, dict], pepper: str, wordlist_dir: str | None = None
 ) -> tuple[dict[str, Transform], dict[str, dict]]:
     """Resolve named transform specs → callables.
 
@@ -458,8 +470,15 @@ def build_registry(
     Two-phase construction lets Compose/JsonPath reference other names in
     any declaration order (reference `slice_db/transform.py:52-77`); true
     self-reference cycles raise.
+
+    ``wordlist_dir`` — reference-golden compat mode: load wordlists from a
+    directory in the reference's data layout (``given-name.txt`` etc.)
+    instead of the in-code lists; a user supplying the reference's own
+    files reproduces its exact pseudonyms (`test/test_transform_field.py`).
     """
     ctx = TransformContext(pepper=pepper)
+    if wordlist_dir:
+        ctx.lists = wordlists.WordlistSet.from_dir(wordlist_dir)
     stateful: dict[str, dict] = {}
     pending = {
         name: spec for name, spec in transforms.items() if spec.get("class") not in STATEFUL_CLASSES

@@ -210,3 +210,35 @@ def test_goldens_stable_snapshot():
     again = {k: f(PEPPER)(inp) for k, (f, inp) in GOLDENS.items()}
     assert got == again
     assert expect["alphanumeric"] == got["alphanumeric"]
+
+
+def test_external_wordlist_dir(tmp_path):
+    """Reference-golden compat mode: wordlists loaded from a directory in
+    the reference's data layout drive the pseudonym pool, so supplying the
+    reference's own *.txt files reproduces its goldens."""
+    from slice_db_spark.data.wordlists import WordlistSet
+    from slice_db_spark.functions.transforms import build_registry
+
+    d = tmp_path / "lists"
+    d.mkdir()
+    (d / "given-name.txt").write_text("Zzyzx\n")
+    (d / "surname.txt").write_text("Qwerty\nAzerty\n")
+    (d / "us-state.txt").write_text("Freedonia\n")
+    (d / "us-state-abbr.txt").write_text("FD\n")
+
+    specs = {
+        "gname": {"class": "GivenNameTransform"},
+        "sname": {"class": "SurnameTransform"},
+        "state": {"class": "UsStateTransform", "config": {"abbr": True}},
+    }
+    reg, _ = build_registry(specs, "abc", wordlist_dir=str(d))
+    assert reg["gname"]("Alice") == "Zzyzx"
+    assert reg["gname"]("ALICE") == "ZZYZX"  # case pattern preserved
+    assert reg["sname"]("Smith") in {"Qwerty", "Azerty"}
+    assert reg["state"]("Texas") == "FD"
+    # files not present fall back to the in-code lists (cities untouched)
+    ws = WordlistSet.from_dir(str(d))
+    assert ws.cities == WordlistSet().cities
+    # determinism unchanged: same pepper, same value, same output
+    reg2, _ = build_registry(specs, "abc", wordlist_dir=str(d))
+    assert reg2["sname"]("Smith") == reg["sname"]("Smith")
