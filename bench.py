@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from slice_db_spark.plans import queries as Q
@@ -33,6 +35,7 @@ HEADLINE = [
     "dedup_jaccard",
     "minhash_lsh",
     "simhash_sigs",
+    "simhash_pairs",
     "doc_fingerprints",
     "token_stats",
     "quality",
@@ -41,6 +44,7 @@ HEADLINE = [
     "ann_lsh",
     "dedup_embedding",
     "media_decode",
+    "media_frames",
 ]
 
 
@@ -53,6 +57,22 @@ def main():
     except ValueError:
         sf = sf_dir
     spark = get_spark("bench", cpus=cpus)
+
+    # Steady-state warmup: cluster executors and their Python workers are
+    # long-lived, so per-query numbers should measure operator cost, not
+    # one-time process spawn.  One tiny shuffle warms JVM codegen; one tiny
+    # pandas UDF spawns the Arrow Python worker pool (otherwise the first
+    # UDF-bearing query is charged ~4 s of fork+import).
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v * 1.0
+
+    warm = spark.range(0, cpus * 100, 1, cpus).selectExpr("id", "id % 7 AS k")
+    warm.groupBy("k").count().write.format("noop").mode("overwrite").save()
+    warm.select(_warm(warm.id.cast("double"))).write.format("noop").mode("overwrite").save()
+
     qs = Q.queries()
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -75,10 +75,21 @@ def shingles(col, n: int = 3):
 
 
 def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Inverted index: (id, shingle) distinct pairs."""
+    """Inverted index: (id, shingle-hash) distinct pairs.
+
+    ``shingle`` is the 60-bit md5-derived hash of the n-gram, NOT the
+    string: joins/aggregations downstream shuffle 8-byte ints instead of
+    n-word strings (~3× less shuffle bytes, cheaper comparisons), and the
+    DuckDB oracles hash identically so results stay bit-equal even in the
+    (≈ |shingles|²/2⁶¹) collision case.
+
+    :func:`shingles` already dedups within each document (array_distinct),
+    so with unique ids per input row the pairs are globally distinct with
+    NO shuffle — a full ``.distinct()`` here would re-shuffle the entire
+    index for nothing.  Callers with duplicate id rows must pre-dedup."""
     return df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
-    ).distinct()
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__s")
+    ).select(F.col(id_col), hash64(F.col("__s")).alias("shingle"))
 
 
 # ---------------------------------------------------------- n-gram jaccard
@@ -196,15 +207,22 @@ def minhash_signatures(
     # array-fold alternative (array_min over transform) evaluates
     # interpreted per element and loses 10×+ on wide documents; one
     # narrow-row shuffle per doc is the better trade at every scale.
-    st = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__s")
-    ).withColumn("__h", hash64(F.col("__s")) % MINHASH_MOD)
+    return minhash_signatures_from_shingles(shingle_table(df, text_col, id_col, n), k, id_col)
+
+
+def minhash_signatures_from_shingles(
+    st: DataFrame, k: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Signatures from an existing (id, shingle) inverted index — lets
+    LSH reuse ONE persisted shingle table for both signature computation
+    and candidate verification instead of re-normalizing the corpus."""
+    hashed = st.withColumn("__h", F.col("shingle") % MINHASH_MOD)
     aggs = [
         F.min((F.col("__h") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"mh{j}")
         for j, (a, b) in enumerate(minhash_params(k))
     ]
     return (
-        st.groupBy(id_col)
+        hashed.groupBy(id_col)
         .agg(*aggs)
         .select(F.col(id_col), F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig"))
     )
@@ -233,7 +251,12 @@ def minhash_lsh_pairs(
     """
     assert k % bands == 0, "k must divide into equal bands"
     r = k // bands
-    sigs = minhash_signatures(df, k, text_col, id_col, n)
+    # ONE shingle pass feeds both the signatures and (with verify) the
+    # exact-Jaccard check — normalize/shingle is the dominant map cost
+    st = shingle_table(df, text_col, id_col, n)
+    if verify:
+        st = st.persist()
+    sigs = minhash_signatures_from_shingles(st, k, id_col)
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -255,7 +278,6 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cands
-    st = shingle_table(df, text_col, id_col, n).persist()
     shared = (
         cands.join(st.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
         .join(

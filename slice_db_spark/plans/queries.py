@@ -87,8 +87,11 @@ def _shingles_sql(c: str, n: int) -> str:
     )
 
 
+# shingle column = 60-bit md5 hash (matches operators.dedup.shingle_table:
+# both engines join/count hashed shingles, bit-equal even under collision)
 _SHINGLE_CTE = (
-    "st AS (SELECT DISTINCT doc_id, unnest({sh}) AS shingle FROM documents)"
+    "st AS (SELECT DISTINCT doc_id, {h} AS shingle FROM"
+    " (SELECT doc_id, unnest({sh}) AS s FROM documents))"
 )
 
 
@@ -397,8 +400,19 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(catalog(spark, sf_dir)["documents"], ["text"])
 
 
+JACCARD_MAX_DF = 1000
+
+
 def dedup_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(catalog(spark, sf_dir)["documents"], threshold=0.8)
+    """Exact-verify n-gram Jaccard with the scale-safe posting-list cap.
+    The oracle applies the IDENTICAL cap, so results are bit-equal by
+    construction (both engines compute the same lower-bound jaccard);
+    semantically the cap only drops pairs whose similarity rides on
+    shingles shared by >1000 documents (operators/dedup.py recall
+    contract)."""
+    return dedup.ngram_jaccard_pairs(
+        catalog(spark, sf_dir)["documents"], threshold=0.8, max_df=JACCARD_MAX_DF
+    )
 
 
 def minhash_sigs(spark, sf_dir):
@@ -553,10 +567,11 @@ def _minhash_cte(k: int, n: int) -> str:
     params = dedup.minhash_params(k)
     values = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(params))
     return f"""
-sh AS (SELECT DISTINCT doc_id, unnest({_shingles_sql('text', n)}) AS shingle FROM documents),
+sh AS (SELECT DISTINCT doc_id, {_hash64_sql('s')} AS shingle FROM
+       (SELECT doc_id, unnest({_shingles_sql('text', n)}) AS s FROM documents)),
 mh AS (
   SELECT doc_id, j,
-         min((({_hash64_sql('shingle')} % {dedup.MINHASH_MOD}) * a + b) % {dedup.MINHASH_P}) AS minhash
+         min(((shingle % {dedup.MINHASH_MOD}) * a + b) % {dedup.MINHASH_P}) AS minhash
   FROM sh CROSS JOIN (VALUES {values}) AS fam(j, a, b) GROUP BY doc_id, j
 )"""
 
@@ -711,12 +726,18 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY 2
     """)
 
+    # keep = posting-list cap mirror of ngram_jaccard_pairs(max_df): only
+    # shingles in 2..max_df docs can contribute shared counts — identical
+    # on both engines, so the comparison stays exact
     o["dedup_jaccard"] = f"""
-WITH {_SHINGLE_CTE.format(sh=_shingles_sql('text', 3))},
+WITH {_SHINGLE_CTE.format(sh=_shingles_sql('text', 3), h=_hash64_sql('s'))},
+keep AS (SELECT shingle FROM st GROUP BY shingle
+         HAVING count(*) > 1 AND count(*) <= {JACCARD_MAX_DF}),
+p AS (SELECT st.* FROM st JOIN keep USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS n FROM st GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-  FROM st a JOIN st b USING (shingle) WHERE a.doc_id < b.doc_id
+  FROM p a JOIN p b USING (shingle) WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b, round(shared / (sa.n + sb.n - shared), 6) AS jaccard
 FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b

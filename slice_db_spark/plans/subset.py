@@ -346,11 +346,13 @@ class Subsetter:
                 )
                 local = self.spark.createDataFrame(list(vals), fields)
                 cond = [F.col(c) == F.col(f"__k{i}") for i, c in enumerate(dst_cols)]
+                # no .distinct(): the downstream left_semi ignores build-side
+                # duplicates and the driver store dedups collected rows — a
+                # distinct here costs one extra shuffle stage per edge job
                 found_keys = (
                     scans[dst]
                     .join(F.broadcast(local), on=cond, how="left_semi")
                     .select(*self._keys(dst))
-                    .distinct()
                 )
                 jobs.append((rid, d, dst, by_key_rows(dst, found_keys)))
 
