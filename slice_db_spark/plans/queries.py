@@ -393,6 +393,47 @@ def events_json_extract(spark, sf_dir):
     return e.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("n"))
 
 
+# ------------------------------------------------- streaming (batch path)
+# The streaming builders run the IDENTICAL plan under readStream (unified
+# API; tests/test_streaming.py proves stream == batch across micro-batches)
+# — gating their batch path here proves batch == oracle, closing the loop.
+# Projections keep exact values only (counts, epoch seconds): double sums
+# are order-dependent across engines and already gated decimal-exact by
+# events_bucket_agg.
+
+
+def stream_tumbling(spark, sf_dir):
+    from ..streaming.events import tumbling_event_counts
+
+    df = tumbling_event_counts(catalog(spark, sf_dir)["events"], window="5 minutes")
+    return df.select(
+        F.unix_timestamp("window_start").alias("ws"), "event_type", "n"
+    )
+
+
+def stream_sliding(spark, sf_dir):
+    from ..streaming.events import sliding_event_rates
+
+    df = sliding_event_rates(
+        catalog(spark, sf_dir)["events"], window="10 minutes", slide="5 minutes"
+    )
+    return df.select(
+        F.unix_timestamp("window_start").alias("ws"), "event_type", "n"
+    )
+
+
+def stream_session(spark, sf_dir):
+    from ..streaming.events import sessionized_counts
+
+    df = sessionized_counts(catalog(spark, sf_dir)["events"], gap="30 minutes")
+    return df.select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("ss"),
+        F.unix_timestamp("session_end").alias("se"),
+        "n_events",
+    )
+
+
 # ------------------------------------------------------------ LLM ops
 
 
@@ -718,6 +759,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(props->>'$.k' AS BIGINT) AS k, count(*) AS n FROM events GROUP BY 1
     """)
 
+    o["stream_tumbling"] = _q("""
+        SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS ws, event_type,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    """)
+
+    # an event at t falls in the two 10-min windows starting at
+    # floor300(t) and floor300(t) - 300 (both are > t - 600 by definition)
+    o["stream_sliding"] = _q("""
+        SELECT ws, event_type, count(*) AS n FROM (
+          SELECT unnest([CAST(floor(epoch(ts) / 300) * 300 AS BIGINT),
+                         CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT)]) AS ws,
+                 event_type
+          FROM events)
+        GROUP BY 1, 2
+    """)
+
+    # session_window semantics: windows are [start, last_event + gap); a
+    # new event exactly at the previous end starts a NEW session (break on
+    # delta >= gap).  Gap math in MICROSECONDS (event times carry sub-second
+    # precision); the final ss/se truncate to epoch seconds exactly like the
+    # Spark wrapper's unix_timestamp
+    o["stream_session"] = _q("""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        s AS (
+          SELECT user_id, t,
+                 CASE WHEN lag(t) OVER w IS NULL
+                           OR t - lag(t) OVER w >= 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        g AS (
+          SELECT user_id, t,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM s)
+        SELECT user_id, min(t) // 1000000 AS ss,
+               (max(t) + 1800000000) // 1000000 AS se, count(*) AS n_events
+        FROM g GROUP BY user_id, sid
+    """)
+
     sep, nul = "\x1f", "\x00"
     o["dedup_exact"] = _q(f"""
         SELECT min(doc_id) AS doc_id,
@@ -931,6 +1012,9 @@ def queries():
         "q5_region_revenue": q5_region_revenue,
         "window_top_orders": window_top_orders,
         "events_bucket_agg": events_bucket_agg,
+        "stream_tumbling": stream_tumbling,
+        "stream_sliding": stream_sliding,
+        "stream_session": stream_session,
         "events_json_extract": events_json_extract,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
