@@ -1,0 +1,83 @@
+"""Physical-plan audits: pin the plans we want at 100× scale.
+
+Every assertion here encodes a scale property the operators rely on —
+parquet filter/column pushdown, broadcast joins for small sides, and the
+absence of unbounded cartesian products — so a refactor that silently
+regresses the plan fails CI, not the cluster.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from slice_db_spark.plans import queries as Q
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = Q.queries()
+
+    def plan_of(name: str) -> str:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            qs[name](spark, SF_DIR).explain("formatted")
+        return buf.getvalue()
+
+    return plan_of
+
+
+def test_root_scan_pushdown(plans):
+    """The root predicate must reach the parquet scan, not evaluate
+    post-scan (a full-table read at 100 TB)."""
+    p = plans("root_scan")
+    assert "PushedFilters" in p
+    assert "GreaterThan(o_totalprice" in p
+
+
+def test_projection_prunes_columns(plans):
+    """A 3-column projection must read 3 columns (ReadSchema), not the
+    whole customer row."""
+    p = plans("projection")
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read and all(
+        "c_address" not in ln and "c_comment" not in ln for ln in read
+    ), read
+
+
+def test_q5_broadcasts_dimensions(plans):
+    """Region/nation (tiny dims) must broadcast; shuffling lineitem against
+    a 5-row table would be the classic scale mistake."""
+    p = plans("q5_region_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_semi_join_shape(plans):
+    p = plans("semi_join")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_lsh_paths_have_no_cross_join(plans):
+    """The LSH scale paths must stay equi-joins; only the documented
+    brute-force baseline may nest-loop (and only as a BROADCAST loop)."""
+    for name in ("minhash_lsh", "simhash_pairs", "dedup_embedding", "ann_lsh"):
+        p = plans(name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+    brute = plans("ann_brute")
+    assert "CartesianProduct" not in brute
+    assert "BroadcastNestedLoopJoin" in brute  # documented small-|Q| baseline
+
+
+def test_text_ops_are_codegen_only(plans):
+    """Text analysis is pure column expressions — no Python workers
+    (BatchEvalPython/ArrowEvalPython) in the plan."""
+    for name in ("token_stats", "quality", "language_id", "doc_fingerprints"):
+        p = plans(name)
+        assert "EvalPython" not in p, name
