@@ -38,6 +38,7 @@ HEADLINE = [
     "simhash_pairs",
     "doc_fingerprints",
     "token_stats",
+    "bpe_tokens",
     "quality",
     "language_id",
     "ann_brute",

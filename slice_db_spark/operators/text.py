@@ -43,6 +43,33 @@ def token_count(col: Column | str) -> Column:
     return F.when(n == "", F.lit(0)).otherwise(F.size(F.split(n, " ")))
 
 
+#: BPE-ish pre-tokenizer pattern (the public GPT-2 shape, restricted to
+#: constructs Java regex and DuckDB's RE2 evaluate identically: no
+#: lookarounds, ASCII classes): contraction suffixes, letter runs, single
+#: digits, punctuation runs, whitespace collapsed by splitting.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Approximate BPE token count: matches of :data:`BPE_PATTERN` — the
+    standard pre-tokenization granularity, an upper-bound proxy for a real
+    BPE vocab's token count (each pre-token splits into ≥1 BPE tokens,
+    most common words are single tokens)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0)))
+
+
+def bpe_token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_bpe_tokens, chars_per_token): the compression-ratio signal
+    training pipelines use for quality/cost estimates."""
+    n = bpe_token_count(text_col)
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_bpe_tokens"),
+        F.round(F.length(text_col) / F.greatest(n, F.lit(1)), 4).alias("chars_per_token"),
+    )
+
+
 def word_token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document token statistics: counts, distinct counts, mean word
     length — the 'token counting' operator."""

@@ -496,6 +496,10 @@ def token_stats(spark, sf_dir):
     )
 
 
+def bpe_tokens(spark, sf_dir):
+    return textops.bpe_token_stats(catalog(spark, sf_dir)["documents"])
+
+
 def quality(spark, sf_dir):
     df = textops.quality_score(catalog(spark, sf_dir)["documents"])
     return df.select(
@@ -884,6 +888,17 @@ SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM w
         FROM documents
     """)
 
+    bpe = textops.BPE_PATTERN.replace("'", "''")
+    o["bpe_tokens"] = _q(f"""
+        WITH t AS (
+          SELECT doc_id, length(text) AS lc,
+                 len(regexp_extract_all(text, '{bpe}')) AS n
+          FROM documents)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_bpe_tokens,
+               round(lc / greatest(n, 1), 4) AS chars_per_token
+        FROM t
+    """)
+
     sw = ", ".join(f"'{w}'" for w in textops.STOPWORDS["en"])
     o["quality"] = _q(f"""
         WITH q AS (
@@ -1024,6 +1039,7 @@ def queries():
         "simhash_pairs": simhash_pairs,
         "doc_fingerprints": doc_fingerprints,
         "token_stats": token_stats,
+        "bpe_tokens": bpe_tokens,
         "quality": quality,
         "language_id": language_id,
         "ann_brute": ann_brute,

@@ -78,6 +78,6 @@ def test_lsh_paths_have_no_cross_join(plans):
 def test_text_ops_are_codegen_only(plans):
     """Text analysis is pure column expressions — no Python workers
     (BatchEvalPython/ArrowEvalPython) in the plan."""
-    for name in ("token_stats", "quality", "language_id", "doc_fingerprints"):
+    for name in ("token_stats", "bpe_tokens", "quality", "language_id", "doc_fingerprints"):
         p = plans(name)
         assert "EvalPython" not in p, name
