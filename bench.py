@@ -43,6 +43,7 @@ HEADLINE = [
     "language_id",
     "ann_brute",
     "ann_lsh",
+    "ann_ivf",
     "dedup_embedding",
     "media_decode",
     "media_frames",

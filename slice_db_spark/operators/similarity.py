@@ -31,7 +31,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
 
 def _dot(a, b):
@@ -216,6 +216,98 @@ def lsh_topk(
             id_col,
             F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"),
         )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
+def centroid_scores_vec(centroids: list[list[float]]):
+    """Arrow-vectorized per-row scores against normalized centroids:
+    one (batch × dim) @ (dim × cells) matmul, rounded to 6 places so the
+    SQL oracle's sequential sums can never flip an argmax/tie-break."""
+    C = np.array(centroids, dtype=np.float64)
+    C = (C / np.linalg.norm(C, axis=1, keepdims=True)).T  # dim × cells
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def scores(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array(v.tolist(), dtype=np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        return pd.Series(list(np.round(M @ C, 6)))
+
+    return scores
+
+
+def ivf_centroids(
+    corpus: DataFrame, n_cells: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: the ``n_cells`` corpus vectors with
+    the smallest md5-derived hash of their id (a uniform pseudo-random
+    sample both engines select identically — the IVF analog of k-means
+    seeding, skipping the iterative refinement that would break
+    cross-engine determinism).  One tiny driver-side job, like the
+    reference's stats scan (`slice_db/dump.py:603-613`)."""
+    from .hashing import hash64
+
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(hash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are assigned to their nearest
+    centroid cell (inverted file), queries probe their ``nprobe`` nearest
+    cells, and only vectors in probed cells are scored exactly.
+
+    The scale shape: assignment is one matmul per Arrow batch (pure map),
+    candidate generation is an equi-join on the cell id — cells
+    hash-partition evenly by construction (uniform pseudo-random
+    centroids), so no cross join and no skew at any corpus size.  Recall
+    is governed by nprobe/n_cells; the oracle is the same algorithm in
+    SQL, as with :func:`lsh_topk`."""
+    scores = centroid_scores_vec(centroids)
+
+    c = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv"))
+        .withColumn("__s", scores(F.col("__cv")))
+        # argmax with first-index tie-break (matches the oracle's
+        # list_position(s, list_max(s)))
+        .withColumn("__cell", F.expr("array_position(__s, array_max(__s))").cast("int"))
+        .drop("__s")
+    )
+    q = (
+        queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv"))
+        .withColumn("__s", scores(F.col("__qv")))
+        .select(query_id_col, "__qv", F.posexplode("__s").alias("__i", "__score"))
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(F.desc("__score"), F.asc("__i"))
+    probes = (
+        q.withColumn("__pr", F.row_number().over(w_probe))
+        .where(F.col("__pr") <= nprobe)
+        .select(query_id_col, "__qv", (F.col("__i") + 1).alias("__cell"))
+    )
+    scored = probes.join(c, "__cell").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (

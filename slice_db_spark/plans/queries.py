@@ -535,6 +535,21 @@ def ann_lsh(spark, sf_dir):
     return df.select("q_id", "vec_id", "sim", F.col("rank").cast("bigint").alias("rank"))
 
 
+ANN_IVF_CELLS = 8
+ANN_IVF_NPROBE = 2
+
+
+def ann_ivf(spark, sf_dir):
+    """IVF scale path: md5-sampled centroids → cell assignment (one matmul
+    per Arrow batch) → probe-cell equi-join → exact scoring."""
+    emb = catalog(spark, sf_dir)["embeddings"]
+    corpus = emb.where("vec_id >= 5")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    cents = similarity.ivf_centroids(corpus, ANN_IVF_CELLS)
+    df = similarity.ivf_topk(corpus, q, cents, k=5, nprobe=ANN_IVF_NPROBE)
+    return df.select("q_id", "vec_id", "sim", F.col("rank").cast("bigint").alias("rank"))
+
+
 DEDUP_PLANES = similarity.random_planes(16, 64, seed="dedup")
 DEDUP_EMB_THRESHOLD = 0.42
 DEDUP_EMB_BANDS = 4
@@ -955,6 +970,44 @@ SELECT q_id, vec_id, sim,
 FROM scored QUALIFY rank <= 5
 """
 
+    # IVF: same algorithm in SQL — md5-ordered centroid sample, rounded
+    # cosine assignment with first-index tie-break (matches numpy argmax /
+    # array_position), nprobe probes, exact scoring of probed cells only
+    def _dot(a, b):
+        return f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+
+    def _cos(a, b):
+        return (
+            f"round({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})), 6)"
+        )
+
+    o["ann_ivf"] = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+corp AS (SELECT vec_id, v FROM v WHERE vec_id >= 5),
+qry AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 5),
+cents AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) AS ci, cv FROM (
+    SELECT vec_id, v AS cv, {_hash64_sql("CAST(vec_id AS VARCHAR)")} AS h
+    FROM corp ORDER BY h, vec_id LIMIT {ANN_IVF_CELLS})),
+assign AS (
+  SELECT c.vec_id, ct.ci, {_cos('c.v', 'ct.cv')} AS s
+  FROM corp c CROSS JOIN cents ct),
+cell AS (
+  SELECT vec_id, ci FROM assign
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) = 1),
+probes AS (
+  SELECT q_id, qv, ci FROM (
+    SELECT q.q_id, q.qv, ct.ci, {_cos('q.qv', 'ct.cv')} AS s
+    FROM qry q CROSS JOIN cents ct)
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY s DESC, ci) <= {ANN_IVF_NPROBE}),
+scored AS (
+  SELECT p.q_id, c2.vec_id, {_cos('p.qv', 'c2.v')} AS sim
+  FROM probes p JOIN cell ON cell.ci = p.ci JOIN corp c2 ON c2.vec_id = cell.vec_id)
+SELECT q_id, vec_id, sim,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
     r = len(DEDUP_PLANES) // DEDUP_EMB_BANDS
     o["dedup_embedding"] = f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -1044,6 +1097,7 @@ def queries():
         "language_id": language_id,
         "ann_brute": ann_brute,
         "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
         "dedup_embedding": dedup_embedding,
         "media_decode": media_decode,
         "media_frames": media_frames,

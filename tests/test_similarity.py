@@ -34,3 +34,29 @@ def test_embedding_near_pairs_ordering(spark, catalog):
     emb = catalog["embeddings"].limit(60)
     for r in similarity.embedding_near_pairs(emb, threshold=0.0).take(50):
         assert r.id_a < r.id_b
+
+
+def test_ivf_topk_hits_are_true_cosines(catalog):
+    """IVF results must be a subset of the exact brute-force scores (same
+    sims/ranks possible only if scoring is exact over probed cells) and
+    recall@5 should be reasonable with 8 cells / 2 probes."""
+    from pyspark.sql import functions as F
+
+    from slice_db_spark.operators import similarity
+
+    emb = catalog["embeddings"]
+    corpus = emb.where("vec_id >= 5")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    cents = similarity.ivf_centroids(corpus, 8)
+    assert len(cents) == 8
+    ivf = {(r["q_id"], r["vec_id"]): r["sim"]
+           for r in similarity.ivf_topk(corpus, q, cents, k=5, nprobe=2).collect()}
+    brute = {(r["q_id"], r["vec_id"]): r["sim"]
+             for r in similarity.brute_force_topk(corpus, q, k=corpus.count()).collect()}
+    assert ivf and all(brute[k] == v for k, v in ivf.items())
+    top5 = {k for k, r in
+            ((k, r) for k, r in
+             {(r["q_id"], r["vec_id"]): r["rank"]
+              for r in similarity.brute_force_topk(corpus, q, k=5).collect()}.items())}
+    recall = len(set(ivf) & top5) / len(top5)
+    assert recall >= 0.4, recall
