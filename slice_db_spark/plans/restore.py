@@ -106,11 +106,72 @@ def restore_to_jdbc(
     url: str,
     properties: dict | None = None,
 ) -> list[str]:
-    """Append slice tables to a live database in FK order.  Raises
-    CycleError for cyclic schemas (deferrable single-transaction restore
-    needs a non-Spark writer; see module docstring)."""
+    """Append slice tables to a live database in FK order (parallel Spark
+    JDBC writers — the fast path for acyclic schemas).  Raises CycleError
+    for cyclic schemas: no write order satisfies the constraints, use
+    :func:`restore_to_jdbc_deferred`."""
     order = restore_order(schema, list(tables))  # CycleError propagates
     for t in order:
         name = schema.tables[t].name if t in schema.tables else t
         tables[t].write.jdbc(url=url, table=name, mode="append", properties=properties or {})
+    return order
+
+
+def restore_to_jdbc_deferred(
+    tables: dict[str, DataFrame],
+    schema: SchemaConfig,
+    url: str,
+    batch_size: int = 1000,
+) -> list[str]:
+    """Single-transaction restore with ``SET CONSTRAINTS ALL DEFERRED`` —
+    the reference's cyclic-FK path (`slice_db/restore.py:131-161`,
+    README.md:147-155): a cycle is only restorable when constraint checks
+    defer to COMMIT, which requires ONE connection and one transaction.
+
+    Inherently serial, so this is a driver-side writer by design (same
+    argument as the SQL-script sink): rows stream via ``toLocalIterator``
+    (one partition in flight) into JDBC prepared-statement batches on a
+    single JVM connection.  Use :func:`restore_to_jdbc` for acyclic
+    schemas — it parallelizes per table."""
+    try:
+        order = restore_order(schema, list(tables))
+    except CycleError:
+        order = sorted(tables)  # deferral makes any order legal
+
+    spark = next(iter(tables.values())).sparkSession
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        conn.setAutoCommit(False)
+        st = conn.createStatement()
+        st.execute("SET CONSTRAINTS ALL DEFERRED")
+        st.close()
+        for t in order:
+            meta = schema.tables.get(t)
+            name = meta.name if meta else t
+            qual = f'"{meta.schema}"."{name}"' if meta and meta.schema else f'"{name}"'
+            df = tables[t]
+            cols = df.columns
+            sql = (
+                f"INSERT INTO {qual} ({', '.join(chr(34) + c + chr(34) for c in cols)}) "
+                f"VALUES ({', '.join(['?'] * len(cols))})"
+            )
+            ps = conn.prepareStatement(sql)
+            pending = 0
+            for row in df.toLocalIterator():
+                for i, c in enumerate(cols):
+                    ps.setObject(i + 1, row[c])
+                ps.addBatch()
+                pending += 1
+                if pending >= batch_size:
+                    ps.executeBatch()
+                    pending = 0
+            if pending:
+                ps.executeBatch()
+            ps.close()
+        conn.commit()
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()
     return order

@@ -97,3 +97,35 @@ def test_slice_and_restore_live(spark, pg_fixture, pg_exec, tmp_path):
     back = jdbc_snapshot_catalog(spark, PG_URL, cfg)
     assert {r["id"] for r in back["public.parent"].collect()} == {1}
     assert {(r["id"], r["parent_id"]) for r in back["public.child"].collect()} == {(1, 1), (2, 1)}
+
+
+def test_deferred_cyclic_restore_live(spark, pg_exec, tmp_path):
+    """FK cycle restore via SET CONSTRAINTS ALL DEFERRED in one
+    transaction (`test/test_defer.py:90-140`: cycle 1→2→3→1)."""
+    from slice_db_spark.config.model import Reference, SchemaConfig, Table
+    from slice_db_spark.plans.restore import restore_to_jdbc_deferred
+
+    pg_exec("DROP TABLE IF EXISTS ring")
+    pg_exec(
+        "CREATE TABLE ring (id bigint PRIMARY KEY, next_id bigint,"
+        " CONSTRAINT ring_next FOREIGN KEY (next_id) REFERENCES ring (id)"
+        " DEFERRABLE INITIALLY IMMEDIATE)"
+    )
+    try:
+        cfg = SchemaConfig(
+            tables={"public.ring": Table(
+                id="public.ring", name="ring", schema="public",
+                columns=["id", "next_id"], id_columns=["id"])},
+            references={"ring_next": Reference(
+                id="ring_next", table="public.ring", columns=["next_id"],
+                reference_table="public.ring", reference_columns=["id"])},
+        )
+        rows = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "id bigint, next_id bigint"
+        )
+        restore_to_jdbc_deferred({"public.ring": rows}, cfg, PG_URL)
+        back = spark.read.format("jdbc").option("url", PG_URL).option(
+            "dbtable", "ring").load()
+        assert {(r["id"], r["next_id"]) for r in back.collect()} == {(1, 2), (2, 3), (3, 1)}
+    finally:
+        pg_exec("DROP TABLE IF EXISTS ring")
