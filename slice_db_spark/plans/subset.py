@@ -338,6 +338,24 @@ class Subsetter:
                             vals.add(v)
                 if not vals:
                     continue
+                dkeys = self._keys(dst)
+                if d == FORWARD and sorted(dst_cols) == sorted(dkeys):
+                    # Forward edge onto the destination's OWN keys: the FK
+                    # values ARE the destination keys, so the visited check
+                    # is a driver-side set subtraction (the reference's
+                    # IntSet membership, `slice_db/collection/set.py`) —
+                    # hub parents reached by every child (nation/region)
+                    # cost ZERO Spark jobs once visited, and a round whose
+                    # discoveries are all visited skips entirely.
+                    perm = [dst_cols.index(c) for c in dkeys]
+                    novel = {tuple(v[i] for i in perm) for v in vals} - set(store.get(dst, {}))
+                    if not novel:
+                        continue
+                    key_df = self.spark.createDataFrame(
+                        sorted(novel), self._key_schema(dst)
+                    )
+                    jobs.append((rid, d, dst, by_key_rows(dst, key_df)))
+                    continue
                 fields = StructType(
                     [
                         StructField(f"__k{i}", self.catalog[src].schema[c].dataType, True)
