@@ -434,6 +434,17 @@ def stream_session(spark, sf_dir):
     )
 
 
+def stream_user_state(spark, sf_dir):
+    """Batch path of the applyInPandasWithState per-user running totals
+    (the unified-API oracle the stream tests compare against)."""
+    from ..streaming.events import user_activity_state
+
+    df = user_activity_state(catalog(spark, sf_dir)["events"])
+    return df.select(
+        "user_id", "n_events", F.unix_timestamp("last_ts").alias("last_s")
+    )
+
+
 # ------------------------------------------------------------ LLM ops
 
 
@@ -795,6 +806,12 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
     """)
 
+    o["stream_user_state"] = _q("""
+        SELECT user_id, count(*) AS n_events,
+               epoch_us(max(ts)) // 1000000 AS last_s
+        FROM events GROUP BY user_id
+    """)
+
     # session_window semantics: windows are [start, last_event + gap); a
     # new event exactly at the previous end starts a NEW session (break on
     # delta >= gap).  Gap math in MICROSECONDS (event times carry sub-second
@@ -1083,6 +1100,7 @@ def queries():
         "stream_tumbling": stream_tumbling,
         "stream_sliding": stream_sliding,
         "stream_session": stream_session,
+        "stream_user_state": stream_user_state,
         "events_json_extract": events_json_extract,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
