@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_embedding",
     "media_decode",
     "media_frames",
+    "media_resize",
 ]
 
 

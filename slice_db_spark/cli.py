@@ -114,6 +114,46 @@ def cmd_restore(args) -> int:
     return 0
 
 
+def cmd_transform(args) -> int:
+    """Re-scrub an existing slice into a new slice.  The reference declares
+    this command but ships a no-op stub (`slice_db/cli/transform.py:1-2`,
+    README "TODO") — here it is implemented: read slice → apply the
+    transform config → write slice (manifest/sections/sequences carried
+    over)."""
+    from .functions.transforms import build_registry, transform_dataframe
+    from .session import get_spark
+    from .sources.slice import read_slice, read_slice_schema, write_slice
+
+    schema = _load_schema(args.schema)
+    spark = get_spark("slicedb-transform")
+    tables, manifest = read_slice(spark, args.input, fmt=args.format)
+    with open(args.transform) as f:
+        tcfg = json.load(f)
+    pepper = args.pepper or secrets.token_hex(8)
+    reg, stateful_specs = build_registry(
+        tcfg.get("transforms", {}), pepper, wordlist_dir=args.wordlist_dir
+    )
+    for tid, spec in tcfg.get("tables", {}).items():
+        if tid not in tables:
+            continue
+        cols = spec.get("columns", {})
+        scalar = {c: reg[n] for c, n in cols.items() if n in reg}
+        stateful = {
+            c: (stateful_specs[n].get("config", {}), schema.tables[tid].keys())
+            for c, n in cols.items()
+            if n in stateful_specs
+        }
+        tables[tid] = transform_dataframe(tables[tid], scalar, stateful=stateful)
+    pre, post = read_slice_schema(args.input, manifest)
+    seqs = {sid: int(m["value"]) for sid, m in manifest.sequences.items()}
+    write_slice(
+        tables, schema, args.output, sequences=seqs, fmt=args.format,
+        pre_data=pre or None, post_data=post or None,
+    )
+    print(json.dumps({"tables": sorted(tables)}))
+    return 0
+
+
 def cmd_schema_filter(args) -> int:
     from .config.graph import filter_children
 
@@ -179,6 +219,16 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("input", help="slice dir")
     r.add_argument("output", help="target dir")
     r.set_defaults(fn=cmd_restore)
+
+    t = sub.add_parser("transform", help="re-scrub an existing slice")
+    t.add_argument("--schema", required=True)
+    t.add_argument("--transform", required=True)
+    t.add_argument("--pepper", help="determinism pepper (random when omitted)")
+    t.add_argument("--wordlist-dir", help="reference-layout wordlist directory")
+    t.add_argument("--format", choices=["parquet", "tsv"], default="parquet")
+    t.add_argument("input", help="slice dir")
+    t.add_argument("output", help="new slice dir")
+    t.set_defaults(fn=cmd_transform)
 
     sf = sub.add_parser("schema-filter", help="children-closure reverse pruning")
     sf.add_argument("--schema", required=True)

@@ -109,6 +109,45 @@ def decode_media(df: DataFrame, n_features: int = 8) -> DataFrame:
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage: binary payload in → binary payload out via Arrow-batched
+    mapInPandas over MEDIA_SCHEMA rows.
+
+    STUB codec (like :func:`_stub_decode`): the "resized" payload is the
+    md5 digest of ``payload + b":{w}x{h}"`` — deterministic, so the
+    DuckDB oracle reproduces it; a real deployment swaps the body for
+    PIL/ffmpeg and keeps the schema/batching contract unchanged."""
+    marker = f":{width}x{height}".encode()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [hashlib.md5((p if p is not None else b"") + marker).digest() for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "payload": out,
+                    "n_bytes": [len(b) for b in out],
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
     """Frame-sampling contract: one output row per kept frame index.
 

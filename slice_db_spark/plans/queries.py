@@ -612,6 +612,22 @@ def media_frames(spark, sf_dir):
     return frames.select("media_id", "kind", F.col("frame_idx").cast("bigint").alias("frame_idx"))
 
 
+def media_resize(spark, sf_dir):
+    """Binary-in/binary-out resize stage (stub codec); gated by projecting
+    the output payload's hex — DuckDB reproduces md5(payload + marker)."""
+    docs = catalog(spark, sf_dir)["documents"]
+    media = multimodal.attach_payload(docs, "doc_id", "text")
+    out = multimodal.resize_media(media, 16, 16)
+    return out.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        F.lower(F.hex("payload")).alias("payload_md5"),
+        "n_bytes",
+    )
+
+
 # =====================================================================
 # Oracle SQL (DuckDB dialect, same parquet views)
 # =====================================================================
@@ -1074,6 +1090,14 @@ SELECT media_id, kind, unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
 FROM d
 """
 
+    o["media_resize"] = _q("""
+        SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS kind,
+               16 AS width, 16 AS height,
+               md5(coalesce(text, '') || ':16x16') AS payload_md5,
+               CAST(16 AS BIGINT) AS n_bytes
+        FROM documents
+    """)
+
     return o
 
 
@@ -1119,4 +1143,5 @@ def queries():
         "dedup_embedding": dedup_embedding,
         "media_decode": media_decode,
         "media_frames": media_frames,
+        "media_resize": media_resize,
     }

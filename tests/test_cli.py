@@ -88,3 +88,25 @@ def test_transform_field_cli(transform_json):
     out2 = run_cli("transform-field", "--transform", transform_json, "--pepper", "abc",
                    "anon", "Sample 42")
     assert out1 == out2 and out1.strip() != "Sample 42"
+
+
+def test_transform_existing_slice(spark, schema_json, transform_json, tmp_path):
+    """`slicedb transform` implemented for real (the reference ships a
+    no-op stub, `slice_db/cli/transform.py:1-2`): dump unscrubbed, then
+    re-scrub the slice; rows/manifest carry over, configured columns
+    change."""
+    raw = str(tmp_path / "raw")
+    run_cli("dump", "--schema", schema_json, "--root", "customer", "c_custkey = 1",
+            SF_DIR, raw)
+    scrubbed = str(tmp_path / "scrubbed")
+    run_cli("transform", "--schema", schema_json, "--transform", transform_json,
+            "--pepper", "abc", raw, scrubbed)
+    before = spark.read.parquet(os.path.join(raw, "customer")).collect()[0]
+    after = spark.read.parquet(os.path.join(scrubbed, "customer")).collect()[0]
+    assert before.c_custkey == after.c_custkey
+    assert before.c_name.startswith("Customer#")
+    assert not after.c_name.startswith("Customer#")
+    assert after.c_acctbal is None
+    # untransformed tables identical
+    assert (spark.read.parquet(os.path.join(scrubbed, "orders")).count()
+            == spark.read.parquet(os.path.join(raw, "orders")).count())
