@@ -56,22 +56,33 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str = "doc_id") 
 # ---------------------------------------------------------------- shingles
 
 
-def shingles(col, n: int = 3):
-    """Distinct word n-gram shingles of the normalized text (array<string>).
+def _shingle_expr(toks, n: int):
+    """Shingle array over an ALREADY-MATERIALIZED token-array column.
 
-    ``transform(sequence(...))`` over the token array — no explode until the
-    caller asks for the inverted index.  Built from O(1) ``get`` lookups,
-    not ``slice`` (higher-order functions evaluate interpreted, so a
-    slice-per-position would cost O(len²) per document); ``get`` returns
-    NULL past the end and ``concat_ws`` drops NULLs, which reproduces the
-    slice semantics on short token lists."""
-    toks = F.split(normalize(col), " ")
+    Built from O(1) ``get`` lookups, not ``slice`` (higher-order functions
+    evaluate interpreted, so a slice-per-position would cost O(len²) per
+    document); ``get`` returns NULL past the end and ``concat_ws`` drops
+    NULLs, which reproduces the slice semantics on short token lists.
+
+    ``toks`` MUST be a plain column reference: an interpreted HOF lambda
+    re-evaluates its argument subtree per element, so passing the raw
+    ``split(normalize(text))`` expression here costs
+    O(positions × n × regex(len)) per document — materialize the tokens
+    in a projection first (see :func:`shingle_table`)."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0))),
             lambda i: F.concat_ws(" ", *[F.get(toks, i + F.lit(j)) for j in range(n)]),
         )
     )
+
+
+def shingles(col, n: int = 3):
+    """Distinct word n-gram shingles of the normalized text (array<string>).
+    Convenience form over the raw text column — for hot paths prefer
+    :func:`shingle_table`, which materializes the token array first (see
+    :func:`_shingle_expr` for why)."""
+    return _shingle_expr(F.split(normalize(col), " "), n)
 
 
 def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
@@ -87,8 +98,11 @@ def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     so with unique ids per input row the pairs are globally distinct with
     NO shuffle — a full ``.distinct()`` here would re-shuffle the entire
     index for nothing.  Callers with duplicate id rows must pre-dedup."""
-    return df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__s")
+    toks = df.select(
+        F.col(id_col), F.split(normalize(F.col(text_col)), " ").alias("__toks")
+    )
+    return toks.select(
+        F.col(id_col), F.explode(_shingle_expr(F.col("__toks"), n)).alias("__s")
     ).select(F.col(id_col), hash64(F.col("__s")).alias("shingle"))
 
 
@@ -278,12 +292,12 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cands
+    # join the second side on (id, shingle) — joining on id alone would
+    # emit |shingles_a| × |shingles_b| rows per candidate pair before the
+    # equality filter; the two-column hash join emits only shared shingles
     shared = (
         cands.join(st.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
-        .join(
-            st.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("shingle_b")), "id_b"
-        )
-        .where(F.col("shingle") == F.col("shingle_b"))
+        .join(st.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -309,8 +323,11 @@ def simhash_signatures(
     # Relational formulation (same rationale as minhash_signatures): hash
     # every exploded shingle in codegen, then `bits` vectorized ±1 sum
     # aggregates, then recompose the signature from the sign bits.
-    st = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__s")
+    toks = df.select(
+        F.col(id_col), F.split(normalize(F.col(text_col)), " ").alias("__toks")
+    )
+    st = toks.select(
+        F.col(id_col), F.explode(_shingle_expr(F.col("__toks"), n)).alias("__s")
     ).withColumn("__h", hash64(F.col("__s")))
     bit_aggs = [
         F.sum(
