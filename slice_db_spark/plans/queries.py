@@ -47,9 +47,13 @@ def _subset(spark: SparkSession, sf_dir: str, name: str, roots: list[Root]):
     counts) — memoize per (sf_dir, root-set)."""
     key = (sf_dir, name)
     if key not in _SUBSETS:
+        from ..session import parquet_row_counts
+
         schema = tpch_schema()
         cat = {t: catalog(spark, sf_dir)[t] for t in schema.tables}
-        eng = Subsetter(spark, cat, schema)
+        eng = Subsetter(
+            spark, cat, schema, table_rows=parquet_row_counts(sf_dir, list(schema.tables))
+        )
         _SUBSETS[key] = (eng, eng.run(roots))
     return _SUBSETS[key]
 

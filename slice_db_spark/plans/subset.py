@@ -116,6 +116,7 @@ class Subsetter:
         max_rounds: int = 200,
         cache_scans: bool = True,
         driver_rows: int = DRIVER_ROWS,
+        table_rows: dict[str, int] | None = None,
     ):
         schema.validate()
         self.spark = spark
@@ -126,6 +127,7 @@ class Subsetter:
         self.max_rounds = max_rounds
         self.cache_scans = cache_scans
         self.driver_rows = driver_rows
+        self.table_rows = table_rows
         self._key_mult: dict[str, float] = {}
 
     # ------------------------------------------------------------------ util
@@ -160,11 +162,13 @@ class Subsetter:
 
     def _edge_plan(self) -> list[tuple[str, str, str, str]]:
         """(rid, direction, src, dst) for every configured traversal,
-        deterministically ordered.  The reference orders edges by
-        destination-table stats ascending (cheap edges first,
-        `slice_db/dump_temp_table.py:110-117`); in a synchronous round
-        order only affects job submission, so a stable name sort avoids
-        paying a count per table."""
+        deterministically ordered.  With ``table_rows`` stats (free from
+        parquet footers — ``session.parquet_row_counts`` — or the live
+        catalog's reltuples) edges sort destination-size-ascending, the
+        reference's cheap-edges-first heuristic
+        (`slice_db/dump_temp_table.py:110-117`); without stats a stable
+        name sort (in a synchronous round, order only affects job
+        submission order)."""
         plan = []
         for r in self.schema.references.values():
             for d in r.directions:
@@ -172,7 +176,9 @@ class Subsetter:
                 dst = self._dst(r.id, d)
                 if src in self.catalog and dst in self.catalog:
                     plan.append((r.id, d, src, dst))
-        plan.sort(key=lambda e: (e[3], e[0], e[1]))
+        stats = self.table_rows or {}
+        big = 1 << 62
+        plan.sort(key=lambda e: (stats.get(e[3], big), e[3], e[0], e[1]))
         return plan
 
     # ------------------------------------------------------------------ run

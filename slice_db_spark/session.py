@@ -82,6 +82,21 @@ def load_catalog(spark: SparkSession, sf_dir: str, tables=TABLES):
     return out
 
 
+def parquet_row_counts(sf_dir: str, tables=TABLES) -> dict[str, int]:
+    """Row counts from parquet FOOTER metadata — zero Spark jobs.  The
+    engine's analog of the reference's one-time ``reltuples`` stats scan
+    (`slice_db/dump.py:603-613`), used to order traversal edges
+    cheapest-destination-first."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            out[t] = pq.ParquetFile(path).metadata.num_rows
+    return out
+
+
 def normalize_timestamps(df, path: str | None = None):
     """Normalize event-time columns to session-timezone TIMESTAMP (LTZ).
 

@@ -157,3 +157,24 @@ def test_regimes_agree(spark, catalog, ddb):
     assert any(all(m == "driver" for m in ms) for ms in seen_modes)
     assert any(ms and ms[0] == "driver" and ms[-1] == "dist" for ms in seen_modes)
     assert any(all(m == "dist" for m in ms) for ms in seen_modes)
+
+
+def test_edge_plan_orders_by_stats(spark, catalog):
+    """A3: with table stats, edges process destination-size-ascending (the
+    reference's reltuples heuristic); without, stable name order."""
+    from slice_db_spark.session import parquet_row_counts
+
+    from conftest import SF_DIR
+
+    schema = tpch_schema()
+    cat = {t: catalog[t] for t in schema.tables}
+    stats = parquet_row_counts(SF_DIR, list(schema.tables))
+    assert stats["region"] < stats["nation"] < stats["lineitem"]
+    eng = Subsetter(spark, cat, schema, table_rows=stats)
+    dsts = [e[3] for e in eng._edge_plan()]
+    sizes = [stats[d] for d in dsts]
+    assert sizes == sorted(sizes)
+    # no stats -> name-sorted destinations (deterministic fallback)
+    eng2 = Subsetter(spark, cat, schema)
+    dsts2 = [e[3] for e in eng2._edge_plan()]
+    assert dsts2 == sorted(dsts2)
