@@ -43,6 +43,13 @@ def _norm(a):
 
 
 def cosine(a, b):
+    """Pair cosine as a JVM expression (``aggregate(zip_with(...))``).
+
+    Deliberately NOT a pandas UDF: scoring candidate pairs in Python
+    would ship BOTH vectors per pair over Arrow (candidates × 2 × dim ×
+    8 bytes — measured slower end-to-end than the interpreted expression
+    at every tested scale).  Python vectorization pays off only where the
+    input is one vector per ROW (signature computation), not per pair."""
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
