@@ -1,0 +1,71 @@
+"""Cluster-scale join toolkit: bucketing and skew salting.
+
+Two techniques the 100 TB plans lean on that deserve first-class,
+tested implementations rather than folklore:
+
+* **Bucketing** — pre-shuffle a table ONCE into hash buckets on its join
+  key (`bucketize`); every later equi-join between co-bucketed tables
+  runs shuffle-free (SortMergeJoin with no Exchange).  This is the Spark
+  analog of the reference's temp-table + ANALYZE trick
+  (`slice_db/dump_temp_table.py:234-250`): pay a one-time layout cost so
+  every subsequent join is cheap.  Worth it when a table joins on the
+  same key many times (fact tables, the subsetter's repeated semi-joins).
+* **Salting** — when one join key dominates (a hub parent, an empty-string
+  content hash), hash-partitioning puts the whole key on one task.
+  `salted_join` spreads the hot side over ``salt`` subkeys and replicates
+  the small side per subkey: result-identical to the plain join, but the
+  biggest task shrinks ~salt×.  AQE's skew-join splits oversized
+  PARTITIONS; salting also splits a single oversized KEY, which AQE
+  cannot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bucketize(
+    df: DataFrame,
+    table_name: str,
+    keys: list[str],
+    buckets: int = 32,
+    sort: bool = True,
+) -> DataFrame:
+    """Persist ``df`` as a bucketed (and bucket-sorted) managed table and
+    return the re-read handle.  Joins between tables bucketed on the same
+    keys × same bucket count skip the shuffle entirely (verify with
+    ``.explain``: no Exchange under the SortMergeJoin)."""
+    writer = df.write.mode("overwrite").bucketBy(buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table_name, format="parquet")
+    return df.sparkSession.table(table_name)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: identical rows to ``big.join(small, on, how)``.
+
+    The big side gets a deterministic subkey ``hash(row) % salt``; the
+    small side is exploded ``salt``× so every (key, subkey) pair finds its
+    match.  Hot keys spread over ``salt`` tasks instead of one.  Supported
+    ``how``: inner / left / left_semi / left_anti (right/full would need
+    small-side dedup after the explode)."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(f"salted_join does not support how={how!r}")
+    salt_col = "__salt"
+    while salt_col in big.columns or salt_col in small.columns:
+        salt_col += "_"
+    b = big.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+    )
+    s = small.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>"))
+    )
+    out = b.join(s, on + [salt_col], how)
+    return out.drop(salt_col)

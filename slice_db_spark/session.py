@@ -43,6 +43,12 @@ def get_spark(app_name: str = "slice_db_spark", cpus: int | None = None) -> Spar
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # managed-table warehouse for bucketed layouts (plans/scale.py);
+        # static conf, so it must be set before session creation
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/slice_db_spark_warehouse"),
+        )
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
         # test parquet uses TIMESTAMP(NANOS) which the vectorized reader

@@ -1,0 +1,62 @@
+"""Scale-toolkit tests: bucketed joins really skip the shuffle, salted
+joins really produce identical results while splitting hot keys.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from slice_db_spark.plans.scale import bucketize, salted_join
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_shuffle(spark, catalog):
+    orders = catalog["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    lineitem = catalog["lineitem"].select("l_orderkey", "l_quantity")
+    bo = bucketize(orders, "t_orders_b", ["o_orderkey"], buckets=8)
+    bl = bucketize(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b", ["o_orderkey"], buckets=8,
+    )
+    # disable broadcast so the join would otherwise need a full shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bl, "o_orderkey")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        want = orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        ).count()
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_salted_join_matches_plain(spark, catalog):
+    li = catalog["lineitem"].select("l_orderkey", "l_linenumber", "l_quantity")
+    orders = catalog["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        want = {tuple(r) for r in li.join(orders, ["l_orderkey"], how).collect()}
+        got = {tuple(r) for r in salted_join(li, orders, ["l_orderkey"], how=how, salt=7).collect()}
+        assert got == want, how
+    assert len(want) >= 0
+
+
+def test_salted_join_rejects_right_joins(spark, catalog):
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(catalog["lineitem"], catalog["orders"], ["l_orderkey"], how="right")
