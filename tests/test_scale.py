@@ -28,6 +28,7 @@ def test_bucketed_join_has_no_shuffle(spark, catalog):
         "t_lineitem_b", ["o_orderkey"], buckets=8,
     )
     # disable broadcast so the join would otherwise need a full shuffle
+    orig_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = bo.join(bl, "o_orderkey")
@@ -38,7 +39,7 @@ def test_bucketed_join_has_no_shuffle(spark, catalog):
         ).count()
         assert joined.count() == want
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig_threshold)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
 
