@@ -343,6 +343,14 @@ def embedding_near_pairs(
     band instead of a cross join — the plan that survives 100×, with
     recall 1-(1-p^r)^b, p = 1 - θ/π.  Approximate by design: the oracle
     is the same algorithm in SQL, as with :func:`lsh_topk`.
+
+    Candidate volume scales as n²·(1/2)^r per band for unrelated vectors
+    (r = planes/bands), so r is THE cost knob: r=4 verifies ~22% of all
+    pairs (only acceptable for small corpora or low thresholds), r=8
+    ~1.5%, r=16 ~0.006%.  For true near-duplicate thresholds (≥0.9,
+    p≈0.86) r=8–16 keeps recall high while pruning hard; low thresholds
+    fundamentally force low selectivity (an LSH limitation, not an
+    implementation one).
     """
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
     if planes is None:

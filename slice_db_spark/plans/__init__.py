@@ -1,4 +1,23 @@
 from .subset import SubsetResult, Subsetter
-from .restore import restore_order, restore_to_parquet
+from .restore import (
+    capture_sequences,
+    restore_order,
+    restore_sequences,
+    restore_to_jdbc,
+    restore_to_jdbc_deferred,
+    restore_to_parquet,
+)
+from .scale import bucketize, salted_join
 
-__all__ = ["SubsetResult", "Subsetter", "restore_order", "restore_to_parquet"]
+__all__ = [
+    "SubsetResult",
+    "Subsetter",
+    "bucketize",
+    "capture_sequences",
+    "restore_order",
+    "restore_sequences",
+    "restore_to_jdbc",
+    "restore_to_jdbc_deferred",
+    "restore_to_parquet",
+    "salted_join",
+]
