@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_jaccard",
     "minhash_lsh",
+    "dedup_clusters",
     "simhash_sigs",
     "simhash_pairs",
     "doc_fingerprints",

@@ -344,6 +344,63 @@ def simhash_signatures(
     return st.groupBy(id_col).agg(*bit_aggs).select(F.col(id_col), sim.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_rounds: int = 50,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: (id, rep)
+    where ``rep`` is the smallest id reachable from ``id`` — the canonical
+    survivor of the duplicate cluster (min-id wins, deterministic, the
+    same rule as :func:`exact_dedup`).
+
+    Iterative min-label propagation, the standard Spark shape (one
+    join + min-aggregate per round, converging in O(component diameter)
+    rounds — near-dup clusters are shallow, so a handful).  Same lineage
+    hygiene as the subsetter: persist per round, ``localCheckpoint``
+    periodically, ONE count action per round for the fixed point.  Only
+    ids appearing in ``pairs`` are emitted; unpaired docs are their own
+    implicit singletons.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("rep", F.col("id"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    persisted = [edges, labels]
+    for rounds in range(1, max_rounds + 1):
+        nbr = edges.join(labels, edges["dst"] == labels["id"]).select(
+            F.col("src").alias("id"), "rep"
+        )
+        new = (
+            labels.union(nbr)
+            .groupBy("id")
+            .agg(F.min("rep").alias("rep"))
+        )
+        if rounds % checkpoint_every == 0:
+            new = new.localCheckpoint(eager=False)
+        else:
+            new = new.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(new)
+        # fixed point: any label lowered this round?
+        changed = new.join(labels, on=["id", "rep"], how="left_anti").count()
+        labels = new
+        if changed == 0:
+            break
+
+    out = labels.localCheckpoint(eager=True)
+    for df in persisted:
+        df.unpersist()
+    return out
+
+
 def simhash_near_pairs(
     df: DataFrame,
     max_hamming: int = 3,

@@ -489,6 +489,16 @@ def simhash_sigs(spark, sf_dir):
     return dedup.simhash_signatures(catalog(spark, sf_dir)["documents"], n=2, bits=32)
 
 
+def dedup_clusters(spark, sf_dir):
+    """End of the fuzzy-dedup pipeline: MinHash-LSH pairs → connected
+    components → (doc_id, rep_id) canonical-survivor mapping."""
+    pairs = dedup.minhash_lsh_pairs(
+        catalog(spark, sf_dir)["documents"], k=16, bands=4, threshold=0.5
+    )
+    cc = dedup.connected_components(pairs)
+    return cc.select(F.col("id").alias("doc_id"), F.col("rep").alias("rep_id"))
+
+
 def simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs: pigeonhole band join + bit_count(xor) verify."""
     df = dedup.simhash_near_pairs(
@@ -902,6 +912,20 @@ FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(shared / (sa.n + sb.n - shared), 6) >= 0.5
 """
 
+    # components via WITH RECURSIVE: rep(id) = min id reachable from id
+    # over the (undirected) near-dup pair edges
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE lsh_pairs AS ({o['minhash_lsh']}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+  UNION ALL SELECT id_b, id_a FROM lsh_pairs),
+reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id
+"""
+
     o["simhash_sigs"] = _simhash_oracle(2, 32)
 
     # pigeonhole banding: 32 bits / 4 bands = 8-bit chunks; any pair at
@@ -1134,6 +1158,7 @@ def queries():
         "dedup_jaccard": dedup_jaccard,
         "minhash_sigs": minhash_sigs,
         "minhash_lsh": minhash_lsh,
+        "dedup_clusters": dedup_clusters,
         "simhash_sigs": simhash_sigs,
         "simhash_pairs": simhash_pairs,
         "doc_fingerprints": doc_fingerprints,

@@ -61,3 +61,31 @@ def test_lsh_topk_shuffle_path_matches_broadcast(catalog):
     bc = {tuple(r) for r in similarity.lsh_topk(c, q, planes, k=5).collect()}
     sh = {tuple(r) for r in similarity.lsh_topk(c, q, planes, k=5, broadcast_rows=1).collect()}
     assert sh == bc and len(bc) > 0
+
+
+def test_connected_components_match_union_find(catalog):
+    """Min-label propagation equals a driver-side union-find ground truth
+    over the LSH pair graph."""
+    docs = catalog["documents"]
+    pairs = [(r["id_a"], r["id_b"]) for r in
+             dedup.minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.5).collect()]
+    assert pairs
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    got = {r["id"]: r["rep"] for r in
+           dedup.connected_components(
+               catalog["documents"].sparkSession.createDataFrame(
+                   pairs, "id_a bigint, id_b bigint")).collect()}
+    assert got == want
