@@ -21,6 +21,14 @@ Design for 100 TB:
 
 All hashes are md5-derived (:mod:`.hashing`) so DuckDB oracles reproduce
 results exactly.  No Python UDFs anywhere.
+
+Cache lifecycle: pair operators persist their shingle index
+(MEMORY_AND_DISK) because several plan branches consume it; the persist is
+deliberately left to Spark's LRU eviction rather than eagerly unpersisted —
+the returned DataFrame is lazy, so consumers may materialize it at any
+later point, and an unpersist here would silently recompute the whole
+index per branch.  Long-running sessions that interleave many corpora can
+call ``spark.catalog.clearCache()`` between them.
 """
 
 from __future__ import annotations

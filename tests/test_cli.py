@@ -110,3 +110,18 @@ def test_transform_existing_slice(spark, schema_json, transform_json, tmp_path):
     # untransformed tables identical
     assert (spark.read.parquet(os.path.join(scrubbed, "orders")).count()
             == spark.read.parquet(os.path.join(raw, "orders")).count())
+
+
+def test_dump_include_schema_cli(spark, schema_json, tmp_path):
+    """--include-schema stores replayable DDL sections in the slice."""
+    out = str(tmp_path / "slice_schema")
+    stats = json.loads(run_cli(
+        "dump", "--schema", schema_json, "--include-schema",
+        "--root", "customer", "c_custkey = 1", SF_DIR, out,
+    ).strip().splitlines()[-1])
+    assert stats["preData"] > 0 and stats["postData"] > 0
+    assert os.path.exists(os.path.join(out, "pre-data", "1.sql"))
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest["preData"]["count"] == stats["preData"]
+    first = open(os.path.join(out, "pre-data", "1.sql")).read()
+    assert first.startswith("CREATE ")
