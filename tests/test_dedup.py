@@ -89,3 +89,25 @@ def test_connected_components_match_union_find(catalog):
                catalog["documents"].sparkSession.createDataFrame(
                    pairs, "id_a bigint, id_b bigint")).collect()}
     assert got == want
+
+
+def test_results_invariant_to_shuffle_partitions(spark, catalog):
+    """Operator outputs must not depend on the physical shuffle layout —
+    the distributed-correctness property that lets the same code run on 32
+    local threads or 1000 executors."""
+    docs = catalog["documents"]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for parts in ("5", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            pairs = {tuple(r) for r in dedup.minhash_lsh_pairs(docs).collect()}
+            cc = {tuple(r) for r in dedup.connected_components(
+                spark.createDataFrame(sorted(pairs), "id_a bigint, id_b bigint, j double")
+                .select("id_a", "id_b")).collect()}
+            ex = {tuple(r) for r in dedup.exact_dedup(docs, ["text"]).collect()}
+            results.append((pairs, cc, ex))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert results[0] == results[1]
+    assert all(len(x) > 0 for x in results[0])
