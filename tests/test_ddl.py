@@ -185,3 +185,19 @@ def test_sql_script_includes_schema_sections(spark, parent_child, tmp_path):
     assert text.index('COPY "public"."parent"') < text.index('COPY "public"."child"')
     # statements in the script parse back cleanly
     assert any(s.startswith("CREATE TABLE") for s in split_statements(text.split("COPY ")[0]))
+
+
+def test_tsv_slice_carries_schema_sections(spark, parent_child, tmp_path):
+    """DDL sections are format-independent: a TSV-compat slice stores and
+    replays the same pre/post-data files as parquet."""
+    schema = _parent_child_schema()
+    pre, post = synthesize_ddl(schema, parent_child)
+    out = str(tmp_path / "slice_tsv")
+    manifest = write_slice(parent_child, schema, out, fmt="tsv",
+                           pre_data=pre, post_data=post)
+    back_tables, back_manifest = read_slice(spark, out, fmt="tsv")
+    assert read_slice_schema(out, back_manifest) == (pre, post)
+    # TSV rows round-trip (string-typed; restore casts against target)
+    got = {(r["id"], r["parent_id"]) for r in back_tables["public.child"].collect()}
+    assert got == {("1", "1"), ("2", "1"), ("3", "2")}
+    assert manifest.pre_data == len(pre)
