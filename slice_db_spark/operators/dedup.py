@@ -143,26 +143,38 @@ def ngram_jaccard_pairs(
     df-independent).  ``None`` = exact all-pairs (only safe for small
     corpora).
     """
-    # the inverted index feeds four plan branches (both join sides, the
-    # doc-frequency filter, sizes); cache it so the explode+distinct
-    # computes once
+    from pyspark.sql import Window
+
+    # the inverted index feeds two plan branches (posting lists, sizes);
+    # cache it so the explode+distinct computes once
     st = shingle_table(df, text_col, id_col, n).persist()
-    # A shingle appearing in exactly one document can never contribute a
-    # pair; with natural text most shingles are unique, so dropping them
-    # BEFORE the quadratic self-join shrinks its input by ~an order of
-    # magnitude while provably not changing the result (shared counts are
-    # over co-occurring shingles only).
+    # Posting-list formulation: ONE shuffle of the index (by shingle)
+    # computes the document frequency as a window count, filters in place,
+    # and builds the posting list with a shuffle-free collect_list (the
+    # groupBy reuses the window's hash partitioning).  A shingle in one
+    # document can never contribute a pair, and shingles above ``max_df``
+    # are capped out BEFORE collect_list runs, so every collected array is
+    # bounded by max_df ids (≤ 8 KB at max_df=1000) — no hot-key agg
+    # buffer blowup at any corpus size; the df computation itself streams
+    # through the window operator (spills, never materializes the list).
+    # This replaces the round-2 shape (full-index groupBy + left_semi of
+    # the index against its own aggregate + index self-join = three extra
+    # full-index shuffles) that regressed BENCH_r02.
+    w = Window.partitionBy("shingle")
     df_filter = (F.col("__df") > 1) & (
         F.col("__df") <= max_df if max_df is not None else F.lit(True)
     )
-    paired = st.join(
-        st.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")).where(df_filter).select("shingle"),
-        "shingle",
-        "left_semi",
+    posting = (
+        st.withColumn("__df", F.count(F.lit(1)).over(w))
+        .where(df_filter)
+        .groupBy("shingle")
+        .agg(F.collect_list(id_col).alias("__ids"))
     )
+    # pair generation is a local double-explode over each (bounded)
+    # posting list — d·(d-1)/2 surviving rows per shingle, zero joins
     shared = (
-        paired.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(paired.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        posting.select(F.explode("__ids").alias("id_a"), F.col("__ids"))
+        .select("id_a", F.explode("__ids").alias("id_b"))
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
