@@ -99,8 +99,11 @@ def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ``shingle`` is the 60-bit md5-derived hash of the n-gram, NOT the
     string: joins/aggregations downstream shuffle 8-byte ints instead of
     n-word strings (~3× less shuffle bytes, cheaper comparisons), and the
-    DuckDB oracles hash identically so results stay bit-equal even in the
-    (≈ |shingles|²/2⁶¹) collision case.
+    DuckDB oracles hash identically so results agree absent intra-document
+    hash collisions.  (Edge asymmetry: Spark dedups shingle *strings* per
+    doc before hashing while the oracle CTE dedups after, so a ≈2⁻⁶⁰
+    intra-doc 60-bit collision would keep a duplicate (id, hash) pair here
+    and not there — practically negligible, noted for honesty.)
 
     :func:`shingles` already dedups within each document (array_distinct),
     so with unique ids per input row the pairs are globally distinct with
@@ -383,6 +386,13 @@ def connected_components(
     periodically, ONE count action per round for the fixed point.  Only
     ids appearing in ``pairs`` are emitted; unpaired docs are their own
     implicit singletons.
+
+    Raises ``RuntimeError`` if ``max_rounds`` is exhausted before the
+    fixed point: partially-propagated labels are NOT component minima, and
+    returning them silently would diverge from any exact oracle.  A
+    component of diameter > ``max_rounds`` (pathological for near-dup
+    graphs) needs a higher budget or a contraction-style algorithm
+    (large-star/small-star converges in O(log n) rounds).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -414,6 +424,14 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        for df in persisted:
+            df.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing); raise max_rounds for "
+            "components of diameter beyond the budget"
+        )
 
     out = labels.localCheckpoint(eager=True)
     for df in persisted:

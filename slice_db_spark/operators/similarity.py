@@ -158,14 +158,20 @@ def lsh_topk(
     query_id_col: str = "q_id",
     probe_hamming: int = 1,
     broadcast_rows: int = 100_000,
+    n_queries: int | None = None,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only candidates whose hyperplane signature
     is within ``probe_hamming`` bits of the query's.
 
     The probe side (|Q| × n_probes rows, each carrying the query vector)
-    is broadcast only while it stays under ``broadcast_rows`` — decided by
-    a capped count on ``queries`` (reads at most the cap, not the full
-    set).  Bigger query sets fall back to a shuffle hash join on the
+    is broadcast only while it stays under ``broadcast_rows``.  The
+    decision uses, in order: the explicit ``broadcast`` override, the
+    caller-supplied ``n_queries`` hint, and only as a last resort a capped
+    count on ``queries`` (reads at most the cap, not the full set — but it
+    IS an eager Spark job that re-evaluates the queries plan, so callers
+    composing this lazily or with an expensive query plan should pass the
+    hint).  Bigger query sets fall back to a shuffle hash join on the
     signature key, the plan that survives |Q| at corpus scale.
 
     Candidate generation is a multi-probe HASH JOIN, not a filtered cross
@@ -214,9 +220,11 @@ def lsh_topk(
         )
     )
     q_cap = max(1, broadcast_rows // len(flip_sets))
-    n_q = queries.limit(q_cap + 1).count()
+    if broadcast is None:
+        n_q = n_queries if n_queries is not None else queries.limit(q_cap + 1).count()
+        broadcast = n_q <= q_cap
     scored = (
-        (F.broadcast(q) if n_q <= q_cap else q)
+        (F.broadcast(q) if broadcast else q)
         .join(c, "__key")
         .select(
             query_id_col,

@@ -159,20 +159,27 @@ def fingerprints(
     hash sequence, keep each window's minimum — the classic near-dup /
     provenance fingerprint set.  Output: (id, fingerprint) distinct pairs.
 
-    Built entirely from array expressions: sequence → transform(slice) →
-    min-per-window → explode.  Hash = md5-derived :mod:`hashing` so the
-    DuckDB oracle matches bit-for-bit.
+    Built entirely from array expressions: sequence → transform(get-based
+    k-gram) → min-per-window → explode.  Hash = md5-derived :mod:`hashing`
+    so the DuckDB oracle matches bit-for-bit.  Both per-position lambdas
+    use O(1) ``get`` lookups, not ``slice`` — HOFs evaluate interpreted,
+    and a slice allocates a fresh k-element array per position
+    (:func:`slice_db_spark.operators.dedup._shingle_expr` rationale);
+    ``get`` is NULL past the end, which ``concat_ws`` drops and ``least``
+    skips, reproducing the short-tail slice semantics exactly.
     """
     toks = tokens(text_col)
     n = F.size(toks)
-    kgram_hash = hash64_spark_sql(f"concat_ws(' ', slice(__toks, i, {k}))")
+    # 1-based position i → 0-based get offsets i-1 .. i+k-2
+    kgram = "concat_ws(' ', " + ", ".join(f"get(__toks, i + {j - 1})" for j in range(k)) + ")"
     hashes = F.expr(
         f"transform(sequence(1, greatest(size(__toks) - {k} + 1, 1)), i -> "
-        f"{kgram_hash})"
+        f"{hash64_spark_sql(kgram)})"
     )
+    win_min = "least(" + ", ".join(f"get(__hashes, i + {j - 1})" for j in range(window)) + ")"
     mins = F.expr(
         f"transform(sequence(1, greatest(size(__hashes) - {window} + 1, 1)), i -> "
-        f"array_min(slice(__hashes, i, {window})))"
+        f"{win_min})"
     )
     return (
         df.select(F.col(id_col), toks.alias("__toks"))
