@@ -82,15 +82,27 @@ def cmd_dump(args) -> int:
 
     from .plans.restore import capture_sequences
 
-    manifest = write_slice(
-        tables,
-        schema,
-        args.output,
-        sequences=capture_sequences(tables, schema),
-        fmt=args.format,
-        pre_data=pre_data,
-        post_data=post_data,
-    )
+    if args.format == "zip":
+        from .sources.slice import write_slice_zip
+
+        manifest = write_slice_zip(
+            tables,
+            schema,
+            args.output,
+            sequences=capture_sequences(tables, schema),
+            pre_data=pre_data,
+            post_data=post_data,
+        )
+    else:
+        manifest = write_slice(
+            tables,
+            schema,
+            args.output,
+            sequences=capture_sequences(tables, schema),
+            fmt=args.format,
+            pre_data=pre_data,
+            post_data=post_data,
+        )
     counts = {t: sum(s["rowCount"] for s in m["segments"]) for t, m in manifest.tables.items()}
     out = {"rounds": result.rounds, "rows": counts}
     if args.include_schema:
@@ -107,7 +119,12 @@ def cmd_restore(args) -> int:
 
     schema = _load_schema(args.schema)
     spark = get_spark("slicedb-restore")
-    tables, manifest = read_slice(spark, args.input, fmt=args.format)
+    if args.format == "zip":
+        from .sources.slice import read_slice_zip
+
+        tables, manifest = read_slice_zip(spark, args.input)
+    else:
+        tables, manifest = read_slice(spark, args.input, fmt=args.format)
     seqs = {sid: int(m["value"]) for sid, m in manifest.sequences.items()}
     order = restore_to_parquet(tables, schema, args.output, sequences=seqs)
     print(json.dumps({"order": order, "sequences": seqs}))
@@ -203,7 +220,12 @@ def main(argv: list[str] | None = None) -> int:
         help="load transform wordlists from a reference-layout directory "
         "(given-name.txt etc.) for golden compatibility",
     )
-    d.add_argument("--format", choices=["parquet", "tsv"], default="parquet")
+    d.add_argument(
+        "--format",
+        choices=["parquet", "tsv", "zip"],
+        default="parquet",
+        help="zip = single reference-layout zip64 archive (output is a .zip path)",
+    )
     d.add_argument(
         "--include-schema",
         action="store_true",
@@ -215,8 +237,8 @@ def main(argv: list[str] | None = None) -> int:
 
     r = sub.add_parser("restore", help="materialize a slice in FK order")
     r.add_argument("--schema", required=True)
-    r.add_argument("--format", choices=["parquet", "tsv"], default="parquet")
-    r.add_argument("input", help="slice dir")
+    r.add_argument("--format", choices=["parquet", "tsv", "zip"], default="parquet")
+    r.add_argument("input", help="slice dir (or .zip archive with --format zip)")
     r.add_argument("output", help="target dir")
     r.set_defaults(fn=cmd_restore)
 

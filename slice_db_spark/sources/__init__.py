@@ -1,2 +1,8 @@
-from .slice import SliceManifest, read_slice, write_slice  # noqa: F401
+from .slice import (  # noqa: F401
+    SliceManifest,
+    read_slice,
+    read_slice_zip,
+    write_slice,
+    write_slice_zip,
+)
 from .sqlscript import write_sql_script  # noqa: F401

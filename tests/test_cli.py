@@ -125,3 +125,25 @@ def test_dump_include_schema_cli(spark, schema_json, tmp_path):
     assert manifest["preData"]["count"] == stats["preData"]
     first = open(os.path.join(out, "pre-data", "1.sql")).read()
     assert first.startswith("CREATE ")
+
+
+def test_dump_restore_zip_cli(spark, schema_json, tmp_path):
+    """--format zip: dump to one reference-layout archive, restore from it."""
+    import zipfile
+
+    zp = str(tmp_path / "slice.zip")
+    out = run_cli(
+        "dump", "--schema", schema_json, "--root", "customer", "c_custkey = 1",
+        "--format", "zip", SF_DIR, zp,
+    )
+    rows = json.loads(out)["rows"]
+    assert rows["customer"] == 1 and rows["orders"] > 0
+    with zipfile.ZipFile(zp) as zf:
+        assert "manifest.json" in zf.namelist()
+
+    target = str(tmp_path / "db")
+    out = run_cli("restore", "--schema", schema_json, "--format", "zip", zp, target)
+    order = json.loads(out)["order"]
+    assert order.index("customer") < order.index("orders")
+    got = spark.read.parquet(os.path.join(target, "orders")).count()
+    assert got == rows["orders"]

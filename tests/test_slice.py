@@ -63,3 +63,98 @@ def test_copy_escape_roundtrip(spark):
     esc = df.select(copy_escape("v").alias("e")).collect()
     for r in esc:
         assert "\t" not in r.e and "\n" not in r.e
+
+
+def test_zip_slice_roundtrip(spark, small_slice, tmp_path):
+    """ZIP container interop: write a zip64 archive with the reference's
+    entry layout (`slice_db/slice.py:9-28`), reopen it, compare rows."""
+    import zipfile
+
+    from slice_db_spark.sources import read_slice_zip, write_slice_zip
+
+    schema, tables, _ = small_slice
+    zp = str(tmp_path / "slice.zip")
+    manifest = write_slice_zip(
+        tables,
+        schema,
+        zp,
+        sequences={"orders_o_orderkey_seq": 31},
+        pre_data=["CREATE TABLE t (a int);"],
+        post_data=["ALTER TABLE t ADD PRIMARY KEY (a);"],
+    )
+    with zipfile.ZipFile(zp) as zf:
+        names = set(zf.namelist())
+    # reference entry layout: manifest, 1-based tsv segments, seq txt, sql
+    assert "manifest.json" in names
+    assert "pre-data/1.sql" in names and "post-data/1.sql" in names
+    assert "orders_o_orderkey_seq.txt" in names
+    for tid, meta in manifest.tables.items():
+        for i in range(len(meta["segments"])):
+            assert f"{tid}/{i + 1}.tsv" in names
+
+    back, manifest2 = read_slice_zip(spark, zp, workdir=str(tmp_path / "unzip"))
+    assert manifest2.pre_data == 1 and manifest2.post_data == 1
+    assert manifest2.sequences["orders_o_orderkey_seq"]["value"] == 31
+    for tid, df in tables.items():
+        assert back[tid].count() == df.count()
+        assert back[tid].columns == manifest.tables[tid]["columns"]
+    want = {str(r[0]) for r in tables["customer"].collect()}
+    assert {r[0] for r in back["customer"].collect()} == want
+
+
+def test_reference_shaped_zip_reads(spark, tmp_path):
+    """A zip authored the way the reference writes slices (hand-built with
+    its exact entry names and COPY escapes) opens and unescapes."""
+    import zipfile
+
+    from slice_db_spark.sources import read_slice_zip
+
+    zp = str(tmp_path / "ref.zip")
+    manifest = {
+        "preData": {"count": 0},
+        "postData": {"count": 0},
+        "sequences": {"public.widget_id_seq": {"name": "widget_id_seq", "schema": "public", "value": 7}},
+        "tables": {
+            "public.widget": {
+                "columns": ["id", "label"],
+                "name": "widget",
+                "schema": "public",
+                "segments": [{"rowCount": 2}, {"rowCount": 1}],
+            }
+        },
+    }
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("manifest.json", json.dumps(manifest))
+        zf.writestr("public.widget/1.tsv", "1\tplain\n2\ttab\\there\n")
+        zf.writestr("public.widget/2.tsv", "3\t\\N\n")
+        zf.writestr("public.widget_id_seq.txt", "7")
+
+    tables, m = read_slice_zip(spark, zp, workdir=str(tmp_path / "x"))
+    rows = sorted(tables["public.widget"].collect())
+    assert [tuple(r) for r in rows] == [("1", "plain"), ("2", "tab\there"), ("3", None)]
+    assert sum(s["rowCount"] for s in m.tables["public.widget"]["segments"]) == 3
+
+
+def test_write_slice_single_job_per_table(spark, small_slice, tmp_path):
+    """Segment accounting comes from parquet footers — the write is the
+    ONLY Spark job per table (no re-read of the written output)."""
+    schema, tables, _ = small_slice
+    # a shuffle-free input makes the write the only possible job; any
+    # post-write re-read for segment accounting would show as a second one
+    # (AQE legitimately splits shuffle-bearing plans into several jobs, so
+    # the subset-export df can't pin this)
+    cols = schema.tables["region"].columns
+    sub = {
+        "region": spark.range(7).selectExpr(
+            f"id AS {cols[0]}", *[f"CAST(id AS string) AS {c}" for c in cols[1:]]
+        )
+    }
+    sc = spark.sparkContext
+    sc.setJobGroup("write_slice_job_count", "segment accounting audit")
+    try:
+        manifest = write_slice(sub, schema, str(tmp_path / "one"))
+        jobs = sc.statusTracker().getJobIdsForGroup("write_slice_job_count")
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(jobs) == 1, f"write_slice ran {len(jobs)} jobs for one table"
+    assert sum(s["rowCount"] for s in manifest.tables["region"]["segments"]) == 7
