@@ -105,9 +105,13 @@ def test_deferred_cyclic_restore_live(spark, pg_exec, tmp_path):
     from slice_db_spark.config.model import Reference, SchemaConfig, Table
     from slice_db_spark.plans.restore import restore_to_jdbc_deferred
 
+    import datetime
+    import decimal
+
     pg_exec("DROP TABLE IF EXISTS ring")
     pg_exec(
         "CREATE TABLE ring (id bigint PRIMARY KEY, next_id bigint,"
+        " born date, balance numeric(12,2), note text,"
         " CONSTRAINT ring_next FOREIGN KEY (next_id) REFERENCES ring (id)"
         " DEFERRABLE INITIALLY IMMEDIATE)"
     )
@@ -115,17 +119,30 @@ def test_deferred_cyclic_restore_live(spark, pg_exec, tmp_path):
         cfg = SchemaConfig(
             tables={"public.ring": Table(
                 id="public.ring", name="ring", schema="public",
-                columns=["id", "next_id"], id_columns=["id"])},
+                columns=["id", "next_id", "born", "balance", "note"],
+                id_columns=["id"])},
             references={"ring_next": Reference(
                 id="ring_next", table="public.ring", columns=["next_id"],
                 reference_table="public.ring", reference_columns=["id"])},
         )
+        # date/decimal/escape-bearing text columns: the types py4j cannot
+        # setObject and the characters COPY text must escape
         rows = spark.createDataFrame(
-            [(1, 2), (2, 3), (3, 1)], "id bigint, next_id bigint"
+            [
+                (1, 2, datetime.date(2020, 1, 2), decimal.Decimal("10.50"), "tab\there"),
+                (2, 3, datetime.date(2021, 3, 4), decimal.Decimal("-0.25"), None),
+                (3, 1, None, None, "nl\nthere"),
+            ],
+            "id bigint, next_id bigint, born date, balance decimal(12,2), note string",
         )
         restore_to_jdbc_deferred({"public.ring": rows}, cfg, PG_URL)
         back = spark.read.format("jdbc").option("url", PG_URL).option(
             "dbtable", "ring").load()
-        assert {(r["id"], r["next_id"]) for r in back.collect()} == {(1, 2), (2, 3), (3, 1)}
+        got = {(r["id"], r["next_id"], r["born"], r["balance"], r["note"]) for r in back.collect()}
+        assert got == {
+            (1, 2, datetime.date(2020, 1, 2), decimal.Decimal("10.50"), "tab\there"),
+            (2, 3, datetime.date(2021, 3, 4), decimal.Decimal("-0.25"), None),
+            (3, 1, None, None, "nl\nthere"),
+        }
     finally:
         pg_exec("DROP TABLE IF EXISTS ring")
