@@ -76,9 +76,14 @@ def cmd_dump(args) -> int:
 
     pre_data = post_data = None
     if args.include_schema:
-        from .sources.ddl import synthesize_ddl
+        if args.ddl_url:
+            from .sources.ddl import pg_dump_sections
 
-        pre_data, post_data = synthesize_ddl(schema, tables)
+            pre_data, post_data = pg_dump_sections(args.ddl_url)
+        else:
+            from .sources.ddl import synthesize_ddl
+
+            pre_data, post_data = synthesize_ddl(schema, tables)
 
     from .plans.restore import capture_sequences
 
@@ -229,7 +234,14 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument(
         "--include-schema",
         action="store_true",
-        help="store synthesized pre-data/post-data DDL sections in the slice",
+        help="store pre-data/post-data DDL sections in the slice "
+        "(synthesized from config + Catalyst types, or real pg_dump "
+        "output with --ddl-url)",
+    )
+    d.add_argument(
+        "--ddl-url",
+        help="live database URL (JDBC or libpq) to pg_dump the DDL "
+        "sections from, instead of synthesizing them",
     )
     d.add_argument("input", help="catalog dir of <table>.parquet files")
     d.add_argument("output", help="slice output dir")

@@ -91,6 +91,73 @@ def split_statements(text: str) -> list[str]:
     return [seg.strip() for seg in parse_statements(text) if _has_sql(seg)]
 
 
+# ------------------------------------------------------------ live pg_dump
+
+
+def jdbc_to_libpq(url: str) -> str:
+    """JDBC URL → libpq connection URI: strip the ``jdbc:`` prefix
+    (``jdbc:postgresql://h:p/db?user=u&password=w`` becomes
+    ``postgresql://h:p/db?user=u&password=w`` — libpq URIs accept
+    user/password as query parameters).  Non-JDBC strings pass through so
+    callers may hand a libpq URI or DSN directly."""
+    return url[len("jdbc:"):] if url.startswith("jdbc:") else url
+
+
+def pg_dump_sections(
+    url: str, pg_dump_bin: str | None = None
+) -> tuple[list[str], list[str]]:
+    """(pre_data, post_data) statements from a LIVE database via
+    ``pg_dump`` — the reference's DDL source (`slice_db/dump.py:330-348`),
+    with its exact flags: ``-BO --disable-dollar-quoting --no-acl
+    --quote-all-identifiers --section <section>``
+    (``--disable-dollar-quoting`` is what makes the output splittable by
+    :func:`parse_statements` — neither splitter handles ``$$`` bodies).
+    Unlike :func:`synthesize_ddl`, the sections carry everything pg_dump
+    knows: indexes, defaults, NOT NULL, and non-FK constraints.
+
+    Raises ``RuntimeError`` when ``pg_dump`` is not on PATH or exits
+    non-zero."""
+    import shutil
+    import subprocess
+
+    exe = pg_dump_bin or shutil.which("pg_dump")
+    if exe is None:
+        raise RuntimeError(
+            "pg_dump not found on PATH; use synthesize_ddl or install postgresql-client"
+        )
+    sections: list[list[str]] = []
+    for section in ("pre-data", "post-data"):
+        try:
+            proc = _run_pg_dump(subprocess, exe, section, url)
+        except FileNotFoundError as e:
+            raise RuntimeError(f"pg_dump not found: {exe}") from e
+        if proc.returncode:
+            raise RuntimeError(
+                f"pg_dump --section {section} exited {proc.returncode}: "
+                f"{proc.stderr.strip()[:500]}"
+            )
+        sections.append(split_statements(proc.stdout))
+    return sections[0], sections[1]
+
+
+def _run_pg_dump(subprocess, exe: str, section: str, url: str):
+    return subprocess.run(
+            [
+                exe,
+                "-BO",
+                "--disable-dollar-quoting",
+                "--no-acl",
+                "--quote-all-identifiers",
+                "--section",
+                section,
+                "--dbname",
+                jdbc_to_libpq(url),
+            ],
+            capture_output=True,
+            text=True,
+        )
+
+
 # ------------------------------------------------------------ synthesis
 
 

@@ -201,3 +201,67 @@ def test_tsv_slice_carries_schema_sections(spark, parent_child, tmp_path):
     got = {(r["id"], r["parent_id"]) for r in back_tables["public.child"].collect()}
     assert got == {("1", "1"), ("2", "1"), ("3", "2")}
     assert manifest.pre_data == len(pre)
+
+
+def test_jdbc_to_libpq():
+    from slice_db_spark.sources.ddl import jdbc_to_libpq
+
+    assert (
+        jdbc_to_libpq("jdbc:postgresql://h:5/db?user=u&password=w")
+        == "postgresql://h:5/db?user=u&password=w"
+    )
+    # libpq URIs / DSNs pass through
+    assert jdbc_to_libpq("postgresql://h/db") == "postgresql://h/db"
+    assert jdbc_to_libpq("host=h dbname=db") == "host=h dbname=db"
+
+
+def test_pg_dump_sections_plumbing(tmp_path):
+    """pg_dump invocation contract without a live server: a stub binary
+    records its argv and emits pg_dump-shaped section output; the function
+    must pass the reference's flags (`slice_db/dump.py:334-341`) and split
+    the output into statements."""
+    import json as _json
+    import os
+    import stat
+
+    from slice_db_spark.sources.ddl import pg_dump_sections
+
+    stub = tmp_path / "pg_dump"
+    log = tmp_path / "argv.json"
+    stub.write_text(
+        "#!/bin/sh\n"
+        f"echo \"$@\" >> {log}\n"
+        "case \"$*\" in\n"
+        "*pre-data*) printf -- '--\\n-- PostgreSQL database dump\\n--\\n"
+        "CREATE TABLE \"public\".\"t\" (\\n \"a\" integer NOT NULL\\n);\\n';;\n"
+        "*post-data*) printf 'ALTER TABLE \"public\".\"t\" ADD CONSTRAINT \"t_pkey\" "
+        "PRIMARY KEY (\"a\");\\nCREATE INDEX \"i\" ON \"public\".\"t\" (\"a\");\\n';;\n"
+        "esac\n"
+    )
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+
+    pre, post = pg_dump_sections("jdbc:postgresql://x/db", pg_dump_bin=str(stub))
+    # the pg_dump comment banner stays attached to the first statement
+    # (comments are valid SQL; replay is unchanged)
+    assert len(pre) == 1
+    assert pre[0].endswith('CREATE TABLE "public"."t" (\n "a" integer NOT NULL\n)')
+    assert post[0].startswith('ALTER TABLE "public"."t" ADD CONSTRAINT')
+    assert len(post) == 2 and post[1].startswith("CREATE INDEX")
+    calls = log.read_text().strip().splitlines()
+    for call, section in zip(calls, ("pre-data", "post-data")):
+        args = call.split()
+        # the reference's exact flag set, connection as a libpq URI
+        assert args[0] == "-BO"
+        assert "--disable-dollar-quoting" in args and "--no-acl" in args
+        assert "--quote-all-identifiers" in args
+        assert args[args.index("--section") + 1] == section
+        assert args[args.index("--dbname") + 1] == "postgresql://x/db"
+
+
+def test_pg_dump_sections_missing_binary():
+    import pytest as _pytest
+
+    from slice_db_spark.sources.ddl import pg_dump_sections
+
+    with _pytest.raises(RuntimeError, match="exited|not found"):
+        pg_dump_sections("jdbc:postgresql://nohost:1/db", pg_dump_bin="/nonexistent/pg_dump")

@@ -146,3 +146,49 @@ def test_deferred_cyclic_restore_live(spark, pg_exec, tmp_path):
         }
     finally:
         pg_exec("DROP TABLE IF EXISTS ring")
+
+
+def test_pg_dump_ddl_roundtrip_live(spark, pg_fixture, pg_exec, tmp_path):
+    """The reference's `test/test_dump.py:107-166` flow: capture rows +
+    REAL pg_dump DDL sections, drop the tables, replay pre-data, restore
+    rows, replay post-data — constraints and all."""
+    from slice_db_spark.config.model import Root
+    from slice_db_spark.plans.restore import restore_to_jdbc
+    from slice_db_spark.plans.subset import Subsetter
+    from slice_db_spark.sources.ddl import pg_dump_sections, split_statements
+    from slice_db_spark.sources.pg_schema import introspect, jdbc_snapshot_catalog
+    from slice_db_spark.sources.slice import read_slice, read_slice_schema, write_slice
+
+    pre, post = pg_dump_sections(PG_URL)
+    assert any("CREATE TABLE" in s and '"parent"' in s for s in pre)
+    assert any("FOREIGN KEY" in s for s in post)
+
+    cfg = introspect(spark, PG_URL)
+    for r in cfg.references.values():
+        r.directions = ["forward", "reverse"]
+    cfg = type(cfg)(
+        tables={k: v for k, v in cfg.tables.items() if k in ("public.parent", "public.child")},
+        references=cfg.references,
+        sequences={},
+    )
+    for t in cfg.tables.values():
+        t.id_columns = ["id"]
+    catalog = jdbc_snapshot_catalog(spark, PG_URL, cfg)
+    eng = Subsetter(spark, catalog, cfg)
+    tables = eng.export(eng.run([Root("public.parent", "id = 1")]))
+    out = str(tmp_path / "slice")
+    write_slice(tables, cfg, out, pre_data=pre, post_data=post)
+
+    pg_exec("DROP TABLE child; DROP TABLE parent")
+
+    back, manifest = read_slice(spark, out)
+    pre2, post2 = read_slice_schema(out, manifest)
+    for stmt in pre2:
+        pg_exec(stmt)
+    restore_to_jdbc(back, cfg, PG_URL)
+    for stmt in post2:
+        pg_exec(stmt)
+
+    got = jdbc_snapshot_catalog(spark, PG_URL, cfg)
+    assert {r["id"] for r in got["public.parent"].collect()} == {1}
+    assert {(r["id"], r["parent_id"]) for r in got["public.child"].collect()} == {(1, 1), (2, 1)}
