@@ -185,6 +185,19 @@ def cmd_schema_filter(args) -> int:
     return 0
 
 
+def cmd_schema(args) -> int:
+    """The reference's first-run entry point (`slice_db/cli/schema.py:9-14`):
+    introspect a live database's pg_catalog over JDBC and print the schema
+    config JSON (edit by hand, then feed to ``dump --schema``)."""
+    from .session import get_spark
+    from .sources.pg_schema import introspect
+
+    spark = get_spark("slicedb-schema")
+    cfg = introspect(spark, args.url)
+    print(cfg.dumps())
+    return 0
+
+
 def cmd_schema_infer(args) -> int:
     import pyarrow.parquet as pq
 
@@ -268,6 +281,10 @@ def main(argv: list[str] | None = None) -> int:
     sf.add_argument("--schema", required=True)
     sf.add_argument("tables", nargs="+")
     sf.set_defaults(fn=cmd_schema_filter)
+
+    sc = sub.add_parser("schema", help="introspect a live database into a schema config")
+    sc.add_argument("--url", required=True, help="JDBC URL (jdbc:postgresql://...)")
+    sc.set_defaults(fn=cmd_schema)
 
     si = sub.add_parser("schema-infer", help="schema config skeleton from parquet dir")
     si.add_argument("input")

@@ -124,6 +124,59 @@ def introspect(spark: SparkSession, url: str, properties: dict | None = None) ->
     return assemble_schema([x.asDict() for x in t], [x.asDict() for x in r], [x.asDict() for x in s])
 
 
+class SnapshotExport:
+    """Master-connection snapshot export (`pg_export_snapshot`, the
+    reference's parallel-dump consistency anchor,
+    `slice_db/dump.py:126-144`): opens ONE JVM connection, starts a
+    REPEATABLE READ transaction, exports its snapshot id, and — critically
+    — HOLDS the transaction open, because an exported snapshot is only
+    attachable (``SET TRANSACTION SNAPSHOT``) while the exporting
+    transaction lives.  Use as a context manager around the whole read:
+
+        with SnapshotExport(spark, url) as snap:
+            catalog = jdbc_snapshot_catalog(spark, url, cfg, snap.snapshot_id)
+            ...materialize every read...
+
+    Exiting rolls back (the master transaction only reads) and closes."""
+
+    def __init__(self, spark: SparkSession, url: str):
+        self._conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            self._conn.setAutoCommit(False)
+            st = self._conn.createStatement()
+            st.execute("BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ")
+            rs = st.executeQuery("SELECT pg_export_snapshot()")
+            rs.next()
+            self.snapshot_id: str = rs.getString(1)
+            rs.close()
+            st.close()
+        except Exception:
+            self._conn.close()
+            raise
+
+    def __enter__(self) -> "SnapshotExport":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def close(self) -> None:
+        if self._conn is not None:
+            try:
+                self._conn.rollback()
+            finally:
+                self._conn.close()
+                self._conn = None
+
+
+def export_snapshot(spark: SparkSession, url: str) -> SnapshotExport:
+    """Convenience constructor mirroring the reference's
+    ``pg_export_snapshot()`` acquisition; returns the open
+    :class:`SnapshotExport` whose ``snapshot_id`` feeds
+    :func:`jdbc_snapshot_catalog`."""
+    return SnapshotExport(spark, url)
+
+
 def snapshot_session_init(snapshot_id: str) -> str:
     """The per-connection init pinning every JDBC partition reader to one
     exported snapshot — the reference's worker-connection setup

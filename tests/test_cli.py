@@ -147,3 +147,39 @@ def test_dump_restore_zip_cli(spark, schema_json, tmp_path):
     assert order.index("customer") < order.index("orders")
     got = spark.read.parquet(os.path.join(target, "orders")).count()
     assert got == rows["orders"]
+
+
+def test_schema_cli_emits_config_json(monkeypatch):
+    """`schema --url`: introspects and prints a round-trippable schema
+    config (introspection itself is unit-tested in test_pg_schema; live in
+    test_pg_live)."""
+    from slice_db_spark.config.model import SchemaConfig
+    from slice_db_spark.sources import pg_schema
+
+    cfg = SchemaConfig.from_dict({
+        "tables": {
+            "public.parent": {"name": "parent", "schema": "public",
+                              "columns": ["id"], "idColumns": ["id"]},
+            "public.child": {"name": "child", "schema": "public",
+                             "columns": ["id", "parent_id"], "idColumns": ["id"]},
+        },
+        "references": {
+            "child_parent_fk": {
+                "table": "public.child", "columns": ["parent_id"],
+                "referenceTable": "public.parent", "referenceColumns": ["id"],
+            }
+        },
+    })
+    seen = {}
+
+    def fake_introspect(spark, url, properties=None):
+        seen["url"] = url
+        return cfg
+
+    monkeypatch.setattr(pg_schema, "introspect", fake_introspect)
+    out = run_cli("schema", "--url", "jdbc:postgresql://h/db")
+    assert seen["url"] == "jdbc:postgresql://h/db"
+    back = SchemaConfig.loads(out)
+    back.validate()
+    assert back.tables["public.child"].columns == ["id", "parent_id"]
+    assert back.references["child_parent_fk"].reference_table == "public.parent"

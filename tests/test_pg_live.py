@@ -192,3 +192,38 @@ def test_pg_dump_ddl_roundtrip_live(spark, pg_fixture, pg_exec, tmp_path):
     got = jdbc_snapshot_catalog(spark, PG_URL, cfg)
     assert {r["id"] for r in got["public.parent"].collect()} == {1}
     assert {(r["id"], r["parent_id"]) for r in got["public.child"].collect()} == {(1, 1), (2, 1)}
+
+
+def test_schema_cli_live(spark, pg_fixture, capsys):
+    """`slicedb schema` equivalent: the first command a migrating user
+    runs (`slice_db/cli/schema.py:9-14`)."""
+    import json as _json
+
+    from slice_db_spark import cli
+
+    rc = cli.main(["schema", "--url", PG_URL])
+    assert rc == 0
+    cfg = _json.loads(capsys.readouterr().out)
+    assert cfg["tables"]["public.parent"]["columns"] == ["id"]
+    assert any(r["table"] == "public.child" for r in cfg["references"].values())
+
+
+def test_export_snapshot_live(spark, pg_fixture, pg_exec):
+    """pg_export_snapshot acquisition: reads pinned to the exported
+    snapshot must not see rows committed after the export."""
+    from slice_db_spark.sources.pg_schema import export_snapshot, introspect, jdbc_snapshot_catalog
+
+    cfg = introspect(spark, PG_URL)
+    cfg = type(cfg)(
+        tables={k: v for k, v in cfg.tables.items() if k == "public.parent"},
+        references={}, sequences={},
+    )
+    with export_snapshot(spark, PG_URL) as snap:
+        assert ":" in snap.snapshot_id or "-" in snap.snapshot_id
+        pg_exec("INSERT INTO parent (id) VALUES (99)")
+        cat = jdbc_snapshot_catalog(spark, PG_URL, cfg, snapshot_id=snap.snapshot_id)
+        ids = {r["id"] for r in cat["public.parent"].collect()}
+        assert 99 not in ids and ids == {1, 2}
+    # without the snapshot the new row is visible
+    cat2 = jdbc_snapshot_catalog(spark, PG_URL, cfg)
+    assert 99 in {r["id"] for r in cat2["public.parent"].collect()}
