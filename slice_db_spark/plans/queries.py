@@ -593,6 +593,40 @@ def dedup_embedding(spark, sf_dir):
     )
 
 
+# production-selectivity config: r = 32/4 = 8 bits per band prunes
+# unrelated pairs to ~4·(1/2)^8 ≈ 1.5% of all-pairs (vs ~22% for the r=4
+# demo above) while keeping recall 1.0 for exact duplicates (identical
+# vectors share every band)
+DEDUP_HI_PLANES = similarity.random_planes(32, 64, seed="dedup-hi")
+DEDUP_HI_THRESHOLD = 0.9
+DEDUP_HI_BANDS = 4
+DEDUP_HI_SEED_N = 20
+DEDUP_HI_OFFSET = 100000
+
+
+def dedup_embedding_hi(spark, sf_dir):
+    """Near-dup detection at a PRODUCTION threshold (cosine ≥ 0.9) and
+    production LSH selectivity (r=8).  The synthetic embeddings have no
+    natural ≥0.9 pairs, so the query seeds exact duplicates (id-offset
+    copies of the first 20 vectors — pure deterministic arithmetic the
+    oracle mirrors with UNION ALL): each seeded pair MUST come back with
+    sim 1.0 — banding cannot drop an identical-signature pair — which
+    makes the gate verify recall, not just selectivity."""
+    emb = catalog(spark, sf_dir)["embeddings"]
+    base = emb.select("vec_id", "embedding")
+    seeded = base.unionByName(
+        base.where(F.col("vec_id") < DEDUP_HI_SEED_N).select(
+            (F.col("vec_id") + DEDUP_HI_OFFSET).alias("vec_id"), "embedding"
+        )
+    )
+    return similarity.embedding_near_pairs(
+        seeded,
+        threshold=DEDUP_HI_THRESHOLD,
+        planes=DEDUP_HI_PLANES,
+        bands=DEDUP_HI_BANDS,
+    )
+
+
 def _media_decoded(spark, sf_dir):
     docs = catalog(spark, sf_dir)["documents"]
     return multimodal.decode_media(multimodal.attach_payload(docs, "doc_id", "text"))
@@ -1093,6 +1127,30 @@ scored AS (
 SELECT id_a, id_b, sim FROM scored WHERE sim >= {DEDUP_EMB_THRESHOLD}
 """
 
+    rh = len(DEDUP_HI_PLANES) // DEDUP_HI_BANDS
+    o["dedup_embedding_hi"] = f"""
+WITH seeded AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {DEDUP_HI_OFFSET}, embedding FROM embeddings WHERE vec_id < {DEDUP_HI_SEED_N}),
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM seeded),
+s AS (SELECT vec_id, {similarity.signature_sql('v', DEDUP_HI_PLANES)} AS sig FROM v),
+b AS (SELECT vec_id, band,
+        array_to_string(list_transform(list_slice(sig, band * {rh} + 1, band * {rh} + {rh}),
+                                       x -> CAST(x AS VARCHAR)), '') AS key
+      FROM s CROSS JOIN (SELECT unnest(range({DEDUP_HI_BANDS})) AS band)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2 USING (band, key) WHERE a.vec_id < b2.vec_id),
+scored AS (
+  SELECT id_a, id_b,
+    round(list_sum(list_transform(range(1, len(va.v) + 1), i -> va.v[i] * vb.v[i]))
+      / (sqrt(list_sum(list_transform(va.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(vb.v, x -> x * x)))), 6) AS sim
+  FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b)
+SELECT id_a, id_b, sim FROM scored WHERE sim >= {DEDUP_HI_THRESHOLD}
+"""
+
     # the multimodal stub decoder is md5-derived (operators/multimodal.py:
     # _stub_decode), so DuckDB reproduces it from md5(text); features are
     # 16-bit windows of the digest at byte offsets (4+2i) mod 16, i.e. hex
@@ -1174,6 +1232,7 @@ def queries():
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "dedup_embedding": dedup_embedding,
+        "dedup_embedding_hi": dedup_embedding_hi,
         "media_decode": media_decode,
         "media_frames": media_frames,
         "media_resize": media_resize,

@@ -60,3 +60,38 @@ def test_ivf_topk_hits_are_true_cosines(catalog):
               for r in similarity.brute_force_topk(corpus, q, k=5).collect()}.items())}
     recall = len(set(ivf) & top5) / len(top5)
     assert recall >= 0.4, recall
+
+
+def test_embedding_near_dup_production_selectivity(spark, catalog):
+    """The r=8 production gate (32 planes / 4 bands): the banded-LSH
+    candidate set must be a small fraction of all-pairs, and identical
+    vectors (the true near-dups at threshold >= 0.9) must ALWAYS survive
+    banding — recall 1.0 by construction for exact duplicates."""
+    from pyspark.sql import functions as F
+
+    emb = catalog["embeddings"].select("vec_id", "embedding")
+    n = emb.count()
+    planes = similarity.random_planes(32, 64, seed="dedup-hi")
+    # threshold=-1 keeps every verified candidate -> output == candidate set
+    cands = similarity.embedding_near_pairs(
+        emb, threshold=-1.0, planes=planes, bands=4
+    ).count()
+    all_pairs = n * (n - 1) / 2
+    assert cands < 0.05 * all_pairs, (
+        f"candidate volume {cands} is {cands / all_pairs:.1%} of all-pairs; "
+        "r=8 should prune to ~1.5%"
+    )
+
+    seeded = emb.unionByName(
+        emb.where(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    out = similarity.embedding_near_pairs(
+        seeded, threshold=0.9, planes=planes, bands=4
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    assert {(i, i + 100000) for i in range(10)} <= got
+    for r in out:
+        if r.id_b == r.id_a + 100000:
+            assert r.sim == 1.0
