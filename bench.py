@@ -46,10 +46,85 @@ HEADLINE = [
     "ann_lsh",
     "ann_ivf",
     "dedup_embedding",
+    "dedup_embedding_hi",
     "media_decode",
     "media_frames",
     "media_resize",
 ]
+
+# dedup/ANN queries re-run against a FACTOR×-scaled corpus so posting-list
+# and candidate-volume blowups show up as numbers (set SPARK_GRAFT_SWEEP=0
+# to skip, or to another integer factor)
+SWEEP = [
+    "dedup_exact",
+    "dedup_jaccard",
+    "minhash_lsh",
+    "dedup_clusters",
+    "simhash_pairs",
+    "dedup_embedding",
+    "ann_lsh",
+    "ann_ivf",
+]
+
+
+def build_scaled_corpus(spark, sf_dir: str, factor: int, out_dir: str) -> None:
+    """Materialize a factor× documents/embeddings corpus (one-time setup,
+    NOT timed).  Copies must look like NEW content, not duplicates — a
+    verbatim k× replication would add k² cross-copy duplicate pairs and
+    measure an artificial pair blowup instead of corpus growth:
+
+    * documents: per-copy Caesar rotation of the letters (``translate``,
+      JVM-side) keeps length/token/df structure but makes shingles
+      disjoint across copies;
+    * embeddings: per-copy deterministic sign-flip pattern preserves
+      within-copy cosine structure (cos(s·a, s·b) = cos(a, b)) while
+      decorrelating copies.
+    """
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    parts = [docs]
+    for i in range(1, factor):
+        rot = alpha[i:] + alpha[:i]
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + i * 100_000_000).alias("doc_id"),
+                F.translate("text", alpha + alpha.upper(), rot + rot.upper()).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    scaled_docs = parts[0]
+    for p in parts[1:]:
+        scaled_docs = scaled_docs.unionByName(p)
+    scaled_docs.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+    parts = [emb]
+    for i in range(1, factor):
+        signs = [
+            1.0 if hashlib.md5(f"sweep:{i}:{j}".encode()).digest()[0] % 2 else -1.0
+            for j in range(dim)
+        ]
+        sarr = F.array(*[F.lit(s) for s in signs])
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + i * 100_000_000).alias("vec_id"),
+                F.zip_with("embedding", sarr, lambda x, s: (x * s).cast("float")).alias(
+                    "embedding"
+                ),
+                "label",
+            )
+        )
+    scaled_emb = parts[0]
+    for p in parts[1:]:
+        scaled_emb = scaled_emb.unionByName(p)
+    scaled_emb.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
 
 def main():
@@ -86,13 +161,35 @@ def main():
         times[name] = round(time.time() - t0, 3)
         print(f"# {name}: {times[name]}s", file=sys.stderr)
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+
+    out = {
         "metric": "total_sec",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
-    }))
+    }
+
+    factor = int(os.environ.get("SPARK_GRAFT_SWEEP", "4"))
+    if factor > 1:
+        import tempfile
+
+        sweep_dir = tempfile.mkdtemp(prefix="bench_sweep_")
+        build_scaled_corpus(spark, sf_dir, factor, sweep_dir)  # setup, untimed
+        spark.catalog.clearCache()  # drop memoized 1x shingle/pair caches
+        sweep_times: dict[str, float] = {}
+        for name in SWEEP:
+            t0 = time.time()
+            qs[name](spark, sweep_dir).write.format("noop").mode("overwrite").save()
+            sweep_times[name] = round(time.time() - t0, 3)
+            print(f"# {name}@{factor}x: {sweep_times[name]}s", file=sys.stderr)
+        out["scale_sweep"] = {
+            "factor": factor,
+            "base": {k: times[k] for k in SWEEP if k in times},
+            "queries": sweep_times,
+        }
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

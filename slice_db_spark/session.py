@@ -119,8 +119,16 @@ def normalize_timestamps(df, path: str | None = None):
     if path is not None:
         import pyarrow.parquet as pq
 
-        arrow_schema = pq.read_schema(path)
-        ns_fields = {f.name for f in arrow_schema if str(f.type) == "timestamp[ns]"}
+        # path may be a single fixture file or a Spark-written directory;
+        # any one part file carries the (uniform) schema
+        if os.path.isdir(path):
+            parts = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            path = os.path.join(path, parts[0]) if parts else None
+        if path is not None:
+            arrow_schema = pq.read_schema(path)
+            ns_fields = {f.name for f in arrow_schema if str(f.type) == "timestamp[ns]"}
     for field in df.schema.fields:
         if isinstance(field.dataType, T.LongType) and field.name in ns_fields:
             df = df.withColumn(
