@@ -405,6 +405,14 @@ def connected_components(
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     persisted = [edges, labels]
+    # Fixed-point detection: per-id labels only ever DECREASE (the min-agg
+    # includes the old label), so the label total strictly decreases until
+    # convergence — one aggregate on the already-persisted labels per
+    # round, replacing a left_anti join+count (a full extra shuffle of
+    # both label sets per round).  decimal(38,0) keeps the sum exact:
+    # 2^63-bounded reps × any realistic row count stays far below 10^38.
+    label_sum = F.sum(F.col("rep").cast("decimal(38,0)"))
+    prev_sum = labels.agg(label_sum).first()[0]
     for rounds in range(1, max_rounds + 1):
         nbr = edges.join(labels, edges["dst"] == labels["id"]).select(
             F.col("src").alias("id"), "rep"
@@ -419,18 +427,18 @@ def connected_components(
         else:
             new = new.persist(StorageLevel.MEMORY_AND_DISK)
             persisted.append(new)
-        # fixed point: any label lowered this round?
-        changed = new.join(labels, on=["id", "rep"], how="left_anti").count()
+        cur_sum = new.agg(label_sum).first()[0]
         labels = new
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         for df in persisted:
             df.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds "
-            f"({changed} labels still changing); raise max_rounds for "
-            "components of diameter beyond the budget"
+            "(labels still changing); raise max_rounds for components of "
+            "diameter beyond the budget"
         )
 
     out = labels.localCheckpoint(eager=True)

@@ -111,3 +111,18 @@ def test_results_invariant_to_shuffle_partitions(spark, catalog):
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert results[0] == results[1]
     assert all(len(x) > 0 for x in results[0])
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A component of diameter > max_rounds must RAISE, not silently
+    return partially-propagated labels (which are not component minima)."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_rounds=2)
+    # the same chain converges with budget >= its diameter
+    cc = dedup.connected_components(chain, max_rounds=30)
+    assert {r.rep for r in cc.collect()} == {0}
