@@ -144,11 +144,24 @@ def cmd_transform(args) -> int:
     over)."""
     from .functions.transforms import build_registry, transform_dataframe
     from .session import get_spark
-    from .sources.slice import read_slice, read_slice_schema, write_slice
+    from .sources.slice import (
+        read_slice,
+        read_slice_schema,
+        read_slice_zip,
+        write_slice,
+        write_slice_zip,
+    )
 
     schema = _load_schema(args.schema)
     spark = get_spark("slicedb-transform")
-    tables, manifest = read_slice(spark, args.input, fmt=args.format)
+    if args.format == "zip":
+        import tempfile
+
+        sections_dir = tempfile.mkdtemp(prefix="slice_transform_")
+        tables, manifest = read_slice_zip(spark, args.input, workdir=sections_dir)
+    else:
+        sections_dir = args.input
+        tables, manifest = read_slice(spark, args.input, fmt=args.format)
     with open(args.transform) as f:
         tcfg = json.load(f)
     pepper = args.pepper or secrets.token_hex(8)
@@ -166,12 +179,18 @@ def cmd_transform(args) -> int:
             if n in stateful_specs
         }
         tables[tid] = transform_dataframe(tables[tid], scalar, stateful=stateful)
-    pre, post = read_slice_schema(args.input, manifest)
+    pre, post = read_slice_schema(sections_dir, manifest)
     seqs = {sid: int(m["value"]) for sid, m in manifest.sequences.items()}
-    write_slice(
-        tables, schema, args.output, sequences=seqs, fmt=args.format,
-        pre_data=pre or None, post_data=post or None,
-    )
+    if args.format == "zip":
+        write_slice_zip(
+            tables, schema, args.output, sequences=seqs,
+            pre_data=pre or None, post_data=post or None,
+        )
+    else:
+        write_slice(
+            tables, schema, args.output, sequences=seqs, fmt=args.format,
+            pre_data=pre or None, post_data=post or None,
+        )
     print(json.dumps({"tables": sorted(tables)}))
     return 0
 
@@ -272,9 +291,9 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--transform", required=True)
     t.add_argument("--pepper", help="determinism pepper (random when omitted)")
     t.add_argument("--wordlist-dir", help="reference-layout wordlist directory")
-    t.add_argument("--format", choices=["parquet", "tsv"], default="parquet")
-    t.add_argument("input", help="slice dir")
-    t.add_argument("output", help="new slice dir")
+    t.add_argument("--format", choices=["parquet", "tsv", "zip"], default="parquet")
+    t.add_argument("input", help="slice dir (or .zip archive with --format zip)")
+    t.add_argument("output", help="new slice dir (or .zip path)")
     t.set_defaults(fn=cmd_transform)
 
     sf = sub.add_parser("schema-filter", help="children-closure reverse pruning")
