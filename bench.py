@@ -47,6 +47,7 @@ HEADLINE = [
     "ann_ivf",
     "dedup_embedding",
     "dedup_embedding_hi",
+    "corpus_pipeline",
     "media_decode",
     "media_frames",
     "media_resize",

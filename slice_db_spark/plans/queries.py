@@ -593,6 +593,40 @@ def dedup_embedding(spark, sf_dir):
     )
 
 
+PIPE_QUALITY_MIN = 0.48
+
+
+def corpus_pipeline(spark, sf_dir):
+    """The end-to-end curation pipeline a training-data run composes from
+    this engine's operators: quality filter → exact dedup → near-dup
+    pair detection (posting-list-capped Jaccard) → duplicate clustering →
+    canonical survivors.  Output: (doc_id, quality_score) of documents
+    that survive every stage.
+
+    Every stage is one of the individually-oracle-gated operators; this
+    query gates their COMPOSITION (filters must propagate through the
+    dedup stages, cluster losers must drop, survivors keep their scores).
+    Scale shape: the quality filter is a pure codegen map that prunes
+    before any shuffle; exact dedup shuffles only (hash, id); the pair
+    stage inherits the max_df posting-list cap; clustering consumes only
+    pair ids."""
+    docs = catalog(spark, sf_dir)["documents"]
+    scored = textops.quality_score(docs).select("doc_id", "quality_score")
+    kept_ids = scored.where(F.col("quality_score") >= PIPE_QUALITY_MIN)
+    kept = docs.join(kept_ids.select("doc_id"), "doc_id")
+    winners = dedup.exact_dedup(kept, ["text"]).select("doc_id")
+    corpus2 = kept.join(winners, "doc_id", "left_semi")
+    pairs = dedup.ngram_jaccard_pairs(corpus2, threshold=0.8, max_df=JACCARD_MAX_DF)
+    cc = dedup.connected_components(pairs)
+    losers = cc.where(F.col("rep") != F.col("id")).select(F.col("id").alias("doc_id"))
+    return (
+        corpus2.select("doc_id")
+        .join(losers, "doc_id", "left_anti")
+        .join(kept_ids, "doc_id")
+        .select("doc_id", "quality_score")
+    )
+
+
 # production-selectivity config: r = 32/4 = 8 bits per band prunes
 # unrelated pairs to ~4·(1/2)^8 ≈ 1.5% of all-pairs (vs ~22% for the r=4
 # demo above) while keeping recall 1.0 for exact duplicates (identical
@@ -1040,6 +1074,44 @@ SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM w
         FROM r
     """)
 
+    # composition gate: the full curation pipeline (quality -> exact ->
+    # jaccard pairs -> components -> survivors), each stage the same SQL
+    # as its individually-gated oracle, re-rooted on the filtered corpus
+    o["corpus_pipeline"] = f"""
+WITH RECURSIVE qual AS ({o['quality']}),
+kept AS (SELECT d.doc_id, d.text FROM documents d JOIN qual USING (doc_id)
+         WHERE qual.quality_score >= {PIPE_QUALITY_MIN}),
+winners AS (SELECT min(doc_id) AS doc_id FROM kept
+            GROUP BY {_hash64_sql("coalesce(CAST(text AS VARCHAR), chr(0))")}),
+k2 AS (SELECT kept.* FROM kept JOIN winners USING (doc_id)),
+st AS (SELECT DISTINCT doc_id, {_hash64_sql('s')} AS shingle
+       FROM (SELECT doc_id, unnest({_shingles_sql('text', 3)}) AS s FROM k2)),
+keepsh AS (SELECT shingle FROM st GROUP BY shingle
+           HAVING count(*) > 1 AND count(*) <= {JACCARD_MAX_DF}),
+p AS (SELECT st.* FROM st JOIN keepsh USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM st GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM p a JOIN p b USING (shingle) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+prs AS (
+  SELECT id_a, id_b
+  FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(shared / (sa.n + sb.n - shared), 6) >= 0.8),
+edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          UNION ALL SELECT id_b, id_a FROM prs),
+reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+losers AS (SELECT id FROM (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+           WHERE rep != id)
+SELECT k2.doc_id, qual.quality_score
+FROM k2 JOIN qual USING (doc_id)
+WHERE k2.doc_id NOT IN (SELECT id FROM losers)
+"""
+
+
     lang_rows = " UNION ALL ".join(
         f"SELECT '{lang}' AS lang, [{', '.join(repr(w) for w in ws)}] AS sw"
         for lang, ws in sorted(textops.STOPWORDS.items())
@@ -1233,6 +1305,7 @@ def queries():
         "ann_ivf": ann_ivf,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_hi": dedup_embedding_hi,
+        "corpus_pipeline": corpus_pipeline,
         "media_decode": media_decode,
         "media_frames": media_frames,
         "media_resize": media_resize,
