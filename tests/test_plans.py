@@ -81,3 +81,16 @@ def test_text_ops_are_codegen_only(plans):
     for name in ("token_stats", "bpe_tokens", "quality", "language_id", "doc_fingerprints"):
         p = plans(name)
         assert "EvalPython" not in p, name
+
+
+def test_jaccard_single_index_shuffle(plans):
+    """The posting-list Jaccard shape: ONE shuffle of the inverted index
+    (the shingle window) directly feeding collect_list with no re-shuffle
+    between them, then only the pair-count and two per-doc size
+    aggregates — 4 hash exchanges total.  Guards against the round-2
+    regression shape (groupBy + left_semi + self-join = extra full-index
+    shuffles)."""
+    plan = plans("dedup_jaccard")
+    assert plan.count("Exchange hashpartitioning") <= 4
+    # the df-cap filter runs inside the window stage, not as a join
+    assert "left_semi" not in plan.lower()
