@@ -367,12 +367,43 @@ def simhash_signatures(
     return st.groupBy(id_col).agg(*bit_aggs).select(F.col(id_col), sim.alias("simhash"))
 
 
+def _driver_components(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Union-find on the driver with min-id roots — the hybrid regime for
+    pair graphs under the budget (the subsetter's driver-regime argument,
+    `plans/subset.py`: LSH pair sets are orders of magnitude smaller than
+    the corpus, so a handful of distributed join rounds costs more in job
+    overhead than one collect + microseconds of union-find)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    rows = pairs.select(a_col, b_col).collect()
+    for a, b in rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:  # min id becomes the root -> rep = component min
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    out = [(x, find(x)) for x in parent]
+    id_type = dict(pairs.dtypes)[a_col]
+    return pairs.sparkSession.createDataFrame(out, f"id {id_type}, rep {id_type}")
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_rounds: int = 50,
     checkpoint_every: int = 5,
+    driver_rows: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: (id, rep)
     where ``rep`` is the smallest id reachable from ``id`` — the canonical
@@ -387,6 +418,12 @@ def connected_components(
     ids appearing in ``pairs`` are emitted; unpaired docs are their own
     implicit singletons.
 
+    Hybrid regime: pair graphs at or under ``driver_rows`` edges (decided
+    by a capped count, reading at most the cap) collect to the driver and
+    run union-find — near-dup pair sets are tiny relative to the corpus,
+    and per-round Spark job overhead dominates them.  Bigger graphs run
+    the distributed loop; ``driver_rows=0`` forces it.
+
     Raises ``RuntimeError`` if ``max_rounds`` is exhausted before the
     fixed point: partially-propagated labels are NOT component minima, and
     returning them silently would diverge from any exact oracle.  A
@@ -395,6 +432,9 @@ def connected_components(
     (large-star/small-star converges in O(log n) rounds).
     """
     from pyspark.storagelevel import StorageLevel
+
+    if driver_rows and pairs.limit(driver_rows + 1).count() <= driver_rows:
+        return _driver_components(pairs, a_col, b_col)
 
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = fwd.union(

@@ -84,11 +84,18 @@ def test_connected_components_match_union_find(catalog):
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     want = {x: find(x) for x in parent}
+    pairs_df = catalog["documents"].sparkSession.createDataFrame(
+        pairs, "id_a bigint, id_b bigint"
+    )
+    # driver_rows=0 forces the distributed min-label loop (the default
+    # driver regime IS a union-find — comparing it to itself proves nothing)
     got = {r["id"]: r["rep"] for r in
-           dedup.connected_components(
-               catalog["documents"].sparkSession.createDataFrame(
-                   pairs, "id_a bigint, id_b bigint")).collect()}
+           dedup.connected_components(pairs_df, driver_rows=0).collect()}
     assert got == want
+    # and the driver regime must agree with the distributed loop
+    got_driver = {r["id"]: r["rep"] for r in
+                  dedup.connected_components(pairs_df).collect()}
+    assert got_driver == got
 
 
 def test_results_invariant_to_shuffle_partitions(spark, catalog):
@@ -122,7 +129,9 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(12)], "id_a bigint, id_b bigint"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(chain, max_rounds=2)
-    # the same chain converges with budget >= its diameter
-    cc = dedup.connected_components(chain, max_rounds=30)
+        dedup.connected_components(chain, max_rounds=2, driver_rows=0)
+    # the same chain converges with budget >= its diameter; the driver
+    # regime (default) always converges
+    cc = dedup.connected_components(chain, max_rounds=30, driver_rows=0)
     assert {r.rep for r in cc.collect()} == {0}
+    assert {r.rep for r in dedup.connected_components(chain).collect()} == {0}
