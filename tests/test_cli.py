@@ -212,3 +212,21 @@ def test_transform_zip_slice(spark, schema_json, transform_json, tmp_path):
     for k in o:
         assert s[k]["c_name"] != o[k]["c_name"]      # gname scrub applied
         assert s[k]["c_acctbal"] == "\\N" or s[k]["c_acctbal"] is None  # wiped
+
+
+def test_dump_output_type_sql(spark, schema_json, tmp_path):
+    """dump --output-type sql: one executable script (the reference's SQL
+    output mode), schema sections included when requested."""
+    from slice_db_spark.sources.ddl import split_statements
+
+    script = str(tmp_path / "out.sql")
+    out = run_cli(
+        "dump", "--schema", schema_json, "--root", "customer", "c_custkey = 1",
+        "--include-schema", "--output-type", "sql", SF_DIR, script,
+    )
+    order = json.loads(out)["order"]
+    assert order.index("customer") < order.index("orders")
+    text = open(script).read()
+    assert 'COPY "customer"' in text or 'COPY "public"."customer"' in text
+    assert "CREATE TABLE" in text
+    assert text.index("CREATE TABLE") < text.index("COPY ")
