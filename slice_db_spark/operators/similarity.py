@@ -359,8 +359,24 @@ def embedding_near_pairs(
     p≈0.86) r=8–16 keeps recall high while pruning hard; low thresholds
     fundamentally force low selectivity (an LSH limitation, not an
     implementation one).
+
+    Verification cost: vectors are L2-normalized ONCE per row (O(n·dim))
+    so each candidate pair pays a single interpreted dot product instead
+    of dot + two norms — 3× less per-pair work, and the per-pair term is
+    what dominates at low r.  The DuckDB oracles mirror the exact
+    normalize-then-dot formula so 6-dp rounding agrees.
     """
-    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    c = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__r"))
+        # materialize the norm BEFORE the transform: an interpreted HOF
+        # re-evaluates its argument subtree per element, so an inline
+        # aggregate here would cost O(dim²) per row
+        .withColumn("__nrm", _norm(F.col("__r")))
+        .select(
+            F.col(id_col),
+            F.transform(F.col("__r"), lambda x: x / F.col("__nrm")).alias("__v"),
+        )
+    )
     if planes is None:
         a = c.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
         b = c.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
@@ -403,7 +419,7 @@ def embedding_near_pairs(
         )
     return (
         pairs.select(
-            "id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("sim")
+            "id_a", "id_b", F.round(_dot(F.col("__va"), F.col("__vb")), 6).alias("sim")
         )
         .where(F.col("sim") >= threshold)
     )

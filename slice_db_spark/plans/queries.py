@@ -1179,9 +1179,22 @@ SELECT q_id, vec_id, sim,
 FROM scored QUALIFY rank <= 5
 """
 
+    # normalize-then-dot mirrors operators/similarity.embedding_near_pairs:
+    # one normalization per vector, a single dot per candidate pair
+    _NORM_CTE = (
+        "r AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS r FROM {src}),\n"
+        "n AS (SELECT vec_id, sqrt(list_sum(list_transform(r, x -> x * x))) AS nrm, r FROM r),\n"
+        "v AS (SELECT vec_id, list_transform(r, x -> x / nrm) AS v FROM n)"
+    )
+    _DOT_SCORED = (
+        "scored AS (\n"
+        "  SELECT id_a, id_b,\n"
+        "    round(list_sum(list_transform(range(1, len(va.v) + 1), i -> va.v[i] * vb.v[i])), 6) AS sim\n"
+        "  FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b)"
+    )
     r = len(DEDUP_PLANES) // DEDUP_EMB_BANDS
     o["dedup_embedding"] = f"""
-WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+WITH {_NORM_CTE.format(src='embeddings')},
 s AS (SELECT vec_id, {similarity.signature_sql('v', DEDUP_PLANES)} AS sig FROM v),
 b AS (SELECT vec_id, band,
         array_to_string(list_transform(list_slice(sig, band * {r} + 1, band * {r} + {r}),
@@ -1190,12 +1203,7 @@ b AS (SELECT vec_id, band,
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
   FROM b a JOIN b b2 USING (band, key) WHERE a.vec_id < b2.vec_id),
-scored AS (
-  SELECT id_a, id_b,
-    round(list_sum(list_transform(range(1, len(va.v) + 1), i -> va.v[i] * vb.v[i]))
-      / (sqrt(list_sum(list_transform(va.v, x -> x * x)))
-         * sqrt(list_sum(list_transform(vb.v, x -> x * x)))), 6) AS sim
-  FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b)
+{_DOT_SCORED}
 SELECT id_a, id_b, sim FROM scored WHERE sim >= {DEDUP_EMB_THRESHOLD}
 """
 
@@ -1205,7 +1213,7 @@ WITH seeded AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + {DEDUP_HI_OFFSET}, embedding FROM embeddings WHERE vec_id < {DEDUP_HI_SEED_N}),
-v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM seeded),
+{_NORM_CTE.format(src='seeded')},
 s AS (SELECT vec_id, {similarity.signature_sql('v', DEDUP_HI_PLANES)} AS sig FROM v),
 b AS (SELECT vec_id, band,
         array_to_string(list_transform(list_slice(sig, band * {rh} + 1, band * {rh} + {rh}),
@@ -1214,12 +1222,7 @@ b AS (SELECT vec_id, band,
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
   FROM b a JOIN b b2 USING (band, key) WHERE a.vec_id < b2.vec_id),
-scored AS (
-  SELECT id_a, id_b,
-    round(list_sum(list_transform(range(1, len(va.v) + 1), i -> va.v[i] * vb.v[i]))
-      / (sqrt(list_sum(list_transform(va.v, x -> x * x)))
-         * sqrt(list_sum(list_transform(vb.v, x -> x * x)))), 6) AS sim
-  FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b)
+{_DOT_SCORED}
 SELECT id_a, id_b, sim FROM scored WHERE sim >= {DEDUP_HI_THRESHOLD}
 """
 
