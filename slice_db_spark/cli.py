@@ -132,20 +132,41 @@ def cmd_dump(args) -> int:
 
 
 def cmd_restore(args) -> int:
-    from .plans.restore import restore_to_parquet
+    from .plans.restore import restore_to_jdbc_with_schema, restore_to_parquet
     from .session import get_spark
-    from .sources.slice import read_slice
+    from .sources.slice import read_slice, read_slice_schema
 
     schema = _load_schema(args.schema)
     spark = get_spark("slicedb-restore")
     if args.format == "zip":
+        import tempfile
+
         from .sources.slice import read_slice_zip
 
-        tables, manifest = read_slice_zip(spark, args.input)
+        sections_dir = tempfile.mkdtemp(prefix="slice_restore_")
+        tables, manifest = read_slice_zip(spark, args.input, workdir=sections_dir)
     else:
+        sections_dir = args.input
         tables, manifest = read_slice(spark, args.input, fmt=args.format)
     seqs = {sid: int(m["value"]) for sid, m in manifest.sequences.items()}
-    order = restore_to_parquet(tables, schema, args.output, sequences=seqs)
+    if args.url:
+        pre = post = None
+        if args.include_schema:
+            pre, post = read_slice_schema(sections_dir, manifest)
+        order = restore_to_jdbc_with_schema(
+            tables,
+            schema,
+            args.url,
+            sequences=seqs,
+            pre_data=pre,
+            post_data=post,
+            defer_constraints=args.defer_constraints,
+        )
+    else:
+        if not args.output:
+            print("restore: an output dir (or --url) is required", file=sys.stderr)
+            return 2
+        order = restore_to_parquet(tables, schema, args.output, sequences=seqs)
     print(json.dumps({"order": order, "sequences": seqs}))
     return 0
 
@@ -303,8 +324,19 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("restore", help="materialize a slice in FK order")
     r.add_argument("--schema", required=True)
     r.add_argument("--format", choices=["parquet", "tsv", "zip"], default="parquet")
+    r.add_argument("--url", help="restore into a live database (JDBC URL) instead of parquet")
+    r.add_argument(
+        "--include-schema",
+        action="store_true",
+        help="with --url: replay the slice's pre-data DDL before rows and post-data after",
+    )
+    r.add_argument(
+        "--defer-constraints",
+        action="store_true",
+        help="with --url: single transaction + SET CONSTRAINTS ALL DEFERRED (cyclic FKs)",
+    )
     r.add_argument("input", help="slice dir (or .zip archive with --format zip)")
-    r.add_argument("output", help="target dir")
+    r.add_argument("output", nargs="?", help="target parquet dir (omit with --url)")
     r.set_defaults(fn=cmd_restore)
 
     t = sub.add_parser("transform", help="re-scrub an existing slice")

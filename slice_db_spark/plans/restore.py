@@ -117,6 +117,49 @@ def restore_to_jdbc(
     return order
 
 
+def restore_to_jdbc_with_schema(
+    tables: dict[str, DataFrame],
+    schema: SchemaConfig,
+    url: str,
+    sequences: dict[str, int] | None = None,
+    pre_data: list[str] | None = None,
+    post_data: list[str] | None = None,
+    defer_constraints: bool = False,
+) -> list[str]:
+    """The reference's full live-database restore (`slice_db/restore.py:
+    49-115`): replay pre-data DDL, load rows in FK order, apply sequence
+    values with setval-if-greater semantics, replay post-data DDL.
+
+    DDL and setval run on one autocommit JDBC connection (each statement
+    visible before the parallel Spark writers start); rows go through
+    :func:`restore_to_jdbc`, or :func:`restore_to_jdbc_deferred` when
+    ``defer_constraints`` (cyclic schemas / deferrable constraints)."""
+    spark = next(iter(tables.values())).sparkSession
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        for stmt in pre_data or ():
+            st.execute(stmt)
+        if defer_constraints:
+            order = restore_to_jdbc_deferred(tables, schema, url)
+        else:
+            order = restore_to_jdbc(tables, schema, url)
+        for sid, value in (sequences or {}).items():
+            s = schema.sequences.get(sid)
+            name = s.name if s and s.name else sid
+            target = f'"{s.schema}"."{name}"' if s and s.schema else f'"{name}"'
+            st.execute(
+                f"SELECT pg_catalog.setval('{target}', {int(value)}) "
+                f"WHERE (SELECT last_value FROM {target}) < {int(value)}"
+            )
+        for stmt in post_data or ():
+            st.execute(stmt)
+        st.close()
+    finally:
+        conn.close()
+    return order
+
+
 def _copy_line(df: DataFrame) -> DataFrame:
     """Render each row as one PostgreSQL COPY text line (JVM-side: the
     slice sink's escape pipeline, so the driver only relays bytes).

@@ -227,3 +227,52 @@ def test_export_snapshot_live(spark, pg_fixture, pg_exec):
     # without the snapshot the new row is visible
     cat2 = jdbc_snapshot_catalog(spark, PG_URL, cfg)
     assert 99 in {r["id"] for r in cat2["public.parent"].collect()}
+
+
+def test_cli_restore_url_live(spark, pg_fixture, pg_exec, tmp_path):
+    """Full CLI loop against a live database: dump a .zip slice with real
+    pg_dump DDL, drop the tables, `restore --url --include-schema` —
+    the reference's own end-to-end (`test/test_dump.py:107-166`), driven
+    entirely through this repo's CLI."""
+    import json as _json
+
+    from slice_db_spark import cli
+    from slice_db_spark.sources.pg_schema import introspect
+
+    cfg = introspect(spark, PG_URL)
+    for r in cfg.references.values():
+        r.directions = ["forward", "reverse"]
+    cfg = type(cfg)(
+        tables={k: v for k, v in cfg.tables.items() if k in ("public.parent", "public.child")},
+        references=cfg.references, sequences={},
+    )
+    for t in cfg.tables.values():
+        t.id_columns = ["id"]
+    schema_file = tmp_path / "schema.json"
+    schema_file.write_text(cfg.dumps())
+
+    # CLI dump reads parquet catalogs; stage the live tables to parquet
+    from slice_db_spark.sources.pg_schema import jdbc_snapshot_catalog
+
+    cat_dir = tmp_path / "cat"
+    cat_dir.mkdir()
+    for tid, df in jdbc_snapshot_catalog(spark, PG_URL, cfg).items():
+        df.write.parquet(str(cat_dir / f"{cfg.tables[tid].name}.parquet"))
+
+    zp = str(tmp_path / "s.zip")
+    rc = cli.main([
+        "dump", "--schema", str(schema_file), "--root", "public.parent", "id = 1",
+        "--include-schema", "--ddl-url", PG_URL, "--format", "zip",
+        str(cat_dir), zp,
+    ])
+    assert rc == 0
+
+    pg_exec("DROP TABLE child; DROP TABLE parent")
+    rc = cli.main([
+        "restore", "--schema", str(schema_file), "--format", "zip",
+        "--url", PG_URL, "--include-schema", zp,
+    ])
+    assert rc == 0
+    back = jdbc_snapshot_catalog(spark, PG_URL, cfg)
+    assert {r["id"] for r in back["public.parent"].collect()} == {1}
+    assert {(r["id"], r["parent_id"]) for r in back["public.child"].collect()} == {(1, 1), (2, 1)}
