@@ -37,19 +37,49 @@ def _load_schema(path: str):
 
 
 def cmd_dump(args) -> int:
-    from .config.model import Root
-    from .functions.transforms import build_registry, transform_dataframe
-    from .plans.subset import Subsetter
     from .session import get_spark
-    from .sources.slice import write_slice
 
     schema = _load_schema(args.schema)
     spark = get_spark("slicedb-dump")
-    catalog = {
-        tid: spark.read.parquet(os.path.join(args.input, f"{t.name}.parquet"))
-        for tid, t in schema.tables.items()
-        if os.path.exists(os.path.join(args.input, f"{t.name}.parquet"))
-    }
+    snap = None
+    if args.url and args.include_schema and not args.ddl_url:
+        args.ddl_url = args.url  # same database supplies rows and DDL
+    if args.url:
+        # live-database dump: every partition reader of every table pins
+        # the SAME exported snapshot — the reference's point-in-time
+        # guarantee; the master transaction stays open until the slice is
+        # fully written (see finally below)
+        from .sources.pg_schema import export_snapshot
+
+        snap = export_snapshot(spark, args.url)
+    try:
+        if snap is not None:
+            from .sources.pg_schema import jdbc_snapshot_catalog
+
+            catalog = jdbc_snapshot_catalog(
+                spark, args.url, schema, snapshot_id=snap.snapshot_id
+            )
+        else:
+            if not args.input:
+                print("dump: a catalog dir (or --url) is required", file=sys.stderr)
+                return 2
+            catalog = {
+                tid: spark.read.parquet(os.path.join(args.input, f"{t.name}.parquet"))
+                for tid, t in schema.tables.items()
+                if os.path.exists(os.path.join(args.input, f"{t.name}.parquet"))
+            }
+        return _dump_with_catalog(args, spark, schema, catalog)
+    finally:
+        if snap is not None:
+            snap.close()
+
+
+def _dump_with_catalog(args, spark, schema, catalog) -> int:
+    from .config.model import Root
+    from .functions.transforms import build_registry, transform_dataframe
+    from .plans.subset import Subsetter
+    from .sources.slice import write_slice
+
     roots = [Root(table, condition) for table, condition in args.root]
     eng = Subsetter(spark, catalog, schema)
     result = eng.run(roots)
@@ -284,6 +314,11 @@ def main(argv: list[str] | None = None) -> int:
 
     d = sub.add_parser("dump", help="capture a referentially-closed slice")
     d.add_argument("--schema", required=True, help="schema config JSON path")
+    d.add_argument(
+        "--url",
+        help="dump from a live database (JDBC URL) with one exported "
+        "snapshot pinning every reader, instead of a parquet catalog dir",
+    )
     d.add_argument("--root", nargs=2, action="append", required=True, metavar=("TABLE", "COND"))
     d.add_argument("--transform", help="transform config JSON path")
     d.add_argument("--pepper", help="determinism pepper (random when omitted)")
@@ -317,7 +352,9 @@ def main(argv: list[str] | None = None) -> int:
         help="sql = one executable SQL script (COPY blocks + setval; "
         "the reference's --output-type sql)",
     )
-    d.add_argument("input", help="catalog dir of <table>.parquet files")
+    d.add_argument(
+        "input", nargs="?", help="catalog dir of <table>.parquet files (omit with --url)"
+    )
     d.add_argument("output", help="slice output dir")
     d.set_defaults(fn=cmd_dump)
 

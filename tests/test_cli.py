@@ -230,3 +230,44 @@ def test_dump_output_type_sql(spark, schema_json, tmp_path):
     assert 'COPY "customer"' in text or 'COPY "public"."customer"' in text
     assert "CREATE TABLE" in text
     assert text.index("CREATE TABLE") < text.index("COPY ")
+
+
+def test_dump_url_arg_parsing(monkeypatch, tmp_path):
+    """`dump --url <jdbc> <output>`: the single positional must land on
+    output (catalog dir omitted); the snapshot-pinned live catalog is
+    requested and closed."""
+    from slice_db_spark.plans.tpch import tpch_schema
+    from slice_db_spark.sources import pg_schema
+
+    schema_file = tmp_path / "s.json"
+    schema_file.write_text(tpch_schema().dumps())
+    seen = {}
+
+    class FakeSnap:
+        snapshot_id = "00000003-00000002-1"
+
+        def close(self):
+            seen["closed"] = True
+
+    def fake_export(spark, url):
+        seen["url"] = url
+        return FakeSnap()
+
+    def fake_catalog(spark, url, schema, snapshot_id=None, **kw):
+        seen["snapshot_id"] = snapshot_id
+        raise RuntimeError("stop-after-catalog")
+
+    monkeypatch.setattr(pg_schema, "export_snapshot", fake_export)
+    monkeypatch.setattr(pg_schema, "jdbc_snapshot_catalog", fake_catalog)
+    import pytest as _pytest
+
+    from slice_db_spark import cli
+
+    with _pytest.raises(RuntimeError, match="stop-after-catalog"):
+        cli.main([
+            "dump", "--schema", str(schema_file), "--root", "customer", "c_custkey = 1",
+            "--url", "jdbc:postgresql://h/db", str(tmp_path / "out"),
+        ])
+    assert seen["url"] == "jdbc:postgresql://h/db"
+    assert seen["snapshot_id"] == "00000003-00000002-1"
+    assert seen.get("closed") is True

@@ -276,3 +276,41 @@ def test_cli_restore_url_live(spark, pg_fixture, pg_exec, tmp_path):
     back = jdbc_snapshot_catalog(spark, PG_URL, cfg)
     assert {r["id"] for r in back["public.parent"].collect()} == {1}
     assert {(r["id"], r["parent_id"]) for r in back["public.child"].collect()} == {(1, 1), (2, 1)}
+
+
+def test_cli_dump_url_live(spark, pg_fixture, pg_exec, tmp_path):
+    """dump --url: slice a LIVE database directly (snapshot-pinned
+    readers, pg_dump DDL from the same URL), no parquet staging."""
+    import json as _json
+
+    from slice_db_spark import cli
+    from slice_db_spark.sources.pg_schema import introspect, jdbc_snapshot_catalog
+
+    cfg = introspect(spark, PG_URL)
+    for r in cfg.references.values():
+        r.directions = ["forward", "reverse"]
+    cfg = type(cfg)(
+        tables={k: v for k, v in cfg.tables.items() if k in ("public.parent", "public.child")},
+        references=cfg.references, sequences={},
+    )
+    for t in cfg.tables.values():
+        t.id_columns = ["id"]
+    schema_file = tmp_path / "schema.json"
+    schema_file.write_text(cfg.dumps())
+
+    zp = str(tmp_path / "live.zip")
+    rc = cli.main([
+        "dump", "--schema", str(schema_file), "--root", "public.parent", "id = 1",
+        "--url", PG_URL, "--include-schema", "--format", "zip", zp,
+    ])
+    assert rc == 0
+
+    pg_exec("DROP TABLE child; DROP TABLE parent")
+    rc = cli.main([
+        "restore", "--schema", str(schema_file), "--format", "zip",
+        "--url", PG_URL, "--include-schema", zp,
+    ])
+    assert rc == 0
+    back = jdbc_snapshot_catalog(spark, PG_URL, cfg)
+    assert {r["id"] for r in back["public.parent"].collect()} == {1}
+    assert {(r["id"], r["parent_id"]) for r in back["public.child"].collect()} == {(1, 1), (2, 1)}
