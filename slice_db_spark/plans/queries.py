@@ -560,7 +560,11 @@ def ann_brute(spark, sf_dir):
 def ann_lsh(spark, sf_dir):
     emb = catalog(spark, sf_dir)["embeddings"]
     q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
-    df = similarity.lsh_topk(emb.where("vec_id >= 5"), q, ANN_PLANES, k=5, probe_hamming=1)
+    # n_queries hint: |Q| is known from the predicate, so the broadcast
+    # decision needs no eager capped-count job
+    df = similarity.lsh_topk(
+        emb.where("vec_id >= 5"), q, ANN_PLANES, k=5, probe_hamming=1, n_queries=5
+    )
     return df.select("q_id", "vec_id", "sim", F.col("rank").cast("bigint").alias("rank"))
 
 

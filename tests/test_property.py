@@ -97,3 +97,24 @@ def test_geozip_prefix_contract(z):
     assert out is not None and len(out) == 5 and out.isdigit()
     if text[:3] in zips_by_prefix():
         assert out[:3] == text[:3]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_regimes_agree(spark, edges):
+    """Driver union-find and the distributed min-label loop must produce
+    identical (id, rep) labelings on arbitrary pair graphs."""
+    from slice_db_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a bigint, id_b bigint"
+    )
+    driver = {tuple(r) for r in dedup.connected_components(pairs).collect()}
+    dist = {tuple(r) for r in dedup.connected_components(pairs, driver_rows=0).collect()}
+    assert driver == dist
