@@ -42,6 +42,9 @@ HEADLINE = [
     "bpe_tokens",
     "quality",
     "language_id",
+    "pii_scrub",
+    "decontam",
+    "repetition",
     "ann_brute",
     "ann_lsh",
     "ann_ivf",

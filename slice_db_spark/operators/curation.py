@@ -1,0 +1,257 @@
+"""Corpus-curation operators for training-data pipelines: PII scrubbing,
+deterministic train/val splits, benchmark decontamination, Gopher-style
+repetition statistics, and stratified source-mix sampling.
+
+These extend the reference's scrubbing surface (`slice_db/transform.py` —
+per-column pseudonymization for database slices) to the document-corpus
+shapes an LLM data pipeline needs.  Everything is built-in column
+expressions or broadcast/equi-joins — no Python UDFs, nothing driver-side.
+
+Scale notes (100 TB):
+
+* **PII scrub** — pure per-row regexp codegen, zero shuffle; patterns are
+  restricted to constructs Java regex and RE2 evaluate identically (no
+  lookarounds, ASCII classes) so the DuckDB oracles match bit-for-bit.
+* **Split assignment** — one md5 per row, zero shuffle.  Hash-based
+  bucketing (not ``rand()``) means membership is a pure function of the
+  id: re-runs, backfills, and incremental ingests land rows in the same
+  split without coordination — the property that makes the split safe to
+  recompute on any subset of the corpus.
+* **Decontamination** — the benchmark side is tiny relative to the corpus
+  (thousands of eval documents vs billions of training docs), so its
+  shingle set broadcasts and the corpus-side index never shuffles: one
+  map-side hash join + one aggregation keyed by doc id.
+* **Repetition stats** — one explode of non-distinct n-grams, then two
+  aggregations keyed by (doc, gram) and (doc): partitions with the input,
+  no hot keys beyond single-document size (bounded by max doc length).
+* **Stratified sampling** — pure per-row hash + broadcast of the
+  per-stratum fraction map, zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import shingle_table
+from .hashing import hash64
+from .text import normalize
+
+# ------------------------------------------------------------------ PII scrub
+
+#: Detection patterns, applied in this order (order matters for redaction:
+#: earlier redactions cannot create later matches because replacement
+#: tokens contain no digits or ``@``).  Each pattern works identically in
+#: Java regex (Spark) and RE2 (DuckDB): no lookarounds, no backrefs,
+#: ASCII classes only.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+]
+
+
+def pii_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Detect and redact PII in one projection (pure codegen, no shuffle).
+
+    Output: (id, n_email, n_ssn, n_phone, n_ipv4, n_pii, redacted).
+    Counts are computed on the ORIGINAL text; redaction applies the
+    patterns in :data:`PII_PATTERNS` order, which is unambiguous because
+    the replacement tokens can never complete a later pattern.
+    """
+    c = F.col(text_col)
+    cols = [F.col(id_col)]
+    total = F.lit(0).cast("bigint")
+    for name, pat in PII_PATTERNS:
+        cnt = F.regexp_count(c, F.lit(pat)).cast("bigint")
+        cols.append(cnt.alias(f"n_{name}"))
+        total = total + cnt
+    cols.append(total.alias("n_pii"))
+    redacted = c
+    for name, pat in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    cols.append(redacted.alias("redacted"))
+    return df.select(*cols)
+
+
+# ------------------------------------------------------- deterministic splits
+
+#: bucket space for split assignment; weights are expressed in 1/1000ths
+SPLIT_BUCKETS = 1000
+
+
+def split_bucket(id_col: Column | str, salt: str = "split") -> Column:
+    """Deterministic bucket in [0, SPLIT_BUCKETS) from the row id — a pure
+    function of (salt, id), so any engine or re-run reproduces it."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return hash64(F.concat(F.lit(salt + ":"), c.cast("string"))) % SPLIT_BUCKETS
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, int],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by deterministic hash bucketing.
+
+    ``weights`` maps split name → bucket width out of :data:`SPLIT_BUCKETS`
+    (e.g. ``{"train": 980, "val": 10, "test": 10}``); widths must sum to
+    ``SPLIT_BUCKETS`` so the assignment is total.  Output: (id, bucket,
+    split).  Splits are disjoint, exhaustive, and stable under corpus
+    growth — a document's split never changes when other documents are
+    added or removed (the decontamination-safe property).
+    """
+    if sum(weights.values()) != SPLIT_BUCKETS:
+        raise ValueError(f"split weights must sum to {SPLIT_BUCKETS}: {weights}")
+    b = split_bucket(id_col, salt)
+    expr = None
+    lo = 0
+    for name, width in weights.items():
+        cond = b < F.lit(lo + width)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo += width
+    return df.select(
+        F.col(id_col), b.cast("bigint").alias("bucket"), expr.alias("split")
+    )
+
+
+# ----------------------------------------------------------- decontamination
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: find training documents sharing ≥
+    ``min_overlap`` distinct word ``n``-grams with any benchmark document
+    (the published eval-overlap rule: drop or flag training docs that
+    contain eval n-grams; production pipelines use n≈13, the default here
+    is lower because the test corpus has short documents).
+
+    Output: (id, n_overlap) for corpus documents meeting the bar —
+    the flag set a pipeline anti-joins against its training corpus.
+
+    Scale shape: benchmark shingles deduplicate to a SMALL set (eval
+    suites are thousands of documents), so the join broadcasts and the
+    corpus index is consumed map-side — the corpus never shuffles until
+    the final doc-keyed count, which is keyed by (id) with per-doc bounded
+    cardinality.
+    """
+    corpus_st = shingle_table(corpus, text_col, id_col, n)
+    bench_sh = (
+        shingle_table(benchmark, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        corpus_st.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )
+
+
+# -------------------------------------------------------- repetition metrics
+
+
+def gram_table(
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, gram-hash) pairs over NON-distinct word n-grams — unlike
+    :func:`..dedup.shingle_table`, every occurrence is kept, because
+    repetition metrics need occurrence counts."""
+    from .dedup import _shingle_expr
+
+    toks = df.select(F.col(id_col), F.split(normalize(F.col(text_col)), " ").alias("__toks"))
+    return toks.select(
+        F.col(id_col),
+        F.explode(_shingle_expr(F.col("__toks"), n, distinct=False)).alias("__s"),
+    ).select(F.col(id_col), hash64(F.col("__s")).alias("gram"))
+
+
+def repetition_stats(
+    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics over word
+    ``n``-grams (Rae et al. 2021 repetition filters, the word-n-gram
+    family): documents dominated by a few repeated n-grams are
+    low-quality/degenerate text.
+
+    Output per document:
+
+    * ``n_grams``        — total n-gram occurrences
+    * ``n_distinct_grams``
+    * ``top_gram_frac``  — occurrences of the most frequent n-gram / total
+    * ``dup_gram_frac``  — occurrences of n-grams appearing more than once
+      / total
+
+    Shape: explode → count per (doc, gram) → aggregate per doc.  Both
+    shuffles are keyed by doc id (+ gram), so partitioning follows the
+    corpus and the only cardinality amplification is document length.
+    """
+    gt = gram_table(df, n, text_col, id_col)
+    per_gram = gt.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.max("c").alias("__top"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("__dup"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_distinct_grams").cast("bigint").alias("n_distinct_grams"),
+            F.round(F.col("__top") / F.col("n_grams"), 4).alias("top_gram_frac"),
+            F.round(F.col("__dup") / F.col("n_grams"), 4).alias("dup_gram_frac"),
+        )
+    )
+
+
+# ------------------------------------------------------- stratified sampling
+
+#: bucket space for stratified sampling fractions (1/10000 resolution)
+MIX_BUCKETS = 10_000
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the 'domain mixing' step
+    that reweights sources in a training corpus.
+
+    ``fractions`` maps stratum value → keep fraction in [0, 1]; strata not
+    listed are dropped.  A row is kept iff
+    ``hash64(salt:stratum:id) % MIX_BUCKETS < fraction · MIX_BUCKETS`` — a
+    pure row-local predicate (codegen, zero shuffle, no sampling state),
+    reproducible on any engine and stable under corpus growth.  Salting
+    the hash with the stratum decorrelates a row's fate across strata
+    reconfigurations.
+
+    Returns the kept rows of ``df`` (all original columns).
+    """
+    b = hash64(
+        F.concat(
+            F.lit(salt + ":"),
+            F.col(strata_col).cast("string"),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
+    ) % MIX_BUCKETS
+    expr = None
+    for value, frac in fractions.items():
+        cond = (F.col(strata_col) == F.lit(value)) & (b < F.lit(int(round(frac * MIX_BUCKETS))))
+        expr = cond if expr is None else expr | cond
+    if expr is None:
+        raise ValueError("fractions must not be empty")
+    return df.where(expr)

@@ -64,7 +64,7 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str = "doc_id") 
 # ---------------------------------------------------------------- shingles
 
 
-def _shingle_expr(toks, n: int):
+def _shingle_expr(toks, n: int, distinct: bool = True):
     """Shingle array over an ALREADY-MATERIALIZED token-array column.
 
     Built from O(1) ``get`` lookups, not ``slice`` (higher-order functions
@@ -76,13 +76,15 @@ def _shingle_expr(toks, n: int):
     re-evaluates its argument subtree per element, so passing the raw
     ``split(normalize(text))`` expression here costs
     O(positions × n × regex(len)) per document — materialize the tokens
-    in a projection first (see :func:`shingle_table`)."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0))),
-            lambda i: F.concat_ws(" ", *[F.get(toks, i + F.lit(j)) for j in range(n)]),
-        )
+    in a projection first (see :func:`shingle_table`).
+
+    ``distinct=False`` keeps every occurrence (repetition metrics need
+    occurrence counts; dedup paths always want the distinct set)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + F.lit(j)) for j in range(n)]),
     )
+    return F.array_distinct(grams) if distinct else grams
 
 
 def shingles(col, n: int = 3):

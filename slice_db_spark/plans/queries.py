@@ -23,7 +23,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..config.model import Root
-from ..operators import dedup, multimodal, similarity
+from ..operators import curation, dedup, multimodal, similarity
 from ..operators import text as textops
 from ..functions.transforms import build_registry, transform_dataframe
 from ..session import load_catalog
@@ -82,13 +82,15 @@ def _hash64_sql(e: str) -> str:
     return f"CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
 
 
-def _shingles_sql(c: str, n: int) -> str:
-    # mirrors operators.dedup.shingles: distinct word n-grams over tokens
+def _shingles_sql(c: str, n: int, distinct: bool = True) -> str:
+    # mirrors operators.dedup.shingles: word n-grams over tokens
+    # (distinct=False keeps occurrences — operators.curation.gram_table)
     toks = _toks_sql(c)
-    return (
-        f"list_distinct(list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1),"
-        f" i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+    grams = (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1),"
+        f" i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
     )
+    return f"list_distinct({grams})" if distinct else grams
 
 
 # shingle column = 60-bit md5 hash (matches operators.dedup.shingle_table:
@@ -545,6 +547,69 @@ def quality(spark, sf_dir):
 
 def language_id(spark, sf_dir):
     return textops.lang_id(catalog(spark, sf_dir)["documents"])
+
+
+# ------------------------------------------------------- corpus curation
+
+SPLIT_WEIGHTS = {"train": 900, "val": 50, "test": 50}
+DECONTAM_N = 4
+MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def _pii_blob(spark, sf_dir):
+    """Documents with a deterministic synthetic contact block appended —
+    the corpus itself is PII-free word salad, so the blob (a pure
+    arithmetic function of doc_id, mirrored in the oracle) gives every
+    PII class real matches to count and redact."""
+    docs = catalog(spark, sf_dir)["documents"]
+    d = F.col("doc_id")
+    blob = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"), F.lit("@mail.example.com"),
+        F.lit(" tel 555-"), (d % 900 + 100).cast("string"),
+        F.lit("-"), (d % 9000 + 1000).cast("string"),
+        F.lit(" ip 192.168."), (d % 256).cast("string"),
+        F.lit("."), ((d * 7) % 256).cast("string"),
+        F.lit(" ssn "), (d % 900 + 100).cast("string"),
+        F.lit("-"), (d % 90 + 10).cast("string"),
+        F.lit("-"), (d % 9000 + 1000).cast("string"),
+    )
+    return docs.select("doc_id", blob.alias("text"))
+
+
+def pii_scrub(spark, sf_dir):
+    """PII detection + redaction counts over the blob-augmented corpus
+    (every class fires on every row; the hashed result pins both the
+    counts and the redacted text byte-for-byte)."""
+    return curation.pii_stats(_pii_blob(spark, sf_dir))
+
+
+def split_assign(spark, sf_dir):
+    """Deterministic hash-bucketed train/val/test assignment."""
+    return curation.split_assign(catalog(spark, sf_dir)["documents"], SPLIT_WEIGHTS)
+
+
+def decontam(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing ≥1 distinct word
+    4-gram with the benchmark subset (doc_id % 97 == 0)."""
+    docs = catalog(spark, sf_dir)["documents"]
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return curation.decontaminate(corpus, bench, n=DECONTAM_N)
+
+
+def repetition(spark, sf_dir):
+    """Gopher-style word-2-gram repetition metrics per document."""
+    return curation.repetition_stats(catalog(spark, sf_dir)["documents"], n=2)
+
+
+def source_mix(spark, sf_dir):
+    """Stratified source-mix downsampling: deterministic per-source keep
+    fractions (the domain-reweighting step of a training-data run)."""
+    sampled = curation.stratified_sample(
+        catalog(spark, sf_dir)["documents"], MIX_FRACTIONS
+    )
+    return sampled.select("doc_id", "source")
 
 
 ANN_PLANES = similarity.random_planes(8, 64)
@@ -1131,6 +1196,82 @@ WHERE k2.doc_id NOT IN (SELECT id FROM losers)
         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) = 1
     """)
 
+    # curation: PII blob mirrors _pii_blob arithmetic exactly
+    blob = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'"
+        " || ' tel 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)"
+        " || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)"
+        " || ' ip 192.168.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+        " || ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR)"
+        " || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)"
+        " || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)"
+    )
+    pii_counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in curation.PII_PATTERNS
+    )
+    pii_total = " + ".join(f"n_{name}" for name, _ in curation.PII_PATTERNS)
+    red = "t"
+    for name, pat in curation.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    o["pii_scrub"] = _q(f"""
+        WITH b AS (SELECT doc_id, {blob} AS t FROM documents),
+        c AS (SELECT doc_id, {pii_counts}, {red} AS redacted FROM b)
+        SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4,
+               {pii_total} AS n_pii, redacted
+        FROM c
+    """)
+
+    _split_h = _hash64_sql("'split:' || CAST(doc_id AS VARCHAR)")
+    split_case = "CASE"
+    lo = 0
+    for nm, width in SPLIT_WEIGHTS.items():
+        lo += width
+        split_case += f" WHEN bucket < {lo} THEN '{nm}'"
+    split_case += " END"
+    o["split_assign"] = _q(f"""
+        WITH b AS (SELECT doc_id, {_split_h} % {curation.SPLIT_BUCKETS} AS bucket
+                   FROM documents)
+        SELECT doc_id, bucket, {split_case} AS split FROM b
+    """)
+
+    o["decontam"] = _q(f"""
+        WITH st AS (SELECT DISTINCT doc_id, {_hash64_sql('s')} AS shingle FROM
+               (SELECT doc_id, unnest({_shingles_sql('text', DECONTAM_N)}) AS s
+                FROM documents)),
+        bs AS (SELECT DISTINCT shingle FROM st WHERE doc_id % 97 = 0)
+        SELECT doc_id, count(*) AS n_overlap
+        FROM st JOIN bs USING (shingle)
+        WHERE doc_id % 97 != 0
+        GROUP BY doc_id
+        HAVING count(*) >= 1
+    """)
+
+    o["repetition"] = _q(f"""
+        WITH g AS (SELECT doc_id, {_hash64_sql('s')} AS gram FROM
+               (SELECT doc_id, unnest({_shingles_sql('text', 2, distinct=False)}) AS s
+                FROM documents)),
+        pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+        SELECT doc_id,
+          CAST(sum(c) AS BIGINT) AS n_grams,
+          CAST(count(*) AS BIGINT) AS n_distinct_grams,
+          round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_gram_frac,
+          round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE), 4)
+            AS dup_gram_frac
+        FROM pg GROUP BY doc_id
+    """)
+
+    _mix_h = _hash64_sql("'mix:' || source || ':' || CAST(doc_id AS VARCHAR)")
+    mix_pred = " OR ".join(
+        f"(source = '{v}' AND {_mix_h} % {curation.MIX_BUCKETS}"
+        f" < {int(round(frac * curation.MIX_BUCKETS))})"
+        for v, frac in MIX_FRACTIONS.items()
+    )
+    o["source_mix"] = _q(f"""
+        SELECT doc_id, source FROM documents WHERE {mix_pred}
+    """)
+
     o["ann_brute"] = f"""
 WITH {_ann_scored_sql(None, None)}
 SELECT q_id, vec_id, sim,
@@ -1307,6 +1448,11 @@ def queries():
         "bpe_tokens": bpe_tokens,
         "quality": quality,
         "language_id": language_id,
+        "pii_scrub": pii_scrub,
+        "split_assign": split_assign,
+        "decontam": decontam,
+        "repetition": repetition,
+        "source_mix": source_mix,
         "ann_brute": ann_brute,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,

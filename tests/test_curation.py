@@ -1,0 +1,163 @@
+"""Curation-operator contracts beyond the driver's oracle gate: PII
+redaction on crafted strings, split totality/stability, decontamination
+recall on planted overlaps, repetition metrics on degenerate text, and
+stratified-sample subset/determinism properties.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from slice_db_spark.operators import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ------------------------------------------------------------------ PII
+
+
+def test_pii_redacts_crafted_strings(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail a.b+c@sub.example.org now"),
+            (2, "call 555-123-4567 or 555.123.4567"),
+            (3, "host 10.0.0.1 ssn 123-45-6789"),
+            (4, "clean text, no identifiers here"),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in curation.pii_stats(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["redacted"] == "mail <EMAIL> now"
+    assert out[2]["n_phone"] == 2
+    assert out[2]["redacted"] == "call <PHONE> or <PHONE>"
+    assert out[3]["n_ipv4"] == 1 and out[3]["n_ssn"] == 1
+    assert out[3]["redacted"] == "host <IPV4> ssn <SSN>"
+    assert out[4]["n_pii"] == 0 and out[4]["redacted"] == df.collect()[3]["text"]
+    for r in out.values():
+        assert r["n_pii"] == r["n_email"] + r["n_ssn"] + r["n_phone"] + r["n_ipv4"]
+
+
+def test_pii_ssn_phone_disjoint(spark):
+    """A 3-3-4 phone must never be eaten by the 3-2-4 SSN pattern and
+    vice versa (redaction order independence for these classes)."""
+    df = _docs(spark, [(1, "p 555-123-4567 s 123-45-6789")])
+    r = curation.pii_stats(df).collect()[0]
+    assert r["n_phone"] == 1 and r["n_ssn"] == 1
+    assert r["redacted"] == "p <PHONE> s <SSN>"
+
+
+# ---------------------------------------------------------------- splits
+
+
+def test_split_assign_total_and_stable(spark):
+    df = _docs(spark, [(i, "x") for i in range(500)])
+    out = curation.split_assign(df, {"train": 900, "val": 50, "test": 50})
+    rows = out.collect()
+    assert len(rows) == 500
+    by_split = {}
+    for r in rows:
+        assert r["split"] in ("train", "val", "test")
+        assert 0 <= r["bucket"] < curation.SPLIT_BUCKETS
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    # roughly proportional (hash-uniform; 500 rows, generous bounds)
+    assert 380 <= len(by_split["train"]) <= 500
+    # stability: assignment is a pure function of the id — a subset of the
+    # corpus gets identical assignments
+    sub = curation.split_assign(df.where("doc_id < 100"), {"train": 900, "val": 50, "test": 50})
+    full = {r["doc_id"]: r["split"] for r in rows}
+    for r in sub.collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_split_assign_rejects_bad_weights(spark):
+    df = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError):
+        curation.split_assign(df, {"train": 1, "val": 1})
+
+
+# -------------------------------------------------------- decontamination
+
+
+def test_decontaminate_planted_overlap(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    corpus = _docs(
+        spark,
+        [
+            # contains the 5-gram "quick brown fox jumps over"
+            (1, "I saw the quick brown fox jumps over stuff"),
+            # no shared 5-gram
+            (2, "a completely different set of words entirely here"),
+            # shares two distinct 5-grams
+            (3, "quick brown fox jumps over the lazy dog today"),
+        ],
+    )
+    got = {r["doc_id"]: r["n_overlap"] for r in curation.decontaminate(corpus, bench, n=5).collect()}
+    assert set(got) == {1, 3}
+    assert got[1] >= 1 and got[3] > got[1]
+
+
+def test_decontaminate_min_overlap_threshold(spark):
+    bench = _docs(spark, [(100, "one two three four five six")])
+    corpus = _docs(spark, [(1, "zzz one two three four five qqq")])
+    assert curation.decontaminate(corpus, bench, n=5, min_overlap=2).count() == 0
+    assert curation.decontaminate(corpus, bench, n=5, min_overlap=1).count() == 1
+
+
+# ------------------------------------------------------------- repetition
+
+
+def test_repetition_stats_degenerate_vs_clean(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam spam"),  # 4 identical 2-grams
+            (2, "all words here are different tokens"),  # no repeats
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in curation.repetition_stats(df, n=2).collect()}
+    assert out[1]["n_grams"] == 4 and out[1]["n_distinct_grams"] == 1
+    assert out[1]["top_gram_frac"] == 1.0 and out[1]["dup_gram_frac"] == 1.0
+    assert out[2]["n_grams"] == 5 and out[2]["n_distinct_grams"] == 5
+    assert out[2]["top_gram_frac"] == 0.2 and out[2]["dup_gram_frac"] == 0.0
+
+
+def test_repetition_counts_occurrences_not_distinct(spark):
+    # "a b a b a" -> 2-grams: (a b), (b a), (a b), (b a) — 4 total, 2 distinct
+    df = _docs(spark, [(1, "a b a b a")])
+    r = curation.repetition_stats(df, n=2).collect()[0]
+    assert r["n_grams"] == 4 and r["n_distinct_grams"] == 2
+    assert r["top_gram_frac"] == 0.5 and r["dup_gram_frac"] == 1.0
+
+
+# ------------------------------------------------------------- sampling
+
+
+def test_stratified_sample_subset_and_fractions(catalog):
+    docs = catalog["documents"]
+    fr = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    out = curation.stratified_sample(docs, fr)
+    rows = out.select("doc_id", "source").collect()
+    n_by_src = {}
+    for r in rows:
+        n_by_src[r["source"]] = n_by_src.get(r["source"], 0) + 1
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert n_by_src.get("src0", 0) == totals["src0"]  # keep-all stratum
+    assert "src2" not in n_by_src  # dropped stratum
+    assert "src3" not in n_by_src  # unlisted stratum dropped
+    # kept rows are a subset of the input with all columns intact
+    assert out.columns == docs.columns
+    # determinism: re-evaluation yields the same set
+    again = {r["doc_id"] for r in curation.stratified_sample(docs, fr).select("doc_id").collect()}
+    assert again == {r["doc_id"] for r in rows}
+
+
+def test_stratified_sample_rejects_empty(spark):
+    df = _docs(spark, [(1, "x")]).withColumn("source", F.lit("s"))
+    with pytest.raises(ValueError):
+        curation.stratified_sample(df, {})
