@@ -65,7 +65,12 @@ SWEEP = [
     "minhash_lsh",
     "dedup_clusters",
     "simhash_pairs",
+    # the r=4 demo blocking config is expected to grow ~quadratically in
+    # candidate volume (documented in operators/similarity.py); the r=8
+    # `_hi` entry right after it is the production-selectivity contrast
+    # that should stay near-flat at the same corpus growth
     "dedup_embedding",
+    "dedup_embedding_hi",
     "ann_lsh",
     "ann_ivf",
 ]

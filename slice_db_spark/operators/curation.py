@@ -214,6 +214,65 @@ def repetition_stats(
     )
 
 
+# -------------------------------------------------------- sequence packing
+
+
+def pack_offsets(
+    df: DataFrame,
+    budget: int,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence-packing offsets: concatenate each shard's documents in id
+    order into one token stream and cut fixed-``budget`` training
+    sequences — the standard pretraining packing (documents straddle
+    sequence boundaries; nothing is padded or dropped).
+
+    Output per document: (id, shard, n_tokens, start_offset, first_seq,
+    last_seq, n_seqs) where ``first_seq``/``last_seq`` are the indices of
+    the budget-sized sequences the document lands in within its shard.
+    Zero-token documents report ``n_seqs = 0`` (they occupy no stream
+    positions; first_seq = last_seq = the boundary they sit at).
+
+    Scale shape: the running offset is a window sum PARTITIONED BY SHARD —
+    each shard's cumsum is independent, so parallelism equals ``n_shards``
+    (pick ≥ the cluster's core count; production packing shards by output
+    file anyway).  A single global stream would serialize into one
+    partition — the documented anti-pattern this operator avoids.
+    Token counts use the whitespace tokenizer (:func:`..text.token_count`);
+    swap in :func:`..text.bpe_token_count` for BPE-budget packing.
+    """
+    from pyspark.sql import Window
+
+    from .text import token_count
+
+    t = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).cast("bigint").alias("shard"),
+        token_count(text_col).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn("start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    first = F.expr(f"start_offset div {budget}")
+    last = F.expr(f"(start_offset + greatest(n_tokens, 1) - 1) div {budget}")
+    return t.select(
+        F.col(id_col),
+        "shard",
+        "n_tokens",
+        "start_offset",
+        first.alias("first_seq"),
+        last.alias("last_seq"),
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint"))
+        .otherwise(last - first + 1)
+        .alias("n_seqs"),
+    )
+
+
 # ------------------------------------------------------- stratified sampling
 
 #: bucket space for stratified sampling fractions (1/10000 resolution)

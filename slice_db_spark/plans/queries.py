@@ -603,6 +603,18 @@ def repetition(spark, sf_dir):
     return curation.repetition_stats(catalog(spark, sf_dir)["documents"], n=2)
 
 
+PACK_BUDGET = 128
+PACK_SHARDS = 8
+
+
+def pack_sequences(spark, sf_dir):
+    """Sequence-packing offsets: per-shard token-stream concatenation cut
+    into fixed 128-token training sequences."""
+    return curation.pack_offsets(
+        catalog(spark, sf_dir)["documents"], budget=PACK_BUDGET, n_shards=PACK_SHARDS
+    )
+
+
 def source_mix(spark, sf_dir):
     """Stratified source-mix downsampling: deterministic per-source keep
     fractions (the domain-reweighting step of a training-data run)."""
@@ -1262,6 +1274,24 @@ WHERE k2.doc_id NOT IN (SELECT id FROM losers)
         FROM pg GROUP BY doc_id
     """)
 
+    o["pack_sequences"] = _q(f"""
+        WITH t AS (SELECT doc_id, CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard,
+                          CAST({_ntok_sql('text')} AS BIGINT) AS n_tokens
+                   FROM documents),
+        w AS (SELECT *, CAST(coalesce(SUM(n_tokens) OVER (
+                 PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS start_offset
+              FROM t)
+        SELECT doc_id, shard, n_tokens, start_offset,
+          start_offset // {PACK_BUDGET} AS first_seq,
+          (start_offset + greatest(n_tokens, 1) - 1) // {PACK_BUDGET} AS last_seq,
+          CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+               ELSE (start_offset + greatest(n_tokens, 1) - 1) // {PACK_BUDGET}
+                    - start_offset // {PACK_BUDGET} + 1 END AS n_seqs
+        FROM w
+    """)
+
     _mix_h = _hash64_sql("'mix:' || source || ':' || CAST(doc_id AS VARCHAR)")
     mix_pred = " OR ".join(
         f"(source = '{v}' AND {_mix_h} % {curation.MIX_BUCKETS}"
@@ -1453,6 +1483,7 @@ def queries():
         "decontam": decontam,
         "repetition": repetition,
         "source_mix": source_mix,
+        "pack_sequences": pack_sequences,
         "ann_brute": ann_brute,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,

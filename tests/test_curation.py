@@ -132,6 +132,46 @@ def test_repetition_counts_occurrences_not_distinct(spark):
     assert r["top_gram_frac"] == 0.5 and r["dup_gram_frac"] == 1.0
 
 
+# --------------------------------------------------------------- packing
+
+
+def test_pack_offsets_contiguous_stream(spark):
+    """One shard: offsets are the exact running token count; documents
+    straddling a budget boundary span both sequences."""
+    df = _docs(
+        spark,
+        [
+            (0, "a b c"),            # 3 tokens  -> [0, 3)   seq 0
+            (1, "d e f g"),          # 4 tokens  -> [3, 7)   straddles 4-token budget
+            (2, ""),                 # 0 tokens  -> boundary at 7, no seqs
+            (3, "h i j k l m n o"),  # 8 tokens  -> [7, 15)  seqs 1..3
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in curation.pack_offsets(df, budget=4, n_shards=1).collect()}
+    assert [out[i]["start_offset"] for i in range(4)] == [0, 3, 7, 7]
+    assert (out[0]["first_seq"], out[0]["last_seq"], out[0]["n_seqs"]) == (0, 0, 1)
+    assert (out[1]["first_seq"], out[1]["last_seq"], out[1]["n_seqs"]) == (0, 1, 2)
+    assert out[2]["n_seqs"] == 0 and out[2]["n_tokens"] == 0
+    assert (out[3]["first_seq"], out[3]["last_seq"], out[3]["n_seqs"]) == (1, 3, 3)
+
+
+def test_pack_offsets_shards_independent(spark):
+    """Sharded packing: each shard's stream starts at offset 0 and only
+    counts its own documents."""
+    df = _docs(spark, [(i, "w " * (i + 1)) for i in range(6)])  # i+1 tokens each
+    out = curation.pack_offsets(df, budget=100, n_shards=2).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        run = 0
+        for r in rows:
+            assert r["doc_id"] % 2 == shard
+            assert r["start_offset"] == run
+            run += r["n_tokens"]
+
+
 # ------------------------------------------------------------- sampling
 
 
