@@ -1,0 +1,91 @@
+"""Streaming corpus ingestion: continuously land JSONL document shards
+into a deduplicated parquet corpus.
+
+The shape a crawl pipeline needs: files arrive in a landing directory,
+each micro-batch is exact-deduplicated within itself AND against
+everything already ingested, clean rows append to the corpus, malformed
+lines go to a quarantine sink.  No reference counterpart (the reference is
+batch-only); specced directly against Structured Streaming.
+
+Scale notes:
+
+* The cross-batch dedup is a ``left_anti`` hash join of the (small)
+  micro-batch against the target's (hash) column — with the corpus stored
+  partitioned/bucketed by content hash, that read prunes to the matching
+  buckets; state never lives in the streaming state store, so it cannot
+  grow unbounded (the ``dropDuplicates``-without-watermark trap this
+  design avoids).
+* ``foreachBatch`` gives exactly-once appends per epoch via the
+  checkpoint: a replayed batch re-runs the same anti-join and finds its
+  rows already present, so replays are idempotent BY CONSTRUCTION, not by
+  sink transactionality.
+* File listing cost is bounded with ``maxFilesPerTrigger``; at cloud
+  scale swap the directory listing for a notification-backed source.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.hashing import hash64
+from ..sources.corpus import DOCUMENTS_SCHEMA, _parse_lines, split_corrupt
+
+
+def read_corpus_stream(
+    spark: SparkSession,
+    in_path: str,
+    schema=DOCUMENTS_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming JSONL reader with the same schema/corrupt-record contract
+    as the batch :func:`..sources.corpus.read_corpus` (text scan +
+    ``from_json``, so malformed lines surface as data)."""
+    r = spark.readStream
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return _parse_lines(r.text(in_path), schema, "jsonl")
+
+
+def ingest_corpus_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    quarantine: str | None = None,
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Start (and with ``available_now`` run to completion) the ingestion
+    stream: JSONL landing dir → per-batch exact dedup (min doc_id wins
+    within a batch) → anti-join against already-ingested content hashes →
+    parquet append.  Returns the StreamingQuery.
+    """
+    target_exists = os.path.isdir(out_path)
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        nonlocal target_exists
+        clean, bad = split_corrupt(batch)
+        if quarantine is not None:
+            bad.write.mode("append").json(quarantine)
+        hashed = clean.withColumn("content_hash", hash64(F.col(text_col)))
+        # within-batch winners: min doc_id per content hash (deterministic)
+        w = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+        batch_unique = hashed.join(w, ["content_hash", "doc_id"], "left_semi")
+        if target_exists:
+            # the hash is PERSISTED in the corpus, so the anti-join scans a
+            # single pruned column of the target, never re-hashing the
+            # accumulated text (ReadSchema = content_hash only)
+            seen = batch.sparkSession.read.parquet(out_path).select("content_hash")
+            batch_unique = batch_unique.join(seen, "content_hash", "left_anti")
+        batch_unique.write.mode("append").parquet(out_path)
+        target_exists = True
+
+    stream = read_corpus_stream(spark, in_path)
+    writer = stream.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint)
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -1,0 +1,128 @@
+"""Corpus ingestion boundary: JSONL/CSV round-trips with declared schema,
+corrupt-record quarantine, and the streaming dedup-on-arrival pipeline
+(idempotent cross-batch anti-join appends).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from slice_db_spark.sources import corpus as C
+from slice_db_spark.streaming import corpus as SC
+
+ROWS = [
+    {"doc_id": 1, "text": "plain text", "lang": "en", "source": "s0", "n_chars": 10},
+    {"doc_id": 2, "text": 'quotes " commas, and\nnewlines', "lang": "en", "source": "s1", "n_chars": 29},
+    {"doc_id": 3, "text": None, "lang": None, "source": "s0", "n_chars": None},
+    {"doc_id": 4, "text": "unicode é中文", "lang": "zh", "source": "s1", "n_chars": 11},
+]
+
+
+def _key(r):
+    return (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+
+
+def test_jsonl_roundtrip_and_corrupt_capture(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "part-0.jsonl", "w") as f:
+        for r in ROWS:
+            f.write(json.dumps(r) + "\n")
+        f.write("{ this is not json\n")
+    df = C.read_corpus(spark, str(src), fmt="jsonl")
+    clean, bad = C.split_corrupt(df)
+    assert {_key(r) for r in clean.collect()} == {_key(r) for r in ROWS}
+    assert bad.count() == 1 and "not json" in bad.collect()[0]["raw"]
+    # write back sharded and re-read
+    out = tmp_path / "out"
+    C.write_corpus(clean, str(out), fmt="jsonl", shards=2)
+    back, bad2 = C.split_corrupt(C.read_corpus(spark, str(out), fmt="jsonl"))
+    assert {_key(r) for r in back.collect()} == {_key(r) for r in ROWS}
+    assert bad2.count() == 0
+    assert len([f for f in os.listdir(out) if f.startswith("part-")]) == 2
+
+
+def test_csv_roundtrip_quoted_fields(spark, tmp_path):
+    rows = [
+        (1, "plain text", "en", "s0", 10),
+        (2, 'quotes " and commas, here', "en", "s1", 25),
+        (4, "unicode é中文", "zh", "s1", 11),
+    ]
+    df = spark.createDataFrame(rows, schema=C.DOCUMENTS_SCHEMA)
+    out = tmp_path / "csv"
+    C.write_corpus(df, str(out), fmt="csv")
+    back, bad = C.split_corrupt(C.read_corpus(spark, str(out), fmt="csv"))
+    got = {_key(r) for r in back.collect()}
+    by_id = {k[0]: k for k in got}
+    assert set(by_id) == {1, 2, 4}
+    assert by_id[2][1] == rows[1][1]  # quote/comma intact
+    assert by_id[4][1] == rows[2][1]  # unicode intact
+    assert bad.count() == 0
+
+
+def test_read_corpus_rejects_unknown_format(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        C.read_corpus(spark, str(tmp_path), fmt="xml")
+    with pytest.raises(ValueError):
+        C.write_corpus(spark.range(1), str(tmp_path), fmt="xml")
+
+
+def _write_batch(d, name, rows):
+    with open(os.path.join(d, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_streaming_ingest_dedups_across_batches(spark, tmp_path):
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    quar = str(tmp_path / "quarantine")
+
+    _write_batch(land, "b0.jsonl", ROWS[:2])
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, quarantine=quar)
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert "content_hash" in got.columns
+
+    # second drop: one replayed doc (same text, new id), one new, one corrupt
+    _write_batch(
+        land,
+        "b1.jsonl",
+        [
+            {"doc_id": 9, "text": "plain text", "lang": "en", "source": "s9", "n_chars": 10},
+            {"doc_id": 5, "text": "genuinely new", "lang": "en", "source": "s0", "n_chars": 13},
+        ],
+    )
+    with open(land / "b2.jsonl", "w") as f:
+        f.write("not json at all\n")
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, quarantine=quar)
+    final = spark.read.parquet(out)
+    assert final.count() == 3  # duplicate text suppressed
+    assert {r["doc_id"] for r in final.collect()} == {1, 2, 5}
+    # content hashes are unique by construction
+    assert final.select("content_hash").distinct().count() == 3
+    assert spark.read.json(quar).count() == 1
+
+
+def test_streaming_ingest_within_batch_dedup(spark, tmp_path):
+    land = tmp_path / "land"
+    land.mkdir()
+    _write_batch(
+        land,
+        "b0.jsonl",
+        [
+            {"doc_id": 7, "text": "same", "lang": "en", "source": "a", "n_chars": 4},
+            {"doc_id": 3, "text": "same", "lang": "en", "source": "b", "n_chars": 4},
+        ],
+    )
+    out = str(tmp_path / "corpus")
+    SC.ingest_corpus_stream(spark, str(land), out, str(tmp_path / "ckpt"))
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 3  # min id wins
