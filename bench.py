@@ -29,6 +29,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
+    "q6_forecast_revenue",
     "window_top_orders",
     "events_bucket_agg",
     "dedup_exact",

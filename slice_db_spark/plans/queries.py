@@ -366,6 +366,23 @@ def q5_region_revenue(spark, sf_dir):
     )
 
 
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: the pushdown showcase — every predicate reaches the
+    parquet scan (range + equality filters, zero joins), then one global
+    DECIMAL-exact aggregate."""
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    li = catalog(spark, sf_dir)["lineitem"].where(
+        "l_shipdate >= timestamp '1999-01-01' AND l_shipdate < timestamp '2000-01-01'"
+        " AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+    )
+    return li.agg(
+        F.round(F.sum(dec("l_extendedprice") * dec("l_discount")), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def window_top_orders(spark, sf_dir):
     """W1/O1: ranking window — top-3 orders per customer, deterministic
     tie-breaks."""
@@ -926,6 +943,17 @@ def oracle_sql() -> dict[str, str]:
         FROM g
     """)
 
+    o["q6_forecast_revenue"] = _q("""
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                              * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+          AND l_shipdate < TIMESTAMP '2000-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """)
+
     o["q3_top_orders"] = _q("""
         WITH rev AS (
           SELECT o_orderkey, o_orderpriority,
@@ -1458,6 +1486,7 @@ def queries():
         "scrub_pseudonym": scrub_pseudonym,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
+        "q6_forecast_revenue": q6_forecast_revenue,
         "q5_region_revenue": q5_region_revenue,
         "window_top_orders": window_top_orders,
         "events_bucket_agg": events_bucket_agg,

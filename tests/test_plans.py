@@ -94,3 +94,35 @@ def test_jaccard_single_index_shuffle(plans):
     assert plan.count("Exchange hashpartitioning") <= 4
     # the df-cap filter runs inside the window stage, not as a join
     assert "left_semi" not in plan.lower()
+
+
+def test_curation_ops_plan_shapes(plans):
+    """Curation operators keep their scale shapes: decontamination
+    broadcasts the (small) benchmark shingle set — the corpus index must
+    never shuffle into a sort-merge join against it; PII scrub, split
+    assignment, and source mixing are pure per-row codegen (no joins, no
+    Python workers); packing windows per shard rather than globally."""
+    p = plans("decontam")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    for name in ("pii_scrub", "split_assign", "source_mix"):
+        p = plans(name)
+        assert "Join" not in p, name
+        assert "EvalPython" not in p, name
+    pack = plans("pack_sequences")
+    assert "Window" in pack
+    # shard-partitioned window: the sort key list must include shard
+    assert "shard" in pack
+    assert "EvalPython" not in pack
+
+
+def test_q6_full_pushdown(plans):
+    """Q6 is the pushdown showcase: every predicate (shipdate range,
+    discount range, quantity bound) must reach the parquet scan as a
+    PushedFilter — at 100 TB these filters are the difference between a
+    row-group-pruned scan and reading the whole fact table."""
+    p = plans("q6_forecast_revenue")
+    assert "PushedFilters" in p
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+        assert any(frag in ln for ln in pushed), frag
