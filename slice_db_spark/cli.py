@@ -191,12 +191,15 @@ def cmd_restore(args) -> int:
             pre_data=pre,
             post_data=post,
             defer_constraints=args.defer_constraints,
+            jobs=args.jobs,
         )
     else:
         if not args.output:
             print("restore: an output dir (or --url) is required", file=sys.stderr)
             return 2
-        order = restore_to_parquet(tables, schema, args.output, sequences=seqs)
+        order = restore_to_parquet(
+            tables, schema, args.output, sequences=seqs, jobs=args.jobs
+        )
     print(json.dumps({"order": order, "sequences": seqs}))
     return 0
 
@@ -371,6 +374,13 @@ def main(argv: list[str] | None = None) -> int:
         "--defer-constraints",
         action="store_true",
         help="with --url: single transaction + SET CONSTRAINTS ALL DEFERRED (cyclic FKs)",
+    )
+    r.add_argument(
+        "--jobs",
+        type=int,
+        default=1,
+        help="write dependency-independent tables concurrently (ignored with "
+        "--defer-constraints, whose single transaction is inherently serial)",
     )
     r.add_argument("input", help="slice dir (or .zip archive with --format zip)")
     r.add_argument("output", nargs="?", help="target parquet dir (omit with --url)")

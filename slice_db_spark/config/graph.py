@@ -96,6 +96,33 @@ def filter_children(schema: SchemaConfig, roots: list[str]) -> SchemaConfig:
     return SchemaConfig(tables=schema.tables, references=new_refs, sequences=schema.sequences)
 
 
+def topo_levels(schema: SchemaConfig, tables: list[str] | None = None) -> list[list[str]]:
+    """Dependency levels for parallel restore: every table in level k
+    depends only on tables in levels < k, so tables WITHIN a level can be
+    written concurrently (the reference's ``restore --jobs`` semantics:
+    its task graph releases a table when its referenced tables finish,
+    `slice_db/restore.py:144-161`; level-synchronous release is the
+    round-based reading of the same dependency order).  Kahn's algorithm
+    by frontier; deterministic (sorted) within each level; cycles raise.
+    """
+    nodes = set(tables if tables is not None else schema.tables)
+    deps: dict[str, set[str]] = {t: set() for t in nodes}
+    for r in schema.references.values():
+        if r.table in nodes and r.reference_table in nodes and r.table != r.reference_table:
+            deps[r.table].add(r.reference_table)
+    levels: list[list[str]] = []
+    while deps:
+        ready = sorted(t for t, d in deps.items() if not d)
+        if not ready:
+            raise CycleError(sorted(deps))
+        levels.append(ready)
+        for t in ready:
+            del deps[t]
+        for d in deps.values():
+            d.difference_update(ready)
+    return levels
+
+
 def topo_order(schema: SchemaConfig, tables: list[str] | None = None) -> list[str]:
     """Restore order: referenced (parent) tables before referencing (child)
     tables, so FK constraints hold during append.  Kahn's algorithm;

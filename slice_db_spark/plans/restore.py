@@ -22,7 +22,7 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..config.graph import CycleError, topo_order
+from ..config.graph import CycleError, topo_levels, topo_order
 from ..config.model import SchemaConfig
 
 SEQUENCES_FILE = "_sequences.json"
@@ -31,6 +31,38 @@ SEQUENCES_FILE = "_sequences.json"
 def restore_order(schema: SchemaConfig, tables: list[str]) -> list[str]:
     """Write order for the given tables (parents first)."""
     return topo_order(schema, tables)
+
+
+def _run_levels(levels: list[list[str]], jobs: int, write) -> list[str]:
+    """Execute ``write(table)`` level-by-level, ``jobs`` tables of a level
+    concurrently — the reference's ``restore --jobs`` parallelism
+    (`slice_db/cli/main.py:165-171`).  Spark supports concurrent job
+    submission from driver threads, so independent table writes overlap
+    on the cluster; the level barrier preserves FK ordering.  The first
+    failure cancels not-yet-started writes and re-raises (the reference's
+    cancel-on-error queue semantics, `slice_db/concurrent/queue.py`)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    done: list[str] = []
+    if jobs <= 1:
+        for level in levels:
+            for t in level:
+                write(t)
+                done.append(t)
+        return done
+    with ThreadPoolExecutor(max_workers=jobs) as pool:
+        for level in levels:
+            futures = {t: pool.submit(write, t) for t in level}
+            errs = []
+            for t, fut in futures.items():
+                try:
+                    fut.result()
+                    done.append(t)
+                except Exception as e:  # collect, then fail after the level
+                    errs.append((t, e))
+            if errs:
+                raise errs[0][1]
+    return done
 
 
 def capture_sequences(
@@ -81,20 +113,27 @@ def restore_to_parquet(
     out_dir: str,
     mode: str = "append",
     sequences: dict[str, int] | None = None,
+    jobs: int = 1,
 ) -> list[str]:
     """Materialize slice tables under ``out_dir/<table>`` in dependency
     order; returns the order used.  ``sequences`` (id → last_value) are
     merged into the target's ``_sequences.json`` with monotonic-max
-    semantics."""
+    semantics.  ``jobs > 1`` writes dependency-independent tables
+    concurrently (:func:`_run_levels`)."""
     try:
-        order = restore_order(schema, list(tables))
+        levels = topo_levels(schema, list(tables))
     except CycleError:
         # Parquet has no FK constraints — order is irrelevant for a file
         # sink, so a cyclic schema degrades to sorted order (the JDBC sink
         # would instead require the deferrable single-txn path).
-        order = sorted(tables)
-    for t in order:
-        tables[t].write.mode(mode).parquet(os.path.join(out_dir, t.replace(".", "__")))
+        levels = [sorted(tables)] if jobs > 1 else [[t] for t in sorted(tables)]
+    order = _run_levels(
+        levels,
+        jobs,
+        lambda t: tables[t].write.mode(mode).parquet(
+            os.path.join(out_dir, t.replace(".", "__"))
+        ),
+    )
     if sequences:
         restore_sequences(out_dir, sequences)
     return order
@@ -105,16 +144,22 @@ def restore_to_jdbc(
     schema: SchemaConfig,
     url: str,
     properties: dict | None = None,
+    jobs: int = 1,
 ) -> list[str]:
     """Append slice tables to a live database in FK order (parallel Spark
-    JDBC writers — the fast path for acyclic schemas).  Raises CycleError
-    for cyclic schemas: no write order satisfies the constraints, use
+    JDBC writers — the fast path for acyclic schemas).  ``jobs > 1``
+    loads dependency-independent tables concurrently, each on its own
+    pool of JDBC writer connections (the reference's ``--jobs`` with
+    ``--no-transaction``).  Raises CycleError for cyclic schemas: no
+    write order satisfies the constraints, use
     :func:`restore_to_jdbc_deferred`."""
-    order = restore_order(schema, list(tables))  # CycleError propagates
-    for t in order:
+    levels = topo_levels(schema, list(tables))  # CycleError propagates
+
+    def write(t: str) -> None:
         name = schema.tables[t].name if t in schema.tables else t
         tables[t].write.jdbc(url=url, table=name, mode="append", properties=properties or {})
-    return order
+
+    return _run_levels(levels, jobs, write)
 
 
 def restore_to_jdbc_with_schema(
@@ -125,6 +170,7 @@ def restore_to_jdbc_with_schema(
     pre_data: list[str] | None = None,
     post_data: list[str] | None = None,
     defer_constraints: bool = False,
+    jobs: int = 1,
 ) -> list[str]:
     """The reference's full live-database restore (`slice_db/restore.py:
     49-115`): replay pre-data DDL, load rows in FK order, apply sequence
@@ -141,9 +187,12 @@ def restore_to_jdbc_with_schema(
         for stmt in pre_data or ():
             st.execute(stmt)
         if defer_constraints:
+            # single-transaction path: one connection by definition, so
+            # table-level parallelism cannot apply (the reference makes the
+            # same trade: --jobs requires --no-transaction)
             order = restore_to_jdbc_deferred(tables, schema, url)
         else:
-            order = restore_to_jdbc(tables, schema, url)
+            order = restore_to_jdbc(tables, schema, url, jobs=jobs)
         for sid, value in (sequences or {}).items():
             s = schema.sequences.get(sid)
             name = s.name if s and s.name else sid

@@ -64,3 +64,37 @@ def test_topo_order():
     pos = {t: i for i, t in enumerate(order)}
     assert pos["region"] < pos["nation"] < pos["customer"] < pos["orders"] < pos["lineitem"]
     assert pos["part"] < pos["lineitem"] and pos["supplier"] < pos["lineitem"]
+
+
+def test_topo_levels():
+    from slice_db_spark.config.graph import topo_levels
+
+    s = tpch_schema()
+    levels = topo_levels(s)
+    # level index of each table
+    pos = {t: i for i, lvl in enumerate(levels) for t in lvl}
+    assert pos["region"] == 0 and pos["part"] == 0
+    assert pos["nation"] == 1
+    assert pos["customer"] == 2 and pos["supplier"] == 2
+    assert pos["orders"] == 3
+    assert pos["lineitem"] == 4
+    # flattening the levels is a valid topo order
+    flat = [t for lvl in levels for t in lvl]
+    assert sorted(flat) == sorted(s.tables)
+    for r in s.references.values():
+        if r.table != r.reference_table:
+            assert pos[r.reference_table] < pos[r.table]
+
+
+def test_topo_levels_cycle_raises():
+    from slice_db_spark.config.graph import topo_levels
+
+    d = {
+        "tables": {"a": {"columns": ["id", "b_id"]}, "b": {"columns": ["id", "a_id"]}},
+        "references": {
+            "a_b": {"table": "a", "columns": ["b_id"], "referenceTable": "b", "referenceColumns": ["id"]},
+            "b_a": {"table": "b", "columns": ["a_id"], "referenceTable": "a", "referenceColumns": ["id"]},
+        },
+    }
+    with pytest.raises(CycleError):
+        topo_levels(SchemaConfig.from_dict(d))

@@ -201,3 +201,37 @@ def test_stratified_sample_rejects_empty(spark):
     df = _docs(spark, [(1, "x")]).withColumn("source", F.lit("s"))
     with pytest.raises(ValueError):
         curation.stratified_sample(df, {})
+
+
+# ---------------------------------------------------- parallel restore
+# (lives here for session fixtures; operator itself is plans/restore.py)
+
+
+def test_parallel_restore_matches_serial(spark, catalog, tmp_path):
+    from slice_db_spark.plans.restore import restore_to_parquet
+    from slice_db_spark.plans.tpch import tpch_schema
+
+    schema = tpch_schema()
+    tables = {t: catalog[t].limit(50) for t in ("region", "nation", "customer", "part")}
+    serial = str(tmp_path / "serial")
+    par = str(tmp_path / "par")
+    o1 = restore_to_parquet(tables, schema, serial, jobs=1)
+    o2 = restore_to_parquet(tables, schema, par, jobs=4)
+    assert set(o1) == set(o2) == set(tables)
+    for t in tables:
+        a = {tuple(r) for r in spark.read.parquet(f"{serial}/{t}").collect()}
+        b = {tuple(r) for r in spark.read.parquet(f"{par}/{t}").collect()}
+        assert a == b and len(a) > 0
+
+
+def test_parallel_restore_propagates_failure(spark, catalog, tmp_path):
+    from slice_db_spark.plans.restore import _run_levels
+
+    def boom(t):
+        if t == "bad":
+            raise RuntimeError("write failed")
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="write failed"):
+        _run_levels([["a", "bad", "c"]], jobs=3, write=boom)
