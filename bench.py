@@ -43,6 +43,7 @@ HEADLINE = [
     "bpe_tokens",
     "quality",
     "language_id",
+    "token_rarity",
     "pii_scrub",
     "decontam",
     "repetition",

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .hashing import hash64_spark_sql
+from .hashing import hash64, hash64_spark_sql
 
 # Tiny stopword inventories for the n-gram/stopword language heuristic.
 # Deliberately small + frozen so oracles can inline them.
@@ -144,6 +144,46 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         F.col(id_col),
         best["lang"].alias("pred_lang"),
         F.round(best["score"], 4).alias("lang_score"),
+    )
+
+
+def token_rarity(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-statistics-driven rarity scoring: how common are a
+    document's tokens across the corpus?  Documents made of rare tokens
+    are OOV-heavy/noisy; documents of only ubiquitous tokens carry little
+    signal — both ends are filter targets in a training-data run.
+
+    Two-stage shape (the pattern for any corpus-level statistic feeding a
+    per-row score): (1) distinct (doc, token-hash) pairs → token document
+    frequency via one hash aggregation; (2) join the df back to the pairs
+    and aggregate per document.  All keys are 8-byte hashes; both
+    shuffles are narrow (no text moves past the explode).
+
+    Output per document: ``n_distinct_tokens``, ``mean_token_df`` (mean
+    document frequency of its distinct tokens — an integer ratio, so
+    engines agree exactly), ``min_token_df`` (its rarest token), and
+    ``n_hapax`` (tokens appearing in no other document).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("__t")
+    ).select(F.col(id_col), hash64(F.col("__t")).alias("tok"))
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tok.join(dfreq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.round(F.sum("df") / F.count(F.lit(1)), 4).alias("mean_token_df"),
+            F.min("df").alias("min_token_df"),
+            F.sum(F.when(F.col("df") == 1, F.lit(1)).otherwise(F.lit(0))).alias("n_hapax"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_distinct_tokens").cast("bigint").alias("n_distinct_tokens"),
+            "mean_token_df",
+            F.col("min_token_df").cast("bigint").alias("min_token_df"),
+            F.col("n_hapax").cast("bigint").alias("n_hapax"),
+        )
     )
 
 

@@ -566,6 +566,12 @@ def language_id(spark, sf_dir):
     return textops.lang_id(catalog(spark, sf_dir)["documents"])
 
 
+def token_rarity(spark, sf_dir):
+    """Corpus-df-driven rarity scoring (two-stage: token document
+    frequencies → per-doc aggregates)."""
+    return textops.token_rarity(catalog(spark, sf_dir)["documents"])
+
+
 # ------------------------------------------------------- corpus curation
 
 SPLIT_WEIGHTS = {"train": 900, "val": 50, "test": 50}
@@ -1236,6 +1242,20 @@ WHERE k2.doc_id NOT IN (SELECT id FROM losers)
         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) = 1
     """)
 
+    o["token_rarity"] = _q(f"""
+        WITH tok AS (SELECT DISTINCT doc_id, {_hash64_sql('t')} AS tok FROM
+               (SELECT doc_id, unnest(list_distinct({_toks_sql('text')})) AS t
+                FROM documents)),
+        dfreq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok)
+        SELECT doc_id,
+          CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+          round(sum(df) / CAST(count(*) AS DOUBLE), 4) AS mean_token_df,
+          CAST(min(df) AS BIGINT) AS min_token_df,
+          CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        FROM tok JOIN dfreq USING (tok)
+        GROUP BY doc_id
+    """)
+
     # curation: PII blob mirrors _pii_blob arithmetic exactly
     blob = (
         "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'"
@@ -1507,6 +1527,7 @@ def queries():
         "bpe_tokens": bpe_tokens,
         "quality": quality,
         "language_id": language_id,
+        "token_rarity": token_rarity,
         "pii_scrub": pii_scrub,
         "split_assign": split_assign,
         "decontam": decontam,

@@ -1,0 +1,39 @@
+"""Text-operator contracts on crafted inputs (the oracle gate covers the
+full corpus; these pin the semantics readers reason about)."""
+
+from __future__ import annotations
+
+from slice_db_spark.operators import text as textops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_token_rarity_hapax_and_shared(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma"),   # alpha shared with 2; beta/gamma hapax
+            (2, "alpha delta"),        # delta hapax
+            (3, "unique words only"),  # all hapax
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in textops.token_rarity(df).collect()}
+    assert out[1]["n_distinct_tokens"] == 3 and out[1]["n_hapax"] == 2
+    assert out[1]["min_token_df"] == 1
+    # doc 1: dfs are alpha=2, beta=1, gamma=1 -> mean 4/3
+    assert out[1]["mean_token_df"] == round(4 / 3, 4)
+    assert out[2]["n_hapax"] == 1 and out[2]["mean_token_df"] == 1.5
+    assert out[3]["n_hapax"] == 3 and out[3]["min_token_df"] == 1
+    assert out[3]["mean_token_df"] == 1.0
+
+
+def test_token_rarity_counts_docs_not_occurrences(spark):
+    """df is DOCUMENT frequency: repeating a token within one document
+    must not raise its df."""
+    df = _docs(spark, [(1, "spam spam spam"), (2, "spam ham")])
+    out = {r["doc_id"]: r.asDict() for r in textops.token_rarity(df).collect()}
+    assert out[1]["n_distinct_tokens"] == 1
+    assert out[1]["mean_token_df"] == 2.0  # spam appears in 2 docs, not 4 times
+    assert out[2]["min_token_df"] == 1  # ham
