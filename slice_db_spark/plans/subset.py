@@ -117,6 +117,7 @@ class Subsetter:
         cache_scans: bool = True,
         driver_rows: int = DRIVER_ROWS,
         table_rows: dict[str, int] | None = None,
+        prefetch_scans: bool = True,
     ):
         schema.validate()
         self.spark = spark
@@ -128,6 +129,7 @@ class Subsetter:
         self.cache_scans = cache_scans
         self.driver_rows = driver_rows
         self.table_rows = table_rows
+        self.prefetch_scans = prefetch_scans
         self._key_mult: dict[str, float] = {}
 
     # ------------------------------------------------------------------ util
@@ -241,6 +243,26 @@ class Subsetter:
                 df = df.persist(StorageLevel.MEMORY_AND_DISK)
                 persisted.append(df)
             scans[t] = df
+        if self.cache_scans and self.prefetch_scans and len(scans) > 1:
+            # Warm every persisted scan CONCURRENTLY instead of paying each
+            # table's first parquet read inside the round that first touches
+            # it (which serializes reads across rounds: round 1 reads
+            # orders, round 2 stalls on lineitem, ...).  Fire-and-forget
+            # counts from daemon threads — rounds that reach a still-warming
+            # scan just block on the in-flight cache build; traversals that
+            # end early waste at most one count per table over columns the
+            # traversal was going to read anyway.
+            import threading
+
+            for t, df in scans.items():
+
+                def warm(d=df):
+                    try:
+                        d.count()
+                    except Exception:
+                        pass  # traversal surfaces any real scan error itself
+
+                threading.Thread(target=warm, daemon=True).start()
         return scan_cols, scans
 
     def _key_schema(self, t: str, extra_blocked: bool = False) -> StructType:
