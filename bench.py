@@ -34,6 +34,7 @@ HEADLINE = [
     "events_bucket_agg",
     "dedup_exact",
     "dedup_jaccard",
+    "dedup_containment",
     "minhash_lsh",
     "dedup_clusters",
     "simhash_sigs",

@@ -148,6 +148,14 @@ def ngram_jaccard_pairs(
     df-independent).  ``None`` = exact all-pairs (only safe for small
     corpora).
     """
+    st, shared = _posting_shared_counts(df, text_col, id_col, n, max_df)
+    return _jaccard_filter(shared, st, id_col, threshold)
+
+
+def _posting_shared_counts(df, text_col, id_col, n, max_df):
+    """(persisted shingle table, per-pair shared-shingle counts) via the
+    bounded posting-list shape shared by the Jaccard and containment
+    operators."""
     from pyspark.sql import Window
 
     # the inverted index feeds two plan branches (posting lists, sizes);
@@ -184,7 +192,41 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    return _jaccard_filter(shared, st, id_col, threshold)
+    return st, shared
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-SUBSET duplicate pairs: containment = shared / min(|A|, |B|)
+    ≥ threshold (id_a < id_b, rounded to 6 places).
+
+    Containment catches the asymmetric duplicates Jaccard structurally
+    misses: a long document quoting a short one wholesale can have
+    Jaccard ≈ |small|/|big| (arbitrarily low) while its containment is
+    ≈ 1 — the repost/quotation/boilerplate-wrapper case.  Same bounded
+    posting-list candidate generation and ``max_df`` recall contract as
+    :func:`ngram_jaccard_pairs` (shared counts are lower bounds under the
+    cap; min-size denominators stay exact).
+    """
+    st, shared = _posting_shared_counts(df, text_col, id_col, n, max_df)
+    sizes = st.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment", F.round(F.col("shared") / F.least("na", "nb"), 6)
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
 
 
 def _jaccard_filter(shared: DataFrame, st: DataFrame, id_col: str, threshold: float) -> DataFrame:

@@ -490,6 +490,19 @@ def dedup_jaccard(spark, sf_dir):
     )
 
 
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def dedup_containment(spark, sf_dir):
+    """Near-subset duplicates: shared/min-size ≥ 0.9 — the asymmetric
+    (quotation/repost) duplicates Jaccard structurally under-scores."""
+    return dedup.ngram_containment_pairs(
+        catalog(spark, sf_dir)["documents"],
+        threshold=CONTAINMENT_THRESHOLD,
+        max_df=JACCARD_MAX_DF,
+    )
+
+
 def minhash_sigs(spark, sf_dir):
     """MinHash signatures, exploded to scalar rows (doc_id, j, minhash)."""
     sigs = dedup.minhash_signatures(catalog(spark, sf_dir)["documents"], k=16)
@@ -1078,6 +1091,21 @@ FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(shared / (sa.n + sb.n - shared), 6) >= 0.8
 """
 
+    o["dedup_containment"] = f"""
+WITH {_SHINGLE_CTE.format(sh=_shingles_sql('text', 3), h=_hash64_sql('s'))},
+keep AS (SELECT shingle FROM st GROUP BY shingle
+         HAVING count(*) > 1 AND count(*) <= {JACCARD_MAX_DF}),
+p AS (SELECT st.* FROM st JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM st GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM p a JOIN p b USING (shingle) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(shared / least(sa.n, sb.n), 6) AS containment
+FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(shared / least(sa.n, sb.n), 6) >= {CONTAINMENT_THRESHOLD}
+"""
+
     o["minhash_sigs"] = f"WITH {_minhash_cte(16, 3)} SELECT doc_id, j, minhash FROM mh"
 
     o["minhash_lsh"] = f"""
@@ -1517,6 +1545,7 @@ def queries():
         "events_json_extract": events_json_extract,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
+        "dedup_containment": dedup_containment,
         "minhash_sigs": minhash_sigs,
         "minhash_lsh": minhash_lsh,
         "dedup_clusters": dedup_clusters,

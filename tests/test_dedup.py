@@ -135,3 +135,29 @@ def test_connected_components_nonconvergence_raises(spark):
     cc = dedup.connected_components(chain, max_rounds=30, driver_rows=0)
     assert {r.rep for r in cc.collect()} == {0}
     assert {r.rep for r in dedup.connected_components(chain).collect()} == {0}
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc quoted wholesale inside a long one: containment ≈ 1
+    while Jaccard is far below any near-dup threshold."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler)], "doc_id bigint, text string"
+    )
+    cont = dedup.ngram_containment_pairs(df, threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0]["id_a"] == 1 and cont[0]["containment"] >= 0.9
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []  # Jaccard misses the asymmetric duplicate
+
+
+def test_containment_max_df_lower_bound(catalog):
+    """Under the posting-list cap, containment (like Jaccard) is a lower
+    bound: capped results are a subset of exact results on this corpus."""
+    docs = catalog["documents"]
+    exact = {tuple(r) for r in dedup.ngram_containment_pairs(docs, threshold=0.9).collect()}
+    capped = {
+        tuple(r)
+        for r in dedup.ngram_containment_pairs(docs, threshold=0.9, max_df=50).collect()
+    }
+    assert capped <= exact and len(exact) > 0
