@@ -1,0 +1,111 @@
+"""Batch event-sequence analytics: conversion funnels and gap-based
+sessionization.
+
+Complements :mod:`..streaming.events` (the watermark/window operators)
+with the batch shapes product analytics runs over the same table.  All
+outputs use epoch-microsecond BIGINTs so the DuckDB oracles compare
+exactly (`unix_micros` ↔ ``epoch_us`` — no float epochs, no timezone
+rendering).
+
+Scale notes: every shuffle is keyed by ``user_id``; funnel stages are
+repeated joins on the SAME key, so the exchanges are reused across
+stages, and sessionization is one window pass per user partition — both
+shapes partition with user cardinality, no global ordering anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: for each user who performed
+    ``stages[0]``, the earliest time of each subsequent stage STRICTLY
+    AFTER the previous stage's time (the standard strictly-sequential
+    funnel definition — re-orderings don't count as conversions).
+
+    Output: (user, t_<stage> epoch-µs BIGINT, nullable past the drop-off
+    point, n_stages_reached).  Users who never entered the funnel are
+    absent; a NULL ``t_<s>`` means the user dropped off before ``s``.
+    """
+    if not stages:
+        raise ValueError("stages must not be empty")
+    us = F.unix_micros(F.col(ts_col))
+    cols = [f"t_{s}" for s in stages]
+    out = (
+        events.where(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(us).alias(cols[0]))
+    )
+    for i, s in enumerate(stages[1:], 1):
+        nxt = (
+            events.where(F.col(type_col) == s)
+            .select(F.col(user_col), us.alias("__us"))
+            .join(out.select(user_col, cols[i - 1]), user_col)
+            .where(F.col("__us") > F.col(cols[i - 1]))
+            .groupBy(user_col)
+            .agg(F.min("__us").alias(cols[i]))
+        )
+        out = out.join(nxt, user_col, "left")
+    reached = None
+    for c in cols:
+        r = F.when(F.col(c).isNotNull(), 1).otherwise(0)
+        reached = r if reached is None else reached + r
+    return out.select(
+        F.col(user_col), *cols, reached.cast("bigint").alias("n_stages_reached")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's gap
+    since their previous event exceeds ``gap_minutes`` (the batch analog
+    of the streaming session window, as one lag + running-sum window
+    pass per user partition).
+
+    Output per session: (user, session_id 1-based, n_events,
+    start_us, end_us, duration_us) — epoch-µs BIGINTs.  ``order_col``
+    breaks equal-timestamp ties deterministically.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy("__us", order_col)
+    gap_us = gap_minutes * 60 * 1_000_000
+    with_flag = events.select(
+        F.col(user_col), us.alias("__us"), F.col(order_col)
+    ).withColumn(
+        "__new",
+        F.when(
+            F.lag("__us").over(w).isNull()
+            | ((F.col("__us") - F.lag("__us").over(w)) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_id = with_flag.withColumn("session_id", F.sum("__new").over(wsum))
+    return (
+        with_id.groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("__us").alias("start_us"),
+            F.max("__us").alias("end_us"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("session_id").cast("bigint").alias("session_id"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "start_us",
+            "end_us",
+            (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+        )
+    )

@@ -416,6 +416,25 @@ def events_json_extract(spark, sf_dir):
     return e.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("n"))
 
 
+FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+
+
+def events_funnel(spark, sf_dir):
+    """Strictly-sequential conversion funnel signup→view→click→purchase
+    (per-user earliest stage times, epoch-µs)."""
+    from ..operators.events import funnel
+
+    return funnel(catalog(spark, sf_dir)["events"], FUNNEL_STAGES)
+
+
+def events_sessionize(spark, sf_dir):
+    """Gap-based batch sessionization (30-min gap), the batch analog of
+    the streaming session window."""
+    from ..operators.events import sessionize
+
+    return sessionize(catalog(spark, sf_dir)["events"], gap_minutes=30)
+
+
 # ------------------------------------------------- streaming (batch path)
 # The streaming builders run the IDENTICAL plan under readStream (unified
 # API; tests/test_streaming.py proves stream == batch across micro-batches)
@@ -1019,6 +1038,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(props->>'$.k' AS BIGINT) AS k, count(*) AS n FROM events GROUP BY 1
     """)
 
+    # funnel: one CTE per stage, each min-over strictly-later events
+    fun = [
+        f"s0 AS (SELECT user_id, min(epoch_us(ts)) AS t_{FUNNEL_STAGES[0]} "
+        f"FROM events WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id)"
+    ]
+    for i, s in enumerate(FUNNEL_STAGES[1:], 1):
+        prev = FUNNEL_STAGES[i - 1]
+        fun.append(
+            f"s{i} AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_{s} "
+            f"FROM events e JOIN s{i - 1} USING (user_id) "
+            f"WHERE e.event_type = '{s}' AND epoch_us(e.ts) > s{i - 1}.t_{prev} "
+            f"GROUP BY e.user_id)"
+        )
+    t_cols = ", ".join(f"t_{s}" for s in FUNNEL_STAGES)
+    reached = " + ".join(
+        f"(CASE WHEN t_{s} IS NOT NULL THEN 1 ELSE 0 END)" for s in FUNNEL_STAGES
+    )
+    joins = " ".join(f"LEFT JOIN s{i} USING (user_id)" for i in range(1, len(FUNNEL_STAGES)))
+    o["events_funnel"] = _q(f"""
+        WITH {', '.join(fun)}
+        SELECT user_id, {t_cols}, CAST({reached} AS BIGINT) AS n_stages_reached
+        FROM s0 {joins}
+    """)
+
+    o["events_sessionize"] = _q("""
+        WITH t AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+            CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        s AS (
+          SELECT user_id, us,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM t)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
+               max(us) - min(us) AS duration_us
+        FROM s GROUP BY user_id, session_id
+    """)
+
     o["stream_tumbling"] = _q("""
         SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS ws, event_type,
                count(*) AS n
@@ -1543,6 +1605,8 @@ def queries():
         "stream_session": stream_session,
         "stream_user_state": stream_user_state,
         "events_json_extract": events_json_extract,
+        "events_funnel": events_funnel,
+        "events_sessionize": events_sessionize,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "dedup_containment": dedup_containment,
