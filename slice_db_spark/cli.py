@@ -263,6 +263,64 @@ def cmd_transform(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Run the corpus-curation chain on a document corpus: quality filter
+    → exact dedup → capped-Jaccard near-dup pairs → connected components
+    → canonical survivors, written as a new corpus (any supported format)
+    plus a JSON report of per-stage counts on stdout."""
+    from pyspark.sql import functions as F
+
+    from .operators import dedup
+    from .operators import text as textops
+    from .session import get_spark
+    from .sources.corpus import read_corpus, split_corrupt, write_corpus
+
+    spark = get_spark("slicedb-curate")
+    raw = read_corpus(spark, args.input, fmt=args.input_format)
+    docs, bad = split_corrupt(raw)
+    docs = docs.persist()
+    report = {"input_rows": docs.count(), "corrupt_rows": bad.count()}
+
+    scored = textops.quality_score(docs).select("doc_id", "quality_score")
+    kept_ids = scored.where(F.col("quality_score") >= args.quality_min)
+    kept = docs.join(kept_ids.select("doc_id"), "doc_id").persist()
+    report["after_quality"] = kept.count()
+
+    winners = dedup.exact_dedup(kept, ["text"]).select("doc_id")
+    corpus = kept.join(winners, "doc_id", "left_semi").persist()
+    report["after_exact_dedup"] = corpus.count()
+
+    pairs = dedup.ngram_jaccard_pairs(
+        corpus, threshold=args.jaccard_threshold, max_df=args.max_df
+    )
+    cc = dedup.connected_components(pairs)
+    losers = cc.where(F.col("rep") != F.col("id")).select(F.col("id").alias("doc_id"))
+    survivors = corpus.join(losers, "doc_id", "left_anti").persist()
+    report["after_near_dedup"] = survivors.count()
+    write_corpus(survivors, args.output, fmt=args.output_format, shards=args.shards)
+    print(json.dumps(report))
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    """One-shot streaming ingestion run (availableNow): drain the landing
+    directory's JSONL into the deduplicated parquet corpus."""
+    from .session import get_spark
+    from .streaming.corpus import ingest_corpus_stream
+
+    spark = get_spark("slicedb-ingest")
+    ingest_corpus_stream(
+        spark,
+        args.landing,
+        args.corpus,
+        checkpoint=args.checkpoint,
+        quarantine=args.quarantine,
+    )
+    n = spark.read.parquet(args.corpus).count()
+    print(json.dumps({"corpus_rows": n}))
+    return 0
+
+
 def cmd_schema_filter(args) -> int:
     from .config.graph import filter_children
 
@@ -395,6 +453,24 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("input", help="slice dir (or .zip archive with --format zip)")
     t.add_argument("output", help="new slice dir (or .zip path)")
     t.set_defaults(fn=cmd_transform)
+
+    cu = sub.add_parser("curate", help="quality-filter + dedup a document corpus")
+    cu.add_argument("--input-format", choices=["jsonl", "csv", "parquet"], default="parquet")
+    cu.add_argument("--output-format", choices=["jsonl", "csv", "parquet"], default="parquet")
+    cu.add_argument("--quality-min", type=float, default=0.4)
+    cu.add_argument("--jaccard-threshold", type=float, default=0.8)
+    cu.add_argument("--max-df", type=int, default=1000)
+    cu.add_argument("--shards", type=int, default=None)
+    cu.add_argument("input", help="corpus path (documents shape)")
+    cu.add_argument("output", help="curated corpus output path")
+    cu.set_defaults(fn=cmd_curate)
+
+    ing = sub.add_parser("ingest", help="drain a JSONL landing dir into a deduped corpus")
+    ing.add_argument("--checkpoint", required=True)
+    ing.add_argument("--quarantine", default=None)
+    ing.add_argument("landing", help="landing directory of .jsonl files")
+    ing.add_argument("corpus", help="parquet corpus directory (appended)")
+    ing.set_defaults(fn=cmd_ingest)
 
     sf = sub.add_parser("schema-filter", help="children-closure reverse pruning")
     sf.add_argument("--schema", required=True)

@@ -6,3 +6,4 @@ from .slice import (  # noqa: F401
     write_slice_zip,
 )
 from .sqlscript import write_sql_script  # noqa: F401
+from .corpus import read_corpus, split_corrupt, write_corpus  # noqa: F401

@@ -5,3 +5,4 @@ from .events import (  # noqa: F401
     tumbling_event_counts,
     user_activity_state,
 )
+from .corpus import ingest_corpus_stream, read_corpus_stream  # noqa: F401

@@ -271,3 +271,42 @@ def test_dump_url_arg_parsing(monkeypatch, tmp_path):
     assert seen["url"] == "jdbc:postgresql://h/db"
     assert seen["snapshot_id"] == "00000003-00000002-1"
     assert seen.get("closed") is True
+
+
+def test_curate_cli(spark, tmp_path):
+    """Curate the fixture documents corpus end-to-end; the report's stage
+    counts must be monotone non-increasing and the output re-readable."""
+    out = str(tmp_path / "curated")
+    report = json.loads(
+        run_cli(
+            "curate",
+            "--input-format", "parquet",
+            "--quality-min", "0.4",
+            os.path.join(SF_DIR, "documents.parquet"),
+            out,
+        )
+    )
+    assert report["corrupt_rows"] == 0
+    assert (
+        report["input_rows"]
+        >= report["after_quality"]
+        >= report["after_exact_dedup"]
+        >= report["after_near_dedup"]
+        > 0
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == report["after_near_dedup"]
+    assert set(back.columns) >= {"doc_id", "text"}
+
+
+def test_ingest_cli(spark, tmp_path):
+    land = tmp_path / "land"
+    land.mkdir()
+    with open(land / "a.jsonl", "w") as f:
+        f.write('{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s", "n_chars": 11}\n')
+        f.write('{"doc_id": 2, "text": "hello world", "lang": "en", "source": "s", "n_chars": 11}\n')
+    corpus = str(tmp_path / "corpus")
+    report = json.loads(
+        run_cli("ingest", "--checkpoint", str(tmp_path / "ckpt"), str(land), corpus)
+    )
+    assert report["corpus_rows"] == 1  # exact dup suppressed on arrival
