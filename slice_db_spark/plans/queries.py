@@ -366,6 +366,35 @@ def q5_region_revenue(spark, sf_dir):
     )
 
 
+def salted_join_revenue(spark, sf_dir):
+    """Skew-salted fact-to-dim join gated against the PLAIN join's oracle:
+    `plans/scale.py::salted_join` must be result-identical by construction
+    (the salt only changes partitioning), so the oracle is the unsalted
+    SQL join — this pins the identity through the driver contract, not
+    just the unit test."""
+    from .scale import salted_join
+
+    c = catalog(spark, sf_dir)
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    li = c["lineitem"].select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
+    )
+    od = c["orders"].select("o_orderkey", "o_orderpriority")
+    j = salted_join(li, od, ["o_orderkey"], salt=8)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q6_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape: the pushdown showcase — every predicate reaches the
     parquet scan (range + equality filters, zero joins), then one global
@@ -979,6 +1008,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(sbp AS DOUBLE) / count_order AS avg_price,
                count_order
         FROM g
+    """)
+
+    o["salted_join_revenue"] = _q("""
+        SELECT o_orderpriority,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                   * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2)
+                   AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
     """)
 
     o["q6_forecast_revenue"] = _q("""
@@ -1597,6 +1636,7 @@ def queries():
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "salted_join_revenue": salted_join_revenue,
         "q5_region_revenue": q5_region_revenue,
         "window_top_orders": window_top_orders,
         "events_bucket_agg": events_bucket_agg,
