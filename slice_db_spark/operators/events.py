@@ -38,21 +38,37 @@ def funnel(
         raise ValueError("stages must not be empty")
     us = F.unix_micros(F.col(ts_col))
     cols = [f"t_{s}" for s in stages]
+    # ONE pass over the fact table: sorted per-(user, stage) time arrays.
+    # A naive per-stage filter+join formulation re-scans the events k+
+    # times; aggregating first shrinks everything downstream to one row
+    # per (user, stage), so the k stage joins run over frames ~|users|
+    # in size — negligible next to the fact scan they replace.
+    per = (
+        events.where(F.col(type_col).isin(stages))
+        .select(F.col(user_col), F.col(type_col), us.alias("__us"))
+        .groupBy(user_col, type_col)
+        .agg(F.sort_array(F.collect_list("__us")).alias("__ts"))
+    )
     out = (
-        events.where(F.col(type_col) == stages[0])
-        .groupBy(user_col)
-        .agg(F.min(us).alias(cols[0]))
+        per.where(F.col(type_col) == stages[0])
+        .select(F.col(user_col), F.element_at("__ts", 1).alias(cols[0]))
     )
     for i, s in enumerate(stages[1:], 1):
-        nxt = (
-            events.where(F.col(type_col) == s)
-            .select(F.col(user_col), us.alias("__us"))
-            .join(out.select(user_col, cols[i - 1]), user_col)
-            .where(F.col("__us") > F.col(cols[i - 1]))
-            .groupBy(user_col)
-            .agg(F.min("__us").alias(cols[i]))
+        stage_i = per.where(F.col(type_col) == s).select(
+            F.col(user_col), F.col("__ts").alias("__ts_i")
         )
-        out = out.join(nxt, user_col, "left")
+        out = out.join(stage_i, user_col, "left")
+        prev = F.col(cols[i - 1])
+        # earliest event of this stage strictly after the previous stage's
+        # time; the filter+array_min runs interpreted but over one small
+        # per-user array, not the event stream
+        out = out.withColumn(
+            cols[i],
+            F.when(
+                prev.isNotNull(),
+                F.array_min(F.filter("__ts_i", lambda x: x > prev)),
+            ),
+        ).drop("__ts_i")
     reached = None
     for c in cols:
         r = F.when(F.col(c).isNotNull(), 1).otherwise(0)

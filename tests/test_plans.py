@@ -126,3 +126,14 @@ def test_q6_full_pushdown(plans):
     for frag in ("l_shipdate", "l_discount", "l_quantity"):
         pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
         assert any(frag in ln for ln in pushed), frag
+
+
+def test_funnel_scans_bounded_by_stages(plans):
+    """The funnel must not re-derive the fact table per stage-join (the
+    naive per-stage filter+join shape scans events 3k+ times); the
+    aggregate-first shape scans at most once per stage, each with the
+    stage's type filter pushed to the scan."""
+    import re
+
+    p = plans("events_funnel")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 4
