@@ -126,6 +126,7 @@ def decontaminate(
     min_overlap: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: find training documents sharing ≥
     ``min_overlap`` distinct word ``n``-grams with any benchmark document
@@ -148,8 +149,13 @@ def decontaminate(
         .select("shingle")
         .distinct()
     )
+    if broadcast:
+        # no eager size probe here — the caller knows its eval suite's
+        # size; pass broadcast=False for abnormally large benchmark sets
+        # (falls back to a shuffled hash join)
+        bench_sh = F.broadcast(bench_sh)
     return (
-        corpus_st.join(F.broadcast(bench_sh), "shingle")
+        corpus_st.join(bench_sh, "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .where(F.col("n_overlap") >= min_overlap)

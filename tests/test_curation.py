@@ -235,3 +235,11 @@ def test_parallel_restore_propagates_failure(spark, catalog, tmp_path):
 
     with pytest.raises(RuntimeError, match="write failed"):
         _run_levels([["a", "bad", "c"]], jobs=3, write=boom)
+
+
+def test_decontaminate_broadcast_optout_same_result(spark):
+    bench = _docs(spark, [(100, "one two three four five six")])
+    corpus = _docs(spark, [(1, "zzz one two three four five qqq"), (2, "unrelated words here entirely now")])
+    a = {tuple(r) for r in curation.decontaminate(corpus, bench, n=5).collect()}
+    b = {tuple(r) for r in curation.decontaminate(corpus, bench, n=5, broadcast=False).collect()}
+    assert a == b and len(a) == 1
