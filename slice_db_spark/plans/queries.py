@@ -879,6 +879,16 @@ def media_resize(spark, sf_dir):
     )
 
 
+def media_wav_stats(spark, sf_dir):
+    """REAL codec gate: synthesize mono PCM16 WAV payloads from pure
+    doc_id arithmetic, then parse them back with the struct-level RIFF
+    reader and emit integer stats.  The oracle computes the same stats
+    from the arithmetic alone — any encoder/parser byte-offset or
+    endianness bug breaks the hash match."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.wav_stats(multimodal.synth_wav(docs))
+
+
 # =====================================================================
 # Oracle SQL (DuckDB dialect, same parquet views)
 # =====================================================================
@@ -1615,6 +1625,20 @@ FROM d
         FROM documents
     """)
 
+    o["media_wav_stats"] = _q("""
+        WITH s AS (
+          SELECT CAST(doc_id AS BIGINT) AS media_id,
+            CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+            CAST(50 + doc_id % 200 AS BIGINT) AS n_samples,
+            list_transform(range(0, CAST(50 + doc_id % 200 AS INT)),
+                           i -> abs((doc_id * 31 + i * 7) % 65536 - 32768)) AS aa
+          FROM documents)
+        SELECT media_id, sample_rate, n_samples,
+               CAST(list_sum(aa) AS BIGINT) AS sum_abs,
+               CAST(list_max(aa) AS BIGINT) AS max_abs
+        FROM s
+    """)
+
     return o
 
 
@@ -1676,4 +1700,5 @@ def queries():
         "media_decode": media_decode,
         "media_frames": media_frames,
         "media_resize": media_resize,
+        "media_wav_stats": media_wav_stats,
     }
