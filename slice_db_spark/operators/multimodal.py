@@ -240,6 +240,129 @@ def wav_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=WAV_STATS_SCHEMA)
 
 
+# ---------------------------------------------------------- real BMP codec
+# The image analog of the WAV codec: uncompressed 24-bit BMP is fully
+# specified by struct (BGR, bottom-up rows, 4-byte row padding), and
+# nearest-neighbor resize is exact integer index math — so the whole
+# decode → numpy resize → re-encode chain is real AND arithmetic-oracle
+# verifiable.
+
+
+def encode_bmp(width: int, height: int, pixels) -> bytes:
+    """Minimal 24-bit uncompressed BMP writer.  ``pixels`` is a numpy
+    uint8 array of shape (height, width, 3) in top-down RGB order."""
+    import numpy as np
+
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    img_size = (row_bytes + pad) * height
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 0, 0, 0, 0)
+    bgr = pixels[:, :, ::-1]  # RGB -> BGR
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        rows.append(bgr[y].tobytes() + b"\x00" * pad)
+    return hdr + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes):
+    """Minimal 24-bit BMP parser → (width, height, numpy (h, w, 3) RGB
+    top-down).  Raises ``ValueError`` for anything but the uncompressed
+    24-bit layout."""
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack("<I", payload[10:14])
+    size, width, height, planes, bits, comp = struct.unpack("<IiiHHI", payload[14:34])
+    if size != 40 or bits != 24 or comp != 0 or planes != 1 or height <= 0:
+        raise ValueError(f"unsupported BMP: hdr={size} bits={bits} comp={comp}")
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    out = np.empty((height, width, 3), dtype="uint8")
+    pos = offset
+    for y in range(height - 1, -1, -1):
+        row = np.frombuffer(payload[pos : pos + row_bytes], dtype="uint8")
+        out[y] = row.reshape(width, 3)[:, ::-1]  # BGR -> RGB
+        pos += row_bytes + pad
+    return width, height, out
+
+
+def synth_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic BMP per row: size (8 + k mod 9) × (8 + 3k mod 9),
+    grayscale pixel(x, y) = (k + 3x + 5y) mod 256 — pure arithmetic an
+    SQL oracle mirrors."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                w, h = 8 + k % 9, 8 + (3 * k) % 9
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                gray = ((k + 3 * xs + 5 * ys) % 256).astype("uint8")
+                px = np.repeat(gray[:, :, None], 3, axis=2)
+                payload = encode_bmp(w, h, px)
+                rows.append((k, "image", payload, "bmp", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def resize_bmp(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL resize stage: decode BMP → nearest-neighbor index
+    (src = (dst · src_extent) // dst_extent, exact integer math) →
+    re-encode.  Same MEDIA_SCHEMA in and out — a drop-in replacement for
+    the stub :func:`resize_media` when the format is BMP."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                w, h, px = decode_bmp(bytes(payload))
+                sx = (np.arange(width) * w) // width
+                sy = (np.arange(height) * h) // height
+                out_px = px[sy[:, None], sx[None, :]]
+                out = encode_bmp(width, height, out_px)
+                rows.append((int(mid), kind, out, "bmp", len(out)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+BMP_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_red", LongType()),
+    ]
+)
+
+
+def bmp_stats(df: DataFrame) -> DataFrame:
+    """Decode BMP payloads → integer pixel statistics (exact for any SQL
+    oracle): dimensions + sum of the red channel."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_bmp(bytes(payload))
+                out.append((int(mid), w, h, int(px[:, :, 0].astype("int64").sum())))
+            yield pd.DataFrame(out, columns=["media_id", "width", "height", "sum_red"])
+
+    return df.mapInPandas(run, schema=BMP_STATS_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
     """Frame-sampling contract: one output row per kept frame index.
 

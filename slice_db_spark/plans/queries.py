@@ -879,6 +879,23 @@ def media_resize(spark, sf_dir):
     )
 
 
+BMP_RESIZE_W = 12
+BMP_RESIZE_H = 10
+
+
+def media_bmp_resize(spark, sf_dir):
+    """REAL image chain gate: arithmetic BMP synth → struct decode →
+    numpy nearest-neighbor resize → re-encode → decode → integer pixel
+    stats.  The oracle recomputes the resampled pixel sum from the
+    synthesis arithmetic + the exact (dst·src)//dst index convention, so
+    any error in row order, padding, channel order, or resampling breaks
+    the match."""
+    docs = catalog(spark, sf_dir)["documents"]
+    media = multimodal.synth_bmp(docs)
+    resized = multimodal.resize_bmp(media, BMP_RESIZE_W, BMP_RESIZE_H)
+    return multimodal.bmp_stats(resized)
+
+
 def media_wav_stats(spark, sf_dir):
     """REAL codec gate: synthesize mono PCM16 WAV payloads from pure
     doc_id arithmetic, then parse them back with the struct-level RIFF
@@ -1625,6 +1642,22 @@ FROM d
         FROM documents
     """)
 
+    o["media_bmp_resize"] = _q(f"""
+        WITH s AS (
+          SELECT CAST(doc_id AS BIGINT) AS media_id,
+                 8 + doc_id % 9 AS w, 8 + (3 * doc_id) % 9 AS h
+          FROM documents)
+        SELECT media_id,
+          CAST({BMP_RESIZE_W} AS BIGINT) AS width,
+          CAST({BMP_RESIZE_H} AS BIGINT) AS height,
+          CAST(list_sum(list_transform(range(0, {BMP_RESIZE_H}), i ->
+            list_sum(list_transform(range(0, {BMP_RESIZE_W}), j ->
+              (media_id + 3 * ((j * w) // {BMP_RESIZE_W})
+                        + 5 * ((i * h) // {BMP_RESIZE_H})) % 256))))
+            AS BIGINT) AS sum_red
+        FROM s
+    """)
+
     o["media_wav_stats"] = _q("""
         WITH s AS (
           SELECT CAST(doc_id AS BIGINT) AS media_id,
@@ -1701,4 +1734,5 @@ def queries():
         "media_frames": media_frames,
         "media_resize": media_resize,
         "media_wav_stats": media_wav_stats,
+        "media_bmp_resize": media_bmp_resize,
     }

@@ -39,3 +39,44 @@ def test_wav_pipeline_stats(spark):
         assert out[k]["sample_rate"] == 8000 + (k % 8) * 1000
         assert out[k]["sum_abs"] == sum(abs(s) for s in samples)
         assert out[k]["max_abs"] == max(abs(s) for s in samples)
+
+
+def test_bmp_roundtrip_bytes():
+    import numpy as np
+
+    from slice_db_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    # non-multiple-of-4 row width exercises the padding path
+    px = np.arange(5 * 3 * 3, dtype="uint8").reshape(3, 5, 3)
+    payload = encode_bmp(5, 3, px)
+    assert payload[:2] == b"BM"
+    w, h, back = decode_bmp(payload)
+    assert (w, h) == (5, 3)
+    assert np.array_equal(px, back)
+
+
+def test_bmp_decode_rejects_malformed():
+    from slice_db_spark.operators.multimodal import decode_bmp
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"definitely not a bitmap, not even close to one truly")
+    with pytest.raises(ValueError):
+        decode_bmp(b"")
+
+
+def test_bmp_resize_nearest_neighbor(spark):
+    import numpy as np
+
+    from slice_db_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame([(4,)], "doc_id bigint")
+    out = MM.bmp_stats(MM.resize_bmp(MM.synth_bmp(df), 12, 10)).collect()[0]
+    k, W, H = 4, 12, 10
+    w, h = 8 + k % 9, 8 + (3 * k) % 9
+    expect = sum(
+        (k + 3 * ((j * w) // W) + 5 * ((i * h) // H)) % 256
+        for i in range(H)
+        for j in range(W)
+    )
+    assert (out["width"], out["height"]) == (W, H)
+    assert out["sum_red"] == expect
