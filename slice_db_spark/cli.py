@@ -11,6 +11,8 @@
   prune reverse fanout outside a subtree (`slice_db/cli/schema_filter.py`).
 * ``transform-field`` — scalar REPL for one value
   (`slice_db/cli/transform_field.py:8-24`).
+* ``curate`` / ``ingest`` — corpus-curation chain and streaming
+  dedup-on-arrival ingestion (engine extensions; no reference analog).
 
 The reference's ``schema`` command introspects pg_catalog over a live
 connection; here ``schema-infer`` derives a config skeleton from parquet
