@@ -118,3 +118,31 @@ def test_connected_components_regimes_agree(spark, edges):
     driver = {tuple(r) for r in dedup.connected_components(pairs).collect()}
     dist = {tuple(r) for r in dedup.connected_components(pairs, driver_rows=0).collect()}
     assert driver == dist
+
+
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), max_size=64),
+    st.integers(min_value=1, max_value=192000),
+)
+@settings(max_examples=200)
+def test_wav_roundtrip_property(samples, rate):
+    from slice_db_spark.operators.multimodal import decode_wav, encode_wav
+
+    got_rate, got = decode_wav(encode_wav(samples, rate))
+    assert got_rate == rate and got == samples
+
+
+@given(st.integers(min_value=1, max_value=17), st.integers(min_value=1, max_value=17), st.randoms())
+@settings(max_examples=100)
+def test_bmp_roundtrip_property(w, h, rnd):
+    import numpy as np
+
+    from slice_db_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    px = np.array(
+        [[[rnd.randrange(256) for _ in range(3)] for _ in range(w)] for _ in range(h)],
+        dtype="uint8",
+    )
+    gw, gh, back = decode_bmp(encode_bmp(w, h, px))
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(px, back)
