@@ -126,3 +126,16 @@ def test_streaming_ingest_within_batch_dedup(spark, tmp_path):
     SC.ingest_corpus_stream(spark, str(land), out, str(tmp_path / "ckpt"))
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1 and rows[0]["doc_id"] == 3  # min id wins
+
+
+def test_csv_corrupt_capture(spark, tmp_path):
+    src = tmp_path / "csv_bad"
+    src.mkdir()
+    with open(src / "a.csv", "w") as f:
+        f.write('1,"good text",en,s0,9\n')
+        f.write('not-a-number,"bad id",en,s0,6\n')
+        f.write('3,"unterminated quote,en,s0,5\n')
+    clean, bad = C.split_corrupt(C.read_corpus(spark, str(src), fmt="csv"))
+    assert [r["doc_id"] for r in clean.collect()] == [1]
+    raws = {r["raw"] for r in bad.collect()}
+    assert len(raws) == 2 and any("not-a-number" in r for r in raws)
