@@ -32,9 +32,12 @@ HEADLINE = [
     "q6_forecast_revenue",
     "window_top_orders",
     "events_bucket_agg",
+    "events_asof",
+    "events_range_join",
     "dedup_exact",
     "dedup_jaccard",
     "dedup_containment",
+    "dedup_chunks",
     "minhash_lsh",
     "dedup_clusters",
     "simhash_sigs",

@@ -566,3 +566,85 @@ def simhash_near_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------- chunk dedup
+
+
+def chunk_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """(id, pos, chunk-hash, chunk_len) — the document split into fixed
+    ``chunk_tokens``-token chunks (last chunk partial).  The token-array
+    analog of line splitting for corpora without line structure; the
+    granularity line-level dedup (CCNet/RefinedWeb-style) operates at.
+
+    Chunks are built from O(1) ``get`` lookups over the materialized
+    token array (see :func:`_shingle_expr` for why not ``slice``);
+    ``concat_ws`` drops the NULL gets past the end, reproducing the
+    partial last chunk.  One explode, no shuffle.
+    """
+    c = chunk_tokens
+    toks = df.select(
+        F.col(id_col), F.split(normalize(F.col(text_col)), " ").alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    nchunks = F.floor((F.col("__n") + F.lit(c - 1)) / F.lit(c)).cast("bigint")
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), nchunks - 1),
+        lambda i: F.concat_ws(
+            " ", *[F.get(F.col("__toks"), (i * c + F.lit(j)).cast("int")) for j in range(c)]
+        ),
+    )
+    return (
+        toks.select(F.col(id_col), F.col("__n"), F.posexplode(chunks).alias("pos", "__chunk"))
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("bigint").alias("pos"),
+            hash64(F.col("__chunk")).alias("chunk_hash"),
+            F.least(F.lit(c), F.col("__n") - F.col("pos") * c).cast("bigint").alias("chunk_len"),
+        )
+    )
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Chunk-level exact dedup over the whole corpus: a chunk's FIRST
+    occurrence (smallest (id, pos)) survives; later occurrences are
+    duplicates.  Returns per document
+    ``(id, n_chunks, dup_chunks, kept_tokens)`` — the bookkeeping a
+    line-dedup pass needs to rewrite the corpus.
+
+    Scale shape: the winner per chunk-hash comes from ``groupBy(hash)
+    .agg(min(packed-owner))`` — partial aggregation combines map-side, so
+    a chunk duplicated across millions of documents (the exact thing this
+    operator hunts) collapses to one row per partition BEFORE the
+    shuffle; a window over the hash would funnel every copy of a hot
+    chunk through one task instead.  The join back on the hash is
+    skew-safe for the same reason: the winner side is one row per hash
+    (AQE splits any residual probe skew).  Owner packing
+    ``id * 2^20 + pos`` bounds documents at 2^20 chunks (~21M tokens at
+    the default width) — far above any real document.
+    """
+    chunks = chunk_table(df, text_col, id_col, chunk_tokens)
+    pk = (F.col(id_col) * F.lit(1 << 20) + F.col("pos")).alias("__pk")
+    tagged = chunks.select(id_col, "pos", "chunk_hash", "chunk_len", pk)
+    winners = tagged.groupBy("chunk_hash").agg(F.min("__pk").alias("__wpk"))
+    return (
+        tagged.join(winners, on="chunk_hash")
+        .withColumn("__dup", (F.col("__pk") != F.col("__wpk")).cast("bigint"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("__dup").alias("dup_chunks"),
+            F.sum(F.when(F.col("__dup") == 0, F.col("chunk_len")).otherwise(F.lit(0))).alias(
+                "kept_tokens"
+            ),
+        )
+    )

@@ -1,5 +1,5 @@
-"""Batch event-sequence analytics: conversion funnels and gap-based
-sessionization.
+"""Batch event-sequence analytics: conversion funnels, gap-based
+sessionization, as-of joins, and bounded-interval range joins.
 
 Complements :mod:`..streaming.events` (the watermark/window operators)
 with the batch shapes product analytics runs over the same table.  All
@@ -7,10 +7,13 @@ outputs use epoch-microsecond BIGINTs so the DuckDB oracles compare
 exactly (`unix_micros` ↔ ``epoch_us`` — no float epochs, no timezone
 rendering).
 
-Scale notes: every shuffle is keyed by ``user_id``; funnel stages are
-repeated joins on the SAME key, so the exchanges are reused across
-stages, and sessionization is one window pass per user partition — both
-shapes partition with user cardinality, no global ordering anywhere.
+Scale notes: every shuffle is keyed by ``user_id`` (funnel /
+sessionization / as-of) or ``(user_id, time-bucket)`` (range join);
+funnel stages are repeated joins on the SAME key so the exchanges are
+reused across stages; sessionization and the as-of merge are one window
+pass per user partition; the range join never compares events further
+apart than one bucket width — no global ordering, no cross join
+anywhere.
 """
 
 from __future__ import annotations
@@ -123,5 +126,114 @@ def sessionize(
             "start_us",
             "end_us",
             (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join: for every ``left`` row, the id of the LATEST ``right``
+    row of the same ``on`` key with ``right.ts <= left.ts`` (``strict=True``
+    excludes equal timestamps).  Ties between right rows sharing a
+    timestamp break deterministically toward the larger ``right_id``.
+
+    Spark has no ASOF JOIN operator; the classic sort-merge formulation is
+    one tagged union + one running ``last(..., ignoreNulls)`` window per
+    key — a single shuffle on ``on``, no inequality join, no per-row
+    Python.  At 100 TB the state per partition is one struct (the current
+    best right row), so the window is a streaming pass; skew follows key
+    cardinality exactly like any per-user analytic.
+
+    Returns ``(on, l_id, l_us, r_id)`` with ``r_id`` NULL when no right
+    row precedes.  Right-side attributes re-attach by one equi-join on
+    ``(on, r_id)`` — kept out of the window so multiple attributes cannot
+    mix values from different right rows.
+    """
+    l_us = F.unix_micros(F.col(ts_col))
+    # sides order right-before-left at equal timestamps (<=); strict flips
+    l_side, r_side = (0, 1) if strict else (1, 0)
+    l = left.select(
+        F.col(on),
+        l_us.alias("__us"),
+        F.lit(l_side).alias("__side"),
+        F.col(left_id).alias("l_id"),
+        F.lit(None).cast("bigint").alias("__r"),
+    )
+    r = right.select(
+        F.col(on),
+        l_us.alias("__us"),
+        F.lit(r_side).alias("__side"),
+        F.lit(None).cast(left.schema[left_id].dataType).alias("l_id"),
+        F.col(right_id).cast("bigint").alias("__r"),
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__us", "__side", "__r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        l.unionByName(r)
+        .withColumn("r_id", F.last("__r", ignorenulls=True).over(w))
+        .where(F.col("l_id").isNotNull())
+        .select(on, "l_id", F.col("__us").alias("l_us"), "r_id")
+    )
+
+
+def range_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    window_us: int,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    a_id: str = "event_id",
+    b_id: str = "event_id",
+) -> DataFrame:
+    """Bounded range join: every pair (a, b) sharing ``on`` with
+    ``a.ts <= b.ts <= a.ts + window_us``.  Output
+    ``(on, a_id, b_id, dt_us)``; self-pairs (same id) are excluded so the
+    operator composes as a self-join of one event stream.
+
+    A naive inequality join is a per-key cross product.  Instead each
+    side buckets time into ``window_us``-wide bins: a qualifying b is
+    always in a's bin or the next one, so ``a`` expands to TWO join keys
+    (its bin and bin+1) and the join is a plain equi-join on
+    ``(on, bin)`` with a residual range filter — the standard
+    interval-bucket decomposition.  The two keys are distinct, so no
+    pair is produced twice.
+
+    Scale: shuffle keyed by ``(on, bin)``, so hot users are further
+    split by time; comparisons are bounded by pairs at most one bucket
+    apart, never |a|×|b| per key.  ``window_us`` IS the cost knob: the
+    candidate volume scales with events per (user, window).
+    """
+    a_us = F.unix_micros(F.col(ts_col))
+    bin_ = (F.col("__us") / F.lit(window_us)).cast("bigint")
+    aa = (
+        a.select(F.col(on), a_us.alias("__us"), F.col(a_id).alias("a_id"))
+        .withColumn("__bin", F.explode(F.array(bin_, bin_ + 1)))
+    )
+    bb = (
+        b.select(F.col(on), a_us.alias("__b_us"), F.col(b_id).alias("b_id"))
+        .withColumn("__bin", (F.col("__b_us") / F.lit(window_us)).cast("bigint"))
+    )
+    return (
+        aa.join(bb, on=[on, "__bin"])
+        .where(
+            (F.col("__b_us") >= F.col("__us"))
+            & (F.col("__b_us") - F.col("__us") <= window_us)
+            & (F.col("a_id") != F.col("b_id"))
+        )
+        .select(
+            on,
+            "a_id",
+            "b_id",
+            (F.col("__b_us") - F.col("__us")).alias("dt_us"),
         )
     )

@@ -464,6 +464,54 @@ def events_sessionize(spark, sf_dir):
     return sessionize(catalog(spark, sf_dir)["events"], gap_minutes=30)
 
 
+def events_asof(spark, sf_dir):
+    """As-of join: each purchase matched to the user's latest
+    prior-or-simultaneous click (tagged-union + running-last window —
+    Spark's sort-merge reading of ASOF JOIN; one shuffle on user_id)."""
+    from ..operators.events import asof_join
+
+    e = catalog(spark, sf_dir)["events"]
+    purchases = e.where(F.col("event_type") == "purchase")
+    clicks = e.where(F.col("event_type") == "click")
+    m = asof_join(purchases, clicks)
+    click_ts = clicks.select(
+        F.col("event_id").alias("r_id"), F.unix_micros("ts").alias("click_us")
+    )
+    return (
+        m.join(F.broadcast(click_ts), on="r_id", how="left")
+        .select(
+            "user_id",
+            F.col("l_id").alias("purchase_id"),
+            F.col("l_us").alias("purchase_us"),
+            F.col("r_id").alias("click_id"),
+            "click_us",
+            (F.col("l_us") - F.col("click_us")).alias("gap_us"),
+        )
+    )
+
+
+RANGE_JOIN_WINDOW_US = 600_000_000  # 10 minutes
+
+
+def events_range_join(spark, sf_dir):
+    """Bounded range join: every (error, purchase) pair of one user at
+    most 10 minutes apart — interval-bucket equi-join decomposition (no
+    inequality join, no per-user cross product)."""
+    from ..operators.events import range_pairs
+
+    e = catalog(spark, sf_dir)["events"]
+    return range_pairs(
+        e.where(F.col("event_type") == "error"),
+        e.where(F.col("event_type") == "purchase"),
+        window_us=RANGE_JOIN_WINDOW_US,
+    ).select(
+        "user_id",
+        F.col("a_id").alias("error_id"),
+        F.col("b_id").alias("purchase_id"),
+        "dt_us",
+    )
+
+
 # ------------------------------------------------- streaming (batch path)
 # The streaming builders run the IDENTICAL plan under readStream (unified
 # API; tests/test_streaming.py proves stream == batch across micro-batches)
@@ -548,6 +596,19 @@ def dedup_containment(spark, sf_dir):
         catalog(spark, sf_dir)["documents"],
         threshold=CONTAINMENT_THRESHOLD,
         max_df=JACCARD_MAX_DF,
+    )
+
+
+CHUNK_TOKENS = 20
+
+
+def dedup_chunks(spark, sf_dir):
+    """Chunk-level (line-dedup analog) exact dedup bookkeeping: per doc,
+    how many fixed-width token chunks it holds, how many are duplicates
+    of an earlier (id, pos) occurrence corpus-wide, and the tokens that
+    survive a rewrite."""
+    return dedup.chunk_dedup_stats(
+        catalog(spark, sf_dir)["documents"], chunk_tokens=CHUNK_TOKENS
     )
 
 
@@ -1147,6 +1208,40 @@ def oracle_sql() -> dict[str, str]:
         FROM s GROUP BY user_id, session_id
     """)
 
+    # as-of via the same tagged-union running-last formulation the Spark
+    # operator uses (DuckDB's native ASOF JOIN leaves equal-timestamp
+    # tie-breaks unspecified; the window form pins them)
+    o["events_asof"] = _q("""
+        WITH l AS (SELECT user_id, epoch_us(ts) AS us, 1 AS side,
+                          event_id AS l_id, NULL::BIGINT AS r
+                   FROM events WHERE event_type = 'purchase'),
+        r AS (SELECT user_id, epoch_us(ts) AS us, 0 AS side,
+                     NULL::BIGINT AS l_id, event_id AS r
+              FROM events WHERE event_type = 'click'),
+        u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        m AS (SELECT user_id, us, l_id,
+                last_value(r IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY us, side, r
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+              FROM u)
+        SELECT m.user_id, m.l_id AS purchase_id, m.us AS purchase_us,
+               m.click_id, c.us AS click_us, m.us - c.us AS gap_us
+        FROM m LEFT JOIN (SELECT event_id, epoch_us(ts) AS us FROM events
+                          WHERE event_type = 'click') c
+               ON m.click_id = c.event_id
+        WHERE m.l_id IS NOT NULL
+    """)
+
+    o["events_range_join"] = _q(f"""
+        WITH a AS (SELECT user_id, event_id AS error_id, epoch_us(ts) AS a_us
+                   FROM events WHERE event_type = 'error'),
+        b AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS b_us
+              FROM events WHERE event_type = 'purchase')
+        SELECT a.user_id, error_id, purchase_id, b_us - a_us AS dt_us
+        FROM a JOIN b USING (user_id)
+        WHERE b_us >= a_us AND b_us - a_us <= {RANGE_JOIN_WINDOW_US}
+    """)
+
     o["stream_tumbling"] = _q("""
         SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS ws, event_type,
                count(*) AS n
@@ -1199,6 +1294,28 @@ def oracle_sql() -> dict[str, str]:
                {_hash64_sql(f"coalesce(CAST(text AS VARCHAR), chr(0))")} AS content_hash,
                count(*) AS dup_count
         FROM documents GROUP BY 2
+    """)
+
+    # chunk dedup mirror: fixed-width token chunks, first (id, pos) wins;
+    # owner packing doc_id*2^20+pos matches chunk_dedup_stats exactly
+    _c = CHUNK_TOKENS
+    o["dedup_chunks"] = _q(f"""
+        WITH t AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+        t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        c AS (SELECT doc_id, n, toks,
+                     unnest(range(0, (n + {_c - 1}) // {_c})) AS pos
+              FROM t2),
+        h AS (SELECT doc_id, pos,
+                {_hash64_sql(f"array_to_string(list_slice(toks, pos * {_c} + 1, pos * {_c} + {_c}), ' ')")}
+                  AS chunk_hash,
+                least({_c}, n - pos * {_c}) AS chunk_len,
+                doc_id * {1 << 20} + pos AS pk
+              FROM c),
+        w AS (SELECT chunk_hash, min(pk) AS wpk FROM h GROUP BY chunk_hash)
+        SELECT h.doc_id, count(*) AS n_chunks,
+               CAST(sum(CASE WHEN pk <> wpk THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+               CAST(sum(CASE WHEN pk = wpk THEN chunk_len ELSE 0 END) AS BIGINT) AS kept_tokens
+        FROM h JOIN w USING (chunk_hash) GROUP BY h.doc_id
     """)
 
     # keep = posting-list cap mirror of ngram_jaccard_pairs(max_df): only
@@ -1704,8 +1821,11 @@ def queries():
         "events_json_extract": events_json_extract,
         "events_funnel": events_funnel,
         "events_sessionize": events_sessionize,
+        "events_asof": events_asof,
+        "events_range_join": events_range_join,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
+        "dedup_chunks": dedup_chunks,
         "dedup_containment": dedup_containment,
         "minhash_sigs": minhash_sigs,
         "minhash_lsh": minhash_lsh,

@@ -161,3 +161,41 @@ def test_containment_max_df_lower_bound(catalog):
         for r in dedup.ngram_containment_pairs(docs, threshold=0.9, max_df=50).collect()
     }
     assert capped <= exact and len(exact) > 0
+
+
+# ------------------------------------------------------------ chunk dedup
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    from slice_db_spark.operators.dedup import chunk_dedup_stats
+
+    blk_a = " ".join(f"a{i}" for i in range(20))   # 20-token shared chunk
+    blk_b = " ".join(f"b{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, blk_a + " " + blk_b),        # owns both chunks
+            (2, blk_a + " tail words"),      # chunk 0 dups doc 1; partial chunk unique
+            (3, blk_b),                      # single chunk, dups doc 1 pos 1
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in chunk_dedup_stats(docs, chunk_tokens=20).collect()}
+    assert out[1] == {"doc_id": 1, "n_chunks": 2, "dup_chunks": 0, "kept_tokens": 40}
+    assert out[2] == {"doc_id": 2, "n_chunks": 2, "dup_chunks": 1, "kept_tokens": 2}
+    assert out[3] == {"doc_id": 3, "n_chunks": 1, "dup_chunks": 1, "kept_tokens": 0}
+
+
+def test_chunk_dedup_partial_chunk_identity(spark):
+    from slice_db_spark.operators.dedup import chunk_dedup_stats
+
+    # identical 5-token docs dedup against each other; 20-token chunking
+    # must treat the partial chunk as one unit
+    docs = spark.createDataFrame(
+        [(1, "one two three four five"), (2, "one two three four five"),
+         (3, "one two three four DIFFERENT")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in chunk_dedup_stats(docs, chunk_tokens=20).collect()}
+    assert out[1]["dup_chunks"] == 0 and out[1]["kept_tokens"] == 5
+    assert out[2]["dup_chunks"] == 1 and out[2]["kept_tokens"] == 0
+    assert out[3]["dup_chunks"] == 0 and out[3]["kept_tokens"] == 5

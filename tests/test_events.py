@@ -76,3 +76,107 @@ def test_sessionize_exact_gap_is_same_session(spark):
     df = _events(spark, [(1, 0, "click"), (1, 30, "click")])
     out = sessionize(df, gap_minutes=30).collect()
     assert len(out) == 1 and out[0]["n_events"] == 2
+
+
+# ------------------------------------------------------------- as-of join
+
+
+def _us(minutes):
+    base = dt.datetime(2024, 1, 1)
+    return int((base + dt.timedelta(minutes=minutes)).timestamp() * 1_000_000)
+
+
+def test_asof_join_latest_prior(spark):
+    from slice_db_spark.operators.events import asof_join
+
+    df = _events(
+        spark,
+        [
+            (1, 0, "click"),      # id 0
+            (1, 10, "click"),     # id 1
+            (1, 15, "purchase"),  # id 2 -> click id 1
+            (1, 20, "purchase"),  # id 3 -> still click id 1
+            (2, 5, "purchase"),   # id 4 -> no prior click
+        ],
+    )
+    left = df.where("event_type = 'purchase'")
+    right = df.where("event_type = 'click'")
+    out = {r["l_id"]: r.asDict() for r in asof_join(left, right).collect()}
+    assert out[2]["r_id"] == 1 and out[3]["r_id"] == 1
+    assert out[4]["r_id"] is None
+    assert out[2]["l_us"] == _us(15)
+
+
+def test_asof_join_equal_ts_and_strict(spark):
+    from slice_db_spark.operators.events import asof_join
+
+    df = _events(
+        spark,
+        [
+            (1, 0, "click"),      # id 0
+            (1, 5, "click"),      # id 1: same minute as the purchase
+            (1, 5, "purchase"),   # id 2
+        ],
+    )
+    left = df.where("event_type = 'purchase'")
+    right = df.where("event_type = 'click'")
+    # default <= : the simultaneous click wins
+    assert asof_join(left, right).collect()[0]["r_id"] == 1
+    # strict < : the simultaneous click is excluded
+    assert asof_join(left, right, strict=True).collect()[0]["r_id"] == 0
+
+
+def test_asof_join_equal_ts_right_tie_breaks_to_max_id(spark):
+    from slice_db_spark.operators.events import asof_join
+
+    df = _events(
+        spark,
+        [
+            (1, 5, "click"),      # id 0
+            (1, 5, "click"),      # id 1: same ts — larger id wins
+            (1, 9, "purchase"),   # id 2
+        ],
+    )
+    out = asof_join(
+        df.where("event_type = 'purchase'"), df.where("event_type = 'click'")
+    ).collect()
+    assert out[0]["r_id"] == 1
+
+
+# ------------------------------------------------------------ range join
+
+
+def test_range_pairs_boundaries_and_buckets(spark):
+    from slice_db_spark.operators.events import range_pairs
+
+    w_us = 10 * 60 * 1_000_000  # 10-minute window
+    df = _events(
+        spark,
+        [
+            (1, 0, "error"),       # id 0
+            (1, 0, "purchase"),    # id 1: dt = 0, included
+            (1, 10, "purchase"),   # id 2: dt = window exactly, included
+            (1, 11, "purchase"),   # id 3: past the window, excluded
+            (1, 9, "purchase"),    # id 4: crosses the bucket boundary
+            (2, 1, "purchase"),    # id 5: other user, excluded
+            (1, -1, "purchase"),   # id 6: BEFORE the error, excluded
+        ],
+    )
+    out = range_pairs(
+        df.where("event_type = 'error'"),
+        df.where("event_type = 'purchase'"),
+        window_us=w_us,
+    ).collect()
+    got = {(r["a_id"], r["b_id"]): r["dt_us"] for r in out}
+    assert set(got) == {(0, 1), (0, 2), (0, 4)}
+    assert got[(0, 1)] == 0 and got[(0, 2)] == w_us
+    # no duplicate pairs from the two-key expansion
+    assert len(out) == len(got)
+
+
+def test_range_pairs_self_join_excludes_self(spark):
+    from slice_db_spark.operators.events import range_pairs
+
+    df = _events(spark, [(1, 0, "click"), (1, 5, "click")])
+    out = range_pairs(df, df, window_us=10 * 60 * 1_000_000).collect()
+    assert {(r["a_id"], r["b_id"]) for r in out} == {(0, 1)}
