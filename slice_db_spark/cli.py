@@ -194,6 +194,8 @@ def cmd_restore(args) -> int:
             post_data=post,
             defer_constraints=args.defer_constraints,
             jobs=args.jobs,
+            transaction=args.transaction,
+            disable_triggers=args.disable_triggers,
         )
     else:
         if not args.output:
@@ -434,6 +436,20 @@ def main(argv: list[str] | None = None) -> int:
         "--defer-constraints",
         action="store_true",
         help="with --url: single transaction + SET CONSTRAINTS ALL DEFERRED (cyclic FKs)",
+    )
+    r.add_argument(
+        "--transaction",
+        action="store_true",
+        help="with --url: load every table in ONE transaction (all rows "
+        "commit or none; serial by definition — incompatible with --jobs, "
+        "the reference's exact trade)",
+    )
+    r.add_argument(
+        "--disable-triggers",
+        action="store_true",
+        help="with --url: SET session_replication_role = replica on every "
+        "writer connection (no triggers, no FK enforcement; needs a "
+        "privileged role)",
     )
     r.add_argument(
         "--jobs",

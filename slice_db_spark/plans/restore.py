@@ -139,12 +139,19 @@ def restore_to_parquet(
     return order
 
 
+#: per-connection init applied by ``disable_triggers`` — PostgreSQL's
+#: replica role suppresses user triggers AND FK enforcement for the
+#: session (what ``--disable-triggers`` means in pg_restore terms).
+DISABLE_TRIGGERS_SQL = "SET session_replication_role = replica"
+
+
 def restore_to_jdbc(
     tables: dict[str, DataFrame],
     schema: SchemaConfig,
     url: str,
     properties: dict | None = None,
     jobs: int = 1,
+    disable_triggers: bool = False,
 ) -> list[str]:
     """Append slice tables to a live database in FK order (parallel Spark
     JDBC writers — the fast path for acyclic schemas).  ``jobs > 1``
@@ -152,12 +159,23 @@ def restore_to_jdbc(
     pool of JDBC writer connections (the reference's ``--jobs`` with
     ``--no-transaction``).  Raises CycleError for cyclic schemas: no
     write order satisfies the constraints, use
-    :func:`restore_to_jdbc_deferred`."""
+    :func:`restore_to_jdbc_deferred`.
+
+    ``disable_triggers`` (reference ``restore --disable-triggers``,
+    `slice_db/cli/main.py:157-164` — declared there but never wired to
+    its writer; implemented for real here) suppresses triggers and FK
+    checks on EVERY writer connection via Spark's per-connection
+    ``sessionInitStatement`` hook, so it holds on each parallel JDBC
+    writer an executor opens — not just a driver connection.  Requires a
+    superuser/replication-privileged role, like pg_restore's equivalent."""
     levels = topo_levels(schema, list(tables))  # CycleError propagates
+    props = dict(properties or {})
+    if disable_triggers:
+        props["sessionInitStatement"] = DISABLE_TRIGGERS_SQL
 
     def write(t: str) -> None:
         name = schema.tables[t].name if t in schema.tables else t
-        tables[t].write.jdbc(url=url, table=name, mode="append", properties=properties or {})
+        tables[t].write.jdbc(url=url, table=name, mode="append", properties=props)
 
     return _run_levels(levels, jobs, write)
 
@@ -171,6 +189,8 @@ def restore_to_jdbc_with_schema(
     post_data: list[str] | None = None,
     defer_constraints: bool = False,
     jobs: int = 1,
+    transaction: bool = False,
+    disable_triggers: bool = False,
 ) -> list[str]:
     """The reference's full live-database restore (`slice_db/restore.py:
     49-115`): replay pre-data DDL, load rows in FK order, apply sequence
@@ -179,20 +199,34 @@ def restore_to_jdbc_with_schema(
     DDL and setval run on one autocommit JDBC connection (each statement
     visible before the parallel Spark writers start); rows go through
     :func:`restore_to_jdbc`, or :func:`restore_to_jdbc_deferred` when
-    ``defer_constraints`` (cyclic schemas / deferrable constraints)."""
+    ``transaction`` (reference ``--transaction``: all rows commit or none
+    — one connection, so inherently serial like the reference's
+    jobs-vs-transaction trade) or ``defer_constraints`` (cyclic schemas /
+    deferrable constraints; implies the single transaction)."""
+    if transaction and jobs > 1:
+        # the reference's exact rule (`slice_db/restore.py:44-45`)
+        raise ValueError("A single transaction must be disabled for parallelism > 1")
     spark = next(iter(tables.values())).sparkSession
     conn = spark._jvm.java.sql.DriverManager.getConnection(url)
     try:
         st = conn.createStatement()
         for stmt in pre_data or ():
             st.execute(stmt)
-        if defer_constraints:
+        if defer_constraints or transaction:
             # single-transaction path: one connection by definition, so
             # table-level parallelism cannot apply (the reference makes the
             # same trade: --jobs requires --no-transaction)
-            order = restore_to_jdbc_deferred(tables, schema, url)
+            order = restore_to_jdbc_deferred(
+                tables,
+                schema,
+                url,
+                defer=defer_constraints,
+                disable_triggers=disable_triggers,
+            )
         else:
-            order = restore_to_jdbc(tables, schema, url, jobs=jobs)
+            order = restore_to_jdbc(
+                tables, schema, url, jobs=jobs, disable_triggers=disable_triggers
+            )
         for sid, value in (sequences or {}).items():
             s = schema.sequences.get(sid)
             name = s.name if s and s.name else sid
@@ -249,11 +283,18 @@ def restore_to_jdbc_deferred(
     url: str,
     batch_size: int = 1000,
     flush_bytes: int = 1 << 20,
+    defer: bool = True,
+    disable_triggers: bool = False,
 ) -> list[str]:
     """Single-transaction restore with ``SET CONSTRAINTS ALL DEFERRED`` —
     the reference's cyclic-FK path (`slice_db/restore.py:131-161`,
     README.md:147-155): a cycle is only restorable when constraint checks
     defer to COMMIT, which requires ONE connection and one transaction.
+    ``defer=False`` keeps the one-transaction all-or-nothing contract
+    (reference ``--transaction``) with immediate constraint checks —
+    legal for acyclic schemas since rows load in topo order.
+    ``disable_triggers`` additionally sets the replica replication role
+    for the session (no triggers, no FK enforcement).
 
     Inherently serial, so this is a driver-side writer by design, but the
     row path is COPY, not INSERT: lines are COPY-text-rendered inside
@@ -282,7 +323,10 @@ def restore_to_jdbc_deferred(
     try:
         conn.setAutoCommit(False)
         st = conn.createStatement()
-        st.execute("SET CONSTRAINTS ALL DEFERRED")
+        if disable_triggers:
+            st.execute(DISABLE_TRIGGERS_SQL)
+        if defer:
+            st.execute("SET CONSTRAINTS ALL DEFERRED")
         st.close()
         try:
             copy_api = conn.getCopyAPI()  # PgConnection only

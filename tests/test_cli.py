@@ -310,3 +310,40 @@ def test_ingest_cli(spark, tmp_path):
         run_cli("ingest", "--checkpoint", str(tmp_path / "ckpt"), str(land), corpus)
     )
     assert report["corpus_rows"] == 1  # exact dup suppressed on arrival
+
+
+def test_transaction_excludes_jobs():
+    """The reference's exact rule (`slice_db/restore.py:44-45`): a single
+    transaction cannot parallelize — rejected before any connection."""
+    import pytest
+
+    from slice_db_spark.config.model import SchemaConfig
+    from slice_db_spark.plans.restore import restore_to_jdbc_with_schema
+
+    with pytest.raises(ValueError, match="single transaction"):
+        restore_to_jdbc_with_schema(
+            {}, SchemaConfig(tables={}, references={}, sequences={}),
+            "jdbc:postgresql://nowhere/db", transaction=True, jobs=2,
+        )
+
+
+def test_restore_cli_has_reference_parity_flags():
+    """`restore --transaction/--disable-triggers` parse (reference
+    `slice_db/cli/main.py:152-193`)."""
+    import argparse
+
+    from slice_db_spark.cli import main
+
+    # parse-only: intercept before execution by asking for --help on the
+    # subcommand and checking the flags are present
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    try:
+        with redirect_stdout(buf):
+            main(["restore", "--help"])
+    except SystemExit:
+        pass
+    text = buf.getvalue()
+    assert "--transaction" in text and "--disable-triggers" in text

@@ -314,3 +314,36 @@ def test_cli_dump_url_live(spark, pg_fixture, pg_exec, tmp_path):
     back = jdbc_snapshot_catalog(spark, PG_URL, cfg)
     assert {r["id"] for r in back["public.parent"].collect()} == {1}
     assert {(r["id"], r["parent_id"]) for r in back["public.child"].collect()} == {(1, 1), (2, 1)}
+
+
+def test_transaction_restore_live(spark, pg_fixture, pg_exec, tmp_path):
+    """reference `restore --transaction`: all rows load on ONE connection
+    in one transaction (acyclic schema, immediate constraints hold via
+    topo order); --disable-triggers layers the replica role on top."""
+    from slice_db_spark.sources.pg_schema import introspect, jdbc_snapshot_catalog
+    from slice_db_spark.plans.restore import restore_to_jdbc_deferred
+
+    cfg = introspect(spark, PG_URL)
+    cfg = type(cfg)(
+        tables={k: v for k, v in cfg.tables.items() if k in ("public.parent", "public.child")},
+        references=cfg.references,
+        sequences={},
+    )
+    catalog = jdbc_snapshot_catalog(spark, PG_URL, cfg)
+    staged = {}
+    for tid, df in catalog.items():
+        p = str(tmp_path / tid.replace(".", "__"))
+        df.write.parquet(p)
+        staged[tid] = spark.read.parquet(p)
+
+    pg_exec("DELETE FROM child; DELETE FROM parent")
+    # defer=False: plain one-transaction restore (immediate FK checks)
+    order = restore_to_jdbc_deferred(staged, cfg, PG_URL, defer=False)
+    assert order.index("public.parent") < order.index("public.child")
+    back = jdbc_snapshot_catalog(spark, PG_URL, cfg)
+    assert back["public.child"].count() == 3
+
+    # disable_triggers: same restore succeeds with the replica role set
+    pg_exec("DELETE FROM child; DELETE FROM parent")
+    restore_to_jdbc_deferred(staged, cfg, PG_URL, defer=False, disable_triggers=True)
+    assert jdbc_snapshot_catalog(spark, PG_URL, cfg)["public.parent"].count() == 2

@@ -137,3 +137,31 @@ def test_funnel_scans_bounded_by_stages(plans):
 
     p = plans("events_funnel")
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 4
+
+
+def test_asof_single_exchange_no_join(plans):
+    """The as-of core is ONE hash exchange on user_id feeding a window —
+    no inequality join, no cartesian product.  (The single extra
+    broadcast join re-attaches click attributes.)"""
+    p = plans("events_asof")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("Window") >= 1
+    # exactly one shuffle keyed by user_id for the window itself
+    assert p.count("hashpartitioning(user_id") == 1, p
+
+
+def test_range_join_is_equi_join(plans):
+    """The interval-bucket range join must plan as a plain equi-join on
+    (user_id, bin) — never a nested-loop/cartesian comparison."""
+    p = plans("events_range_join")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "PushedFilters" in p
+
+
+def test_chunk_dedup_partial_agg(plans):
+    """Winner-per-chunk-hash must partially aggregate map-side (skew
+    armor for hot duplicated chunks): HashAggregate appears below the
+    exchange (partial) and above it (final)."""
+    p = plans("dedup_chunks")
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2
