@@ -38,6 +38,8 @@ HEADLINE = [
     "dedup_jaccard",
     "dedup_containment",
     "dedup_chunks",
+    "boilerplate",
+    "length_quantiles",
     "minhash_lsh",
     "dedup_clusters",
     "simhash_sigs",

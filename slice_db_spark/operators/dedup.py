@@ -648,3 +648,34 @@ def chunk_dedup_stats(
             ),
         )
     )
+
+
+def boilerplate_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 20,
+    min_docs: int = 2,
+    top: int = 20,
+) -> DataFrame:
+    """Boilerplate detection: the chunks repeated across the most
+    documents (headers/footers/licenses — the content line-level dedup
+    exists to strip).  Returns the ``top`` chunk hashes by document
+    frequency: ``(chunk_hash, n_docs, n_occurrences, first_doc)`` with a
+    deterministic (n_docs, n_occurrences, chunk_hash) ordering.
+
+    One partial-aggregating ``groupBy(hash)`` — hot boilerplate chunks
+    collapse map-side — then a driver top-k (``orderBy().limit()``
+    plans as TakeOrdered: per-partition heaps, no global sort)."""
+    return (
+        chunk_table(df, text_col, id_col, chunk_tokens)
+        .groupBy("chunk_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "chunk_hash")
+        .limit(top)
+    )

@@ -228,3 +228,34 @@ def fingerprints(
         .select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint"))
         .distinct()
     )
+
+
+def length_quantiles(
+    df: DataFrame,
+    by_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-stratum document-length percentiles — the numbers a curation
+    pass reads to SET its thresholds (p50/p90/p99 of characters).
+
+    Uses EXACT ``percentile`` (sorted-group interpolation) so the DuckDB
+    ``quantile_cont`` oracle computes the identical statistic; outputs
+    round to 4 decimals because the two engines may interpolate with
+    differently-associated (equal-value, different-rounding) float
+    expressions.  At 100 TB swap in ``approx_percentile`` (t-digest,
+    partial-aggregating, no per-group sort) — the exact form is the
+    cross-engine-verifiable contract, the approx form is the scale path
+    with the same schema.
+    """
+    aggs = [
+        F.round(F.percentile(F.length(text_col), F.lit(p)), 4).alias(
+            f"p{int(p * 100)}_chars"
+        )
+        for p in probs
+    ]
+    return (
+        df.groupBy(by_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"), *aggs)
+    )

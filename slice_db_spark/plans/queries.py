@@ -612,6 +612,22 @@ def dedup_chunks(spark, sf_dir):
     )
 
 
+def boilerplate(spark, sf_dir):
+    """Boilerplate detection: the 20 chunks shared by the most documents
+    (deterministic n_docs/n_occurrences/hash ordering; TakeOrdered top-k,
+    no global sort)."""
+    return dedup.boilerplate_chunks(
+        catalog(spark, sf_dir)["documents"], chunk_tokens=CHUNK_TOKENS
+    )
+
+
+def length_quantiles(spark, sf_dir):
+    """Per-source length percentiles (exact percentile; the curation
+    threshold-setting statistic — approx_percentile is the same-schema
+    100 TB path)."""
+    return textops.length_quantiles(catalog(spark, sf_dir)["documents"])
+
+
 def minhash_sigs(spark, sf_dir):
     """MinHash signatures, exploded to scalar rows (doc_id, j, minhash)."""
     sigs = dedup.minhash_signatures(catalog(spark, sf_dir)["documents"], k=16)
@@ -1318,6 +1334,32 @@ def oracle_sql() -> dict[str, str]:
         FROM h JOIN w USING (chunk_hash) GROUP BY h.doc_id
     """)
 
+    o["boilerplate"] = _q(f"""
+        WITH t AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+        t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        c AS (SELECT doc_id, n, toks,
+                     unnest(range(0, (n + {_c - 1}) // {_c})) AS pos
+              FROM t2),
+        h AS (SELECT doc_id, pos,
+                {_hash64_sql(f"array_to_string(list_slice(toks, pos * {_c} + 1, pos * {_c} + {_c}), ' ')")}
+                  AS chunk_hash
+              FROM c)
+        SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occurrences, min(doc_id) AS first_doc
+        FROM h GROUP BY chunk_hash
+        HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash
+        LIMIT 20
+    """)
+
+    o["length_quantiles"] = _q("""
+        SELECT source, count(*) AS n_docs,
+               round(quantile_cont(length(text), 0.5), 4) AS p50_chars,
+               round(quantile_cont(length(text), 0.9), 4) AS p90_chars,
+               round(quantile_cont(length(text), 0.99), 4) AS p99_chars
+        FROM documents GROUP BY source
+    """)
+
     # keep = posting-list cap mirror of ngram_jaccard_pairs(max_df): only
     # shingles in 2..max_df docs can contribute shared counts — identical
     # on both engines, so the comparison stays exact
@@ -1826,6 +1868,8 @@ def queries():
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "dedup_chunks": dedup_chunks,
+        "boilerplate": boilerplate,
+        "length_quantiles": length_quantiles,
         "dedup_containment": dedup_containment,
         "minhash_sigs": minhash_sigs,
         "minhash_lsh": minhash_lsh,

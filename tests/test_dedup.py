@@ -199,3 +199,22 @@ def test_chunk_dedup_partial_chunk_identity(spark):
     assert out[1]["dup_chunks"] == 0 and out[1]["kept_tokens"] == 5
     assert out[2]["dup_chunks"] == 1 and out[2]["kept_tokens"] == 0
     assert out[3]["dup_chunks"] == 0 and out[3]["kept_tokens"] == 5
+
+
+def test_boilerplate_ranks_by_document_frequency(spark):
+    from slice_db_spark.operators.dedup import boilerplate_chunks
+
+    hdr = " ".join(f"h{i}" for i in range(20))    # shared by 3 docs
+    ftr = " ".join(f"f{i}" for i in range(20))    # shared by 2 docs
+    docs = spark.createDataFrame(
+        [
+            (1, hdr + " " + ftr),
+            (2, hdr + " unique body two"),
+            (3, hdr + " " + ftr),
+            (4, "entirely unique content here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = boilerplate_chunks(docs, chunk_tokens=20).collect()
+    assert [r["n_docs"] for r in out] == [3, 2]
+    assert out[0]["first_doc"] == 1 and out[0]["n_occurrences"] == 3

@@ -37,3 +37,18 @@ def test_token_rarity_counts_docs_not_occurrences(spark):
     assert out[1]["n_distinct_tokens"] == 1
     assert out[1]["mean_token_df"] == 2.0  # spam appears in 2 docs, not 4 times
     assert out[2]["min_token_df"] == 1  # ham
+
+
+def test_length_quantiles_interpolation(spark):
+    """p90 over lengths [1..5] must interpolate: pos = 0.9*4 = 3.6 ->
+    4 + 0.6*(5-4) = 4.6 chars."""
+    from slice_db_spark.operators.text import length_quantiles
+
+    docs = spark.createDataFrame(
+        [(i, "x" * i, "s") for i in range(1, 6)],
+        "doc_id bigint, text string, source string",
+    )
+    row = length_quantiles(docs).collect()[0]
+    assert row["n_docs"] == 5
+    assert row["p50_chars"] == 3.0
+    assert abs(row["p90_chars"] - 4.6) < 1e-9
