@@ -146,3 +146,73 @@ def test_bmp_roundtrip_property(w, h, rnd):
     gw, gh, back = decode_bmp(encode_bmp(w, h, px))
     assert (gw, gh) == (w, h)
     assert np.array_equal(px, back)
+
+
+# ------------------------------------------------- event-join operators
+
+_timeline = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 50)),  # (user, ts_us offset)
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_timeline, _timeline)
+def test_asof_join_matches_python_model(spark, lrows, rrows):
+    """asof_join == brute-force latest (us, id) right row with us <= l.us."""
+    import datetime as dtm
+
+    from slice_db_spark.operators.events import asof_join
+
+    base = dtm.datetime(2024, 1, 1)
+
+    def df_of(rows, start_id):
+        return spark.createDataFrame(
+            [
+                (start_id + i, base + dtm.timedelta(microseconds=us), u)
+                for i, (u, us) in enumerate(rows)
+            ],
+            "event_id bigint, ts timestamp, user_id bigint",
+        )
+
+    left, right = df_of(lrows, 0), df_of(rrows, 1000)
+    out = {r["l_id"]: r["r_id"] for r in asof_join(left, right).collect()}
+    for i, (u, us) in enumerate(lrows):
+        cands = [
+            (rus, 1000 + j)
+            for j, (ru, rus) in enumerate(rrows)
+            if ru == u and rus <= us
+        ]
+        expect = max(cands)[1] if cands else None
+        assert out[i] == expect, (i, u, us, cands)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_timeline, _timeline, st.integers(1, 40))
+def test_range_pairs_matches_python_model(spark, arows, brows, w_us):
+    """range_pairs == brute-force O(n*m) interval filter, every window."""
+    import datetime as dtm
+
+    from slice_db_spark.operators.events import range_pairs
+
+    base = dtm.datetime(2024, 1, 1)
+
+    def df_of(rows, start_id):
+        return spark.createDataFrame(
+            [
+                (start_id + i, base + dtm.timedelta(microseconds=us), u)
+                for i, (u, us) in enumerate(rows)
+            ],
+            "event_id bigint, ts timestamp, user_id bigint",
+        )
+
+    a, b = df_of(arows, 0), df_of(brows, 1000)
+    got = {(r["a_id"], r["b_id"]) for r in range_pairs(a, b, window_us=w_us).collect()}
+    want = {
+        (i, 1000 + j)
+        for i, (ua, ta) in enumerate(arows)
+        for j, (ub, tb) in enumerate(brows)
+        if ua == ub and ta <= tb <= ta + w_us
+    }
+    assert got == want
