@@ -69,6 +69,7 @@ HEADLINE = [
 # to skip, or to another integer factor)
 SWEEP = [
     "dedup_exact",
+    "dedup_chunks",
     "dedup_jaccard",
     "minhash_lsh",
     "dedup_clusters",

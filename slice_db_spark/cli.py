@@ -153,6 +153,7 @@ def _dump_with_catalog(args, spark, schema, catalog) -> int:
             fmt=args.format,
             pre_data=pre_data,
             post_data=post_data,
+            jobs=args.jobs,
         )
     counts = {t: sum(s["rowCount"] for s in m["segments"]) for t, m in manifest.tables.items()}
     out = {"rounds": result.rounds, "rows": counts}
@@ -416,6 +417,15 @@ def main(argv: list[str] | None = None) -> int:
         default="slice",
         help="sql = one executable SQL script (COPY blocks + setval; "
         "the reference's --output-type sql)",
+    )
+    d.add_argument(
+        "-j",
+        "--jobs",
+        type=int,
+        default=1,
+        help="write slice tables concurrently (the reference's dump "
+        "worker pool; concurrent Spark job submission overlaps "
+        "small-table writes with big ones)",
     )
     d.add_argument(
         "input", nargs="?", help="catalog dir of <table>.parquet files (omit with --url)"

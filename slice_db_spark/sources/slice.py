@@ -133,13 +133,21 @@ def write_slice(
     fmt: str = "parquet",
     pre_data: list[str] | None = None,
     post_data: list[str] | None = None,
+    jobs: int = 1,
 ) -> SliceManifest:
     """Materialize a slice: per-table parquet (or COPY-escaped TSV) +
     ``manifest.json``.  Each written file part is one manifest segment.
     ``pre_data``/``post_data`` DDL statements (S5) are stored one per
     ``pre-data/{i}.sql`` / ``post-data/{i}.sql`` file with their counts in
     the manifest — the reference's include-schema layout
-    (`slice_db/dump.py:443-455`)."""
+    (`slice_db/dump.py:443-455`).
+
+    ``jobs > 1`` writes tables concurrently from driver threads (the
+    reference's ``dump --jobs`` worker pool, `slice_db/cli/main.py:108-114`
+    — there it multiplies export connections; here concurrent Spark job
+    submission lets small-table writes overlap a big table's write
+    instead of serializing behind it).  The manifest is assembled after
+    all writes in the original table order, so output is identical."""
     os.makedirs(out_dir, exist_ok=True)
     manifest = SliceManifest()
     for section, stmts in (("pre-data", pre_data), ("post-data", post_data)):
@@ -153,7 +161,8 @@ def write_slice(
             manifest.pre_data = len(stmts)
         else:
             manifest.post_data = len(stmts)
-    for tid, df in tables.items():
+    def write_table(tid: str):
+        df = tables[tid]
         t = schema.tables.get(tid)
         cols = t.columns if t and t.columns else df.columns
         path = _table_dir(out_dir, tid)
@@ -171,12 +180,22 @@ def write_slice(
         # empty parts are skipped, matching the re-read accounting this
         # replaces (a zero-row group never appeared in the groupBy)
         segs = [{"rowCount": n} for _, n in _part_row_counts(path, fmt) if n > 0]
-        manifest.tables[tid] = {
+        return {
             "columns": list(cols),
             "name": t.name if t else tid,
             "schema": t.schema if t else "",
             "segments": segs,
         }
+
+    if jobs > 1 and len(tables) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            metas = list(ex.map(write_table, tables))
+    else:
+        metas = [write_table(tid) for tid in tables]
+    for tid, meta in zip(tables, metas):
+        manifest.tables[tid] = meta
     for sid, value in (sequences or {}).items():
         s = schema.sequences.get(sid)
         manifest.sequences[sid] = {

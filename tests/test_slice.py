@@ -202,3 +202,32 @@ def test_jdbc_value_conversion(spark):
     lst = jvm.java.util.ArrayList()
     lst.add(_jdbc_value(jvm, decimal.Decimal("-12.345")))
     assert lst.get(0) == decimal.Decimal("-12.345")
+
+
+def test_write_slice_parallel_jobs_identical_manifest(spark, tmp_path):
+    """jobs=4 must produce the identical manifest (same table order, same
+    segment counts) as the serial write."""
+    from slice_db_spark.config.model import SchemaConfig, Table
+    from slice_db_spark.sources.slice import write_slice
+
+    schema = SchemaConfig(
+        tables={
+            f"t{i}": Table(id=f"t{i}", name=f"t{i}", columns=["a", "b"])
+            for i in range(4)
+        },
+        references={},
+        sequences={},
+    )
+    tables = {
+        f"t{i}": spark.createDataFrame(
+            [(j, f"v{i}_{j}") for j in range(10 * (i + 1))], "a bigint, b string"
+        )
+        for i in range(4)
+    }
+    m1 = write_slice(tables, schema, str(tmp_path / "serial"))
+    m2 = write_slice(tables, schema, str(tmp_path / "par"), jobs=4)
+    assert list(m1.tables) == list(m2.tables)
+    for t in m1.tables:
+        c1 = sum(s["rowCount"] for s in m1.tables[t]["segments"])
+        c2 = sum(s["rowCount"] for s in m2.tables[t]["segments"])
+        assert c1 == c2 == 10 * (int(t[1]) + 1)
