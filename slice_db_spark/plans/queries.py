@@ -477,8 +477,10 @@ def events_asof(spark, sf_dir):
     click_ts = clicks.select(
         F.col("event_id").alias("r_id"), F.unix_micros("ts").alias("click_us")
     )
+    # no broadcast hint: the right stream is corpus-sized at scale — AQE
+    # picks broadcast when it actually fits
     return (
-        m.join(F.broadcast(click_ts), on="r_id", how="left")
+        m.join(click_ts, on="r_id", how="left")
         .select(
             "user_id",
             F.col("l_id").alias("purchase_id"),

@@ -1,4 +1,5 @@
 from .events import (  # noqa: F401
+    interval_join,
     sessionized_counts,
     sliding_event_rates,
     streaming_dedup,

@@ -174,3 +174,67 @@ def run_stream_to_memory(spark, stream_df: DataFrame, name: str, output_mode: st
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def interval_join(
+    a: DataFrame,
+    b: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+    window_us: int | None = None,
+) -> DataFrame:
+    """Stream-stream time-bounded join: pairs sharing ``user_id`` with
+    ``a.ts <= b.ts <= a.ts + window`` — the streaming form of
+    :func:`..operators.events.range_pairs`, same output schema
+    ``(user_id, a_id, b_id, dt_us)``.
+
+    Streaming path: Spark's native stream-stream inner join.  Both sides
+    carry a watermark and the join condition carries explicit event-time
+    bounds, so the state store only retains rows inside the
+    watermark+window horizon — state is bounded by arrival rate ×
+    horizon, not stream length.  Batch path: the interval-bucket
+    equi-join decomposition (``range_pairs``) — Catalyst would otherwise
+    plan the raw inequality join as a per-key cross product; the
+    stream-vs-batch test proves the two formulations agree.
+    """
+    w_us = window_us if window_us is not None else _interval_us(window)
+    a = _event_time(a)
+    b = _event_time(b)
+    if not (a.isStreaming or b.isStreaming):
+        from ..operators.events import range_pairs
+
+        return range_pairs(a, b, window_us=w_us)
+
+    aa = a.withWatermark("ts", watermark).select(
+        F.col("user_id"), F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts")
+    )
+    bb = b.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    joined = aa.join(
+        bb,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {window}"))
+        & (F.col("a_id") != F.col("b_id")),
+    )
+    return joined.select(
+        "user_id",
+        "a_id",
+        "b_id",
+        (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("dt_us"),
+    )
+
+
+def _interval_us(window: str) -> int:
+    """'10 minutes' → microseconds (the handful of units the engine's
+    window strings use)."""
+    n, unit = window.split()
+    mult = {
+        "second": 1_000_000, "seconds": 1_000_000,
+        "minute": 60_000_000, "minutes": 60_000_000,
+        "hour": 3_600_000_000, "hours": 3_600_000_000,
+    }[unit]
+    return int(n) * mult

@@ -107,3 +107,24 @@ def test_user_activity_state_stream_matches_batch(spark, events_batch, tmp_path_
         assert got.n_events == exp.n_events, uid
         assert math.isclose(got.sum_value, exp.sum_value, rel_tol=1e-9), uid
         assert got.last_ts == exp.last_ts, uid
+
+
+def test_interval_join_stream_matches_batch(spark, events_batch, events_stream):
+    """Stream-stream time-bounded join == batch interval-bucket range
+    join: Spark's native streaming join (watermark-bounded state) and the
+    bucketed equi-join decomposition must produce identical pairs."""
+    from slice_db_spark.streaming.events import interval_join
+
+    def sides(df):
+        return (
+            df.where("event_type = 'error'"),
+            df.where("event_type = 'purchase'"),
+        )
+
+    batch = interval_join(*sides(events_batch), window="10 minutes")
+    sa, sb = sides(events_stream)
+    streamed = run_stream_to_memory(
+        spark, interval_join(sa, sb, window="10 minutes"), "interval_join_test"
+    )
+    assert rows_set(streamed) == rows_set(batch)
+    assert batch.count() > 0
