@@ -375,7 +375,20 @@ def cmd_transform_field(args) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
-    p = argparse.ArgumentParser(prog="slicedb-spark")
+    from . import __version__
+
+    # fromfile_prefix_chars: the reference's @argsfile convention
+    # (`slice_db/cli/main.py:57-59`)
+    p = argparse.ArgumentParser(prog="slicedb-spark", fromfile_prefix_chars="@")
+    p.add_argument(
+        "-v", "--version", action="version", version=f"%(prog)s {__version__}"
+    )
+    p.add_argument(
+        "--log-level",
+        choices=["ERROR", "WARN", "INFO", "DEBUG"],
+        default="WARN",
+        help="Spark log level for the session (default: %(default)s)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     d = sub.add_parser("dump", help="capture a referentially-closed slice")
@@ -522,6 +535,8 @@ def main(argv: list[str] | None = None) -> int:
     tf.set_defaults(fn=cmd_transform_field)
 
     args = p.parse_args(argv)
+    # applied by get_spark when the command creates its session
+    os.environ["SPARK_GRAFT_LOG_LEVEL"] = args.log_level
     return args.fn(args)
 
 

@@ -56,7 +56,7 @@ def get_spark(app_name: str = "slice_db_spark", cpus: int | None = None) -> Spar
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(os.environ.get("SPARK_GRAFT_LOG_LEVEL", "WARN"))
     return spark
 
 
