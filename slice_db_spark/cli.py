@@ -122,6 +122,12 @@ def _dump_with_catalog(args, spark, schema, catalog) -> int:
     if args.output_type == "sql":
         from .sources.sqlscript import write_sql_script
 
+        if args.jobs > 1:
+            print(
+                "dump: --jobs ignored for --output-type sql "
+                "(one ordered script is inherently a single writer)",
+                file=sys.stderr,
+            )
         order = write_sql_script(
             tables,
             schema,
@@ -143,6 +149,7 @@ def _dump_with_catalog(args, spark, schema, catalog) -> int:
             sequences=capture_sequences(tables, schema),
             pre_data=pre_data,
             post_data=post_data,
+            jobs=args.jobs,
         )
     else:
         manifest = write_slice(
@@ -436,9 +443,10 @@ def main(argv: list[str] | None = None) -> int:
         "--jobs",
         type=int,
         default=1,
-        help="write slice tables concurrently (the reference's dump "
+        help="stage/write slice tables concurrently (the reference's dump "
         "worker pool; concurrent Spark job submission overlaps "
-        "small-table writes with big ones)",
+        "small-table writes with big ones; no effect on --output-type "
+        "sql, whose single ordered script is one writer)",
     )
     d.add_argument(
         "input", nargs="?", help="catalog dir of <table>.parquet files (omit with --url)"
@@ -470,9 +478,10 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument(
         "--disable-triggers",
         action="store_true",
-        help="with --url: SET session_replication_role = replica on every "
-        "writer connection (no triggers, no FK enforcement; needs a "
-        "privileged role)",
+        help="with --url: suspend triggers + FK enforcement during the "
+        "load (ALTER TABLE ... DISABLE TRIGGER ALL around parallel "
+        "writes; replica replication role on the single-transaction "
+        "path; needs a privileged role)",
     )
     r.add_argument(
         "--jobs",

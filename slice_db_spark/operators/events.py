@@ -142,7 +142,8 @@ def asof_join(
     """As-of join: for every ``left`` row, the id of the LATEST ``right``
     row of the same ``on`` key with ``right.ts <= left.ts`` (``strict=True``
     excludes equal timestamps).  Ties between right rows sharing a
-    timestamp break deterministically toward the larger ``right_id``.
+    timestamp break deterministically toward the larger ``right_id``
+    (the id column's own ordering — numeric or lexicographic).
 
     Spark has no ASOF JOIN operator; the classic sort-merge formulation is
     one tagged union + one running ``last(..., ignoreNulls)`` window per
@@ -159,19 +160,22 @@ def asof_join(
     l_us = F.unix_micros(F.col(ts_col))
     # sides order right-before-left at equal timestamps (<=); strict flips
     l_side, r_side = (0, 1) if strict else (1, 0)
+    # both id columns keep their own types (a bigint cast here would
+    # null/crash string ids); the union needs only that each side's null
+    # placeholder matches the other side's real column type
     l = left.select(
         F.col(on),
         l_us.alias("__us"),
         F.lit(l_side).alias("__side"),
         F.col(left_id).alias("l_id"),
-        F.lit(None).cast("bigint").alias("__r"),
+        F.lit(None).cast(right.schema[right_id].dataType).alias("__r"),
     )
     r = right.select(
         F.col(on),
         l_us.alias("__us"),
         F.lit(r_side).alias("__side"),
         F.lit(None).cast(left.schema[left_id].dataType).alias("l_id"),
-        F.col(right_id).cast("bigint").alias("__r"),
+        F.col(right_id).alias("__r"),
     )
     w = (
         Window.partitionBy(on)

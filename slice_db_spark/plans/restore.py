@@ -163,21 +163,45 @@ def restore_to_jdbc(
 
     ``disable_triggers`` (reference ``restore --disable-triggers``,
     `slice_db/cli/main.py:157-164` — declared there but never wired to
-    its writer; implemented for real here) suppresses triggers and FK
-    checks on EVERY writer connection via Spark's per-connection
-    ``sessionInitStatement`` hook, so it holds on each parallel JDBC
-    writer an executor opens — not just a driver connection.  Requires a
-    superuser/replication-privileged role, like pg_restore's equivalent."""
+    its writer; implemented for real here) uses pg_restore's mechanism:
+    ``ALTER TABLE ... DISABLE TRIGGER ALL`` on every target table before
+    the writes, re-enabled after.  Table-level trigger state is CATALOG
+    state, not session state, so it holds across every parallel JDBC
+    writer connection the executors open (a session-scoped
+    ``session_replication_role`` cannot reach those connections —
+    Spark's ``sessionInitStatement`` option applies only to reads).
+    FK constraints are system triggers, so this also suspends FK checks;
+    requires table ownership/superuser, like pg_restore's equivalent."""
     levels = topo_levels(schema, list(tables))  # CycleError propagates
-    props = dict(properties or {})
-    if disable_triggers:
-        props["sessionInitStatement"] = DISABLE_TRIGGERS_SQL
 
     def write(t: str) -> None:
         name = schema.tables[t].name if t in schema.tables else t
-        tables[t].write.jdbc(url=url, table=name, mode="append", properties=props)
+        tables[t].write.jdbc(
+            url=url, table=name, mode="append", properties=properties or {}
+        )
 
-    return _run_levels(levels, jobs, write)
+    if not disable_triggers or not tables:
+        return _run_levels(levels, jobs, write)
+
+    def qual(t: str) -> str:
+        meta = schema.tables.get(t)
+        name = meta.name if meta else t
+        return f'"{meta.schema}"."{name}"' if meta and meta.schema else f'"{name}"'
+
+    spark = next(iter(tables.values())).sparkSession
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        for t in tables:
+            st.execute(f"ALTER TABLE {qual(t)} DISABLE TRIGGER ALL")
+        try:
+            return _run_levels(levels, jobs, write)
+        finally:
+            for t in tables:
+                st.execute(f"ALTER TABLE {qual(t)} ENABLE TRIGGER ALL")
+            st.close()
+    finally:
+        conn.close()
 
 
 def restore_to_jdbc_with_schema(

@@ -244,6 +244,7 @@ def write_slice_zip(
     pre_data: list[str] | None = None,
     post_data: list[str] | None = None,
     workdir: str | None = None,
+    jobs: int = 1,
 ) -> SliceManifest:
     """Write a slice as ONE zip64 archive with the reference's exact entry
     layout (`slice_db/slice.py:9-28,69-105`): ``manifest.json``,
@@ -253,10 +254,11 @@ def write_slice_zip(
 
     Execution model: the TSV rendering is fully distributed (the same
     JVM-side COPY-escape pipeline as ``write_slice(fmt="tsv")``, one Spark
-    job per table into ``workdir``); only the final packaging streams the
-    part files into the archive driver-side, because a zip is inherently a
-    single-writer artifact.  This is the interop/export path — at cluster
-    scale the parquet directory layout is the native slice.
+    job per table into ``workdir``, ``jobs`` tables staged concurrently);
+    only the final packaging streams the part files into the archive
+    driver-side, because a zip is inherently a single-writer artifact.
+    This is the interop/export path — at cluster scale the parquet
+    directory layout is the native slice.
     """
     import shutil
     import tempfile
@@ -265,6 +267,28 @@ def write_slice_zip(
     td = workdir or tempfile.mkdtemp(prefix="slice_zip_")
     try:
         manifest = SliceManifest()
+
+        def stage(tid: str) -> tuple[list, str]:
+            df = tables[tid]
+            t = schema.tables.get(tid)
+            cols = t.columns if t and t.columns else df.columns
+            line = F.concat_ws(
+                "\t", *[copy_escape(F.col(c).cast("string")) for c in cols]
+            )
+            path = os.path.join(td, tid.replace(".", "__"))
+            df.select(*cols).select(line.alias("value")).write.mode(
+                "overwrite"
+            ).text(path)
+            return list(cols), path
+
+        if jobs > 1 and len(tables) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=jobs) as ex:
+                staged = dict(zip(tables, ex.map(stage, tables)))
+        else:
+            staged = {tid: stage(tid) for tid in tables}
+
         with zipfile.ZipFile(zip_path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
             for section, stmts in (("pre-data", pre_data), ("post-data", post_data)):
                 for i, stmt in enumerate(stmts or []):
@@ -273,16 +297,8 @@ def write_slice_zip(
                     manifest.pre_data = len(stmts or [])
                 else:
                     manifest.post_data = len(stmts or [])
-            for tid, df in tables.items():
+            for tid, (cols, path) in staged.items():
                 t = schema.tables.get(tid)
-                cols = t.columns if t and t.columns else df.columns
-                line = F.concat_ws(
-                    "\t", *[copy_escape(F.col(c).cast("string")) for c in cols]
-                )
-                path = os.path.join(td, tid.replace(".", "__"))
-                df.select(*cols).select(line.alias("value")).write.mode(
-                    "overwrite"
-                ).text(path)
                 segs = []
                 for part, n in _part_row_counts(path, "tsv"):
                     if n == 0:

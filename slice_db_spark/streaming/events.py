@@ -228,13 +228,34 @@ def interval_join(
     )
 
 
+_INTERVAL_UNIT_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+
+
 def _interval_us(window: str) -> int:
-    """'10 minutes' → microseconds (the handful of units the engine's
-    window strings use)."""
-    n, unit = window.split()
-    mult = {
-        "second": 1_000_000, "seconds": 1_000_000,
-        "minute": 60_000_000, "minutes": 60_000_000,
-        "hour": 3_600_000_000, "hours": 3_600_000_000,
-    }[unit]
-    return int(n) * mult
+    """'10 minutes' / '1 day' / '1 minute 30 seconds' → microseconds.
+    Fixed-length units only (no month/year — those are calendar-dependent
+    and Spark's stream-stream join state bound needs a fixed horizon);
+    matches every unit the streaming path's ``INTERVAL`` literal accepts
+    for time-of-day arithmetic, so batch and stream take the same window
+    strings."""
+    toks = window.split()
+    if not toks or len(toks) % 2:
+        raise ValueError(f"malformed interval {window!r} (want '<n> <unit>' pairs)")
+    total = 0
+    for n, unit in zip(toks[::2], toks[1::2]):
+        u = unit.lower().rstrip("s")
+        if u not in _INTERVAL_UNIT_US:
+            raise ValueError(
+                f"unsupported interval unit {unit!r} in {window!r} "
+                f"(fixed-length units only: {sorted(_INTERVAL_UNIT_US)})"
+            )
+        total += int(n) * _INTERVAL_UNIT_US[u]
+    return total

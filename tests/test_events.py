@@ -180,3 +180,25 @@ def test_range_pairs_self_join_excludes_self(spark):
     df = _events(spark, [(1, 0, "click"), (1, 5, "click")])
     out = range_pairs(df, df, window_us=10 * 60 * 1_000_000).collect()
     assert {(r["a_id"], r["b_id"]) for r in out} == {(0, 1)}
+
+
+def test_asof_join_string_ids(spark):
+    """Non-numeric ids must survive the union (no bigint cast): the
+    tie-break uses the column's own ordering."""
+    import datetime as dtm
+
+    from slice_db_spark.operators.events import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c_a", base, 1, "click"),
+        ("c_b", base, 1, "click"),              # same ts: 'c_b' > 'c_a' wins
+        ("p_1", base + dt.timedelta(minutes=1), 1, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id string, ts timestamp, user_id bigint, event_type string"
+    )
+    out = asof_join(
+        df.where("event_type = 'purchase'"), df.where("event_type = 'click'")
+    ).collect()
+    assert out[0]["l_id"] == "p_1" and out[0]["r_id"] == "c_b"

@@ -231,3 +231,31 @@ def test_write_slice_parallel_jobs_identical_manifest(spark, tmp_path):
         c1 = sum(s["rowCount"] for s in m1.tables[t]["segments"])
         c2 = sum(s["rowCount"] for s in m2.tables[t]["segments"])
         assert c1 == c2 == 10 * (int(t[1]) + 1)
+
+
+def test_write_slice_zip_parallel_jobs_roundtrip(spark, tmp_path):
+    """zip staging with jobs>1 must produce a readable archive with the
+    same per-table counts as serial."""
+    from slice_db_spark.config.model import SchemaConfig, Table
+    from slice_db_spark.sources.slice import read_slice_zip, write_slice_zip
+
+    schema = SchemaConfig(
+        tables={
+            f"t{i}": Table(id=f"t{i}", name=f"t{i}", columns=["a", "b"])
+            for i in range(3)
+        },
+        references={},
+        sequences={},
+    )
+    tables = {
+        f"t{i}": spark.createDataFrame(
+            [(j, f"v{j}") for j in range(5 * (i + 1))], "a bigint, b string"
+        )
+        for i in range(3)
+    }
+    zp = str(tmp_path / "s.zip")
+    m = write_slice_zip(tables, schema, zp, jobs=3)
+    assert list(m.tables) == ["t0", "t1", "t2"]
+    back, manifest = read_slice_zip(spark, zp, workdir=str(tmp_path / "w"))
+    for i in range(3):
+        assert back[f"t{i}"].count() == 5 * (i + 1)

@@ -128,3 +128,36 @@ def test_interval_join_stream_matches_batch(spark, events_batch, events_stream):
     )
     assert rows_set(streamed) == rows_set(batch)
     assert batch.count() > 0
+
+
+def test_interval_us_units_and_compound():
+    """Batch and stream accept the same window strings: every
+    fixed-length unit plus compound intervals; calendar units reject
+    with a clear error."""
+    import pytest
+
+    from slice_db_spark.streaming.events import _interval_us
+
+    assert _interval_us("10 minutes") == 600_000_000
+    assert _interval_us("1 day") == 86_400_000_000
+    assert _interval_us("2 weeks") == 14 * 86_400_000_000
+    assert _interval_us("500 milliseconds") == 500_000
+    assert _interval_us("1 minute 30 seconds") == 90_000_000
+    with pytest.raises(ValueError, match="unsupported interval unit"):
+        _interval_us("1 month")
+    with pytest.raises(ValueError, match="malformed interval"):
+        _interval_us("10")
+
+
+def test_interval_join_batch_accepts_day_window(spark, events_batch):
+    """The batch fallback must not crash on units the streaming INTERVAL
+    literal accepts (review finding: KeyError('day'))."""
+    from slice_db_spark.streaming.events import interval_join
+
+    out = interval_join(
+        events_batch.where("event_type = 'signup'").limit(50),
+        events_batch.where("event_type = 'purchase'").limit(50),
+        window="1 day",
+    )
+    assert out.columns == ["user_id", "a_id", "b_id", "dt_us"]
+    out.count()  # executes
