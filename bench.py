@@ -56,6 +56,8 @@ HEADLINE = [
     "ann_brute",
     "ann_lsh",
     "ann_ivf",
+    "pq_codes",
+    "ann_pq",
     "dedup_embedding",
     "dedup_embedding_hi",
     "corpus_pipeline",
@@ -82,6 +84,7 @@ SWEEP = [
     "dedup_embedding_hi",
     "ann_lsh",
     "ann_ivf",
+    "ann_pq",
 ]
 
 

@@ -423,3 +423,166 @@ def embedding_near_pairs(
         )
         .where(F.col("sim") >= threshold)
     )
+
+
+# ------------------------------------------------------ product quantization
+
+#: fixed-point scale for PQ: embeddings quantize to round(x * SCALE) int64
+#: BEFORE any distance math, so every downstream distance/argmin/sum is
+#: exact integer arithmetic — bit-identical across engines and immune to
+#: float-summation-order ties (numpy pairwise sums vs SQL sequential sums).
+PQ_SCALE = 1000
+
+
+def quantize_expr(vec_col: str):
+    """array<bigint> fixed-point embedding: ``round(x * PQ_SCALE)`` per
+    component (codegen; DuckDB mirrors the identical expression)."""
+    return F.expr(
+        f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {PQ_SCALE}) AS BIGINT))"
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Deterministic PQ codebook source: the ``n_codes`` corpus vectors
+    with the smallest md5-derived id hash, QUANTIZED (the same md5-order
+    sampling as :func:`ivf_centroids`, skipping k-means refinement for
+    cross-engine determinism).  Returns ``n_codes`` full-dimension int
+    vectors; subspace slicing happens at encode time, so one codebook
+    serves every subspace (code j of subspace m = centroid j's m-th
+    subvector)."""
+    from .hashing import hash64
+
+    rows = (
+        corpus.select(F.col(id_col), quantize_expr(vec_col).alias("e"))
+        .orderBy(hash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_codes)
+        .collect()
+    )
+    return [list(r["e"]) for r in rows]
+
+
+def _pq_subspace_codes(codebook: list[list[int]], m_subspaces: int) -> "np.ndarray":
+    C = np.array(codebook, dtype=np.int64)  # n_codes × dim
+    if C.shape[1] % m_subspaces:
+        raise ValueError(f"dim {C.shape[1]} not divisible by {m_subspaces} subspaces")
+    return C
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: list[list[int]],
+    m_subspaces: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: split each (quantized) vector into ``m_subspaces``
+    subvectors and store, per subspace, the index of the nearest codebook
+    subvector (L2, first-min tie-break).  Output exploded to
+    ``(id, m, code)`` BIGINTs.
+
+    This is THE memory-side ANN scale move: m codes of ≤1 byte replace
+    dim × 4 raw bytes (64× compression at dim=64/m=4), so a 100 TB
+    embedding corpus's codes fit hot storage and the ADC scan
+    (:func:`pq_adc_topk`) never touches raw vectors.  Encoding is one
+    int64 matmul per (Arrow batch × subspace) — exact arithmetic, no
+    float ties."""
+    C = _pq_subspace_codes(codebook, m_subspaces)
+    sub = C.shape[1] // m_subspaces
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def codes_of(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array(v.tolist(), dtype=np.int64)
+        out = np.empty((M.shape[0], m_subspaces), dtype=np.int32)
+        for m in range(m_subspaces):
+            S = M[:, m * sub : (m + 1) * sub]
+            Cm = C[:, m * sub : (m + 1) * sub]
+            d = (
+                (S * S).sum(axis=1, keepdims=True)
+                + (Cm * Cm).sum(axis=1)[None, :]
+                - 2 * (S @ Cm.T)
+            )
+            out[:, m] = np.argmin(d, axis=1)  # first-min tie-break
+        return pd.Series(list(out))
+
+    return (
+        corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e"))
+        .select(F.col(id_col), F.posexplode(codes_of(F.col("__e"))).alias("m", "code"))
+        .select(
+            id_col, F.col("m").cast("bigint").alias("m"), F.col("code").cast("bigint").alias("code")
+        )
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[int]],
+    m_subspaces: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: each query precomputes a
+    (subspace × code) integer distance table; a corpus vector's
+    approximate distance is the SUM of m table lookups on its codes —
+    no raw vectors are read during the scan.
+
+    Scale shape: the distance table is |Q| × m × n_codes rows — tiny —
+    and broadcasts; the scan is one map-side hash join (codes ⋈ table on
+    (q, m, code)) + one partially-aggregating sum keyed by (q, id).  All
+    distances are exact int64 (quantized inputs), so ranking is
+    deterministic with an id tie-break.  Output
+    ``(q_id, vec_id, adist, rank)``."""
+    C = _pq_subspace_codes(codebook, m_subspaces)
+    sub = C.shape[1] // m_subspaces
+    codes = pq_encode(corpus, codebook, m_subspaces, id_col=id_col, vec_col=vec_col)
+
+    @pandas_udf(ArrayType(ArrayType(DoubleType())))
+    def dtable_of(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array(v.tolist(), dtype=np.int64)
+        out = []
+        for row in M:
+            t = np.empty((m_subspaces, C.shape[0]), dtype=np.int64)
+            for m in range(m_subspaces):
+                q = row[m * sub : (m + 1) * sub]
+                Cm = C[:, m * sub : (m + 1) * sub]
+                t[m] = ((Cm - q[None, :]) ** 2).sum(axis=1)
+            out.append(t.astype(np.float64))
+        return pd.Series(out)
+
+    dt = (
+        queries.select(F.col(query_id_col), quantize_expr(vec_col).alias("__e"))
+        .select(F.col(query_id_col), F.posexplode(dtable_of(F.col("__e"))).alias("m", "__row"))
+        .select(
+            query_id_col,
+            F.col("m").cast("bigint").alias("m"),
+            F.posexplode("__row").alias("__j", "__d"),
+        )
+        .select(
+            query_id_col,
+            "m",
+            F.col("__j").cast("bigint").alias("code"),
+            F.col("__d").cast("bigint").alias("__d"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(dt), on=["m", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__d").alias("adist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adist"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adist", F.col("rank").cast("bigint").alias("rank"))
+    )

@@ -810,6 +810,29 @@ def ann_lsh(spark, sf_dir):
 
 ANN_IVF_CELLS = 8
 ANN_IVF_NPROBE = 2
+PQ_M = 4        # subspaces (dim 64 → 16-dim subvectors)
+PQ_CODES = 16   # codebook entries per subspace
+
+
+def pq_codes(spark, sf_dir):
+    """Product-quantization encoding of the full embedding table:
+    (vec_id, m, code) — m codes replace the raw vector (64× smaller at
+    dim=64/m=4).  Fixed-point integer distances end to end, so the
+    assignment is bit-exact across engines."""
+    emb = catalog(spark, sf_dir)["embeddings"]
+    cb = similarity.pq_codebook(emb, n_codes=PQ_CODES)
+    return similarity.pq_encode(emb, cb, m_subspaces=PQ_M)
+
+
+def ann_pq(spark, sf_dir):
+    """PQ asymmetric-distance top-k: per-query integer distance table
+    broadcast against the corpus codes — the memory-side ANN scale path
+    (no raw vectors read during the scan)."""
+    emb = catalog(spark, sf_dir)["embeddings"]
+    corpus = emb.where("vec_id >= 5")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    cb = similarity.pq_codebook(corpus, n_codes=PQ_CODES)
+    return similarity.pq_adc_topk(corpus, q, cb, m_subspaces=PQ_M, k=5)
 
 
 def ann_ivf(spark, sf_dir):
@@ -1719,6 +1742,64 @@ SELECT q_id, vec_id, sim,
 FROM scored QUALIFY rank <= 5
 """
 
+    # PQ: fixed-point (×1000 round) embeddings make every distance an
+    # exact int64, so argmin/rank ties are impossible to flip across
+    # engines; codebook = md5-order sample, j is 0-based (numpy argmin)
+    _sub = 64 // PQ_M
+
+    def _pq_sqdist(a, b, m="sp.m"):
+        return (
+            f"list_sum(list_transform(range(1, {_sub} + 1), i -> "
+            f"({a}[{m} * {_sub} + i] - {b}[{m} * {_sub} + i])"
+            f" * ({a}[{m} * {_sub} + i] - {b}[{m} * {_sub} + i])))"
+        )
+
+    _PQ_QUANT = (
+        "qv AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e FROM embeddings)"
+    )
+    _PQ_CENTS = (
+        "cents AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS j, e AS ce FROM "
+        "(SELECT vec_id, e, {h} AS h FROM {src} ORDER BY h, vec_id LIMIT "
+        + str(PQ_CODES)
+        + ")), sp AS (SELECT unnest(range(0, "
+        + str(PQ_M)
+        + ")) AS m)"
+    )
+
+    o["pq_codes"] = f"""
+WITH {_PQ_QUANT},
+{_PQ_CENTS.format(h=_hash64_sql("CAST(vec_id AS VARCHAR)"), src="qv")},
+dists AS (
+  SELECT v.vec_id, sp.m, c.j, {_pq_sqdist('v.e', 'c.ce')} AS d
+  FROM qv v CROSS JOIN sp CROSS JOIN cents c)
+SELECT vec_id, m, j AS code FROM dists
+QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1
+"""
+
+    o["ann_pq"] = f"""
+WITH {_PQ_QUANT},
+corp AS (SELECT vec_id, e FROM qv WHERE vec_id >= 5),
+qry AS (SELECT vec_id AS q_id, e AS qe FROM qv WHERE vec_id < 5),
+{_PQ_CENTS.format(h=_hash64_sql("CAST(vec_id AS VARCHAR)"), src="corp")},
+dists AS (
+  SELECT v.vec_id, sp.m, c.j, {_pq_sqdist('v.e', 'c.ce')} AS d
+  FROM corp v CROSS JOIN sp CROSS JOIN cents c),
+codes AS (
+  SELECT vec_id, m, j AS code FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1),
+dt AS (
+  SELECT q.q_id, sp.m, c.j AS code, {_pq_sqdist('q.qe', 'c.ce')} AS d
+  FROM qry q CROSS JOIN sp CROSS JOIN cents c),
+scored AS (
+  SELECT dt.q_id, codes.vec_id, CAST(sum(dt.d) AS BIGINT) AS adist
+  FROM codes JOIN dt ON dt.m = codes.m AND dt.code = codes.code
+  GROUP BY 1, 2)
+SELECT q_id, vec_id, adist,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
     # normalize-then-dot mirrors operators/similarity.embedding_near_pairs:
     # one normalization per vector, a single dot per candidate pair
     _NORM_CTE = (
@@ -1893,6 +1974,8 @@ def queries():
         "ann_brute": ann_brute,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
+        "pq_codes": pq_codes,
+        "ann_pq": ann_pq,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_hi": dedup_embedding_hi,
         "corpus_pipeline": corpus_pipeline,

@@ -95,3 +95,52 @@ def test_embedding_near_dup_production_selectivity(spark, catalog):
     for r in out:
         if r.id_b == r.id_a + 100000:
             assert r.sim == 1.0
+
+
+# ------------------------------------------------------ product quantization
+
+
+def test_pq_encode_nearest_subvector(spark):
+    from slice_db_spark.operators.similarity import pq_encode
+
+    # dim 4, m=2 -> 2-dim subvectors; codebook entries are crafted so the
+    # nearest assignment per subspace is unambiguous (quantized x1000)
+    codebook = [
+        [0, 0, 1000, 1000],      # code 0: sub0=(0,0),   sub1=(1000,1000)
+        [1000, 1000, 0, 0],      # code 1: sub0=(1k,1k), sub1=(0,0)
+    ]
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.1, 0.0, 0.1, 0.0]),   # sub0 near (0,0)=c0, sub1 near (0,0)=c1
+            (2, [0.9, 1.0, 0.9, 1.0]),   # sub0 near c1, sub1 near c0
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {(r["vec_id"], r["m"]): r["code"] for r in
+           pq_encode(corpus, codebook, m_subspaces=2).collect()}
+    assert got == {(1, 0): 0, (1, 1): 1, (2, 0): 1, (2, 1): 0}
+
+
+def test_pq_adc_duplicate_ranks_first(spark):
+    """An exact duplicate of the query achieves the minimal possible
+    asymmetric distance, so it must rank 1."""
+    import random
+
+    from slice_db_spark.operators.similarity import pq_adc_topk, pq_codebook
+
+    rng = random.Random(7)
+    dim = 8
+    rows = [(i, [rng.uniform(-0.5, 0.5) for _ in range(dim)]) for i in range(30)]
+    dup = (100, rows[3][1])  # duplicate of vector 3
+    corpus = spark.createDataFrame(rows + [dup], "vec_id bigint, embedding array<float>")
+    q = spark.createDataFrame(
+        [(0, rows[3][1])], "q_id bigint, embedding array<float>"
+    )
+    cb = pq_codebook(corpus, n_codes=4)
+    out = pq_adc_topk(corpus, q, cb, m_subspaces=2, k=31).collect()
+    top = [r for r in out if r["rank"] == 1][0]
+    # both copies of the duplicate content share the minimal adist; the
+    # id tie-break picks 3
+    assert top["vec_id"] == 3
+    adists = {r["vec_id"]: r["adist"] for r in out}
+    assert adists.get(100) == adists[3]
