@@ -165,3 +165,14 @@ def test_chunk_dedup_partial_agg(plans):
     p = plans("dedup_chunks")
     assert "CartesianProduct" not in p
     assert p.count("HashAggregate") >= 2
+
+
+def test_pq_adc_broadcasts_distance_table(plans):
+    """The ADC scan must join the (tiny) per-query distance table to the
+    codes by BROADCAST — shuffling the codes table on (m, code) would
+    funnel the whole corpus through n_codes*m partitions."""
+    p = plans("ann_pq")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # the adist aggregation partially aggregates before the (q, id) shuffle
+    assert p.count("HashAggregate") >= 2
