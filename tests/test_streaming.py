@@ -161,3 +161,71 @@ def test_interval_join_batch_accepts_day_window(spark, events_batch):
     )
     assert out.columns == ["user_id", "a_id", "b_id", "dt_us"]
     out.count()  # executes
+
+
+def test_interval_join_drops_late_rows_past_watermark(spark, tmp_path_factory):
+    """Watermark semantics across micro-batches: the GLOBAL watermark is
+    the min over both sides' watermarks, and join state is evicted at
+    the END of each batch — so a row must arrive two batches after both
+    sides advanced past it to be provably dropped.  This pins the state
+    bound the docstring claims (horizon-bounded state, not stream-length
+    state)."""
+    import datetime as dtm
+
+    from pyspark.sql import Row
+
+    from slice_db_spark.streaming.events import interval_join
+
+    base = dtm.datetime(2024, 1, 1)
+
+    def rows(specs):
+        return [
+            Row(event_id=i, ts=base + dtm.timedelta(minutes=m), user_id=u, event_type=t)
+            for i, (u, m, t) in specs
+        ]
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    # batch 1: pairs (0,2) and (1,3); advances BOTH sides' event time to
+    # ~200 -> watermark(min of sides) = ~170 after the batch
+    b1 = rows([
+        (0, (1, 0, "error")), (2, (1, 1, "purchase")),
+        (1, (1, 200, "error")), (3, (1, 201, "purchase")),
+    ])
+    # batch 2: pair (4,5); at its END, eviction runs with wm=170 and
+    # removes error id 0 (0 + 10min < 170)
+    b2 = rows([(4, (1, 400, "error")), (5, (1, 401, "purchase"))])
+    # batch 3: purchase at t=2 — would pair with error 0 in a batch
+    # computation, but that state is gone
+    b3 = rows([(6, (1, 2, "purchase"))])
+
+    staged = tmp_path_factory.mktemp("late_join_staged")
+    for i, b in enumerate((b1, b2, b3)):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            str(staged / f"b{i}")
+        )
+    import glob
+    import shutil
+
+    flat = tmp_path_factory.mktemp("late_join_flat")
+    for i in range(3):
+        (part,) = glob.glob(str(staged / f"b{i}" / "part-*.parquet"))
+        shutil.copy(part, flat / f"{i}.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(flat))
+    )
+    out = run_stream_to_memory(
+        spark,
+        interval_join(
+            stream.where("event_type = 'error'"),
+            stream.where("event_type = 'purchase'"),
+            window="10 minutes",
+            watermark="30 minutes",
+        ),
+        "late_join_t",
+    )
+    got = {(r["a_id"], r["b_id"]) for r in out.collect()}
+    assert {(0, 2), (1, 3), (4, 5)} <= got
+    assert (0, 6) not in got
