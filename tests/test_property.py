@@ -216,3 +216,76 @@ def test_range_pairs_matches_python_model(spark, arows, brows, w_us):
         if ua == ub and ta <= tb <= ta + w_us
     }
     assert got == want
+
+
+# --------------------------------------------------- PQ / chunk dedup models
+
+_vecs = st.lists(
+    st.lists(st.integers(-500, 500).map(lambda v: v / 1000.0), min_size=8, max_size=8),
+    min_size=5,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_vecs)
+def test_pq_encode_matches_python_model(spark, vecs):
+    """pq_encode == per-subspace integer argmin over the quantized
+    subvectors (first-min tie-break)."""
+    from slice_db_spark.operators.similarity import pq_codebook, pq_encode
+
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id bigint, embedding array<float>"
+    )
+    cb = pq_codebook(corpus, n_codes=4)
+    got = {(r["vec_id"], r["m"]): r["code"]
+           for r in pq_encode(corpus, cb, m_subspaces=2).collect()}
+
+    def q(x):
+        return round(x * 1000)
+
+    for i, v in enumerate(vecs):
+        e = [q(x) for x in v]
+        for m in range(2):
+            s = e[m * 4 : (m + 1) * 4]
+            dists = [
+                sum((a - b) * (a - b) for a, b in zip(s, c[m * 4 : (m + 1) * 4]))
+                for c in cb
+            ]
+            assert got[(i, m)] == dists.index(min(dists)), (i, m, dists)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abc"), min_size=1, max_size=7),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_chunk_dedup_matches_python_model(spark, docs):
+    """chunk_dedup_stats == brute-force first-occurrence chunk model over
+    3-token chunks of arbitrary tiny corpora."""
+    from slice_db_spark.operators.dedup import chunk_dedup_stats
+
+    texts = [" ".join(toks) for toks in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in chunk_dedup_stats(df, chunk_tokens=3).collect()}
+
+    seen = {}
+    want = {}
+    for i, toks in enumerate(docs):
+        chunks = [toks[p : p + 3] for p in range(0, len(toks), 3)]
+        n_dup = kept = 0
+        for p, c in enumerate(chunks):
+            key = " ".join(c)
+            if key in seen:
+                n_dup += 1
+            else:
+                seen[key] = (i, p)
+                kept += len(c)
+        want[i] = (len(chunks), n_dup, kept)
+    for i, (n, d, k) in want.items():
+        assert (got[i]["n_chunks"], got[i]["dup_chunks"], got[i]["kept_tokens"]) == (n, d, k), i
