@@ -140,17 +140,34 @@ def _dump_with_catalog(args, spark, schema, catalog) -> int:
         return 0
 
     if args.format == "zip":
+        import shutil
+        import tempfile
+
         from .sources.slice import write_slice_zip
 
+        # reference convention: output '-' streams the zip to stdout
+        # (`slice_db/cli/main.py:115-120`); the JSON report moves to
+        # stderr so the archive bytes stay clean
+        to_stdout = args.output == "-"
+        zip_path = (
+            tempfile.mktemp(suffix=".zip", prefix="slice_dump_")
+            if to_stdout
+            else args.output
+        )
         manifest = write_slice_zip(
             tables,
             schema,
-            args.output,
+            zip_path,
             sequences=capture_sequences(tables, schema),
             pre_data=pre_data,
             post_data=post_data,
             jobs=args.jobs,
         )
+        if to_stdout:
+            with open(zip_path, "rb") as f:
+                shutil.copyfileobj(f, sys.stdout.buffer, 1 << 20)
+            sys.stdout.buffer.flush()
+            os.unlink(zip_path)
     else:
         manifest = write_slice(
             tables,
@@ -167,7 +184,8 @@ def _dump_with_catalog(args, spark, schema, catalog) -> int:
     if args.include_schema:
         out["preData"] = manifest.pre_data
         out["postData"] = manifest.post_data
-    print(json.dumps(out))
+    report = sys.stderr if args.format == "zip" and args.output == "-" else sys.stdout
+    print(json.dumps(out), file=report)
     return 0
 
 
@@ -179,12 +197,19 @@ def cmd_restore(args) -> int:
     schema = _load_schema(args.schema)
     spark = get_spark("slicedb-restore")
     if args.format == "zip":
+        import shutil
         import tempfile
 
         from .sources.slice import read_slice_zip
 
+        zip_in = args.input
+        if zip_in == "-":
+            # reference convention: input '-' reads the archive from stdin
+            zip_in = tempfile.mktemp(suffix=".zip", prefix="slice_stdin_")
+            with open(zip_in, "wb") as f:
+                shutil.copyfileobj(sys.stdin.buffer, f, 1 << 20)
         sections_dir = tempfile.mkdtemp(prefix="slice_restore_")
-        tables, manifest = read_slice_zip(spark, args.input, workdir=sections_dir)
+        tables, manifest = read_slice_zip(spark, zip_in, workdir=sections_dir)
     else:
         sections_dir = args.input
         tables, manifest = read_slice(spark, args.input, fmt=args.format)

@@ -347,3 +347,52 @@ def test_restore_cli_has_reference_parity_flags():
         pass
     text = buf.getvalue()
     assert "--transaction" in text and "--disable-triggers" in text
+
+
+def test_dump_zip_to_stdout_restore_from_stdin(spark, schema_json, tmp_path, monkeypatch):
+    """reference I/O convention: dump -o '-' streams the zip archive to
+    stdout (report on stderr); restore -i '-' reads it from stdin —
+    `slicedb dump | slicedb restore` works as a pipe."""
+    import io as _io
+    import sys as _sys
+    import zipfile
+
+    class _StdoutWithBuffer:
+        def __init__(self):
+            self.buffer = _io.BytesIO()
+            self._text = _io.StringIO()
+
+        def write(self, s):
+            return self._text.write(s)
+
+        def flush(self):
+            pass
+
+    fake_out = _StdoutWithBuffer()
+    monkeypatch.setattr(_sys, "stdout", fake_out)
+    rc = cli.main([
+        "dump", "--schema", schema_json, "--root", "customer", "c_custkey = 1",
+        "--format", "zip", SF_DIR, "-",
+    ])
+    assert rc == 0
+    blob = fake_out.buffer.getvalue()
+    monkeypatch.undo()
+    assert blob and zipfile.ZipFile(_io.BytesIO(blob)).namelist()
+    # no JSON report mixed into the archive bytes
+    assert not fake_out._text.getvalue().strip()
+
+    class _StdinWithBuffer:
+        def __init__(self, data):
+            self.buffer = _io.BytesIO(data)
+
+    monkeypatch.setattr(sys_module(), "stdin", _StdinWithBuffer(blob))
+    target = str(tmp_path / "db")
+    out = run_cli("restore", "--schema", schema_json, "--format", "zip", "-", target)
+    assert json.loads(out)["order"]
+    assert spark.read.parquet(os.path.join(target, "customer")).count() == 1
+
+
+def sys_module():
+    import sys as _s
+
+    return _s
