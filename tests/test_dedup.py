@@ -218,3 +218,32 @@ def test_boilerplate_ranks_by_document_frequency(spark):
     out = boilerplate_chunks(docs, chunk_tokens=20).collect()
     assert [r["n_docs"] for r in out] == [3, 2]
     assert out[0]["first_doc"] == 1 and out[0]["n_occurrences"] == 3
+
+
+def test_fast_hash_switch_preserves_dedup_structure(spark, monkeypatch):
+    """SLICE_FAST_HASH=1 (xxhash64) must produce the same dedup GROUPS as
+    the default md5 path — operators are hash-algorithm-agnostic; only
+    the cross-engine oracles pin md5."""
+    from slice_db_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta"),
+         (4, "delta"), (5, "unique text here")],
+        "doc_id bigint, text string",
+    )
+
+    def groups():
+        rows = D.exact_dedup(docs, ["text"]).collect()
+        return sorted((r["doc_id"], r["dup_count"]) for r in rows)
+
+    md5_groups = groups()
+    monkeypatch.setenv("SLICE_FAST_HASH", "1")
+    xx_groups = groups()
+    assert md5_groups == xx_groups == [(1, 2), (3, 2), (5, 1)]
+    # hashes themselves differ (proves the switch took effect)
+    monkeypatch.delenv("SLICE_FAST_HASH")
+    h_md5 = {r["doc_id"]: r["content_hash"] for r in D.exact_dedup(docs, ["text"]).collect()}
+    monkeypatch.setenv("SLICE_FAST_HASH", "1")
+    h_xx = {r["doc_id"]: r["content_hash"] for r in D.exact_dedup(docs, ["text"]).collect()}
+    assert h_md5[1] != h_xx[1]
+    assert all(h >= 0 for h in h_xx.values())
