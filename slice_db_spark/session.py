@@ -84,19 +84,59 @@ def load_catalog(spark: SparkSession, sf_dir: str, tables=TABLES):
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
     ]
 
-    # Schema inference is one driver-side footer read per table; serial
-    # loading pays them back-to-back (~3 s of catalog-open latency for ten
-    # tables on a cold session).  The reads are independent JVM calls, so
-    # open them concurrently — same DataFrames, one round-trip of latency.
+    # Two costs hide in a naive serial `spark.read.parquet` loop: a
+    # JVM-side footer-inference pass per table, and the back-to-back py4j
+    # round-trips (~2-3 s of catalog-open latency for ten tables on a cold
+    # session).  Supplying the schema from the parquet footer via pyarrow
+    # (microseconds, no JVM) skips the inference pass entirely;
+    # ThreadPoolExecutor overlaps the remaining reader construction.
     def load(tp):
         t, path = tp
-        df = normalize_timestamps(spark.read.parquet(path), path)
+        df = None
+        st = _spark_schema_from_footer(path)
+        if st is not None:
+            try:
+                df = spark.read.schema(st).parquet(path)
+            except Exception:
+                df = None  # exotic type mapping — fall back to inference
+        if df is None:
+            df = spark.read.parquet(path)
+        df = normalize_timestamps(df, path)
         if t in cpu_heavy:
             df = df.repartition(parallelism)
         return t, df
 
     with ThreadPoolExecutor(max_workers=min(8, max(1, len(present)))) as ex:
         return dict(ex.map(load, present))
+
+
+def _spark_schema_from_footer(path: str):
+    """Catalyst schema from the parquet footer via pyarrow — no Spark job,
+    no JVM round-trip.  Mirrors the session's reader configuration:
+    ``timestamp[ns]`` maps to LONG (the ``nanosAsLong`` legacy conf) and
+    naive timestamps stay NTZ (``normalize_timestamps`` casts to LTZ).
+    Returns None when the footer isn't readable (caller infers)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    target = path
+    if os.path.isdir(target):
+        parts = sorted(f for f in os.listdir(target) if f.endswith(".parquet"))
+        if not parts:
+            return None
+        target = os.path.join(target, parts[0])
+    try:
+        arrow = pq.read_schema(target)
+        fields = [
+            pa.field(f.name, pa.int64(), f.nullable)
+            if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns" and f.type.tz is None
+            else f
+            for f in arrow
+        ]
+        return from_arrow_schema(pa.schema(fields), prefer_timestamp_ntz=True)
+    except Exception:
+        return None
 
 
 def parquet_row_counts(sf_dir: str, tables=TABLES) -> dict[str, int]:

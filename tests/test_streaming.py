@@ -207,9 +207,16 @@ def test_interval_join_drops_late_rows_past_watermark(spark, tmp_path_factory):
     import shutil
 
     flat = tmp_path_factory.mktemp("late_join_flat")
+    import time as _time
+
+    now = _time.time()
     for i in range(3):
         (part,) = glob.glob(str(staged / f"b{i}" / "part-*.parquet"))
-        shutil.copy(part, flat / f"{i}.parquet")
+        dst = flat / f"{i}.parquet"
+        shutil.copy(part, dst)
+        # the file source orders batches by MODIFICATION TIME; copies can
+        # land in the same clock tick, so pin strictly-increasing mtimes
+        os.utime(dst, (now - 300 + i * 60, now - 300 + i * 60))
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
