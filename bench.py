@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_jaccard",
     "dedup_containment",
     "dedup_chunks",
+    "dedup_rewrite",
     "boilerplate",
     "length_quantiles",
     "minhash_lsh",

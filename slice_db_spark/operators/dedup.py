@@ -679,3 +679,61 @@ def boilerplate_chunks(
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "chunk_hash")
         .limit(top)
     )
+
+
+def chunk_dedup_rewrite(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """The rewrite half of chunk-level dedup: each document's text with
+    its duplicate chunks REMOVED (first corpus-wide (id, pos) occurrence
+    survives, later copies drop out; surviving chunks rejoin in position
+    order).  Returns ``(id, text, n_dropped)``; documents whose every
+    chunk was seen elsewhere come back with empty text, not missing rows.
+
+    Unlike :func:`chunk_dedup_stats` this must move the chunk STRINGS
+    through the winner join (the rewrite needs them), so its shuffle is
+    corpus-sized — the price of materializing output; run the stats
+    operator first when only measurements are needed.  The winner side
+    stays (hash → packed owner) aggregates: map-side combine still
+    collapses hot chunks before any join."""
+    c = chunk_tokens
+    toks = df.select(
+        F.col(id_col), F.split(normalize(F.col(text_col)), " ").alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    nchunks = F.floor((F.col("__n") + F.lit(c - 1)) / F.lit(c)).cast("bigint")
+    chunk_strs = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), nchunks - 1),
+        lambda i: F.concat_ws(
+            " ", *[F.get(F.col("__toks"), (i * c + F.lit(j)).cast("int")) for j in range(c)]
+        ),
+    )
+    chunks = (
+        toks.select(F.col(id_col), F.posexplode(chunk_strs).alias("pos", "__chunk"))
+        .withColumn("chunk_hash", hash64(F.col("__chunk")))
+        .withColumn("__pk", F.col(id_col) * F.lit(1 << 20) + F.col("pos"))
+    )
+    winners = chunks.groupBy("chunk_hash").agg(F.min("__pk").alias("__wpk"))
+    kept = chunks.join(winners, on="chunk_hash")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__pk") == F.col("__wpk"),
+                                F.struct(F.col("pos"), F.col("__chunk").alias("s")),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+            ).alias(text_col),
+            F.sum((F.col("__pk") != F.col("__wpk")).cast("bigint")).alias("n_dropped"),
+        )
+    )

@@ -614,6 +614,14 @@ def dedup_chunks(spark, sf_dir):
     )
 
 
+def dedup_rewrite(spark, sf_dir):
+    """The rewrite half of line/chunk dedup: document text with duplicate
+    chunks removed (first occurrence survives), plus the drop count."""
+    return dedup.chunk_dedup_rewrite(
+        catalog(spark, sf_dir)["documents"], chunk_tokens=CHUNK_TOKENS
+    )
+
+
 def boilerplate(spark, sf_dir):
     """Boilerplate detection: the 20 chunks shared by the most documents
     (deterministic n_docs/n_occurrences/hash ordering; TakeOrdered top-k,
@@ -1359,6 +1367,25 @@ def oracle_sql() -> dict[str, str]:
         FROM h JOIN w USING (chunk_hash) GROUP BY h.doc_id
     """)
 
+    o["dedup_rewrite"] = _q(f"""
+        WITH t AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+        t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        c AS (SELECT doc_id, n, toks,
+                     unnest(range(0, (n + {_c - 1}) // {_c})) AS pos
+              FROM t2),
+        h AS (SELECT doc_id, pos,
+                array_to_string(list_slice(toks, pos * {_c} + 1, pos * {_c} + {_c}), ' ') AS chunk,
+                doc_id * {1 << 20} + pos AS pk
+              FROM c),
+        h2 AS (SELECT doc_id, pos, chunk,
+                 {_hash64_sql('chunk')} AS chunk_hash, pk FROM h),
+        w AS (SELECT chunk_hash, min(pk) AS wpk FROM h2 GROUP BY chunk_hash)
+        SELECT h2.doc_id,
+               coalesce(string_agg(CASE WHEN pk = wpk THEN chunk END, ' ' ORDER BY pos), '') AS text,
+               CAST(sum(CASE WHEN pk <> wpk THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        FROM h2 JOIN w USING (chunk_hash) GROUP BY h2.doc_id
+    """)
+
     o["boilerplate"] = _q(f"""
         WITH t AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
         t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t),
@@ -1951,6 +1978,7 @@ def queries():
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "dedup_chunks": dedup_chunks,
+        "dedup_rewrite": dedup_rewrite,
         "boilerplate": boilerplate,
         "length_quantiles": length_quantiles,
         "dedup_containment": dedup_containment,

@@ -385,14 +385,9 @@ def test_dump_zip_to_stdout_restore_from_stdin(spark, schema_json, tmp_path, mon
         def __init__(self, data):
             self.buffer = _io.BytesIO(data)
 
-    monkeypatch.setattr(sys_module(), "stdin", _StdinWithBuffer(blob))
+    monkeypatch.setattr(_sys, "stdin", _StdinWithBuffer(blob))
     target = str(tmp_path / "db")
     out = run_cli("restore", "--schema", schema_json, "--format", "zip", "-", target)
     assert json.loads(out)["order"]
     assert spark.read.parquet(os.path.join(target, "customer")).count() == 1
 
-
-def sys_module():
-    import sys as _s
-
-    return _s

@@ -247,3 +247,21 @@ def test_fast_hash_switch_preserves_dedup_structure(spark, monkeypatch):
     h_xx = {r["doc_id"]: r["content_hash"] for r in D.exact_dedup(docs, ["text"]).collect()}
     assert h_md5[1] != h_xx[1]
     assert all(h >= 0 for h in h_xx.values())
+
+
+def test_chunk_dedup_rewrite_drops_later_copies(spark):
+    from slice_db_spark.operators.dedup import chunk_dedup_rewrite
+
+    blk = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, blk + " tail one"),
+            (2, blk + " tail two"),   # chunk 0 dups doc 1; partial chunk unique
+            (3, blk),                 # whole doc is a dup -> empty rewrite
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in chunk_dedup_rewrite(docs, chunk_tokens=20).collect()}
+    assert out[1]["text"] == blk + " tail one" and out[1]["n_dropped"] == 0
+    assert out[2]["text"] == "tail two" and out[2]["n_dropped"] == 1
+    assert out[3]["text"] == "" and out[3]["n_dropped"] == 1
