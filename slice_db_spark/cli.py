@@ -149,11 +149,11 @@ def _dump_with_catalog(args, spark, schema, catalog) -> int:
         # (`slice_db/cli/main.py:115-120`); the JSON report moves to
         # stderr so the archive bytes stay clean
         to_stdout = args.output == "-"
-        zip_path = (
-            tempfile.mktemp(suffix=".zip", prefix="slice_dump_")
-            if to_stdout
-            else args.output
-        )
+        if to_stdout:
+            fd, zip_path = tempfile.mkstemp(suffix=".zip", prefix="slice_dump_")
+            os.close(fd)
+        else:
+            zip_path = args.output
         manifest = write_slice_zip(
             tables,
             schema,
@@ -205,8 +205,8 @@ def cmd_restore(args) -> int:
         zip_in = args.input
         if zip_in == "-":
             # reference convention: input '-' reads the archive from stdin
-            zip_in = tempfile.mktemp(suffix=".zip", prefix="slice_stdin_")
-            with open(zip_in, "wb") as f:
+            fd, zip_in = tempfile.mkstemp(suffix=".zip", prefix="slice_stdin_")
+            with os.fdopen(fd, "wb") as f:
                 shutil.copyfileobj(sys.stdin.buffer, f, 1 << 20)
         sections_dir = tempfile.mkdtemp(prefix="slice_restore_")
         tables, manifest = read_slice_zip(spark, zip_in, workdir=sections_dir)

@@ -571,16 +571,26 @@ def simhash_near_pairs(
 # ---------------------------------------------------------- chunk dedup
 
 
+#: packed (id, pos) chunk-owner encoding: id * 2^20 + pos.  Bounds
+#: documents at 2^20 chunks (~21M tokens at the default width) — far
+#: above any real document; min() over it selects the first corpus-wide
+#: occurrence with one partial-aggregating pass.
+CHUNK_OWNER_SHIFT = 20
+
+
 def chunk_table(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk_tokens: int = 20,
+    with_text: bool = False,
 ) -> DataFrame:
-    """(id, pos, chunk-hash, chunk_len) — the document split into fixed
-    ``chunk_tokens``-token chunks (last chunk partial).  The token-array
-    analog of line splitting for corpora without line structure; the
-    granularity line-level dedup (CCNet/RefinedWeb-style) operates at.
+    """(id, pos, chunk-hash, chunk_len, owner_pk[, chunk]) — the document
+    split into fixed ``chunk_tokens``-token chunks (last chunk partial).
+    The token-array analog of line splitting for corpora without line
+    structure; the granularity line-level dedup (CCNet/RefinedWeb-style)
+    operates at.  ``with_text=True`` keeps the chunk STRING column (the
+    rewrite path needs it; stats/boilerplate prune it for free).
 
     Chunks are built from O(1) ``get`` lookups over the materialized
     token array (see :func:`_shingle_expr` for why not ``slice``);
@@ -598,15 +608,18 @@ def chunk_table(
             " ", *[F.get(F.col("__toks"), (i * c + F.lit(j)).cast("int")) for j in range(c)]
         ),
     )
-    return (
-        toks.select(F.col(id_col), F.col("__n"), F.posexplode(chunks).alias("pos", "__chunk"))
-        .select(
-            F.col(id_col),
-            F.col("pos").cast("bigint").alias("pos"),
-            hash64(F.col("__chunk")).alias("chunk_hash"),
-            F.least(F.lit(c), F.col("__n") - F.col("pos") * c).cast("bigint").alias("chunk_len"),
-        )
-    )
+    cols = [
+        F.col(id_col),
+        F.col("pos").cast("bigint").alias("pos"),
+        hash64(F.col("__chunk")).alias("chunk_hash"),
+        F.least(F.lit(c), F.col("__n") - F.col("pos") * c).cast("bigint").alias("chunk_len"),
+        (F.col(id_col) * F.lit(1 << CHUNK_OWNER_SHIFT) + F.col("pos")).alias("owner_pk"),
+    ]
+    if with_text:
+        cols.append(F.col("__chunk").alias("chunk"))
+    return toks.select(
+        F.col(id_col), F.col("__n"), F.posexplode(chunks).alias("pos", "__chunk")
+    ).select(*cols)
 
 
 def chunk_dedup_stats(
@@ -628,17 +641,14 @@ def chunk_dedup_stats(
     shuffle; a window over the hash would funnel every copy of a hot
     chunk through one task instead.  The join back on the hash is
     skew-safe for the same reason: the winner side is one row per hash
-    (AQE splits any residual probe skew).  Owner packing
-    ``id * 2^20 + pos`` bounds documents at 2^20 chunks (~21M tokens at
-    the default width) — far above any real document.
+    (AQE splits any residual probe skew).  Owner packing: see
+    :data:`CHUNK_OWNER_SHIFT`.
     """
     chunks = chunk_table(df, text_col, id_col, chunk_tokens)
-    pk = (F.col(id_col) * F.lit(1 << 20) + F.col("pos")).alias("__pk")
-    tagged = chunks.select(id_col, "pos", "chunk_hash", "chunk_len", pk)
-    winners = tagged.groupBy("chunk_hash").agg(F.min("__pk").alias("__wpk"))
+    winners = chunks.groupBy("chunk_hash").agg(F.min("owner_pk").alias("__wpk"))
     return (
-        tagged.join(winners, on="chunk_hash")
-        .withColumn("__dup", (F.col("__pk") != F.col("__wpk")).cast("bigint"))
+        chunks.join(winners, on="chunk_hash")
+        .withColumn("__dup", (F.col("owner_pk") != F.col("__wpk")).cast("bigint"))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
@@ -699,26 +709,11 @@ def chunk_dedup_rewrite(
     operator first when only measurements are needed.  The winner side
     stays (hash → packed owner) aggregates: map-side combine still
     collapses hot chunks before any join."""
-    c = chunk_tokens
-    toks = df.select(
-        F.col(id_col), F.split(normalize(F.col(text_col)), " ").alias("__toks")
-    ).withColumn("__n", F.size("__toks"))
-    nchunks = F.floor((F.col("__n") + F.lit(c - 1)) / F.lit(c)).cast("bigint")
-    chunk_strs = F.transform(
-        F.sequence(F.lit(0).cast("bigint"), nchunks - 1),
-        lambda i: F.concat_ws(
-            " ", *[F.get(F.col("__toks"), (i * c + F.lit(j)).cast("int")) for j in range(c)]
-        ),
-    )
-    chunks = (
-        toks.select(F.col(id_col), F.posexplode(chunk_strs).alias("pos", "__chunk"))
-        .withColumn("chunk_hash", hash64(F.col("__chunk")))
-        .withColumn("__pk", F.col(id_col) * F.lit(1 << 20) + F.col("pos"))
-    )
-    winners = chunks.groupBy("chunk_hash").agg(F.min("__pk").alias("__wpk"))
-    kept = chunks.join(winners, on="chunk_hash")
+    chunks = chunk_table(df, text_col, id_col, chunk_tokens, with_text=True)
+    winners = chunks.groupBy("chunk_hash").agg(F.min("owner_pk").alias("__wpk"))
     return (
-        kept.groupBy(id_col)
+        chunks.join(winners, on="chunk_hash")
+        .groupBy(id_col)
         .agg(
             F.concat_ws(
                 " ",
@@ -726,14 +721,14 @@ def chunk_dedup_rewrite(
                     F.array_sort(
                         F.collect_list(
                             F.when(
-                                F.col("__pk") == F.col("__wpk"),
-                                F.struct(F.col("pos"), F.col("__chunk").alias("s")),
+                                F.col("owner_pk") == F.col("__wpk"),
+                                F.struct(F.col("pos"), F.col("chunk").alias("s")),
                             )
                         )
                     ),
                     lambda x: x["s"],
                 ),
             ).alias(text_col),
-            F.sum((F.col("__pk") != F.col("__wpk")).cast("bigint")).alias("n_dropped"),
+            F.sum((F.col("owner_pk") != F.col("__wpk")).cast("bigint")).alias("n_dropped"),
         )
     )

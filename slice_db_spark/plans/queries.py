@@ -1345,21 +1345,28 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY 2
     """)
 
-    # chunk dedup mirror: fixed-width token chunks, first (id, pos) wins;
-    # owner packing doc_id*2^20+pos matches chunk_dedup_stats exactly
+    # Shared chunk-table CTE (mirror of operators.dedup.chunk_table):
+    # fixed-width token chunks with string, hash, token length, and the
+    # packed first-occurrence owner (doc_id * 2^CHUNK_OWNER_SHIFT + pos)
+    # — ONE definition feeds all three chunk oracles, like the operators
+    # all consume one chunk_table.
     _c = CHUNK_TOKENS
-    o["dedup_chunks"] = _q(f"""
-        WITH t AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+    _chunk_str = f"array_to_string(list_slice(toks, pos * {_c} + 1, pos * {_c} + {_c}), ' ')"
+    _CHUNK_CTE = f"""
+        t AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
         t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t),
         c AS (SELECT doc_id, n, toks,
                      unnest(range(0, (n + {_c - 1}) // {_c})) AS pos
               FROM t2),
-        h AS (SELECT doc_id, pos,
-                {_hash64_sql(f"array_to_string(list_slice(toks, pos * {_c} + 1, pos * {_c} + {_c}), ' ')")}
-                  AS chunk_hash,
-                least({_c}, n - pos * {_c}) AS chunk_len,
-                doc_id * {1 << 20} + pos AS pk
-              FROM c),
+        h0 AS (SELECT doc_id, pos, {_chunk_str} AS chunk,
+                 least({_c}, n - pos * {_c}) AS chunk_len,
+                 doc_id * {1 << 20} + pos AS pk
+               FROM c),
+        h AS (SELECT doc_id, pos, chunk, chunk_len, pk,
+                {_hash64_sql('chunk')} AS chunk_hash FROM h0)"""
+
+    o["dedup_chunks"] = _q(f"""
+        WITH {_CHUNK_CTE},
         w AS (SELECT chunk_hash, min(pk) AS wpk FROM h GROUP BY chunk_hash)
         SELECT h.doc_id, count(*) AS n_chunks,
                CAST(sum(CASE WHEN pk <> wpk THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
@@ -1368,34 +1375,16 @@ def oracle_sql() -> dict[str, str]:
     """)
 
     o["dedup_rewrite"] = _q(f"""
-        WITH t AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
-        t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t),
-        c AS (SELECT doc_id, n, toks,
-                     unnest(range(0, (n + {_c - 1}) // {_c})) AS pos
-              FROM t2),
-        h AS (SELECT doc_id, pos,
-                array_to_string(list_slice(toks, pos * {_c} + 1, pos * {_c} + {_c}), ' ') AS chunk,
-                doc_id * {1 << 20} + pos AS pk
-              FROM c),
-        h2 AS (SELECT doc_id, pos, chunk,
-                 {_hash64_sql('chunk')} AS chunk_hash, pk FROM h),
-        w AS (SELECT chunk_hash, min(pk) AS wpk FROM h2 GROUP BY chunk_hash)
-        SELECT h2.doc_id,
+        WITH {_CHUNK_CTE},
+        w AS (SELECT chunk_hash, min(pk) AS wpk FROM h GROUP BY chunk_hash)
+        SELECT h.doc_id,
                coalesce(string_agg(CASE WHEN pk = wpk THEN chunk END, ' ' ORDER BY pos), '') AS text,
                CAST(sum(CASE WHEN pk <> wpk THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
-        FROM h2 JOIN w USING (chunk_hash) GROUP BY h2.doc_id
+        FROM h JOIN w USING (chunk_hash) GROUP BY h.doc_id
     """)
 
     o["boilerplate"] = _q(f"""
-        WITH t AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
-        t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t),
-        c AS (SELECT doc_id, n, toks,
-                     unnest(range(0, (n + {_c - 1}) // {_c})) AS pos
-              FROM t2),
-        h AS (SELECT doc_id, pos,
-                {_hash64_sql(f"array_to_string(list_slice(toks, pos * {_c} + 1, pos * {_c} + {_c}), ' ')")}
-                  AS chunk_hash
-              FROM c)
+        WITH {_CHUNK_CTE}
         SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
                count(*) AS n_occurrences, min(doc_id) AS first_doc
         FROM h GROUP BY chunk_hash

@@ -120,12 +120,9 @@ def _spark_schema_from_footer(path: str):
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    target = path
-    if os.path.isdir(target):
-        parts = sorted(f for f in os.listdir(target) if f.endswith(".parquet"))
-        if not parts:
-            return None
-        target = os.path.join(target, parts[0])
+    target = _first_parquet_part(path)
+    if target is None:
+        return None
     try:
         arrow = pq.read_schema(target)
         fields = [
@@ -154,6 +151,17 @@ def parquet_row_counts(sf_dir: str, tables=TABLES) -> dict[str, int]:
     return out
 
 
+def _first_parquet_part(path: str | None) -> str | None:
+    """Resolve a fixture file OR a Spark-written directory to one parquet
+    part file carrying the (uniform) schema; None when there is none."""
+    if path is None:
+        return None
+    if os.path.isdir(path):
+        parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        return os.path.join(path, parts[0]) if parts else None
+    return path
+
+
 def normalize_timestamps(df, path: str | None = None):
     """Normalize event-time columns to session-timezone TIMESTAMP (LTZ).
 
@@ -167,19 +175,12 @@ def normalize_timestamps(df, path: str | None = None):
     from pyspark.sql import types as T
 
     ns_fields = set()
-    if path is not None:
+    part = _first_parquet_part(path)
+    if part is not None:
         import pyarrow.parquet as pq
 
-        # path may be a single fixture file or a Spark-written directory;
-        # any one part file carries the (uniform) schema
-        if os.path.isdir(path):
-            parts = sorted(
-                f for f in os.listdir(path) if f.endswith(".parquet")
-            )
-            path = os.path.join(path, parts[0]) if parts else None
-        if path is not None:
-            arrow_schema = pq.read_schema(path)
-            ns_fields = {f.name for f in arrow_schema if str(f.type) == "timestamp[ns]"}
+        arrow_schema = pq.read_schema(part)
+        ns_fields = {f.name for f in arrow_schema if str(f.type) == "timestamp[ns]"}
     for field in df.schema.fields:
         if isinstance(field.dataType, T.LongType) and field.name in ns_fields:
             df = df.withColumn(
