@@ -34,6 +34,7 @@ HEADLINE = [
     "events_bucket_agg",
     "events_asof",
     "events_range_join",
+    "events_retention",
     "dedup_exact",
     "dedup_jaccard",
     "dedup_containment",

@@ -241,3 +241,41 @@ def range_pairs(
             (F.col("__b_us") - F.col("__us")).alias("dt_us"),
         )
     )
+
+
+WEEK_US = 7 * 86_400_000_000
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_us: int = WEEK_US,
+) -> DataFrame:
+    """Cohort retention: users grouped by the epoch-week of their FIRST
+    event; for each (cohort, week-offset) the count of distinct users
+    active that week.  Output
+    ``(cohort_week, week_offset, n_users)`` — the classic retention
+    triangle, all integer arithmetic.
+
+    One fact scan: retention at week granularity only needs the DISTINCT
+    (user, week) activity pairs, so the cohort (min week per user) and
+    the activity matrix both derive from that one aggregated frame —
+    shuffles are keyed by user then by (cohort, offset), both bounded by
+    |users| × weeks, never by raw event count."""
+    wk = (
+        events.select(
+            F.col(user_col),
+            F.floor(F.unix_micros(F.col(ts_col)) / F.lit(bucket_us)).alias("__wk"),
+        )
+        .distinct()
+    )
+    first = wk.groupBy(user_col).agg(F.min("__wk").alias("__cohort"))
+    return (
+        wk.join(first, on=user_col)
+        .groupBy(
+            F.col("__cohort").alias("cohort_week"),
+            (F.col("__wk") - F.col("__cohort")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -492,6 +492,15 @@ def events_asof(spark, sf_dir):
     )
 
 
+def events_retention(spark, sf_dir):
+    """Weekly cohort retention triangle: distinct users per
+    (first-activity week, week offset) — derives entirely from the
+    distinct (user, week) frame, one fact scan."""
+    from ..operators.events import retention_cohorts
+
+    return retention_cohorts(catalog(spark, sf_dir)["events"])
+
+
 RANGE_JOIN_WINDOW_US = 600_000_000  # 10 minutes
 
 
@@ -1281,6 +1290,17 @@ def oracle_sql() -> dict[str, str]:
         WHERE m.l_id IS NOT NULL
     """)
 
+    o["events_retention"] = _q("""
+        WITH wk AS (SELECT DISTINCT user_id,
+                      CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk
+                    FROM events),
+        first AS (SELECT user_id, min(wk) AS cohort FROM wk GROUP BY user_id)
+        SELECT cohort AS cohort_week, wk - cohort AS week_offset,
+               count(*) AS n_users
+        FROM wk JOIN first USING (user_id)
+        GROUP BY 1, 2
+    """)
+
     o["events_range_join"] = _q(f"""
         WITH a AS (SELECT user_id, event_id AS error_id, epoch_us(ts) AS a_us
                    FROM events WHERE event_type = 'error'),
@@ -1964,6 +1984,7 @@ def queries():
         "events_sessionize": events_sessionize,
         "events_asof": events_asof,
         "events_range_join": events_range_join,
+        "events_retention": events_retention,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "dedup_chunks": dedup_chunks,

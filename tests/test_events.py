@@ -202,3 +202,26 @@ def test_asof_join_string_ids(spark):
         df.where("event_type = 'purchase'"), df.where("event_type = 'click'")
     ).collect()
     assert out[0]["l_id"] == "p_1" and out[0]["r_id"] == "c_b"
+
+
+def test_retention_cohorts(spark):
+    from slice_db_spark.operators.events import retention_cohorts
+
+    wk_min = 7 * 24 * 60  # one week in minutes
+    df = _events(
+        spark,
+        [
+            (1, 0, "view"),              # user 1: cohort week 2821 (epoch), active wk 0
+            (1, wk_min + 5, "view"),     # ...and the next week (offset 1)
+            (1, wk_min + 9, "click"),    # same week: distinct-user counting, not events
+            (2, wk_min, "view"),         # user 2: first active one week later
+        ],
+    )
+    out = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in retention_cohorts(df).collect()}
+    cohorts = sorted({c for c, _ in out})
+    c0 = cohorts[0]
+    assert out[(c0, 0)] == 1          # user 1's first week
+    assert out[(c0, 1)] == 1          # user 1 retained
+    assert out[(c0 + 1, 0)] == 1      # user 2's own cohort
+    assert len(out) == 3
