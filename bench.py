@@ -30,6 +30,8 @@ HEADLINE = [
     "q3_top_orders",
     "q5_region_revenue",
     "q6_forecast_revenue",
+    "q4_order_priority",
+    "q10_returned_items",
     "window_top_orders",
     "events_bucket_agg",
     "events_asof",

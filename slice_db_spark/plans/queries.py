@@ -366,6 +366,51 @@ def q5_region_revenue(spark, sf_dir):
     )
 
 
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (adapted to the fixture's columns): orders per
+    priority in one quarter having at least one late-shipped line
+    (l_shipdate after o_orderdate stands in for commit<receipt).  The
+    EXISTS is a left_semi join — no row multiplication from multi-line
+    orders, the shape Q4 exists to test."""
+    c = catalog(spark, sf_dir)
+    late = (
+        c["lineitem"]
+        .join(c["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .where("l_shipdate > o_orderdate")
+        .select("l_orderkey")
+    )
+    return (
+        c["orders"]
+        .where("o_orderdate >= timestamp '1996-01-01' AND o_orderdate < timestamp '1996-04-01'")
+        .join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returned
+    items in one quarter (customer⋈orders⋈lineitem + broadcast nation;
+    DECIMAL-exact revenue, deterministic custkey tie-break)."""
+    c = catalog(spark, sf_dir)
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    rev = (
+        c["lineitem"]
+        .where("l_returnflag = 'R'")
+        .join(c["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .where("o_orderdate >= timestamp '1996-01-01' AND o_orderdate < timestamp '1996-07-01'")
+        .join(c["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))).alias("_rev"))
+        .select(
+            "c_custkey", "c_name", "n_name",
+            F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), "c_custkey").limit(20)
+
+
 def salted_join_revenue(spark, sf_dir):
     """Skew-salted fact-to-dim join gated against the PLAIN join's oracle:
     `plans/scale.py::salted_join` must be result-identical by construction
@@ -1206,6 +1251,29 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY n_name
     """)
 
+    o["q4_order_priority"] = _q("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """)
+
+    o["q10_returned_items"] = _q("""
+        SELECT c_custkey, c_name, n_name,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """)
+
     o["window_top_orders"] = _q("""
         SELECT o_custkey, o_orderkey, o_totalprice AS total,
                CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
@@ -1971,6 +2039,8 @@ def queries():
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "q4_order_priority": q4_order_priority,
+        "q10_returned_items": q10_returned_items,
         "salted_join_revenue": salted_join_revenue,
         "q5_region_revenue": q5_region_revenue,
         "window_top_orders": window_top_orders,

@@ -176,3 +176,17 @@ def test_pq_adc_broadcasts_distance_table(plans):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     # the adist aggregation partially aggregates before the (q, id) shuffle
     assert p.count("HashAggregate") >= 2
+
+
+def test_q4_semi_join_no_multiplication(plans):
+    """The EXISTS must plan as a semi join (one output row per order), and
+    the quarter filter must push to the orders scan."""
+    p = plans("q4_order_priority")
+    assert "LeftSemi" in p
+    assert "PushedFilters" in p and "o_orderdate" in p
+
+
+def test_q10_broadcasts_nation(plans):
+    p = plans("q10_returned_items")
+    assert "BroadcastHashJoin" in p
+    assert "IsNotNull(l_returnflag)" in p or "EqualTo(l_returnflag,R)" in p
