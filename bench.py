@@ -37,6 +37,7 @@ HEADLINE = [
     "events_asof",
     "events_range_join",
     "events_retention",
+    "stream_enrich",
     "dedup_exact",
     "dedup_jaccard",
     "dedup_containment",

@@ -577,6 +577,15 @@ def events_range_join(spark, sf_dir):
 # events_bucket_agg.
 
 
+def stream_enrich(spark, sf_dir):
+    """Stream-static enrichment (batch path): events joined to the
+    customer dimension, hourly counts per market segment."""
+    from ..streaming.events import enriched_segment_counts
+
+    c = catalog(spark, sf_dir)
+    return enriched_segment_counts(c["events"], c["customer"])
+
+
 def stream_tumbling(spark, sf_dir):
     from ..streaming.events import tumbling_event_counts
 
@@ -1379,6 +1388,13 @@ def oracle_sql() -> dict[str, str]:
         WHERE b_us >= a_us AND b_us - a_us <= {RANGE_JOIN_WINDOW_US}
     """)
 
+    o["stream_enrich"] = _q("""
+        SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
+               c_mktsegment AS segment, count(*) AS n
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2
+    """)
+
     o["stream_tumbling"] = _q("""
         SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS ws, event_type,
                count(*) AS n
@@ -2045,6 +2061,7 @@ def queries():
         "q5_region_revenue": q5_region_revenue,
         "window_top_orders": window_top_orders,
         "events_bucket_agg": events_bucket_agg,
+        "stream_enrich": stream_enrich,
         "stream_tumbling": stream_tumbling,
         "stream_sliding": stream_sliding,
         "stream_session": stream_session,

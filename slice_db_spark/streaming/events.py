@@ -259,3 +259,36 @@ def _interval_us(window: str) -> int:
             )
         total += int(n) * _INTERVAL_UNIT_US[u]
     return total
+
+
+def enriched_segment_counts(
+    events: DataFrame,
+    customers: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to a STATIC
+    dimension (customer → market segment), then windowed counts per
+    segment — the standard "enrich a stream with a lookup table" shape.
+
+    The static side is just a DataFrame: Spark re-plans it per
+    micro-batch (so slowly-changing dimensions pick up updates) and
+    broadcast-joins it when it fits — no state store involvement at all;
+    only the downstream windowed aggregate keeps (watermark-bounded)
+    state.  Batch path: the identical plan, which the oracle gates.
+    Output (window_start_s, segment, n) — epoch seconds, exact ints."""
+    events = _event_time(events)
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        src.join(dim, on="user_id")
+        .groupBy(F.window("ts", window).alias("win"), "segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_seconds(F.col("win.start")).alias("window_start_s"),
+            "segment",
+            "n",
+        )
+    )

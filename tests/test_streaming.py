@@ -236,3 +236,21 @@ def test_interval_join_drops_late_rows_past_watermark(spark, tmp_path_factory):
     got = {(r["a_id"], r["b_id"]) for r in out.collect()}
     assert {(0, 2), (1, 3), (4, 5)} <= got
     assert (0, 6) not in got
+
+
+def test_enrich_stream_matches_batch(spark, events_batch, events_stream, catalog):
+    """Stream-static join: the identical plan over readStream (static
+    dim re-planned per micro-batch, no join state) equals the batch
+    result."""
+    from slice_db_spark.streaming.events import enriched_segment_counts
+
+    customers = catalog["customer"]
+    batch = enriched_segment_counts(events_batch, customers)
+    streamed = run_stream_to_memory(
+        spark,
+        enriched_segment_counts(events_stream, customers),
+        "enrich_test",
+        output_mode="complete",
+    )
+    assert rows_set(streamed) == rows_set(batch)
+    assert batch.count() > 0
