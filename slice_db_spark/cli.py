@@ -327,6 +327,22 @@ def cmd_curate(args) -> int:
     corpus = kept.join(winners, "doc_id", "left_semi").persist()
     report["after_exact_dedup"] = corpus.count()
 
+    if args.chunk_dedup:
+        # line-level (chunk) rewrite between exact and fuzzy dedup — the
+        # RefinedWeb-style ordering: repeated boilerplate chunks drop
+        # before near-dup detection so they can't glue unrelated docs
+        rewritten = dedup.chunk_dedup_rewrite(
+            corpus, chunk_tokens=args.chunk_tokens
+        ).withColumnRenamed("text", "__new_text")
+        corpus = (
+            corpus.join(rewritten.select("doc_id", "__new_text"), "doc_id")
+            .withColumn("text", F.col("__new_text"))
+            .drop("__new_text")
+            .where(F.col("text") != "")
+            .persist()
+        )
+        report["after_chunk_dedup"] = corpus.count()
+
     pairs = dedup.ngram_jaccard_pairs(
         corpus, threshold=args.jaccard_threshold, max_df=args.max_df
     )
@@ -535,6 +551,13 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--quality-min", type=float, default=0.4)
     cu.add_argument("--jaccard-threshold", type=float, default=0.8)
     cu.add_argument("--max-df", type=int, default=1000)
+    cu.add_argument(
+        "--chunk-dedup",
+        action="store_true",
+        help="insert chunk-level (line-dedup analog) rewrite between the "
+        "exact and fuzzy stages; fully-duplicated documents drop",
+    )
+    cu.add_argument("--chunk-tokens", type=int, default=20)
     cu.add_argument("--shards", type=int, default=None)
     cu.add_argument("input", help="corpus path (documents shape)")
     cu.add_argument("output", help="curated corpus output path")

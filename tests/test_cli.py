@@ -391,3 +391,23 @@ def test_dump_zip_to_stdout_restore_from_stdin(spark, schema_json, tmp_path, mon
     assert json.loads(out)["order"]
     assert spark.read.parquet(os.path.join(target, "customer")).count() == 1
 
+
+
+def test_curate_cli_chunk_dedup_stage(spark, tmp_path):
+    """--chunk-dedup inserts the line-level rewrite: stage count appears
+    in the report and the output text has duplicate chunks removed."""
+    out = str(tmp_path / "curated_chunks")
+    report = json.loads(
+        run_cli(
+            "curate",
+            "--input-format", "parquet",
+            "--quality-min", "0.0",
+            "--chunk-dedup",
+            os.path.join(SF_DIR, "documents.parquet"),
+            out,
+        )
+    )
+    assert "after_chunk_dedup" in report
+    assert report["after_exact_dedup"] >= report["after_chunk_dedup"] > 0
+    back = spark.read.parquet(out)
+    assert back.where("text = ''").count() == 0
