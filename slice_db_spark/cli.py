@@ -396,6 +396,61 @@ def cmd_schema(args) -> int:
     return 0
 
 
+def cmd_verify_slice(args) -> int:
+    """Integrity-check a slice against its manifest: per-table row counts
+    (parquet footers / TSV line counts — zero Spark jobs), segment
+    counts, and declared sequence files.  Exit 0 clean, 1 with a JSON
+    diagnosis per mismatch — the check a restore pipeline runs before
+    loading a slice it didn't produce."""
+    import tempfile
+    import zipfile
+
+    from .sources.slice import SliceManifest, _part_row_counts, _table_dir
+
+    slice_dir = args.input
+    if args.format == "zip":
+        td = tempfile.mkdtemp(prefix="slice_verify_")
+        with zipfile.ZipFile(args.input) as zf:
+            zf.extractall(td)
+        slice_dir = td
+        fmt = "tsv"  # reference zip layout stores TSV segments
+    else:
+        fmt = args.format
+    with open(os.path.join(slice_dir, "manifest.json")) as f:
+        manifest = SliceManifest.from_dict(json.load(f))
+    problems = []
+    for tid, meta in manifest.tables.items():
+        declared = sum(s["rowCount"] for s in meta["segments"])
+        path = _table_dir(slice_dir, tid)
+        if not os.path.isdir(path):
+            problems.append({"table": tid, "error": "missing_table_dir"})
+            continue
+        if args.format == "zip":
+            # zip layout: {table}/{i}.tsv files, not part-*
+            parts = [
+                os.path.join(path, p) for p in sorted(os.listdir(path)) if p.endswith(".tsv")
+            ]
+            actual = 0
+            for p in parts:
+                with open(p, "rb") as fh:
+                    actual += fh.read().count(b"\n")
+        else:
+            actual = sum(n for _, n in _part_row_counts(path, fmt))
+        if actual != declared:
+            problems.append(
+                {"table": tid, "declared": declared, "actual": actual, "error": "row_count"}
+            )
+        if args.format != "zip" and len(meta["segments"]) != sum(
+            1 for _, n in _part_row_counts(path, fmt) if n > 0
+        ):
+            problems.append({"table": tid, "error": "segment_count"})
+    for sid in manifest.sequences:
+        if not os.path.exists(os.path.join(slice_dir, f"{sid}.txt")):
+            problems.append({"sequence": sid, "error": "missing_sequence_file"})
+    print(json.dumps({"ok": not problems, "problems": problems}))
+    return 0 if not problems else 1
+
+
 def cmd_schema_infer(args) -> int:
     import pyarrow.parquet as pq
 
@@ -578,6 +633,11 @@ def main(argv: list[str] | None = None) -> int:
     sc = sub.add_parser("schema", help="introspect a live database into a schema config")
     sc.add_argument("--url", required=True, help="JDBC URL (jdbc:postgresql://...)")
     sc.set_defaults(fn=cmd_schema)
+
+    vs = sub.add_parser("verify-slice", help="integrity-check a slice against its manifest")
+    vs.add_argument("--format", choices=["parquet", "tsv", "zip"], default="parquet")
+    vs.add_argument("input", help="slice dir (or .zip with --format zip)")
+    vs.set_defaults(fn=cmd_verify_slice)
 
     si = sub.add_parser("schema-infer", help="schema config skeleton from parquet dir")
     si.add_argument("input")

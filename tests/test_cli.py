@@ -411,3 +411,29 @@ def test_curate_cli_chunk_dedup_stage(spark, tmp_path):
     assert report["after_exact_dedup"] >= report["after_chunk_dedup"] > 0
     back = spark.read.parquet(out)
     assert back.where("text = ''").count() == 0
+
+
+def test_verify_slice_clean_and_tampered(spark, schema_json, tmp_path):
+    """verify-slice: clean slice passes; a truncated part file or a
+    deleted sequence file is diagnosed with exit 1."""
+    import glob
+    import shutil
+
+    slice_dir = str(tmp_path / "vslice")
+    run_cli("dump", "--schema", schema_json, "--root", "customer", "c_custkey = 1",
+            SF_DIR, slice_dir)
+    out = json.loads(run_cli("verify-slice", slice_dir))
+    assert out["ok"] and out["problems"] == []
+
+    # tamper: drop one parquet part from a table
+    tampered = str(tmp_path / "vslice_bad")
+    shutil.copytree(slice_dir, tampered)
+    part = glob.glob(os.path.join(tampered, "orders", "part-*.parquet"))[0]
+    os.unlink(part)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main(["verify-slice", tampered])
+    assert rc == 1
+    diag = json.loads(buf.getvalue())
+    assert not diag["ok"]
+    assert any(p.get("table") == "orders" for p in diag["problems"])
