@@ -451,6 +451,42 @@ def cmd_verify_slice(args) -> int:
     return 0 if not problems else 1
 
 
+def cmd_diff_slice(args) -> int:
+    """Compare two slices key-by-key: per-table rows only in A, only in
+    B, and common — the audit a re-captured slice runs against its
+    predecessor (did the closure grow/shrink, and where?).  Key identity
+    comes from the schema's declared id columns; distributed anti/semi
+    joins, one line of JSON per table."""
+    from pyspark.sql import functions as F
+
+    from .session import get_spark
+    from .sources.slice import read_slice
+
+    schema = _load_schema(args.schema)
+    spark = get_spark("slicedb-diff")
+    a_tables, _ = read_slice(spark, args.a, fmt=args.format)
+    b_tables, _ = read_slice(spark, args.b, fmt=args.format)
+    report = {}
+    for tid in sorted(set(a_tables) | set(b_tables)):
+        if tid not in a_tables or tid not in b_tables:
+            report[tid] = {"only_in": "a" if tid in a_tables else "b"}
+            continue
+        keys = schema.tables[tid].keys() if tid in schema.tables else None
+        a = a_tables[tid].select(*keys) if keys else a_tables[tid]
+        b = b_tables[tid].select(*keys) if keys else b_tables[tid]
+        on = keys or a.columns
+        report[tid] = {
+            "only_a": a.join(b, on=on, how="left_anti").count(),
+            "only_b": b.join(a, on=on, how="left_anti").count(),
+            "common": a.join(b, on=on, how="left_semi").count(),
+        }
+    changed = any(
+        v.get("only_a") or v.get("only_b") or "only_in" in v for v in report.values()
+    )
+    print(json.dumps({"identical": not changed, "tables": report}))
+    return 0 if not changed else 1
+
+
 def cmd_schema_infer(args) -> int:
     import pyarrow.parquet as pq
 
@@ -638,6 +674,13 @@ def main(argv: list[str] | None = None) -> int:
     vs.add_argument("--format", choices=["parquet", "tsv", "zip"], default="parquet")
     vs.add_argument("input", help="slice dir (or .zip with --format zip)")
     vs.set_defaults(fn=cmd_verify_slice)
+
+    ds = sub.add_parser("diff-slice", help="key-level diff of two slices")
+    ds.add_argument("--schema", required=True)
+    ds.add_argument("--format", choices=["parquet", "tsv"], default="parquet")
+    ds.add_argument("a")
+    ds.add_argument("b")
+    ds.set_defaults(fn=cmd_diff_slice)
 
     si = sub.add_parser("schema-infer", help="schema config skeleton from parquet dir")
     si.add_argument("input")

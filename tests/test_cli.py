@@ -437,3 +437,26 @@ def test_verify_slice_clean_and_tampered(spark, schema_json, tmp_path):
     diag = json.loads(buf.getvalue())
     assert not diag["ok"]
     assert any(p.get("table") == "orders" for p in diag["problems"])
+
+
+def test_diff_slice_identical_and_grown(spark, schema_json, tmp_path):
+    """diff-slice: identical slices → exit 0; a wider root predicate →
+    positive only_b counts and exit 1."""
+    a = str(tmp_path / "slice_a")
+    run_cli("dump", "--schema", schema_json, "--root", "customer", "c_custkey = 1",
+            SF_DIR, a)
+    out = json.loads(run_cli("diff-slice", "--schema", schema_json, a, a))
+    assert out["identical"]
+    assert all(v["only_a"] == 0 and v["only_b"] == 0 for v in out["tables"].values())
+
+    b = str(tmp_path / "slice_b")
+    run_cli("dump", "--schema", schema_json, "--root", "customer", "c_custkey <= 2",
+            SF_DIR, b)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main(["diff-slice", "--schema", schema_json, a, b])
+    assert rc == 1
+    diff = json.loads(buf.getvalue())
+    assert not diff["identical"]
+    cust = diff["tables"]["customer"]
+    assert cust["only_b"] == 2 and cust["only_a"] == 0 and cust["common"] == 1
