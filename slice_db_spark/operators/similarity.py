@@ -21,6 +21,14 @@ scale.  No cross join exists anywhere on the scale path.
 
 Cosine values are rounded (1e-6) before ranking so cross-engine float
 summation differences cannot flip ranks; ties break on vec_id.
+
+Recall characteristics (tested, `tests/test_similarity.py`): on
+clustered embeddings — the real workload — LSH/IVF/PQ all retrieve
+planted tight clusters at ≥0.85 recall@k.  On UNIFORM-RANDOM vectors
+hashing methods approach random selection (no locality exists to
+exploit); the synthetic benchmark corpus is that worst case, so its
+absolute recall is not a quality signal — brute_force_topk is the
+exact baseline either way.
 """
 
 from __future__ import annotations

@@ -144,3 +144,44 @@ def test_pq_adc_duplicate_ranks_first(spark):
     assert top["vec_id"] == 3
     adists = {r["vec_id"]: r["adist"] for r in out}
     assert adists.get(100) == adists[3]
+
+
+def test_ann_methods_recall_on_planted_clusters(spark):
+    """All three approximate methods must retrieve planted tight
+    clusters: recall vs the known cluster membership on structured data
+    (the real workload).  On UNIFORM-RANDOM embeddings hashing methods
+    approach random selection — that is the documented worst case, not a
+    regression; this test pins the structured-data behavior instead."""
+    import random
+
+    from slice_db_spark.operators import similarity as S
+
+    rng = random.Random(11)
+    dim, n_clusters, per = 16, 10, 5
+    rows, queries = [], []
+    vid = 100
+    for ci in range(n_clusters):
+        center = [rng.uniform(-0.5, 0.5) for _ in range(dim)]
+        queries.append((ci, center))
+        for _ in range(per):
+            rows.append((vid, [x + rng.uniform(-0.02, 0.02) for x in center]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    qdf = spark.createDataFrame(queries, "q_id bigint, embedding array<float>")
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["q_id"], set()).add(r["vec_id"])
+        hit = sum(
+            len({100 + q * per + j for j in range(per)} & got.get(q, set()))
+            for q in range(n_clusters)
+        )
+        return hit / (n_clusters * per)
+
+    planes = S.random_planes(16, dim, seed="t")
+    assert recall(S.lsh_topk(corpus, qdf, planes, k=per, probe_hamming=1)) >= 0.85
+    cents = S.ivf_centroids(corpus, 8)
+    assert recall(S.ivf_topk(corpus, qdf, cents, k=per, nprobe=2)) >= 0.85
+    cb = S.pq_codebook(corpus, n_codes=16)
+    assert recall(S.pq_adc_topk(corpus, qdf, cb, m_subspaces=4, k=per)) >= 0.95
