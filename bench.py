@@ -77,6 +77,7 @@ HEADLINE = [
 SWEEP = [
     "dedup_exact",
     "dedup_chunks",
+    "dedup_rewrite",
     "dedup_jaccard",
     "minhash_lsh",
     "dedup_clusters",

@@ -320,3 +320,34 @@ def stratified_sample(
     if expr is None:
         raise ValueError("fractions must not be empty")
     return df.where(expr)
+
+
+def per_stratum_cap(
+    df: DataFrame,
+    cap: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Hard per-stratum cap: at most ``cap`` rows per stratum, selected
+    deterministically by hash order — the 'no single source dominates'
+    guard a mixing pass applies AFTER fractional sampling (fractions
+    bound proportions; caps bound absolutes).
+
+    Selection is ``row_number`` over ``(hash64(salt:id), id)`` within the
+    stratum: a pure function of ids, so re-runs and incremental
+    recomputes pick the same survivors while remaining an unbiased
+    pseudo-random subset (hash order, not insertion order).  One shuffle
+    keyed by the stratum; a stratum's partition holds only its own rows,
+    so skew is bounded by the largest source — cap enforcement is
+    exactly the operation that then shrinks it.
+    """
+    from pyspark.sql import Window
+
+    h = hash64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -858,6 +858,18 @@ def source_mix(spark, sf_dir):
     return sampled.select("doc_id", "source")
 
 
+SOURCE_CAP = 10
+
+
+def source_cap(spark, sf_dir):
+    """Hard per-source cap (at most N docs per source, hash-order
+    deterministic) — the absolute-bound guard after fractional mixing."""
+    capped = curation.per_stratum_cap(
+        catalog(spark, sf_dir)["documents"], cap=SOURCE_CAP
+    )
+    return capped.select("doc_id", "source")
+
+
 ANN_PLANES = similarity.random_planes(8, 64)
 
 
@@ -1810,6 +1822,17 @@ WHERE k2.doc_id NOT IN (SELECT id FROM losers)
         SELECT doc_id, source FROM documents WHERE {mix_pred}
     """)
 
+    o["source_cap"] = _q(f"""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_hash64_sql("'cap:' || CAST(doc_id AS VARCHAR)")}, doc_id
+                 ) AS rn
+          FROM documents)
+        WHERE rn <= {SOURCE_CAP}
+    """)
+
     o["ann_brute"] = f"""
 WITH {_ann_scored_sql(None, None)}
 SELECT q_id, vec_id, sim,
@@ -2095,6 +2118,7 @@ def queries():
         "decontam": decontam,
         "repetition": repetition,
         "source_mix": source_mix,
+        "source_cap": source_cap,
         "pack_sequences": pack_sequences,
         "ann_brute": ann_brute,
         "ann_lsh": ann_lsh,

@@ -243,3 +243,25 @@ def test_decontaminate_broadcast_optout_same_result(spark):
     a = {tuple(r) for r in curation.decontaminate(corpus, bench, n=5).collect()}
     b = {tuple(r) for r in curation.decontaminate(corpus, bench, n=5, broadcast=False).collect()}
     assert a == b and len(a) == 1
+
+
+def test_per_stratum_cap_deterministic_and_bounded(spark):
+    from slice_db_spark.operators.curation import per_stratum_cap
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", f"text {i}") for i in range(30)],
+        "doc_id bigint, source string, text string",
+    )
+    out1 = per_stratum_cap(docs, cap=4).collect()
+    out2 = per_stratum_cap(docs, cap=4).collect()
+    by_src = {}
+    for r in out1:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert all(len(v) == 4 for v in by_src.values())
+    # deterministic across runs
+    assert {(r["doc_id"]) for r in out1} == {(r["doc_id"]) for r in out2}
+    # cap larger than the stratum keeps everything
+    assert per_stratum_cap(docs, cap=100).count() == 30
+    # survivors under a smaller cap are a subset of a larger cap's
+    small = {r["doc_id"] for r in per_stratum_cap(docs, cap=2).collect()}
+    assert small <= {r["doc_id"] for r in out1}
