@@ -56,6 +56,7 @@ HEADLINE = [
     "language_id",
     "token_rarity",
     "pii_scrub",
+    "source_cap",
     "decontam",
     "repetition",
     "ann_brute",
