@@ -62,3 +62,17 @@ def test_jdbc_scan_options_snapshot():
     assert "''" in snapshot_session_init("it's")
     plain = jdbc_scan_options("t")
     assert plain == {"dbtable": "t"}
+
+
+def test_assemble_schema_empty_database():
+    """Reference `test/test_schema_empty.py`: an empty database yields an
+    empty but VALID schema config that round-trips through JSON."""
+    from slice_db_spark.config.model import SchemaConfig
+    from slice_db_spark.sources.pg_schema import assemble_schema
+
+    cfg = assemble_schema([], [], [])
+    cfg.validate()
+    assert cfg.tables == {} and cfg.references == {} and cfg.sequences == {}
+    back = SchemaConfig.loads(cfg.dumps())
+    back.validate()
+    assert back.tables == {}

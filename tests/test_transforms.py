@@ -242,3 +242,16 @@ def test_external_wordlist_dir(tmp_path):
     # determinism unchanged: same pepper, same value, same output
     reg2, _ = build_registry(specs, "abc", wordlist_dir=str(d))
     assert reg2["sname"]("Smith") == reg["sname"]("Smith")
+
+
+def test_date_year_far_future_edge():
+    """Reference `test_transform_field_date_year_edge_case` (year 9999):
+    the day perturbation must stay inside the year even at the calendar
+    boundary — no overflow past 9999-12-31."""
+    f = date_year(PEPPER)
+    out = f("9999-03-09")
+    assert out.startswith("9999-")
+    import datetime
+
+    datetime.date.fromisoformat(out)  # valid calendar date
+    assert f("9999-03-09") == out     # deterministic
