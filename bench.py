@@ -239,6 +239,32 @@ def main():
             "queries": sweep_times,
         }
 
+    # The headline closure runs the driver regime (the small-slice path).
+    # Time the DISTRIBUTED regime once too — the 100 TB path (DataFrame
+    # frontiers, anti-join visited sets) — so its fixed per-round cost is
+    # a recorded number, not a claim.  Reported OUTSIDE the total: it
+    # recomputes the same closure a second way.
+    if os.environ.get("SPARK_GRAFT_DIST_CLOSURE", "1") == "1":
+        from slice_db_spark.plans.subset import Subsetter
+        from slice_db_spark.plans.tpch import tpch_schema
+        from slice_db_spark.session import parquet_row_counts
+
+        schema = tpch_schema()
+        cat = {t: Q.catalog(spark, sf_dir)[t] for t in schema.tables}
+        eng = Subsetter(
+            spark, cat, schema, driver_rows=0,
+            table_rows=parquet_row_counts(sf_dir, list(schema.tables)),
+        )
+        t0 = time.time()
+        res = eng.run(Q.CLOSURE_ROOTS["closure_customers"][0])
+        out["closure_distributed_regime"] = {
+            "sec": round(time.time() - t0, 3),
+            "rounds": res.rounds,
+            "keys": sum(res.row_counts.values()),
+        }
+        print(f"# closure (distributed regime): {out['closure_distributed_regime']}",
+              file=sys.stderr)
+
     print(json.dumps(out))
 
 
