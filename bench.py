@@ -31,6 +31,7 @@ HEADLINE = [
     "q5_region_revenue",
     "q6_forecast_revenue",
     "q4_order_priority",
+    "scrub_deterministic",
     "q10_returned_items",
     "window_top_orders",
     "events_bucket_agg",
