@@ -178,3 +178,27 @@ def test_edge_plan_orders_by_stats(spark, catalog):
     eng2 = Subsetter(spark, cat, schema)
     dsts2 = [e[3] for e in eng2._edge_plan()]
     assert dsts2 == sorted(dsts2)
+
+
+def test_footer_schema_matches_inferred(spark):
+    """The pyarrow-supplied catalog schema must equal Spark's own
+    inference for every fixture table (else silent read miscasts)."""
+    import os
+
+    from slice_db_spark.session import TABLES, _spark_schema_from_footer
+
+    from conftest import SF_DIR
+
+    checked = 0
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if not os.path.exists(path):
+            continue
+        supplied = _spark_schema_from_footer(path)
+        assert supplied is not None, t
+        inferred = spark.read.parquet(path).schema
+        assert supplied == inferred, (t, supplied, inferred)
+        checked += 1
+    assert checked >= 8
+    # unreadable path -> None (caller falls back to inference)
+    assert _spark_schema_from_footer("/nonexistent/x.parquet") is None
