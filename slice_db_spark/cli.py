@@ -289,12 +289,12 @@ def cmd_transform(args) -> int:
     if args.format == "zip":
         write_slice_zip(
             tables, schema, args.output, sequences=seqs,
-            pre_data=pre or None, post_data=post or None,
+            pre_data=pre or None, post_data=post or None, jobs=args.jobs,
         )
     else:
         write_slice(
             tables, schema, args.output, sequences=seqs, fmt=args.format,
-            pre_data=pre or None, post_data=post or None,
+            pre_data=pre or None, post_data=post or None, jobs=args.jobs,
         )
     print(json.dumps({"tables": sorted(tables)}))
     return 0
@@ -632,6 +632,8 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--pepper", help="determinism pepper (random when omitted)")
     t.add_argument("--wordlist-dir", help="reference-layout wordlist directory")
     t.add_argument("--format", choices=["parquet", "tsv", "zip"], default="parquet")
+    t.add_argument("-j", "--jobs", type=int, default=1,
+                   help="write transformed tables concurrently")
     t.add_argument("input", help="slice dir (or .zip archive with --format zip)")
     t.add_argument("output", help="new slice dir (or .zip path)")
     t.set_defaults(fn=cmd_transform)
