@@ -1,23 +1,30 @@
 """Command-line surface mirroring the reference CLI (``slicedb`` —
 `slice_db/cli/main.py:56-90`), re-based on parquet + Spark:
 
-* ``dump``            — capture a referentially-closed slice
-  (``--root table condition`` repeatable, ``--schema`` JSON config,
-  ``--transform`` JSON config, ``--pepper``) from a parquet catalog dir
-  into a slice dir (parquet or TSV compat via ``--format``).
-* ``restore``         — append a slice into a parquet "database" dir in
-  FK dependency order.
-* ``schema-filter``   — the reference's ``schema-filter children``:
-  prune reverse fanout outside a subtree (`slice_db/cli/schema_filter.py`).
-* ``transform-field`` — scalar REPL for one value
-  (`slice_db/cli/transform_field.py:8-24`).
-* ``curate`` / ``ingest`` — corpus-curation chain and streaming
-  dedup-on-arrival ingestion (engine extensions; no reference analog).
+* ``dump``            — capture a referentially-closed slice from a
+  parquet catalog dir or a live database (``--url``, snapshot-pinned);
+  ``--root table condition`` repeatable, ``--transform``/``--pepper``
+  scrubbing, ``--include-schema`` DDL sections (synthesized or real
+  ``pg_dump`` via ``--ddl-url``), ``--format parquet|tsv|zip``
+  (``-`` streams the zip to stdout), ``--output-type sql``, ``--jobs``.
+* ``restore``         — materialize a slice (parquet dir or live
+  ``--url``) in FK dependency order; ``--include-schema`` DDL replay,
+  ``--defer-constraints`` (cyclic FKs, one COPY-backed transaction),
+  ``--transaction`` (all-or-nothing), ``--disable-triggers``,
+  ``--jobs``; ``-`` reads the archive from stdin.
+* ``transform``       — re-scrub an existing slice (implemented; the
+  reference ships a no-op stub).
+* ``schema``          — live pg_catalog introspection → schema config;
+  ``schema-infer`` derives a skeleton from parquet files.
+* ``schema-filter``   — the reference's children-closure pruning.
+* ``transform-field`` — scalar REPL for one value.
+* ``verify-slice`` / ``diff-slice`` — manifest integrity check (file
+  metadata only) and key-level diff of two slices.
+* ``curate`` / ``ingest`` — corpus-curation chain (optional
+  ``--chunk-dedup`` rewrite stage) and streaming dedup-on-arrival
+  ingestion (engine extensions; no reference analog).
 
-The reference's ``schema`` command introspects pg_catalog over a live
-connection; here ``schema-infer`` derives a config skeleton from parquet
-files (tables + columns; FK edges must be declared by hand, as the
-reference allows editing too).
+Global: ``--version``, ``--log-level``, ``@argsfile`` argument files.
 """
 
 from __future__ import annotations
