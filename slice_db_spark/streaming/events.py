@@ -292,3 +292,35 @@ def enriched_segment_counts(
             "n",
         )
     )
+
+
+def rollup_to_parquet(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+):
+    """Continuous aggregate (hypertable-rollup pattern): tumbling
+    per-(window, event_type) counts maintained INCREMENTALLY in a parquet
+    sink.  Append output mode + the watermark mean a window's row is
+    written exactly once — when the watermark passes its end and the
+    window can no longer change — so the sink holds one final row per
+    closed window with no upserts, and restarts resume from the
+    checkpoint.  The streaming analog of a time-bucketed materialized
+    view; late rows beyond the watermark are dropped by contract.
+
+    Returns the StreamingQuery (caller awaits termination; tests use
+    ``availableNow`` so the call drains and stops).  Windows still open
+    when the stream drains remain unwritten — they belong to the next
+    run, which the checkpoint makes incremental.
+    """
+    agg = tumbling_event_counts(events, window=window, watermark=watermark)
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

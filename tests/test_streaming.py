@@ -254,3 +254,49 @@ def test_enrich_stream_matches_batch(spark, events_batch, events_stream, catalog
     )
     assert rows_set(streamed) == rows_set(batch)
     assert batch.count() > 0
+
+
+def test_rollup_incremental_exactly_once(spark, events_batch, tmp_path_factory):
+    """Continuous-aggregate sink: run the rollup twice over a growing
+    landing dir; closed windows appear EXACTLY once across both runs
+    (checkpoint-incremental, no duplicates), and every written row
+    matches the batch aggregate."""
+    from slice_db_spark.streaming.events import rollup_to_parquet, tumbling_event_counts
+
+    land = tmp_path_factory.mktemp("rollup_land")
+    out = tmp_path_factory.mktemp("rollup_out")
+    ck = tmp_path_factory.mktemp("rollup_ck")
+    schema = events_batch.schema
+
+    # split by TIME (arrival respects event time, the rollup's contract —
+    # a parity split would make half the rows maximally late and the
+    # watermark would drop them by design)
+    mid = events_batch.selectExpr("percentile(unix_micros(ts), 0.5) p").first()["p"]
+    first = events_batch.where(f"unix_micros(ts) <= {int(mid)}")
+    second = events_batch.where(f"unix_micros(ts) > {int(mid)}")
+    first.coalesce(1).write.mode("overwrite").parquet(str(land / "b0"))
+
+    def run():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(land) + "/*/")
+        q = rollup_to_parquet(stream, str(out), str(ck))
+        q.awaitTermination()
+
+    run()
+    second.coalesce(1).write.mode("overwrite").parquet(str(land / "b1"))
+    run()
+
+    got = spark.read.parquet(str(out))
+    # exactly-once: no (window, type) row written twice across the runs
+    n = got.count()
+    assert n == got.select("window_start", "event_type").distinct().count()
+    # every written row agrees with the batch aggregate over ALL data
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in tumbling_event_counts(events_batch).collect()
+    }
+    for r in got.collect():
+        k = (r["window_start"], r["event_type"])
+        assert want[k][0] == r["n"], k
+    assert n > 0
