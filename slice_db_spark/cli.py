@@ -412,7 +412,12 @@ def cmd_verify_slice(args) -> int:
     import tempfile
     import zipfile
 
-    from .sources.slice import SliceManifest, _part_row_counts, _table_dir
+    from .sources.slice import (
+        SliceManifest,
+        _count_lines,
+        _part_row_counts,
+        _table_dir,
+    )
 
     slice_dir = args.input
     if args.format == "zip":
@@ -420,9 +425,7 @@ def cmd_verify_slice(args) -> int:
         with zipfile.ZipFile(args.input) as zf:
             zf.extractall(td)
         slice_dir = td
-        fmt = "tsv"  # reference zip layout stores TSV segments
-    else:
-        fmt = args.format
+    fmt = args.format
     with open(os.path.join(slice_dir, "manifest.json")) as f:
         manifest = SliceManifest.from_dict(json.load(f))
     problems = []
@@ -434,13 +437,11 @@ def cmd_verify_slice(args) -> int:
             continue
         if args.format == "zip":
             # zip layout: {table}/{i}.tsv files, not part-*
-            parts = [
-                os.path.join(path, p) for p in sorted(os.listdir(path)) if p.endswith(".tsv")
-            ]
-            actual = 0
-            for p in parts:
-                with open(p, "rb") as fh:
-                    actual += fh.read().count(b"\n")
+            actual = sum(
+                _count_lines(os.path.join(path, p))
+                for p in sorted(os.listdir(path))
+                if p.endswith(".tsv")
+            )
         else:
             actual = sum(n for _, n in _part_row_counts(path, fmt))
         if actual != declared:

@@ -460,3 +460,13 @@ def test_diff_slice_identical_and_grown(spark, schema_json, tmp_path):
     assert not diff["identical"]
     cust = diff["tables"]["customer"]
     assert cust["only_b"] == 2 and cust["only_a"] == 0 and cust["common"] == 1
+
+
+def test_verify_slice_zip_format(spark, schema_json, tmp_path):
+    """verify-slice --format zip: a dump-produced archive verifies clean
+    (TSV line counts against the manifest inside the zip)."""
+    zp = str(tmp_path / "v.zip")
+    run_cli("dump", "--schema", schema_json, "--root", "customer", "c_custkey = 1",
+            "--format", "zip", SF_DIR, zp)
+    out = json.loads(run_cli("verify-slice", "--format", "zip", zp))
+    assert out["ok"] and out["problems"] == []
