@@ -84,11 +84,10 @@ SWEEP = [
     "minhash_lsh",
     "dedup_clusters",
     "simhash_pairs",
-    # the r=4 demo blocking config is expected to grow ~quadratically in
-    # candidate volume (documented in operators/similarity.py); the r=8
-    # `_hi` entry right after it is the production-selectivity contrast
-    # that should stay near-flat at the same corpus growth
-    "dedup_embedding",
+    # NOT swept: dedup_embedding (r=4 demo) grows ~quadratically in candidate
+    # volume by design (documented in operators/similarity.py) — it stays a
+    # base-SF headline + correctness query only.  The production-selectivity
+    # r=8 config is the swept one and should stay near-flat at corpus growth.
     "dedup_embedding_hi",
     "ann_lsh",
     "ann_ivf",

@@ -553,15 +553,61 @@ def transform_dataframe(df, columns: dict[str, Transform], *, order_keys: list[s
         eligible = F.col(col_name).isNotNull() & (F.col(col_name).cast("string") != "")
         if exclude:
             eligible = eligible & ~F.col(col_name).cast("string").contains(exclude)
-        w = Window.orderBy(*[F.col(k) for k in (keys or order_keys or [col_name])])
-        counter = F.sum(F.when(eligible, 1).otherwise(0)).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        )
+        sort_keys = [F.col(k) for k in (keys or order_keys or [col_name])]
+        counter_df, counter_col = _global_running_count(out, sort_keys, eligible)
         dtype = dict(out.dtypes)[col_name]
-        out = out.withColumn(
+        out = counter_df.withColumn(
             col_name,
-            F.when(eligible, F.concat(F.lit(value + " "), counter.cast("string")).cast(dtype)).otherwise(
-                F.col(col_name)
+            F.when(
+                eligible, F.concat(F.lit(value + " "), counter_col.cast("string")).cast(dtype)
+            ).otherwise(F.col(col_name)),
+        ).drop("_pid", "_local_cnt", "_off")
+    return out
+
+
+def _global_running_count(df, sort_keys, eligible):
+    """Running count of eligible rows in global ``sort_keys`` order, computed
+    WITHOUT a single-partition window: range-partition on the keys (partition
+    id order == key order), run the window per partition, then add each
+    partition's broadcast cumulative offset.  The counter value depends only
+    on the global key order, so it is identical to
+    ``sum(...) over (order by keys)`` regardless of where the sampled range
+    boundaries fall — but every partition sorts only its own slice.
+
+    Returns ``(df_with_helper_cols, counter_column)``; caller drops the
+    ``_pid``/``_local_cnt`` helper columns.
+    """
+    from pyspark.sql import Window, functions as F
+
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(n_parts, *sort_keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*sort_keys)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranged = ranged.withColumn(
+        "_local_cnt", F.sum(F.when(eligible, 1).otherwise(0)).over(local_w)
+    )
+    # cumulative eligible-count offset per partition: |partitions| rows, so
+    # the global window and the broadcast join are both trivially small
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum(F.when(eligible, 1).otherwise(0)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
             ),
         )
-    return out
+        .select("_pid", "_off")
+    )
+    joined = ranged.join(F.broadcast(offsets), "_pid")
+    return joined, F.col("_local_cnt") + F.col("_off")

@@ -21,12 +21,15 @@ from conftest import SF_DIR
 @pytest.fixture(scope="module")
 def plans(spark):
     qs = Q.queries()
+    cache: dict[str, str] = {}
 
     def plan_of(name: str) -> str:
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            qs[name](spark, SF_DIR).explain("formatted")
-        return buf.getvalue()
+        if name not in cache:
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                qs[name](spark, SF_DIR).explain("formatted")
+            cache[name] = buf.getvalue()
+        return cache[name]
 
     return plan_of
 
@@ -190,3 +193,65 @@ def test_q10_broadcasts_nation(plans):
     p = plans("q10_returned_items")
     assert "BroadcastHashJoin" in p
     assert "IsNotNull(l_returnflag)" in p or "EqualTo(l_returnflag,R)" in p
+
+
+# --------------------------------------------------------------------------
+# Whole-registry lint: every queries() entry, automatically.  Catches future
+# scale-killers (cartesian products, per-row Python UDFs, single-partition
+# windows, lost parquet pushdown) without a hand-written test per query.
+
+#: documented small-|Q| brute-force baseline — the ONE sanctioned nested loop
+_ALLOWED_NESTED_LOOP = {"ann_brute"}
+
+#: global (unpartitioned) windows allowed only where the window input is
+#: bounded by something other than data volume:
+#:  - q3_top_orders: rank assignment ABOVE TakeOrderedAndProject (≤10 rows)
+#:  - scrub_deterministic: per-partition-offset window of the scalable
+#:    running counter — one row per shuffle partition (bounded by config)
+_ALLOWED_GLOBAL_WINDOW = {"q3_top_orders", "scrub_deterministic"}
+
+#: queries whose plan must keep a NON-EMPTY PushedFilters on a parquet scan
+#: (each filters a source column; losing pushdown = full-table scan at 100 TB)
+_EXPECTED_PUSHDOWN = {
+    "root_scan", "semi_join", "anti_join", "multicol_semi_join",
+    "slice_export_lineitem", "q1_pricing_summary", "q3_top_orders",
+    "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
+    "q10_returned_items", "salted_join_revenue", "window_top_orders",
+    "stream_enrich", "stream_tumbling", "stream_sliding", "stream_session",
+    "events_funnel", "events_asof", "events_range_join", "events_retention",
+    "decontam", "ann_brute", "ann_lsh", "ann_ivf", "ann_pq",
+    "dedup_embedding", "dedup_embedding_hi", "simhash_pairs",
+    "corpus_pipeline",
+}
+
+_GLOBAL_WINDOW_RE = __import__("re").compile(
+    r"windowspecdefinition\(\s*[\w#]+\s+(ASC|DESC)", __import__("re").IGNORECASE
+)
+
+
+def test_registry_lint_no_scale_killers(plans):
+    """Every registered query: no CartesianProduct, no row-at-a-time Python
+    (BatchEvalPython), nested-loop joins only where documented, and no
+    unpartitioned window outside the justified set."""
+    for name in Q.queries():
+        p = plans(name)
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+        if name not in _ALLOWED_NESTED_LOOP:
+            assert "BroadcastNestedLoopJoin" not in p, name
+        if name not in _ALLOWED_GLOBAL_WINDOW:
+            assert not _GLOBAL_WINDOW_RE.search(p), (
+                f"{name}: unpartitioned window funnels all rows through one "
+                "partition — partition it or justify in _ALLOWED_GLOBAL_WINDOW"
+            )
+
+
+def test_registry_lint_pushdown(plans):
+    """Queries that filter source columns must keep a non-empty parquet
+    PushedFilters — regression here silently becomes a full-table read."""
+    import re
+
+    for name in sorted(_EXPECTED_PUSHDOWN):
+        p = plans(name)
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+        assert any(s.strip() for s in pushed), f"{name}: lost parquet pushdown"

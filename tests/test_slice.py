@@ -181,6 +181,27 @@ def test_copy_line_rendering(spark):
     ]
 
 
+def test_copy_chunks_gloms_lines(spark):
+    """The deferred-restore relay must cross the driver boundary per
+    ~flush_bytes CHUNK, not per row: chunks carry many newline-joined COPY
+    lines each, sizes hover around the flush target, and the line multiset
+    is exactly _copy_line's output."""
+    from slice_db_spark.plans.restore import _copy_chunks, _copy_line
+
+    df = spark.range(1000).selectExpr(
+        "id", "repeat('x', 50) AS pad"
+    )  # ~55-byte lines
+    flush = 2000  # → ~35 lines per chunk
+    chunks = [r.value for r in _copy_chunks(df, flush).collect()]
+    assert 10 <= len(chunks) <= 60, len(chunks)  # NOT 1000 singletons
+    sizes = [len(c.encode()) for c in chunks]
+    assert max(sizes) <= 2 * flush
+    lines = [ln for c in chunks for ln in c.split("\n")]
+    assert sorted(lines) == sorted(
+        r.value for r in _copy_line(df).collect()
+    )
+
+
 def test_jdbc_value_conversion(spark):
     """The prepared-statement fallback maps date/datetime to explicit
     java.sql types for setObject; Decimal relies on py4j's native
