@@ -201,51 +201,76 @@ def cmd_restore(args) -> int:
     from .session import get_spark
     from .sources.slice import read_slice, read_slice_schema
 
+    if args.url and args.transaction and args.jobs > 1:
+        # the reference's rule (`slice_db/restore.py:44-45`) — a clean CLI
+        # error, not restore_to_jdbc_with_schema's traceback
+        print(
+            "restore: a single transaction must be disabled for parallelism > 1 "
+            "(drop --transaction or use --jobs 1)",
+            file=sys.stderr,
+        )
+        return 2
     schema = _load_schema(args.schema)
     spark = get_spark("slicedb-restore")
-    if args.format == "zip":
-        import shutil
-        import tempfile
+    import shutil
 
-        from .sources.slice import read_slice_zip
+    stdin_tmp: str | None = None
+    extract_dir: str | None = None
+    try:
+        if args.format == "zip":
+            import tempfile
 
-        zip_in = args.input
-        if zip_in == "-":
-            # reference convention: input '-' reads the archive from stdin
-            fd, zip_in = tempfile.mkstemp(suffix=".zip", prefix="slice_stdin_")
-            with os.fdopen(fd, "wb") as f:
-                shutil.copyfileobj(sys.stdin.buffer, f, 1 << 20)
-        sections_dir = tempfile.mkdtemp(prefix="slice_restore_")
-        tables, manifest = read_slice_zip(spark, zip_in, workdir=sections_dir)
-    else:
-        sections_dir = args.input
-        tables, manifest = read_slice(spark, args.input, fmt=args.format)
-    seqs = {sid: int(m["value"]) for sid, m in manifest.sequences.items()}
-    if args.url:
-        pre = post = None
-        if args.include_schema:
-            pre, post = read_slice_schema(sections_dir, manifest)
-        order = restore_to_jdbc_with_schema(
-            tables,
-            schema,
-            args.url,
-            sequences=seqs,
-            pre_data=pre,
-            post_data=post,
-            defer_constraints=args.defer_constraints,
-            jobs=args.jobs,
-            transaction=args.transaction,
-            disable_triggers=args.disable_triggers,
-        )
-    else:
-        if not args.output:
-            print("restore: an output dir (or --url) is required", file=sys.stderr)
-            return 2
-        order = restore_to_parquet(
-            tables, schema, args.output, sequences=seqs, jobs=args.jobs
-        )
-    print(json.dumps({"order": order, "sequences": seqs}))
-    return 0
+            from .sources.slice import read_slice_zip
+
+            zip_in = args.input
+            if zip_in == "-":
+                # reference convention: input '-' reads the archive from stdin
+                fd, zip_in = tempfile.mkstemp(suffix=".zip", prefix="slice_stdin_")
+                stdin_tmp = zip_in
+                with os.fdopen(fd, "wb") as f:
+                    shutil.copyfileobj(sys.stdin.buffer, f, 1 << 20)
+            sections_dir = tempfile.mkdtemp(prefix="slice_restore_")
+            extract_dir = sections_dir
+            tables, manifest = read_slice_zip(spark, zip_in, workdir=sections_dir)
+        else:
+            sections_dir = args.input
+            tables, manifest = read_slice(spark, args.input, fmt=args.format)
+        seqs = {sid: int(m["value"]) for sid, m in manifest.sequences.items()}
+        if args.url:
+            pre = post = None
+            if args.include_schema:
+                pre, post = read_slice_schema(sections_dir, manifest)
+            order = restore_to_jdbc_with_schema(
+                tables,
+                schema,
+                args.url,
+                sequences=seqs,
+                pre_data=pre,
+                post_data=post,
+                defer_constraints=args.defer_constraints,
+                jobs=args.jobs,
+                transaction=args.transaction,
+                disable_triggers=args.disable_triggers,
+            )
+        else:
+            if not args.output:
+                print("restore: an output dir (or --url) is required", file=sys.stderr)
+                return 2
+            order = restore_to_parquet(
+                tables, schema, args.output, sequences=seqs, jobs=args.jobs
+            )
+        print(json.dumps({"order": order, "sequences": seqs}))
+        return 0
+    finally:
+        # the extraction dir backs lazily-read DataFrames only until the
+        # restore actions above complete, so both temps are safe to drop here
+        if stdin_tmp:
+            try:
+                os.unlink(stdin_tmp)
+            except OSError:
+                pass
+        if extract_dir:
+            shutil.rmtree(extract_dir, ignore_errors=True)
 
 
 def cmd_transform(args) -> int:
@@ -419,44 +444,51 @@ def cmd_verify_slice(args) -> int:
         _table_dir,
     )
 
+    import shutil
+
     slice_dir = args.input
+    extract_dir: str | None = None
     if args.format == "zip":
-        td = tempfile.mkdtemp(prefix="slice_verify_")
+        extract_dir = tempfile.mkdtemp(prefix="slice_verify_")
         with zipfile.ZipFile(args.input) as zf:
-            zf.extractall(td)
-        slice_dir = td
-    fmt = args.format
-    with open(os.path.join(slice_dir, "manifest.json")) as f:
-        manifest = SliceManifest.from_dict(json.load(f))
-    problems = []
-    for tid, meta in manifest.tables.items():
-        declared = sum(s["rowCount"] for s in meta["segments"])
-        path = _table_dir(slice_dir, tid)
-        if not os.path.isdir(path):
-            problems.append({"table": tid, "error": "missing_table_dir"})
-            continue
-        if args.format == "zip":
-            # zip layout: {table}/{i}.tsv files, not part-*
-            actual = sum(
-                _count_lines(os.path.join(path, p))
-                for p in sorted(os.listdir(path))
-                if p.endswith(".tsv")
-            )
-        else:
-            actual = sum(n for _, n in _part_row_counts(path, fmt))
-        if actual != declared:
-            problems.append(
-                {"table": tid, "declared": declared, "actual": actual, "error": "row_count"}
-            )
-        if args.format != "zip" and len(meta["segments"]) != sum(
-            1 for _, n in _part_row_counts(path, fmt) if n > 0
-        ):
-            problems.append({"table": tid, "error": "segment_count"})
-    for sid in manifest.sequences:
-        if not os.path.exists(os.path.join(slice_dir, f"{sid}.txt")):
-            problems.append({"sequence": sid, "error": "missing_sequence_file"})
-    print(json.dumps({"ok": not problems, "problems": problems}))
-    return 0 if not problems else 1
+            zf.extractall(extract_dir)
+        slice_dir = extract_dir
+    try:
+        fmt = args.format
+        with open(os.path.join(slice_dir, "manifest.json")) as f:
+            manifest = SliceManifest.from_dict(json.load(f))
+        problems = []
+        for tid, meta in manifest.tables.items():
+            declared = sum(s["rowCount"] for s in meta["segments"])
+            path = _table_dir(slice_dir, tid)
+            if not os.path.isdir(path):
+                problems.append({"table": tid, "error": "missing_table_dir"})
+                continue
+            if args.format == "zip":
+                # zip layout: {table}/{i}.tsv files, not part-*
+                actual = sum(
+                    _count_lines(os.path.join(path, p))
+                    for p in sorted(os.listdir(path))
+                    if p.endswith(".tsv")
+                )
+            else:
+                actual = sum(n for _, n in _part_row_counts(path, fmt))
+            if actual != declared:
+                problems.append(
+                    {"table": tid, "declared": declared, "actual": actual, "error": "row_count"}
+                )
+            if args.format != "zip" and len(meta["segments"]) != sum(
+                1 for _, n in _part_row_counts(path, fmt) if n > 0
+            ):
+                problems.append({"table": tid, "error": "segment_count"})
+        for sid in manifest.sequences:
+            if not os.path.exists(os.path.join(slice_dir, f"{sid}.txt")):
+                problems.append({"sequence": sid, "error": "missing_sequence_file"})
+        print(json.dumps({"ok": not problems, "problems": problems}))
+        return 0 if not problems else 1
+    finally:
+        if extract_dir:
+            shutil.rmtree(extract_dir, ignore_errors=True)
 
 
 def cmd_diff_slice(args) -> int:

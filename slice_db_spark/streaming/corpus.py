@@ -68,8 +68,17 @@ def ingest_corpus_stream(
         nonlocal target_exists
         clean, bad = split_corrupt(batch)
         if quarantine is not None:
-            bad.write.mode("append").json(quarantine)
+            # one directory per epoch, OVERWRITTEN on replay: the corpus
+            # append is idempotent via the anti-join, so the quarantine must
+            # be idempotent too — a plain append would duplicate corrupt
+            # rows every time the checkpoint replays this epoch
+            bad.write.mode("overwrite").json(
+                os.path.join(quarantine, f"epoch_id={int(epoch_id)}")
+            )
         hashed = clean.withColumn("content_hash", hash64(F.col(text_col)))
+        # fully identical rows (same hash AND doc_id) collapse first — the
+        # min-doc_id winner join below would keep BOTH copies otherwise
+        hashed = hashed.dropDuplicates(["content_hash", "doc_id"])
         # within-batch winners: min doc_id per content hash (deterministic)
         w = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
         batch_unique = hashed.join(w, ["content_hash", "doc_id"], "left_semi")

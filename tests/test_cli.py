@@ -312,6 +312,39 @@ def test_ingest_cli(spark, tmp_path):
     assert report["corpus_rows"] == 1  # exact dup suppressed on arrival
 
 
+def test_python_dash_m_entry_point():
+    """Packaging parity with the reference's console script
+    (`/root/reference/setup.py:23-27`): `python -m slice_db_spark`
+    reaches the CLI (pyproject.toml installs the same `main` as
+    `slicedb-spark`)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "slice_db_spark", "--version"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    assert "slicedb-spark 0.1.0" in out.stdout
+
+
+def test_restore_cli_transaction_jobs_clean_error(capsys, tmp_path):
+    """`restore --url --transaction --jobs 2` must exit 2 with a stderr
+    message (the reference's user-facing report), not a raw traceback."""
+    from slice_db_spark import cli
+
+    schema = tmp_path / "schema.json"
+    schema.write_text('{"tables": {}, "references": {}, "sequences": {}}')
+    rc = cli.main([
+        "restore", "--schema", str(schema),
+        "--url", "jdbc:postgresql://nowhere/db",
+        "--transaction", "--jobs", "2", str(tmp_path),
+    ])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "single transaction" in err and "Traceback" not in err
+
+
 def test_transaction_excludes_jobs():
     """The reference's exact rule (`slice_db/restore.py:44-45`): a single
     transaction cannot parallelize — rejected before any connection."""

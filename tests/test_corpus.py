@@ -111,6 +111,38 @@ def test_streaming_ingest_dedups_across_batches(spark, tmp_path):
     assert spark.read.json(quar).count() == 1
 
 
+def test_streaming_quarantine_replay_idempotent(spark, tmp_path):
+    """A replayed epoch must OVERWRITE its quarantine partition, not
+    re-append: simulate replay by re-running the same landing dir under a
+    fresh checkpoint (same epoch numbering) — corrupt rows stay at 1 and
+    the corpus stays deduplicated."""
+    land = tmp_path / "land"
+    land.mkdir()
+    _write_batch(land, "good.jsonl", ROWS[:2])
+    with open(land / "bad.jsonl", "w") as f:
+        f.write("not json at all\n")
+    out = str(tmp_path / "corpus")
+    quar = str(tmp_path / "quarantine")
+
+    SC.ingest_corpus_stream(spark, str(land), out, str(tmp_path / "ckpt1"), quarantine=quar)
+    assert spark.read.json(quar).count() == 1
+    SC.ingest_corpus_stream(spark, str(land), out, str(tmp_path / "ckpt2"), quarantine=quar)
+    assert spark.read.json(quar).count() == 1  # overwritten, not appended
+    assert spark.read.parquet(out).count() == 2  # anti-join held too
+
+
+def test_streaming_ingest_collapses_identical_rows(spark, tmp_path):
+    """Two byte-identical rows in one batch share (content_hash, doc_id) —
+    the winner join alone would keep both; dropDuplicates collapses them."""
+    land = tmp_path / "land"
+    land.mkdir()
+    row = {"doc_id": 7, "text": "same", "lang": "en", "source": "a", "n_chars": 4}
+    _write_batch(land, "b0.jsonl", [row, row])
+    out = str(tmp_path / "corpus")
+    SC.ingest_corpus_stream(spark, str(land), out, str(tmp_path / "ckpt"))
+    assert spark.read.parquet(out).count() == 1
+
+
 def test_streaming_ingest_within_batch_dedup(spark, tmp_path):
     land = tmp_path / "land"
     land.mkdir()
