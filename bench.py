@@ -63,6 +63,7 @@ HEADLINE = [
     "ann_brute",
     "ann_lsh",
     "ann_ivf",
+    "ann_ivf_kmeans",
     "pq_codes",
     "ann_pq",
     "dedup_embedding",
@@ -91,6 +92,7 @@ SWEEP = [
     "dedup_embedding_hi",
     "ann_lsh",
     "ann_ivf",
+    "ann_ivf_kmeans",
     "ann_pq",
 ]
 

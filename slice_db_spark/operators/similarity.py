@@ -39,7 +39,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 
 
 def _dot(a, b):
@@ -593,4 +593,142 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "adist", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+# --------------------------------------------------------- k-means IVF
+# Lloyd-refined coarse quantizer, entirely in PQ_SCALE fixed-point int64 so
+# the DuckDB oracle replays it exactly: assignment is integer squared-L2
+# argmin (first-min tie-break), the update is a floor-divided integer mean
+# (sums are exact, the double division of two exact ints is IEEE-identical
+# in both engines), and empty cells keep their previous centroid.  On
+# clustered data (the real workload) the refined cells follow the clusters,
+# so nprobe probes recover what md5-sampled cells miss.
+
+
+def _cell_l2_vec(centroids: list[list[int]]):
+    """Arrow-vectorized integer squared-L2 distances of each (quantized)
+    row vector to every centroid — exact int64, no float ties."""
+    C = np.array(centroids, dtype=np.int64)  # cells × dim
+
+    @pandas_udf(ArrayType(LongType()))
+    def dists(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array(v.tolist(), dtype=np.int64)
+        d = (
+            (M * M).sum(axis=1, keepdims=True)
+            + (C * C).sum(axis=1)[None, :]
+            - 2 * (M @ C.T)
+        )
+        return pd.Series(list(d))
+
+    return dists
+
+
+def _assign_cells_int(corpus_q: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Add 1-based ``__cell`` (nearest centroid, integer L2, first-min
+    tie-break) to a quantized corpus (``__e`` column)."""
+    dists = _cell_l2_vec(centroids)
+    return (
+        corpus_q.withColumn("__d", dists(F.col("__e")))
+        .withColumn("__cell", F.expr("array_position(__d, array_min(__d))").cast("int"))
+        .drop("__d")
+    )
+
+
+def ivf_centroids_kmeans(
+    corpus: DataFrame,
+    n_cells: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Fixed-iteration Lloyd refinement of the md5-sampled seeds, in
+    PQ_SCALE fixed-point (quantized centroids, integer assignment,
+    floor-divided integer means) so the refinement is bit-reproducible in
+    any engine.  Each iteration is two narrow distributed jobs: an
+    assignment map and a (cell, dim) partial-aggregating sum — the
+    collected state is ``n_cells × dim`` ints, never corpus-sized."""
+    from .hashing import hash64
+
+    seeds = (
+        corpus.select(F.col(id_col), quantize_expr(vec_col).alias("e"))
+        .orderBy(hash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [list(r["e"]) for r in seeds]
+    if not cents:
+        return cents
+    dim = len(cents[0])
+    quant = corpus.select(quantize_expr(vec_col).alias("__e"))
+    for _ in range(max(0, iters)):
+        assigned = _assign_cells_int(quant, cents)
+        sums = (
+            assigned.select("__cell", F.posexplode("__e").alias("__i", "__x"))
+            .groupBy("__cell", "__i")
+            .agg(F.sum("__x").alias("__s"), F.count("*").alias("__n"))
+            .collect()
+        )
+        by_cell: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for r in sums:
+            by_cell.setdefault(r["__cell"], [0] * dim)[r["__i"]] = r["__s"]
+            counts[r["__cell"]] = r["__n"]
+        cents = [
+            [
+                int(np.floor(by_cell[ci + 1][i] / counts[ci + 1]))
+                for i in range(dim)
+            ]
+            if (ci + 1) in by_cell
+            else cents[ci]  # empty cell keeps its previous centroid
+            for ci in range(len(cents))
+        ]
+    return cents
+
+
+def ivf_topk_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """IVF top-k over k-means-refined integer centroids: corpus vectors
+    assign to their L2-nearest cell, queries probe their ``nprobe``
+    nearest cells, candidates rank by EXACT integer dot product of the
+    quantized vectors (descending, id tie-break) — every comparison is
+    int64, so no cross-engine float tie can flip a rank.  Same scale
+    shape as :func:`ivf_topk`: map-side assignment, equi-join on the cell
+    id, per-query top-k."""
+    c = _assign_cells_int(
+        corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e")), centroids
+    )
+    dists = _cell_l2_vec(centroids)
+    q = (
+        queries.select(F.col(query_id_col), quantize_expr(vec_col).alias("__qe"))
+        .withColumn("__d", dists(F.col("__qe")))
+        .select(query_id_col, "__qe", F.posexplode("__d").alias("__i", "__dist"))
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(F.asc("__dist"), F.asc("__i"))
+    probes = (
+        q.withColumn("__pr", F.row_number().over(w_probe))
+        .where(F.col("__pr") <= nprobe)
+        .select(query_id_col, "__qe", (F.col("__i") + 1).alias("__cell"))
+    )
+    dot_q = F.aggregate(
+        F.zip_with("__qe", "__e", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    scored = probes.join(c, "__cell").select(
+        query_id_col, id_col, dot_q.alias("dot")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("dot"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "dot", F.col("rank").cast("bigint").alias("rank"))
     )

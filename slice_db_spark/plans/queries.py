@@ -933,6 +933,25 @@ def ann_ivf(spark, sf_dir):
     return df.select("q_id", "vec_id", "sim", F.col("rank").cast("bigint").alias("rank"))
 
 
+ANN_IVF_KM_ITERS = 2
+
+
+def ann_ivf_kmeans(spark, sf_dir):
+    """IVF with Lloyd-refined centroids, entirely in fixed-point int64
+    (quantize → integer-L2 assignment → floor-divided means → exact
+    integer dot ranking) so the DuckDB oracle replays the refinement
+    bit-for-bit.  On clustered embeddings the refined cells track the
+    clusters, recovering recall that md5-sampled seeding leaves behind
+    (`tests/test_similarity.py` pins refined ≥ sampled recall)."""
+    emb = catalog(spark, sf_dir)["embeddings"]
+    corpus = emb.where("vec_id >= 5")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    cents = similarity.ivf_centroids_kmeans(
+        corpus, ANN_IVF_CELLS, iters=ANN_IVF_KM_ITERS
+    )
+    return similarity.ivf_topk_kmeans(corpus, q, cents, k=5, nprobe=ANN_IVF_NPROBE)
+
+
 DEDUP_PLANES = similarity.random_planes(16, 64, seed="dedup")
 DEDUP_EMB_THRESHOLD = 0.42
 DEDUP_EMB_BANDS = 4
@@ -1889,6 +1908,67 @@ SELECT q_id, vec_id, sim,
 FROM scored QUALIFY rank <= 5
 """
 
+    # k-means IVF: the Lloyd refinement unrolled iteration-by-iteration in
+    # CTEs, in the same ×1000 fixed-point as the Spark side — integer L2
+    # assignment (first-min tie), floor-divided integer means (the double
+    # division of two exact ints is IEEE-identical), empty cells keep the
+    # previous centroid, candidates rank by exact integer dot product.
+    _il2 = lambda a, b: (  # noqa: E731
+        f"list_sum(list_transform(range(1, 65), i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+    )
+    _idot = lambda a, b: f"list_sum(list_transform(range(1, 65), i -> {a}[i]*{b}[i]))"  # noqa: E731
+
+    def _lloyd_iter(n: int) -> str:
+        prev = f"cents{n}"
+        return f"""
+asg{n} AS (
+  SELECT c.vec_id, c.e, ct.ci, {_il2('c.e', 'ct.cv')} AS d
+  FROM corp c CROSS JOIN {prev} ct),
+cell{n} AS (
+  SELECT vec_id, e, ci FROM asg{n}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) = 1),
+sums{n} AS (
+  SELECT ci, i, SUM(e[i]) AS sf, COUNT(*) AS n FROM cell{n} CROSS JOIN dims
+  GROUP BY ci, i),
+means{n} AS (
+  SELECT ci, list(CAST(floor(CAST(sf AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cv
+  FROM sums{n} GROUP BY ci),
+cents{n + 1} AS (
+  SELECT ci, cv FROM means{n}
+  UNION ALL
+  SELECT ci, cv FROM {prev} WHERE ci NOT IN (SELECT ci FROM means{n}))"""
+
+    _km_final = f"cents{ANN_IVF_KM_ITERS}"
+    o["ann_ivf_kmeans"] = f"""
+WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+  FROM embeddings),
+corp AS (SELECT vec_id, e FROM v WHERE vec_id >= 5),
+qry AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+dims AS (SELECT unnest(range(1, 65)) AS i),
+cents0 AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) AS ci, e AS cv FROM (
+    SELECT vec_id, e, {_hash64_sql("CAST(vec_id AS VARCHAR)")} AS h
+    FROM corp ORDER BY h, vec_id LIMIT {ANN_IVF_CELLS})),
+{','.join(_lloyd_iter(n) for n in range(ANN_IVF_KM_ITERS))},
+cellF AS (
+  SELECT vec_id, e, ci FROM (
+    SELECT c.vec_id, c.e, ct.ci, {_il2('c.e', 'ct.cv')} AS d
+    FROM corp c CROSS JOIN {_km_final} ct)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) = 1),
+probes AS (
+  SELECT q_id, qe, ci FROM (
+    SELECT q.q_id, q.qe, ct.ci, {_il2('q.qe', 'ct.cv')} AS d
+    FROM qry q CROSS JOIN {_km_final} ct)
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d, ci) <= {ANN_IVF_NPROBE}),
+scored AS (
+  SELECT p.q_id, cf.vec_id, {_idot('p.qe', 'cf.e')} AS dot
+  FROM probes p JOIN cellF cf ON cf.ci = p.ci)
+SELECT q_id, vec_id, CAST(dot AS BIGINT) AS dot,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
     # PQ: fixed-point (×1000 round) embeddings make every distance an
     # exact int64, so argmin/rank ties are impossible to flip across
     # engines; codebook = md5-order sample, j is 0-based (numpy argmin)
@@ -2163,6 +2243,7 @@ def _all_queries():
         "ann_brute": ann_brute,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
+        "ann_ivf_kmeans": ann_ivf_kmeans,
         "pq_codes": pq_codes,
         "ann_pq": ann_pq,
         "dedup_embedding": dedup_embedding,

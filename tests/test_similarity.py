@@ -185,3 +185,32 @@ def test_ann_methods_recall_on_planted_clusters(spark):
     assert recall(S.ivf_topk(corpus, qdf, cents, k=per, nprobe=2)) >= 0.85
     cb = S.pq_codebook(corpus, n_codes=16)
     assert recall(S.pq_adc_topk(corpus, qdf, cb, m_subspaces=4, k=per)) >= 0.95
+
+    # Lloyd refinement must not LOSE recall vs the raw md5 sample on the
+    # same planted clusters (it should gain: sampled seeds can land two
+    # in one cluster, refined centroids migrate to cluster means)
+    sampled = recall(S.ivf_topk(corpus, qdf, cents, k=per, nprobe=2))
+    km = S.ivf_centroids_kmeans(corpus, 8, iters=2)
+    refined = recall(S.ivf_topk_kmeans(corpus, qdf, km, k=per, nprobe=2))
+    assert refined >= sampled, (refined, sampled)
+
+
+def test_ivf_kmeans_centroids_converge_to_blob_means(spark):
+    """Two well-separated blobs, two cells: after refinement each centroid
+    must sit at its blob's fixed-point floor-mean — and the empty-cell
+    rule must hold (a cell that attracts nothing keeps its seed)."""
+    import numpy as np
+
+    from slice_db_spark.operators import similarity as S
+
+    blob_a = [[1.0 + 0.001 * i, 0.0] for i in range(5)]
+    blob_b = [[-1.0 - 0.001 * i, 0.5] for i in range(5)]
+    rows = [(i, v) for i, v in enumerate(blob_a + blob_b)]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = S.ivf_centroids_kmeans(corpus, 2, iters=2)
+    # fixed-point ×1000 floor-means of each blob, in SOME cell order
+    want_a = [int(np.floor(sum(round(v[0] * 1000) for v in blob_a) / 5)),
+              int(np.floor(sum(round(v[1] * 1000) for v in blob_a) / 5))]
+    want_b = [int(np.floor(sum(round(v[0] * 1000) for v in blob_b) / 5)),
+              int(np.floor(sum(round(v[1] * 1000) for v in blob_b) / 5))]
+    assert sorted(cents) == sorted([want_a, want_b]), cents
