@@ -99,7 +99,7 @@ def _dump_with_catalog(args, spark, schema, catalog) -> int:
             tcfg = json.load(f)
         pepper = args.pepper or secrets.token_hex(8)
         reg, stateful_specs = build_registry(
-            tcfg.get("transforms", {}), pepper, wordlist_dir=args.wordlist_dir
+            tcfg.get("transforms", {}), pepper, wordlist_dir=args.wordlist_dir, ffx_compat=args.ffx_compat
         )
         for tid, spec in tcfg.get("tables", {}).items():
             if tid not in tables:
@@ -303,7 +303,7 @@ def cmd_transform(args) -> int:
         tcfg = json.load(f)
     pepper = args.pepper or secrets.token_hex(8)
     reg, stateful_specs = build_registry(
-        tcfg.get("transforms", {}), pepper, wordlist_dir=args.wordlist_dir
+        tcfg.get("transforms", {}), pepper, wordlist_dir=args.wordlist_dir, ffx_compat=args.ffx_compat
     )
     for tid, spec in tcfg.get("tables", {}).items():
         if tid not in tables:
@@ -547,7 +547,7 @@ def cmd_transform_field(args) -> int:
     with open(args.transform) as f:
         tcfg = json.load(f)
     reg, _ = build_registry(
-        tcfg.get("transforms", {}), args.pepper, wordlist_dir=args.wordlist_dir
+        tcfg.get("transforms", {}), args.pepper, wordlist_dir=args.wordlist_dir, ffx_compat=args.ffx_compat
     )
     print(reg[args.name](args.field))
     return 0
@@ -585,6 +585,8 @@ def main(argv: list[str] | None = None) -> int:
         help="load transform wordlists from a reference-layout directory "
         "(given-name.txt etc.) for golden compatibility",
     )
+    d.add_argument("--ffx-compat", action="store_true",
+                   help="pyffx-compatible cipher for alphanumeric unique mode (reference golden parity)")
     d.add_argument(
         "--format",
         choices=["parquet", "tsv", "zip"],
@@ -671,6 +673,8 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--transform", required=True)
     t.add_argument("--pepper", help="determinism pepper (random when omitted)")
     t.add_argument("--wordlist-dir", help="reference-layout wordlist directory")
+    t.add_argument("--ffx-compat", action="store_true",
+                   help="pyffx-compatible cipher for alphanumeric unique mode (reference golden parity)")
     t.add_argument("--format", choices=["parquet", "tsv", "zip"], default="parquet")
     t.add_argument("-j", "--jobs", type=int, default=1,
                    help="write transformed tables concurrently")
@@ -732,6 +736,8 @@ def main(argv: list[str] | None = None) -> int:
     tf.add_argument("--transform", required=True)
     tf.add_argument("--pepper", required=True)
     tf.add_argument("--wordlist-dir", help="reference-layout wordlist directory")
+    tf.add_argument("--ffx-compat", action="store_true",
+                   help="pyffx-compatible cipher for alphanumeric unique mode (reference golden parity)")
     tf.add_argument("name", help="named transform")
     tf.add_argument("field", help="value to transform")
     tf.set_defaults(fn=cmd_transform_field)

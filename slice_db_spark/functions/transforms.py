@@ -74,6 +74,9 @@ class TransformContext:
     #: wordlists the registry draws from — swap via build_registry's
     #: wordlist_dir for reference-golden compat (data/wordlists.py)
     lists: "wordlists.WordlistSet" = field(default_factory=lambda: wordlists.WordlistSet())
+    #: reference-golden compat: route ``alphanumeric {unique: true}`` through
+    #: the pyffx-compatible cipher instead of the in-house Feistel walker
+    ffx_compat: bool = False
 
     def instance_pepper(self, name: str) -> str:
         # reference appends the transform *name* to the pepper per instance
@@ -137,6 +140,40 @@ def alphanumeric(pepper: str) -> Transform:
     return f
 
 
+def alphanumeric_ffx(pepper: str) -> Transform:
+    """Reference-golden compat variant of `alphanumeric`
+    (`slice_db/transforms/text.py:17-43` + `common.py:9-15`): RNG seeded
+    from ``md5(upper(text) + pepper)[0:8]`` big-endian, characters replaced
+    via ``randint`` over the class's ordinal range with *unicodedata*
+    category classing — reproduces the reference's pinned golden
+    (``"123 Main St $9.99"`` + pepper ``abc`` → ``"850 Xxqy Wh $0.97"``)."""
+    import unicodedata as _ud
+
+    _UP = {"Lu", "Lt", "Co", "Cs", "So"}
+    _LO = {"Ll", "Lm", "Lo"}
+    _NUM = {"Nd", "Nl", "No"}
+
+    def f(text: Optional[str]) -> Optional[str]:
+        if text is None:
+            return None
+        digest = hashlib.md5(text.upper().encode("utf-8") + pepper.encode("utf-8")).digest()
+        rng = random.Random(int.from_bytes(digest[:8], "big"))
+        out = []
+        for ch in text:
+            cat = _ud.category(ch)
+            if cat in _UP:
+                out.append(chr(rng.randint(ord("A"), ord("Z"))))
+            elif cat in _LO:
+                out.append(chr(rng.randint(ord("a"), ord("z"))))
+            elif cat in _NUM:
+                out.append(chr(rng.randint(ord("0"), ord("9"))))
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    return f
+
+
 def _feistel_permute(n: int, size: int, key: bytes, rounds: int = 4) -> int:
     """Bijective map on [0, size) via a balanced Feistel network + cycle
     walking — public-domain FPE construction (NIST FFX family shape).
@@ -193,6 +230,103 @@ def alphanumeric_unique(pepper: str) -> Transform:
             out[i] = alphabet[m % base]
             m //= base
         return "".join(out)
+
+    return f
+
+
+def _ffx_round(key: bytes, radix: int, i: int, s: int, v: list[int]) -> list[int]:
+    """One FFX round function: s pseudorandom base-``radix`` digits from
+    HMAC-SHA1(key, pack(round, *digits) || pack(counter)), expanded by
+    incrementing the trailing counter and decomposing each digest as a
+    big-endian integer into little-endian base-radix digits."""
+    import hmac as _hmac
+    import struct as _struct
+
+    msg = _struct.pack("I%dI" % len(v), i, *v)
+    digits: list[int] = []
+    counter = 0
+    while len(digits) < s:
+        d = _hmac.new(key, msg + _struct.pack("I", counter), hashlib.sha1).digest()
+        x = int.from_bytes(d, "big")
+        while x and len(digits) < s:
+            x, r = divmod(x, radix)
+            digits.append(r)
+        counter += 1
+    return digits
+
+
+def _ffx_encrypt(key: bytes, radix: int, v: list[int], rounds: int = 10) -> list[int]:
+    """pyffx-compatible Feistel FPE over base-``radix`` digit vectors.
+
+    Wire-compatible with the public ``pyffx`` package the reference uses for
+    ``alphanumeric {unique: true}`` (`slice_db/transforms/text.py:45-61`):
+    floor split, ten rounds of ``a, b = b, (a + F(i, b)) % radix``
+    digit-wise, output ``a + b``.  The construction was pinned against the
+    reference's own golden (`test/test_transform_field.py`:
+    pepper ``abc`` + ``"abc"`` → ``"grk"``) and pyffx's published examples
+    (``Integer(b"secret-key", 4)``: 1234 → 6103; ``String(b"secret-key",
+    "abc", 6)``: ``"aaabbb"`` → ``"acbacc"``) — a unique solution over the
+    design space, so reference transform-field goldens pass verbatim."""
+    s = len(v) // 2
+    a, b = list(v[:s]), list(v[s:])
+    for i in range(rounds):
+        f = _ffx_round(key, radix, i, len(a), b)
+        c = [(x + y) % radix for x, y in zip(a, f)]
+        a, b = b, c
+    return a + b
+
+
+def _ffx_decrypt(key: bytes, radix: int, v: list[int], rounds: int = 10) -> list[int]:
+    """Inverse of `_ffx_encrypt` (used by tests to prove bijectivity)."""
+    # the halves' lengths alternate once per round (only matters for odd |v|)
+    la, lb = len(v) // 2, len(v) - len(v) // 2
+    for _ in range(rounds):
+        la, lb = lb, la
+    a, b = list(v[:la]), list(v[la:])
+    for i in range(rounds - 1, -1, -1):
+        c = b
+        b = a
+        f = _ffx_round(key, radix, i, len(c), b)
+        a = [(x - y) % radix for x, y in zip(c, f)]
+    return a + b
+
+
+def alphanumeric_unique_ffx(pepper: str) -> Transform:
+    """Reference-golden compat mode for ``alphanumeric {unique: true}``:
+    byte-identical to the reference's pyffx path
+    (`slice_db/transforms/text.py:45-61`).  Differences from our default
+    `alphanumeric_unique`: alphabet is built uppercase→lowercase→digits from
+    *unicodedata* categories (Lu/Lt/Co/Cs/So upper, Ll/Lm/Lo lower,
+    Nd/Nl/No number; empty → all three), non-alphabet characters are
+    *substituted* by ``alphabet[ord(c) % len]`` rather than preserved, and
+    the cipher is the pyffx FFX construction keyed on the raw pepper."""
+    import unicodedata as _ud
+
+    key = pepper.encode("utf-8")
+    _UP = {"Lu", "Lt", "Co", "Cs", "So"}
+    _LO = {"Ll", "Lm", "Lo"}
+    _NUM = {"Nd", "Nl", "No"}
+
+    def f(text: Optional[str]) -> Optional[str]:
+        if text is None:
+            return None
+        cats = {_ud.category(c) for c in text}
+        alphabet = ""
+        if cats & _UP:
+            alphabet += UPPER
+        if cats & _LO:
+            alphabet += LOWER
+        if cats & _NUM:
+            alphabet += DIGITS
+        if not alphabet:
+            alphabet = UPPER + LOWER + DIGITS
+        idx = {c: i for i, c in enumerate(alphabet)}
+        digits = [
+            idx[c] if c in idx else idx[alphabet[ord(c) % len(alphabet)]]
+            for c in text
+        ]
+        out = _ffx_encrypt(key, len(alphabet), digits)
+        return "".join(alphabet[i] for i in out)
 
     return f
 
@@ -431,7 +565,9 @@ def json_path(paths: dict[str, Transform]) -> Transform:
 #: and unknown modules are imported, so user plugins load exactly the same way.
 _BUILTIN: dict[str, Callable] = {
     "AlphanumericTransform": lambda cfg, pep, ctx: (
-        alphanumeric_unique(pep) if cfg.get("unique") else alphanumeric(pep)
+        (alphanumeric_unique_ffx(pep) if ctx.ffx_compat else alphanumeric_unique(pep))
+        if cfg.get("unique")
+        else (alphanumeric_ffx(pep) if ctx.ffx_compat else alphanumeric(pep))
     ),
     "ConstTransform": lambda cfg, pep, ctx: const(cfg["value"]),
     "NullTransform": lambda cfg, pep, ctx: null(),
@@ -461,7 +597,10 @@ STATEFUL_CLASSES = {"IncrementingConstTransform"}
 
 
 def build_registry(
-    transforms: dict[str, dict], pepper: str, wordlist_dir: str | None = None
+    transforms: dict[str, dict],
+    pepper: str,
+    wordlist_dir: str | None = None,
+    ffx_compat: bool = False,
 ) -> tuple[dict[str, Transform], dict[str, dict]]:
     """Resolve named transform specs → callables.
 
@@ -475,8 +614,13 @@ def build_registry(
     directory in the reference's data layout (``given-name.txt`` etc.)
     instead of the in-code lists; a user supplying the reference's own
     files reproduces its exact pseudonyms (`test/test_transform_field.py`).
+
+    ``ffx_compat`` — same idea for ``alphanumeric {unique: true}``: use the
+    pyffx-compatible cipher (`alphanumeric_unique_ffx`) so the reference's
+    unique-alphanumeric goldens pass verbatim; default stays the in-house
+    Feistel walker.
     """
-    ctx = TransformContext(pepper=pepper)
+    ctx = TransformContext(pepper=pepper, ffx_compat=ffx_compat)
     if wordlist_dir:
         ctx.lists = wordlists.WordlistSet.from_dir(wordlist_dir)
     stateful: dict[str, dict] = {}

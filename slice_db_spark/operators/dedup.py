@@ -517,17 +517,135 @@ def connected_components(
             break
         prev_sum = cur_sum
     else:
+        # diameter > max_rounds: propagation advances one hop per round, so
+        # a long-path component would need O(diameter) more rounds.  Switch
+        # regimes instead of raising: star contraction HALVES long paths
+        # every alternation, converging in O(log n) rounds.
+        ids = labels.select("id")
         for df in persisted:
             df.unpersist()
-        raise RuntimeError(
-            f"connected_components did not converge in {max_rounds} rounds "
-            "(labels still changing); raise max_rounds for components of "
-            "diameter beyond the budget"
-        )
+        return _star_components(pairs, a_col, b_col, ids=ids)
 
     out = labels.localCheckpoint(eager=True)
     for df in persisted:
         df.unpersist()
+    return out
+
+
+def _star_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    ids: DataFrame | None = None,
+    max_alternations: int = 40,
+) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — the O(log n)-round regime for
+    graphs whose diameter defeats per-hop label propagation.
+
+    Each alternation rewrites the edge set:
+
+    * large-star: every node links its LARGER neighbors to the minimum of
+      its closed neighborhood — long paths fold in half;
+    * small-star: every node links its smaller neighbors (and itself) to
+      that minimum — stars flatten onto their centers.
+
+    The fixed point is a forest of stars whose centers are the component
+    minima, so ``rep = min(center, id)``.  Every step is a groupBy +
+    equi-join on node id (no skew beyond the component structure itself;
+    the paper's hash-partitioned variant drops in unchanged at cluster
+    scale).  Convergence is detected by an exact (count, sum) checksum
+    pair on the canonical edge set — both sums in decimal(38,0), so no
+    overflow ambiguity.
+
+    Each alternation ends in an EAGER ``localCheckpoint``: the edge
+    rewrite stacks unions+joins+distincts, so without per-round plan
+    truncation Catalyst's logical plan grows geometrically and analysis
+    OOMs the driver around round 7 — the classic iterative-Spark trap
+    (same hygiene as the propagation loop above, which checkpoints on a
+    cadence; here every round IS the cadence because the plan fan-out per
+    alternation is ~8 nodes deep)."""
+    all_ids = (
+        ids
+        if ids is not None
+        else pairs.select(F.col(a_col).alias("id"))
+        .union(pairs.select(F.col(b_col).alias("id")))
+        .distinct()
+    )
+    # canonical undirected edge set: (u > v), self-loops dropped
+    E = (
+        pairs.where(F.col(a_col) != F.col(b_col))
+        .select(
+            F.greatest(a_col, b_col).alias("u"), F.least(a_col, b_col).alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(e: DataFrame):
+        dec = lambda c: F.sum(F.col(c).cast("decimal(38,0)"))  # noqa: E731
+        r = e.agg(F.count("*").alias("n"), dec("u").alias("su"), dec("v").alias("sv")).first()
+        return (r["n"], r["su"], r["sv"])
+
+    prev = checksum(E)
+    for rounds in range(1, max_alternations + 1):
+        # ---- large-star: from each node u, link neighbors v > u to
+        # m(u) = min(neighborhood(u) ∪ {u})
+        sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m_lg = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("__mn", "u").alias("m"))
+        )
+        large = (
+            sym.join(m_lg, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        E1 = (
+            large.where(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+        )
+        # ---- small-star: from each node u over its SMALLER neighbors,
+        # link every member (u included) to the minimum
+        m_sm = E1.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            E1.join(m_sm, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(m_sm.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        )
+        E2 = (
+            small.where(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+        )
+        E2 = E2.localCheckpoint(eager=True)
+        cur = checksum(E2)
+        E.unpersist()
+        E = E2
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        E.unpersist()
+        raise RuntimeError(
+            f"star contraction did not converge in {max_alternations} "
+            "alternations — not expected for any graph (O(log n) bound); "
+            "raise max_alternations"
+        )
+
+    # converged: E is a star forest; every non-center u has exactly its
+    # center as min-v, centers never appear on the u side
+    reps = E.groupBy("u").agg(F.min("v").alias("rep")).select(
+        F.col("u").alias("id"), "rep"
+    )
+    out = (
+        all_ids.join(reps, "id", "left")
+        .select("id", F.coalesce("rep", F.col("id")).alias("rep"))
+        .localCheckpoint(eager=True)
+    )
+    E.unpersist()
     return out
 
 

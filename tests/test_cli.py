@@ -503,3 +503,27 @@ def test_verify_slice_zip_format(spark, schema_json, tmp_path):
             "--format", "zip", SF_DIR, zp)
     out = json.loads(run_cli("verify-slice", "--format", "zip", zp))
     assert out["ok"] and out["problems"] == []
+
+
+def test_transform_field_ffx_compat_matches_reference_goldens(tmp_path):
+    """`transform-field --ffx-compat` reproduces the reference CLI's
+    pinned outputs for BOTH AlphanumericTransform modes
+    (`test/test_transform_field.py::test_transform_field_alphanumeric`
+    and `::test_transform_field_alphanumeric_unique`)."""
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps({"transforms": {
+        "": {"class": "AlphanumericTransform"},
+        "uniq": {"class": "AlphanumericTransform", "config": {"unique": True}},
+    }}))
+    out = run_cli("transform-field", "--transform", str(p), "--pepper", "abc",
+                  "--ffx-compat", "", "123 Main St $9.99")
+    assert out == "850 Xxqy Wh $0.97\n"
+    # unique golden uses transform name "" in the reference; instance pepper
+    # is pepper+name, so bind a second spec under "" semantics via name ""
+    p2 = tmp_path / "t2.json"
+    p2.write_text(json.dumps({"transforms": {
+        "": {"class": "AlphanumericTransform", "config": {"unique": True}},
+    }}))
+    out = run_cli("transform-field", "--transform", str(p2), "--pepper", "abc",
+                  "--ffx-compat", "", "abc")
+    assert out == "grk\n"

@@ -120,21 +120,44 @@ def test_results_invariant_to_shuffle_partitions(spark, catalog):
     assert all(len(x) > 0 for x in results[0])
 
 
-def test_connected_components_nonconvergence_raises(spark):
-    """A component of diameter > max_rounds must RAISE, not silently
-    return partially-propagated labels (which are not component minima)."""
-    import pytest
-
+def test_connected_components_long_path_falls_back_to_stars(spark):
+    """A component of diameter > max_rounds must still produce EXACT
+    component minima: propagation hands off to large-star/small-star
+    contraction (O(log n) alternations) instead of raising."""
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "id_a bigint, id_b bigint"
     )
-    with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(chain, max_rounds=2, driver_rows=0)
-    # the same chain converges with budget >= its diameter; the driver
-    # regime (default) always converges
+    # max_rounds=2 < diameter 12: previously a RuntimeError, now the
+    # contraction fallback finishes the job with identical labels
+    cc = dedup.connected_components(chain, max_rounds=2, driver_rows=0)
+    got = {(r.id, r.rep) for r in cc.collect()}
+    assert got == {(i, 0) for i in range(13)}, got
+    # the same chain converges within budget too; the driver regime
+    # (default) always converges
     cc = dedup.connected_components(chain, max_rounds=30, driver_rows=0)
     assert {r.rep for r in cc.collect()} == {0}
     assert {r.rep for r in dedup.connected_components(chain).collect()} == {0}
+
+
+def test_star_contraction_matches_union_find(spark):
+    """Property: star contraction labels == driver union-find labels on
+    random graphs (paths, forests, cliques, cross-links)."""
+    import random
+
+    rng = random.Random(7)
+    edges = []
+    # a 40-node path (long diameter), a 10-clique, random cross noise
+    edges += [(i, i + 1) for i in range(100, 140)]
+    edges += [(a, b) for a in range(200, 210) for b in range(a + 1, 210)]
+    nodes = list(range(100, 141)) + list(range(200, 210)) + list(range(300, 330))
+    for _ in range(25):
+        edges.append((rng.choice(nodes), rng.choice(nodes)))
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    want = {
+        (r.id, r.rep) for r in dedup._driver_components(pairs, "id_a", "id_b").collect()
+    }
+    got = {(r.id, r.rep) for r in dedup._star_components(pairs).collect()}
+    assert got == want
 
 
 def test_containment_catches_subset_jaccard_misses(spark):

@@ -255,3 +255,84 @@ def test_date_year_far_future_edge():
 
     datetime.date.fromisoformat(out)  # valid calendar date
     assert f("9999-03-09") == out     # deterministic
+
+
+# ------------------------------------------------------------ pyffx compat
+
+
+def test_ffx_compat_reference_goldens_verbatim():
+    """`--ffx-compat` reproduces the reference's pinned transform-field
+    goldens byte-for-byte (`test/test_transform_field.py`:
+    test_transform_field_alphanumeric / _alphanumeric_unique)."""
+    from slice_db_spark.functions.transforms import (
+        alphanumeric_ffx,
+        alphanumeric_unique_ffx,
+    )
+
+    assert alphanumeric_unique_ffx("abc")("abc") == "grk"
+    assert alphanumeric_ffx("abc")("123 Main St $9.99") == "850 Xxqy Wh $0.97"
+    # via the registry flag, name "" (instance pepper == run pepper)
+    reg, _ = build_registry(
+        {"": {"class": "AlphanumericTransform", "config": {"unique": True}}},
+        "abc",
+        ffx_compat=True,
+    )
+    assert reg[""]("abc") == "grk"
+    reg, _ = build_registry(
+        {"": {"class": "AlphanumericTransform"}}, "abc", ffx_compat=True
+    )
+    assert reg[""]("123 Main St $9.99") == "850 Xxqy Wh $0.97"
+    # default (flag off) keeps the in-house Feistel outputs
+    reg, _ = build_registry(
+        {"": {"class": "AlphanumericTransform", "config": {"unique": True}}}, "abc"
+    )
+    assert reg[""]("abc") == alphanumeric_unique("abc")("abc") != "grk"
+
+
+def test_ffx_cipher_is_bijective_and_pyffx_wire_compatible():
+    """The reconstructed FFX primitive round-trips (bijection on every
+    radix/length) and matches pyffx's published README examples —
+    Integer(b'secret-key', length=4): 1234→6103 and
+    String(b'secret-key', 'abc', length=6): 'aaabbb'→'acbacc'."""
+    import random as _random
+
+    from slice_db_spark.functions.transforms import _ffx_decrypt, _ffx_encrypt
+
+    # pyffx README goldens (public package documentation)
+    v = [int(c) for c in "1234"]
+    assert "".join(map(str, _ffx_encrypt(b"secret-key", 10, v))) == "6103"
+    abc = {"a": 0, "b": 1, "c": 2}
+    v = [abc[c] for c in "aaabbb"]
+    assert "".join("abc"[i] for i in _ffx_encrypt(b"secret-key", 3, v)) == "acbacc"
+    # bijectivity: encrypt∘decrypt == id across radixes and odd/even lengths
+    rng = _random.Random(11)
+    for _ in range(100):
+        radix = rng.randint(2, 62)
+        n = rng.randint(0, 11)
+        vec = [rng.randrange(radix) for _ in range(n)]
+        enc = _ffx_encrypt(b"k\x00p", radix, vec)
+        assert _ffx_decrypt(b"k\x00p", radix, enc) == vec
+    # exhaustive bijection on a small domain: radix 5, length 3
+    outs = {
+        tuple(_ffx_encrypt(b"z", 5, [a, b, c]))
+        for a in range(5)
+        for b in range(5)
+        for c in range(5)
+    }
+    assert len(outs) == 125
+
+
+def test_ffx_compat_unique_substitutes_non_alphabet_chars():
+    """Reference semantics: in unique mode non-alphabet characters are
+    *substituted* into the alphabet (`alphabet[ord(c) % len]`) before
+    encryption — shape is NOT preserved (unlike our default mode), and the
+    output length equals the input length."""
+    from slice_db_spark.functions.transforms import alphanumeric_unique_ffx
+
+    f = alphanumeric_unique_ffx("pep")
+    out = f("ab-cd")
+    assert len(out) == 5 and out.isalpha() and out.islower()
+    assert f(None) is None
+    # determinism + distinct inputs stay distinct (bijection per shape)
+    assert f("ab-cd") == out
+    assert f("ab-ce") != out
