@@ -56,6 +56,8 @@ HEADLINE = [
     "quality",
     "language_id",
     "token_rarity",
+    "lm_score",
+    "ngram_vocab",
     "pii_scrub",
     "source_cap",
     "decontam",

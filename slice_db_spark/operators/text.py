@@ -259,3 +259,124 @@ def length_quantiles(
         df.groupBy(by_col)
         .agg(F.count(F.lit(1)).alias("n_docs"), *aggs)
     )
+
+
+def bigram_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, w1, w2) per word-bigram OCCURRENCE of the normalized text.
+
+    Token array is materialized in a projection first and bigrams are
+    built from O(1) ``get`` lookups (see `..dedup._shingle_expr` for the
+    interpreted-HOF trap this avoids).  Documents with fewer than two
+    tokens produce no rows.  Purely narrow — partitions with the input."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks")).where(
+        F.size("__toks") >= 2
+    )
+    return (
+        toks.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - F.lit(2)),
+                    lambda i: F.struct(
+                        F.get("__toks", i).alias("w1"),
+                        F.get("__toks", i + F.lit(1)).alias("w2"),
+                    ),
+                )
+            ).alias("__bg"),
+        )
+        .select(F.col(id_col), F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    )
+
+
+def lm_bigram_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained bigram language-model quality score per document —
+    the CCNet/Gopher-style "perplexity filter" reduced to exact integer
+    arithmetic so the DuckDB oracle hash-matches bit-for-bit.
+
+    Model: add-one-smoothed bigram MLE trained on the corpus itself.
+    Per bigram occurrence the conditional probability is
+    ``(c12 + 1) / (c1 + V)`` (c12 = corpus count of the bigram, c1 =
+    corpus count of bigrams starting with w1, V = corpus vocabulary
+    size); the per-document score is the mean of
+    ``floor(1e6 * p)`` over its bigram occurrences — a micro-probability
+    mean that orders documents identically to mean-probability while
+    avoiding transcendentals (ln/exp carry last-ulp cross-engine risk;
+    fixed-point floors are exact in both engines).
+
+    Scale shape (the pattern for any corpus-statistic score): (1) one
+    map-side-combinable groupBy collapses per-document repeats to
+    ``(doc, h1, h12, n_occ)``; (2) two narrow hash aggregations build the
+    count tables (8-byte keys only — no strings shuffle); (3) two
+    equi-joins back and one final per-document aggregation.  Hot bigrams
+    skew the ``h12`` join — AQE skew-join splits them; V is a scalar
+    (driver-side, metadata-sized).  Low score = improbable token
+    sequences (boilerplate/garble), high = formulaic text.
+    """
+    occ = (
+        bigram_table(df, text_col, id_col)
+        .select(
+            F.col(id_col),
+            hash64(F.col("w1")).alias("h1"),
+            hash64(F.concat_ws("\x01", "w1", "w2")).alias("h12"),
+        )
+        .groupBy(id_col, "h1", "h12")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    c12 = occ.groupBy("h12").agg(F.sum("n_occ").alias("c12"))
+    c1 = occ.groupBy("h1").agg(F.sum("n_occ").alias("c1"))
+    vocab_n = (
+        df.select(F.explode(tokens(text_col)).alias("__t"))
+        .where(F.col("__t") != "")
+        .agg(F.countDistinct("__t"))
+        .first()[0]
+    )
+    return (
+        occ.join(c12, "h12")
+        .join(c1, "h1")
+        .withColumn(
+            "__fx",
+            F.floor(F.lit(1e6) * (F.col("c12") + F.lit(1)) / (F.col("c1") + F.lit(int(vocab_n)))),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_occ").alias("n_bigrams"),
+            F.sum(F.col("n_occ") * F.col("__fx")).alias("__sfx"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.round(F.col("__sfx") / F.col("n_bigrams"), 4).alias("lm_score"),
+        )
+    )
+
+
+def ngram_topk(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by occurrence count — vocabulary
+    induction / collocation mining over the whole corpus.
+
+    One map-side-combinable hash aggregation over exploded grams, then a
+    ``TakeOrdered`` top-k (every partition keeps its local k, the driver
+    merges k×P rows — no global sort).  Ties break on the gram string so
+    the result is deterministic cross-engine."""
+    from .dedup import _shingle_expr
+
+    toks = df.select(tokens(text_col).alias("__toks")).where(F.size("__toks") >= n)
+    grams = toks.select(
+        F.explode(_shingle_expr(F.col("__toks"), n, distinct=False)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .orderBy(F.desc("n_occ"), F.asc("gram"))
+        .limit(k)
+    )

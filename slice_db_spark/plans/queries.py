@@ -787,6 +787,19 @@ def token_rarity(spark, sf_dir):
     return textops.token_rarity(catalog(spark, sf_dir)["documents"])
 
 
+def lm_score(spark, sf_dir):
+    """Corpus-trained add-one bigram LM, per-document mean
+    micro-probability (CCNet-style perplexity filtering in exact integer
+    arithmetic — `operators/text.py::lm_bigram_score`)."""
+    return textops.lm_bigram_score(catalog(spark, sf_dir)["documents"])
+
+
+def ngram_vocab(spark, sf_dir):
+    """Corpus-wide top-20 bigrams by occurrence (vocabulary induction /
+    collocation mining; TakeOrdered top-k, deterministic gram tie-break)."""
+    return textops.ngram_topk(catalog(spark, sf_dir)["documents"], n=2, k=20)
+
+
 # ------------------------------------------------------- corpus curation
 
 SPLIT_WEIGHTS = {"train": 900, "val": 50, "test": 50}
@@ -1751,6 +1764,45 @@ WHERE k2.doc_id NOT IN (SELECT id FROM losers)
         GROUP BY doc_id
     """)
 
+    # bigram LM: mirrors operators/text.py::lm_bigram_score exactly —
+    # parallel unnests zip in DuckDB, hashes/floors/rounds match Spark
+    o["lm_score"] = _q(f"""
+        WITH t AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+        bg AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                 unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || chr(1) || toks[i+1])) AS w12
+               FROM t WHERE len(toks) >= 2),
+        occ AS (SELECT doc_id, {_hash64_sql('w1')} AS h1,
+                       {_hash64_sql('w12')} AS h12,
+                       CAST(count(*) AS BIGINT) AS n_occ
+                FROM bg GROUP BY 1, 2, 3),
+        c12 AS (SELECT h12, CAST(sum(n_occ) AS BIGINT) AS c12 FROM occ GROUP BY 1),
+        c1  AS (SELECT h1,  CAST(sum(n_occ) AS BIGINT) AS c1  FROM occ GROUP BY 1),
+        v AS (SELECT count(DISTINCT tok) AS vn FROM
+                (SELECT unnest({_toks_sql('text')}) AS tok FROM documents)
+              WHERE tok != ''),
+        fx AS (SELECT doc_id, n_occ,
+                      CAST(floor(1e6 * (c12 + 1) / (c1 + vn)) AS BIGINT) AS fx
+               FROM occ JOIN c12 USING (h12) JOIN c1 USING (h1) CROSS JOIN v)
+        SELECT doc_id,
+               CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
+               round(CAST(sum(n_occ * fx) AS BIGINT)
+                     / CAST(sum(n_occ) AS DOUBLE), 4) AS lm_score
+        FROM fx GROUP BY doc_id
+    """)
+
+    # top-k bigrams: occurrence-keeping grams via the shared shingle mirror
+    o["ngram_vocab"] = _q(f"""
+        WITH t AS (SELECT {_toks_sql('text')} AS toks FROM documents),
+        g AS (SELECT unnest(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1])) AS gram
+              FROM t WHERE len(toks) >= 2)
+        SELECT gram, CAST(count(*) AS BIGINT) AS n_occ
+        FROM g GROUP BY gram
+        ORDER BY n_occ DESC, gram LIMIT 20
+    """)
+
     # curation: PII blob mirrors _pii_blob arithmetic exactly
     blob = (
         "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'"
@@ -2233,6 +2285,8 @@ def _all_queries():
         "quality": quality,
         "language_id": language_id,
         "token_rarity": token_rarity,
+        "lm_score": lm_score,
+        "ngram_vocab": ngram_vocab,
         "pii_scrub": pii_scrub,
         "split_assign": split_assign,
         "decontam": decontam,

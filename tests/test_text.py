@@ -52,3 +52,41 @@ def test_length_quantiles_interpolation(spark):
     assert row["n_docs"] == 5
     assert row["p50_chars"] == 3.0
     assert abs(row["p90_chars"] - 4.6) < 1e-9
+
+
+def test_bigram_table_occurrences_and_short_docs(spark):
+    from slice_db_spark.operators.text import bigram_table
+
+    df = _docs(spark, [(1, "a b a b"), (2, "solo"), (3, "")])
+    got = [(r.doc_id, r.w1, r.w2) for r in bigram_table(df).collect()]
+    # occurrences kept: "a b" twice, "b a" once; <2-token docs emit nothing
+    assert sorted(got) == [(1, "a", "b"), (1, "a", "b"), (1, "b", "a")]
+
+
+def test_lm_bigram_score_hand_computed(spark):
+    """Two-doc corpus; verify the smoothed conditional math by hand.
+
+    Corpus: doc1 = "a b a b", doc2 = "a b c".  Bigram counts:
+    (a,b)=3, (b,a)=1, (b,c)=1; prefix counts: a=3, b=2; V=|{a,b,c}|=3.
+    p(a,b) = (3+1)/(3+3) = 2/3 -> floor(666666.66...) = 666666
+    p(b,a) = (1+1)/(2+3) = 0.4 -> 400000
+    p(b,c) = (1+1)/(2+3) = 0.4 -> 400000
+    doc1: (2*666666 + 400000)/3 = 577777.3333
+    doc2: (666666 + 400000)/2  = 533333.0
+    """
+    from slice_db_spark.operators.text import lm_bigram_score
+
+    df = _docs(spark, [(1, "a b a b"), (2, "a b c")])
+    out = {r.doc_id: r.asDict() for r in lm_bigram_score(df).collect()}
+    assert out[1]["n_bigrams"] == 3 and out[2]["n_bigrams"] == 2
+    assert out[1]["lm_score"] == round((2 * 666666 + 400000) / 3, 4)
+    assert out[2]["lm_score"] == 533333.0
+
+
+def test_ngram_topk_counts_and_tiebreak(spark):
+    from slice_db_spark.operators.text import ngram_topk
+
+    df = _docs(spark, [(1, "a b a b"), (2, "a b c"), (3, "z")])
+    rows = [(r.gram, r.n_occ) for r in ngram_topk(df, n=2, k=3).collect()]
+    # "a b" x3; then ties ("b a", "b c") break lexicographically
+    assert rows == [("a b", 3), ("b a", 1), ("b c", 1)]
