@@ -33,7 +33,13 @@ HEADLINE = [
     "q4_order_priority",
     "scrub_deterministic",
     "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
     "window_top_orders",
+    "events_moving_avg",
+    "stream_dedup",
     "events_bucket_agg",
     "events_asof",
     "events_range_join",

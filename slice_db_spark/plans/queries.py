@@ -415,6 +415,159 @@ def q10_returned_items(spark, sf_dir):
     return rev.orderBy(F.desc("revenue"), "c_custkey").limit(20)
 
 
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promotional revenue share for one ship-month —
+    conditional aggregation over a fact⋈dim join (broadcast part, filter
+    pushed to the lineitem scan; DECIMAL-exact sums, one double division
+    at the end)."""
+    c = catalog(spark, sf_dir)
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
+    j = (
+        c["lineitem"]
+        .where("l_shipdate >= timestamp '1996-01-01' AND l_shipdate < timestamp '1996-02-01'")
+        .join(F.broadcast(c["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,6)"))).alias("_p"),
+        F.sum(rev).alias("_t"),
+        F.count(F.lit(1)).alias("n_lines"),
+    ).select(
+        F.round(F.lit(100.0) * F.col("_p").cast("double") / F.col("_t").cast("double"), 4).alias("promo_pct"),
+        F.round(F.col("_t"), 2).cast("double").alias("total_revenue"),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+    )
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue — aggregate, take the max as a driver scalar (metadata-sized;
+    replaces Q15's view-self-join), filter on DECIMAL equality (exact
+    cross-engine), join supplier names back."""
+    c = catalog(spark, sf_dir)
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    rev = (
+        c["lineitem"]
+        .where("l_shipdate >= timestamp '1996-01-01' AND l_shipdate < timestamp '1996-04-01'")
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))).alias("_r"))
+    )
+    rev = rev.localCheckpoint(eager=True)  # two consumers: max scalar + filter
+    mx = rev.agg(F.max("_r")).first()[0]
+    return (
+        rev.where(F.col("_r") == F.lit(mx))
+        .join(F.broadcast(c["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_r"), 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: top-20 largest-quantity orders — group-filter on
+    the fact (DECIMAL-exact quantity sums, map-side combinable), then
+    join the small surviving key set to orders⋈customer (broadcast the
+    survivors, not the facts)."""
+    c = catalog(spark, sf_dir)
+    big = (
+        c["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_q"))
+        .where("_q > 150")
+    )
+    return (
+        c["orders"]
+        .join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_date_s"),
+            "o_totalprice",
+            F.col("_q").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under a disjunction of brand/size/quantity
+    bands — the OR-of-ANDs predicate Catalyst must keep sargable (the
+    common p_partkey equi-join stays the join condition; the disjunction
+    becomes a post-join filter with per-branch pushdown of the common
+    bounds)."""
+    c = catalog(spark, sf_dir)
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    j = c["lineitem"].join(F.broadcast(c["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)"
+        " OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)"
+        " OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)"
+    )
+    return j.where(cond).agg(
+        F.round(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))),
+            2,
+        ).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    ).select("revenue", F.col("n_items").cast("bigint").alias("n_items"))
+
+
+def events_moving_avg(spark, sf_dir):
+    """Per-user trailing one-hour moving average of event value — a RANGE
+    interval window frame (peers by event-time seconds, so equal-ts ties
+    are frame-complete and the result is deterministic).  Fixed-point
+    micro-units keep the windowed sum exact cross-engine; partitioned by
+    user, so no global window at any scale."""
+    from pyspark.sql.window import Window
+
+    e = catalog(spark, sf_dir)["events"]
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * F.lit(1e6)).cast("bigint").alias("__fx"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-(3_600_000_000 - 1), 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.round(F.sum("__fx").over(w) / F.count(F.lit(1)).over(w) / F.lit(1e6), 4).alias(
+            "avg_value_1h"
+        ),
+    )
+
+
+def stream_dedup(spark, sf_dir):
+    """Batch path of the streaming exactly-once dedup
+    (`streaming/events.py::streaming_dedup`, dropDuplicatesWithinWatermark
+    when streaming): the doubled event table collapses back to one row per
+    event_id.  Duplicates are byte-identical, so the arbitrary-survivor
+    semantics of dropDuplicates is still deterministic."""
+    from ..streaming.events import streaming_dedup
+
+    e = catalog(spark, sf_dir)["events"]
+    d = streaming_dedup(e.unionByName(e))
+    return d.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+
+
 def salted_join_revenue(spark, sf_dir):
     """Skew-salted fact-to-dim join gated against the PLAIN join's oracle:
     `plans/scale.py::salted_join` must be result-identical by construction
@@ -1329,6 +1482,71 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
+    """)
+
+    _REV = ("CAST(l_extendedprice AS DECIMAL(18,6))"
+            " * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))")
+
+    o["q14_promo_revenue"] = _q(f"""
+        SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV}
+                                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                     / CAST(sum({_REV}) AS DOUBLE), 4) AS promo_pct,
+               CAST(round(sum({_REV}), 2) AS DOUBLE) AS total_revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+    """)
+
+    o["q15_top_supplier"] = _q(f"""
+        WITH r AS (SELECT l_suppkey, sum({_REV}) AS _r
+                   FROM lineitem
+                   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+                   GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(round(_r, 2) AS DOUBLE) AS total_revenue
+        FROM r JOIN supplier ON l_suppkey = s_suppkey
+        WHERE _r = (SELECT max(_r) FROM r)
+        ORDER BY s_suppkey
+    """)
+
+    o["q18_large_orders"] = _q("""
+        WITH big AS (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS _q
+                     FROM lineitem GROUP BY l_orderkey HAVING _q > 150)
+        SELECT c_custkey, c_name, o_orderkey,
+               CAST(epoch(o_orderdate) AS BIGINT) AS o_date_s,
+               o_totalprice, CAST(_q AS DOUBLE) AS sum_qty
+        FROM orders JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """)
+
+    o["q19_disjunctive_revenue"] = _q(f"""
+        SELECT CAST(round(sum({_REV}), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+    """)
+
+    o["events_moving_avg"] = _q("""
+        WITH b AS (SELECT event_id, user_id,
+                          epoch_us(ts) AS ts_us,
+                          CAST(round(value * 1e6) AS BIGINT) AS fx
+                   FROM events)
+        SELECT event_id, user_id, ts_us,
+               count(*) OVER w AS n_window,
+               round(CAST(sum(fx) OVER w AS BIGINT)
+                     / count(*) OVER w / 1e6, 4) AS avg_value_1h
+        FROM b
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+    """)
+
+    o["stream_dedup"] = _q("""
+        SELECT event_id, user_id, event_type,
+               epoch_us(ts) AS ts_us, value
+        FROM events
     """)
 
     o["window_top_orders"] = _q("""
@@ -2252,6 +2470,10 @@ def _all_queries():
         "q6_forecast_revenue": q6_forecast_revenue,
         "q4_order_priority": q4_order_priority,
         "q10_returned_items": q10_returned_items,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "salted_join_revenue": salted_join_revenue,
         "q5_region_revenue": q5_region_revenue,
         "window_top_orders": window_top_orders,
@@ -2261,7 +2483,9 @@ def _all_queries():
         "stream_sliding": stream_sliding,
         "stream_session": stream_session,
         "stream_user_state": stream_user_state,
+        "stream_dedup": stream_dedup,
         "events_json_extract": events_json_extract,
+        "events_moving_avg": events_moving_avg,
         "events_funnel": events_funnel,
         "events_sessionize": events_sessionize,
         "events_asof": events_asof,

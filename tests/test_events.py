@@ -225,3 +225,30 @@ def test_retention_cohorts(spark):
     assert out[(c0, 1)] == 1          # user 1 retained
     assert out[(c0 + 1, 0)] == 1      # user 2's own cohort
     assert len(out) == 3
+
+
+def test_events_moving_avg_range_frame_ties(spark, tmp_path):
+    """RANGE frame semantics: equal-timestamp events are frame-peers (both
+    included in each other's window), and the hour boundary is inclusive
+    of exactly (t - 3599.999999s, t]."""
+    import pyspark.sql.functions as F
+    from slice_db_spark.plans.queries import events_moving_avg
+
+    rows = [
+        # user 1: two events at the same microsecond + one 1h later
+        (1, 1, "2024-01-01 00:00:00", "a", 2.0, "{}"),
+        (2, 1, "2024-01-01 00:00:00", "a", 4.0, "{}"),
+        (3, 1, "2024-01-01 01:00:00", "a", 8.0, "{}"),  # 2,4 fall OUT (3600s ago)
+        (4, 2, "2024-01-01 00:30:00", "a", 1.0, "{}"),
+        (5, 2, "2024-01-01 01:29:59", "a", 3.0, "{}"),  # 0:30 within 3599s -> in
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts").cast("timestamp_ntz"))
+    sf = str(tmp_path / "sf")
+    df.write.parquet(sf + "/events.parquet")
+    out = {r.event_id: r.asDict() for r in events_moving_avg(spark, sf).collect()}
+    assert out[1]["n_window"] == 2 and out[1]["avg_value_1h"] == 3.0  # tie peer seen
+    assert out[2]["n_window"] == 2 and out[2]["avg_value_1h"] == 3.0
+    assert out[3]["n_window"] == 1 and out[3]["avg_value_1h"] == 8.0  # exact 1h ago excluded
+    assert out[5]["n_window"] == 2 and out[5]["avg_value_1h"] == 2.0  # 3599s ago included
