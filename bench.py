@@ -53,6 +53,7 @@ HEADLINE = [
     "boilerplate",
     "length_quantiles",
     "minhash_lsh",
+    "dedup_incremental",
     "dedup_clusters",
     "simhash_sigs",
     "simhash_pairs",
@@ -91,6 +92,7 @@ SWEEP = [
     "dedup_rewrite",
     "dedup_jaccard",
     "minhash_lsh",
+    "dedup_incremental",
     "dedup_clusters",
     "simhash_pairs",
     # NOT swept: dedup_embedding (r=4 demo) grows ~quadratically in candidate

@@ -371,6 +371,89 @@ def minhash_lsh_pairs(
     return _jaccard_filter(shared, st, id_col, threshold)
 
 
+def incremental_lsh_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    verify: bool = True,
+) -> DataFrame:
+    """Continuous-ingestion near-dedup: which NEW documents near-duplicate
+    the EXISTING corpus.
+
+    Asymmetric LSH: candidates are only new × corpus — never
+    corpus × corpus (already deduped) and never new × new (run
+    `minhash_lsh_pairs` on the batch alone for that) — so per-batch cost
+    scales with |batch| × band-collision rate, independent of |corpus|².
+    The corpus side's banded signatures are a pure function of the corpus:
+    at scale compute them once and persist as the LSH *index* (parquet
+    partitioned by band hash); each arriving batch computes only ITS
+    signatures and probes.  Caller guarantees the two id spaces are
+    disjoint (overlapping ids would silently merge size counts).
+
+    Output ``(new_id, corpus_id, jaccard)`` with exact n-gram Jaccard ≥
+    ``threshold`` (``verify=False`` returns raw candidates)."""
+    assert k % bands == 0, "k must divide into equal bands"
+    r = k // bands
+
+    def banded(st: DataFrame, out: str) -> DataFrame:
+        sigs = minhash_signatures_from_shingles(st, k, id_col)
+        return sigs.select(
+            F.col(id_col).alias(out),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.md5(F.concat_ws(",", *[F.col("sig")[b * r + i].cast("string") for i in range(r)]))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "band_hash"),
+        )
+
+    st_new = shingle_table(new_df, text_col, id_col, n)
+    st_corp = shingle_table(corpus_df, text_col, id_col, n)
+    if verify:
+        st_new = st_new.persist()
+        st_corp = st_corp.persist()
+    cands = (
+        banded(st_new, "new_id")
+        .join(banded(st_corp, "corpus_id"), ["band", "band_hash"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    if not verify:
+        return cands
+    shared = (
+        cands.join(st_new.select(F.col(id_col).alias("new_id"), "shingle"), "new_id")
+        .join(
+            st_corp.select(F.col(id_col).alias("corpus_id"), "shingle"),
+            ["corpus_id", "shingle"],
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = st_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("na")).select(
+        F.col(id_col).alias("new_id"), "na"
+    )
+    sb = st_corp.groupBy(id_col).agg(F.count(F.lit(1)).alias("nb")).select(
+        F.col(id_col).alias("corpus_id"), "nb"
+    )
+    return (
+        shared.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
 # ------------------------------------------------------------------ simhash
 
 

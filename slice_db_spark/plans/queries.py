@@ -879,6 +879,20 @@ def minhash_lsh(spark, sf_dir):
     return _LSH_PAIRS[sf_dir]
 
 
+def dedup_incremental(spark, sf_dir):
+    """Continuous-ingestion regime: an arriving batch (every 5th doc_id)
+    probed against the standing corpus (the rest) — asymmetric LSH, only
+    new×corpus candidates (`operators/dedup.py::incremental_lsh_pairs`)."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return dedup.incremental_lsh_pairs(
+        docs.where(F.col("doc_id") % 5 == 0),
+        docs.where(F.col("doc_id") % 5 != 0),
+        k=16,
+        bands=4,
+        threshold=0.5,
+    )
+
+
 def simhash_sigs(spark, sf_dir):
     return dedup.simhash_signatures(catalog(spark, sf_dir)["documents"], n=2, bits=32)
 
@@ -1825,6 +1839,28 @@ FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(shared / (sa.n + sb.n - shared), 6) >= 0.5
 """
 
+    # incremental probe: identical signature/shingle CTEs, asymmetric
+    # candidate join — every 5th doc is the "arriving batch", rest corpus
+    o["dedup_incremental"] = f"""
+WITH {_minhash_cte(16, 3)},
+bands AS (
+  SELECT doc_id, j // 4 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j)) AS band_hash
+  FROM mh GROUP BY doc_id, j // 4),
+cands AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+  FROM bands a JOIN bands b USING (band, band_hash)
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT new_id, corpus_id, count(*) AS shared
+  FROM cands JOIN sh a ON a.doc_id = new_id JOIN sh b ON b.doc_id = corpus_id
+  WHERE a.shingle = b.shingle GROUP BY 1, 2)
+SELECT new_id, corpus_id, round(shared / (sa.n + sb.n - shared), 6) AS jaccard
+FROM shared JOIN sizes sa ON sa.doc_id = new_id JOIN sizes sb ON sb.doc_id = corpus_id
+WHERE round(shared / (sa.n + sb.n - shared), 6) >= 0.5
+"""
+
     # components via WITH RECURSIVE: rep(id) = min id reachable from id
     # over the (undirected) near-dup pair edges
     o["dedup_clusters"] = f"""
@@ -2500,6 +2536,7 @@ def _all_queries():
         "dedup_containment": dedup_containment,
         "minhash_sigs": minhash_sigs,
         "minhash_lsh": minhash_lsh,
+        "dedup_incremental": dedup_incremental,
         "dedup_clusters": dedup_clusters,
         "simhash_sigs": simhash_sigs,
         "simhash_pairs": simhash_pairs,

@@ -288,3 +288,46 @@ def test_chunk_dedup_rewrite_drops_later_copies(spark):
     assert out[1]["text"] == blk + " tail one" and out[1]["n_dropped"] == 0
     assert out[2]["text"] == "tail two" and out[2]["n_dropped"] == 1
     assert out[3]["text"] == "" and out[3]["n_dropped"] == 1
+
+
+def test_incremental_lsh_only_cross_pairs(spark):
+    """Asymmetric probe: exact duplicates across the batch/corpus split
+    are found; corpus-internal and batch-internal duplicates are NOT
+    reported (that's the standing index's / intra-batch pass's job)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),              # corpus
+        (2, base + " extra"),   # corpus near-dup of 1 -> must NOT appear
+        (10, base),             # new: near-dup of corpus 1 and 2
+        (20, "completely different text about spark shuffles and parquet files"),
+        (30, "completely different text about spark shuffles and parquet files"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    new = df.where("doc_id >= 10")
+    corpus = df.where("doc_id < 10")
+    got = {(r.new_id, r.corpus_id) for r in
+           dedup.incremental_lsh_pairs(new, corpus, k=16, bands=4, threshold=0.5).collect()}
+    assert (10, 1) in got and (10, 2) in got
+    # 20/30 duplicate each other but are both NEW -> never emitted
+    assert all(a >= 10 and b < 10 for a, b in got)
+
+
+def test_incremental_lsh_jaccard_matches_symmetric(spark, catalog):
+    """The asymmetric probe's verified pairs == the symmetric LSH pairs
+    restricted to cross-split, with identical jaccard values."""
+    docs = catalog["documents"]
+    import pyspark.sql.functions as F
+    sym = set()
+    for r in dedup.minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.5).collect():
+        if (r.id_a % 5 == 0) != (r.id_b % 5 == 0):  # straddles the split
+            new, corp = (r.id_a, r.id_b) if r.id_a % 5 == 0 else (r.id_b, r.id_a)
+            sym.add((new, corp, r.jaccard))
+    inc = {
+        (r.new_id, r.corpus_id, r.jaccard)
+        for r in dedup.incremental_lsh_pairs(
+            docs.where(F.col("doc_id") % 5 == 0),
+            docs.where(F.col("doc_id") % 5 != 0),
+            k=16, bands=4, threshold=0.5,
+        ).collect()
+    }
+    assert inc == sym
