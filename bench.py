@@ -65,6 +65,8 @@ HEADLINE = [
     "token_rarity",
     "lm_score",
     "ngram_vocab",
+    "corpus_datasheet",
+    "html_extract",
     "pii_scrub",
     "source_cap",
     "decontam",

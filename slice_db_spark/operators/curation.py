@@ -351,3 +351,50 @@ def per_stratum_cap(
         .where(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+#: HTML entities the markup stripper decodes, in decode order.  ``&amp;``
+#: MUST come last: decoding it first would turn ``&amp;lt;`` into ``&lt;``
+#: and then a second pass into ``<`` — the classic double-decode bug (the
+#: reverse order is exactly the escape order).
+HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def strip_markup(col: Column | str) -> Column:
+    """Markup-to-text extraction (the trafilatura/jusText stage of a web
+    curation pipeline, reduced to its deterministic core): drop
+    ``<script>``/``<style>`` elements with their content, strip every
+    remaining tag, decode the five standard entities (``&amp;`` last —
+    see :data:`HTML_ENTITIES`), and squeeze whitespace.
+
+    Pure codegen (three regexes + five replaces); the DuckDB oracle runs
+    the identical RE2-safe patterns, so extraction fidelity is gated
+    cross-engine, not just spot-checked."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    c = F.regexp_replace(c, "<[^>]*>", " ")
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, "[ \\t\\r\\n]+", " "))
+
+
+def markup_stats(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document extraction report over an HTML column: the extracted
+    text, its length, and the tag count removed — the observability row a
+    curation run keeps when it drops the raw markup."""
+    tags = F.size(F.regexp_extract_all(F.col(html_col), F.lit("<[^>]*>"), F.lit(0)))
+    extracted = strip_markup(html_col)
+    return df.select(
+        F.col(id_col),
+        extracted.alias("extracted"),
+        F.length(extracted).alias("extracted_chars"),
+        tags.cast("bigint").alias("n_tags"),
+    )

@@ -380,3 +380,46 @@ def ngram_topk(
         .orderBy(F.desc("n_occ"), F.asc("gram"))
         .limit(k)
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    by: tuple = ("source", "lang"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The corpus *datasheet*: one row per (source, lang) stratum with
+    document/char/token volume and mean quality — the summary table every
+    curation run publishes next to its output.
+
+    Mean quality goes through per-document fixed-point (``round(1e4·q)``
+    as BIGINT) before summing: per-row doubles are bit-identical across
+    engines, but a *sum* of doubles is association-order-dependent, so
+    only integer accumulation keeps the stratum mean exact.  The mean
+    itself is ``floor(sum/n)`` in micro-quality units (BIGINT,
+    ``mean_quality_fx`` = 1e4 × quality): a ``round`` here would sit on
+    the decimal .5 boundary where Spark (shortest-string HALF_UP) and
+    DuckDB (binary-value) legitimately disagree — floor never does.  One
+    map-side-combinable aggregation; token counts ride the same pass."""
+    q = quality_score(df, text_col, id_col).select(
+        F.col(id_col),
+        F.round(F.col("quality_score") * F.lit(1e4)).cast("bigint").alias("__qfx"),
+    )
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in by],
+        F.length(text_col).alias("__chars"),
+        token_count(text_col).alias("__ntok"),
+        bpe_token_count(text_col).alias("__nbpe"),
+    )
+    return (
+        base.join(q, id_col)
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__chars").cast("bigint").alias("total_chars"),
+            F.sum("__ntok").cast("bigint").alias("total_tokens"),
+            F.sum("__nbpe").cast("bigint").alias("total_bpe_tokens"),
+            F.floor(F.sum("__qfx") / F.count(F.lit(1))).alias("mean_quality_fx"),
+        )
+    )

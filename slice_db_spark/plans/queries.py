@@ -967,6 +967,34 @@ def ngram_vocab(spark, sf_dir):
     return textops.ngram_topk(catalog(spark, sf_dir)["documents"], n=2, k=20)
 
 
+def corpus_datasheet(spark, sf_dir):
+    """Per-(source, lang) corpus datasheet: volumes + fixed-point mean
+    quality (`operators/text.py::corpus_report`)."""
+    return textops.corpus_report(catalog(spark, sf_dir)["documents"])
+
+
+def html_extract(spark, sf_dir):
+    """Markup-to-text extraction gate: documents wrapped in deterministic
+    HTML (title/style/h1/p/script/footer + entity-escaped ampersands — the
+    `_pii_blob` synthesis pattern), then stripped by
+    `operators/curation.py::strip_markup`; the oracle rebuilds and strips
+    the identical markup, so tag/entity/whitespace fidelity is
+    hash-gated."""
+    from ..operators.curation import markup_stats
+
+    docs = catalog(spark, sf_dir)["documents"]
+    html = F.concat(
+        F.lit("<html><head><title>d"),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><style>p{color:red}</style></head><body><h1>'),
+        F.col("source"),
+        F.lit('</h1><p class="main">'),
+        F.replace(F.col("text"), F.lit(" and "), F.lit(" &amp; ")),
+        F.lit('</p><script>var x=1;</script><footer>&copy; corp</footer></body></html>'),
+    )
+    return markup_stats(docs.select("doc_id", html.alias("html")))
+
+
 # ------------------------------------------------------- corpus curation
 
 SPLIT_WEIGHTS = {"train": 900, "val": 50, "test": 50}
@@ -2046,6 +2074,70 @@ WHERE k2.doc_id NOT IN (SELECT id FROM losers)
         FROM fx GROUP BY doc_id
     """)
 
+    # corpus datasheet: quality CTE per doc -> fixed-point mean per stratum
+    sw_list = ", ".join(f"'{w}'" for w in textops.STOPWORDS["en"])
+    bpe_pat = textops.BPE_PATTERN.replace("'", "''")
+    o["corpus_datasheet"] = _q(f"""
+        WITH q AS (
+          SELECT doc_id, source, lang,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+            {_toks_sql('text')} AS toks,
+            {_ntok_sql('text')} AS n_tok,
+            len(regexp_extract_all(text, '{bpe_pat}')) AS n_bpe
+          FROM documents),
+        r AS (
+          SELECT doc_id, source, lang, n_chars, n_tok, n_bpe,
+            least(n_chars / 500.0, 1.0) AS length_score,
+            alpha / greatest(n_chars, 1) AS alpha_ratio,
+            len(list_filter(toks, x -> list_contains([{sw_list}], x)))
+              / greatest(n_tok, 1) AS stopword_ratio,
+            len(list_distinct(toks)) / greatest(n_tok, 1) AS distinct_ratio
+          FROM q),
+        fx AS (
+          SELECT source, lang, n_chars, n_tok, n_bpe,
+            CAST(round(round((length_score + alpha_ratio + stopword_ratio
+                              + distinct_ratio) / 4.0, 4) * 1e4) AS BIGINT) AS qfx
+          FROM r)
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+               CAST(floor(CAST(sum(qfx) AS BIGINT) / count(*)) AS BIGINT)
+                 AS mean_quality_fx
+        FROM fx GROUP BY source, lang
+    """)
+
+    # markup extraction: rebuild the identical HTML, strip with the same
+    # RE2-safe patterns and entity decode order (&amp; LAST)
+    _html = (
+        "'<html><head><title>d' || CAST(doc_id AS VARCHAR)"
+        " || '</title><style>p{color:red}</style></head><body><h1>' || source"
+        " || '</h1><p class=\"main\">' || replace(text, ' and ', ' &amp; ')"
+        " || '</p><script>var x=1;</script>"
+        "<footer>&copy; corp</footer></body></html>'"
+    )
+    o["html_extract"] = _q(f"""
+        WITH h AS (SELECT doc_id, {_html} AS html FROM documents),
+        s1 AS (SELECT doc_id,
+                 regexp_replace(html,
+                   '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t,
+                 CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags
+               FROM h),
+        s2 AS (SELECT doc_id, n_tags,
+                 replace(replace(replace(replace(replace(
+                   regexp_replace(t, '<[^>]*>', ' ', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&amp;', '&') AS t
+               FROM s1)
+        SELECT doc_id,
+               trim(regexp_replace(t, '[ \t\r\n]+', ' ', 'g')) AS extracted,
+               CAST(length(trim(regexp_replace(t, '[ \t\r\n]+', ' ', 'g'))) AS BIGINT)
+                 AS extracted_chars,
+               n_tags
+        FROM s2
+    """)
+
     # top-k bigrams: occurrence-keeping grams via the shared shingle mirror
     o["ngram_vocab"] = _q(f"""
         WITH t AS (SELECT {_toks_sql('text')} AS toks FROM documents),
@@ -2548,6 +2640,8 @@ def _all_queries():
         "token_rarity": token_rarity,
         "lm_score": lm_score,
         "ngram_vocab": ngram_vocab,
+        "corpus_datasheet": corpus_datasheet,
+        "html_extract": html_extract,
         "pii_scrub": pii_scrub,
         "split_assign": split_assign,
         "decontam": decontam,

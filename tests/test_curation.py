@@ -265,3 +265,44 @@ def test_per_stratum_cap_deterministic_and_bounded(spark):
     # survivors under a smaller cap are a subset of a larger cap's
     small = {r["doc_id"] for r in per_stratum_cap(docs, cap=2).collect()}
     assert small <= {r["doc_id"] for r in out1}
+
+
+def test_strip_markup_entities_and_script_content(spark):
+    """Entity decode order (&amp; LAST — '&amp;lt;' must yield '&lt;' not
+    '<') and script/style content removal, not just tag removal."""
+    from slice_db_spark.operators.curation import markup_stats
+
+    rows = [
+        (1, '<p>a &amp; b</p>'),
+        (2, '<div>x<script type="t">alert("gone")</script>y</div>'),
+        (3, 'lit &amp;lt; stays'),
+        (4, '<style>p{x}</style>keep<br/>this &quot;q&#39;s&quot;'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, html string")
+    out = {r.doc_id: r.asDict() for r in markup_stats(df).collect()}
+    assert out[1]["extracted"] == "a & b" and out[1]["n_tags"] == 2
+    assert out[2]["extracted"] == "x y"  # alert("gone") content dropped
+    assert out[3]["extracted"] == "lit &lt; stays"  # no double decode
+    assert out[4]["extracted"] == 'keep this "q\'s"'
+
+
+def test_corpus_report_fixed_point_mean(spark):
+    """Stratum mean quality accumulates in integer micro-units, and the
+    volumes are straight sums."""
+    from slice_db_spark.operators.text import corpus_report, quality_score
+
+    rows = [
+        (1, "the quick brown fox jumps over it", "en", "s1"),
+        (2, "aaa aaa aaa aaa", "en", "s1"),
+        (3, "completely different words here now", "de", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string, source string")
+    q = {r.doc_id: r.quality_score for r in quality_score(df).collect()}
+    rep = {(r.source, r.lang): r.asDict() for r in corpus_report(df).collect()}
+    en = rep[("s1", "en")]
+    assert en["n_docs"] == 2
+    assert en["total_chars"] == len(rows[0][1]) + len(rows[1][1])
+    assert en["total_tokens"] == 7 + 4
+    want = (round(q[1] * 1e4) + round(q[2] * 1e4)) // 2
+    assert en["mean_quality_fx"] == want
+    assert rep[("s1", "de")]["n_docs"] == 1
