@@ -37,6 +37,7 @@ HEADLINE = [
     "q15_top_supplier",
     "q18_large_orders",
     "q19_disjunctive_revenue",
+    "orders_upsert",
     "window_top_orders",
     "events_moving_avg",
     "stream_dedup",

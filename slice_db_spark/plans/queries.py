@@ -568,6 +568,37 @@ def stream_dedup(spark, sf_dir):
     )
 
 
+def orders_upsert(spark, sf_dir):
+    """CDC merge gate (`operators/cdc.py::merge_upsert`): every 7th order
+    key receives a doubled-price update, keys ≡ 3 (mod 11) spawn
+    brand-new negative-key inserts, and the 7∩13 overlap (≡ 0 mod 91) is
+    tombstoned — update-wins, insert, and delete semantics all fire in one
+    gated result."""
+    from ..operators import cdc
+
+    c = catalog(spark, sf_dir)["orders"]
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    upd = c.where("o_orderkey % 7 = 0").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority",
+        (F.col("o_orderkey") % 13 == 0).alias("__del"),
+    )
+    ins = c.where("o_orderkey % 11 = 3").select(
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority", F.lit(False).alias("__del"),
+    )
+    merged = cdc.merge_upsert(c.select(*cols), upd.unionByName(ins),
+                              ["o_orderkey"], delete_col="__del")
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_date_us"),
+        "o_orderpriority",
+    )
+
+
 def salted_join_revenue(spark, sf_dir):
     """Skew-salted fact-to-dim join gated against the PLAIN join's oracle:
     `plans/scale.py::salted_join` must be result-identical by construction
@@ -1524,6 +1555,27 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
+    """)
+
+    o["orders_upsert"] = _q("""
+        WITH upd AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority,
+                 (o_orderkey % 13 = 0) AS del
+          FROM orders WHERE o_orderkey % 7 = 0
+          UNION ALL
+          SELECT -o_orderkey - 1, o_custkey, o_orderstatus, o_totalprice,
+                 o_orderdate, o_orderpriority, FALSE
+          FROM orders WHERE o_orderkey % 11 = 3),
+        kept AS (SELECT o.* FROM orders o
+                 ANTI JOIN upd u ON o.o_orderkey = u.o_orderkey)
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               epoch_us(o_orderdate) AS o_date_us, o_orderpriority
+        FROM kept
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               epoch_us(o_orderdate) AS o_date_us, o_orderpriority
+        FROM upd WHERE NOT del
     """)
 
     _REV = ("CAST(l_extendedprice AS DECIMAL(18,6))"
@@ -2602,6 +2654,7 @@ def _all_queries():
         "q15_top_supplier": q15_top_supplier,
         "q18_large_orders": q18_large_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "orders_upsert": orders_upsert,
         "salted_join_revenue": salted_join_revenue,
         "q5_region_revenue": q5_region_revenue,
         "window_top_orders": window_top_orders,

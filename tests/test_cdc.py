@@ -1,0 +1,46 @@
+"""CDC merge semantics (`operators/cdc.py`): update-wins, insert,
+tombstone, and untouched-base invariants on crafted rows."""
+
+from __future__ import annotations
+
+from slice_db_spark.operators.cdc import merge_upsert
+
+
+def test_merge_upsert_update_insert_delete(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k bigint, s string, v double",
+    )
+    updates = spark.createDataFrame(
+        [
+            (2, "B", 22.0, False),   # update wins
+            (3, "c", 30.0, True),    # tombstone: key vanishes
+            (9, "new", 99.0, False), # insert
+        ],
+        "k bigint, s string, v double, del boolean",
+    )
+    got = {r.k: (r.s, r.v) for r in merge_upsert(base, updates, ["k"], delete_col="del").collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 22.0), 4: ("d", 40.0), 9: ("new", 99.0)}
+
+
+def test_merge_upsert_no_delete_col_and_multi_key(spark):
+    base = spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", 2.0), (2, "x", 3.0)], "a bigint, b string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(1, "y", 20.0), (3, "z", 30.0)], "a bigint, b string, v double"
+    )
+    got = {(r.a, r.b): r.v for r in merge_upsert(base, updates, ["a", "b"]).collect()}
+    assert got == {(1, "x"): 1.0, (1, "y"): 20.0, (2, "x"): 3.0, (3, "z"): 30.0}
+
+
+def test_merge_upsert_idempotent(spark):
+    """Re-applying the same update batch is a no-op — the replay guarantee
+    a restartable ingestion pipeline leans on."""
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k bigint, v double")
+    upd = spark.createDataFrame([(2, 22.0), (5, 50.0)], "k bigint, v double")
+    once = merge_upsert(base, upd, ["k"])
+    twice = merge_upsert(once, upd, ["k"])
+    assert sorted((r.k, r.v) for r in twice.collect()) == sorted(
+        (r.k, r.v) for r in once.collect()
+    )
