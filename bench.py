@@ -38,6 +38,8 @@ HEADLINE = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "orders_upsert",
+    "revenue_rollup",
+    "status_pivot",
     "window_top_orders",
     "events_moving_avg",
     "stream_dedup",

@@ -568,6 +568,56 @@ def stream_dedup(spark, sf_dir):
     )
 
 
+def revenue_rollup(spark, sf_dir):
+    """Multi-level aggregate in one pass: ROLLUP(nation, priority) emits
+    leaf, per-nation subtotal, and grand-total rows with a grouping_id
+    discriminator — Spark's partial-aggregating grouping-sets expansion,
+    NOT three separate scans."""
+    c = catalog(spark, sf_dir)
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    j = (
+        c["lineitem"]
+        .join(c["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.rollup("n_name", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))).alias("_rev"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            F.col("gid").cast("bigint").alias("gid"),
+        )
+    )
+
+
+PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def status_pivot(spark, sf_dir):
+    """Pivot: order counts per status × priority, priorities widened to
+    columns (explicit value list, so the schema is static and the plan is
+    ONE partial-aggregating pass — no per-value scans)."""
+    c = catalog(spark, sf_dir)["orders"]
+    piv = (
+        c.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", PIVOT_PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("o_orderstatus")]
+    for p in PIVOT_PRIORITIES:
+        alias = "n_" + p.split("-")[0]
+        cols.append(F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("bigint").alias(alias))
+    return piv.select(*cols)
+
+
 def orders_upsert(spark, sf_dir):
     """CDC merge gate (`operators/cdc.py::merge_upsert`): every 7th order
     key receives a doubled-price update, keys ≡ 3 (mod 11) spawn
@@ -1555,6 +1605,31 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
+    """)
+
+    o["revenue_rollup"] = _q("""
+        SELECT coalesce(n_name, 'ALL') AS nation,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2)
+                    AS DOUBLE) AS revenue,
+               count(*) AS n_lines,
+               CAST(GROUPING(n_name, o_orderpriority) AS BIGINT) AS gid
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP(n_name, o_orderpriority)
+    """)
+
+    o["status_pivot"] = _q("""
+        SELECT o_orderstatus,
+               CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS n_1,
+               CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS n_2,
+               CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS n_3,
+               CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS n_4,
+               CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS n_5
+        FROM orders GROUP BY o_orderstatus
     """)
 
     o["orders_upsert"] = _q("""
@@ -2654,6 +2729,8 @@ def _all_queries():
         "q15_top_supplier": q15_top_supplier,
         "q18_large_orders": q18_large_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "revenue_rollup": revenue_rollup,
+        "status_pivot": status_pivot,
         "orders_upsert": orders_upsert,
         "salted_join_revenue": salted_join_revenue,
         "q5_region_revenue": q5_region_revenue,
