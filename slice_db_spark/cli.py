@@ -589,7 +589,7 @@ def main(argv: list[str] | None = None) -> int:
                    help="pyffx-compatible cipher for alphanumeric unique mode (reference golden parity)")
     d.add_argument(
         "--format",
-        choices=["parquet", "tsv", "zip"],
+        choices=["parquet", "orc", "tsv", "zip"],
         default="parquet",
         help="zip = single reference-layout zip64 archive (output is a .zip path)",
     )
@@ -630,7 +630,7 @@ def main(argv: list[str] | None = None) -> int:
 
     r = sub.add_parser("restore", help="materialize a slice in FK order")
     r.add_argument("--schema", required=True)
-    r.add_argument("--format", choices=["parquet", "tsv", "zip"], default="parquet")
+    r.add_argument("--format", choices=["parquet", "orc", "tsv", "zip"], default="parquet")
     r.add_argument("--url", help="restore into a live database (JDBC URL) instead of parquet")
     r.add_argument(
         "--include-schema",
@@ -675,7 +675,7 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--wordlist-dir", help="reference-layout wordlist directory")
     t.add_argument("--ffx-compat", action="store_true",
                    help="pyffx-compatible cipher for alphanumeric unique mode (reference golden parity)")
-    t.add_argument("--format", choices=["parquet", "tsv", "zip"], default="parquet")
+    t.add_argument("--format", choices=["parquet", "orc", "tsv", "zip"], default="parquet")
     t.add_argument("-j", "--jobs", type=int, default=1,
                    help="write transformed tables concurrently")
     t.add_argument("input", help="slice dir (or .zip archive with --format zip)")
@@ -717,13 +717,13 @@ def main(argv: list[str] | None = None) -> int:
     sc.set_defaults(fn=cmd_schema)
 
     vs = sub.add_parser("verify-slice", help="integrity-check a slice against its manifest")
-    vs.add_argument("--format", choices=["parquet", "tsv", "zip"], default="parquet")
+    vs.add_argument("--format", choices=["parquet", "orc", "tsv", "zip"], default="parquet")
     vs.add_argument("input", help="slice dir (or .zip with --format zip)")
     vs.set_defaults(fn=cmd_verify_slice)
 
     ds = sub.add_parser("diff-slice", help="key-level diff of two slices")
     ds.add_argument("--schema", required=True)
-    ds.add_argument("--format", choices=["parquet", "tsv"], default="parquet")
+    ds.add_argument("--format", choices=["parquet", "orc", "tsv"], default="parquet")
     ds.add_argument("a")
     ds.add_argument("b")
     ds.set_defaults(fn=cmd_diff_slice)

@@ -98,7 +98,7 @@ def _schema_section_path(out_dir: str, section: str, index: int) -> str:
 
 
 def _part_files(path: str, fmt: str) -> list[str]:
-    suffix = ".parquet" if fmt == "parquet" else ".txt"
+    suffix = {"parquet": ".parquet", "orc": ".orc"}.get(fmt, ".txt")
     return sorted(
         os.path.join(path, f)
         for f in os.listdir(path)
@@ -122,6 +122,10 @@ def _part_row_counts(path: str, fmt: str) -> list[tuple[str, int]]:
         import pyarrow.parquet as pq
 
         return [(p, pq.ParquetFile(p).metadata.num_rows) for p in _part_files(path, fmt)]
+    if fmt == "orc":
+        import pyarrow.orc as po
+
+        return [(p, po.ORCFile(p).nrows) for p in _part_files(path, fmt)]
     return [(p, _count_lines(p)) for p in _part_files(path, fmt)]
 
 
@@ -170,6 +174,8 @@ def write_slice(
         if fmt == "tsv":
             line = F.concat_ws("\t", *[copy_escape(F.col(c).cast("string")) for c in cols])
             out.select(line.alias("value")).write.mode("overwrite").text(path)
+        elif fmt == "orc":
+            out.write.mode("overwrite").orc(path)
         else:
             out.write.mode("overwrite").parquet(path)
         # Segment accounting from file METADATA, not a re-read: exactly one
@@ -228,6 +234,8 @@ def read_slice(
                 copy_unescape(parts.getItem(i)).alias(c) for i, c in enumerate(meta["columns"])
             ]
             tables[tid] = raw.select(*cols)
+        elif fmt == "orc":
+            tables[tid] = spark.read.orc(path).select(*meta["columns"])
         else:
             tables[tid] = spark.read.parquet(path).select(*meta["columns"])
     return tables, manifest

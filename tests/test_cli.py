@@ -527,3 +527,21 @@ def test_transform_field_ffx_compat_matches_reference_goldens(tmp_path):
     out = run_cli("transform-field", "--transform", str(p2), "--pepper", "abc",
                   "--ffx-compat", "", "abc")
     assert out == "grk\n"
+
+
+def test_dump_restore_orc_format(spark, schema_json, tmp_path):
+    """--format orc end-to-end: dump writes ORC slice parts, restore reads
+    them back and materializes the same rows."""
+    slice_dir = str(tmp_path / "slice_orc")
+    out = run_cli(
+        "dump", "--schema", schema_json, "--root", "customer", "c_custkey = 1",
+        "--format", "orc", SF_DIR, slice_dir,
+    )
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["rows"]["customer"] == 1
+    import glob
+    assert glob.glob(os.path.join(slice_dir, "customer", "part-*.orc"))
+
+    target = str(tmp_path / "restored_orc")
+    run_cli("restore", "--schema", schema_json, "--format", "orc", slice_dir, target)
+    assert spark.read.parquet(os.path.join(target, "customer")).count() == 1
