@@ -265,6 +265,21 @@ class Subsetter:
                 threading.Thread(target=warm, daemon=True).start()
         return scan_cols, scans
 
+    def _local_df(self, rows, schema: StructType) -> DataFrame:
+        """Driver rows → DataFrame via Arrow (pandas): the plain-list path
+        builds a Python-RDD plan that re-pickles every row through Python
+        workers on EVERY action — ~3× slower per action at driver-regime
+        sizes and re-paid by each consumer join.  Arrow ships columnar
+        bytes instead.  Falls back to the row path for Arrow-hostile
+        types."""
+        try:
+            import pandas as pd
+
+            pdf = pd.DataFrame(list(rows), columns=[f.name for f in schema.fields])
+            return self.spark.createDataFrame(pdf, schema)
+        except Exception:
+            return self.spark.createDataFrame(list(rows), schema)
+
     def _key_schema(self, t: str, extra_blocked: bool = False) -> StructType:
         fields = [
             StructField(c, self.catalog[t].schema[c].dataType, True) for c in self._keys(t)
@@ -379,9 +394,7 @@ class Subsetter:
                     novel = {tuple(v[i] for i in perm) for v in vals} - set(store.get(dst, {}))
                     if not novel:
                         continue
-                    key_df = self.spark.createDataFrame(
-                        sorted(novel), self._key_schema(dst)
-                    )
+                    key_df = self._local_df(sorted(novel), self._key_schema(dst))
                     jobs.append((rid, d, dst, by_key_rows(dst, key_df)))
                     continue
                 fields = StructType(
@@ -390,7 +403,7 @@ class Subsetter:
                         for i, c in enumerate(out_cols)
                     ]
                 )
-                local = self.spark.createDataFrame(list(vals), fields)
+                local = self._local_df(list(vals), fields)
                 cond = [F.col(c) == F.col(f"__k{i}") for i, c in enumerate(dst_cols)]
                 # no .distinct(): the downstream left_semi ignores build-side
                 # duplicates and the driver store dedups collected rows — a
@@ -459,7 +472,13 @@ class Subsetter:
         for t, rows in store.items():
             if not rows:
                 continue
-            keys[t] = self.spark.createDataFrame(list(rows.keys()), self._key_schema(t))
+            # Arrow construction (see _local_df) + lazy local checkpoint:
+            # the first action materializes JVM-side blocks and every later
+            # consumer (export joins, audits, manifest counts) reads those
+            # instead of re-shipping driver rows.
+            keys[t] = self._local_df(
+                list(rows.keys()), self._key_schema(t)
+            ).localCheckpoint(eager=False)
             row_counts[t] = len(rows)
         return SubsetResult(keys=keys, rounds=rounds, row_counts=row_counts, history=history)
 
@@ -680,4 +699,10 @@ class Subsetter:
         df = parts[0]
         for p in parts[1:]:
             df = df.union(p)
-        return df
+        # the union stacks every table's traversal partitioning (|tables| ×
+        # shuffle.partitions tasks for an audit-sized frame); coalesce —
+        # no shuffle — back to ONE session-width task wave.  The knob that
+        # sizes every other stage sizes this one too, so it stays
+        # proportional at cluster scale.
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        return df.coalesce(n)
