@@ -488,7 +488,7 @@ class Subsetter:
         for t, rows in store.items():
             if not rows:
                 continue
-            visited[t] = self.spark.createDataFrame(list(rows.keys()), self._key_schema(t))
+            visited[t] = self._local_df(list(rows.keys()), self._key_schema(t))
             vsize[t] = len(rows)
         for t, fr in frontier.items():
             data = []
@@ -497,7 +497,7 @@ class Subsetter:
                     data.extend((*k, tag) for tag in tags)
                 else:
                     data.append((*k, None))
-            fdfs[t] = self.spark.createDataFrame(data, self._key_schema(t, extra_blocked=True))
+            fdfs[t] = self._local_df(data, self._key_schema(t, extra_blocked=True))
             fsize[t] = len(data)
         return fdfs, fsize, visited, vsize, rounds_done
 
