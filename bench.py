@@ -69,6 +69,7 @@ HEADLINE = [
     "lm_score",
     "ngram_vocab",
     "corpus_datasheet",
+    "bm25_rank",
     "html_extract",
     "pii_scrub",
     "source_cap",

@@ -423,3 +423,66 @@ def corpus_report(
             F.floor(F.sum("__qfx") / F.count(F.lit(1))).alias("mean_quality_fx"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexical retrieval: BM25-shaped top-k scoring of the corpus against a
+    query string — the workhorse for benchmark-contamination lookups and
+    seed-document expansion in curation runs.
+
+    Scoring is the standard BM25 term shape — tf saturation ``tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl))`` times an idf weight — with ONE
+    documented deviation: idf is the *rational* Robertson form
+    ``(N − df + 0.5)/(df + 0.5)`` without the logarithm, because ln is the
+    one BM25 ingredient two engines won't reproduce bit-for-bit (ranking
+    changes only where log-idf would reorder terms of very different
+    rarity within one document's sum).  Every per-term contribution is
+    floored to integer micro-units before the per-document sum, so the
+    DuckDB oracle hash-matches exactly.
+
+    Scale shape: the query's term set is tiny and inlined as literals —
+    the corpus scan filters to matching tokens BEFORE any shuffle; tf/df
+    aggregate map-side; dl/avgdl ride a per-doc projection and one scalar.
+    TakeOrdered top-k, ``(score desc, id)`` deterministic tie-break."""
+    terms = sorted(set(t for t in query.lower().split() if t))
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t")).where(
+        F.col("__t") != ""
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")).first()
+    n_docs, avgdl = stats["n"], stats["total"] / stats["n"]
+    hits = toks.where(F.col("__t").isin(terms))
+    tf = hits.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(dfreq, "__t")
+        .join(dl, id_col)
+        .withColumn(
+            "__c",
+            F.floor(
+                F.lit(1e6)
+                * ((F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)))
+            ),
+        )
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(F.sum("__c").alias("score_fx"), F.count(F.lit(1)).alias("n_terms"))
+        .select(
+            F.col(id_col),
+            F.col("score_fx").cast("bigint").alias("score_fx"),
+            F.col("n_terms").cast("bigint").alias("n_terms"),
+        )
+        .orderBy(F.desc("score_fx"), id_col)
+        .limit(k)
+    )

@@ -1048,6 +1048,16 @@ def ngram_vocab(spark, sf_dir):
     return textops.ngram_topk(catalog(spark, sf_dir)["documents"], n=2, k=20)
 
 
+BM25_QUERY = "spark window batch stream"
+
+
+def bm25_rank(spark, sf_dir):
+    """Lexical BM25-shaped retrieval of the corpus against a fixed query
+    (`operators/text.py::bm25_topk` — rational idf + fixed-point floors,
+    so the oracle is exact)."""
+    return textops.bm25_topk(catalog(spark, sf_dir)["documents"], BM25_QUERY, k=20)
+
+
 def corpus_datasheet(spark, sf_dir):
     """Per-(source, lang) corpus datasheet: volumes + fixed-point mean
     quality (`operators/text.py::corpus_report`)."""
@@ -2201,6 +2211,30 @@ WHERE k2.doc_id NOT IN (SELECT id FROM losers)
         FROM fx GROUP BY doc_id
     """)
 
+    # BM25: rational idf, e-notation literals (plain 2.2 parses as DECIMAL
+    # in DuckDB and would change the arithmetic type lattice)
+    _terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY.lower().split())))
+    o["bm25_rank"] = _q(f"""
+        WITH tok AS (SELECT doc_id, t FROM
+                       (SELECT doc_id, unnest({_toks_sql('text')}) AS t FROM documents)
+                     WHERE t != ''),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) / count(*) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
+               WHERE t IN ({_terms}) GROUP BY 1, 2),
+        dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        c AS (SELECT doc_id,
+                CAST(floor(1e6
+                     * ((n - df + 0.5e0) / (df + 0.5e0))
+                     * (tf * 2.2e0)
+                     / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl))) AS BIGINT) AS c
+              FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN st)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_fx,
+               count(*) AS n_terms
+        FROM c GROUP BY doc_id
+        ORDER BY score_fx DESC, doc_id LIMIT 20
+    """)
+
     # corpus datasheet: quality CTE per doc -> fixed-point mean per stratum
     sw_list = ", ".join(f"'{w}'" for w in textops.STOPWORDS["en"])
     bpe_pat = textops.BPE_PATTERN.replace("'", "''")
@@ -2770,6 +2804,7 @@ def _all_queries():
         "token_rarity": token_rarity,
         "lm_score": lm_score,
         "ngram_vocab": ngram_vocab,
+        "bm25_rank": bm25_rank,
         "corpus_datasheet": corpus_datasheet,
         "html_extract": html_extract,
         "pii_scrub": pii_scrub,

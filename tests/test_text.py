@@ -90,3 +90,25 @@ def test_ngram_topk_counts_and_tiebreak(spark):
     rows = [(r.gram, r.n_occ) for r in ngram_topk(df, n=2, k=3).collect()]
     # "a b" x3; then ties ("b a", "b c") break lexicographically
     assert rows == [("a b", 3), ("b a", 1), ("b c", 1)]
+
+
+def test_bm25_topk_ranking_and_saturation(spark):
+    """BM25 invariants on crafted docs: more matching terms outrank
+    repetition of one term (tf saturation), non-matching docs are absent,
+    and ties break on doc_id."""
+    from slice_db_spark.operators.text import bm25_topk
+
+    df = _docs(spark, [
+        (1, "spark window"),                 # two distinct terms
+        (2, "spark spark spark spark"),      # one term, repeated
+        (3, "nothing relevant here at all"),
+        (4, "spark window"),                 # tie with doc 1
+    ])
+    rows = [(r.doc_id, r.score_fx, r.n_terms) for r in bm25_topk(df, "spark window").collect()]
+    ids = [r[0] for r in rows]
+    assert 3 not in ids
+    assert ids[0] == 1 and ids[1] == 4          # tie -> id order
+    assert rows[0][1] == rows[1][1]             # identical docs, equal score
+    d = dict((i, (s, n)) for i, s, n in rows)
+    assert d[1][1] == 2 and d[2][1] == 1
+    assert d[1][0] > d[2][0]                    # 2 terms beat saturated 1-term
