@@ -38,6 +38,7 @@ HEADLINE = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "orders_upsert",
+    "customer_scd2",
     "revenue_rollup",
     "status_pivot",
     "window_top_orders",

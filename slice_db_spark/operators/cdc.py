@@ -40,3 +40,54 @@ def merge_upsert(
     if delete_col is not None:
         live = updates.where(~F.col(delete_col)).drop(delete_col)
     return kept.unionByName(live)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    effective_col: str = "effective_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: close the current row of every
+    changed key and append one interval row per change, chaining multiple
+    changes to the same key within one batch.
+
+    ``dim`` rows carry ``[keys…, attrs…, valid_from, valid_to]`` with
+    ``valid_to IS NULL`` marking the current version; ``changes`` carry
+    ``[keys…, attrs…, effective_col]``.  Per key the change stream is
+    ordered by effective time (ties broken by the full attr tuple being
+    irrelevant — callers give distinct effective times per key): each
+    change's ``valid_to`` is the NEXT change's effective time (``lead``
+    window, NULL for the newest = new current row), and the previously
+    current dim row closes at the key's FIRST change.
+
+    Shapes: one ``lead`` window over the (small) change batch partitioned
+    by key, one aggregation for first-change times, one equi-join against
+    the dim's current rows — history rows never shuffle at all.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(effective_col)
+    new_rows = (
+        changes.withColumn(valid_from, F.col(effective_col))
+        .withColumn(valid_to, F.lead(effective_col).over(w))
+        .drop(effective_col)
+    )
+    first_change = changes.groupBy(*keys).agg(
+        F.min(effective_col).alias("__first_eff")
+    )
+    current = dim.where(F.col(valid_to).isNull())
+    history = dim.where(F.col(valid_to).isNotNull())
+    closed = (
+        current.join(first_change, keys, "left")
+        .withColumn(
+            valid_to,
+            F.when(F.col("__first_eff").isNotNull(), F.col("__first_eff")).otherwise(
+                F.col(valid_to)
+            ),
+        )
+        .drop("__first_eff")
+    )
+    return history.unionByName(closed).unionByName(new_rows)

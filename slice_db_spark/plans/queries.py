@@ -568,6 +568,31 @@ def stream_dedup(spark, sf_dir):
     )
 
 
+def customer_scd2(spark, sf_dir):
+    """SCD type-2 gate (`operators/cdc.py::scd2_apply`): customers become
+    a current-only dimension; every 9th key changes segment at t=1s and
+    every 27th changes AGAIN at t=2s, so closing, chaining, and the new
+    current row all fire.  Interval columns are BIGINT epoch-µs."""
+    from ..operators import cdc
+
+    c = catalog(spark, sf_dir)["customer"]
+    dim = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).cast("bigint").alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"),
+    )
+    ch1 = c.where("c_custkey % 9 = 1").select(
+        "c_custkey", F.lit("SEG-A").alias("segment"),
+        F.lit(1_000_000).cast("bigint").alias("eff"),
+    )
+    ch2 = c.where("c_custkey % 27 = 1").select(
+        "c_custkey", F.lit("SEG-B").alias("segment"),
+        F.lit(2_000_000).cast("bigint").alias("eff"),
+    )
+    return cdc.scd2_apply(dim, ch1.unionByName(ch2), ["c_custkey"], effective_col="eff")
+
+
 def revenue_rollup(spark, sf_dir):
     """Multi-level aggregate in one pass: ROLLUP(nation, priority) emits
     leaf, per-nation subtotal, and grand-total rows with a grouping_id
@@ -1615,6 +1640,28 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
+    """)
+
+    o["customer_scd2"] = _q("""
+        WITH dim AS (SELECT c_custkey, c_mktsegment AS segment,
+                            CAST(0 AS BIGINT) AS valid_from,
+                            CAST(NULL AS BIGINT) AS valid_to
+                     FROM customer),
+        ch AS (SELECT c_custkey, 'SEG-A' AS segment,
+                      CAST(1000000 AS BIGINT) AS eff
+               FROM customer WHERE c_custkey % 9 = 1
+               UNION ALL
+               SELECT c_custkey, 'SEG-B', CAST(2000000 AS BIGINT)
+               FROM customer WHERE c_custkey % 27 = 1),
+        new_rows AS (SELECT c_custkey, segment, eff AS valid_from,
+                            lead(eff) OVER (PARTITION BY c_custkey ORDER BY eff)
+                              AS valid_to
+                     FROM ch),
+        fc AS (SELECT c_custkey, min(eff) AS fe FROM ch GROUP BY 1),
+        closed AS (SELECT d.c_custkey, d.segment, d.valid_from,
+                          coalesce(fe, d.valid_to) AS valid_to
+                   FROM dim d LEFT JOIN fc USING (c_custkey))
+        SELECT * FROM closed UNION ALL SELECT * FROM new_rows
     """)
 
     o["revenue_rollup"] = _q("""
@@ -2763,6 +2810,7 @@ def _all_queries():
         "q15_top_supplier": q15_top_supplier,
         "q18_large_orders": q18_large_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "customer_scd2": customer_scd2,
         "revenue_rollup": revenue_rollup,
         "status_pivot": status_pivot,
         "orders_upsert": orders_upsert,

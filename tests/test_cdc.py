@@ -44,3 +44,31 @@ def test_merge_upsert_idempotent(spark):
     assert sorted((r.k, r.v) for r in twice.collect()) == sorted(
         (r.k, r.v) for r in once.collect()
     )
+
+
+def test_scd2_close_chain_and_untouched(spark):
+    """SCD2: first change closes the current row, in-batch changes chain
+    (each valid_to = next effective), last change is the open current row,
+    untouched keys and existing history pass through unmodified."""
+    from slice_db_spark.operators.cdc import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (1, "old", 0, 50),      # history row (already closed)
+            (1, "cur", 50, None),   # current, will be changed twice
+            (2, "keep", 0, None),   # untouched
+        ],
+        "k bigint, attr string, valid_from bigint, valid_to bigint",
+    )
+    changes = spark.createDataFrame(
+        [(1, "v1", 100), (1, "v2", 200)], "k bigint, attr string, eff bigint"
+    )
+    got = {(r.k, r.attr): (r.valid_from, r.valid_to)
+           for r in scd2_apply(dim, changes, ["k"], effective_col="eff").collect()}
+    assert got == {
+        (1, "old"): (0, 50),        # history untouched
+        (1, "cur"): (50, 100),      # closed at FIRST change
+        (1, "v1"): (100, 200),      # chained
+        (1, "v2"): (200, None),     # new current
+        (2, "keep"): (0, None),     # untouched key stays current
+    }
