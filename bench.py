@@ -39,6 +39,9 @@ HEADLINE = [
     "q19_disjunctive_revenue",
     "orders_upsert",
     "customer_scd2",
+    "profile_orders",
+    "balance_deciles",
+    "customer_set_ops",
     "revenue_rollup",
     "status_pivot",
     "window_top_orders",

@@ -568,6 +568,61 @@ def stream_dedup(spark, sf_dir):
     )
 
 
+def profile_orders(spark, sf_dir):
+    """Data-profiling sweep: per-column null and distinct counts for the
+    orders table in ONE aggregation pass (every count/countDistinct rides
+    the same scan), unpivoted to a (column, n_nulls, n_distinct) report —
+    the first query run against any newly-landed dataset."""
+    c = catalog(spark, sf_dir)["orders"]
+    aggs = []
+    for col in c.columns:
+        aggs.append((F.count(F.lit(1)) - F.count(col)).alias(f"__n_{col}"))
+        aggs.append(F.countDistinct(col).alias(f"__d_{col}"))
+    row = c.agg(*aggs)
+    stack = ", ".join(f"'{col}', __n_{col}, __d_{col}" for col in c.columns)
+    return row.select(
+        F.expr(f"stack({len(c.columns)}, {stack}) AS (column_name, n_nulls, n_distinct)")
+    ).select(
+        "column_name",
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+    )
+
+
+def balance_deciles(spark, sf_dir):
+    """Ranking-function family: ntile / percent_rank / cume_dist over one
+    segment-partitioned, fully tie-broken window (never a global sort;
+    percent_rank and cume_dist are integer ratios, so exact)."""
+    from pyspark.sql.window import Window
+
+    c = catalog(spark, sf_dir)["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+        # fixed-point floors, not round(…, 6): rank ratios land exactly on
+        # decimal .5 boundaries where the engines' double rounding differs
+        F.floor(F.lit(1e6) * F.percent_rank().over(w)).alias("pct_rank_fx"),
+        F.floor(F.lit(1e6) * F.cume_dist().over(w)).alias("cume_fx"),
+    )
+
+
+def customer_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT surfaces: customers holding the top balance
+    band versus customers with urgent orders, tagged by which set
+    operation produced them."""
+    c = catalog(spark, sf_dir)
+    rich = c["customer"].where("c_acctbal > 5000").select("c_custkey")
+    urgent = (
+        c["orders"].where("o_orderpriority = '1-URGENT'")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    both = rich.intersect(urgent).select(F.lit("both").alias("op"), "c_custkey")
+    only_rich = rich.subtract(urgent).select(F.lit("only_rich").alias("op"), "c_custkey")
+    return both.unionByName(only_rich)
+
+
 def customer_scd2(spark, sf_dir):
     """SCD type-2 gate (`operators/cdc.py::scd2_apply`): customers become
     a current-only dimension; every 9th key changes segment at t=1s and
@@ -1640,6 +1695,35 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
+    """)
+
+    _ORDERS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                    "o_orderdate", "o_orderpriority"]
+    o["profile_orders"] = _q(" UNION ALL ".join(
+        f"SELECT '{col}' AS column_name,"
+        f" count(*) - count({col}) AS n_nulls,"
+        f" CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct FROM orders"
+        for col in _ORDERS_COLS
+    ))
+
+    o["balance_deciles"] = _q("""
+        SELECT c_custkey, c_mktsegment,
+               CAST(ntile(10) OVER w AS BIGINT) AS decile,
+               CAST(floor(1e6 * percent_rank() OVER w) AS BIGINT) AS pct_rank_fx,
+               CAST(floor(1e6 * cume_dist() OVER w) AS BIGINT) AS cume_fx
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """)
+
+    o["customer_set_ops"] = _q("""
+        WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+        urgent AS (SELECT o_custkey AS c_custkey FROM orders
+                   WHERE o_orderpriority = '1-URGENT')
+        SELECT 'both' AS op, c_custkey FROM
+          (SELECT c_custkey FROM rich INTERSECT SELECT c_custkey FROM urgent)
+        UNION ALL
+        SELECT 'only_rich' AS op, c_custkey FROM
+          (SELECT c_custkey FROM rich EXCEPT SELECT c_custkey FROM urgent)
     """)
 
     o["customer_scd2"] = _q("""
@@ -2810,6 +2894,9 @@ def _all_queries():
         "q15_top_supplier": q15_top_supplier,
         "q18_large_orders": q18_large_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "profile_orders": profile_orders,
+        "balance_deciles": balance_deciles,
+        "customer_set_ops": customer_set_ops,
         "customer_scd2": customer_scd2,
         "revenue_rollup": revenue_rollup,
         "status_pivot": status_pivot,
