@@ -1,0 +1,84 @@
+"""Streaming CDC: continuously apply a change stream to a parquet
+dimension with MERGE semantics.
+
+Complements `..streaming.corpus` (append-only ingestion) with the other
+standing-dataset maintenance shape: updates/inserts/tombstones arriving as
+JSONL change rows, folded into the dimension per micro-batch via
+`..operators.cdc.merge_upsert`.
+
+Idempotency model: an epoch REPLAYED from the checkpoint re-merges the
+same change batch into a dimension that already absorbed it — update-wins
+re-replaces identical rows, insert keys are already present and get
+re-replaced, tombstoned keys are already gone — so the merge is a fixed
+point and replays cannot corrupt the dimension.  (Replaying OLD epochs out
+of order would regress values — that is the checkpoint's job to prevent,
+the same contract as any CDC consumer.)
+
+Scale notes: the per-batch merge is one anti-join of the dimension against
+the batch's key set (see `merge_upsert`); the rewrite goes to a staging
+directory first and swaps in whole, so a crash mid-write never leaves a
+half-written dimension.  At warehouse scale the swap becomes a
+partition-level replace (overwrite only the key-space partitions the batch
+touches).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.cdc import merge_upsert
+
+
+def upsert_stream(
+    spark: SparkSession,
+    in_path: str,
+    dim_path: str,
+    checkpoint: str,
+    keys: list[str],
+    changes_schema: str,
+    order_col: str | None = None,
+    delete_col: str | None = None,
+    available_now: bool = True,
+):
+    """Start (and with ``available_now`` drain) the change stream: JSONL
+    files in ``in_path`` → per-batch last-writer-wins collapse (by
+    ``order_col``, which callers keep unique per key within a batch) →
+    `merge_upsert` into the parquet dimension at ``dim_path``.  Returns
+    the StreamingQuery."""
+    from pyspark.sql.window import Window
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        b = batch
+        if order_col is not None:
+            w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+            b = (
+                b.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn", order_col)
+            )
+        spark_b = batch.sparkSession
+        if os.path.isdir(dim_path):
+            base = spark_b.read.parquet(dim_path)
+            merged = merge_upsert(base, b, keys, delete_col=delete_col)
+        elif delete_col is not None:
+            merged = b.where(~F.col(delete_col)).drop(delete_col)
+        else:
+            merged = b
+        staging = dim_path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(dim_path):
+            shutil.rmtree(dim_path)
+        os.replace(staging, dim_path)
+
+    stream = spark.readStream.schema(changes_schema).json(in_path)
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

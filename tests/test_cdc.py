@@ -72,3 +72,54 @@ def test_scd2_close_chain_and_untouched(spark):
         (1, "v2"): (200, None),     # new current
         (2, "keep"): (0, None),     # untouched key stays current
     }
+
+
+def test_upsert_stream_multi_batch_and_checkpoint_noop(spark, tmp_path):
+    """Streaming CDC: batches apply in file-mtime order (update chain,
+    tombstone, insert); a re-run over the same checkpoint is a no-op."""
+    import json
+    import os
+
+    from slice_db_spark.streaming.cdc import upsert_stream
+
+    land = tmp_path / "changes"
+    land.mkdir()
+    dim = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k bigint, v string, seq bigint, del boolean"
+
+    def write_batch(name, rows, mtime):
+        p = land / name
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    # batch 1: two inserts + an in-batch chain on k=1 (seq decides)
+    write_batch("b1.jsonl", [
+        {"k": 1, "v": "a0", "seq": 1, "del": False},
+        {"k": 1, "v": "a1", "seq": 2, "del": False},
+        {"k": 2, "v": "b", "seq": 1, "del": False},
+    ], 1_000_000_000)
+
+    def run():
+        upsert_stream(spark, str(land), dim, ckpt, ["k"], schema,
+                      order_col="seq", delete_col="del")
+
+    run()
+    got = {r.k: r.v for r in spark.read.parquet(dim).collect()}
+    assert got == {1: "a1", 2: "b"}
+
+    # batch 2 (newer mtime): update k=1, tombstone k=2, insert k=3
+    write_batch("b2.jsonl", [
+        {"k": 1, "v": "a2", "seq": 3, "del": False},
+        {"k": 2, "v": "x", "seq": 2, "del": True},
+        {"k": 3, "v": "c", "seq": 1, "del": False},
+    ], 1_000_000_100)
+    run()
+    got = {r.k: r.v for r in spark.read.parquet(dim).collect()}
+    assert got == {1: "a2", 3: "c"}
+
+    # no new files: drained checkpoint -> dimension untouched
+    before = sorted(os.listdir(dim))
+    run()
+    assert sorted(os.listdir(dim)) == before
+    assert {r.k: r.v for r in spark.read.parquet(dim).collect()} == {1: "a2", 3: "c"}
