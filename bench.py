@@ -40,6 +40,8 @@ HEADLINE = [
     "orders_upsert",
     "customer_scd2",
     "profile_orders",
+    "lineitem_key_skew",
+    "nation_participation",
     "balance_deciles",
     "customer_set_ops",
     "revenue_rollup",

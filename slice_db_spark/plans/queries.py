@@ -568,6 +568,30 @@ def stream_dedup(spark, sf_dir):
     )
 
 
+def lineitem_key_skew(spark, sf_dir):
+    """Join-key skew diagnostic (`plans/scale.py::key_skew`): the top-10
+    heaviest l_orderkey values with exact ppm shares — the number that
+    decides whether `salted_join` is worth it."""
+    from .scale import key_skew
+
+    return key_skew(catalog(spark, sf_dir)["lineitem"], ["l_orderkey"], k=10)
+
+
+def nation_participation(spark, sf_dir):
+    """FULL OUTER join surface: per-nation customer and supplier counts
+    merged so nations missing either side still appear (count coalesced
+    to zero) — the reconciliation-report shape."""
+    c = catalog(spark, sf_dir)
+    cust = c["customer"].groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust"))
+    supp = c["supplier"].groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_supp"))
+    j = cust.join(supp, cust["c_nationkey"] == supp["s_nationkey"], "full_outer")
+    return j.select(
+        F.coalesce(cust["c_nationkey"], supp["s_nationkey"]).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).cast("bigint").alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).cast("bigint").alias("n_supp"),
+    )
+
+
 def profile_orders(spark, sf_dir):
     """Data-profiling sweep: per-column null and distinct counts for the
     orders table in ONE aggregation pass (every count/countDistinct rides
@@ -1705,6 +1729,25 @@ def oracle_sql() -> dict[str, str]:
         f" CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct FROM orders"
         for col in _ORDERS_COLS
     ))
+
+    o["lineitem_key_skew"] = _q("""
+        WITH t AS (SELECT count(*) AS total FROM lineitem)
+        SELECT l_orderkey, count(*) AS n_rows,
+               CAST(floor(1e6 * count(*) / (SELECT total FROM t)) AS BIGINT) AS ppm
+        FROM lineitem GROUP BY l_orderkey
+        ORDER BY n_rows DESC, l_orderkey LIMIT 10
+    """)
+
+    o["nation_participation"] = _q("""
+        WITH cu AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+                    FROM customer GROUP BY 1),
+        su AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+               FROM supplier GROUP BY 1)
+        SELECT coalesce(cu.nk, su.nk) AS nationkey,
+               coalesce(n_cust, 0) AS n_cust,
+               coalesce(n_supp, 0) AS n_supp
+        FROM cu FULL OUTER JOIN su ON cu.nk = su.nk
+    """)
 
     o["balance_deciles"] = _q("""
         SELECT c_custkey, c_mktsegment,
@@ -2894,6 +2937,8 @@ def _all_queries():
         "q15_top_supplier": q15_top_supplier,
         "q18_large_orders": q18_large_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "lineitem_key_skew": lineitem_key_skew,
+        "nation_participation": nation_participation,
         "profile_orders": profile_orders,
         "balance_deciles": balance_deciles,
         "customer_set_ops": customer_set_ops,

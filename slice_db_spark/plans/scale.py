@@ -69,3 +69,28 @@ def salted_join(
     )
     out = b.join(s, on + [salt_col], how)
     return out.drop(salt_col)
+
+
+def key_skew(
+    df: DataFrame, cols: list[str], k: int = 10
+) -> DataFrame:
+    """The skew diagnostic that DECIDES when `salted_join` is worth it:
+    top-k heaviest join keys with their share of all rows in parts-per-
+    million (integer ratio — exact cross-engine).
+
+    One map-side-combinable aggregation + TakeOrdered; run it on a join's
+    key columns before shipping the join — a top key holding >1/parallelism
+    of the rows will straggle one task and wants salting (or AQE skew
+    splitting, which only helps at partition granularity)."""
+    total = df.count()
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            *cols,
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.floor(F.lit(1_000_000) * F.col("n_rows") / F.lit(total)).alias("ppm"),
+        )
+        .orderBy(F.desc("n_rows"), *cols)
+        .limit(k)
+    )
