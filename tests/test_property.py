@@ -289,3 +289,76 @@ def test_chunk_dedup_matches_python_model(spark, docs):
         want[i] = (len(chunks), n_dup, kept)
     for i, (n, d, k) in want.items():
         assert (got[i]["n_chunks"], got[i]["dup_chunks"], got[i]["kept_tokens"]) == (n, d, k), i
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 50), st.booleans()),
+        max_size=12,
+    ),
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 50)), min_size=1, max_size=8),
+)
+@settings(max_examples=30, deadline=None)
+def test_merge_upsert_model_equivalence(spark, changes, base_rows):
+    """merge_upsert == the dict model: apply updates (dedup to one row per
+    key first, as the contract requires), delete tombstones."""
+    from slice_db_spark.operators.cdc import merge_upsert
+
+    base = {}
+    for k, v in base_rows:
+        base[k] = v
+    # contract: at most one change row per key — collapse by LAST occurrence
+    chg = {}
+    for k, v, d in changes:
+        chg[k] = (v, d)
+    model = dict(base)
+    for k, (v, d) in chg.items():
+        if d:
+            model.pop(k, None)
+        else:
+            model[k] = v
+
+    bdf = spark.createDataFrame(list(base.items()), "k bigint, v bigint")
+    if chg:
+        cdf = spark.createDataFrame(
+            [(k, v, d) for k, (v, d) in chg.items()], "k bigint, v bigint, del boolean"
+        )
+        out = merge_upsert(bdf, cdf, ["k"], delete_col="del")
+    else:
+        out = bdf
+    assert {(r.k, r.v) for r in out.collect()} == set(model.items())
+
+
+@given(
+    st.dictionaries(
+        st.integers(0, 3),
+        st.lists(st.integers(1, 100), min_size=1, max_size=4, unique=True),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_scd2_intervals_partition_timeline(spark, changes_by_key):
+    """SCD2 invariant: per key, the produced intervals tile [0, inf) with
+    no gaps or overlaps, and exactly one row stays open."""
+    from slice_db_spark.operators.cdc import scd2_apply
+
+    keys = sorted(changes_by_key)
+    dim = spark.createDataFrame(
+        [(k, -1, 0, None) for k in keys],
+        "k bigint, attr bigint, valid_from bigint, valid_to bigint",
+    )
+    rows = [
+        (k, t, t) for k, ts in changes_by_key.items() for t in sorted(ts)
+    ]
+    ch = spark.createDataFrame(rows, "k bigint, attr bigint, eff bigint")
+    out = scd2_apply(dim, ch, ["k"], effective_col="eff").collect()
+    for k in keys:
+        ivs = sorted(
+            (r.valid_from, r.valid_to) for r in out if r.k == k
+        )
+        assert ivs[0][0] == 0
+        opens = [iv for iv in ivs if iv[1] is None]
+        assert len(opens) == 1 and ivs[-1] == opens[0]
+        for (a, b), (c, d) in zip(ivs, ivs[1:]):
+            assert b == c  # contiguous: close of one = open of next
