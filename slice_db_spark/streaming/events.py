@@ -324,3 +324,115 @@ def rollup_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+SESSION_CLOSE_SCHEMA = "user_id bigint, n_events bigint, sum_value double, session_end_us bigint"
+
+
+def session_close_tws(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Gap-closed session summaries via Spark 4's ``transformWithState``
+    API — the arbitrary-stateful successor to ``applyInPandasWithState``
+    (`user_activity_state` above), demonstrated with the two features the
+    old API lacks: typed VALUE STATE and EVENT-TIME TIMERS.
+
+    Per user the processor accumulates (n, Σvalue, last event time) in a
+    value state; every batch it re-registers ONE timer at
+    ``last_event + gap``.  When the watermark passes that point the timer
+    fires, the closed session row is emitted (append mode — each session
+    exactly once), and the state is cleared.  State size is fixed per
+    live user; expired users leave nothing behind — the 100 TB/continuous
+    story the rollup sink and watermarked aggregates share.
+
+    Batch inputs have no timer machinery: the batch path emits the same
+    summaries via `sessionized_counts`-style gap windows, keeping the
+    unified-API contract the other streaming operators follow.
+    """
+    gap_us = _interval_us(gap)
+    events = _event_time(events)
+    if not events.isStreaming:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts")
+        us = F.unix_micros(F.col("ts"))
+        gap_flag = F.when(
+            us - F.unix_micros(F.lag("ts").over(w)) > gap_us, F.lit(1)
+        ).otherwise(F.lit(0))
+        sess = F.sum(gap_flag).over(w)
+        return (
+            events.withColumn("__sess", sess)
+            .groupBy("user_id", "__sess")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+                (F.max(us) + F.lit(gap_us)).alias("session_end_us"),
+            )
+            .select("user_id", "n_events", "sum_value", "session_end_us")
+        )
+
+    try:
+        import google.protobuf  # noqa: F401  (state-server wire format)
+    except ImportError as e:
+        raise ImportError(
+            "the transformWithState streaming path needs Spark's runtime "
+            "dependency 'protobuf' (public PyPI package; absent in this "
+            "environment) — the batch path of session_close_tws works "
+            "without it, and applyInPandasWithState (`user_activity_state`) "
+            "covers protobuf-free custom streaming state"
+        ) from e
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    class SessionCloser(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._agg = handle.getValueState("agg", "n BIGINT, sv DOUBLE, last_us BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            n, sv, last_us = (
+                self._agg.get() if self._agg.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                sv += float(pdf["value"].sum())
+                last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+            self._agg.update((n, sv, last_us))
+            # one live timer per user: drop the stale one, arm at last+gap
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(last_us // 1000 + gap_us // 1000)
+            return iter(())  # append mode: emit only on closure
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo: ExpiredTimerInfo):
+            if self._agg.exists():
+                n, sv, last_us = self._agg.get()
+                self._agg.clear()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "sum_value": [sv],
+                        "session_end_us": [last_us + gap_us],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionCloser(),
+            outputStructType=SESSION_CLOSE_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

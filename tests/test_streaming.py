@@ -300,3 +300,79 @@ def test_rollup_incremental_exactly_once(spark, events_batch, tmp_path_factory):
         k = (r["window_start"], r["event_type"])
         assert want[k][0] == r["n"], k
     assert n > 0
+
+
+def _us(s_):
+    import datetime
+
+    return int(datetime.datetime.fromisoformat(s_).timestamp() * 1_000_000)
+
+
+def test_session_close_tws_batch_path(spark):
+    """Unified-API batch path of the transformWithState session closer:
+    gap sessionization summaries, one row per closed-or-open session."""
+    from slice_db_spark.streaming.events import session_close_tws
+
+    us = _us
+    gap_us = 10 * 60 * 1_000_000
+    batch_df = spark.createDataFrame(
+        [(1, 1, "2024-01-01 02:00:00", 1.0), (2, 1, "2024-01-01 02:05:00", 2.0),
+         (3, 2, "2024-01-01 02:00:00", 5.0), (4, 1, "2024-01-01 03:00:00", 7.0)],
+        "event_id bigint, user_id bigint, ts string, value double",
+    ).selectExpr("event_id", "user_id", "cast(ts as timestamp) ts", "value")
+    bgot = {
+        (r.user_id, r.n_events, r.sum_value, r.session_end_us)
+        for r in session_close_tws(batch_df, gap="10 minutes").collect()
+    }
+    assert bgot == {
+        (1, 2, 3.0, us("2024-01-01 02:05:00") + gap_us),
+        (1, 1, 7.0, us("2024-01-01 03:00:00") + gap_us),  # new session after gap
+        (2, 1, 5.0, us("2024-01-01 02:00:00") + gap_us),
+    }
+
+
+def test_session_close_tws_streaming_timers(spark, tmp_path):
+    """transformWithState streaming path: event-time timers fire once the
+    watermark passes last_event+gap, each closed session emits exactly
+    once (append), state clears.  Needs Spark's protobuf runtime
+    dependency — absent in this sandbox, so this skips (same pattern as
+    the live-PostgreSQL tests)."""
+    import json
+    import os
+
+    import pytest
+
+    from slice_db_spark.streaming.events import session_close_tws
+
+    pytest.importorskip("google.protobuf")
+    us = _us
+    gap_us = 10 * 60 * 1_000_000
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+    def batch(name, rows, mtime):
+        p = d / name
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    batch("b1.jsonl", [
+        {"event_id": 1, "ts": "2024-01-01 02:00:00", "user_id": 1, "event_type": "a", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01 02:05:00", "user_id": 1, "event_type": "a", "value": 2.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01 02:00:00", "user_id": 2, "event_type": "a", "value": 5.0, "props": "{}"},
+    ], 1_700_000_000)
+    batch("b2.jsonl", [
+        {"event_id": 4, "ts": "2024-01-01 03:00:00", "user_id": 1, "event_type": "a", "value": 7.0, "props": "{}"},
+        {"event_id": 5, "ts": "2024-01-01 05:00:00", "user_id": 9, "event_type": "a", "value": 0.0, "props": "{}"},
+    ], 1_700_000_100)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(d))
+    out = session_close_tws(stream, gap="10 minutes", watermark="1 minute")
+    got = {
+        (r.user_id, r.n_events, r.sum_value, r.session_end_us)
+        for r in run_stream_to_memory(spark, out, "t_tws").collect()
+    }
+    assert (1, 2, 3.0, us("2024-01-01 02:05:00") + gap_us) in got
+    assert (2, 1, 5.0, us("2024-01-01 02:00:00") + gap_us) in got
+    assert all(u in (1, 2) for u, *_ in got), got
