@@ -541,6 +541,35 @@ def cmd_schema_infer(args) -> int:
     return 0
 
 
+def cmd_queries(args) -> int:
+    """List the registered analytic queries (the driver-contract registry)
+    with a marker for entries carrying a cross-engine SQL oracle."""
+    from .plans import queries as Q
+
+    oracles = set(Q.oracle_sql())
+    for name in Q.queries():
+        print(f"{name}\t{'oracle' if name in oracles else 'rows-only'}")
+    return 0
+
+
+def cmd_plan(args) -> int:
+    """Print a registered query's physical plan (`explain formatted`) —
+    the per-query view of the PLANS.md audit, for eyeballing pushdown,
+    broadcasts, and partial aggregates before shipping a change."""
+    from .plans import queries as Q
+
+    qs = Q.queries()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; run 'queries' to list", file=sys.stderr)
+        return 2
+    from .session import get_spark
+
+    spark = get_spark("slicedb-spark-plan")
+    df = qs[args.name](spark, args.sf_dir)
+    df.explain(mode=args.mode)
+    return 0
+
+
 def cmd_transform_field(args) -> int:
     from .functions.transforms import build_registry
 
@@ -731,6 +760,16 @@ def main(argv: list[str] | None = None) -> int:
     si = sub.add_parser("schema-infer", help="schema config skeleton from parquet dir")
     si.add_argument("input")
     si.set_defaults(fn=cmd_schema_infer)
+
+    qs = sub.add_parser("queries", help="list registered analytic queries")
+    qs.set_defaults(fn=cmd_queries)
+
+    pl = sub.add_parser("plan", help="print a registered query's physical plan")
+    pl.add_argument("name")
+    pl.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pl.add_argument("--mode", default="formatted",
+                    choices=["simple", "extended", "formatted", "cost", "codegen"])
+    pl.set_defaults(fn=cmd_plan)
 
     tf = sub.add_parser("transform-field", help="transform one value")
     tf.add_argument("--transform", required=True)

@@ -545,3 +545,20 @@ def test_dump_restore_orc_format(spark, schema_json, tmp_path):
     target = str(tmp_path / "restored_orc")
     run_cli("restore", "--schema", schema_json, "--format", "orc", slice_dir, target)
     assert spark.read.parquet(os.path.join(target, "customer")).count() == 1
+
+
+def test_queries_and_plan_cli(spark, capsys):
+    out = run_cli("queries")
+    lines = dict(l.split("\t") for l in out.strip().splitlines())
+    assert lines["root_scan"] == "oracle" and lines["scrub_pseudonym"] == "rows-only"
+    assert len(lines) >= 90
+    # plan: formatted explain of a registered query reaches stdout
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main(["plan", "root_scan", "--sf-dir", SF_DIR])
+    assert rc == 0
+    assert "Physical Plan" in buf.getvalue() and "PushedFilters" in buf.getvalue()
+    # unknown name: clean exit 2
+    assert cli.main(["plan", "nope"]) == 2
