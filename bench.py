@@ -63,6 +63,7 @@ HEADLINE = [
     "length_quantiles",
     "minhash_lsh",
     "dedup_incremental",
+    "lsh_recall",
     "dedup_clusters",
     "simhash_sigs",
     "simhash_pairs",
@@ -74,6 +75,7 @@ HEADLINE = [
     "token_rarity",
     "lm_score",
     "ngram_vocab",
+    "feature_hash",
     "corpus_datasheet",
     "bm25_rank",
     "html_extract",

@@ -933,3 +933,41 @@ def chunk_dedup_rewrite(
             F.sum((F.col("owner_pk") != F.col("__wpk")).cast("bigint")).alias("n_dropped"),
         )
     )
+
+
+def lsh_recall_report(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    max_df: int | None = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-evaluation of the LSH candidate generator: exact
+    posting-list Jaccard pairs (ground truth at ``threshold``) vs the
+    banded MinHash pipeline's verified pairs — one row of
+    ``(n_exact, n_lsh, n_missed, recall_ppm)``.
+
+    The number a production dedup run publishes next to its banding
+    config: recall_ppm says what fraction of true near-dup pairs the
+    band structure surfaces (verified LSH pairs are always a subset of
+    the exact set, so precision is 1 by construction and not reported).
+    Both pair sets are engine-verifiable, hence so is the report."""
+    exact = ngram_jaccard_pairs(
+        df, threshold=threshold, n=n, max_df=max_df, text_col=text_col, id_col=id_col
+    ).select("id_a", "id_b")
+    lsh = minhash_lsh_pairs(
+        df, k=k, bands=bands, threshold=threshold, n=n, text_col=text_col, id_col=id_col
+    ).select("id_a", "id_b")
+    both = exact.join(lsh, ["id_a", "id_b"], "left_semi")
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_common = both.count()
+    spark = df.sparkSession
+    recall_ppm = (1_000_000 * n_common) // n_exact if n_exact else 1_000_000
+    return spark.createDataFrame(
+        [(n_exact, n_lsh, n_exact - n_common, recall_ppm)],
+        "n_exact bigint, n_lsh bigint, n_missed bigint, recall_ppm bigint",
+    )

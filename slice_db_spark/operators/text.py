@@ -486,3 +486,36 @@ def bm25_topk(
         .orderBy(F.desc("score_fx"), id_col)
         .limit(k)
     )
+
+
+def feature_hash_table(
+    df: DataFrame, dim: int = 64, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") document vectors in LONG form:
+    ``(id, dim_idx, weight)`` with each token's count routed to
+    ``hash % dim`` and signed by the hash's next bit — the standard
+    collision-unbiasing construction (Weinberger et al.).
+
+    Long form rather than ``array<float>`` keeps the output exactly
+    verifiable and shuffle-friendly (8-byte keys); ``F.array_agg`` over
+    ``dim_idx`` pivots to dense vectors for the ANN operators when
+    needed.  One explode + one map-side-combinable aggregation."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t")).where(
+        F.col("__t") != ""
+    )
+    h = hash64(F.col("__t"))
+    signed = F.when(F.shiftright(h, 32) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        toks.select(
+            F.col(id_col),
+            (h % F.lit(dim)).alias("dim_idx"),
+            signed.alias("__s"),
+        )
+        .groupBy(id_col, "dim_idx")
+        .agg(F.sum("__s").alias("weight"))
+        .select(
+            F.col(id_col),
+            F.col("dim_idx").cast("bigint").alias("dim_idx"),
+            F.col("weight").cast("bigint").alias("weight"),
+        )
+    )

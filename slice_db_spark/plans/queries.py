@@ -1064,6 +1064,27 @@ def minhash_lsh(spark, sf_dir):
     return _LSH_PAIRS[sf_dir]
 
 
+def feature_hash(spark, sf_dir):
+    """Feature-hashing document vectors in verifiable long form
+    (`operators/text.py::feature_hash_table`, dim=64, signed hashing
+    trick)."""
+    return textops.feature_hash_table(catalog(spark, sf_dir)["documents"], dim=64)
+
+
+def lsh_recall(spark, sf_dir):
+    """Banding self-evaluation (`operators/dedup.py::lsh_recall_report`):
+    exact posting-list Jaccard pairs at 0.5 vs the k=16/b=4 MinHash
+    pipeline's verified pairs — the recall number a production run
+    publishes next to its banding config."""
+    return dedup.lsh_recall_report(
+        catalog(spark, sf_dir)["documents"],
+        threshold=0.5,
+        k=16,
+        bands=4,
+        max_df=JACCARD_MAX_DF,
+    )
+
+
 def dedup_incremental(spark, sf_dir):
     """Continuous-ingestion regime: an arriving batch (every 5th doc_id)
     probed against the standing corpus (the rest) — asymmetric LSH, only
@@ -2178,6 +2199,44 @@ FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(shared / (sa.n + sb.n - shared), 6) >= 0.5
 """
 
+    # banding self-evaluation: exact pairs at the LSH threshold vs the
+    # verified LSH pairs (reused verbatim as a subquery)
+    o["lsh_recall"] = f"""
+WITH {_SHINGLE_CTE.format(sh=_shingles_sql('text', 3), h=_hash64_sql('s'))},
+keep AS (SELECT shingle FROM st GROUP BY shingle
+         HAVING count(*) > 1 AND count(*) <= {JACCARD_MAX_DF}),
+p AS (SELECT st.* FROM st JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM st GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM p a JOIN p b USING (shingle) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+exact AS (
+  SELECT id_a, id_b
+  FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(shared / (sa.n + sb.n - shared), 6) >= 0.5),
+lsh AS (SELECT id_a, id_b FROM ({o['minhash_lsh']})),
+c AS (SELECT count(*) AS n_common FROM exact JOIN lsh USING (id_a, id_b))
+SELECT (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM lsh) AS n_lsh,
+       (SELECT count(*) FROM exact) - n_common AS n_missed,
+       CASE WHEN (SELECT count(*) FROM exact) = 0 THEN 1000000
+            ELSE 1000000 * n_common // (SELECT count(*) FROM exact) END AS recall_ppm
+FROM c
+"""
+
+    # feature hashing: signed token routing, long-form vectors
+    o["feature_hash"] = _q(f"""
+        WITH tok AS (SELECT doc_id, t FROM
+                       (SELECT doc_id, unnest({_toks_sql('text')}) AS t FROM documents)
+                     WHERE t != ''),
+        h AS (SELECT doc_id, {_hash64_sql('t')} AS h FROM tok)
+        SELECT doc_id, h % 64 AS dim_idx,
+               CAST(sum(CASE WHEN (h // 4294967296) % 2 = 1 THEN 1 ELSE -1 END)
+                    AS BIGINT) AS weight
+        FROM h GROUP BY doc_id, h % 64
+    """)
+
     # incremental probe: identical signature/shingle CTEs, asymmetric
     # candidate join — every 5th doc is the "arriving batch", rest corpus
     o["dedup_incremental"] = f"""
@@ -2973,6 +3032,8 @@ def _all_queries():
         "minhash_sigs": minhash_sigs,
         "minhash_lsh": minhash_lsh,
         "dedup_incremental": dedup_incremental,
+        "feature_hash": feature_hash,
+        "lsh_recall": lsh_recall,
         "dedup_clusters": dedup_clusters,
         "simhash_sigs": simhash_sigs,
         "simhash_pairs": simhash_pairs,
