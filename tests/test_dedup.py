@@ -331,3 +331,16 @@ def test_incremental_lsh_jaccard_matches_symmetric(spark, catalog):
         ).collect()
     }
     assert inc == sym
+
+
+def test_lsh_recall_report_perfect_on_exact_dups(spark):
+    """Exact duplicates always collide in every band, so recall is 1e6
+    ppm and n_missed == 0; the exact pair count matches ground truth."""
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally different words appear in this document here")],
+        "doc_id bigint, text string",
+    )
+    row = dedup.lsh_recall_report(df, threshold=0.5).collect()[0]
+    assert row.n_exact == 1 and row.n_lsh == 1
+    assert row.n_missed == 0 and row.recall_ppm == 1_000_000

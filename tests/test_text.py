@@ -112,3 +112,24 @@ def test_bm25_topk_ranking_and_saturation(spark):
     d = dict((i, (s, n)) for i, s, n in rows)
     assert d[1][1] == 2 and d[2][1] == 1
     assert d[1][0] > d[2][0]                    # 2 terms beat saturated 1-term
+
+
+def test_feature_hash_signed_routing(spark):
+    """Hand-check: same token's occurrences land on one (dim, sign) cell;
+    weights are signed counts; empty docs emit nothing."""
+    import hashlib
+
+    from slice_db_spark.operators.text import feature_hash_table
+
+    df = _docs(spark, [(1, "spark spark duck"), (2, "")])
+    got = {(r.doc_id, r.dim_idx): r.weight for r in feature_hash_table(df, dim=8).collect()}
+    def cell(tok):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)  # == hash64
+        return h % 8, 1 if (h >> 32) % 2 == 1 else -1
+    d_spark, s_spark = cell("spark")
+    d_duck, s_duck = cell("duck")
+    if d_spark == d_duck:
+        assert got[(1, d_spark)] == 2 * s_spark + s_duck
+    else:
+        assert got[(1, d_spark)] == 2 * s_spark and got[(1, d_duck)] == s_duck
+    assert not any(k[0] == 2 for k in got)
