@@ -2959,16 +2959,52 @@ _DRIVER_VERIFIED = {
 }
 
 
+def _verified_from_files(paths) -> set[str]:
+    """Names with a PASSING driver correctness row in the given
+    ``CORRECTNESS_r{N}.json`` files: hash_match (full oracle pass) or the
+    documented rows-only contract (``err == "no_oracle"``).  Failing or
+    error rows do NOT count — those names must re-enter the checked
+    prefix next round."""
+    import json as _json
+
+    seen: set[str] = set()
+    for p in paths:
+        try:
+            with open(p) as f:
+                rows = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if row.get("hash_match") or row.get("err") == "no_oracle":
+                seen.add(name)
+    return seen
+
+
+def _driver_verified() -> set[str]:
+    """Union of the static round-3 snapshot and every driver-issued
+    correctness file found at the repo root — so the prefix ordering
+    refreshes itself each round without hand-editing the name list."""
+    import glob as _glob
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return _DRIVER_VERIFIED | _verified_from_files(
+        sorted(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    )
+
+
 def queries():
     """Oracle-gated query registry, ordered for the driver's 50-entry cap.
 
-    Returns every query, with names lacking a prior driver correctness row
-    first (so they fall inside the driver's checked prefix this round),
-    followed by the already-verified names in canonical order.
-    """
+    Returns every query, with names lacking a prior passing driver
+    correctness row first (so they fall inside the driver's checked
+    prefix this round), followed by the already-verified names in
+    canonical order.  The verified set self-refreshes from the
+    ``CORRECTNESS_r*.json`` files the driver writes each round."""
     all_q = _all_queries()
-    ordered = {k: v for k, v in all_q.items() if k not in _DRIVER_VERIFIED}
-    ordered.update({k: v for k, v in all_q.items() if k in _DRIVER_VERIFIED})
+    verified = _driver_verified()
+    ordered = {k: v for k, v in all_q.items() if k not in verified}
+    ordered.update({k: v for k, v in all_q.items() if k in verified})
     return ordered
 
 

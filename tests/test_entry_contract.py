@@ -45,3 +45,37 @@ def test_query_schema_is_scalar_only(spark, name):
 def test_oracles_bind_in_duckdb(ddb):
     for name, sql in entry.oracle_sql().items():
         ddb.sql("EXPLAIN " + sql)
+
+
+def test_verified_from_files_passing_rows_only(tmp_path):
+    """Prefix ordering self-refresh: hash-match and rows-only contract
+    rows count as driver-verified; failing/error rows re-enter the
+    checked prefix; unreadable files are skipped."""
+    import json
+
+    from slice_db_spark.plans.queries import _verified_from_files
+
+    p = tmp_path / "CORRECTNESS_r09.json"
+    p.write_text(json.dumps({
+        "good": {"hash_match": True, "err": None},
+        "rows_only": {"hash_match": None, "err": "no_oracle"},
+        "failed": {"hash_match": False, "err": None},
+        "errored": {"hash_match": None, "err": "boom"},
+    }))
+    bad = tmp_path / "CORRECTNESS_r10.json"
+    bad.write_text("{not json")
+    got = _verified_from_files([str(p), str(bad), str(tmp_path / "missing.json")])
+    assert got == {"good", "rows_only"}
+
+
+def test_driver_prefix_covers_all_unverified():
+    """Every query without a passing driver row must sit inside the
+    driver's 50-entry checked prefix."""
+    import __spark_entry__ as e
+    from slice_db_spark.plans.queries import _driver_verified
+
+    qs = list(e.queries().keys())
+    verified = _driver_verified()
+    unverified = [q for q in qs if q not in verified]
+    assert len(unverified) <= 50
+    assert all(q in qs[:50] for q in unverified)
