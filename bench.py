@@ -40,6 +40,8 @@ HEADLINE = [
     "orders_upsert",
     "customer_scd2",
     "profile_orders",
+    "orders_running_total",
+    "price_histogram",
     "lineitem_key_skew",
     "nation_participation",
     "balance_deciles",

@@ -592,6 +592,54 @@ def nation_participation(spark, sf_dir):
     )
 
 
+def orders_running_total(spark, sf_dir):
+    """Cumulative ROWS-frame window (the running-balance shape): per
+    customer, orders in (date, key) order with the running DECIMAL-exact
+    total-price sum — complements the RANGE interval frame
+    (`events_moving_avg`) with the unbounded-preceding family."""
+    from pyspark.sql.window import Window
+
+    c = catalog(spark, sf_dir)["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return c.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_date_us"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w), 2)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+def price_histogram(spark, sf_dir):
+    """Fixed-width histogram of order totals: floor-division bucketing
+    (width 25k) with DECIMAL-exact per-bucket sums — one
+    map-side-combinable aggregation, the data-distribution report every
+    profiling pass wants next to the quantiles."""
+    c = catalog(spark, sf_dir)["orders"]
+    bucket = F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("bigint")
+    return (
+        c.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(25000)).cast("bigint").alias("bucket_lo"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            "sum_price",
+        )
+    )
+
+
 def profile_orders(spark, sf_dir):
     """Data-profiling sweep: per-column null and distinct counts for the
     orders table in ONE aggregation pass (every count/countDistinct rides
@@ -1750,6 +1798,26 @@ def oracle_sql() -> dict[str, str]:
         f" CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct FROM orders"
         for col in _ORDERS_COLS
     ))
+
+    o["orders_running_total"] = _q("""
+        SELECT o_custkey, o_orderkey,
+               epoch_us(o_orderdate) AS o_date_us,
+               CAST(row_number() OVER w AS BIGINT) AS order_seq,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w, 2)
+                    AS DOUBLE) AS running_total
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """)
+
+    o["price_histogram"] = _q("""
+        SELECT CAST(floor(o_totalprice / 25000e0) AS BIGINT) AS bucket,
+               CAST(floor(o_totalprice / 25000e0) AS BIGINT) * 25000 AS bucket_lo,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS sum_price
+        FROM orders GROUP BY 1, 2
+    """)
 
     o["lineitem_key_skew"] = _q("""
         WITH t AS (SELECT count(*) AS total FROM lineitem)
@@ -3034,6 +3102,8 @@ def _all_queries():
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "lineitem_key_skew": lineitem_key_skew,
         "nation_participation": nation_participation,
+        "orders_running_total": orders_running_total,
+        "price_histogram": price_histogram,
         "profile_orders": profile_orders,
         "balance_deciles": balance_deciles,
         "customer_set_ops": customer_set_ops,
