@@ -37,6 +37,10 @@ HEADLINE = [
     "q15_top_supplier",
     "q18_large_orders",
     "q19_disjunctive_revenue",
+    "q7_nation_volume",
+    "q13_order_distribution",
+    "q17_small_qty_revenue",
+    "q22_idle_customers",
     "orders_upsert",
     "customer_scd2",
     "profile_orders",

@@ -518,6 +518,143 @@ def q19_disjunctive_revenue(spark, sf_dir):
     ).select("revenue", F.col("n_items").cast("bigint").alias("n_items"))
 
 
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between two nations, either
+    direction, by ship-year — a two-dimension star join where BOTH
+    dimension chains (supplier→nation, orders→customer→nation) are
+    broadcast and the pair predicate `(n1,n2) ∈ {(A,B),(B,A)}` prunes the
+    fact rows right after the first broadcast join.  Only the final
+    3-key groupBy shuffles, and it is partial-aggregated map-side."""
+    c = catalog(spark, sf_dir)
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    pair = ("NATION_9", "NATION_11")
+    n1 = c["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("supp_nation").isin(*pair))
+    n2 = c["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("cust_nation").isin(*pair))
+    j = (
+        c["lineitem"]
+        .where(
+            "l_shipdate >= timestamp '1995-01-01' AND l_shipdate < timestamp '1997-01-01'"
+        )
+        .join(F.broadcast(c["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(c["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            f"(supp_nation = '{pair[0]}' AND cust_nation = '{pair[1]}')"
+            f" OR (supp_nation = '{pair[1]}' AND cust_nation = '{pair[0]}')"
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))),
+                2,
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.col("l_year").cast("int").alias("l_year"),
+            "revenue",
+            F.col("n_items").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by order count, with an
+    order-side filter — the canonical outer-join + double aggregation.
+    Orders pre-aggregate to per-customer counts FIRST (map-side combine
+    collapses the fact table before any join), the customer left join
+    fills the zero bucket, and the second groupBy is tiny."""
+    c = catalog(spark, sf_dir)
+    per_cust = (
+        c["orders"]
+        .where("o_orderpriority <> '1-URGENT'")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    counts = (
+        c["customer"]
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: yearly revenue lost to small-quantity orders of
+    one brand — the correlated per-group average, decorrelated as
+    aggregate-then-broadcast-join-back.  The brand filter broadcasts into
+    the fact scan; the per-part (sum, count) frame is metadata-sized and
+    broadcast, so the avg comparison `qty < 0.2·avg(qty)` becomes the
+    exact integer form `5·qty·cnt < sum` (DECIMAL, bit-equal
+    cross-engine) with no second fact shuffle."""
+    c = catalog(spark, sf_dir)
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    parts = c["part"].where("p_brand = 'Brand#4' AND p_size <= 10").select("p_partkey")
+    j = (
+        c["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", dec("l_quantity").alias("_qty"), dec("l_extendedprice").alias("_price"))
+    )
+    j = j.localCheckpoint(eager=True)  # two consumers: per-part avg + the filtered sum
+    per_part = j.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("_qty").alias("_sumq"), F.count(F.lit(1)).alias("_cnt")
+    )
+    small = (
+        j.join(F.broadcast(per_part), F.col("l_partkey") == F.col("_pk"))
+        .where(F.lit(5).cast("decimal(18,6)") * F.col("_qty") * F.col("_cnt") < F.col("_sumq"))
+    )
+    return small.agg(
+        F.sum("_price").alias("_s"), F.count(F.lit(1)).alias("n_items")
+    ).select(
+        F.floor(F.col("_s").cast("double") * F.lit(100.0) / F.lit(7.0)).cast("bigint").alias("avg_yearly_cents"),
+        F.col("n_items").cast("bigint").alias("n_items"),
+    )
+
+
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: per-nation count and balance of above-average
+    customers with no high-value orders — global-scalar subquery + anti
+    join.  The positive-balance average lands as ONE driver scalar pair
+    (sum, count — metadata-sized, the same regime q15 uses), the
+    comparison `bal·cnt > sum` stays DECIMAL-exact, and the anti join
+    probes only the pre-filtered high-value order keys."""
+    c = catalog(spark, sf_dir)
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    tot, cnt = (
+        c["customer"].where("c_acctbal > 0").agg(F.sum(dec("c_acctbal")), F.count(F.lit(1))).first()
+    )
+    big = c["orders"].where("o_totalprice > 400000").select("o_custkey")
+    rich_idle = (
+        c["customer"]
+        .where(dec("c_acctbal") * F.lit(int(cnt)) > F.lit(tot).cast("decimal(28,6)"))
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        rich_idle.join(F.broadcast(c["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def events_moving_avg(spark, sf_dir):
     """Per-user trailing one-hour moving average of event value — a RANGE
     interval window frame (peers by event-time seconds, so equal-ts ties
@@ -1971,6 +2108,65 @@ def oracle_sql() -> dict[str, str]:
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
     """)
 
+    o["q7_nation_volume"] = _q(f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               CAST(round(sum({_REV}), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_11')
+            OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_9'))
+        GROUP BY 1, 2, 3
+    """)
+
+    o["q13_order_distribution"] = _q("""
+        WITH pc AS (SELECT o_custkey, count(*) AS n FROM orders
+                    WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey),
+             cc AS (SELECT coalesce(pc.n, 0) AS c_count
+                    FROM customer LEFT JOIN pc ON c_custkey = o_custkey)
+        SELECT CAST(c_count AS BIGINT) AS c_count, count(*) AS custdist
+        FROM cc GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """)
+
+    o["q17_small_qty_revenue"] = _q("""
+        WITH j AS (SELECT l_partkey,
+                          CAST(l_quantity AS DECIMAL(18,6)) AS qty,
+                          CAST(l_extendedprice AS DECIMAL(18,6)) AS price
+                   FROM lineitem JOIN part ON l_partkey = p_partkey
+                   WHERE p_brand = 'Brand#4' AND p_size <= 10),
+             pp AS (SELECT l_partkey AS pk, sum(qty) AS sumq, count(*) AS cnt
+                    FROM j GROUP BY l_partkey)
+        SELECT CAST(floor(CAST(sum(price) AS DOUBLE) * 100e0 / 7e0) AS BIGINT)
+                 AS avg_yearly_cents,
+               count(*) AS n_items
+        FROM j JOIN pp ON l_partkey = pk
+        WHERE CAST(5 AS DECIMAL(18,6)) * qty * cnt < sumq
+    """)
+
+    o["q22_idle_customers"] = _q("""
+        WITH avg_bal AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) AS tot,
+                                count(*) AS cnt
+                         FROM customer WHERE c_acctbal > 0)
+        SELECT n_name,
+               count(*) AS numcust,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS totacctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE CAST(c_acctbal AS DECIMAL(18,6)) * (SELECT cnt FROM avg_bal)
+                > CAST((SELECT tot FROM avg_bal) AS DECIMAL(28,6))
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        GROUP BY n_name
+        ORDER BY n_name
+    """)
+
     o["events_moving_avg"] = _q("""
         WITH b AS (SELECT event_id, user_id,
                           epoch_us(ts) AS ts_us,
@@ -3100,6 +3296,10 @@ def _all_queries():
         "q15_top_supplier": q15_top_supplier,
         "q18_large_orders": q18_large_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q7_nation_volume": q7_nation_volume,
+        "q13_order_distribution": q13_order_distribution,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q22_idle_customers": q22_idle_customers,
         "lineitem_key_skew": lineitem_key_skew,
         "nation_participation": nation_participation,
         "orders_running_total": orders_running_total,

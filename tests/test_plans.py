@@ -217,6 +217,9 @@ _EXPECTED_PUSHDOWN = {
     "slice_export_lineitem", "q1_pricing_summary", "q3_top_orders",
     "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
     "q10_returned_items", "salted_join_revenue", "window_top_orders",
+    "q7_nation_volume", "q13_order_distribution", "q22_idle_customers",
+    # q17_small_qty_revenue: localCheckpoint (two-consumer reuse) cuts the
+    # visible lineage above the filtered part⋈lineitem scan, same as q15
     "stream_enrich", "stream_tumbling", "stream_sliding", "stream_session",
     "events_funnel", "events_asof", "events_range_join", "events_retention",
     "decontam", "ann_brute", "ann_lsh", "ann_ivf", "ann_pq",
