@@ -41,6 +41,7 @@ HEADLINE = [
     "q13_order_distribution",
     "q17_small_qty_revenue",
     "q22_idle_customers",
+    "daily_gapfill",
     "orders_upsert",
     "customer_scd2",
     "profile_orders",
@@ -59,6 +60,7 @@ HEADLINE = [
     "events_asof",
     "events_range_join",
     "events_retention",
+    "events_transitions",
     "stream_enrich",
     "dedup_exact",
     "dedup_jaccard",
@@ -68,6 +70,7 @@ HEADLINE = [
     "boilerplate",
     "length_quantiles",
     "minhash_lsh",
+    "dedup_sorted_nbrs",
     "dedup_incremental",
     "lsh_recall",
     "dedup_clusters",
@@ -81,6 +84,8 @@ HEADLINE = [
     "token_rarity",
     "lm_score",
     "ngram_vocab",
+    "tfidf_terms",
+    "collocations",
     "feature_hash",
     "corpus_datasheet",
     "bm25_rank",
@@ -93,6 +98,7 @@ HEADLINE = [
     "ann_lsh",
     "ann_ivf",
     "ann_ivf_kmeans",
+    "knn_classify",
     "pq_codes",
     "ann_pq",
     "dedup_embedding",
@@ -112,6 +118,7 @@ SWEEP = [
     "dedup_rewrite",
     "dedup_jaccard",
     "minhash_lsh",
+    "dedup_sorted_nbrs",
     "dedup_incremental",
     "dedup_clusters",
     "simhash_pairs",

@@ -279,3 +279,49 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences.
+
+    Orders each user's events by (event-time, ``id_col``) — the id
+    tie-break makes equal-timestamp sequences deterministic — takes the
+    adjacent (state, next-state) pairs via ``lead``, and returns per
+    ordered pair ``(prev_type, next_type, n, p_ppm)`` where ``p_ppm`` is
+    the conditional transition probability ``floor(1e6·n/Σ_next n)`` in
+    exact integer parts-per-million (cross-engine identical; no float
+    accumulation).
+
+    Scale: the window is partitioned by user (no global ordering), the
+    pair count is a map-side-combinable groupBy on two short strings, and
+    the denominator comes from a second window over the |states|² result
+    frame — bounded by the state alphabet, not the event count."""
+    w = Window.partitionBy(user_col).orderBy("__ts_us", id_col)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col).alias("prev_type"),
+            F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+            F.col(id_col),
+        )
+        .select(
+            "prev_type",
+            F.lead("prev_type").over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.floor(F.lit(1e6) * F.col("n") / F.sum("n").over(tot)).cast("bigint").alias("p_ppm"),
+    )

@@ -156,6 +156,53 @@ def brute_force_topk(
     )
 
 
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """k-NN majority-vote classification over an embedding corpus.
+
+    For each query vector, take the exact top-``k`` cosine neighbors
+    (:func:`brute_force_topk` — swap in :func:`lsh_topk`/IVF/PQ candidates
+    for corpus scale; the vote logic below is strategy-agnostic) and
+    predict the modal neighbor label.  Deterministic end-to-end: neighbor
+    ties break on ``id_col``, vote ties on (more votes, better best-rank,
+    smaller label).
+
+    Output: (q_id, pred_label, votes, best_rank) — one row per query.
+    The vote aggregation groups |Q|·k rows, metadata-sized next to the
+    scoring step, so classification adds no scale cost beyond the
+    neighbor search itself."""
+    nn = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
+    )
+    labeled = nn.join(
+        F.broadcast(corpus.select(F.col(id_col), F.col(label_col).alias("__lbl"))),
+        id_col,
+    )
+    votes = labeled.groupBy(query_id_col, "__lbl").agg(
+        F.count(F.lit(1)).alias("votes"), F.min("rank").alias("best_rank")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("votes"), F.asc("best_rank"), F.asc("__lbl")
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            query_id_col,
+            F.col("__lbl").cast("int").alias("pred_label"),
+            F.col("votes").cast("bigint").alias("votes"),
+            F.col("best_rank").cast("bigint").alias("best_rank"),
+        )
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -519,3 +519,106 @@ def feature_hash_table(
             F.col("weight").cast("bigint").alias("weight"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by exact-integer TF-IDF.
+
+    Score = ``tf · floor(1e6·N/df)`` — term frequency times a rational
+    inverse-document-frequency in fixed-point millionths (``ln`` idf
+    would order identically but carries last-ulp cross-engine risk; the
+    rational form is bit-exact and preserves the df ranking).  Ties break
+    on the token string, so the per-document top-k is deterministic.
+
+    Scale: one token explode feeds BOTH aggregations — (doc, token) tf
+    counts (map-side combinable) and token df counts derived FROM the tf
+    frame (already one row per doc-token, so df is a second narrow
+    groupBy, never a re-scan).  N is a driver scalar (metadata).  The
+    final window partitions by document — no global ordering anywhere."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = tf.localCheckpoint(eager=True)  # two consumers: df counts + the join back
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        tf.join(dfreq, "token")
+        .select(
+            F.col(id_col),
+            "token",
+            (F.col("tf") * F.floor(F.lit(1e6) * F.lit(int(n_docs)) / F.col("df")))
+            .cast("bigint")
+            .alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` collocations (adjacent word pairs) by PMI-style lift.
+
+    Lift = ``p(ab) / (p(a)·p(b))`` over bigram/unigram occurrence
+    frequencies, emitted as ``floor`` parts-per-million.  The ratio is
+    computed in DOUBLE but every input is an exact int64 count and the
+    expression tree is mirrored verbatim in the oracle, so both engines
+    round identically (a pure-integer form overflows int64 at corpus
+    scale: ``1e6·n_ab·N²`` passes 2⁶³ near ~10⁹ tokens).  ``min_count``
+    suppresses the unstable low-support tail — standard collocation
+    practice and what keeps the ranked head meaningful.
+
+    Scale: bigram and unigram counts are both map-side-combinable
+    groupBys off one token pass; corpus totals are driver scalars; the
+    two dictionary joins are on single-token keys (broadcastable — the
+    pruned bigram frame is ≪ corpus size); TakeOrdered handles top-k with
+    no global sort."""
+    bg = (
+        bigram_table(df, text_col, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(tokens(text_col)).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    uni = uni.localCheckpoint(eager=True)  # three consumers: totals + two joins
+    n_total = uni.agg(F.sum("n")).first()[0]
+    b_total = (
+        df.select(token_count(text_col).alias("c"))
+        .agg(F.sum(F.greatest(F.col("c") - 1, F.lit(0))))
+        .first()[0]
+    )
+    lift = F.floor(
+        (F.lit(1e6) * F.col("n_ab") / F.lit(int(b_total)))
+        * (F.lit(int(n_total)) / F.col("n_a"))
+        * (F.lit(int(n_total)) / F.col("n_b"))
+    )
+    return (
+        bg.join(F.broadcast(uni.select(F.col("t").alias("w1"), F.col("n").alias("n_a"))), "w1")
+        .join(F.broadcast(uni.select(F.col("t").alias("w2"), F.col("n").alias("n_b"))), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            lift.cast("bigint").alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "w1", "w2")
+        .limit(k)
+    )

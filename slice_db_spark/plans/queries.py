@@ -655,6 +655,85 @@ def q22_idle_customers(spark, sf_dir):
     )
 
 
+def daily_gapfill(spark, sf_dir):
+    """Gap-filled daily order revenue: a generated date dimension (driver
+    min/max scalars → `spark.range` with a one-day step — a leaf Range
+    plan, no Python RDD) left-joined to the per-day aggregate, zeros
+    filled.  Day buckets are `floor(epoch_µs / 86400e6)` so no timezone
+    or calendar library is involved and the bucket arithmetic is
+    bit-identical cross-engine.  The fact scan aggregates BEFORE the
+    join; the date dimension is |days|-sized and broadcast."""
+    DAY_US = 86_400_000_000
+    o = catalog(spark, sf_dir)["orders"]
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    # `div` = exact integral division (the double-division floor(a/b) form
+    # can misround within one ulp of a bucket boundary; DuckDB's `//` is
+    # exact, so Spark must be too)
+    day = F.expr(f"(unix_micros(o_orderdate) div {DAY_US}) * {DAY_US}")
+    daily = o.groupBy(day.alias("__d")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(dec("o_totalprice")).alias("__s"),
+    )
+    mn, mx = o.agg(F.min(day), F.max(day)).first()
+    days = spark.range(int(mn), int(mx) + 1, DAY_US).select(F.col("id").alias("day_us"))
+    return (
+        days.join(F.broadcast(daily), days.day_us == daily.__d, "left_outer")
+        .select(
+            "day_us",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_orders"),
+            F.coalesce(F.round(F.col("__s"), 2).cast("double"), F.lit(0.0)).alias("revenue"),
+        )
+    )
+
+
+def events_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences, with exact ppm conditional probabilities."""
+    from ..operators.events import transition_matrix
+
+    return transition_matrix(catalog(spark, sf_dir)["events"])
+
+
+def dedup_sorted_nbrs(spark, sf_dir):
+    """Sorted-neighborhood blocking (prefix blocks, window 2) with exact
+    shingle-Jaccard scores — the sort-based candidate generator next to
+    the hash-based LSH families."""
+    return dedup.sorted_neighborhood_pairs(
+        catalog(spark, sf_dir)["documents"], window=2, block_chars=2
+    )
+
+
+def tfidf_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document by exact-integer TF-IDF
+    (rational idf in fixed-point millionths)."""
+    return textops.tfidf_top_terms(catalog(spark, sf_dir)["documents"], k=3)
+
+
+COLLOC_MIN_COUNT = 5
+COLLOC_K = 20
+
+
+def collocations(spark, sf_dir):
+    """Top-20 adjacent-word collocations by PMI-style lift (floor-ppm,
+    min support 5) — corpus phrase mining."""
+    return textops.collocations(
+        catalog(spark, sf_dir)["documents"], min_count=COLLOC_MIN_COUNT, k=COLLOC_K
+    )
+
+
+KNN_QUERY_SPLIT = 20  # vec_id < 20 are queries, the rest the labeled corpus
+
+
+def knn_classify(spark, sf_dir):
+    """k-NN majority-vote label prediction (k=5, exact cosine neighbors,
+    deterministic vote tie-breaks) over the embeddings table."""
+    emb = catalog(spark, sf_dir)["embeddings"]
+    q = emb.where(f"vec_id < {KNN_QUERY_SPLIT}").select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.knn_label_vote(emb.where(f"vec_id >= {KNN_QUERY_SPLIT}"), q, k=5)
+
+
 def events_moving_avg(spark, sf_dir):
     """Per-user trailing one-hour moving average of event value — a RANGE
     interval window frame (peers by event-time seconds, so equal-ts ties
@@ -2167,6 +2246,123 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY n_name
     """)
 
+    o["daily_gapfill"] = _q("""
+        WITH d AS (SELECT (epoch_us(o_orderdate) // 86400000000) * 86400000000 AS day_us,
+                          count(*) AS n,
+                          sum(CAST(o_totalprice AS DECIMAL(18,6))) AS s
+                   FROM orders GROUP BY 1),
+             b AS (SELECT min(day_us) AS mn, max(day_us) AS mx FROM d),
+             days AS (SELECT unnest(range((SELECT mn FROM b),
+                                          (SELECT mx FROM b) + 1,
+                                          86400000000)) AS day_us)
+        SELECT day_us,
+               coalesce(n, 0) AS n_orders,
+               coalesce(CAST(round(s, 2) AS DOUBLE), 0e0) AS revenue
+        FROM days LEFT JOIN d USING (day_us)
+    """)
+
+    o["events_transitions"] = _q("""
+        WITH p AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+                   FROM events),
+             pr AS (SELECT event_type AS prev_type,
+                           lead(event_type) OVER (PARTITION BY user_id
+                                                  ORDER BY ts_us, event_id) AS next_type
+                    FROM p),
+             cnt AS (SELECT prev_type, next_type, count(*) AS n FROM pr
+                     WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        SELECT prev_type, next_type, n,
+               CAST(floor(1e6 * n / sum(n) OVER (PARTITION BY prev_type)) AS BIGINT)
+                 AS p_ppm
+        FROM cnt
+    """)
+
+    o["dedup_sorted_nbrs"] = _q(f"""
+        WITH base AS (SELECT doc_id AS id, {_norm_sql('text')} AS nrm FROM documents),
+             nb AS (SELECT id, lead(id, 1) OVER w AS n1, lead(id, 2) OVER w AS n2
+                    FROM base WHERE nrm <> ''
+                    WINDOW w AS (PARTITION BY substr(nrm, 1, 2) ORDER BY nrm, id)),
+             cand AS (SELECT DISTINCT least(id, o) AS a_id, greatest(id, o) AS b_id
+                      FROM (SELECT id, unnest([n1, n2]) AS o FROM nb)
+                      WHERE o IS NOT NULL),
+             {_SHINGLE_CTE.format(sh=_shingles_sql('text', 3), h=_hash64_sql('s'))},
+             sz AS (SELECT doc_id, count(*) AS sz FROM st GROUP BY 1),
+             sh AS (SELECT a_id, b_id, count(*) AS shared
+                    FROM cand
+                    JOIN st sa ON sa.doc_id = a_id
+                    JOIN st sb ON sb.doc_id = b_id AND sb.shingle = sa.shingle
+                    GROUP BY 1, 2)
+        SELECT a_id, b_id, CAST(shared AS BIGINT) AS shared,
+               CAST(floor(1e6 * shared / (za.sz + zb.sz - shared)) AS BIGINT)
+                 AS jaccard_ppm
+        FROM sh JOIN sz za ON za.doc_id = a_id JOIN sz zb ON zb.doc_id = b_id
+    """)
+
+    o["tfidf_terms"] = _q(f"""
+        WITH tok AS (SELECT doc_id, t FROM
+                       (SELECT doc_id, unnest({_toks_sql('text')}) AS t FROM documents)
+                     WHERE t <> ''),
+             tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM tok GROUP BY 1, 2),
+             dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+             nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+             scored AS (SELECT doc_id, token,
+                               tf * CAST(floor(1e6 * (SELECT n FROM nd) / df) AS BIGINT)
+                                 AS score
+                        FROM tf JOIN dfreq USING (token))
+        SELECT doc_id, token, score,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, token) AS BIGINT) AS rank
+        FROM scored QUALIFY rank <= 3
+    """)
+
+    o["collocations"] = _q(f"""
+        WITH t AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+             bg AS (SELECT w1, w2, count(*) AS n_ab FROM
+                      (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                              unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+                       FROM t WHERE len(toks) >= 2)
+                    GROUP BY 1, 2 HAVING count(*) >= {COLLOC_MIN_COUNT}),
+             uni AS (SELECT tk, count(*) AS n FROM
+                       (SELECT unnest(toks) AS tk FROM t) WHERE tk <> '' GROUP BY 1),
+             tots AS (SELECT (SELECT CAST(sum(n) AS BIGINT) FROM uni) AS n_total,
+                             (SELECT CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT)
+                              FROM (SELECT CASE WHEN {_norm_sql('text')} = '' THEN []
+                                                ELSE {_toks_sql('text')} END AS toks
+                                    FROM documents) z) AS b_total)
+        SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+               CAST(floor((1e6 * n_ab / b_total) * (n_total / ua.n) * (n_total / ub.n))
+                    AS BIGINT) AS lift_ppm
+        FROM bg JOIN uni ua ON ua.tk = w1 JOIN uni ub ON ub.tk = w2
+        CROSS JOIN tots
+        ORDER BY lift_ppm DESC, w1, w2 LIMIT {COLLOC_K}
+    """)
+
+    o["knn_classify"] = _q(f"""
+        WITH q AS (SELECT vec_id AS q_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                   FROM embeddings WHERE vec_id < {KNN_QUERY_SPLIT}),
+             c AS (SELECT vec_id, label,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                   FROM embeddings WHERE vec_id >= {KNN_QUERY_SPLIT}),
+             scored AS (
+               SELECT q_id, vec_id, label,
+                 round(
+                   list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))
+                   / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                      * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6) AS sim
+               FROM q CROSS JOIN c),
+             nn AS (SELECT q_id, label,
+                           row_number() OVER (PARTITION BY q_id
+                                              ORDER BY sim DESC, vec_id) AS rank
+                    FROM scored QUALIFY rank <= 5),
+             votes AS (SELECT q_id, label, count(*) AS votes, min(rank) AS best_rank
+                       FROM nn GROUP BY 1, 2)
+        SELECT q_id, CAST(label AS INTEGER) AS pred_label,
+               CAST(votes AS BIGINT) AS votes, CAST(best_rank AS BIGINT) AS best_rank
+        FROM votes
+        QUALIFY row_number() OVER (PARTITION BY q_id
+                                   ORDER BY votes DESC, best_rank, label) = 1
+    """)
+
     o["events_moving_avg"] = _q("""
         WITH b AS (SELECT event_id, user_id,
                           epoch_us(ts) AS ts_us,
@@ -3300,6 +3496,12 @@ def _all_queries():
         "q13_order_distribution": q13_order_distribution,
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q22_idle_customers": q22_idle_customers,
+        "daily_gapfill": daily_gapfill,
+        "events_transitions": events_transitions,
+        "dedup_sorted_nbrs": dedup_sorted_nbrs,
+        "tfidf_terms": tfidf_terms,
+        "collocations": collocations,
+        "knn_classify": knn_classify,
         "lineitem_key_skew": lineitem_key_skew,
         "nation_participation": nation_participation,
         "orders_running_total": orders_running_total,

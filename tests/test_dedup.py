@@ -344,3 +344,34 @@ def test_lsh_recall_report_perfect_on_exact_dups(spark):
     row = dedup.lsh_recall_report(df, threshold=0.5).collect()[0]
     assert row.n_exact == 1 and row.n_lsh == 1
     assert row.n_missed == 0 and row.recall_ppm == 1_000_000
+
+
+def test_sorted_neighborhood_finds_adjacent_near_dups(spark):
+    """Near-identical docs share a sort prefix, land adjacent in their
+    block, and surface as a high-Jaccard pair; an unrelated doc in a
+    different block pairs with nobody."""
+    a = "apple banana cherry date elderberry fig grape honeydew"
+    b = "apple banana cherry date elderberry fig grape kiwi"  # one word differs
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, "zebra yak xerus wolf vulture unau tapir snake")],
+        "doc_id bigint, text string",
+    )
+    rows = dedup.sorted_neighborhood_pairs(df, window=2, block_chars=2).collect()
+    pairs = {(r.a_id, r.b_id): r for r in rows}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    # shingle sets (n=3): 6 each, 5 shared -> jaccard 5/7
+    assert r.shared == 5
+    assert r.jaccard_ppm == 1_000_000 * 5 // 7
+    assert all(a_id != 3 and b_id != 3 for a_id, b_id in pairs)
+
+
+def test_sorted_neighborhood_window_limits_pairs(spark):
+    """Window=1 within one block yields only adjacent pairs of the sort
+    order, not all pairs."""
+    docs = [(i, f"common prefix words here variant {w}") for i, w in
+            enumerate(["alpha", "beta", "gamma"])]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = dedup.sorted_neighborhood_pairs(df, window=1, block_chars=2).collect()
+    got = sorted((r.a_id, r.b_id) for r in rows)
+    assert got == [(0, 1), (1, 2)]  # sort order alpha<beta<gamma, no (0,2)

@@ -252,3 +252,36 @@ def test_events_moving_avg_range_frame_ties(spark, tmp_path):
     assert out[2]["n_window"] == 2 and out[2]["avg_value_1h"] == 3.0
     assert out[3]["n_window"] == 1 and out[3]["avg_value_1h"] == 8.0  # exact 1h ago excluded
     assert out[5]["n_window"] == 2 and out[5]["avg_value_1h"] == 2.0  # 3599s ago included
+
+
+def test_transition_matrix_counts_and_ppm(spark):
+    from slice_db_spark.operators.events import transition_matrix
+
+    df = _events(
+        spark,
+        [
+            # user 1: a -> b -> a   (transitions: a->b, b->a)
+            (1, 0, "a"), (1, 1, "b"), (1, 2, "a"),
+            # user 2: a -> b        (a->b)
+            (2, 0, "a"), (2, 1, "b"),
+            # user 3: single event — no transition
+            (3, 0, "b"),
+        ],
+    )
+    out = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["p_ppm"])
+        for r in transition_matrix(df).collect()
+    }
+    assert out == {
+        ("a", "b"): (2, 1_000_000),  # a always goes to b
+        ("b", "a"): (1, 1_000_000),  # the only observed b-exit
+    }
+
+
+def test_transition_matrix_equal_ts_breaks_on_id(spark):
+    from slice_db_spark.operators.events import transition_matrix
+
+    # same timestamp: order must follow event_id (0:x then 1:y)
+    df = _events(spark, [(1, 0, "x"), (1, 0, "y")])
+    out = [(r["prev_type"], r["next_type"]) for r in transition_matrix(df).collect()]
+    assert out == [("x", "y")]

@@ -201,7 +201,7 @@ def test_q10_broadcasts_nation(plans):
 # windows, lost parquet pushdown) without a hand-written test per query.
 
 #: documented small-|Q| brute-force baseline — the ONE sanctioned nested loop
-_ALLOWED_NESTED_LOOP = {"ann_brute"}
+_ALLOWED_NESTED_LOOP = {"ann_brute", "knn_classify"}
 
 #: global (unpartitioned) windows allowed only where the window input is
 #: bounded by something other than data volume:
@@ -223,7 +223,7 @@ _EXPECTED_PUSHDOWN = {
     "stream_enrich", "stream_tumbling", "stream_sliding", "stream_session",
     "events_funnel", "events_asof", "events_range_join", "events_retention",
     "decontam", "ann_brute", "ann_lsh", "ann_ivf", "ann_pq",
-    "dedup_embedding", "dedup_embedding_hi", "simhash_pairs",
+    "dedup_embedding", "dedup_embedding_hi", "simhash_pairs", "knn_classify",
     "corpus_pipeline",
 }
 

@@ -214,3 +214,41 @@ def test_ivf_kmeans_centroids_converge_to_blob_means(spark):
     want_b = [int(np.floor(sum(round(v[0] * 1000) for v in blob_b) / 5)),
               int(np.floor(sum(round(v[1] * 1000) for v in blob_b) / 5))]
     assert sorted(cents) == sorted([want_a, want_b]), cents
+
+
+def test_knn_label_vote_majority_and_ties(spark):
+    """Majority label wins; a 2-2 split breaks on best rank; the vote
+    count and best_rank are reported."""
+    import math
+
+    def unit(angle):
+        return [math.cos(angle), math.sin(angle)]
+
+    # query at angle 0; corpus: two label-7 vectors very close, two
+    # label-3 a bit further, one label-9 far away
+    corpus = spark.createDataFrame(
+        [
+            (10, unit(0.01), 7),
+            (11, unit(-0.02), 7),
+            (12, unit(0.30), 3),
+            (13, unit(-0.35), 3),
+            (14, unit(2.0), 9),
+        ],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame([(0, unit(0.0))], "q_id bigint, embedding array<double>")
+    out = similarity.knn_label_vote(corpus, queries, k=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    # k=4 -> labels {7,7,3,3}: tie on votes, label 7 holds ranks 1-2 -> wins
+    assert r.pred_label == 7 and r.votes == 2 and r.best_rank == 1
+
+
+def test_knn_label_vote_unanimous(spark):
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0], 5), (11, [0.9, 0.1], 5), (12, [0.8, 0.0], 5)],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame([(0, [1.0, 0.0])], "q_id bigint, embedding array<double>")
+    r = similarity.knn_label_vote(corpus, queries, k=3).collect()[0]
+    assert r.pred_label == 5 and r.votes == 3

@@ -133,3 +133,45 @@ def test_feature_hash_signed_routing(spark):
     else:
         assert got[(1, d_spark)] == 2 * s_spark and got[(1, d_duck)] == s_duck
     assert not any(k[0] == 2 for k in got)
+
+
+def test_tfidf_top_terms_prefers_rare_tokens(spark):
+    """A token unique to one doc outranks corpus-wide tokens even at
+    equal tf; ranks are contiguous from 1 and capped at k."""
+    df = spark.createDataFrame(
+        [(1, "shared shared unique"), (2, "shared common"), (3, "shared common")],
+        "doc_id bigint, text string",
+    )
+    out = textops.tfidf_top_terms(df, k=2)
+    rows = {(r.doc_id, r.rank): r for r in out.collect()}
+    # doc 1: 'unique' df=1 -> idf 3e6, score 3e6; 'shared' tf=2 df=3 -> 2e6
+    assert rows[(1, 1)].token == "unique" and rows[(1, 1)].score == 3_000_000
+    assert rows[(1, 2)].token == "shared" and rows[(1, 2)].score == 2_000_000
+    # docs 2/3: 'common' df=2 -> floor(3e6/2)=1.5e6 beats 'shared' 1e6
+    assert rows[(2, 1)].token == "common" and rows[(2, 1)].score == 1_500_000
+    assert max(r for (_, r) in rows) == 2
+
+
+def test_tfidf_tie_breaks_on_token(spark):
+    """Equal scores order alphabetically — deterministic top-k."""
+    df = spark.createDataFrame([(1, "beta alpha")], "doc_id bigint, text string")
+    out = [r.token for r in textops.tfidf_top_terms(df, k=2).orderBy("rank").collect()]
+    assert out == ["alpha", "beta"]
+
+
+def test_collocations_lift_exact(spark):
+    """A pair that always co-occurs gets lift > 1e6 (ppm); the exact
+    floor arithmetic matches the hand computation."""
+    # corpus: "new york" 5 times (for min_count), "new day" 5, "old day" 5
+    docs = [(i, "new york") for i in range(5)]
+    docs += [(i + 5, "new day") for i in range(5)]
+    docs += [(i + 10, "old day") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {(r.w1, r.w2): r for r in textops.collocations(df, min_count=5, k=10).collect()}
+    # totals: 30 tokens, 15 bigram occurrences
+    # new york: n_ab=5, n_new=10, n_york=5 -> (1e6*5/15)*(30/10)*(30/5) = 6e6
+    assert out[("new", "york")].lift_ppm == 5_999_999 or out[("new", "york")].lift_ppm == 6_000_000
+    # old day: n_ab=5, n_old=5, n_day=10 -> same lift by symmetry
+    assert out[("old", "day")].lift_ppm == out[("new", "york")].lift_ppm
+    assert out[("new", "day")].lift_ppm < out[("new", "york")].lift_ppm
+    assert all(r.n_ab >= 5 for r in out.values())
