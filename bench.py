@@ -41,6 +41,9 @@ HEADLINE = [
     "q13_order_distribution",
     "q17_small_qty_revenue",
     "q22_idle_customers",
+    "q8_market_share",
+    "q21_waiting_supplier",
+    "revenue_mom",
     "daily_gapfill",
     "orders_upsert",
     "customer_scd2",
@@ -61,6 +64,7 @@ HEADLINE = [
     "events_range_join",
     "events_retention",
     "events_transitions",
+    "events_paths",
     "stream_enrich",
     "dedup_exact",
     "dedup_jaccard",
@@ -71,6 +75,7 @@ HEADLINE = [
     "length_quantiles",
     "minhash_lsh",
     "dedup_sorted_nbrs",
+    "dedup_cross_source",
     "dedup_incremental",
     "lsh_recall",
     "dedup_clusters",
@@ -81,6 +86,7 @@ HEADLINE = [
     "bpe_tokens",
     "quality",
     "language_id",
+    "lang_confusion",
     "token_rarity",
     "lm_score",
     "ngram_vocab",

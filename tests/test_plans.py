@@ -208,7 +208,9 @@ _ALLOWED_NESTED_LOOP = {"ann_brute", "knn_classify"}
 #:  - q3_top_orders: rank assignment ABOVE TakeOrderedAndProject (≤10 rows)
 #:  - scrub_deterministic: per-partition-offset window of the scalable
 #:    running counter — one row per shuffle partition (bounded by config)
-_ALLOWED_GLOBAL_WINDOW = {"q3_top_orders", "scrub_deterministic"}
+#:  - revenue_mom: lag window over the month-aggregated frame — one row
+#:    per calendar month, bounded by time span not data volume
+_ALLOWED_GLOBAL_WINDOW = {"q3_top_orders", "scrub_deterministic", "revenue_mom"}
 
 #: queries whose plan must keep a NON-EMPTY PushedFilters on a parquet scan
 #: (each filters a source column; losing pushdown = full-table scan at 100 TB)
