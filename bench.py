@@ -65,6 +65,9 @@ HEADLINE = [
     "events_retention",
     "events_transitions",
     "events_paths",
+    "funnel_rates",
+    "cohort_ltv",
+    "events_trending",
     "stream_enrich",
     "dedup_exact",
     "dedup_jaccard",
@@ -89,6 +92,7 @@ HEADLINE = [
     "lang_confusion",
     "token_rarity",
     "lm_score",
+    "quality_blend",
     "ngram_vocab",
     "tfidf_terms",
     "collocations",
@@ -105,6 +109,7 @@ HEADLINE = [
     "ann_ivf",
     "ann_ivf_kmeans",
     "knn_classify",
+    "label_coherence",
     "pq_codes",
     "ann_pq",
     "dedup_embedding",

@@ -365,3 +365,65 @@ def top_paths(
         .orderBy(F.desc("n"), *names)
         .limit(k)
     )
+
+
+def cohort_value(
+    events: DataFrame,
+    value_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    bucket_us: int = WEEK_US,
+) -> DataFrame:
+    """Cohort lifetime value: users cohorted by first-activity week, the
+    ``value_type`` events' value summed per (cohort, week-offset) and
+    accumulated into running LTV.
+
+    Monetary values ride as exact micro-unit integers (``round(v·1e6)``,
+    the same fixed-point convention as the moving-average operator) so
+    the per-cell and cumulative sums are bit-exact cross-engine — double
+    summation would be association-order-dependent.
+
+    Shapes: cohorts derive from the same distinct (user, week) frame as
+    :func:`retention_cohorts`; the value stream filters to one event type
+    before any shuffle; the cumulative window partitions by cohort over
+    the |cohorts|×|weeks|-bounded cell frame, never raw events.
+
+    Output: (cohort_week, week_offset, n_buyers, rev_micro, ltv_micro)."""
+    wk = (
+        events.select(
+            F.col(user_col),
+            F.floor(F.unix_micros(F.col(ts_col)) / F.lit(bucket_us)).alias("__wk"),
+        )
+        .distinct()
+    )
+    first = wk.groupBy(user_col).agg(F.min("__wk").alias("__cohort"))
+    purch = events.where(F.col(type_col) == value_type).select(
+        F.col(user_col),
+        F.floor(F.unix_micros(F.col(ts_col)) / F.lit(bucket_us)).alias("__wk"),
+        F.round(F.col(value_col) * F.lit(1e6)).cast("bigint").alias("__fx"),
+    )
+    cells = (
+        purch.join(first, on=user_col)
+        .groupBy(
+            F.col("__cohort").alias("cohort_week"),
+            (F.col("__wk") - F.col("__cohort")).alias("week_offset"),
+        )
+        .agg(
+            F.countDistinct(user_col).alias("n_buyers"),
+            F.sum("__fx").alias("rev_micro"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "cohort_week",
+        "week_offset",
+        F.col("n_buyers").cast("bigint").alias("n_buyers"),
+        "rev_micro",
+        F.sum("rev_micro").over(w).alias("ltv_micro"),
+    )

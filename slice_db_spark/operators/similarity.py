@@ -779,3 +779,77 @@ def ivf_topk_kmeans(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "dot", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid coherence report — the embedding-space audit
+    that flags incoherent label groups (mislabeled data, collapsed
+    clusters) before they feed a training mix.
+
+    Everything is exact fixed-point: components quantize to
+    ``floor(x·1e6)`` int64 once, the centroid is the exact floor of the
+    per-dimension mean, and each vector's cosine to its label centroid is
+    computed from pure int64 dot products (the only doubles are the final
+    sqrt/divide, identical cross-engine from identical integers, then
+    floored to ppm).  Mean coherence per label is an integer floor-mean of
+    the ppm values — no float accumulation anywhere.
+
+    Scale: the explode shuffles (label, dim)-keyed rows — bounded by
+    |labels|·dim after the map-side combine; the centroid frame is
+    metadata-sized and broadcast back; per-vector dots partial-aggregate
+    before the final |labels|-sized rollup.
+
+    Output: (label, n_vecs, mean_cos_ppm, min_cos_ppm)."""
+    base = (
+        emb.select(
+            F.col(id_col),
+            F.col(label_col).alias("__lbl"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "__x"),
+        )
+        .select(
+            id_col,
+            "__lbl",
+            "dim",
+            F.floor(F.col("__x") * F.lit(1e6)).cast("bigint").alias("__fx"),
+        )
+    )
+    base = base.localCheckpoint(eager=True)  # consumers: centroid agg + dot join
+    cent = base.groupBy("__lbl", "dim").agg(
+        F.floor(F.sum("__fx").cast("double") / F.count(F.lit(1))).cast("bigint").alias("__cfx")
+    )
+    cnorm = cent.groupBy("__lbl").agg(F.sum(F.col("__cfx") * F.col("__cfx")).alias("__nb"))
+    dots = (
+        base.join(F.broadcast(cent), ["__lbl", "dim"])
+        .groupBy(id_col, "__lbl")
+        .agg(
+            F.sum(F.col("__fx") * F.col("__cfx")).alias("__dot"),
+            F.sum(F.col("__fx") * F.col("__fx")).alias("__na"),
+        )
+    )
+    cos_ppm = F.floor(
+        F.lit(1e6)
+        * F.col("__dot")
+        / (F.sqrt(F.col("__na").cast("double")) * F.sqrt(F.col("__nb").cast("double")))
+    )
+    per_vec = dots.join(F.broadcast(cnorm), "__lbl").select(
+        "__lbl", cos_ppm.cast("bigint").alias("__cp")
+    )
+    return (
+        per_vec.groupBy("__lbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.floor(F.sum("__cp").cast("double") / F.count(F.lit(1))).cast("bigint").alias("mean_cos_ppm"),
+            F.min("__cp").alias("min_cos_ppm"),
+        )
+        .select(
+            F.col("__lbl").alias("label"),
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            "mean_cos_ppm",
+            "min_cos_ppm",
+        )
+    )

@@ -894,6 +894,105 @@ def dedup_cross_source(spark, sf_dir):
     return lab.groupBy("src_a", "src_b").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+def funnel_rates(spark, sf_dir):
+    """Stage-level funnel summary: users reaching each stage plus exact
+    ppm conversion vs the first and previous stages.  Composes the funnel
+    operator; the rate rows unpack from ONE single-row aggregate (an
+    explode of literals-and-counts structs — no driver round trip, no
+    second fact scan)."""
+    from ..operators.events import funnel
+
+    f = funnel(catalog(spark, sf_dir)["events"], FUNNEL_STAGES)
+    agg = f.agg(
+        *[F.count(f"t_{s}").alias(f"__n{i}") for i, s in enumerate(FUNNEL_STAGES)]
+    )
+    structs = []
+    for i, s in enumerate(FUNNEL_STAGES):
+        n = F.col(f"__n{i}")
+        first = F.col("__n0")
+        prev = F.col(f"__n{max(i - 1, 0)}")
+        structs.append(
+            F.struct(
+                F.lit(s).alias("stage"),
+                F.lit(i + 1).cast("int").alias("stage_idx"),
+                n.cast("bigint").alias("n_users"),
+                F.when(first > 0, F.floor(F.lit(1e6) * n / first))
+                .cast("bigint").alias("conv_from_first_ppm"),
+                F.when(prev > 0, F.floor(F.lit(1e6) * n / prev))
+                .cast("bigint").alias("conv_from_prev_ppm"),
+            )
+        )
+    return agg.select(F.explode(F.array(*structs)).alias("__s")).select("__s.*")
+
+
+def cohort_ltv(spark, sf_dir):
+    """Cohort lifetime value: purchase value accumulated per (first-week
+    cohort, week offset) in exact micro-units."""
+    from ..operators.events import cohort_value
+
+    return cohort_value(catalog(spark, sf_dir)["events"], value_type="purchase")
+
+
+def quality_blend(spark, sf_dir):
+    """Per-source percentile-calibrated quality blend: the heuristic
+    quality score and the bigram-LM score each percent-rank WITHIN their
+    source (per-source calibration — raw scores aren't comparable across
+    feeds with different length/style profiles), then average in exact
+    ppm.  The pattern for combining any set of quality signals into one
+    curation key; both inputs are the already-oracle-gated operators."""
+    docs = catalog(spark, sf_dir)["documents"]
+    q = textops.quality_score(docs).select("doc_id", "quality_score")
+    lm = textops.lm_bigram_score(docs).select("doc_id", "lm_score")
+    j = (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .join(lm, "doc_id")
+    )
+    wq = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    wl = Window.partitionBy("source").orderBy("lm_score", "doc_id")
+    q_ppm = F.floor(F.lit(1e6) * F.percent_rank().over(wq)).cast("bigint")
+    lm_ppm = F.floor(F.lit(1e6) * F.percent_rank().over(wl)).cast("bigint")
+    return j.select(
+        "doc_id",
+        "source",
+        q_ppm.alias("q_pct_ppm"),
+        lm_ppm.alias("lm_pct_ppm"),
+    ).select(
+        "doc_id",
+        "source",
+        "q_pct_ppm",
+        "lm_pct_ppm",
+        F.floor((F.col("q_pct_ppm") + F.col("lm_pct_ppm")) / F.lit(2.0))
+        .cast("bigint").alias("blend_ppm"),
+    )
+
+
+def label_coherence(spark, sf_dir):
+    """Per-label embedding coherence report (exact fixed-point centroids
+    and cosine-to-centroid stats)."""
+    return similarity.label_centroids(catalog(spark, sf_dir)["embeddings"])
+
+
+def events_trending(spark, sf_dir):
+    """Top-3 trending event types per tumbling hour — windowed counts
+    with a window-partitioned rank (the batch shape of a streaming
+    trending dashboard; exact integral-div hour buckets)."""
+    e = catalog(spark, sf_dir)["events"]
+    counts = (
+        e.groupBy(
+            F.expr("(unix_micros(ts) div 3600000000) * 3600").alias("win_start_s"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("win_start_s").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("win_start_s", "event_type", F.col("n").cast("bigint").alias("n"), "rnk")
+    )
+
+
 def events_moving_avg(spark, sf_dir):
     """Per-user trailing one-hour moving average of event value — a RANGE
     interval window frame (peers by event-time seconds, so equal-ts ties
@@ -2652,6 +2751,27 @@ def oracle_sql() -> dict[str, str]:
         FROM s0 {joins}
     """)
 
+    # funnel_rates: same stage CTEs, collapsed to one count row, unpacked
+    # into one summary row per stage
+    _n_cols = ", ".join(f"count(t_{s}) AS n{i}" for i, s in enumerate(FUNNEL_STAGES))
+    _stage_rows = []
+    for i, s in enumerate(FUNNEL_STAGES):
+        prev = f"n{max(i - 1, 0)}"
+        _stage_rows.append(
+            f"SELECT '{s}' AS stage, CAST({i + 1} AS INTEGER) AS stage_idx,"
+            f" CAST(n{i} AS BIGINT) AS n_users,"
+            f" CASE WHEN n0 > 0 THEN CAST(floor(1e6 * n{i} / n0) AS BIGINT) END"
+            f" AS conv_from_first_ppm,"
+            f" CASE WHEN {prev} > 0 THEN CAST(floor(1e6 * n{i} / {prev}) AS BIGINT) END"
+            f" AS conv_from_prev_ppm FROM a"
+        )
+    o["funnel_rates"] = _q(
+        f"WITH {', '.join(fun)}, "
+        f"f AS (SELECT user_id, {t_cols} FROM s0 {joins}), "
+        f"a AS (SELECT {_n_cols} FROM f) "
+        + " UNION ALL ".join(_stage_rows)
+    )
+
     o["events_sessionize"] = _q("""
         WITH t AS (
           SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -3660,6 +3780,84 @@ FROM d
         FROM s
     """)
 
+    o["cohort_ltv"] = _q("""
+        WITH wk AS (SELECT DISTINCT user_id,
+                      CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk
+                    FROM events),
+        first AS (SELECT user_id, min(wk) AS cohort FROM wk GROUP BY user_id),
+        p AS (SELECT user_id,
+                     CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk,
+                     CAST(round(value * 1e6) AS BIGINT) AS fx
+              FROM events WHERE event_type = 'purchase'),
+        cells AS (SELECT cohort AS cohort_week, p.wk - cohort AS week_offset,
+                         CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_buyers,
+                         CAST(sum(fx) AS BIGINT) AS rev_micro
+                  FROM p JOIN first USING (user_id) GROUP BY 1, 2)
+        SELECT cohort_week, week_offset, n_buyers, rev_micro,
+               CAST(sum(rev_micro) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ltv_micro
+        FROM cells
+    """)
+
+    o["events_trending"] = _q("""
+        WITH c AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS win_start_s,
+                          event_type, count(*) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT win_start_s, event_type, n,
+               CAST(row_number() OVER (PARTITION BY win_start_s
+                                       ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+        FROM c QUALIFY rnk <= 3
+    """)
+
+    o["label_coherence"] = _q("""
+        WITH base AS (
+          SELECT vec_id, label,
+                 unnest(range(0, len(embedding))) AS dim,
+                 unnest(list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))) AS fx
+          FROM embeddings),
+        cent AS (SELECT label, dim,
+                        CAST(floor(CAST(sum(fx) AS DOUBLE) / count(*)) AS BIGINT) AS cfx
+                 FROM base GROUP BY 1, 2),
+        cnorm AS (SELECT label, CAST(sum(cfx * cfx) AS BIGINT) AS nb FROM cent GROUP BY 1),
+        dots AS (SELECT vec_id, base.label,
+                        CAST(sum(fx * cfx) AS BIGINT) AS dot,
+                        CAST(sum(fx * fx) AS BIGINT) AS na
+                 FROM base JOIN cent USING (label, dim) GROUP BY 1, 2),
+        pv AS (SELECT dots.label,
+                      CAST(floor(1e6 * dot / (sqrt(CAST(na AS DOUBLE))
+                                              * sqrt(CAST(nb AS DOUBLE)))) AS BIGINT) AS cp
+               FROM dots JOIN cnorm ON cnorm.label = dots.label)
+        SELECT CAST(label AS INTEGER) AS label,
+               count(*) AS n_vecs,
+               CAST(floor(CAST(sum(cp) AS DOUBLE) / count(*)) AS BIGINT) AS mean_cos_ppm,
+               CAST(min(cp) AS BIGINT) AS min_cos_ppm
+        FROM pv GROUP BY 1
+    """)
+
+    # percentile blend: the two score pipelines reuse their own oracle
+    # strings verbatim as CTEs, so the blend can never drift from the
+    # gated operators it composes
+    o["quality_blend"] = _q(f"""
+        WITH q AS ({o["quality"]}),
+             lm AS ({o["lm_score"]}),
+             j AS (SELECT d.doc_id, d.source, q.quality_score, lm.lm_score
+                   FROM documents d
+                   JOIN q ON q.doc_id = d.doc_id
+                   JOIN lm ON lm.doc_id = d.doc_id),
+             r AS (SELECT doc_id, source,
+                          CAST(floor(1e6 * percent_rank() OVER (
+                                 PARTITION BY source ORDER BY quality_score, doc_id))
+                               AS BIGINT) AS q_pct_ppm,
+                          CAST(floor(1e6 * percent_rank() OVER (
+                                 PARTITION BY source ORDER BY lm_score, doc_id))
+                               AS BIGINT) AS lm_pct_ppm
+                   FROM j)
+        SELECT doc_id, source, q_pct_ppm, lm_pct_ppm,
+               CAST(floor((q_pct_ppm + lm_pct_ppm) / 2e0) AS BIGINT) AS blend_ppm
+        FROM r
+    """)
+
     return o
 
 
@@ -3775,6 +3973,11 @@ def _all_queries():
         "events_paths": events_paths,
         "lang_confusion": lang_confusion,
         "dedup_cross_source": dedup_cross_source,
+        "funnel_rates": funnel_rates,
+        "cohort_ltv": cohort_ltv,
+        "quality_blend": quality_blend,
+        "label_coherence": label_coherence,
+        "events_trending": events_trending,
         "lineitem_key_skew": lineitem_key_skew,
         "nation_participation": nation_participation,
         "orders_running_total": orders_running_total,

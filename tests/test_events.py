@@ -304,3 +304,35 @@ def test_top_paths_counts_and_user_boundaries(spark):
     assert rows[0] == ("a", "b", "c", 2)
     assert ("b", "c", "a", 1) in rows and ("c", "a", "b", 1) in rows
     assert len(rows) == 3  # user 2 contributed nothing
+
+
+def test_cohort_value_cells_and_ltv(spark):
+    """Crafted purchases: cohorts from first activity of ANY type;
+    per-cell revenue in exact micro-units; LTV accumulates per cohort."""
+    import datetime as dtm
+
+    from slice_db_spark.operators.events import cohort_value
+
+    base = dtm.datetime(2024, 1, 1)  # well clear of week-bucket boundaries
+    week = dtm.timedelta(days=7)
+    rows = [
+        # user 1: active (view) week 0, buys 10.50 week 0 and 2.25 week 2
+        (1, base, "view", 0.0),
+        (2, base + dtm.timedelta(hours=1), "purchase", 10.50),
+        (3, base + 2 * week, "purchase", 2.25),
+        # user 2: first active week 2, buys 1.00 week 2
+        (4, base + 2 * week + dtm.timedelta(hours=2), "purchase", 1.00),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t, v) for i, (u, ts, t, v) in
+         [(r[0], ((1 if r[0] in (1, 2, 3) else 2), r[1], r[2], r[3])) for r in rows]],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+    )
+    out = {(r.cohort_week, r.week_offset): r for r in cohort_value(df).collect()}
+    c0 = min(k[0] for k in out)
+    # user 1 cohort: week-0 cell 10.50, week-2 cell 2.25, LTV accumulates
+    assert out[(c0, 0)].rev_micro == 10_500_000 and out[(c0, 0)].ltv_micro == 10_500_000
+    assert out[(c0, 2)].rev_micro == 2_250_000 and out[(c0, 2)].ltv_micro == 12_750_000
+    # user 2's cohort starts 2 weeks later with offset 0
+    assert out[(c0 + 2, 0)].rev_micro == 1_000_000
+    assert out[(c0 + 2, 0)].n_buyers == 1

@@ -252,3 +252,19 @@ def test_knn_label_vote_unanimous(spark):
     queries = spark.createDataFrame([(0, [1.0, 0.0])], "q_id bigint, embedding array<double>")
     r = similarity.knn_label_vote(corpus, queries, k=3).collect()[0]
     assert r.pred_label == 5 and r.votes == 3
+
+
+def test_label_centroids_coherent_vs_scattered(spark):
+    """A tight label scores near 1e6 ppm mean coherence; an antipodal
+    pair's centroid coherence collapses toward 0."""
+    tight = [(i, [1.0, 0.0, 0.0, 0.0], 1) for i in range(3)]
+    scattered = [(10, [0.0, 1.0, 0.0, 0.0], 2), (11, [0.0, -1.0, 0.001, 0.0], 2)]
+    emb = spark.createDataFrame(
+        tight + scattered, "vec_id bigint, embedding array<double>, label int"
+    )
+    out = {r.label: r for r in similarity.label_centroids(emb).collect()}
+    assert out[1].n_vecs == 3
+    assert out[1].mean_cos_ppm >= 999_000  # identical vectors -> cos 1 (ppm floor)
+    assert out[2].n_vecs == 2
+    assert abs(out[2].mean_cos_ppm) < 100_000  # near-orthogonal to the residual centroid
+    assert out[2].min_cos_ppm <= out[2].mean_cos_ppm
