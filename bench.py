@@ -79,6 +79,7 @@ HEADLINE = [
     "minhash_lsh",
     "dedup_sorted_nbrs",
     "dedup_cross_source",
+    "dedup_panorama",
     "dedup_incremental",
     "lsh_recall",
     "dedup_clusters",
@@ -93,6 +94,7 @@ HEADLINE = [
     "token_rarity",
     "lm_score",
     "quality_blend",
+    "source_drift",
     "ngram_vocab",
     "tfidf_terms",
     "collocations",
@@ -110,6 +112,7 @@ HEADLINE = [
     "ann_ivf_kmeans",
     "knn_classify",
     "label_coherence",
+    "embedding_drift",
     "pq_codes",
     "ann_pq",
     "dedup_embedding",

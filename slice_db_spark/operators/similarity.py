@@ -853,3 +853,47 @@ def label_centroids(
             "min_cos_ppm",
         )
     )
+
+
+def embedding_dim_drift(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``k`` embedding dimensions by mean shift between two corpus
+    snapshots — the drift monitor that catches an encoder change or a
+    feed skew before it silently degrades every ANN index built on top.
+
+    Per dimension: exact fixed-point means (``floor`` of the int64
+    component sums over counts, same quantization as
+    :func:`label_centroids`) for both sides and their absolute shift —
+    all integers end to end, so the report is bit-reproducible.
+
+    Scale: two explodes collapse map-side into |dim|-sized frames; the
+    final join/sort runs on |dim| rows.  Output:
+    (dim, mean_a_fx, mean_b_fx, shift_fx), shift descending."""
+
+    def dim_means(df, mean_name):
+        return (
+            df.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "__x"))
+            .groupBy("dim")
+            .agg(
+                F.floor(
+                    F.sum(F.floor(F.col("__x") * F.lit(1e6)).cast("bigint")).cast("double")
+                    / F.count(F.lit(1))
+                ).cast("bigint").alias(mean_name)
+            )
+        )
+
+    j = dim_means(a, "mean_a_fx").join(dim_means(b, "mean_b_fx"), "dim")
+    return (
+        j.select(
+            F.col("dim").cast("int").alias("dim"),
+            "mean_a_fx",
+            "mean_b_fx",
+            F.abs(F.col("mean_a_fx") - F.col("mean_b_fx")).alias("shift_fx"),
+        )
+        .orderBy(F.desc("shift_fx"), "dim")
+        .limit(k)
+    )

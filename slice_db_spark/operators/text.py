@@ -622,3 +622,51 @@ def collocations(
         .orderBy(F.desc("lift_ppm"), "w1", "w2")
         .limit(k)
     )
+
+
+def source_token_drift(
+    df: DataFrame,
+    top_v: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Per-source token-distribution drift vs the corpus — a χ²-style
+    statistic over the top-``top_v`` corpus tokens (the data-drift /
+    feed-skew monitor a production mix runs per ingest batch).
+
+    For each (source, token) over the fixed vocabulary: observed count
+    ``o`` vs expected ``e = corpus_count · source_tokens / corpus_tokens``;
+    each cell contributes ``floor(1e6·(o−e)²/e)`` — the double arithmetic
+    runs on exact int64 counts with a verbatim-mirrored expression (no
+    logarithms — a KL/JS form would carry transcendental cross-engine
+    risk) and is floored PER CELL before summation, because a double Σ
+    accumulates in partition order and wouldn't be reproducible.
+
+    Scale: ONE token explode feeds the corpus and per-source counts
+    (map-side combinable); the top-V vocabulary (count-desc, token
+    tie-break) is a TakeOrdered limit — never a global window — and
+    broadcasts; totals are driver scalars.  Output:
+    (source, n_tokens, chi2_ppm) — higher = further from the corpus
+    profile."""
+    tok = (
+        df.select(F.col(stratum_col), F.explode(tokens(text_col)).alias("t"))
+        .where(F.col("t") != "")
+    )
+    per_src_tok = tok.groupBy(stratum_col, "t").agg(F.count(F.lit(1)).alias("o"))
+    per_src_tok = per_src_tok.localCheckpoint(eager=True)  # feeds corpus counts + join
+    corpus = per_src_tok.groupBy("t").agg(F.sum("o").alias("c"))
+    vocab = corpus.orderBy(F.desc("c"), "t").limit(top_v)
+    totals = per_src_tok.groupBy(stratum_col).agg(F.sum("o").alias("n_tokens"))
+    n_total = int(totals.agg(F.sum("n_tokens")).first()[0])
+    cells = (
+        per_src_tok.join(F.broadcast(vocab), "t")
+        .join(F.broadcast(totals), stratum_col)
+    )
+    e = F.col("c").cast("double") * F.col("n_tokens") / F.lit(float(n_total))
+    cell_fx = F.floor(F.lit(1e6) * (F.col("o") - e) * (F.col("o") - e) / e)
+    return (
+        cells.groupBy(stratum_col, "n_tokens")
+        .agg(F.sum(cell_fx).cast("bigint").alias("chi2_ppm"))
+        .select(stratum_col, F.col("n_tokens").cast("bigint").alias("n_tokens"), "chi2_ppm")
+    )

@@ -993,6 +993,53 @@ def events_trending(spark, sf_dir):
     )
 
 
+def source_drift(spark, sf_dir):
+    """Per-source token-distribution drift vs the corpus (χ²-style over
+    the top-100 corpus tokens, per-cell floored ppm)."""
+    return textops.source_token_drift(catalog(spark, sf_dir)["documents"], top_v=100)
+
+
+def embedding_drift(spark, sf_dir):
+    """Top-10 embedding dimensions by mean shift between the even- and
+    odd-id halves of the corpus — the snapshot-vs-snapshot encoder/feed
+    drift monitor in exact fixed point."""
+    emb = catalog(spark, sf_dir)["embeddings"]
+    return similarity.embedding_dim_drift(
+        emb.where("vec_id % 2 = 0"), emb.where("vec_id % 2 = 1"), k=10
+    )
+
+
+#: result-row counts summarized by dedup_panorama — each name must be an
+#: oracle-gated dedup query so the panorama oracle can embed its SQL
+PANORAMA_FAMILIES = [
+    "dedup_exact", "dedup_jaccard", "dedup_containment",
+    "minhash_lsh", "simhash_pairs", "dedup_chunks",
+]
+
+
+def dedup_panorama(spark, sf_dir):
+    """One-line-per-family duplication datasheet: result-row counts of
+    every dedup family over the same corpus — the summary a curation run
+    publishes before choosing its dedup strategy.  Each family's count is
+    a single aggregate over the already-gated operator (LSH reuses its
+    memoized pair cache); the oracle embeds each family's own oracle SQL
+    verbatim, so the panorama can never drift from the operators it
+    summarizes."""
+    all_q = _all_queries()
+    rows = None
+    for name in PANORAMA_FAMILIES:
+        r = (
+            all_q[name](spark, sf_dir)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .select(
+                F.lit(name).alias("family"),
+                F.col("__n").cast("bigint").alias("n_rows"),
+            )
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
 def events_moving_avg(spark, sf_dir):
     """Per-user trailing one-hour moving average of event value — a RANGE
     interval window frame (peers by event-time seconds, so equal-ts ties
@@ -3835,6 +3882,50 @@ FROM d
         FROM pv GROUP BY 1
     """)
 
+    o["source_drift"] = _q(f"""
+        WITH tok AS (SELECT source, t FROM
+                       (SELECT source, unnest({_toks_sql('text')}) AS t FROM documents)
+                     WHERE t <> ''),
+             pst AS (SELECT source, t, count(*) AS o FROM tok GROUP BY 1, 2),
+             corpus AS (SELECT t, CAST(sum(o) AS BIGINT) AS c FROM pst GROUP BY 1),
+             vocab AS (SELECT t, c FROM corpus ORDER BY c DESC, t LIMIT 100),
+             totals AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_tokens
+                        FROM pst GROUP BY 1),
+             tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS nt FROM totals),
+             cells AS (SELECT p.source, totals.n_tokens, p.o,
+                              CAST(c AS DOUBLE) * totals.n_tokens
+                                / (SELECT nt FROM tot) AS e
+                       FROM pst p JOIN vocab USING (t)
+                       JOIN totals ON totals.source = p.source)
+        SELECT source, n_tokens,
+               CAST(sum(floor(1e6 * (o - e) * (o - e) / e)) AS BIGINT) AS chi2_ppm
+        FROM cells GROUP BY 1, 2
+    """)
+
+    o["embedding_drift"] = _q("""
+        WITH v AS (SELECT vec_id,
+                          unnest(range(0, len(embedding))) AS dim,
+                          unnest(list_transform(embedding,
+                                 x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))) AS fx
+                   FROM embeddings),
+             ma AS (SELECT dim, CAST(floor(CAST(sum(fx) AS DOUBLE) / count(*)) AS BIGINT)
+                           AS mean_a_fx
+                    FROM v WHERE vec_id % 2 = 0 GROUP BY 1),
+             mb AS (SELECT dim, CAST(floor(CAST(sum(fx) AS DOUBLE) / count(*)) AS BIGINT)
+                           AS mean_b_fx
+                    FROM v WHERE vec_id % 2 = 1 GROUP BY 1)
+        SELECT CAST(dim AS INTEGER) AS dim, mean_a_fx, mean_b_fx,
+               abs(mean_a_fx - mean_b_fx) AS shift_fx
+        FROM ma JOIN mb USING (dim)
+        ORDER BY shift_fx DESC, dim LIMIT 10
+    """)
+
+    # panorama: each family's own oracle SQL embedded verbatim and counted
+    o["dedup_panorama"] = " UNION ALL ".join(
+        f"SELECT '{name}' AS family, count(*) AS n_rows FROM ({o[name]})"
+        for name in PANORAMA_FAMILIES
+    )
+
     # percentile blend: the two score pipelines reuse their own oracle
     # strings verbatim as CTEs, so the blend can never drift from the
     # gated operators it composes
@@ -3978,6 +4069,9 @@ def _all_queries():
         "quality_blend": quality_blend,
         "label_coherence": label_coherence,
         "events_trending": events_trending,
+        "source_drift": source_drift,
+        "embedding_drift": embedding_drift,
+        "dedup_panorama": dedup_panorama,
         "lineitem_key_skew": lineitem_key_skew,
         "nation_participation": nation_participation,
         "orders_running_total": orders_running_total,

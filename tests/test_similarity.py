@@ -268,3 +268,18 @@ def test_label_centroids_coherent_vs_scattered(spark):
     assert out[2].n_vecs == 2
     assert abs(out[2].mean_cos_ppm) < 100_000  # near-orthogonal to the residual centroid
     assert out[2].min_cos_ppm <= out[2].mean_cos_ppm
+
+
+def test_embedding_dim_drift_planted_shift(spark):
+    """A constant offset planted on one dimension of side B dominates the
+    drift ranking with the exact fixed-point shift."""
+    a = spark.createDataFrame(
+        [(i, [0.5, 0.5, 0.5]) for i in range(4)], "vec_id bigint, embedding array<double>"
+    )
+    b = spark.createDataFrame(
+        [(i, [0.5, 0.9, 0.5]) for i in range(4)], "vec_id bigint, embedding array<double>"
+    )
+    rows = similarity.embedding_dim_drift(a, b, k=3).collect()
+    assert rows[0].dim == 1
+    assert rows[0].shift_fx == 400_000  # |0.9 - 0.5| in micro-units
+    assert all(r.shift_fx == 0 for r in rows[1:])

@@ -175,3 +175,20 @@ def test_collocations_lift_exact(spark):
     assert out[("old", "day")].lift_ppm == out[("new", "york")].lift_ppm
     assert out[("new", "day")].lift_ppm < out[("new", "york")].lift_ppm
     assert all(r.n_ab >= 5 for r in out.values())
+
+
+def test_source_token_drift_uniform_vs_skewed(spark):
+    """The corpus-dominant source sits near the corpus profile; a small
+    source speaking a disjoint vocabulary scores far higher.  Cell
+    arithmetic pinned to the defined per-cell-floor semantics: the
+    dominant alpha/beta cells are (8−6.4)²/6.4 = 0.4 each, whose DOUBLE
+    value floors to 399999 ppm (6.4 is not binary-exact — the floor of
+    the double is the contract, both engines); the skewed omega cell
+    (4−0.8)²/0.8 floors to 12800000 ppm."""
+    mixed = [(i, "alpha beta", "dominant") for i in range(8)]
+    skew = [(10 + i, "omega omega", "skewed") for i in range(2)]
+    df = spark.createDataFrame(mixed + skew, "doc_id bigint, text string, source string")
+    out = {r.source: r for r in textops.source_token_drift(df, top_v=10).collect()}
+    assert out["dominant"].n_tokens == 16 and out["skewed"].n_tokens == 4
+    assert out["dominant"].chi2_ppm == 2 * 399_999
+    assert out["skewed"].chi2_ppm == 12_800_000
