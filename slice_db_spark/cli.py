@@ -400,9 +400,58 @@ def cmd_ingest(args) -> int:
         args.corpus,
         checkpoint=args.checkpoint,
         quarantine=args.quarantine,
+        min_quality=args.min_quality,
+        rejects=args.rejects,
     )
     n = spark.read.parquet(args.corpus).count()
     print(json.dumps({"corpus_rows": n}))
+    return 0
+
+
+def cmd_analyze(args) -> int:
+    """Corpus analytics report as one JSON object on stdout: per-stratum
+    datasheet, length quantiles, per-source token-distribution drift, and
+    a duplication summary — the numbers a curation run reads BEFORE
+    setting its thresholds.  Sections are selectable; each reuses the
+    oracle-gated operator, so the CLI can never disagree with the query
+    surface."""
+    from .operators import dedup
+    from .operators import text as textops
+    from .session import get_spark
+    from .sources.corpus import read_corpus, split_corrupt
+
+    spark = get_spark("slicedb-analyze")
+    docs, bad = split_corrupt(read_corpus(spark, args.input, fmt=args.input_format))
+    docs = docs.persist()
+    report: dict = {"rows": docs.count(), "corrupt_rows": bad.count()}
+    secs = set(args.sections.split(",")) if args.sections else {
+        "datasheet", "lengths", "drift", "dedup"
+    }
+    unknown = secs - {"datasheet", "lengths", "drift", "dedup"}
+    if unknown:
+        print(f"unknown --sections: {','.join(sorted(unknown))}", file=sys.stderr)
+        return 2
+    if "datasheet" in secs:
+        report["datasheet"] = [r.asDict() for r in textops.corpus_report(docs).collect()]
+    if "lengths" in secs:
+        report["length_quantiles"] = [
+            r.asDict() for r in textops.length_quantiles(docs).collect()
+        ]
+    if "drift" in secs:
+        report["source_drift"] = [
+            r.asDict() for r in textops.source_token_drift(docs).collect()
+        ]
+    if "dedup" in secs:
+        winners = dedup.exact_dedup(docs, ["text"]).count()
+        pairs = dedup.ngram_jaccard_pairs(
+            docs, threshold=args.jaccard_threshold, max_df=args.max_df
+        ).count()
+        report["dedup"] = {
+            "exact_winners": winners,
+            "exact_dup_docs": report["rows"] - winners,
+            "near_dup_pairs": pairs,
+        }
+    print(json.dumps(report))
     return 0
 
 
@@ -732,9 +781,28 @@ def main(argv: list[str] | None = None) -> int:
     ing = sub.add_parser("ingest", help="drain a JSONL landing dir into a deduped corpus")
     ing.add_argument("--checkpoint", required=True)
     ing.add_argument("--quarantine", default=None)
+    ing.add_argument(
+        "--min-quality", type=float, default=None,
+        help="drop documents below this composite quality score at ingest",
+    )
+    ing.add_argument(
+        "--rejects", default=None,
+        help="sink dir for quality-gated rows (per-epoch overwrite, replay-idempotent)",
+    )
     ing.add_argument("landing", help="landing directory of .jsonl files")
     ing.add_argument("corpus", help="parquet corpus directory (appended)")
     ing.set_defaults(fn=cmd_ingest)
+
+    an = sub.add_parser("analyze", help="corpus analytics report (JSON on stdout)")
+    an.add_argument("--input-format", choices=["jsonl", "csv", "parquet"], default="parquet")
+    an.add_argument(
+        "--sections", default=None,
+        help="comma list of datasheet,lengths,drift,dedup (default: all)",
+    )
+    an.add_argument("--jaccard-threshold", type=float, default=0.8)
+    an.add_argument("--max-df", type=int, default=1000)
+    an.add_argument("input", help="corpus path (documents shape)")
+    an.set_defaults(fn=cmd_analyze)
 
     sf = sub.add_parser("schema-filter", help="children-closure reverse pruning")
     sf.add_argument("--schema", required=True)

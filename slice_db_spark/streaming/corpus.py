@@ -56,11 +56,21 @@ def ingest_corpus_stream(
     quarantine: str | None = None,
     text_col: str = "text",
     available_now: bool = True,
+    min_quality: float | None = None,
+    rejects: str | None = None,
 ):
     """Start (and with ``available_now`` run to completion) the ingestion
-    stream: JSONL landing dir → per-batch exact dedup (min doc_id wins
-    within a batch) → anti-join against already-ingested content hashes →
-    parquet append.  Returns the StreamingQuery.
+    stream: JSONL landing dir → optional quality gate → per-batch exact
+    dedup (min doc_id wins within a batch) → anti-join against
+    already-ingested content hashes → parquet append.  Returns the
+    StreamingQuery.
+
+    ``min_quality`` drops documents whose composite
+    :func:`..operators.text.quality_score` falls below the threshold —
+    filtering AT INGEST (before any dedup shuffle) is where a crawl
+    pipeline wants its cheapest gate.  Rejected rows land in ``rejects``
+    (per-epoch overwrite, idempotent on replay exactly like the
+    quarantine sink).
     """
     target_exists = os.path.isdir(out_path)
 
@@ -75,6 +85,17 @@ def ingest_corpus_stream(
             bad.write.mode("overwrite").json(
                 os.path.join(quarantine, f"epoch_id={int(epoch_id)}")
             )
+        if min_quality is not None:
+            from ..operators.text import quality_score
+
+            passing = quality_score(clean, text_col=text_col).where(
+                F.col("quality_score") >= F.lit(min_quality)
+            ).select("doc_id")
+            if rejects is not None:
+                clean.join(passing, "doc_id", "left_anti").write.mode(
+                    "overwrite"
+                ).json(os.path.join(rejects, f"epoch_id={int(epoch_id)}"))
+            clean = clean.join(passing, "doc_id", "left_semi")
         hashed = clean.withColumn("content_hash", hash64(F.col(text_col)))
         # fully identical rows (same hash AND doc_id) collapse first — the
         # min-doc_id winner join below would keep BOTH copies otherwise

@@ -562,3 +562,54 @@ def test_queries_and_plan_cli(spark, capsys):
     assert "Physical Plan" in buf.getvalue() and "PushedFilters" in buf.getvalue()
     # unknown name: clean exit 2
     assert cli.main(["plan", "nope"]) == 2
+
+
+def test_analyze_cli(spark, tmp_path):
+    """Analyze the fixture corpus: every requested section lands in the
+    JSON report with sane shapes; unknown sections are a clean error."""
+    report = json.loads(
+        run_cli(
+            "analyze",
+            "--input-format", "parquet",
+            "--sections", "datasheet,dedup,drift",
+            os.path.join(SF_DIR, "documents.parquet"),
+        )
+    )
+    assert report["rows"] == 500 and report["corrupt_rows"] == 0
+    assert len(report["datasheet"]) > 0
+    assert {"exact_winners", "exact_dup_docs", "near_dup_pairs"} <= set(report["dedup"])
+    assert report["dedup"]["exact_winners"] + report["dedup"]["exact_dup_docs"] == 500
+    srcs = {r["source"] for r in report["source_drift"]}
+    assert len(srcs) == 20 and all(r["chi2_ppm"] >= 0 for r in report["source_drift"])
+
+
+def test_analyze_cli_rejects_unknown_section(tmp_path):
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "slice_db_spark", "analyze",
+         "--sections", "nope", os.path.join(SF_DIR, "documents.parquet")],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 2
+    assert "unknown --sections" in out.stderr
+
+
+def test_ingest_cli_min_quality(spark, tmp_path):
+    land = tmp_path / "land"
+    land.mkdir()
+    good_text = ("a perfectly normal readable document with many plain english "
+                 "words that the quality heuristics all like " * 3)
+    with open(land / "a.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": good_text, "lang": "en",
+                            "source": "s", "n_chars": len(good_text)}) + "\n")
+        f.write('{"doc_id": 2, "text": "zzzz zzzz zzzz", "lang": "en", "source": "s", "n_chars": 14}\n')
+    corpus = str(tmp_path / "corpus")
+    rejects = str(tmp_path / "rejects")
+    report = json.loads(
+        run_cli("ingest", "--checkpoint", str(tmp_path / "ckpt"),
+                "--min-quality", "0.45", "--rejects", rejects, str(land), corpus)
+    )
+    assert report["corpus_rows"] == 1
+    assert spark.read.json(rejects).count() == 1

@@ -171,3 +171,38 @@ def test_csv_corrupt_capture(spark, tmp_path):
     assert [r["doc_id"] for r in clean.collect()] == [1]
     raws = {r["raw"] for r in bad.collect()}
     assert len(raws) == 2 and any("not-a-number" in r for r in raws)
+
+
+def test_streaming_ingest_quality_gate(spark, tmp_path):
+    """min_quality drops junk at ingest: the gated doc lands in the
+    rejects sink, never the corpus; good docs flow through; a replay of
+    the same data stays idempotent for both sinks."""
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "corpus")
+    rej = str(tmp_path / "rejects")
+
+    good = {
+        "doc_id": 1,
+        "text": "this is a perfectly normal readable document with many plain "
+                "english words that the quality heuristics all like " * 3,
+        "lang": "en", "source": "s0", "n_chars": 100,
+    }
+    junk = {"doc_id": 2, "text": "zzzz zzzz zzzz zzzz", "lang": "en",
+            "source": "s0", "n_chars": 19}
+    _write_batch(land, "b0.jsonl", [good, junk])
+    SC.ingest_corpus_stream(
+        spark, str(land), out, str(tmp_path / "ckpt"), min_quality=0.5, rejects=rej
+    )
+    got = spark.read.parquet(out)
+    assert [r.doc_id for r in got.collect()] == [1]
+    rejected = spark.read.json(rej)
+    assert [r.doc_id for r in rejected.collect()] == [2]
+
+    # same landing dir, fresh checkpoint: anti-join + per-epoch overwrite
+    # keep both sinks stable
+    SC.ingest_corpus_stream(
+        spark, str(land), out, str(tmp_path / "ckpt2"), min_quality=0.5, rejects=rej
+    )
+    assert spark.read.parquet(out).count() == 1
+    assert spark.read.json(rej).count() == 1
