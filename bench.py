@@ -80,6 +80,9 @@ HEADLINE = [
     "dedup_sorted_nbrs",
     "dedup_cross_source",
     "dedup_panorama",
+    "nearest_doc",
+    "contrastive_negs",
+    "doc_pagerank",
     "dedup_incremental",
     "lsh_recall",
     "dedup_clusters",

@@ -1044,3 +1044,134 @@ def sorted_neighborhood_pairs(
             ).cast("bigint").alias("jaccard_ppm"),
         )
     )
+
+
+# ------------------------------------------------- similarity-graph analytics
+
+
+def nearest_neighbor_doc(
+    df: DataFrame,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Each document's single most similar other document (by exact
+    capped n-gram Jaccard at ``threshold``) — the lookup behind "show me
+    what this near-duplicates".  Pairs symmetrize and a per-anchor window
+    takes the argmax with (jaccard desc, id) tie-break; documents with no
+    pair above threshold are absent.
+
+    Output: (doc_id, nn_id, jaccard)."""
+    from pyspark.sql import Window
+
+    pairs = ngram_jaccard_pairs(
+        df, threshold=threshold, text_col=text_col, id_col=id_col, n=n, max_df=max_df
+    )
+    both = pairs.select(
+        F.col("id_a").alias(id_col), F.col("id_b").alias("nn_id"), "jaccard"
+    ).unionByName(
+        pairs.select(F.col("id_b").alias(id_col), F.col("id_a").alias("nn_id"), "jaccard")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("jaccard"), F.asc("nn_id"))
+    return (
+        both.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(id_col, "nn_id", "jaccard")
+    )
+
+
+def contrastive_negatives(
+    df: DataFrame,
+    k: int = 2,
+    max_jaccard: float = 0.3,
+    mh_k: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    ``k`` most lexically similar documents that are NOT near-duplicates —
+    MinHash-band candidates (so some lexical overlap exists) whose exact
+    Jaccard stays under ``max_jaccard``, ranked hardest-first.
+
+    Random negatives are trivially easy for a contrastive objective;
+    band-collision + sub-threshold-Jaccard is the standard cheap "hard"
+    pool.  Candidates sharing zero shingles never surface (the exact
+    verification join is inner) — they would be easy negatives anyway.
+
+    Scale: identical to the LSH dedup path (banded equi-join, candidate
+    volume ≪ all-pairs), plus an anchor-partitioned top-k window over the
+    already-small negative pool.  Output:
+    (anchor, negative, jaccard, rank)."""
+    from pyspark.sql import Window
+
+    pairs = minhash_lsh_pairs(
+        df, k=mh_k, bands=bands, threshold=0.0,
+        text_col=text_col, id_col=id_col, n=n, verify=True,
+    ).where(F.col("jaccard") < max_jaccard)
+    both = pairs.select(
+        F.col("id_a").alias("anchor"), F.col("id_b").alias("negative"), "jaccard"
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("anchor"), F.col("id_a").alias("negative"), "jaccard")
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("jaccard"), F.asc("negative"))
+    return (
+        both.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("anchor", "negative", "jaccard", "rank")
+    )
+
+
+def doc_pagerank(
+    pairs: DataFrame,
+    iters: int = 3,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected similarity-pair graph,
+    entirely in exact integer ppm — the importance signal for choosing
+    canonical survivors inside duplicate families (keep the hub, drop the
+    satellites) or weighting a retrieval mix.
+
+    ``PR₀ = 1e6``; each round ``PRₜ₊₁ = 150000 + (85·Σ inbound
+    PRₜ(src)//deg(src)) // 100`` — the classic 0.85 damping in integer
+    floor arithmetic, so every engine reproduces identical bits with NO
+    float accumulation and the oracle can unroll the same rounds as CTEs.
+    Fixed iteration count (power-iteration convergence is geometric;
+    ranking stabilizes in a handful of rounds) keeps the plan bounded —
+    for long chains use star contraction first, not more rounds.
+
+    Scale: per round one (src-keyed join + dst-keyed partial agg); the
+    rank frame is |nodes|-sized.  Isolated documents never enter (no
+    edges).  Output: (node, degree, pr_ppm)."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    e = e.localCheckpoint(eager=True)  # reused every round
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pr = deg.select(F.col("src").alias("node"), F.lit(1_000_000).cast("bigint").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            e.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("pr div deg")).alias("__s"))
+        )
+        pr = (
+            pr.select("node")
+            .join(contrib, F.col("node") == F.col("dst"), "left_outer")
+            .select(
+                "node",
+                (
+                    F.lit(150_000)
+                    + F.expr("(85 * coalesce(__s, 0L)) div 100")
+                ).cast("bigint").alias("pr"),
+            )
+        )
+    return (
+        pr.join(deg, F.col("node") == F.col("src"))
+        .select("node", F.col("deg").cast("bigint").alias("degree"), F.col("pr").alias("pr_ppm"))
+    )

@@ -1040,6 +1040,35 @@ def dedup_panorama(spark, sf_dir):
     return rows
 
 
+def nearest_doc(spark, sf_dir):
+    """Each document's most similar other document by exact capped
+    Jaccard at 0.5 (argmax over the symmetrized pair graph)."""
+    return dedup.nearest_neighbor_doc(
+        catalog(spark, sf_dir)["documents"], threshold=0.5, max_df=JACCARD_MAX_DF
+    )
+
+
+def contrastive_negs(spark, sf_dir):
+    """Hard-negative mining: per anchor the 2 most similar documents
+    UNDER the near-dup threshold, from the MinHash band candidate pool."""
+    # 8 bands of 2 rows: band-collision probability ~j^2, so the candidate
+    # pool reaches well below the dup threshold (4x4 banding ~j^4 surfaces
+    # only near-dups and leaves the negative pool empty on this corpus)
+    return dedup.contrastive_negatives(
+        catalog(spark, sf_dir)["documents"], k=2, max_jaccard=0.3, mh_k=16, bands=8
+    )
+
+
+def doc_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank (3 rounds, 0.85 damping) over the
+    0.5-threshold Jaccard similarity graph — survivor-importance inside
+    duplicate families."""
+    pairs = dedup.ngram_jaccard_pairs(
+        catalog(spark, sf_dir)["documents"], threshold=0.5, max_df=JACCARD_MAX_DF
+    )
+    return dedup.doc_pagerank(pairs, iters=3)
+
+
 def events_moving_avg(spark, sf_dir):
     """Per-user trailing one-hour moving average of event value — a RANGE
     interval window frame (peers by event-time seconds, so equal-ts ties
@@ -2130,6 +2159,25 @@ SELECT doc_id, {recompose} AS simhash FROM bits
 """
 
 
+def _jaccard_pairs_cte(threshold: float, max_df: int) -> str:
+    """Shared capped-exact-Jaccard pair CTE chain, ending in ``jp``
+    (id_a, id_b, jaccard ≥ threshold) — the SQL twin of
+    ``dedup.ngram_jaccard_pairs``."""
+    return f"""{_SHINGLE_CTE.format(sh=_shingles_sql('text', 3), h=_hash64_sql('s'))},
+keep AS (SELECT shingle FROM st GROUP BY shingle
+         HAVING count(*) > 1 AND count(*) <= {max_df}),
+p AS (SELECT st.* FROM st JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM st GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM p a JOIN p b USING (shingle) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jp AS (
+  SELECT id_a, id_b, round(shared / (sa.n + sb.n - shared), 6) AS jaccard
+  FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(shared / (sa.n + sb.n - shared), 6) >= {threshold})"""
+
+
 def _minhash_cte(k: int, n: int) -> str:
     params = dedup.minhash_params(k)
     values = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(params))
@@ -3036,6 +3084,64 @@ lab AS (SELECT least(da.source, db.source) AS src_a,
         FROM pr JOIN documents da ON da.doc_id = id_a
                 JOIN documents db ON db.doc_id = id_b)
 SELECT src_a, src_b, count(*) AS n_pairs FROM lab GROUP BY 1, 2
+"""
+
+    o["nearest_doc"] = f"""
+WITH {_jaccard_pairs_cte(0.5, JACCARD_MAX_DF)},
+sym AS (SELECT id_a AS doc_id, id_b AS nn_id, jaccard FROM jp
+        UNION ALL
+        SELECT id_b, id_a, jaccard FROM jp)
+SELECT doc_id, nn_id, jaccard FROM sym
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, nn_id) = 1
+"""
+
+    o["doc_pagerank"] = f"""
+WITH {_jaccard_pairs_cte(0.5, JACCARD_MAX_DF)},
+e AS (SELECT id_a AS src, id_b AS dst FROM jp
+      UNION ALL SELECT id_b, id_a FROM jp),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+p0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+c1 AS (SELECT dst, sum(pr // deg) AS s FROM e
+       JOIN p0 ON p0.node = e.src JOIN deg ON deg.src = e.src GROUP BY dst),
+p1 AS (SELECT node, CAST(150000 + (85 * coalesce(s, 0)) // 100 AS BIGINT) AS pr
+       FROM p0 LEFT JOIN c1 ON c1.dst = p0.node),
+c2 AS (SELECT dst, sum(pr // deg) AS s FROM e
+       JOIN p1 ON p1.node = e.src JOIN deg ON deg.src = e.src GROUP BY dst),
+p2 AS (SELECT node, CAST(150000 + (85 * coalesce(s, 0)) // 100 AS BIGINT) AS pr
+       FROM p1 LEFT JOIN c2 ON c2.dst = p1.node),
+c3 AS (SELECT dst, sum(pr // deg) AS s FROM e
+       JOIN p2 ON p2.node = e.src JOIN deg ON deg.src = e.src GROUP BY dst),
+p3 AS (SELECT node, CAST(150000 + (85 * coalesce(s, 0)) // 100 AS BIGINT) AS pr
+       FROM p2 LEFT JOIN c3 ON c3.dst = p2.node)
+SELECT node, CAST(deg AS BIGINT) AS degree, pr AS pr_ppm
+FROM p3 JOIN deg ON deg.src = p3.node
+"""
+
+    o["contrastive_negs"] = f"""
+WITH {_minhash_cte(16, 3)},
+bands AS (
+  SELECT doc_id, j // 2 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j)) AS band_hash
+  FROM mh GROUP BY doc_id, j // 2),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_hash) WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT id_a, id_b, count(*) AS shared
+  FROM cands JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+  WHERE a.shingle = b.shingle GROUP BY 1, 2),
+neg AS (
+  SELECT id_a, id_b, round(shared / (sa.n + sb.n - shared), 6) AS jaccard
+  FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(shared / (sa.n + sb.n - shared), 6) >= 0.0
+    AND round(shared / (sa.n + sb.n - shared), 6) < 0.3),
+sym AS (SELECT id_a AS anchor, id_b AS negative, jaccard FROM neg
+        UNION ALL SELECT id_b, id_a, jaccard FROM neg)
+SELECT anchor, negative, jaccard,
+       CAST(row_number() OVER (PARTITION BY anchor
+                               ORDER BY jaccard DESC, negative) AS BIGINT) AS rank
+FROM sym QUALIFY rank <= 2
 """
 
     o["dedup_containment"] = f"""
@@ -4072,6 +4178,9 @@ def _all_queries():
         "source_drift": source_drift,
         "embedding_drift": embedding_drift,
         "dedup_panorama": dedup_panorama,
+        "nearest_doc": nearest_doc,
+        "contrastive_negs": contrastive_negs,
+        "doc_pagerank": doc_pagerank,
         "lineitem_key_skew": lineitem_key_skew,
         "nation_participation": nation_participation,
         "orders_running_total": orders_running_total,

@@ -375,3 +375,56 @@ def test_sorted_neighborhood_window_limits_pairs(spark):
     rows = dedup.sorted_neighborhood_pairs(df, window=1, block_chars=2).collect()
     got = sorted((r.a_id, r.b_id) for r in rows)
     assert got == [(0, 1), (1, 2)]  # sort order alpha<beta<gamma, no (0,2)
+
+
+def test_nearest_neighbor_doc_argmax(spark):
+    """Each doc maps to its single highest-Jaccard partner; ties and
+    sub-threshold pairs behave deterministically."""
+    a = "one two three four five six seven eight"
+    b = "one two three four five six seven nine"   # high overlap with a
+    c = "one two three four ten eleven twelve thirteen"  # lower overlap
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in dedup.nearest_neighbor_doc(df, threshold=0.1).collect()}
+    assert out[1].nn_id == 2 and out[2].nn_id == 1  # mutual nearest
+    assert out[3].nn_id in (1, 2)
+    assert out[1].jaccard > out[3].jaccard
+
+
+def test_doc_pagerank_hub_ranks_highest(spark):
+    """Star graph: the hub accumulates rank from every leaf; integer
+    arithmetic matches a driver-side simulation of the same recurrence."""
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "id_a bigint, id_b bigint"
+    )
+    out = {r.node: r for r in dedup.doc_pagerank(pairs, iters=3).collect()}
+    assert out[0].degree == 4 and all(out[i].degree == 1 for i in range(1, 5))
+    assert out[0].pr_ppm > out[1].pr_ppm
+    # driver simulation of the identical integer recurrence
+    pr = {n: 1_000_000 for n in range(5)}
+    deg = {0: 4, 1: 1, 2: 1, 3: 1, 4: 1}
+    edges = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    for _ in range(3):
+        s = {n: 0 for n in pr}
+        for src, dst in edges:
+            s[dst] += pr[src] // deg[src]
+        pr = {n: 150_000 + (85 * s[n]) // 100 for n in pr}
+    assert {n: r.pr_ppm for n, r in out.items()} == pr
+
+
+def test_contrastive_negatives_under_threshold_only(spark):
+    """With 16 bands of 1 row, modest-overlap pairs collide and surface
+    as negatives; near-duplicates above max_jaccard never do."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta iota"      # ~0.71 jaccard
+    part = "alpha beta gamma delta epsilon foo bar baz"        # j = 3/9 ≈ 0.33
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, part)], "doc_id bigint, text string"
+    )
+    out = dedup.contrastive_negatives(df, k=2, max_jaccard=0.5, mh_k=16, bands=16)
+    rows = out.collect()
+    got = {(r.anchor, r.negative) for r in rows}
+    assert (1, 2) not in got and (2, 1) not in got  # near-dup excluded
+    assert all(r.jaccard < 0.5 for r in rows)
+    assert (1, 3) in got or (3, 1) in got  # the modest-overlap pair surfaces
