@@ -83,6 +83,8 @@ HEADLINE = [
     "nearest_doc",
     "contrastive_negs",
     "doc_pagerank",
+    "sketch_hll",
+    "sketch_cms",
     "dedup_incremental",
     "lsh_recall",
     "dedup_clusters",

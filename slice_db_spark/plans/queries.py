@@ -23,7 +23,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..config.model import Root
-from ..operators import curation, dedup, multimodal, similarity
+from ..operators import curation, dedup, multimodal, similarity, sketches
 from ..operators import text as textops
 from ..functions.transforms import build_registry, transform_dataframe
 from ..session import load_catalog
@@ -1067,6 +1067,52 @@ def doc_pagerank(spark, sf_dir):
         catalog(spark, sf_dir)["documents"], threshold=0.5, max_df=JACCARD_MAX_DF
     )
     return dedup.doc_pagerank(pairs, iters=3)
+
+
+def sketch_hll(spark, sf_dir):
+    """From-scratch deterministic HyperLogLog distinct-count of order
+    customers, WITH its own correctness gate: the oracle reproduces every
+    register and the estimate bit-for-bit (engine builtins like
+    `approx_count_distinct` can never be cross-verified).  Exact distinct
+    is a driver scalar for the error column."""
+    o = catalog(spark, sf_dir)["orders"]
+    nd = o.select("o_custkey").distinct().count()
+    est = sketches.hll_estimate(o, "o_custkey")
+    return est.select(
+        F.lit("o_custkey").alias("col_name"),
+        F.lit(int(nd)).cast("bigint").alias("exact_distinct"),
+        "n_registers",
+        "harmonic_scaled",
+        "estimate",
+        F.floor(
+            F.lit(1e6) * F.abs(F.col("estimate") - F.lit(int(nd))) / F.lit(int(nd))
+        ).cast("bigint").alias("err_ppm"),
+    )
+
+
+def sketch_cms(spark, sf_dir):
+    """Count-Min frequency estimates for the 10 heaviest lineitem
+    suppliers, next to their exact counts — the estimate is
+    exact-or-over by construction and every cell is integer-reproducible.
+    The sketch builds from the pre-aggregated per-supplier counts (one
+    fact scan), not from raw rows per depth row."""
+    li = catalog(spark, sf_dir)["lineitem"]
+    exact = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("exact_n"))
+    exact = exact.localCheckpoint(eager=True)  # feeds sketch cells + top-k
+    topk = exact.orderBy(F.desc("exact_n"), "l_suppkey").limit(10)
+    est = sketches.cms_estimates(
+        exact, "l_suppkey", topk.select(F.col("l_suppkey").alias("key")),
+        weight_col="exact_n",
+    )
+    return (
+        topk.join(F.broadcast(est), topk.l_suppkey == est.key)
+        .select(
+            "l_suppkey",
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_n")).cast("bigint").alias("over_count"),
+        )
+    )
 
 
 def events_moving_avg(spark, sf_dir):
@@ -4032,6 +4078,69 @@ FROM d
         for name in PANORAMA_FAMILIES
     )
 
+    # HLL: the oracle rebuilds every register and the harmonic sum from
+    # the same md5 hashing, integer shifts, and the shared rho CASE chain
+    _M = sketches.HLL_M
+    _rho = sketches._rho_case_sql("sfx")
+    # e-notation: a bare 256.0 parses as DECIMAL in DuckDB and overflows
+    def _dlit(x: float) -> str:
+        r = repr(float(x))
+        return r if "e" in r else r + "e0"
+
+    _est_sql = (
+        f"CAST(floor({_dlit(sketches.HLL_ALPHA)} * {_dlit(_M)} * {_dlit(_M)}"
+        f" * {_dlit(1 << sketches.HLL_SCALE_POW)} / hs) AS BIGINT)"
+    )
+    o["sketch_hll"] = _q(f"""
+        WITH h AS (SELECT {_hash64_sql("'hll:' || CAST(o_custkey AS VARCHAR)")} AS h
+                   FROM orders WHERE o_custkey IS NOT NULL),
+        b AS (SELECT h % {_M} AS bucket, (h // {_M}) % {1 << 32} AS sfx FROM h),
+        r AS (SELECT bucket, max({_rho}) AS rho FROM b GROUP BY 1),
+        fullr AS (SELECT t.i AS bucket, coalesce(r.rho, 0) AS rho
+                  FROM (SELECT unnest(range(0, {_M})) AS i) t
+                  LEFT JOIN r ON r.bucket = t.i),
+        s AS (SELECT CAST(sum(CAST(1 AS BIGINT) << ({sketches.HLL_SCALE_POW} - rho))
+                          AS BIGINT) AS hs FROM fullr),
+        est AS (SELECT hs, {_est_sql} AS estimate FROM s),
+        ex AS (SELECT count(DISTINCT o_custkey) AS nd FROM orders)
+        SELECT 'o_custkey' AS col_name,
+               CAST(nd AS BIGINT) AS exact_distinct,
+               CAST({_M} AS BIGINT) AS n_registers,
+               hs AS harmonic_scaled,
+               estimate,
+               CAST(floor(1e6 * abs(estimate - nd) / nd) AS BIGINT) AS err_ppm
+        FROM est CROSS JOIN ex
+    """)
+
+    _W = sketches.CMS_WIDTH
+    _cms_cells = " UNION ALL ".join(
+        "SELECT {j} AS rw, {h} % {w} AS cell,"
+        " CAST(sum(exact_n) AS BIGINT) AS cnt FROM exact GROUP BY 1, 2".format(
+            j=j, w=_W, h=_hash64_sql("'cms:%d:' || v" % j)
+        )
+        for j in range(sketches.CMS_DEPTH)
+    )
+    _cms_probes = " UNION ALL ".join(
+        "SELECT l_suppkey AS key, {j} AS rw, {h} % {w} AS cell FROM topk".format(
+            j=j, w=_W, h=_hash64_sql("'cms:%d:' || CAST(l_suppkey AS VARCHAR)" % j)
+        )
+        for j in range(sketches.CMS_DEPTH)
+    )
+    o["sketch_cms"] = _q(f"""
+        WITH exact AS (SELECT CAST(l_suppkey AS VARCHAR) AS v, l_suppkey,
+                              count(*) AS exact_n
+                       FROM lineitem GROUP BY 1, 2),
+        topk AS (SELECT l_suppkey, exact_n FROM exact
+                 ORDER BY exact_n DESC, l_suppkey LIMIT 10),
+        cells AS ({_cms_cells}),
+        probes AS ({_cms_probes}),
+        est AS (SELECT key, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_estimate
+                FROM probes LEFT JOIN cells USING (rw, cell) GROUP BY key)
+        SELECT t.l_suppkey, CAST(exact_n AS BIGINT) AS exact_n, cms_estimate,
+               CAST(cms_estimate - exact_n AS BIGINT) AS over_count
+        FROM topk t JOIN est ON est.key = t.l_suppkey
+    """)
+
     # percentile blend: the two score pipelines reuse their own oracle
     # strings verbatim as CTEs, so the blend can never drift from the
     # gated operators it composes
@@ -4181,6 +4290,8 @@ def _all_queries():
         "nearest_doc": nearest_doc,
         "contrastive_negs": contrastive_negs,
         "doc_pagerank": doc_pagerank,
+        "sketch_hll": sketch_hll,
+        "sketch_cms": sketch_cms,
         "lineitem_key_skew": lineitem_key_skew,
         "nation_participation": nation_participation,
         "orders_running_total": orders_running_total,

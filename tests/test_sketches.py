@@ -1,0 +1,65 @@
+"""Deterministic-sketch contracts: HLL estimate accuracy + duplicate
+insensitivity, CMS never-underestimates + weighted-build equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from slice_db_spark.operators import sketches
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """1.04/sqrt(256) ~ 6.5% relative error at one sigma; assert 3 sigma."""
+    df = spark.range(0, 2000).select(F.col("id").alias("v"))
+    est = sketches.hll_estimate(df, "v").collect()[0]
+    assert est.n_registers == 256
+    assert abs(est.estimate - 2000) / 2000 < 0.20
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    """The sketch is a function of the distinct value set only."""
+    base = spark.range(0, 500).select(F.col("id").alias("v"))
+    doubled = base.unionByName(base).unionByName(base)
+    a = sketches.hll_estimate(base, "v").collect()[0]
+    b = sketches.hll_estimate(doubled, "v").collect()[0]
+    assert (a.harmonic_scaled, a.estimate) == (b.harmonic_scaled, b.estimate)
+
+
+def test_hll_registers_deterministic(spark):
+    df = spark.range(0, 100).select(F.col("id").alias("v"))
+    r1 = {(r.bucket, r.rho) for r in sketches.hll_registers(df, "v").collect()}
+    r2 = {(r.bucket, r.rho) for r in sketches.hll_registers(df, "v").collect()}
+    assert r1 == r2 and len(r1) > 50  # most of 256 buckets hit by 100 values? no — ~32%
+    assert all(1 <= rho <= 33 for _, rho in r1)
+
+
+def test_cms_never_underestimates_and_is_tight_when_sparse(spark):
+    """Estimates are exact-or-over; with few distinct values vs 4x512
+    cells, collisions are unlikely and the estimate is exact."""
+    rows = [(i % 10,) for i in range(1000)]  # 10 keys x 100
+    df = spark.createDataFrame(rows, "v bigint")
+    keys = spark.range(0, 10).select(F.col("id").alias("key"))
+    est = {r.key: r.cms_estimate for r in sketches.cms_estimates(df, "v", keys).collect()}
+    assert all(est[k] >= 100 for k in range(10))
+    assert sorted(est.values()) == [100] * 10  # sparse -> exact
+
+
+def test_cms_weighted_build_matches_raw(spark):
+    """Sketching the pre-aggregated (value, weight) frame must equal
+    sketching the raw rows."""
+    rows = [(i % 7,) for i in range(700)]
+    raw = spark.createDataFrame(rows, "v bigint")
+    agg = raw.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    keys = spark.range(0, 7).select(F.col("id").alias("key"))
+    a = {r.key: r.cms_estimate for r in sketches.cms_estimates(raw, "v", keys).collect()}
+    b = {r.key: r.cms_estimate
+         for r in sketches.cms_estimates(agg, "v", keys, weight_col="n").collect()}
+    assert a == b
+
+
+def test_cms_absent_key_estimates_low(spark):
+    """A key never inserted estimates 0 unless all its cells collide."""
+    df = spark.createDataFrame([(1,), (2,)], "v bigint")
+    keys = spark.createDataFrame([(999999,)], "key bigint")
+    est = sketches.cms_estimates(df, "v", keys).collect()[0]
+    assert est.cms_estimate == 0
