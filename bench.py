@@ -85,6 +85,7 @@ HEADLINE = [
     "doc_pagerank",
     "sketch_hll",
     "sketch_cms",
+    "bloom_decontam",
     "dedup_incremental",
     "lsh_recall",
     "dedup_clusters",

@@ -146,3 +146,57 @@ def cms_estimates(
         "key", F.coalesce(F.col("cnt"), F.lit(0)).alias("__c")
     )
     return joined.groupBy("key").agg(F.min("__c").cast("bigint").alias("cms_estimate"))
+
+
+BLOOM_K = 3
+BLOOM_M_POW = 16
+BLOOM_M = 1 << BLOOM_M_POW   # 65536 bits
+
+
+def bloom_bits(df: DataFrame, col: str, salt: str = "bloom") -> DataFrame:
+    """Bloom filter as a distinct (bit,) position table — ``BLOOM_K``
+    salted md5 positions per value, reproducible in any engine.  For a
+    set of n values the false-positive rate is the textbook
+    ``(1 − e^{−kn/m})^k``; the table form (instead of a packed bitmap)
+    keeps it joinable, verifiable, and mergeable by plain DISTINCT
+    union."""
+    rows = None
+    base = df.where(F.col(col).isNotNull()).select(F.col(col).cast("string").alias("__v"))
+    for j in range(BLOOM_K):
+        h = hash64(F.concat_ws(":", F.lit(salt), F.lit(str(j)), F.col("__v")))
+        r = base.select((h % BLOOM_M).alias("bit"))
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.distinct()
+
+
+def bloom_candidates(
+    df: DataFrame, col: str, bits: DataFrame, salt: str = "bloom"
+) -> DataFrame:
+    """Rows of ``df`` whose ``col`` value has ALL k bloom bits set — the
+    candidate superset of true members (no false negatives ever; false
+    positives at the textbook rate).
+
+    The membership test is k broadcast semi-join probes counted back per
+    input row: a value passes iff all k probes hit.  With the bit table
+    broadcast (KB-sized), the big side never shuffles — the point of the
+    pre-filter: it prunes the expensive exact join's input to candidates
+    only."""
+    keyed = df.withColumn("__bv", F.col(col).cast("string"))
+    # probe DISTINCT values, not rows — a value occurring in d rows would
+    # otherwise contribute d·k probes and break the all-k-bits count in
+    # both directions (missed members at d>1, spurious passes when d
+    # partial hits happen to sum to k)
+    vals = keyed.select("__bv").distinct()
+    probes = None
+    for j in range(BLOOM_K):
+        h = hash64(F.concat_ws(":", F.lit(salt), F.lit(str(j)), F.col("__bv")))
+        p = vals.select(F.col("__bv"), (h % BLOOM_M).alias("bit"))
+        probes = p if probes is None else probes.unionByName(p)
+    hits = (
+        probes.join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy("__bv")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .where(F.col("__k") == BLOOM_K)
+        .select(F.col("__bv"))
+    )
+    return keyed.join(F.broadcast(hits), "__bv", "left_semi").drop("__bv")

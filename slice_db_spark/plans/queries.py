@@ -1115,6 +1115,47 @@ def sketch_cms(spark, sf_dir):
     )
 
 
+def bloom_decontam(spark, sf_dir):
+    """Bloom-prefiltered decontamination audit: the benchmark shingle set
+    compresses to a KB-scale bloom bit table (vs broadcasting the full
+    set — the 100 TB eval-overlap pre-filter), the corpus index probes it,
+    and the report shows per flagged doc the candidate count next to the
+    exact overlap — ``bloom_fp = n_bloom − n_exact ≥ 0`` makes the
+    no-false-negative / bounded-false-positive contract a measured
+    number."""
+    docs = catalog(spark, sf_dir)["documents"]
+    corpus_st = dedup.shingle_table(
+        docs.where("doc_id % 97 != 0"), n=DECONTAM_N
+    ).localCheckpoint(eager=True)  # three consumers: sizes, bloom probe, exact join
+    bench_sh = (
+        dedup.shingle_table(docs.where("doc_id % 97 = 0"), n=DECONTAM_N)
+        .select("shingle").distinct()
+    )
+    bench_sh = bench_sh.localCheckpoint(eager=True)  # bits + exact join
+    bits = sketches.bloom_bits(bench_sh, "shingle")
+    n_bloom = (
+        sketches.bloom_candidates(corpus_st, "shingle", bits)
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bloom"))
+    )
+    n_exact = (
+        corpus_st.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    sizes = corpus_st.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        n_bloom.join(sizes, "doc_id")
+        .join(n_exact, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_bloom").cast("bigint").alias("n_bloom"),
+            F.coalesce(F.col("n_exact"), F.lit(0)).cast("bigint").alias("n_exact"),
+            (F.col("n_bloom") - F.coalesce(F.col("n_exact"), F.lit(0)))
+            .cast("bigint").alias("bloom_fp"),
+        )
+    )
+
+
 def events_moving_avg(spark, sf_dir):
     """Per-user trailing one-hour moving average of event value — a RANGE
     interval window frame (peers by event-time seconds, so equal-ts ties
@@ -4141,6 +4182,41 @@ FROM d
         FROM topk t JOIN est ON est.key = t.l_suppkey
     """)
 
+    _BM = sketches.BLOOM_M
+    _bloom_bits = " UNION ALL ".join(
+        "SELECT DISTINCT {h} % {m} AS bit FROM bs".format(
+            m=_BM, h=_hash64_sql("'bloom:%d:' || CAST(shingle AS VARCHAR)" % j)
+        )
+        for j in range(sketches.BLOOM_K)
+    )
+    _bloom_probes = " UNION ALL ".join(
+        "SELECT doc_id, shingle, {h} % {m} AS bit FROM st WHERE doc_id % 97 != 0".format(
+            m=_BM, h=_hash64_sql("'bloom:%d:' || CAST(shingle AS VARCHAR)" % j)
+        )
+        for j in range(sketches.BLOOM_K)
+    )
+    o["bloom_decontam"] = _q(f"""
+        WITH st AS (SELECT DISTINCT doc_id, {_hash64_sql('s')} AS shingle FROM
+               (SELECT doc_id, unnest({_shingles_sql('text', DECONTAM_N)}) AS s
+                FROM documents)),
+        bs AS (SELECT DISTINCT shingle FROM st WHERE doc_id % 97 = 0),
+        bits AS (SELECT DISTINCT bit FROM ({_bloom_bits})),
+        probes AS ({_bloom_probes}),
+        cand AS (SELECT doc_id, shingle FROM probes
+                 JOIN bits USING (bit) GROUP BY 1, 2
+                 HAVING count(*) = {sketches.BLOOM_K}),
+        nb AS (SELECT doc_id, count(*) AS n_bloom FROM cand GROUP BY 1),
+        ne AS (SELECT doc_id, count(*) AS n_exact FROM st JOIN bs USING (shingle)
+               WHERE doc_id % 97 != 0 GROUP BY 1),
+        sz AS (SELECT doc_id, count(*) AS n_grams FROM st
+               WHERE doc_id % 97 != 0 GROUP BY 1)
+        SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(n_bloom AS BIGINT) AS n_bloom,
+               CAST(coalesce(n_exact, 0) AS BIGINT) AS n_exact,
+               CAST(n_bloom - coalesce(n_exact, 0) AS BIGINT) AS bloom_fp
+        FROM nb JOIN sz USING (doc_id) LEFT JOIN ne USING (doc_id)
+    """)
+
     # percentile blend: the two score pipelines reuse their own oracle
     # strings verbatim as CTEs, so the blend can never drift from the
     # gated operators it composes
@@ -4292,6 +4368,7 @@ def _all_queries():
         "doc_pagerank": doc_pagerank,
         "sketch_hll": sketch_hll,
         "sketch_cms": sketch_cms,
+        "bloom_decontam": bloom_decontam,
         "lineitem_key_skew": lineitem_key_skew,
         "nation_participation": nation_participation,
         "orders_running_total": orders_running_total,

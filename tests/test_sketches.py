@@ -63,3 +63,30 @@ def test_cms_absent_key_estimates_low(spark):
     keys = spark.createDataFrame([(999999,)], "key bigint")
     est = sketches.cms_estimates(df, "v", keys).collect()[0]
     assert est.cms_estimate == 0
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted value must pass the membership test."""
+    members = spark.range(0, 300).select(F.col("id").alias("v"))
+    bits = sketches.bloom_bits(members, "v")
+    out = sketches.bloom_candidates(members, "v", bits)
+    assert out.count() == 300
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    """Non-members pass at roughly (1-e^{-kn/m})^k — for n=300, k=3,
+    m=65536 that is ~2e-6; assert a generous upper bound."""
+    members = spark.range(0, 300).select(F.col("id").alias("v"))
+    bits = sketches.bloom_bits(members, "v")
+    probes = spark.range(1_000_000, 1_010_000).select(F.col("id").alias("v"))
+    fp = sketches.bloom_candidates(probes, "v", bits).count()
+    assert fp <= 5  # expected ~0.02 for 10k probes
+
+
+def test_bloom_duplicate_rows_all_pass(spark):
+    """Row multiplicity must not affect membership (the per-row probe
+    bug this test pins): d copies of a member all pass."""
+    member = spark.createDataFrame([(7,)], "v bigint")
+    bits = sketches.bloom_bits(member, "v")
+    dup = spark.createDataFrame([(7,), (7,), (7,)], "v bigint")
+    assert sketches.bloom_candidates(dup, "v", bits).count() == 3
