@@ -1040,11 +1040,37 @@ def dedup_panorama(spark, sf_dir):
     return rows
 
 
+_JP05_PAIRS: dict = {}
+
+
+def _jaccard_pairs_05(spark, sf_dir):
+    """The 0.5-threshold exact pair graph feeds several consumers
+    (nearest_doc's argmax, doc_pagerank's edges) — memoized per sf_dir
+    like the traversals and LSH pairs, as one real pipeline stage whose
+    output downstream analytics share."""
+    if sf_dir not in _JP05_PAIRS:
+        _JP05_PAIRS[sf_dir] = dedup.ngram_jaccard_pairs(
+            catalog(spark, sf_dir)["documents"], threshold=0.5, max_df=JACCARD_MAX_DF
+        ).persist()
+    return _JP05_PAIRS[sf_dir]
+
+
 def nearest_doc(spark, sf_dir):
     """Each document's most similar other document by exact capped
     Jaccard at 0.5 (argmax over the symmetrized pair graph)."""
-    return dedup.nearest_neighbor_doc(
-        catalog(spark, sf_dir)["documents"], threshold=0.5, max_df=JACCARD_MAX_DF
+    from pyspark.sql import Window
+
+    pairs = _jaccard_pairs_05(spark, sf_dir)
+    sym = pairs.select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("nn_id"), "jaccard"
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("nn_id"), "jaccard")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("nn_id"))
+    return (
+        sym.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select("doc_id", "nn_id", "jaccard")
     )
 
 
@@ -1062,11 +1088,9 @@ def contrastive_negs(spark, sf_dir):
 def doc_pagerank(spark, sf_dir):
     """Fixed-point integer PageRank (3 rounds, 0.85 damping) over the
     0.5-threshold Jaccard similarity graph — survivor-importance inside
-    duplicate families."""
-    pairs = dedup.ngram_jaccard_pairs(
-        catalog(spark, sf_dir)["documents"], threshold=0.5, max_df=JACCARD_MAX_DF
-    )
-    return dedup.doc_pagerank(pairs, iters=3)
+    duplicate families.  Shares the memoized pair graph with
+    nearest_doc."""
+    return dedup.doc_pagerank(_jaccard_pairs_05(spark, sf_dir), iters=3)
 
 
 def sketch_hll(spark, sf_dir):
