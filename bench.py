@@ -38,6 +38,7 @@ HEADLINE = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q7_nation_volume",
+    "q9_profit_nation",
     "q13_order_distribution",
     "q17_small_qty_revenue",
     "q22_idle_customers",
@@ -54,6 +55,7 @@ HEADLINE = [
     "nation_participation",
     "balance_deciles",
     "customer_set_ops",
+    "customer_streaks",
     "revenue_rollup",
     "status_pivot",
     "window_top_orders",
@@ -106,6 +108,7 @@ HEADLINE = [
     "collocations",
     "feature_hash",
     "corpus_datasheet",
+    "sample_bottomk",
     "bm25_rank",
     "html_extract",
     "pii_scrub",

@@ -1180,6 +1180,99 @@ def bloom_decontam(spark, sf_dir):
     )
 
 
+def q9_profit_nation(spark, sf_dir):
+    """TPC-H Q9 shape: product-line profit by supplier nation and order
+    year — a part-name LIKE filter broadcast into the fact, a
+    two-measure DECIMAL expression (revenue − cost; cost synthesizes from
+    retail price × quantity × an exact DECIMAL 0.1, this schema having no
+    partsupp), and a two-key rollup.  The LIKE predicate prunes parts
+    BEFORE the join, never scanning it on the fact side."""
+    c = catalog(spark, sf_dir)
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    parts = c["part"].where("p_name LIKE '%red%'").select("p_partkey", "p_retailprice")
+    supp_nation = c["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    profit = (
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
+        - dec("p_retailprice") * dec("l_quantity") * F.lit("0.1").cast("decimal(18,6)")
+    )
+    j = (
+        c["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(c["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .join(c["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        j.groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(profit), 2).cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "supp_nation",
+            F.col("o_year").cast("int").alias("o_year"),
+            "profit",
+            F.col("n_items").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+def customer_streaks(spark, sf_dir):
+    """Gaps-and-islands: each customer's longest run of consecutive
+    order months — the classic ``month_seq − row_number`` island grouping
+    (all integers, customer-partitioned windows, TakeOrdered top-20)."""
+    c = catalog(spark, sf_dir)
+    months = (
+        c["orders"]
+        .select(
+            "o_custkey",
+            (F.year("o_orderdate") * F.lit(12) + F.month("o_orderdate")).alias("__m"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("__m")
+    islands = months.withColumn("__isl", F.col("__m") - F.row_number().over(w))
+    streaks = islands.groupBy("o_custkey", "__isl").agg(
+        F.count(F.lit(1)).alias("streak_months"), F.min("__m").alias("__start")
+    )
+    wbest = Window.partitionBy("o_custkey").orderBy(
+        F.desc("streak_months"), F.asc("__start")
+    )
+    best = streaks.withColumn("__r", F.row_number().over(wbest)).where("__r = 1")
+    return (
+        best.select(
+            "o_custkey",
+            F.col("streak_months").cast("bigint").alias("streak_months"),
+            F.floor(F.col("__start") / F.lit(12)).cast("int").alias("start_year"),
+            ((F.col("__start") % F.lit(12))).cast("int").alias("start_month0"),
+        )
+        .orderBy(F.desc("streak_months"), "o_custkey")
+        .limit(20)
+    )
+
+
+SAMPLE_K = 25
+
+
+def sample_bottomk(spark, sf_dir):
+    """Deterministic uniform corpus sample via bottom-k hashing: the k
+    documents with the smallest salted md5 hash — a uniform sample with
+    NO RNG state (stable under partitioning, re-runs, and corpus append;
+    two shards' samples merge by re-taking the k smallest — the classic
+    KMV/bottom-k sketch property).  TakeOrdered, never a global sort."""
+    d = catalog(spark, sf_dir)["documents"]
+    from ..operators.hashing import hash64
+
+    h = hash64(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "source", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(SAMPLE_K)
+    )
+
+
 def events_moving_avg(spark, sf_dir):
     """Per-user trailing one-hour moving average of event value — a RANGE
     interval window frame (peers by event-time seconds, so equal-ts ties
@@ -4206,6 +4299,51 @@ FROM d
         FROM topk t JOIN est ON est.key = t.l_suppkey
     """)
 
+    o["q9_profit_nation"] = _q("""
+        SELECT n_name AS supp_nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(round(sum(
+                 CAST(l_extendedprice AS DECIMAL(18,6))
+                   * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+                 - CAST(p_retailprice AS DECIMAL(18,6))
+                   * CAST(l_quantity AS DECIMAL(18,6))
+                   * CAST('0.1' AS DECIMAL(18,6))
+               ), 2) AS DOUBLE) AS profit,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    """)
+
+    o["customer_streaks"] = _q("""
+        WITH m AS (SELECT DISTINCT o_custkey,
+                          CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mm
+                   FROM orders),
+        isl AS (SELECT o_custkey, mm,
+                       mm - row_number() OVER (PARTITION BY o_custkey ORDER BY mm) AS g
+                FROM m),
+        st AS (SELECT o_custkey, g, count(*) AS streak_months, min(mm) AS s
+               FROM isl GROUP BY 1, 2),
+        best AS (SELECT o_custkey, streak_months, s FROM st
+                 QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                            ORDER BY streak_months DESC, s) = 1)
+        SELECT o_custkey, streak_months,
+               CAST(floor(s / 12e0) AS INTEGER) AS start_year,
+               CAST(s % 12 AS INTEGER) AS start_month0
+        FROM best
+        ORDER BY streak_months DESC, o_custkey LIMIT 20
+    """)
+
+    o["sample_bottomk"] = _q(f"""
+        SELECT doc_id, source,
+               {_hash64_sql("'sample:' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+        ORDER BY h, doc_id LIMIT {SAMPLE_K}
+    """)
+
     _BM = sketches.BLOOM_M
     _bloom_bits = " UNION ALL ".join(
         "SELECT DISTINCT {h} % {m} AS bit FROM bs".format(
@@ -4393,6 +4531,9 @@ def _all_queries():
         "sketch_hll": sketch_hll,
         "sketch_cms": sketch_cms,
         "bloom_decontam": bloom_decontam,
+        "q9_profit_nation": q9_profit_nation,
+        "customer_streaks": customer_streaks,
+        "sample_bottomk": sample_bottomk,
         "lineitem_key_skew": lineitem_key_skew,
         "nation_participation": nation_participation,
         "orders_running_total": orders_running_total,
