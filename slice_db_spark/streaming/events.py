@@ -436,3 +436,26 @@ def session_close_tws(
             timeMode="EventTime",
         )
     )
+
+
+def trending_report(spark, rollup_dir: str, k: int = 3) -> DataFrame:
+    """Top-``k`` event types per closed window, read from the
+    :func:`rollup_to_parquet` sink — the serving-side half of a streaming
+    trending board.
+
+    Streaming append mode cannot rank inside the stream (a rank over an
+    aggregate is not incrementally maintainable), so the standard split
+    is: the stream maintains the window counts EXACTLY ONCE in the sink,
+    and ranking is a cheap batch read over closed windows — the same
+    continuous-aggregate-then-view layering as the rollup itself.  The
+    window rank partitions by window (never global), ties break on
+    event_type."""
+    from pyspark.sql.window import Window
+
+    rolled = spark.read.parquet(rollup_dir)
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
+    return (
+        rolled.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select("window_start", "event_type", F.col("n").cast("bigint").alias("n"), "rnk")
+    )

@@ -376,3 +376,43 @@ def test_session_close_tws_streaming_timers(spark, tmp_path):
     assert (1, 2, 3.0, us("2024-01-01 02:05:00") + gap_us) in got
     assert (2, 1, 5.0, us("2024-01-01 02:00:00") + gap_us) in got
     assert all(u in (1, 2) for u, *_ in got), got
+
+
+def test_trending_report_over_rollup_sink(spark, events_batch, tmp_path_factory):
+    """Serving-side trending: rank over the rollup sink equals a rank
+    over the batch aggregate restricted to the windows the sink closed."""
+    from slice_db_spark.streaming.events import (
+        rollup_to_parquet,
+        trending_report,
+        tumbling_event_counts,
+    )
+
+    land = tmp_path_factory.mktemp("trend_land")
+    out = tmp_path_factory.mktemp("trend_out")
+    ck = tmp_path_factory.mktemp("trend_ck")
+    events_batch.coalesce(1).write.mode("overwrite").parquet(str(land / "b0"))
+    stream = spark.readStream.schema(events_batch.schema).parquet(str(land) + "/*/")
+    rollup_to_parquet(stream, str(out), str(ck)).awaitTermination()
+
+    got = {
+        (r.window_start, r.event_type, r.n, r.rnk)
+        for r in trending_report(spark, str(out), k=2).collect()
+    }
+    assert got and all(rnk <= 2 for *_, rnk in got)
+    # ground truth: batch aggregate ranked the same way, restricted to
+    # the windows present in the sink
+    closed = {w for (w, *_ ) in got}
+    import itertools
+
+    agg = [
+        (r.window_start, r.event_type, r.n)
+        for r in tumbling_event_counts(events_batch).collect()
+        if r.window_start in closed
+    ]
+    want = set()
+    keyfn = lambda t: t[0]  # noqa: E731
+    for w, grp in itertools.groupby(sorted(agg, key=lambda t: (t[0], -t[2], t[1])), keyfn):
+        for i, (ww, et, n) in enumerate(grp, 1):
+            if i <= 2:
+                want.add((ww, et, n, i))
+    assert got == want
