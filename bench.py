@@ -87,7 +87,9 @@ HEADLINE = [
     "doc_pagerank",
     "sketch_hll",
     "sketch_cms",
+    "sketch_hll_union",
     "bloom_decontam",
+    "minhash_est",
     "dedup_incremental",
     "lsh_recall",
     "dedup_clusters",

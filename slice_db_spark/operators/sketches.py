@@ -79,18 +79,18 @@ def hll_registers(df: DataFrame, col: str, salt: str = "hll") -> DataFrame:
     )
 
 
-def hll_estimate(df: DataFrame, col: str, salt: str = "hll") -> DataFrame:
-    """One-row (n_registers, harmonic_scaled, estimate) frame.  Empty
-    buckets contribute ρ=0 (term 2^50) via a generated bucket dimension
-    left join — never a driver loop."""
-    spark = df.sparkSession
-    regs = hll_registers(df, col, salt)
-    buckets = spark.range(0, HLL_M).select(F.col("id").alias("bucket"))
-    full = buckets.join(F.broadcast(regs), "bucket", "left_outer").select(
-        F.coalesce(F.col("rho"), F.lit(0)).alias("rho")
+def hll_estimate_from_registers(spark, regs: DataFrame) -> DataFrame:
+    """Estimate from an existing (bucket, rho) register table — the merge
+    entry point: register tables from any number of shards/snapshots
+    combine by ``union → groupBy(bucket).max(rho)`` and estimate here,
+    which is what makes the sketch distributed-friendly (and enables
+    union cardinalities: merged registers ARE the union's sketch)."""
+    full = (
+        spark.range(0, HLL_M)
+        .select(F.col("id").alias("bucket"))
+        .join(F.broadcast(regs), "bucket", "left_outer")
+        .select(F.coalesce(F.col("rho"), F.lit(0)).alias("rho"))
     )
-    # exact integer 2^(50-rho) via shift — pow() returns a double whose
-    # exactness for integer powers is libm-dependent; a shift never is
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_SCALE_POW} - rho)")
     agg = full.agg(F.sum(term).alias("__s"))
     est = (
@@ -102,6 +102,22 @@ def hll_estimate(df: DataFrame, col: str, salt: str = "hll") -> DataFrame:
         F.col("__s").cast("bigint").alias("harmonic_scaled"),
         F.floor(est).cast("bigint").alias("estimate"),
     )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge register tables (register-wise max) — associative and
+    commutative, so shard sketches combine in any order."""
+    merged = register_tables[0]
+    for r in register_tables[1:]:
+        merged = merged.unionByName(r)
+    return merged.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(df: DataFrame, col: str, salt: str = "hll") -> DataFrame:
+    """One-row (n_registers, harmonic_scaled, estimate) frame.  Empty
+    buckets contribute ρ=0 (term 2^50) via a generated bucket dimension
+    left join — never a driver loop."""
+    return hll_estimate_from_registers(df.sparkSession, hll_registers(df, col, salt))
 
 
 def cms_cells(

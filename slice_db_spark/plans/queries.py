@@ -1273,6 +1273,88 @@ def sample_bottomk(spark, sf_dir):
     )
 
 
+HLL_SPLIT_TS = "timestamp '1998-01-01'"
+
+
+def sketch_hll_union(spark, sf_dir):
+    """HLL MERGEABILITY demo with a correctness gate: customer sets of
+    two order-date halves sketched separately, union cardinality from the
+    MERGED registers (register-wise max — the property that makes the
+    sketch shard-distributable), intersection by inclusion–exclusion,
+    every estimate next to its exact count.  One row."""
+    o = catalog(spark, sf_dir)["orders"]
+    a = o.where(f"o_orderdate < {HLL_SPLIT_TS}")
+    b = o.where(f"o_orderdate >= {HLL_SPLIT_TS}")
+    ra = sketches.hll_registers(a, "o_custkey").localCheckpoint(eager=True)
+    rb = sketches.hll_registers(b, "o_custkey").localCheckpoint(eager=True)
+    # tagged union + one-row conditional aggregate (a literal-key join of
+    # single-row frames constant-folds into a nested loop — harmless at
+    # one row, but the plan lint rightly has no way to know that)
+    tag = lambda df, t: df.select(F.lit(t).alias("__t"), "estimate")  # noqa: E731
+    ests = (
+        tag(sketches.hll_estimate_from_registers(spark, ra), "a")
+        .unionByName(tag(sketches.hll_estimate_from_registers(spark, rb), "b"))
+        .unionByName(
+            tag(
+                sketches.hll_estimate_from_registers(spark, sketches.hll_merge(ra, rb)),
+                "u",
+            )
+        )
+        .agg(
+            F.max(F.when(F.col("__t") == "a", F.col("estimate"))).alias("a_est"),
+            F.max(F.when(F.col("__t") == "b", F.col("estimate"))).alias("b_est"),
+            F.max(F.when(F.col("__t") == "u", F.col("estimate"))).alias("union_est"),
+        )
+    )
+    na = a.select("o_custkey").distinct().count()
+    nb = b.select("o_custkey").distinct().count()
+    nu = o.select("o_custkey").distinct().count()
+    return ests.select(
+        F.lit(int(na)).cast("bigint").alias("a_exact"),
+        "a_est",
+        F.lit(int(nb)).cast("bigint").alias("b_exact"),
+        "b_est",
+        F.lit(int(nu)).cast("bigint").alias("union_exact"),
+        "union_est",
+        F.lit(int(na + nb - nu)).cast("bigint").alias("inter_exact"),
+        (F.col("a_est") + F.col("b_est") - F.col("union_est")).alias("inter_est"),
+        F.floor(
+            F.lit(1e6) * F.abs(F.col("union_est") - F.lit(int(nu))) / F.lit(int(nu))
+        ).cast("bigint").alias("union_err_ppm"),
+    )
+
+
+def minhash_est(spark, sf_dir):
+    """MinHash self-evaluation: per verified LSH pair, the signature
+    estimate of Jaccard (matching components / k, the quantity banding
+    actually thresholds on) next to the exact value — the report that
+    justifies a chosen k.  Signature agreement is a 16-element zip over
+    the already-computed arrays; only verified pairs (tiny) reach it."""
+    docs = catalog(spark, sf_dir)["documents"]
+    pairs = minhash_lsh(spark, sf_dir)
+    sigs = dedup.minhash_signatures(docs, k=16)
+    j = (
+        pairs.join(
+            sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("__sa")), "id_a"
+        )
+        .join(sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("__sb")), "id_b")
+    )
+    nm = F.aggregate(
+        F.zip_with("__sa", "__sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return j.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.floor(F.lit(1e6) * nm / F.lit(16)).cast("bigint").alias("est_ppm"),
+        (
+            F.floor(F.lit(1e6) * nm / F.lit(16)) - F.floor(F.lit(1e6) * F.col("jaccard"))
+        ).cast("bigint").alias("err_ppm"),
+    )
+
+
 def events_moving_avg(spark, sf_dir):
     """Per-user trailing one-hour moving average of event value — a RANGE
     interval window frame (peers by event-time seconds, so equal-ts ties
@@ -4270,6 +4352,65 @@ FROM d
         FROM est CROSS JOIN ex
     """)
 
+    # HLL union/merge: three register chains (A, B, merged) + exacts
+    def _hll_regs(p: str, flt: str) -> str:
+        return (
+            "{p}h AS (SELECT {h} AS h FROM orders WHERE o_custkey IS NOT NULL"
+            " AND {flt}), "
+            "{p}b AS (SELECT h % {m} AS bucket, (h // {m}) % {two32} AS sfx FROM {p}h), "
+            "{p}r AS (SELECT bucket, max({rho}) AS rho FROM {p}b GROUP BY 1)"
+        ).format(
+            p=p, flt=flt, m=_M, two32=1 << 32, rho=_rho,
+            h=_hash64_sql("'hll:' || CAST(o_custkey AS VARCHAR)"),
+        )
+
+    def _hll_est_from(p: str, regs: str) -> str:
+        return (
+            "{p}f AS (SELECT coalesce(r.rho, 0) AS rho FROM"
+            " (SELECT unnest(range(0, {m})) AS i) t"
+            " LEFT JOIN {regs} r ON r.bucket = t.i), "
+            "{p}s AS (SELECT CAST(sum(CAST(1 AS BIGINT) << ({sp} - rho)) AS BIGINT)"
+            " AS hs FROM {p}f), "
+            "{p}e AS (SELECT {est} AS estimate FROM {p}s)"
+        ).format(p=p, regs=regs, m=_M, sp=sketches.HLL_SCALE_POW, est=_est_sql)
+
+    _split = "o_orderdate < TIMESTAMP '1998-01-01'"
+    _split_ge = "o_orderdate >= TIMESTAMP '1998-01-01'"
+    o["sketch_hll_union"] = _q(f"""
+        WITH {_hll_regs("a", _split)},
+        {_hll_regs("b", _split_ge)},
+        mr AS (SELECT bucket, max(rho) AS rho FROM
+                 (SELECT * FROM ar UNION ALL SELECT * FROM br) GROUP BY 1),
+        {_hll_est_from("ea", "ar")},
+        {_hll_est_from("eb", "br")},
+        {_hll_est_from("eu", "mr")},
+        xa AS (SELECT count(DISTINCT o_custkey) AS n FROM orders WHERE {_split}),
+        xb AS (SELECT count(DISTINCT o_custkey) AS n FROM orders WHERE {_split_ge}),
+        xu AS (SELECT count(DISTINCT o_custkey) AS n FROM orders)
+        SELECT CAST(xa.n AS BIGINT) AS a_exact, eae.estimate AS a_est,
+               CAST(xb.n AS BIGINT) AS b_exact, ebe.estimate AS b_est,
+               CAST(xu.n AS BIGINT) AS union_exact, eue.estimate AS union_est,
+               CAST(xa.n + xb.n - xu.n AS BIGINT) AS inter_exact,
+               CAST(eae.estimate + ebe.estimate - eue.estimate AS BIGINT) AS inter_est,
+               CAST(floor(1e6 * abs(eue.estimate - xu.n) / xu.n) AS BIGINT)
+                 AS union_err_ppm
+        FROM eae, ebe, eue, xa, xb, xu
+    """)
+
+    o["minhash_est"] = f"""
+WITH vp AS ({o["minhash_lsh"]}),
+{_minhash_cte(16, 3).lstrip()},
+m AS (SELECT vp.id_a, vp.id_b, vp.jaccard,
+             sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) AS nm
+      FROM vp JOIN mh ma ON ma.doc_id = vp.id_a
+              JOIN mh mb ON mb.doc_id = vp.id_b AND mb.j = ma.j
+      GROUP BY 1, 2, 3)
+SELECT id_a, id_b, jaccard,
+       CAST(floor(1e6 * nm / 16) AS BIGINT) AS est_ppm,
+       CAST(floor(1e6 * nm / 16) - floor(1e6 * jaccard) AS BIGINT) AS err_ppm
+FROM m
+"""
+
     _W = sketches.CMS_WIDTH
     _cms_cells = " UNION ALL ".join(
         "SELECT {j} AS rw, {h} % {w} AS cell,"
@@ -4534,6 +4675,8 @@ def _all_queries():
         "q9_profit_nation": q9_profit_nation,
         "customer_streaks": customer_streaks,
         "sample_bottomk": sample_bottomk,
+        "sketch_hll_union": sketch_hll_union,
+        "minhash_est": minhash_est,
         "lineitem_key_skew": lineitem_key_skew,
         "nation_participation": nation_participation,
         "orders_running_total": orders_running_total,

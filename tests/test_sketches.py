@@ -90,3 +90,17 @@ def test_bloom_duplicate_rows_all_pass(spark):
     bits = sketches.bloom_bits(member, "v")
     dup = spark.createDataFrame([(7,), (7,), (7,)], "v bigint")
     assert sketches.bloom_candidates(dup, "v", bits).count() == 3
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    """Mergeability: max-merged registers of two shards equal the sketch
+    of the concatenated data — bit-for-bit, any order."""
+    a = spark.range(0, 400).select(F.col("id").alias("v"))
+    b = spark.range(300, 700).select(F.col("id").alias("v"))
+    ra = sketches.hll_registers(a, "v")
+    rb = sketches.hll_registers(b, "v")
+    direct = {(r.bucket, r.rho)
+              for r in sketches.hll_registers(a.unionByName(b), "v").collect()}
+    merged = {(r.bucket, r.rho) for r in sketches.hll_merge(ra, rb).collect()}
+    merged_rev = {(r.bucket, r.rho) for r in sketches.hll_merge(rb, ra).collect()}
+    assert merged == direct == merged_rev
