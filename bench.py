@@ -53,6 +53,7 @@ HEADLINE = [
     "price_histogram",
     "lineitem_key_skew",
     "nation_participation",
+    "nation_pareto",
     "balance_deciles",
     "customer_set_ops",
     "customer_streaks",
@@ -67,6 +68,7 @@ HEADLINE = [
     "events_retention",
     "events_transitions",
     "events_paths",
+    "events_anomaly",
     "funnel_rates",
     "cohort_ltv",
     "events_trending",
@@ -102,6 +104,7 @@ HEADLINE = [
     "language_id",
     "lang_confusion",
     "token_rarity",
+    "token_gini",
     "lm_score",
     "quality_blend",
     "source_drift",

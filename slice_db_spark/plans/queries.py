@@ -1355,6 +1355,106 @@ def minhash_est(spark, sf_dir):
     )
 
 
+def events_anomaly(spark, sf_dir):
+    """Volume-anomaly buckets: hourly per-type counts deviating from the
+    type's median hour by more than ±50% (exact ppm deviation; the alert
+    rule of an ops dashboard).  Median per type is an exact percentile
+    over the |types|×|hours|-bounded bucket frame; the deviation filter
+    is one broadcast join back."""
+    e = catalog(spark, sf_dir)["events"]
+    buckets = e.groupBy(
+        F.expr("(unix_micros(ts) div 3600000000) * 3600").alias("win_start_s"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    buckets = buckets.localCheckpoint(eager=True)  # median + join back
+    med = buckets.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("med")
+    )
+    dev = F.floor(F.lit(1e6) * F.abs(F.col("n") - F.col("med")) / F.col("med"))
+    return (
+        buckets.join(F.broadcast(med), "event_type")
+        .select(
+            "win_start_s",
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("med").cast("double").alias("med"),
+            dev.cast("bigint").alias("dev_ppm"),
+        )
+        .where(F.col("dev_ppm") > 500_000)
+    )
+
+
+def nation_pareto(spark, sf_dir):
+    """Pareto concentration per nation: the smallest supplier set covering
+    80% of the nation's revenue — cumulative DECIMAL window per nation
+    (never global), the 80% cut as the exact integer comparison
+    ``5·cum ≥ 4·total`` so no ratio ever rounds."""
+    c = catalog(spark, sf_dir)
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    rev = (
+        c["lineitem"]
+        .join(F.broadcast(c["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))).alias("_r"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("_r"), "s_suppkey")
+    wall = Window.partitionBy("n_name")
+    ranked = rev.select(
+        "n_name",
+        F.row_number().over(w).alias("_rk"),
+        F.sum("_r").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("_cum"),
+        F.sum("_r").over(wall).alias("_tot"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    )
+    return (
+        ranked.where(F.lit(5).cast("decimal(18,6)") * F.col("_cum") >= F.lit(4).cast("decimal(18,6)") * F.col("_tot"))
+        .groupBy("n_name")
+        .agg(
+            F.min("_rk").alias("pareto_suppliers"),
+            F.max("_n").alias("n_suppliers"),
+        )
+        .select(
+            "n_name",
+            F.col("pareto_suppliers").cast("bigint").alias("pareto_suppliers"),
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.floor(F.lit(1e6) * F.col("pareto_suppliers") / F.col("n_suppliers"))
+            .cast("bigint").alias("concentration_ppm"),
+        )
+    )
+
+
+def token_gini(spark, sf_dir):
+    """Per-document token diversity as Gini impurity
+    ``1 − Σ(tf/n)²`` in exact ppm — the degenerate-text detector that
+    needs NO logarithm (entropy would; Gini is rational, so the oracle is
+    exact).  Low gini = few tokens dominate (spam/boilerplate)."""
+    docs = catalog(spark, sf_dir)["documents"]
+    tf = (
+        docs.select("doc_id", F.explode(textops.tokens("text")).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("_n"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("tf") * F.col("tf")).alias("_s2"),
+        )
+        .select(
+            "doc_id",
+            F.col("_n").cast("bigint").alias("n_tokens"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            (
+                F.lit(1_000_000)
+                - F.floor(F.lit(1e6) * F.col("_s2") / (F.col("_n") * F.col("_n")))
+            ).cast("bigint").alias("gini_ppm"),
+        )
+    )
+
+
 def events_moving_avg(spark, sf_dir):
     """Per-user trailing one-hour moving average of event value — a RANGE
     interval window frame (peers by event-time seconds, so equal-ts ties
@@ -4440,6 +4540,55 @@ FROM m
         FROM topk t JOIN est ON est.key = t.l_suppkey
     """)
 
+    o["events_anomaly"] = _q("""
+        WITH b AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS win_start_s,
+                          event_type, count(*) AS n
+                   FROM events GROUP BY 1, 2),
+             m AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM b GROUP BY 1)
+        SELECT win_start_s, event_type, n, CAST(med AS DOUBLE) AS med,
+               CAST(floor(1e6 * abs(n - med) / med) AS BIGINT) AS dev_ppm
+        FROM b JOIN m USING (event_type)
+        WHERE floor(1e6 * abs(n - med) / med) > 500000
+    """)
+
+    o["nation_pareto"] = _q("""
+        WITH rev AS (SELECT n_name, s_suppkey,
+                            sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                                * (CAST(1 AS DECIMAL(18,6))
+                                   - CAST(l_discount AS DECIMAL(18,6)))) AS r
+                     FROM lineitem
+                     JOIN supplier ON l_suppkey = s_suppkey
+                     JOIN nation ON s_nationkey = n_nationkey
+                     GROUP BY 1, 2),
+             rk AS (SELECT n_name,
+                           row_number() OVER w AS rk,
+                           sum(r) OVER (w ROWS UNBOUNDED PRECEDING) AS cum,
+                           sum(r) OVER (PARTITION BY n_name) AS tot,
+                           count(*) OVER (PARTITION BY n_name) AS n
+                    FROM rev
+                    WINDOW w AS (PARTITION BY n_name ORDER BY r DESC, s_suppkey))
+        SELECT n_name,
+               CAST(min(rk) AS BIGINT) AS pareto_suppliers,
+               CAST(max(n) AS BIGINT) AS n_suppliers,
+               CAST(floor(1e6 * min(rk) / max(n)) AS BIGINT) AS concentration_ppm
+        FROM rk
+        WHERE CAST(5 AS DECIMAL(18,6)) * cum >= CAST(4 AS DECIMAL(18,6)) * tot
+        GROUP BY n_name
+    """)
+
+    o["token_gini"] = _q(f"""
+        WITH tf AS (SELECT doc_id, t, count(*) AS tf FROM
+                      (SELECT doc_id, unnest({_toks_sql('text')}) AS t FROM documents)
+                    WHERE t <> '' GROUP BY 1, 2),
+             a AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n,
+                          count(*) AS n_distinct,
+                          CAST(sum(tf * tf) AS BIGINT) AS s2
+                   FROM tf GROUP BY 1)
+        SELECT doc_id, n AS n_tokens, n_distinct,
+               CAST(1000000 - floor(1e6 * s2 / (n * n)) AS BIGINT) AS gini_ppm
+        FROM a
+    """)
+
     o["q9_profit_nation"] = _q("""
         SELECT n_name AS supp_nation,
                CAST(year(o_orderdate) AS INTEGER) AS o_year,
@@ -4677,6 +4826,9 @@ def _all_queries():
         "sample_bottomk": sample_bottomk,
         "sketch_hll_union": sketch_hll_union,
         "minhash_est": minhash_est,
+        "events_anomaly": events_anomaly,
+        "nation_pareto": nation_pareto,
+        "token_gini": token_gini,
         "lineitem_key_skew": lineitem_key_skew,
         "nation_participation": nation_participation,
         "orders_running_total": orders_running_total,
