@@ -78,6 +78,8 @@ def test_driver_prefix_maximally_used():
     import __spark_entry__ as e
     from slice_db_spark.plans.queries import _driver_verified
 
+    from slice_db_spark.plans.queries import _R3_ERA
+
     qs = list(e.queries().keys())
     verified = _driver_verified()
     unverified = [q for q in qs if q not in verified]
@@ -85,3 +87,7 @@ def test_driver_prefix_maximally_used():
         assert all(q in unverified for q in qs[:50])
     else:
         assert all(q in qs[:50] for q in unverified)
+    # the judge's round-3 pending set ALWAYS outranks later additions
+    r3_pending = [q for q in unverified if q in _R3_ERA]
+    assert len(r3_pending) <= 50, "r3 pending set can no longer fit the cap"
+    assert all(q in qs[:50] for q in r3_pending)
