@@ -49,6 +49,7 @@ HEADLINE = [
     "orders_upsert",
     "customer_scd2",
     "profile_orders",
+    "orders_mad",
     "orders_running_total",
     "price_histogram",
     "lineitem_key_skew",

@@ -1455,6 +1455,35 @@ def token_gini(spark, sf_dir):
     )
 
 
+def orders_mad(spark, sf_dir):
+    """Robust per-priority price statistics: exact median and median
+    absolute deviation (MAD) — outlier-resistant where mean/stddev are
+    not, and float-safe where stddev's sum-of-squares accumulation order
+    would diverge cross-engine.  Two exact percentile passes (the same
+    `percentile` ↔ `quantile_cont` parity the length-quantile operator
+    pins); the group frame is |priorities|-bounded so the median join
+    back broadcasts."""
+    o = catalog(spark, sf_dir)["orders"]
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        F.abs(F.col("o_totalprice") - F.col("median_price")).alias("__d"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(F.expr("percentile(__d, 0.5)").alias("mad"))
+    return (
+        med.join(F.broadcast(mad), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("median_price").cast("double").alias("median_price"),
+            F.col("mad").cast("double").alias("mad"),
+        )
+    )
+
+
 def events_moving_avg(spark, sf_dir):
     """Per-user trailing one-hour moving average of event value — a RANGE
     interval window frame (peers by event-time seconds, so equal-ts ties
@@ -4589,6 +4618,22 @@ FROM m
         FROM a
     """)
 
+    o["orders_mad"] = _q("""
+        WITH med AS (SELECT o_orderpriority,
+                            quantile_cont(o_totalprice, 0.5) AS median_price,
+                            count(*) AS n_orders
+                     FROM orders GROUP BY 1),
+             dev AS (SELECT o.o_orderpriority,
+                            abs(o.o_totalprice - m.median_price) AS d
+                     FROM orders o JOIN med m USING (o_orderpriority)),
+             mad AS (SELECT o_orderpriority, quantile_cont(d, 0.5) AS mad
+                     FROM dev GROUP BY 1)
+        SELECT o_orderpriority, CAST(n_orders AS BIGINT) AS n_orders,
+               CAST(median_price AS DOUBLE) AS median_price,
+               CAST(mad AS DOUBLE) AS mad
+        FROM med JOIN mad USING (o_orderpriority)
+    """)
+
     o["q9_profit_nation"] = _q("""
         SELECT n_name AS supp_nation,
                CAST(year(o_orderdate) AS INTEGER) AS o_year,
@@ -4864,6 +4909,7 @@ def _all_queries():
         "events_anomaly": events_anomaly,
         "nation_pareto": nation_pareto,
         "token_gini": token_gini,
+        "orders_mad": orders_mad,
         "lineitem_key_skew": lineitem_key_skew,
         "nation_participation": nation_participation,
         "orders_running_total": orders_running_total,
