@@ -42,6 +42,11 @@ HEADLINE = [
     "q13_order_distribution",
     "q17_small_qty_revenue",
     "q22_idle_customers",
+    "q12_shipmode",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_count",
+    "q20_excess_suppliers",
     "q8_market_share",
     "q21_waiting_supplier",
     "revenue_mom",

@@ -655,6 +655,196 @@ def q22_idle_customers(spark, sf_dir):
     )
 
 
+def q12_shipmode(spark, sf_dir):
+    """TPC-H Q12 shape (adapted — the synthetic lineitem has no
+    l_shipmode/l_commitdate/l_receiptdate, so l_linestatus stands in for
+    the mode and a ship-year band for the receipt window): conditional
+    priority counting after the orders⋈lineitem equi-join.  The date band
+    pushes into the parquet scan, the join shuffles once on orderkey with
+    both sides pre-filtered/pre-projected, and the CASE aggregation is
+    partial map-side — the 100 TB plan is scan → one shuffle → tiny
+    2-row result."""
+    c = catalog(spark, sf_dir)
+    j = (
+        c["lineitem"]
+        .where(
+            "l_shipdate >= timestamp '1995-01-01' AND l_shipdate < timestamp '1996-01-01'"
+        )
+        .select("l_orderkey", "l_linestatus")
+        .join(
+            c["orders"].select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(F.col("l_linestatus").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
+
+
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted — no partsupp table, so the distinct
+    (part, supplier) offers observed in lineitem stand in for it, with
+    min(l_extendedprice) as the supply cost): cheapest EUROPE-region
+    supplier per large part — the correlated MIN subquery, decorrelated
+    as aggregate-then-join-back.  Region membership broadcasts into the
+    fact scan (nation⋈region is metadata-sized), the per-part minimum is
+    a second map-side-combined aggregate over the offers frame, and ties
+    resolve to the smallest supplier key so the result is deterministic.
+    min() of doubles is order-independent, hence bit-exact cross-engine."""
+    c = catalog(spark, sf_dir)
+    europe = (
+        c["nation"]
+        .join(c["region"].where("r_name = 'EUROPE'"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        c["supplier"]
+        .join(F.broadcast(europe), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = c["part"].where("p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'").select("p_partkey", "p_name")
+    offers = (
+        c["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    offers = offers.localCheckpoint(eager=True)  # two consumers: min-per-part + winner pick
+    min_cost = offers.groupBy(F.col("p_partkey").alias("_pk")).agg(F.min("cost").alias("_mc"))
+    winners = (
+        offers.join(
+            F.broadcast(min_cost),
+            (F.col("p_partkey") == F.col("_pk")) & (F.col("cost") == F.col("_mc")),
+        )
+        .groupBy("p_partkey", "cost")
+        .agg(F.min("l_suppkey").alias("w_suppkey"))
+    )
+    return (
+        winners.join(F.broadcast(supp), F.col("w_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(parts), "p_partkey")
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("cost").alias("supply_cost"),
+        )
+    )
+
+
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (adapted — lineitem revenue per part for one
+    nation's suppliers stands in for partsupp stock value): parts whose
+    value exceeds a fraction of the nation's total — the global-scalar
+    HAVING.  The per-part aggregate is computed ONCE (localCheckpoint,
+    two consumers); the grand total folds the already-aggregated frame to
+    one driver scalar (metadata-sized, the q22 regime), and the fraction
+    predicate stays DECIMAL-exact: ``value·1000 > total``, never a
+    lossy division."""
+    c = catalog(spark, sf_dir)
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    supp = (
+        c["supplier"]
+        .join(F.broadcast(c["nation"].where("n_name = 'NATION_3'")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    per_part = (
+        c["lineitem"]
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount")))
+            .cast("decimal(18,6)")
+            .alias("_v")
+        )
+    )
+    per_part = per_part.localCheckpoint(eager=True)
+    (tot,) = per_part.agg(F.sum("_v")).first()
+    return (
+        per_part.where(F.col("_v") * F.lit(1000) > F.lit(tot).cast("decimal(28,6)"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.round(F.col("_v"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+def q16_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape (adapted — the distinct (part, supplier) pairs in
+    lineitem stand in for partsupp, and negative-balance suppliers for
+    the complaints NOT-IN set): suppliers able to supply each surviving
+    (brand, type, size) bucket.  The excluded-supplier set is
+    metadata-sized and anti-joined broadcast; the part attribute filter
+    broadcasts into the bridge scan; count(DISTINCT) runs as the standard
+    two-phase expand — the only full shuffle is on the grouping key."""
+    c = catalog(spark, sf_dir)
+    excl = c["supplier"].where("s_acctbal < 0").select("s_suppkey")
+    parts = c["part"].where(
+        "p_brand <> 'Brand#3' AND p_type <> 'PROMO' AND p_size IN (1, 5, 10, 15, 20, 25)"
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bridge = c["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    return (
+        bridge.join(F.broadcast(excl), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .select(
+            "p_brand",
+            "p_type",
+            F.col("p_size").cast("int").alias("p_size"),
+            F.col("supplier_cnt").cast("bigint").alias("supplier_cnt"),
+        )
+    )
+
+
+def q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (adapted — shipped-quantity share stands in for
+    the availqty threshold): NATION_5 suppliers who shipped more than 20%
+    of some gear part's 1995 volume — the nested-IN chain, decorrelated.
+    Per-(supplier, part) quantities aggregate once; the per-part total
+    derives from THAT frame (no second fact scan); the 20% predicate is
+    the q17 integer form ``5·q_sp > q_total`` in DECIMAL; and the final
+    membership is a broadcast semi-join against the 100-row supplier
+    dimension."""
+    c = catalog(spark, sf_dir)
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    gear = c["part"].where("p_name LIKE '%gear%'").select("p_partkey")
+    q_sp = (
+        c["lineitem"]
+        .where(
+            "l_shipdate >= timestamp '1995-01-01' AND l_shipdate < timestamp '1996-01-01'"
+        )
+        .join(F.broadcast(gear), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec("l_quantity")).cast("decimal(18,6)").alias("_q"))
+    )
+    q_sp = q_sp.localCheckpoint(eager=True)  # two consumers: per-part total + share filter
+    q_p = q_sp.groupBy(F.col("l_partkey").alias("_pk")).agg(F.sum("_q").alias("_qt"))
+    heavy = (
+        q_sp.join(F.broadcast(q_p), F.col("l_partkey") == F.col("_pk"))
+        .where(F.lit(5).cast("decimal(18,6)") * F.col("_q") > F.col("_qt"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        c["supplier"]
+        .join(F.broadcast(c["nation"].where("n_name = 'NATION_5'")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
 def daily_gapfill(spark, sf_dir):
     """Gap-filled daily order revenue: a generated date dimension (driver
     min/max scalars → `spark.range` with a one-day step — a leaf Range
@@ -3015,6 +3205,96 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY n_name
     """)
 
+    o["q12_shipmode"] = _q("""
+        SELECT l_linestatus AS ship_mode,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                 AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                 AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        GROUP BY l_linestatus
+        ORDER BY ship_mode
+    """)
+
+    o["q2_min_cost_supplier"] = _q("""
+        WITH eu_supp AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'),
+        pp AS (SELECT p_partkey, p_name FROM part
+               WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'),
+        offers AS (
+          SELECT p_partkey, l_suppkey, min(l_extendedprice) AS cost
+          FROM lineitem
+          JOIN pp ON l_partkey = p_partkey
+          WHERE l_suppkey IN (SELECT s_suppkey FROM eu_supp)
+          GROUP BY p_partkey, l_suppkey),
+        mc AS (SELECT p_partkey AS pk, min(cost) AS m FROM offers GROUP BY p_partkey),
+        win AS (
+          SELECT o.p_partkey, o.cost, min(o.l_suppkey) AS w_suppkey
+          FROM offers o JOIN mc ON o.p_partkey = mc.pk AND o.cost = mc.m
+          GROUP BY o.p_partkey, o.cost)
+        SELECT s_acctbal, s_name, n_name, win.p_partkey, p_name,
+               cost AS supply_cost
+        FROM win
+        JOIN eu_supp ON w_suppkey = s_suppkey
+        JOIN pp ON win.p_partkey = pp.p_partkey
+    """)
+
+    o["q11_important_stock"] = _q("""
+        WITH pv AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+                   AS DECIMAL(18,6)) AS v
+          FROM lineitem
+          WHERE l_suppkey IN (
+            SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3')
+          GROUP BY l_partkey),
+        tot AS (SELECT sum(v) AS t FROM pv)
+        SELECT l_partkey AS ps_partkey,
+               CAST(round(v, 2) AS DOUBLE) AS part_value
+        FROM pv
+        WHERE v * 1000 > CAST((SELECT t FROM tot) AS DECIMAL(28,6))
+    """)
+
+    o["q16_supplier_count"] = _q("""
+        WITH bridge AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM bridge JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 10, 15, 20, 25)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+    """)
+
+    o["q20_excess_suppliers"] = _q("""
+        WITH qsp AS (
+          SELECT l_suppkey, l_partkey,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS q
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate < TIMESTAMP '1996-01-01'
+            AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%')
+          GROUP BY l_suppkey, l_partkey),
+        qp AS (SELECT l_partkey AS pk, sum(q) AS qt FROM qsp GROUP BY l_partkey),
+        heavy AS (
+          SELECT DISTINCT l_suppkey
+          FROM qsp JOIN qp ON l_partkey = pk
+          WHERE CAST(5 AS DECIMAL(18,6)) * q > qt)
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_5'
+          AND s_suppkey IN (SELECT l_suppkey FROM heavy)
+        ORDER BY s_name
+    """)
+
     o["daily_gapfill"] = _q("""
         WITH d AS (SELECT (epoch_us(o_orderdate) // 86400000000) * 86400000000 AS day_us,
                           count(*) AS n,
@@ -4875,6 +5155,11 @@ def _all_queries():
         "q13_order_distribution": q13_order_distribution,
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q22_idle_customers": q22_idle_customers,
+        "q12_shipmode": q12_shipmode,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q11_important_stock": q11_important_stock,
+        "q16_supplier_count": q16_supplier_count,
+        "q20_excess_suppliers": q20_excess_suppliers,
         "daily_gapfill": daily_gapfill,
         "events_transitions": events_transitions,
         "dedup_sorted_nbrs": dedup_sorted_nbrs,
