@@ -137,6 +137,7 @@ HEADLINE = [
     "ann_pq",
     "dedup_embedding",
     "dedup_embedding_hi",
+    "semdedup",
     "corpus_pipeline",
     "media_decode",
     "media_frames",
@@ -160,6 +161,10 @@ SWEEP = [
     # volume by design (documented in operators/similarity.py) — it stays a
     # base-SF headline + correctness query only.  The production-selectivity
     # r=8 config is the swept one and should stay near-flat at corpus growth.
+    # NOT swept: semdedup — within-cell work is Σ|cell|², so a fixed 8-cell
+    # demo config grows quadratically under corpus scaling; production scales
+    # the cell count with n (√n cells ≈ linear), which the fixed-seed oracle
+    # can't replay at varying n, so it stays a base-SF query.
     "dedup_embedding_hi",
     "ann_lsh",
     "ann_ivf",

@@ -781,6 +781,69 @@ def ivf_topk_kmeans(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[int]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style cluster-then-prune semantic deduplication (Abbas et
+    al. 2023, arXiv:2303.09540 — public paper): assign every vector to
+    its nearest k-means cell, score pairwise cosine ONLY within a cell,
+    and drop any vector that has a smaller-id neighbor above
+    ``threshold`` in its cell.  Returns the full corpus as
+    ``(id, cell, kept)`` with ``kept`` ∈ {0, 1}.
+
+    This is the quadratic-taming shape the paper proposes for web-scale
+    corpora: the O(n²) cosine scan becomes Σ|cell|², and the cell count
+    is THE cost knob (√n cells ≈ linear total work on balanced data).
+    In Spark the within-cell pairing is a self-equi-join on the cell id
+    — one hash shuffle, no cross join — and the keep/drop verdict is a
+    left-outer probe of the distinct loser set.  Cell assignment is
+    exact integer L2 over the PQ_SCALE-quantized vectors (first-min
+    tie-break) and similarities round to 6 dp, so the DuckDB oracle
+    replays every verdict bit-for-bit."""
+    c = _assign_cells_int(
+        corpus.select(
+            F.col(id_col),
+            quantize_expr(vec_col).alias("__e"),
+            F.col(vec_col).cast("array<double>").alias("__r"),
+        ),
+        centroids,
+    )
+    c = (
+        c.withColumn("__nrm", _norm(F.col("__r")))
+        .select(
+            F.col(id_col),
+            F.col("__cell"),
+            F.transform(F.col("__r"), lambda x: x / F.col("__nrm")).alias("__v"),
+        )
+        .localCheckpoint(eager=True)  # consumed by both sides of the self-join
+    )
+    pairs = (
+        c.select(F.col(id_col).alias("id_a"), F.col("__cell").alias("__ca"), F.col("__v").alias("__va"))
+        .join(
+            c.select(F.col(id_col).alias("id_b"), F.col("__cell").alias("__cb"), F.col("__v").alias("__vb")),
+            F.col("__ca") == F.col("__cb"),
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    dups = (
+        pairs.where(F.round(_dot(F.col("__va"), F.col("__vb")), 6) >= threshold)
+        .select(F.col("id_b").alias("__dup"))
+        .distinct()
+    )
+    return (
+        c.join(dups, F.col(id_col) == F.col("__dup"), "left_outer")
+        .select(
+            F.col(id_col),
+            F.col("__cell").cast("int").alias("cell"),
+            F.when(F.col("__dup").isNull(), F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("kept"),
+        )
+    )
+
+
 def label_centroids(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -2662,6 +2662,23 @@ def dedup_embedding_hi(spark, sf_dir):
     )
 
 
+SEMDEDUP_CELLS = 8
+SEMDEDUP_ITERS = 2
+
+
+def semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, prune
+    within-cluster cosine near-duplicates — the paper's recipe for taming
+    the O(n²) semantic-dedup scan at web scale (Σ|cell|² work, cell count
+    the knob).  Centroids are the same fixed-point Lloyd refinement as
+    `ann_ivf_kmeans` (bit-replayable), the within-cell pairing is one
+    hash-shuffle self-join, and the verdict frame covers the WHOLE corpus
+    so the oracle checks keeps and drops alike."""
+    emb = catalog(spark, sf_dir)["embeddings"]
+    cents = similarity.ivf_centroids_kmeans(emb, SEMDEDUP_CELLS, iters=SEMDEDUP_ITERS)
+    return similarity.semantic_dedup(emb, cents, threshold=DEDUP_EMB_THRESHOLD)
+
+
 def _media_decoded(spark, sf_dir):
     docs = catalog(spark, sf_dir)["documents"]
     return multimodal.decode_media(multimodal.attach_payload(docs, "doc_id", "text"))
@@ -4561,6 +4578,36 @@ cand AS (
 SELECT id_a, id_b, sim FROM scored WHERE sim >= {DEDUP_HI_THRESHOLD}
 """
 
+    # SemDeDup: the same Lloyd-refinement CTE chain as ann_ivf_kmeans
+    # (corp = the whole corpus here) assigns cells; candidates pair within
+    # a cell only; the verdict left-joins the distinct loser set.
+    o["semdedup"] = f"""
+WITH qv AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+  FROM embeddings),
+corp AS (SELECT vec_id, e FROM qv),
+dims AS (SELECT unnest(range(1, 65)) AS i),
+cents0 AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) AS ci, e AS cv FROM (
+    SELECT vec_id, e, {_hash64_sql("CAST(vec_id AS VARCHAR)")} AS h
+    FROM corp ORDER BY h, vec_id LIMIT {SEMDEDUP_CELLS})),
+{','.join(_lloyd_iter(n) for n in range(SEMDEDUP_ITERS))},
+cellF AS (
+  SELECT vec_id, ci FROM (
+    SELECT c.vec_id, ct.ci, {_il2('c.e', 'ct.cv')} AS d
+    FROM corp c CROSS JOIN cents{SEMDEDUP_ITERS} ct)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) = 1),
+{_NORM_CTE.format(src='embeddings')},
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cellF a JOIN cellF b ON a.ci = b.ci AND a.vec_id < b.vec_id),
+{_DOT_SCORED},
+dups AS (SELECT DISTINCT id_b FROM scored WHERE sim >= {DEDUP_EMB_THRESHOLD})
+SELECT cf.vec_id, CAST(cf.ci AS INTEGER) AS cell,
+       CAST(CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM cellF cf LEFT JOIN dups d ON cf.vec_id = d.id_b
+"""
+
     # the multimodal stub decoder is md5-derived (operators/multimodal.py:
     # _stub_decode), so DuckDB reproduces it from md5(text); features are
     # 16-bit windows of the digest at byte offsets (4+2i) mod 16, i.e. hex
@@ -5264,6 +5311,7 @@ def _all_queries():
         "ann_pq": ann_pq,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_hi": dedup_embedding_hi,
+        "semdedup": semdedup,
         "corpus_pipeline": corpus_pipeline,
         "media_decode": media_decode,
         "media_frames": media_frames,

@@ -283,3 +283,42 @@ def test_embedding_dim_drift_planted_shift(spark):
     assert rows[0].dim == 1
     assert rows[0].shift_fx == 400_000  # |0.9 - 0.5| in micro-units
     assert all(r.shift_fx == 0 for r in rows[1:])
+
+
+def test_semantic_dedup_prunes_planted_near_dups(spark):
+    """SemDeDup on planted clusters: tight near-copies of a cluster
+    center must be pruned down to the smallest-id representative, while
+    well-separated singletons all survive; the verdict frame covers the
+    whole corpus exactly once."""
+    import random
+
+    from slice_db_spark.operators import similarity as S
+
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    vid = 0
+    # 4 tight clusters of 5 near-copies each (cosine ~1 within a cluster)
+    for _ in range(4):
+        center = [rng.uniform(-1, 1) for _ in range(dim)]
+        for _ in range(5):
+            rows.append((vid, [x + rng.uniform(-0.001, 0.001) for x in center]))
+            vid += 1
+    # 10 singletons: random directions are near-orthogonal at dim 16
+    for _ in range(10):
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(dim)]))
+        vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = S.ivf_centroids_kmeans(corpus, 6, iters=2)
+    out = {r["vec_id"]: (r["cell"], r["kept"]) for r in
+           S.semantic_dedup(corpus, cents, threshold=0.95).collect()}
+    assert len(out) == 30  # whole corpus, once
+    for c in range(4):
+        members = [c * 5 + j for j in range(5)]
+        cells = {out[m][0] for m in members}
+        assert len(cells) == 1, f"tight cluster {c} split across cells {cells}"
+        kept = [m for m in members if out[m][1] == 1]
+        assert kept == [min(members)], f"cluster {c}: kept {kept}"
+    # singletons: only prunable against a >=0.95 neighbor, which random
+    # directions at dim 16 essentially never produce
+    assert all(out[v][1] == 1 for v in range(20, 30))
