@@ -86,6 +86,7 @@ HEADLINE = [
     "dedup_rewrite",
     "boilerplate",
     "length_quantiles",
+    "chunk_windows",
     "minhash_lsh",
     "dedup_sorted_nbrs",
     "dedup_cross_source",

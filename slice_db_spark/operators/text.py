@@ -261,6 +261,63 @@ def length_quantiles(
     )
 
 
+def token_windows(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding token-window chunking — the retrieval/context-packing
+    granularity (RAG passage splitting, long-doc embedding prep): each
+    document yields overlapping ``window``-token chunks advancing by
+    ``stride`` (overlap = window − stride), the last window keeping the
+    remainder.  ``n_chunks = 1 + ceil((ntok − window)/stride)`` for
+    non-empty docs, all in exact integral arithmetic (``div``, never
+    float division — bucket boundaries must agree cross-engine).
+
+    Scale shape: tokens materialize ONCE per row (an interpreted HOF
+    re-evaluates its argument subtree per element), the window starts are
+    a generated ``sequence`` + explode — pure codegen row expansion, no
+    UDF and NO shuffle: chunking is embarrassingly parallel per document,
+    so the plan is a single mapper stage at any corpus size.  Output:
+    (id, chunk_idx, n_tokens, chunk_hash) — the hash is the dedup /
+    join key downstream so raw chunk text never needs to move again."""
+    from .hashing import hash64
+
+    w, s = int(window), int(stride)
+    # exact ceil((ntok-w)/s) via integral div: (x + s - 1) div s.
+    # Empty docs produce ZERO chunks — filter on the normalized text, not
+    # the token array (split('', ' ') is [''], size 1, not empty).
+    t = (
+        df.select(F.col(id_col), normalize(text_col).alias("__n"))
+        .where(F.col("__n") != "")
+        .select(F.col(id_col), F.split("__n", " ").alias("__t"))
+    )
+    t = t.withColumn(
+        "__nw", F.expr(f"1 + ((greatest(size(__t) - {w}, 0) + {s - 1}) div {s})")
+    )
+    chunk = F.expr(f"slice(__t, chunk_idx * {s} + 1, {w})")
+    return (
+        t.select(
+            F.col(id_col),
+            F.col("__t"),
+            F.explode(F.expr("sequence(0, __nw - 1)")).alias("chunk_idx"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            chunk.alias("__c"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            F.size("__c").cast("bigint").alias("n_tokens"),
+            hash64(F.array_join(F.col("__c"), " ")).alias("chunk_hash"),
+        )
+    )
+
+
 def bigram_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -2247,6 +2247,19 @@ def length_quantiles(spark, sf_dir):
     return textops.length_quantiles(catalog(spark, sf_dir)["documents"])
 
 
+CHUNK_WIN, CHUNK_STRIDE = 32, 24
+
+
+def chunk_windows(spark, sf_dir):
+    """Sliding token-window chunking (RAG passage granularity): overlapping
+    32-token windows advancing by 24, last window keeps the remainder,
+    empty docs yield nothing — a pure codegen sequence+explode, no shuffle
+    (see operators/text.py::token_windows for the scale argument)."""
+    return textops.token_windows(
+        catalog(spark, sf_dir)["documents"], window=CHUNK_WIN, stride=CHUNK_STRIDE
+    )
+
+
 def minhash_sigs(spark, sf_dir):
     """MinHash signatures, exploded to scalar rows (doc_id, j, minhash)."""
     sigs = dedup.minhash_signatures(catalog(spark, sf_dir)["documents"], k=16)
@@ -3759,6 +3772,25 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(length(text), 0.99), 4) AS p99_chars
         FROM documents GROUP BY source
     """)
+
+    _w, _s = CHUNK_WIN, CHUNK_STRIDE
+    o["chunk_windows"] = f"""
+WITH t AS (
+  SELECT doc_id, {_toks_sql('text')} AS toks, {_ntok_sql('text')} AS nt
+  FROM documents WHERE {_norm_sql('text')} <> ''),
+w AS (
+  SELECT doc_id, toks,
+         unnest(range(0, 1 + ((greatest(nt - {_w}, 0) + {_s - 1}) // {_s}))) AS chunk_idx
+  FROM t),
+c AS (
+  SELECT doc_id, chunk_idx,
+         list_slice(toks, chunk_idx * {_s} + 1, chunk_idx * {_s} + {_w}) AS ch
+  FROM w)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(ch) AS BIGINT) AS n_tokens,
+       {_hash64_sql("array_to_string(ch, ' ')")} AS chunk_hash
+FROM c
+"""
 
     # keep = posting-list cap mirror of ngram_jaccard_pairs(max_df): only
     # shingles in 2..max_df docs can contribute shared counts — identical
@@ -5276,6 +5308,7 @@ def _all_queries():
         "dedup_rewrite": dedup_rewrite,
         "boilerplate": boilerplate,
         "length_quantiles": length_quantiles,
+        "chunk_windows": chunk_windows,
         "dedup_containment": dedup_containment,
         "minhash_sigs": minhash_sigs,
         "minhash_lsh": minhash_lsh,

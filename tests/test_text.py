@@ -192,3 +192,44 @@ def test_source_token_drift_uniform_vs_skewed(spark):
     assert out["dominant"].n_tokens == 16 and out["skewed"].n_tokens == 4
     assert out["dominant"].chi2_ppm == 2 * 399_999
     assert out["skewed"].chi2_ppm == 12_800_000
+
+
+def test_token_windows_boundaries(spark):
+    """Chunk-count and remainder arithmetic at the window boundaries:
+    exactly-w tokens → one chunk; w+1 → two (second keeps the stride
+    remainder); empty/punctuation-only docs yield nothing."""
+    from slice_db_spark.operators import text as T
+
+    w, s = 8, 6
+    mk = lambda n: " ".join(f"t{i}" for i in range(n))
+    df = spark.createDataFrame(
+        [(1, mk(8)), (2, mk(9)), (3, mk(5)), (4, ""), (5, "!!! ...")],
+        "doc_id bigint, text string",
+    )
+    rows = T.token_windows(df, window=w, stride=s).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_tokens"]))
+    for v in got.values():
+        v.sort()
+    assert got == {
+        1: [(0, 8)],          # exactly w → one full chunk
+        2: [(0, 8), (1, 3)],  # w+1 → second chunk = tokens 7..9 (w+1-s)
+        3: [(0, 5)],          # short doc → single partial chunk
+    }
+
+
+def test_token_windows_overlap_hashes(spark):
+    """Adjacent chunks overlap by window−stride tokens: with a periodic
+    token stream whose period equals the stride, every full window hashes
+    identically — pins that slicing starts advance by exactly stride."""
+    from slice_db_spark.operators import text as T
+
+    text = " ".join(f"w{i % 6}" for i in range(26))  # period 6 == stride
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    rows = sorted(
+        T.token_windows(df, window=12, stride=6).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    full = [r for r in rows if r["n_tokens"] == 12]
+    assert len(full) >= 2 and len({r["chunk_hash"] for r in full}) == 1
