@@ -94,6 +94,7 @@ HEADLINE = [
     "nearest_doc",
     "contrastive_negs",
     "doc_pagerank",
+    "doc_triangles",
     "sketch_hll",
     "sketch_cms",
     "sketch_hll_union",

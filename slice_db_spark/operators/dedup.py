@@ -1175,3 +1175,67 @@ def doc_pagerank(
         pr.join(deg, F.col("node") == F.col("src"))
         .select("node", F.col("deg").cast("bigint").alias("degree"), F.col("pr").alias("pr_ppm"))
     )
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient over
+    an undirected pair graph (edges canonical ``id_a < id_b``) — the
+    community-density signal that separates tight duplicate FAMILIES
+    (cliques: coefficient → 1) from chained false-positive paths
+    (coefficient → 0) in a similarity graph.
+
+    Uses the ordered-triple join: a triangle a<b<c is counted exactly
+    once as edges (a,b)+(b,c)+(a,c), so no division-by-symmetry is
+    needed.  Scale shape: two hash equi-joins on node keys over the
+    EDGE list (never the node×node space) — the standard distributed
+    triangle enumeration; with canonical ordering each join's left key
+    is the edge's higher endpoint, which bounds fan-out by the forward
+    degree (≈ m^1.5 total work, the theoretical bound for triangle
+    listing).  Output: (node, degree, n_triangles, clustering) where
+    ``clustering = 2·T / (deg·(deg−1))``, an exact long/long double
+    ratio (0.0 for degree-1 nodes)."""
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    e = e.localCheckpoint(eager=True)  # three joins + the degree count reuse it
+    tri = (
+        e.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
+        .join(
+            e.select(F.col("a").alias("t_b"), F.col("b").alias("t_c")),
+            "t_b",
+        )
+        .join(
+            e.select(F.col("a").alias("t_a"), F.col("b").alias("t_c")),
+            ["t_a", "t_c"],
+        )
+    )
+    per_node = (
+        tri.select(F.col("t_a").alias("node"))
+        .unionByName(tri.select(F.col("t_b").alias("node")))
+        .unionByName(tri.select(F.col("t_c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(per_node, "node", "left_outer")
+        .select(
+            "node",
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.when(
+                F.col("degree") > 1,
+                (F.coalesce("n_triangles", F.lit(0)) * F.lit(2)).cast("double")
+                / (F.col("degree") * (F.col("degree") - F.lit(1))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )

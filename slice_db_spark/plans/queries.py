@@ -1283,6 +1283,15 @@ def doc_pagerank(spark, sf_dir):
     return dedup.doc_pagerank(_jaccard_pairs_05(spark, sf_dir), iters=3)
 
 
+def doc_triangles(spark, sf_dir):
+    """Triangle participation + local clustering coefficient over the
+    0.5-threshold Jaccard pair graph — clique-like duplicate families
+    (coefficient → 1) vs chained near-miss paths (coefficient → 0).
+    Third consumer of the memoized pair graph (with nearest_doc and
+    doc_pagerank): one similarity stage, several analytics."""
+    return dedup.triangle_counts(_jaccard_pairs_05(spark, sf_dir))
+
+
 def sketch_hll(spark, sf_dir):
     """From-scratch deterministic HyperLogLog distinct-count of order
     customers, WITH its own correctness gate: the oracle reproduces every
@@ -3861,6 +3870,31 @@ SELECT node, CAST(deg AS BIGINT) AS degree, pr AS pr_ppm
 FROM p3 JOIN deg ON deg.src = p3.node
 """
 
+    o["doc_triangles"] = f"""
+WITH {_jaccard_pairs_cte(0.5, JACCARD_MAX_DF)},
+tri AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM jp e1
+  JOIN jp e2 ON e2.id_a = e1.id_b
+  JOIN jp e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+tn AS (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri)
+  GROUP BY node),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT id_a AS node FROM jp UNION ALL SELECT id_b FROM jp)
+  GROUP BY node)
+SELECT deg.node, CAST(degree AS BIGINT) AS degree,
+       CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN degree > 1
+            THEN CAST(coalesce(n_triangles, 0) * 2 AS DOUBLE) / (degree * (degree - 1))
+            ELSE 0e0 END AS clustering
+FROM deg LEFT JOIN tn ON tn.node = deg.node
+"""
+
     o["contrastive_negs"] = f"""
 WITH {_minhash_cte(16, 3)},
 bands AS (
@@ -5262,6 +5296,7 @@ def _all_queries():
         "nearest_doc": nearest_doc,
         "contrastive_negs": contrastive_negs,
         "doc_pagerank": doc_pagerank,
+        "doc_triangles": doc_triangles,
         "sketch_hll": sketch_hll,
         "sketch_cms": sketch_cms,
         "bloom_decontam": bloom_decontam,

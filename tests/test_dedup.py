@@ -428,3 +428,23 @@ def test_contrastive_negatives_under_threshold_only(spark):
     assert (1, 2) not in got and (2, 1) not in got  # near-dup excluded
     assert all(r.jaccard < 0.5 for r in rows)
     assert (1, 3) in got or (3, 1) in got  # the modest-overlap pair surfaces
+
+
+def test_triangle_counts_clique_path_and_tail(spark):
+    """Crafted graph: a 4-clique (every node in C(3,2)=3 triangles,
+    clustering 1.0), a 3-path (no triangles, clustering 0), and a
+    triangle with a pendant tail (the junction node's coefficient
+    dilutes to 1/3: one closed pair of its three neighbor pairs)."""
+    from slice_db_spark.operators import dedup as D
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    path = [(10, 11), (11, 12), (12, 13)]
+    tailed = [(20, 21), (20, 22), (21, 22), (20, 23)]
+    df = spark.createDataFrame(clique + path + tailed, "id_a bigint, id_b bigint")
+    got = {r["node"]: (r["degree"], r["n_triangles"], r["clustering"])
+           for r in D.triangle_counts(df).collect()}
+    for n in range(1, 5):
+        assert got[n] == (3, 3, 1.0)
+    assert got[11] == (2, 0, 0.0) and got[13] == (1, 0, 0.0)
+    assert got[20] == (3, 1, 1 / 3)
+    assert got[21] == (2, 1, 1.0) and got[23] == (1, 0, 0.0)
