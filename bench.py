@@ -137,6 +137,7 @@ HEADLINE = [
     "embedding_drift",
     "pq_codes",
     "ann_pq",
+    "rp_project",
     "dedup_embedding",
     "dedup_embedding_hi",
     "semdedup",

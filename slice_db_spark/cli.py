@@ -408,6 +408,37 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_chunk(args) -> int:
+    """Split a document corpus into overlapping token-window chunks
+    (retrieval/passage granularity) and write the chunk table: doc_id,
+    chunk_idx, n_tokens, chunk_hash, and (with --text) the chunk text.
+    Pure map-stage job — parallelizes per input split at any size."""
+    from .operators import text as textops
+    from .session import get_spark
+    from .sources.corpus import read_corpus, split_corrupt
+
+    spark = get_spark("slicedb-chunk")
+    docs, _ = split_corrupt(read_corpus(spark, args.input, fmt=args.input_format))
+    chunks = textops.token_windows(
+        docs, window=args.window, stride=args.stride, keep_text=args.text
+    )
+    if args.shards:
+        chunks = chunks.repartition(args.shards)
+    chunks.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    print(
+        json.dumps(
+            {
+                "docs": docs.count(),
+                "chunks": out.count(),
+                "window": args.window,
+                "stride": args.stride,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_analyze(args) -> int:
     """Corpus analytics report as one JSON object on stdout: per-stratum
     datasheet, length quantiles, per-source token-distribution drift, and
@@ -792,6 +823,16 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("landing", help="landing directory of .jsonl files")
     ing.add_argument("corpus", help="parquet corpus directory (appended)")
     ing.set_defaults(fn=cmd_ingest)
+
+    ch = sub.add_parser("chunk", help="token-window chunk a corpus (RAG passages)")
+    ch.add_argument("--input-format", choices=["jsonl", "csv", "parquet"], default="parquet")
+    ch.add_argument("--window", type=int, default=32, help="tokens per chunk")
+    ch.add_argument("--stride", type=int, default=24, help="token advance between chunks")
+    ch.add_argument("--text", action="store_true", help="emit chunk text, not just its hash")
+    ch.add_argument("--shards", type=int, default=None)
+    ch.add_argument("input", help="corpus path (documents shape)")
+    ch.add_argument("output", help="chunk-table parquet output path")
+    ch.set_defaults(fn=cmd_chunk)
 
     an = sub.add_parser("analyze", help="corpus analytics report (JSON on stdout)")
     an.add_argument("--input-format", choices=["jsonl", "csv", "parquet"], default="parquet")

@@ -844,6 +844,52 @@ def semantic_dedup(
     )
 
 
+def random_projection(
+    corpus: DataFrame,
+    out_dim: int = 8,
+    seed: str = "rp",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim`` dimensions,
+    in exact integer fixed-point: vectors quantize to ×1000 int64
+    (:func:`quantize_expr`), plane weights to ×1e6, and each output
+    component is the int64 dot product — bit-identical in any engine,
+    no float accumulation order to disagree about.  Returns exploded
+    scalars ``(id, dim, proj_fx)`` (true value = proj_fx / 1e9).
+
+    The JL lemma bounds pairwise-distance distortion by the OUTPUT
+    dimension alone, so this is the standard cheap pre-step before ANN /
+    clustering on wide embeddings: an 8× narrower vector with the same
+    neighborhood structure.  Scale shape: a pure per-row map over
+    driver-constant weights (out_dim HOF dot products per row) — no
+    shuffle, no UDF, embarrassingly parallel; the oracle's join-form
+    replay is only for verification."""
+    planes = random_planes(out_dim, _vec_dim(corpus, vec_col), seed=seed)
+    planes_fx = [[int(round(w * 1_000_000)) for w in row] for row in planes]
+    projs = []
+    for row in planes_fx:
+        arr = F.array(*[F.lit(w).cast("bigint") for w in row])
+        projs.append(
+            F.aggregate(
+                F.zip_with(F.col("__e"), arr, lambda x, wt: x * wt),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+        )
+    return (
+        corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e"))
+        .select(F.col(id_col), F.posexplode(F.array(*projs)).alias("dim", "proj_fx"))
+        .select(F.col(id_col), F.col("dim").cast("bigint").alias("dim"), "proj_fx")
+    )
+
+
+def _vec_dim(corpus: DataFrame, vec_col: str) -> int:
+    """Embedding width from one row (metadata-sized driver probe)."""
+    row = corpus.select(F.size(vec_col).alias("d")).first()
+    return int(row["d"]) if row else 0
+
+
 def label_centroids(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -267,6 +267,7 @@ def token_windows(
     stride: int = 24,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_text: bool = False,
 ) -> DataFrame:
     """Sliding token-window chunking — the retrieval/context-packing
     granularity (RAG passage splitting, long-doc embedding prep): each
@@ -314,6 +315,7 @@ def token_windows(
             "chunk_idx",
             F.size("__c").cast("bigint").alias("n_tokens"),
             hash64(F.array_join(F.col("__c"), " ")).alias("chunk_hash"),
+            *([F.array_join(F.col("__c"), " ").alias("chunk_text")] if keep_text else []),
         )
     )
 

@@ -1283,6 +1283,19 @@ def doc_pagerank(spark, sf_dir):
     return dedup.doc_pagerank(_jaccard_pairs_05(spark, sf_dir), iters=3)
 
 
+RP_DIM, RP_SEED = 8, "rp"
+
+
+def rp_project(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection 64→8, exact integer
+    fixed-point (see operators/similarity.py::random_projection) — the
+    cheap narrow-vector pre-step before ANN/clustering.  Pure per-row
+    map over driver-constant weights; zero shuffles."""
+    return similarity.random_projection(
+        catalog(spark, sf_dir)["embeddings"], out_dim=RP_DIM, seed=RP_SEED
+    )
+
+
 def doc_triangles(spark, sf_dir):
     """Triangle participation + local clustering coefficient over the
     0.5-threshold Jaccard pair graph — clique-like duplicate families
@@ -3870,6 +3883,22 @@ SELECT node, CAST(deg AS BIGINT) AS degree, pr AS pr_ppm
 FROM p3 JOIN deg ON deg.src = p3.node
 """
 
+    _rp = similarity.random_planes(RP_DIM, 64, seed=RP_SEED)
+    _rp_vals = ", ".join(
+        f"({j}, {i + 1}, {int(round(w * 1_000_000))})"
+        for j, row in enumerate(_rp)
+        for i, w in enumerate(row)
+    )
+    o["rp_project"] = f"""
+WITH qv AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+  FROM embeddings),
+base AS (SELECT vec_id, unnest(range(1, 65)) AS i, unnest(e) AS x FROM qv),
+w AS (SELECT * FROM (VALUES {_rp_vals}) AS t(dim, i, wt))
+SELECT vec_id, CAST(dim AS BIGINT) AS dim, CAST(sum(x * wt) AS BIGINT) AS proj_fx
+FROM base JOIN w USING (i) GROUP BY vec_id, dim
+"""
+
     o["doc_triangles"] = f"""
 WITH {_jaccard_pairs_cte(0.5, JACCARD_MAX_DF)},
 tri AS (
@@ -5297,6 +5326,7 @@ def _all_queries():
         "contrastive_negs": contrastive_negs,
         "doc_pagerank": doc_pagerank,
         "doc_triangles": doc_triangles,
+        "rp_project": rp_project,
         "sketch_hll": sketch_hll,
         "sketch_cms": sketch_cms,
         "bloom_decontam": bloom_decontam,

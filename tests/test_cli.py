@@ -299,6 +299,29 @@ def test_curate_cli(spark, tmp_path):
     assert set(back.columns) >= {"doc_id", "text"}
 
 
+def test_chunk_cli(spark, tmp_path):
+    """Chunk the fixture corpus; the chunk table must cover every
+    non-empty doc, respect the window bound, and carry text only when
+    asked."""
+    out = str(tmp_path / "chunks")
+    report = json.loads(
+        run_cli(
+            "chunk",
+            "--window", "16",
+            "--stride", "12",
+            "--text",
+            os.path.join(SF_DIR, "documents.parquet"),
+            out,
+        )
+    )
+    assert report["chunks"] >= report["docs"] > 0
+    back = spark.read.parquet(out)
+    assert back.count() == report["chunks"]
+    assert set(back.columns) == {"doc_id", "chunk_idx", "n_tokens", "chunk_hash", "chunk_text"}
+    mx = back.agg({"n_tokens": "max"}).first()[0]
+    assert 0 < mx <= 16
+
+
 def test_ingest_cli(spark, tmp_path):
     land = tmp_path / "land"
     land.mkdir()

@@ -322,3 +322,24 @@ def test_semantic_dedup_prunes_planted_near_dups(spark):
     # singletons: only prunable against a >=0.95 neighbor, which random
     # directions at dim 16 essentially never produce
     assert all(out[v][1] == 1 for v in range(20, 30))
+
+
+def test_random_projection_exact_on_basis_vectors(spark):
+    """rp on a one-hot vector must return exactly that column of the
+    fixed-point weight matrix (×1000 quantized input × ×1e6 weights),
+    and identical vectors must project identically (the property
+    downstream near-dup consumers rely on)."""
+    from slice_db_spark.operators import similarity as S
+
+    dim = 16
+    basis = [(i, [1.0 if j == i else 0.0 for j in range(dim)]) for i in range(3)]
+    dup = [(100, basis[0][1]), (101, basis[0][1])]
+    df = spark.createDataFrame(basis + dup, "vec_id bigint, embedding array<float>")
+    out = {}
+    for r in S.random_projection(df, out_dim=4, seed="t").collect():
+        out.setdefault(r["vec_id"], {})[r["dim"]] = r["proj_fx"]
+    planes = S.random_planes(4, dim, seed="t")
+    for i in range(3):
+        for j in range(4):
+            assert out[i][j] == 1000 * int(round(planes[j][i] * 1_000_000))
+    assert out[100] == out[101] == out[0]
