@@ -126,6 +126,9 @@ HEADLINE = [
     "html_extract",
     "pii_scrub",
     "source_cap",
+    "source_temperature",
+    "token_fertility",
+    "curriculum_order",
     "decontam",
     "repetition",
     "ann_brute",

@@ -353,6 +353,81 @@ def per_stratum_cap(
     )
 
 
+def temperature_weights(
+    df: DataFrame,
+    alpha_sqrt: bool = True,
+    budget: int = 1_000_000,
+    strata_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled mixture weights per stratum: ``wᵢ ∝ nᵢ^α`` with
+    α = 0.5 (the multilingual-LM square-root temperature that upweights
+    small sources without letting any dominate; α = 1 reproduces natural
+    proportions).  The training-mix planning step: given per-source
+    counts, emit each source's sampling weight and its document quota
+    out of ``budget``.
+
+    Exactness: ``sᵢ = floor(1e6·√nᵢ)`` is deterministic (IEEE sqrt is
+    exactly rounded, floor kills the ulp), and every ratio after that is
+    integer arithmetic — ``weight_ppm = (sᵢ·1e6) div Σs``, ``quota =
+    (budget·sᵢ) div Σs`` — so engines agree bit-for-bit and quotas never
+    oversubscribe (floor rounds down; Σ quota ≤ budget).
+
+    Scale: one partial-aggregated count per stratum; the stratum frame is
+    metadata-sized, so the Σs total folds to a driver scalar (the same
+    regime as the TPC-H global-scalar queries) and the weight projection
+    is a pure map over |strata| rows."""
+    n = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    s = F.floor(F.lit(1_000_000.0) * F.sqrt(F.col("n_docs"))).cast("bigint") \
+        if alpha_sqrt else (F.col("n_docs") * F.lit(1_000_000)).cast("bigint")
+    n = n.withColumn("__s", s).localCheckpoint(eager=True)  # total + projection
+    (tot,) = n.agg(F.sum("__s")).first()
+    return n.select(
+        strata_col,
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.expr(f"(__s * 1000000) div {int(tot)}").cast("bigint").alias("weight_ppm"),
+        F.expr(f"({int(budget)} * __s) div {int(tot)}").cast("bigint").alias("quota_docs"),
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    n_buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "curriculum",
+) -> DataFrame:
+    """Curriculum bucketing: assign each document a difficulty bucket from
+    its composite quality score (fixed thresholds — ``least(n−1,
+    floor(score·n))`` — NOT a global ntile, which would force a
+    full-corpus sort) and a deterministic hash-order position within the
+    bucket.  A trainer streams buckets low→high (or the reverse) and
+    reads documents in ``pos`` order: stable under re-runs, and adding
+    documents never reorders existing ones ahead of the insertion point.
+
+    Scale: quality scoring is a pure map; the only shuffle is the
+    within-bucket window, keyed by bucket — ≤ ``n_buckets`` partitions'
+    worth of skew, same bound as any per-stratum ranking.  Output:
+    (id, bucket, pos)."""
+    from . import text as textops
+
+    scored = textops.quality_score(df, text_col=text_col, id_col=id_col).select(
+        id_col, "quality_score"
+    )
+    b = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col("quality_score") * F.lit(n_buckets)).cast("int"),
+    )
+    h = hash64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return (
+        scored.select(F.col(id_col), b.cast("int").alias("bucket"), h.alias("__h"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select(id_col, "bucket", "pos")
+    )
+
+
 #: HTML entities the markup stripper decodes, in decode order.  ``&amp;``
 #: MUST come last: decoding it first would turn ``&amp;lt;`` into ``&lt;``
 #: and then a second pass into ``<`` — the classic double-decode bug (the

@@ -320,6 +320,41 @@ def token_windows(
     )
 
 
+def tokenizer_fertility(
+    df: DataFrame,
+    by_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language tokenizer fertility: BPE pre-tokens per word and
+    characters per BPE token — the signal for how (in)efficiently a
+    tokenizer spends sequence budget on each language, which drives both
+    mixture upweighting and vocab decisions in multilingual training.
+
+    One scan, one |languages|-sized partial-aggregated groupBy.  All
+    sums are int64; the fertility ratios divide two exact longs in
+    double, so both engines produce identical bits."""
+    per_doc = df.select(
+        F.col(by_col),
+        token_count(text_col).alias("__w"),
+        bpe_token_count(text_col).alias("__b"),
+        F.length(text_col).alias("__c"),
+    )
+    g = per_doc.groupBy(by_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__w").alias("n_words"),
+        F.sum("__b").alias("n_bpe"),
+        F.sum("__c").alias("n_chars"),
+    )
+    return g.select(
+        by_col,
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_bpe").cast("bigint").alias("n_bpe"),
+        (F.col("n_bpe").cast("double") / F.greatest("n_words", F.lit(1))).alias("fertility"),
+        (F.col("n_chars").cast("double") / F.greatest("n_bpe", F.lit(1))).alias("chars_per_bpe"),
+    )
+
+
 def bigram_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

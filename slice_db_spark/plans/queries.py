@@ -2525,6 +2525,32 @@ def source_mix(spark, sf_dir):
     return sampled.select("doc_id", "source")
 
 
+TEMP_BUDGET = 250_000
+
+
+def source_temperature(spark, sf_dir):
+    """Temperature-scaled (α=0.5) mixture weights + document quotas per
+    source — the training-mix planning step (square-root temperature
+    upweights small sources; exact integer weight/quota arithmetic)."""
+    return curation.temperature_weights(
+        catalog(spark, sf_dir)["documents"], budget=TEMP_BUDGET
+    )
+
+
+def token_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (BPE pre-tokens per word, chars
+    per BPE token) — the sequence-budget efficiency audit driving
+    multilingual mixture and vocab decisions."""
+    return textops.tokenizer_fertility(catalog(spark, sf_dir)["documents"])
+
+
+def curriculum_order(spark, sf_dir):
+    """Curriculum bucketing: fixed-threshold quality buckets (no global
+    sort) + deterministic hash-order position within each bucket — the
+    stream order a difficulty-staged trainer consumes."""
+    return curation.curriculum_order(catalog(spark, sf_dir)["documents"])
+
+
 SOURCE_CAP = 10
 
 
@@ -4111,6 +4137,20 @@ SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM w
     """)
 
     sw = ", ".join(f"'{w}'" for w in textops.STOPWORDS["en"])
+    o["token_fertility"] = _q(f"""
+        WITH t AS (
+          SELECT lang, {_ntok_sql('text')} AS w,
+                 len(regexp_extract_all(text, '{bpe}')) AS b,
+                 length(text) AS c
+          FROM documents)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS n_words,
+               CAST(sum(b) AS BIGINT) AS n_bpe,
+               CAST(sum(b) AS DOUBLE) / greatest(sum(w), 1) AS fertility,
+               CAST(sum(c) AS DOUBLE) / greatest(sum(b), 1) AS chars_per_bpe
+        FROM t GROUP BY lang
+    """)
+
     o["quality"] = _q(f"""
         WITH q AS (
           SELECT doc_id,
@@ -4454,6 +4494,28 @@ WHERE k2.doc_id NOT IN (SELECT id FROM losers)
           FROM documents)
         WHERE rn <= {SOURCE_CAP}
     """)
+
+    o["source_temperature"] = _q(f"""
+        WITH n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+             s AS (SELECT source, n_docs,
+                          CAST(floor(1e6 * sqrt(n_docs)) AS BIGINT) AS sv FROM n),
+             t AS (SELECT sum(sv) AS tot FROM s)
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               (sv * 1000000) // (SELECT tot FROM t) AS weight_ppm,
+               ({TEMP_BUDGET} * sv) // (SELECT tot FROM t) AS quota_docs
+        FROM s
+    """)
+
+    o["curriculum_order"] = f"""
+WITH q AS ({o["quality"]}),
+b AS (SELECT doc_id,
+             least(9, CAST(floor(quality_score * 10) AS INTEGER)) AS bucket,
+             {_hash64_sql("'curriculum:' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM q)
+SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+       CAST(row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM b
+"""
 
     o["ann_brute"] = f"""
 WITH {_ann_scored_sql(None, None)}
@@ -5400,6 +5462,9 @@ def _all_queries():
         "repetition": repetition,
         "source_mix": source_mix,
         "source_cap": source_cap,
+        "source_temperature": source_temperature,
+        "token_fertility": token_fertility,
+        "curriculum_order": curriculum_order,
         "pack_sequences": pack_sequences,
         "ann_brute": ann_brute,
         "ann_lsh": ann_lsh,

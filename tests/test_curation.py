@@ -306,3 +306,39 @@ def test_corpus_report_fixed_point_mean(spark):
     want = (round(q[1] * 1e4) + round(q[2] * 1e4)) // 2
     assert en["mean_quality_fx"] == want
     assert rep[("s1", "de")]["n_docs"] == 1
+
+
+def test_temperature_weights_sqrt_ratio(spark):
+    """100 vs 400 docs → √ ratio 1:2 exactly: weights 333333/666666 ppm,
+    quotas floor to 100/200 of a 300-doc budget (never oversubscribed)."""
+    from slice_db_spark.operators import curation as C
+
+    rows = [(i, "a") for i in range(100)] + [(1000 + i, "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = {r["source"]: r for r in C.temperature_weights(df, budget=300).collect()}
+    assert got["a"]["weight_ppm"] == 333333 and got["b"]["weight_ppm"] == 666666
+    assert got["a"]["quota_docs"] == 100 and got["b"]["quota_docs"] == 200
+    assert got["a"]["n_docs"] == 100 and got["b"]["n_docs"] == 400
+    # α=1 mode reproduces natural proportions
+    nat = {r["source"]: r for r in
+           C.temperature_weights(df, alpha_sqrt=False, budget=500).collect()}
+    assert nat["a"]["quota_docs"] == 100 and nat["b"]["quota_docs"] == 400
+
+
+def test_curriculum_order_buckets_and_positions(spark):
+    """Degenerate one-word docs land in a lower bucket than fluent
+    English text; positions are dense 1..k within each bucket."""
+    from slice_db_spark.operators import curation as C
+
+    fluent = "the cat and the dog went to the house and it was that good day " * 8
+    rows = [(i, "zz") for i in range(5)] + [(10 + i, fluent) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = C.curriculum_order(df).collect()
+    assert len(out) == 10
+    b = {r["doc_id"]: r["bucket"] for r in out}
+    assert all(b[i] < b[10 + j] for i in range(5) for j in range(5))
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["pos"])
+    for poss in by_bucket.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))

@@ -233,3 +233,20 @@ def test_token_windows_overlap_hashes(spark):
     )
     full = [r for r in rows if r["n_tokens"] == 12]
     assert len(full) >= 2 and len({r["chunk_hash"] for r in full}) == 1
+
+
+def test_tokenizer_fertility_punctuation(spark):
+    """Punctuation costs BPE pre-tokens but not words: "hello, world!!"
+    is 2 words but 4 pre-tokens (hello + , + world + !!) → fertility
+    2.0; a plain two-word doc stays at 1.0."""
+    from slice_db_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "en", "hello, world!!"), (2, "de", "guten tag")],
+        "doc_id bigint, lang string, text string",
+    )
+    got = {r["lang"]: r for r in T.tokenizer_fertility(df).collect()}
+    assert got["en"]["n_words"] == 2 and got["en"]["n_bpe"] == 4
+    assert got["en"]["fertility"] == 2.0
+    assert got["de"]["n_words"] == 2 and got["de"]["n_bpe"] == 2
+    assert got["de"]["fertility"] == 1.0
