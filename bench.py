@@ -55,6 +55,8 @@ HEADLINE = [
     "customer_scd2",
     "profile_orders",
     "orders_mad",
+    "price_qty_corr",
+    "revenue_trend",
     "orders_running_total",
     "price_histogram",
     "lineitem_key_skew",

@@ -1696,6 +1696,79 @@ def orders_mad(spark, sf_dir):
     )
 
 
+def price_qty_corr(spark, sf_dir):
+    """Pearson correlation + OLS slope of (quantity, price) per return
+    flag, from EXACT integer moments: inputs quantize to cents
+    (``round(x·100)`` — exact for 2-dp doubles), the six sufficient
+    statistics (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    order-independent integer/DECIMAL sums, and only the final scalar
+    formula runs in double — a fixed expression over identical exact
+    inputs, so both engines round identically.  This is the cross-engine-
+    safe alternative to built-in ``corr()``, whose float accumulation is
+    partition-order-dependent.  Scale: one partial-aggregated groupBy —
+    moments merge associatively, the 100 TB shape."""
+    li = catalog(spark, sf_dir)["lineitem"]
+    x = F.round(F.col("l_quantity") * 100).cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    base = li.select("l_returnflag", x.alias("__x"), y.alias("__y"))
+    g = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum((F.col("__x") * F.col("__y")).cast("decimal(38,0)")).alias("__sxy"),
+        F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,0)")).alias("__sxx"),
+        F.sum((F.col("__y") * F.col("__y")).cast("decimal(38,0)")).alias("__syy"),
+    )
+    n, sx, sy = [F.col(c).cast("double") for c in ("__n", "__sx", "__sy")]
+    sxy, sxx, syy = [F.col(c).cast("double") for c in ("__sxy", "__sxx", "__syy")]
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return g.select(
+        "l_returnflag",
+        F.col("__n").cast("bigint").alias("n_items"),
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("corr"),
+        F.round(num / vx, 6).alias("slope_cents"),
+    )
+
+
+def revenue_trend(spark, sf_dir):
+    """Per-month OLS slope of daily revenue over the day-of-month index —
+    the monotone-drift detector for a rollup feed.  Daily revenue
+    aggregates to exact cents FIRST (map-side combine collapses the fact
+    table), then per-month moments over ≤31 (day, cents) points: Σy²
+    goes through DECIMAL(38,0) because daily-cents squares overflow
+    int64 at scale.  The slope formula runs in double over exact sums
+    (same determinism argument as price_qty_corr)."""
+    o = catalog(spark, sf_dir)["orders"]
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    daily = (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("__m"),
+            F.dayofmonth("o_orderdate").alias("__d"),
+        )
+        .agg(
+            F.round(F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("__y")
+        )
+    )
+    g = daily.groupBy("__m").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__d").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__d") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__d") * F.col("__d")).alias("__sxx"),
+    )
+    g = g.where(F.col("__n") >= 2)  # a single active day has zero x-variance
+    n, sx, sy, sxy, sxx = [
+        F.col(c).cast("double") for c in ("__n", "__sx", "__sy", "__sxy", "__sxx")
+    ]
+    return g.select(
+        F.unix_micros(F.col("__m")).alias("month_us"),
+        F.col("__n").cast("bigint").alias("n_days"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4).alias("slope_cents_per_day"),
+    )
+
+
 def events_moving_avg(spark, sf_dir):
     """Per-user trailing one-hour moving average of event value — a RANGE
     interval window frame (peers by event-time seconds, so equal-ts ties
@@ -5102,6 +5175,46 @@ FROM m
         FROM a
     """)
 
+    o["price_qty_corr"] = _q("""
+        WITH b AS (SELECT l_returnflag,
+                          CAST(round(l_quantity * 100) AS BIGINT) AS x,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                   FROM lineitem),
+             g AS (SELECT l_returnflag, count(*) AS n,
+                          sum(x) AS sx, sum(y) AS sy,
+                          sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+                   FROM b GROUP BY 1)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n_items,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope_cents
+        FROM g
+    """)
+
+    o["revenue_trend"] = _q("""
+        WITH daily AS (
+          SELECT date_trunc('month', o_orderdate) AS m,
+                 day(o_orderdate) AS d,
+                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100) AS BIGINT) AS y
+          FROM orders GROUP BY 1, 2),
+        g AS (SELECT m, count(*) AS n, sum(d) AS sx, sum(y) AS sy,
+                     sum(d * y) AS sxy, sum(d * d) AS sxx
+              FROM daily GROUP BY 1 HAVING count(*) >= 2)
+        SELECT epoch_us(m) AS month_us, CAST(n AS BIGINT) AS n_days,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS slope_cents_per_day
+        FROM g
+    """)
+
     o["orders_mad"] = _q("""
         WITH med AS (SELECT o_orderpriority,
                             quantile_cont(o_totalprice, 0.5) AS median_price,
@@ -5401,6 +5514,8 @@ def _all_queries():
         "nation_pareto": nation_pareto,
         "token_gini": token_gini,
         "orders_mad": orders_mad,
+        "price_qty_corr": price_qty_corr,
+        "revenue_trend": revenue_trend,
         "lineitem_key_skew": lineitem_key_skew,
         "nation_participation": nation_participation,
         "orders_running_total": orders_running_total,

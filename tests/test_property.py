@@ -362,3 +362,27 @@ def test_scd2_intervals_partition_timeline(spark, changes_by_key):
         assert len(opens) == 1 and ivs[-1] == opens[0]
         for (a, b), (c, d) in zip(ivs, ivs[1:]):
             assert b == c  # contiguous: close of one = open of next
+
+
+def test_price_qty_corr_exact_moments(spark):
+    """Crafted perfectly-correlated and anti-correlated groups: corr must
+    hit ±1.0 exactly (the moments are exact integers, so no float noise)
+    and the OLS slope must match the planted line."""
+    from slice_db_spark.plans.queries import price_qty_corr
+    import slice_db_spark.plans.queries as Q
+
+    rows = []
+    # flag 'P': y = 3x exactly → corr 1, slope 3 (cents scale preserved)
+    for i in range(1, 21):
+        rows.append(("P", float(i), float(3 * i)))
+    # flag 'N': y = -2x + 100 → corr -1, slope -2
+    for i in range(1, 21):
+        rows.append(("N", float(i), float(100 - 2 * i)))
+    df = spark.createDataFrame(rows, "l_returnflag string, l_quantity double, l_extendedprice double")
+    Q._CATALOGS["__corr_test__"] = {"lineitem": df}
+    try:
+        got = {r["l_returnflag"]: r for r in price_qty_corr(spark, "__corr_test__").collect()}
+    finally:
+        del Q._CATALOGS["__corr_test__"]
+    assert got["P"]["corr"] == 1.0 and got["P"]["slope_cents"] == 3.0
+    assert got["N"]["corr"] == -1.0 and got["N"]["slope_cents"] == -2.0
