@@ -84,6 +84,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_jaccard",
     "dedup_containment",
+    "fuzzy_typo_pairs",
     "dedup_chunks",
     "dedup_rewrite",
     "boilerplate",
@@ -99,6 +100,7 @@ HEADLINE = [
     "doc_triangles",
     "sketch_hll",
     "sketch_cms",
+    "sketch_quantile",
     "sketch_hll_union",
     "bloom_decontam",
     "minhash_est",

@@ -1239,3 +1239,57 @@ def triangle_counts(
             .alias("clustering"),
         )
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    max_dist: int = 2,
+    prefix_chars: int = 40,
+    max_block: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocked fuzzy matching (record-linkage style): candidate pairs
+    share their FIRST normalized token (the blocking key); a pair
+    matches when the edit distance of their ``prefix_chars``-char
+    normalized prefixes is ≤ ``max_dist``.  Catches the typo/OCR-noise
+    duplicates that token-set methods (Jaccard/MinHash) miss — a one-
+    character typo changes every shingle containing it, but moves edit
+    distance by 1.
+
+    Scale shape: the block join is a hash equi-join on the first token;
+    ``max_block`` caps block size the same way ``max_df`` caps posting
+    lists (drop keys whose block exceeds it — stopword-led documents
+    would otherwise create quadratic blocks; the cap is the documented
+    selectivity/recall knob).  Levenshtein runs ONLY on candidate
+    pairs, on bounded prefixes — O(prefix²) per candidate, never per
+    row-pair of the corpus.  Output: (id_a, id_b, dist), id_a < id_b.
+    """
+    base = df.select(
+        F.col(id_col),
+        normalize(F.col(text_col)).alias("__n"),
+    ).where(F.col("__n") != "")
+    keyed = base.select(
+        F.col(id_col),
+        F.substring("__n", 1, prefix_chars).alias("__p"),
+        F.split(F.col("__n"), " ")[0].alias("__k"),
+    )
+    ok = (
+        keyed.groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where((F.col("__c") > 1) & (F.col("__c") <= max_block))
+        .select("__k")
+    )
+    keyed = keyed.join(F.broadcast(ok), "__k")
+    a = keyed.select(F.col(id_col).alias("id_a"), F.col("__p").alias("__pa"), "__k")
+    b = keyed.select(F.col(id_col).alias("id_b"), F.col("__p").alias("__pb"), "__k")
+    return (
+        a.join(b, "__k")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__pa", "__pb").cast("bigint").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )

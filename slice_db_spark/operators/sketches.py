@@ -216,3 +216,68 @@ def bloom_candidates(
         .select(F.col("__bv"))
     )
     return keyed.join(F.broadcast(hits), "__bv", "left_semi").drop("__bv")
+
+
+# ------------------------------------------------- histogram quantile sketch
+
+HIST_BUCKETS = 128
+
+
+def hist_counts(
+    df: DataFrame, col: str, lo_q: int, hi_q: int, n_buckets: int = HIST_BUCKETS
+) -> DataFrame:
+    """Equi-width histogram of ``round(col·100)`` cents over the closed
+    range [lo_q, hi_q]: exact integer bucket counts — the mergeable
+    quantile-sketch state (bucket-wise SUM is the merge operator, same
+    distributed shape as the HLL register max).  Bucket assignment is
+    pure integral arithmetic (``div``), so any engine reproduces it."""
+    span = hi_q - lo_q + 1
+    d = df.select(F.round(F.col(col) * 100).cast("bigint").alias("__q"))
+    b = F.expr(f"((__q - {lo_q}) * {n_buckets}) div {span}")
+    return (
+        d.select(F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), b)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    spark,
+    counts: DataFrame,
+    lo_q: int,
+    hi_q: int,
+    n_total: int,
+    probs_pct: tuple = (50, 90, 99),
+    n_buckets: int = HIST_BUCKETS,
+) -> DataFrame:
+    """Quantile estimates from histogram state, entirely in integer
+    arithmetic: for each p, the answer lies in the first bucket whose
+    cumulative count reaches ``needed = ceil(p·N/100)``; the estimate
+    interpolates linearly inside that bucket with floor division.  The
+    counts frame is ``n_buckets``-sized, so the cumulative window and
+    the per-p argmin are metadata-scale work regardless of input volume
+    — the whole point of sketching the quantile instead of sorting 100
+    TB.  Output: (p_pct, est_cents)."""
+    from pyspark.sql import Window
+
+    span = hi_q - lo_q + 1
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.withColumn("cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    probed = cum.withColumn(
+        "p_pct", F.explode(F.array(*[F.lit(int(p)) for p in probs_pct]))
+    ).withColumn("needed", F.expr(f"(p_pct * {n_total} + 99) div 100"))
+    hit = probed.where(F.col("cum_before") + F.col("cnt") >= F.col("needed"))
+    pick = Window.partitionBy("p_pct").orderBy("bucket")
+    first = hit.withColumn("__rn", F.row_number().over(pick)).where(F.col("__rn") == 1)
+    start = F.expr(f"{lo_q} + (bucket * {span}) div {n_buckets}")
+    width = F.expr(
+        f"((bucket + 1) * {span}) div {n_buckets} - (bucket * {span}) div {n_buckets}"
+    )
+    interp = F.expr("((needed - cum_before) * __w) div cnt")
+    return (
+        first.withColumn("__w", width)
+        .select(
+            F.col("p_pct").cast("bigint").alias("p_pct"),
+            (start + interp).cast("bigint").alias("est_cents"),
+        )
+    )

@@ -1392,6 +1392,51 @@ def bloom_decontam(spark, sf_dir):
     )
 
 
+HQ_PROBS = (50, 90, 99)
+
+
+def sketch_quantile(spark, sf_dir):
+    """Histogram quantile sketch WITH self-evaluation: a 128-bucket exact
+    integer histogram of order-price cents (mergeable state — bucket-wise
+    sum, the distributed shape), integer-interpolated p50/p90/p99
+    estimates, and the exact percentile + error ppm alongside — the
+    approximate answer and its own correctness measurement in one result
+    (the lsh_recall / minhash_est pattern).  At 100 TB the sketch path
+    needs one partial-agg scan; the exact path (full sort) exists here
+    only as the evaluation yardstick."""
+    o = catalog(spark, sf_dir)["orders"]
+    qc = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    lo, hi, n = o.agg(F.min(qc), F.max(qc), F.count(F.lit(1))).first()
+    counts = sketches.hist_counts(o, "o_totalprice", int(lo), int(hi))
+    est = sketches.hist_quantiles(spark, counts, int(lo), int(hi), int(n), HQ_PROBS)
+    exact_row = o.select(qc.alias("__q")).agg(
+        *[F.expr(f"percentile(__q, {p / 100.0})").alias(f"__p{p}") for p in HQ_PROBS]
+    )
+    ex = exact_row.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(p).cast("bigint").alias("p_pct"),
+                    F.col(f"__p{p}").alias("exact_cents"),
+                )
+                for p in HQ_PROBS
+            ])
+        ).alias("__s")
+    ).select("__s.*")
+    return (
+        est.join(F.broadcast(ex), "p_pct")
+        .select(
+            "p_pct",
+            "est_cents",
+            F.col("exact_cents").cast("double").alias("exact_cents"),
+            F.floor(
+                F.lit(1e6) * F.abs(F.col("est_cents") - F.col("exact_cents"))
+                / F.col("exact_cents")
+            ).cast("bigint").alias("err_ppm"),
+        )
+    )
+
+
 def q9_profit_nation(spark, sf_dir):
     """TPC-H Q9 shape: product-line profit by supplier nation and order
     year — a part-name LIKE filter broadcast into the fact, a
@@ -2340,6 +2385,15 @@ def length_quantiles(spark, sf_dir):
     threshold-setting statistic — approx_percentile is the same-schema
     100 TB path)."""
     return textops.length_quantiles(catalog(spark, sf_dir)["documents"])
+
+
+def fuzzy_typo_pairs(spark, sf_dir):
+    """Blocked edit-distance matching: typo/OCR-noise duplicate pairs
+    that shingle-set methods structurally miss (one typo perturbs n
+    shingles but moves levenshtein by 1).  First-token blocking with a
+    max_block cap (the max_df analog), distance only on candidate
+    40-char prefixes."""
+    return dedup.fuzzy_pairs(catalog(spark, sf_dir)["documents"])
 
 
 CHUNK_WIN, CHUNK_STRIDE = 32, 24
@@ -3894,6 +3948,18 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY source
     """)
 
+    o["fuzzy_typo_pairs"] = f"""
+WITH b AS (SELECT doc_id, {_norm_sql('text')} AS nrm FROM documents
+           WHERE {_norm_sql('text')} <> ''),
+kt AS (SELECT doc_id, substr(nrm, 1, 40) AS pfx, str_split(nrm, ' ')[1] AS blk FROM b),
+ok AS (SELECT blk FROM kt GROUP BY blk HAVING count(*) > 1 AND count(*) <= 50),
+kk AS (SELECT kt.* FROM kt JOIN ok USING (blk))
+SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       CAST(levenshtein(a.pfx, c.pfx) AS BIGINT) AS dist
+FROM kk a JOIN kk c USING (blk)
+WHERE a.doc_id < c.doc_id AND levenshtein(a.pfx, c.pfx) <= 2
+"""
+
     _w, _s = CHUNK_WIN, CHUNK_STRIDE
     o["chunk_windows"] = f"""
 WITH t AS (
@@ -5017,6 +5083,41 @@ FROM d
         f"CAST(floor({_dlit(sketches.HLL_ALPHA)} * {_dlit(_M)} * {_dlit(_M)}"
         f" * {_dlit(1 << sketches.HLL_SCALE_POW)} / hs) AS BIGINT)"
     )
+    o["sketch_quantile"] = _q("""
+        WITH q AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS q FROM orders),
+        st AS (SELECT min(q) AS lo, max(q) AS hi, count(*) AS n,
+                      max(q) - min(q) + 1 AS span FROM q),
+        b AS (SELECT least(127, greatest(0,
+                 ((q - (SELECT lo FROM st)) * 128) // (SELECT span FROM st))) AS bucket
+              FROM q),
+        c AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+        cum AS (SELECT bucket, cnt,
+                       coalesce(sum(cnt) OVER (ORDER BY bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                FROM c),
+        p AS (SELECT unnest([50, 90, 99]) AS p_pct),
+        probed AS (SELECT cum.*, p.p_pct,
+                          (p.p_pct * (SELECT n FROM st) + 99) // 100 AS needed
+                   FROM cum CROSS JOIN p),
+        hit AS (SELECT * FROM probed WHERE cum_before + cnt >= needed
+                QUALIFY row_number() OVER (PARTITION BY p_pct ORDER BY bucket) = 1),
+        est AS (SELECT p_pct,
+                       (SELECT lo FROM st) + (bucket * (SELECT span FROM st)) // 128
+                       + ((needed - cum_before)
+                          * (((bucket + 1) * (SELECT span FROM st)) // 128
+                             - (bucket * (SELECT span FROM st)) // 128)) // cnt AS est_cents
+                FROM hit),
+        ex AS (SELECT 50 AS p_pct, quantile_cont(q, 0.50) AS exact_cents FROM q
+               UNION ALL SELECT 90, quantile_cont(q, 0.90) FROM q
+               UNION ALL SELECT 99, quantile_cont(q, 0.99) FROM q)
+        SELECT CAST(est.p_pct AS BIGINT) AS p_pct,
+               CAST(est_cents AS BIGINT) AS est_cents,
+               CAST(exact_cents AS DOUBLE) AS exact_cents,
+               CAST(floor(1e6 * abs(est_cents - exact_cents) / exact_cents) AS BIGINT)
+                 AS err_ppm
+        FROM est JOIN ex ON ex.p_pct = est.p_pct
+    """)
+
     o["sketch_hll"] = _q(f"""
         WITH h AS (SELECT {_hash64_sql("'hll:' || CAST(o_custkey AS VARCHAR)")} AS h
                    FROM orders WHERE o_custkey IS NOT NULL),
@@ -5504,6 +5605,7 @@ def _all_queries():
         "rp_project": rp_project,
         "sketch_hll": sketch_hll,
         "sketch_cms": sketch_cms,
+        "sketch_quantile": sketch_quantile,
         "bloom_decontam": bloom_decontam,
         "q9_profit_nation": q9_profit_nation,
         "customer_streaks": customer_streaks,
@@ -5552,6 +5654,7 @@ def _all_queries():
         "length_quantiles": length_quantiles,
         "chunk_windows": chunk_windows,
         "dedup_containment": dedup_containment,
+        "fuzzy_typo_pairs": fuzzy_typo_pairs,
         "minhash_sigs": minhash_sigs,
         "minhash_lsh": minhash_lsh,
         "dedup_incremental": dedup_incremental,

@@ -448,3 +448,25 @@ def test_triangle_counts_clique_path_and_tail(spark):
     assert got[11] == (2, 0, 0.0) and got[13] == (1, 0, 0.0)
     assert got[20] == (3, 1, 1 / 3)
     assert got[21] == (2, 1, 1.0) and got[23] == (1, 0, 0.0)
+
+
+def test_fuzzy_pairs_catches_typos_jaccard_misses(spark):
+    """A one-character typo in a short doc: 3-gram Jaccard collapses
+    (every shingle containing the typo changes) but edit distance is 1 —
+    fuzzy_pairs must report the pair; unrelated docs sharing the block
+    token must NOT pair (distance > cap); oversized blocks are dropped."""
+    from slice_db_spark.operators import dedup as D
+
+    base = "quantum computing will change cryptography forever"
+    typo = "quantum computing will chanje cryptography forever"
+    other = "quantum leap in a totally different direction here"
+    rows = [(1, base), (2, typo), (3, other)]
+    # an oversized block: 60 docs starting with 'the' — must be dropped
+    rows += [(100 + i, f"the filler document number {i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in D.fuzzy_pairs(df, max_dist=2, max_block=50).collect()}
+    assert got == {(1, 2): 1}
+    jac = {(r.id_a, r.id_b) for r in
+           D.ngram_jaccard_pairs(df.where("doc_id <= 3"), threshold=0.8).collect()}
+    assert (1, 2) not in jac  # the blind spot fuzzy matching covers

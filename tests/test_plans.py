@@ -210,7 +210,15 @@ _ALLOWED_NESTED_LOOP = {"ann_brute", "knn_classify"}
 #:    running counter — one row per shuffle partition (bounded by config)
 #:  - revenue_mom: lag window over the month-aggregated frame — one row
 #:    per calendar month, bounded by time span not data volume
-_ALLOWED_GLOBAL_WINDOW = {"q3_top_orders", "scrub_deterministic", "revenue_mom"}
+_ALLOWED_GLOBAL_WINDOW = {
+    "q3_top_orders",
+    "scrub_deterministic",
+    "revenue_mom",
+    # sketch_quantile: the cumulative window runs over the 128-row
+    # histogram STATE frame (post-aggregation, metadata-sized at any
+    # input volume), not over input rows
+    "sketch_quantile",
+}
 
 #: queries whose plan must keep a NON-EMPTY PushedFilters on a parquet scan
 #: (each filters a source column; losing pushdown = full-table scan at 100 TB)

@@ -104,3 +104,31 @@ def test_hll_merge_equals_sketch_of_union(spark):
     merged = {(r.bucket, r.rho) for r in sketches.hll_merge(ra, rb).collect()}
     merged_rev = {(r.bucket, r.rho) for r in sketches.hll_merge(rb, ra).collect()}
     assert merged == direct == merged_rev
+
+
+def test_hist_quantile_merge_and_accuracy(spark):
+    """Histogram state must merge by bucket-wise sum (the distributed
+    contract), and the interpolated estimates must land within one
+    bucket width of the exact quantile on uniform data."""
+    from pyspark.sql import functions as F
+
+    from slice_db_spark.operators import sketches as S
+
+    vals = [(float(i),) for i in range(1, 2001)]  # 1..2000 dollars
+    df = spark.createDataFrame(vals, "o_totalprice double")
+    lo, hi, n = 100, 200000, 2000  # cents
+    whole = {r["bucket"]: r["cnt"] for r in
+             S.hist_counts(df, "o_totalprice", lo, hi).collect()}
+    h1 = S.hist_counts(df.where("o_totalprice <= 1000"), "o_totalprice", lo, hi)
+    h2 = S.hist_counts(df.where("o_totalprice > 1000"), "o_totalprice", lo, hi)
+    merged = {
+        r["bucket"]: r["cnt"]
+        for r in h1.unionByName(h2).groupBy("bucket").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    assert merged == whole
+    counts = S.hist_counts(df, "o_totalprice", lo, hi)
+    est = {r["p_pct"]: r["est_cents"] for r in
+           S.hist_quantiles(spark, counts, lo, hi, n, (50, 90)).collect()}
+    bucket_w = (hi - lo + 1) // S.HIST_BUCKETS + 1
+    assert abs(est[50] - 100050) <= bucket_w   # exact p50 ≈ $1000.50
+    assert abs(est[90] - 180050) <= bucket_w
