@@ -416,3 +416,53 @@ def test_trending_report_over_rollup_sink(spark, events_batch, tmp_path_factory)
             if i <= 2:
                 want.add((ww, et, n, i))
     assert got == want
+
+
+def test_hist_stream_state_matches_batch_sketch(spark, events_batch, tmp_path_factory):
+    """Streaming histogram maintenance: run the sketch stream over a
+    landing dir in two installments (second run is checkpoint-
+    incremental); the merged state must equal the batch histogram of ALL
+    values, and quantiles read off the state must match the batch sketch
+    exactly — the mergeable-state contract, end to end."""
+    from slice_db_spark.operators.sketches import hist_counts, hist_quantiles
+    from slice_db_spark.streaming.sketches import (
+        hist_stream_to_parquet,
+        read_hist_quantiles,
+        read_hist_state,
+    )
+
+    vals = events_batch.selectExpr("value * 1 as value")
+    lo, hi, n = vals.selectExpr(
+        "cast(min(round(value*100)) as bigint)",
+        "cast(max(round(value*100)) as bigint)",
+        "count(*)",
+    ).first()
+    land = tmp_path_factory.mktemp("hist_land")
+    out = tmp_path_factory.mktemp("hist_out")
+    ck = tmp_path_factory.mktemp("hist_ck")
+    half = vals.limit(vals.count() // 2)
+
+    schema = vals.schema
+    vals.exceptAll(half).coalesce(1).write.mode("overwrite").parquet(str(land / "b0"))
+
+    def run():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(land) + "/*/")
+        hist_stream_to_parquet(
+            stream, str(out), str(ck), int(lo), int(hi)
+        ).awaitTermination()
+
+    run()
+    half.coalesce(1).write.mode("overwrite").parquet(str(land / "b1"))
+    run()
+
+    want = {r["bucket"]: r["cnt"] for r in hist_counts(vals, "value", int(lo), int(hi)).collect()}
+    got = {r["bucket"]: r["cnt"] for r in read_hist_state(spark, str(out)).collect()}
+    assert got == want
+    bq = {r["p_pct"]: r["est_cents"] for r in hist_quantiles(
+        spark, hist_counts(vals, "value", int(lo), int(hi)), int(lo), int(hi), int(n)
+    ).collect()}
+    sq = {r["p_pct"]: r["est_cents"] for r in
+          read_hist_quantiles(spark, str(out), int(lo), int(hi)).collect()}
+    assert sq == bq and set(sq) == {50, 90, 99}
