@@ -32,6 +32,7 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q4_order_priority",
     "scrub_deterministic",
+    "k_anonymity",
     "q10_returned_items",
     "q14_promo_revenue",
     "q15_top_supplier",

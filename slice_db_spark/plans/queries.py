@@ -655,6 +655,39 @@ def q22_idle_customers(spark, sf_dir):
     )
 
 
+K_ANON_K = 5
+
+
+def k_anonymity(spark, sf_dir):
+    """Privacy audit of the scrub surface: k-anonymity + l-diversity per
+    quasi-identifier group.  The reference pseudonymizes columns
+    (slice_db/transform.py); this measures whether the RETAINED
+    quasi-identifiers (nation, market segment) still isolate people:
+    groups smaller than k are re-identification risks, and groups whose
+    sensitive attribute (account-balance band) takes few distinct values
+    leak it even at size ≥ k.  One partial-aggregated groupBy; the
+    distinct count runs as the standard two-phase expand — |groups| is
+    dimension-bounded, so the report is metadata-sized at any scale."""
+    c = catalog(spark, sf_dir)["customer"]
+    band = F.expr("cast(floor(c_acctbal / 2000) as bigint)")
+    return (
+        c.select("c_nationkey", "c_mktsegment", band.alias("__band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("group_n"),
+            F.countDistinct("__band").alias("l_diversity"),
+        )
+        .select(
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            "c_mktsegment",
+            F.col("group_n").cast("bigint").alias("group_n"),
+            F.col("l_diversity").cast("bigint").alias("l_diversity"),
+            F.when(F.col("group_n") < K_ANON_K, F.lit(1)).otherwise(F.lit(0))
+            .cast("bigint").alias("at_risk"),
+        )
+    )
+
+
 def q12_shipmode(spark, sf_dir):
     """TPC-H Q12 shape (adapted — the synthetic lineitem has no
     l_shipmode/l_commitdate/l_receiptdate, so l_linestatus stands in for
@@ -3410,6 +3443,14 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY n_name
     """)
 
+    o["k_anonymity"] = _q(f"""
+        SELECT CAST(c_nationkey AS INTEGER) AS c_nationkey, c_mktsegment,
+               count(*) AS group_n,
+               count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) AS l_diversity,
+               CAST(CASE WHEN count(*) < {K_ANON_K} THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+        FROM customer GROUP BY 1, 2
+    """)
+
     o["q12_shipmode"] = _q("""
         SELECT l_linestatus AS ship_mode,
                sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
@@ -5560,6 +5601,7 @@ def _all_queries():
         "sequence_last_value": sequence_last_value,
         "scrub_deterministic": scrub_deterministic,
         "scrub_pseudonym": scrub_pseudonym,
+        "k_anonymity": k_anonymity,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q6_forecast_revenue": q6_forecast_revenue,

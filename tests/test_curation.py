@@ -342,3 +342,26 @@ def test_curriculum_order_buckets_and_positions(spark):
         by_bucket.setdefault(r["bucket"], []).append(r["pos"])
     for poss in by_bucket.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    """Crafted quasi-identifier groups: a singleton group must flag
+    at_risk, a size-6 group must not, and l-diversity must count the
+    distinct sensitive bands, not rows."""
+    import slice_db_spark.plans.queries as Q
+
+    rows = [(0, "A", 100.0)]  # singleton → at_risk
+    rows += [(1, "B", float(b * 2000)) for b in range(3) for _ in range(2)]  # 6 rows, 3 bands
+    df = spark.createDataFrame(
+        [(i,) + r for i, r in enumerate(rows)],
+        "c_custkey bigint, c_nationkey bigint, c_mktsegment string, c_acctbal double",
+    )
+    Q._CATALOGS["__kanon__"] = {"customer": df}
+    try:
+        got = {(r["c_nationkey"], r["c_mktsegment"]): r
+               for r in Q.k_anonymity(spark, "__kanon__").collect()}
+    finally:
+        del Q._CATALOGS["__kanon__"]
+    assert got[(0, "A")]["group_n"] == 1 and got[(0, "A")]["at_risk"] == 1
+    g = got[(1, "B")]
+    assert g["group_n"] == 6 and g["l_diversity"] == 3 and g["at_risk"] == 0
