@@ -650,6 +650,41 @@ def cmd_plan(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Run arbitrary Spark SQL over the catalog: every parquet table in
+    the data dir registers as a temp view, the query executes through
+    the full Catalyst pipeline (AQE on), and results stream to stdout as
+    JSON lines or TSV.  ``-`` reads the query from stdin.  The 'run any
+    query you run today' escape hatch — the registry covers the curated
+    surface, this covers everything else ANSI SQL can say."""
+    import os as _os
+
+    from .session import get_spark
+
+    query = args.query
+    if query == "-":
+        query = sys.stdin.read()
+    spark = get_spark("slicedb-sql")
+    for name in sorted(_os.listdir(args.data_dir)):
+        if name.endswith(".parquet"):
+            spark.read.parquet(_os.path.join(args.data_dir, name)).createOrReplaceTempView(
+                name[: -len(".parquet")]
+            )
+    df = spark.sql(query)
+    if args.explain:
+        df.explain(mode="formatted")
+        return 0
+    rows = df.limit(args.limit).collect() if args.limit else df.collect()
+    if args.format == "tsv":
+        print("\t".join(df.columns))
+        for r in rows:
+            print("\t".join("" if v is None else str(v) for v in r))
+    else:
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def cmd_transform_field(args) -> int:
     from .functions.transforms import build_registry
 
@@ -879,6 +914,16 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--mode", default="formatted",
                     choices=["simple", "extended", "formatted", "cost", "codegen"])
     pl.set_defaults(fn=cmd_plan)
+
+    sq = sub.add_parser("sql", help="run arbitrary SQL over a parquet data dir")
+    sq.add_argument("--data-dir", default="/root/testdata/sf0.01",
+                    help="directory of <table>.parquet files to register as views")
+    sq.add_argument("--format", choices=["jsonl", "tsv"], default="jsonl")
+    sq.add_argument("--limit", type=int, default=None, help="cap returned rows")
+    sq.add_argument("--explain", action="store_true",
+                    help="print the physical plan instead of executing")
+    sq.add_argument("query", help="SQL text, or '-' to read from stdin")
+    sq.set_defaults(fn=cmd_sql)
 
     tf = sub.add_parser("transform-field", help="transform one value")
     tf.add_argument("--transform", required=True)

@@ -636,3 +636,21 @@ def test_ingest_cli_min_quality(spark, tmp_path):
     )
     assert report["corpus_rows"] == 1
     assert spark.read.json(rejects).count() == 1
+
+
+def test_sql_cli_runs_adhoc_query(tmp_path):
+    """Ad-hoc SQL over registered catalog views: aggregate + join execute
+    through Catalyst and stream out as JSON lines; --explain prints a
+    plan instead."""
+    out = run_cli(
+        "sql",
+        "--data-dir", SF_DIR,
+        "--format", "jsonl",
+        "SELECT n_name, count(*) AS n FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
+    )
+    rows = [json.loads(line) for line in out.strip().splitlines()]
+    assert len(rows) == 25 and all(r["n"] > 0 for r in rows)
+    plan = run_cli("sql", "--data-dir", SF_DIR, "--explain",
+                   "SELECT count(*) FROM orders WHERE o_totalprice > 400000")
+    assert "Physical Plan" in plan and "PushedFilters" in plan
