@@ -176,6 +176,10 @@ def _dump_with_catalog(args, spark, schema, catalog) -> int:
             sys.stdout.buffer.flush()
             os.unlink(zip_path)
     else:
+        pb = {}
+        for spec in args.partition_by or []:
+            tid, _, cols = spec.partition("=")
+            pb[tid] = [c for c in cols.split(",") if c]
         manifest = write_slice(
             tables,
             schema,
@@ -185,6 +189,7 @@ def _dump_with_catalog(args, spark, schema, catalog) -> int:
             pre_data=pre_data,
             post_data=post_data,
             jobs=args.jobs,
+            partition_by=pb or None,
         )
     counts = {t: sum(s["rowCount"] for s in m["segments"]) for t, m in manifest.tables.items()}
     out = {"rounds": result.rounds, "rows": counts}
@@ -736,6 +741,13 @@ def main(argv: list[str] | None = None) -> int:
         choices=["parquet", "orc", "tsv", "zip"],
         default="parquet",
         help="zip = single reference-layout zip64 archive (output is a .zip path)",
+    )
+    d.add_argument(
+        "--partition-by",
+        action="append",
+        metavar="TABLE=COL[,COL...]",
+        help="hive-partition a table's parquet output by these columns "
+        "(repeatable; directory-level pruning for partition predicates)",
     )
     d.add_argument(
         "--include-schema",

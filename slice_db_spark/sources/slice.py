@@ -98,12 +98,15 @@ def _schema_section_path(out_dir: str, section: str, index: int) -> str:
 
 
 def _part_files(path: str, fmt: str) -> list[str]:
+    # recursive walk: partitioned tables nest part files under
+    # key=value directories; ordering stays deterministic (full path)
     suffix = {"parquet": ".parquet", "orc": ".orc"}.get(fmt, ".txt")
-    return sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.startswith("part-") and f.endswith(suffix)
-    )
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith("part-") and f.endswith(suffix):
+                out.append(os.path.join(root, f))
+    return sorted(out)
 
 
 def _count_lines(path: str) -> int:
@@ -138,6 +141,7 @@ def write_slice(
     pre_data: list[str] | None = None,
     post_data: list[str] | None = None,
     jobs: int = 1,
+    partition_by: dict[str, list[str]] | None = None,
 ) -> SliceManifest:
     """Materialize a slice: per-table parquet (or COPY-escaped TSV) +
     ``manifest.json``.  Each written file part is one manifest segment.
@@ -170,12 +174,24 @@ def write_slice(
         t = schema.tables.get(tid)
         cols = t.columns if t and t.columns else df.columns
         path = _table_dir(out_dir, tid)
+        pcols = (partition_by or {}).get(tid)
+        if pcols:
+            # partition columns may be derived (not in the declared table
+            # schema) — keep them for the layout; the manifest's "columns"
+            # stays the declared order, so readers reproduce it
+            cols = list(cols) + [c for c in pcols if c not in cols]
         out = df.select(*cols)
         if fmt == "tsv":
             line = F.concat_ws("\t", *[copy_escape(F.col(c).cast("string")) for c in cols])
             out.select(line.alias("value")).write.mode("overwrite").text(path)
         elif fmt == "orc":
             out.write.mode("overwrite").orc(path)
+        elif pcols:
+            # hive-layout partitioned table: readers get PartitionFilters
+            # (directory pruning — the 100 TB data-skipping lever) for
+            # predicates on the partition columns; the manifest records
+            # the layout so restore/read can rebuild column order
+            out.write.mode("overwrite").partitionBy(*pcols).parquet(path)
         else:
             out.write.mode("overwrite").parquet(path)
         # Segment accounting from file METADATA, not a re-read: exactly one
@@ -186,12 +202,15 @@ def write_slice(
         # empty parts are skipped, matching the re-read accounting this
         # replaces (a zero-row group never appeared in the groupBy)
         segs = [{"rowCount": n} for _, n in _part_row_counts(path, fmt) if n > 0]
-        return {
+        meta = {
             "columns": list(cols),
             "name": t.name if t else tid,
             "schema": t.schema if t else "",
             "segments": segs,
         }
+        if pcols and fmt == "parquet":
+            meta["partitionedBy"] = list(pcols)
+        return meta
 
     if jobs > 1 and len(tables) > 1:
         from concurrent.futures import ThreadPoolExecutor

@@ -296,3 +296,46 @@ def test_orc_slice_roundtrip(spark, small_slice, tmp_path):
     want = {tuple(r) for r in tables["customer"].collect()}
     got = {tuple(r) for r in back["customer"].collect()}
     assert got == want
+
+
+def test_partitioned_slice_write_prunes_on_read(spark, catalog, tmp_path):
+    """Hive-layout partitioned table export: the manifest records the
+    layout, segment counts survive the nested directory walk, reads
+    restore the manifest column order, and a partition-column predicate
+    prunes at the DIRECTORY level (PartitionFilters in the plan) — the
+    100 TB data-skipping contract."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    schema = tpch_schema()
+    orders = catalog["orders"].withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    out = str(tmp_path / "pslice")
+    manifest = write_slice(
+        {"orders": orders},
+        schema,
+        out,
+        partition_by={"orders": ["o_month"]},
+    )
+    meta = manifest.tables["orders"]
+    assert meta["partitionedBy"] == ["o_month"]
+    assert sum(s["rowCount"] for s in meta["segments"]) == orders.count()
+
+    tables, m2 = read_slice(spark, out)
+    back = tables["orders"]
+    assert back.columns[: len(orders.columns) - 1] == [
+        c for c in orders.columns if c != "o_month"
+    ][: len(orders.columns) - 1]
+    assert back.count() == orders.count()
+
+    one_month = orders.select("o_month").first()["o_month"]
+    pruned = back.where(F.col("o_month") == one_month)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "o_month" in plan.split("PartitionFilters", 1)[1][:200]
+    assert pruned.count() == orders.where(F.col("o_month") == one_month).count()
