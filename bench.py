@@ -53,6 +53,7 @@ HEADLINE = [
     "revenue_mom",
     "daily_gapfill",
     "orders_upsert",
+    "zorder_layout",
     "customer_scd2",
     "profile_orders",
     "orders_mad",

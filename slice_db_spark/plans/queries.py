@@ -2130,6 +2130,22 @@ def orders_upsert(spark, sf_dir):
     )
 
 
+def zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering report: orders keyed by
+    (custkey, order-day) interleave into a z key, split into 16 equal
+    z-ranges ('files'), and each range reports min/max of BOTH
+    dimensions — the data-skipping statistics a scan planner prunes
+    with.  Unlike a single-column sort, ranges narrow on both axes at
+    once (`plans/scale.py::zorder_file_stats`)."""
+    from .scale import zorder_file_stats
+
+    o = catalog(spark, sf_dir)["orders"].select(
+        "o_custkey",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("order_day"),
+    )
+    return zorder_file_stats(o, "o_custkey", "order_day")
+
+
 def salted_join_revenue(spark, sf_dir):
     """Skew-salted fact-to-dim join gated against the PLAIN join's oracle:
     `plans/scale.py::salted_join` must be result-identical by construction
@@ -4697,6 +4713,24 @@ SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
 FROM b
 """
 
+    _zx = " + ".join(
+        f"(((__x >> {i}) & 1) << {2 * i}) + (((__y >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
+    o["zorder_layout"] = f"""
+WITH b AS (SELECT CAST(o_custkey AS BIGINT) AS __x,
+                  epoch_us(o_orderdate) // 86400000000 AS __y
+           FROM orders),
+z AS (SELECT __x, __y, CAST({_zx} AS BIGINT) AS __z FROM b),
+st AS (SELECT min(__z) AS zmin, max(__z) - min(__z) + 1 AS span FROM z)
+SELECT CAST(least(15, ((__z - (SELECT zmin FROM st)) * 16) // (SELECT span FROM st))
+            AS BIGINT) AS file_id,
+       count(*) AS n_rows,
+       CAST(min(__x) AS BIGINT) AS x_min, CAST(max(__x) AS BIGINT) AS x_max,
+       CAST(min(__y) AS BIGINT) AS y_min, CAST(max(__y) AS BIGINT) AS y_max
+FROM z GROUP BY 1
+"""
+
     o["ann_brute"] = f"""
 WITH {_ann_scored_sql(None, None)}
 SELECT q_id, vec_id, sim,
@@ -5671,6 +5705,7 @@ def _all_queries():
         "revenue_rollup": revenue_rollup,
         "status_pivot": status_pivot,
         "orders_upsert": orders_upsert,
+        "zorder_layout": zorder_layout,
         "salted_join_revenue": salted_join_revenue,
         "q5_region_revenue": q5_region_revenue,
         "window_top_orders": window_top_orders,

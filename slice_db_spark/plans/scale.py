@@ -94,3 +94,60 @@ def key_skew(
         .orderBy(F.desc("n_rows"), *cols)
         .limit(k)
     )
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative ints bucketed to
+    ``bits`` bits each — the multi-dimensional clustering key: sorting by
+    z makes file-level (min, max) ranges narrow on BOTH dimensions
+    simultaneously, so predicates on EITHER column skip files (classic
+    Delta/Iceberg OPTIMIZE ZORDER; plain sort clusters only its leading
+    column).  Pure integer bit arithmetic — identical in any engine —
+    and a per-row map: the layout job is one range-partitioned sort by
+    z, no extra shuffle beyond the write's own."""
+    xc = x if not isinstance(x, str) else F.col(x)
+    yc = y if not isinstance(y, str) else F.col(y)
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + (F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)).cast("bigint")
+            + (F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1)).cast("bigint")
+        )
+    return z
+
+
+def zorder_file_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_files: int = 16,
+    bits: int = 16,
+) -> DataFrame:
+    """Simulated Z-ordered file layout + its data-skipping report: rows
+    order by the interleaved key, split into ``n_files`` equal z-ranges,
+    and each file reports (count, min/max of BOTH source dimensions) —
+    the numbers a scan planner compares against a predicate to skip
+    files.  Narrow per-file ranges on both axes are the whole point;
+    compare with a single-column sort, where the second axis's ranges
+    stay full-width.  The z-range split uses exact integral ``div`` over
+    the driver's (min, max) scalars — no sampling, no floats."""
+    keyed = df.select(
+        F.col(x_col).cast("bigint").alias("__x"),
+        F.col(y_col).cast("bigint").alias("__y"),
+    ).select("__x", "__y", zorder_key("__x", "__y", bits).alias("__z"))
+    keyed = keyed.localCheckpoint(eager=True)  # scalar probe + report reuse
+    zmin, zmax = keyed.agg(F.min("__z"), F.max("__z")).first()
+    span = int(zmax) - int(zmin) + 1
+    fid = F.expr(f"least({n_files - 1}, ((__z - {int(zmin)}) * {n_files}) div {span})")
+    return (
+        keyed.select(fid.cast("bigint").alias("file_id"), "__x", "__y")
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__x").alias("x_min"),
+            F.max("__x").alias("x_max"),
+            F.min("__y").alias("y_min"),
+            F.max("__y").alias("y_max"),
+        )
+    )

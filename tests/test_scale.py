@@ -61,3 +61,27 @@ def test_salted_join_rejects_right_joins(spark, catalog):
 
     with pytest.raises(ValueError):
         salted_join(catalog["lineitem"], catalog["orders"], ["l_orderkey"], how="right")
+
+
+def test_zorder_narrows_both_dimensions(spark):
+    """On a uniform 256x256 grid split into 16 z-range files, every file
+    must cover at most half of EACH axis (z-curve locality) — whereas a
+    single-column sort leaves the second axis full-width in every file.
+    Also pins the Morton key on hand-computed values."""
+    from pyspark.sql import functions as F
+
+    from slice_db_spark.plans.scale import zorder_file_stats, zorder_key
+
+    pts = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("bigint").alias("y")
+    )
+    stats = zorder_file_stats(pts, "x", "y", n_files=16).collect()
+    assert sum(r["n_rows"] for r in stats) == 256 * 256
+    for r in stats:
+        assert r["x_max"] - r["x_min"] <= 128, r
+        assert r["y_max"] - r["y_min"] <= 128, r
+    # hand-computed Morton values: (1,0)->1, (0,1)->2, (3,5)->39
+    vals = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 5)], "x bigint, y bigint"
+    ).select(zorder_key("x", "y").alias("z")).collect()
+    assert [r["z"] for r in vals] == [1, 2, 39]
