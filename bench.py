@@ -104,6 +104,7 @@ HEADLINE = [
     "sketch_cms",
     "sketch_quantile",
     "sketch_hll_union",
+    "events_sliding_distinct",
     "bloom_decontam",
     "minhash_est",
     "dedup_incremental",

@@ -281,3 +281,51 @@ def hist_quantiles(
             (start + interp).cast("bigint").alias("est_cents"),
         )
     )
+
+
+def hll_registers_by(
+    df: DataFrame, col: str, by: list[str], salt: str = "hll"
+) -> DataFrame:
+    """Per-group HLL registers: (by..., bucket, rho) — one sketch per
+    group in a single map-side-combinable aggregation.  The grouped form
+    of :func:`hll_registers`; registers of the same group merge across
+    any re-grouping by ``max(rho)`` (the associative merge that makes
+    sliding windows from tumbling ones)."""
+    h = hash64(F.concat_ws(":", F.lit(salt), F.col(col).cast("string")))
+    base = df.where(F.col(col).isNotNull()).select(*by, h.alias("__h")).select(
+        *by,
+        (F.col("__h") % HLL_M).alias("bucket"),
+        F.expr(f"(__h div {HLL_M}) % {1 << 32}").alias("__sfx"),
+    )
+    rho = F.expr(_rho_case_sql("__sfx"))
+    return (
+        base.select(*by, "bucket", rho.alias("rho"))
+        .groupBy(*by, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimates_by(regs: DataFrame, by: list[str]) -> DataFrame:
+    """Per-group estimates from grouped registers, WITHOUT a dense
+    bucket dimension: absent buckets contribute the ρ=0 term 2^50
+    arithmetically — ``harmonic = Σ_present 2^(50−ρ) + (m −
+    n_present)·2^50`` — so the whole estimation is one partial-agg
+    groupBy however many groups exist (the dense left-join of the
+    single-sketch path would shuffle |groups|·m rows for nothing).
+    Output: (by..., harmonic_scaled, estimate)."""
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_SCALE_POW} - rho)")
+    g = regs.groupBy(*by).agg(
+        F.sum(term).alias("__sp"), F.count(F.lit(1)).alias("__np")
+    )
+    harmonic = F.col("__sp") + (F.lit(HLL_M) - F.col("__np")) * F.lit(
+        1 << HLL_SCALE_POW
+    ).cast("bigint")
+    est = (
+        F.lit(HLL_ALPHA) * F.lit(float(HLL_M)) * F.lit(float(HLL_M))
+        * F.lit(float(1 << HLL_SCALE_POW)) / harmonic
+    )
+    return g.select(
+        *by,
+        harmonic.cast("bigint").alias("harmonic_scaled"),
+        F.floor(est).cast("bigint").alias("estimate"),
+    )

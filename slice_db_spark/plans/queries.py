@@ -1470,6 +1470,53 @@ def sketch_quantile(spark, sf_dir):
     )
 
 
+SLIDE_HOUR_US = 3_600_000_000
+
+
+def events_sliding_distinct(spark, sf_dir):
+    """Sliding-window distinct users via HLL register merge — THE sketch
+    use case: exact distinct counts cannot be combined across windows
+    (users recur), but registers can, so each tumbling hour is sketched
+    ONCE and every 3-hour sliding window merges three register sets by
+    max(ρ).  Self-evaluating: the exact sliding distinct (full re-count,
+    the expensive path this replaces) rides along with err_ppm.  Scale:
+    registers are 256 rows per hour regardless of traffic; the sliding
+    merge shuffles |windows|·256 rows, never user ids."""
+    e = catalog(spark, sf_dir)["events"]
+    w = F.expr(f"(unix_micros(ts) div {SLIDE_HOUR_US}) * {SLIDE_HOUR_US}")
+    base = e.select(w.alias("__w"), "user_id")
+    regs = sketches.hll_registers_by(base, "user_id", ["__w"], salt="swin")
+    offs = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("__o")
+    slid = regs.select("__w", "bucket", "rho", offs).select(
+        (F.col("__w") - F.col("__o") * F.lit(SLIDE_HOUR_US)).alias("win_start_us"),
+        "bucket",
+        "rho",
+    )
+    merged = slid.groupBy("win_start_us", "bucket").agg(F.max("rho").alias("rho"))
+    est = sketches.hll_estimates_by(merged, ["win_start_us"])
+    ex = (
+        base.distinct()
+        .select("__w", "user_id", offs)
+        .select(
+            (F.col("__w") - F.col("__o") * F.lit(SLIDE_HOUR_US)).alias("win_start_us"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("win_start_us")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    return est.join(ex, "win_start_us").select(
+        "win_start_us",
+        "harmonic_scaled",
+        "estimate",
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        F.floor(
+            F.lit(1e6) * F.abs(F.col("estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+        ).cast("bigint").alias("err_ppm"),
+    )
+
+
 def q9_profit_nation(spark, sf_dir):
     """TPC-H Q9 shape: product-line profit by supplier nation and order
     year — a part-name LIKE filter broadcast into the fact, a
@@ -5158,6 +5205,36 @@ FROM d
         f"CAST(floor({_dlit(sketches.HLL_ALPHA)} * {_dlit(_M)} * {_dlit(_M)}"
         f" * {_dlit(1 << sketches.HLL_SCALE_POW)} / hs) AS BIGINT)"
     )
+    _P50 = 1 << sketches.HLL_SCALE_POW
+    o["events_sliding_distinct"] = _q(f"""
+        WITH b AS (SELECT (epoch_us(ts) // {SLIDE_HOUR_US}) * {SLIDE_HOUR_US} AS w,
+                          user_id
+                   FROM events WHERE user_id IS NOT NULL),
+        hh AS (SELECT w, {_hash64_sql("'swin:' || CAST(user_id AS VARCHAR)")} AS h FROM b),
+        rb AS (SELECT w, h % {_M} AS bucket, (h // {_M}) % {1 << 32} AS sfx FROM hh),
+        r AS (SELECT w, bucket, max({_rho}) AS rho FROM rb GROUP BY 1, 2),
+        offs AS (SELECT unnest([0, 1, 2]) AS o),
+        sl AS (SELECT w - o * {SLIDE_HOUR_US} AS win_start_us, bucket, rho
+               FROM r CROSS JOIN offs),
+        m AS (SELECT win_start_us, bucket, max(rho) AS rho FROM sl GROUP BY 1, 2),
+        g AS (SELECT win_start_us,
+                     CAST(sum(CAST(1 AS BIGINT) << ({sketches.HLL_SCALE_POW} - rho))
+                          AS BIGINT)
+                     + ({_M} - count(*)) * CAST({_P50} AS BIGINT) AS hs
+              FROM m GROUP BY 1),
+        est AS (SELECT win_start_us, hs, {_est_sql} AS estimate FROM g),
+        exd AS (SELECT win_start_us, count(*) AS nd FROM (
+                  SELECT DISTINCT w - o * {SLIDE_HOUR_US} AS win_start_us, user_id
+                  FROM (SELECT DISTINCT w, user_id FROM b) CROSS JOIN offs)
+                GROUP BY 1)
+        SELECT est.win_start_us,
+               hs AS harmonic_scaled,
+               estimate,
+               CAST(nd AS BIGINT) AS exact_distinct,
+               CAST(floor(1e6 * abs(estimate - nd) / nd) AS BIGINT) AS err_ppm
+        FROM est JOIN exd ON exd.win_start_us = est.win_start_us
+    """)
+
     o["sketch_quantile"] = _q("""
         WITH q AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS q FROM orders),
         st AS (SELECT min(q) AS lo, max(q) AS hi, count(*) AS n,
@@ -5687,6 +5764,7 @@ def _all_queries():
         "customer_streaks": customer_streaks,
         "sample_bottomk": sample_bottomk,
         "sketch_hll_union": sketch_hll_union,
+        "events_sliding_distinct": events_sliding_distinct,
         "minhash_est": minhash_est,
         "events_anomaly": events_anomaly,
         "nation_pareto": nation_pareto,

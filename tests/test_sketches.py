@@ -132,3 +132,28 @@ def test_hist_quantile_merge_and_accuracy(spark):
     bucket_w = (hi - lo + 1) // S.HIST_BUCKETS + 1
     assert abs(est[50] - 100050) <= bucket_w   # exact p50 ≈ $1000.50
     assert abs(est[90] - 180050) <= bucket_w
+
+
+def test_grouped_hll_matches_single_sketch(spark):
+    """The grouped register/estimate path must agree exactly with the
+    single-sketch dense-dimension path on each group, and merged groups
+    must equal the sketch of the union (the sliding-window contract)."""
+    from pyspark.sql import functions as F
+
+    from slice_db_spark.operators import sketches as S
+
+    df = spark.createDataFrame(
+        [(g, f"u{g}_{i % (40 * (g + 1))}") for g in range(2) for i in range(400)],
+        "g int, uid string",
+    )
+    by_group = {r["g"]: r["estimate"] for r in
+                S.hll_estimates_by(S.hll_registers_by(df, "uid", ["g"]), ["g"]).collect()}
+    for g in range(2):
+        single = S.hll_estimate(df.where(F.col("g") == g), "uid").first()["estimate"]
+        assert by_group[g] == single, g
+    # merge across groups == sketch of the union
+    regs = S.hll_registers_by(df, "uid", ["g"]).drop("g") \
+        .groupBy("bucket").agg(F.max("rho").alias("rho"))
+    merged_est = S.hll_estimates_by(regs.withColumn("k", F.lit(1)), ["k"]).first()["estimate"]
+    union_est = S.hll_estimate(df, "uid").first()["estimate"]
+    assert merged_est == union_est
