@@ -68,6 +68,7 @@ HEADLINE = [
     "customer_set_ops",
     "customer_streaks",
     "revenue_rollup",
+    "rollup_delta",
     "status_pivot",
     "window_top_orders",
     "events_moving_avg",
@@ -129,6 +130,7 @@ HEADLINE = [
     "feature_hash",
     "corpus_datasheet",
     "sample_bottomk",
+    "weighted_sample",
     "bm25_rank",
     "html_extract",
     "pii_scrub",

@@ -1329,6 +1329,67 @@ def rp_project(spark, sf_dir):
     )
 
 
+WSAMPLE_K = 200
+
+
+def weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (priority
+    sampling, Duffield et al. — public): each document gets priority
+    ``(weight · 2³⁰) div (hash(id) mod 2³⁰ + 1)`` — the integer analog
+    of w/u — and the global top-k by priority is the sample, so
+    inclusion probability scales with weight (here: document length, the
+    token-budget-proportional choice) yet every run and every engine
+    picks the IDENTICAL set.  No transcendentals (the classic
+    u^(1/w) exponential keys need log), no RNG state.  Scale: a pure
+    per-row map + TakeOrdered top-k — no full sort."""
+    from ..operators.hashing import hash64
+
+    d = catalog(spark, sf_dir)["documents"]
+    u = hash64(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))) % F.lit(1 << 30)
+    pri = F.expr(f"(n_chars * {1 << 30}) div (__u + 1)")
+    ranked = (
+        d.select("doc_id", "n_chars", u.alias("__u"))
+        .select("doc_id", "n_chars", pri.alias("priority"))
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(WSAMPLE_K)
+    )
+    return ranked.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"),
+                         F.col("priority").cast("bigint").alias("priority"))
+
+
+def rollup_delta(spark, sf_dir):
+    """Incremental view maintenance gated against full recompute: the
+    per-(priority, status) revenue aggregate is maintained as BASE state
+    (orders with o_orderkey % 10 != 0) plus a DELTA batch (the rest),
+    merged by re-aggregating partial (sum, count) pairs — the additive
+    merge every distributive aggregate supports.  The ORACLE is the
+    straight full aggregate over all orders, so the gate proves
+    incremental == recompute bit-for-bit (sums stay DECIMAL-exact).  At
+    100 TB this is the only affordable shape: the delta is mini-batch
+    sized and the merge touches |groups| rows, never the base fact."""
+    o = catalog(spark, sf_dir)["orders"]
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+
+    def part(df):
+        return df.groupBy("o_orderpriority", "o_orderstatus").agg(
+            F.sum(dec("o_totalprice")).alias("__s"), F.count(F.lit(1)).alias("__n")
+        )
+
+    base = part(o.where("o_orderkey % 10 != 0"))
+    delta = part(o.where("o_orderkey % 10 = 0"))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.sum("__s").alias("__s"), F.sum("__n").alias("__n"))
+    )
+    return merged.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.round(F.col("__s"), 2).cast("double").alias("revenue"),
+        F.col("__n").cast("bigint").alias("n_orders"),
+    )
+
+
 def doc_triangles(spark, sf_dir):
     """Triangle participation + local clustering coefficient over the
     0.5-threshold Jaccard pair graph — clique-like duplicate families
@@ -4168,6 +4229,24 @@ SELECT vec_id, CAST(dim AS BIGINT) AS dim, CAST(sum(x * wt) AS BIGINT) AS proj_f
 FROM base JOIN w USING (i) GROUP BY vec_id, dim
 """
 
+    o["weighted_sample"] = f"""
+WITH u AS (SELECT doc_id, n_chars,
+                  {_hash64_sql("'ws:' || CAST(doc_id AS VARCHAR)")} % {1 << 30} AS u
+           FROM documents),
+p AS (SELECT doc_id, n_chars, (n_chars * {1 << 30}) // (u + 1) AS priority FROM u)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(priority AS BIGINT) AS priority
+FROM p ORDER BY priority DESC, doc_id LIMIT {WSAMPLE_K}
+"""
+
+    # incremental == recompute: the oracle is the STRAIGHT full aggregate
+    o["rollup_delta"] = _q("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS revenue,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1, 2
+    """)
+
     o["doc_triangles"] = f"""
 WITH {_jaccard_pairs_cte(0.5, JACCARD_MAX_DF)},
 tri AS (
@@ -5763,6 +5842,8 @@ def _all_queries():
         "q9_profit_nation": q9_profit_nation,
         "customer_streaks": customer_streaks,
         "sample_bottomk": sample_bottomk,
+        "weighted_sample": weighted_sample,
+        "rollup_delta": rollup_delta,
         "sketch_hll_union": sketch_hll_union,
         "events_sliding_distinct": events_sliding_distinct,
         "minhash_est": minhash_est,

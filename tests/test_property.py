@@ -386,3 +386,26 @@ def test_price_qty_corr_exact_moments(spark):
         del Q._CATALOGS["__corr_test__"]
     assert got["P"]["corr"] == 1.0 and got["P"]["slope_cents"] == 3.0
     assert got["N"]["corr"] == -1.0 and got["N"]["slope_cents"] == -2.0
+
+
+def test_weighted_sample_inclusion_scales_with_weight(spark):
+    """Priority sampling property: with heavy (10x) and light weights in
+    one pool, the top-k sample must include heavy items at a far higher
+    rate; determinism: two runs produce the identical set."""
+    import slice_db_spark.plans.queries as Q
+    from slice_db_spark.plans.queries import weighted_sample
+
+    rows = [(i, "x", 5000 if i % 10 == 0 else 500) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, n_chars bigint")
+    Q._CATALOGS["__ws__"] = {"documents": df}
+    try:
+        s1 = {r["doc_id"] for r in weighted_sample(spark, "__ws__").collect()}
+        s2 = {r["doc_id"] for r in weighted_sample(spark, "__ws__").collect()}
+    finally:
+        del Q._CATALOGS["__ws__"]
+    assert s1 == s2 and len(s1) == 200
+    heavy = {i for i in range(2000) if i % 10 == 0}          # 200 of 2000
+    heavy_rate = len(s1 & heavy) / len(heavy)                 # of 200 heavy
+    light_rate = len(s1 - heavy) / 1800
+    assert heavy_rate > 4 * light_rate
+    assert heavy_rate > 0.5
