@@ -101,6 +101,7 @@ HEADLINE = [
     "contrastive_negs",
     "doc_pagerank",
     "doc_triangles",
+    "doc_hops",
     "sketch_hll",
     "sketch_cms",
     "sketch_quantile",

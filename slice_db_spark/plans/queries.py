@@ -1399,6 +1399,40 @@ def doc_triangles(spark, sf_dir):
     return dedup.triangle_counts(_jaccard_pairs_05(spark, sf_dir))
 
 
+DOC_HOPS_ROUNDS = 3
+
+
+def doc_hops(spark, sf_dir):
+    """Bounded-round BFS distance labeling over the 0.5-Jaccard pair
+    graph from a seed set (doc_id < 10): hop 0 = seeds, hop k = first
+    reached in round k — duplicate-family blast-radius analysis (how far
+    does contamination propagate through near-dup chains?).  Fourth
+    consumer of the memoized pair graph.  Each round is one join +
+    min-aggregate over the frontier; rounds are FIXED (the oracle
+    unrolls them as CTEs, the pagerank pattern), and unreached docs
+    don't appear — no unbounded iteration, no driver loop."""
+    pairs = _jaccard_pairs_05(spark, sf_dir)
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    e = e.localCheckpoint(eager=True)
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    dist = nodes.where(F.col("node") < 10).select(
+        "node", F.lit(0).cast("bigint").alias("hop")
+    )
+    for k in range(1, DOC_HOPS_ROUNDS + 1):
+        reached = (
+            e.join(dist.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), F.lit(k).cast("bigint").alias("hop"))
+        )
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+        )
+    return dist
+
+
 def sketch_hll(spark, sf_dir):
     """From-scratch deterministic HyperLogLog distinct-count of order
     customers, WITH its own correctness gate: the oracle reproduces every
@@ -4229,6 +4263,24 @@ SELECT vec_id, CAST(dim AS BIGINT) AS dim, CAST(sum(x * wt) AS BIGINT) AS proj_f
 FROM base JOIN w USING (i) GROUP BY vec_id, dim
 """
 
+    _hops_rounds = "".join(
+        f""",
+r{k} AS (SELECT node, min(hop) AS hop FROM (
+  SELECT node, hop FROM r{k - 1}
+  UNION ALL
+  SELECT e.dst AS node, CAST({k} AS BIGINT) AS hop
+  FROM e JOIN r{k - 1} ON e.src = r{k - 1}.node) GROUP BY node)"""
+        for k in range(1, DOC_HOPS_ROUNDS + 1)
+    )
+    o["doc_hops"] = f"""
+WITH {_jaccard_pairs_cte(0.5, JACCARD_MAX_DF)},
+e AS (SELECT id_a AS src, id_b AS dst FROM jp
+      UNION ALL SELECT id_b, id_a FROM jp),
+r0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS hop FROM e WHERE src < 10)
+{_hops_rounds}
+SELECT node, CAST(hop AS BIGINT) AS hop FROM r{DOC_HOPS_ROUNDS}
+"""
+
     o["weighted_sample"] = f"""
 WITH u AS (SELECT doc_id, n_chars,
                   {_hash64_sql("'ws:' || CAST(doc_id AS VARCHAR)")} % {1 << 30} AS u
@@ -5834,6 +5886,7 @@ def _all_queries():
         "contrastive_negs": contrastive_negs,
         "doc_pagerank": doc_pagerank,
         "doc_triangles": doc_triangles,
+        "doc_hops": doc_hops,
         "rp_project": rp_project,
         "sketch_hll": sketch_hll,
         "sketch_cms": sketch_cms,

@@ -470,3 +470,25 @@ def test_fuzzy_pairs_catches_typos_jaccard_misses(spark):
     jac = {(r.id_a, r.id_b) for r in
            D.ngram_jaccard_pairs(df.where("doc_id <= 3"), threshold=0.8).collect()}
     assert (1, 2) not in jac  # the blind spot fuzzy matching covers
+
+
+def test_doc_hops_bfs_distances_on_crafted_graph(spark):
+    """Crafted path + branch: seeds at hop 0, chain nodes at their true
+    BFS distance, nodes beyond the round bound absent, min-distance wins
+    when two seeds compete."""
+    import slice_db_spark.plans.queries as Q
+
+    # seeds: 1, 5.  chain 1-20-21-22-23 (23 is 4 hops: beyond bound 3);
+    # 30 adjacent to BOTH 1 and 5 → hop 1; 5-40-20: 20 reachable in 2
+    # via 5 but 1 via 1 → min wins
+    pairs = [(1, 20), (20, 21), (21, 22), (22, 23), (1, 30), (5, 30), (5, 40), (40, 20)]
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    Q._JP05_PAIRS["__hops__"] = df
+    try:
+        got = {r["node"]: r["hop"] for r in Q.doc_hops(spark, "__hops__").collect()}
+    finally:
+        del Q._JP05_PAIRS["__hops__"]
+    assert got[1] == 0 and got[5] == 0
+    assert got[30] == 1 and got[20] == 1 and got[40] == 1
+    assert got[21] == 2 and got[22] == 3
+    assert 23 not in got  # beyond the 3-round bound
