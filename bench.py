@@ -77,6 +77,7 @@ HEADLINE = [
     "events_asof",
     "events_range_join",
     "events_retention",
+    "sessions_promo_overlap",
     "events_transitions",
     "events_paths",
     "events_anomaly",

@@ -427,3 +427,47 @@ def cohort_value(
         "rev_micro",
         F.sum("rev_micro").over(w).alias("ltv_micro"),
     )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: tuple = ("start_us", "end_us"),
+    right_cols: tuple = ("start_us", "end_us"),
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Interval-OVERLAP join (closed intervals: ``max(starts) ≤
+    min(ends)``) via bucket decomposition — the interval×interval
+    sibling of :func:`range_pairs`' point-in-interval join.  Each
+    interval explodes to the time buckets it covers, candidates pair on
+    a shared bucket (a hash EQUI-join — never an inequality join, which
+    Spark would execute as a nested-loop product), the exact predicate
+    filters, and duplicates from multi-bucket overlaps drop.
+
+    Candidate volume per bucket = |left∩bucket|·|right∩bucket|, so
+    ``bucket_us`` should sit near the typical interval length (the same
+    tuning rule as range_pairs).  Returns all left columns + all right
+    columns + ``overlap_us``."""
+    ls, le = left_cols
+    rs, re_ = right_cols
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(f"overlap_join: rename clashing columns first: {sorted(clash)}")
+    lb = left.withColumn(
+        "__bkt", F.explode(F.expr(f"sequence({ls} div {bucket_us}, {le} div {bucket_us})"))
+    )
+    rb = right.withColumn(
+        "__bkt", F.explode(F.expr(f"sequence({rs} div {bucket_us}, {re_} div {bucket_us})"))
+    )
+    joined = (
+        lb.join(rb, "__bkt")
+        .where(
+            F.greatest(F.col(ls), F.col(rs)) <= F.least(F.col(le), F.col(re_))
+        )
+        .drop("__bkt")
+        .dropDuplicates(left.columns + right.columns)
+    )
+    return joined.withColumn(
+        "overlap_us",
+        (F.least(F.col(le), F.col(re_)) - F.greatest(F.col(ls), F.col(rs))).cast("bigint"),
+    )

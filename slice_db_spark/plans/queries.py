@@ -1433,6 +1433,42 @@ def doc_hops(spark, sf_dir):
     return dist
 
 
+PROMO_N = 10
+PROMO_EVERY_US = 3 * 86_400_000_000
+PROMO_LEN_US = 12 * 3_600_000_000
+
+
+def sessions_promo_overlap(spark, sf_dir):
+    """Interval×interval OVERLAP join (sessions vs promo windows) via
+    bucket decomposition — the missing sibling of the point-in-interval
+    range join: both sides explode to day buckets, candidates pair on a
+    hash equi-join, the exact closed-interval predicate filters, and
+    multi-bucket duplicates drop.  Promo windows are generated from the
+    corpus' own min timestamp (driver scalar → spark.range — a leaf
+    Range plan), so the query is self-contained and deterministic."""
+    from ..operators.events import overlap_join, sessionize
+
+    e = catalog(spark, sf_dir)["events"]
+    sessions = sessionize(e)
+    (t0,) = e.agg(F.min(F.unix_micros("ts"))).first()
+    promos = spark.range(PROMO_N).select(
+        F.col("id").cast("bigint").alias("promo_id"),
+        (F.lit(int(t0)) + F.col("id") * F.lit(PROMO_EVERY_US)).alias("promo_start_us"),
+        (F.lit(int(t0)) + F.col("id") * F.lit(PROMO_EVERY_US) + F.lit(PROMO_LEN_US)).alias(
+            "promo_end_us"
+        ),
+    )
+    j = overlap_join(
+        sessions.select("user_id", "session_id", "start_us", "end_us"),
+        promos,
+        left_cols=("start_us", "end_us"),
+        right_cols=("promo_start_us", "promo_end_us"),
+    )
+    return j.select(
+        "user_id", "session_id", "promo_id", "start_us", "end_us", "overlap_us"
+    )
+
+
 def sketch_hll(spark, sf_dir):
     """From-scratch deterministic HyperLogLog distinct-count of order
     customers, WITH its own correctness gate: the oracle reproduces every
@@ -3985,6 +4021,24 @@ def oracle_sql() -> dict[str, str]:
         FROM s GROUP BY user_id, session_id
     """)
 
+    # the overlap join's oracle: the sessionize oracle verbatim as a CTE
+    # (drift-proof composition) + a naive inequality join — fine for the
+    # ORACLE, which runs on oracle-scale data; the Spark side must use
+    # the bucket-decomposed equi-join instead
+    o["sessions_promo_overlap"] = f"""
+WITH sess AS ({o["events_sessionize"]}),
+t0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+promos AS (SELECT p AS promo_id,
+                  (SELECT t0 FROM t0) + p * {PROMO_EVERY_US} AS ps,
+                  (SELECT t0 FROM t0) + p * {PROMO_EVERY_US} + {PROMO_LEN_US} AS pe
+           FROM (SELECT unnest(range(0, {PROMO_N})) AS p))
+SELECT user_id, session_id, CAST(promo_id AS BIGINT) AS promo_id,
+       start_us, end_us,
+       CAST(least(end_us, pe) - greatest(start_us, ps) AS BIGINT) AS overlap_us
+FROM sess JOIN promos
+  ON greatest(start_us, ps) <= least(end_us, pe)
+"""
+
     # as-of via the same tagged-union running-last formulation the Spark
     # operator uses (DuckDB's native ASOF JOIN leaves equal-timestamp
     # tie-breaks unspecified; the window form pins them)
@@ -5935,6 +5989,7 @@ def _all_queries():
         "events_asof": events_asof,
         "events_range_join": events_range_join,
         "events_retention": events_retention,
+        "sessions_promo_overlap": sessions_promo_overlap,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "dedup_chunks": dedup_chunks,

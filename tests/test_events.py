@@ -336,3 +336,42 @@ def test_cohort_value_cells_and_ltv(spark):
     # user 2's cohort starts 2 weeks later with offset 0
     assert out[(c0 + 2, 0)].rev_micro == 1_000_000
     assert out[(c0 + 2, 0)].n_buyers == 1
+
+
+def test_overlap_join_bucket_decomposition_vs_brute(spark):
+    """Crafted intervals spanning bucket boundaries: the bucket-
+    decomposed equi-join must return exactly the brute-force overlap
+    set (closed intervals), with one row per overlapping pair no matter
+    how many buckets the pair shares, and correct overlap lengths."""
+    from slice_db_spark.operators.events import overlap_join
+
+    B = 100
+    left = spark.createDataFrame(
+        [(1, 10, 50), (2, 90, 210), (3, 250, 260), (4, 400, 400)],
+        "lid bigint, ls bigint, le bigint",
+    )
+    right = spark.createDataFrame(
+        [(10, 40, 95), (20, 200, 205), (30, 255, 255), (40, 300, 399)],
+        "rid bigint, rs bigint, re bigint",
+    )
+    got = {
+        (r["lid"], r["rid"]): r["overlap_us"]
+        for r in overlap_join(left, right, ("ls", "le"), ("rs", "re"), bucket_us=B).collect()
+    }
+    # brute force
+    lrows = [(1, 10, 50), (2, 90, 210), (3, 250, 260), (4, 400, 400)]
+    rrows = [(10, 40, 95), (20, 200, 205), (30, 255, 255), (40, 300, 399)]
+    want = {
+        (l[0], r[0]): min(l[2], r[2]) - max(l[1], r[1])
+        for l in lrows for r in rrows
+        if max(l[1], r[1]) <= min(l[2], r[2])
+    }
+    assert got == want
+    assert (2, 10) in got and got[(2, 20)] == 5 and got[(3, 30)] == 0
+    assert (4, 40) not in got  # adjacent-but-disjoint (399 < 400)
+
+    from pyspark.sql import functions as F  # clash guard
+    import pytest
+
+    with pytest.raises(ValueError):
+        overlap_join(left, left, ("ls", "le"), ("ls", "le"))
