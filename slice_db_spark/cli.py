@@ -655,6 +655,23 @@ def cmd_plan(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """BM25 lexical retrieval over a document corpus: top-k matches for
+    the query string, JSON lines of (doc_id, score_fx, n_terms, snippet)."""
+    from .operators.text import bm25_topk
+    from .session import get_spark
+    from .sources.corpus import read_corpus, split_corrupt
+
+    spark = get_spark("slicedb-search")
+    docs, _ = split_corrupt(read_corpus(spark, args.corpus, fmt=args.input_format))
+    hits = bm25_topk(docs, args.query, k=args.k)
+    snip = docs.selectExpr("doc_id", "substr(text, 1, 120) as snippet")
+    out = hits.join(snip, "doc_id").orderBy(hits["score_fx"].desc(), "doc_id")
+    for r in out.collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def cmd_sql(args) -> int:
     """Run arbitrary Spark SQL over the catalog: every parquet table in
     the data dir registers as a temp view, the query executes through
@@ -926,6 +943,13 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--mode", default="formatted",
                     choices=["simple", "extended", "formatted", "cost", "codegen"])
     pl.set_defaults(fn=cmd_plan)
+
+    se = sub.add_parser("search", help="BM25 lexical retrieval over a corpus")
+    se.add_argument("--input-format", choices=["jsonl", "csv", "parquet"], default="parquet")
+    se.add_argument("-k", type=int, default=10, help="number of hits")
+    se.add_argument("corpus", help="corpus path (documents shape)")
+    se.add_argument("query", help="query string (whitespace terms)")
+    se.set_defaults(fn=cmd_search)
 
     sq = sub.add_parser("sql", help="run arbitrary SQL over a parquet data dir")
     sq.add_argument("--data-dir", default="/root/testdata/sf0.01",

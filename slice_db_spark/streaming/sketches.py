@@ -88,3 +88,61 @@ def read_hist_quantiles(
     return hist_quantiles(
         spark, counts, lo_q, hi_q, int(n_total), probs_pct, n_buckets
     )
+
+
+def cms_stream_to_parquet(
+    values: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    salt: str = "cms",
+    available_now: bool = True,
+):
+    """Maintain a Count-Min frequency sketch over a stream: per micro-
+    batch the CMS cell table (cell-wise-sum mergeable, like the
+    histogram's buckets) lands under its own overwritten epoch dir.
+    The heavy-hitters question ("which values are hot RIGHT NOW, over
+    all time, without storing per-value counters") is answered at read
+    time from KB-per-epoch state."""
+    from ..operators.sketches import cms_cells
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        cms_cells(batch, value_col, salt=salt).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch_id={int(epoch_id)}")
+        )
+
+    writer = values.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cms_estimates(
+    spark: SparkSession, out_dir: str, keys: DataFrame, salt: str = "cms"
+) -> DataFrame:
+    """Frequency estimates for ``keys`` (one column ``key``) off the
+    merged epoch state: cell-wise sum across epochs, then the standard
+    min-over-depth-rows probe.  Exact-or-over, never under — the CMS
+    contract survives the merge because sums are associative."""
+    from ..operators.sketches import CMS_DEPTH, CMS_WIDTH
+    from ..operators.hashing import hash64
+
+    cells = (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)
+        .groupBy("row", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    probes = None
+    for j in range(CMS_DEPTH):
+        h = hash64(F.concat_ws(":", F.lit(salt), F.lit(str(j)), F.col("key").cast("string")))
+        p = keys.select(F.col("key"), F.lit(j).alias("row"), (h % CMS_WIDTH).alias("cell"))
+        probes = p if probes is None else probes.unionByName(p)
+    return (
+        probes.join(cells, ["row", "cell"], "left_outer")
+        .select("key", F.coalesce(F.col("cnt"), F.lit(0)).alias("__c"))
+        .groupBy("key")
+        .agg(F.min("__c").cast("bigint").alias("cms_estimate"))
+    )

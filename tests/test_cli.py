@@ -654,3 +654,17 @@ def test_sql_cli_runs_adhoc_query(tmp_path):
     plan = run_cli("sql", "--data-dir", SF_DIR, "--explain",
                    "SELECT count(*) FROM orders WHERE o_totalprice > 400000")
     assert "Physical Plan" in plan and "PushedFilters" in plan
+
+
+def test_search_cli_bm25_hits(tmp_path):
+    """BM25 search over the fixture corpus: hits come back scored
+    descending with snippets, and every hit contains a query term."""
+    out = run_cli(
+        "search", "--input-format", "parquet", "-k", "5",
+        os.path.join(SF_DIR, "documents.parquet"), "vector merge",
+    )
+    rows = [json.loads(line) for line in out.strip().splitlines()]
+    assert 0 < len(rows) <= 5
+    scores = [r["score_fx"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all("snippet" in r and r["n_terms"] >= 1 for r in rows)

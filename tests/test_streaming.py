@@ -466,3 +466,37 @@ def test_hist_stream_state_matches_batch_sketch(spark, events_batch, tmp_path_fa
     sq = {r["p_pct"]: r["est_cents"] for r in
           read_hist_quantiles(spark, str(out), int(lo), int(hi)).collect()}
     assert sq == bq and set(sq) == {50, 90, 99}
+
+
+def test_cms_stream_estimates_match_batch(spark, events_batch, tmp_path_factory):
+    """Streaming CMS maintenance: two incremental runs; read-side
+    estimates off the merged epochs must equal the batch CMS over all
+    rows, and every estimate must be >= the true count (the never-under
+    contract, preserved through the merge)."""
+    from slice_db_spark.operators.sketches import cms_estimates
+    from slice_db_spark.streaming.sketches import cms_stream_to_parquet, read_cms_estimates
+
+    vals = events_batch.selectExpr("event_type as value")
+    land = tmp_path_factory.mktemp("cms_land")
+    out = tmp_path_factory.mktemp("cms_out")
+    ck = tmp_path_factory.mktemp("cms_ck")
+    half = vals.limit(vals.count() // 2)
+    vals.exceptAll(half).coalesce(1).write.mode("overwrite").parquet(str(land / "b0"))
+
+    def run():
+        stream = spark.readStream.schema(vals.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(land) + "/*/")
+        cms_stream_to_parquet(stream, str(out), str(ck)).awaitTermination()
+
+    run()
+    half.coalesce(1).write.mode("overwrite").parquet(str(land / "b1"))
+    run()
+
+    keys = vals.selectExpr("value as key").distinct()
+    want = {r["key"]: r["cms_estimate"] for r in cms_estimates(vals, "value", keys).collect()}
+    got = {r["key"]: r["cms_estimate"] for r in read_cms_estimates(spark, str(out), keys).collect()}
+    assert got == want
+    true = {r["value"]: r["cnt"] for r in
+            vals.groupBy("value").count().withColumnRenamed("count", "cnt").collect()}
+    assert all(got[k] >= true[k] for k in true)
