@@ -69,9 +69,12 @@ HEADLINE = [
     "customer_streaks",
     "revenue_rollup",
     "rollup_delta",
+    "status_cube",
     "status_pivot",
     "window_top_orders",
     "events_moving_avg",
+    "events_twa",
+    "events_ohlc",
     "stream_dedup",
     "events_bucket_agg",
     "events_asof",

@@ -1648,6 +1648,104 @@ def events_sliding_distinct(spark, sf_dir):
     )
 
 
+def status_cube(spark, sf_dir):
+    """CUBE(status, priority): all four grouping combinations in ONE
+    partial-aggregating grouping-sets expansion — the cross-tab analog
+    of revenue_rollup's hierarchy (ROLLUP emits 3 of the 4; CUBE adds
+    the per-priority margin)."""
+    o = catalog(spark, sf_dir)["orders"]
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(dec("o_totalprice")).alias("_rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("gid").cast("bigint").alias("gid"),
+        )
+    )
+
+
+def events_twa(spark, sf_dir):
+    """Time-weighted average of the event value per user — the
+    hypertable/timeseries statistic where plain avg() lies (irregular
+    sampling: a value that HELD for an hour must weigh more than one
+    that held a second).  Each value holds until the user's next event
+    (lead window); weights are exact µs integers, values fix to ×1e6
+    ints, and the single division of two exact int64 sums happens once
+    per user — bit-identical cross-engine.  One window pass + one
+    groupBy, both keyed by user."""
+    from pyspark.sql import Window
+
+    e = catalog(spark, sf_dir)["events"]
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    t = e.select(
+        "user_id", "event_id", us.alias("__us"),
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("__vfx"),
+    ).withColumn("__hold", F.lead("__us").over(w) - F.col("__us"))
+    held = t.where(F.col("__hold").isNotNull())
+    # vfx·hold reaches ~1e21 for day-long holds — product and sum go
+    # through DECIMAL (the oracle's hugeint), only the final division
+    # drops to double over the two exact sums
+    g = held.groupBy("user_id").agg(
+        F.sum((F.col("__vfx").cast("decimal(20,0)") * F.col("__hold")).cast("decimal(38,0)"))
+        .alias("__wsum"),
+        F.sum("__hold").alias("__tspan"),
+        F.count(F.lit(1)).alias("n_held"),
+    )
+    return g.select(
+        "user_id",
+        F.col("n_held").cast("bigint").alias("n_held"),
+        F.col("__tspan").cast("bigint").alias("span_us"),
+        F.floor(F.col("__wsum").cast("double") / F.col("__tspan").cast("double"))
+        .cast("bigint").alias("twa_fx"),
+    )
+
+
+def events_ohlc(spark, sf_dir):
+    """OHLC (candlestick) bars: per day, the first/last/min/max event
+    value with struct-ordered deterministic open/close (min/max over
+    (ts, event_id, value) structs — field-order comparison pins ties
+    exactly, where arg_min/max semantics differ across engines).  One
+    partial-aggregated groupBy; values fix to ×1e6 ints."""
+    DAY_US = 86_400_000_000
+    e = catalog(spark, sf_dir)["events"]
+    day = F.expr(f"(unix_micros(ts) div {DAY_US}) * {DAY_US}")
+    vfx = F.round(F.col("value") * 1_000_000).cast("bigint")
+    t = e.select(
+        day.alias("day_us"),
+        F.unix_micros("ts").alias("__us"),
+        F.col("event_id").alias("__eid"),
+        vfx.alias("__vfx"),
+    )
+    s = F.struct("__us", "__eid", "__vfx")
+    return (
+        t.groupBy("day_us")
+        .agg(
+            F.min(s).alias("__first"),
+            F.max(s).alias("__last"),
+            F.min("__vfx").alias("low_fx"),
+            F.max("__vfx").alias("high_fx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "day_us",
+            F.col("__first.__vfx").alias("open_fx"),
+            F.col("high_fx"),
+            F.col("low_fx"),
+            F.col("__last.__vfx").alias("close_fx"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+
+
 def q9_profit_nation(spark, sf_dir):
     """TPC-H Q9 shape: product-line profit by supplier nation and order
     year — a part-name LIKE filter broadcast into the fact, a
@@ -3503,6 +3601,51 @@ def oracle_sql() -> dict[str, str]:
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY ROLLUP(n_name, o_orderpriority)
+    """)
+
+    o["status_cube"] = _q("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS revenue,
+               count(*) AS n_orders,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """)
+
+    o["events_twa"] = _q("""
+        WITH t AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CAST(round(value * 1e6) AS BIGINT) AS vfx,
+                 lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY epoch_us(ts), event_id)
+                   - epoch_us(ts) AS hold
+          FROM events),
+        h AS (SELECT * FROM t WHERE hold IS NOT NULL)
+        SELECT user_id,
+               count(*) AS n_held,
+               CAST(sum(hold) AS BIGINT) AS span_us,
+               CAST(floor(CAST(sum(CAST(vfx AS HUGEINT) * hold) AS DOUBLE)
+                          / CAST(sum(hold) AS DOUBLE)) AS BIGINT) AS twa_fx
+        FROM h GROUP BY user_id
+    """)
+
+    o["events_ohlc"] = _q("""
+        WITH t AS (
+          SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+                 epoch_us(ts) AS us, event_id,
+                 CAST(round(value * 1e6) AS BIGINT) AS vfx
+          FROM events),
+        o_ AS (SELECT day_us, vfx AS open_fx FROM t
+               QUALIFY row_number() OVER (PARTITION BY day_us ORDER BY us, event_id) = 1),
+        c_ AS (SELECT day_us, vfx AS close_fx FROM t
+               QUALIFY row_number() OVER (PARTITION BY day_us ORDER BY us DESC, event_id DESC) = 1),
+        g AS (SELECT day_us, min(vfx) AS low_fx, max(vfx) AS high_fx,
+                     count(*) AS n_events
+              FROM t GROUP BY day_us)
+        SELECT g.day_us, open_fx, high_fx, low_fx, close_fx, n_events
+        FROM g JOIN o_ ON o_.day_us = g.day_us JOIN c_ ON c_.day_us = g.day_us
     """)
 
     o["status_pivot"] = _q("""
@@ -5969,7 +6112,10 @@ def _all_queries():
         "customer_set_ops": customer_set_ops,
         "customer_scd2": customer_scd2,
         "revenue_rollup": revenue_rollup,
+        "status_cube": status_cube,
         "status_pivot": status_pivot,
+        "events_twa": events_twa,
+        "events_ohlc": events_ohlc,
         "orders_upsert": orders_upsert,
         "zorder_layout": zorder_layout,
         "salted_join_revenue": salted_join_revenue,

@@ -375,3 +375,61 @@ def test_overlap_join_bucket_decomposition_vs_brute(spark):
 
     with pytest.raises(ValueError):
         overlap_join(left, left, ("ls", "le"), ("ls", "le"))
+
+
+def test_events_twa_holds_weight_values(spark):
+    """Hand-computed TWA: value 10 held 9s then value 0 held 1s → TWA 9,
+    not the naive avg 5 (naive avg is exactly the lie TWA fixes); a
+    user's final event (no hold) contributes nothing."""
+    import datetime
+
+    import slice_db_spark.plans.queries as Q
+
+    t0 = datetime.datetime(2024, 1, 1)
+    mk = lambda s: t0 + datetime.timedelta(seconds=s)
+    rows = [
+        (1, mk(0), 7, "view", 10.0, "{}"),
+        (2, mk(9), 7, "view", 0.0, "{}"),
+        (3, mk(10), 7, "view", 99.0, "{}"),  # last event: no hold
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    Q._CATALOGS["__twa__"] = {"events": df}
+    try:
+        got = {r["user_id"]: r for r in Q.events_twa(spark, "__twa__").collect()}
+    finally:
+        del Q._CATALOGS["__twa__"]
+    r = got[7]
+    assert r["n_held"] == 2 and r["span_us"] == 10_000_000
+    assert r["twa_fx"] == 9_000_000  # 9.0 in x1e6 fixed point
+
+
+def test_events_ohlc_struct_ordered_open_close(spark):
+    """Open/close come from timestamp order (event_id tie-break), not
+    value order: first value 5, last value 1, with high 9 / low 0 in
+    between."""
+    import datetime
+
+    import slice_db_spark.plans.queries as Q
+
+    t0 = datetime.datetime(2024, 3, 1)
+    mk = lambda s: t0 + datetime.timedelta(seconds=s)
+    rows = [
+        (10, mk(10), 1, "t", 5.0, "{}"),
+        (11, mk(20), 1, "t", 9.0, "{}"),
+        (12, mk(30), 1, "t", 0.0, "{}"),
+        (13, mk(40), 1, "t", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    Q._CATALOGS["__ohlc__"] = {"events": df}
+    try:
+        (r,) = Q.events_ohlc(spark, "__ohlc__").collect()
+    finally:
+        del Q._CATALOGS["__ohlc__"]
+    assert (r["open_fx"], r["high_fx"], r["low_fx"], r["close_fx"]) == (
+        5_000_000, 9_000_000, 0, 1_000_000,
+    )
+    assert r["n_events"] == 4
