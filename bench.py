@@ -109,6 +109,7 @@ HEADLINE = [
     "sketch_hll",
     "sketch_cms",
     "sketch_quantile",
+    "join_size_est",
     "sketch_hll_union",
     "events_sliding_distinct",
     "bloom_decontam",

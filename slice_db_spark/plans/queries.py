@@ -1648,6 +1648,63 @@ def events_sliding_distinct(spark, sf_dir):
     )
 
 
+def join_size_est(spark, sf_dir):
+    """Join-cardinality estimation from Count-Min sketches — the classic
+    planner aid: |A ⋈ B| on a key is the inner product of the two
+    frequency vectors.  The raw sketched inner product carries a
+    ``Σa·Σb/width`` collision term that swamps the signal when distinct
+    keys ≫ width, so each depth row applies the AMS bias correction
+    ``(ip·W − Σa·Σb) div (W−1)`` — exact integers — and the MEDIAN of
+    the corrected rows is the estimate (min would re-bias a corrected,
+    sign-symmetric error).  Self-evaluating: the exact join size (a
+    per-key count join the planner can't afford at 100 TB) rides along
+    with err_ppm.  The sketch path touches only two KB-sized cell
+    tables + two row counts — shuffle sizing BEFORE paying for it."""
+    c = catalog(spark, sf_dir)
+    W = sketches.CMS_WIDTH
+    na = c["orders"].count()
+    nb = c["lineitem"].count()
+    a = sketches.cms_cells(c["orders"].select("o_orderkey"), "o_orderkey", salt="jsz")
+    b = sketches.cms_cells(c["lineitem"].select("l_orderkey"), "l_orderkey", salt="jsz")
+    prod = (
+        a.withColumnRenamed("cnt", "__ca")
+        .join(b.withColumnRenamed("cnt", "__cb"), ["row", "cell"])
+        .groupBy("row")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
+        .select(F.expr(f"(__ip * {W} - {na}L * {nb}L) div {W - 1}").alias("__corr"))
+        .agg(F.sort_array(F.collect_list("__corr")).alias("__cs"))
+        .select(
+            F.expr("(element_at(__cs, 2) + element_at(__cs, 3)) div 2").alias(
+                "est_join_rows"
+            )
+        )
+    )
+    ka = c["orders"].groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("__na"))
+    kb = c["lineitem"].groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("__nb"))
+    exact = (
+        ka.join(kb, F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.sum(F.col("__na") * F.col("__nb")).alias("exact_join_rows"))
+    )
+    # two 1-row frames: tagged union + conditional agg (a literal-key
+    # join would constant-fold to a nested-loop product — plan lint)
+    both = prod.select(F.lit("e").alias("__t"), F.col("est_join_rows").alias("__v")).unionByName(
+        exact.select(F.lit("x").alias("__t"), F.col("exact_join_rows").alias("__v"))
+    )
+    g = both.agg(
+        F.max(F.when(F.col("__t") == "e", F.col("__v"))).alias("est_join_rows"),
+        F.max(F.when(F.col("__t") == "x", F.col("__v"))).alias("exact_join_rows"),
+    )
+    return g.select(
+        F.col("est_join_rows").cast("bigint").alias("est_join_rows"),
+        F.col("exact_join_rows").cast("bigint").alias("exact_join_rows"),
+        F.floor(
+            F.lit(1e6)
+            * F.abs(F.col("est_join_rows") - F.col("exact_join_rows"))
+            / F.col("exact_join_rows")
+        ).cast("bigint").alias("err_ppm"),
+    )
+
+
 def status_cube(spark, sf_dir):
     """CUBE(status, priority): all four grouping combinations in ONE
     partial-aggregating grouping-sets expansion — the cross-tab analog
@@ -5707,6 +5764,45 @@ FROM m
         FROM topk t JOIN est ON est.key = t.l_suppkey
     """)
 
+    _jsz_a = " UNION ALL ".join(
+        "SELECT {j} AS rw, {h} % {w} AS cell, CAST(sum(n) AS BIGINT) AS cnt"
+        " FROM oa GROUP BY 1, 2".format(
+            j=j, w=_W, h=_hash64_sql("'jsz:%d:' || v" % j)
+        )
+        for j in range(sketches.CMS_DEPTH)
+    )
+    _jsz_b = " UNION ALL ".join(
+        "SELECT {j} AS rw, {h} % {w} AS cell, CAST(sum(n) AS BIGINT) AS cnt"
+        " FROM ob GROUP BY 1, 2".format(
+            j=j, w=_W, h=_hash64_sql("'jsz:%d:' || v" % j)
+        )
+        for j in range(sketches.CMS_DEPTH)
+    )
+    o["join_size_est"] = _q(f"""
+        WITH oa AS (SELECT CAST(o_orderkey AS VARCHAR) AS v, o_orderkey AS k,
+                           count(*) AS n FROM orders GROUP BY 1, 2),
+        ob AS (SELECT CAST(l_orderkey AS VARCHAR) AS v, l_orderkey AS k,
+                      count(*) AS n FROM lineitem GROUP BY 1, 2),
+        ca AS ({_jsz_a}),
+        cb AS ({_jsz_b}),
+        tot AS (SELECT (SELECT sum(n) FROM oa) AS na, (SELECT sum(n) FROM ob) AS nb),
+        ip AS (SELECT ca.rw, sum(ca.cnt * cb.cnt) AS ip
+               FROM ca JOIN cb ON ca.rw = cb.rw AND ca.cell = cb.cell
+               GROUP BY 1),
+        corr AS (SELECT (ip * {sketches.CMS_WIDTH}
+                         - (SELECT na FROM tot) * (SELECT nb FROM tot))
+                        // {sketches.CMS_WIDTH - 1} AS c
+                 FROM ip),
+        med AS (SELECT list_sort(list(c)) AS cs FROM corr),
+        est AS (SELECT CAST((cs[2] + cs[3]) // 2 AS BIGINT) AS est_join_rows FROM med),
+        ex AS (SELECT CAST(sum(oa.n * ob.n) AS BIGINT) AS exact_join_rows
+               FROM oa JOIN ob ON oa.k = ob.k)
+        SELECT est_join_rows, exact_join_rows,
+               CAST(floor(1e6 * abs(est_join_rows - exact_join_rows)
+                          / exact_join_rows) AS BIGINT) AS err_ppm
+        FROM est CROSS JOIN ex
+    """)
+
     o["events_anomaly"] = _q("""
         WITH b AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS win_start_s,
                           event_type, count(*) AS n
@@ -6088,6 +6184,7 @@ def _all_queries():
         "sketch_hll": sketch_hll,
         "sketch_cms": sketch_cms,
         "sketch_quantile": sketch_quantile,
+        "join_size_est": join_size_est,
         "bloom_decontam": bloom_decontam,
         "q9_profit_nation": q9_profit_nation,
         "customer_streaks": customer_streaks,

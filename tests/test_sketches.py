@@ -157,3 +157,23 @@ def test_grouped_hll_matches_single_sketch(spark):
     merged_est = S.hll_estimates_by(regs.withColumn("k", F.lit(1)), ["k"]).first()["estimate"]
     union_est = S.hll_estimate(df, "uid").first()["estimate"]
     assert merged_est == union_est
+
+
+def test_join_size_est_tracks_hot_key(spark):
+    """A join dominated by one hot key (1000 x 500 rows): the corrected
+    CMS inner-product estimate must land within 20% of the exact
+    500k-row join size — heavy components are exactly what the sketch
+    preserves."""
+    import slice_db_spark.plans.queries as Q
+
+    a_rows = [(7,)] * 1000 + [(i,) for i in range(100, 600)]
+    b_rows = [(7,)] * 500 + [(i,) for i in range(100, 350)]
+    orders = spark.createDataFrame(a_rows, "o_orderkey bigint")
+    lineitem = spark.createDataFrame(b_rows, "l_orderkey bigint")
+    Q._CATALOGS["__jsz__"] = {"orders": orders, "lineitem": lineitem}
+    try:
+        (r,) = Q.join_size_est(spark, "__jsz__").collect()
+    finally:
+        del Q._CATALOGS["__jsz__"]
+    assert r["exact_join_rows"] == 1000 * 500 + 250
+    assert abs(r["est_join_rows"] - r["exact_join_rows"]) / r["exact_join_rows"] < 0.2
