@@ -163,6 +163,7 @@ HEADLINE = [
     "media_decode",
     "media_frames",
     "media_resize",
+    "media_pgm_stats",
 ]
 
 # dedup/ANN queries re-run against a FACTOR×-scaled corpus so posting-list

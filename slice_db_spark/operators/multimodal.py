@@ -374,3 +374,94 @@ def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every))).alias("frame_idx"),
         "features",
     )
+
+
+# ---------------------------------------------------------- real PGM codec
+# Third real codec (after WAV and BMP): binary netpbm P5 grayscale — an
+# ASCII header + raw bytes, so the parser exercises the textual-header
+# branch the struct-only codecs don't, and 2× downsampling is pure numpy
+# slicing the oracle can mirror arithmetically.
+
+
+def encode_pgm(width: int, height: int, pixels) -> bytes:
+    """Minimal binary PGM (P5) writer.  ``pixels``: numpy uint8 (h, w)."""
+    return f"P5\n{width} {height}\n255\n".encode("ascii") + pixels.tobytes()
+
+
+def decode_pgm(payload: bytes):
+    """Minimal P5 parser → (width, height, numpy uint8 (h, w)).  Raises
+    ``ValueError`` on non-P5 or truncated payloads (quarantine rows)."""
+    import numpy as np
+
+    if not payload.startswith(b"P5"):
+        raise ValueError("not a binary PGM (P5) payload")
+    parts = payload.split(b"\n", 3)
+    if len(parts) < 4:
+        raise ValueError("truncated PGM header")
+    dims = parts[1].split()
+    if len(dims) != 2 or parts[2] != b"255":
+        raise ValueError(f"unsupported PGM header {parts[1]!r}/{parts[2]!r}")
+    w, h = int(dims[0]), int(dims[1])
+    raw = parts[3]
+    if len(raw) < w * h:
+        raise ValueError("truncated PGM data")
+    return w, h, np.frombuffer(raw[: w * h], dtype=np.uint8).reshape(h, w)
+
+
+def synth_pgm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic grayscale PGM per row: ``w = 8 + k mod 9``,
+    ``h = 8 + k mod 7``, pixel (x, y) = ``(k·13 + y·w + x·3) mod 256`` —
+    pure arithmetic, SQL-mirrorable, so the encode→decode byte path is
+    verifiable end-to-end."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                w, h = 8 + k % 9, 8 + k % 7
+                ys, xs = np.mgrid[0:h, 0:w]
+                px = ((k * 13 + ys * w + xs * 3) % 256).astype(np.uint8)
+                payload = encode_pgm(w, h, px)
+                rows.append((k, "image", payload, "pgm", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+PGM_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_px", LongType()),
+        StructField("max_px", LongType()),
+        StructField("ds2_sum", LongType()),
+    ]
+)
+
+
+def pgm_stats(df: DataFrame) -> DataFrame:
+    """REAL decode + numpy 2× downsample: parse each PGM payload, report
+    integer pixel statistics and the sum of the ``[::2, ::2]``-sampled
+    image (the frame-sample/resize arithmetic on a real byte path).
+    Payloads drop here; six int64 scalars flow on."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_pgm(bytes(payload))
+                ds = px[::2, ::2]
+                out.append(
+                    (int(mid), w, h, int(px.sum()), int(px.max()), int(ds.sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "sum_px", "max_px", "ds2_sum"],
+            )
+
+    return df.mapInPandas(run, schema=PGM_STATS_SCHEMA)

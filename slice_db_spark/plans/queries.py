@@ -3329,6 +3329,15 @@ def media_wav_stats(spark, sf_dir):
     return multimodal.wav_stats(multimodal.synth_wav(docs))
 
 
+def media_pgm_stats(spark, sf_dir):
+    """REAL codec gate #3 (textual-header branch): synthesize binary
+    netpbm P5 images from doc_id arithmetic, parse them back, and emit
+    pixel stats plus the numpy [::2, ::2] downsample sum — any header
+    or stride bug breaks the arithmetic hash match."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.pgm_stats(multimodal.synth_pgm(docs))
+
+
 # =====================================================================
 # Oracle SQL (DuckDB dialect, same parquet views)
 # =====================================================================
@@ -5478,6 +5487,31 @@ FROM d
         FROM s
     """)
 
+    o["media_pgm_stats"] = _q("""
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS media_id,
+                 CAST(8 + doc_id % 9 AS BIGINT) AS w,
+                 CAST(8 + doc_id % 7 AS BIGINT) AS h
+          FROM documents),
+        px AS (
+          SELECT media_id, w, h,
+                 list_transform(range(0, CAST(w * h AS INT)),
+                   i -> (media_id * 13 + (i // w) * w + (i % w) * 3) % 256) AS p
+          FROM d),
+        ds AS (
+          SELECT media_id,
+                 list_sum(list_transform(
+                   list_filter(range(0, CAST(w * h AS INT)),
+                               i -> (i % w) % 2 = 0 AND (i // w) % 2 = 0),
+                   i -> (media_id * 13 + (i // w) * w + (i % w) * 3) % 256)) AS dsum
+          FROM px)
+        SELECT px.media_id, w AS width, h AS height,
+               CAST(list_sum(p) AS BIGINT) AS sum_px,
+               CAST(list_max(p) AS BIGINT) AS max_px,
+               CAST(dsum AS BIGINT) AS ds2_sum
+        FROM px JOIN ds ON ds.media_id = px.media_id
+    """)
+
     o["cohort_ltv"] = _q("""
         WITH wk AS (SELECT DISTINCT user_id,
                       CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk
@@ -6285,5 +6319,6 @@ def _all_queries():
         "media_frames": media_frames,
         "media_resize": media_resize,
         "media_wav_stats": media_wav_stats,
+        "media_pgm_stats": media_pgm_stats,
         "media_bmp_resize": media_bmp_resize,
     }

@@ -80,3 +80,22 @@ def test_bmp_resize_nearest_neighbor(spark):
     )
     assert (out["width"], out["height"]) == (W, H)
     assert out["sum_red"] == expect
+
+
+def test_pgm_roundtrip_and_quarantine():
+    """PGM encode→decode round-trips pixels exactly; malformed headers
+    and truncated data raise (the quarantine contract)."""
+    import numpy as np
+    import pytest
+
+    from slice_db_spark.operators.multimodal import decode_pgm, encode_pgm
+
+    px = ((np.arange(35) * 7) % 256).astype(np.uint8).reshape(5, 7)
+    w, h, back = decode_pgm(encode_pgm(7, 5, px))
+    assert (w, h) == (7, 5) and (back == px).all()
+    with pytest.raises(ValueError):
+        decode_pgm(b"P6\n2 2\n255\n" + b"\x00" * 12)  # P6 = color, unsupported
+    with pytest.raises(ValueError):
+        decode_pgm(encode_pgm(7, 5, px)[:-10])  # truncated data
+    with pytest.raises(ValueError):
+        decode_pgm(b"P5\n2 2\n65535\n" + b"\x00" * 8)  # 16-bit maxval
