@@ -55,6 +55,7 @@ HEADLINE = [
     "orders_upsert",
     "zorder_layout",
     "customer_scd2",
+    "customer_rfm",
     "profile_orders",
     "orders_mad",
     "price_qty_corr",
@@ -75,6 +76,7 @@ HEADLINE = [
     "events_moving_avg",
     "events_twa",
     "events_ohlc",
+    "events_heatmap",
     "stream_dedup",
     "events_bucket_agg",
     "events_asof",

@@ -1729,6 +1729,57 @@ def status_cube(spark, sf_dir):
     )
 
 
+def events_heatmap(spark, sf_dir):
+    """Weekday×hour activity heatmap with traffic share — the dashboard
+    staple.  Weekday and hour come from pure epoch arithmetic
+    (``(day + 4) mod 7`` — 1970-01-01 was a Thursday — and
+    ``hour mod 24``), never calendar/timezone functions whose locale
+    rules two engines may disagree on.  Share is integer ppm against
+    the driver-scalar total.  One partial-agg groupBy over ≤168 cells."""
+    e = catalog(spark, sf_dir)["events"]
+    (total,) = e.agg(F.count(F.lit(1))).first()
+    dow = F.expr("((unix_micros(ts) div 86400000000) + 4) % 7")
+    hour = F.expr("(unix_micros(ts) div 3600000000) % 24")
+    return (
+        e.groupBy(dow.alias("dow"), hour.alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            F.col("hour").cast("int").alias("hour"),
+            F.col("n").cast("bigint").alias("n"),
+            F.expr(f"(n * 1000000) div {int(total)}").cast("bigint").alias("share_ppm"),
+        )
+    )
+
+
+def customer_rfm(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary) with FIXED
+    threshold bands — the no-global-sort rule again (quantile banding
+    would need a full sort; fixed bands are the 100 TB form and keep a
+    customer's band stable as others churn).  Recency anchors on the
+    corpus' own max order date (driver scalar); monetary goes through
+    DECIMAL cents; the composite code is ``r·100 + f·10 + m``."""
+    o = catalog(spark, sf_dir)["orders"]
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    (mx,) = o.agg(F.max(F.unix_micros("o_orderdate"))).first()
+    g = o.groupBy("o_custkey").agg(
+        F.max(F.unix_micros("o_orderdate")).alias("__last"),
+        F.count(F.lit(1)).alias("__f"),
+        F.round(F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("__cents"),
+    )
+    recency_days = F.expr(f"({int(mx)} - __last) div 86400000000")
+    r_band = F.lit(4) - F.expr(f"least(4, (({int(mx)} - __last) div 86400000000) div 180)")
+    f_band = F.expr("least(4, __f div 2)")
+    m_band = F.expr("least(4, __cents div 100000000)")  # $1M-wide monetary bands
+    return g.select(
+        F.col("o_custkey").alias("c_custkey"),
+        recency_days.cast("bigint").alias("recency_days"),
+        F.col("__f").cast("bigint").alias("frequency"),
+        F.col("__cents").alias("monetary_cents"),
+        (r_band * 100 + f_band * 10 + m_band).cast("bigint").alias("rfm_code"),
+    )
+
+
 def events_twa(spark, sf_dir):
     """Time-weighted average of the event value per user — the
     hypertable/timeseries statistic where plain avg() lies (irregular
@@ -3678,6 +3729,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
         FROM orders
         GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """)
+
+    o["events_heatmap"] = _q("""
+        WITH t AS (SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+                          (epoch_us(ts) // 3600000000) % 24 AS hour
+                   FROM events),
+        tot AS (SELECT count(*) AS n FROM t)
+        SELECT CAST(dow AS INTEGER) AS dow, CAST(hour AS INTEGER) AS hour,
+               count(*) AS n,
+               (count(*) * 1000000) // (SELECT n FROM tot) AS share_ppm
+        FROM t GROUP BY 1, 2
+    """)
+
+    o["customer_rfm"] = _q("""
+        WITH mx AS (SELECT max(epoch_us(o_orderdate)) AS mx FROM orders),
+        g AS (SELECT o_custkey AS c_custkey,
+                     max(epoch_us(o_orderdate)) AS last_us,
+                     count(*) AS f,
+                     CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100) AS BIGINT)
+                       AS cents
+              FROM orders GROUP BY 1)
+        SELECT c_custkey,
+               CAST(((SELECT mx FROM mx) - last_us) // 86400000000 AS BIGINT)
+                 AS recency_days,
+               CAST(f AS BIGINT) AS frequency,
+               cents AS monetary_cents,
+               CAST((4 - least(4, (((SELECT mx FROM mx) - last_us) // 86400000000) // 180)) * 100
+                    + least(4, f // 2) * 10
+                    + least(4, cents // 100000000) AS BIGINT) AS rfm_code
+        FROM g
     """)
 
     o["events_twa"] = _q("""
@@ -6247,6 +6328,8 @@ def _all_queries():
         "status_pivot": status_pivot,
         "events_twa": events_twa,
         "events_ohlc": events_ohlc,
+        "events_heatmap": events_heatmap,
+        "customer_rfm": customer_rfm,
         "orders_upsert": orders_upsert,
         "zorder_layout": zorder_layout,
         "salted_join_revenue": salted_join_revenue,

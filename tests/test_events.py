@@ -433,3 +433,27 @@ def test_events_ohlc_struct_ordered_open_close(spark):
         5_000_000, 9_000_000, 0, 1_000_000,
     )
     assert r["n_events"] == 4
+
+
+def test_events_heatmap_epoch_arithmetic(spark):
+    """Known timestamps: 1970-01-01 (Thursday) maps to dow 4; an event
+    exactly one day later to dow 5; hours from epoch, not locale."""
+    import datetime
+
+    import slice_db_spark.plans.queries as Q
+
+    rows = [
+        (1, datetime.datetime(1970, 1, 1, 13, 30), 1, "t", 1.0, "{}"),
+        (2, datetime.datetime(1970, 1, 2, 0, 5), 1, "t", 1.0, "{}"),
+        (3, datetime.datetime(1970, 1, 2, 0, 40), 1, "t", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    Q._CATALOGS["__hm__"] = {"events": df}
+    try:
+        got = {(r["dow"], r["hour"]): (r["n"], r["share_ppm"])
+               for r in Q.events_heatmap(spark, "__hm__").collect()}
+    finally:
+        del Q._CATALOGS["__hm__"]
+    assert got == {(4, 13): (1, 333333), (5, 0): (2, 666666)}
