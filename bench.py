@@ -142,6 +142,7 @@ HEADLINE = [
     "bm25_rank",
     "html_extract",
     "pii_scrub",
+    "pack_efficiency",
     "source_cap",
     "source_temperature",
     "token_fertility",

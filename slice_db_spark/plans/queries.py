@@ -3088,6 +3088,33 @@ def source_mix(spark, sf_dir):
 TEMP_BUDGET = 250_000
 
 
+def pack_efficiency(spark, sf_dir):
+    """Packing-efficiency report per shard: sequences used (ceil in
+    integral div), tail waste, fill ppm, and boundary-straddling doc
+    count — the numbers that decide whether the packing budget or the
+    shard count needs retuning.  Composes the pack_sequences operator;
+    its oracle embeds that query's oracle verbatim as a CTE."""
+    docs = catalog(spark, sf_dir)["documents"]
+    packed = curation.pack_offsets(docs, budget=PACK_BUDGET, n_shards=PACK_SHARDS)
+    B = PACK_BUDGET
+    g = packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("__tot"),
+        F.sum(F.when(F.col("n_seqs") > 1, 1).otherwise(0)).alias("__straddle"),
+    )
+    n_seqs = F.expr(f"(__tot + {B - 1}) div {B}")
+    return g.select(
+        "shard",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("__tot").cast("bigint").alias("total_tokens"),
+        n_seqs.cast("bigint").alias("n_seqs_used"),
+        (n_seqs * B - F.col("__tot")).cast("bigint").alias("tail_waste_tokens"),
+        F.expr(f"(__tot * 1000000) div (((__tot + {B - 1}) div {B}) * {B})")
+        .cast("bigint").alias("fill_ppm"),
+        F.col("__straddle").cast("bigint").alias("n_straddling_docs"),
+    )
+
+
 def source_temperature(spark, sf_dir):
     """Temperature-scaled (α=0.5) mixture weights + document quotas per
     source — the training-mix planning step (square-root temperature
@@ -5192,6 +5219,22 @@ WHERE k2.doc_id NOT IN (SELECT id FROM losers)
         FROM w
     """)
 
+    o["pack_efficiency"] = f"""
+WITH p AS ({o["pack_sequences"]})
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((sum(n_tokens) + {PACK_BUDGET - 1}) // {PACK_BUDGET} AS BIGINT)
+         AS n_seqs_used,
+       CAST(((sum(n_tokens) + {PACK_BUDGET - 1}) // {PACK_BUDGET}) * {PACK_BUDGET}
+            - sum(n_tokens) AS BIGINT) AS tail_waste_tokens,
+       CAST((sum(n_tokens) * 1000000)
+            // (((sum(n_tokens) + {PACK_BUDGET - 1}) // {PACK_BUDGET}) * {PACK_BUDGET})
+            AS BIGINT) AS fill_ppm,
+       CAST(sum(CASE WHEN n_seqs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddling_docs
+FROM p GROUP BY shard
+"""
+
     _mix_h = _hash64_sql("'mix:' || source || ':' || CAST(doc_id AS VARCHAR)")
     mix_pred = " OR ".join(
         f"(source = '{v}' AND {_mix_h} % {curation.MIX_BUCKETS}"
@@ -6388,6 +6431,7 @@ def _all_queries():
         "token_fertility": token_fertility,
         "curriculum_order": curriculum_order,
         "pack_sequences": pack_sequences,
+        "pack_efficiency": pack_efficiency,
         "ann_brute": ann_brute,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
