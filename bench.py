@@ -63,6 +63,8 @@ HEADLINE = [
     "orders_running_total",
     "price_histogram",
     "lineitem_key_skew",
+    "shard_rebalance",
+    "nation_hhi",
     "nation_participation",
     "nation_pareto",
     "balance_deciles",

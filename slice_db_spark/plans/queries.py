@@ -3088,6 +3088,82 @@ def source_mix(spark, sf_dir):
 TEMP_BUDGET = 250_000
 
 
+SHARDS_OLD, SHARDS_NEW = 8, 9
+
+
+def shard_rebalance(spark, sf_dir):
+    """Rendezvous (highest-random-weight) shard assignment and its
+    rebalancing cost when the shard count grows 8→9: each doc goes to
+    ``argmax_k hash(doc, k)``, so adding a shard moves ONLY the docs the
+    new shard now wins — the minimal-movement property (expected moved
+    fraction 1/9 ≈ 111111 ppm) that naive ``hash mod K`` lacks (it
+    moves ~8/9).  Pure per-row integer argmax over K hashes, exact in
+    any engine; the report compares both strategies' moved counts."""
+    from ..operators.hashing import hash64
+
+    d = catalog(spark, sf_dir)["documents"].select("doc_id")
+
+    def rdv(k_shards):
+        scores = F.array(*[
+            F.struct(
+                hash64(F.concat(F.lit(f"shard:{k}:"), F.col("doc_id").cast("string"))).alias("h"),
+                F.lit(k).alias("k"),
+            )
+            for k in range(k_shards)
+        ])
+        return F.array_max(scores)["k"]
+
+    t = d.select(
+        "doc_id",
+        rdv(SHARDS_OLD).alias("__r_old"),
+        rdv(SHARDS_NEW).alias("__r_new"),
+        (F.col("doc_id") % SHARDS_OLD).alias("__m_old"),
+        (F.col("doc_id") % SHARDS_NEW).alias("__m_new"),
+    )
+    (n_total,) = d.agg(F.count(F.lit(1))).first()
+    return (
+        t.agg(
+            F.sum(F.when(F.col("__r_old") != F.col("__r_new"), 1).otherwise(0)).alias("__rm"),
+            F.sum(F.when(F.col("__m_old") != F.col("__m_new"), 1).otherwise(0)).alias("__mm"),
+        )
+        .select(
+            F.lit(int(n_total)).cast("bigint").alias("n_docs"),
+            F.col("__rm").cast("bigint").alias("moved_rendezvous"),
+            F.col("__mm").cast("bigint").alias("moved_mod"),
+            F.expr(f"(__rm * 1000000) div {int(n_total)}").cast("bigint").alias("rdv_moved_ppm"),
+            F.expr(f"(__mm * 1000000) div {int(n_total)}").cast("bigint").alias("mod_moved_ppm"),
+        )
+    )
+
+
+def nation_hhi(spark, sf_dir):
+    """Herfindahl–Hirschman concentration index of revenue across
+    nations — the single-number complement of the Pareto/Gini reports:
+    shares quantize to exact integer ppm first, then HHI = Σ share²
+    (ppm² units) — fully integer, so engines agree bit-for-bit and the
+    index is reproducible run-to-run.  Two tiny aggregations over a
+    25-row frame after one fact rollup."""
+    c = catalog(spark, sf_dir)
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    per = (
+        c["customer"]
+        .join(c["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(c["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("__cents"))
+    )
+    per = per.localCheckpoint(eager=True)  # total + share projection
+    (tot,) = per.agg(F.sum("__cents")).first()
+    shares = per.select(
+        "n_name", F.expr(f"(__cents * 1000000) div {int(tot)}").alias("__ppm")
+    )
+    return shares.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        F.sum(F.col("__ppm") * F.col("__ppm")).cast("bigint").alias("hhi_ppm2"),
+        F.max("__ppm").cast("bigint").alias("top_share_ppm"),
+    )
+
+
 def pack_efficiency(spark, sf_dir):
     """Packing-efficiency report per shard: sequences used (ceil in
     integral div), tail waste, fill ppm, and boundary-straddling doc
@@ -5219,6 +5295,51 @@ WHERE k2.doc_id NOT IN (SELECT id FROM losers)
         FROM w
     """)
 
+    def _rdv_sql(k_shards: int) -> str:
+        structs = ", ".join(
+            "{{'h': {h}, 'k': {k}}}".format(
+                h=_hash64_sql(f"'shard:{k}:' || CAST(doc_id AS VARCHAR)"), k=k
+            )
+            for k in range(k_shards)
+        )
+        return f"list_max([{structs}]).k"
+
+    o["shard_rebalance"] = f"""
+WITH t AS (SELECT doc_id,
+                  {_rdv_sql(SHARDS_OLD)} AS r_old,
+                  {_rdv_sql(SHARDS_NEW)} AS r_new,
+                  doc_id % {SHARDS_OLD} AS m_old,
+                  doc_id % {SHARDS_NEW} AS m_new
+           FROM documents),
+g AS (SELECT count(*) AS n,
+             sum(CASE WHEN r_old <> r_new THEN 1 ELSE 0 END) AS rm,
+             sum(CASE WHEN m_old <> m_new THEN 1 ELSE 0 END) AS mm
+      FROM t)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(rm AS BIGINT) AS moved_rendezvous,
+       CAST(mm AS BIGINT) AS moved_mod,
+       CAST((rm * 1000000) // n AS BIGINT) AS rdv_moved_ppm,
+       CAST((mm * 1000000) // n AS BIGINT) AS mod_moved_ppm
+FROM g
+"""
+
+    o["nation_hhi"] = _q("""
+        WITH per AS (
+          SELECT n_name,
+                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100) AS BIGINT)
+                   AS cents
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name),
+        tot AS (SELECT sum(cents) AS t FROM per),
+        sh AS (SELECT n_name, (cents * 1000000) // (SELECT t FROM tot) AS ppm FROM per)
+        SELECT count(*) AS n_nations,
+               CAST(sum(ppm * ppm) AS BIGINT) AS hhi_ppm2,
+               CAST(max(ppm) AS BIGINT) AS top_share_ppm
+        FROM sh
+    """)
+
     o["pack_efficiency"] = f"""
 WITH p AS ({o["pack_sequences"]})
 SELECT shard, count(*) AS n_docs,
@@ -6432,6 +6553,8 @@ def _all_queries():
         "curriculum_order": curriculum_order,
         "pack_sequences": pack_sequences,
         "pack_efficiency": pack_efficiency,
+        "shard_rebalance": shard_rebalance,
+        "nation_hhi": nation_hhi,
         "ann_brute": ann_brute,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,

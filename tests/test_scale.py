@@ -85,3 +85,21 @@ def test_zorder_narrows_both_dimensions(spark):
         [(1, 0), (0, 1), (3, 5)], "x bigint, y bigint"
     ).select(zorder_key("x", "y").alias("z")).collect()
     assert [r["z"] for r in vals] == [1, 2, 39]
+
+
+def test_rendezvous_rebalance_minimal_movement(spark):
+    """Rendezvous hashing's defining property on a 2000-doc pool: going
+    8→9 shards moves ~1/9 of docs (band-checked) while hash-mod moves
+    ~8/9 — an order of magnitude apart."""
+    import slice_db_spark.plans.queries as Q
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id bigint")
+    Q._CATALOGS["__rdv__"] = {"documents": df}
+    try:
+        (r,) = Q.shard_rebalance(spark, "__rdv__").collect()
+    finally:
+        del Q._CATALOGS["__rdv__"]
+    assert r["n_docs"] == 2000
+    assert 70_000 <= r["rdv_moved_ppm"] <= 160_000      # ~111k expected
+    assert 850_000 <= r["mod_moved_ppm"] <= 925_000     # ~889k expected
+    assert r["moved_rendezvous"] * 4 < r["moved_mod"]
