@@ -131,6 +131,7 @@ HEADLINE = [
     "lang_confusion",
     "token_rarity",
     "token_gini",
+    "char_diversity",
     "lm_score",
     "quality_blend",
     "source_drift",

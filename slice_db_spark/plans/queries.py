@@ -2832,6 +2832,35 @@ def fuzzy_typo_pairs(spark, sf_dir):
 CHUNK_WIN, CHUNK_STRIDE = 32, 24
 
 
+CHAR_NGRAM_N = 4
+
+
+def char_diversity(spark, sf_dir):
+    """Character 4-gram diversity — the compressibility proxy (LZ-style
+    compressors exploit repeated substrings, so distinct-grams/total-
+    grams tracks compression ratio without a codec in the loop): the
+    char-level complement of the token-level repetition metrics.
+    Computed with materialized-once substring tables (the HOF
+    re-evaluation rule), pure codegen, no shuffle beyond the per-doc
+    row."""
+    d = catalog(spark, sf_dir)["documents"]
+    n = CHAR_NGRAM_N
+    t = d.select(
+        "doc_id", textops.normalize(F.col("text")).alias("__n")
+    ).where(F.length("__n") >= n)
+    grams = F.expr(
+        f"transform(sequence(1, length(__n) - {n - 1}), i -> substring(__n, i, {n}))"
+    )
+    t = t.select("doc_id", F.length("__n").alias("__len"), grams.alias("__g"))
+    return t.select(
+        "doc_id",
+        (F.col("__len") - F.lit(n - 1)).cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct("__g")).cast("bigint").alias("n_distinct"),
+        F.expr(f"(size(array_distinct(__g)) * 1000000) div (__len - {n - 1})")
+        .cast("bigint").alias("diversity_ppm"),
+    )
+
+
 def chunk_windows(spark, sf_dir):
     """Sliding token-window chunking (RAG passage granularity): overlapping
     32-token windows advancing by 24, last window keeps the remainder,
@@ -4604,6 +4633,22 @@ SELECT a.doc_id AS id_a, c.doc_id AS id_b,
        CAST(levenshtein(a.pfx, c.pfx) AS BIGINT) AS dist
 FROM kk a JOIN kk c USING (blk)
 WHERE a.doc_id < c.doc_id AND levenshtein(a.pfx, c.pfx) <= 2
+"""
+
+    _cn = CHAR_NGRAM_N
+    o["char_diversity"] = f"""
+WITH t AS (SELECT doc_id, {_norm_sql('text')} AS nrm FROM documents
+           WHERE length({_norm_sql('text')}) >= {_cn}),
+g AS (SELECT doc_id, length(nrm) AS len,
+             list_transform(range(1, length(nrm) - {_cn - 1} + 1),
+                            i -> substr(nrm, CAST(i AS INT), {_cn})) AS gr
+      FROM t)
+SELECT doc_id,
+       CAST(len - {_cn - 1} AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(gr)) AS BIGINT) AS n_distinct,
+       CAST((len(list_distinct(gr)) * 1000000) // (len - {_cn - 1}) AS BIGINT)
+         AS diversity_ppm
+FROM g
 """
 
     _w, _s = CHUNK_WIN, CHUNK_STRIDE
@@ -6521,6 +6566,7 @@ def _all_queries():
         "boilerplate": boilerplate,
         "length_quantiles": length_quantiles,
         "chunk_windows": chunk_windows,
+        "char_diversity": char_diversity,
         "dedup_containment": dedup_containment,
         "fuzzy_typo_pairs": fuzzy_typo_pairs,
         "minhash_sigs": minhash_sigs,

@@ -250,3 +250,20 @@ def test_tokenizer_fertility_punctuation(spark):
     assert got["en"]["fertility"] == 2.0
     assert got["de"]["n_words"] == 2 and got["de"]["n_bpe"] == 2
     assert got["de"]["fertility"] == 1.0
+
+
+def test_char_diversity_repetition_vs_random(spark):
+    """'abab...' has exactly 2 distinct 4-grams no matter the length;
+    a non-repeating sequence keeps diversity at 1.0."""
+    import slice_db_spark.plans.queries as Q
+
+    rows = [(1, "ab" * 40), (2, "abcdefghijklmnopqrstuvwxyz0123456789")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    Q._CATALOGS["__cd__"] = {"documents": df}
+    try:
+        got = {r["doc_id"]: r for r in Q.char_diversity(spark, "__cd__").collect()}
+    finally:
+        del Q._CATALOGS["__cd__"]
+    assert got[1]["n_distinct"] == 2 and got[1]["n_grams"] == 77
+    assert got[2]["n_distinct"] == got[2]["n_grams"] == 33
+    assert got[2]["diversity_ppm"] == 1_000_000
