@@ -65,6 +65,7 @@ HEADLINE = [
     "lineitem_key_skew",
     "shard_rebalance",
     "nation_hhi",
+    "basket_affinity",
     "nation_participation",
     "nation_pareto",
     "balance_deciles",

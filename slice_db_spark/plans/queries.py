@@ -688,6 +688,58 @@ def k_anonymity(spark, sf_dir):
     )
 
 
+BASKET_MIN_PAIR = 2
+
+
+def basket_affinity(spark, sf_dir):
+    """Market-basket affinity: part-brand pairs co-purchased within an
+    order, with support counts and integer-ppm lift
+    ``P(ab)/(P(a)·P(b))`` — the collocations operator applied to
+    baskets instead of token windows.  Pair generation is a self-join
+    WITHIN an order (bounded by basket size — C(k,2) pairs per order,
+    never corpus-quadratic); lift's double division follows the
+    mirrored-expression rule over exact integer counts."""
+    c = catalog(spark, sf_dir)
+    li = (
+        c["lineitem"]
+        .join(F.broadcast(c["part"].select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    li = li.localCheckpoint(eager=True)  # pair join + both marginals
+    (n_orders,) = li.select("l_orderkey").distinct().agg(F.count(F.lit(1))).first()
+    marg = li.groupBy(F.col("p_brand").alias("__b")).agg(F.count(F.lit(1)).alias("__nb"))
+    pairs = (
+        li.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+        .join(
+            li.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b")),
+            "l_orderkey",
+        )
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= BASKET_MIN_PAIR)
+    )
+    j = (
+        pairs.join(F.broadcast(marg.withColumnRenamed("__b", "brand_a")
+                               .withColumnRenamed("__nb", "__na")), "brand_a")
+        .join(F.broadcast(marg.withColumnRenamed("__b", "brand_b")), "brand_b")
+    )
+    lift = (
+        F.col("n_ab").cast("double") * F.lit(float(n_orders))
+        / (F.col("__na").cast("double") * F.col("__nb").cast("double"))
+    )
+    return j.select(
+        "brand_a",
+        "brand_b",
+        F.col("n_ab").cast("bigint").alias("n_ab"),
+        F.col("__na").cast("bigint").alias("n_a"),
+        F.col("__nb").cast("bigint").alias("n_b"),
+        F.floor(F.lit(1e6) * lift).cast("bigint").alias("lift_ppm"),
+    )
+
+
 def q12_shipmode(spark, sf_dir):
     """TPC-H Q12 shape (adapted — the synthetic lineitem has no
     l_shipmode/l_commitdate/l_receiptdate, so l_linestatus stands in for
@@ -4059,6 +4111,27 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY n_name
     """)
 
+    o["basket_affinity"] = _q(f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, p_brand
+                    FROM lineitem JOIN part ON l_partkey = p_partkey),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+        marg AS (SELECT p_brand AS b, count(*) AS nb FROM li GROUP BY 1),
+        pairs AS (
+          SELECT a.p_brand AS brand_a, c.p_brand AS brand_b, count(*) AS n_ab
+          FROM li a JOIN li c ON a.l_orderkey = c.l_orderkey
+          WHERE a.p_brand < c.p_brand
+          GROUP BY 1, 2 HAVING count(*) >= {BASKET_MIN_PAIR})
+        SELECT brand_a, brand_b,
+               CAST(n_ab AS BIGINT) AS n_ab,
+               CAST(ma.nb AS BIGINT) AS n_a,
+               CAST(mb.nb AS BIGINT) AS n_b,
+               CAST(floor(1e6 * (CAST(n_ab AS DOUBLE) * CAST((SELECT n_orders FROM n) AS DOUBLE)
+                    / (CAST(ma.nb AS DOUBLE) * CAST(mb.nb AS DOUBLE)))) AS BIGINT) AS lift_ppm
+        FROM pairs
+        JOIN marg ma ON ma.b = brand_a
+        JOIN marg mb ON mb.b = brand_b
+    """)
+
     o["k_anonymity"] = _q(f"""
         SELECT CAST(c_nationkey AS INTEGER) AS c_nationkey, c_mktsegment,
                count(*) AS group_n,
@@ -6525,6 +6598,7 @@ def _all_queries():
         "price_qty_corr": price_qty_corr,
         "revenue_trend": revenue_trend,
         "lineitem_key_skew": lineitem_key_skew,
+        "basket_affinity": basket_affinity,
         "nation_participation": nation_participation,
         "orders_running_total": orders_running_total,
         "price_histogram": price_histogram,

@@ -457,3 +457,32 @@ def test_events_heatmap_epoch_arithmetic(spark):
     finally:
         del Q._CATALOGS["__hm__"]
     assert got == {(4, 13): (1, 333333), (5, 0): (2, 666666)}
+
+
+def test_basket_affinity_lift_directions(spark):
+    """Crafted baskets: brands X and Y always co-occur (lift > 1, exactly
+    n_orders/(n_a·n_b/n_ab) in ppm); X and Z never do (absent); the
+    min-pair support threshold prunes singletons."""
+    import slice_db_spark.plans.queries as Q
+
+    # orders 1..4: {X,Y}, {X,Y}, {Z}, {Z,W} — one (Z,W) pair is below
+    # the min support of 2 and must be pruned
+    rows = [(1, 100), (1, 101), (2, 100), (2, 101), (3, 102), (4, 102), (4, 103)]
+    li = spark.createDataFrame(
+        [(o, p, 1, 1.0, 1.0, 0.0) for o, p in rows],
+        "l_orderkey bigint, l_partkey bigint, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double",
+    )
+    part = spark.createDataFrame(
+        [(100, "X"), (101, "Y"), (102, "Z"), (103, "W")],
+        "p_partkey bigint, p_brand string",
+    )
+    Q._CATALOGS["__ba__"] = {"lineitem": li, "part": part}
+    try:
+        got = {(r["brand_a"], r["brand_b"]): r
+               for r in Q.basket_affinity(spark, "__ba__").collect()}
+    finally:
+        del Q._CATALOGS["__ba__"]
+    assert set(got) == {("X", "Y")}
+    r = got[("X", "Y")]
+    # lift = n_ab * n_orders / (n_a * n_b) = 2*4/(2*2) = 2.0
+    assert (r["n_ab"], r["n_a"], r["n_b"], r["lift_ppm"]) == (2, 2, 2, 2_000_000)
