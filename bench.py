@@ -87,6 +87,7 @@ HEADLINE = [
     "events_retention",
     "sessions_promo_overlap",
     "events_transitions",
+    "markov_stationary",
     "events_paths",
     "events_anomaly",
     "funnel_rates",

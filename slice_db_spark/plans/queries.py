@@ -969,6 +969,35 @@ def events_transitions(spark, sf_dir):
     return transition_matrix(catalog(spark, sf_dir)["events"])
 
 
+MARKOV_ROUNDS = 3
+
+
+def markov_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain by fixed
+    power iteration, entirely in integer ppm: ``π_{t+1}(j) = Σ_i
+    (π_t(i)·P_ppm(i,j)) div 1e6`` from a uniform start — the
+    where-does-the-funnel-settle statistic.  The chain matrix is the
+    (already-gated) transition operator; rounds are unrolled in the
+    oracle like PageRank's.  Every frame is |states|²-bounded, so the
+    iteration is metadata-scale whatever the event volume."""
+    from ..operators.events import transition_matrix
+
+    tm = transition_matrix(catalog(spark, sf_dir)["events"]).select(
+        "prev_type", "next_type", "p_ppm"
+    )
+    tm = tm.localCheckpoint(eager=True)  # reused every round
+    states = tm.select(F.col("prev_type").alias("state")).distinct()
+    (k,) = states.agg(F.count(F.lit(1))).first()
+    pi = states.select("state", F.lit(1_000_000 // int(k)).cast("bigint").alias("pi_ppm"))
+    for _ in range(MARKOV_ROUNDS):
+        pi = (
+            tm.join(pi.withColumnRenamed("state", "prev_type"), "prev_type")
+            .groupBy(F.col("next_type").alias("state"))
+            .agg(F.sum(F.expr("(pi_ppm * p_ppm) div 1000000")).alias("pi_ppm"))
+        )
+    return pi.select("state", F.col("pi_ppm").cast("bigint").alias("pi_ppm"))
+
+
 def dedup_sorted_nbrs(spark, sf_dir):
     """Sorted-neighborhood blocking (prefix blocks, window 2) with exact
     shingle-Jaccard scores — the sort-based candidate generator next to
@@ -4260,6 +4289,24 @@ def oracle_sql() -> dict[str, str]:
         FROM cnt
     """)
 
+    _mk_rounds = "".join(
+        """,
+pi{t} AS (SELECT next_type AS state,
+                 CAST(sum((pi_ppm * p_ppm) // 1000000) AS BIGINT) AS pi_ppm
+          FROM tm JOIN pi{p} ON pi{p}.state = tm.prev_type
+          GROUP BY next_type)""".format(t=t, p=t - 1)
+        for t in range(1, MARKOV_ROUNDS + 1)
+    )
+    o["markov_stationary"] = f"""
+WITH tm AS ({o["events_transitions"]}),
+ks AS (SELECT count(DISTINCT prev_type) AS k FROM tm),
+pi0 AS (SELECT DISTINCT prev_type AS state,
+               CAST(1000000 // (SELECT k FROM ks) AS BIGINT) AS pi_ppm
+        FROM tm)
+{_mk_rounds}
+SELECT state, pi_ppm FROM pi{MARKOV_ROUNDS}
+"""
+
     o["dedup_sorted_nbrs"] = _q(f"""
         WITH base AS (SELECT doc_id AS id, {_norm_sql('text')} AS nrm FROM documents),
              nb AS (SELECT id, lead(id, 1) OVER w AS n1, lead(id, 2) OVER w AS n2
@@ -6554,6 +6601,7 @@ def _all_queries():
         "q20_excess_suppliers": q20_excess_suppliers,
         "daily_gapfill": daily_gapfill,
         "events_transitions": events_transitions,
+        "markov_stationary": markov_stationary,
         "dedup_sorted_nbrs": dedup_sorted_nbrs,
         "tfidf_terms": tfidf_terms,
         "collocations": collocations,

@@ -486,3 +486,31 @@ def test_basket_affinity_lift_directions(spark):
     r = got[("X", "Y")]
     # lift = n_ab * n_orders / (n_a * n_b) = 2*4/(2*2) = 2.0
     assert (r["n_ab"], r["n_a"], r["n_b"], r["lift_ppm"]) == (2, 2, 2, 2_000_000)
+
+
+def test_markov_stationary_absorbing_chain(spark):
+    """Crafted chain where every user path funnels A→B→C and C→C: mass
+    concentrates on the absorbing state round over round; states keep
+    integer ppm and totals never exceed 1e6 (floor-only losses)."""
+    import datetime
+
+    import slice_db_spark.plans.queries as Q
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(6):
+        for i, et in enumerate(["A", "B", "C", "C", "C"]):
+            rows.append((eid, t0 + datetime.timedelta(seconds=i), u, et, 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    Q._CATALOGS["__mk__"] = {"events": df}
+    try:
+        got = {r["state"]: r["pi_ppm"] for r in Q.markov_stationary(spark, "__mk__").collect()}
+    finally:
+        del Q._CATALOGS["__mk__"]
+    # P: A->B 1.0, B->C 1.0, C->C 1.0. pi0 uniform(3) = 333333 each.
+    # round1: B=333333, C=666666; round2: C gets B+C; round3: all C.
+    assert set(got) <= {"B", "C"} and got["C"] >= 999_990
+    assert sum(got.values()) <= 1_000_000
