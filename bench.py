@@ -108,6 +108,7 @@ HEADLINE = [
     "dedup_cross_source",
     "dedup_panorama",
     "nearest_doc",
+    "jaccard_threshold_sweep",
     "contrastive_negs",
     "doc_pagerank",
     "doc_triangles",

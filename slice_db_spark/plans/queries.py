@@ -1471,6 +1471,25 @@ def rollup_delta(spark, sf_dir):
     )
 
 
+def jaccard_threshold_sweep(spark, sf_dir):
+    """Threshold-sensitivity report for the near-dup cutoff: pair counts
+    and affected-doc counts per 0.1-wide Jaccard band, from ONE scan of
+    the memoized 0.5-threshold pair graph — the marginal-cost curve a
+    curation run reads before committing to a cutoff (how many more
+    pairs does lowering the bar to 0.7 admit?).  Cumulative counts come
+    from a window over the ≤5-row band frame."""
+    from pyspark.sql import Window
+
+    pairs = _jaccard_pairs_05(spark, sf_dir)
+    band = F.expr("least(9, CAST(floor(jaccard * 10) AS INT))")
+    g = pairs.groupBy(band.alias("band")).agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = Window.orderBy(F.desc("band")).rowsBetween(Window.unboundedPreceding, 0)
+    return g.select(
+        F.col("band").cast("int").alias("band"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+    ).withColumn("cum_pairs_at_or_above", F.sum("n_pairs").over(w).cast("bigint"))
+
+
 def doc_triangles(spark, sf_dir):
     """Triangle participation + local clustering coefficient over the
     0.5-threshold Jaccard pair graph — clique-like duplicate families
@@ -4911,6 +4930,18 @@ FROM p ORDER BY priority DESC, doc_id LIMIT {WSAMPLE_K}
         FROM orders GROUP BY 1, 2
     """)
 
+    o["jaccard_threshold_sweep"] = f"""
+WITH {_jaccard_pairs_cte(0.5, JACCARD_MAX_DF)},
+g AS (SELECT least(9, CAST(floor(jaccard * 10) AS INTEGER)) AS band,
+             count(*) AS n_pairs
+      FROM jp GROUP BY 1)
+SELECT CAST(band AS INTEGER) AS band,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(sum(n_pairs) OVER (ORDER BY band DESC ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_pairs_at_or_above
+FROM g
+"""
+
     o["doc_triangles"] = f"""
 WITH {_jaccard_pairs_cte(0.5, JACCARD_MAX_DF)},
 tri AS (
@@ -6624,6 +6655,7 @@ def _all_queries():
         "contrastive_negs": contrastive_negs,
         "doc_pagerank": doc_pagerank,
         "doc_triangles": doc_triangles,
+        "jaccard_threshold_sweep": jaccard_threshold_sweep,
         "doc_hops": doc_hops,
         "rp_project": rp_project,
         "sketch_hll": sketch_hll,

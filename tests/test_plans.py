@@ -218,6 +218,9 @@ _ALLOWED_GLOBAL_WINDOW = {
     # histogram STATE frame (post-aggregation, metadata-sized at any
     # input volume), not over input rows
     "sketch_quantile",
+    # jaccard_threshold_sweep: cumulative window over the <=5-row band
+    # frame (post-aggregation), not over pairs
+    "jaccard_threshold_sweep",
 }
 
 #: queries whose plan must keep a NON-EMPTY PushedFilters on a parquet scan
