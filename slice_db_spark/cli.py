@@ -241,6 +241,19 @@ def cmd_restore(args) -> int:
             sections_dir = args.input
             tables, manifest = read_slice(spark, args.input, fmt=args.format)
         seqs = {sid: int(m["value"]) for sid, m in manifest.sequences.items()}
+        if args.dry_run:
+            # plan only: dependency order, per-table rows, sequences — no
+            # writes, no target connection (safe against a live --url)
+            from .config.graph import topo_order
+
+            order = topo_order(schema, set(tables))
+            rows = {
+                t: sum(s["rowCount"] for s in m["segments"])
+                for t, m in manifest.tables.items()
+            }
+            print(json.dumps({"dryRun": True, "order": order, "rows": rows,
+                              "sequences": seqs}))
+            return 0
         if args.url:
             pre = post = None
             if args.include_schema:
@@ -804,6 +817,9 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("restore", help="materialize a slice in FK order")
     r.add_argument("--schema", required=True)
     r.add_argument("--format", choices=["parquet", "orc", "tsv", "zip"], default="parquet")
+    r.add_argument("--dry-run", action="store_true",
+                   help="print the dependency-ordered restore plan (tables, rows, "
+                   "sequences) without writing anything")
     r.add_argument("--url", help="restore into a live database (JDBC URL) instead of parquet")
     r.add_argument(
         "--include-schema",

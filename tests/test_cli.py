@@ -668,3 +668,22 @@ def test_search_cli_bm25_hits(tmp_path):
     scores = [r["score_fx"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all("snippet" in r and r["n_terms"] >= 1 for r in rows)
+
+
+def test_restore_dry_run_plan_only(spark, schema_json, tmp_path):
+    """--dry-run prints the dependency-ordered plan (tables, rows,
+    sequences) and writes NOTHING."""
+    slice_dir = str(tmp_path / "s")
+    run_cli(
+        "dump", "--schema", schema_json,
+        "--root", "customer", "c_custkey <= 2",
+        SF_DIR, slice_dir,
+    )
+    out_dir = str(tmp_path / "restored")
+    rep = json.loads(run_cli(
+        "restore", "--schema", schema_json, "--dry-run", slice_dir, out_dir,
+    ))
+    assert rep["dryRun"] is True
+    assert rep["order"].index("customer") < rep["order"].index("orders")
+    assert rep["rows"]["customer"] > 0
+    assert not os.path.exists(out_dir)
