@@ -109,6 +109,7 @@ HEADLINE = [
     "dedup_panorama",
     "nearest_doc",
     "jaccard_threshold_sweep",
+    "doc_novelty",
     "contrastive_negs",
     "doc_pagerank",
     "doc_triangles",

@@ -1471,6 +1471,33 @@ def rollup_delta(spark, sf_dir):
     )
 
 
+def doc_novelty(spark, sf_dir):
+    """Per-document novelty against everything ingested BEFORE it
+    (doc_id order): the fraction of a doc's distinct shingles whose
+    FIRST occurrence is this doc — the diminishing-returns curve that
+    tells a crawl when more of the same source stops adding content.
+    One aggregation assigns each shingle its min owner, one join back
+    scores the docs; both keyed on the 8-byte shingle hash, no
+    quadratic anywhere."""
+    st = dedup.shingle_table(catalog(spark, sf_dir)["documents"])
+    st = st.localCheckpoint(eager=True)  # first-owner agg + per-doc join
+    first = st.groupBy("shingle").agg(F.min("doc_id").alias("__first"))
+    return (
+        st.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.when(F.col("__first") == F.col("doc_id"), 1).otherwise(0)).alias("__new"),
+        )
+        .select(
+            "doc_id",
+            F.col("__n").cast("bigint").alias("n_shingles"),
+            F.col("__new").cast("bigint").alias("n_novel"),
+            F.expr("(__new * 1000000) div __n").cast("bigint").alias("novelty_ppm"),
+        )
+    )
+
+
 def jaccard_threshold_sweep(spark, sf_dir):
     """Threshold-sensitivity report for the near-dup cutoff: pair counts
     and affected-doc counts per 0.1-wide Jaccard band, from ONE scan of
@@ -4930,6 +4957,18 @@ FROM p ORDER BY priority DESC, doc_id LIMIT {WSAMPLE_K}
         FROM orders GROUP BY 1, 2
     """)
 
+    o["doc_novelty"] = f"""
+WITH {_SHINGLE_CTE.format(sh=_shingles_sql('text', 3), h=_hash64_sql('s'))},
+first AS (SELECT shingle, min(doc_id) AS f FROM st GROUP BY 1)
+SELECT st.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN f = st.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST((sum(CASE WHEN f = st.doc_id THEN 1 ELSE 0 END) * 1000000) // count(*)
+            AS BIGINT) AS novelty_ppm
+FROM st JOIN first USING (shingle)
+GROUP BY st.doc_id
+"""
+
     o["jaccard_threshold_sweep"] = f"""
 WITH {_jaccard_pairs_cte(0.5, JACCARD_MAX_DF)},
 g AS (SELECT least(9, CAST(floor(jaccard * 10) AS INTEGER)) AS band,
@@ -6656,6 +6695,7 @@ def _all_queries():
         "doc_pagerank": doc_pagerank,
         "doc_triangles": doc_triangles,
         "jaccard_threshold_sweep": jaccard_threshold_sweep,
+        "doc_novelty": doc_novelty,
         "doc_hops": doc_hops,
         "rp_project": rp_project,
         "sketch_hll": sketch_hll,

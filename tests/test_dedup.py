@@ -492,3 +492,24 @@ def test_doc_hops_bfs_distances_on_crafted_graph(spark):
     assert got[30] == 1 and got[20] == 1 and got[40] == 1
     assert got[21] == 2 and got[22] == 3
     assert 23 not in got  # beyond the 3-round bound
+
+
+def test_doc_novelty_first_occurrence_order(spark):
+    """An exact copy arriving later scores 0 novelty; the original keeps
+    1.0; a half-overlapping doc lands in between by exact shingle
+    counts."""
+    import slice_db_spark.plans.queries as Q
+
+    a = "alpha beta gamma delta epsilon zeta"          # 4 shingles
+    b = a                                              # full copy
+    c = "gamma delta epsilon zeta eta theta"           # shares 2 of 4 shingles
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id bigint, text string")
+    Q._CATALOGS["__nv__"] = {"documents": df}
+    try:
+        got = {r["doc_id"]: r for r in Q.doc_novelty(spark, "__nv__").collect()}
+    finally:
+        del Q._CATALOGS["__nv__"]
+    assert got[1]["novelty_ppm"] == 1_000_000
+    assert got[2]["novelty_ppm"] == 0
+    assert got[3]["n_shingles"] == 4 and got[3]["n_novel"] == 2
+    assert got[3]["novelty_ppm"] == 500_000
