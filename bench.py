@@ -56,6 +56,7 @@ HEADLINE = [
     "zorder_layout",
     "customer_scd2",
     "customer_rfm",
+    "customer_abc",
     "profile_orders",
     "orders_mad",
     "price_qty_corr",

@@ -1879,6 +1879,48 @@ def events_heatmap(spark, sf_dir):
     )
 
 
+def customer_abc(spark, sf_dir):
+    """ABC revenue classification: customers sorted by revenue, classed
+    A/B/C at the 80% / 95% cumulative-share breakpoints — inventory-
+    analysis Pareto banding at the customer grain.  The window runs
+    over the PER-CUSTOMER aggregate (fact volume collapses first; the
+    frame is |customers|, the same post-agg regime as the decile and
+    Pareto reports), with exact integer cents and ``cum·100 ≤ tot·80``
+    DECIMAL-free integer comparisons — no share division ever happens."""
+    from pyspark.sql import Window
+
+    o = catalog(spark, sf_dir)["orders"]
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    per = o.groupBy("o_custkey").agg(
+        F.round(F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("__cents")
+    )
+    per = per.localCheckpoint(eager=True)  # total scalar + ranked window
+    (tot,) = per.agg(F.sum("__cents")).first()
+    w = Window.orderBy(F.desc("__cents"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = per.withColumn("__cum", F.sum("__cents").over(w))
+    cls = (
+        F.when(F.col("__cum") * 100 <= F.lit(int(tot)) * 80, F.lit("A"))
+        .when(F.col("__cum") * 100 <= F.lit(int(tot)) * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        ranked.select(cls.alias("abc_class"), "__cents")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("__cents").alias("__sum"),
+        )
+        .select(
+            "abc_class",
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            F.col("__sum").cast("bigint").alias("revenue_cents"),
+            F.expr(f"(__sum * 1000000) div {int(tot)}").cast("bigint").alias("share_ppm"),
+        )
+    )
+
+
 def customer_rfm(spark, sf_dir):
     """RFM segmentation (recency / frequency / monetary) with FIXED
     threshold bands — the no-global-sort rule again (quantile banding
@@ -3999,6 +4041,28 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n,
                (count(*) * 1000000) // (SELECT n FROM tot) AS share_ppm
         FROM t GROUP BY 1, 2
+    """)
+
+    o["customer_abc"] = _q("""
+        WITH per AS (SELECT o_custkey,
+                            CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100)
+                                 AS BIGINT) AS cents
+                     FROM orders GROUP BY 1),
+        tot AS (SELECT sum(cents) AS t FROM per),
+        r AS (SELECT o_custkey, cents,
+                     sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+              FROM per),
+        cls AS (SELECT CASE WHEN cum * 100 <= (SELECT t FROM tot) * 80 THEN 'A'
+                            WHEN cum * 100 <= (SELECT t FROM tot) * 95 THEN 'B'
+                            ELSE 'C' END AS abc_class,
+                       cents
+                FROM r)
+        SELECT abc_class, count(*) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents,
+               CAST((sum(cents) * 1000000) // (SELECT t FROM tot) AS BIGINT)
+                 AS share_ppm
+        FROM cls GROUP BY 1
     """)
 
     o["customer_rfm"] = _q("""
@@ -6733,6 +6797,7 @@ def _all_queries():
         "events_ohlc": events_ohlc,
         "events_heatmap": events_heatmap,
         "customer_rfm": customer_rfm,
+        "customer_abc": customer_abc,
         "orders_upsert": orders_upsert,
         "zorder_layout": zorder_layout,
         "salted_join_revenue": salted_join_revenue,

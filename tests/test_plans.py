@@ -221,6 +221,10 @@ _ALLOWED_GLOBAL_WINDOW = {
     # jaccard_threshold_sweep: cumulative window over the <=5-row band
     # frame (post-aggregation), not over pairs
     "jaccard_threshold_sweep",
+    # customer_abc: cumulative window over the per-customer AGGREGATE
+    # (facts collapse first; |customers|-sized frame, the decile/Pareto
+    # post-agg regime)
+    "customer_abc",
 }
 
 #: queries whose plan must keep a NON-EMPTY PushedFilters on a parquet scan
