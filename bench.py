@@ -87,6 +87,7 @@ HEADLINE = [
     "events_range_join",
     "events_retention",
     "sessions_promo_overlap",
+    "session_concurrency",
     "events_transitions",
     "markov_stationary",
     "events_paths",

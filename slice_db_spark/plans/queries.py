@@ -1596,6 +1596,56 @@ def sessions_promo_overlap(spark, sf_dir):
     )
 
 
+def session_concurrency(spark, sf_dir):
+    """Per-day PEAK concurrent sessions — the capacity-planning number.
+    Sessions decompose to the days they touch (the overlap-join bucket
+    trick), each contributing +1 at its clamped start and −1 just after
+    its clamped end; the running sum is windowed PER DAY (never a global
+    ordering), with +1 sorted before −1 at equal timestamps so closed
+    intervals meeting at a point count as overlapping.  Peak = max of
+    the running sum.  All integer µs; the oracle embeds the sessionize
+    oracle verbatim."""
+    from pyspark.sql import Window
+
+    from ..operators.events import sessionize
+
+    DAY = 86_400_000_000
+    s = sessionize(catalog(spark, sf_dir)["events"])
+    days = s.select(
+        "user_id",
+        "session_id",
+        "start_us",
+        "end_us",
+        F.explode(F.expr(f"sequence(start_us div {DAY}, end_us div {DAY})")).alias("__d"),
+    )
+    clamped = days.select(
+        (F.col("__d") * DAY).alias("day_us"),
+        F.greatest("start_us", F.col("__d") * DAY).alias("__s"),
+        F.least("end_us", (F.col("__d") + 1) * DAY - 1).alias("__e"),
+    )
+    deltas = clamped.select(
+        "day_us", F.col("__s").alias("__us"), F.lit(1).alias("__delta")
+    ).unionByName(
+        clamped.select("day_us", (F.col("__e") + 1).alias("__us"), F.lit(-1).alias("__delta"))
+    )
+    w = Window.partitionBy("day_us").orderBy(
+        F.asc("__us"), F.desc("__delta")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    run = deltas.withColumn("__c", F.sum("__delta").over(w))
+    return (
+        run.groupBy("day_us")
+        .agg(
+            (F.sum(F.when(F.col("__delta") == 1, 1).otherwise(0))).alias("n_sessions"),
+            F.max("__c").alias("peak_concurrency"),
+        )
+        .select(
+            "day_us",
+            F.col("n_sessions").cast("bigint").alias("n_sessions"),
+            F.col("peak_concurrency").cast("bigint").alias("peak_concurrency"),
+        )
+    )
+
+
 def sketch_hll(spark, sf_dir):
     """From-scratch deterministic HyperLogLog distinct-count of order
     customers, WITH its own correctness gate: the oracle reproduces every
@@ -4673,6 +4723,28 @@ SELECT state, pi_ppm FROM pi{MARKOV_ROUNDS}
         FROM s GROUP BY user_id, session_id
     """)
 
+    _D = 86_400_000_000
+    o["session_concurrency"] = f"""
+WITH sess AS ({o["events_sessionize"]}),
+days AS (SELECT start_us, end_us,
+                unnest(range(start_us // {_D}, end_us // {_D} + 1)) AS d
+         FROM sess),
+cl AS (SELECT d * {_D} AS day_us,
+              greatest(start_us, d * {_D}) AS s,
+              least(end_us, (d + 1) * {_D} - 1) AS e
+       FROM days),
+del AS (SELECT day_us, s AS us, 1 AS delta FROM cl
+        UNION ALL SELECT day_us, e + 1, -1 FROM cl),
+run AS (SELECT day_us, delta,
+               sum(delta) OVER (PARTITION BY day_us ORDER BY us, delta DESC
+                                ROWS UNBOUNDED PRECEDING) AS c
+        FROM del)
+SELECT CAST(day_us AS BIGINT) AS day_us,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(max(c) AS BIGINT) AS peak_concurrency
+FROM run GROUP BY day_us
+"""
+
     # the overlap join's oracle: the sessionize oracle verbatim as a CTE
     # (drift-proof composition) + a naive inequality join — fine for the
     # ORACLE, which runs on oracle-scale data; the Spark side must use
@@ -6818,6 +6890,7 @@ def _all_queries():
         "events_range_join": events_range_join,
         "events_retention": events_retention,
         "sessions_promo_overlap": sessions_promo_overlap,
+        "session_concurrency": session_concurrency,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "dedup_chunks": dedup_chunks,

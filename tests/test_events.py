@@ -514,3 +514,39 @@ def test_markov_stationary_absorbing_chain(spark):
     # round1: B=333333, C=666666; round2: C gets B+C; round3: all C.
     assert set(got) <= {"B", "C"} and got["C"] >= 999_990
     assert sum(got.values()) <= 1_000_000
+
+
+def test_session_concurrency_overlap_and_midnight(spark):
+    """Three users: two sessions overlap mid-day (peak 2), a third
+    session crosses midnight and must count toward BOTH days' peaks;
+    sessions meeting at a single point still overlap (closed
+    intervals)."""
+    import datetime
+
+    import slice_db_spark.plans.queries as Q
+
+    d0 = datetime.datetime(2024, 5, 1)
+    mk = lambda day, h, m=0: d0 + datetime.timedelta(days=day, hours=h, minutes=m)
+    rows, eid = [], 0
+    # user 1: 10:00-10:20 (events at 10:00, 10:20)
+    for t in (mk(0, 10), mk(0, 10, 20)):
+        rows.append((eid, t, 1, "t", 1.0, "{}")); eid += 1
+    # user 2: 10:20-10:40 — meets user 1 exactly at 10:20 → overlap
+    for t in (mk(0, 10, 20), mk(0, 10, 40)):
+        rows.append((eid, t, 2, "t", 1.0, "{}")); eid += 1
+    # user 3: 23:50 day0 → 00:10 day1 (gap 20min < 30 → one session)
+    for t in (mk(0, 23, 50), mk(1, 0, 10)):
+        rows.append((eid, t, 3, "t", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    Q._CATALOGS["__sc__"] = {"events": df}
+    try:
+        got = {r["day_us"]: r for r in Q.session_concurrency(spark, "__sc__").collect()}
+    finally:
+        del Q._CATALOGS["__sc__"]
+    DAY = 86_400_000_000
+    d0_us = int(d0.timestamp()) * 1_000_000
+    day0 = d0_us - d0_us % DAY
+    assert got[day0]["n_sessions"] == 3 and got[day0]["peak_concurrency"] == 2
+    assert got[day0 + DAY]["n_sessions"] == 1 and got[day0 + DAY]["peak_concurrency"] == 1
