@@ -4331,10 +4331,10 @@ def oracle_sql() -> dict[str, str]:
 
     o["q12_shipmode"] = _q("""
         SELECT l_linestatus AS ship_mode,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-                 AS high_line_count,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
-                 AS low_line_count
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                 AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                 AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
         GROUP BY l_linestatus
@@ -5754,8 +5754,8 @@ FROM p GROUP BY shard
                           CAST(floor(1e6 * sqrt(n_docs)) AS BIGINT) AS sv FROM n),
              t AS (SELECT sum(sv) AS tot FROM s)
         SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-               (sv * 1000000) // (SELECT tot FROM t) AS weight_ppm,
-               ({TEMP_BUDGET} * sv) // (SELECT tot FROM t) AS quota_docs
+               CAST((sv * 1000000) // (SELECT tot FROM t) AS BIGINT) AS weight_ppm,
+               CAST(({TEMP_BUDGET} * sv) // (SELECT tot FROM t) AS BIGINT) AS quota_docs
         FROM s
     """)
 
