@@ -38,7 +38,13 @@ def merge_upsert(
     kept = base.join(key_set, keys, "left_anti")
     live = updates
     if delete_col is not None:
-        live = updates.where(~F.col(delete_col)).drop(delete_col)
+        # A NULL/absent flag means UPSERT, not delete: the key was already
+        # anti-joined out of the base, so dropping the row here would
+        # silently tombstone it (JSONL change rows read with a schema
+        # leave the flag NULL when the field is missing).
+        live = updates.where(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
     return kept.unionByName(live)
 
 

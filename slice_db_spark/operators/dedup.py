@@ -442,7 +442,7 @@ def incremental_lsh_pairs(
     sb = st_corp.groupBy(id_col).agg(F.count(F.lit(1)).alias("nb")).select(
         F.col(id_col).alias("corpus_id"), "nb"
     )
-    return (
+    out = (
         shared.join(sa, "new_id")
         .join(sb, "corpus_id")
         .withColumn(
@@ -452,6 +452,13 @@ def incremental_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", "jaccard")
     )
+    # Materialize the (small) verified pair frame, then release the cached
+    # shingle tables — otherwise they leak into executor storage for the
+    # session's lifetime (same pattern as connected_components).
+    out = out.localCheckpoint(eager=True)
+    st_new.unpersist()
+    st_corp.unpersist()
+    return out
 
 
 # ------------------------------------------------------------------ simhash

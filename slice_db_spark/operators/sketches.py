@@ -232,7 +232,13 @@ def hist_counts(
     distributed shape as the HLL register max).  Bucket assignment is
     pure integral arithmetic (``div``), so any engine reproduces it."""
     span = hi_q - lo_q + 1
-    d = df.select(F.round(F.col(col) * 100).cast("bigint").alias("__q"))
+    # NULLs must not reach the bucket expression: greatest/least SKIP null
+    # arguments, so greatest(0, NULL) = 0 would clamp every NULL row into
+    # bucket 0 and bias the quantile estimates downward (same guard
+    # hll_registers / cms_cells apply).
+    d = df.where(F.col(col).isNotNull()).select(
+        F.round(F.col(col) * 100).cast("bigint").alias("__q")
+    )
     b = F.expr(f"((__q - {lo_q}) * {n_buckets}) div {span}")
     return (
         d.select(F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), b)).alias("bucket"))

@@ -32,6 +32,34 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.cdc import merge_upsert
 
 
+def _recover_dim(dim_path: str) -> None:
+    """Restore the dimension if a previous swap crashed mid-promotion.
+
+    The swap sequence is: write ``.staging`` → rename dim → ``.old`` →
+    promote staging → delete ``.old``.  Every crash point leaves either
+    the dimension itself, the pre-merge copy at ``.old``, or a fully
+    written (``_SUCCESS``-marked) ``.staging``:
+
+    - dim present: nothing to do (a dangling ``.old``/``.staging`` is
+      cleaned up by the next epoch's write).
+    - dim missing, ``.old`` present: crash between the two renames —
+      restore the pre-merge copy; the checkpoint replays the epoch and
+      the merge's fixed-point property re-applies it safely.
+    - dim missing, no ``.old``, complete ``.staging``: crash before the
+      first rename ever happened on a first-build, or after ``.old`` was
+      deleted on some filesystems — promote staging (it is the fully
+      merged result; a replay re-merges idempotently).
+    """
+    if os.path.isdir(dim_path):
+        return
+    old = dim_path + ".old"
+    staging = dim_path + ".staging"
+    if os.path.isdir(old):
+        os.replace(old, dim_path)
+    elif os.path.isfile(os.path.join(staging, "_SUCCESS")):
+        os.replace(staging, dim_path)
+
+
 def upsert_stream(
     spark: SparkSession,
     in_path: str,
@@ -50,6 +78,8 @@ def upsert_stream(
     the StreamingQuery."""
     from pyspark.sql.window import Window
 
+    _recover_dim(dim_path)
+
     def _sink(batch: DataFrame, epoch_id: int) -> None:
         b = batch
         if order_col is not None:
@@ -60,18 +90,29 @@ def upsert_stream(
                 .drop("__rn", order_col)
             )
         spark_b = batch.sparkSession
+        _recover_dim(dim_path)
         if os.path.isdir(dim_path):
             base = spark_b.read.parquet(dim_path)
             merged = merge_upsert(base, b, keys, delete_col=delete_col)
         elif delete_col is not None:
-            merged = b.where(~F.col(delete_col)).drop(delete_col)
+            merged = b.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+                delete_col
+            )
         else:
             merged = b
         staging = dim_path + ".staging"
+        old = dim_path + ".old"
         merged.write.mode("overwrite").parquet(staging)
+        # Recoverable swap: keep the pre-merge copy at `.old` until the
+        # new dimension is in place, so no crash point ever leaves the
+        # key history unrecoverable (see _recover_dim).
+        if os.path.isdir(old):
+            shutil.rmtree(old)
         if os.path.isdir(dim_path):
-            shutil.rmtree(dim_path)
+            os.replace(dim_path, old)
         os.replace(staging, dim_path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
 
     stream = spark.readStream.schema(changes_schema).json(in_path)
     writer = stream.writeStream.foreachBatch(_sink).option(

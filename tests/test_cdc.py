@@ -123,3 +123,110 @@ def test_upsert_stream_multi_batch_and_checkpoint_noop(spark, tmp_path):
     run()
     assert sorted(os.listdir(dim)) == before
     assert {r.k: r.v for r in spark.read.parquet(dim).collect()} == {1: "a2", 3: "c"}
+
+
+def test_merge_upsert_null_delete_flag_upserts(spark):
+    """A NULL delete flag means upsert, not delete: the key was already
+    anti-joined out of the base, so filtering the NULL row out would
+    silently tombstone it (regression: JSONL change rows read with a
+    schema leave the flag NULL when the field is absent)."""
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, s string")
+    updates = spark.createDataFrame(
+        [(1, "A", None), (3, "c", None), (2, "x", True)],
+        "k bigint, s string, del boolean",
+    )
+    got = {r.k: r.s for r in merge_upsert(base, updates, ["k"], delete_col="del").collect()}
+    assert got == {1: "A", 3: "c"}
+
+
+def test_upsert_stream_missing_delete_field_upserts(spark, tmp_path):
+    """End-to-end: a JSONL change row that OMITS the delete field (schema
+    fills NULL) must upsert the key, never delete it."""
+    import json
+    import os
+
+    from slice_db_spark.streaming.cdc import upsert_stream
+
+    land = tmp_path / "changes"
+    land.mkdir()
+    dim = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k bigint, v string, seq bigint, del boolean"
+    p = land / "b1.jsonl"
+    p.write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": 1, "v": "a", "seq": 1},          # no del field -> NULL
+                {"k": 2, "v": "b", "seq": 1, "del": False},
+                {"k": 3, "v": "x", "seq": 1, "del": True},
+            ]
+        )
+        + "\n"
+    )
+    os.utime(p, (1_000_000_000, 1_000_000_000))
+    upsert_stream(spark, str(land), dim, ckpt, ["k"], schema,
+                  order_col="seq", delete_col="del")
+    got = {r.k: r.v for r in spark.read.parquet(dim).collect()}
+    assert got == {1: "a", 2: "b"}
+
+
+def test_upsert_stream_crash_recovery(spark, tmp_path):
+    """A crash between the two swap renames must not lose the dimension:
+    _recover_dim restores from `.old` (or a complete `.staging`), and the
+    next stream run merges on top of the recovered history."""
+    import json
+    import os
+    import shutil
+
+    from slice_db_spark.streaming.cdc import _recover_dim, upsert_stream
+
+    land = tmp_path / "changes"
+    land.mkdir()
+    dim = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k bigint, v string, seq bigint, del boolean"
+
+    def write_batch(name, rows, mtime):
+        p = land / name
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    write_batch("b1.jsonl", [
+        {"k": 1, "v": "a", "seq": 1, "del": False},
+        {"k": 2, "v": "b", "seq": 1, "del": False},
+    ], 1_000_000_000)
+    upsert_stream(spark, str(land), dim, ckpt, ["k"], schema,
+                  order_col="seq", delete_col="del")
+
+    # simulate a crash after `dim -> dim.old` but before staging promotion
+    os.replace(dim, dim + ".old")
+    assert not os.path.isdir(dim)
+    _recover_dim(dim)
+    assert {r.k: r.v for r in spark.read.parquet(dim).collect()} == {1: "a", 2: "b"}
+    assert not os.path.isdir(dim + ".old")
+
+    # simulate a crash after promotion was possible only from staging:
+    # dim gone, no .old, but a complete (_SUCCESS) staging copy
+    os.replace(dim, dim + ".staging")
+    _recover_dim(dim)
+    assert {r.k: r.v for r in spark.read.parquet(dim).collect()} == {1: "a", 2: "b"}
+
+    # an INCOMPLETE staging (no _SUCCESS) is never promoted
+    shutil.rmtree(dim + ".staging", ignore_errors=True)
+    os.makedirs(dim + ".staging")
+    saved = dim + ".saved"
+    os.replace(dim, saved)
+    _recover_dim(dim)
+    assert not os.path.isdir(dim)
+    os.replace(saved, dim)
+
+    # the next stream run picks up on top of the recovered dimension
+    write_batch("b2.jsonl", [
+        {"k": 1, "v": "a2", "seq": 2, "del": False},
+        {"k": 3, "v": "c", "seq": 1, "del": False},
+    ], 1_000_000_100)
+    upsert_stream(spark, str(land), dim, ckpt, ["k"], schema,
+                  order_col="seq", delete_col="del")
+    got = {r.k: r.v for r in spark.read.parquet(dim).collect()}
+    assert got == {1: "a2", 2: "b", 3: "c"}

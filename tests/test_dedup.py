@@ -513,3 +513,28 @@ def test_doc_novelty_first_occurrence_order(spark):
     assert got[2]["novelty_ppm"] == 0
     assert got[3]["n_shingles"] == 4 and got[3]["n_novel"] == 2
     assert got[3]["novelty_ppm"] == 500_000
+
+
+def test_incremental_lsh_releases_cached_shingles(spark):
+    """incremental_lsh_pairs(verify=True) persists its two shingle tables;
+    they must be unpersisted once the (small) verified pair frame is
+    materialized — not leak into executor storage for the session's
+    lifetime."""
+    from slice_db_spark.operators.dedup import incremental_lsh_pairs
+
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog %d" % i) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog 3"),
+         (101, "completely unrelated text about spark shuffles and joins")],
+        "doc_id bigint, text string",
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    pairs = incremental_lsh_pairs(new, corpus, threshold=0.5)
+    assert {(r.new_id, r.corpus_id) for r in pairs.collect()} >= {(100, 3)}
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # the eager localCheckpoint of the result may remain (+1); the two
+    # shingle-table persists must be gone
+    assert after - before <= 1

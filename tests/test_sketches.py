@@ -177,3 +177,19 @@ def test_join_size_est_tracks_hot_key(spark):
         del Q._CATALOGS["__jsz__"]
     assert r["exact_join_rows"] == 1000 * 500 + 250
     assert abs(r["est_join_rows"] - r["exact_join_rows"]) / r["exact_join_rows"] < 0.2
+
+
+def test_hist_counts_excludes_nulls(spark):
+    """NULL values must not be clamped into bucket 0: greatest(0, NULL)
+    evaluates to 0 in Spark (greatest/least SKIP null args), which would
+    inflate low-end counts and bias quantile estimates downward."""
+    from slice_db_spark.operators.sketches import hist_counts
+
+    with_nulls = spark.createDataFrame(
+        [(1.0,), (None,), (50.0,), (None,), (99.0,)], "v double"
+    )
+    clean = spark.createDataFrame([(1.0,), (50.0,), (99.0,)], "v double")
+    got = {r.bucket: r.cnt for r in hist_counts(with_nulls, "v", 0, 10000).collect()}
+    want = {r.bucket: r.cnt for r in hist_counts(clean, "v", 0, 10000).collect()}
+    assert got == want
+    assert sum(got.values()) == 3
