@@ -678,8 +678,14 @@ def transform_dataframe(df, columns: dict[str, Transform], *, order_keys: list[s
     from pyspark.sql.functions import pandas_udf
 
     out = df
+    # one analysis pass: every transform preserves its column's Catalyst
+    # type (scrub output is cast back to the original dtype), so the types
+    # read off the INPUT frame stay valid for the whole chain — and
+    # re-reading .dtypes per column would re-analyze a growing plan over
+    # py4j each time
+    dtypes = dict(df.dtypes)
     for col_name, t in columns.items():
-        dtype = dict(out.dtypes)[col_name]
+        dtype = dtypes[col_name]
 
         def make(tf):
             @pandas_udf("string")
@@ -697,9 +703,9 @@ def transform_dataframe(df, columns: dict[str, Transform], *, order_keys: list[s
         eligible = F.col(col_name).isNotNull() & (F.col(col_name).cast("string") != "")
         if exclude:
             eligible = eligible & ~F.col(col_name).cast("string").contains(exclude)
-        sort_keys = [F.col(k) for k in (keys or order_keys or [col_name])]
-        counter_df, counter_col = _global_running_count(out, sort_keys, eligible)
-        dtype = dict(out.dtypes)[col_name]
+        key_names = keys or order_keys or [col_name]
+        counter_df, counter_col = _global_running_count(out, key_names, eligible, dtypes)
+        dtype = dtypes[col_name]
         out = counter_df.withColumn(
             col_name,
             F.when(
@@ -709,36 +715,101 @@ def transform_dataframe(df, columns: dict[str, Transform], *, order_keys: list[s
     return out
 
 
-def _global_running_count(df, sort_keys, eligible):
-    """Running count of eligible rows in global ``sort_keys`` order, computed
-    WITHOUT a single-partition window: range-partition on the keys (partition
-    id order == key order), run the window per partition, then add each
-    partition's broadcast cumulative offset.  The counter value depends only
-    on the global key order, so it is identical to
-    ``sum(...) over (order by keys)`` regardless of where the sampled range
-    boundaries fall — but every partition sorts only its own slice.
+_NUMERIC_KEY_TYPES = ("tinyint", "smallint", "int", "bigint", "float", "double",
+                      "date", "timestamp")
+
+#: equal-depth key boundaries per (analyzed-plan semantic hash, key, buckets):
+#: boundary stats are a pure function of the source data, so a steady-state
+#: pipeline computes them once per dataset — the same memoization contract as
+#: the traversal/LSH pair caches.  Bounded; evicts oldest insertion.
+_BOUNDS_CACHE: dict[tuple, list[float]] = {}
+_BOUNDS_CACHE_MAX = 64
+
+
+def _key_bounds(df, first: str, n_parts: int) -> list[float]:
+    """Deduplicated equal-depth boundaries of ``df[first]`` (as double) from
+    one `approxQuantile` pass over the pruned key column.  Boundaries only
+    need to be *monotone* for the bucket decomposition to be exact, so the
+    loose accuracy and the cache are both correctness-neutral."""
+    from pyspark.sql import functions as F
+
+    keyed = df.select(F.col(first).cast("double").alias("__k"))
+    try:
+        h = keyed._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        h = None
+    ck = (h, first, n_parts)
+    if h is not None and ck in _BOUNDS_CACHE:
+        return _BOUNDS_CACHE[ck]
+    probs = [i / n_parts for i in range(1, n_parts)]
+    bounds = keyed.approxQuantile("__k", probs, 0.01)
+    uniq = sorted({b for b in bounds if b == b})  # drop NaN, dedupe
+    if h is not None:
+        if len(_BOUNDS_CACHE) >= _BOUNDS_CACHE_MAX:
+            _BOUNDS_CACHE.pop(next(iter(_BOUNDS_CACHE)))
+        _BOUNDS_CACHE[ck] = uniq
+    return uniq
+
+
+def _global_running_count(df, key_names, eligible, dtypes=None):
+    """Running count of eligible rows in global ``key_names`` order, computed
+    WITHOUT a single-partition window: split the key space into range
+    buckets, run the window per bucket, then add each bucket's broadcast
+    cumulative eligible-count offset.  The counter value depends only on the
+    global key order, so it is identical to ``sum(...) over (order by keys)``
+    regardless of where the bucket boundaries fall — but every bucket sorts
+    only its own slice.
+
+    Fast path (numeric/temporal first key): the bucket is a PURE FUNCTION of
+    the key value — equal-depth boundaries from one `approxQuantile` pass
+    over the pruned key column.  That keeps the whole computation to a
+    single full-data exchange: the window's hash shuffle on the bucket.  The
+    alternative (`repartitionByRange` + `spark_partition_id`) costs three —
+    the range sampling pass re-evaluates the upstream scrub UDFs over the
+    entire input, the range exchange itself, and a second hash exchange for
+    the window (the `_pid` grouping isn't recognized as satisfied by range
+    partitioning) — which is what regressed `scrub_deterministic` in r4.
 
     Returns ``(df_with_helper_cols, counter_column)``; caller drops the
     ``_pid``/``_local_cnt`` helper columns.
     """
+    import functools
+
     from pyspark.sql import Window, functions as F
 
     n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = df.repartitionByRange(n_parts, *sort_keys).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    sort_cols = [F.col(k) for k in key_names]
+    first = key_names[0]
+    ftype = (dtypes or dict(df.dtypes)).get(first, "")
+    if ftype in _NUMERIC_KEY_TYPES or ftype.startswith("decimal"):
+        uniq = _key_bounds(df, first, n_parts)
+        # NULL > b is NULL -> 0, so NULL keys land in bucket 0, matching
+        # the window's ASC NULLS FIRST ordering
+        bucket = functools.reduce(
+            lambda acc, b: acc
+            + F.when(F.col(first).cast("double") > F.lit(b), 1).otherwise(0),
+            uniq,
+            F.lit(0),
+        )
+        base = df.withColumn("_pid", bucket)
+    else:
+        base = df.repartitionByRange(n_parts, *sort_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     local_w = (
         Window.partitionBy("_pid")
-        .orderBy(*sort_keys)
+        .orderBy(*sort_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    ranged = ranged.withColumn(
+    counted = base.withColumn(
         "_local_cnt", F.sum(F.when(eligible, 1).otherwise(0)).over(local_w)
     )
-    # cumulative eligible-count offset per partition: |partitions| rows, so
-    # the global window and the broadcast join are both trivially small
+    # cumulative eligible-count offset per bucket: partial-aggregated
+    # map-side in the fast path (the bucket is computable before any
+    # shuffle), so only ~n_parts rows ever move; the global window and the
+    # broadcast join are both trivially small
     offsets = (
-        ranged.groupBy("_pid")
+        base.groupBy("_pid")
         .agg(F.sum(F.when(eligible, 1).otherwise(0)).alias("_n"))
         .withColumn(
             "_off",
@@ -753,5 +824,5 @@ def _global_running_count(df, sort_keys, eligible):
         )
         .select("_pid", "_off")
     )
-    joined = ranged.join(F.broadcast(offsets), "_pid")
+    joined = counted.join(F.broadcast(offsets), "_pid")
     return joined, F.col("_local_cnt") + F.col("_off")
