@@ -18,9 +18,10 @@ import __spark_entry__ as entry
 
 from conftest import SF_DIR
 
-#: queries intentionally without an oracle (RNG-backed scrub: Python
-#: Mersenne streams are not expressible in SQL)
-ROWS_ONLY = {"scrub_pseudonym"}
+#: queries intentionally without an oracle — empty since scrub_pseudonym
+#: gained its structural (invariant-predicting) oracle; kept as the
+#: registered escape hatch for genuinely non-SQL-expressible ops
+ROWS_ONLY: set[str] = set()
 
 _SCALAR = (
     T.StringType, T.LongType, T.IntegerType, T.ShortType, T.ByteType,
@@ -64,8 +65,9 @@ def test_verified_from_files_passing_rows_only(tmp_path):
     }))
     bad = tmp_path / "CORRECTNESS_r10.json"
     bad.write_text("{not json")
-    got = _verified_from_files([str(p), str(bad), str(tmp_path / "missing.json")])
-    assert got == {"good", "rows_only"}
+    hashed, rows_only = _verified_from_files([str(p), str(bad), str(tmp_path / "missing.json")])
+    assert hashed == {"good"}
+    assert rows_only == {"rows_only"}
 
 
 def test_driver_prefix_maximally_used():
@@ -91,3 +93,17 @@ def test_driver_prefix_maximally_used():
     r3_pending = [q for q in unverified if q in _R3_ERA]
     assert len(r3_pending) <= 50, "r3 pending set can no longer fit the cap"
     assert all(q in qs[:50] for q in r3_pending)
+
+
+def test_rows_only_name_with_new_oracle_is_demoted():
+    """A name whose only passing driver rows were rows-only (no_oracle)
+    but that NOW has an oracle_sql() entry re-enters the unverified
+    prefix: its hash gate has never been driver-checked."""
+    import __spark_entry__ as e
+    from slice_db_spark.plans.queries import _driver_verified
+
+    # scrub_pseudonym has only no_oracle rows in CORRECTNESS_r01..r04 and
+    # now carries the structural oracle
+    assert "scrub_pseudonym" in e.oracle_sql()
+    assert "scrub_pseudonym" not in _driver_verified()
+    assert list(e.queries())[0] == "scrub_pseudonym"
