@@ -2720,8 +2720,15 @@ def revenue_rollup(spark, sf_dir):
     NOT three separate scans."""
     c = catalog(spark, sf_dir)
     dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    # collapse the fact to order grain FIRST (~4:1 at TPC-H fanout): the
+    # widest shuffle of the chain then moves one row per order instead of
+    # one per line, and decimal partial sums re-aggregate exactly
+    per_order = c["lineitem"].groupBy("l_orderkey").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))).alias("_orev"),
+        F.count(F.lit(1)).alias("_olines"),
+    )
     j = (
-        c["lineitem"]
+        per_order
         .join(c["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(c["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -2729,8 +2736,8 @@ def revenue_rollup(spark, sf_dir):
     return (
         j.rollup("n_name", "o_orderpriority")
         .agg(
-            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))).alias("_rev"),
-            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("_orev").alias("_rev"),
+            F.sum("_olines").alias("n_lines"),
             F.grouping_id().alias("gid"),
         )
         .select(
