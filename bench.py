@@ -378,6 +378,35 @@ def main():
         print(f"# closure (distributed regime): {out['closure_distributed_regime']}",
               file=sys.stderr)
 
+    # restore --jobs: the concurrent per-table write path is correctness-
+    # tested but was never TIMED — record a serial-vs-parallel restore of
+    # the dependency-independent tables so a future serialization
+    # regression (e.g. an accidental global lock around the per-table
+    # writers) shows up as a number.  Reported OUTSIDE the total: it
+    # re-writes the same tables two ways.
+    if os.environ.get("SPARK_GRAFT_BENCH_RESTORE", "1") == "1":
+        import shutil
+        import tempfile
+
+        from slice_db_spark.plans.restore import restore_to_parquet
+        from slice_db_spark.plans.tpch import tpch_schema
+
+        schema = tpch_schema()
+        cat = Q.catalog(spark, sf_dir)
+        # orders/customer/supplier/part share no dependency edge once their
+        # parents are in place, so --jobs can overlap all four writes
+        tables = {t: cat[t] for t in ("region", "nation", "customer",
+                                      "supplier", "part", "orders")}
+        restore_sec = {}
+        for jobs in (1, 4):
+            dst = tempfile.mkdtemp(prefix=f"bench_restore_j{jobs}_")
+            t0 = time.time()
+            restore_to_parquet(tables, schema, dst, jobs=jobs)
+            restore_sec[f"jobs_{jobs}"] = round(time.time() - t0, 3)
+            shutil.rmtree(dst, ignore_errors=True)
+        out["restore_parallel"] = restore_sec
+        print(f"# restore_parallel: {restore_sec}", file=sys.stderr)
+
     print(json.dumps(out))
 
 
