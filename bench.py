@@ -176,6 +176,7 @@ HEADLINE = [
     "media_frames",
     "media_resize",
     "media_pgm_stats",
+    "media_png_stats",
 ]
 
 # dedup/ANN queries re-run against a FACTOR×-scaled corpus so posting-list

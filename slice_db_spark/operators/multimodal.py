@@ -2,10 +2,12 @@
 
 Images/audio/video travel as ``binary`` columns with a metadata struct;
 decode / feature-extraction / resize / frame-sampling run as Arrow-batched
-``mapInPandas`` stages.  The actual codec work is STUBBED (no image/audio
-libraries in this environment — clearly marked below); the Spark-side
-contract — schemas, batch shapes, partitioning behavior — is real and
-tested, so swapping a stub body for PIL/librosa is a local change.
+``mapInPandas`` stages.  FOUR codecs are fully real and dependency-free —
+WAV (PCM16), 24-bit BMP, binary PGM, and PNG (zlib inflate + per-scanline
+unfilter) — while formats that genuinely need external libraries (JPEG,
+video) keep an honest stub (clearly marked below); the Spark-side contract
+— schemas, batch shapes, partitioning behavior — is identical either way,
+so swapping a stub body for PIL/ffmpeg is a local change.
 
 Batch sizing note for 100 TB: payload rows are wide, so cap
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` (the session default
@@ -465,3 +467,239 @@ def pgm_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=PGM_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------- real PNG codec
+# The format a real crawl actually contains.  Dependency-free: chunk
+# framing with CRC32 verification, IDAT inflate via stdlib zlib, and
+# per-scanline unfilter (None/Sub/Up/Average/Paeth per the PNG spec
+# §4.5.4) reconstructed byte-exactly.  Bit depth 8, grayscale (color 0)
+# and truecolor RGB (color 2), non-interlaced — the shapes synthetic and
+# crawl thumbnails actually use.  Replaces the `_stub_decode` path for
+# PNG payloads; the stub remains for formats whose codecs genuinely need
+# external libraries.
+
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_vec(a, b, c):
+    """Vectorized Paeth predictor (PNG spec pseudo-code, numpy int64)."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(width: int, height: int, pixels, row_filters=None) -> bytes:
+    """Minimal PNG writer: uint8 ``(h, w)`` grayscale or ``(h, w, 3)``
+    RGB.  ``row_filters`` picks the per-scanline filter type (default
+    cycles 0..4, so every unfilter branch of the decoder sees real
+    traffic); filtering uses the TRUE pixel values, so it vectorizes."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    bpp = 1 if gray else 3
+    stride = width * bpp
+    if row_filters is None:
+        row_filters = [y % 5 for y in range(height)]
+    flat = px.reshape(height, stride).astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    zeros = np.zeros(bpp, dtype=np.int64)
+    for y in range(height):
+        row = flat[y]
+        left = np.concatenate([zeros, row[:-bpp]]) if stride > bpp else np.zeros_like(row)
+        up_left = np.concatenate([zeros, prev[:-bpp]]) if stride > bpp else np.zeros_like(row)
+        ft = int(row_filters[y]) % 5
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = left
+        elif ft == 2:
+            pred = prev
+        elif ft == 3:
+            pred = (left + prev) >> 1
+        else:
+            pred = _paeth_vec(left, prev, up_left)
+        raw.append(ft)
+        raw += ((row - pred) & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0 if gray else 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Minimal PNG parser → ``(width, height, numpy uint8 (h, w) or
+    (h, w, 3))``.  Verifies chunk CRCs, inflates the concatenated IDAT
+    stream, and reconstructs each scanline per its filter byte.  Raises
+    ``ValueError`` for malformed payloads or layouts outside bit-depth-8
+    gray/RGB non-interlaced (quarantine rows)."""
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, seen_end = 8, None, bytearray(), False
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln or pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + ln
+    if ihdr is None or not seen_end:
+        raise ValueError("missing IHDR/IEND")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color not in (0, 2) or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={color} interlace={interlace}"
+        )
+    bpp = 1 if color == 0 else 3
+    stride = w * bpp
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    recon = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        base = y * (stride + 1)
+        ft = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ft == 0:
+            pass
+        elif ft == 1:
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        recon += line
+        prev = bytes(line)
+    arr = np.frombuffer(bytes(recon), dtype=np.uint8)
+    return w, h, arr.reshape(h, w) if color == 0 else arr.reshape(h, w, 3)
+
+
+def synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic grayscale PNG per row: ``w = 8 + k mod 9``,
+    ``h = 8 + (3k) mod 7``, pixel (x, y) = ``(7k + 3x + 5y) mod 256``;
+    the per-scanline filter cycles ``(k + y) mod 5`` so the corpus as a
+    whole exercises every filter type.  Pure arithmetic, SQL-mirrorable."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                w, h = 8 + k % 9, 8 + (3 * k) % 7
+                ys, xs = np.mgrid[0:h, 0:w]
+                px = ((7 * k + 3 * xs + 5 * ys) % 256).astype(np.uint8)
+                payload = encode_png(w, h, px, row_filters=[(k + y) % 5 for y in range(h)])
+                rows.append((k, "image", payload, "png", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def resize_png(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL resize on the PNG byte path: decode → nearest-neighbor index
+    (``src = (dst · src_extent) // dst_extent``) → re-encode.  Same
+    MEDIA_SCHEMA in and out, like :func:`resize_bmp`."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                w, h, px = decode_png(bytes(payload))
+                sx = (np.arange(width) * w) // width
+                sy = (np.arange(height) * h) // height
+                out_px = px[sy[:, None], sx[None, :]]
+                out = encode_png(width, height, out_px)
+                rows.append((int(mid), kind, out, "png", len(out)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+PNG_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_px", LongType()),
+        StructField("max_px", LongType()),
+        StructField("ds2_sum", LongType()),
+    ]
+)
+
+
+def png_stats(df: DataFrame) -> DataFrame:
+    """REAL decode + numpy 2× downsample over the PNG byte path: inflate,
+    unfilter, then report exact integer pixel statistics (same contract
+    as :func:`pgm_stats`, so the oracle arithmetic carries over)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_png(bytes(payload))
+                ds = px[::2, ::2]
+                out.append(
+                    (int(mid), w, h, int(px.sum()), int(px.max()), int(ds.sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "sum_px", "max_px", "ds2_sum"],
+            )
+
+    return df.mapInPandas(run, schema=PNG_STATS_SCHEMA)

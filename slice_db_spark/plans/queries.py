@@ -3808,6 +3808,17 @@ def media_pgm_stats(spark, sf_dir):
     return multimodal.pgm_stats(multimodal.synth_pgm(docs))
 
 
+def media_png_stats(spark, sf_dir):
+    """REAL codec gate #4 — the format a crawl actually contains: PNGs
+    synthesized from doc_id arithmetic (scanline filters cycling through
+    None/Sub/Up/Average/Paeth across the corpus), then chunk-parsed,
+    CRC-checked, zlib-inflated, and unfiltered back to pixels.  Any
+    filter-reconstruction, chunk-framing, or deflate bug breaks the
+    arithmetic hash match."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.png_stats(multimodal.synth_png(docs))
+
+
 # =====================================================================
 # Oracle SQL (DuckDB dialect, same parquet views)
 # =====================================================================
@@ -6212,6 +6223,31 @@ FROM d
         FROM px JOIN ds ON ds.media_id = px.media_id
     """)
 
+    o["media_png_stats"] = _q("""
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS media_id,
+                 CAST(8 + doc_id % 9 AS BIGINT) AS w,
+                 CAST(8 + (3 * doc_id) % 7 AS BIGINT) AS h
+          FROM documents),
+        px AS (
+          SELECT media_id, w, h,
+                 list_transform(range(0, CAST(w * h AS INT)),
+                   i -> (media_id * 7 + (i % w) * 3 + (i // w) * 5) % 256) AS p
+          FROM d),
+        ds AS (
+          SELECT media_id,
+                 list_sum(list_transform(
+                   list_filter(range(0, CAST(w * h AS INT)),
+                               i -> (i % w) % 2 = 0 AND (i // w) % 2 = 0),
+                   i -> (media_id * 7 + (i % w) * 3 + (i // w) * 5) % 256)) AS dsum
+          FROM px)
+        SELECT px.media_id, w AS width, h AS height,
+               CAST(list_sum(p) AS BIGINT) AS sum_px,
+               CAST(list_max(p) AS BIGINT) AS max_px,
+               CAST(dsum AS BIGINT) AS ds2_sum
+        FROM px JOIN ds ON ds.media_id = px.media_id
+    """)
+
     o["cohort_ltv"] = _q("""
         WITH wk AS (SELECT DISTINCT user_id,
                       CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk
@@ -7044,4 +7080,7 @@ def _all_queries():
         "media_wav_stats": media_wav_stats,
         "media_pgm_stats": media_pgm_stats,
         "media_bmp_resize": media_bmp_resize,
+        # r5 additions stay LAST: the driver's 50-entry correctness window
+        # must clear the older unverified names first (consolidation round)
+        "media_png_stats": media_png_stats,
     }
