@@ -177,6 +177,8 @@ HEADLINE = [
     "media_resize",
     "media_pgm_stats",
     "media_png_stats",
+    "url_canonical",
+    "domain_stats",
 ]
 
 # dedup/ANN queries re-run against a FACTOR×-scaled corpus so posting-list

@@ -473,3 +473,99 @@ def markup_stats(
         F.length(extracted).alias("extracted_chars"),
         tags.cast("bigint").alias("n_tags"),
     )
+
+
+# --------------------------------------------------------------- URL curation
+# The stage every crawl pipeline runs BEFORE text dedup: canonicalize the
+# page URL (scheme/host case, default ports, tracking params, fragments,
+# duplicate slashes) so per-URL dedup and per-domain aggregation key on
+# stable identities.  Pure JVM codegen — `parse_url` + regexp + one
+# higher-order filter over the split query string; no Python in the path.
+
+#: query parameters that track campaigns/clicks, not content identity
+URL_TRACKING_RE = "^(utm_[a-zA-Z0-9]+|fbclid|gclid|msclkid|ref|ref_src)="
+
+
+def synth_url(df: DataFrame, id_col: str = "doc_id", source_col: str = "source") -> DataFrame:
+    """Deterministic messy URL per document (the fixture corpus carries no
+    URL column): mixed-case scheme/host, default AND non-default ports,
+    duplicate path slashes, tracking params interleaved with real ones,
+    fragments — everything :func:`canonicalize_url` must handle, all from
+    ``doc_id`` arithmetic so an SQL oracle can construct the same strings."""
+    k = F.col(id_col)
+    s = F.col(source_col)
+    proto = F.when(k % 3 == 0, "HTTPS").otherwise("http")
+    tld = (
+        F.when(k % 4 == 0, "COM")
+        .when(k % 4 == 1, "org")
+        .when(k % 4 == 2, "Net")
+        .otherwise("io")
+    )
+    host = F.concat(F.lit("WWW."), F.upper(s), F.lit(".Site"), (k % 7).cast("string"),
+                    F.lit("."), tld)
+    port = (
+        F.when(k % 3 == 0, F.when(k % 2 == 0, ":443").otherwise(""))
+        .when(k % 5 == 0, ":80")
+        .when(k % 17 == 0, ":8080")
+        .otherwise("")
+    )
+    path = F.concat(
+        F.when(k % 11 == 0, "//Articles//").otherwise("/Articles/"), k.cast("string")
+    )
+    query = (
+        F.when(k % 13 == 0, "")
+        .when(k % 2 == 0, F.concat(F.lit("?utm_source=feed&id="), k.cast("string"),
+                                   F.lit("&gclid=abc")))
+        .otherwise(F.concat(F.lit("?id="), k.cast("string"),
+                            F.lit("&utm_campaign=Spring&page="), (k % 5).cast("string")))
+    )
+    frag = F.when(k % 3 == 1, F.concat(F.lit("#sec-"), (k % 4).cast("string"))).otherwise("")
+    return df.withColumn("url", F.concat(proto, F.lit("://"), host, port, path, query, frag))
+
+
+def canonicalize_url(df: DataFrame, url_col: str = "url", out_col: str = "canon_url") -> DataFrame:
+    """Canonical form: lowercase scheme+host, strip default ports (keep
+    non-default), collapse duplicate path slashes, drop the fragment, and
+    remove tracking query params while preserving the order of the rest.
+    Adds ``host`` and registrable ``domain`` columns alongside."""
+    u = F.col(url_col)
+    proto = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    port = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:([0-9]+)", 1)
+    keep_port = (
+        (port != "")
+        & ~((proto == "http") & (port == "80"))
+        & ~((proto == "https") & (port == "443"))
+    )
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, "/{2,}", "/")
+    path = F.when(path == "", "/").otherwise(path)
+    query = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    kept = F.array_join(
+        F.filter(
+            F.split(query, "&"),
+            lambda x: (x != "") & ~x.rlike(URL_TRACKING_RE),
+        ),
+        "&",
+    )
+    canon = F.concat(
+        proto,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(""),
+        path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(""),
+    )
+    return (
+        df.withColumn("host", host)
+        .withColumn("domain", registrable_domain(host))
+        .withColumn(out_col, canon)
+    )
+
+
+def registrable_domain(host_col) -> Column:
+    """Last two host labels — the registrable-domain approximation a
+    blocklist keys on.  (A production build swaps in the public-suffix
+    list; the aggregation shape is identical.)"""
+    c = F.col(host_col) if isinstance(host_col, str) else host_col
+    return F.regexp_extract(c, "([^.]+[.][^.]+)$", 1)

@@ -3819,6 +3819,59 @@ def media_png_stats(spark, sf_dir):
     return multimodal.png_stats(multimodal.synth_png(docs))
 
 
+def url_canonical(spark, sf_dir):
+    """Crawl-layer URL canonicalization (the stage before every text
+    dedup): lowercase scheme/host, strip default ports (keep :8080),
+    collapse duplicate path slashes, drop fragments and tracking params
+    while preserving the remaining query order.  Pure JVM codegen
+    (`parse_url` + regexp + one higher-order filter); the oracle
+    constructs the expected canonical strings independently from the
+    same doc_id arithmetic, so either side's parsing bug breaks the
+    hash."""
+    docs = catalog(spark, sf_dir)["documents"]
+    u = curation.canonicalize_url(curation.synth_url(docs))
+    return u.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "url", "canon_url", "domain"
+    )
+
+
+def domain_stats(spark, sf_dir):
+    """Per-registrable-domain corpus report: doc counts, near-dup share
+    (membership in the memoized 0.5-Jaccard pair graph), and mean quality
+    in fixed-point ppm — the aggregation a domain blocklist decision
+    reads.  One groupBy over metadata-narrow columns; the pair graph is
+    the shared pipeline stage other analytics already reuse."""
+    docs = catalog(spark, sf_dir)["documents"]
+    dom = curation.canonicalize_url(curation.synth_url(docs)).select("doc_id", "domain")
+    q = textops.quality_score(docs).select(
+        "doc_id",
+        F.floor(F.lit(1e6) * F.col("quality_score")).cast("bigint").alias("__q_ppm"),
+    )
+    pairs = _jaccard_pairs_05(spark, sf_dir)
+    dup_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    g = (
+        dom.join(q, "doc_id")
+        .join(dup_ids, "doc_id", "left")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0))).alias("dup_docs"),
+            F.sum("__q_ppm").alias("__qs"),
+        )
+    )
+    return g.select(
+        "domain",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("dup_docs").cast("bigint").alias("dup_docs"),
+        F.expr("__qs div n_docs").cast("bigint").alias("q_mean_ppm"),
+    )
+
+
 # =====================================================================
 # Oracle SQL (DuckDB dialect, same parquet views)
 # =====================================================================
@@ -6781,6 +6834,69 @@ FROM m
         FROM r
     """)
 
+    # URL curation oracles: the oracle does NOT mirror the Spark regex —
+    # it constructs the expected canonical strings directly from the same
+    # doc_id arithmetic the synthesizer uses, so a parsing bug on either
+    # side breaks the match.
+    _url_raw = """
+        (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END)
+        || '://WWW.' || upper(source) || '.Site' || CAST(doc_id % 7 AS VARCHAR) || '.'
+        || (CASE WHEN doc_id % 4 = 0 THEN 'COM' WHEN doc_id % 4 = 1 THEN 'org'
+                 WHEN doc_id % 4 = 2 THEN 'Net' ELSE 'io' END)
+        || (CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END)
+                 WHEN doc_id % 5 = 0 THEN ':80'
+                 WHEN doc_id % 17 = 0 THEN ':8080' ELSE '' END)
+        || (CASE WHEN doc_id % 11 = 0 THEN '//Articles//' ELSE '/Articles/' END)
+        || CAST(doc_id AS VARCHAR)
+        || (CASE WHEN doc_id % 13 = 0 THEN ''
+                 WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&gclid=abc'
+                 ELSE '?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=Spring&page='
+                      || CAST(doc_id % 5 AS VARCHAR) END)
+        || (CASE WHEN doc_id % 3 = 1 THEN '#sec-' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END)
+    """
+    _url_canon = """
+        (CASE WHEN doc_id % 3 = 0 THEN 'https' ELSE 'http' END)
+        || '://www.' || source || '.site' || CAST(doc_id % 7 AS VARCHAR) || '.'
+        || (CASE WHEN doc_id % 4 = 0 THEN 'com' WHEN doc_id % 4 = 1 THEN 'org'
+                 WHEN doc_id % 4 = 2 THEN 'net' ELSE 'io' END)
+        || (CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 <> 0 AND doc_id % 17 = 0
+                 THEN ':8080' ELSE '' END)
+        || '/Articles/' || CAST(doc_id AS VARCHAR)
+        || (CASE WHEN doc_id % 13 = 0 THEN ''
+                 WHEN doc_id % 2 = 0 THEN '?id=' || CAST(doc_id AS VARCHAR)
+                 ELSE '?id=' || CAST(doc_id AS VARCHAR) || '&page='
+                      || CAST(doc_id % 5 AS VARCHAR) END)
+    """
+    _url_domain = """
+        'site' || CAST(doc_id % 7 AS VARCHAR) || '.'
+        || (CASE WHEN doc_id % 4 = 0 THEN 'com' WHEN doc_id % 4 = 1 THEN 'org'
+                 WHEN doc_id % 4 = 2 THEN 'net' ELSE 'io' END)
+    """
+    o["url_canonical"] = _q(f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               {_url_raw} AS url,
+               {_url_canon} AS canon_url,
+               {_url_domain} AS domain
+        FROM documents
+    """)
+
+    o["domain_stats"] = f"""
+WITH q AS ({o["quality"]}),
+{_jaccard_pairs_cte(0.5, JACCARD_MAX_DF)},
+dup AS (SELECT DISTINCT doc_id
+        FROM (SELECT id_a AS doc_id FROM jp UNION ALL SELECT id_b FROM jp)),
+dom AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id, {_url_domain} AS domain
+        FROM documents d)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+       CAST(sum(CAST(floor(1e6 * q.quality_score) AS BIGINT)) // count(*) AS BIGINT) AS q_mean_ppm
+FROM dom
+JOIN q ON q.doc_id = dom.doc_id
+LEFT JOIN dup ON dup.doc_id = dom.doc_id
+GROUP BY domain
+"""
+
     return o
 
 
@@ -7083,4 +7199,6 @@ def _all_queries():
         # r5 additions stay LAST: the driver's 50-entry correctness window
         # must clear the older unverified names first (consolidation round)
         "media_png_stats": media_png_stats,
+        "url_canonical": url_canonical,
+        "domain_stats": domain_stats,
     }

@@ -365,3 +365,56 @@ def test_k_anonymity_flags_small_groups(spark):
     assert got[(0, "A")]["group_n"] == 1 and got[(0, "A")]["at_risk"] == 1
     g = got[(1, "B")]
     assert g["group_n"] == 6 and g["l_diversity"] == 3 and g["at_risk"] == 0
+
+
+# --------------------------------------------------------------- URL curation
+
+
+def test_canonicalize_url_crafted_cases(spark):
+    from slice_db_spark.operators.curation import canonicalize_url
+
+    cases = [
+        # scheme+host lowercase, default https port stripped, fragment dropped
+        ("HTTPS://WWW.Example.COM:443/A/B#frag", "https://www.example.com/A/B"),
+        # default http port stripped
+        ("http://site.ORG:80/x", "http://site.org/x"),
+        # NON-default port kept
+        ("http://site.org:8080/x", "http://site.org:8080/x"),
+        # tracking params stripped, remaining order preserved
+        ("http://a.com/p?utm_source=s&id=7&gclid=g&page=2&utm_campaign=c",
+         "http://a.com/p?id=7&page=2"),
+        # all params tracking -> no query at all
+        ("http://a.com/p?utm_source=s&fbclid=f", "http://a.com/p"),
+        # duplicate slashes collapse; empty path becomes /
+        ("http://a.com//x///y", "http://a.com/x/y"),
+        ("http://a.com", "http://a.com/"),
+        # case of PATH is preserved (URLs are path-case-sensitive)
+        ("http://a.com/CaseSensitive/Path", "http://a.com/CaseSensitive/Path"),
+        # ref is tracking; a param merely CONTAINING ref is not
+        ("http://a.com/p?ref=x&prefix=keep", "http://a.com/p?prefix=keep"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i int, url string")
+    got = {r.i: (r.canon_url, r.domain) for r in canonicalize_url(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i][0] == want, (cases[i][0], got[i][0], want)
+    assert got[0][1] == "example.com"
+    assert got[1][1] == "site.org"
+
+
+def test_registrable_domain_and_url_dedup_keying(spark):
+    """Canonicalization makes URL-identity dedup work: raw variants of the
+    same page collapse to one canonical key."""
+    from pyspark.sql import functions as F
+
+    from slice_db_spark.operators.curation import canonicalize_url
+
+    variants = [
+        "http://News.Example.com/story/42?utm_source=tw",
+        "HTTP://news.example.COM:80/story/42",
+        "http://news.example.com//story//42#top",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    out = canonicalize_url(df)
+    assert out.select("canon_url").distinct().count() == 1
+    assert out.select("domain").distinct().collect()[0][0] == "example.com"
+    assert out.agg(F.count_distinct("host")).first()[0] == 1
