@@ -1993,11 +1993,19 @@ def events_heatmap(spark, sf_dir):
 def customer_abc(spark, sf_dir):
     """ABC revenue classification: customers sorted by revenue, classed
     A/B/C at the 80% / 95% cumulative-share breakpoints — inventory-
-    analysis Pareto banding at the customer grain.  The window runs
-    over the PER-CUSTOMER aggregate (fact volume collapses first; the
-    frame is |customers|, the same post-agg regime as the decile and
-    Pareto reports), with exact integer cents and ``cum·100 ≤ tot·80``
-    DECIMAL-free integer comparisons — no share division ever happens."""
+    analysis Pareto banding at the customer grain, with exact integer
+    cents and ``cum·100 ≤ tot·80`` DECIMAL-free integer comparisons — no
+    share division ever happens.
+
+    Scale shape (two-pass, NO global window): the cumulative order is
+    decomposed into revenue-range buckets (equal-depth boundaries from
+    one `approxQuantile` over the checkpointed per-customer frame), the
+    running sum runs per bucket, and each bucket's offset — the total of
+    all higher-revenue buckets — is a ~|buckets|-row collect folded back
+    as a literal map.  The cumulative value depends only on the global
+    (revenue DESC, custkey ASC) order, so bucket boundaries are
+    correctness-neutral; every partition sorts only its own slice even
+    when the customer grain itself is cluster-sized."""
     from pyspark.sql import Window
 
     o = catalog(spark, sf_dir)["orders"]
@@ -2005,12 +2013,37 @@ def customer_abc(spark, sf_dir):
     per = o.groupBy("o_custkey").agg(
         F.round(F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("__cents")
     )
-    per = per.localCheckpoint(eager=True)  # total scalar + ranked window
+    per = per.localCheckpoint(eager=True)  # total scalar + bounds + window
     (tot,) = per.agg(F.sum("__cents")).first()
-    w = Window.orderBy(F.desc("__cents"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    bounds = per.selectExpr("CAST(__cents AS DOUBLE) AS __k").approxQuantile(
+        "__k", [i / n_parts for i in range(1, n_parts)], 0.01
     )
-    ranked = per.withColumn("__cum", F.sum("__cents").over(w))
+    import functools
+
+    bucket = functools.reduce(
+        lambda acc, b: acc + F.when(F.col("__cents") < F.lit(b), 1).otherwise(0),
+        sorted({b for b in bounds if b == b}),
+        F.lit(0),
+    )  # higher revenue -> fewer boundaries above -> LOWER bucket id
+    bucketed = per.withColumn("__b", bucket)
+    sums = {
+        r["__b"]: r["__s"]
+        for r in bucketed.groupBy("__b").agg(F.sum("__cents").alias("__s")).collect()
+    }  # metadata-sized (<= n_parts rows)
+    running, offsets = 0, {}
+    for b in sorted(sums):
+        offsets[b] = running
+        running += sums[b]
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("__b")
+    )
+    w = (
+        Window.partitionBy("__b")
+        .orderBy(F.desc("__cents"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = bucketed.withColumn("__cum", F.sum("__cents").over(w) + off_expr)
     cls = (
         F.when(F.col("__cum") * 100 <= F.lit(int(tot)) * 80, F.lit("A"))
         .when(F.col("__cum") * 100 <= F.lit(int(tot)) * 95, F.lit("B"))

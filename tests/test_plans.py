@@ -212,6 +212,10 @@ _ALLOWED_NESTED_LOOP = {"ann_brute", "knn_classify"}
 #:    per calendar month, bounded by time span not data volume
 _ALLOWED_GLOBAL_WINDOW = {
     "q3_top_orders",
+    # scrub_deterministic: the data-grain counter window is bucket-
+    # partitioned (transforms._global_running_count); the remaining
+    # unpartitioned window is the per-bucket offset cumulation over a
+    # <= |shuffle partitions|-row frame
     "scrub_deterministic",
     "revenue_mom",
     # sketch_quantile: the cumulative window runs over the 128-row
@@ -221,10 +225,10 @@ _ALLOWED_GLOBAL_WINDOW = {
     # jaccard_threshold_sweep: cumulative window over the <=5-row band
     # frame (post-aggregation), not over pairs
     "jaccard_threshold_sweep",
-    # customer_abc: cumulative window over the per-customer AGGREGATE
-    # (facts collapse first; |customers|-sized frame, the decile/Pareto
-    # post-agg regime)
-    "customer_abc",
+    # customer_abc graduated OUT of this list: its cumulative order now
+    # decomposes into revenue-range buckets with a metadata-sized offset
+    # collect (the two-pass shape) — the template for any future
+    # cumulative over a data-volume-sized frame
 }
 
 #: queries whose plan must keep a NON-EMPTY PushedFilters on a parquet scan
