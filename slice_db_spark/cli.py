@@ -363,10 +363,42 @@ def cmd_curate(args) -> int:
     from .sources.corpus import read_corpus, split_corrupt, write_corpus
 
     spark = get_spark("slicedb-curate")
-    raw = read_corpus(spark, args.input, fmt=args.input_format)
+    schema = None
+    if args.url_dedup:
+        # the corpus reader parses with a DECLARED schema; extend it with
+        # the URL column so the crawl metadata survives the parse
+        from pyspark.sql import types as T
+
+        from .sources.corpus import DOCUMENTS_SCHEMA
+
+        schema = T.StructType(
+            list(DOCUMENTS_SCHEMA) + [T.StructField(args.url_dedup, T.StringType())]
+        )
+    raw = read_corpus(spark, args.input, fmt=args.input_format,
+                      **({"schema": schema} if schema is not None else {}))
     docs, bad = split_corrupt(raw)
     docs = docs.persist()
     report = {"input_rows": docs.count(), "corrupt_rows": bad.count()}
+
+    if args.url_dedup:
+        # crawl order: canonicalize the URL column and collapse exact
+        # canonical-URL duplicates (min doc_id wins) BEFORE any text work —
+        # refetches of the same page never reach the expensive stages
+        from .operators.curation import canonicalize_url
+
+        # rows with a NULL url (field absent in the source) pass through
+        # untouched — they carry no fetch identity to collapse on
+        canon = canonicalize_url(docs, url_col=args.url_dedup)
+        with_url = canon.where(F.col(args.url_dedup).isNotNull())
+        no_url = canon.where(F.col(args.url_dedup).isNull())
+        url_winners = with_url.groupBy("canon_url").agg(F.min("doc_id").alias("doc_id"))
+        docs = (
+            with_url.join(url_winners.select("doc_id"), "doc_id", "left_semi")
+            .unionByName(no_url)
+            .drop("host", "domain", "canon_url")
+            .persist()
+        )
+        report["after_url_dedup"] = docs.count()
 
     scored = textops.quality_score(docs).select("doc_id", "quality_score")
     kept_ids = scored.where(F.col("quality_score") >= args.quality_min)
@@ -884,6 +916,13 @@ def main(argv: list[str] | None = None) -> int:
         "exact and fuzzy stages; fully-duplicated documents drop",
     )
     cu.add_argument("--chunk-tokens", type=int, default=20)
+    cu.add_argument(
+        "--url-dedup",
+        metavar="COLUMN",
+        default=None,
+        help="canonicalize the given URL column and drop exact "
+        "canonical-URL duplicates before any text stage (crawl order)",
+    )
     cu.add_argument("--shards", type=int, default=None)
     cu.add_argument("input", help="corpus path (documents shape)")
     cu.add_argument("output", help="curated corpus output path")

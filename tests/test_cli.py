@@ -38,11 +38,11 @@ def transform_json(tmp_path_factory):
     return str(p)
 
 
-def run_cli(*argv) -> str:
+def run_cli(*argv, expect_rc: int = 0) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
         rc = cli.main(list(argv))
-    assert rc == 0
+    assert rc == expect_rc
     return buf.getvalue()
 
 
@@ -573,7 +573,10 @@ def test_dump_restore_orc_format(spark, schema_json, tmp_path):
 def test_queries_and_plan_cli(spark, capsys):
     out = run_cli("queries")
     lines = dict(l.split("\t") for l in out.strip().splitlines())
-    assert lines["root_scan"] == "oracle" and lines["scrub_pseudonym"] == "rows-only"
+    # scrub_pseudonym gained its structural oracle in r5 — nothing is
+    # rows-only anymore
+    assert lines["root_scan"] == "oracle" and lines["scrub_pseudonym"] == "oracle"
+    assert "rows-only" not in lines.values()
     assert len(lines) >= 90
     # plan: formatted explain of a registered query reaches stdout
     import io
@@ -687,3 +690,47 @@ def test_restore_dry_run_plan_only(spark, schema_json, tmp_path):
     assert rep["order"].index("customer") < rep["order"].index("orders")
     assert rep["rows"]["customer"] > 0
     assert not os.path.exists(out_dir)
+
+
+def test_curate_cli_url_dedup_stage(spark, tmp_path):
+    """--url-dedup collapses canonical-URL refetches (tracking params,
+    case, default ports, fragments) before any text stage; min doc_id
+    wins and the output schema matches the input."""
+    src = tmp_path / "crawl"
+    rows = [
+        # three fetches of the SAME page (different raw URLs), distinct text
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta", "lang": "en",
+         "source": "web", "n_chars": 35,
+         "url": "http://News.Example.com/story/42?utm_source=tw"},
+        {"doc_id": 2, "text": "completely different second document text", "lang": "en",
+         "source": "web", "n_chars": 42,
+         "url": "HTTP://news.example.COM:80/story/42#top"},
+        {"doc_id": 3, "text": "a third unrelated document body here", "lang": "en",
+         "source": "web", "n_chars": 37,
+         "url": "http://news.example.com/story/42?fbclid=x"},
+        # a different page survives alongside
+        {"doc_id": 4, "text": "the quick brown fox jumps over the lazy dog", "lang": "en",
+         "source": "web", "n_chars": 44,
+         "url": "http://news.example.com/story/43"},
+        # no url field at all: no fetch identity, passes through untouched
+        {"doc_id": 5, "text": "document without any url metadata attached", "lang": "en",
+         "source": "web", "n_chars": 43},
+    ]
+    src.mkdir()
+    (src / "part.jsonl").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = str(tmp_path / "curated_url")
+    report = json.loads(
+        run_cli(
+            "curate",
+            "--input-format", "jsonl",
+            "--url-dedup", "url",
+            "--quality-min", "0.0",
+            str(src),
+            out,
+        )
+    )
+    assert report["after_url_dedup"] == 3
+    back = spark.read.parquet(out)
+    kept = {r.doc_id for r in back.select("doc_id").collect()}
+    assert kept == {1, 4, 5}  # min doc_id per canonical URL; null-url passes through
+    assert "url" in back.columns and "canon_url" not in back.columns
