@@ -86,17 +86,55 @@ def _stub_decode(payload: bytes, n_features: int = 8) -> tuple[int, int, int, li
     return width, height, n_frames, features
 
 
+def _real_decode(fmt: str, payload: bytes, n_features: int):
+    """Dispatch to a real codec by the format column.  Images report true
+    dimensions and ``n_features`` luminance row-band means in [0, 1];
+    audio reports (n_samples, 1) and band mean-absolute amplitudes.
+    Returns None for formats without a real codec (stub fallback)."""
+    import numpy as np
+
+    if fmt == "wav":
+        _, samples = decode_wav(payload)
+        arr = np.abs(np.asarray(samples, dtype=np.float64)) / 32768.0
+        bands = np.array_split(arr, n_features)
+        feats = [float(b.mean()) if len(b) else 0.0 for b in bands]
+        return len(samples), 1, 1, feats
+    if fmt == "png":
+        w, h, px = decode_png(payload)
+    elif fmt == "bmp":
+        w, h, px = decode_bmp(payload)
+    elif fmt == "pgm":
+        w, h, px = decode_pgm(payload)
+    else:
+        return None
+    lum = px.astype(np.float64)
+    if lum.ndim == 3:
+        lum = lum.mean(axis=2)
+    bands = np.array_split(lum, n_features, axis=0)
+    feats = [float(b.mean()) / 255.0 if b.size else 0.0 for b in bands]
+    return w, h, 1, feats
+
+
 def decode_media(df: DataFrame, n_features: int = 8) -> DataFrame:
     """Decode/feature-extract media payloads via Arrow-batched mapInPandas.
 
     Input rows follow MEDIA_SCHEMA; output DECODED_SCHEMA.  One Python
     worker per partition, Arrow transfer both ways; payload column is
     dropped as early as possible so only features shuffle downstream.
-    """
+
+    Formats with a real codec in this repo — ``wav``, ``bmp``, ``pgm``,
+    ``png`` — decode for real (true dimensions + band features); anything
+    else goes through the clearly-marked deterministic stub, so the
+    generic entry point is exactly what a PIL/ffmpeg deployment would
+    ship, minus the library-gated formats.  Malformed payloads of a known
+    format raise (codec ``ValueError``) — quarantine upstream."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_stub_decode(p, n_features) for p in pdf["payload"]]
+            decoded = []
+            for fmt, p in zip(pdf["format"], pdf["payload"]):
+                d = _real_decode(fmt, bytes(p) if p is not None else b"", n_features)
+                decoded.append(d if d is not None else _stub_decode(p, n_features))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -220,3 +220,36 @@ def test_png_resize_and_stats_pipeline(spark):
         assert (r.width, r.height) == (5, 4)
         assert r.sum_px == int(want.sum())
         assert r.ds2_sum == int(want[::2, ::2].sum())
+
+
+def test_decode_media_dispatches_real_codecs(spark):
+    """The GENERIC decode entry point decodes real formats for real: true
+    dimensions and in-range band features for png/bmp/pgm/wav payloads,
+    stub path untouched for unknown formats."""
+    from slice_db_spark.operators import multimodal as mm
+
+    ids = spark.createDataFrame([(k,) for k in range(6)], "doc_id bigint")
+    for synth, fmt, dims in [
+        (mm.synth_png, "png", lambda k: (8 + k % 9, 8 + (3 * k) % 7)),
+        (mm.synth_bmp, "bmp", lambda k: (8 + k % 9, 8 + (3 * k) % 9)),
+        (mm.synth_pgm, "pgm", lambda k: (8 + k % 9, 8 + k % 7)),
+    ]:
+        got = {r.media_id: r for r in mm.decode_media(synth(ids)).collect()}
+        for k in range(6):
+            w, h = dims(k)
+            r = got[k]
+            assert (r.width, r.height, r.n_frames) == (w, h, 1), (fmt, k)
+            assert len(r.features) == 8
+            assert all(0.0 <= f <= 1.0 for f in r.features), (fmt, k)
+
+    wav = {r.media_id: r for r in mm.decode_media(mm.synth_wav(ids)).collect()}
+    for k in range(6):
+        assert wav[k].height == 1 and wav[k].width > 0
+        assert all(0.0 <= f <= 1.0 for f in wav[k].features)
+
+    # unknown format: deterministic stub (unchanged contract)
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id bigint, text string")
+    stub = mm.decode_media(mm.attach_payload(docs, "doc_id", "text")).collect()[0]
+    from slice_db_spark.operators.multimodal import _stub_decode
+    want = _stub_decode(b"hello world")
+    assert (stub.width, stub.height, stub.n_frames) == want[:3]
