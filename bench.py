@@ -335,6 +335,26 @@ def main():
         "sf": sf,
     }
 
+    # Progressive checkpoint: the full run (headline + sweep + closure +
+    # restore) can outlive a caller's capture window (the round-4 driver
+    # artifact was a truncated tail, parsed: null) — so every completed
+    # section also lands in a local JSON file that survives truncation.
+    ckpt_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+
+    def checkpoint():
+        if not ckpt_path:
+            return
+        try:
+            tmp = ckpt_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(out, f)
+                f.write("\n")
+            os.replace(tmp, ckpt_path)
+        except OSError:
+            pass
+
+    checkpoint()
+
     factor = int(os.environ.get("SPARK_GRAFT_SWEEP", "4"))
     if factor > 1:
         import tempfile
@@ -354,6 +374,7 @@ def main():
             "base": {k: times[k] for k in SWEEP if k in times},
             "queries": sweep_times,
         }
+        checkpoint()
 
     # The headline closure runs the driver regime (the small-slice path).
     # Time the DISTRIBUTED regime once too — the 100 TB path (DataFrame
@@ -380,6 +401,7 @@ def main():
         }
         print(f"# closure (distributed regime): {out['closure_distributed_regime']}",
               file=sys.stderr)
+        checkpoint()
 
     # restore --jobs: the concurrent per-table write path is correctness-
     # tested but was never TIMED — record a serial-vs-parallel restore of
@@ -409,6 +431,7 @@ def main():
             shutil.rmtree(dst, ignore_errors=True)
         out["restore_parallel"] = restore_sec
         print(f"# restore_parallel: {restore_sec}", file=sys.stderr)
+        checkpoint()
 
     print(json.dumps(out))
 
