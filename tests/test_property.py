@@ -409,3 +409,48 @@ def test_weighted_sample_inclusion_scales_with_weight(spark):
     light_rate = len(s1 - heavy) / 1800
     assert heavy_rate > 4 * light_rate
     assert heavy_rate > 0.5
+
+
+# ------------------------------------------------------------- PNG codec
+
+_png_shape = st.tuples(
+    st.integers(min_value=1, max_value=12),   # width
+    st.integers(min_value=1, max_value=12),   # height
+    st.booleans(),                            # grayscale?
+)
+
+
+@given(
+    _png_shape,
+    st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+    st.lists(st.integers(min_value=0, max_value=4), min_size=12, max_size=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(shape, seed, filters):
+    """decode(encode(px)) == px for arbitrary sizes, contents, and
+    per-scanline filter assignments (mixed within one image)."""
+    import numpy as np
+
+    from slice_db_spark.operators.multimodal import decode_png, encode_png
+
+    w, h, gray = shape
+    rng = np.random.RandomState(seed % (2**32))
+    px = rng.randint(0, 256, (h, w) if gray else (h, w, 3)).astype("uint8")
+    payload = encode_png(w, h, px, row_filters=filters[:h])
+    w2, h2, out = decode_png(payload)
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(out, px)
+
+
+@given(st.binary(max_size=80))
+@settings(max_examples=120, deadline=None)
+def test_png_decode_never_crashes_on_garbage(payload):
+    """Arbitrary bytes either decode (only if they are a real PNG we
+    produced — vanishingly unlikely here) or raise ValueError; never any
+    other exception type (the quarantine contract)."""
+    from slice_db_spark.operators.multimodal import decode_png
+
+    try:
+        decode_png(payload)
+    except ValueError:
+        pass
