@@ -279,3 +279,19 @@ def test_registry_lint_pushdown(plans):
         p = plans(name)
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
         assert any(s.strip() for s in pushed), f"{name}: lost parquet pushdown"
+
+
+def test_scrub_counter_single_udf_pass_no_range_exchange(plans):
+    """The stateful-counter fix must hold: the scrub plan evaluates the
+    Arrow UDFs exactly once (a repartitionByRange above them would
+    re-evaluate the whole UDF pass inside the range-sampling job) and
+    contains no range exchange at all — the window buckets on a pure
+    function of the key instead."""
+    import re
+
+    p = plans("scrub_deterministic")
+    # formatted explain prints each node in the tree AND as a numbered
+    # detail block — count distinct node ids
+    nodes = set(re.findall(r"\((\d+)\) ArrowEvalPython", p))
+    assert len(nodes) == 1, p
+    assert "rangepartitioning" not in p
