@@ -23,9 +23,14 @@ from conftest import SF_DIR
 #: registered escape hatch for genuinely non-SQL-expressible ops
 ROWS_ONLY: set[str] = set()
 
+#: Output types that survive the driver's pandas canonicalizer AND its
+#: cross-engine value hash.  FloatType (float32 ulps vs the oracle's
+#: float64) and DecimalType (pandas object/float64 vs Spark decimal) are
+#: deliberately EXCLUDED — they are the Spark-side mirror of the HUGEINT
+#: oracle bug class (see tests/test_oracle_types.py).
 _SCALAR = (
     T.StringType, T.LongType, T.IntegerType, T.ShortType, T.ByteType,
-    T.DoubleType, T.FloatType, T.BooleanType, T.DecimalType, T.DateType,
+    T.DoubleType, T.BooleanType, T.DateType,
     T.TimestampType, T.TimestampNTZType,
 )
 
