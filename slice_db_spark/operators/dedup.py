@@ -1300,3 +1300,124 @@ def fuzzy_pairs(
         )
         .where(F.col("dist") <= max_dist)
     )
+
+
+# --------------------------------------------------- persisted LSH index
+# The continuous-ingestion scale path `incremental_lsh_pairs` documents:
+# the corpus side's banded signatures are a pure function of the corpus,
+# so a standing deployment computes them ONCE, persists them partitioned
+# by band, and each arriving batch computes only ITS signatures and
+# probes — per-batch cost independent of corpus size and of any
+# corpus-internal pair structure.
+
+
+def _banded_signatures(
+    st: DataFrame, out_id: str, k: int, bands: int, id_col: str
+) -> DataFrame:
+    """(id, band, band_hash) rows from a shingle table: one md5 per band
+    over the concatenated row minima."""
+    r = k // bands
+    sigs = minhash_signatures_from_shingles(st, k, id_col)
+    return sigs.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat_ws(",", *[F.col("sig")[b * r + i].cast("string") for i in range(r)]))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
+def build_lsh_index(
+    corpus_df: DataFrame,
+    path: str,
+    k: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> None:
+    """Materialize the corpus LSH index at ``path``: banded MinHash rows
+    ``(corpus_id, band, band_hash, n_shingles)`` written as parquet
+    partitioned by ``band``.  ``n_shingles`` rides along so a verifying
+    probe can compute exact Jaccard denominators without re-shingling the
+    corpus.  Rebuild (or append new partitions) when the corpus grows —
+    the index is a pure function of (corpus, k, bands, n)."""
+    assert k % bands == 0, "k must divide into equal bands"
+    st = shingle_table(corpus_df, text_col, id_col, n)
+    sizes = st.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    banded = _banded_signatures(st, "corpus_id", k, bands, id_col)
+    (
+        banded.join(sizes.select(F.col(id_col).alias("corpus_id"), "n_shingles"), "corpus_id")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path)
+    )
+
+
+def probe_lsh_index(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float | None = None,
+    corpus_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Probe a persisted LSH index with a new batch.
+
+    Returns candidate ``(new_id, corpus_id)`` pairs from the band-hash
+    equi-join — the only shuffle is the batch's own (tiny) signature set
+    against the index's matching band buckets.  With ``threshold`` AND
+    ``corpus_df`` given, verifies candidates to exact n-gram Jaccard ≥
+    threshold (the corpus text is re-read only for the candidate ids —
+    a semi-join-pruned scan, not a full re-shingle)."""
+    assert k % bands == 0, "k must divide into equal bands"
+    index = spark.read.parquet(path)
+    st_new = shingle_table(new_df, text_col, id_col, n)
+    if threshold is not None and corpus_df is not None:
+        st_new = st_new.persist()
+    cands = (
+        _banded_signatures(st_new, "new_id", k, bands, id_col)
+        .join(index, ["band", "band_hash"])
+        .select("new_id", "corpus_id", "n_shingles")
+        .groupBy("new_id", "corpus_id")
+        .agg(F.first("n_shingles").alias("nb"))
+    )
+    if threshold is None or corpus_df is None:
+        return cands.select("new_id", "corpus_id")
+    cand_ids = cands.select(F.col("corpus_id").alias(id_col)).distinct()
+    st_corp = shingle_table(
+        corpus_df.join(cand_ids, id_col, "left_semi"), text_col, id_col, n
+    )
+    shared = (
+        cands.join(st_new.select(F.col(id_col).alias("new_id"), "shingle"), "new_id")
+        .join(
+            st_corp.select(F.col(id_col).alias("corpus_id"), "shingle"),
+            ["corpus_id", "shingle"],
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = st_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("na")).select(
+        F.col(id_col).alias("new_id"), "na"
+    )
+    out = (
+        shared.join(sa, "new_id")
+        .join(cands.select("new_id", "corpus_id", "nb"), ["new_id", "corpus_id"])
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+    out = out.localCheckpoint(eager=True)
+    st_new.unpersist()
+    return out

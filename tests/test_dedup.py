@@ -538,3 +538,50 @@ def test_incremental_lsh_releases_cached_shingles(spark):
     # the eager localCheckpoint of the result may remain (+1); the two
     # shingle-table persists must be gone
     assert after - before <= 1
+
+
+def test_lsh_index_build_probe_matches_incremental(spark, tmp_path):
+    """The persisted-index probe is the same math as incremental_lsh_pairs
+    run end-to-end: identical candidates, identical verified pairs; the
+    index parquet is band-partitioned."""
+    import os
+
+    from slice_db_spark.operators.dedup import (
+        build_lsh_index,
+        incremental_lsh_pairs,
+        probe_lsh_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog %d" % i) for i in range(25)],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog 7"),
+         (101, "totally unrelated text about parquet row groups and arrow")],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "lsh_index")
+    build_lsh_index(corpus, idx)
+    assert any(d.startswith("band=") for d in os.listdir(idx))
+
+    want_cands = {
+        (r.new_id, r.corpus_id)
+        for r in incremental_lsh_pairs(new, corpus, verify=False).collect()
+    }
+    got_cands = {
+        (r.new_id, r.corpus_id) for r in probe_lsh_index(spark, idx, new).collect()
+    }
+    assert got_cands == want_cands and (100, 7) in got_cands
+
+    want = {
+        (r.new_id, r.corpus_id, r.jaccard)
+        for r in incremental_lsh_pairs(new, corpus, threshold=0.5).collect()
+    }
+    got = {
+        (r.new_id, r.corpus_id, r.jaccard)
+        for r in probe_lsh_index(
+            spark, idx, new, threshold=0.5, corpus_df=corpus
+        ).collect()
+    }
+    assert got == want and got
