@@ -452,6 +452,8 @@ def cmd_ingest(args) -> int:
         quarantine=args.quarantine,
         min_quality=args.min_quality,
         rejects=args.rejects,
+        lsh_index=args.lsh_index,
+        lsh_threshold=args.lsh_threshold,
     )
     n = spark.read.parquet(args.corpus).count()
     print(json.dumps({"corpus_rows": n}))
@@ -939,6 +941,13 @@ def main(argv: list[str] | None = None) -> int:
         "--rejects", default=None,
         help="sink dir for quality-gated rows (per-epoch overwrite, replay-idempotent)",
     )
+    ing.add_argument(
+        "--lsh-index", default=None,
+        help="band-partitioned MinHash index dir: probe each batch for "
+        "near-dups of the standing corpus and extend the index with the "
+        "survivors (continuous near-dedup)",
+    )
+    ing.add_argument("--lsh-threshold", type=float, default=0.5)
     ing.add_argument("landing", help="landing directory of .jsonl files")
     ing.add_argument("corpus", help="parquet corpus directory (appended)")
     ing.set_defaults(fn=cmd_ingest)

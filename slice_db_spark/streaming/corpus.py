@@ -58,12 +58,14 @@ def ingest_corpus_stream(
     available_now: bool = True,
     min_quality: float | None = None,
     rejects: str | None = None,
+    lsh_index: str | None = None,
+    lsh_threshold: float = 0.5,
 ):
     """Start (and with ``available_now`` run to completion) the ingestion
     stream: JSONL landing dir → optional quality gate → per-batch exact
     dedup (min doc_id wins within a batch) → anti-join against
-    already-ingested content hashes → parquet append.  Returns the
-    StreamingQuery.
+    already-ingested content hashes → optional NEAR-dup probe against the
+    persisted LSH index → parquet append.  Returns the StreamingQuery.
 
     ``min_quality`` drops documents whose composite
     :func:`..operators.text.quality_score` falls below the threshold —
@@ -71,7 +73,17 @@ def ingest_corpus_stream(
     pipeline wants its cheapest gate.  Rejected rows land in ``rejects``
     (per-epoch overwrite, idempotent on replay exactly like the
     quarantine sink).
-    """
+
+    ``lsh_index`` turns on continuous near-dedup: each batch's survivors
+    are probed against the band-partitioned MinHash index at that path
+    (:func:`..operators.dedup.probe_lsh_index`, verified to exact Jaccard
+    ≥ ``lsh_threshold`` against the standing corpus text), near-dups
+    drop, and the remaining rows' banded signatures APPEND to the index —
+    so per-batch cost stays independent of corpus size.  The signature
+    append lands BEFORE the corpus append: a crash between the two leaves
+    extra signature rows on replay, which is harmless (probe candidates
+    are per-pair deduplicated), while the reverse order could silently
+    lose coverage."""
     target_exists = os.path.isdir(out_path)
 
     def _sink(batch: DataFrame, epoch_id: int) -> None:
@@ -109,6 +121,32 @@ def ingest_corpus_stream(
             # accumulated text (ReadSchema = content_hash only)
             seen = batch.sparkSession.read.parquet(out_path).select("content_hash")
             batch_unique = batch_unique.join(seen, "content_hash", "left_anti")
+        if lsh_index is not None:
+            from ..operators import dedup as _dedup
+
+            sp = batch.sparkSession
+            if os.path.isdir(lsh_index) and target_exists:
+                corpus = sp.read.parquet(out_path)
+                near = _dedup.probe_lsh_index(
+                    sp, lsh_index, batch_unique,
+                    threshold=lsh_threshold, corpus_df=corpus,
+                    text_col=text_col,
+                ).select(F.col("new_id").alias("doc_id")).distinct()
+                if rejects is not None:
+                    batch_unique.join(near, "doc_id", "left_semi").write.mode(
+                        "overwrite"
+                    ).json(os.path.join(rejects, f"neardup_epoch_id={int(epoch_id)}"))
+                batch_unique = batch_unique.join(near, "doc_id", "left_anti")
+            # replays may re-append signature rows; duplicates are harmless
+            # (candidates are per-pair deduplicated) — losing them is not
+            st = _dedup.shingle_table(batch_unique, text_col, "doc_id", 3)
+            sizes = st.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+            (
+                _dedup._banded_signatures(st, "corpus_id", 16, 4, "doc_id")
+                .join(sizes.select(F.col("doc_id").alias("corpus_id"), "n_shingles"),
+                      "corpus_id")
+                .write.mode("append").partitionBy("band").parquet(lsh_index)
+            )
         batch_unique.write.mode("append").parquet(out_path)
         target_exists = True
 

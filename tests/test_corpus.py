@@ -206,3 +206,52 @@ def test_streaming_ingest_quality_gate(spark, tmp_path):
     )
     assert spark.read.parquet(out).count() == 1
     assert spark.read.json(rej).count() == 1
+
+
+def test_streaming_ingest_near_dedup_via_lsh_index(spark, tmp_path):
+    """Continuous near-dedup: with lsh_index set, a later batch's document
+    that near-duplicates (but does not exactly match) standing-corpus text
+    is dropped; novel documents land and extend the index, so a THIRD
+    batch near-duplicating the second is also caught."""
+    import os as _os
+    import time as _time
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "lsh_index")
+
+    base = "the quick brown fox jumps over the lazy dog again and again %s"
+    b0 = [{"doc_id": 1, "text": base % "one", "lang": "en", "source": "a", "n_chars": 1},
+          {"doc_id": 2, "text": "completely different text about spark shuffles and joins",
+           "lang": "en", "source": "a", "n_chars": 1}]
+    _write_batch(land, "b0.jsonl", b0)
+    _os.utime(_os.path.join(land, "b0.jsonl"), (1_000_000_000,) * 2)
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, lsh_index=idx)
+    assert spark.read.parquet(out).count() == 2
+    assert _os.path.isdir(idx)
+
+    # batch 2: near-dup of doc 1 (one word differs -> jaccard >= 0.5 but
+    # not exact), plus one novel doc
+    b1 = [{"doc_id": 10, "text": base % "two", "lang": "en", "source": "a", "n_chars": 1},
+          {"doc_id": 11, "text": "a genuinely novel document mentioning parquet row groups",
+           "lang": "en", "source": "a", "n_chars": 1}]
+    _write_batch(land, "b1.jsonl", b1)
+    _os.utime(_os.path.join(land, "b1.jsonl"), (1_000_000_100,) * 2)
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, lsh_index=idx)
+    got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert got == {1, 2, 11}  # 10 dropped as a near-dup of 1
+
+    # batch 3: near-dup of the batch-2 SURVIVOR (index grew) + replay noop
+    b2 = [{"doc_id": 20, "text": "a genuinely novel document mentioning parquet row group",
+           "lang": "en", "source": "a", "n_chars": 1}]
+    _write_batch(land, "b2.jsonl", b2)
+    _os.utime(_os.path.join(land, "b2.jsonl"), (1_000_000_200,) * 2)
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, lsh_index=idx)
+    got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert got == {1, 2, 11}  # 20 near-dups doc 11
+
+    # drained checkpoint: replay is a no-op on both corpus and results
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, lsh_index=idx)
+    assert {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()} == {1, 2, 11}
