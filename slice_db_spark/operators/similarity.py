@@ -1006,3 +1006,86 @@ def embedding_dim_drift(
         .orderBy(F.desc("shift_fx"), "dim")
         .limit(k)
     )
+
+
+# --------------------------------------------------- persisted IVF index
+# The ANN analog of dedup.build_lsh_index: a standing deployment trains
+# the coarse quantizer ONCE, persists the centroids (KB of JSON) and the
+# cell-partitioned inverted lists (quantized vectors parquet), and each
+# query batch reads only its probed cells — the index build cost
+# amortizes across every search, and cell partitioning turns nprobe into
+# actual partition pruning instead of a full-corpus scan.
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Train the fixed-point k-means quantizer and materialize the index
+    at ``path``: ``centroids.json`` (driver-side, n_cells × dim ints) and
+    ``cells/`` parquet partitioned by ``__cell`` holding (id, quantized
+    vector).  Returns the centroids."""
+    import json
+    import os
+
+    cents = ivf_centroids_kmeans(corpus, n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
+    assigned = _assign_cells_int(
+        corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e")), cents
+    )
+    assigned.write.mode("overwrite").partitionBy("__cell").parquet(
+        os.path.join(path, "cells")
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(cents, f)
+    return cents
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Top-k search against a persisted IVF index: queries rank centroids
+    from the (tiny) JSON, probe their ``nprobe`` nearest cells via an
+    equi-join against the cell-partitioned inverted lists, and rank
+    candidates by exact integer dot product — identical results to
+    :func:`ivf_topk_kmeans` over the same centroids, but the corpus side
+    is the pre-assigned index (no re-quantization, no re-assignment, and
+    the broadcast cell join prunes unprobed partitions)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        cents = json.load(f)
+    c = spark.read.parquet(os.path.join(path, "cells"))
+    dists = _cell_l2_vec(cents)
+    q = (
+        queries.select(F.col(query_id_col), quantize_expr(vec_col).alias("__qe"))
+        .withColumn("__d", dists(F.col("__qe")))
+        .select(query_id_col, "__qe", F.posexplode("__d").alias("__i", "__dist"))
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(F.asc("__dist"), F.asc("__i"))
+    probes = (
+        q.withColumn("__pr", F.row_number().over(w_probe))
+        .where(F.col("__pr") <= nprobe)
+        .select(query_id_col, "__qe", (F.col("__i") + 1).alias("__cell"))
+    )
+    dot_q = F.aggregate(
+        F.zip_with("__qe", "__e", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    scored = probes.join(c, "__cell").select(query_id_col, id_col, dot_q.alias("dot"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("dot"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "dot", F.col("rank").cast("bigint").alias("rank"))
+    )

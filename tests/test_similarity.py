@@ -343,3 +343,40 @@ def test_random_projection_exact_on_basis_vectors(spark):
         for j in range(4):
             assert out[i][j] == 1000 * int(round(planes[j][i] * 1_000_000))
     assert out[100] == out[101] == out[0]
+
+
+def test_ivf_index_build_probe_matches_direct(spark, tmp_path, catalog):
+    """The persisted-index probe returns exactly what ivf_topk_kmeans
+    computes directly over the same (deterministic) centroids; the index
+    stores centroids as JSON and cell-partitioned inverted lists."""
+    import json
+    import os
+
+    from slice_db_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_centroids_kmeans,
+        ivf_topk_kmeans,
+        probe_ivf_index,
+    )
+
+    emb = catalog["embeddings"].limit(120)
+    queries = emb.limit(6).selectExpr("vec_id AS q_id", "embedding")
+    idx = str(tmp_path / "ivf_index")
+    cents = build_ivf_index(emb, idx, n_cells=6, iters=2)
+    assert cents == json.load(open(os.path.join(idx, "centroids.json")))
+    assert cents == ivf_centroids_kmeans(emb, 6, iters=2)
+    assert any(d.startswith("__cell=") for d in os.listdir(os.path.join(idx, "cells")))
+
+    want = {
+        (r.q_id, r.vec_id, r.dot, r.rank)
+        for r in ivf_topk_kmeans(emb, queries, cents, k=4, nprobe=2).collect()
+    }
+    got = {
+        (r.q_id, r.vec_id, r.dot, r.rank)
+        for r in probe_ivf_index(spark, idx, queries, k=4, nprobe=2).collect()
+    }
+    assert got == want and got
+    # every query finds itself at rank 1 (it is in the corpus)
+    self_hits = {(r.q_id, r.vec_id) for r in probe_ivf_index(
+        spark, idx, queries, k=1, nprobe=2).collect()}
+    assert self_hits == {(q, q) for q, _ in self_hits}
