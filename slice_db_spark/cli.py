@@ -386,11 +386,14 @@ def cmd_curate(args) -> int:
         # refetches of the same page never reach the expensive stages
         from .operators.curation import canonicalize_url
 
-        # rows with a NULL url (field absent in the source) pass through
-        # untouched — they carry no fetch identity to collapse on
+        # rows with a NULL url (field absent) OR a NULL canonical form
+        # (malformed URL — try_parse_url yields NULL) pass through
+        # untouched: they carry no stable fetch identity to collapse on,
+        # and grouping them would silently merge N distinct junk-URL
+        # documents into one survivor
         canon = canonicalize_url(docs, url_col=args.url_dedup)
-        with_url = canon.where(F.col(args.url_dedup).isNotNull())
-        no_url = canon.where(F.col(args.url_dedup).isNull())
+        with_url = canon.where(F.col("canon_url").isNotNull())
+        no_url = canon.where(F.col("canon_url").isNull())
         url_winners = with_url.groupBy("canon_url").agg(F.min("doc_id").alias("doc_id"))
         docs = (
             with_url.join(url_winners.select("doc_id"), "doc_id", "left_semi")

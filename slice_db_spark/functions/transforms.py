@@ -726,14 +726,24 @@ _BOUNDS_CACHE: dict[tuple, list[float]] = {}
 _BOUNDS_CACHE_MAX = 64
 
 
-def _key_bounds(df, first: str, n_parts: int) -> list[float]:
+def _key_as_double(first: str, ftype: str):
+    """Order-preserving double view of a sort key.  DATE cannot cast to
+    double directly (ANSI analysis error); route it through epoch days."""
+    from pyspark.sql import functions as F
+
+    if ftype == "date":
+        return F.unix_date(F.col(first)).cast("double")
+    return F.col(first).cast("double")
+
+
+def _key_bounds(df, first: str, ftype: str, n_parts: int) -> list[float]:
     """Deduplicated equal-depth boundaries of ``df[first]`` (as double) from
     one `approxQuantile` pass over the pruned key column.  Boundaries only
     need to be *monotone* for the bucket decomposition to be exact, so the
     loose accuracy and the cache are both correctness-neutral."""
     from pyspark.sql import functions as F
 
-    keyed = df.select(F.col(first).cast("double").alias("__k"))
+    keyed = df.select(_key_as_double(first, ftype).alias("__k"))
     try:
         h = keyed._jdf.queryExecution().analyzed().semanticHash()
     except Exception:
@@ -782,12 +792,12 @@ def _global_running_count(df, key_names, eligible, dtypes=None):
     first = key_names[0]
     ftype = (dtypes or dict(df.dtypes)).get(first, "")
     if ftype in _NUMERIC_KEY_TYPES or ftype.startswith("decimal"):
-        uniq = _key_bounds(df, first, n_parts)
+        uniq = _key_bounds(df, first, ftype, n_parts)
         # NULL > b is NULL -> 0, so NULL keys land in bucket 0, matching
         # the window's ASC NULLS FIRST ordering
+        key_d = _key_as_double(first, ftype)
         bucket = functools.reduce(
-            lambda acc, b: acc
-            + F.when(F.col(first).cast("double") > F.lit(b), 1).otherwise(0),
+            lambda acc, b: acc + F.when(key_d > F.lit(b), 1).otherwise(0),
             uniq,
             F.lit(0),
         )

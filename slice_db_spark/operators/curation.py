@@ -527,20 +527,30 @@ def canonicalize_url(df: DataFrame, url_col: str = "url", out_col: str = "canon_
     """Canonical form: lowercase scheme+host, strip default ports (keep
     non-default), collapse duplicate path slashes, drop the fragment, and
     remove tracking query params while preserving the order of the rest.
-    Adds ``host`` and registrable ``domain`` columns alongside."""
+    Adds ``host`` and registrable ``domain`` columns alongside.
+
+    Malformed URLs canonicalize to NULL (``try_parse_url`` — the plain
+    ``parse_url`` RAISES under Spark 4's default ANSI mode, which would
+    kill a whole crawl batch on its first junk URL); callers treat a NULL
+    canonical form as "no stable identity" and pass the row through."""
     u = F.col(url_col)
-    proto = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
-    host = F.lower(F.parse_url(u, F.lit("HOST")))
-    port = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:([0-9]+)", 1)
+    proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    # port anchored to the END of the authority — '[^/?#]*:(\d+)' alone
+    # backtracks into userinfo passwords ('http://u:123abc@h/') and IPv6
+    # literals ('http://[::1]/'), inventing ports the URL never had
+    port = F.regexp_extract(
+        u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:([0-9]+)(?=[/?#]|$)", 1
+    )
     keep_port = (
         (port != "")
         & ~((proto == "http") & (port == "80"))
         & ~((proto == "https") & (port == "443"))
     )
-    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
     path = F.regexp_replace(path, "/{2,}", "/")
     path = F.when(path == "", "/").otherwise(path)
-    query = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    query = F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit(""))
     kept = F.array_join(
         F.filter(
             F.split(query, "&"),

@@ -398,30 +398,19 @@ def incremental_lsh_pairs(
     Output ``(new_id, corpus_id, jaccard)`` with exact n-gram Jaccard ≥
     ``threshold`` (``verify=False`` returns raw candidates)."""
     assert k % bands == 0, "k must divide into equal bands"
-    r = k // bands
-
-    def banded(st: DataFrame, out: str) -> DataFrame:
-        sigs = minhash_signatures_from_shingles(st, k, id_col)
-        return sigs.select(
-            F.col(id_col).alias(out),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.md5(F.concat_ws(",", *[F.col("sig")[b * r + i].cast("string") for i in range(r)]))
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band", "band_hash"),
-        )
 
     st_new = shingle_table(new_df, text_col, id_col, n)
     st_corp = shingle_table(corpus_df, text_col, id_col, n)
     if verify:
         st_new = st_new.persist()
         st_corp = st_corp.persist()
+    # the SAME band-hash construction `build_lsh_index` persists — one
+    # definition, so the end-to-end path and the index probe can never
+    # drift apart in signature format
     cands = (
-        banded(st_new, "new_id")
-        .join(banded(st_corp, "corpus_id"), ["band", "band_hash"])
+        _banded_signatures(st_new, "new_id", k, bands, id_col)
+        .join(_banded_signatures(st_corp, "corpus_id", k, bands, id_col),
+              ["band", "band_hash"])
         .select("new_id", "corpus_id")
         .distinct()
     )
@@ -1392,6 +1381,10 @@ def probe_lsh_index(
     )
     if threshold is None or corpus_df is None:
         return cands.select("new_id", "corpus_id")
+    # the verify path consumes the candidate frame three times (candidate
+    # ids, shared-shingle join, denominator join) — persist so the index
+    # read + band join runs once, not per consumer
+    cands = cands.persist()
     cand_ids = cands.select(F.col("corpus_id").alias(id_col)).distinct()
     st_corp = shingle_table(
         corpus_df.join(cand_ids, id_col, "left_semi"), text_col, id_col, n
@@ -1419,5 +1412,6 @@ def probe_lsh_index(
         .select("new_id", "corpus_id", "jaccard")
     )
     out = out.localCheckpoint(eager=True)
+    cands.unpersist()
     st_new.unpersist()
     return out

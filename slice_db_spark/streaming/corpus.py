@@ -125,6 +125,12 @@ def ingest_corpus_stream(
             from ..operators import dedup as _dedup
 
             sp = batch.sparkSession
+            # the near-dedup stage consumes batch_unique several times
+            # (probe shingles, rejects write, signature append, corpus
+            # append) — persist once instead of re-running the parse +
+            # quality UDF + dedup joins per consumer
+            persisted = batch_unique.persist()
+            batch_unique = persisted
             if os.path.isdir(lsh_index) and target_exists:
                 corpus = sp.read.parquet(out_path)
                 near = _dedup.probe_lsh_index(
@@ -133,9 +139,15 @@ def ingest_corpus_stream(
                     text_col=text_col,
                 ).select(F.col("new_id").alias("doc_id")).distinct()
                 if rejects is not None:
+                    # SIBLING root, not a subdir of `rejects`: mixing
+                    # epoch_id=N and neardup-epoch dirs under one root
+                    # breaks partition discovery for readers of the
+                    # quality-rejects sink
                     batch_unique.join(near, "doc_id", "left_semi").write.mode(
                         "overwrite"
-                    ).json(os.path.join(rejects, f"neardup_epoch_id={int(epoch_id)}"))
+                    ).json(
+                        os.path.join(rejects + ".neardup", f"epoch_id={int(epoch_id)}")
+                    )
                 batch_unique = batch_unique.join(near, "doc_id", "left_anti")
             # replays may re-append signature rows; duplicates are harmless
             # (candidates are per-pair deduplicated) — losing them is not
@@ -148,6 +160,9 @@ def ingest_corpus_stream(
                 .write.mode("append").partitionBy("band").parquet(lsh_index)
             )
         batch_unique.write.mode("append").parquet(out_path)
+        if lsh_index is not None:
+            persisted.unpersist()  # the handle persist() returned, not the
+            # near-dup-filtered derivative batch_unique now points at
         target_exists = True
 
     stream = read_corpus_stream(spark, in_path)

@@ -734,3 +734,30 @@ def test_curate_cli_url_dedup_stage(spark, tmp_path):
     kept = {r.doc_id for r in back.select("doc_id").collect()}
     assert kept == {1, 4, 5}  # min doc_id per canonical URL; null-url passes through
     assert "url" in back.columns and "canon_url" not in back.columns
+
+
+def test_curate_cli_url_dedup_malformed_urls_pass_through(spark, tmp_path):
+    """Junk URLs canonicalize to NULL and must NOT collapse into one
+    group: every distinct junk-URL document survives (review-finding
+    pin — grouping NULL canon_url would keep 1 of N)."""
+    src = tmp_path / "crawl2"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "first document with a junk url field", "lang": "en",
+         "source": "web", "n_chars": 37, "url": "not a url"},
+        {"doc_id": 2, "text": "second document with another junk url", "lang": "en",
+         "source": "web", "n_chars": 38, "url": "also::not::a::url"},
+        {"doc_id": 3, "text": "a document with a real address here", "lang": "en",
+         "source": "web", "n_chars": 36, "url": "http://ok.example.com/p"},
+    ]
+    (src / "part.jsonl").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = str(tmp_path / "curated_junk")
+    report = json.loads(
+        run_cli(
+            "curate", "--input-format", "jsonl", "--url-dedup", "url",
+            "--quality-min", "0.0", str(src), out,
+        )
+    )
+    assert report["after_url_dedup"] == 3
+    kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert kept == {1, 2, 3}

@@ -255,3 +255,43 @@ def test_streaming_ingest_near_dedup_via_lsh_index(spark, tmp_path):
     # drained checkpoint: replay is a no-op on both corpus and results
     SC.ingest_corpus_stream(spark, str(land), out, ckpt, lsh_index=idx)
     assert {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()} == {1, 2, 11}
+
+
+def test_streaming_ingest_quality_and_neardup_rejects_coexist(spark, tmp_path):
+    """Quality rejects (rejects/epoch_id=N) and near-dup rejects (sibling
+    root rejects.neardup/epoch_id=N) must not share one partitioned root —
+    mixed partition column names break discovery for readers of either
+    sink (review-finding pin)."""
+    import os as _os
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    rej = str(tmp_path / "rejects")
+    idx = str(tmp_path / "idx")
+
+    good = ("a perfectly reasonable document about data processing "
+            "pipelines and their quality characteristics %s")
+    b0 = [{"doc_id": 1, "text": good % "one", "lang": "en", "source": "a", "n_chars": 1}]
+    _write_batch(land, "b0.jsonl", b0)
+    _os.utime(_os.path.join(land, "b0.jsonl"), (1_000_000_000,) * 2)
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, min_quality=0.2,
+                            rejects=rej, lsh_index=idx)
+
+    # batch 2: one near-dup of doc 1, one low-quality row
+    b1 = [{"doc_id": 10, "text": good % "two", "lang": "en", "source": "a", "n_chars": 1},
+          {"doc_id": 11, "text": "x x x x x x x x x x x x x x x x x x",
+           "lang": "en", "source": "a", "n_chars": 1}]
+    _write_batch(land, "b1.jsonl", b1)
+    _os.utime(_os.path.join(land, "b1.jsonl"), (1_000_000_100,) * 2)
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, min_quality=0.2,
+                            rejects=rej, lsh_index=idx)
+
+    kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert kept == {1}
+    # BOTH sinks are independently readable with clean partition discovery
+    quality_rejects = {r.doc_id for r in spark.read.json(rej).collect()}
+    neardup_rejects = {r.doc_id for r in spark.read.json(rej + ".neardup").collect()}
+    assert 11 in quality_rejects
+    assert neardup_rejects == {10}

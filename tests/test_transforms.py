@@ -399,3 +399,23 @@ def test_stateful_counter_constant_and_string_keys(spark):
     }
     want2 = _counter_expected([(r[1], r[2]) for r in rows], 0, 1)
     assert got2 == want2
+
+
+def test_stateful_counter_date_key(spark):
+    """Date-typed sort keys ride the fast path via epoch days — CAST(date
+    AS DOUBLE) is an ANSI analysis error, so the bucket expression must
+    route through unix_date (review-finding pin)."""
+    import datetime
+
+    from slice_db_spark.functions.transforms import transform_dataframe
+
+    rows = [(datetime.date(2020, 1, 1 + i), f"v{i}") for i in range(25)]
+    df = spark.createDataFrame(rows, "d date, c string")
+    got = {
+        str(r.d): r.c
+        for r in transform_dataframe(
+            df, {}, stateful={"c": ({"value": "DEMO"}, ["d"])}
+        ).collect()
+    }
+    want = {str(d): f"DEMO {i + 1}" for i, (d, _) in enumerate(sorted(rows))}
+    assert got == want
