@@ -151,3 +151,81 @@ def zorder_file_stats(
             F.max("__y").alias("y_max"),
         )
     )
+
+
+# ------------------------------------------------------- sink compaction
+# Append-heavy sinks (streaming corpus ingestion, LSH-index signature
+# appends) accrete one small file per micro-batch per partition; at 100 TB
+# the file count, not the byte count, becomes the scan bottleneck (driver
+# listing, footer reads, task scheduling).  Periodic compaction rewrites
+# the sink to size-targeted files behind the crash-safe staging swap.
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Rewrite the parquet dir at ``path`` into ≈``target_file_bytes``
+    files (per partition directory when ``partition_by`` is given) and
+    atomically swap the result in (`..sources.atomic.swap_dir` — a crash
+    at any point leaves the old sink or a complete staging copy, never a
+    half-rewrite).  Returns {files_before, files_after, bytes}.
+
+    File count is derived from the CURRENT on-disk bytes, so compaction
+    converges: rewriting an already-compact sink is a no-op-sized job."""
+    import math
+    import os
+
+    from ..sources.atomic import recover_dir, swap_dir
+
+    recover_dir(path)
+    files = []
+    for root, _, names in os.walk(path):
+        files += [os.path.join(root, f) for f in names if f.endswith(".parquet")]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    writer = df.repartition(n_out, *partition_by) if partition_by else df.repartition(n_out)
+    w = writer.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path + ".staging")
+    swap_dir(path)
+    after = 0
+    for root, _, names in os.walk(path):
+        after += sum(1 for f in names if f.endswith(".parquet"))
+    return {"files_before": len(files), "files_after": after, "bytes": total}
+
+
+def compact_lsh_index(spark, path: str, target_file_bytes: int = 128 << 20) -> dict:
+    """Maintenance for the streaming near-dedup index
+    (`..operators.dedup.build_lsh_index` layout): drop the duplicate
+    signature rows that checkpoint replays may have appended (harmless
+    for correctness, pure waste for probe I/O), then compact to
+    size-targeted files per band partition.  Same crash-safe swap."""
+    import math
+    import os
+
+    from ..sources.atomic import recover_dir, swap_dir
+
+    recover_dir(path)
+    files = []
+    for root, _, names in os.walk(path):
+        files += [os.path.join(root, f) for f in names if f.endswith(".parquet")]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    (
+        spark.read.parquet(path)
+        .dropDuplicates()
+        .repartition(n_out, "band")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path + ".staging")
+    )
+    swap_dir(path)
+    after = 0
+    for root, _, names in os.walk(path):
+        after += sum(1 for f in names if f.endswith(".parquet"))
+    return {"files_before": len(files), "files_after": after, "bytes": total}

@@ -1,0 +1,50 @@
+"""Crash-safe directory swap for rewrite-in-place maintenance.
+
+The promote sequence (used by the streaming CDC dimension swap and the
+compaction utilities) keeps a recoverable copy at every crash point:
+
+1. write the new contents to ``<live>.staging`` (Spark marks completion
+   with ``_SUCCESS``);
+2. rename the live dir aside to ``<live>.old``;
+3. promote staging to live;
+4. delete ``.old``.
+
+``recover_dir`` restores a missing live dir from ``.old`` (pre-rewrite
+state — the caller's idempotent rewrite re-applies safely) or from a
+``_SUCCESS``-complete staging copy; an INCOMPLETE staging is never
+promoted.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+
+def recover_dir(live: str) -> None:
+    """Restore ``live`` if a previous :func:`swap_dir` crashed mid-promote.
+    No-op when the live dir exists (a dangling ``.old``/``.staging`` is
+    cleaned up by the next swap)."""
+    if os.path.isdir(live):
+        return
+    old = live + ".old"
+    staging = live + ".staging"
+    if os.path.isdir(old):
+        os.replace(old, live)
+    elif os.path.isfile(os.path.join(staging, "_SUCCESS")):
+        os.replace(staging, live)
+
+
+def swap_dir(live: str) -> None:
+    """Promote ``<live>.staging`` (already fully written) to ``live``,
+    keeping the previous contents at ``.old`` until the new dir is in
+    place so no crash point loses data (see module docstring)."""
+    staging = live + ".staging"
+    old = live + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(live):
+        os.replace(live, old)
+    os.replace(staging, live)
+    if os.path.isdir(old):
+        shutil.rmtree(old)

@@ -25,39 +25,20 @@ touches).
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.cdc import merge_upsert
+from ..sources.atomic import recover_dir, swap_dir
 
 
 def _recover_dim(dim_path: str) -> None:
-    """Restore the dimension if a previous swap crashed mid-promotion.
-
-    The swap sequence is: write ``.staging`` → rename dim → ``.old`` →
-    promote staging → delete ``.old``.  Every crash point leaves either
-    the dimension itself, the pre-merge copy at ``.old``, or a fully
-    written (``_SUCCESS``-marked) ``.staging``:
-
-    - dim present: nothing to do (a dangling ``.old``/``.staging`` is
-      cleaned up by the next epoch's write).
-    - dim missing, ``.old`` present: crash between the two renames —
-      restore the pre-merge copy; the checkpoint replays the epoch and
-      the merge's fixed-point property re-applies it safely.
-    - dim missing, no ``.old``, complete ``.staging``: crash before the
-      first rename ever happened on a first-build, or after ``.old`` was
-      deleted on some filesystems — promote staging (it is the fully
-      merged result; a replay re-merges idempotently).
-    """
-    if os.path.isdir(dim_path):
-        return
-    old = dim_path + ".old"
-    staging = dim_path + ".staging"
-    if os.path.isdir(old):
-        os.replace(old, dim_path)
-    elif os.path.isfile(os.path.join(staging, "_SUCCESS")):
-        os.replace(staging, dim_path)
+    """Restore the dimension if a previous swap crashed mid-promotion —
+    the shared crash-safe swap contract (`..sources.atomic`): every crash
+    point leaves the dimension itself, the pre-merge copy at ``.old``, or
+    a ``_SUCCESS``-complete ``.staging``; replayed epochs re-merge as a
+    fixed point, so restoring the PRE-merge copy is always safe."""
+    recover_dir(dim_path)
 
 
 def upsert_stream(
@@ -100,19 +81,10 @@ def upsert_stream(
             )
         else:
             merged = b
-        staging = dim_path + ".staging"
-        old = dim_path + ".old"
-        merged.write.mode("overwrite").parquet(staging)
-        # Recoverable swap: keep the pre-merge copy at `.old` until the
-        # new dimension is in place, so no crash point ever leaves the
-        # key history unrecoverable (see _recover_dim).
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        if os.path.isdir(dim_path):
-            os.replace(dim_path, old)
-        os.replace(staging, dim_path)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+        merged.write.mode("overwrite").parquet(dim_path + ".staging")
+        # Recoverable swap: the pre-merge copy survives at `.old` until
+        # the new dimension is in place (see _recover_dim / sources.atomic)
+        swap_dir(dim_path)
 
     stream = spark.readStream.schema(changes_schema).json(in_path)
     writer = stream.writeStream.foreachBatch(_sink).option(

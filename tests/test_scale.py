@@ -103,3 +103,66 @@ def test_rendezvous_rebalance_minimal_movement(spark):
     assert 70_000 <= r["rdv_moved_ppm"] <= 160_000      # ~111k expected
     assert 850_000 <= r["mod_moved_ppm"] <= 925_000     # ~889k expected
     assert r["moved_rendezvous"] * 4 < r["moved_mod"]
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Many small appends -> one size-targeted rewrite behind the atomic
+    swap: row multiset identical, file count collapses, and a crashed
+    swap recovers."""
+    import os
+
+    from slice_db_spark.plans.scale import compact_parquet
+    from slice_db_spark.sources.atomic import recover_dir
+
+    sink = str(tmp_path / "sink")
+    for i in range(8):  # 8 appends x 4 partitions = small-file sprawl
+        spark.range(i * 10, (i + 1) * 10).repartition(4).write.mode(
+            "append"
+        ).parquet(sink)
+    before_files = sum(
+        1 for f in os.listdir(sink) if f.endswith(".parquet")
+    )
+    assert before_files >= 16
+    before_rows = sorted(r.id for r in spark.read.parquet(sink).collect())
+
+    report = compact_parquet(spark, sink, target_file_bytes=1 << 30)
+    assert report["files_before"] == before_files
+    assert report["files_after"] < before_files
+    assert sorted(r.id for r in spark.read.parquet(sink).collect()) == before_rows
+
+    # crash between the two renames: live dir missing, .old present
+    os.replace(sink, sink + ".old")
+    recover_dir(sink)
+    assert sorted(r.id for r in spark.read.parquet(sink).collect()) == before_rows
+
+
+def test_compact_lsh_index_dedups_replayed_signatures(spark, tmp_path):
+    """Replay-duplicated signature rows vanish, probe results are
+    unchanged, and the band partitioning survives compaction."""
+    import os
+
+    from slice_db_spark.operators.dedup import build_lsh_index, probe_lsh_index
+    from slice_db_spark.plans.scale import compact_lsh_index
+
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog %d" % i) for i in range(15)],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog 3")],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_lsh_index(corpus, idx)
+    want = {(r.new_id, r.corpus_id) for r in probe_lsh_index(spark, idx, new).collect()}
+    n_rows = spark.read.parquet(idx).count()
+
+    # simulate a replayed epoch double-appending the same signatures
+    spark.read.parquet(idx).write.mode("append").partitionBy("band").parquet(idx)
+    assert spark.read.parquet(idx).count() == 2 * n_rows
+
+    compact_lsh_index(spark, idx)
+    assert spark.read.parquet(idx).count() == n_rows
+    assert any(d.startswith("band=") for d in os.listdir(idx))
+    got = {(r.new_id, r.corpus_id) for r in probe_lsh_index(spark, idx, new).collect()}
+    assert got == want
