@@ -463,6 +463,26 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Compact an append-heavy parquet sink (or an LSH signature index)
+    to size-targeted files behind the crash-safe staging swap; prints the
+    before/after file counts."""
+    from .plans.scale import compact_lsh_index, compact_parquet
+    from .session import get_spark
+
+    spark = get_spark("slicedb-compact")
+    if args.lsh_index:
+        report = compact_lsh_index(spark, args.path, target_file_bytes=args.target_bytes)
+    else:
+        pb = [c for c in (args.partition_by or "").split(",") if c]
+        report = compact_parquet(
+            spark, args.path, target_file_bytes=args.target_bytes,
+            partition_by=pb or None,
+        )
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_chunk(args) -> int:
     """Split a document corpus into overlapping token-window chunks
     (retrieval/passage granularity) and write the chunk table: doc_id,
@@ -954,6 +974,16 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("landing", help="landing directory of .jsonl files")
     ing.add_argument("corpus", help="parquet corpus directory (appended)")
     ing.set_defaults(fn=cmd_ingest)
+
+    cp = sub.add_parser("compact", help="rewrite an append-heavy parquet sink to size-targeted files")
+    cp.add_argument("--target-bytes", type=int, default=128 << 20)
+    cp.add_argument("--partition-by", default=None,
+                    help="comma-separated partition columns to preserve")
+    cp.add_argument("--lsh-index", action="store_true",
+                    help="treat the path as a band-partitioned LSH signature "
+                    "index: also drop replay-duplicated rows")
+    cp.add_argument("path", help="parquet directory to compact in place")
+    cp.set_defaults(fn=cmd_compact)
 
     ch = sub.add_parser("chunk", help="token-window chunk a corpus (RAG passages)")
     ch.add_argument("--input-format", choices=["jsonl", "csv", "parquet"], default="parquet")

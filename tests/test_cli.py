@@ -761,3 +761,12 @@ def test_curate_cli_url_dedup_malformed_urls_pass_through(spark, tmp_path):
     assert report["after_url_dedup"] == 3
     kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
     assert kept == {1, 2, 3}
+
+
+def test_compact_cli(spark, tmp_path):
+    sink = str(tmp_path / "sprawl")
+    for i in range(5):
+        spark.range(i * 10, (i + 1) * 10).repartition(3).write.mode("append").parquet(sink)
+    report = json.loads(run_cli("compact", "--target-bytes", str(1 << 30), sink))
+    assert report["files_after"] < report["files_before"]
+    assert sorted(r.id for r in spark.read.parquet(sink).collect()) == list(range(50))
