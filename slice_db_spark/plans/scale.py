@@ -161,6 +161,62 @@ def zorder_file_stats(
 # the sink to size-targeted files behind the crash-safe staging swap.
 
 
+def _scan_parquet_files(path: str):
+    """(parquet file paths, total bytes, inferred hive partition columns)
+    for a sink dir: partition columns come from the ``key=value``
+    directory chain of any leaf file, in depth order."""
+    import os
+
+    files: list[str] = []
+    part_cols: list[str] = []
+    for root, _, names in os.walk(path):
+        for f in names:
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(root, f)
+            files.append(full)
+            if not part_cols:
+                rel = os.path.relpath(root, path)
+                if rel != ".":
+                    part_cols = [
+                        seg.split("=", 1)[0]
+                        for seg in rel.split(os.sep)
+                        if "=" in seg
+                    ]
+    return files, sum(os.path.getsize(f) for f in files), part_cols
+
+
+def _compact_dir(spark, path, target_file_bytes, partition_by, transform) -> dict:
+    """Shared compaction scaffolding: recover a crashed swap, size the
+    output from CURRENT on-disk bytes (so compaction converges), rewrite
+    through ``transform`` into size-targeted files, and atomically swap.
+
+    Partitioned sinks: the rewrite repartitions by COUNT ONLY — never by
+    the partition columns, whose low cardinality would funnel each
+    directory through one task and ignore the size target —
+    ``partitionBy`` on the writer routes rows to directories.  Hive
+    ``key=value`` layouts are auto-detected and PRESERVED when
+    ``partition_by`` is not given; silently flattening them would destroy
+    directory pruning for every existing reader."""
+    import math
+    import os
+
+    from ..sources.atomic import recover_dir, swap_dir
+
+    path = os.path.normpath(path)
+    recover_dir(path)
+    files, total, detected = _scan_parquet_files(path)
+    part_cols = partition_by if partition_by is not None else detected
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    w = transform(spark.read.parquet(path)).repartition(n_out).write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(path + ".staging")
+    swap_dir(path)
+    after, _, _ = _scan_parquet_files(path)
+    return {"files_before": len(files), "files_after": len(after), "bytes": total}
+
+
 def compact_parquet(
     spark,
     path: str,
@@ -168,35 +224,12 @@ def compact_parquet(
     partition_by: list[str] | None = None,
 ) -> dict:
     """Rewrite the parquet dir at ``path`` into ≈``target_file_bytes``
-    files (per partition directory when ``partition_by`` is given) and
-    atomically swap the result in (`..sources.atomic.swap_dir` — a crash
-    at any point leaves the old sink or a complete staging copy, never a
-    half-rewrite).  Returns {files_before, files_after, bytes}.
-
-    File count is derived from the CURRENT on-disk bytes, so compaction
-    converges: rewriting an already-compact sink is a no-op-sized job."""
-    import math
-    import os
-
-    from ..sources.atomic import recover_dir, swap_dir
-
-    recover_dir(path)
-    files = []
-    for root, _, names in os.walk(path):
-        files += [os.path.join(root, f) for f in names if f.endswith(".parquet")]
-    total = sum(os.path.getsize(f) for f in files)
-    n_out = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(path)
-    writer = df.repartition(n_out, *partition_by) if partition_by else df.repartition(n_out)
-    w = writer.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(path + ".staging")
-    swap_dir(path)
-    after = 0
-    for root, _, names in os.walk(path):
-        after += sum(1 for f in names if f.endswith(".parquet"))
-    return {"files_before": len(files), "files_after": after, "bytes": total}
+    files and atomically swap the result in (`..sources.atomic.swap_dir`
+    — a crash at any point leaves the old sink or a complete staging
+    copy, never a half-rewrite).  Hive-partitioned layouts are preserved
+    (detected from the ``key=value`` directories when ``partition_by`` is
+    omitted).  Returns {files_before, files_after, bytes}."""
+    return _compact_dir(spark, path, target_file_bytes, partition_by, lambda df: df)
 
 
 def compact_lsh_index(spark, path: str, target_file_bytes: int = 128 << 20) -> dict:
@@ -204,28 +237,7 @@ def compact_lsh_index(spark, path: str, target_file_bytes: int = 128 << 20) -> d
     (`..operators.dedup.build_lsh_index` layout): drop the duplicate
     signature rows that checkpoint replays may have appended (harmless
     for correctness, pure waste for probe I/O), then compact to
-    size-targeted files per band partition.  Same crash-safe swap."""
-    import math
-    import os
-
-    from ..sources.atomic import recover_dir, swap_dir
-
-    recover_dir(path)
-    files = []
-    for root, _, names in os.walk(path):
-        files += [os.path.join(root, f) for f in names if f.endswith(".parquet")]
-    total = sum(os.path.getsize(f) for f in files)
-    n_out = max(1, math.ceil(total / target_file_bytes))
-    (
-        spark.read.parquet(path)
-        .dropDuplicates()
-        .repartition(n_out, "band")
-        .write.mode("overwrite")
-        .partitionBy("band")
-        .parquet(path + ".staging")
+    size-targeted files, keeping the ``band`` directory partitioning."""
+    return _compact_dir(
+        spark, path, target_file_bytes, ["band"], lambda df: df.dropDuplicates()
     )
-    swap_dir(path)
-    after = 0
-    for root, _, names in os.walk(path):
-        after += sum(1 for f in names if f.endswith(".parquet"))
-    return {"files_before": len(files), "files_after": after, "bytes": total}

@@ -25,6 +25,7 @@ def recover_dir(live: str) -> None:
     """Restore ``live`` if a previous :func:`swap_dir` crashed mid-promote.
     No-op when the live dir exists (a dangling ``.old``/``.staging`` is
     cleaned up by the next swap)."""
+    live = os.path.normpath(live)  # 'sink/' would put .old/.staging INSIDE
     if os.path.isdir(live):
         return
     old = live + ".old"
@@ -39,6 +40,7 @@ def swap_dir(live: str) -> None:
     """Promote ``<live>.staging`` (already fully written) to ``live``,
     keeping the previous contents at ``.old`` until the new dir is in
     place so no crash point loses data (see module docstring)."""
+    live = os.path.normpath(live)  # 'sink/' would rename into its own subtree
     staging = live + ".staging"
     old = live + ".old"
     if os.path.isdir(old):

@@ -30,6 +30,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.hashing import hash64
+from ..sources.atomic import recover_dir
 from ..sources.corpus import DOCUMENTS_SCHEMA, _parse_lines, split_corrupt
 
 
@@ -84,10 +85,16 @@ def ingest_corpus_stream(
     extra signature rows on replay, which is harmless (probe candidates
     are per-pair deduplicated), while the reverse order could silently
     lose coverage."""
-    target_exists = os.path.isdir(out_path)
-
     def _sink(batch: DataFrame, epoch_id: int) -> None:
-        nonlocal target_exists
+        # the corpus/index dirs can be transiently ABSENT mid-swap if a
+        # concurrent `compact` crashed between its two renames — recover
+        # them BEFORE deciding whether the cross-batch anti-join and the
+        # LSH probe apply, or a fresh append would silently restart the
+        # corpus from this batch while the history sits stranded in .old
+        recover_dir(out_path)
+        if lsh_index is not None:
+            recover_dir(lsh_index)
+        target_exists = os.path.isdir(out_path)
         clean, bad = split_corrupt(batch)
         if quarantine is not None:
             # one directory per epoch, OVERWRITTEN on replay: the corpus
@@ -163,7 +170,6 @@ def ingest_corpus_stream(
         if lsh_index is not None:
             persisted.unpersist()  # the handle persist() returned, not the
             # near-dup-filtered derivative batch_unique now points at
-        target_exists = True
 
     stream = read_corpus_stream(spark, in_path)
     writer = stream.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint)

@@ -166,3 +166,70 @@ def test_compact_lsh_index_dedups_replayed_signatures(spark, tmp_path):
     assert any(d.startswith("band=") for d in os.listdir(idx))
     got = {(r.new_id, r.corpus_id) for r in probe_lsh_index(spark, idx, new).collect()}
     assert got == want
+
+
+def test_compact_preserves_hive_partitions_and_trailing_slash(spark, tmp_path):
+    """Review-finding pins: compaction auto-detects key=value layouts and
+    preserves them (flattening would destroy directory pruning for every
+    reader); a trailing-slash path must not rename the sink into its own
+    subtree; size targeting is honored WITHIN partition dirs (never one
+    file per partition value)."""
+    import os
+
+    from slice_db_spark.plans.scale import compact_parquet
+
+    sink = str(tmp_path / "part_sink")
+    for i in range(4):
+        spark.range(i * 100, (i + 1) * 100).selectExpr(
+            "id", "CAST(id % 3 AS STRING) AS grp"
+        ).write.mode("append").partitionBy("grp").parquet(sink)
+    before = sorted(r.id for r in spark.read.parquet(sink).collect())
+
+    report = compact_parquet(spark, sink + "/", target_file_bytes=1)  # slash on purpose
+    assert report["files_after"] >= 1
+    # layout preserved: grp= dirs still present, values intact
+    assert sorted(d for d in os.listdir(sink) if d.startswith("grp=")) == [
+        "grp=0", "grp=1", "grp=2"
+    ]
+    assert sorted(r.id for r in spark.read.parquet(sink).collect()) == before
+    # tiny target -> multiple files per partition dir (not one per value)
+    n_grp0 = sum(1 for f in os.listdir(os.path.join(sink, "grp=0")) if f.endswith(".parquet"))
+    assert n_grp0 > 1
+
+
+def test_ingest_recovers_corpus_after_crashed_compact(spark, tmp_path):
+    """Review-finding pin: a compact crash between the swap's two renames
+    leaves the corpus at .old; the NEXT ingest batch must restore it
+    before deciding dedup applicability — otherwise the append silently
+    restarts the corpus from one batch while history sits stranded."""
+    import json as _json
+    import os as _os
+
+    from slice_db_spark.streaming import corpus as SC2
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    def batch(name, rows, mtime):
+        p = land / name
+        p.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+        _os.utime(p, (mtime, mtime))
+
+    batch("b0.jsonl", [
+        {"doc_id": 1, "text": "first document body", "lang": "en", "source": "a", "n_chars": 1},
+    ], 1_000_000_000)
+    SC2.ingest_corpus_stream(spark, str(land), out, ckpt)
+    # simulate the crashed compact: live renamed aside, staging never promoted
+    _os.replace(out, out + ".old")
+
+    batch("b1.jsonl", [
+        {"doc_id": 2, "text": "first document body", "lang": "en", "source": "a", "n_chars": 1},
+        {"doc_id": 3, "text": "a different second doc", "lang": "en", "source": "a", "n_chars": 1},
+    ], 1_000_000_100)
+    SC2.ingest_corpus_stream(spark, str(land), out, ckpt)
+    kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    # doc 2 is an exact dup of the RECOVERED doc 1 and must not re-enter
+    assert kept == {1, 3}
+    assert not _os.path.isdir(out + ".old")
