@@ -443,3 +443,21 @@ def test_canonicalize_url_malformed_and_authority_edges(spark):
     got = {r.i: r.canon_url for r in canonicalize_url(df).collect()}
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i], want)
+
+
+def test_canonicalize_url_is_idempotent(spark):
+    """The canonical form is a FIXED POINT: re-canonicalizing a canonical
+    URL changes nothing (the contract that makes canonical URLs a stable
+    dedup key across pipeline stages)."""
+    from pyspark.sql import functions as F
+
+    from slice_db_spark.operators.curation import canonicalize_url, synth_url
+
+    ids = spark.createDataFrame([(k, f"src{k % 5}") for k in range(120)],
+                                "doc_id bigint, source string")
+    once = canonicalize_url(synth_url(ids)).select(
+        "doc_id", F.col("canon_url").alias("url")
+    )
+    twice = canonicalize_url(once).select("doc_id", "url", "canon_url")
+    diff = twice.where(F.col("canon_url") != F.col("url")).count()
+    assert diff == 0

@@ -233,3 +233,18 @@ def test_ingest_recovers_corpus_after_crashed_compact(spark, tmp_path):
     # doc 2 is an exact dup of the RECOVERED doc 1 and must not re-enter
     assert kept == {1, 3}
     assert not _os.path.isdir(out + ".old")
+
+
+def test_compact_converges(spark, tmp_path):
+    """Compacting an already-compact sink is a stable no-op: file count
+    does not oscillate and rows are untouched."""
+    from slice_db_spark.plans.scale import compact_parquet
+
+    sink = str(tmp_path / "conv")
+    for i in range(6):
+        spark.range(i * 20, (i + 1) * 20).repartition(2).write.mode("append").parquet(sink)
+    r1 = compact_parquet(spark, sink, target_file_bytes=1 << 30)
+    r2 = compact_parquet(spark, sink, target_file_bytes=1 << 30)
+    assert r2["files_before"] == r1["files_after"]
+    assert r2["files_after"] == r1["files_after"]
+    assert sorted(r.id for r in spark.read.parquet(sink).collect()) == list(range(120))
