@@ -253,14 +253,37 @@ _GLOBAL_WINDOW_RE = __import__("re").compile(
 )
 
 
+#: queries whose final ORDER BY (TPC-H presentation order, no LIMIT) sorts
+#: the POST-AGGREGATION result — a frame bounded by group cardinality
+#: (2-25 rows at any input volume), so the range exchange moves metadata,
+#: not data.  Everything else must avoid range exchanges entirely.
+_ALLOWED_RANGE_EXCHANGE = {
+    "q12_shipmode",      # |linestatus| rows
+    "q13_order_distribution",  # |distinct order counts| rows
+    "q15_top_supplier",  # ties at the max: ~1 row
+    "q20_excess_suppliers",    # qualifying suppliers
+    "q22_idle_customers",      # |phone prefixes| rows
+}
+
+
 def test_registry_lint_no_scale_killers(plans):
     """Every registered query: no CartesianProduct, no row-at-a-time Python
-    (BatchEvalPython), nested-loop joins only where documented, and no
-    unpartitioned window outside the justified set."""
+    (BatchEvalPython), nested-loop joins only where documented, no
+    unpartitioned window outside the justified set, and no range exchange
+    anywhere — a global sort (or a repartitionByRange whose sampling pass
+    re-executes the child) has no place in any registered plan; every
+    ordering need is served by TakeOrdered, partitioned windows, or the
+    value-derived bucket decomposition."""
     for name in Q.queries():
         p = plans(name)
         assert "CartesianProduct" not in p, name
         assert "BatchEvalPython" not in p, name
+        if name not in _ALLOWED_RANGE_EXCHANGE:
+            assert "rangepartitioning" not in p, (
+                f"{name}: range exchange (global sort / repartitionByRange) "
+                "in the plan — use TakeOrdered, a partitioned window, or "
+                "bucket decomposition instead"
+            )
         if name not in _ALLOWED_NESTED_LOOP:
             assert "BroadcastNestedLoopJoin" not in p, name
         if name not in _ALLOWED_GLOBAL_WINDOW:
