@@ -470,14 +470,22 @@ def cmd_compact(args) -> int:
     from .plans.scale import compact_lsh_index, compact_parquet
     from .session import get_spark
 
+    if args.lsh_index and args.partition_by is not None:
+        print(json.dumps({"error": "--lsh-index fixes the partitioning to "
+                          "band; --partition-by does not apply"}))
+        return 2
     spark = get_spark("slicedb-compact")
     if args.lsh_index:
         report = compact_lsh_index(spark, args.path, target_file_bytes=args.target_bytes)
     else:
-        pb = [c for c in (args.partition_by or "").split(",") if c]
+        # '--partition-by ""' is the explicit FLATTEN escape hatch ([]);
+        # omitting the flag auto-detects and preserves hive layouts (None)
+        pb = None
+        if args.partition_by is not None:
+            pb = [c.strip() for c in args.partition_by.split(",") if c.strip()]
         report = compact_parquet(
             spark, args.path, target_file_bytes=args.target_bytes,
-            partition_by=pb or None,
+            partition_by=pb,
         )
     print(json.dumps(report))
     return 0
@@ -978,7 +986,9 @@ def main(argv: list[str] | None = None) -> int:
     cp = sub.add_parser("compact", help="rewrite an append-heavy parquet sink to size-targeted files")
     cp.add_argument("--target-bytes", type=int, default=128 << 20)
     cp.add_argument("--partition-by", default=None,
-                    help="comma-separated partition columns to preserve")
+                    help="comma-separated partition columns (omit: auto-"
+                    "detect and preserve hive layout; empty string: force "
+                    "a flat rewrite)")
     cp.add_argument("--lsh-index", action="store_true",
                     help="treat the path as a band-partitioned LSH signature "
                     "index: also drop replay-duplicated rows")

@@ -162,59 +162,85 @@ def zorder_file_stats(
 
 
 def _scan_parquet_files(path: str):
-    """(parquet file paths, total bytes, inferred hive partition columns)
-    for a sink dir: partition columns come from the ``key=value``
-    directory chain of any leaf file, in depth order."""
+    """(parquet file paths, total bytes, inferred hive partition columns,
+    leaf partition-dir count) for a sink dir: partition columns come from
+    the ``key=value`` directory chain of any leaf file, in depth order."""
     import os
 
     files: list[str] = []
     part_cols: list[str] = []
+    leaf_dirs: set[str] = set()
     for root, _, names in os.walk(path):
         for f in names:
             if not f.endswith(".parquet"):
                 continue
-            full = os.path.join(root, f)
-            files.append(full)
-            if not part_cols:
-                rel = os.path.relpath(root, path)
-                if rel != ".":
+            files.append(os.path.join(root, f))
+            rel = os.path.relpath(root, path)
+            if rel != ".":
+                leaf_dirs.add(rel)
+                if not part_cols:
                     part_cols = [
                         seg.split("=", 1)[0]
                         for seg in rel.split(os.sep)
                         if "=" in seg
                     ]
-    return files, sum(os.path.getsize(f) for f in files), part_cols
+    return files, sum(os.path.getsize(f) for f in files), part_cols, len(leaf_dirs)
 
 
 def _compact_dir(spark, path, target_file_bytes, partition_by, transform) -> dict:
     """Shared compaction scaffolding: recover a crashed swap, size the
     output from CURRENT on-disk bytes (so compaction converges), rewrite
-    through ``transform`` into size-targeted files, and atomically swap.
+    through ``transform`` into size-targeted files, and atomically swap —
+    all under the sink's writer lock, so a LIVE appender (streaming
+    ingest takes the same lock per batch) can never land rows between the
+    compaction read and the swap and lose them.
 
-    Partitioned sinks: the rewrite repartitions by COUNT ONLY — never by
-    the partition columns, whose low cardinality would funnel each
-    directory through one task and ignore the size target —
-    ``partitionBy`` on the writer routes rows to directories.  Hive
-    ``key=value`` layouts are auto-detected and PRESERVED when
-    ``partition_by`` is not given; silently flattening them would destroy
-    directory pruning for every existing reader."""
+    Partitioned sinks: the rewrite repartitions by (partition columns,
+    bounded salt).  Count-only round-robin would put every partition
+    value in every task — dynamic partition writes then emit one file per
+    (task, value) and miss the size target by the partition count; keying
+    by the partition columns alone funnels each directory through ONE
+    task.  The salt bounds files-per-directory at ≈ n_out / |leaf dirs|.
+    Hive ``key=value`` layouts are auto-detected and PRESERVED when
+    ``partition_by`` is not given (pass ``[]`` to force a flat rewrite),
+    with partition-value type inference disabled for the read so
+    directory names round-trip byte-for-byte (``grp=007`` must not come
+    back as ``grp=7``)."""
     import math
     import os
 
-    from ..sources.atomic import recover_dir, swap_dir
+    from ..sources.atomic import dir_lock, recover_dir, swap_dir
 
     path = os.path.normpath(path)
-    recover_dir(path)
-    files, total, detected = _scan_parquet_files(path)
-    part_cols = partition_by if partition_by is not None else detected
-    n_out = max(1, math.ceil(total / target_file_bytes))
-    w = transform(spark.read.parquet(path)).repartition(n_out).write.mode("overwrite")
-    if part_cols:
-        w = w.partitionBy(*part_cols)
-    w.parquet(path + ".staging")
-    swap_dir(path)
-    after, _, _ = _scan_parquet_files(path)
-    return {"files_before": len(files), "files_after": len(after), "bytes": total}
+    with dir_lock(path):
+        recover_dir(path)
+        files, total, detected, n_leaf_dirs = _scan_parquet_files(path)
+        if not files:
+            return {"files_before": 0, "files_after": 0, "bytes": 0}
+        part_cols = partition_by if partition_by is not None else detected
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        infer_old = spark.conf.get(infer_key, "true")
+        spark.conf.set(infer_key, "false")
+        try:
+            df = transform(spark.read.parquet(path))
+        finally:
+            spark.conf.set(infer_key, infer_old)
+        if part_cols:
+            per_dir = max(1, round(n_out / max(1, n_leaf_dirs)))
+            # nondeterministic expressions are only allowed in a Project —
+            # materialize the salt, key the exchange on it, then drop it
+            df = df.withColumn(
+                "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(per_dir))
+            )
+            df = df.repartition(n_out, *part_cols, F.col("__salt")).drop("__salt")
+            w = df.write.mode("overwrite").partitionBy(*part_cols)
+        else:
+            w = df.repartition(n_out).write.mode("overwrite")
+        w.parquet(path + ".staging")
+        swap_dir(path)
+        after, _, _, _ = _scan_parquet_files(path)
+        return {"files_before": len(files), "files_after": len(after), "bytes": total}
 
 
 def compact_parquet(

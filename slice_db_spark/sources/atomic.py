@@ -50,3 +50,46 @@ def swap_dir(live: str) -> None:
     os.replace(staging, live)
     if os.path.isdir(old):
         shutil.rmtree(old)
+
+
+def dir_lock(live: str, timeout: float = 600.0, stale: float = 3600.0):
+    """Advisory inter-process lock coordinating writers of a sink dir
+    (streaming appends vs. compaction rewrites): ``os.mkdir(<live>.lock)``
+    is the atomic acquire.  Crash recovery: a lock older than ``stale``
+    seconds is taken over (its holder died — the swap itself is already
+    crash-safe, the lock only prevents LIVE interleavings like a
+    compaction's read→swap racing an append).  Context manager."""
+    import contextlib
+    import time
+
+    @contextlib.contextmanager
+    def _cm():
+        path = os.path.normpath(live)
+        lock = path + ".lock"
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                os.mkdir(lock)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue  # raced with a release — retry immediately
+                if age > stale:
+                    with contextlib.suppress(OSError):
+                        os.rmdir(lock)
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"writer lock on {path} held for {age:.0f}s "
+                        f"(> timeout {timeout}s)"
+                    )
+                time.sleep(0.1)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.rmdir(lock)
+
+    return _cm()

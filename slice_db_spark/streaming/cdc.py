@@ -29,7 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.cdc import merge_upsert
-from ..sources.atomic import recover_dir, swap_dir
+from ..sources.atomic import dir_lock, recover_dir, swap_dir
 
 
 def _recover_dim(dim_path: str) -> None:
@@ -71,6 +71,8 @@ def upsert_stream(
                 .drop("__rn", order_col)
             )
         spark_b = batch.sparkSession
+        locked = dir_lock(dim_path)
+        locked.__enter__()
         _recover_dim(dim_path)
         if os.path.isdir(dim_path):
             base = spark_b.read.parquet(dim_path)
@@ -81,10 +83,13 @@ def upsert_stream(
             )
         else:
             merged = b
-        merged.write.mode("overwrite").parquet(dim_path + ".staging")
-        # Recoverable swap: the pre-merge copy survives at `.old` until
-        # the new dimension is in place (see _recover_dim / sources.atomic)
-        swap_dir(dim_path)
+        try:
+            merged.write.mode("overwrite").parquet(dim_path + ".staging")
+            # Recoverable swap: the pre-merge copy survives at `.old` until
+            # the new dimension is in place (see _recover_dim/sources.atomic)
+            swap_dir(dim_path)
+        finally:
+            locked.__exit__(None, None, None)
 
     stream = spark.readStream.schema(changes_schema).json(in_path)
     writer = stream.writeStream.foreachBatch(_sink).option(

@@ -30,7 +30,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.hashing import hash64
-from ..sources.atomic import recover_dir
+from ..sources.atomic import dir_lock, recover_dir
 from ..sources.corpus import DOCUMENTS_SCHEMA, _parse_lines, split_corrupt
 
 
@@ -86,6 +86,20 @@ def ingest_corpus_stream(
     are per-pair deduplicated), while the reverse order could silently
     lose coverage."""
     def _sink(batch: DataFrame, epoch_id: int) -> None:
+        # Writer lock(s) for the whole read->append section: a LIVE
+        # compaction of the corpus or index takes the same lock, so its
+        # read->swap can never interleave with this batch's append and
+        # drop the appended rows.  Fixed acquisition order (corpus, then
+        # index) matches every other taker - no deadlock cycle exists.
+        import contextlib
+
+        with contextlib.ExitStack() as locks:
+            locks.enter_context(dir_lock(out_path))
+            if lsh_index is not None:
+                locks.enter_context(dir_lock(lsh_index))
+            _sink_locked(batch, epoch_id)
+
+    def _sink_locked(batch: DataFrame, epoch_id: int) -> None:
         # the corpus/index dirs can be transiently ABSENT mid-swap if a
         # concurrent `compact` crashed between its two renames — recover
         # them BEFORE deciding whether the cross-batch anti-join and the

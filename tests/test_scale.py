@@ -185,7 +185,7 @@ def test_compact_preserves_hive_partitions_and_trailing_slash(spark, tmp_path):
         ).write.mode("append").partitionBy("grp").parquet(sink)
     before = sorted(r.id for r in spark.read.parquet(sink).collect())
 
-    report = compact_parquet(spark, sink + "/", target_file_bytes=1)  # slash on purpose
+    report = compact_parquet(spark, sink + "/", target_file_bytes=2048)  # slash on purpose
     assert report["files_after"] >= 1
     # layout preserved: grp= dirs still present, values intact
     assert sorted(d for d in os.listdir(sink) if d.startswith("grp=")) == [
@@ -248,3 +248,105 @@ def test_compact_converges(spark, tmp_path):
     assert r2["files_before"] == r1["files_after"]
     assert r2["files_after"] == r1["files_after"]
     assert sorted(r.id for r in spark.read.parquet(sink).collect()) == list(range(120))
+
+
+def test_compact_partition_values_roundtrip_and_empty_sink(spark, tmp_path):
+    """Partition VALUES survive byte-for-byte (type inference would turn
+    grp=007 into grp=7 and break path-based readers); compacting an empty
+    or nonexistent sink is a graceful zero report."""
+    import os
+
+    from slice_db_spark.plans.scale import compact_parquet
+
+    sink = str(tmp_path / "vals")
+    spark.createDataFrame(
+        [(1, "007"), (2, "007"), (3, "0"), (4, "00")], "id bigint, grp string"
+    ).write.partitionBy("grp").parquet(sink)
+    dirs_before = sorted(d for d in os.listdir(sink) if d.startswith("grp="))
+    assert dirs_before == ["grp=0", "grp=00", "grp=007"]
+    compact_parquet(spark, sink, target_file_bytes=1 << 30)
+    assert sorted(d for d in os.listdir(sink) if d.startswith("grp=")) == dirs_before
+    # read with inference off to see the on-disk values verbatim (the
+    # default reader re-infers types at read time — that is reader
+    # behavior, not a compaction rewrite)
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old_conf = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        got = {(r.id, r.grp) for r in spark.read.parquet(sink).collect()}
+    finally:
+        spark.conf.set(key, old_conf)
+    assert got == {(1, "007"), (2, "007"), (3, "0"), (4, "00")}
+
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    assert compact_parquet(spark, empty) == {
+        "files_before": 0, "files_after": 0, "bytes": 0
+    }
+
+
+def test_compact_size_target_bounds_partitioned_file_count(spark, tmp_path):
+    """The salted repartition bounds files-per-directory at about
+    n_out / |dirs| — NOT one file per (task, value), which would miss the
+    size target by the partition count."""
+    import math
+    import os
+
+    from slice_db_spark.plans.scale import _scan_parquet_files, compact_parquet
+
+    sink = str(tmp_path / "bounded")
+    for i in range(4):
+        spark.range(i * 300, (i + 1) * 300).selectExpr(
+            "id", "CAST(id % 3 AS STRING) AS grp"
+        ).write.mode("append").partitionBy("grp").parquet(sink)
+    _, total, _, n_dirs = _scan_parquet_files(sink)
+    target = max(1, total // 8)
+    report = compact_parquet(spark, sink, target_file_bytes=target)
+    n_out = math.ceil(total / target)
+    per_dir = max(1, round(n_out / n_dirs))
+    for d in os.listdir(sink):
+        if d.startswith("grp="):
+            n = sum(1 for f in os.listdir(os.path.join(sink, d)) if f.endswith(".parquet"))
+            assert 1 <= n <= per_dir, (d, n, per_dir)
+    assert report["files_after"] <= n_out + n_dirs
+
+
+def test_compact_waits_for_writer_lock_and_takes_over_stale(spark, tmp_path):
+    """The compaction read->swap runs under the sink's writer lock: a held
+    lock blocks it (so a live ingest batch can never lose rows to a
+    concurrent swap), and a stale lock from a dead holder is taken over."""
+    import os
+    import threading
+    import time
+
+    import pytest
+
+    from slice_db_spark.plans.scale import compact_parquet
+    from slice_db_spark.sources.atomic import dir_lock
+
+    sink = str(tmp_path / "locked")
+    spark.range(100).write.parquet(sink)
+
+    order = []
+
+    def holder():
+        with dir_lock(sink):
+            order.append("held")
+            time.sleep(1.0)
+            order.append("released")
+
+    t = threading.Thread(target=holder)
+    t.start()
+    time.sleep(0.2)
+    report = compact_parquet(spark, sink, target_file_bytes=1 << 30)
+    t.join()
+    assert order == ["held", "released"]  # compact waited for the writer
+    assert report["files_after"] >= 1
+
+    # stale lock (dead holder): pre-aged .lock dir is taken over
+    lock = sink + ".lock"
+    os.mkdir(lock)
+    os.utime(lock, (time.time() - 7200, time.time() - 7200))
+    report = compact_parquet(spark, sink, target_file_bytes=1 << 30)
+    assert report["files_after"] >= 1
+    assert not os.path.isdir(lock)
