@@ -219,21 +219,30 @@ def _compact_dir(spark, path, target_file_bytes, partition_by, transform) -> dic
             return {"files_before": 0, "files_after": 0, "bytes": 0}
         part_cols = partition_by if partition_by is not None else detected
         n_out = max(1, math.ceil(total / target_file_bytes))
-        infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        infer_old = spark.conf.get(infer_key, "true")
-        spark.conf.set(infer_key, "false")
-        try:
-            df = transform(spark.read.parquet(path))
-        finally:
-            spark.conf.set(infer_key, infer_old)
+        # read through a CLONED session (shared SparkContext, own SQLConf)
+        # with partition-value type inference off, so directory names
+        # round-trip byte-for-byte WITHOUT flipping the shared session's
+        # conf under concurrently running reads in other threads
+        reader = spark.newSession()
+        reader.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+        )
+        df = transform(reader.read.parquet(path))
         if part_cols:
             per_dir = max(1, round(n_out / max(1, n_leaf_dirs)))
-            # nondeterministic expressions are only allowed in a Project —
-            # materialize the salt, key the exchange on it, then drop it
+            # DETERMINISTIC salt (content hash, like salted_join): a
+            # monotonically_increasing_id salt changes across shuffle-task
+            # retries and silently duplicates/loses rows (SPARK-23207
+            # class); collision-extend the name so a real __salt column
+            # is never overwritten
+            salt_col = "__salt"
+            while salt_col in df.columns:
+                salt_col += "_"
             df = df.withColumn(
-                "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(per_dir))
+                salt_col,
+                F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(per_dir)),
             )
-            df = df.repartition(n_out, *part_cols, F.col("__salt")).drop("__salt")
+            df = df.repartition(n_out, *part_cols, F.col(salt_col)).drop(salt_col)
             w = df.write.mode("overwrite").partitionBy(*part_cols)
         else:
             w = df.repartition(n_out).write.mode("overwrite")

@@ -55,12 +55,24 @@ def swap_dir(live: str) -> None:
 def dir_lock(live: str, timeout: float = 600.0, stale: float = 3600.0):
     """Advisory inter-process lock coordinating writers of a sink dir
     (streaming appends vs. compaction rewrites): ``os.mkdir(<live>.lock)``
-    is the atomic acquire.  Crash recovery: a lock older than ``stale``
-    seconds is taken over (its holder died — the swap itself is already
-    crash-safe, the lock only prevents LIVE interleavings like a
-    compaction's read→swap racing an append).  Context manager."""
+    is the atomic acquire.  Context manager.
+
+    Liveness vs. crash recovery:
+
+    * A daemon HEARTBEAT refreshes the held lock's mtime every
+      ``stale/4`` seconds, so a legitimately long-running holder (a
+      multi-hour compaction) is never mistaken for a dead one.
+    * A lock whose mtime is older than ``stale`` seconds therefore means
+      a crashed holder.  Takeover is an atomic RENAME of the stale lock
+      dir to a unique name (exactly one contender's rename succeeds, the
+      losers loop) — a plain rmdir could delete a DIFFERENT waiter's
+      freshly acquired lock and let two writers into the critical
+      section.
+    """
     import contextlib
+    import threading
     import time
+    import uuid
 
     @contextlib.contextmanager
     def _cm():
@@ -72,23 +84,42 @@ def dir_lock(live: str, timeout: float = 600.0, stale: float = 3600.0):
                 os.mkdir(lock)
                 break
             except FileExistsError:
+                age = None
                 try:
                     age = time.time() - os.path.getmtime(lock)
                 except OSError:
-                    continue  # raced with a release — retry immediately
-                if age > stale:
-                    with contextlib.suppress(OSError):
-                        os.rmdir(lock)
+                    pass  # raced with a release — fall through to wait
+                if age is not None and age > stale:
+                    # atomic takeover: only ONE contender's rename of the
+                    # observed stale dir succeeds; the tomb is removed by
+                    # the winner and the loop re-acquires via mkdir
+                    tomb = f"{lock}.stale.{uuid.uuid4().hex}"
+                    try:
+                        os.rename(lock, tomb)
+                    except OSError:
+                        continue  # another contender won the takeover
+                    shutil.rmtree(tomb, ignore_errors=True)
                     continue
                 if time.monotonic() > deadline:
+                    held = f"held for {age:.0f}s" if age is not None else "contended"
                     raise TimeoutError(
-                        f"writer lock on {path} held for {age:.0f}s "
-                        f"(> timeout {timeout}s)"
+                        f"writer lock on {path} {held} (> timeout {timeout}s)"
                     )
                 time.sleep(0.1)
+        stop = threading.Event()
+
+        def _beat():
+            while not stop.wait(max(1.0, stale / 4)):
+                with contextlib.suppress(OSError):
+                    os.utime(lock)
+
+        beat = threading.Thread(target=_beat, daemon=True)
+        beat.start()
         try:
             yield
         finally:
+            stop.set()
+            beat.join(timeout=1.0)
             with contextlib.suppress(OSError):
                 os.rmdir(lock)
 

@@ -71,25 +71,24 @@ def upsert_stream(
                 .drop("__rn", order_col)
             )
         spark_b = batch.sparkSession
-        locked = dir_lock(dim_path)
-        locked.__enter__()
-        _recover_dim(dim_path)
-        if os.path.isdir(dim_path):
-            base = spark_b.read.parquet(dim_path)
-            merged = merge_upsert(base, b, keys, delete_col=delete_col)
-        elif delete_col is not None:
-            merged = b.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
-                delete_col
-            )
-        else:
-            merged = b
-        try:
+        # the lock scopes the WHOLE read->merge->swap (a bare __enter__
+        # before the reads would leak the lock on any read/merge error
+        # and stall every later batch until the stale window)
+        with dir_lock(dim_path):
+            _recover_dim(dim_path)
+            if os.path.isdir(dim_path):
+                base = spark_b.read.parquet(dim_path)
+                merged = merge_upsert(base, b, keys, delete_col=delete_col)
+            elif delete_col is not None:
+                merged = b.where(
+                    ~F.coalesce(F.col(delete_col), F.lit(False))
+                ).drop(delete_col)
+            else:
+                merged = b
             merged.write.mode("overwrite").parquet(dim_path + ".staging")
             # Recoverable swap: the pre-merge copy survives at `.old` until
             # the new dimension is in place (see _recover_dim/sources.atomic)
             swap_dir(dim_path)
-        finally:
-            locked.__exit__(None, None, None)
 
     stream = spark.readStream.schema(changes_schema).json(in_path)
     writer = stream.writeStream.foreachBatch(_sink).option(

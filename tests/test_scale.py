@@ -350,3 +350,85 @@ def test_compact_waits_for_writer_lock_and_takes_over_stale(spark, tmp_path):
     report = compact_parquet(spark, sink, target_file_bytes=1 << 30)
     assert report["files_after"] >= 1
     assert not os.path.isdir(lock)
+
+
+def test_compact_preserves_user_salt_column_and_session_conf(spark, tmp_path):
+    """A data column literally named __salt must survive compaction (the
+    internal routing salt collision-extends its name), and the shared
+    session's partition-inference conf is untouched (the inference-off
+    read runs in a cloned session)."""
+    from slice_db_spark.plans.scale import compact_parquet
+
+    sink = str(tmp_path / "salted_data")
+    spark.createDataFrame(
+        [(i, i * 7, str(i % 2)) for i in range(40)],
+        "id bigint, __salt bigint, grp string",
+    ).write.partitionBy("grp").parquet(sink)
+    before = {(r["id"], r["__salt"]) for r in spark.read.parquet(sink).collect()}
+    compact_parquet(spark, sink, target_file_bytes=1 << 30)
+    after = {(r["id"], r["__salt"]) for r in spark.read.parquet(sink).collect()}
+    assert after == before
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    assert spark.conf.get(key, "true") == "true"
+
+
+def test_dir_lock_heartbeat_prevents_live_steal():
+    """A long-running holder's lock is heartbeat-refreshed, so a waiter
+    never mistakes it for stale; a genuinely dead lock is taken over by
+    exactly ONE of several contenders (rename-based takeover)."""
+    import os
+    import tempfile
+    import threading
+    import time
+
+    import pytest
+
+    from slice_db_spark.sources.atomic import dir_lock
+
+    d = tempfile.mkdtemp()
+    live = os.path.join(d, "sink")
+    os.mkdir(live)
+
+    # live holder outlasting the stale window: waiter must TIME OUT, not steal
+    entered = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with dir_lock(live, stale=2.0):
+            entered.set()
+            release.wait(8.0)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert entered.wait(5.0)
+    time.sleep(2.5)  # past the stale window; heartbeat keeps it fresh
+    with pytest.raises(TimeoutError):
+        with dir_lock(live, timeout=0.5, stale=2.0):
+            pass
+    release.set()
+    t.join()
+
+    # dead holder: pre-aged lock, two concurrent contenders, exactly one
+    # inside the critical section at a time
+    lock = live + ".lock"
+    os.mkdir(lock)
+    os.utime(lock, (time.time() - 7200, time.time() - 7200))
+    inside, max_inside = [0], [0]
+    guard = threading.Lock()
+
+    def contender():
+        with dir_lock(live, timeout=10.0):
+            with guard:
+                inside[0] += 1
+                max_inside[0] = max(max_inside[0], inside[0])
+            time.sleep(0.3)
+            with guard:
+                inside[0] -= 1
+
+    ts = [threading.Thread(target=contender) for _ in range(3)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert max_inside[0] == 1
+    assert not os.path.isdir(lock)
