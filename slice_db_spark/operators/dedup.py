@@ -1320,6 +1320,51 @@ def _banded_signatures(
     )
 
 
+#: filename of the index parameter sidecar — leading underscore so Spark's
+#: parquet reader skips it as metadata (same convention as ``_SUCCESS``)
+LSH_META_NAME = "_lsh_meta.json"
+
+
+def write_lsh_meta(path: str, k: int, bands: int, n: int) -> None:
+    """Persist the (k, bands, n) the index was built with next to its
+    parquet files — band hashes are a pure function of these, so a probe
+    with different parameters silently returns ZERO candidates instead of
+    erroring.  The sidecar makes the mismatch a hard error."""
+    import json
+    import os
+
+    with open(os.path.join(path, LSH_META_NAME), "w") as f:
+        json.dump({"k": k, "bands": bands, "n": n}, f)
+
+
+def read_lsh_meta(path: str) -> dict | None:
+    """Load the index parameter sidecar; ``None`` for a pre-sidecar index
+    (accepted for back-compat — the caller's parameters are trusted)."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(path, LSH_META_NAME)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def check_lsh_meta(path: str, k: int, bands: int, n: int) -> None:
+    """Raise ``ValueError`` when the persisted index at ``path`` was built
+    with different (k, bands, n) than the probe is about to use."""
+    meta = read_lsh_meta(path)
+    if meta is None:
+        return
+    got = (meta.get("k"), meta.get("bands"), meta.get("n"))
+    if got != (k, bands, n):
+        raise ValueError(
+            f"LSH index at {path} was built with (k, bands, n)={got}; "
+            f"probing with ({k}, {bands}, {n}) would produce incompatible "
+            "band hashes and silently match nothing"
+        )
+
+
 def build_lsh_index(
     corpus_df: DataFrame,
     path: str,
@@ -1345,6 +1390,8 @@ def build_lsh_index(
         .partitionBy("band")
         .parquet(path)
     )
+    # after the parquet write — mode("overwrite") clears the dir first
+    write_lsh_meta(path, k, bands, n)
 
 
 def probe_lsh_index(
@@ -1368,6 +1415,7 @@ def probe_lsh_index(
     threshold (the corpus text is re-read only for the candidate ids —
     a semi-join-pruned scan, not a full re-shingle)."""
     assert k % bands == 0, "k must divide into equal bands"
+    check_lsh_meta(path, k, bands, n)  # mismatched params = zero matches
     index = spark.read.parquet(path)
     st_new = shingle_table(new_df, text_col, id_col, n)
     if threshold is not None and corpus_df is not None:
@@ -1383,35 +1431,39 @@ def probe_lsh_index(
         return cands.select("new_id", "corpus_id")
     # the verify path consumes the candidate frame three times (candidate
     # ids, shared-shingle join, denominator join) — persist so the index
-    # read + band join runs once, not per consumer
+    # read + band join runs once, not per consumer.  try/finally: an
+    # error mid-verify must not leak executor storage across retried
+    # streaming batches
     cands = cands.persist()
-    cand_ids = cands.select(F.col("corpus_id").alias(id_col)).distinct()
-    st_corp = shingle_table(
-        corpus_df.join(cand_ids, id_col, "left_semi"), text_col, id_col, n
-    )
-    shared = (
-        cands.join(st_new.select(F.col(id_col).alias("new_id"), "shingle"), "new_id")
-        .join(
-            st_corp.select(F.col(id_col).alias("corpus_id"), "shingle"),
-            ["corpus_id", "shingle"],
+    try:
+        cand_ids = cands.select(F.col("corpus_id").alias(id_col)).distinct()
+        st_corp = shingle_table(
+            corpus_df.join(cand_ids, id_col, "left_semi"), text_col, id_col, n
         )
-        .groupBy("new_id", "corpus_id")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = st_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("na")).select(
-        F.col(id_col).alias("new_id"), "na"
-    )
-    out = (
-        shared.join(sa, "new_id")
-        .join(cands.select("new_id", "corpus_id", "nb"), ["new_id", "corpus_id"])
-        .withColumn(
-            "jaccard",
-            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
+        shared = (
+            cands.join(st_new.select(F.col(id_col).alias("new_id"), "shingle"), "new_id")
+            .join(
+                st_corp.select(F.col(id_col).alias("corpus_id"), "shingle"),
+                ["corpus_id", "shingle"],
+            )
+            .groupBy("new_id", "corpus_id")
+            .agg(F.count(F.lit(1)).alias("shared"))
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("new_id", "corpus_id", "jaccard")
-    )
-    out = out.localCheckpoint(eager=True)
-    cands.unpersist()
-    st_new.unpersist()
+        sa = st_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("na")).select(
+            F.col(id_col).alias("new_id"), "na"
+        )
+        out = (
+            shared.join(sa, "new_id")
+            .join(cands.select("new_id", "corpus_id", "nb"), ["new_id", "corpus_id"])
+            .withColumn(
+                "jaccard",
+                F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("new_id", "corpus_id", "jaccard")
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        cands.unpersist()
+        st_new.unpersist()
     return out

@@ -187,7 +187,9 @@ def _scan_parquet_files(path: str):
     return files, sum(os.path.getsize(f) for f in files), part_cols, len(leaf_dirs)
 
 
-def _compact_dir(spark, path, target_file_bytes, partition_by, transform) -> dict:
+def _compact_dir(
+    spark, path, target_file_bytes, partition_by, transform, preserve_files=()
+) -> dict:
     """Shared compaction scaffolding: recover a crashed swap, size the
     output from CURRENT on-disk bytes (so compaction converges), rewrite
     through ``transform`` into size-targeted files, and atomically swap —
@@ -212,7 +214,7 @@ def _compact_dir(spark, path, target_file_bytes, partition_by, transform) -> dic
     from ..sources.atomic import dir_lock, recover_dir, swap_dir
 
     path = os.path.normpath(path)
-    with dir_lock(path):
+    with dir_lock(path) as lease:
         recover_dir(path)
         files, total, detected, n_leaf_dirs = _scan_parquet_files(path)
         if not files:
@@ -247,6 +249,19 @@ def _compact_dir(spark, path, target_file_bytes, partition_by, transform) -> dic
         else:
             w = df.repartition(n_out).write.mode("overwrite")
         w.parquet(path + ".staging")
+        # sidecar metadata (e.g. the LSH index's _lsh_meta.json) is not
+        # parquet data — copy it into staging BEFORE the swap so the
+        # promoted dir is complete at every crash point
+        import shutil
+
+        for name in preserve_files:
+            src = os.path.join(path, name)
+            if os.path.isfile(src):
+                shutil.copy2(src, os.path.join(path + ".staging", name))
+        # fenced swap: a compaction suspended past the stale window may
+        # have lost the lock to a live appender — swapping then would
+        # silently drop the rows appended since our read
+        lease.check()
         swap_dir(path)
         after, _, _, _ = _scan_parquet_files(path)
         return {"files_before": len(files), "files_after": len(after), "bytes": total}
@@ -272,7 +287,11 @@ def compact_lsh_index(spark, path: str, target_file_bytes: int = 128 << 20) -> d
     (`..operators.dedup.build_lsh_index` layout): drop the duplicate
     signature rows that checkpoint replays may have appended (harmless
     for correctness, pure waste for probe I/O), then compact to
-    size-targeted files, keeping the ``band`` directory partitioning."""
+    size-targeted files, keeping the ``band`` directory partitioning and
+    the ``_lsh_meta.json`` parameter sidecar."""
+    from ..operators.dedup import LSH_META_NAME
+
     return _compact_dir(
-        spark, path, target_file_bytes, ["band"], lambda df: df.dropDuplicates()
+        spark, path, target_file_bytes, ["band"], lambda df: df.dropDuplicates(),
+        preserve_files=(LSH_META_NAME,),
     )

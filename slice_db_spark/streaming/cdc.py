@@ -74,7 +74,7 @@ def upsert_stream(
         # the lock scopes the WHOLE read->merge->swap (a bare __enter__
         # before the reads would leak the lock on any read/merge error
         # and stall every later batch until the stale window)
-        with dir_lock(dim_path):
+        with dir_lock(dim_path) as lease:
             _recover_dim(dim_path)
             if os.path.isdir(dim_path):
                 base = spark_b.read.parquet(dim_path)
@@ -87,7 +87,9 @@ def upsert_stream(
                 merged = b
             merged.write.mode("overwrite").parquet(dim_path + ".staging")
             # Recoverable swap: the pre-merge copy survives at `.old` until
-            # the new dimension is in place (see _recover_dim/sources.atomic)
+            # the new dimension is in place (see _recover_dim/sources.atomic).
+            # Fenced: never swap on a lease a contender may have taken over.
+            lease.check()
             swap_dir(dim_path)
 
     stream = spark.readStream.schema(changes_schema).json(in_path)

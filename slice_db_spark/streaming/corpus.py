@@ -61,6 +61,7 @@ def ingest_corpus_stream(
     rejects: str | None = None,
     lsh_index: str | None = None,
     lsh_threshold: float = 0.5,
+    lock_timeout: float = 600.0,
 ):
     """Start (and with ``available_now`` run to completion) the ingestion
     stream: JSONL landing dir → optional quality gate → per-batch exact
@@ -75,16 +76,29 @@ def ingest_corpus_stream(
     (per-epoch overwrite, idempotent on replay exactly like the
     quarantine sink).
 
-    ``lsh_index`` turns on continuous near-dedup: each batch's survivors
-    are probed against the band-partitioned MinHash index at that path
+    ``lsh_index`` turns on continuous near-dedup: each batch is first
+    near-deduplicated AGAINST ITSELF (banded self-join + exact-Jaccard
+    verify, min doc_id wins — the standing index can't catch two
+    near-duplicates arriving in the same micro-batch, its signatures land
+    only after the batch), then the survivors are probed against the
+    band-partitioned MinHash index at that path
     (:func:`..operators.dedup.probe_lsh_index`, verified to exact Jaccard
     ≥ ``lsh_threshold`` against the standing corpus text), near-dups
     drop, and the remaining rows' banded signatures APPEND to the index —
-    so per-batch cost stays independent of corpus size.  The signature
-    append lands BEFORE the corpus append: a crash between the two leaves
-    extra signature rows on replay, which is harmless (probe candidates
-    are per-pair deduplicated), while the reverse order could silently
-    lose coverage."""
+    so per-batch cost stays independent of corpus size.  Signature
+    parameters (k, bands, n) come from the index's own ``_lsh_meta.json``
+    sidecar when present (written on first creation), so an index built
+    with non-default parameters can never be appended to with
+    incompatible band hashes.  The signature append lands BEFORE the
+    corpus append: a crash between the two leaves extra signature rows on
+    replay, which is harmless (probe candidates are per-pair
+    deduplicated), while the reverse order could silently lose coverage.
+
+    ``lock_timeout`` is how long a batch waits for the sink writer locks —
+    raise it when a long-running compaction legitimately holds them (the
+    lock's heartbeat keeps it fresh for hours; see
+    :func:`..sources.atomic.dir_lock`), so the compaction degrades to
+    ingest latency instead of failing the StreamingQuery."""
     def _sink(batch: DataFrame, epoch_id: int) -> None:
         # Writer lock(s) for the whole read->append section: a LIVE
         # compaction of the corpus or index takes the same lock, so its
@@ -94,12 +108,17 @@ def ingest_corpus_stream(
         import contextlib
 
         with contextlib.ExitStack() as locks:
-            locks.enter_context(dir_lock(out_path))
+            corpus_lease = locks.enter_context(
+                dir_lock(out_path, timeout=lock_timeout)
+            )
+            index_lease = None
             if lsh_index is not None:
-                locks.enter_context(dir_lock(lsh_index))
-            _sink_locked(batch, epoch_id)
+                index_lease = locks.enter_context(
+                    dir_lock(lsh_index, timeout=lock_timeout)
+                )
+            _sink_locked(batch, epoch_id, corpus_lease, index_lease)
 
-    def _sink_locked(batch: DataFrame, epoch_id: int) -> None:
+    def _sink_locked(batch: DataFrame, epoch_id: int, corpus_lease, index_lease) -> None:
         # the corpus/index dirs can be transiently ABSENT mid-swap if a
         # concurrent `compact` crashed between its two renames — recover
         # them BEFORE deciding whether the cross-batch anti-join and the
@@ -146,44 +165,107 @@ def ingest_corpus_stream(
             from ..operators import dedup as _dedup
 
             sp = batch.sparkSession
+            index_exists = os.path.isdir(lsh_index)
+            # (k, bands, n) come from the index's own sidecar — appending
+            # differently-parameterized band hashes would silently stop
+            # the probe from ever matching them
+            meta = _dedup.read_lsh_meta(lsh_index) if index_exists else None
+            lk, lb, ln = (
+                (meta["k"], meta["bands"], meta["n"]) if meta else (16, 4, 3)
+            )
             # the near-dedup stage consumes batch_unique several times
             # (probe shingles, rejects write, signature append, corpus
             # append) — persist once instead of re-running the parse +
-            # quality UDF + dedup joins per consumer
+            # quality UDF + dedup joins per consumer; try/finally so an
+            # error mid-batch can't leak executor storage across retries
             persisted = batch_unique.persist()
-            batch_unique = persisted
-            if os.path.isdir(lsh_index) and target_exists:
-                corpus = sp.read.parquet(out_path)
-                near = _dedup.probe_lsh_index(
-                    sp, lsh_index, batch_unique,
-                    threshold=lsh_threshold, corpus_df=corpus,
-                    text_col=text_col,
-                ).select(F.col("new_id").alias("doc_id")).distinct()
+            st = _dedup.shingle_table(persisted, text_col, "doc_id", ln).persist()
+            try:
+                # WITHIN-batch near-dedup: banded self-join + exact-Jaccard
+                # verify over the batch's own shingle table (the standing
+                # index only covers PRIOR batches), min doc_id wins
+                banded = _dedup._banded_signatures(st, "id_a", lk, lb, "doc_id")
+                cands = (
+                    banded.join(
+                        banded.select(
+                            "band", "band_hash", F.col("id_a").alias("id_b")
+                        ),
+                        ["band", "band_hash"],
+                    )
+                    .where(F.col("id_a") < F.col("id_b"))
+                    .select("id_a", "id_b")
+                    .distinct()
+                )
+                shared = (
+                    cands.join(
+                        st.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a"
+                    )
+                    .join(
+                        st.select(F.col("doc_id").alias("id_b"), "shingle"),
+                        ["id_b", "shingle"],
+                    )
+                    .groupBy("id_a", "id_b")
+                    .agg(F.count(F.lit(1)).alias("shared"))
+                )
+                near = (
+                    _dedup._jaccard_filter(shared, st, "doc_id", lsh_threshold)
+                    .select(F.col("id_b").alias("doc_id"))
+                    .distinct()
+                )
+                if index_exists and target_exists:
+                    corpus = sp.read.parquet(out_path)
+                    near = near.union(
+                        _dedup.probe_lsh_index(
+                            sp, lsh_index, persisted, k=lk, bands=lb,
+                            threshold=lsh_threshold, corpus_df=corpus,
+                            text_col=text_col, n=ln,
+                        ).select(F.col("new_id").alias("doc_id"))
+                    ).distinct()
+                # three consumers (rejects semi-join, corpus anti-join,
+                # signature anti-join) — materialize the tiny id frame
+                # once instead of re-running the verify joins per consumer
+                near = near.localCheckpoint(eager=True)
                 if rejects is not None:
                     # SIBLING root, not a subdir of `rejects`: mixing
                     # epoch_id=N and neardup-epoch dirs under one root
                     # breaks partition discovery for readers of the
                     # quality-rejects sink
-                    batch_unique.join(near, "doc_id", "left_semi").write.mode(
+                    persisted.join(near, "doc_id", "left_semi").write.mode(
                         "overwrite"
                     ).json(
                         os.path.join(rejects + ".neardup", f"epoch_id={int(epoch_id)}")
                     )
-                batch_unique = batch_unique.join(near, "doc_id", "left_anti")
-            # replays may re-append signature rows; duplicates are harmless
-            # (candidates are per-pair deduplicated) — losing them is not
-            st = _dedup.shingle_table(batch_unique, text_col, "doc_id", 3)
-            sizes = st.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-            (
-                _dedup._banded_signatures(st, "corpus_id", 16, 4, "doc_id")
-                .join(sizes.select(F.col("doc_id").alias("corpus_id"), "n_shingles"),
-                      "corpus_id")
-                .write.mode("append").partitionBy("band").parquet(lsh_index)
-            )
-        batch_unique.write.mode("append").parquet(out_path)
-        if lsh_index is not None:
-            persisted.unpersist()  # the handle persist() returned, not the
-            # near-dup-filtered derivative batch_unique now points at
+                batch_unique = persisted.join(near, "doc_id", "left_anti")
+                # survivors' signatures, derived from the SAME shingle pass
+                # (filtering st by survivor id ≡ re-shingling survivors).
+                # Replays may re-append signature rows; duplicates are
+                # harmless (candidates are per-pair deduplicated) — losing
+                # them is not
+                st_surv = st.join(near, "doc_id", "left_anti")
+                sizes = st_surv.groupBy("doc_id").agg(
+                    F.count(F.lit(1)).alias("n_shingles")
+                )
+                index_lease.check()  # fenced: never append on a lost lease
+                (
+                    _dedup._banded_signatures(st_surv, "corpus_id", lk, lb, "doc_id")
+                    .join(
+                        sizes.select(
+                            F.col("doc_id").alias("corpus_id"), "n_shingles"
+                        ),
+                        "corpus_id",
+                    )
+                    .write.mode("append").partitionBy("band").parquet(lsh_index)
+                )
+                if not index_exists:
+                    _dedup.write_lsh_meta(lsh_index, lk, lb, ln)
+                corpus_lease.check()
+                batch_unique.write.mode("append").parquet(out_path)
+            finally:
+                st.unpersist()
+                persisted.unpersist()
+        else:
+            corpus_lease.check()  # fenced: never append on a lost lease
+            batch_unique.write.mode("append").parquet(out_path)
 
     stream = read_corpus_stream(spark, in_path)
     writer = stream.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint)

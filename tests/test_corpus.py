@@ -295,3 +295,71 @@ def test_streaming_ingest_quality_and_neardup_rejects_coexist(spark, tmp_path):
     neardup_rejects = {r.doc_id for r in spark.read.json(rej + ".neardup").collect()}
     assert 11 in quality_rejects
     assert neardup_rejects == {10}
+
+
+def test_streaming_ingest_within_batch_near_dup(spark, tmp_path):
+    """Two near-duplicate (non-identical) documents arriving in the SAME
+    micro-batch: the standing index can't catch them (its signatures land
+    only after the batch), so the within-batch banded self-join must —
+    min doc_id wins, the loser goes to the neardup rejects sink."""
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "idx")
+    rej = str(tmp_path / "rejects")
+
+    base = "the quick brown fox jumps over the lazy dog again and again %s"
+    b0 = [
+        {"doc_id": 5, "text": base % "one", "lang": "en", "source": "a", "n_chars": 1},
+        {"doc_id": 9, "text": base % "two", "lang": "en", "source": "a", "n_chars": 1},
+        {"doc_id": 7, "text": "completely different text about spark shuffles and joins",
+         "lang": "en", "source": "a", "n_chars": 1},
+    ]
+    _write_batch(land, "b0.jsonl", b0)
+    os.utime(os.path.join(land, "b0.jsonl"), (1_000_000_000,) * 2)
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, lsh_index=idx, rejects=rej)
+
+    kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert kept == {5, 7}  # 9 near-dups 5 within the batch; min id wins
+    neardup = {r.doc_id for r in spark.read.json(rej + ".neardup").collect()}
+    assert neardup == {9}
+    # the dropped doc's signatures must NOT have entered the index
+    ids = {r.corpus_id for r in spark.read.parquet(idx).select("corpus_id").collect()}
+    assert ids == {5, 7}
+
+
+def test_streaming_ingest_writes_and_respects_index_meta(spark, tmp_path):
+    """First ingest creation stamps the index with its parameters; an
+    index pre-built with NON-default parameters is appended to and probed
+    with ITS parameters (read from the sidecar), not the hardcoded
+    defaults — a silent band-hash mismatch would stop near-dedup without
+    an error."""
+    from slice_db_spark.operators import dedup as D
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "corpus")
+
+    base = "the quick brown fox jumps over the lazy dog again and again %s"
+    b0 = [{"doc_id": 1, "text": base % "one", "lang": "en", "source": "a", "n_chars": 1}]
+    _write_batch(land, "b0.jsonl", b0)
+    os.utime(os.path.join(land, "b0.jsonl"), (1_000_000_000,) * 2)
+
+    # default-parameter creation path stamps the sidecar
+    idx_default = str(tmp_path / "idx_default")
+    SC.ingest_corpus_stream(spark, str(land), out, str(tmp_path / "ck0"),
+                            lsh_index=idx_default)
+    assert D.read_lsh_meta(idx_default) == {"k": 16, "bands": 4, "n": 3}
+
+    # non-default pre-built index: ingest must follow the sidecar
+    idx = str(tmp_path / "idx_nondefault")
+    D.build_lsh_index(spark.read.parquet(out), idx, k=8, bands=2)
+    b1 = [{"doc_id": 10, "text": base % "two", "lang": "en", "source": "a", "n_chars": 1}]
+    _write_batch(land, "b1.jsonl", b1)
+    os.utime(os.path.join(land, "b1.jsonl"), (1_000_000_100,) * 2)
+    SC.ingest_corpus_stream(spark, str(land), out, str(tmp_path / "ck1"),
+                            lsh_index=idx)
+    kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert kept == {1}  # 10 caught via the (8, 2, 3)-parameter probe
+    assert D.read_lsh_meta(idx) == {"k": 8, "bands": 2, "n": 3}

@@ -432,3 +432,83 @@ def test_dir_lock_heartbeat_prevents_live_steal():
         th.join()
     assert max_inside[0] == 1
     assert not os.path.isdir(lock)
+
+
+def test_dir_lock_fenced_release_and_check(tmp_path):
+    """Lease fencing: after a takeover (lock dir renamed away and
+    re-acquired by a contender), the ex-holder's check() raises and its
+    release must NOT remove the new holder's lock dir — a blind rmdir
+    there would admit a third writer mid-swap."""
+    import os
+    import shutil
+
+    import pytest
+
+    from slice_db_spark.sources.atomic import dir_lock
+
+    live = str(tmp_path / "sink")
+    os.mkdir(live)
+    lock = live + ".lock"
+
+    with dir_lock(live) as lease:
+        lease.check()  # owned: no-op
+        # simulate a contender's stale takeover + re-acquire
+        os.rename(lock, lock + ".stolen")
+        shutil.rmtree(lock + ".stolen")
+        os.mkdir(lock)
+        open(os.path.join(lock, "owner-contender"), "w").close()
+        with pytest.raises(TimeoutError):
+            lease.check()
+    # fenced release: the contender's lock survives our exit
+    assert os.path.isdir(lock)
+    assert os.path.exists(os.path.join(lock, "owner-contender"))
+    shutil.rmtree(lock)
+
+
+def test_dir_lock_heartbeat_fences_on_token_loss(tmp_path):
+    """The heartbeat thread detects a takeover (owner token gone) and
+    flags the lease lost instead of re-touching a lock it no longer
+    owns."""
+    import os
+
+    from slice_db_spark.sources.atomic import dir_lock
+
+    live = str(tmp_path / "sink")
+    os.mkdir(live)
+
+    with dir_lock(live, stale=4.0) as lease:  # heartbeat every ~1s
+        os.remove(lease.token_path)
+        assert lease.lost.wait(5.0), "heartbeat never noticed the takeover"
+
+
+def test_compact_lsh_index_preserves_meta_and_probe_validates(spark, tmp_path):
+    """The index parameter sidecar survives compaction, and a probe with
+    mismatched (k, bands, n) is a hard error instead of silently matching
+    nothing."""
+    import os
+
+    import pytest
+
+    from slice_db_spark.operators import dedup as D
+    from slice_db_spark.plans.scale import compact_lsh_index
+
+    corpus = spark.createDataFrame(
+        [(i, f"document number {i} about spark parquet shuffles {i}") for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "idx")
+    D.build_lsh_index(corpus, idx, k=8, bands=2)
+    assert D.read_lsh_meta(idx) == {"k": 8, "bands": 2, "n": 3}
+
+    new = spark.createDataFrame(
+        [(100, "document number 3 about spark parquet shuffles 3")],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(ValueError, match="built with"):
+        D.probe_lsh_index(spark, idx, new)  # defaults (16, 4, 3) mismatch
+    assert D.probe_lsh_index(spark, idx, new, k=8, bands=2).count() >= 1
+
+    compact_lsh_index(spark, idx)
+    assert D.read_lsh_meta(idx) == {"k": 8, "bands": 2, "n": 3}
+    assert os.path.isfile(os.path.join(idx, "_lsh_meta.json"))
+    assert D.probe_lsh_index(spark, idx, new, k=8, bands=2).count() >= 1
