@@ -177,6 +177,7 @@ HEADLINE = [
     "media_resize",
     "media_pgm_stats",
     "media_png_stats",
+    "media_jpeg_stats",
     "url_canonical",
     "domain_stats",
 ]

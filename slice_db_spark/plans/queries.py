@@ -3852,6 +3852,19 @@ def media_png_stats(spark, sf_dir):
     return multimodal.png_stats(multimodal.synth_png(docs))
 
 
+def media_jpeg_stats(spark, sf_dir):
+    """REAL codec gate #5 — the format MOST of a crawl actually is:
+    baseline JPEGs synthesized from doc_id arithmetic (8x8-constant
+    blocks whose even level-shift offsets survive the uniform-q=16
+    quantize/IDCT pipeline bit-exactly), then marker-parsed,
+    Huffman-decoded, dequantized and IDCT'd back to pixels.  Any
+    entropy-coding, zigzag, byte-stuffing, or DCT-scaling bug breaks
+    the arithmetic hash match — while the payload traverses the same
+    lossy machinery arbitrary JPEGs do."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.jpeg_stats(multimodal.synth_jpeg(docs))
+
+
 def url_canonical(spark, sf_dir):
     """Crawl-layer URL canonicalization (the stage before every text
     dedup): lowercase scheme/host, strip default ports (keep :8080),
@@ -6334,6 +6347,30 @@ FROM d
         FROM px JOIN ds ON ds.media_id = px.media_id
     """)
 
+    # pixels == synth values by construction (even-offset constant blocks
+    # survive the q=16 quantize/IDCT pipeline exactly; proven in
+    # tests/test_multimodal.py::test_jpeg_exact_roundtrip_piecewise_constant),
+    # so the oracle mirrors the BLOCK arithmetic: 64 pixels and 16
+    # [::2, ::2] downsample hits per 8x8 block
+    o["media_jpeg_stats"] = _q("""
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS media_id,
+                 CAST(8 * (1 + doc_id % 3) AS BIGINT) AS w,
+                 CAST(8 * (1 + (3 * doc_id + 1) % 2) AS BIGINT) AS h
+          FROM documents),
+        b AS (
+          SELECT media_id, w, h,
+                 list_transform(range(0, CAST((w // 8) * (h // 8) AS INT)),
+                   i -> 128 + 2 * ((3 * media_id + 5 * (i % (w // 8))
+                                    + 7 * (i // (w // 8))) % 48)) AS v
+          FROM d)
+        SELECT media_id, w AS width, h AS height,
+               CAST(64 * list_sum(v) AS BIGINT) AS sum_px,
+               CAST(list_max(v) AS BIGINT) AS max_px,
+               CAST(16 * list_sum(v) AS BIGINT) AS ds2_sum
+        FROM b
+    """)
+
     o["cohort_ltv"] = _q("""
         WITH wk AS (SELECT DISTINCT user_id,
                       CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk
@@ -7234,4 +7271,7 @@ def _all_queries():
         "media_png_stats": media_png_stats,
         "url_canonical": url_canonical,
         "domain_stats": domain_stats,
+        # r6 additions, after the r5 ones for the same reason (24 old-debt
+        # names + these still fit the 50-row window with room to spare)
+        "media_jpeg_stats": media_jpeg_stats,
     }

@@ -230,11 +230,11 @@ def test_decode_media_dispatches_real_codecs(spark):
 
     ids = spark.createDataFrame([(k,) for k in range(6)], "doc_id bigint")
     for synth, fmt, dims in [
-        (mm.synth_png, "png", lambda k: (8 + k % 9, 8 + (3 * k) % 7)),
-        (mm.synth_bmp, "bmp", lambda k: (8 + k % 9, 8 + (3 * k) % 9)),
-        (mm.synth_pgm, "pgm", lambda k: (8 + k % 9, 8 + k % 7)),
+        (M.synth_png, "png", lambda k: (8 + k % 9, 8 + (3 * k) % 7)),
+        (M.synth_bmp, "bmp", lambda k: (8 + k % 9, 8 + (3 * k) % 9)),
+        (M.synth_pgm, "pgm", lambda k: (8 + k % 9, 8 + k % 7)),
     ]:
-        got = {r.media_id: r for r in mm.decode_media(synth(ids)).collect()}
+        got = {r.media_id: r for r in M.decode_media(synth(ids)).collect()}
         for k in range(6):
             w, h = dims(k)
             r = got[k]
@@ -242,14 +242,124 @@ def test_decode_media_dispatches_real_codecs(spark):
             assert len(r.features) == 8
             assert all(0.0 <= f <= 1.0 for f in r.features), (fmt, k)
 
-    wav = {r.media_id: r for r in mm.decode_media(mm.synth_wav(ids)).collect()}
+    wav = {r.media_id: r for r in M.decode_media(M.synth_wav(ids)).collect()}
     for k in range(6):
         assert wav[k].height == 1 and wav[k].width > 0
         assert all(0.0 <= f <= 1.0 for f in wav[k].features)
 
     # unknown format: deterministic stub (unchanged contract)
     docs = spark.createDataFrame([(1, "hello world")], "doc_id bigint, text string")
-    stub = mm.decode_media(mm.attach_payload(docs, "doc_id", "text")).collect()[0]
+    stub = M.decode_media(M.attach_payload(docs, "doc_id", "text")).collect()[0]
     from slice_db_spark.operators.multimodal import _stub_decode
     want = _stub_decode(b"hello world")
     assert (stub.width, stub.height, stub.n_frames) == want[:3]
+
+
+# ------------------------------------------------------------ JPEG codec
+
+
+def test_jpeg_exact_roundtrip_piecewise_constant():
+    """The synth construction (8x8-constant blocks, even value-128
+    offsets, uniform q=16) round-trips BIT-EXACTLY through the full
+    lossy pipeline — DC quantization and the float IDCT land exactly
+    half a step from every rounding boundary (the property the
+    arithmetic oracle relies on)."""
+    import numpy as np
+
+    for k in range(40):
+        w, h = 8 * (1 + k % 3), 8 * (1 + (3 * k + 1) % 2)
+        bys, bxs = np.mgrid[0 : h // 8, 0 : w // 8]
+        blocks = (128 + 2 * ((3 * k + 5 * bxs + 7 * bys) % 48)).astype(np.uint8)
+        px = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+        w2, h2, out = M.decode_jpeg(M.encode_jpeg(w, h, px))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(out, px)
+
+
+def test_jpeg_entropy_bytes_match_hand_derived_golden():
+    """Spec-level golden for the entropy coder (the JPEG analog of the
+    PNG filtered-byte golden): one constant 8x8 block with value 130
+    (d=2, qdc=1, diff=1) must encode as DC category-1 code 0001 + bit 1
+    + EOB code 00000000 + 1-padding = bytes 0x18 0x07.  Guards against a
+    roundtrip-consistent-but-nonstandard encoder/decoder pair."""
+    import numpy as np
+
+    px = np.full((8, 8), 130, dtype=np.uint8)
+    payload = M.encode_jpeg(8, 8, px)
+    sos = payload.index(b"\xff\xda")
+    seg_len = int.from_bytes(payload[sos + 2 : sos + 4], "big")
+    entropy = payload[sos + 2 + seg_len : -2]  # up to EOI
+    assert entropy == b"\x18\x07"
+    w, h, out = M.decode_jpeg(payload)
+    assert np.array_equal(out, px)
+
+
+def test_jpeg_general_content_small_error_and_color():
+    """Arbitrary content (including non-multiple-of-8 dims with edge
+    padding) decodes within the expected quantization error; RGB goes
+    through YCbCr 4:4:4 both ways."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (24, 17), dtype=np.uint8)
+    w, h, out = M.decode_jpeg(M.encode_jpeg(17, 24, px, quant=4))
+    assert (w, h, out.shape) == (17, 24, (24, 17))
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 8
+
+    px3 = (rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) // 4 * 2 + 60).astype(
+        np.uint8
+    )
+    w, h, out3 = M.decode_jpeg(M.encode_jpeg(16, 16, px3, quant=2))
+    assert out3.shape == (16, 16, 3)
+    assert np.abs(out3.astype(int) - px3.astype(int)).max() <= 8
+
+
+def test_jpeg_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    px = np.full((8, 8), 140, dtype=np.uint8)
+    good = M.encode_jpeg(8, 8, px)
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        M.decode_jpeg(b"\x89PNG" + good)
+    with pytest.raises(ValueError):
+        M.decode_jpeg(good[:20])  # truncated mid-segment
+    # progressive SOF2 must be rejected, not mis-decoded
+    bad = good.replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(ValueError, match="baseline"):
+        M.decode_jpeg(bad)
+    # subsampled sampling factor 0x22 rejected
+    sof = good.index(b"\xff\xc0")
+    arr = bytearray(good)
+    arr[sof + 11] = 0x22  # component 1 sampling byte
+    with pytest.raises(ValueError, match="subsampling"):
+        M.decode_jpeg(bytes(arr))
+    # restart interval rejected
+    dri = b"\xff\xdd\x00\x04\x00\x08"
+    arr = good[:2] + dri + good[2:]
+    with pytest.raises(ValueError, match="restart"):
+        M.decode_jpeg(arr)
+
+
+def test_jpeg_synth_stats_pipeline(spark):
+    """End-to-end Spark path: synth -> decode -> exact integer stats
+    match the block arithmetic; decode_media dispatches jpeg for real."""
+    import numpy as np
+
+    docs = spark.createDataFrame([(k,) for k in range(12)], "doc_id bigint")
+    stats = {r.media_id: r for r in M.jpeg_stats(M.synth_jpeg(docs)).collect()}
+    for k in range(12):
+        w, h = 8 * (1 + k % 3), 8 * (1 + (3 * k + 1) % 2)
+        bys, bxs = np.mgrid[0 : h // 8, 0 : w // 8]
+        blocks = 128 + 2 * ((3 * k + 5 * bxs + 7 * bys) % 48)
+        r = stats[k]
+        assert (r.width, r.height) == (w, h)
+        assert r.sum_px == 64 * int(blocks.sum())
+        assert r.max_px == int(blocks.max())
+        assert r.ds2_sum == 16 * int(blocks.sum())
+
+    dec = M.decode_media(M.synth_jpeg(docs.limit(2))).collect()
+    for row in dec:
+        assert row.width in (8, 16, 24) and row.height in (8, 16)
+        assert all(0.0 <= f <= 1.0 for f in row.features)
