@@ -132,27 +132,36 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
     ``queries``: (q_id, embedding).  Output: (q_id, vec_id, sim, rank) with
     rank 1..k, sim rounded to 6 places, deterministic tie-break on vec_id.
     Self-matches (same id) are not excluded — filter upstream if needed.
+    ``carry_cols``: extra corpus columns to ride through the scoring and
+    top-k (e.g. a label) — one narrow column through the existing scan
+    beats a second corpus scan + join downstream.
     """
     q = F.broadcast(
         queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv"))
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv"))
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+        *[F.col(cc) for cc in carry_cols],
+    )
     scored = q.crossJoin(c).select(
         query_id_col,
         id_col,
         F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"),
+        *carry_cols,
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "sim", "rank")
+        .select(query_id_col, id_col, "sim", "rank", *carry_cols)
     )
 
 
@@ -177,13 +186,14 @@ def knn_label_vote(
     Output: (q_id, pred_label, votes, best_rank) — one row per query.
     The vote aggregation groups |Q|·k rows, metadata-sized next to the
     scoring step, so classification adds no scale cost beyond the
-    neighbor search itself."""
-    nn = brute_force_topk(
-        corpus, queries, k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
-    )
-    labeled = nn.join(
-        F.broadcast(corpus.select(F.col(id_col), F.col(label_col).alias("__lbl"))),
-        id_col,
+    neighbor search itself.  The label rides THROUGH the scoring scan
+    (``carry_cols``) — the earlier shape re-scanned and broadcast the
+    whole (id, label) corpus projection just to label k·|Q| rows, an
+    extra corpus pass here and a corpus-sized broadcast at scale."""
+    labeled = brute_force_topk(
+        corpus.withColumn("__lbl", F.col(label_col)),
+        queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, carry_cols=("__lbl",),
     )
     votes = labeled.groupBy(query_id_col, "__lbl").agg(
         F.count(F.lit(1)).alias("votes"), F.min("rank").alias("best_rank")
@@ -699,39 +709,46 @@ def ivf_centroids_kmeans(
     collected state is ``n_cells × dim`` ints, never corpus-sized."""
     from .hashing import hash64
 
-    seeds = (
-        corpus.select(F.col(id_col), quantize_expr(vec_col).alias("e"))
-        .orderBy(hash64(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(n_cells)
-        .collect()
-    )
-    cents = [list(r["e"]) for r in seeds]
-    if not cents:
-        return cents
-    dim = len(cents[0])
-    quant = corpus.select(quantize_expr(vec_col).alias("__e"))
-    for _ in range(max(0, iters)):
-        assigned = _assign_cells_int(quant, cents)
-        sums = (
-            assigned.select("__cell", F.posexplode("__e").alias("__i", "__x"))
-            .groupBy("__cell", "__i")
-            .agg(F.sum("__x").alias("__s"), F.count("*").alias("__n"))
+    # ONE quantized projection persisted across the seed scan and every
+    # Lloyd iteration — the earlier shape re-read the parquet and re-ran
+    # quantize_expr per iteration (seed + iters + 1 scans); with the cache
+    # the corpus is scanned once
+    base = corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e")).persist()
+    try:
+        seeds = (
+            base.orderBy(hash64(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(n_cells)
             .collect()
         )
-        by_cell: dict[int, list[int]] = {}
-        counts: dict[int, int] = {}
-        for r in sums:
-            by_cell.setdefault(r["__cell"], [0] * dim)[r["__i"]] = r["__s"]
-            counts[r["__cell"]] = r["__n"]
-        cents = [
-            [
-                int(np.floor(by_cell[ci + 1][i] / counts[ci + 1]))
-                for i in range(dim)
+        cents = [list(r["__e"]) for r in seeds]
+        if not cents:
+            return cents
+        dim = len(cents[0])
+        quant = base.select("__e")
+        for _ in range(max(0, iters)):
+            assigned = _assign_cells_int(quant, cents)
+            sums = (
+                assigned.select("__cell", F.posexplode("__e").alias("__i", "__x"))
+                .groupBy("__cell", "__i")
+                .agg(F.sum("__x").alias("__s"), F.count("*").alias("__n"))
+                .collect()
+            )
+            by_cell: dict[int, list[int]] = {}
+            counts: dict[int, int] = {}
+            for r in sums:
+                by_cell.setdefault(r["__cell"], [0] * dim)[r["__i"]] = r["__s"]
+                counts[r["__cell"]] = r["__n"]
+            cents = [
+                [
+                    int(np.floor(by_cell[ci + 1][i] / counts[ci + 1]))
+                    for i in range(dim)
+                ]
+                if (ci + 1) in by_cell
+                else cents[ci]  # empty cell keeps its previous centroid
+                for ci in range(len(cents))
             ]
-            if (ci + 1) in by_cell
-            else cents[ci]  # empty cell keeps its previous centroid
-            for ci in range(len(cents))
-        ]
+    finally:
+        base.unpersist()
     return cents
 
 
