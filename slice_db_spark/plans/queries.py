@@ -18,6 +18,7 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -3865,6 +3866,40 @@ def media_jpeg_stats(spark, sf_dir):
     return multimodal.jpeg_stats(multimodal.synth_jpeg(docs))
 
 
+def dedup_index_compacted(spark, sf_dir):
+    """Maintenance path under the hash gate: the SAME near-dup pairs must
+    come out of a PERSISTED LSH index that was stressed by a replayed
+    (fully duplicated) signature append and then compacted
+    (`plans/scale.py::compact_lsh_index`: dropDuplicates + size-targeted
+    rewrite + crash-safe staging swap + parameter-sidecar preserve) as
+    out of the pure in-memory operator — the oracle string is shared
+    VERBATIM with `dedup_incremental`, so any row the compaction loses or
+    duplicates breaks the hash.  The probe result is eagerly
+    checkpointed inside, so the temp index can be deleted before the
+    driver consumes the frame."""
+    import shutil
+    import tempfile
+
+    from . import scale as _scale
+
+    docs = catalog(spark, sf_dir)["documents"]
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    tmp = tempfile.mkdtemp(prefix="lsh_compact_q_")
+    idx = os.path.join(tmp, "idx")
+    try:
+        dedup.build_lsh_index(corpus, idx, k=16, bands=4)
+        # simulate a crashed-checkpoint replay: the whole signature set
+        # appended a second time (duplicates are what compaction drops)
+        spark.read.parquet(idx).write.mode("append").partitionBy("band").parquet(idx)
+        _scale.compact_lsh_index(spark, idx, target_file_bytes=1 << 20)
+        return dedup.probe_lsh_index(
+            spark, idx, new, k=16, bands=4, threshold=0.5, corpus_df=corpus
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def url_canonical(spark, sf_dir):
     """Crawl-layer URL canonicalization (the stage before every text
     dedup): lowercase scheme/host, strip default ports (keep :8080),
@@ -5458,6 +5493,12 @@ SELECT new_id, corpus_id, round(shared / (sa.n + sb.n - shared), 6) AS jaccard
 FROM shared JOIN sizes sa ON sa.doc_id = new_id JOIN sizes sb ON sb.doc_id = corpus_id
 WHERE round(shared / (sa.n + sb.n - shared), 6) >= 0.5
 """
+
+    # maintenance gate: build -> replayed duplicate append -> compact ->
+    # probe must return EXACTLY what the in-memory incremental probe
+    # returns, so the oracle is the same string — compaction losing or
+    # duplicating any signature row breaks this hash
+    o["dedup_index_compacted"] = o["dedup_incremental"]
 
     # components via WITH RECURSIVE: rep(id) = min id reachable from id
     # over the (undirected) near-dup pair edges
@@ -7274,4 +7315,5 @@ def _all_queries():
         # r6 additions, after the r5 ones for the same reason (24 old-debt
         # names + these still fit the 50-row window with room to spare)
         "media_jpeg_stats": media_jpeg_stats,
+        "dedup_index_compacted": dedup_index_compacted,
     }
