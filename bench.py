@@ -271,6 +271,47 @@ def build_scaled_corpus(spark, sf_dir: str, factor: int, out_dir: str) -> None:
     scaled_emb.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
 
+def build_scaled_tpch(spark, sf_dir: str, factor: int, out_dir: str) -> dict:
+    """Materialize a factor× customer/orders/lineitem (one-time setup, NOT
+    timed) with per-copy key offsets so FKs stay consistent: copy i's
+    customers own copy i's orders own copy i's lineitems, while part /
+    supplier / nation / region stay the shared 1× dimensions (lineitem's
+    part/supp FKs keep pointing at them — forward-only edges, so the
+    closure from the ORIGINAL roots reaches no copy rows and its key set
+    is provably scale-invariant; `tests/test_subset.py` pins that).
+    Returns the table-path map for the scaled catalog."""
+    from pyspark.sql import functions as F
+
+    C_OFF, O_OFF = 10_000_000, 100_000_000
+    paths = {t: os.path.join(sf_dir, f"{t}.parquet")
+             for t in ("region", "nation", "part", "supplier")}
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+    def rep(df, shifts):
+        parts = [df]
+        for i in range(1, factor):
+            p = df
+            for col, off in shifts.items():
+                p = p.withColumn(col, F.col(col) + i * off)
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    rep(cust, {"c_custkey": C_OFF}).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "customer.parquet"))
+    rep(orders, {"o_orderkey": O_OFF, "o_custkey": C_OFF}).write.mode(
+        "overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+    rep(li, {"l_orderkey": O_OFF}).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineitem.parquet"))
+    for t in ("customer", "orders", "lineitem"):
+        paths[t] = os.path.join(out_dir, f"{t}.parquet")
+    return paths
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
@@ -402,6 +443,44 @@ def main():
         }
         print(f"# closure (distributed regime): {out['closure_distributed_regime']}",
               file=sys.stderr)
+        checkpoint()
+
+    # Closure at a DEEPER scale point (~sf1 when factor=10 from sf0.1:
+    # 6M lineitem): the BFS subsetter is the flagship, so its round count
+    # and wall time under a 10× fact-table scale-up are recorded numbers,
+    # not claims.  The scaled copies are unreachable from the fixed roots
+    # (forward-only part/supp edges), so keys/rounds must MATCH the 1×
+    # run — only the per-round scan/join cost grows.  Reported OUTSIDE
+    # the total (untimed setup, one-shot run).
+    scale_factor = int(os.environ.get("SPARK_GRAFT_CLOSURE_SCALE", "10"))
+    if scale_factor > 1 and os.environ.get("SPARK_GRAFT_DIST_CLOSURE", "1") == "1":
+        import shutil
+        import tempfile
+
+        from slice_db_spark.plans.subset import Subsetter
+        from slice_db_spark.plans.tpch import tpch_schema
+        from slice_db_spark.session import parquet_row_counts
+
+        scaled_dir = tempfile.mkdtemp(prefix="bench_closure_scale_")
+        paths = build_scaled_tpch(spark, sf_dir, scale_factor, scaled_dir)  # untimed
+        schema = tpch_schema()
+        counts = parquet_row_counts(sf_dir, list(schema.tables))
+        for t in ("customer", "orders", "lineitem"):
+            counts[t] *= scale_factor
+        cat = {t: spark.read.parquet(paths[t]) for t in schema.tables}
+        eng = Subsetter(spark, cat, schema, driver_rows=0, table_rows=counts)
+        t0 = time.time()
+        res = eng.run(Q.CLOSURE_ROOTS["closure_customers"][0])
+        out["closure_scale_stress"] = {
+            "factor": scale_factor,
+            "sec": round(time.time() - t0, 3),
+            "rounds": res.rounds,
+            "keys": sum(res.row_counts.values()),
+            "base": out.get("closure_distributed_regime"),
+        }
+        print(f"# closure ({scale_factor}x stress): {out['closure_scale_stress']}",
+              file=sys.stderr)
+        shutil.rmtree(scaled_dir, ignore_errors=True)
         checkpoint()
 
     # restore --jobs: the concurrent per-table write path is correctness-

@@ -202,3 +202,32 @@ def test_footer_schema_matches_inferred(spark):
     assert checked >= 8
     # unreadable path -> None (caller falls back to inference)
     assert _spark_schema_from_footer("/nonexistent/x.parquet") is None
+
+
+def test_closure_scale_invariant_under_fact_replication(spark, catalog, tmp_path):
+    """Scale-stress invariant (the bench.py 10x section relies on it):
+    replicating customer/orders/lineitem k times with per-copy key
+    offsets (shared 1x part/supplier/nation/region) must change NEITHER
+    the closure key set NOR the BFS round count for the original roots —
+    the copies are unreachable (part/supp edges are forward-only), so
+    only per-round scan/join cost may grow."""
+    from bench import build_scaled_tpch
+
+    roots = [Root("customer", "c_custkey <= 3")]
+    eng1, res1 = run_subset(spark, catalog, roots)
+    keys1 = rows_set(eng1.closure_keys(res1, KEY_EXPRS))
+
+    import os as _os
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    paths = build_scaled_tpch(spark, sf_dir, 3, str(tmp_path))
+    schema = tpch_schema()
+    cat = {t: spark.read.parquet(paths[t]) for t in schema.tables}
+    eng3 = Subsetter(spark, cat, schema, checkpoint_every=100)
+    res3 = eng3.run(roots)
+    keys3 = rows_set(eng3.closure_keys(res3, KEY_EXPRS))
+
+    assert res3.rounds == res1.rounds
+    assert keys3 == keys1
+    # and the replicated fact tables really are k-times bigger
+    assert cat["lineitem"].count() == 3 * catalog["lineitem"].count()
