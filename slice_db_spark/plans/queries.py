@@ -3900,6 +3900,34 @@ def dedup_index_compacted(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def ann_index_probe(spark, sf_dir):
+    """Persisted-index ANN path under the hash gate: train + materialize
+    the IVF index (`similarity.build_ivf_index`: centroids.json +
+    __cell-partitioned inverted lists), then answer the SAME query batch
+    through `probe_ivf_index` — identical ranking contract to the
+    in-memory `ann_ivf_kmeans` (exact integer dot, id tie-breaks), so the
+    oracle string is shared verbatim.  Any drift between the persisted
+    layout and the in-memory pipeline (assignment, quantization, probe
+    pruning) breaks the hash.  Result is checkpointed so the temp index
+    can be deleted before the driver consumes it."""
+    import shutil
+    import tempfile
+
+    emb = catalog(spark, sf_dir)["embeddings"]
+    corpus = emb.where("vec_id >= 5")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    tmp = tempfile.mkdtemp(prefix="ivf_index_q_")
+    try:
+        similarity.build_ivf_index(
+            corpus, tmp, n_cells=ANN_IVF_CELLS, iters=ANN_IVF_KM_ITERS
+        )
+        return similarity.probe_ivf_index(
+            spark, tmp, q, k=5, nprobe=ANN_IVF_NPROBE
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def url_canonical(spark, sf_dir):
     """Crawl-layer URL canonicalization (the stage before every text
     dedup): lowercase scheme/host, strip default ports (keep :8080),
@@ -6136,6 +6164,11 @@ SELECT q_id, vec_id, CAST(dot AS BIGINT) AS dot,
 FROM scored QUALIFY rank <= 5
 """
 
+    # persisted-index probe: identical ranking contract to the in-memory
+    # IVF pipeline (parity-tested), so the oracle is the same string —
+    # any index-layout/probe drift breaks this hash
+    o["ann_index_probe"] = o["ann_ivf_kmeans"]
+
     # PQ: fixed-point (×1000 round) embeddings make every distance an
     # exact int64, so argmin/rank ties are impossible to flip across
     # engines; codebook = md5-order sample, j is 0-based (numpy argmin)
@@ -7316,4 +7349,5 @@ def _all_queries():
         # names + these still fit the 50-row window with room to spare)
         "media_jpeg_stats": media_jpeg_stats,
         "dedup_index_compacted": dedup_index_compacted,
+        "ann_index_probe": ann_index_probe,
     }
