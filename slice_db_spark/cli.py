@@ -457,6 +457,7 @@ def cmd_ingest(args) -> int:
         rejects=args.rejects,
         lsh_index=args.lsh_index,
         lsh_threshold=args.lsh_threshold,
+        url_dedup=args.url_dedup,
     )
     n = spark.read.parquet(args.corpus).count()
     print(json.dumps({"corpus_rows": n}))
@@ -979,6 +980,14 @@ def main(argv: list[str] | None = None) -> int:
         "survivors (continuous near-dedup)",
     )
     ing.add_argument("--lsh-threshold", type=float, default=0.5)
+    ing.add_argument(
+        "--url-dedup",
+        metavar="COLUMN",
+        default=None,
+        help="canonicalize the given URL column and drop refetches of "
+        "already-ingested canonical URLs before any text stage (the "
+        "streaming analog of curate --url-dedup)",
+    )
     ing.add_argument("landing", help="landing directory of .jsonl files")
     ing.add_argument("corpus", help="parquet corpus directory (appended)")
     ing.set_defaults(fn=cmd_ingest)

@@ -62,6 +62,7 @@ def ingest_corpus_stream(
     lsh_index: str | None = None,
     lsh_threshold: float = 0.5,
     lock_timeout: float = 600.0,
+    url_dedup: str | None = None,
 ):
     """Start (and with ``available_now`` run to completion) the ingestion
     stream: JSONL landing dir → optional quality gate → per-batch exact
@@ -98,7 +99,19 @@ def ingest_corpus_stream(
     raise it when a long-running compaction legitimately holds them (the
     lock's heartbeat keeps it fresh for hours; see
     :func:`..sources.atomic.dir_lock`), so the compaction degrades to
-    ingest latency instead of failing the StreamingQuery."""
+    ingest latency instead of failing the StreamingQuery.
+
+    ``url_dedup`` names a URL column carried by the landing JSONL (the
+    reader schema is extended with it): each batch's URLs are
+    canonicalized (`..operators.curation.canonicalize_url`) and exact
+    canonical-URL duplicates collapse BEFORE any text stage — within the
+    batch (min doc_id wins) and against the standing corpus's persisted
+    ``canon_url`` column (a pruned single-column anti-join, the same
+    cross-batch shape as the content-hash dedup).  Rows with a NULL /
+    unparseable URL pass through untouched; dropped refetches land in the
+    sibling ``<rejects>.urldup`` sink.  This is the streaming analog of
+    ``curate --url-dedup`` — a crawl drops refetches at the door instead
+    of paying shingle/signature cost on them."""
     def _sink(batch: DataFrame, epoch_id: int) -> None:
         # Writer lock(s) for the whole read->append section: a LIVE
         # compaction of the corpus or index takes the same lock, so its
@@ -137,6 +150,34 @@ def ingest_corpus_stream(
             bad.write.mode("overwrite").json(
                 os.path.join(quarantine, f"epoch_id={int(epoch_id)}")
             )
+        if url_dedup is not None:
+            from ..operators.curation import canonicalize_url
+
+            # crawl order: refetch collapse FIRST (cheapest identity, pure
+            # codegen) so duplicate fetches never reach quality scoring or
+            # any dedup shuffle.  NULL canon_url (absent field / malformed
+            # URL) passes through — no stable fetch identity to collapse on
+            canon = canonicalize_url(clean, url_col=url_dedup).drop("host", "domain")
+            with_url = canon.where(F.col("canon_url").isNotNull())
+            no_url = canon.where(F.col("canon_url").isNull())
+            winners = with_url.groupBy("canon_url").agg(
+                F.min("doc_id").alias("doc_id")
+            )
+            keep = with_url.join(winners, ["canon_url", "doc_id"], "left_semi")
+            if target_exists:
+                # canon_url is PERSISTED in the corpus, so the cross-batch
+                # anti-join scans one pruned column — never re-canonicalizes
+                seen_urls = (
+                    batch.sparkSession.read.parquet(out_path)
+                    .select("canon_url")
+                    .where(F.col("canon_url").isNotNull())
+                )
+                keep = keep.join(seen_urls, "canon_url", "left_anti")
+            if rejects is not None:
+                with_url.join(keep.select("doc_id"), "doc_id", "left_anti").write.mode(
+                    "overwrite"
+                ).json(os.path.join(rejects + ".urldup", f"epoch_id={int(epoch_id)}"))
+            clean = keep.unionByName(no_url)
         if min_quality is not None:
             from ..operators.text import quality_score
 
@@ -267,7 +308,14 @@ def ingest_corpus_stream(
             corpus_lease.check()  # fenced: never append on a lost lease
             batch_unique.write.mode("append").parquet(out_path)
 
-    stream = read_corpus_stream(spark, in_path)
+    schema = DOCUMENTS_SCHEMA
+    if url_dedup is not None:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            list(DOCUMENTS_SCHEMA) + [T.StructField(url_dedup, T.StringType())]
+        )
+    stream = read_corpus_stream(spark, in_path, schema=schema)
     writer = stream.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint)
     if available_now:
         q = writer.trigger(availableNow=True).start()

@@ -363,3 +363,46 @@ def test_streaming_ingest_writes_and_respects_index_meta(spark, tmp_path):
     kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
     assert kept == {1}  # 10 caught via the (8, 2, 3)-parameter probe
     assert D.read_lsh_meta(idx) == {"k": 8, "bands": 2, "n": 3}
+
+
+def test_streaming_ingest_url_dedup(spark, tmp_path):
+    """Streaming analog of curate --url-dedup: refetches of an
+    already-ingested canonical URL drop at the door (cross-batch, via the
+    corpus's persisted canon_url column), same-batch refetches collapse
+    to the min doc_id, and NULL/junk-URL rows pass through untouched."""
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    rej = str(tmp_path / "rejects")
+
+    b0 = [
+        {"doc_id": 1, "text": "first fetch of the page", "lang": "en",
+         "source": "a", "n_chars": 1, "url": "https://Example.com/a/?utm_source=x"},
+        {"doc_id": 4, "text": "same page fetched again in the same batch",
+         "lang": "en", "source": "a", "n_chars": 1,
+         "url": "https://example.com:443/a/"},
+        {"doc_id": 2, "text": "a document with no url at all", "lang": "en",
+         "source": "a", "n_chars": 1, "url": None},
+        {"doc_id": 3, "text": "another no-url document", "lang": "en",
+         "source": "a", "n_chars": 1, "url": None},
+    ]
+    _write_batch(land, "b0.jsonl", b0)
+    os.utime(os.path.join(land, "b0.jsonl"), (1_000_000_000,) * 2)
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, url_dedup="url", rejects=rej)
+    kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert kept == {1, 2, 3}  # 4 = same-batch refetch of 1; nulls pass through
+    urldup = {r.doc_id for r in spark.read.json(rej + ".urldup").collect()}
+    assert urldup == {4}
+
+    # batch 2: cross-batch refetch (different text, same canonical URL)
+    b1 = [{"doc_id": 10, "text": "the page content changed slightly on refetch",
+           "lang": "en", "source": "a", "n_chars": 1,
+           "url": "https://EXAMPLE.com/a/#frag"}]
+    _write_batch(land, "b1.jsonl", b1)
+    os.utime(os.path.join(land, "b1.jsonl"), (1_000_000_100,) * 2)
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, url_dedup="url", rejects=rej)
+    kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert kept == {1, 2, 3}  # 10 dropped against the standing corpus
+    # the persisted corpus carries canon_url for the cheap cross-batch join
+    assert "canon_url" in spark.read.parquet(out).columns
