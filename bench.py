@@ -178,6 +178,7 @@ HEADLINE = [
     "media_pgm_stats",
     "media_png_stats",
     "media_jpeg_stats",
+    "media_y4m_frames",
     "url_canonical",
     "domain_stats",
 ]

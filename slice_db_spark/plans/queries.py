@@ -3900,6 +3900,16 @@ def dedup_index_compacted(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def media_y4m_frames(spark, sf_dir):
+    """REAL codec gate #6 — video: mono YUV4MPEG2 clips synthesized from
+    doc_id arithmetic, stream-parsed (header tags, per-frame strides) and
+    frame-sampled for real (every 2nd frame), one row per KEPT frame with
+    exact integer luma stats.  Retires the stub behind the frame-sampling
+    contract: any header/stride/sampling bug breaks the arithmetic hash."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.y4m_frame_stats(multimodal.synth_y4m(docs), every=2)
+
+
 def ann_index_probe(spark, sf_dir):
     """Persisted-index ANN path under the hash gate: train + materialize
     the IVF index (`similarity.build_ivf_index`: centroids.json +
@@ -6445,6 +6455,32 @@ FROM d
         FROM b
     """)
 
+    # video: lossless container, so the oracle mirrors the synth pixels
+    # directly; kept frames = every 2nd index per clip
+    o["media_y4m_frames"] = _q("""
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS media_id,
+                 CAST(8 + doc_id % 5 AS BIGINT) AS w,
+                 CAST(8 + (2 * doc_id) % 3 AS BIGINT) AS h,
+                 CAST(2 + doc_id % 4 AS BIGINT) AS n
+          FROM documents),
+        fr AS (
+          SELECT media_id, w, h,
+                 unnest(range(0, CAST(n AS INT), 2)) AS frame_idx
+          FROM d),
+        px AS (
+          SELECT media_id, frame_idx, w, h,
+                 list_transform(range(0, CAST(w * h AS INT)),
+                   i -> (11 * media_id + 3 * (i % w) + 5 * (i // w)
+                         + 17 * frame_idx) % 256) AS p
+          FROM fr)
+        SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               w AS width, h AS height,
+               CAST(list_sum(p) AS BIGINT) AS sum_px,
+               CAST(list_max(p) AS BIGINT) AS max_px
+        FROM px
+    """)
+
     o["cohort_ltv"] = _q("""
         WITH wk AS (SELECT DISTINCT user_id,
                       CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk
@@ -7350,4 +7386,5 @@ def _all_queries():
         "media_jpeg_stats": media_jpeg_stats,
         "dedup_index_compacted": dedup_index_compacted,
         "ann_index_probe": ann_index_probe,
+        "media_y4m_frames": media_y4m_frames,
     }

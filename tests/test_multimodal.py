@@ -363,3 +363,67 @@ def test_jpeg_synth_stats_pipeline(spark):
     for row in dec:
         assert row.width in (8, 16, 24) and row.height in (8, 16)
         assert all(0.0 <= f <= 1.0 for f in row.features)
+
+
+# ------------------------------------------------------------- Y4M codec
+
+
+def test_y4m_roundtrip_and_c420_luma():
+    """Mono Y4M round-trips bit-exactly; 4:2:0 streams parse by reading
+    the luma plane and skipping chroma."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (4, 6, 10), dtype=np.uint8)
+    w, h, fr = M.decode_y4m(M.encode_y4m(10, 6, px))
+    assert (w, h) == (10, 6) and np.array_equal(fr, px)
+
+    hdr = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n"
+    luma = bytes(range(8))
+    chroma = bytes([7, 9]) * 2
+    w, h, fr = M.decode_y4m(hdr + b"FRAME\n" + luma + chroma + b"FRAME\n" + luma + chroma)
+    assert (w, h) == (4, 2) and fr.shape == (2, 2, 4)
+    assert fr[0].tobytes() == luma and fr[1].tobytes() == luma
+
+
+def test_y4m_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    good = M.encode_y4m(4, 2, np.zeros((1, 2, 4), dtype=np.uint8))
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        M.decode_y4m(b"RIFF" + good)
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_y4m(good[:-3])
+    with pytest.raises(ValueError, match="FRAME"):
+        M.decode_y4m(good.replace(b"FRAME", b"FRAMX"))
+    with pytest.raises(ValueError, match="colorspace"):
+        M.decode_y4m(good.replace(b"Cmono", b"C444p"))
+    with pytest.raises(ValueError, match="missing W/H"):
+        M.decode_y4m(b"YUV4MPEG2 F25:1\nFRAME\n")
+
+
+def test_y4m_frame_sampling_pipeline(spark):
+    """End-to-end Spark path: synth clips -> real frame sampling (every
+    2nd) -> exact per-frame stats; decode_media reports the TRUE frame
+    count for video now, not the stub's."""
+    import numpy as np
+
+    docs = spark.createDataFrame([(k,) for k in range(10)], "doc_id bigint")
+    rows = M.y4m_frame_stats(M.synth_y4m(docs), every=2).collect()
+    got = {(r.media_id, r.frame_idx): (r.width, r.height, r.sum_px, r.max_px)
+           for r in rows}
+    want = {}
+    for k in range(10):
+        w, h, n = 8 + k % 5, 8 + (2 * k) % 3, 2 + k % 4
+        fs, ys, xs = np.mgrid[0:n, 0:h, 0:w]
+        px = (11 * k + 3 * xs + 5 * ys + 17 * fs) % 256
+        for idx in range(0, n, 2):
+            f = px[idx]
+            want[(k, idx)] = (w, h, int(f.sum()), int(f.max()))
+    assert got == want
+
+    dec = {r.media_id: r for r in M.decode_media(M.synth_y4m(docs)).collect()}
+    for k in range(10):
+        assert dec[k].n_frames == 2 + k % 4  # TRUE frame count
+        assert dec[k].width == 8 + k % 5
