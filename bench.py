@@ -132,6 +132,7 @@ HEADLINE = [
     "doc_fingerprints",
     "token_stats",
     "bpe_tokens",
+    "bpe_train",
     "quality",
     "language_id",
     "lang_confusion",

@@ -764,3 +764,76 @@ def source_token_drift(
         .agg(F.sum(cell_fx).cast("bigint").alias("chi2_ppm"))
         .select(stratum_col, F.col("n_tokens").cast("bigint").alias("n_tokens"), "chi2_ppm")
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    rounds: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn byte-pair-encoding merges from the corpus — the tokenizer
+    TRAINING pass (Sennrich et al. 2016), not just application.
+
+    Distributed shape (how production BPE trainers scale): ONE corpus-wide
+    tokenize + groupBy builds the word-frequency vocabulary — the only
+    data-sized job — and every merge round then runs on the vocab table:
+    adjacent symbol-pair counting weighted by word frequency, a
+    deterministic argmax (count desc, then pair lexicographic), and a
+    greedy left-to-right non-overlapping merge.  Per-round driver state is
+    one (pair, count) row, Lloyd-style.
+
+    Symbol strings use DOUBLE-space delimiters with single-space pair
+    boundaries (``"  a  b  "`` matched as ``" a  b "``), which makes plain
+    non-overlapping string ``replace`` EXACTLY the classic merge: adjacent
+    occurrences keep one boundary space each, so ``a a a a`` merges to
+    ``aa aa`` while ``a a a`` merges to ``aa a`` — bit-identical in Spark
+    and DuckDB, hence oracle-exact.
+
+    Output: (merge_round, sym_a, sym_b, pair_count), one row per learned
+    merge in order."""
+    sp = df.sparkSession
+    w = df.select(F.explode(tokens(text_col)).alias("w")).where(F.col("w") != "")
+    vocab = w.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    syms = F.concat(
+        F.lit("  "),
+        F.concat_ws(
+            "  ",
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        ),
+        F.lit("  </w>  "),
+    )
+    # checkpoint per round: the rewrite chain would otherwise grow the
+    # plan geometrically (the iterative-loop lesson from dedup clustering)
+    v = vocab.select("cnt", syms.alias("s")).localCheckpoint(eager=True)
+    merges = []
+    for r in range(1, rounds + 1):
+        t = v.select("cnt", F.split(F.trim(F.col("s")), "  ").alias("t"))
+        pairs = t.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1),"
+                    " (x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+                )
+            ).alias("pair"),
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["pair"].split(" ", 1)  # symbols never contain spaces
+        merges.append((r, a, b, int(best[0]["n"])))
+        v = v.select(
+            "cnt",
+            F.replace(
+                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+            ).alias("s"),
+        ).localCheckpoint(eager=True)
+    return sp.createDataFrame(
+        merges, "merge_round bigint, sym_a string, sym_b string, pair_count bigint"
+    )

@@ -3900,6 +3900,20 @@ def dedup_index_compacted(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+BPE_TRAIN_ROUNDS = 8
+
+
+def bpe_train(spark, sf_dir):
+    """Tokenizer TRAINING over the corpus: learn the first 8 BPE merges
+    (word-frequency vocab from one distributed pass, then per-round
+    weighted pair counts + deterministic argmax + greedy left-to-right
+    merge — `operators/text.py::bpe_train_merges`).  The oracle unrolls
+    the rounds as CTEs, so engine drift in counting, tie-breaks, or merge
+    application breaks the hash."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return textops.bpe_train_merges(docs, rounds=BPE_TRAIN_ROUNDS)
+
+
 def media_y4m_frames(spark, sf_dir):
     """REAL codec gate #6 — video: mono YUV4MPEG2 clips synthesized from
     doc_id arithmetic, stream-parsed (header tags, per-frame strides) and
@@ -6455,6 +6469,47 @@ FROM d
         FROM b
     """)
 
+    # BPE training: the merge rounds unroll as CTE pairs (count+argmax,
+    # then replace-merge), the doc_pagerank pattern.  Double-space symbol
+    # delimiters make non-overlapping replace() the exact classic merge
+    # in both engines (see operators/text.py::bpe_train_merges).
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
+    # scalar-subquery references would expand v{r-1} multiplicatively per
+    # round (exponential plan, "too many open files" on the leaf scans)
+    _bpe_parts = [f"""
+v0 AS MATERIALIZED (
+  SELECT cnt,
+         '  ' || array_to_string(list_transform(range(1, len(w) + 1),
+                                                i -> w[i]), '  ')
+             || '  </w>  ' AS s
+  FROM (SELECT t AS w, count(*) AS cnt FROM
+          (SELECT unnest({_toks_sql('text')}) AS t FROM documents)
+        WHERE t != '' GROUP BY t))"""]
+    for _r in range(1, BPE_TRAIN_ROUNDS + 1):
+        _bpe_parts.append(f"""
+b{_r} AS MATERIALIZED (
+  SELECT split_part(pair, ' ', 1) AS sa, split_part(pair, ' ', 2) AS sb, n,
+         ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ' AS pat,
+         ' ' || split_part(pair, ' ', 1) || split_part(pair, ' ', 2) || ' ' AS rep
+  FROM (
+    SELECT pair, sum(cnt) AS n FROM (
+      SELECT cnt,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS pair
+      FROM (SELECT cnt, str_split(trim(s), '  ') AS t FROM v{_r - 1}))
+    GROUP BY pair)
+  ORDER BY n DESC, pair LIMIT 1),
+v{_r} AS MATERIALIZED (
+  SELECT cnt,
+         replace(s, (SELECT pat FROM b{_r}), (SELECT rep FROM b{_r})) AS s
+  FROM v{_r - 1})""")
+    _bpe_final = "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_round, sa AS sym_a, sb AS sym_b, "
+        f"CAST(n AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    o["bpe_train"] = "WITH " + ",".join(_bpe_parts) + "\n" + _bpe_final
+
     # video: lossless container, so the oracle mirrors the synth pixels
     # directly; kept frames = every 2nd index per clip
     o["media_y4m_frames"] = _q("""
@@ -7387,4 +7442,5 @@ def _all_queries():
         "dedup_index_compacted": dedup_index_compacted,
         "ann_index_probe": ann_index_probe,
         "media_y4m_frames": media_y4m_frames,
+        "bpe_train": bpe_train,
     }

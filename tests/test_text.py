@@ -267,3 +267,40 @@ def test_char_diversity_repetition_vs_random(spark):
     assert got[1]["n_distinct"] == 2 and got[1]["n_grams"] == 77
     assert got[2]["n_distinct"] == got[2]["n_grams"] == 33
     assert got[2]["diversity_ppm"] == 1_000_000
+
+
+def test_bpe_train_merges_sennrich_golden(spark):
+    """The canonical BPE example (Sennrich et al. 2016 §3.2 shape): the
+    learned merge sequence, counts, and the lexicographic tie-break at
+    round 6 ('e w' beats 'n e' on equal count) are pinned."""
+    from slice_db_spark.operators.text import bpe_train_merges
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    got = [tuple(r) for r in bpe_train_merges(df, rounds=6).collect()]
+    assert got == [
+        (1, "e", "s", 9),
+        (2, "es", "t", 9),
+        (3, "est", "</w>", 9),
+        (4, "l", "o", 7),
+        (5, "lo", "w", 7),
+        (6, "e", "w", 6),
+    ]
+
+
+def test_bpe_train_merges_adjacent_overlap_greedy(spark):
+    """Greedy left-to-right non-overlap: 'aaaa' merges (a,a) twice
+    ('aa aa'), 'aaa' merges once ('aa a') — the double-space replace
+    construction must reproduce the classic scan, not the shared-space
+    artifact that drops adjacent occurrences."""
+    from slice_db_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame([(1, "aaaa aaaa aaa")], "doc_id bigint, text string")
+    got = [tuple(r) for r in bpe_train_merges(df, rounds=2).collect()]
+    # round 1: 'a a a a </w>' has (a,a) 3x (word count 2) + 'a a a </w>'
+    # 2x (count 1) = 8 — the overlap-aware greedy count
+    assert got[0] == (1, "a", "a", 8)
+    # round 2 proves BOTH adjacent occurrences merged in round 1
+    # ('aa aa </w>', not 'aa a a </w>'): (aa,aa)=2 ties (aa,</w>)=2 and
+    # the lexicographic tie-break picks 'aa </w>' ('<' sorts before 'a')
+    assert got[1] == (2, "aa", "</w>", 2)
