@@ -331,28 +331,33 @@ def minhash_lsh_pairs(
     only candidate ids (broadcast when small).
     """
     assert k % bands == 0, "k must divide into equal bands"
-    r = k // bands
     # ONE shingle pass feeds both the signatures and (with verify) the
     # exact-Jaccard check — normalize/shingle is the dominant map cost
     st = shingle_table(df, text_col, id_col, n)
     if verify:
         st = st.persist()
-    sigs = minhash_signatures_from_shingles(st, k, id_col)
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(F.concat_ws(",", *[F.col("sig")[b * r + i].cast("string") for i in range(r)]))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
-    )
-    left = banded.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a"))
-    right = banded.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b"))
+    return lsh_pairs_from_shingles(st, k, bands, threshold, id_col, verify=verify)
+
+
+def lsh_pairs_from_shingles(
+    st: DataFrame,
+    k: int,
+    bands: int,
+    threshold: float,
+    id_col: str = "doc_id",
+    verify: bool = True,
+) -> DataFrame:
+    """The banded self-join + exact-Jaccard verify over a PREBUILT shingle
+    table — the shared core of :func:`minhash_lsh_pairs` and the streaming
+    ingest's within-batch pass (one definition, no drift).  The caller
+    owns ``st``'s persistence (verify consumes it three times)."""
+    assert k % bands == 0, "k must divide into equal bands"
+    banded = _banded_signatures(st, "id_a", k, bands, id_col)
     cands = (
-        left.join(right, ["band", "band_hash"])
+        banded.join(
+            banded.select("band", "band_hash", F.col("id_a").alias("id_b")),
+            ["band", "band_hash"],
+        )
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -1339,15 +1344,28 @@ def write_lsh_meta(path: str, k: int, bands: int, n: int) -> None:
 
 def read_lsh_meta(path: str) -> dict | None:
     """Load the index parameter sidecar; ``None`` for a pre-sidecar index
-    (accepted for back-compat — the caller's parameters are trusted)."""
+    (accepted for back-compat — the caller's parameters are trusted).
+    A PRESENT but malformed sidecar raises ValueError: silently ignoring
+    it would let a probe run with wrong parameters and match nothing."""
     import json
     import os
 
+    fp = os.path.join(path, LSH_META_NAME)
     try:
-        with open(os.path.join(path, LSH_META_NAME)) as f:
-            return json.load(f)
-    except (OSError, ValueError):
+        with open(fp) as f:
+            meta = json.load(f)
+    except OSError:
         return None
+    except ValueError as e:
+        raise ValueError(f"corrupt LSH index sidecar {fp}: {e}") from e
+    if not (
+        isinstance(meta, dict)
+        and all(isinstance(meta.get(key), int) for key in ("k", "bands", "n"))
+    ):
+        raise ValueError(
+            f"corrupt LSH index sidecar {fp}: expected integer k/bands/n, got {meta!r}"
+        )
+    return meta
 
 
 def check_lsh_meta(path: str, k: int, bands: int, n: int) -> None:
@@ -1405,6 +1423,7 @@ def probe_lsh_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    st_new: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a persisted LSH index with a new batch.
 
@@ -1413,13 +1432,20 @@ def probe_lsh_index(
     against the index's matching band buckets.  With ``threshold`` AND
     ``corpus_df`` given, verifies candidates to exact n-gram Jaccard ≥
     threshold (the corpus text is re-read only for the candidate ids —
-    a semi-join-pruned scan, not a full re-shingle)."""
+    a semi-join-pruned scan, not a full re-shingle).
+
+    ``st_new``: a PREBUILT (and caller-persisted) shingle table of
+    ``new_df`` — callers that already shingled the batch (the streaming
+    ingest's within-batch pass) pass it to avoid running the dominant
+    normalize/shingle map a second time; its persistence stays theirs."""
     assert k % bands == 0, "k must divide into equal bands"
     check_lsh_meta(path, k, bands, n)  # mismatched params = zero matches
     index = spark.read.parquet(path)
-    st_new = shingle_table(new_df, text_col, id_col, n)
-    if threshold is not None and corpus_df is not None:
-        st_new = st_new.persist()
+    own_st = st_new is None
+    if own_st:
+        st_new = shingle_table(new_df, text_col, id_col, n)
+        if threshold is not None and corpus_df is not None:
+            st_new = st_new.persist()
     cands = (
         _banded_signatures(st_new, "new_id", k, bands, id_col)
         .join(index, ["band", "band_hash"])
@@ -1465,5 +1491,6 @@ def probe_lsh_index(
         out = out.localCheckpoint(eager=True)
     finally:
         cands.unpersist()
-        st_new.unpersist()
+        if own_st:
+            st_new.unpersist()
     return out

@@ -993,7 +993,13 @@ def encode_jpeg(width: int, height: int, pixels, quant: int = 16) -> bytes:
                 blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
                 coefs = a @ blk @ a.T
                 q = np.floor(coefs / qtab + 0.5).astype(np.int64)
-                zz = [int(q[u, v]) for (u, v) in _ZIGZAG]
+                # baseline 8-bit AC magnitudes cap at size 10 (±1023);
+                # a very small quant (q=1 on a checkerboard) can exceed
+                # that — clamp instead of KeyError deep in the bit writer
+                # (distortion only in that pathological regime).  DC keeps
+                # its full ±1024 range: the DC table carries size 11
+                q_ac = np.clip(q, -1023, 1023)
+                zz = [int(q[0, 0])] + [int(q_ac[u, v]) for (u, v) in _ZIGZAG[1:]]
                 size, bitsv = _jpeg_magnitude(zz[0] - pred[ci])
                 pred[ci] = zz[0]
                 code, ln = dc_map[size]
@@ -1061,14 +1067,26 @@ def decode_jpeg(payload: bytes):
     htabs: dict[tuple[int, int], dict] = {}
     frame = None
     scan = None
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
-        marker = payload[pos + 1]
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — consume them or the fill byte parses as a marker
+        # and the real marker byte corrupts the segment length
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1
+        if pos >= len(payload):
+            raise ValueError("truncated JPEG marker")
+        marker = payload[pos]
+        pos += 1
         if marker == 0xD9:  # EOI
             break
-        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
-        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: standalone
+            continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        (ln,) = struct.unpack(">H", payload[pos : pos + 2])
+        body = payload[pos + 2 : pos + ln]
         if len(body) != ln - 2:
             raise ValueError("truncated JPEG segment")
         if marker == 0xDB:  # DQT: one or more tables per segment
@@ -1089,6 +1107,8 @@ def decode_jpeg(payload: bytes):
                 htabs[(tc, th)] = _huff_decode_map(bits, vals)
                 p += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("truncated JPEG SOF0 segment")
             prec, h, w_, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -1105,6 +1125,8 @@ def decode_jpeg(payload: bytes):
                         0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential JPEG (SOF0) supported")
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI segment")
             if struct.unpack(">H", body[:2])[0] != 0:
                 raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
@@ -1113,9 +1135,9 @@ def decode_jpeg(payload: bytes):
             for c in range(nc):
                 cid, tids = body[1 + 2 * c : 3 + 2 * c]
                 sel.append((cid, tids >> 4, tids & 15))
-            scan = (sel, pos + 2 + ln)
+            scan = (sel, pos + ln)
             break
-        pos += 2 + ln
+        pos += ln
     if frame is None or scan is None:
         raise ValueError("missing SOF0/SOS")
     w_, h, comps = frame

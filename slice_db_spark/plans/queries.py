@@ -7183,7 +7183,7 @@ def _verified_from_files(paths) -> tuple[set[str], set[str]]:
     return hashed, rows_only
 
 
-def _driver_verified() -> set[str]:
+def _driver_verified(paths=None) -> set[str]:
     """Union of the static round-3 snapshot and every driver-issued
     correctness file found at the repo root — so the prefix ordering
     refreshes itself each round without hand-editing the name list.
@@ -7191,14 +7191,18 @@ def _driver_verified() -> set[str]:
     A name whose only passing rows were rows-only (``no_oracle``) but that
     NOW carries an ``oracle_sql()`` entry is demoted back to unverified:
     its newly added hash gate has never been driver-checked (the
-    scrub_pseudonym structural-oracle upgrade)."""
+    scrub_pseudonym structural-oracle upgrade).  ``paths`` overrides the
+    repo-root glob so the demotion invariant is unit-testable against
+    synthetic correctness files regardless of the driver's current state."""
     import glob as _glob
     import os
 
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    hashed, rows_only = _verified_from_files(
-        sorted(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
-    )
+    if paths is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        paths = sorted(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    hashed, rows_only = _verified_from_files(paths)
     now_gated = set(oracle_sql())
     return (_DRIVER_VERIFIED - (now_gated - hashed)) | hashed | (rows_only - now_gated)
 

@@ -141,6 +141,25 @@ def ingest_corpus_stream(
         if lsh_index is not None:
             recover_dir(lsh_index)
         target_exists = os.path.isdir(out_path)
+        if target_exists:
+            # column contract up front: a corpus created with --url-dedup
+            # carries url/canon_url in every file; mixing modes would
+            # either crash the cross-batch join (missing canon_url) or
+            # append schema-short files that later reads resolve against
+            # a nondeterministically-picked footer
+            corpus_cols = set(batch.sparkSession.read.parquet(out_path).columns)
+            if url_dedup is not None and "canon_url" not in corpus_cols:
+                raise ValueError(
+                    f"corpus at {out_path} was created WITHOUT url dedup "
+                    "(no canon_url column); refetch filtering against it is "
+                    "impossible — rebuild the corpus or drop --url-dedup"
+                )
+            if url_dedup is None and "canon_url" in corpus_cols:
+                raise ValueError(
+                    f"corpus at {out_path} carries canon_url (created WITH "
+                    "url dedup); run ingest with --url-dedup to keep the "
+                    "column contract"
+                )
         clean, bad = split_corrupt(batch)
         if quarantine is not None:
             # one directory per epoch, OVERWRITTEN on replay: the corpus
@@ -222,34 +241,13 @@ def ingest_corpus_stream(
             persisted = batch_unique.persist()
             st = _dedup.shingle_table(persisted, text_col, "doc_id", ln).persist()
             try:
-                # WITHIN-batch near-dedup: banded self-join + exact-Jaccard
-                # verify over the batch's own shingle table (the standing
-                # index only covers PRIOR batches), min doc_id wins
-                banded = _dedup._banded_signatures(st, "id_a", lk, lb, "doc_id")
-                cands = (
-                    banded.join(
-                        banded.select(
-                            "band", "band_hash", F.col("id_a").alias("id_b")
-                        ),
-                        ["band", "band_hash"],
-                    )
-                    .where(F.col("id_a") < F.col("id_b"))
-                    .select("id_a", "id_b")
-                    .distinct()
-                )
-                shared = (
-                    cands.join(
-                        st.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a"
-                    )
-                    .join(
-                        st.select(F.col("doc_id").alias("id_b"), "shingle"),
-                        ["id_b", "shingle"],
-                    )
-                    .groupBy("id_a", "id_b")
-                    .agg(F.count(F.lit(1)).alias("shared"))
-                )
+                # WITHIN-batch near-dedup: the standing index only covers
+                # PRIOR batches — pair the batch against itself (shared
+                # `lsh_pairs_from_shingles` core, no drift), min doc_id wins
                 near = (
-                    _dedup._jaccard_filter(shared, st, "doc_id", lsh_threshold)
+                    _dedup.lsh_pairs_from_shingles(
+                        st, lk, lb, lsh_threshold, "doc_id"
+                    )
                     .select(F.col("id_b").alias("doc_id"))
                     .distinct()
                 )
@@ -260,6 +258,7 @@ def ingest_corpus_stream(
                             sp, lsh_index, persisted, k=lk, bands=lb,
                             threshold=lsh_threshold, corpus_df=corpus,
                             text_col=text_col, n=ln,
+                            st_new=st,  # the SAME shingle pass, not a second one
                         ).select(F.col("new_id").alias("doc_id"))
                     ).distinct()
                 # three consumers (rejects semi-join, corpus anti-join,

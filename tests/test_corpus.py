@@ -406,3 +406,62 @@ def test_streaming_ingest_url_dedup(spark, tmp_path):
     assert kept == {1, 2, 3}  # 10 dropped against the standing corpus
     # the persisted corpus carries canon_url for the cheap cross-batch join
     assert "canon_url" in spark.read.parquet(out).columns
+
+
+def test_streaming_ingest_url_mode_mismatch_raises(spark, tmp_path):
+    """Mixing --url-dedup modes against one corpus is a hard, clear error
+    in BOTH directions — not an AnalysisException mid-join and not
+    schema-short appends that later reads resolve nondeterministically."""
+    import pytest
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "corpus")
+    b0 = [{"doc_id": 1, "text": "plain corpus document", "lang": "en",
+           "source": "a", "n_chars": 1}]
+    _write_batch(land, "b0.jsonl", b0)
+    os.utime(os.path.join(land, "b0.jsonl"), (1_000_000_000,) * 2)
+    SC.ingest_corpus_stream(spark, str(land), out, str(tmp_path / "ck0"))
+
+    b1 = [{"doc_id": 2, "text": "with url", "lang": "en", "source": "a",
+           "n_chars": 1, "url": "https://example.com/x"}]
+    _write_batch(land, "b1.jsonl", b1)
+    os.utime(os.path.join(land, "b1.jsonl"), (1_000_000_100,) * 2)
+    with pytest.raises(Exception, match="WITHOUT url dedup"):
+        SC.ingest_corpus_stream(spark, str(land), out, str(tmp_path / "ck1"),
+                                url_dedup="url")
+
+    # reverse direction: url corpus + plain ingest
+    out2 = str(tmp_path / "corpus2")
+    SC.ingest_corpus_stream(spark, str(land), out2, str(tmp_path / "ck2"),
+                            url_dedup="url")
+    b2 = [{"doc_id": 3, "text": "plain again", "lang": "en", "source": "a",
+           "n_chars": 1}]
+    _write_batch(land, "b2.jsonl", b2)
+    os.utime(os.path.join(land, "b2.jsonl"), (1_000_000_200,) * 2)
+    with pytest.raises(Exception, match="WITH url dedup"):
+        SC.ingest_corpus_stream(spark, str(land), out2, str(tmp_path / "ck3"))
+
+
+def test_lsh_meta_corrupt_sidecar_raises(tmp_path):
+    """A present-but-malformed _lsh_meta.json is a hard error, not a
+    silent None that would let wrong-parameter appends through."""
+    import os as _os
+
+    import pytest
+
+    from slice_db_spark.operators import dedup as D
+
+    idx = tmp_path / "idx"
+    idx.mkdir()
+    (idx / "_lsh_meta.json").write_text("[16, 4, 3]")
+    with pytest.raises(ValueError, match="corrupt"):
+        D.read_lsh_meta(str(idx))
+    (idx / "_lsh_meta.json").write_text('{"k": 16}')
+    with pytest.raises(ValueError, match="corrupt"):
+        D.read_lsh_meta(str(idx))
+    (idx / "_lsh_meta.json").write_text("{not json")
+    with pytest.raises(ValueError, match="corrupt"):
+        D.read_lsh_meta(str(idx))
+    _os.remove(idx / "_lsh_meta.json")
+    assert D.read_lsh_meta(str(idx)) is None  # absent = legacy, accepted

@@ -129,3 +129,38 @@ def test_rows_only_name_with_new_oracle_is_demoted():
             # occupy a slot inside the driver's 50-row checked prefix
             assert name not in verified
             assert name in qs[:50]
+
+
+def test_demotion_invariant_on_synthetic_correctness_files(tmp_path):
+    """The demotion rule pinned against SYNTHETIC driver files, so the
+    assertion never goes vacuous as the repo's real CORRECTNESS files
+    evolve: a gated name with only rows-only (no_oracle) passes is
+    demoted; a later hashed row re-verifies it; an UNGATED name's
+    rows-only pass counts as verified (the documented weaker contract)."""
+    import json
+
+    import __spark_entry__ as e
+    from slice_db_spark.plans.queries import _driver_verified
+
+    gated = sorted(e.oracle_sql())[0]  # any real gated name
+    fake = "zz_rows_only_query_without_oracle"
+    assert fake not in e.oracle_sql()
+
+    f1 = tmp_path / "CORRECTNESS_r97.json"
+    f1.write_text(json.dumps({
+        gated: {"rows_match": True, "schema_match": True, "hash_match": False,
+                "err": "no_oracle"},
+        fake: {"rows_match": True, "schema_match": True, "hash_match": False,
+               "err": "no_oracle"},
+    }))
+    v = _driver_verified([str(f1)])
+    assert gated not in v   # oracle exists but its hash gate never ran
+    assert fake in v        # rows-only contract for oracle-less names
+
+    f2 = tmp_path / "CORRECTNESS_r98.json"
+    f2.write_text(json.dumps({
+        gated: {"rows_match": True, "schema_match": True, "hash_match": True,
+                "err": None},
+    }))
+    v2 = _driver_verified([str(f1), str(f2)])
+    assert gated in v2      # hashed row re-verifies permanently

@@ -427,3 +427,42 @@ def test_y4m_frame_sampling_pipeline(spark):
     for k in range(10):
         assert dec[k].n_frames == 2 + k % 4  # TRUE frame count
         assert dec[k].width == 8 + k % 5
+
+
+def test_jpeg_fill_bytes_and_truncated_segments():
+    """T.81 B.1.1.2 fill bytes (extra 0xFF before a marker) must parse;
+    truncated SOF0/DRI bodies must raise ValueError (the quarantine
+    contract), never a bare struct.error."""
+    import numpy as np
+    import pytest
+
+    px = np.full((8, 8), 140, dtype=np.uint8)
+    good = M.encode_jpeg(8, 8, px)
+    # inject a fill byte before the DQT marker
+    dqt = good.index(b"\xff\xdb")
+    padded = good[:dqt] + b"\xff" + good[dqt:]
+    w, h, out = M.decode_jpeg(padded)
+    assert np.array_equal(out, px)
+
+    # SOF0 with a declared length too short for its fixed header
+    sof = good.index(b"\xff\xc0")
+    broken = bytearray(good)
+    broken[sof + 2 : sof + 4] = (4).to_bytes(2, "big")
+    with pytest.raises(ValueError):
+        M.decode_jpeg(bytes(broken))
+    # truncated DRI body
+    with pytest.raises(ValueError):
+        M.decode_jpeg(good[:2] + b"\xff\xdd\x00\x02" + good[2:])
+
+
+def test_jpeg_extreme_quant_no_keyerror():
+    """quant=1 on a checkerboard drives AC magnitudes past size 10; the
+    encoder clamps to the codable ±1023 instead of KeyError, and the
+    result still decodes within the (documented) clamp distortion."""
+    import numpy as np
+
+    px = np.indices((8, 8)).sum(axis=0) % 2 * 255
+    payload = M.encode_jpeg(8, 8, px.astype(np.uint8), quant=1)
+    w, h, out = M.decode_jpeg(payload)
+    assert (w, h) == (8, 8)
+    assert np.abs(out.astype(int) - px).max() <= 16

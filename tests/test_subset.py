@@ -217,10 +217,11 @@ def test_closure_scale_invariant_under_fact_replication(spark, catalog, tmp_path
     eng1, res1 = run_subset(spark, catalog, roots)
     keys1 = rows_set(eng1.closure_keys(res1, KEY_EXPRS))
 
-    import os as _os
+    # the SAME dataset the `catalog` fixture loaded — a different env knob
+    # here would compare closures across two different SFs
+    from conftest import SF_DIR
 
-    sf_dir = _os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    paths = build_scaled_tpch(spark, sf_dir, 3, str(tmp_path))
+    paths = build_scaled_tpch(spark, SF_DIR, 3, str(tmp_path))
     schema = tpch_schema()
     cat = {t: spark.read.parquet(paths[t]) for t in schema.tables}
     eng3 = Subsetter(spark, cat, schema, checkpoint_every=100)
