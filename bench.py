@@ -133,6 +133,7 @@ HEADLINE = [
     "token_stats",
     "bpe_tokens",
     "bpe_train",
+    "bpe_apply",
     "quality",
     "language_id",
     "lang_confusion",

@@ -791,6 +791,36 @@ def bpe_train_merges(
 
     Output: (merge_round, sym_a, sym_b, pair_count), one row per learned
     merge in order."""
+    merges, _ = _bpe_train(df, rounds, text_col)
+    return merges
+
+
+def bpe_segment_stats(
+    df: DataFrame,
+    rounds: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train-then-APPLY: segment the vocabulary with the merges
+    :func:`bpe_train_merges` learns and report the symbols-per-word
+    distribution — the number a tokenizer team actually reads (how much
+    sequence budget the first N merges buy).  Output per segment length:
+    (n_symbols, n_words, n_occurrences); ``n_symbols`` counts the
+    ``</w>`` terminator like the training rounds do."""
+    _, vocab = _bpe_train(df, rounds, text_col)
+    t = vocab.select("cnt", F.split(F.trim(F.col("s")), "  ").alias("t"))
+    return (
+        t.groupBy(F.size("t").cast("bigint").alias("n_symbols"))
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("cnt").cast("bigint").alias("n_occurrences"),
+        )
+    )
+
+
+def _bpe_train(df: DataFrame, rounds: int, text_col: str):
+    """Shared BPE training core: returns (merges DataFrame, final vocab
+    frame with columns (cnt, s)) — one definition for learn-only and
+    learn+apply consumers."""
     sp = df.sparkSession
     w = df.select(F.explode(tokens(text_col)).alias("w")).where(F.col("w") != "")
     vocab = w.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
@@ -834,6 +864,10 @@ def bpe_train_merges(
                 F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
             ).alias("s"),
         ).localCheckpoint(eager=True)
-    return sp.createDataFrame(
-        merges, "merge_round bigint, sym_a string, sym_b string, pair_count bigint"
+    return (
+        sp.createDataFrame(
+            merges,
+            "merge_round bigint, sym_a string, sym_b string, pair_count bigint",
+        ),
+        v,
     )

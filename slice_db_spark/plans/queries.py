@@ -3914,6 +3914,16 @@ def bpe_train(spark, sf_dir):
     return textops.bpe_train_merges(docs, rounds=BPE_TRAIN_ROUNDS)
 
 
+def bpe_apply(spark, sf_dir):
+    """Train-then-APPLY: segment the corpus vocabulary with the learned
+    merges and report the symbols-per-word distribution — how much
+    sequence budget the first 8 merges buy.  Shares the training core
+    (and the unrolled oracle CTE chain) with `bpe_train`, so the two can
+    never drift."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return textops.bpe_segment_stats(docs, rounds=BPE_TRAIN_ROUNDS)
+
+
 def media_y4m_frames(spark, sf_dir):
     """REAL codec gate #6 — video: mono YUV4MPEG2 clips synthesized from
     doc_id arithmetic, stream-parsed (header tags, per-frame strides) and
@@ -6510,6 +6520,17 @@ v{_r} AS MATERIALIZED (
     )
     o["bpe_train"] = "WITH " + ",".join(_bpe_parts) + "\n" + _bpe_final
 
+    # train-then-apply: the SAME unrolled round chain, read out as the
+    # final vocabulary's symbols-per-word distribution
+    o["bpe_apply"] = (
+        "WITH " + ",".join(_bpe_parts) + f"""
+SELECT CAST(len(t) AS BIGINT) AS n_symbols,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(cnt) AS BIGINT) AS n_occurrences
+FROM (SELECT cnt, str_split(trim(s), '  ') AS t FROM v{BPE_TRAIN_ROUNDS})
+GROUP BY 1"""
+    )
+
     # video: lossless container, so the oracle mirrors the synth pixels
     # directly; kept frames = every 2nd index per clip
     o["media_y4m_frames"] = _q("""
@@ -7447,4 +7468,5 @@ def _all_queries():
         "ann_index_probe": ann_index_probe,
         "media_y4m_frames": media_y4m_frames,
         "bpe_train": bpe_train,
+        "bpe_apply": bpe_apply,
     }
