@@ -523,6 +523,36 @@ def cmd_chunk(args) -> int:
     return 0
 
 
+def cmd_train_bpe(args) -> int:
+    """Learn BPE merges from the corpus (the tokenizer-training pass) and
+    write them as parquet at the output path; prints a JSON summary with
+    the merge list and the segmented vocabulary's symbols-per-word
+    distribution so a run can be sanity-read without Spark."""
+    from .operators import text as textops
+    from .session import get_spark
+    from .sources.corpus import read_corpus, split_corrupt
+
+    spark = get_spark("slicedb-train-bpe")
+    docs, _ = split_corrupt(read_corpus(spark, args.input, fmt=args.input_format))
+    merges, vocab = textops._bpe_train(docs, args.rounds, "text")
+    merges = merges.localCheckpoint(eager=True)
+    merges.repartition(1).write.mode("overwrite").parquet(args.output)
+    from pyspark.sql import functions as F
+
+    dist = (
+        vocab.select(F.split(F.trim("s"), "  ").alias("t"), "cnt")
+        .groupBy(F.size("t").alias("n_symbols"))
+        .agg(F.count(F.lit(1)).alias("n_words"), F.sum("cnt").alias("n_occurrences"))
+        .orderBy("n_symbols")
+    )
+    print(json.dumps({
+        "rounds": args.rounds,
+        "merges": [r.asDict() for r in merges.orderBy("merge_round").collect()],
+        "segment_lengths": [r.asDict() for r in dist.collect()],
+    }))
+    return 0
+
+
 def cmd_analyze(args) -> int:
     """Corpus analytics report as one JSON object on stdout: per-stratum
     datasheet, length quantiles, per-source token-distribution drift, and
@@ -1013,6 +1043,13 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("input", help="corpus path (documents shape)")
     ch.add_argument("output", help="chunk-table parquet output path")
     ch.set_defaults(fn=cmd_chunk)
+
+    tb = sub.add_parser("train-bpe", help="learn BPE merges from a corpus (tokenizer training)")
+    tb.add_argument("--input-format", choices=["jsonl", "csv", "parquet"], default="parquet")
+    tb.add_argument("--rounds", type=int, default=8)
+    tb.add_argument("input", help="corpus path (documents shape)")
+    tb.add_argument("output", help="parquet output path for the merge table")
+    tb.set_defaults(fn=cmd_train_bpe)
 
     an = sub.add_parser("analyze", help="corpus analytics report (JSON on stdout)")
     an.add_argument("--input-format", choices=["jsonl", "csv", "parquet"], default="parquet")

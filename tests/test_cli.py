@@ -770,3 +770,32 @@ def test_compact_cli(spark, tmp_path):
     report = json.loads(run_cli("compact", "--target-bytes", str(1 << 30), sink))
     assert report["files_after"] < report["files_before"]
     assert sorted(r.id for r in spark.read.parquet(sink).collect()) == list(range(50))
+
+
+def test_cli_train_bpe(capsys, tmp_path, spark):
+    """`train-bpe` learns merges from a corpus, writes the merge table as
+    parquet, and prints a JSON summary with the segment-length
+    distribution (the Sennrich example's first merges pin the output)."""
+    import json as _json
+
+    from slice_db_spark import cli
+
+    text = " ".join(["low"] * 5 + ["newest"] * 6)
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        [(1, text, "en", "a", len(text))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(src))
+    out = tmp_path / "merges"
+    rc = cli.main(["train-bpe", "--rounds", "3", str(src), str(out)])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # round 1: 'e s' wins the 6-way tie lexicographically; round 2:
+    # 'e w' < 'es t' (space sorts before 's'); round 3: 'es t'
+    assert [(m["sym_a"], m["sym_b"]) for m in rep["merges"]] == [
+        ("e", "s"), ("e", "w"), ("es", "t")
+    ]
+    got = {r.merge_round: (r.sym_a, r.sym_b, r.pair_count)
+           for r in spark.read.parquet(str(out)).collect()}
+    assert got[1] == ("e", "s", 6)
+    assert sum(d["n_words"] for d in rep["segment_lengths"]) == 2
