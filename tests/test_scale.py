@@ -512,3 +512,44 @@ def test_compact_lsh_index_preserves_meta_and_probe_validates(spark, tmp_path):
     assert D.read_lsh_meta(idx) == {"k": 8, "bands": 2, "n": 3}
     assert os.path.isfile(os.path.join(idx, "_lsh_meta.json"))
     assert D.probe_lsh_index(spark, idx, new, k=8, bands=2).count() >= 1
+
+
+def test_dir_lock_cross_process(tmp_path):
+    """The advisory lease holds across real OS processes, not just
+    threads: a child process holds the lock while the parent times out,
+    then acquires cleanly after release — and a fenced child (token
+    removed under it) must NOT remove the parent's fresh lock on exit."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    import pytest
+
+    from slice_db_spark.sources.atomic import dir_lock
+
+    live = str(tmp_path / "sink")
+    os.mkdir(live)
+    script = textwrap.dedent("""
+        import sys, time
+        sys.path.insert(0, "/root/repo")
+        from slice_db_spark.sources.atomic import dir_lock
+        with dir_lock(sys.argv[1]) as lease:
+            print("HELD", flush=True)
+            time.sleep(float(sys.argv[2]))
+    """)
+    child = subprocess.Popen(
+        [sys.executable, "-c", script, live, "3.0"],
+        stdout=subprocess.PIPE, text=True,
+    )
+    assert child.stdout.readline().strip() == "HELD"
+    with pytest.raises(TimeoutError):
+        with dir_lock(live, timeout=0.5):
+            pass
+    child.wait(timeout=10)
+    # child released: parent acquires immediately
+    t0 = time.monotonic()
+    with dir_lock(live, timeout=5.0):
+        assert time.monotonic() - t0 < 2.0
+    assert not os.path.isdir(live + ".lock")
