@@ -107,6 +107,8 @@ HEADLINE = [
     "chunk_windows",
     "minhash_lsh",
     "dedup_sorted_nbrs",
+    "dedup_substring",
+    "dedup_substring_rewrite",
     "dedup_cross_source",
     "dedup_panorama",
     "nearest_doc",
@@ -195,6 +197,7 @@ SWEEP = [
     "dedup_jaccard",
     "minhash_lsh",
     "dedup_sorted_nbrs",
+    "dedup_substring",
     "dedup_incremental",
     "dedup_clusters",
     "simhash_pairs",

@@ -1494,3 +1494,137 @@ def probe_lsh_index(
         if own_st:
             st_new.unpersist()
     return out
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    span_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup measurement (the Lee et al. 2021
+    "Deduplicating Training Data" shape): a token span of length
+    ``span_tokens`` that occurs MORE THAN ONCE corpus-wide (any document,
+    including the same one) marks all its token positions as duplicated.
+
+    Distributed shape: positions ride the shingle explode (O(1)-get
+    grams over the materialized token array, like :func:`shingle_table`),
+    duplicate grams come from one hash groupBy (map-side combine collapses
+    hot spans), covered indices are a bounded ``sequence`` explode
+    (≤ span_tokens × occurrences) deduplicated per (doc, index) — never
+    a suffix array on the driver, never corpus².
+
+    Output per document: (doc_id, n_tokens, n_dup_tokens, n_clean_tokens);
+    documents with no duplicated span come back with zeros, not missing
+    rows."""
+    L = span_tokens
+    base = df.select(
+        F.col(id_col), F.split(normalize(F.col(text_col)), " ").alias("__toks")
+    ).withColumn(
+        "__n",
+        F.when(F.element_at("__toks", 1) == "", F.lit(0)).otherwise(F.size("__toks")),
+    )
+    grams = (
+        base.where(F.col("__n") >= L)
+        .select(
+            F.col(id_col),
+            F.posexplode(_shingle_expr(F.col("__toks"), L, distinct=False)).alias(
+                "pos", "gram"
+            ),
+        )
+    )
+    dup = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__c")).where(
+        F.col("__c") >= 2
+    )
+    covered = (
+        grams.join(dup.select("gram"), "gram")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))).alias(
+                "__idx"
+            ),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__dup"))
+    )
+    return (
+        base.join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__n").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("__dup"), F.lit(0)).cast("bigint").alias("n_dup_tokens"),
+            (F.col("__n") - F.coalesce(F.col("__dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_clean_tokens"),
+        )
+    )
+
+
+def duplicate_span_rewrite(
+    df: DataFrame,
+    span_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The rewrite half of exact-substring dedup: every token covered by
+    a corpus-wide duplicated ``span_tokens``-gram is REMOVED (both
+    occurrences — the Lee et al. policy for spans, unlike the chunk
+    rewrite's first-copy-wins), survivors rejoin in position order.
+    Returns ``(id, text, n_removed)``; fully-duplicated documents come
+    back with empty text, not missing rows."""
+    L = span_tokens
+    base = df.select(
+        F.col(id_col), F.split(normalize(F.col(text_col)), " ").alias("__toks")
+    ).withColumn(
+        "__n",
+        F.when(F.element_at("__toks", 1) == "", F.lit(0)).otherwise(F.size("__toks")),
+    )
+    grams = (
+        base.where(F.col("__n") >= L)
+        .select(
+            F.col(id_col),
+            F.posexplode(_shingle_expr(F.col("__toks"), L, distinct=False)).alias(
+                "pos", "gram"
+            ),
+        )
+    )
+    dup = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__c")).where(
+        F.col("__c") >= 2
+    )
+    covered = (
+        grams.join(dup.select("gram"), "gram")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))).alias(
+                "__idx"
+            ),
+        )
+        .distinct()
+    )
+    tok_rows = base.where(F.col("__n") > 0).select(
+        F.col(id_col), F.posexplode("__toks").alias("__idx", "__tok")
+    )
+    kept = tok_rows.join(covered, [id_col, "__idx"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__idx"), F.col("__tok").alias("s")))
+                ),
+                lambda x: x["s"],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    return (
+        base.join(reassembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            (F.col("__n") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )

@@ -3914,6 +3914,24 @@ def bpe_train(spark, sf_dir):
     return textops.bpe_train_merges(docs, rounds=BPE_TRAIN_ROUNDS)
 
 
+def dedup_substring(spark, sf_dir):
+    """Exact-substring dedup measurement (Lee et al. 2021): per-document
+    counts of tokens covered by any 8-token span that occurs more than
+    once corpus-wide.  Positions ride the shingle explode; duplicate
+    spans are one hash groupBy; coverage is a bounded sequence explode —
+    the Spark-expressible formulation of suffix-array span dedup."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return dedup.duplicate_span_stats(docs, span_tokens=8)
+
+
+def dedup_substring_rewrite(spark, sf_dir):
+    """The rewrite half: documents with every duplicated 8-token span
+    REMOVED (both occurrences — the span policy, unlike the chunk
+    rewrite's first-copy-wins), survivors rejoined in position order."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return dedup.duplicate_span_rewrite(docs, span_tokens=8)
+
+
 def bpe_apply(spark, sf_dir):
     """Train-then-APPLY: segment the corpus vocabulary with the learned
     merges and report the symbols-per-word distribution — how much
@@ -6520,6 +6538,46 @@ v{_r} AS MATERIALIZED (
     )
     o["bpe_train"] = "WITH " + ",".join(_bpe_parts) + "\n" + _bpe_final
 
+    # exact-substring span dedup: positions ride the gram explode, dup
+    # spans are a HAVING >= 2, coverage is a range explode — shared CTE
+    # prefix between the stats and rewrite readouts
+    _span_cte = f"""
+t AS (
+  SELECT doc_id, str_split(nrm, ' ') AS t,
+         CASE WHEN nrm = '' THEN 0 ELSE len(str_split(nrm, ' ')) END AS n
+  FROM (SELECT doc_id, {_norm_sql('text')} AS nrm FROM documents)),
+g AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(t, pos + 1, pos + 8), ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(range(0, greatest(n - 7, 0))) AS pos
+        FROM t WHERE n >= 8)),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+cov AS (SELECT DISTINCT doc_id, idx FROM (
+          SELECT doc_id, unnest(range(pos, pos + 8)) AS idx
+          FROM g JOIN dup USING (gram)))"""
+
+    o["dedup_substring"] = f"""
+WITH {_span_cte},
+c AS (SELECT doc_id, count(*) AS dup_n FROM cov GROUP BY doc_id)
+SELECT t.doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(coalesce(dup_n, 0) AS BIGINT) AS n_dup_tokens,
+       CAST(n - coalesce(dup_n, 0) AS BIGINT) AS n_clean_tokens
+FROM t LEFT JOIN c USING (doc_id)
+"""
+
+    o["dedup_substring_rewrite"] = f"""
+WITH {_span_cte},
+k AS (SELECT doc_id, idx, t[idx + 1] AS tok
+      FROM (SELECT doc_id, t, unnest(range(0, n)) AS idx FROM t WHERE n > 0)),
+kept AS (SELECT k.* FROM k ANTI JOIN cov USING (doc_id, idx)),
+r AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text,
+             count(*) AS kept_n
+      FROM kept GROUP BY doc_id)
+SELECT t.doc_id, coalesce(r.text, '') AS text,
+       CAST(n - coalesce(kept_n, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN r USING (doc_id)
+"""
+
     # train-then-apply: the SAME unrolled round chain, read out as the
     # final vocabulary's symbols-per-word distribution
     o["bpe_apply"] = (
@@ -7469,4 +7527,6 @@ def _all_queries():
         "media_y4m_frames": media_y4m_frames,
         "bpe_train": bpe_train,
         "bpe_apply": bpe_apply,
+        "dedup_substring": dedup_substring,
+        "dedup_substring_rewrite": dedup_substring_rewrite,
     }

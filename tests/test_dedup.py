@@ -585,3 +585,52 @@ def test_lsh_index_build_probe_matches_incremental(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_duplicate_span_stats_and_rewrite(spark):
+    """Exact-substring span dedup: a shared 9-token span (two overlapping
+    8-grams) marks its tokens in BOTH documents; unrelated docs untouched;
+    the rewrite removes covered tokens and rejoins survivors in order."""
+    from slice_db_spark.operators.dedup import (
+        duplicate_span_rewrite,
+        duplicate_span_stats,
+    )
+
+    df = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog and then sleeps"),
+        (2, "intro words the quick brown fox jumps over the lazy dog tail"),
+        (3, "a completely different document with no shared spans at all here"),
+        (4, "short doc"),
+    ], "doc_id bigint, text string")
+    stats = {r.doc_id: (r.n_tokens, r.n_dup_tokens, r.n_clean_tokens)
+             for r in duplicate_span_stats(df, span_tokens=8).collect()}
+    assert stats[1] == (12, 9, 3)
+    assert stats[2] == (12, 9, 3)
+    assert stats[3] == (11, 0, 11)
+    assert stats[4] == (2, 0, 2)  # shorter than the span: no grams, kept
+
+    rw = {r.doc_id: (r.text, r.n_removed)
+          for r in duplicate_span_rewrite(df, span_tokens=8).collect()}
+    assert rw[1] == ("and then sleeps", 9)
+    assert rw[2] == ("intro words tail", 9)
+    assert rw[3][1] == 0
+    assert rw[4] == ("short doc", 0)
+
+
+def test_duplicate_span_within_document(spark):
+    """A span repeated WITHIN one document counts as duplicated (the Lee
+    et al. policy) — and a fully-duplicated doc returns empty text, not
+    a missing row."""
+    from slice_db_spark.operators.dedup import (
+        duplicate_span_rewrite,
+        duplicate_span_stats,
+    )
+
+    span = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, f"{span} {span}")], "doc_id bigint, text string"
+    )
+    s = duplicate_span_stats(df, span_tokens=8).first()
+    assert (s.n_tokens, s.n_dup_tokens, s.n_clean_tokens) == (16, 16, 0)
+    r = duplicate_span_rewrite(df, span_tokens=8).first()
+    assert (r.text, r.n_removed) == ("", 16)
