@@ -458,6 +458,7 @@ def cmd_ingest(args) -> int:
         lsh_index=args.lsh_index,
         lsh_threshold=args.lsh_threshold,
         url_dedup=args.url_dedup,
+        compact_files=args.compact_files,
     )
     n = spark.read.parquet(args.corpus).count()
     print(json.dumps({"corpus_rows": n}))
@@ -1017,6 +1018,13 @@ def main(argv: list[str] | None = None) -> int:
         help="canonicalize the given URL column and drop refetches of "
         "already-ingested canonical URLs before any text stage (the "
         "streaming analog of curate --url-dedup)",
+    )
+    ing.add_argument(
+        "--compact-files",
+        type=int,
+        default=None,
+        help="after the drain, compact the corpus (and LSH index) in "
+        "place when it has grown past this many parquet files",
     )
     ing.add_argument("landing", help="landing directory of .jsonl files")
     ing.add_argument("corpus", help="parquet corpus directory (appended)")

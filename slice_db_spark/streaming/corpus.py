@@ -63,6 +63,7 @@ def ingest_corpus_stream(
     lsh_threshold: float = 0.5,
     lock_timeout: float = 600.0,
     url_dedup: str | None = None,
+    compact_files: int | None = None,
 ):
     """Start (and with ``available_now`` run to completion) the ingestion
     stream: JSONL landing dir → optional quality gate → per-batch exact
@@ -100,6 +101,15 @@ def ingest_corpus_stream(
     lock's heartbeat keeps it fresh for hours; see
     :func:`..sources.atomic.dir_lock`), so the compaction degrades to
     ingest latency instead of failing the StreamingQuery.
+
+    ``compact_files`` is the operational close of the append-only loop:
+    after the drain (``available_now`` runs only), if the corpus has
+    grown past that many parquet files it is compacted in place
+    (`..plans.scale.compact_parquet`, and `compact_lsh_index` for the
+    signature index when one is configured) — the same crash-safe,
+    lease-fenced rewrite an external maintenance job would run, so a
+    long-lived ingest directory never degrades into a small-files swamp
+    without anyone scheduling maintenance.
 
     ``url_dedup`` names a URL column carried by the landing JSONL (the
     reader schema is extended with it): each batch's URLs are
@@ -314,10 +324,25 @@ def ingest_corpus_stream(
         schema = T.StructType(
             list(DOCUMENTS_SCHEMA) + [T.StructField(url_dedup, T.StringType())]
         )
+    def _maybe_compact() -> None:
+        if compact_files is None:
+            return
+        from ..plans.scale import _scan_parquet_files, compact_lsh_index, compact_parquet
+
+        if os.path.isdir(out_path):
+            files, _, _, _ = _scan_parquet_files(os.path.normpath(out_path))
+            if len(files) > compact_files:
+                compact_parquet(spark, out_path)
+        if lsh_index is not None and os.path.isdir(lsh_index):
+            files, _, _, _ = _scan_parquet_files(os.path.normpath(lsh_index))
+            if len(files) > compact_files:
+                compact_lsh_index(spark, lsh_index)
+
     stream = read_corpus_stream(spark, in_path, schema=schema)
     writer = stream.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint)
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
+        _maybe_compact()
         return q
     return writer.start()

@@ -465,3 +465,27 @@ def test_lsh_meta_corrupt_sidecar_raises(tmp_path):
         D.read_lsh_meta(str(idx))
     _os.remove(idx / "_lsh_meta.json")
     assert D.read_lsh_meta(str(idx)) is None  # absent = legacy, accepted
+
+
+def test_streaming_ingest_auto_compact(spark, tmp_path):
+    """--compact-files closes the append-only loop operationally: after
+    the drain, a corpus past the file-count threshold is compacted in
+    place (rows intact, fewer files) without an external maintenance
+    job."""
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "corpus")
+
+    for b in range(3):
+        rows = [{"doc_id": 100 * b + i, "text": f"unique document {b} {i} about topic {i}",
+                 "lang": "en", "source": "a", "n_chars": 1} for i in range(4)]
+        _write_batch(land, f"b{b}.jsonl", rows)
+        os.utime(os.path.join(land, f"b{b}.jsonl"), (1_000_000_000 + 100 * b,) * 2)
+        SC.ingest_corpus_stream(spark, str(land), out,
+                                str(tmp_path / "ckpt"), compact_files=2)
+
+    from slice_db_spark.plans.scale import _scan_parquet_files
+
+    files, _, _, _ = _scan_parquet_files(out)
+    assert len(files) <= 2  # 3 appended batches collapsed by the drain hook
+    assert spark.read.parquet(out).count() == 12
