@@ -454,3 +454,45 @@ def test_png_decode_never_crashes_on_garbage(payload):
         decode_png(payload)
     except ValueError:
         pass
+
+
+@given(
+    st.integers(1, 3),                      # n_frames
+    st.integers(1, 12), st.integers(1, 9),  # w, h
+    st.integers(0, 2**32 - 1),              # content seed
+)
+@settings(max_examples=30, deadline=None)
+def test_y4m_roundtrip_property(n, w, h, seed):
+    """Any uint8 frame stack survives the Y4M container bit-exactly."""
+    import numpy as np
+
+    from slice_db_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    w2, h2, out = decode_y4m(encode_y4m(w, h, px))
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(out, px)
+
+
+@given(
+    st.integers(1, 3), st.integers(1, 2),   # block grid (bw, bh)
+    st.integers(0, 2**32 - 1),              # block-value seed
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_exact_roundtrip_property(bw, bh, seed):
+    """The oracle-bearing construction holds for ARBITRARY even-offset
+    constant blocks, not just the synth formula: any 8x8-block-constant
+    image with even (v - 128) offsets survives quantize/Huffman/IDCT at
+    q=16 bit-exactly."""
+    import numpy as np
+
+    from slice_db_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    blocks = (128 + 2 * rng.integers(-64, 64, (bh, bw))).clip(0, 254)
+    px = np.kron(blocks, np.ones((8, 8))).astype(np.uint8)
+    w, h = bw * 8, bh * 8
+    w2, h2, out = decode_jpeg(encode_jpeg(w, h, px))
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(out, px)
