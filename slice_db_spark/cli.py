@@ -460,8 +460,21 @@ def cmd_ingest(args) -> int:
         url_dedup=args.url_dedup,
         compact_files=args.compact_files,
     )
-    n = spark.read.parquet(args.corpus).count()
-    print(json.dumps({"corpus_rows": n}))
+    report = {"corpus_rows": spark.read.parquet(args.corpus).count()}
+    # per-sink counters, derived from the sinks themselves (no streaming
+    # accumulators to lose on replay): each exists only when configured
+    sinks = {"quarantined": args.quarantine}
+    if args.rejects:
+        sinks["quality_rejected"] = args.rejects
+        sinks["near_dup_rejected"] = args.rejects + ".neardup"
+        if args.url_dedup:
+            sinks["url_dup_rejected"] = args.rejects + ".urldup"
+    import os as _os
+
+    for key, path in sinks.items():
+        if path and _os.path.isdir(path):
+            report[key] = spark.read.json(path).count()
+    print(json.dumps(report))
     return 0
 
 

@@ -638,6 +638,7 @@ def test_ingest_cli_min_quality(spark, tmp_path):
                 "--min-quality", "0.45", "--rejects", rejects, str(land), corpus)
     )
     assert report["corpus_rows"] == 1
+    assert report["quality_rejected"] == 1  # per-sink counter in the report
     assert spark.read.json(rejects).count() == 1
 
 
