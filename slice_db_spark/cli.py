@@ -551,14 +551,9 @@ def cmd_train_bpe(args) -> int:
     merges, vocab = textops._bpe_train(docs, args.rounds, "text")
     merges = merges.localCheckpoint(eager=True)
     merges.repartition(1).write.mode("overwrite").parquet(args.output)
-    from pyspark.sql import functions as F
-
-    dist = (
-        vocab.select(F.split(F.trim("s"), "  ").alias("t"), "cnt")
-        .groupBy(F.size("t").alias("n_symbols"))
-        .agg(F.count(F.lit(1)).alias("n_words"), F.sum("cnt").alias("n_occurrences"))
-        .orderBy("n_symbols")
-    )
+    # the SAME distribution definition the oracle-gated bpe_apply query
+    # reads — the CLI report can never drift from the verified surface
+    dist = textops.segment_length_dist(vocab).orderBy("n_symbols")
     print(json.dumps({
         "rounds": args.rounds,
         "merges": [r.asDict() for r in merges.orderBy("merge_round").collect()],

@@ -1496,6 +1496,51 @@ def probe_lsh_index(
     return out
 
 
+def _dup_span_covered(df: DataFrame, L: int, text_col: str, id_col: str):
+    """Shared span-dedup core: returns ``(base, covered)`` where ``base``
+    is (id, __toks, __n) and ``covered`` the DISTINCT (id, __idx) token
+    positions inside any corpus-wide duplicated L-gram.
+
+    The gram frame is reduced to (id, pos, 8-byte gram hash) in ONE
+    projection and eagerly checkpointed: its two consumers (the dup-gram
+    groupBy and the coverage join) would otherwise each recompute the
+    dominant normalize/shingle explode, and the hash keeps both shuffles
+    8 bytes/key instead of the raw L-word string."""
+    from .hashing import hash64
+
+    base = df.select(
+        F.col(id_col), F.split(normalize(F.col(text_col)), " ").alias("__toks")
+    ).withColumn(
+        "__n",
+        F.when(F.element_at("__toks", 1) == "", F.lit(0)).otherwise(F.size("__toks")),
+    )
+    grams = (
+        base.where(F.col("__n") >= L)
+        .select(
+            F.col(id_col),
+            F.posexplode(_shingle_expr(F.col("__toks"), L, distinct=False)).alias(
+                "pos", "gram"
+            ),
+        )
+        .select(F.col(id_col), F.col("pos"), hash64(F.col("gram")).alias("__gh"))
+        .localCheckpoint(eager=True)
+    )
+    dup = grams.groupBy("__gh").agg(F.count(F.lit(1)).alias("__c")).where(
+        F.col("__c") >= 2
+    )
+    covered = (
+        grams.join(dup.select("__gh"), "__gh")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))).alias(
+                "__idx"
+            ),
+        )
+        .distinct()
+    )
+    return base, covered
+
+
 def duplicate_span_stats(
     df: DataFrame,
     span_tokens: int = 8,
@@ -1517,37 +1562,8 @@ def duplicate_span_stats(
     Output per document: (doc_id, n_tokens, n_dup_tokens, n_clean_tokens);
     documents with no duplicated span come back with zeros, not missing
     rows."""
-    L = span_tokens
-    base = df.select(
-        F.col(id_col), F.split(normalize(F.col(text_col)), " ").alias("__toks")
-    ).withColumn(
-        "__n",
-        F.when(F.element_at("__toks", 1) == "", F.lit(0)).otherwise(F.size("__toks")),
-    )
-    grams = (
-        base.where(F.col("__n") >= L)
-        .select(
-            F.col(id_col),
-            F.posexplode(_shingle_expr(F.col("__toks"), L, distinct=False)).alias(
-                "pos", "gram"
-            ),
-        )
-    )
-    dup = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__c")).where(
-        F.col("__c") >= 2
-    )
-    covered = (
-        grams.join(dup.select("gram"), "gram")
-        .select(
-            F.col(id_col),
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))).alias(
-                "__idx"
-            ),
-        )
-        .distinct()
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("__dup"))
-    )
+    base, cov = _dup_span_covered(df, span_tokens, text_col, id_col)
+    covered = cov.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dup"))
     return (
         base.join(covered, id_col, "left")
         .select(
@@ -1573,35 +1589,7 @@ def duplicate_span_rewrite(
     rewrite's first-copy-wins), survivors rejoin in position order.
     Returns ``(id, text, n_removed)``; fully-duplicated documents come
     back with empty text, not missing rows."""
-    L = span_tokens
-    base = df.select(
-        F.col(id_col), F.split(normalize(F.col(text_col)), " ").alias("__toks")
-    ).withColumn(
-        "__n",
-        F.when(F.element_at("__toks", 1) == "", F.lit(0)).otherwise(F.size("__toks")),
-    )
-    grams = (
-        base.where(F.col("__n") >= L)
-        .select(
-            F.col(id_col),
-            F.posexplode(_shingle_expr(F.col("__toks"), L, distinct=False)).alias(
-                "pos", "gram"
-            ),
-        )
-    )
-    dup = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__c")).where(
-        F.col("__c") >= 2
-    )
-    covered = (
-        grams.join(dup.select("gram"), "gram")
-        .select(
-            F.col(id_col),
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))).alias(
-                "__idx"
-            ),
-        )
-        .distinct()
-    )
+    base, covered = _dup_span_covered(df, span_tokens, text_col, id_col)
     tok_rows = base.where(F.col("__n") > 0).select(
         F.col(id_col), F.posexplode("__toks").alias("__idx", "__tok")
     )

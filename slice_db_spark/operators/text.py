@@ -807,6 +807,14 @@ def bpe_segment_stats(
     (n_symbols, n_words, n_occurrences); ``n_symbols`` counts the
     ``</w>`` terminator like the training rounds do."""
     _, vocab = _bpe_train(df, rounds, text_col)
+    return segment_length_dist(vocab)
+
+
+def segment_length_dist(vocab: DataFrame) -> DataFrame:
+    """Symbols-per-word distribution of a segmented vocabulary frame
+    (columns ``cnt``, ``s`` as produced by :func:`_bpe_train`) — ONE
+    definition shared by the oracle-gated :func:`bpe_segment_stats` and
+    the ``train-bpe`` CLI report, so the two can never drift."""
     t = vocab.select("cnt", F.split(F.trim(F.col("s")), "  ").alias("t"))
     return (
         t.groupBy(F.size("t").cast("bigint").alias("n_symbols"))

@@ -338,6 +338,14 @@ def ingest_corpus_stream(
             if len(files) > compact_files:
                 compact_lsh_index(spark, lsh_index)
 
+    if compact_files is not None and not available_now:
+        # the hook runs after the drain; a continuous stream never drains,
+        # so silently accepting the flag would accrete one file per
+        # micro-batch forever while the caller believes maintenance runs
+        raise ValueError(
+            "compact_files only applies to available_now drains — run a "
+            "separate `compact` (same writer lock) for continuous streams"
+        )
     stream = read_corpus_stream(spark, in_path, schema=schema)
     writer = stream.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint)
     if available_now:

@@ -489,3 +489,16 @@ def test_streaming_ingest_auto_compact(spark, tmp_path):
     files, _, _, _ = _scan_parquet_files(out)
     assert len(files) <= 2  # 3 appended batches collapsed by the drain hook
     assert spark.read.parquet(out).count() == 12
+
+
+def test_compact_files_requires_available_now(spark, tmp_path):
+    """The post-drain compaction hook cannot run on a continuous stream —
+    the combination fails loudly instead of silently never compacting."""
+    import pytest
+
+    land = tmp_path / "land"
+    land.mkdir()
+    with pytest.raises(ValueError, match="available_now"):
+        SC.ingest_corpus_stream(spark, str(land), str(tmp_path / "c"),
+                                str(tmp_path / "ck"), available_now=False,
+                                compact_files=4)

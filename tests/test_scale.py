@@ -553,3 +553,23 @@ def test_dir_lock_cross_process(tmp_path):
     with dir_lock(live, timeout=5.0):
         assert time.monotonic() - t0 < 2.0
     assert not os.path.isdir(live + ".lock")
+
+    # fenced exit across processes: steal the lock from a live child
+    # (rename + re-acquire, the takeover sequence) — the child's release
+    # must leave the NEW holder's lock untouched
+    import shutil
+
+    lock = live + ".lock"
+    child = subprocess.Popen(
+        [sys.executable, "-c", script, live, "2.0"],
+        stdout=subprocess.PIPE, text=True,
+    )
+    assert child.stdout.readline().strip() == "HELD"
+    os.rename(lock, lock + ".stolen")
+    shutil.rmtree(lock + ".stolen")
+    os.mkdir(lock)
+    open(os.path.join(lock, "owner-parent"), "w").close()
+    child.wait(timeout=10)  # child exits; its fenced release must no-op
+    assert os.path.isdir(lock)
+    assert os.path.exists(os.path.join(lock, "owner-parent"))
+    shutil.rmtree(lock)
