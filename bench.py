@@ -183,6 +183,7 @@ HEADLINE = [
     "media_png_stats",
     "media_jpeg_stats",
     "media_y4m_frames",
+    "media_wav_windows",
     "url_canonical",
     "domain_stats",
 ]

@@ -1398,3 +1398,46 @@ def y4m_frame_stats(df: DataFrame, every: int = 2) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=Y4M_FRAME_STATS_SCHEMA)
+
+
+WAV_WINDOW_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("window_idx", LongType()),
+        StructField("n_in_window", LongType()),
+        StructField("energy", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def wav_window_stats(df: DataFrame, window: int = 50) -> DataFrame:
+    """Windowed audio features over the REAL WAV byte path: per
+    fixed-size sample window, the exact integer energy (sum of squared
+    samples) and zero-crossing count (adjacent within-window pairs with
+    strictly opposite signs) — the short-time features a speech/VAD
+    pipeline extracts, in integer arithmetic an SQL oracle mirrors
+    exactly.  One row per (clip, window); the last window may be
+    partial."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, samples = decode_wav(bytes(payload))
+                v = np.asarray(samples, dtype=np.int64)
+                for w0 in range(0, len(v), window):
+                    seg = v[w0 : w0 + window]
+                    zc = int(((seg[:-1] * seg[1:]) < 0).sum())
+                    out.append(
+                        (int(mid), w0 // window, len(seg),
+                         int((seg * seg).sum()), zc)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "window_idx", "n_in_window", "energy",
+                         "zero_crossings"],
+            )
+
+    return df.mapInPandas(run, schema=WAV_WINDOW_SCHEMA)

@@ -3932,6 +3932,16 @@ def dedup_substring_rewrite(spark, sf_dir):
     return dedup.duplicate_span_rewrite(docs, span_tokens=8)
 
 
+def media_wav_windows(spark, sf_dir):
+    """Short-time audio features over the real WAV byte path: per
+    50-sample window, exact integer energy and zero-crossing count — the
+    VAD/speech-pipeline features, in arithmetic the oracle replays from
+    the synth formula (crossings computed arithmetically from adjacent
+    sample values, no window function)."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.wav_window_stats(multimodal.synth_wav(docs), window=50)
+
+
 def bpe_apply(spark, sf_dir):
     """Train-then-APPLY: segment the corpus vocabulary with the learned
     merges and report the symbols-per-word distribution — how much
@@ -6423,6 +6433,30 @@ FROM d
         FROM s
     """)
 
+    # windowed audio features: sample values AND their successors come
+    # from the synth arithmetic directly, so zero crossings need no
+    # window function; pairs crossing a window boundary belong to no
+    # window ((i+1) % 50 != 0 keeps i and i+1 in the same window)
+    o["media_wav_windows"] = _q("""
+        WITH s AS (
+          SELECT CAST(doc_id AS BIGINT) AS media_id,
+                 CAST(50 + doc_id % 200 AS BIGINT) AS n,
+                 unnest(range(0, CAST(50 + doc_id % 200 AS INT))) AS i
+          FROM documents),
+        v AS (
+          SELECT media_id, n, i, i // 50 AS window_idx,
+                 (media_id * 31 + i * 7) % 65536 - 32768 AS val,
+                 (media_id * 31 + (i + 1) * 7) % 65536 - 32768 AS nxt
+          FROM s)
+        SELECT media_id, CAST(window_idx AS BIGINT) AS window_idx,
+               CAST(count(*) AS BIGINT) AS n_in_window,
+               CAST(sum(val * val) AS BIGINT) AS energy,
+               CAST(sum(CASE WHEN (i + 1) % 50 != 0 AND i + 1 < n
+                              AND val * nxt < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS zero_crossings
+        FROM v GROUP BY media_id, window_idx
+    """)
+
     o["media_pgm_stats"] = _q("""
         WITH d AS (
           SELECT CAST(doc_id AS BIGINT) AS media_id,
@@ -7529,4 +7563,5 @@ def _all_queries():
         "bpe_apply": bpe_apply,
         "dedup_substring": dedup_substring,
         "dedup_substring_rewrite": dedup_substring_rewrite,
+        "media_wav_windows": media_wav_windows,
     }

@@ -466,3 +466,25 @@ def test_jpeg_extreme_quant_no_keyerror():
     w, h, out = M.decode_jpeg(payload)
     assert (w, h) == (8, 8)
     assert np.abs(out.astype(int) - px).max() <= 16
+
+
+def test_wav_window_stats(spark):
+    """Windowed audio features: exact energy and strict-sign zero
+    crossings per fixed window, partial last window included, boundary
+    pairs counted in neither window."""
+    import numpy as np
+
+    samples = [100, -100, 50, 0, -50, 200, 300]  # 7 samples, window=3
+    payload = M.encode_wav(samples, 8000)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(payload), "wav", len(payload))],
+        M.MEDIA_SCHEMA,
+    )
+    rows = {r.window_idx: (r.n_in_window, r.energy, r.zero_crossings)
+            for r in M.wav_window_stats(df, window=3).collect()}
+    # w0 = [100,-100,50]: crossings (100,-100),(−100,50) -> 2
+    assert rows[0] == (3, 100*100 + 100*100 + 50*50, 2)
+    # w1 = [0,-50,200]: (0,-50) product 0 -> no; (-50,200) -> 1
+    assert rows[1] == (3, 0 + 2500 + 40000, 1)
+    # w2 = [300] partial, no pairs
+    assert rows[2] == (1, 90000, 0)
