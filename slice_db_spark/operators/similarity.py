@@ -1106,3 +1106,46 @@ def probe_ivf_index(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "dot", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def append_ivf_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign NEW vectors to the index's
+    EXISTING centroids (read from the persisted ``centroids.json`` — the
+    quantizer is not retrained, exactly like a production IVF deployment
+    between periodic retrains) and append their quantized rows to the
+    cell-partitioned inverted lists.  Probes see the new vectors
+    immediately; retrain by rebuilding with :func:`build_ivf_index` when
+    cell balance drifts."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        cents = json.load(f)
+    assigned = _assign_cells_int(
+        new_vectors.select(F.col(id_col), quantize_expr(vec_col).alias("__e")), cents
+    )
+    assigned.write.mode("append").partitionBy("__cell").parquet(
+        os.path.join(path, "cells")
+    )
+
+
+def compact_ivf_index(spark, path: str, target_file_bytes: int = 128 << 20) -> dict:
+    """Maintenance for the persisted IVF index: compact the
+    cell-partitioned inverted lists to size-targeted files (keeping the
+    ``__cell`` directory partitioning, so probes keep pruning), dropping
+    replay-duplicated rows.  ``centroids.json`` lives OUTSIDE the cells
+    dir and is untouched by the swap."""
+    import os
+
+    from ..plans.scale import _compact_dir
+
+    return _compact_dir(
+        spark, os.path.join(path, "cells"), target_file_bytes, ["__cell"],
+        lambda df: df.dropDuplicates(),
+    )
