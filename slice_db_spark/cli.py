@@ -479,19 +479,26 @@ def cmd_ingest(args) -> int:
 
 
 def cmd_compact(args) -> int:
-    """Compact an append-heavy parquet sink (or an LSH signature index)
-    to size-targeted files behind the crash-safe staging swap; prints the
-    before/after file counts."""
+    """Compact an append-heavy parquet sink (or an LSH signature / IVF
+    inverted-list index) to size-targeted files behind the crash-safe
+    staging swap; prints the before/after file counts."""
     from .plans.scale import compact_lsh_index, compact_parquet
     from .session import get_spark
 
-    if args.lsh_index and args.partition_by is not None:
-        print(json.dumps({"error": "--lsh-index fixes the partitioning to "
-                          "band; --partition-by does not apply"}))
+    if sum(map(bool, (args.lsh_index, args.ivf_index))) > 1:
+        print(json.dumps({"error": "--lsh-index and --ivf-index are exclusive"}))
+        return 2
+    if (args.lsh_index or args.ivf_index) and args.partition_by is not None:
+        print(json.dumps({"error": "index compaction fixes the partitioning "
+                          "(band / __cell); --partition-by does not apply"}))
         return 2
     spark = get_spark("slicedb-compact")
     if args.lsh_index:
         report = compact_lsh_index(spark, args.path, target_file_bytes=args.target_bytes)
+    elif args.ivf_index:
+        from .operators.similarity import compact_ivf_index
+
+        report = compact_ivf_index(spark, args.path, target_file_bytes=args.target_bytes)
     else:
         # '--partition-by ""' is the explicit FLATTEN escape hatch ([]);
         # omitting the flag auto-detects and preserves hive layouts (None)
@@ -1047,6 +1054,10 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--lsh-index", action="store_true",
                     help="treat the path as a band-partitioned LSH signature "
                     "index: also drop replay-duplicated rows")
+    cp.add_argument("--ivf-index", action="store_true",
+                    help="treat the path as a persisted IVF index: compact "
+                    "its __cell-partitioned inverted lists, dropping "
+                    "replay-duplicated rows (centroids.json untouched)")
     cp.add_argument("path", help="parquet directory to compact in place")
     cp.set_defaults(fn=cmd_compact)
 
