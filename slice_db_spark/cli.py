@@ -459,6 +459,8 @@ def cmd_ingest(args) -> int:
         lsh_threshold=args.lsh_threshold,
         url_dedup=args.url_dedup,
         compact_files=args.compact_files,
+        span_index=args.span_index,
+        span_tokens=args.span_tokens,
     )
     report = {"corpus_rows": spark.read.parquet(args.corpus).count()}
     # per-sink counters, derived from the sinks themselves (no streaming
@@ -1041,6 +1043,14 @@ def main(argv: list[str] | None = None) -> int:
         help="after the drain, compact the corpus (and LSH index) in "
         "place when it has grown past this many parquet files",
     )
+    ing.add_argument(
+        "--span-index",
+        default=None,
+        help="span-gram hash index dir: rewrite each batch's documents "
+        "removing token spans already in the corpus (continuous "
+        "exact-substring dedup) and extend the index with the survivors",
+    )
+    ing.add_argument("--span-tokens", type=int, default=8)
     ing.add_argument("landing", help="landing directory of .jsonl files")
     ing.add_argument("corpus", help="parquet corpus directory (appended)")
     ing.set_defaults(fn=cmd_ingest)

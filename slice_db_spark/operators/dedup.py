@@ -1616,3 +1616,202 @@ def duplicate_span_rewrite(
             .alias("n_removed"),
         )
     )
+
+
+#: filename of the span-index parameter sidecar (underscore-prefixed so
+#: parquet readers skip it, like the LSH sidecar)
+SPAN_META_NAME = "_span_meta.json"
+
+
+def build_span_index(
+    corpus_df: DataFrame,
+    path: str,
+    span_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the corpus SPAN index at ``path``: the DISTINCT
+    (8-byte gram hash, owner doc id) pairs of every ``span_tokens``-token
+    gram in the corpus, as parquet.  The continuous exact-substring dedup
+    probe is then one equi-join of a batch's (tiny) gram set against the
+    ``gh`` column — per-batch cost independent of corpus-internal
+    duplication, the same standing-index regime as
+    :func:`build_lsh_index`.  The owner id lets a probing document ignore
+    grams IT contributed — which makes the index append safe to run
+    BEFORE the corpus append (a replayed epoch sees its own grams but
+    excludes them by owner), so a crash between the two appends can only
+    duplicate hashes, never lose coverage."""
+    _span_gram_hashes(corpus_df, span_tokens, text_col, id_col).write.mode(
+        "overwrite"
+    ).parquet(path)
+    write_span_meta(path, span_tokens)
+
+
+def _span_gram_hashes(
+    df: DataFrame, span_tokens: int, text_col: str, id_col: str
+) -> DataFrame:
+    """DISTINCT (gh, owner_id) span-gram hashes of a document frame —
+    the index row shape shared by build and append."""
+    from .hashing import hash64
+
+    base = df.select(
+        F.col(id_col), F.split(normalize(F.col(text_col)), " ").alias("__toks")
+    ).withColumn(
+        "__n",
+        F.when(F.element_at("__toks", 1) == "", F.lit(0)).otherwise(F.size("__toks")),
+    )
+    return (
+        base.where(F.col("__n") >= span_tokens)
+        .select(
+            F.col(id_col).alias("owner_id"),
+            F.explode(
+                _shingle_expr(F.col("__toks"), span_tokens, distinct=False)
+            ).alias("gram"),
+        )
+        .select("owner_id", hash64(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+
+
+def write_span_meta(path: str, span_tokens: int) -> None:
+    """Persist the span length the index was built with (gram hashes are
+    a pure function of it — a mismatched probe would silently remove
+    nothing or the wrong spans)."""
+    import json
+    import os
+
+    with open(os.path.join(path, SPAN_META_NAME), "w") as f:
+        json.dump({"span_tokens": span_tokens}, f)
+
+
+def read_span_meta(path: str) -> dict | None:
+    """Load the span-index sidecar; ``None`` when absent, ValueError when
+    present but malformed (same contract as :func:`read_lsh_meta`)."""
+    import json
+    import os
+
+    fp = os.path.join(path, SPAN_META_NAME)
+    try:
+        with open(fp) as f:
+            meta = json.load(f)
+    except OSError:
+        return None
+    except ValueError as e:
+        raise ValueError(f"corrupt span index sidecar {fp}: {e}") from e
+    if not (isinstance(meta, dict) and isinstance(meta.get("span_tokens"), int)):
+        raise ValueError(
+            f"corrupt span index sidecar {fp}: expected integer span_tokens, "
+            f"got {meta!r}"
+        )
+    return meta
+
+
+def incremental_span_rewrite(
+    spark,
+    index_path: str,
+    new_df: DataFrame,
+    span_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Continuous exact-substring dedup for an arriving batch: every
+    token covered by a ``span_tokens``-gram that (a) already exists in
+    the standing span index, or (b) occurs more than once WITHIN the
+    batch, is removed; survivors rejoin in position order.
+
+    Asymmetric by construction: the standing corpus is immutable, so only
+    the NEW copy of a cross-corpus span is removable (the batch analog of
+    the Lee et al. remove-all policy degrades to remove-the-new-copy at
+    ingest time).  Grams whose index row is OWNED by the probing document
+    itself are ignored — a replayed epoch whose grams already landed
+    (:func:`append_span_index` runs before the corpus append) rewrites
+    bit-identically instead of emptying its own documents.  Returns the
+    rewritten frame (id, text, n_removed)."""
+    from .hashing import hash64
+
+    base = new_df.select(
+        F.col(id_col), F.split(normalize(F.col(text_col)), " ").alias("__toks")
+    ).withColumn(
+        "__n",
+        F.when(F.element_at("__toks", 1) == "", F.lit(0)).otherwise(F.size("__toks")),
+    )
+    L = span_tokens
+    grams = (
+        base.where(F.col("__n") >= L)
+        .select(
+            F.col(id_col),
+            F.posexplode(_shingle_expr(F.col("__toks"), L, distinct=False)).alias(
+                "pos", "gram"
+            ),
+        )
+        .select(F.col(id_col), F.col("pos"), hash64(F.col("gram")).alias("gh"))
+        .localCheckpoint(eager=True)
+    )
+    dup_within = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("__c")).where(
+        F.col("__c") >= 2
+    ).select("gh")
+    # cross-corpus hits, EXCLUDING rows this document itself owns (replay
+    # self-match guard — see docstring); the join output is id-paired so
+    # the owner inequality can apply per probing document
+    in_corpus = (
+        grams.join(spark.read.parquet(index_path), "gh")
+        .where(F.col("owner_id") != F.col(id_col))
+        .select(id_col, "gh")
+    )
+    dup_hits = grams.join(dup_within, "gh").select(id_col, "gh")
+    covered = (
+        grams.join(
+            in_corpus.union(dup_hits).distinct(), [id_col, "gh"], "left_semi"
+        )
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))).alias(
+                "__idx"
+            ),
+        )
+        .distinct()
+    )
+    tok_rows = base.where(F.col("__n") > 0).select(
+        F.col(id_col), F.posexplode("__toks").alias("__idx", "__tok")
+    )
+    kept = tok_rows.join(covered, [id_col, "__idx"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__idx"), F.col("__tok").alias("s")))
+                ),
+                lambda x: x["s"],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    return (
+        base.join(reassembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            (F.col("__n") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
+def append_span_index(
+    spark,
+    index_path: str,
+    df: DataFrame,
+    span_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Extend the span index with (gh, owner_id) rows — run BEFORE the
+    corpus append (the owner exclusion makes replays self-immune), so a
+    crash between the two appends can only duplicate hashes, never lose
+    coverage; duplicates cost probe I/O only and compaction
+    (`plans.scale.compact_parquet` + dropDuplicates) reclaims them."""
+    _span_gram_hashes(df, span_tokens, text_col, id_col).write.mode(
+        "append"
+    ).parquet(index_path)

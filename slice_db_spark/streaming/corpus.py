@@ -64,6 +64,8 @@ def ingest_corpus_stream(
     lock_timeout: float = 600.0,
     url_dedup: str | None = None,
     compact_files: int | None = None,
+    span_index: str | None = None,
+    span_tokens: int = 8,
 ):
     """Start (and with ``available_now`` run to completion) the ingestion
     stream: JSONL landing dir → optional quality gate → per-batch exact
@@ -111,6 +113,18 @@ def ingest_corpus_stream(
     long-lived ingest directory never degrades into a small-files swamp
     without anyone scheduling maintenance.
 
+    ``span_index`` turns on CONTINUOUS exact-substring dedup (the Lee et
+    al. span policy at ingest): each batch's documents are rewritten with
+    every token removed that sits inside a ``span_tokens``-gram already
+    present in the standing span index (`..operators.dedup.
+    build_span_index` layout: distinct (gram hash, owner doc id) rows) or
+    duplicated within the batch; the landing documents' gram hashes
+    extend the index BEFORE the corpus append.  The owner id makes a
+    replayed epoch ignore its own grams, so that ordering can only
+    duplicate hashes on a crash — never lose coverage, never self-empty
+    documents (duplicates are reclaimed by compaction).  Span length
+    comes from the index's own ``_span_meta.json`` when present.
+
     ``url_dedup`` names a URL column carried by the landing JSONL (the
     reader schema is extended with it): each batch's URLs are
     canonicalized (`..operators.curation.canonicalize_url`) and exact
@@ -139,9 +153,16 @@ def ingest_corpus_stream(
                 index_lease = locks.enter_context(
                     dir_lock(lsh_index, timeout=lock_timeout)
                 )
-            _sink_locked(batch, epoch_id, corpus_lease, index_lease)
+            span_lease = None
+            if span_index is not None:
+                span_lease = locks.enter_context(
+                    dir_lock(span_index, timeout=lock_timeout)
+                )
+            _sink_locked(batch, epoch_id, corpus_lease, index_lease, span_lease)
 
-    def _sink_locked(batch: DataFrame, epoch_id: int, corpus_lease, index_lease) -> None:
+    def _sink_locked(
+        batch: DataFrame, epoch_id: int, corpus_lease, index_lease, span_lease
+    ) -> None:
         # the corpus/index dirs can be transiently ABSENT mid-swap if a
         # concurrent `compact` crashed between its two renames — recover
         # them BEFORE deciding whether the cross-batch anti-join and the
@@ -150,6 +171,8 @@ def ingest_corpus_stream(
         recover_dir(out_path)
         if lsh_index is not None:
             recover_dir(lsh_index)
+        if span_index is not None:
+            recover_dir(span_index)
         target_exists = os.path.isdir(out_path)
         if target_exists:
             # column contract up front: a corpus created with --url-dedup
@@ -218,6 +241,38 @@ def ingest_corpus_stream(
                     "overwrite"
                 ).json(os.path.join(rejects, f"epoch_id={int(epoch_id)}"))
             clean = clean.join(passing, "doc_id", "left_semi")
+        if span_index is not None:
+            # exact-substring rewrite BEFORE content hashing: the landed
+            # text (and therefore the idempotency hash) is the rewritten
+            # text, so replays reproduce it bit-identically as long as
+            # the index append stays AFTER the corpus append (see the
+            # docstring's ordering argument)
+            from ..operators import dedup as _sdedup
+
+            smeta = (
+                _sdedup.read_span_meta(span_index)
+                if os.path.isdir(span_index)
+                else None
+            )
+            stok = smeta["span_tokens"] if smeta else span_tokens
+            if os.path.isdir(span_index):
+                rw = _sdedup.incremental_span_rewrite(
+                    batch.sparkSession, span_index, clean,
+                    span_tokens=stok, text_col=text_col,
+                )
+            else:
+                # first batch: no standing grams yet — within-batch only
+                rw = _sdedup.duplicate_span_rewrite(
+                    clean, span_tokens=stok, text_col=text_col
+                )
+            clean = (
+                clean.drop(text_col)
+                .join(
+                    rw.select("doc_id", F.col(text_col).alias("__rwtext")),
+                    "doc_id",
+                )
+                .withColumnRenamed("__rwtext", text_col)
+            )
         hashed = clean.withColumn("content_hash", hash64(F.col(text_col)))
         # fully identical rows (same hash AND doc_id) collapse first — the
         # min-doc_id winner join below would keep BOTH copies otherwise
@@ -308,14 +363,39 @@ def ingest_corpus_stream(
                 )
                 if not index_exists:
                     _dedup.write_lsh_meta(lsh_index, lk, lb, ln)
+                _append_spans(batch_unique, span_lease)
                 corpus_lease.check()
                 batch_unique.write.mode("append").parquet(out_path)
             finally:
                 st.unpersist()
                 persisted.unpersist()
         else:
+            _append_spans(batch_unique, span_lease)
             corpus_lease.check()  # fenced: never append on a lost lease
             batch_unique.write.mode("append").parquet(out_path)
+
+    def _append_spans(landed: DataFrame, span_lease) -> None:
+        # index append BEFORE the corpus append (the LSH ordering): the
+        # per-gram owner id makes a replayed epoch ignore its own grams,
+        # so a crash between the appends can only duplicate hashes —
+        # never lose coverage, never self-empty documents
+        if span_index is None:
+            return
+        from ..operators import dedup as _sdedup
+
+        meta = (
+            _sdedup.read_span_meta(span_index)
+            if os.path.isdir(span_index)
+            else None
+        )
+        stok = meta["span_tokens"] if meta else span_tokens
+        span_lease.check()
+        _sdedup.append_span_index(
+            landed.sparkSession, span_index, landed,
+            span_tokens=stok, text_col=text_col,
+        )
+        if meta is None:
+            _sdedup.write_span_meta(span_index, stok)
 
     schema = DOCUMENTS_SCHEMA
     if url_dedup is not None:

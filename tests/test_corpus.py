@@ -502,3 +502,89 @@ def test_compact_files_requires_available_now(spark, tmp_path):
         SC.ingest_corpus_stream(spark, str(land), str(tmp_path / "c"),
                                 str(tmp_path / "ck"), available_now=False,
                                 compact_files=4)
+
+
+def test_streaming_ingest_span_dedup(spark, tmp_path):
+    """Continuous exact-substring dedup: a later batch's document that
+    repeats an 8-token span of the standing corpus lands with the span
+    REMOVED (not dropped); within-batch duplicated spans are removed from
+    both copies; the span index grows with each batch; a drained-
+    checkpoint replay is a no-op."""
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    sidx = str(tmp_path / "span_idx")
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    b0 = [{"doc_id": 1, "text": f"{span} unique tail one", "lang": "en",
+           "source": "a", "n_chars": 1}]
+    _write_batch(land, "b0.jsonl", b0)
+    os.utime(os.path.join(land, "b0.jsonl"), (1_000_000_000,) * 2)
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, span_index=sidx)
+    texts = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert texts[1] == f"{span} unique tail one"  # first copy intact
+    import os as _os
+
+    assert _os.path.isfile(_os.path.join(sidx, "_span_meta.json"))
+
+    # batch 2: repeats the standing span (different doc) + a fresh doc
+    b1 = [{"doc_id": 10, "text": f"intro {span} and fresh words after",
+           "lang": "en", "source": "a", "n_chars": 1},
+          {"doc_id": 11, "text": "a wholly different document with novel content entirely",
+           "lang": "en", "source": "a", "n_chars": 1}]
+    _write_batch(land, "b1.jsonl", b1)
+    os.utime(os.path.join(land, "b1.jsonl"), (1_000_000_100,) * 2)
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, span_index=sidx)
+    texts = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert texts[10] == "intro and fresh words after"  # span removed
+    assert texts[11].startswith("a wholly different")
+
+    # batch 3: within-batch duplicated span, removed from BOTH copies
+    s2 = "one two three four five six seven eight"
+    b2 = [{"doc_id": 20, "text": f"{s2} first suffix", "lang": "en",
+           "source": "a", "n_chars": 1},
+          {"doc_id": 21, "text": f"{s2} second suffix", "lang": "en",
+           "source": "a", "n_chars": 1}]
+    _write_batch(land, "b2.jsonl", b2)
+    os.utime(os.path.join(land, "b2.jsonl"), (1_000_000_200,) * 2)
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, span_index=sidx)
+    texts = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert texts[20] == "first suffix" and texts[21] == "second suffix"
+
+    # drained replay: nothing changes
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, span_index=sidx)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 10, 11, 20, 21}
+
+
+def test_streaming_span_dedup_replay_self_immune(spark, tmp_path):
+    """Crash between span-index append and corpus append: on replay the
+    batch's grams are ALREADY in the index (owned by its own doc ids) —
+    the owner exclusion must leave the document intact instead of
+    emptying it, and coverage is never lost."""
+    from slice_db_spark.operators import dedup as D
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    sidx = str(tmp_path / "span_idx")
+
+    b0 = [{"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta tail",
+           "lang": "en", "source": "a", "n_chars": 1}]
+    _write_batch(land, "b0.jsonl", b0)
+    os.utime(os.path.join(land, "b0.jsonl"), (1_000_000_000,) * 2)
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, span_index=sidx)
+
+    # simulate the crash state for batch 2: grams landed, corpus rows not
+    doc2 = "completely novel content spanning eight tokens here now yes indeed"
+    b1 = [{"doc_id": 2, "text": doc2, "lang": "en", "source": "a", "n_chars": 1}]
+    pre = spark.createDataFrame([(2, doc2)], "doc_id bigint, text string")
+    D.append_span_index(spark, sidx, pre)
+
+    _write_batch(land, "b1.jsonl", b1)
+    os.utime(os.path.join(land, "b1.jsonl"), (1_000_000_100,) * 2)
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, span_index=sidx)
+    texts = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    # own grams ignored: the document lands with its text INTACT
+    assert texts[2] == doc2
