@@ -295,3 +295,17 @@ def compact_lsh_index(spark, path: str, target_file_bytes: int = 128 << 20) -> d
         spark, path, target_file_bytes, ["band"], lambda df: df.dropDuplicates(),
         preserve_files=(LSH_META_NAME,),
     )
+
+
+def compact_span_index(spark, path: str, target_file_bytes: int = 128 << 20) -> dict:
+    """Maintenance for the continuous exact-substring dedup index
+    (`..operators.dedup.build_span_index` layout): drop the duplicate
+    (gram hash, owner) rows that crash-replayed appends leave behind,
+    compact to size-targeted files, and keep the ``_span_meta.json``
+    parameter sidecar."""
+    from ..operators.dedup import SPAN_META_NAME
+
+    return _compact_dir(
+        spark, path, target_file_bytes, [], lambda df: df.dropDuplicates(),
+        preserve_files=(SPAN_META_NAME,),
+    )

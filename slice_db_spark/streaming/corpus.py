@@ -407,7 +407,12 @@ def ingest_corpus_stream(
     def _maybe_compact() -> None:
         if compact_files is None:
             return
-        from ..plans.scale import _scan_parquet_files, compact_lsh_index, compact_parquet
+        from ..plans.scale import (
+            _scan_parquet_files,
+            compact_lsh_index,
+            compact_parquet,
+            compact_span_index,
+        )
 
         if os.path.isdir(out_path):
             files, _, _, _ = _scan_parquet_files(os.path.normpath(out_path))
@@ -417,6 +422,10 @@ def ingest_corpus_stream(
             files, _, _, _ = _scan_parquet_files(os.path.normpath(lsh_index))
             if len(files) > compact_files:
                 compact_lsh_index(spark, lsh_index)
+        if span_index is not None and os.path.isdir(span_index):
+            files, _, _, _ = _scan_parquet_files(os.path.normpath(span_index))
+            if len(files) > compact_files:
+                compact_span_index(spark, span_index)
 
     if compact_files is not None and not available_now:
         # the hook runs after the drain; a continuous stream never drains,

@@ -573,3 +573,30 @@ def test_dir_lock_cross_process(tmp_path):
     assert os.path.isdir(lock)
     assert os.path.exists(os.path.join(lock, "owner-parent"))
     shutil.rmtree(lock)
+
+
+def test_compact_span_index_dedups_and_preserves_meta(spark, tmp_path):
+    """Span-index compaction drops crash-replayed duplicate (gh, owner)
+    rows, keeps the sidecar, and leaves probe behavior unchanged."""
+    from slice_db_spark.operators import dedup as D
+    from slice_db_spark.plans.scale import compact_span_index
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta tail")],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "span_idx")
+    D.build_span_index(docs, idx)
+    D.append_span_index(spark, idx, docs)  # replayed duplicate rows
+    before = spark.read.parquet(idx).count()
+    report = compact_span_index(spark, idx)
+    after = spark.read.parquet(idx)
+    assert after.count() < before and after.count() == after.distinct().count()
+    assert D.read_span_meta(idx) == {"span_tokens": 8}
+    probe = spark.createDataFrame(
+        [(9, "intro alpha beta gamma delta epsilon zeta eta theta after")],
+        "doc_id bigint, text string",
+    )
+    rw = {r.doc_id: r.text
+          for r in D.incremental_span_rewrite(spark, idx, probe).collect()}
+    assert rw[9] == "intro after"
