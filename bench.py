@@ -520,6 +520,44 @@ def main():
         print(f"# restore_parallel: {restore_sec}", file=sys.stderr)
         checkpoint()
 
+    # End-to-end streaming ingest throughput: the full gauntlet (quality
+    # gate -> exact dedup -> LSH near-dedup with index growth -> span
+    # dedup with index growth) over the documents corpus as a landing
+    # drain — the ops number a crawl pipeline plans capacity with.
+    # Reported OUTSIDE the total (setup untimed, one-shot run).
+    if os.environ.get("SPARK_GRAFT_BENCH_INGEST", "1") == "1":
+        import shutil
+        import tempfile
+
+        from slice_db_spark.streaming.corpus import ingest_corpus_stream
+
+        land = tempfile.mkdtemp(prefix="bench_ingest_land_")
+        work = tempfile.mkdtemp(prefix="bench_ingest_")
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        n_docs = docs.count()
+        docs.selectExpr("doc_id", "text", "lang", "source", "n_chars").coalesce(
+            4
+        ).write.mode("overwrite").json(land)
+        t0 = time.time()
+        ingest_corpus_stream(
+            spark, land, os.path.join(work, "corpus"),
+            os.path.join(work, "ckpt"), min_quality=0.3,
+            lsh_index=os.path.join(work, "lsh"),
+            span_index=os.path.join(work, "span"),
+        )
+        dt = time.time() - t0
+        landed = spark.read.parquet(os.path.join(work, "corpus")).count()
+        out["ingest_pipeline"] = {
+            "docs_in": n_docs,
+            "docs_landed": landed,
+            "sec": round(dt, 3),
+            "docs_per_sec": round(n_docs / dt, 1),
+        }
+        print(f"# ingest_pipeline: {out['ingest_pipeline']}", file=sys.stderr)
+        shutil.rmtree(land, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
+        checkpoint()
+
     print(json.dumps(out))
 
 
