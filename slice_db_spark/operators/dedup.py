@@ -1496,25 +1496,26 @@ def probe_lsh_index(
     return out
 
 
-def _dup_span_covered(df: DataFrame, L: int, text_col: str, id_col: str):
-    """Shared span-dedup core: returns ``(base, covered)`` where ``base``
-    is (id, __toks, __n) and ``covered`` the DISTINCT (id, __idx) token
-    positions inside any corpus-wide duplicated L-gram.
-
-    The gram frame is reduced to (id, pos, 8-byte gram hash) in ONE
-    projection and eagerly checkpointed: its two consumers (the dup-gram
-    groupBy and the coverage join) would otherwise each recompute the
-    dominant normalize/shingle explode, and the hash keeps both shuffles
-    8 bytes/key instead of the raw L-word string."""
-    from .hashing import hash64
-
-    base = df.select(
+def _span_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __toks, __n) — normalized token arrays with the empty-text
+    count fix, shared by every span-dedup path (one definition)."""
+    return df.select(
         F.col(id_col), F.split(normalize(F.col(text_col)), " ").alias("__toks")
     ).withColumn(
         "__n",
         F.when(F.element_at("__toks", 1) == "", F.lit(0)).otherwise(F.size("__toks")),
     )
-    grams = (
+
+
+def _span_grams(base: DataFrame, L: int, id_col: str) -> DataFrame:
+    """(id, pos, 8-byte gram hash) for every L-gram position, reduced in
+    ONE projection and eagerly checkpointed: its consumers (dup-gram
+    groupBy, index probe, coverage join) would otherwise each recompute
+    the dominant normalize/shingle explode, and the hash keeps every
+    shuffle 8 bytes/key instead of the raw L-word string."""
+    from .hashing import hash64
+
+    return (
         base.where(F.col("__n") >= L)
         .select(
             F.col(id_col),
@@ -1522,14 +1523,16 @@ def _dup_span_covered(df: DataFrame, L: int, text_col: str, id_col: str):
                 "pos", "gram"
             ),
         )
-        .select(F.col(id_col), F.col("pos"), hash64(F.col("gram")).alias("__gh"))
+        .select(F.col(id_col), F.col("pos"), hash64(F.col("gram")).alias("gh"))
         .localCheckpoint(eager=True)
     )
-    dup = grams.groupBy("__gh").agg(F.count(F.lit(1)).alias("__c")).where(
-        F.col("__c") >= 2
-    )
-    covered = (
-        grams.join(dup.select("__gh"), "__gh")
+
+
+def _covered_positions(grams: DataFrame, hits: DataFrame, L: int, id_col: str) -> DataFrame:
+    """DISTINCT (id, __idx) token positions inside hit grams; ``hits``
+    is (id, gh) pairs (per-document, so owner exclusions apply)."""
+    return (
+        grams.join(hits.distinct(), [id_col, "gh"], "left_semi")
         .select(
             F.col(id_col),
             F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))).alias(
@@ -1538,7 +1541,53 @@ def _dup_span_covered(df: DataFrame, L: int, text_col: str, id_col: str):
         )
         .distinct()
     )
-    return base, covered
+
+
+def _rewrite_from_covered(
+    base: DataFrame, covered: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, text, n_removed): drop covered token positions, rejoin
+    survivors in position order — the shared rewrite tail of the batch
+    and incremental span-dedup paths."""
+    tok_rows = base.where(F.col("__n") > 0).select(
+        F.col(id_col), F.posexplode("__toks").alias("__idx", "__tok")
+    )
+    kept = tok_rows.join(covered, [id_col, "__idx"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__idx"), F.col("__tok").alias("s")))
+                ),
+                lambda x: x["s"],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    return (
+        base.join(reassembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            (F.col("__n") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
+def _dup_span_covered(df: DataFrame, L: int, text_col: str, id_col: str):
+    """Shared span-dedup core: returns ``(base, covered)`` where ``base``
+    is (id, __toks, __n) and ``covered`` the DISTINCT (id, __idx) token
+    positions inside any corpus-wide duplicated L-gram."""
+    base = _span_base(df, text_col, id_col)
+    grams = _span_grams(base, L, id_col)
+    dup = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("__c")).where(
+        F.col("__c") >= 2
+    )
+    hits = grams.join(dup.select("gh"), "gh").select(id_col, "gh")
+    return base, _covered_positions(grams, hits, L, id_col)
 
 
 def duplicate_span_stats(
@@ -1588,34 +1637,12 @@ def duplicate_span_rewrite(
     occurrences — the Lee et al. policy for spans, unlike the chunk
     rewrite's first-copy-wins), survivors rejoin in position order.
     Returns ``(id, text, n_removed)``; fully-duplicated documents come
-    back with empty text, not missing rows."""
+    back with empty text, not missing rows.  NOTE the rewrite operates in
+    normalized token space — the output text is the normalized
+    reassembly (callers keeping original formatting apply the rewrite
+    only to affected documents; see the streaming sink)."""
     base, covered = _dup_span_covered(df, span_tokens, text_col, id_col)
-    tok_rows = base.where(F.col("__n") > 0).select(
-        F.col(id_col), F.posexplode("__toks").alias("__idx", "__tok")
-    )
-    kept = tok_rows.join(covered, [id_col, "__idx"], "left_anti")
-    reassembled = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("__idx"), F.col("__tok").alias("s")))
-                ),
-                lambda x: x["s"],
-            ),
-        ).alias(text_col),
-        F.count(F.lit(1)).alias("__kept"),
-    )
-    return (
-        base.join(reassembled, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
-            (F.col("__n") - F.coalesce(F.col("__kept"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_removed"),
-        )
-    )
+    return _rewrite_from_covered(base, covered, text_col, id_col)
 
 
 #: filename of the span-index parameter sidecar (underscore-prefixed so
@@ -1652,23 +1679,10 @@ def _span_gram_hashes(
 ) -> DataFrame:
     """DISTINCT (gh, owner_id) span-gram hashes of a document frame —
     the index row shape shared by build and append."""
-    from .hashing import hash64
-
-    base = df.select(
-        F.col(id_col), F.split(normalize(F.col(text_col)), " ").alias("__toks")
-    ).withColumn(
-        "__n",
-        F.when(F.element_at("__toks", 1) == "", F.lit(0)).otherwise(F.size("__toks")),
-    )
+    base = _span_base(df, text_col, id_col)
     return (
-        base.where(F.col("__n") >= span_tokens)
-        .select(
-            F.col(id_col).alias("owner_id"),
-            F.explode(
-                _shingle_expr(F.col("__toks"), span_tokens, distinct=False)
-            ).alias("gram"),
-        )
-        .select("owner_id", hash64(F.col("gram")).alias("gh"))
+        _span_grams(base, span_tokens, id_col)
+        .select(F.col(id_col).alias("owner_id"), "gh")
         .distinct()
     )
 
@@ -1726,27 +1740,13 @@ def incremental_span_rewrite(
     itself are ignored — a replayed epoch whose grams already landed
     (:func:`append_span_index` runs before the corpus append) rewrites
     bit-identically instead of emptying its own documents.  Returns the
-    rewritten frame (id, text, n_removed)."""
-    from .hashing import hash64
-
-    base = new_df.select(
-        F.col(id_col), F.split(normalize(F.col(text_col)), " ").alias("__toks")
-    ).withColumn(
-        "__n",
-        F.when(F.element_at("__toks", 1) == "", F.lit(0)).otherwise(F.size("__toks")),
-    )
+    rewritten frame (id, text, n_removed); like
+    :func:`duplicate_span_rewrite`, the output text is the NORMALIZED
+    reassembly (the streaming sink keeps original formatting for
+    unaffected documents by applying this only where n_removed > 0)."""
     L = span_tokens
-    grams = (
-        base.where(F.col("__n") >= L)
-        .select(
-            F.col(id_col),
-            F.posexplode(_shingle_expr(F.col("__toks"), L, distinct=False)).alias(
-                "pos", "gram"
-            ),
-        )
-        .select(F.col(id_col), F.col("pos"), hash64(F.col("gram")).alias("gh"))
-        .localCheckpoint(eager=True)
-    )
+    base = _span_base(new_df, text_col, id_col)
+    grams = _span_grams(base, L, id_col)
     dup_within = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("__c")).where(
         F.col("__c") >= 2
     ).select("gh")
@@ -1759,44 +1759,8 @@ def incremental_span_rewrite(
         .select(id_col, "gh")
     )
     dup_hits = grams.join(dup_within, "gh").select(id_col, "gh")
-    covered = (
-        grams.join(
-            in_corpus.union(dup_hits).distinct(), [id_col, "gh"], "left_semi"
-        )
-        .select(
-            F.col(id_col),
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))).alias(
-                "__idx"
-            ),
-        )
-        .distinct()
-    )
-    tok_rows = base.where(F.col("__n") > 0).select(
-        F.col(id_col), F.posexplode("__toks").alias("__idx", "__tok")
-    )
-    kept = tok_rows.join(covered, [id_col, "__idx"], "left_anti")
-    reassembled = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("__idx"), F.col("__tok").alias("s")))
-                ),
-                lambda x: x["s"],
-            ),
-        ).alias(text_col),
-        F.count(F.lit(1)).alias("__kept"),
-    )
-    return (
-        base.join(reassembled, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
-            (F.col("__n") - F.coalesce(F.col("__kept"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_removed"),
-        )
-    )
+    covered = _covered_positions(grams, in_corpus.union(dup_hits), L, id_col)
+    return _rewrite_from_covered(base, covered, text_col, id_col)
 
 
 def append_span_index(

@@ -1121,18 +1121,29 @@ def append_ivf_index(
     between periodic retrains) and append their quantized rows to the
     cell-partitioned inverted lists.  Probes see the new vectors
     immediately; retrain by rebuilding with :func:`build_ivf_index` when
-    cell balance drifts."""
+    cell balance drifts.
+
+    Runs under the cells dir's writer lease (the same lock
+    :func:`compact_ivf_index` holds across its read→swap) and recovers a
+    mid-swap-crashed cells dir first — an unlocked append could land rows
+    between a live compaction's read and swap and silently lose them, or
+    recreate a fresh cells dir next to a stranded ``.old`` and let the
+    next swap delete the whole pre-compaction index."""
     import json
     import os
+
+    from ..sources.atomic import dir_lock, recover_dir
 
     with open(os.path.join(path, "centroids.json")) as f:
         cents = json.load(f)
     assigned = _assign_cells_int(
         new_vectors.select(F.col(id_col), quantize_expr(vec_col).alias("__e")), cents
     )
-    assigned.write.mode("append").partitionBy("__cell").parquet(
-        os.path.join(path, "cells")
-    )
+    cells = os.path.join(path, "cells")
+    with dir_lock(cells) as lease:
+        recover_dir(cells)
+        lease.check()
+        assigned.write.mode("append").partitionBy("__cell").parquet(cells)
 
 
 def compact_ivf_index(spark, path: str, target_file_bytes: int = 128 << 20) -> dict:

@@ -114,16 +114,20 @@ def ingest_corpus_stream(
     without anyone scheduling maintenance.
 
     ``span_index`` turns on CONTINUOUS exact-substring dedup (the Lee et
-    al. span policy at ingest): each batch's documents are rewritten with
-    every token removed that sits inside a ``span_tokens``-gram already
-    present in the standing span index (`..operators.dedup.
+    al. span policy at ingest), as the LAST stage before the corpus
+    append: documents whose tokens sit inside a ``span_tokens``-gram
+    already present in the standing span index (`..operators.dedup.
     build_span_index` layout: distinct (gram hash, owner doc id) rows) or
-    duplicated within the batch; the landing documents' gram hashes
-    extend the index BEFORE the corpus append.  The owner id makes a
-    replayed epoch ignore its own grams, so that ordering can only
-    duplicate hashes on a crash — never lose coverage, never self-empty
-    documents (duplicates are reclaimed by compaction).  Span length
-    comes from the index's own ``_span_meta.json`` when present.
+    duplicated within the batch land with those tokens REMOVED —
+    unaffected documents keep their original text verbatim, and the
+    stored ``content_hash`` stays the hash of the ORIGINAL text so
+    refetches of already-seen content keep dropping in the exact-dedup
+    anti-join.  The landing documents' gram hashes extend the index
+    BEFORE the corpus append; the owner id makes a replayed epoch ignore
+    its own grams, so that ordering can only duplicate hashes on a crash
+    — never lose coverage, never self-empty documents (duplicates are
+    reclaimed by `..plans.scale.compact_span_index`).  Span length comes
+    from the index's own ``_span_meta.json`` when present.
 
     ``url_dedup`` names a URL column carried by the landing JSONL (the
     reader schema is extended with it): each batch's URLs are
@@ -241,38 +245,6 @@ def ingest_corpus_stream(
                     "overwrite"
                 ).json(os.path.join(rejects, f"epoch_id={int(epoch_id)}"))
             clean = clean.join(passing, "doc_id", "left_semi")
-        if span_index is not None:
-            # exact-substring rewrite BEFORE content hashing: the landed
-            # text (and therefore the idempotency hash) is the rewritten
-            # text, so replays reproduce it bit-identically as long as
-            # the index append stays AFTER the corpus append (see the
-            # docstring's ordering argument)
-            from ..operators import dedup as _sdedup
-
-            smeta = (
-                _sdedup.read_span_meta(span_index)
-                if os.path.isdir(span_index)
-                else None
-            )
-            stok = smeta["span_tokens"] if smeta else span_tokens
-            if os.path.isdir(span_index):
-                rw = _sdedup.incremental_span_rewrite(
-                    batch.sparkSession, span_index, clean,
-                    span_tokens=stok, text_col=text_col,
-                )
-            else:
-                # first batch: no standing grams yet — within-batch only
-                rw = _sdedup.duplicate_span_rewrite(
-                    clean, span_tokens=stok, text_col=text_col
-                )
-            clean = (
-                clean.drop(text_col)
-                .join(
-                    rw.select("doc_id", F.col(text_col).alias("__rwtext")),
-                    "doc_id",
-                )
-                .withColumnRenamed("__rwtext", text_col)
-            )
         hashed = clean.withColumn("content_hash", hash64(F.col(text_col)))
         # fully identical rows (same hash AND doc_id) collapse first — the
         # min-doc_id winner join below would keep BOTH copies otherwise
@@ -363,24 +335,32 @@ def ingest_corpus_stream(
                 )
                 if not index_exists:
                     _dedup.write_lsh_meta(lsh_index, lk, lb, ln)
-                _append_spans(batch_unique, span_lease)
+                batch_unique = _span_stage(batch_unique, span_lease)
                 corpus_lease.check()
                 batch_unique.write.mode("append").parquet(out_path)
             finally:
                 st.unpersist()
                 persisted.unpersist()
         else:
-            _append_spans(batch_unique, span_lease)
+            batch_unique = _span_stage(batch_unique, span_lease)
             corpus_lease.check()  # fenced: never append on a lost lease
             batch_unique.write.mode("append").parquet(out_path)
 
-    def _append_spans(landed: DataFrame, span_lease) -> None:
-        # index append BEFORE the corpus append (the LSH ordering): the
-        # per-gram owner id makes a replayed epoch ignore its own grams,
-        # so a crash between the appends can only duplicate hashes —
-        # never lose coverage, never self-empty documents
+    def _span_stage(bu: DataFrame, span_lease) -> DataFrame:
+        """Exact-substring dedup as the LAST stage before the corpus
+        append — AFTER exact dedup (identical copies collapse to one
+        intact winner first, the curate ordering; the content hash stays
+        the hash of the ORIGINAL text, so refetches of already-ingested
+        content keep dropping in the anti-join even though the stored
+        copy was span-rewritten).  The rewrite applies ONLY to documents
+        with covered tokens: everything else keeps its original text
+        verbatim (the token-space rewrite is normalized by nature).  The
+        index append runs BEFORE the corpus append (the LSH ordering):
+        the per-gram owner id makes a replayed epoch ignore its own
+        grams, so a crash between the appends can only duplicate hashes —
+        never lose coverage, never self-empty documents."""
         if span_index is None:
-            return
+            return bu
         from ..operators import dedup as _sdedup
 
         meta = (
@@ -389,13 +369,34 @@ def ingest_corpus_stream(
             else None
         )
         stok = meta["span_tokens"] if meta else span_tokens
+        if os.path.isdir(span_index):
+            rw = _sdedup.incremental_span_rewrite(
+                bu.sparkSession, span_index, bu,
+                span_tokens=stok, text_col=text_col,
+            )
+        else:
+            # first batch: no standing grams yet — within-batch only
+            rw = _sdedup.duplicate_span_rewrite(
+                bu, span_tokens=stok, text_col=text_col
+            )
+        affected = rw.where(F.col("n_removed") > 0).select(
+            "doc_id", F.col(text_col).alias("__rwtext")
+        )
+        out = (
+            bu.join(affected, "doc_id", "left")
+            .withColumn(
+                text_col, F.coalesce(F.col("__rwtext"), F.col(text_col))
+            )
+            .drop("__rwtext")
+        )
         span_lease.check()
         _sdedup.append_span_index(
-            landed.sparkSession, span_index, landed,
+            out.sparkSession, span_index, out,
             span_tokens=stok, text_col=text_col,
         )
         if meta is None:
             _sdedup.write_span_meta(span_index, stok)
+        return out
 
     schema = DOCUMENTS_SCHEMA
     if url_dedup is not None:

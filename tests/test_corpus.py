@@ -588,3 +588,56 @@ def test_streaming_span_dedup_replay_self_immune(spark, tmp_path):
     texts = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
     # own grams ignored: the document lands with its text INTACT
     assert texts[2] == doc2
+
+
+def test_streaming_span_dedup_preserves_formatting_and_exact_order(spark, tmp_path):
+    """Review pins: (1) documents WITHOUT duplicated spans land with
+    their original text verbatim (casing, punctuation, URLs) — the
+    normalized rewrite applies only to affected docs; (2) span dedup runs
+    AFTER exact dedup, so an exact refetch (same text, new doc_id) drops
+    entirely (the curate ordering) instead of landing as a gutted empty
+    row."""
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    sidx = str(tmp_path / "span_idx")
+
+    fancy = "Hello, World! Visit https://Example.com/Path?q=1 NOW."
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    b0 = [
+        {"doc_id": 1, "text": fancy, "lang": "en", "source": "a", "n_chars": 1},
+        {"doc_id": 2, "text": f"{span} tail one", "lang": "en", "source": "a",
+         "n_chars": 1},
+    ]
+    _write_batch(land, "b0.jsonl", b0)
+    os.utime(os.path.join(land, "b0.jsonl"), (1_000_000_000,) * 2)
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, span_index=sidx)
+    texts = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert texts[1] == fancy  # untouched doc: ORIGINAL formatting kept
+
+    # batch 2: exact refetch of doc 1 (new id) + a doc repeating the span
+    b1 = [
+        {"doc_id": 10, "text": fancy, "lang": "en", "source": "a", "n_chars": 1},
+        {"doc_id": 11, "text": f"Intro! {span} And, After?", "lang": "en",
+         "source": "a", "n_chars": 1},
+    ]
+    _write_batch(land, "b1.jsonl", b1)
+    os.utime(os.path.join(land, "b1.jsonl"), (1_000_000_100,) * 2)
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, span_index=sidx)
+    rows = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert 10 not in rows  # exact refetch dropped whole (not gutted)
+    assert rows[11] == "intro and after"  # affected doc: normalized rewrite
+    # within-batch identical pair: exact dedup keeps ONE INTACT copy
+    b2 = [
+        {"doc_id": 20, "text": f"{span} same tail", "lang": "en", "source": "a",
+         "n_chars": 1},
+        {"doc_id": 21, "text": f"{span} same tail", "lang": "en", "source": "a",
+         "n_chars": 1},
+    ]
+    _write_batch(land, "b2.jsonl", b2)
+    os.utime(os.path.join(land, "b2.jsonl"), (1_000_000_200,) * 2)
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, span_index=sidx)
+    rows = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert 21 not in rows          # exact duplicate collapsed first
+    assert rows[20] == "same tail"  # winner then loses only the corpus span

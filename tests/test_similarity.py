@@ -389,16 +389,13 @@ def test_ivf_index_append_and_compact_parity(spark, tmp_path):
     (replayed-append dedup + size-targeted rewrite) changes nothing."""
     import os
 
+    from conftest import SF_DIR
     from slice_db_spark.operators.similarity import (
         append_ivf_index,
         build_ivf_index,
         compact_ivf_index,
         probe_ivf_index,
     )
-
-    import os
-
-    from conftest import SF_DIR
 
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     first = emb.where("vec_id >= 10 AND vec_id < 110")
