@@ -3932,6 +3932,33 @@ def dedup_substring_rewrite(spark, sf_dir):
     return dedup.duplicate_span_rewrite(docs, span_tokens=8)
 
 
+def dedup_span_incremental(spark, sf_dir):
+    """Continuous-ingestion exact-substring regime under the hash gate:
+    the standing corpus (doc_id % 5 != 0) materializes its span-gram
+    index, the arriving batch (% 5 == 0) is rewritten against it —
+    standing-span and within-batch duplicated tokens removed, survivors
+    rejoined in order.  The streaming sink runs exactly this machinery
+    per micro-batch (`operators/dedup.py::incremental_span_rewrite`),
+    so the ingest path's rewrite semantics sit under the same oracle as
+    the batch operator.  Result checkpointed before the temp index dir
+    is deleted."""
+    import shutil
+    import tempfile
+
+    docs = catalog(spark, sf_dir)["documents"]
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    tmp = tempfile.mkdtemp(prefix="span_idx_q_")
+    idx = os.path.join(tmp, "idx")
+    try:
+        dedup.build_span_index(corpus, idx, span_tokens=8)
+        return dedup.incremental_span_rewrite(
+            spark, idx, batch, span_tokens=8
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def media_wav_windows(spark, sf_dir):
     """Short-time audio features over the real WAV byte path: per
     50-sample window, exact integer energy and zero-crossing count — the
@@ -6599,6 +6626,40 @@ SELECT t.doc_id, CAST(n AS BIGINT) AS n_tokens,
 FROM t LEFT JOIN c USING (doc_id)
 """
 
+    # continuous-ingestion span regime: corpus half's DISTINCT grams are
+    # the standing index, batch half rewrites against them ∪ its own
+    # within-batch duplicates (owner exclusion is moot — the id spaces
+    # are disjoint, exactly the streaming contract)
+    o["dedup_span_incremental"] = f"""
+WITH t AS (
+  SELECT doc_id, str_split(nrm, ' ') AS t,
+         CASE WHEN nrm = '' THEN 0 ELSE len(str_split(nrm, ' ')) END AS n
+  FROM (SELECT doc_id, {_norm_sql('text')} AS nrm FROM documents)),
+bt AS (SELECT * FROM t WHERE doc_id % 5 = 0),
+ct AS (SELECT * FROM t WHERE doc_id % 5 != 0),
+cg AS (SELECT DISTINCT array_to_string(list_slice(t, pos + 1, pos + 8), ' ') AS gram
+       FROM (SELECT t, unnest(range(0, greatest(n - 7, 0))) AS pos
+             FROM ct WHERE n >= 8)),
+bg AS (SELECT doc_id, pos,
+              array_to_string(list_slice(t, pos + 1, pos + 8), ' ') AS gram
+       FROM (SELECT doc_id, t, unnest(range(0, greatest(n - 7, 0))) AS pos
+             FROM bt WHERE n >= 8)),
+dupb AS (SELECT gram FROM bg GROUP BY gram HAVING count(*) >= 2),
+hit AS (SELECT gram FROM cg UNION SELECT gram FROM dupb),
+cov AS (SELECT DISTINCT doc_id, idx FROM (
+          SELECT doc_id, unnest(range(pos, pos + 8)) AS idx
+          FROM bg JOIN hit USING (gram))),
+k AS (SELECT doc_id, idx, t[idx + 1] AS tok
+      FROM (SELECT doc_id, t, unnest(range(0, n)) AS idx FROM bt WHERE n > 0)),
+kept AS (SELECT k.* FROM k ANTI JOIN cov USING (doc_id, idx)),
+r AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text,
+             count(*) AS kept_n
+      FROM kept GROUP BY doc_id)
+SELECT bt.doc_id, coalesce(r.text, '') AS text,
+       CAST(n - coalesce(kept_n, 0) AS BIGINT) AS n_removed
+FROM bt LEFT JOIN r USING (doc_id)
+"""
+
     o["dedup_substring_rewrite"] = f"""
 WITH {_span_cte},
 k AS (SELECT doc_id, idx, t[idx + 1] AS tok
@@ -7564,4 +7625,5 @@ def _all_queries():
         "dedup_substring": dedup_substring,
         "dedup_substring_rewrite": dedup_substring_rewrite,
         "media_wav_windows": media_wav_windows,
+        "dedup_span_incremental": dedup_span_incremental,
     }
