@@ -487,12 +487,12 @@ def cmd_compact(args) -> int:
     from .plans.scale import compact_lsh_index, compact_parquet
     from .session import get_spark
 
-    if sum(map(bool, (args.lsh_index, args.ivf_index))) > 1:
-        print(json.dumps({"error": "--lsh-index and --ivf-index are exclusive"}))
+    if sum(map(bool, (args.lsh_index, args.ivf_index, args.span_index))) > 1:
+        print(json.dumps({"error": "--lsh-index/--ivf-index/--span-index are exclusive"}))
         return 2
-    if (args.lsh_index or args.ivf_index) and args.partition_by is not None:
-        print(json.dumps({"error": "index compaction fixes the partitioning "
-                          "(band / __cell); --partition-by does not apply"}))
+    if (args.lsh_index or args.ivf_index or args.span_index) and args.partition_by is not None:
+        print(json.dumps({"error": "index compaction fixes the partitioning; "
+                          "--partition-by does not apply"}))
         return 2
     spark = get_spark("slicedb-compact")
     if args.lsh_index:
@@ -501,6 +501,10 @@ def cmd_compact(args) -> int:
         from .operators.similarity import compact_ivf_index
 
         report = compact_ivf_index(spark, args.path, target_file_bytes=args.target_bytes)
+    elif args.span_index:
+        from .plans.scale import compact_span_index
+
+        report = compact_span_index(spark, args.path, target_file_bytes=args.target_bytes)
     else:
         # '--partition-by ""' is the explicit FLATTEN escape hatch ([]);
         # omitting the flag auto-detects and preserves hive layouts (None)
@@ -544,6 +548,84 @@ def cmd_chunk(args) -> int:
         )
     )
     return 0
+
+
+def cmd_fsck(args) -> int:
+    """Consistency check of a corpus and its standing indexes — the ops
+    command a long-lived ingest deployment runs before trusting a sink:
+    corpus row/file counts and column contract (canon_url presence vs
+    the declared url-dedup mode), index sidecar validity (corrupt JSON is
+    an error, absent is reported), and index row health (replay-duplicate
+    share — high values mean compaction is overdue).  Prints one JSON
+    report; exit 2 on any contract violation."""
+    import os as _os
+
+    from .operators import dedup as D
+    from .plans.scale import _scan_parquet_files
+    from .session import get_spark
+
+    spark = get_spark("slicedb-fsck")
+    report: dict = {}
+    errors: list[str] = []
+
+    files, total_bytes, _, _ = _scan_parquet_files(_os.path.normpath(args.corpus))
+    corpus = spark.read.parquet(args.corpus)
+    report["corpus"] = {
+        "rows": corpus.count(),
+        "files": len(files),
+        "bytes": total_bytes,
+        "has_canon_url": "canon_url" in corpus.columns,
+    }
+    if args.url_dedup and "canon_url" not in corpus.columns:
+        errors.append("url-dedup declared but corpus has no canon_url column")
+    if args.lsh_index:
+        try:
+            meta = D.read_lsh_meta(args.lsh_index)
+        except ValueError as e:
+            errors.append(str(e))
+            meta = None
+        rows = spark.read.parquet(args.lsh_index)
+        n = rows.count()
+        distinct = rows.distinct().count()
+        report["lsh_index"] = {
+            "rows": n, "distinct_rows": distinct,
+            "replay_dup_ppm": 0 if n == 0 else (n - distinct) * 1_000_000 // n,
+            "meta": meta,
+        }
+    if args.span_index:
+        try:
+            meta = D.read_span_meta(args.span_index)
+        except ValueError as e:
+            errors.append(str(e))
+            meta = None
+        rows = spark.read.parquet(args.span_index)
+        n = rows.count()
+        distinct = rows.distinct().count()
+        report["span_index"] = {
+            "rows": n, "distinct_rows": distinct,
+            "replay_dup_ppm": 0 if n == 0 else (n - distinct) * 1_000_000 // n,
+            "meta": meta,
+        }
+    if args.ivf_index:
+        import json as _json
+
+        cj = _os.path.join(args.ivf_index, "centroids.json")
+        cells_dir = _os.path.join(args.ivf_index, "cells")
+        entry: dict = {}
+        try:
+            with open(cj) as f:
+                cents = _json.load(f)
+            entry["n_cells"] = len(cents)
+        except (OSError, ValueError) as e:
+            errors.append(f"IVF centroids.json unreadable: {e}")
+        if _os.path.isdir(cells_dir):
+            entry["rows"] = spark.read.parquet(cells_dir).count()
+        else:
+            errors.append("IVF cells dir missing")
+        report["ivf_index"] = entry
+    report["errors"] = errors
+    print(json.dumps(report))
+    return 2 if errors else 0
 
 
 def cmd_train_bpe(args) -> int:
@@ -1068,6 +1150,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="treat the path as a persisted IVF index: compact "
                     "its __cell-partitioned inverted lists, dropping "
                     "replay-duplicated rows (centroids.json untouched)")
+    cp.add_argument("--span-index", action="store_true",
+                    help="treat the path as a span-gram index: drop "
+                    "replay-duplicated (hash, owner) rows, keep the sidecar")
     cp.add_argument("path", help="parquet directory to compact in place")
     cp.set_defaults(fn=cmd_compact)
 
@@ -1080,6 +1165,15 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("input", help="corpus path (documents shape)")
     ch.add_argument("output", help="chunk-table parquet output path")
     ch.set_defaults(fn=cmd_chunk)
+
+    fs = sub.add_parser("fsck", help="consistency check of a corpus and its standing indexes")
+    fs.add_argument("--url-dedup", action="store_true",
+                    help="assert the corpus carries the url-dedup column contract")
+    fs.add_argument("--lsh-index", default=None)
+    fs.add_argument("--span-index", default=None)
+    fs.add_argument("--ivf-index", default=None)
+    fs.add_argument("corpus", help="parquet corpus directory")
+    fs.set_defaults(fn=cmd_fsck)
 
     tb = sub.add_parser("train-bpe", help="learn BPE merges from a corpus (tokenizer training)")
     tb.add_argument("--input-format", choices=["jsonl", "csv", "parquet"], default="parquet")

@@ -800,3 +800,35 @@ def test_cli_train_bpe(capsys, tmp_path, spark):
            for r in spark.read.parquet(str(out)).collect()}
     assert got[1] == ("e", "s", 6)
     assert sum(d["n_words"] for d in rep["segment_lengths"]) == 2
+
+
+def test_cli_fsck(capsys, tmp_path, spark):
+    """fsck reports corpus/index health and exits 2 on contract
+    violations (missing canon_url under --url-dedup, corrupt sidecar)."""
+    from slice_db_spark import cli
+    from slice_db_spark.operators import dedup as D
+
+    corpus = tmp_path / "corpus"
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id bigint, text string",
+    )
+    docs.write.parquet(str(corpus))
+    sidx = tmp_path / "span"
+    D.build_span_index(docs, str(sidx))
+    D.append_span_index(spark, str(sidx), docs)  # replay duplicates
+
+    rc = cli.main(["fsck", "--span-index", str(sidx), str(corpus)])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert rep["corpus"]["rows"] == 1 and not rep["corpus"]["has_canon_url"]
+    assert rep["span_index"]["replay_dup_ppm"] == 500_000  # exactly doubled
+    assert rep["span_index"]["meta"] == {"span_tokens": 8}
+
+    # violations: url contract + corrupt sidecar
+    (sidx / "_span_meta.json").write_text("[8]")
+    rc = cli.main(["fsck", "--url-dedup", "--span-index", str(sidx), str(corpus)])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2
+    assert any("canon_url" in e for e in rep["errors"])
+    assert any("corrupt" in e for e in rep["errors"])
