@@ -109,6 +109,7 @@ HEADLINE = [
     "dedup_sorted_nbrs",
     "dedup_substring",
     "dedup_substring_rewrite",
+    "dedup_span_incremental",
     "dedup_cross_source",
     "dedup_panorama",
     "nearest_doc",

@@ -564,53 +564,67 @@ def cmd_fsck(args) -> int:
     from .plans.scale import _scan_parquet_files
     from .session import get_spark
 
+    from pyspark.sql import functions as F
+
     spark = get_spark("slicedb-fsck")
     report: dict = {}
     errors: list[str] = []
 
-    files, total_bytes, _, _ = _scan_parquet_files(_os.path.normpath(args.corpus))
-    corpus = spark.read.parquet(args.corpus)
-    report["corpus"] = {
-        "rows": corpus.count(),
-        "files": len(files),
-        "bytes": total_bytes,
-        "has_canon_url": "canon_url" in corpus.columns,
-    }
-    if args.url_dedup and "canon_url" not in corpus.columns:
-        errors.append("url-dedup declared but corpus has no canon_url column")
+    def _readable(path: str, what: str):
+        """Missing / empty / mid-swap-crashed dirs are ERROR ENTRIES in
+        the report (the exact broken states a checker exists to name),
+        never raw AnalysisException tracebacks."""
+        if not _os.path.isdir(path):
+            hint = (" (a .old sibling exists — a compaction crashed "
+                    "mid-swap; run recover or compact)"
+                    if _os.path.isdir(_os.path.normpath(path) + ".old") else "")
+            errors.append(f"{what} dir missing: {path}{hint}")
+            return None, []
+        files, _, _, _ = _scan_parquet_files(_os.path.normpath(path))
+        if not files:
+            errors.append(f"{what} contains no parquet files: {path}")
+            return None, []
+        return spark.read.parquet(path), files
+
+    def _index_entry(path: str, meta_reader, what: str):
+        try:
+            meta = meta_reader(path) if _os.path.isdir(path) else None
+        except ValueError as e:
+            errors.append(str(e))
+            meta = None
+        rows, _ = _readable(path, what)
+        if rows is None:
+            return {"meta": meta}
+        # one job: total + distinct in a single aggregate pass
+        n, distinct = rows.agg(
+            F.count(F.lit(1)),
+            F.count_distinct(*[F.col(c) for c in rows.columns]),
+        ).first()
+        return {
+            "rows": n, "distinct_rows": distinct,
+            "replay_dup_ppm": 0 if n == 0 else (n - distinct) * 1_000_000 // n,
+            "meta": meta,
+        }
+
+    corpus, files = _readable(args.corpus, "corpus")
+    if corpus is not None:
+        _, total_bytes, _, _ = _scan_parquet_files(_os.path.normpath(args.corpus))
+        report["corpus"] = {
+            "rows": corpus.count(),
+            "files": len(files),
+            "bytes": total_bytes,
+            "has_canon_url": "canon_url" in corpus.columns,
+        }
+        if args.url_dedup and "canon_url" not in corpus.columns:
+            errors.append("url-dedup declared but corpus has no canon_url column")
     if args.lsh_index:
-        try:
-            meta = D.read_lsh_meta(args.lsh_index)
-        except ValueError as e:
-            errors.append(str(e))
-            meta = None
-        rows = spark.read.parquet(args.lsh_index)
-        n = rows.count()
-        distinct = rows.distinct().count()
-        report["lsh_index"] = {
-            "rows": n, "distinct_rows": distinct,
-            "replay_dup_ppm": 0 if n == 0 else (n - distinct) * 1_000_000 // n,
-            "meta": meta,
-        }
+        report["lsh_index"] = _index_entry(args.lsh_index, D.read_lsh_meta, "LSH index")
     if args.span_index:
-        try:
-            meta = D.read_span_meta(args.span_index)
-        except ValueError as e:
-            errors.append(str(e))
-            meta = None
-        rows = spark.read.parquet(args.span_index)
-        n = rows.count()
-        distinct = rows.distinct().count()
-        report["span_index"] = {
-            "rows": n, "distinct_rows": distinct,
-            "replay_dup_ppm": 0 if n == 0 else (n - distinct) * 1_000_000 // n,
-            "meta": meta,
-        }
+        report["span_index"] = _index_entry(args.span_index, D.read_span_meta, "span index")
     if args.ivf_index:
         import json as _json
 
         cj = _os.path.join(args.ivf_index, "centroids.json")
-        cells_dir = _os.path.join(args.ivf_index, "cells")
         entry: dict = {}
         try:
             with open(cj) as f:
@@ -618,10 +632,9 @@ def cmd_fsck(args) -> int:
             entry["n_cells"] = len(cents)
         except (OSError, ValueError) as e:
             errors.append(f"IVF centroids.json unreadable: {e}")
-        if _os.path.isdir(cells_dir):
-            entry["rows"] = spark.read.parquet(cells_dir).count()
-        else:
-            errors.append("IVF cells dir missing")
+        cells, _ = _readable(_os.path.join(args.ivf_index, "cells"), "IVF cells")
+        if cells is not None:
+            entry["rows"] = cells.count()
         report["ivf_index"] = entry
     report["errors"] = errors
     print(json.dumps(report))

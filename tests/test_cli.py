@@ -832,3 +832,24 @@ def test_cli_fsck(capsys, tmp_path, spark):
     assert rc == 2
     assert any("canon_url" in e for e in rep["errors"])
     assert any("corrupt" in e for e in rep["errors"])
+
+
+def test_cli_fsck_missing_paths_report_not_crash(tmp_path, capsys):
+    """Review pin: missing / empty / mid-swap-crashed paths are ERROR
+    entries in the JSON report with exit 2 — never a raw
+    AnalysisException traceback (those are the states fsck exists to
+    name)."""
+    from slice_db_spark import cli
+
+    rc = cli.main(["fsck", "--span-index", str(tmp_path / "missing_idx"),
+                   str(tmp_path / "missing_corpus")])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2
+    assert any("corpus dir missing" in e for e in rep["errors"])
+    assert any("span index dir missing" in e for e in rep["errors"])
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    rc = cli.main(["fsck", str(empty)])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2 and any("no parquet" in e for e in rep["errors"])

@@ -634,3 +634,41 @@ def test_duplicate_span_within_document(spark):
     assert (s.n_tokens, s.n_dup_tokens, s.n_clean_tokens) == (16, 16, 0)
     r = duplicate_span_rewrite(df, span_tokens=8).first()
     assert (r.text, r.n_removed) == ("", 16)
+
+
+def test_incremental_span_rewrite_crafted(spark, tmp_path):
+    """Incremental span rewrite on crafted inputs: corpus spans removed
+    from the batch (not the corpus), within-batch duplicates from both
+    copies, self-owned grams ignored (replay immunity), untouched batch
+    docs intact."""
+    from slice_db_spark.operators.dedup import (
+        append_span_index,
+        build_span_index,
+        incremental_span_rewrite,
+    )
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(1, f"{span} corpus tail")], "doc_id bigint, text string"
+    )
+    idx = str(tmp_path / "idx")
+    build_span_index(corpus, idx)
+
+    s2 = "one two three four five six seven eight"
+    batch = spark.createDataFrame([
+        (10, f"intro {span} outro"),           # corpus span removed
+        (11, f"{s2} first"), (12, f"{s2} second"),  # within-batch pair
+        (13, "novel content with nothing shared anywhere at all"),
+    ], "doc_id bigint, text string")
+    got = {r.doc_id: (r.text, r.n_removed)
+           for r in incremental_span_rewrite(spark, idx, batch).collect()}
+    assert got[10] == ("intro outro", 8)
+    assert got[11] == ("first", 8) and got[12] == ("second", 8)
+    assert got[13][1] == 0
+
+    # replay immunity: the batch's own grams already appended
+    append_span_index(spark, idx, batch.where("doc_id = 13"))
+    again = {r.doc_id: r.n_removed
+             for r in incremental_span_rewrite(
+                 spark, idx, batch.where("doc_id = 13")).collect()}
+    assert again[13] == 0  # self-owned grams ignored
