@@ -428,6 +428,24 @@ def cmd_curate(args) -> int:
         )
         report["after_chunk_dedup"] = corpus.count()
 
+    if args.span_dedup:
+        # exact-substring (Lee et al.) rewrite after the chunk stage:
+        # duplicated token spans (any document, both occurrences) drop
+        # before near-dup detection; only AFFECTED documents take the
+        # normalized rewrite — everything else keeps its original text
+        rw = dedup.duplicate_span_rewrite(corpus, span_tokens=args.span_tokens)
+        affected = rw.where(F.col("n_removed") > 0).select(
+            "doc_id", F.col("text").alias("__new_text")
+        )
+        corpus = (
+            corpus.join(affected, "doc_id", "left")
+            .withColumn("text", F.coalesce(F.col("__new_text"), F.col("text")))
+            .drop("__new_text")
+            .where(F.col("text") != "")
+            .persist()
+        )
+        report["after_span_dedup"] = corpus.count()
+
     pairs = dedup.ngram_jaccard_pairs(
         corpus, threshold=args.jaccard_threshold, max_df=args.max_df
     )
@@ -1093,6 +1111,14 @@ def main(argv: list[str] | None = None) -> int:
         "exact and fuzzy stages; fully-duplicated documents drop",
     )
     cu.add_argument("--chunk-tokens", type=int, default=20)
+    cu.add_argument(
+        "--span-dedup",
+        action="store_true",
+        help="exact-substring stage (Lee et al.): remove token spans "
+        "duplicated anywhere in the corpus (both occurrences) before "
+        "near-dup detection; only affected docs take the normalized rewrite",
+    )
+    cu.add_argument("--span-tokens", type=int, default=8)
     cu.add_argument(
         "--url-dedup",
         metavar="COLUMN",

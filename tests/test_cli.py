@@ -853,3 +853,32 @@ def test_cli_fsck_missing_paths_report_not_crash(tmp_path, capsys):
     rc = cli.main(["fsck", str(empty)])
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 2 and any("no parquet" in e for e in rep["errors"])
+
+
+def test_curate_span_dedup_stage(spark, tmp_path):
+    """curate --span-dedup removes corpus-wide duplicated token spans
+    (both copies) between the chunk and fuzzy stages; untouched docs keep
+    their original text verbatim."""
+    src = tmp_path / "docs"
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    fancy = ("A perfectly Normal, readable document: with plain english "
+             "words the quality heuristics all like, and MORE of them too!")
+    spark.createDataFrame(
+        [
+            (1, f"{span} first unique readable tail with several plain words",
+             "en", "s", 1),
+            (2, f"{span} second unique readable tail and different plain words",
+             "en", "s", 1),
+            (3, fancy, "en", "s", 1),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(src))
+    out = tmp_path / "curated"
+    rep = json.loads(run_cli(
+        "curate", "--quality-min", "0.0", "--span-dedup",
+        str(src), str(out),
+    ).strip().splitlines()[-1])
+    assert rep["after_span_dedup"] == 3
+    texts = {r.doc_id: r.text for r in spark.read.parquet(str(out)).collect()}
+    assert span not in texts[1] and span not in texts[2]  # both copies cut
+    assert texts[3] == fancy  # untouched doc keeps original formatting
