@@ -958,71 +958,103 @@ def _jpeg_seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(width: int, height: int, pixels, quant: int = 16) -> bytes:
+def encode_jpeg(
+    width: int, height: int, pixels, quant: int = 16, subsampling: str = "444"
+) -> bytes:
     """Minimal baseline JPEG writer: uint8 ``(h, w)`` grayscale or
-    ``(h, w, 3)`` RGB (converted to JFIF YCbCr, encoded 4:4:4).  One
-    uniform quantization table (every entry = ``quant``) — with
-    ``quant=16``, images that are piecewise-constant per 8x8 block with
-    EVEN (value - 128) offsets round-trip EXACTLY (DC lands exactly half
-    a quantization step from every rounding boundary; all ACs quantize
-    to 0), which is what makes a pure-arithmetic oracle possible for a
-    lossy format.  Edge blocks pad by replication."""
+    ``(h, w, 3)`` RGB (converted to JFIF YCbCr; ``subsampling`` "444" or
+    "420" — 4:2:0 box-filters chroma 2x2 and interleaves 4 Y blocks + Cb
+    + Cr per MCU, the layout real crawl JPEGs use).  One uniform
+    quantization table (every entry = ``quant``) — with ``quant=16``,
+    images that are piecewise-constant per 8x8 block with EVEN
+    (value - 128) offsets round-trip EXACTLY at 4:4:4 (DC lands exactly
+    half a quantization step from every rounding boundary; all ACs
+    quantize to 0), which is what makes a pure-arithmetic oracle possible
+    for a lossy format.  Edge blocks pad by replication."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
     color = px.ndim == 3
-    planes = _rgb_to_ycbcr(px) if color else [px]
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    ycc = _rgb_to_ycbcr(px) if color else [px]
+    if color and subsampling == "420":
+
+        def _box2(c):
+            c2 = np.pad(
+                c, ((0, c.shape[0] % 2), (0, c.shape[1] % 2)), mode="edge"
+            ).astype(np.float64)
+            m = (c2[0::2, 0::2] + c2[0::2, 1::2] + c2[1::2, 0::2] + c2[1::2, 1::2]) / 4.0
+            return np.clip(np.floor(m + 0.5), 0, 255).astype(np.uint8)
+
+        planes = [ycc[0], _box2(ycc[1]), _box2(ycc[2])]
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        planes = ycc
+        samp = [(1, 1)] * len(ycc)
     a = _dct_basis()
     qtab = np.full((8, 8), float(quant))
     (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_huff_spec()
     dc_map = _huff_encode_map(dc_bits, dc_vals)
     ac_map = _huff_encode_map(ac_bits, ac_vals)
-    bw, bh = -(-width // 8), -(-height // 8)
-    padded = [
-        np.pad(p, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge").astype(
-            np.float64
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcux, mcuy = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+    padded = []
+    for (h_i, v_i), p in zip(samp, planes):
+        ph, pw = mcuy * 8 * v_i, mcux * 8 * h_i
+        padded.append(
+            np.pad(
+                p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+            ).astype(np.float64)
+            - 128.0
         )
-        - 128.0
-        for p in planes
-    ]
     w = _JpegBitWriter()
     pred = [0] * len(planes)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, plane in enumerate(padded):
-                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coefs = a @ blk @ a.T
-                q = np.floor(coefs / qtab + 0.5).astype(np.int64)
-                # baseline 8-bit AC magnitudes cap at size 10 (±1023);
-                # a very small quant (q=1 on a checkerboard) can exceed
-                # that — clamp instead of KeyError deep in the bit writer
-                # (distortion only in that pathological regime).  DC keeps
-                # its full ±1024 range: the DC table carries size 11
-                q_ac = np.clip(q, -1023, 1023)
-                zz = [int(q[0, 0])] + [int(q_ac[u, v]) for (u, v) in _ZIGZAG[1:]]
-                size, bitsv = _jpeg_magnitude(zz[0] - pred[ci])
-                pred[ci] = zz[0]
-                code, ln = dc_map[size]
+
+    def _enc_block(plane, y0: int, x0: int, ci: int) -> None:
+        blk = plane[y0 : y0 + 8, x0 : x0 + 8]
+        coefs = a @ blk @ a.T
+        q = np.floor(coefs / qtab + 0.5).astype(np.int64)
+        # baseline 8-bit AC magnitudes cap at size 10 (±1023); a very
+        # small quant (q=1 on a checkerboard) can exceed that — clamp
+        # instead of KeyError deep in the bit writer (distortion only in
+        # that pathological regime).  DC keeps its full ±1024 range: the
+        # DC table carries size 11
+        q_ac = np.clip(q, -1023, 1023)
+        zz = [int(q[0, 0])] + [int(q_ac[u, v]) for (u, v) in _ZIGZAG[1:]]
+        size, bitsv = _jpeg_magnitude(zz[0] - pred[ci])
+        pred[ci] = zz[0]
+        code, ln = dc_map[size]
+        w.write(code, ln)
+        w.write(bitsv, size)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for i in range(1, last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_map[0xF0]  # ZRL
                 w.write(code, ln)
-                w.write(bitsv, size)
-                run = 0
-                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-                for i in range(1, last_nz + 1):
-                    if zz[i] == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        code, ln = ac_map[0xF0]  # ZRL
-                        w.write(code, ln)
-                        run -= 16
-                    size, bitsv = _jpeg_magnitude(zz[i])
-                    code, ln = ac_map[run * 16 + size]
-                    w.write(code, ln)
-                    w.write(bitsv, size)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = ac_map[0x00]  # EOB
-                    w.write(code, ln)
+                run -= 16
+            size, bitsv = _jpeg_magnitude(zz[i])
+            code, ln = ac_map[run * 16 + size]
+            w.write(code, ln)
+            w.write(bitsv, size)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_map[0x00]  # EOB
+            w.write(code, ln)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, ((h_i, v_i), plane) in enumerate(zip(samp, padded)):
+                for by in range(v_i):
+                    for bx in range(h_i):
+                        _enc_block(
+                            plane, (my * v_i + by) * 8, (mx * h_i + bx) * 8, ci
+                        )
     w.flush()
 
     ncomp = len(planes)
@@ -1035,7 +1067,8 @@ def encode_jpeg(width: int, height: int, pixels, quant: int = 16) -> bytes:
         out += _jpeg_seg(0xDB, bytes([tq]) + zz_q)
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
     for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+        h_i, v_i = samp[c]
+        sof += bytes([c + 1, (h_i << 4) | v_i, 0 if c == 0 else 1])
     out += _jpeg_seg(0xC0, sof)
     for tid in range(2 if color else 1):
         out += _jpeg_seg(0xC4, bytes([0x00 | tid] + dc_bits) + bytes(dc_vals))
@@ -1055,9 +1088,11 @@ def decode_jpeg(payload: bytes):
     """Baseline JPEG parser -> ``(width, height, numpy uint8 (h, w) or
     (h, w, 3))``.  Generic within scope: quantization and Huffman tables
     come from the file's own DQT/DHT segments (canonical assignment per
-    Annex C), so third-party baseline files decode as long as they are
-    8-bit, non-progressive, unsubsampled, without restart intervals.
-    Everything else raises ValueError (quarantine rows)."""
+    Annex C) and sampling factors from SOF0 — third-party baseline files
+    decode as long as they are 8-bit, non-progressive, without restart
+    intervals, with sampling factors in {1, 2} (4:4:4, 4:2:0, 4:2:2,
+    4:4:0 all in scope; chroma upsamples by replication).  Everything
+    else raises ValueError (quarantine rows)."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -1117,9 +1152,16 @@ def decode_jpeg(payload: bytes):
             comps = []
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError("chroma subsampling unsupported (4:4:4 only)")
-                comps.append((cid, tq))
+                h_i, v_i = samp >> 4, samp & 15
+                if nc == 1:
+                    # single-component scans are non-interleaved; the
+                    # sampling factors are irrelevant (T.81 A.2.2)
+                    h_i = v_i = 1
+                if h_i not in (1, 2) or v_i not in (1, 2):
+                    raise ValueError(
+                        f"unsupported JPEG sampling factors {h_i}x{v_i}"
+                    )
+                comps.append((cid, h_i, v_i, tq))
             frame = (w_, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -1145,11 +1187,16 @@ def decode_jpeg(payload: bytes):
     if len(sel) != len(comps):
         raise ValueError("scan/frame component mismatch")
     a = _dct_basis()
-    bw, bh = -(-w_ // 8), -(-h // 8)
     reader = _JpegBitReader(payload, data_pos)
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in comps]
+    by_cid = {cid: (h_i, v_i, tq) for cid, h_i, v_i, tq in comps}
+    hmax = max(h_i for _, h_i, _, _ in comps)
+    vmax = max(v_i for _, _, v_i, _ in comps)
+    mcux, mcuy = -(-w_ // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * 8 * v_i, mcux * 8 * h_i), dtype=np.uint8)
+        for _, h_i, v_i, _ in comps
+    ]
     pred = [0] * len(comps)
-    by_cid = {cid: tq for cid, tq in comps}
 
     def _decode_huff(table):
         code = 0
@@ -1160,46 +1207,61 @@ def decode_jpeg(payload: bytes):
                 return sym
         raise ValueError("invalid JPEG Huffman code")
 
-    for by in range(bh):
-        for bx in range(bw):
+    def _decode_block(ci: int, dc_tab, ac_tab, q, y0: int, x0: int) -> None:
+        zz = [0] * 64
+        size = _decode_huff(dc_tab)
+        pred[ci] += _jpeg_extend(reader.bits(size), size)
+        zz[0] = pred[ci]
+        k = 1
+        while k < 64:
+            sym = _decode_huff(ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 15
+            if size == 0:
+                if run != 15:
+                    raise ValueError("bad JPEG AC symbol")
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("JPEG AC run past block end")
+            zz[k] = _jpeg_extend(reader.bits(size), size)
+            k += 1
+        coefs = np.zeros((8, 8))
+        for i, (u, v) in enumerate(_ZIGZAG):
+            coefs[u, v] = zz[i] * q[i]
+        blk = a.T @ coefs @ a
+        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = np.clip(
+            np.floor(blk + 128.5), 0, 255
+        ).astype(np.uint8)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, (cid, tdc, tac) in enumerate(sel):
                 try:
                     dc_tab = htabs[(0, tdc)]
                     ac_tab = htabs[(1, tac)]
-                    q = qtabs[by_cid[cid]]
+                    h_i, v_i, tq = by_cid[cid]
+                    q = qtabs[tq]
                 except KeyError as e:
                     raise ValueError(f"missing JPEG table {e}") from e
-                zz = [0] * 64
-                size = _decode_huff(dc_tab)
-                pred[ci] += _jpeg_extend(reader.bits(size), size)
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = _decode_huff(ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 15
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("bad JPEG AC symbol")
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC run past block end")
-                    zz[k] = _jpeg_extend(reader.bits(size), size)
-                    k += 1
-                coefs = np.zeros((8, 8))
-                for i, (u, v) in enumerate(_ZIGZAG):
-                    coefs[u, v] = zz[i] * q[i]
-                blk = a.T @ coefs @ a
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    np.floor(blk + 128.5), 0, 255
-                ).astype(np.uint8)
-    planes = [p[:h, :w_] for p in planes]
-    if len(planes) == 1:
-        return w_, h, planes[0]
-    return w_, h, _ycbcr_to_rgb(*planes)
+                for by in range(v_i):
+                    for bx in range(h_i):
+                        _decode_block(
+                            ci, dc_tab, ac_tab, q,
+                            (my * v_i + by) * 8, (mx * h_i + bx) * 8,
+                        )
+    # chroma upsampling by sample replication (nearest), then crop
+    up = []
+    for plane, (_, h_i, v_i, _) in zip(planes, comps):
+        if h_i != hmax or v_i != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // v_i, axis=0),
+                              hmax // h_i, axis=1)
+        up.append(plane[:h, :w_])
+    if len(up) == 1:
+        return w_, h, up[0]
+    return w_, h, _ycbcr_to_rgb(*up)
 
 
 def synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -329,12 +329,20 @@ def test_jpeg_rejects_malformed():
     bad = good.replace(b"\xff\xc0", b"\xff\xc2")
     with pytest.raises(ValueError, match="baseline"):
         M.decode_jpeg(bad)
-    # subsampled sampling factor 0x22 rejected
+    # sampling factors beyond 2 rejected (on a MULTI-component frame —
+    # single-component scans are non-interleaved and ignore sampling,
+    # T.81 A.2.2, so 0x22 on grayscale decodes fine)
+    color = M.encode_jpeg(8, 8, np.full((8, 8, 3), 140, dtype=np.uint8))
+    sofc = color.index(b"\xff\xc0")
+    arrc = bytearray(color)
+    arrc[sofc + 11] = 0x33  # Y component sampling byte
+    with pytest.raises(ValueError, match="sampling"):
+        M.decode_jpeg(bytes(arrc))
     sof = good.index(b"\xff\xc0")
     arr = bytearray(good)
-    arr[sof + 11] = 0x22  # component 1 sampling byte
-    with pytest.raises(ValueError, match="subsampling"):
-        M.decode_jpeg(bytes(arr))
+    arr[sof + 11] = 0x22
+    w, h, out = M.decode_jpeg(bytes(arr))
+    assert np.array_equal(out, np.full((8, 8), 140, dtype=np.uint8))
     # restart interval rejected
     dri = b"\xff\xdd\x00\x04\x00\x08"
     arr = good[:2] + dri + good[2:]
@@ -488,3 +496,34 @@ def test_wav_window_stats(spark):
     assert rows[1] == (3, 0 + 2500 + 40000, 1)
     # w2 = [300] partial, no pairs
     assert rows[2] == (1, 90000, 0)
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    """4:2:0 — the form real crawl JPEGs actually use: 2x2 box-filtered
+    chroma, 4-Y-blocks-per-MCU interleave, replication upsampling on
+    decode.  Constant color blocks survive exactly; smooth gradients stay
+    within small quantization error at non-multiple-of-16 dims."""
+    import numpy as np
+
+    blk = np.kron(np.array([[100, 160], [180, 90]]), np.ones((16, 16))).astype(
+        np.uint8
+    )
+    img = np.stack([blk, blk, blk], axis=2)
+    pay = M.encode_jpeg(32, 32, img, subsampling="420")
+    w, h, out = M.decode_jpeg(pay)
+    assert (w, h) == (32, 32)
+    assert np.array_equal(out, img)  # constant blocks: exact through 4:2:0
+
+    ys, xs = np.mgrid[0:22, 0:19]
+    grad = np.stack(
+        [np.clip(80 + c * 30 + xs * 1.5 - ys * 0.8, 0, 255) for c in range(3)],
+        axis=2,
+    ).astype(np.uint8)
+    pay = M.encode_jpeg(19, 22, grad, quant=2, subsampling="420")
+    w, h, out = M.decode_jpeg(pay)
+    assert (w, h, out.shape) == (19, 22, (22, 19, 3))
+    assert np.abs(out.astype(int) - grad.astype(int)).max() <= 12
+
+    # the SOF sampling bytes really declare 2x2 luma / 1x1 chroma
+    sof = pay.index(b"\xff\xc0")
+    assert pay[sof + 11] == 0x22 and pay[sof + 14] == 0x11
