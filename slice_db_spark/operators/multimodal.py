@@ -908,6 +908,19 @@ class _JpegBitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def sync_restart(self, n: int) -> None:
+        """Consume an RSTn marker at a restart boundary: discard the
+        current byte's padding bits, then expect 0xFF 0xD0+n (modulo-8
+        sequence per T.81 E.1.4)."""
+        self.n = 0  # byte-align: padding bits before the marker drop
+        if (
+            self.pos + 2 > len(self.d)
+            or self.d[self.pos] != 0xFF
+            or self.d[self.pos + 1] != 0xD0 + (n % 8)
+        ):
+            raise ValueError("missing/misnumbered JPEG restart marker")
+        self.pos += 2
+
 
 def _jpeg_magnitude(v: int) -> tuple[int, int]:
     """(size, appended bits) per T.81 F.1.2.1: negatives are stored as
@@ -959,7 +972,12 @@ def _jpeg_seg(marker: int, body: bytes) -> bytes:
 
 
 def encode_jpeg(
-    width: int, height: int, pixels, quant: int = 16, subsampling: str = "444"
+    width: int,
+    height: int,
+    pixels,
+    quant: int = 16,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Minimal baseline JPEG writer: uint8 ``(h, w)`` grayscale or
     ``(h, w, 3)`` RGB (converted to JFIF YCbCr; ``subsampling`` "444" or
@@ -1047,8 +1065,16 @@ def encode_jpeg(
             code, ln = ac_map[0x00]  # EOB
             w.write(code, ln)
 
+    mcu_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                # T.81 E.1.4: pad to a byte boundary, emit RSTn (marker
+                # bytes bypass stuffing), reset every DC predictor
+                w.flush()
+                w.buf += bytes([0xFF, 0xD0 + (mcu_n // restart_interval - 1) % 8])
+                pred[:] = [0] * len(pred)
+            mcu_n += 1
             for ci, ((h_i, v_i), plane) in enumerate(zip(samp, padded)):
                 for by in range(v_i):
                     for bx in range(h_i):
@@ -1073,6 +1099,8 @@ def encode_jpeg(
     for tid in range(2 if color else 1):
         out += _jpeg_seg(0xC4, bytes([0x00 | tid] + dc_bits) + bytes(dc_vals))
         out += _jpeg_seg(0xC4, bytes([0x10 | tid] + ac_bits) + bytes(ac_vals))
+    if restart_interval:
+        out += _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for c in range(ncomp):
         tid = 0 if c == 0 else 1
@@ -1102,6 +1130,7 @@ def decode_jpeg(payload: bytes):
     htabs: dict[tuple[int, int], dict] = {}
     frame = None
     scan = None
+    restart_interval = 0
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -1169,8 +1198,7 @@ def decode_jpeg(payload: bytes):
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
                 raise ValueError("truncated JPEG DRI segment")
-            if struct.unpack(">H", body[:2])[0] != 0:
-                raise ValueError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             nc = body[0]
             sel = []
@@ -1236,8 +1264,15 @@ def decode_jpeg(payload: bytes):
             np.floor(blk + 128.5), 0, 255
         ).astype(np.uint8)
 
+    mcu_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                # T.81 E.1.4: byte-align, consume RSTn (modulo-8 count),
+                # reset every DC predictor
+                reader.sync_restart(mcu_n // restart_interval - 1)
+                pred[:] = [0] * len(pred)
+            mcu_n += 1
             for ci, (cid, tdc, tac) in enumerate(sel):
                 try:
                     dc_tab = htabs[(0, tdc)]

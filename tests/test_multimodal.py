@@ -343,11 +343,14 @@ def test_jpeg_rejects_malformed():
     arr[sof + 11] = 0x22
     w, h, out = M.decode_jpeg(bytes(arr))
     assert np.array_equal(out, np.full((8, 8), 140, dtype=np.uint8))
-    # restart interval rejected
+    # DRI declaring an interval the 1-MCU image never reaches: decodes
+    # (restart support landed; the misnumbered-RST case is pinned in
+    # test_jpeg_restart_intervals); a TRUNCATED DRI still raises
     dri = b"\xff\xdd\x00\x04\x00\x08"
-    arr = good[:2] + dri + good[2:]
-    with pytest.raises(ValueError, match="restart"):
-        M.decode_jpeg(arr)
+    w, h, out = M.decode_jpeg(good[:2] + dri + good[2:])
+    assert np.array_equal(out, np.full((8, 8), 140, dtype=np.uint8))
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_jpeg(good[:2] + b"\xff\xdd\x00\x02" + good[2:])
 
 
 def test_jpeg_synth_stats_pipeline(spark):
@@ -527,3 +530,37 @@ def test_jpeg_420_subsampling_roundtrip():
     # the SOF sampling bytes really declare 2x2 luma / 1x1 chroma
     sof = pay.index(b"\xff\xc0")
     assert pay[sof + 11] == 0x22 and pay[sof + 14] == 0x11
+
+
+def test_jpeg_restart_intervals():
+    """DRI/RSTn support (ubiquitous in real encoder output): byte-aligned
+    modulo-8 restart markers with DC-predictor resets round-trip exactly
+    on the even-offset construction (gray and 4:2:0 color), and a
+    misnumbered RST raises instead of desynchronizing the stream."""
+    import numpy as np
+
+    k, w, h = 7, 24, 16
+    bys, bxs = np.mgrid[0 : h // 8, 0 : w // 8]
+    blocks = (128 + 2 * ((3 * k + 5 * bxs + 7 * bys) % 48)).astype(np.uint8)
+    px = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    for ri in (1, 2, 3):
+        pay = M.encode_jpeg(w, h, px, restart_interval=ri)
+        assert b"\xff\xdd" in pay  # DRI present
+        w2, h2, out = M.decode_jpeg(pay)
+        assert np.array_equal(out, px), ri
+
+    blk = np.kron(np.array([[100, 160], [180, 90]]), np.ones((16, 16))).astype(
+        np.uint8
+    )
+    img = np.stack([blk] * 3, axis=2)
+    pay = M.encode_jpeg(32, 32, img, subsampling="420", restart_interval=1)
+    _, _, out = M.decode_jpeg(pay)
+    assert np.array_equal(out, img)
+
+    bad = bytearray(M.encode_jpeg(w, h, px, restart_interval=1))
+    i = bad.index(b"\xff\xd0", bad.index(b"\xff\xda"))
+    bad[i + 1] = 0xD5  # wrong modulo-8 sequence number
+    import pytest
+
+    with pytest.raises(ValueError, match="restart marker"):
+        M.decode_jpeg(bytes(bad))
