@@ -766,9 +766,10 @@ def png_stats(df: DataFrame) -> DataFrame:
 # 0xFF00 byte-unstuffing, DC differential + (run, size) AC run-length
 # coding, dequantize -> inverse zigzag -> separable float IDCT -> level
 # shift, and JFIF YCbCr <-> RGB for 3-component images.  Scope (honest,
-# like the PNG codec's): 8-bit baseline, grayscale or 4:4:4 (no chroma
-# subsampling), no progressive scans, no restart intervals — anything
-# else raises ValueError for upstream quarantine.  The Huffman tables the
+# like the PNG codec's): 8-bit baseline, grayscale or chroma-subsampled
+# color (sampling factors in {1, 2}: 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0),
+# DRI/RSTn restart intervals supported; progressive scans raise
+# ValueError for upstream quarantine.  The Huffman tables the
 # ENCODER emits are canonical fixed-length tables carried in DHT (the
 # decoder builds its tables from DHT generically, so third-party baseline
 # files with Annex K tables decode too).
@@ -875,8 +876,9 @@ class _JpegBitWriter:
 
 
 class _JpegBitReader:
-    """MSB-first bit reader with 0xFF00 unstuffing; a real marker inside
-    the entropy stream is a hard error (no restart intervals in scope)."""
+    """MSB-first bit reader with 0xFF00 unstuffing; an unexpected marker
+    inside the entropy stream is a hard error — expected RSTn markers are
+    consumed at restart boundaries via :meth:`sync_restart`."""
 
     def __init__(self, data: bytes, pos: int):
         self.d = data
@@ -910,16 +912,17 @@ class _JpegBitReader:
 
     def sync_restart(self, n: int) -> None:
         """Consume an RSTn marker at a restart boundary: discard the
-        current byte's padding bits, then expect 0xFF 0xD0+n (modulo-8
-        sequence per T.81 E.1.4)."""
+        current byte's padding bits, allow 0xFF fill bytes before the
+        marker (T.81 B.1.1.2 permits them anywhere a marker may appear),
+        then expect 0xD0+n (modulo-8 sequence per T.81 E.1.4)."""
         self.n = 0  # byte-align: padding bits before the marker drop
-        if (
-            self.pos + 2 > len(self.d)
-            or self.d[self.pos] != 0xFF
-            or self.d[self.pos + 1] != 0xD0 + (n % 8)
-        ):
+        if self.pos >= len(self.d) or self.d[self.pos] != 0xFF:
+            raise ValueError("missing JPEG restart marker")
+        while self.pos < len(self.d) and self.d[self.pos] == 0xFF:
+            self.pos += 1  # consume the marker prefix + any fill bytes
+        if self.pos >= len(self.d) or self.d[self.pos] != 0xD0 + (n % 8):
             raise ValueError("missing/misnumbered JPEG restart marker")
-        self.pos += 2
+        self.pos += 1
 
 
 def _jpeg_magnitude(v: int) -> tuple[int, int]:
@@ -980,9 +983,10 @@ def encode_jpeg(
     restart_interval: int = 0,
 ) -> bytes:
     """Minimal baseline JPEG writer: uint8 ``(h, w)`` grayscale or
-    ``(h, w, 3)`` RGB (converted to JFIF YCbCr; ``subsampling`` "444" or
-    "420" — 4:2:0 box-filters chroma 2x2 and interleaves 4 Y blocks + Cb
-    + Cr per MCU, the layout real crawl JPEGs use).  One uniform
+    ``(h, w, 3)`` RGB (converted to JFIF YCbCr; ``subsampling`` one of
+    "444"/"420"/"422"/"440" — subsampled modes box-filter chroma by the
+    sampling factors and interleave the Y blocks per MCU; 4:2:0 is the
+    layout real crawl JPEGs use).  One uniform
     quantization table (every entry = ``quant``) — with ``quant=16``,
     images that are piecewise-constant per 8x8 block with EVEN
     (value - 128) offsets round-trip EXACTLY at 4:4:4 (DC lands exactly
@@ -993,20 +997,30 @@ def encode_jpeg(
 
     px = np.asarray(pixels, dtype=np.uint8)
     color = px.ndim == 3
-    if subsampling not in ("444", "420"):
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError(f"restart_interval out of range: {restart_interval}")
+    # luma sampling factors per mode (chroma is always 1x1): the chroma
+    # planes box-filter by the same factors
+    modes = {"444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2)}
+    if subsampling not in modes:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     ycc = _rgb_to_ycbcr(px) if color else [px]
-    if color and subsampling == "420":
+    fh, fv = modes[subsampling]
+    if color and (fh, fv) != (1, 1):
 
-        def _box2(c):
+        def _box(c):
             c2 = np.pad(
-                c, ((0, c.shape[0] % 2), (0, c.shape[1] % 2)), mode="edge"
+                c,
+                ((0, (-c.shape[0]) % fv), (0, (-c.shape[1]) % fh)),
+                mode="edge",
             ).astype(np.float64)
-            m = (c2[0::2, 0::2] + c2[0::2, 1::2] + c2[1::2, 0::2] + c2[1::2, 1::2]) / 4.0
+            m = sum(
+                c2[dy::fv, dx::fh] for dy in range(fv) for dx in range(fh)
+            ) / float(fh * fv)
             return np.clip(np.floor(m + 0.5), 0, 255).astype(np.uint8)
 
-        planes = [ycc[0], _box2(ycc[1]), _box2(ycc[2])]
-        samp = [(2, 2), (1, 1), (1, 1)]
+        planes = [ycc[0], _box(ycc[1]), _box(ycc[2])]
+        samp = [(fh, fv), (1, 1), (1, 1)]
     else:
         planes = ycc
         samp = [(1, 1)] * len(ycc)
@@ -1117,10 +1131,10 @@ def decode_jpeg(payload: bytes):
     (h, w, 3))``.  Generic within scope: quantization and Huffman tables
     come from the file's own DQT/DHT segments (canonical assignment per
     Annex C) and sampling factors from SOF0 — third-party baseline files
-    decode as long as they are 8-bit, non-progressive, without restart
-    intervals, with sampling factors in {1, 2} (4:4:4, 4:2:0, 4:2:2,
-    4:4:0 all in scope; chroma upsamples by replication).  Everything
-    else raises ValueError (quarantine rows)."""
+    decode as long as they are 8-bit and non-progressive, with sampling
+    factors in {1, 2} (4:4:4, 4:2:0, 4:2:2, 4:4:0 all in scope; chroma
+    upsamples by replication) and with or without DRI/RSTn restart
+    intervals.  Everything else raises ValueError (quarantine rows)."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":

@@ -564,3 +564,43 @@ def test_jpeg_restart_intervals():
 
     with pytest.raises(ValueError, match="restart marker"):
         M.decode_jpeg(bytes(bad))
+
+
+def test_jpeg_422_440_and_fill_before_rst():
+    """The asymmetric-subsampling paths (4:2:2 / 4:4:0: one axis
+    box-filtered, one-axis replication upsample) round-trip; spec-legal
+    0xFF fill bytes before an RST marker are consumed; out-of-range
+    restart_interval raises upfront."""
+    import numpy as np
+    import pytest
+
+    blk = np.kron(np.array([[100, 160], [180, 90]]), np.ones((16, 16))).astype(
+        np.uint8
+    )
+    img = np.stack([blk] * 3, axis=2)
+    for mode in ("422", "440"):
+        pay = M.encode_jpeg(32, 32, img, subsampling=mode)
+        sof = pay.index(b"\xff\xc0")
+        want = 0x21 if mode == "422" else 0x12
+        assert pay[sof + 11] == want and pay[sof + 14] == 0x11
+        w, h, out = M.decode_jpeg(pay)
+        assert np.array_equal(out, img), mode  # constant blocks: exact
+
+    # fill byte before a restart marker (T.81 B.1.1.2) must be consumed
+    px = np.kron(
+        (128 + 2 * np.arange(6).reshape(2, 3) * 7 % 96).astype(np.uint8),
+        np.ones((8, 8), dtype=np.uint8),
+    )
+    pay = M.encode_jpeg(24, 16, px, restart_interval=1)
+    sos = pay.index(b"\xff\xda")
+    i = pay.index(b"\xff\xd0", sos)
+    padded = pay[:i] + b"\xff" + pay[i:]
+    w, h, out = M.decode_jpeg(padded)
+    assert np.array_equal(out, px)
+
+    with pytest.raises(ValueError, match="restart_interval"):
+        M.encode_jpeg(8, 8, px[:8, :8], restart_interval=70000)
+    with pytest.raises(ValueError, match="restart_interval"):
+        M.encode_jpeg(8, 8, px[:8, :8], restart_interval=-1)
+    with pytest.raises(ValueError, match="subsampling"):
+        M.encode_jpeg(32, 32, img, subsampling="411")
