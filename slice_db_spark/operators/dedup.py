@@ -1610,7 +1610,17 @@ def duplicate_span_stats(
 
     Output per document: (doc_id, n_tokens, n_dup_tokens, n_clean_tokens);
     documents with no duplicated span come back with zeros, not missing
-    rows."""
+    rows.
+
+    Hash-width tradeoff: grams are reduced to a 64-bit hash
+    (:func:`hashing.hash64`), so two UNRELATED grams collide with
+    birthday probability ~m²/2⁶⁵ for m distinct grams — negligible below
+    ~10⁹ grams, but a full 100 TB corpus (≫2³² grams) would silently
+    delete clean tokens at measurable rates.  At that scale widen the
+    gram key to a 128-bit pair (both md5 halves: the second half mirrors
+    in DuckDB as ``substr(md5(e), 16, 15)``) — kept 64-bit here because
+    the oracle parity chain and the persisted index row format share the
+    single-column key."""
     base, cov = _dup_span_covered(df, span_tokens, text_col, id_col)
     covered = cov.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dup"))
     return (
@@ -1667,7 +1677,12 @@ def build_span_index(
     grams IT contributed — which makes the index append safe to run
     BEFORE the corpus append (a replayed epoch sees its own grams but
     excludes them by owner), so a crash between the two appends can only
-    duplicate hashes, never lose coverage."""
+    duplicate hashes, never lose coverage.
+
+    Index rows carry the same 64-bit gram hash as
+    :func:`duplicate_span_stats` (see its hash-width note): beyond ~10⁹
+    standing grams, widen the row to a 128-bit md5 pair before trusting
+    probe hits blindly."""
     _span_gram_hashes(corpus_df, span_tokens, text_col, id_col).write.mode(
         "overwrite"
     ).parquet(path)
@@ -1720,6 +1735,25 @@ def read_span_meta(path: str) -> dict | None:
     return meta
 
 
+def check_span_meta(path: str, span_tokens: int) -> None:
+    """Raise ``ValueError`` when the persisted span index at ``path`` was
+    built with a different ``span_tokens`` than the probe is about to use
+    (mirrors :func:`check_lsh_meta`): mismatched gram lengths hash to
+    disjoint keys, so the probe would silently remove nothing — or, when
+    the probe length divides the index length's grams coincidentally,
+    the wrong spans."""
+    meta = read_span_meta(path)
+    if meta is None:
+        return
+    got = meta.get("span_tokens")
+    if got != span_tokens:
+        raise ValueError(
+            f"span index at {path} was built with span_tokens={got}; "
+            f"probing with span_tokens={span_tokens} would hash disjoint "
+            "gram keys and silently match nothing"
+        )
+
+
 def incremental_span_rewrite(
     spark,
     index_path: str,
@@ -1744,6 +1778,7 @@ def incremental_span_rewrite(
     :func:`duplicate_span_rewrite`, the output text is the NORMALIZED
     reassembly (the streaming sink keeps original formatting for
     unaffected documents by applying this only where n_removed > 0)."""
+    check_span_meta(index_path, span_tokens)
     L = span_tokens
     base = _span_base(new_df, text_col, id_col)
     grams = _span_grams(base, L, id_col)

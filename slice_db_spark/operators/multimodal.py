@@ -1170,6 +1170,11 @@ def decode_jpeg(payload: bytes):
         if marker == 0xDB:  # DQT: one or more tables per segment
             p = 0
             while p < len(body):
+                # each table is 1 id byte + 64 entries; a short tail would
+                # build a <64-entry table and dequantize would IndexError
+                # mid-decode instead of honoring the quarantine contract
+                if p + 65 > len(body):
+                    raise ValueError("truncated JPEG DQT table")
                 pq, tq = body[p] >> 4, body[p] & 15
                 if pq != 0:
                     raise ValueError("16-bit quantization tables unsupported")
@@ -1178,9 +1183,14 @@ def decode_jpeg(payload: bytes):
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(body):
+                # 1 id byte + 16 count bytes + sum(counts) values
+                if p + 17 > len(body):
+                    raise ValueError("truncated JPEG DHT table")
                 tc, th = body[p] >> 4, body[p] & 15
                 bits = list(body[p + 1 : p + 17])
                 nv = sum(bits)
+                if p + 17 + nv > len(body):
+                    raise ValueError("truncated JPEG DHT table")
                 vals = list(body[p + 17 : p + 17 + nv])
                 htabs[(tc, th)] = _huff_decode_map(bits, vals)
                 p += 17 + nv
@@ -1214,6 +1224,8 @@ def decode_jpeg(payload: bytes):
                 raise ValueError("truncated JPEG DRI segment")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
+            if not body or len(body) < 1 + 2 * body[0]:
+                raise ValueError("truncated JPEG SOS segment")
             nc = body[0]
             sel = []
             for c in range(nc):

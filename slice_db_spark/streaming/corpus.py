@@ -313,12 +313,28 @@ def ingest_corpus_stream(
                         os.path.join(rejects + ".neardup", f"epoch_id={int(epoch_id)}")
                     )
                 batch_unique = persisted.join(near, "doc_id", "left_anti")
-                # survivors' signatures, derived from the SAME shingle pass
-                # (filtering st by survivor id ≡ re-shingling survivors).
-                # Replays may re-append signature rows; duplicates are
-                # harmless (candidates are per-pair deduplicated) — losing
-                # them is not
-                st_surv = st.join(near, "doc_id", "left_anti")
+                # span rewrite FIRST: the corpus stores the rewritten
+                # text, so the appended signatures/n_shingles must
+                # describe it — signatures from the pre-rewrite text
+                # would give later verified probes a stale, inflated
+                # Jaccard denominator and let near-dups just above
+                # threshold slip past the index
+                batch_unique = _span_stage(batch_unique, span_lease)
+                if span_index is not None:
+                    # rewrite may have changed survivor text: checkpoint
+                    # the rewritten frame (consumed by the re-shingle AND
+                    # the corpus append) and shingle the STORED text
+                    batch_unique = batch_unique.localCheckpoint(eager=True)
+                    st_surv = _dedup.shingle_table(
+                        batch_unique, text_col, "doc_id", ln
+                    )
+                else:
+                    # survivors' signatures, derived from the SAME shingle
+                    # pass (filtering st by survivor id ≡ re-shingling
+                    # survivors).  Replays may re-append signature rows;
+                    # duplicates are harmless (candidates are per-pair
+                    # deduplicated) — losing them is not
+                    st_surv = st.join(near, "doc_id", "left_anti")
                 sizes = st_surv.groupBy("doc_id").agg(
                     F.count(F.lit(1)).alias("n_shingles")
                 )
@@ -335,7 +351,6 @@ def ingest_corpus_stream(
                 )
                 if not index_exists:
                     _dedup.write_lsh_meta(lsh_index, lk, lb, ln)
-                batch_unique = _span_stage(batch_unique, span_lease)
                 corpus_lease.check()
                 batch_unique.write.mode("append").parquet(out_path)
             finally:
@@ -358,7 +373,16 @@ def ingest_corpus_stream(
         index append runs BEFORE the corpus append (the LSH ordering):
         the per-gram owner id makes a replayed epoch ignore its own
         grams, so a crash between the appends can only duplicate hashes —
-        never lose coverage, never self-empty documents."""
+        never lose coverage, never self-empty documents.
+
+        The index rows come from the PRE-rewrite grams: a span whose
+        within-batch copies were ALL removed still enters the index
+        (owner-tagged by the docs that carried it), so a later batch's
+        copy matches the standing grams and is removed too — cross-batch
+        coverage matches the batch operator's remove-all policy instead
+        of silently readmitting the span.  Replay stays bit-identical:
+        the extra rows are self-owned by this epoch's doc ids and the
+        probe's owner exclusion skips them."""
         if span_index is None:
             return bu
         from ..operators import dedup as _sdedup
@@ -390,8 +414,9 @@ def ingest_corpus_stream(
             .drop("__rwtext")
         )
         span_lease.check()
+        # PRE-rewrite grams (see docstring): removed spans stay probe-able
         _sdedup.append_span_index(
-            out.sparkSession, span_index, out,
+            bu.sparkSession, span_index, bu,
             span_tokens=stok, text_col=text_col,
         )
         if meta is None:

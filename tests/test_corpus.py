@@ -641,3 +641,87 @@ def test_streaming_span_dedup_preserves_formatting_and_exact_order(spark, tmp_pa
     rows = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
     assert 21 not in rows          # exact duplicate collapsed first
     assert rows[20] == "same tail"  # winner then loses only the corpus span
+
+
+def test_streaming_span_dedup_remove_all_cross_batch(spark, tmp_path):
+    """ADVICE r6 pin: the span index is built from PRE-rewrite grams, so
+    a span whose within-batch copies were ALL removed still enters the
+    index — a third copy arriving in a LATER batch is removed too
+    (cross-batch coverage matches the batch operator's remove-all
+    policy)."""
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    sidx = str(tmp_path / "span_idx")
+
+    s = "one two three four five six seven eight"
+    b0 = [{"doc_id": 1, "text": f"{s} first suffix", "lang": "en",
+           "source": "a", "n_chars": 1},
+          {"doc_id": 2, "text": f"{s} second suffix", "lang": "en",
+           "source": "a", "n_chars": 1}]
+    _write_batch(land, "b0.jsonl", b0)
+    os.utime(os.path.join(land, "b0.jsonl"), (1_000_000_000,) * 2)
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, span_index=sidx)
+    texts = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert texts[1] == "first suffix" and texts[2] == "second suffix"
+
+    # batch 2: a THIRD copy of the span — must match the standing grams
+    # even though no stored document carries the span anymore
+    b1 = [{"doc_id": 3, "text": f"{s} third suffix", "lang": "en",
+           "source": "a", "n_chars": 1}]
+    _write_batch(land, "b1.jsonl", b1)
+    os.utime(os.path.join(land, "b1.jsonl"), (1_000_000_100,) * 2)
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, span_index=sidx)
+    texts = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert texts[3] == "third suffix"
+
+
+def test_streaming_lsh_plus_span_signatures_describe_stored_text(spark, tmp_path):
+    """ADVICE r6 pin: with --lsh-index AND --span-index on, the appended
+    signatures and n_shingles are computed from the REWRITTEN (stored)
+    text — a pre-rewrite n_shingles would inflate the verified probe's
+    Jaccard denominator and let near-dups just above threshold slip."""
+    from slice_db_spark.operators import dedup as D
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    sidx = str(tmp_path / "span_idx")
+    lidx = str(tmp_path / "lsh_idx")
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    b0 = [{"doc_id": 1, "text": f"{span} unique tail one two", "lang": "en",
+           "source": "a", "n_chars": 1}]
+    _write_batch(land, "b0.jsonl", b0)
+    os.utime(os.path.join(land, "b0.jsonl"), (1_000_000_000,) * 2)
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt,
+                            lsh_index=lidx, span_index=sidx)
+
+    # batch 2: repeats the standing span with an otherwise-different tail
+    # (below the 0.5 near-dup threshold, so it survives the LSH probe and
+    # then loses the span to the rewrite)
+    b1 = [{"doc_id": 10,
+           "text": f"{span} totally different following words land here now",
+           "lang": "en", "source": "a", "n_chars": 1}]
+    _write_batch(land, "b1.jsonl", b1)
+    os.utime(os.path.join(land, "b1.jsonl"), (1_000_000_100,) * 2)
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt,
+                            lsh_index=lidx, span_index=sidx)
+
+    stored = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert stored[10] == "totally different following words land here now"
+
+    meta = D.read_lsh_meta(lidx)
+    expected = D.shingle_table(
+        spark.createDataFrame([(10, stored[10])], "doc_id bigint, text string"),
+        "text", "doc_id", meta["n"],
+    ).count()
+    got = {
+        int(r.n_shingles)
+        for r in spark.read.parquet(lidx)
+        .where(F.col("corpus_id") == 10)
+        .select("n_shingles").distinct().collect()
+    }
+    assert got == {expected}  # index describes the STORED text

@@ -672,3 +672,31 @@ def test_incremental_span_rewrite_crafted(spark, tmp_path):
              for r in incremental_span_rewrite(
                  spark, idx, batch.where("doc_id = 13")).collect()}
     assert again[13] == 0  # self-owned grams ignored
+
+
+def test_incremental_span_rewrite_checks_meta(spark, tmp_path):
+    """ADVICE r6 pin: a direct caller probing a persisted span index with
+    a mismatched span_tokens raises instead of silently removing nothing
+    (mirrors check_lsh_meta)."""
+    import pytest
+
+    from slice_db_spark.operators.dedup import (
+        build_span_index,
+        incremental_span_rewrite,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta tail")],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_span_index(corpus, idx, span_tokens=8)
+    batch = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon zeta eta theta other")],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(ValueError, match="span_tokens=8"):
+        incremental_span_rewrite(spark, idx, batch, span_tokens=5)
+    # matching length still works
+    got = incremental_span_rewrite(spark, idx, batch, span_tokens=8).collect()
+    assert got[0].n_removed == 8

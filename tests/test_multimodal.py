@@ -604,3 +604,28 @@ def test_jpeg_422_440_and_fill_before_rst():
         M.encode_jpeg(8, 8, px[:8, :8], restart_interval=-1)
     with pytest.raises(ValueError, match="subsampling"):
         M.encode_jpeg(32, 32, img, subsampling="411")
+
+
+def test_jpeg_truncated_dqt_dht_sos_raise():
+    """ADVICE r6 pin: truncated DQT/DHT/SOS segment bodies raise
+    ValueError (the quarantine contract) instead of building a short
+    table that IndexErrors mid-decode."""
+    import numpy as np
+    import pytest
+
+    px = np.full((8, 8), 140, dtype=np.uint8)
+    good = M.encode_jpeg(8, 8, px)
+
+    # DQT body of 64 bytes: id byte + only 63 entries (needs 65)
+    with pytest.raises(ValueError, match="truncated JPEG DQT"):
+        M.decode_jpeg(good[:2] + b"\xff\xdb\x00\x42" + bytes(64) + good[2:])
+    # DHT body of 16 bytes: shorter than the 17-byte header
+    with pytest.raises(ValueError, match="truncated JPEG DHT"):
+        M.decode_jpeg(good[:2] + b"\xff\xc4\x00\x12" + bytes(16) + good[2:])
+    # DHT declaring one value but carrying none
+    bits = bytes([1] + [0] * 15)
+    with pytest.raises(ValueError, match="truncated JPEG DHT"):
+        M.decode_jpeg(good[:2] + b"\xff\xc4\x00\x13" + b"\x00" + bits + good[2:])
+    # SOS declaring 2 components but carrying none
+    with pytest.raises(ValueError, match="truncated JPEG SOS"):
+        M.decode_jpeg(good[:2] + b"\xff\xda\x00\x03" + b"\x02" + good[2:])
