@@ -22,10 +22,11 @@ column's original type — string-in/string-out exactly like the reference's
 COPY-text pipeline, but batched through Arrow instead of line-at-a-time.
 The one *stateful* transform (``incrementing_const``,
 `slice_db/transforms/common.py:66-85`) is order-dependent and therefore not
-a scalar UDF at all: the engine maps it to ``row_number()`` over an explicit
-deterministic ordering (SURVEY §7 hard parts — documented divergence: the
-reference counts in traversal order, we count in key order; both satisfy the
-determinism-given-pepper contract).
+a scalar UDF at all: the engine maps it to a distributed running count in an
+explicit deterministic key order — per-bucket windows plus a driver-folded
+cumulative bucket offset, never a single-partition global window (SURVEY §7
+hard parts — documented divergence: the reference counts in traversal order,
+we count in key order; both satisfy the determinism-given-pepper contract).
 """
 
 from __future__ import annotations
@@ -592,7 +593,8 @@ _BUILTIN: dict[str, Callable] = {
 }
 
 #: marker for the stateful counter transform — handled at the DataFrame
-#: level (row_number window), not as a scalar function (see module doc).
+#: level (bucketed running-count, see ``_global_running_count``), not as a
+#: scalar function (see module doc).
 STATEFUL_CLASSES = {"IncrementingConstTransform"}
 
 
@@ -669,10 +671,11 @@ def transform_dataframe(df, columns: dict[str, Transform], *, order_keys: list[s
     reference's COPY-text model `slice_db/transform.py:96-125` — but batched).
 
     ``stateful`` maps column → (IncrementingConstTransform spec config,
-    order keys): rendered as ``'<value> ' || row_number() OVER (ORDER BY
-    keys)`` skipping NULL/empty/excluded rows — the distributed reading of
-    the reference's processing-order counter
-    (`slice_db/transforms/common.py:66-85`).
+    order keys): rendered as ``'<value> ' || <running count in key order>``
+    skipping NULL/empty/excluded rows — the distributed reading of the
+    reference's processing-order counter
+    (`slice_db/transforms/common.py:66-85`), computed by
+    :func:`_global_running_count` without any single-partition window.
     """
     from pyspark.sql import Window, functions as F
     from pyspark.sql.functions import pandas_udf
@@ -816,23 +819,28 @@ def _global_running_count(df, key_names, eligible, dtypes=None):
     )
     # cumulative eligible-count offset per bucket: partial-aggregated
     # map-side in the fast path (the bucket is computable before any
-    # shuffle), so only ~n_parts rows ever move; the global window and the
-    # broadcast join are both trivially small
-    offsets = (
+    # shuffle), so only ~n_parts rows ever reach the driver.  The fold to
+    # cumulative offsets happens HERE, not in a global window — a
+    # broadcast-exchange subplan would run as its own job anyway, so the
+    # collect costs the same job while eliminating the single-partition
+    # WindowExec and the join from the plan entirely (the customer_abc
+    # bucket-offset fold pattern).
+    rows = (
         base.groupBy("_pid")
         .agg(F.sum(F.when(eligible, 1).otherwise(0)).alias("_n"))
-        .withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_n").over(
-                    Window.orderBy("_pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("_pid", "_off")
+        .collect()
     )
-    joined = counted.join(F.broadcast(offsets), "_pid")
+    acc = 0
+    off: dict[int, int] = {}
+    for r in sorted(rows, key=lambda r: r["_pid"]):
+        off[r["_pid"]] = acc
+        acc += int(r["_n"] or 0)
+    if off:
+        mapping = F.create_map(
+            *[F.lit(x) for pid_off in off.items() for x in pid_off]
+        )
+        off_col = F.coalesce(mapping[F.col("_pid")], F.lit(0))
+    else:  # empty input: no buckets, no offsets
+        off_col = F.lit(0)
+    joined = counted.withColumn("_off", off_col)
     return joined, F.col("_local_cnt") + F.col("_off")

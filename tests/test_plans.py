@@ -318,3 +318,8 @@ def test_scrub_counter_single_udf_pass_no_range_exchange(plans):
     nodes = set(re.findall(r"\((\d+)\) ArrowEvalPython", p))
     assert len(nodes) == 1, p
     assert "rangepartitioning" not in p
+    # r7: the bucket-offset fold replaced the offsets broadcast join and
+    # its single-partition window — every Window left in the plan must be
+    # partitioned (no WindowExec all-to-one-partition funnel)
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "_pid" in spec, p
