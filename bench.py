@@ -137,6 +137,7 @@ HEADLINE = [
     "bpe_tokens",
     "bpe_train",
     "bpe_apply",
+    "bpe_train_batched",
     "quality",
     "language_id",
     "lang_confusion",

@@ -770,6 +770,7 @@ def bpe_train_merges(
     df: DataFrame,
     rounds: int = 8,
     text_col: str = "text",
+    batch_merges: int = 1,
 ) -> DataFrame:
     """Learn byte-pair-encoding merges from the corpus — the tokenizer
     TRAINING pass (Sennrich et al. 2016), not just application.
@@ -790,8 +791,22 @@ def bpe_train_merges(
     and DuckDB, hence oracle-exact.
 
     Output: (merge_round, sym_a, sym_b, pair_count), one row per learned
-    merge in order."""
-    merges, _ = _bpe_train(df, rounds, text_col)
+    merge in order.
+
+    ``batch_merges`` > 1 learns up to that many SYMBOL-DISJOINT merges
+    per driver round (ranked by count desc then pair, skip-greedy over
+    the top candidates): disjointness makes every selected pair's count
+    invariant under the others' application, so the batch applies as one
+    chained replace and driver round-trips drop from O(merges) to
+    O(merges / batch).  This is the standard batched-trainer
+    approximation: it can diverge from the strictly serial learner when
+    a merge CREATES a new symbol whose pairs would have outranked a
+    later pick (e.g. Sennrich's ``es``+``t`` forms immediately after
+    ``e``+``s`` and beats the next disjoint candidate) — production
+    trainers accept this; callers needing the exact serial sequence use
+    ``batch_merges=1`` (the default, bit-identical to the classic
+    algorithm)."""
+    merges, _ = _bpe_train(df, rounds, text_col, batch_merges=batch_merges)
     return merges
 
 
@@ -825,10 +840,13 @@ def segment_length_dist(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_train(df: DataFrame, rounds: int, text_col: str):
+def _bpe_train(df: DataFrame, rounds: int, text_col: str, batch_merges: int = 1):
     """Shared BPE training core: returns (merges DataFrame, final vocab
     frame with columns (cnt, s)) — one definition for learn-only and
-    learn+apply consumers."""
+    learn+apply consumers.  Each driver round selects up to
+    ``batch_merges`` symbol-disjoint pairs (skip-greedy down the
+    count-desc/pair-asc ranking) and applies them as ONE chained
+    replace; ``batch_merges=1`` is exactly the serial argmax."""
     sp = df.sparkSession
     w = df.select(F.explode(tokens(text_col)).alias("w")).where(F.col("w") != "")
     vocab = w.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
@@ -855,23 +873,35 @@ def _bpe_train(df: DataFrame, rounds: int, text_col: str):
                 )
             ).alias("pair"),
         )
-        best = (
+        k = max(1, batch_merges)
+        # margin over k: skipped conflicting candidates consume ranks
+        cand = (
             pairs.groupBy("pair")
             .agg(F.sum("cnt").alias("n"))
             .orderBy(F.desc("n"), "pair")
-            .limit(1)
+            .limit(4 * k + 4)
             .collect()
         )
-        if not best:
+        if not cand:
             break
-        a, b = best[0]["pair"].split(" ", 1)  # symbols never contain spaces
-        merges.append((r, a, b, int(best[0]["n"])))
-        v = v.select(
-            "cnt",
-            F.replace(
-                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
-            ).alias("s"),
-        ).localCheckpoint(eager=True)
+        used: set[str] = set()
+        picks: list[tuple[str, str, int]] = []
+        for row in cand:
+            a, b = row["pair"].split(" ", 1)  # symbols never contain spaces
+            if a in used or b in used:
+                continue  # conflicts with an earlier pick — next round
+            picks.append((a, b, int(row["n"])))
+            used.update((a, b))
+            if len(picks) == k:
+                break
+        s_col = F.col("s")
+        for a, b, n in picks:
+            merges.append((len(merges) + 1, a, b, n))
+            # disjoint symbols: the replaces commute and each pair's
+            # occurrences are untouched by the others — one pass applies
+            # the whole batch
+            s_col = F.replace(s_col, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+        v = v.select("cnt", s_col.alias("s")).localCheckpoint(eager=True)
     return (
         sp.createDataFrame(
             merges,

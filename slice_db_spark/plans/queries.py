@@ -3979,6 +3979,32 @@ def bpe_apply(spark, sf_dir):
     return textops.bpe_segment_stats(docs, rounds=BPE_TRAIN_ROUNDS)
 
 
+#: batched BPE: driver rounds and symbol-disjoint merges per round — the
+#: production-merge-count scale path (driver round-trips O(merges/K))
+BPE_BATCH_ROUNDS = 2
+BPE_BATCH_K = 4
+#: candidate cap per round (Spark collects this many ranked pairs before
+#: the skip-greedy scan; the oracle mirrors it as ``rk <= CAP``)
+BPE_BATCH_CAP = 4 * BPE_BATCH_K + 4
+
+
+def bpe_train_batched(spark, sf_dir):
+    """BATCHED tokenizer training: each driver round learns up to
+    ``BPE_BATCH_K`` symbol-disjoint merges (skip-greedy down the
+    count-desc/pair-asc ranking, capped at ``BPE_BATCH_CAP`` candidates)
+    and applies them as one chained replace — driver round-trips drop
+    from O(merges) to O(merges/K), the fix for serial training's
+    job-submission bottleneck at production merge counts (30k+).  The
+    oracle unrolls the SAME batched selection per round (ranked-candidate
+    CTE + K greedy pick CTEs + one chained-replace CTE), so engine drift
+    in ranking, conflict skipping, or batch application breaks the
+    hash."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return textops.bpe_train_merges(
+        docs, rounds=BPE_BATCH_ROUNDS, batch_merges=BPE_BATCH_K
+    )
+
+
 def media_y4m_frames(spark, sf_dir):
     """REAL codec gate #6 — video: mono YUV4MPEG2 clips synthesized from
     doc_id arithmetic, stream-parsed (header tags, per-frame strides) and
@@ -6684,6 +6710,73 @@ FROM (SELECT cnt, str_split(trim(s), '  ') AS t FROM v{BPE_TRAIN_ROUNDS})
 GROUP BY 1"""
     )
 
+    # BATCHED BPE training: per round, one ranked-candidate CTE, K greedy
+    # pick CTEs (each = lowest-rank candidate symbol-disjoint from all
+    # earlier picks, within the same rk <= CAP the Spark learner
+    # collects), and one chained-replace CTE; empty picks degrade to a
+    # chr(1) sentinel replace (never matches).  Same MATERIALIZED rule as
+    # the serial chain.
+    _bb_parts = [f"""
+u0 AS MATERIALIZED (
+  SELECT cnt,
+         '  ' || array_to_string(list_transform(range(1, len(w) + 1),
+                                                i -> w[i]), '  ')
+             || '  </w>  ' AS s
+  FROM (SELECT t AS w, count(*) AS cnt FROM
+          (SELECT unnest({_toks_sql('text')}) AS t FROM documents)
+        WHERE t != '' GROUP BY t))"""]
+    _bb_reads = []
+    for _r in range(1, BPE_BATCH_ROUNDS + 1):
+        _bb_parts.append(f"""
+c{_r} AS MATERIALIZED (
+  SELECT split_part(pair, ' ', 1) AS sa, split_part(pair, ' ', 2) AS sb, n,
+         row_number() OVER (ORDER BY n DESC, pair) AS rk
+  FROM (
+    SELECT pair, sum(cnt) AS n FROM (
+      SELECT cnt,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS pair
+      FROM (SELECT cnt, str_split(trim(s), '  ') AS t FROM u{_r - 1}))
+    GROUP BY pair))""")
+        for _j in range(1, BPE_BATCH_K + 1):
+            if _j == 1:
+                _bb_parts.append(
+                    f"\np{_r}_1 AS MATERIALIZED (SELECT * FROM c{_r} WHERE rk = 1)"
+                )
+            else:
+                _excl = " UNION ".join(
+                    f"SELECT sa FROM p{_r}_{i} UNION SELECT sb FROM p{_r}_{i}"
+                    for i in range(1, _j)
+                )
+                _bb_parts.append(f"""
+p{_r}_{_j} AS MATERIALIZED (
+  SELECT * FROM c{_r}
+  WHERE rk <= {BPE_BATCH_CAP}
+    AND sa NOT IN ({_excl}) AND sb NOT IN ({_excl})
+  ORDER BY rk LIMIT 1)""")
+            _bb_reads.append(
+                f"SELECT {_r} AS r, {_j} AS j, sa, sb, n FROM p{_r}_{_j}"
+            )
+        if _r < BPE_BATCH_ROUNDS:  # final round's rewrite is never read
+            _expr = "s"
+            for _j in range(1, BPE_BATCH_K + 1):
+                _expr = (
+                    f"replace({_expr},\n"
+                    f"  coalesce((SELECT ' ' || sa || '  ' || sb || ' ' "
+                    f"FROM p{_r}_{_j}), chr(1)),\n"
+                    f"  coalesce((SELECT ' ' || sa || sb || ' ' "
+                    f"FROM p{_r}_{_j}), ''))"
+                )
+            _bb_parts.append(f"""
+u{_r} AS MATERIALIZED (
+  SELECT cnt, {_expr} AS s FROM u{_r - 1})""")
+    o["bpe_train_batched"] = (
+        "WITH " + ",".join(_bb_parts) + """
+SELECT CAST(row_number() OVER (ORDER BY r, j) AS BIGINT) AS merge_round,
+       sa AS sym_a, sb AS sym_b, CAST(n AS BIGINT) AS pair_count
+FROM (""" + "\nUNION ALL ".join(_bb_reads) + ")"
+    )
+
     # video: lossless container, so the oracle mirrors the synth pixels
     # directly; kept frames = every 2nd index per clip
     o["media_y4m_frames"] = _q("""
@@ -7626,4 +7719,7 @@ def _all_queries():
         "dedup_substring_rewrite": dedup_substring_rewrite,
         "media_wav_windows": media_wav_windows,
         "dedup_span_incremental": dedup_span_incremental,
+        # r7 additions (whole registry driver-verified after r6, so new
+        # names land straight in the checked window)
+        "bpe_train_batched": bpe_train_batched,
     }

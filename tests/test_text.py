@@ -304,3 +304,65 @@ def test_bpe_train_merges_adjacent_overlap_greedy(spark):
     # ('aa aa </w>', not 'aa a a </w>'): (aa,aa)=2 ties (aa,</w>)=2 and
     # the lexicographic tie-break picks 'aa </w>' ('<' sorts before 'a')
     assert got[1] == (2, "aa", "</w>", 2)
+
+
+def test_bpe_batched_equals_serial_trained_vocabulary(spark):
+    """Batched training (k=4) reaches the SAME fully-merged vocabulary
+    as the serial learner on a corpus of disjoint-alphabet words, with
+    the same total merge count — the output-level equivalence that holds
+    for batching (the merge ORDER legitimately differs: serial is
+    chain-greedy down each word, batched is breadth-first across
+    words)."""
+    from slice_db_spark.operators.text import _bpe_train, bpe_train_merges
+
+    text = " ".join(["zy"] * 9 + ["xw"] * 7 + ["vu"] * 5 + ["ts"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    serial = bpe_train_merges(df, rounds=8).collect()
+    batched = bpe_train_merges(df, rounds=4, batch_merges=4).collect()
+    # both learners exhaust the corpus: 4 words x 2 merges each
+    assert len(serial) == len(batched) == 8
+    # identical final vocabulary segmentation (every word one symbol)
+    _, vs = _bpe_train(df, 8, "text")
+    _, vb = _bpe_train(df, 4, "text", batch_merges=4)
+    assert sorted(map(tuple, vs.collect())) == sorted(map(tuple, vb.collect()))
+    # and batched got there in fewer driver rounds than merges
+    assert len({r.merge_round for r in batched}) == 8
+
+
+def test_bpe_batched_k1_is_exactly_serial_sennrich(spark):
+    """batch_merges=1 is bit-identical to the classic serial learner on
+    the Sennrich example (same collect path, same tie-breaks)."""
+    from slice_db_spark.operators.text import bpe_train_merges
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    a = [tuple(r) for r in bpe_train_merges(df, rounds=6).collect()]
+    b = [tuple(r) for r in bpe_train_merges(df, rounds=6, batch_merges=1).collect()]
+    assert a == b
+
+
+def test_bpe_batched_round_picks_are_disjoint_and_counted_at_round_start(spark):
+    """Within a batched round every pick is symbol-disjoint from the
+    others and carries the round-START pair count (invariant under the
+    other picks' application — the correctness condition for applying
+    the batch as one chained replace).  Pinned on Sennrich where the
+    approximation visibly diverges from serial (documented)."""
+    from slice_db_spark.operators.text import bpe_train_merges
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    got = [tuple(r) for r in bpe_train_merges(df, rounds=1, batch_merges=4).collect()]
+    # round-1 ranking: 'e s'=9, 's t'=9 (skip: shares s), 't </w>'=9,
+    # 'w e'=8 (skip: shares e), 'l o'=7, 'o w'=7 (skip: shares o),
+    # 'e w'/'n e'=6 (skip: share e), 'w </w>'=5 (skip), 'd e'=3 (skip),
+    # 'i d'=3
+    assert got == [
+        (1, "e", "s", 9),
+        (2, "t", "</w>", 9),
+        (3, "l", "o", 7),
+        (4, "i", "d", 3),
+    ]
+    used = set()
+    for _, a, b, _n in got:
+        assert a not in used and b not in used
+        used.update((a, b))
