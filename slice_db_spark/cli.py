@@ -477,8 +477,10 @@ def cmd_ingest(args) -> int:
         lsh_threshold=args.lsh_threshold,
         url_dedup=args.url_dedup,
         compact_files=args.compact_files,
+        compact_every=args.compact_every,
         span_index=args.span_index,
         span_tokens=args.span_tokens,
+        max_files_per_trigger=args.max_files_per_trigger,
     )
     report = {"corpus_rows": spark.read.parquet(args.corpus).count()}
     # per-sink counters, derived from the sinks themselves (no streaming
@@ -1165,6 +1167,15 @@ def main(argv: list[str] | None = None) -> int:
         "place when it has grown past this many parquet files",
     )
     ing.add_argument(
+        "--compact-every",
+        type=int,
+        default=None,
+        help="run the --compact-files threshold check every N epochs "
+        "IN-STREAM (between micro-batches, under the writer lease) — "
+        "keeps a long-running ingest's file counts bounded without "
+        "waiting for a drain",
+    )
+    ing.add_argument(
         "--span-index",
         default=None,
         help="span-gram hash index dir: rewrite each batch's documents "
@@ -1172,6 +1183,12 @@ def main(argv: list[str] | None = None) -> int:
         "exact-substring dedup) and extend the index with the survivors",
     )
     ing.add_argument("--span-tokens", type=int, default=8)
+    ing.add_argument(
+        "--max-files-per-trigger",
+        type=int,
+        default=None,
+        help="bound how many landing files form one micro-batch",
+    )
     ing.add_argument("landing", help="landing directory of .jsonl files")
     ing.add_argument("corpus", help="parquet corpus directory (appended)")
     ing.set_defaults(fn=cmd_ingest)

@@ -64,8 +64,10 @@ def ingest_corpus_stream(
     lock_timeout: float = 600.0,
     url_dedup: str | None = None,
     compact_files: int | None = None,
+    compact_every: int | None = None,
     span_index: str | None = None,
     span_tokens: int = 8,
+    max_files_per_trigger: int | None = None,
 ):
     """Start (and with ``available_now`` run to completion) the ingestion
     stream: JSONL landing dir → optional quality gate → per-batch exact
@@ -112,6 +114,18 @@ def ingest_corpus_stream(
     lease-fenced rewrite an external maintenance job would run, so a
     long-lived ingest directory never degrades into a small-files swamp
     without anyone scheduling maintenance.
+
+    ``compact_every`` makes that maintenance IN-STREAM and periodic:
+    every N epochs the same threshold check runs between batches —
+    after the epoch's locks release, so the compaction takes the writer
+    lease itself (the sink's fixed acquisition order, no deadlock) and
+    the next micro-batch simply waits on the lock like any concurrent
+    appender.  This is what keeps a CONTINUOUS (non-``available_now``)
+    ingest's file counts bounded without a drain ever happening;
+    requires ``compact_files`` as the threshold.  A crash mid-compaction
+    is already covered by the per-batch ``recover_dir`` calls.
+    ``max_files_per_trigger`` bounds how many landing files form one
+    micro-batch (epoch sizing at scale).
 
     ``span_index`` turns on CONTINUOUS exact-substring dedup (the Lee et
     al. span policy at ingest), as the LAST stage before the corpus
@@ -163,6 +177,12 @@ def ingest_corpus_stream(
                     dir_lock(span_index, timeout=lock_timeout)
                 )
             _sink_locked(batch, epoch_id, corpus_lease, index_lease, span_lease)
+        # periodic in-stream maintenance: AFTER the epoch's locks release
+        # (the compaction takes the same writer lease itself — holding it
+        # here would deadlock the non-reentrant lock); runs between
+        # batches, so the stream's own next epoch just waits on the lock
+        if compact_every is not None and (int(epoch_id) + 1) % compact_every == 0:
+            _maybe_compact()
 
     def _sink_locked(
         batch: DataFrame, epoch_id: int, corpus_lease, index_lease, span_lease
@@ -453,15 +473,25 @@ def ingest_corpus_stream(
             if len(files) > compact_files:
                 compact_span_index(spark, span_index)
 
-    if compact_files is not None and not available_now:
-        # the hook runs after the drain; a continuous stream never drains,
-        # so silently accepting the flag would accrete one file per
+    if compact_every is not None and compact_files is None:
+        raise ValueError(
+            "compact_every needs compact_files as the file-count threshold"
+        )
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
+    if compact_files is not None and not available_now and compact_every is None:
+        # the post-drain hook never fires on a continuous stream, so
+        # silently accepting the flag would accrete one file per
         # micro-batch forever while the caller believes maintenance runs
         raise ValueError(
-            "compact_files only applies to available_now drains — run a "
+            "compact_files only applies to available_now drains — pass "
+            "compact_every for periodic in-stream compaction, or run a "
             "separate `compact` (same writer lock) for continuous streams"
         )
-    stream = read_corpus_stream(spark, in_path, schema=schema)
+    stream = read_corpus_stream(
+        spark, in_path, schema=schema,
+        max_files_per_trigger=max_files_per_trigger,
+    )
     writer = stream.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint)
     if available_now:
         q = writer.trigger(availableNow=True).start()

@@ -725,3 +725,64 @@ def test_streaming_lsh_plus_span_signatures_describe_stored_text(spark, tmp_path
         .select("n_shingles").distinct().collect()
     }
     assert got == {expected}  # index describes the STORED text
+
+
+def test_streaming_ingest_periodic_compaction_continuous(spark, tmp_path):
+    """r7: in-stream periodic compaction — a CONTINUOUS (non-drain)
+    ingest with compact_every keeps its file counts bounded while dedup
+    behavior is unchanged across the compactions (exact refetch and
+    near-dup both still drop AFTER the corpus/index were rewritten)."""
+    import pytest
+
+    from slice_db_spark.plans.scale import _scan_parquet_files
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    lidx = str(tmp_path / "lsh_idx")
+
+    # flag validation
+    with pytest.raises(ValueError, match="compact_files"):
+        SC.ingest_corpus_stream(spark, str(land), out, ckpt, compact_every=2)
+    with pytest.raises(ValueError, match=">= 1"):
+        SC.ingest_corpus_stream(spark, str(land), out, ckpt,
+                                compact_files=2, compact_every=0)
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    batches = [
+        [{"doc_id": 1, "text": base, "lang": "en", "source": "a", "n_chars": 1}],
+        [{"doc_id": 2, "text": "completely unrelated second document with fresh novel words",
+          "lang": "en", "source": "a", "n_chars": 1}],
+        [{"doc_id": 3, "text": "third document also entirely distinct from everything before",
+          "lang": "en", "source": "a", "n_chars": 1}],
+        [{"doc_id": 10, "text": base, "lang": "en", "source": "a", "n_chars": 1}],  # exact refetch
+        [{"doc_id": 11,  # near-dup of doc 1 (one token changed)
+          "text": base.replace("today", "tonight"),
+          "lang": "en", "source": "a", "n_chars": 1}],
+        [{"doc_id": 12, "text": "a final unique document closing the stream with new content",
+          "lang": "en", "source": "a", "n_chars": 1}],
+    ]
+    for i, rows in enumerate(batches):
+        _write_batch(land, f"b{i}.jsonl", rows)
+        os.utime(os.path.join(land, f"b{i}.jsonl"), (1_000_000_000 + i * 100,) * 2)
+
+    # continuous stream, one landing file per epoch: 6 epochs, compaction
+    # every 2 — without it the corpus would hold >= 4 epoch-append files
+    q = SC.ingest_corpus_stream(
+        spark, str(land), out, ckpt, available_now=False, lsh_index=lidx,
+        compact_files=2, compact_every=2, max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert rows == {1, 2, 3, 12}  # refetch (10) and near-dup (11) dropped
+    files, _, _, _ = _scan_parquet_files(out)
+    assert len(files) <= 3  # bounded: 4 survivor epochs compacted down
+    # the LSH index survived its compactions with meta intact
+    from slice_db_spark.operators import dedup as D
+
+    assert D.read_lsh_meta(lidx) is not None
