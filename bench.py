@@ -138,6 +138,7 @@ HEADLINE = [
     "bpe_train",
     "bpe_apply",
     "bpe_train_batched",
+    "media_phash_pairs",
     "quality",
     "language_id",
     "lang_confusion",

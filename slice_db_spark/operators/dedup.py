@@ -747,24 +747,48 @@ def simhash_near_pairs(
     Candidate blocking: split the ``bits``-bit signature into ``bands``
     contiguous chunks; by pigeonhole any pair within distance < bands shares
     at least one exact chunk — join on (chunk index, chunk value), then
-    verify the true Hamming distance via ``bit_count(xor)``.
+    verify the true Hamming distance via ``bit_count(xor)``
+    (:func:`hamming_near_pairs`, shared with the image pHash pairs).
     """
     sigs = simhash_signatures(df, text_col, id_col, n, bits)
+    return hamming_near_pairs(
+        sigs, "simhash", id_col, bits=bits, bands=bands, max_hamming=max_hamming
+    )
+
+
+def hamming_near_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near pairs of any bit-signature frame by Hamming distance ≤
+    ``max_hamming`` — ONE banding/verify definition shared by text
+    SimHash and image pHash (signature semantics differ, the pairing
+    machinery must not drift).
+
+    Complete when ``max_hamming < bands`` (pigeonhole over contiguous
+    ``bits // bands``-bit chunks: fewer flipped bits than bands means at
+    least one chunk is untouched); the chunk equi-join keeps candidate
+    volume at Σ|bucket|² per band, never corpus².  Output:
+    (id_a, id_b, hamming) with ``id_a < id_b``."""
     chunk = bits // bands
     mask = (1 << chunk) - 1
     banded = sigs.select(
         F.col(id_col),
-        "simhash",
+        F.col(sig_col).alias("__sig"),
         F.posexplode(
-            F.array(*[(F.col("simhash").bitwiseOR(0) / F.lit(1 << (b * chunk))).cast("bigint") % F.lit(mask + 1) for b in range(bands)])
+            F.array(*[(F.col(sig_col).bitwiseOR(0) / F.lit(1 << (b * chunk))).cast("bigint") % F.lit(mask + 1) for b in range(bands)])
         ).alias("band", "chunk"),
     )
-    left = banded.select("band", "chunk", F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"))
-    right = banded.select("band", "chunk", F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"))
+    left = banded.select("band", "chunk", F.col(id_col).alias("id_a"), F.col("__sig").alias("sig_a"))
+    right = banded.select("band", "chunk", F.col(id_col).alias("id_b"), F.col("__sig").alias("sig_b"))
     return (
         left.join(right, ["band", "chunk"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )

@@ -112,22 +112,33 @@ def _real_decode(fmt: str, payload: bytes, n_features: int):
         bands = np.array_split(lum, n_features, axis=0)
         feats = [float(b.mean()) / 255.0 if b.size else 0.0 for b in bands]
         return w, h, len(frames), feats
-    if fmt == "png":
-        w, h, px = decode_png(payload)
-    elif fmt in ("jpeg", "jpg"):
-        w, h, px = decode_jpeg(payload)
-    elif fmt == "bmp":
-        w, h, px = decode_bmp(payload)
-    elif fmt == "pgm":
-        w, h, px = decode_pgm(payload)
-    else:
+    decoded = _decode_pixels(fmt, payload)
+    if decoded is None:
         return None
+    w, h, px = decoded
     lum = px.astype(np.float64)
     if lum.ndim == 3:
         lum = lum.mean(axis=2)
     bands = np.array_split(lum, n_features, axis=0)
     feats = [float(b.mean()) / 255.0 if b.size else 0.0 for b in bands]
     return w, h, 1, feats
+
+
+def _decode_pixels(fmt: str, payload: bytes):
+    """Real-codec still-image pixel decode shared by the feature
+    extractor and the perceptual-hash path: ``(w, h, ndarray)`` for the
+    formats with a real codec in this repo, ``None`` otherwise (caller
+    stubs or skips).  Malformed payloads raise the codec's ValueError —
+    quarantine upstream, same contract as :func:`decode_media`."""
+    if fmt == "png":
+        return decode_png(payload)
+    if fmt in ("jpeg", "jpg"):
+        return decode_jpeg(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    if fmt == "pgm":
+        return decode_pgm(payload)
+    return None
 
 
 def decode_media(df: DataFrame, n_features: int = 8) -> DataFrame:
@@ -175,6 +186,87 @@ RESIZED_SCHEMA = StructType(
         StructField("n_bytes", LongType()),
     ]
 )
+
+
+#: fixed-point 8-point DCT-II basis, K[u][x] = round(2^15 * cos((2x+1)uπ/16)).
+#: HARD-CODED integer literals (not computed at import): the pHash and its
+#: DuckDB oracle must share bit-identical coefficients, and a libm cos()
+#: re-derivation risks a last-ulp flip at the round() boundary on some
+#: platform.  Pure-integer products keep the whole transform exact:
+#: |K·K·pixel| ≤ 2^30 · 255 and 64 summands fit int64 with ~18 bits spare.
+PHASH_DCT_K = [
+    [32768, 32768, 32768, 32768, 32768, 32768, 32768, 32768],
+    [32138, 27246, 18205, 6393, -6393, -18205, -27246, -32138],
+    [30274, 12540, -12540, -30274, -30274, -12540, 12540, 30274],
+    [27246, -6393, -32138, -18205, 18205, 32138, 6393, -27246],
+    [23170, -23170, -23170, 23170, 23170, -23170, -23170, 23170],
+    [18205, -32138, 6393, 27246, -27246, -6393, 32138, -18205],
+    [12540, -30274, 30274, -12540, -12540, 30274, -30274, 12540],
+    [6393, -18205, 27246, -32138, 32138, -27246, 18205, -6393],
+]
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def phash_media(df: DataFrame) -> DataFrame:
+    """Perceptual 63-bit DCT hash per image — the signature that gives
+    images the same near-dedup rights as text (pair them with
+    ``operators.dedup.hamming_near_pairs``).
+
+    Per image, Arrow-batched: real-codec pixel decode
+    (:func:`_decode_pixels`), integer-luma grayscale
+    (``(299r + 587g + 114b) div 1000``), nearest-neighbor resample to an
+    8×8 grid (``g[i][j] = px[(i·h) div 8][(j·w) div 8]`` — the box-filter
+    front-end is the quality upgrade, documented), EXACT fixed-point 2-D
+    DCT (:data:`PHASH_DCT_K`, pure int64), then one bit per AC
+    coefficient: set iff the coefficient exceeds the MEDIAN of the 63 ACs
+    (the classic pHash threshold; the 32nd of 63 sorted values, ties →
+    0).  Bit i of the hash is AC index ``u*8 + v - 1`` in row-major
+    order; 63 bits keep the hash in a non-negative BIGINT in both
+    engines, so the DuckDB oracle replays the arithmetic verbatim.
+
+    Brightness shifts leave every AC (hence the hash) unchanged;
+    contrast scaling preserves most threshold signs — while any
+    structurally different image diverges in ~half the bits.  Output:
+    (media_id, phash)."""
+    import numpy as np
+
+    K = np.array(PHASH_DCT_K, dtype=np.int64)
+
+    def one(fmt: str, payload: bytes) -> int:
+        decoded = _decode_pixels(fmt, bytes(payload))
+        if decoded is None:
+            raise ValueError(f"phash_media: no real codec for format {fmt!r}")
+        w, h, px = decoded
+        px = px.astype(np.int64)
+        if px.ndim == 3:
+            px = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+        rows = (np.arange(8) * h) // 8
+        cols = (np.arange(8) * w) // 8
+        g = px[np.ix_(rows, cols)]
+        coef = K @ g @ K.T
+        ac = coef.ravel()[1:]
+        med = int(np.sort(ac)[31])
+        bits = ac > med
+        return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [
+                        one(f, p) for f, p in zip(pdf["format"], pdf["payload"])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)
 
 
 def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
@@ -342,6 +434,53 @@ def decode_bmp(payload: bytes):
         out[y] = row.reshape(width, 3)[:, ::-1]  # BGR -> RGB
         pos += row_bytes + pad
     return width, height, out
+
+
+def synth_texture_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic TEXTURED grayscale BMP per row, with PLANTED
+    perceptual near-duplicates — the pHash test corpus (plain
+    :func:`synth_bmp`/:func:`synth_jpeg` patterns are gradients /
+    block ramps whose pHashes collapse degenerately).
+
+    Every id's texture is a quadratic-form pseudo-noise field
+    ``base(x, y) = (17·seed + 3x² + 7y² + 5xy + 11x + 13y) mod 251``
+    (251 < 256 leaves headroom so the planted edits never wrap), size
+    ``(8 + seed mod 5) × (8 + 3·seed mod 7)``.  Ids are grouped in tens:
+    slots 0-7 are distinct textures (seed = id); slot 8 replays the
+    group's slot-0 texture at +4 brightness (pHash distance 0 — the
+    AC spectrum is brightness-invariant); slot 9 replays it at reduced
+    contrast (``base - base div 16``), a small-but-nonzero perceptual
+    edit.  Pure arithmetic an SQL oracle mirrors pixel-for-pixel."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                slot = k % 10
+                seed = k - slot if slot >= 8 else k
+                w, h = 8 + seed % 5, 8 + (3 * seed) % 7
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                base = (
+                    17 * seed + 3 * xs * xs + 7 * ys * ys
+                    + 5 * xs * ys + 11 * xs + 13 * ys
+                ) % 251
+                if slot == 8:
+                    gray = base + 4
+                elif slot == 9:
+                    gray = base - base // 16
+                else:
+                    gray = base
+                px = np.repeat(gray.astype("uint8")[:, :, None], 3, axis=2)
+                payload = encode_bmp(w, h, px)
+                rows.append((k, "image", payload, "bmp", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def synth_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -4015,6 +4015,38 @@ def media_y4m_frames(spark, sf_dir):
     return multimodal.y4m_frame_stats(multimodal.synth_y4m(docs), every=2)
 
 
+#: pHash pairing knobs: 63 signature bits, 7 bands of 9 — complete for
+#: Hamming ≤ 6 by pigeonhole (max_hamming < bands)
+PHASH_BANDS = 7
+PHASH_MAX_HAMMING = 6
+
+
+def media_phash_pairs(spark, sf_dir):
+    """Perceptual image near-dedup — the multimodal analog of the text
+    near-dup stack: textured BMPs with PLANTED near-duplicates
+    (`operators/multimodal.py::synth_texture_bmp` — every group of ten
+    ids carries a brightness-shifted and a contrast-reduced replay of
+    its slot-0 texture) decode through the REAL codec, hash to a 63-bit
+    fixed-point-DCT pHash (`phash_media` — integer basis
+    `PHASH_DCT_K`, median threshold), and pair by Hamming ≤ 6 via the
+    SAME banding/verify core text SimHash uses
+    (`operators/dedup.py::hamming_near_pairs`).  The oracle replays the
+    whole chain arithmetically: synth pixels from doc_id arithmetic,
+    the integer DCT from the shared coefficient table, median via
+    list_sort, and brute-force xor/bit_count pairing — any drift in
+    resampling, DCT, thresholding, or banding completeness breaks the
+    hash."""
+    docs = catalog(spark, sf_dir)["documents"]
+    sigs = multimodal.phash_media(multimodal.synth_texture_bmp(docs))
+    pairs = dedup.hamming_near_pairs(
+        sigs, "phash", "media_id",
+        bits=63, bands=PHASH_BANDS, max_hamming=PHASH_MAX_HAMMING,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
 def ann_index_probe(spark, sf_dir):
     """Persisted-index ANN path under the hash gate: train + materialize
     the IVF index (`similarity.build_ivf_index`: centroids.json +
@@ -6625,6 +6657,58 @@ v{_r} AS MATERIALIZED (
     )
     o["bpe_train"] = "WITH " + ",".join(_bpe_parts) + "\n" + _bpe_final
 
+    # pHash: synth pixels from doc_id arithmetic (the media_jpeg_stats
+    # formula), nearest-neighbor 8x8 grid, EXACT integer DCT from the
+    # SHARED coefficient table (multimodal.PHASH_DCT_K — single source
+    # of truth for both engines), median threshold via list_sort, then
+    # brute-force xor/bit_count pairing (the banding is complete for
+    # hamming <= 6, so brute force is the oracle of the banded join)
+    _k_vals = ",".join(
+        f"({u},{x},{multimodal.PHASH_DCT_K[u][x]})"
+        for u in range(8)
+        for x in range(8)
+    )
+    o["media_phash_pairs"] = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 10 AS slot,
+         CASE WHEN doc_id % 10 >= 8 THEN doc_id - doc_id % 10
+              ELSE doc_id END AS seed
+  FROM documents),
+d2 AS (SELECT media_id, slot, seed,
+              8 + seed % 5 AS w, 8 + (3 * seed) % 7 AS h
+       FROM d),
+kk(u, x, c) AS (VALUES {_k_vals}),
+g AS (
+  SELECT media_id, gi, gj,
+         CASE WHEN slot = 8 THEN base + 4
+              WHEN slot = 9 THEN base - base // 16
+              ELSE base END AS val
+  FROM (
+    SELECT media_id, slot, gi, gj,
+           (17 * seed + 3 * px * px + 7 * py * py
+            + 5 * px * py + 11 * px + 13 * py) % 251 AS base
+    FROM (SELECT media_id, slot, seed, gi, gj,
+                 (gj * w) // 8 AS px, (gi * h) // 8 AS py
+          FROM d2, range(0, 8) r1(gi), range(0, 8) r2(gj)))),
+coef AS (
+  SELECT media_id, ku.u AS u, kv.u AS v,
+         sum(CAST(ku.c AS BIGINT) * kv.c * val) AS cf
+  FROM g JOIN kk ku ON ku.x = g.gi JOIN kk kv ON kv.x = g.gj
+  GROUP BY media_id, ku.u, kv.u),
+ac AS (SELECT media_id, u * 8 + v - 1 AS bit_i, cf
+       FROM coef WHERE NOT (u = 0 AND v = 0)),
+med AS (SELECT media_id, list_sort(list(cf))[32] AS med
+        FROM ac GROUP BY media_id),
+ph AS (SELECT ac.media_id,
+              CAST(sum(CASE WHEN cf > med THEN (CAST(1 AS BIGINT) << bit_i)
+                            ELSE 0 END) AS BIGINT) AS phash
+       FROM ac JOIN med USING (media_id) GROUP BY ac.media_id)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM ph a JOIN ph b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+"""
+
     # exact-substring span dedup: positions ride the gram explode, dup
     # spans are a HAVING >= 2, coverage is a range explode — shared CTE
     # prefix between the stats and rewrite readouts
@@ -7722,4 +7806,5 @@ def _all_queries():
         # r7 additions (whole registry driver-verified after r6, so new
         # names land straight in the checked window)
         "bpe_train_batched": bpe_train_batched,
+        "media_phash_pairs": media_phash_pairs,
     }

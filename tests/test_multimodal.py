@@ -629,3 +629,54 @@ def test_jpeg_truncated_dqt_dht_sos_raise():
     # SOS declaring 2 components but carrying none
     with pytest.raises(ValueError, match="truncated JPEG SOS"):
         M.decode_jpeg(good[:2] + b"\xff\xda\x00\x03" + b"\x02" + good[2:])
+
+
+def test_phash_planted_near_dups_and_recall(spark):
+    """r7 pHash pins: (1) brightness shift leaves the hash IDENTICAL
+    (AC spectrum invariance), (2) the contrast-reduced replay stays
+    within the pairing threshold, (3) unrelated textures are far, and
+    (4) the banded pairing recalls EXACTLY the brute-force pairs at
+    hamming <= 6 (pigeonhole completeness, max_hamming < bands)."""
+    from slice_db_spark.operators.dedup import hamming_near_pairs
+
+    ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id bigint")
+    sigs = M.phash_media(M.synth_texture_bmp(ids))
+    hashes = {r.media_id: r.phash for r in sigs.collect()}
+
+    def ham(a, b):
+        return bin(hashes[a] ^ hashes[b]).count("1")
+
+    for g in (0, 10, 20, 30):
+        assert ham(g, g + 8) == 0          # brightness-shifted replay
+        assert ham(g, g + 9) <= 6          # contrast-reduced replay
+    assert ham(0, 10) > 6 and ham(1, 22) > 6  # distinct textures far
+
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_pairs(
+            sigs, "phash", "media_id", bits=63, bands=7, max_hamming=6
+        ).collect()
+    }
+    brute = {
+        (a, b, ham(a, b))
+        for a in hashes
+        for b in hashes
+        if a < b and ham(a, b) <= 6
+    }
+    assert got == brute and len(brute) >= 12  # >= 3 planted pairs / group
+
+
+def test_phash_jpeg_path_and_unknown_format(spark):
+    """phash_media rides the REAL codec dispatch: JPEG payloads decode
+    and hash; a format with no real codec raises (quarantine upstream,
+    like decode_media's malformed contract)."""
+    import pytest
+
+    ids = spark.createDataFrame([(3,), (51,)], "doc_id bigint")
+    got = {r.media_id: r.phash for r in M.phash_media(M.synth_jpeg(ids)).collect()}
+    assert set(got) == {3, 51} and all(0 <= v < 2**63 for v in got.values())
+    bad = spark.createDataFrame(
+        [(1, "image", bytearray(b"xx"), "tiff", 2)], M.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="no real codec"):
+        M.phash_media(bad).collect()
