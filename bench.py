@@ -139,6 +139,7 @@ HEADLINE = [
     "bpe_apply",
     "bpe_train_batched",
     "media_phash_pairs",
+    "media_phash_incremental",
     "quality",
     "language_id",
     "lang_confusion",

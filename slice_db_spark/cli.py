@@ -500,6 +500,37 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_ingest_media(args) -> int:
+    """One-shot streaming media ingestion run (availableNow): drain the
+    landing directory's parquet image shards into the deduplicated media
+    corpus, maintaining the persisted pHash signature index."""
+    from .session import get_spark
+    from .streaming.media import ingest_media_stream
+
+    spark = get_spark("slicedb-ingest-media")
+    ingest_media_stream(
+        spark,
+        args.landing,
+        args.corpus,
+        checkpoint=args.checkpoint,
+        phash_index=args.phash_index,
+        quarantine=args.quarantine,
+        rejects=args.rejects,
+        max_hamming=args.max_hamming,
+    )
+    report = {"corpus_rows": spark.read.parquet(args.corpus).count()}
+    import os as _os
+
+    sinks = {"quarantined": args.quarantine}
+    if args.rejects:
+        sinks["near_dup_rejected"] = args.rejects + ".neardup"
+    for key, path in sinks.items():
+        if path and _os.path.isdir(path):
+            report[key] = spark.read.json(path).count()
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Compact an append-heavy parquet sink (or an LSH signature / IVF
     inverted-list index) to size-targeted files behind the crash-safe
@@ -507,10 +538,13 @@ def cmd_compact(args) -> int:
     from .plans.scale import compact_lsh_index, compact_parquet
     from .session import get_spark
 
-    if sum(map(bool, (args.lsh_index, args.ivf_index, args.span_index))) > 1:
-        print(json.dumps({"error": "--lsh-index/--ivf-index/--span-index are exclusive"}))
+    if sum(map(bool, (args.lsh_index, args.ivf_index, args.span_index,
+                      args.phash_index))) > 1:
+        print(json.dumps({"error": "--lsh-index/--ivf-index/--span-index/"
+                          "--phash-index are exclusive"}))
         return 2
-    if (args.lsh_index or args.ivf_index or args.span_index) and args.partition_by is not None:
+    if (args.lsh_index or args.ivf_index or args.span_index
+            or args.phash_index) and args.partition_by is not None:
         print(json.dumps({"error": "index compaction fixes the partitioning; "
                           "--partition-by does not apply"}))
         return 2
@@ -525,6 +559,10 @@ def cmd_compact(args) -> int:
         from .plans.scale import compact_span_index
 
         report = compact_span_index(spark, args.path, target_file_bytes=args.target_bytes)
+    elif args.phash_index:
+        from .plans.scale import compact_phash_index
+
+        report = compact_phash_index(spark, args.path, target_file_bytes=args.target_bytes)
     else:
         # '--partition-by ""' is the explicit FLATTEN escape hatch ([]);
         # omitting the flag auto-detects and preserves hive layouts (None)
@@ -1193,6 +1231,26 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("corpus", help="parquet corpus directory (appended)")
     ing.set_defaults(fn=cmd_ingest)
 
+    im = sub.add_parser(
+        "ingest-media",
+        help="streaming media ingestion: parquet image shards -> "
+        "deduplicated media corpus with a persisted pHash index",
+    )
+    im.add_argument("--checkpoint", required=True)
+    im.add_argument("--phash-index", default=None,
+                    help="persisted (corpus_id, phash) signature index dir: "
+                    "turns on continuous perceptual near-dedup")
+    im.add_argument("--quarantine", default=None,
+                    help="JSON sink for undecodable payloads")
+    im.add_argument("--rejects", default=None,
+                    help="JSON sink root for perceptual near-dup drops "
+                    "(sibling <rejects>.neardup)")
+    im.add_argument("--max-hamming", type=int, default=6)
+    im.add_argument("landing", help="landing directory of parquet shards "
+                    "with MEDIA_SCHEMA columns")
+    im.add_argument("corpus", help="parquet media corpus directory (appended)")
+    im.set_defaults(fn=cmd_ingest_media)
+
     cp = sub.add_parser("compact", help="rewrite an append-heavy parquet sink to size-targeted files")
     cp.add_argument("--target-bytes", type=int, default=128 << 20)
     cp.add_argument("--partition-by", default=None,
@@ -1209,6 +1267,10 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--span-index", action="store_true",
                     help="treat the path as a span-gram index: drop "
                     "replay-duplicated (hash, owner) rows, keep the sidecar")
+    cp.add_argument("--phash-index", action="store_true",
+                    help="treat the path as an image pHash signature index: "
+                    "drop replay-duplicated (corpus_id, phash) rows, keep "
+                    "the banding sidecar")
     cp.add_argument("path", help="parquet directory to compact in place")
     cp.set_defaults(fn=cmd_compact)
 

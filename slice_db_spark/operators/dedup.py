@@ -774,21 +774,71 @@ def hamming_near_pairs(
     least one chunk is untouched); the chunk equi-join keeps candidate
     volume at Σ|bucket|² per band, never corpus².  Output:
     (id_a, id_b, hamming) with ``id_a < id_b``."""
-    chunk = bits // bands
-    mask = (1 << chunk) - 1
-    banded = sigs.select(
-        F.col(id_col),
-        F.col(sig_col).alias("__sig"),
-        F.posexplode(
-            F.array(*[(F.col(sig_col).bitwiseOR(0) / F.lit(1 << (b * chunk))).cast("bigint") % F.lit(mask + 1) for b in range(bands)])
-        ).alias("band", "chunk"),
-    )
+    banded = _hamming_banded(sigs, sig_col, id_col, bits, bands)
     left = banded.select("band", "chunk", F.col(id_col).alias("id_a"), F.col("__sig").alias("sig_a"))
     right = banded.select("band", "chunk", F.col(id_col).alias("id_b"), F.col("__sig").alias("sig_b"))
     return (
         left.join(right, ["band", "chunk"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def _hamming_banded(
+    sigs: DataFrame, sig_col: str, id_col: str, bits: int, bands: int
+) -> DataFrame:
+    """(id, __sig, band, chunk) — the banding projection shared by the
+    self-join (:func:`hamming_near_pairs`) and the asymmetric index
+    probe (:func:`hamming_near_pairs_asym`), one definition."""
+    chunk = bits // bands
+    mask = (1 << chunk) - 1
+    return sigs.select(
+        F.col(id_col),
+        F.col(sig_col).alias("__sig"),
+        F.posexplode(
+            F.array(*[(F.col(sig_col).bitwiseOR(0) / F.lit(1 << (b * chunk))).cast("bigint") % F.lit(mask + 1) for b in range(bands)])
+        ).alias("band", "chunk"),
+    )
+
+
+def hamming_near_pairs_asym(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    sig_col: str,
+    id_col: str = "media_id",
+    corpus_id_col: str = "corpus_id",
+    bits: int = 63,
+    bands: int = 7,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Asymmetric Hamming probe: NEW signatures against a standing
+    signature frame (the persisted pHash index) — band both sides with
+    the shared projection, equi-join on (band, chunk), verify with
+    ``bit_count(xor)``.  Per-batch cost scales with the new side's band
+    buckets, never with corpus-internal pair volume (the
+    ``probe_lsh_index`` regime).  Pairs where the corpus row's id equals
+    the probing id are EXCLUDED — a replayed epoch whose signatures
+    already landed must not match itself (the owner-exclusion contract
+    shared with the span index).  Output: (new_id, corpus_id,
+    hamming)."""
+    nb = _hamming_banded(new_sigs, sig_col, id_col, bits, bands)
+    cb = _hamming_banded(
+        corpus_sigs.select(
+            F.col(corpus_id_col).alias("__cid"), F.col(sig_col)
+        ),
+        sig_col, "__cid", bits, bands,
+    )
+    left = nb.select("band", "chunk", F.col(id_col).alias("new_id"), F.col("__sig").alias("sig_a"))
+    right = cb.select("band", "chunk", F.col("__cid").alias(corpus_id_col), F.col("__sig").alias("sig_b"))
+    return (
+        left.join(right, ["band", "chunk"])
+        .where(F.col("new_id") != F.col(corpus_id_col))
+        .select(
+            "new_id", corpus_id_col,
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )

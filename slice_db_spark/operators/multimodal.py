@@ -213,7 +213,7 @@ PHASH_SCHEMA = StructType(
 )
 
 
-def phash_media(df: DataFrame) -> DataFrame:
+def phash_media(df: DataFrame, null_on_error: bool = False) -> DataFrame:
     """Perceptual 63-bit DCT hash per image — the signature that gives
     images the same near-dedup rights as text (pair them with
     ``operators.dedup.hamming_near_pairs``).
@@ -233,7 +233,12 @@ def phash_media(df: DataFrame) -> DataFrame:
     Brightness shifts leave every AC (hence the hash) unchanged;
     contrast scaling preserves most threshold signs — while any
     structurally different image diverges in ~half the bits.  Output:
-    (media_id, phash)."""
+    (media_id, phash).
+
+    ``null_on_error=True`` returns a NULL phash for undecodable rows
+    (unknown format / malformed payload) instead of failing the job —
+    the ingest sink splits those into its quarantine; analytic queries
+    keep the default raise so a bad payload can't silently vanish."""
     import numpy as np
 
     K = np.array(PHASH_DCT_K, dtype=np.int64)
@@ -255,14 +260,26 @@ def phash_media(df: DataFrame) -> DataFrame:
         bits = ac > med
         return int(sum(1 << i for i, b in enumerate(bits) if b))
 
+    def guarded(fmt: str, payload: bytes):
+        try:
+            return one(fmt, payload)
+        except (ValueError, struct.error):
+            return None
+
+    hasher = guarded if null_on_error else one
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "phash": [
-                        one(f, p) for f, p in zip(pdf["format"], pdf["payload"])
-                    ],
+                    "phash": pd.array(
+                        [
+                            hasher(f, p)
+                            for f, p in zip(pdf["format"], pdf["payload"])
+                        ],
+                        dtype="Int64",
+                    ),
                 }
             )
 

@@ -4047,6 +4047,43 @@ def media_phash_pairs(spark, sf_dir):
     )
 
 
+def media_phash_incremental(spark, sf_dir):
+    """Continuous image-dedup regime under the hash gate: the standing
+    media corpus (doc_id % 5 != 0) materializes its persisted pHash
+    signature index (the `streaming/media.py::ingest_media_stream`
+    layout: (corpus_id, phash) parquet + banding sidecar), the arriving
+    batch (% 5 == 0) probes it asymmetrically via the banded join
+    (`operators/dedup.py::hamming_near_pairs_asym`) — exactly the
+    per-micro-batch machinery of the streaming sink, so continuous image
+    ingest sits under the same oracle as the batch pairing.  Result
+    checkpointed before the temp index dir is deleted."""
+    import shutil
+    import tempfile
+
+    from ..streaming.media import write_phash_meta
+
+    docs = catalog(spark, sf_dir)["documents"]
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    tmp = tempfile.mkdtemp(prefix="phash_idx_q_")
+    idx = os.path.join(tmp, "idx")
+    try:
+        multimodal.phash_media(multimodal.synth_texture_bmp(corpus)).select(
+            F.col("media_id").alias("corpus_id"), "phash"
+        ).write.mode("overwrite").parquet(idx)
+        write_phash_meta(idx, 63, PHASH_BANDS, PHASH_MAX_HAMMING)
+        probe = multimodal.phash_media(multimodal.synth_texture_bmp(batch))
+        return dedup.hamming_near_pairs_asym(
+            probe, spark.read.parquet(idx), "phash",
+            bits=63, bands=PHASH_BANDS, max_hamming=PHASH_MAX_HAMMING,
+        ).select(
+            "new_id", "corpus_id",
+            F.col("hamming").cast("bigint").alias("hamming"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def ann_index_probe(spark, sf_dir):
     """Persisted-index ANN path under the hash gate: train + materialize
     the IVF index (`similarity.build_ivf_index`: centroids.json +
@@ -6668,8 +6705,7 @@ v{_r} AS MATERIALIZED (
         for u in range(8)
         for x in range(8)
     )
-    o["media_phash_pairs"] = f"""
-WITH d AS (
+    _phash_cte = f"""d AS (
   SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 10 AS slot,
          CASE WHEN doc_id % 10 >= 8 THEN doc_id - doc_id % 10
               ELSE doc_id END AS seed
@@ -6702,10 +6738,25 @@ med AS (SELECT media_id, list_sort(list(cf))[32] AS med
 ph AS (SELECT ac.media_id,
               CAST(sum(CASE WHEN cf > med THEN (CAST(1 AS BIGINT) << bit_i)
                             ELSE 0 END) AS BIGINT) AS phash
-       FROM ac JOIN med USING (media_id) GROUP BY ac.media_id)
+       FROM ac JOIN med USING (media_id) GROUP BY ac.media_id)"""
+
+    o["media_phash_pairs"] = f"""
+WITH {_phash_cte}
 SELECT a.media_id AS id_a, b.media_id AS id_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
 FROM ph a JOIN ph b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+"""
+
+    # continuous image-dedup regime: corpus half's signatures are the
+    # standing index, batch half probes asymmetrically — same CTE chain,
+    # split readout (the id spaces are disjoint, so the probe's
+    # self-exclusion is moot, exactly the streaming contract)
+    o["media_phash_incremental"] = f"""
+WITH {_phash_cte}
+SELECT a.media_id AS new_id, b.media_id AS corpus_id,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM ph a JOIN ph b ON a.media_id % 5 = 0 AND b.media_id % 5 != 0
 WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
 """
 
@@ -7807,4 +7858,5 @@ def _all_queries():
         # names land straight in the checked window)
         "bpe_train_batched": bpe_train_batched,
         "media_phash_pairs": media_phash_pairs,
+        "media_phash_incremental": media_phash_incremental,
     }

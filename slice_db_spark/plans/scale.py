@@ -309,3 +309,17 @@ def compact_span_index(spark, path: str, target_file_bytes: int = 128 << 20) -> 
         spark, path, target_file_bytes, [], lambda df: df.dropDuplicates(),
         preserve_files=(SPAN_META_NAME,),
     )
+
+
+def compact_phash_index(spark, path: str, target_file_bytes: int = 128 << 20) -> dict:
+    """Maintenance for the continuous image-dedup signature index
+    (`..streaming.media.ingest_media_stream` layout: (corpus_id, phash)
+    rows): drop the duplicate rows crash-replayed appends leave behind,
+    compact to size-targeted files, and keep the ``_phash_meta.json``
+    banding sidecar."""
+    from ..streaming.media import PHASH_META_NAME
+
+    return _compact_dir(
+        spark, path, target_file_bytes, [], lambda df: df.dropDuplicates(),
+        preserve_files=(PHASH_META_NAME,),
+    )

@@ -1,0 +1,210 @@
+"""Streaming MEDIA ingestion: continuously land binary image shards into
+a deduplicated parquet media corpus with a persisted perceptual-hash
+index — image dedup made continuous, exactly like the text pipeline's
+LSH/span indexes.
+
+Landing format is parquet with the ``operators.multimodal.MEDIA_SCHEMA``
+columns (media_id, kind, payload, format, n_bytes): binary payloads
+don't survive JSONL, and a crawl's media fetcher writes parquet shards
+anyway.  Each micro-batch:
+
+1. quarantines undecodable payloads (unknown format / malformed bytes —
+   the codecs' ValueError contract, surfaced as NULL pHashes),
+2. exact-deduplicates by payload md5 within the batch and against the
+   corpus's persisted ``content_hash`` column (byte-identical refetches
+   drop without decoding twice),
+3. near-deduplicates perceptually: 63-bit fixed-point-DCT pHash
+   (:func:`..operators.multimodal.phash_media`), within-batch Hamming
+   pairs (min media_id wins) plus an asymmetric banded probe against the
+   persisted signature index
+   (:func:`..operators.dedup.hamming_near_pairs_asym`),
+4. appends the survivors' (corpus_id, phash) rows to the index BEFORE
+   the corpus append — the LSH/span ordering: the probe excludes rows
+   whose corpus_id equals the probing id, so a replayed epoch ignores
+   its own pre-crash signatures and rewrites bit-identically; a crash
+   between the appends can only duplicate signature rows (reclaimed by
+   ``plans.scale.compact_phash_index``), never lose coverage.
+
+Every read->append section holds the same fenced writer leases the text
+sink uses (``sources.atomic.dir_lock``), so live compaction can never
+interleave with an append and drop rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.atomic import dir_lock, recover_dir
+
+#: filename of the pHash-index parameter sidecar (underscore-prefixed so
+#: parquet readers skip it, like the LSH/span sidecars)
+PHASH_META_NAME = "_phash_meta.json"
+
+
+def write_phash_meta(path: str, bits: int, bands: int, max_hamming: int) -> None:
+    """Persist the banding parameters the index serves — probing with a
+    different (bits, bands) silently matches nothing."""
+    import json
+
+    with open(os.path.join(path, PHASH_META_NAME), "w") as f:
+        json.dump({"bits": bits, "bands": bands, "max_hamming": max_hamming}, f)
+
+
+def read_phash_meta(path: str) -> dict | None:
+    """Load the pHash-index sidecar; ``None`` when absent, ValueError
+    when present but malformed (the LSH sidecar contract)."""
+    import json
+
+    fp = os.path.join(path, PHASH_META_NAME)
+    try:
+        with open(fp) as f:
+            meta = json.load(f)
+    except OSError:
+        return None
+    except ValueError as e:
+        raise ValueError(f"corrupt phash index sidecar {fp}: {e}") from e
+    if not (
+        isinstance(meta, dict)
+        and all(isinstance(meta.get(k), int) for k in ("bits", "bands", "max_hamming"))
+    ):
+        raise ValueError(
+            f"corrupt phash index sidecar {fp}: expected integer bits/bands/"
+            f"max_hamming, got {meta!r}"
+        )
+    return meta
+
+
+def ingest_media_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    phash_index: str | None = None,
+    quarantine: str | None = None,
+    rejects: str | None = None,
+    available_now: bool = True,
+    bits: int = 63,
+    bands: int = 7,
+    max_hamming: int = 6,
+    lock_timeout: float = 600.0,
+):
+    """Start (and with ``available_now`` run to completion) the media
+    ingestion stream — see the module docstring for the per-batch
+    pipeline.  ``phash_index`` turns on continuous perceptual dedup;
+    banding parameters come from the index's own sidecar when it already
+    exists.  Returns the StreamingQuery."""
+    from ..operators import dedup as _dedup
+    from ..operators import multimodal as _mm
+    from ..operators.hashing import hash64
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        import contextlib
+
+        with contextlib.ExitStack() as locks:
+            corpus_lease = locks.enter_context(
+                dir_lock(out_path, timeout=lock_timeout)
+            )
+            index_lease = None
+            if phash_index is not None:
+                index_lease = locks.enter_context(
+                    dir_lock(phash_index, timeout=lock_timeout)
+                )
+            _sink_locked(batch, epoch_id, corpus_lease, index_lease)
+
+    def _sink_locked(batch: DataFrame, epoch_id: int, corpus_lease, index_lease):
+        recover_dir(out_path)
+        if phash_index is not None:
+            recover_dir(phash_index)
+        target_exists = os.path.isdir(out_path)
+        sp = batch.sparkSession
+
+        # decode once per batch: NULL phash = undecodable -> quarantine
+        sigs_all = _mm.phash_media(batch, null_on_error=True)
+        # md5 accepts BINARY directly — no string cast (arbitrary bytes
+        # are not valid UTF-8)
+        hashed = (
+            batch.join(sigs_all, "media_id")
+            .withColumn("content_hash", hash64(F.col("payload")))
+        ).persist()
+        try:
+            bad = hashed.where(F.col("phash").isNull())
+            if quarantine is not None:
+                # per-epoch overwrite: idempotent on replay, like the
+                # text sink's quarantine
+                bad.select("media_id", "format", "n_bytes").write.mode(
+                    "overwrite"
+                ).json(os.path.join(quarantine, f"epoch_id={int(epoch_id)}"))
+            good = hashed.where(F.col("phash").isNotNull())
+
+            # exact dedup: within batch (min media_id per payload hash),
+            # then against the corpus's persisted content_hash column
+            good = good.dropDuplicates(["content_hash", "media_id"])
+            w = good.groupBy("content_hash").agg(F.min("media_id").alias("media_id"))
+            uniq = good.join(w, ["content_hash", "media_id"], "left_semi")
+            if target_exists:
+                seen = sp.read.parquet(out_path).select("content_hash")
+                uniq = uniq.join(seen, "content_hash", "left_anti")
+
+            if phash_index is not None:
+                meta = (
+                    read_phash_meta(phash_index)
+                    if os.path.isdir(phash_index)
+                    else None
+                )
+                b_, n_, h_ = (
+                    (meta["bits"], meta["bands"], meta["max_hamming"])
+                    if meta
+                    else (bits, bands, max_hamming)
+                )
+                sigs = uniq.select("media_id", "phash")
+                # within-batch perceptual pairs: min media_id wins (the
+                # standing index only covers prior batches)
+                near = (
+                    _dedup.hamming_near_pairs(
+                        sigs, "phash", "media_id", bits=b_, bands=n_, max_hamming=h_
+                    )
+                    .select(F.col("id_b").alias("media_id"))
+                    .distinct()
+                )
+                if os.path.isdir(phash_index):
+                    near = near.union(
+                        _dedup.hamming_near_pairs_asym(
+                            sigs, sp.read.parquet(phash_index), "phash",
+                            id_col="media_id", corpus_id_col="corpus_id",
+                            bits=b_, bands=n_, max_hamming=h_,
+                        ).select(F.col("new_id").alias("media_id"))
+                    ).distinct()
+                near = near.localCheckpoint(eager=True)
+                if rejects is not None:
+                    uniq.join(near, "media_id", "left_semi").select(
+                        "media_id", "format", "n_bytes"
+                    ).write.mode("overwrite").json(
+                        os.path.join(
+                            rejects + ".neardup", f"epoch_id={int(epoch_id)}"
+                        )
+                    )
+                uniq = uniq.join(near, "media_id", "left_anti")
+                index_lease.check()  # fenced: never append on a lost lease
+                uniq.select(
+                    F.col("media_id").alias("corpus_id"), "phash"
+                ).write.mode("append").parquet(phash_index)
+                if meta is None:
+                    write_phash_meta(phash_index, b_, n_, h_)
+            corpus_lease.check()
+            uniq.write.mode("append").parquet(out_path)
+        finally:
+            hashed.unpersist()
+
+    from ..operators.multimodal import MEDIA_SCHEMA
+
+    stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(in_path)
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -882,3 +882,41 @@ def test_curate_span_dedup_stage(spark, tmp_path):
     texts = {r.doc_id: r.text for r in spark.read.parquet(str(out)).collect()}
     assert span not in texts[1] and span not in texts[2]  # both copies cut
     assert texts[3] == fancy  # untouched doc keeps original formatting
+
+
+def test_cli_ingest_media_and_phash_compact(spark, tmp_path):
+    """ingest-media drains parquet image shards with exact + perceptual
+    dedup and reports sink counters; compact --phash-index reclaims
+    replay duplicates and keeps the banding sidecar."""
+    import shutil
+
+    from slice_db_spark.operators import multimodal as M
+    from slice_db_spark.streaming.media import read_phash_meta
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    idx = str(tmp_path / "idx")
+    corpus = str(tmp_path / "media")
+    rej = str(tmp_path / "rej")
+
+    ids = spark.createDataFrame([(0,), (1,), (8,)], "doc_id bigint")
+    tmp = str(tmp_path / "stage")
+    M.synth_texture_bmp(ids).coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    shutil.copy(os.path.join(tmp, part), os.path.join(land, "b0.parquet"))
+
+    out = run_cli(
+        "ingest-media", "--checkpoint", str(tmp_path / "ckpt"),
+        "--phash-index", idx, "--rejects", rej, land, corpus,
+    )
+    rep = json.loads(out.strip().splitlines()[-1])
+    # id 8 is the planted brightness near-dup of id 0
+    assert rep["corpus_rows"] == 2 and rep["near_dup_rejected"] == 1
+
+    # replay-duplicate the index rows, then reclaim them
+    df = spark.read.parquet(idx)
+    df.write.mode("append").parquet(idx)
+    out = run_cli("compact", "--phash-index", idx)
+    rep = json.loads(out.strip().splitlines()[-1])
+    assert spark.read.parquet(idx).count() == 2
+    assert read_phash_meta(idx)["bands"] == 7

@@ -1,0 +1,146 @@
+"""Continuous image ingestion: persisted pHash signature index, exact +
+perceptual dedup at ingest, crash-replay immunity, compaction — the
+image analog of the text pipeline's LSH/span index tests."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from slice_db_spark.operators import multimodal as M
+from slice_db_spark.streaming import media as SM
+
+
+def _synth_rows(spark, ids):
+    return M.synth_texture_bmp(
+        spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    )
+
+
+def _land(df, land, name, mt):
+    """Write one batch as a single parquet file with a pinned mtime
+    (file-source batch order is mtime order)."""
+    tmp = os.path.join(land, f".tmp_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    dst = os.path.join(land, name)
+    shutil.copy(os.path.join(tmp, part), dst)
+    os.utime(dst, (mt, mt))
+    shutil.rmtree(tmp)
+
+
+def test_media_ingest_three_batch_growth(spark, tmp_path):
+    """Exact refetches, brightness near-dups (vs the standing index),
+    and corrupt payloads all drop/quarantine per batch; the signature
+    index grows with the survivors; a drained replay is a no-op."""
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    out = str(tmp_path / "media")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "phash_idx")
+    rej = str(tmp_path / "rejects")
+    quar = str(tmp_path / "quarantine")
+
+    _land(_synth_rows(spark, [0, 1, 2]), land, "b0.parquet", 1_000_000_000)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, rejects=rej)
+    assert {r.media_id for r in spark.read.parquet(out).collect()} == {0, 1, 2}
+    assert spark.read.parquet(idx).count() == 3
+    assert SM.read_phash_meta(idx) == {"bits": 63, "bands": 7, "max_hamming": 6}
+
+    # batch 2: id 8 = brightness replay of id 0 (perceptual near-dup via
+    # the STANDING index), id 10 = fresh texture, id 100 = byte-identical
+    # refetch of id 0's payload under a new id (exact dedup)
+    b1 = _synth_rows(spark, [8, 10])
+    refetch = _synth_rows(spark, [0]).collect()[0]
+    b1 = b1.unionByName(
+        spark.createDataFrame(
+            [(100, refetch.kind, refetch.payload, refetch.format,
+              refetch.n_bytes)],
+            M.MEDIA_SCHEMA,
+        )
+    )
+    _land(b1, land, "b1.parquet", 1_000_000_100)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, rejects=rej)
+    got = {r.media_id for r in spark.read.parquet(out).collect()}
+    assert got == {0, 1, 2, 10}
+    assert spark.read.parquet(idx).count() == 4
+    neardup = {r.media_id for r in spark.read.json(rej + ".neardup").collect()}
+    assert neardup == {8}
+
+    # batch 3: id 18 near-dups batch-2's survivor (id 10), id 20 fresh,
+    # plus one undecodable payload -> quarantine
+    b2 = _synth_rows(spark, [18, 20]).unionByName(
+        spark.createDataFrame(
+            [(999, "image", bytearray(b"not an image"), "bmp", 12)],
+            M.MEDIA_SCHEMA,
+        )
+    )
+    _land(b2, land, "b2.parquet", 1_000_000_200)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, rejects=rej)
+    got = {r.media_id for r in spark.read.parquet(out).collect()}
+    assert got == {0, 1, 2, 10, 20}
+    assert {r.media_id for r in spark.read.json(quar).collect()} == {999}
+
+    # drained replay: nothing changes
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, rejects=rej)
+    assert {r.media_id for r in spark.read.parquet(out).collect()} == got
+
+
+def test_media_ingest_crash_replay_self_immune(spark, tmp_path):
+    """Crash between index append and corpus append: on replay the
+    batch's signatures are ALREADY in the index under its own ids — the
+    id exclusion must land the image intact instead of dropping it as a
+    perceptual dup of itself."""
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    out = str(tmp_path / "media")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "phash_idx")
+
+    _land(_synth_rows(spark, [0, 1]), land, "b0.parquet", 1_000_000_000)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx)
+
+    # simulate the crash state for batch 2: id 30's signature landed,
+    # corpus row did not
+    from pyspark.sql import functions as F
+
+    M.phash_media(_synth_rows(spark, [30])).select(
+        F.col("media_id").alias("corpus_id"), "phash"
+    ).write.mode("append").parquet(idx)
+
+    _land(_synth_rows(spark, [30]), land, "b1.parquet", 1_000_000_100)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx)
+    assert {r.media_id for r in spark.read.parquet(out).collect()} == {0, 1, 30}
+
+
+def test_compact_phash_index_dedups_and_preserves_meta(spark, tmp_path):
+    """Replayed appends leave duplicate (corpus_id, phash) rows; the
+    compactor reclaims them, keeps the banding sidecar, and the probe
+    behaves identically afterwards."""
+    from pyspark.sql import functions as F
+
+    from slice_db_spark.operators.dedup import hamming_near_pairs_asym
+    from slice_db_spark.plans.scale import compact_phash_index
+
+    idx = str(tmp_path / "idx")
+    sigs = M.phash_media(_synth_rows(spark, [0, 1, 2])).select(
+        F.col("media_id").alias("corpus_id"), "phash"
+    )
+    sigs.write.mode("append").parquet(idx)
+    sigs.write.mode("append").parquet(idx)  # replayed duplicate rows
+    SM.write_phash_meta(idx, 63, 7, 6)
+
+    report = compact_phash_index(spark, idx)
+    assert report["files_after"] <= report["files_before"]
+    assert spark.read.parquet(idx).count() == 3  # duplicates reclaimed
+    assert SM.read_phash_meta(idx) == {"bits": 63, "bands": 7, "max_hamming": 6}
+
+    probe = M.phash_media(_synth_rows(spark, [8]))  # brightness replay of 0
+    hits = hamming_near_pairs_asym(
+        probe, spark.read.parquet(idx), "phash"
+    ).collect()
+    assert {(r.new_id, r.corpus_id, r.hamming) for r in hits} == {(8, 0, 0)}
