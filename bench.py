@@ -140,6 +140,7 @@ HEADLINE = [
     "bpe_train_batched",
     "media_phash_pairs",
     "media_phash_incremental",
+    "media_jpeg_progressive",
     "quality",
     "language_id",
     "lang_confusion",

@@ -980,6 +980,21 @@ def _jpeg_huff_spec():
     return (dc_bits, dc_vals), (ac_bits, ac_vals)
 
 
+def _jpeg_prog_huff_spec():
+    """AC table for PROGRESSIVE scans: the baseline symbol set plus the
+    fourteen EOBn codes (s = 0, r = 1..14 — EOB runs of 2..32767, Annex
+    G.1.2.2) baseline tables never carry.  176 symbols at a fixed 8 bits
+    is still a valid canonical table (≤ 255, all-ones code unused)."""
+    ac_bits = [0] * 16
+    ac_bits[7] = 176
+    ac_vals = (
+        [0x00, 0xF0]
+        + [r * 16 for r in range(1, 15)]  # EOB1..EOB14
+        + [r * 16 + s for r in range(16) for s in range(1, 11)]
+    )
+    return ac_bits, ac_vals
+
+
 def _huff_encode_map(bits, vals):
     """Canonical code assignment per T.81 Annex C: {symbol: (code, len)}."""
     out, code, k = {}, 0, 0
@@ -1029,6 +1044,25 @@ class _JpegBitWriter:
         if self.n:
             pad = 8 - self.n
             self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _jpeg_skip_entropy(data: bytes, pos: int) -> int:
+    """Position of the first REAL marker after an entropy-coded segment
+    starting at ``pos``: stuffed 0xFF00 pairs and RSTn markers belong to
+    the entropy stream, 0xFF fill bytes may pad before a marker
+    (T.81 B.1.1.2)."""
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = data[pos + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:  # stuffing / restart
+            pos += 2
+        elif nxt == 0xFF:  # fill byte
+            pos += 1
+        else:
+            return pos
+    raise ValueError("truncated JPEG entropy stream")
 
 
 class _JpegBitReader:
@@ -1282,15 +1316,431 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    pixels,
+    quant: int = 16,
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive (SOF2) JPEG writer — the fixture generator for the
+    progressive decode path and a real spectral-selection + successive-
+    approximation encoder in its own right.  uint8 ``(h, w)`` grayscale
+    or ``(h, w, 3)`` RGB at 4:4:4 (subsampling stays baseline-only);
+    same uniform quantization table as :func:`encode_jpeg`, so the
+    exactness construction (even offsets at q=16) carries over —
+    progressive transmission reorders BITS, not coefficients.
+
+    Fixed four-phase scan script, chosen to exercise every Annex G
+    decode branch: (1) interleaved DC first at Al=1 (point transform),
+    (2) per-component AC first 1..63 at Al=1 (EOB-run coding), (3) DC
+    refinement, (4) per-component AC refinement (correction bits
+    interleaved into ZRL / newly-significant runs, buffered across EOB
+    runs — the G.1.2.3 flow)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    color = px.ndim == 3
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError(f"restart_interval out of range: {restart_interval}")
+    planes = _rgb_to_ycbcr(px) if color else [px]
+    ncomp = len(planes)
+    a = _dct_basis()
+    qtab = np.full((8, 8), float(quant))
+    (dc_bits, dc_vals), _ = _jpeg_huff_spec()
+    ac_bits, ac_vals = _jpeg_prog_huff_spec()  # EOBn codes included
+    dc_map = _huff_encode_map(dc_bits, dc_vals)
+    ac_map = _huff_encode_map(ac_bits, ac_vals)
+    mcux, mcuy = -(-width // 8), -(-height // 8)
+
+    # quantized zigzag coefficients per component, computed once
+    coefs = []
+    for p in planes:
+        pad = np.pad(
+            p, ((0, mcuy * 8 - p.shape[0]), (0, mcux * 8 - p.shape[1])),
+            mode="edge",
+        ).astype(np.float64) - 128.0
+        arr = np.zeros((mcuy, mcux, 64), dtype=np.int64)
+        for by in range(mcuy):
+            for bx in range(mcux):
+                blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                q = np.floor(a @ blk @ a.T / qtab + 0.5).astype(np.int64)
+                zz = [int(q[0, 0])] + [
+                    int(np.clip(q[u, v], -1023, 1023)) for (u, v) in _ZIGZAG[1:]
+                ]
+                arr[by, bx] = zz
+        coefs.append(arr)
+
+    def _emit(w, m, sym):
+        code, ln = m[sym]
+        w.write(code, ln)
+
+    class _AcScan:
+        """Per-scan EOB-run state.  ``be_bits`` are correction bits OWNED
+        by the pending EOB run (they flush right after the EOBn code);
+        the current block's in-flight correction bits live in a local
+        buffer and flush AFTER the next symbol — two distinct buffers,
+        or the decoder's read order desyncs (the libjpeg BE/BR split)."""
+
+        def __init__(self, w):
+            self.w = w
+            self.eobrun = 0
+            self.be_bits: list[int] = []
+
+        def flush(self):
+            if self.eobrun > 0:
+                nbits = self.eobrun.bit_length() - 1
+                _emit(self.w, ac_map, nbits << 4)
+                if nbits:
+                    self.w.write(self.eobrun & ((1 << nbits) - 1), nbits)
+                self.eobrun = 0
+            for b in self.be_bits:
+                self.w.write(b, 1)
+            self.be_bits = []
+
+    def _ac_first_block(w, st, zz, al):
+        r = 0
+        for k in range(1, 64):
+            t = zz[k]
+            neg = t < 0
+            if neg:
+                t = -t
+            t >>= al  # AC point transform is a MAGNITUDE shift
+            if t == 0:
+                r += 1
+                continue
+            st.flush()
+            while r > 15:
+                _emit(w, ac_map, 0xF0)
+                r -= 16
+            nbits = t.bit_length()
+            _emit(w, ac_map, (r << 4) + nbits)
+            w.write((~t if neg else t) & ((1 << nbits) - 1), nbits)
+            r = 0
+        if r > 0:
+            st.eobrun += 1
+            if st.eobrun == 0x7FFF:
+                st.flush()
+
+    def _ac_refine_block(w, st, zz, al):
+        absv = [abs(int(v)) >> al for v in zz]
+        eob = 0
+        for k in range(1, 64):
+            if absv[k] == 1:
+                eob = k
+        r = 0
+        br: list[int] = []  # this block's in-flight correction bits
+        for k in range(1, 64):
+            temp = absv[k]
+            if temp == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                st.flush()
+                _emit(w, ac_map, 0xF0)
+                r -= 16
+                for b in br:
+                    w.write(b, 1)
+                br = []
+            if temp > 1:
+                # already nonzero at the coarser precision: one
+                # correction bit, buffered until the next code
+                br.append(temp & 1)
+                continue
+            st.flush()
+            _emit(w, ac_map, (r << 4) + 1)
+            w.write(1 if zz[k] > 0 else 0, 1)
+            for b in br:
+                w.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            st.eobrun += 1
+            st.be_bits += br
+            # bound the buffered-bit memory like libjpeg's MAX_CORR_BITS
+            if st.eobrun == 0x7FFF or len(st.be_bits) > 937:
+                st.flush()
+
+    def _scan_bytes(sel_cis, ss, se, ah, al):
+        w = _JpegBitWriter()
+        st = _AcScan(w)
+        pred = {ci: 0 for ci in sel_cis}
+        n_unit = 0
+
+        def tick():
+            nonlocal n_unit
+            if restart_interval and n_unit and n_unit % restart_interval == 0:
+                st.flush()
+                w.flush()
+                w.buf += bytes(
+                    [0xFF, 0xD0 + (n_unit // restart_interval - 1) % 8]
+                )
+                for ci in pred:
+                    pred[ci] = 0
+            n_unit += 1
+
+        for by in range(mcuy):
+            for bx in range(mcux):
+                tick()
+                for ci in sel_cis:
+                    zz = coefs[ci][by, bx]
+                    if ss == 0 and ah == 0:  # DC first (arithmetic shift)
+                        t = int(zz[0]) >> al
+                        size, bitsv = _jpeg_magnitude(t - pred[ci])
+                        pred[ci] = t
+                        _emit(w, dc_map, size)
+                        w.write(bitsv, size)
+                    elif ss == 0:  # DC refinement: one bit per block
+                        w.write((int(zz[0]) >> al) & 1, 1)
+                    elif ah == 0:
+                        _ac_first_block(w, st, [int(v) for v in zz], al)
+                    else:
+                        _ac_refine_block(w, st, zz, al)
+        st.flush()
+        w.flush()
+        hdr = bytes([len(sel_cis)])
+        for ci in sel_cis:
+            tid = 0 if ci == 0 else 1
+            hdr += bytes([ci + 1, (tid << 4) | tid])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return _jpeg_seg(0xDA, hdr) + w.buf
+
+    out = bytearray(b"\xff\xd8")
+    out += _jpeg_seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    zz_q = bytes(int(qtab[u, v]) for (u, v) in _ZIGZAG)
+    for tq in range(2 if color else 1):
+        out += _jpeg_seg(0xDB, bytes([tq]) + zz_q)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += _jpeg_seg(0xC2, sof)  # SOF2: progressive
+    for tid in range(2 if color else 1):
+        out += _jpeg_seg(0xC4, bytes([0x00 | tid] + dc_bits) + bytes(dc_vals))
+        out += _jpeg_seg(0xC4, bytes([0x10 | tid] + ac_bits) + bytes(ac_vals))
+    if restart_interval:
+        out += _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
+    all_cis = list(range(ncomp))
+    out += _scan_bytes(all_cis, 0, 0, 0, 1)  # DC first, Al=1
+    for ci in all_cis:  # AC first per component, Al=1
+        out += _scan_bytes([ci], 1, 63, 0, 1)
+    out += _scan_bytes(all_cis, 0, 0, 1, 0)  # DC refinement
+    for ci in all_cis:  # AC refinement per component
+        out += _scan_bytes([ci], 1, 63, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_jpeg_progressive(payload: bytes, frame, scans, qtabs):
+    """Progressive (SOF2) scan accumulation per T.81 Annex G: every scan
+    deposits spectral-selection / successive-approximation bits into
+    per-component zigzag coefficient arrays; dequantize + IDCT run ONCE
+    at the end over the accumulated coefficients (same reconstruction
+    arithmetic as the baseline path).
+
+    Covered: interleaved and single-component DC scans (first +
+    refinement), single-component AC scans (first with EOB-run coding,
+    refinement with correction bits interleaved into ZRL / newly-
+    significant runs — the G.1.2.3 flow), restart intervals (byte-align,
+    modulo-8 RSTn, DC-predictor and EOB-run reset), and tables redefined
+    between scans (each scan decodes against its snapshot)."""
+    import numpy as np
+
+    w_, h, comps = frame
+    hmax = max(h_i for _, h_i, _, _ in comps)
+    vmax = max(v_i for _, _, v_i, _ in comps)
+    mcux, mcuy = -(-w_ // (8 * hmax)), -(-h // (8 * vmax))
+    ci_by_cid = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    # zigzag-indexed coefficient store, one padded block grid per comp
+    coefs = [
+        np.zeros((mcuy * v_i, mcux * h_i, 64), dtype=np.int32)
+        for _, h_i, v_i, _ in comps
+    ]
+
+    for sel, ss, se, ah, al, data_pos, tabs, rst in scans:
+        reader = _JpegBitReader(payload, data_pos)
+        eobrun = 0
+
+        def _huff(table):
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | reader.bit()
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid JPEG Huffman code")
+
+        def _ac_first(blk, ac_tab):
+            nonlocal eobrun
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                sym = _huff(ac_tab)
+                r, s = sym >> 4, sym & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC run past band end")
+                blk[k] = _jpeg_extend(reader.bits(s), s) << al
+                k += 1
+
+        def _ac_refine(blk, ac_tab):
+            # T.81 G.1.2.3 / the classic refinement flow: correction
+            # bits for already-nonzero coefficients interleave into the
+            # zero-history runs of ZRL and newly-significant codes
+            nonlocal eobrun
+            p1, m1 = 1 << al, -1 << al
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = _huff(ac_tab)
+                    r, s = sym >> 4, sym & 15
+                    if s:
+                        if s != 1:
+                            raise ValueError("bad JPEG refinement symbol")
+                        s = p1 if reader.bit() else m1
+                    else:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                    while k <= se:
+                        if blk[k] != 0:
+                            if reader.bit() and (int(blk[k]) & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s:
+                        if k > se:
+                            raise ValueError("JPEG refinement run past band end")
+                        blk[k] = s
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if blk[k] != 0:
+                        if reader.bit() and (int(blk[k]) & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+
+        try:
+            dc_tabs = {cid: tabs[(0, tdc)] for cid, tdc, _ in sel} if ss == 0 else {}
+            ac_tabs = {cid: tabs[(1, tac)] for cid, _, tac in sel} if se > 0 else {}
+        except KeyError as e:
+            raise ValueError(f"missing JPEG table {e}") from e
+        pred = {cid: 0 for cid, _, _ in sel}
+        if ss == 0 and se != 0:
+            raise ValueError("JPEG DC scan must have Se = 0")
+        if ss != 0 and len(sel) != 1:
+            raise ValueError("JPEG AC scans are single-component")
+
+        def _dc_unit(cid, by, bx):
+            ci = ci_by_cid[cid]
+            blk = coefs[ci][by, bx]
+            if ah == 0:
+                size = _huff(dc_tabs[cid])
+                pred[cid] += _jpeg_extend(reader.bits(size), size)
+                blk[0] = pred[cid] << al
+            elif reader.bit():
+                blk[0] |= 1 << al
+
+        n_unit = 0
+
+        def _restart_tick():
+            nonlocal n_unit, eobrun
+            if rst and n_unit and n_unit % rst == 0:
+                reader.sync_restart(n_unit // rst - 1)
+                for cid in pred:
+                    pred[cid] = 0
+                eobrun = 0
+            n_unit += 1
+
+        if ss == 0 and len(sel) > 1:  # interleaved DC scan (MCU order)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    _restart_tick()
+                    for cid, _, _ in sel:
+                        _, h_i, v_i, _ = comps[ci_by_cid[cid]]
+                        for by in range(v_i):
+                            for bx in range(h_i):
+                                _dc_unit(cid, my * v_i + by, mx * h_i + bx)
+        else:  # single-component scan: the component's own block raster
+            cid = sel[0][0]
+            ci = ci_by_cid[cid]
+            _, h_i, v_i, _ = comps[ci]
+            # non-interleaved block grid: ceil(ceil(dim * f / fmax) / 8)
+            # (T.81 A.1.1 component dimensions, NOT the padded MCU grid)
+            comp_w = -(-(w_ * h_i) // hmax)
+            comp_h = -(-(h * v_i) // vmax)
+            nbx, nby = -(-comp_w // 8), -(-comp_h // 8)
+            for by in range(nby):
+                for bx in range(nbx):
+                    _restart_tick()
+                    if ss == 0:
+                        _dc_unit(cid, by, bx)
+                    elif ah == 0:
+                        _ac_first(coefs[ci][by, bx], ac_tabs[cid])
+                    else:
+                        _ac_refine(coefs[ci][by, bx], ac_tabs[cid])
+
+    # one reconstruction pass over the accumulated coefficients — the
+    # same dequantize/IDCT/clip arithmetic as the baseline block decode
+    a = _dct_basis()
+    planes = []
+    for ci, (cid, h_i, v_i, tq) in enumerate(comps):
+        try:
+            q = qtabs[tq]
+        except KeyError as e:
+            raise ValueError(f"missing JPEG table {e}") from e
+        plane = np.zeros((mcuy * 8 * v_i, mcux * 8 * h_i), dtype=np.uint8)
+        for by in range(coefs[ci].shape[0]):
+            for bx in range(coefs[ci].shape[1]):
+                zz = coefs[ci][by, bx]
+                c8 = np.zeros((8, 8))
+                for i, (u, v) in enumerate(_ZIGZAG):
+                    c8[u, v] = int(zz[i]) * q[i]
+                blk = a.T @ c8 @ a
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.floor(blk + 128.5), 0, 255
+                ).astype(np.uint8)
+        planes.append(plane)
+    up = []
+    for plane, (_, h_i, v_i, _) in zip(planes, comps):
+        if h_i != hmax or v_i != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // v_i, axis=0),
+                              hmax // h_i, axis=1)
+        up.append(plane[:h, :w_])
+    if len(up) == 1:
+        return w_, h, up[0]
+    return w_, h, _ycbcr_to_rgb(*up)
+
+
 def decode_jpeg(payload: bytes):
-    """Baseline JPEG parser -> ``(width, height, numpy uint8 (h, w) or
-    (h, w, 3))``.  Generic within scope: quantization and Huffman tables
-    come from the file's own DQT/DHT segments (canonical assignment per
-    Annex C) and sampling factors from SOF0 — third-party baseline files
-    decode as long as they are 8-bit and non-progressive, with sampling
-    factors in {1, 2} (4:4:4, 4:2:0, 4:2:2, 4:4:0 all in scope; chroma
-    upsamples by replication) and with or without DRI/RSTn restart
-    intervals.  Everything else raises ValueError (quarantine rows)."""
+    """Baseline AND progressive JPEG parser -> ``(width, height, numpy
+    uint8 (h, w) or (h, w, 3))``.  Generic within scope: quantization and
+    Huffman tables come from the file's own DQT/DHT segments (canonical
+    assignment per Annex C) and sampling factors from SOF0/SOF2 —
+    third-party files decode as long as they are 8-bit baseline
+    sequential or progressive (spectral selection + successive
+    approximation, Annex G), with sampling factors in {1, 2} (4:4:4,
+    4:2:0, 4:2:2, 4:4:0 all in scope; chroma upsamples by replication)
+    and with or without DRI/RSTn restart intervals.  Everything else
+    (lossless, arithmetic-coded, 12-bit, hierarchical) raises ValueError
+    (quarantine rows)."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -1301,6 +1751,8 @@ def decode_jpeg(payload: bytes):
     frame = None
     scan = None
     restart_interval = 0
+    progressive = False
+    prog_scans: list[tuple] = []
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -1350,9 +1802,10 @@ def decode_jpeg(payload: bytes):
                 vals = list(body[p + 17 : p + 17 + nv])
                 htabs[(tc, th)] = _huff_decode_map(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if len(body) < 6:
-                raise ValueError("truncated JPEG SOF0 segment")
+                raise ValueError("truncated JPEG SOF segment")
+            progressive = marker == 0xC2
             prec, h, w_, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -1372,24 +1825,43 @@ def decode_jpeg(payload: bytes):
                     )
                 comps.append((cid, h_i, v_i, tq))
             frame = (w_, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG (SOF0) supported")
+            raise ValueError(
+                "only baseline (SOF0) and progressive (SOF2) JPEG supported"
+            )
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
                 raise ValueError("truncated JPEG DRI segment")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
-            if not body or len(body) < 1 + 2 * body[0]:
+            if not body or len(body) < 4 + 2 * body[0]:
                 raise ValueError("truncated JPEG SOS segment")
             nc = body[0]
             sel = []
             for c in range(nc):
                 cid, tids = body[1 + 2 * c : 3 + 2 * c]
                 sel.append((cid, tids >> 4, tids & 15))
+            if progressive:
+                # spectral selection + successive approximation live in
+                # the SOS tail; tables/DRI may be redefined between
+                # scans, so snapshot the CURRENT state per scan and keep
+                # walking markers (entropy bytes are skipped, the scan
+                # itself decodes after the header walk)
+                ss, se, aa = body[1 + 2 * nc : 4 + 2 * nc]
+                prog_scans.append(
+                    (sel, ss, se, aa >> 4, aa & 15, pos + ln,
+                     dict(htabs), restart_interval)
+                )
+                pos = _jpeg_skip_entropy(payload, pos + ln)
+                continue
             scan = (sel, pos + ln)
             break
         pos += ln
+    if progressive:
+        if frame is None or not prog_scans:
+            raise ValueError("missing SOF2/SOS")
+        return _decode_jpeg_progressive(payload, frame, prog_scans, qtabs)
     if frame is None or scan is None:
         raise ValueError("missing SOF0/SOS")
     w_, h, comps = frame
@@ -1481,7 +1953,9 @@ def decode_jpeg(payload: bytes):
     return w_, h, _ycbcr_to_rgb(*up)
 
 
-def synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_jpeg(
+    df: DataFrame, id_col: str = "doc_id", progressive: bool = False
+) -> DataFrame:
     """Deterministic grayscale JPEG per row, EXACT by construction:
     ``w = 8 * (1 + k mod 3)``, ``h = 8 * (1 + (3k + 1) mod 2)``, and
     every 8x8 block (bx, by) is constant-valued
@@ -1491,8 +1965,13 @@ def synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     boundary, so decode returns the synthesized pixels bit-exactly and
     the oracle mirrors them with pure integer arithmetic — while the
     bytes still traverse real Huffman coding, zigzag, byte stuffing and
-    marker framing."""
+    marker framing.  ``progressive=True`` routes through the SOF2
+    multi-scan encoder (:func:`encode_jpeg_progressive`) — progressive
+    transmission reorders bits, not coefficients, so the exactness (and
+    the oracle) carries over unchanged."""
     import numpy as np
+
+    enc = encode_jpeg_progressive if progressive else encode_jpeg
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1505,7 +1984,7 @@ def synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     np.uint8
                 )
                 px = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
-                payload = encode_jpeg(w, h, px)
+                payload = enc(w, h, px)
                 rows.append((k, "image", payload, "jpeg", len(payload)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]

@@ -3866,6 +3866,20 @@ def media_jpeg_stats(spark, sf_dir):
     return multimodal.jpeg_stats(multimodal.synth_jpeg(docs))
 
 
+def media_jpeg_progressive(spark, sf_dir):
+    """PROGRESSIVE (SOF2) JPEG under the hash gate: the same synth
+    pattern as `media_jpeg_stats`, but encoded through the four-phase
+    spectral-selection + successive-approximation scan script
+    (`operators/multimodal.py::encode_jpeg_progressive`) and decoded by
+    the Annex-G multi-scan accumulator.  Progressive transmission
+    reorders BITS, not coefficients, so the decoded pixels — and
+    therefore the oracle SQL — are identical to the baseline gate's; any
+    DC/AC first-or-refinement, EOB-run, or correction-bit bug breaks the
+    hash."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.jpeg_stats(multimodal.synth_jpeg(docs, progressive=True))
+
+
 def dedup_index_compacted(spark, sf_dir):
     """Maintenance path under the hash gate: the SAME near-dup pairs must
     come out of a PERSISTED LSH index that was stressed by a replayed
@@ -6653,6 +6667,11 @@ FROM d
         FROM b
     """)
 
+    # progressive transmission reorders bits, not coefficients: the
+    # decoded pixels are identical to the baseline gate's, so the oracle
+    # IS the baseline oracle verbatim
+    o["media_jpeg_progressive"] = o["media_jpeg_stats"]
+
     # BPE training: the merge rounds unroll as CTE pairs (count+argmax,
     # then replace-merge), the doc_pagerank pattern.  Double-space symbol
     # delimiters make non-overlapping replace() the exact classic merge
@@ -7859,4 +7878,5 @@ def _all_queries():
         "bpe_train_batched": bpe_train_batched,
         "media_phash_pairs": media_phash_pairs,
         "media_phash_incremental": media_phash_incremental,
+        "media_jpeg_progressive": media_jpeg_progressive,
     }

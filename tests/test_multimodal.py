@@ -325,10 +325,16 @@ def test_jpeg_rejects_malformed():
         M.decode_jpeg(b"\x89PNG" + good)
     with pytest.raises(ValueError):
         M.decode_jpeg(good[:20])  # truncated mid-segment
-    # progressive SOF2 must be rejected, not mis-decoded
+    # a baseline stream relabeled SOF2 is MALFORMED progressive (its
+    # single full-band scan violates the DC-scan Se=0 rule) — reject,
+    # never mis-decode (r7: SOF2 itself now decodes, see
+    # test_jpeg_progressive_*)
     bad = good.replace(b"\xff\xc0", b"\xff\xc2")
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="Se = 0"):
         M.decode_jpeg(bad)
+    # genuinely unsupported frame types still raise
+    with pytest.raises(ValueError, match="SOF0.*SOF2|progressive"):
+        M.decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc3"))
     # sampling factors beyond 2 rejected (on a MULTI-component frame —
     # single-component scans are non-interleaved and ignore sampling,
     # T.81 A.2.2, so 0x22 on grayscale decodes fine)
@@ -680,3 +686,87 @@ def test_phash_jpeg_path_and_unknown_format(spark):
     )
     with pytest.raises(Exception, match="no real codec"):
         M.phash_media(bad).collect()
+
+
+def test_jpeg_progressive_roundtrip_equals_baseline():
+    """r7 progressive JPEG: the four-phase SOF2 scan script (DC first at
+    Al=1, AC first with EOB runs, DC refinement, AC refinement with
+    buffered correction bits) decodes to EXACTLY the baseline pixels —
+    progressive transmission reorders bits, not coefficients.  Random,
+    smooth (cross-block EOBn runs), color, and restart-interval cases."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for _ in range(6):
+        w, h = int(rng.integers(5, 45)), int(rng.integers(5, 45))
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        for q in (2, 16):
+            base = M.decode_jpeg(M.encode_jpeg(w, h, img, quant=q))
+            prog = M.decode_jpeg(M.encode_jpeg_progressive(w, h, img, quant=q))
+            assert np.array_equal(base[2], prog[2])
+    # smooth gradient: many all-zero-AC blocks -> multi-block EOBn codes
+    xs, ys = np.arange(48)[None, :], np.arange(48)[:, None]
+    img = ((xs * 3 + ys * 5) % 256).astype(np.uint8)
+    base = M.decode_jpeg(M.encode_jpeg(48, 48, img, quant=16))
+    prog = M.decode_jpeg(M.encode_jpeg_progressive(48, 48, img, quant=16))
+    assert np.array_equal(base[2], prog[2])
+    # color 4:4:4
+    img3 = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    base = M.decode_jpeg(M.encode_jpeg(17, 24, img3, quant=4))
+    prog = M.decode_jpeg(M.encode_jpeg_progressive(17, 24, img3, quant=4))
+    assert np.array_equal(base[2], prog[2])
+    # restart intervals reset DC preds AND EOB runs per scan
+    imgr = rng.integers(0, 256, (16, 32), dtype=np.uint8)
+    base = M.decode_jpeg(M.encode_jpeg(32, 16, imgr, quant=4))
+    for ri in (1, 3):
+        prog = M.decode_jpeg(
+            M.encode_jpeg_progressive(32, 16, imgr, quant=4, restart_interval=ri)
+        )
+        assert np.array_equal(base[2], prog[2])
+
+
+def test_jpeg_progressive_golden_scan_bytes():
+    """Hand-derived entropy bytes for the constant-140 8x8 progressive
+    stream (guards against an encoder/decoder bug pair that round-trips
+    but emits a non-spec bitstream): DC first at Al=1 sends diff=3 as
+    size-2 code 0010 + bits 11 + pad 11 = 0x2F; both AC scans are a
+    single EOB0 byte 0x00; the DC refinement bit is (6 & 1) = 0 plus
+    seven pad ones = 0x7F."""
+    import numpy as np
+
+    p = M.encode_jpeg_progressive(8, 8, np.full((8, 8), 140, dtype=np.uint8))
+    scans = []
+    pos = 0
+    while True:
+        i = p.find(b"\xff\xda", pos)
+        if i < 0:
+            break
+        ln = int.from_bytes(p[i + 2 : i + 4], "big")
+        start = i + 2 + ln
+        j = p.find(b"\xff", start)
+        scans.append(p[start:j].hex())
+        pos = i + 2
+    assert scans == ["2f", "00", "7f", "00"]
+    w, h, out = M.decode_jpeg(p)
+    assert np.array_equal(out, np.full((8, 8), 140, dtype=np.uint8))
+
+
+def test_jpeg_progressive_exactness_and_dispatch(spark):
+    """The even-offset q=16 exactness construction carries over to
+    progressive streams, and decode_media dispatches them like any
+    other jpeg payload."""
+    import numpy as np
+
+    k = 7
+    w, h = 8 * (1 + k % 3), 8 * (1 + (3 * k + 1) % 2)
+    bys, bxs = np.mgrid[0 : h // 8, 0 : w // 8]
+    blocks = (128 + 2 * ((3 * k + 5 * bxs + 7 * bys) % 48)).astype(np.uint8)
+    px = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    payload = M.encode_jpeg_progressive(w, h, px)
+    w2, h2, out = M.decode_jpeg(payload)
+    assert (w2, h2) == (w, h) and np.array_equal(out, px)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload), "jpeg", len(payload))], M.MEDIA_SCHEMA
+    )
+    dec = M.decode_media(df).collect()[0]
+    assert (dec.width, dec.height) == (w, h)
