@@ -710,7 +710,9 @@ def cmd_train_bpe(args) -> int:
 
     spark = get_spark("slicedb-train-bpe")
     docs, _ = split_corrupt(read_corpus(spark, args.input, fmt=args.input_format))
-    merges, vocab = textops._bpe_train(docs, args.rounds, "text")
+    merges, vocab = textops._bpe_train(
+        docs, args.rounds, "text", batch_merges=args.batch_merges
+    )
     merges = merges.localCheckpoint(eager=True)
     merges.repartition(1).write.mode("overwrite").parquet(args.output)
     # the SAME distribution definition the oracle-gated bpe_apply query
@@ -1296,6 +1298,10 @@ def main(argv: list[str] | None = None) -> int:
     tb = sub.add_parser("train-bpe", help="learn BPE merges from a corpus (tokenizer training)")
     tb.add_argument("--input-format", choices=["jsonl", "csv", "parquet"], default="parquet")
     tb.add_argument("--rounds", type=int, default=8)
+    tb.add_argument("--batch-merges", type=int, default=1,
+                    help="symbol-disjoint merges learned per driver round "
+                    "(1 = exact serial; >1 cuts driver round-trips to "
+                    "O(merges/K), the production-merge-count scale path)")
     tb.add_argument("input", help="corpus path (documents shape)")
     tb.add_argument("output", help="parquet output path for the merge table")
     tb.set_defaults(fn=cmd_train_bpe)

@@ -771,9 +771,15 @@ def hamming_near_pairs(
 
     Complete when ``max_hamming < bands`` (pigeonhole over contiguous
     ``bits // bands``-bit chunks: fewer flipped bits than bands means at
-    least one chunk is untouched); the chunk equi-join keeps candidate
-    volume at Σ|bucket|² per band, never corpus².  Output:
+    least one chunk is untouched) — violating that precondition raises,
+    it does not silently under-recall; the chunk equi-join keeps
+    candidate volume at Σ|bucket|² per band, never corpus².  Output:
     (id_a, id_b, hamming) with ``id_a < id_b``."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs at least max_hamming+1 bands "
+            f"(got {bands}): the pigeonhole completeness guarantee breaks"
+        )
     banded = _hamming_banded(sigs, sig_col, id_col, bits, bands)
     left = banded.select("band", "chunk", F.col(id_col).alias("id_a"), F.col("__sig").alias("sig_a"))
     right = banded.select("band", "chunk", F.col(id_col).alias("id_b"), F.col("__sig").alias("sig_b"))
@@ -791,14 +797,28 @@ def _hamming_banded(
 ) -> DataFrame:
     """(id, __sig, band, chunk) — the banding projection shared by the
     self-join (:func:`hamming_near_pairs`) and the asymmetric index
-    probe (:func:`hamming_near_pairs_asym`), one definition."""
+    probe (:func:`hamming_near_pairs_asym`), one definition.
+
+    Chunks are extracted with EXACT bit ops (``shiftrightunsigned`` +
+    ``bitwiseAND``), never division: Long ``/`` in Spark is DOUBLE
+    division, and a 63-bit signature ≥ 2^53 rounds before the cast —
+    band 0 collapses into one giant bucket (Σ|bucket|² → n²) and
+    rounding carries corrupt chunks on UNTOUCHED bit ranges, silently
+    dropping true near pairs the pigeonhole argument promises to keep."""
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} must divide evenly into bands={bands}")
     chunk = bits // bands
     mask = (1 << chunk) - 1
     return sigs.select(
         F.col(id_col),
         F.col(sig_col).alias("__sig"),
         F.posexplode(
-            F.array(*[(F.col(sig_col).bitwiseOR(0) / F.lit(1 << (b * chunk))).cast("bigint") % F.lit(mask + 1) for b in range(bands)])
+            F.array(*[
+                F.shiftrightunsigned(F.col(sig_col), b * chunk).bitwiseAND(
+                    F.lit(mask)
+                )
+                for b in range(bands)
+            ])
         ).alias("band", "chunk"),
     )
 
@@ -823,6 +843,11 @@ def hamming_near_pairs_asym(
     already landed must not match itself (the owner-exclusion contract
     shared with the span index).  Output: (new_id, corpus_id,
     hamming)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs at least max_hamming+1 bands "
+            f"(got {bands}): the pigeonhole completeness guarantee breaks"
+        )
     nb = _hamming_banded(new_sigs, sig_col, id_col, bits, bands)
     cb = _hamming_banded(
         corpus_sigs.select(

@@ -1637,6 +1637,13 @@ def _decode_jpeg_progressive(payload: bytes, frame, scans, qtabs):
                     k += 1
                 eobrun -= 1
 
+        # quarantine contract: every malformed-stream shape raises
+        # ValueError here, never IndexError/KeyError mid-decode
+        if not 0 <= ss <= se <= 63:
+            raise ValueError(f"bad JPEG spectral range Ss={ss} Se={se}")
+        for cid, _, _ in sel:
+            if cid not in ci_by_cid:
+                raise ValueError(f"JPEG scan references unknown component {cid}")
         try:
             dc_tabs = {cid: tabs[(0, tdc)] for cid, tdc, _ in sel} if ss == 0 else {}
             ac_tabs = {cid: tabs[(1, tac)] for cid, _, tac in sel} if se > 0 else {}

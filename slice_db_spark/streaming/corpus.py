@@ -339,22 +339,28 @@ def ingest_corpus_stream(
                 # would give later verified probes a stale, inflated
                 # Jaccard denominator and let near-dups just above
                 # threshold slip past the index
-                batch_unique = _span_stage(batch_unique, span_lease)
-                if span_index is not None:
-                    # rewrite may have changed survivor text: checkpoint
+                batch_unique, affected = _span_stage(batch_unique, span_lease)
+                # survivors' signatures, derived from the SAME shingle
+                # pass (filtering st by survivor id ≡ re-shingling
+                # survivors).  Replays may re-append signature rows;
+                # duplicates are harmless (candidates are per-pair
+                # deduplicated) — losing them is not
+                st_surv = st.join(near, "doc_id", "left_anti")
+                if affected is not None:
+                    # rewrite changed SOME survivors' text: checkpoint
                     # the rewritten frame (consumed by the re-shingle AND
-                    # the corpus append) and shingle the STORED text
+                    # the corpus append) and re-shingle ONLY the affected
+                    # docs — the untouched majority keeps its rows from
+                    # the already-persisted shingle pass
                     batch_unique = batch_unique.localCheckpoint(eager=True)
-                    st_surv = _dedup.shingle_table(
-                        batch_unique, text_col, "doc_id", ln
+                    st_surv = st_surv.join(
+                        affected, "doc_id", "left_anti"
+                    ).unionByName(
+                        _dedup.shingle_table(
+                            batch_unique.join(affected, "doc_id", "left_semi"),
+                            text_col, "doc_id", ln,
+                        )
                     )
-                else:
-                    # survivors' signatures, derived from the SAME shingle
-                    # pass (filtering st by survivor id ≡ re-shingling
-                    # survivors).  Replays may re-append signature rows;
-                    # duplicates are harmless (candidates are per-pair
-                    # deduplicated) — losing them is not
-                    st_surv = st.join(near, "doc_id", "left_anti")
                 sizes = st_surv.groupBy("doc_id").agg(
                     F.count(F.lit(1)).alias("n_shingles")
                 )
@@ -377,11 +383,11 @@ def ingest_corpus_stream(
                 st.unpersist()
                 persisted.unpersist()
         else:
-            batch_unique = _span_stage(batch_unique, span_lease)
+            batch_unique, _ = _span_stage(batch_unique, span_lease)
             corpus_lease.check()  # fenced: never append on a lost lease
             batch_unique.write.mode("append").parquet(out_path)
 
-    def _span_stage(bu: DataFrame, span_lease) -> DataFrame:
+    def _span_stage(bu: DataFrame, span_lease):
         """Exact-substring dedup as the LAST stage before the corpus
         append — AFTER exact dedup (identical copies collapse to one
         intact winner first, the curate ordering; the content hash stays
@@ -402,9 +408,13 @@ def ingest_corpus_stream(
         coverage matches the batch operator's remove-all policy instead
         of silently readmitting the span.  Replay stays bit-identical:
         the extra rows are self-owned by this epoch's doc ids and the
-        probe's owner exclusion skips them."""
+        probe's owner exclusion skips them.
+
+        Returns ``(frame, affected_ids)`` — the ids whose text the
+        rewrite changed (None when the stage is off), so the LSH branch
+        can re-shingle ONLY those instead of the whole batch."""
         if span_index is None:
-            return bu
+            return bu, None
         from ..operators import dedup as _sdedup
 
         meta = (
@@ -423,9 +433,11 @@ def ingest_corpus_stream(
             rw = _sdedup.duplicate_span_rewrite(
                 bu, span_tokens=stok, text_col=text_col
             )
+        # tiny (affected docs only) and consumed by the rewrite join AND
+        # the caller's shingle filters — materialize once
         affected = rw.where(F.col("n_removed") > 0).select(
             "doc_id", F.col(text_col).alias("__rwtext")
-        )
+        ).localCheckpoint(eager=True)
         out = (
             bu.join(affected, "doc_id", "left")
             .withColumn(
@@ -441,7 +453,7 @@ def ingest_corpus_stream(
         )
         if meta is None:
             _sdedup.write_span_meta(span_index, stok)
-        return out
+        return out, affected.select("doc_id")
 
     schema = DOCUMENTS_SCHEMA
     if url_dedup is not None:

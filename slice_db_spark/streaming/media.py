@@ -8,11 +8,12 @@ columns (media_id, kind, payload, format, n_bytes): binary payloads
 don't survive JSONL, and a crawl's media fetcher writes parquet shards
 anyway.  Each micro-batch:
 
-1. quarantines undecodable payloads (unknown format / malformed bytes —
-   the codecs' ValueError contract, surfaced as NULL pHashes),
-2. exact-deduplicates by payload md5 within the batch and against the
-   corpus's persisted ``content_hash`` column (byte-identical refetches
-   drop without decoding twice),
+1. exact-deduplicates by payload md5 within the batch and against the
+   corpus's persisted ``content_hash`` column — byte-identical refetches
+   drop on the hash alone, BEFORE the expensive pure-Python decode,
+2. quarantines undecodable survivors (unknown format / malformed bytes —
+   the codecs' ValueError contract, surfaced as NULL pHashes; an
+   undecodable exact-dup of a corpus row drops as a dup instead),
 3. near-deduplicates perceptually: 63-bit fixed-point-DCT pHash
    (:func:`..operators.multimodal.phash_media`), within-batch Hamming
    pairs (min media_id wins) plus an asymmetric banded probe against the
@@ -93,8 +94,14 @@ def ingest_media_stream(
     """Start (and with ``available_now`` run to completion) the media
     ingestion stream — see the module docstring for the per-batch
     pipeline.  ``phash_index`` turns on continuous perceptual dedup;
-    banding parameters come from the index's own sidecar when it already
-    exists.  Returns the StreamingQuery."""
+    (bits, bands) come from the index's own sidecar when it already
+    exists — ``max_hamming`` is a per-probe threshold and always the
+    caller's.  Returns the StreamingQuery."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs at least max_hamming+1 bands "
+            f"(got {bands}): the banded probe would silently under-recall"
+        )
     from ..operators import dedup as _dedup
     from ..operators import multimodal as _mm
     from ..operators.hashing import hash64
@@ -120,32 +127,32 @@ def ingest_media_stream(
         target_exists = os.path.isdir(out_path)
         sp = batch.sparkSession
 
-        # decode once per batch: NULL phash = undecodable -> quarantine
-        sigs_all = _mm.phash_media(batch, null_on_error=True)
-        # md5 accepts BINARY directly — no string cast (arbitrary bytes
-        # are not valid UTF-8)
-        hashed = (
-            batch.join(sigs_all, "media_id")
-            .withColumn("content_hash", hash64(F.col("payload")))
-        ).persist()
+        # exact dedup FIRST (md5 accepts BINARY directly — no string
+        # cast, arbitrary bytes are not valid UTF-8): byte-identical
+        # refetches drop on the hash alone, before the expensive
+        # pure-Python decode ever touches them.  An undecodable payload
+        # that exactly duplicates a corpus row drops as a dup instead of
+        # re-quarantining — the cheaper of the two correct outcomes
+        hashed = batch.withColumn("content_hash", hash64(F.col("payload")))
+        hashed = hashed.dropDuplicates(["content_hash", "media_id"])
+        w = hashed.groupBy("content_hash").agg(F.min("media_id").alias("media_id"))
+        survivors = hashed.join(w, ["content_hash", "media_id"], "left_semi")
+        if target_exists:
+            seen = sp.read.parquet(out_path).select("content_hash")
+            survivors = survivors.join(seen, "content_hash", "left_anti")
+
+        # decode ONLY the exact-dedup survivors: NULL phash = undecodable
+        sigs_all = _mm.phash_media(survivors, null_on_error=True)
+        joined = survivors.join(sigs_all, "media_id").persist()
         try:
-            bad = hashed.where(F.col("phash").isNull())
+            bad = joined.where(F.col("phash").isNull())
             if quarantine is not None:
                 # per-epoch overwrite: idempotent on replay, like the
                 # text sink's quarantine
                 bad.select("media_id", "format", "n_bytes").write.mode(
                     "overwrite"
                 ).json(os.path.join(quarantine, f"epoch_id={int(epoch_id)}"))
-            good = hashed.where(F.col("phash").isNotNull())
-
-            # exact dedup: within batch (min media_id per payload hash),
-            # then against the corpus's persisted content_hash column
-            good = good.dropDuplicates(["content_hash", "media_id"])
-            w = good.groupBy("content_hash").agg(F.min("media_id").alias("media_id"))
-            uniq = good.join(w, ["content_hash", "media_id"], "left_semi")
-            if target_exists:
-                seen = sp.read.parquet(out_path).select("content_hash")
-                uniq = uniq.join(seen, "content_hash", "left_anti")
+            uniq = joined.where(F.col("phash").isNotNull())
 
             if phash_index is not None:
                 meta = (
@@ -153,11 +160,12 @@ def ingest_media_stream(
                     if os.path.isdir(phash_index)
                     else None
                 )
-                b_, n_, h_ = (
-                    (meta["bits"], meta["bands"], meta["max_hamming"])
-                    if meta
-                    else (bits, bands, max_hamming)
-                )
+                # bits/bands are INDEX properties (the banding the stored
+                # signatures were built for); max_hamming is a per-probe
+                # threshold — the sidecar records it as provenance but
+                # must not override the caller's
+                b_, n_ = (meta["bits"], meta["bands"]) if meta else (bits, bands)
+                h_ = max_hamming
                 sigs = uniq.select("media_id", "phash")
                 # within-batch perceptual pairs: min media_id wins (the
                 # standing index only covers prior batches)
@@ -195,7 +203,7 @@ def ingest_media_stream(
             corpus_lease.check()
             uniq.write.mode("append").parquet(out_path)
         finally:
-            hashed.unpersist()
+            joined.unpersist()
 
     from ..operators.multimodal import MEDIA_SCHEMA
 

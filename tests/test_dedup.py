@@ -700,3 +700,50 @@ def test_incremental_span_rewrite_checks_meta(spark, tmp_path):
     # matching length still works
     got = incremental_span_rewrite(spark, idx, batch, span_tokens=8).collect()
     assert got[0].n_removed == 8
+
+
+def test_hamming_banding_exact_bit_extraction(spark):
+    """REVIEW r7 pin: band chunks must come from exact bit ops — Long `/`
+    is DOUBLE division in Spark, and signatures >= 2^53 rounded before
+    the cast, collapsing band 0 and silently losing true near pairs.
+    High-bit signatures with known distances must match brute force
+    EXACTLY, and the completeness precondition must raise, not
+    under-recall."""
+    import itertools
+    import random
+
+    import pytest
+
+    from slice_db_spark.operators.dedup import hamming_near_pairs
+
+    rng = random.Random(7)
+    rows = [(i, rng.getrandbits(63)) for i in range(30)]
+    # plant near pairs ON TOP-BIT-HEAVY signatures (the broken regime)
+    base = (1 << 62) | (1 << 53) | (1 << 35) | (1 << 3)
+    rows += [
+        (100, base),
+        (101, base ^ 1),                       # d=1 in the lowest bit
+        (102, base ^ (1 << 62)),               # d=1 in the TOP bit
+        (103, base ^ ((1 << 40) | (1 << 41))), # d=2 mid-band
+        (104, base ^ 0b1110110),               # d=5 spread low
+    ]
+    sigs = spark.createDataFrame(rows, "media_id bigint, phash bigint")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_near_pairs(
+            sigs, "phash", "media_id", bits=63, bands=7, max_hamming=6
+        ).collect()
+    }
+    brute = {
+        (ia, ib): bin(sa ^ sb).count("1")
+        for (ia, sa), (ib, sb) in itertools.combinations(rows, 2)
+        if bin(sa ^ sb).count("1") <= 6
+    }
+    assert got == brute and {(100, 101), (100, 102), (100, 103)} <= set(brute)
+
+    with pytest.raises(ValueError, match="pigeonhole|bands"):
+        hamming_near_pairs(sigs, "phash", "media_id",
+                           bits=63, bands=7, max_hamming=7)
+    with pytest.raises(ValueError, match="divide evenly"):
+        hamming_near_pairs(sigs, "phash", "media_id",
+                           bits=63, bands=4, max_hamming=3)

@@ -770,3 +770,29 @@ def test_jpeg_progressive_exactness_and_dispatch(spark):
     )
     dec = M.decode_media(df).collect()[0]
     assert (dec.width, dec.height) == (w, h)
+
+
+def test_jpeg_progressive_malformed_scan_headers_raise():
+    """REVIEW r7 pin: corrupt progressive scan headers (Se past the
+    band, unknown component id) raise ValueError — never IndexError/
+    KeyError — so the media sink's quarantine split keeps firing."""
+    import numpy as np
+    import pytest
+
+    px = np.full((8, 8), 140, dtype=np.uint8)
+    good = M.encode_jpeg_progressive(8, 8, px)
+
+    # the SECOND SOS is the AC-first scan: header bytes ... Ss Se AhAl
+    i = good.find(b"\xff\xda", good.find(b"\xff\xda") + 2)
+    ln = int.from_bytes(good[i + 2 : i + 4], "big")
+    arr = bytearray(good)
+    se_pos = i + 2 + ln - 2  # Se byte of that scan header
+    assert arr[se_pos] == 63
+    arr[se_pos] = 200
+    with pytest.raises(ValueError, match="spectral range"):
+        M.decode_jpeg(bytes(arr))
+
+    arr = bytearray(good)
+    arr[i + 5] = 9  # scan component id -> not in the frame
+    with pytest.raises(ValueError, match="unknown component"):
+        M.decode_jpeg(bytes(arr))

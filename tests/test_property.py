@@ -496,3 +496,60 @@ def test_jpeg_exact_roundtrip_property(bw, bh, seed):
     w2, h2, out = decode_jpeg(encode_jpeg(w, h, px))
     assert (w2, h2) == (w, h)
     assert np.array_equal(out, px)
+
+
+@given(
+    st.integers(1, 30), st.integers(1, 30),  # arbitrary pixel dims
+    st.integers(0, 2**32 - 1),               # pixel seed
+    st.sampled_from([2, 4, 16]),             # quant step
+    st.integers(0, 4),                       # restart interval (0 = off)
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_progressive_equals_baseline_property(w, h, seed, quant, rst):
+    """For ARBITRARY images, the progressive scan script decodes to
+    exactly the baseline decoder's pixels — same quantized coefficients,
+    different bit order.  Covers EOB runs, refinement correction bits,
+    edge-padded partial blocks, and restart intervals."""
+    import numpy as np
+
+    from slice_db_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(w, h, px, quant=quant))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(w, h, px, quant=quant, restart_interval=rst)
+    )
+    assert (base[0], base[1]) == (prog[0], prog[1]) == (w, h)
+    assert np.array_equal(base[2], prog[2])
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=20, deadline=None)
+def test_phash_brightness_invariance_property(seed):
+    """pHash is EXACTLY brightness-invariant whenever the shift doesn't
+    clip: adding a constant to every pixel moves only the DC
+    coefficient, and the hash reads ACs against their own median."""
+    import numpy as np
+
+    from slice_db_spark.operators.multimodal import (
+        PHASH_DCT_K,
+        encode_bmp,
+        phash_media,  # noqa: F401  (spark-side; hash math replicated below)
+    )
+
+    K = np.array(PHASH_DCT_K, dtype=np.int64)
+
+    def phash_of(g):
+        coef = K @ g.astype(np.int64) @ K.T
+        ac = coef.ravel()[1:]
+        med = int(np.sort(ac)[31])
+        return sum(1 << i for i, v in enumerate(ac) if v > med)
+
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 240, (8, 8))
+    assert phash_of(g) == phash_of(g + 7)
