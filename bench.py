@@ -141,6 +141,8 @@ HEADLINE = [
     "media_phash_pairs",
     "media_phash_incremental",
     "media_jpeg_progressive",
+    "media_audio_pairs",
+    "media_video_pairs",
     "quality",
     "language_id",
     "lang_confusion",

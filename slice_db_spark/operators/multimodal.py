@@ -213,6 +213,26 @@ PHASH_SCHEMA = StructType(
 )
 
 
+def _phash_of_pixels(px, w: int, h: int) -> int:
+    """The 63-bit pHash of one decoded pixel array — ONE definition of
+    the luma/resample/DCT/median arithmetic shared by the still-image
+    hash (:func:`phash_media`) and the per-frame video hash
+    (:func:`video_phash`), so the two can never drift."""
+    import numpy as np
+
+    K = np.array(PHASH_DCT_K, dtype=np.int64)
+    px = np.asarray(px).astype(np.int64)
+    if px.ndim == 3:
+        px = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(8) * w) // 8
+    g = px[np.ix_(rows, cols)]
+    coef = K @ g @ K.T
+    ac = coef.ravel()[1:]
+    med = int(np.sort(ac)[31])
+    return int(sum(1 << i for i, b in enumerate(ac > med) if b))
+
+
 def phash_media(df: DataFrame, null_on_error: bool = False) -> DataFrame:
     """Perceptual 63-bit DCT hash per image — the signature that gives
     images the same near-dedup rights as text (pair them with
@@ -239,26 +259,12 @@ def phash_media(df: DataFrame, null_on_error: bool = False) -> DataFrame:
     (unknown format / malformed payload) instead of failing the job —
     the ingest sink splits those into its quarantine; analytic queries
     keep the default raise so a bad payload can't silently vanish."""
-    import numpy as np
-
-    K = np.array(PHASH_DCT_K, dtype=np.int64)
-
     def one(fmt: str, payload: bytes) -> int:
         decoded = _decode_pixels(fmt, bytes(payload))
         if decoded is None:
             raise ValueError(f"phash_media: no real codec for format {fmt!r}")
         w, h, px = decoded
-        px = px.astype(np.int64)
-        if px.ndim == 3:
-            px = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
-        rows = (np.arange(8) * h) // 8
-        cols = (np.arange(8) * w) // 8
-        g = px[np.ix_(rows, cols)]
-        coef = K @ g @ K.T
-        ac = coef.ravel()[1:]
-        med = int(np.sort(ac)[31])
-        bits = ac > med
-        return int(sum(1 << i for i, b in enumerate(bits) if b))
+        return _phash_of_pixels(px, w, h)
 
     def guarded(fmt: str, payload: bytes):
         try:
@@ -372,6 +378,95 @@ def synth_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def synth_audio_clips(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PCM16 clips with PLANTED perceptual near-duplicates
+    — the audio fingerprint test corpus (:func:`synth_wav`'s linear ramp
+    is fingerprint-degenerate the way the plain image synths are
+    pHash-degenerate).
+
+    Every clip is 1550 samples (31 energy windows of 50) of quadratic
+    pseudo-noise with SEED-DEPENDENT coefficients,
+    ``base(i) = ((17·seed + (3 + seed mod 5)·i² + (11 + seed mod 13)·i)
+    mod 4096) − 2048`` — a seed entering only as an additive constant
+    would just value-shift the field and every clip's energy profile
+    (hence fingerprint) would collapse together.  Ids group in tens:
+    slots 0-7 are distinct clips (seed = id); slot 8 replays the group's
+    slot-0 clip at DOUBLE amplitude (energy ×4 — every energy DELTA
+    keeps its sign, fingerprint distance 0: amplitude invariance, the
+    audio analog of pHash brightness invariance); slot 9 replays it with
+    additive jitter ``(i mod 127) − 63`` (mild distortion — a few delta
+    signs flip, distances land 0-3).  Pure arithmetic an SQL oracle
+    mirrors sample-for-sample."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                slot = k % 10
+                seed = k - slot if slot >= 8 else k
+                base = [
+                    ((17 * seed + (3 + seed % 5) * i * i
+                      + (11 + seed % 13) * i) % 4096) - 2048
+                    for i in range(1550)
+                ]
+                if slot == 8:
+                    samples = [2 * s for s in base]
+                elif slot == 9:
+                    samples = [s + (i % 127) - 63 for i, s in enumerate(base)]
+                else:
+                    samples = base
+                payload = encode_wav(samples, 16000)
+                rows.append((k, "audio", payload, "wav", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("afp", LongType()),
+    ]
+)
+
+
+def audio_fingerprint(df: DataFrame, window: int = 50) -> DataFrame:
+    """Energy-profile audio fingerprint — the dependency-free
+    Haitsma-Kalker shape (their spectral bands become time windows here:
+    no FFT in this sandbox, and the delta-sign construction is the part
+    that matters): per clip, exact integer window energies
+    ``E_w = Σ s²`` over ``window`` samples, then one bit per adjacent
+    pair, set iff ``E_{w+1} > E_w``.  Doubling the amplitude scales
+    every energy by 4 and flips no delta sign — amplitude-invariant the
+    way pHash is brightness-invariant — while structurally different
+    audio diverges in ~half the bits.  Output: (media_id, afp BIGINT,
+    bit w = window-w delta); pair with
+    :func:`..operators.dedup.hamming_near_pairs`."""
+
+    def one(payload: bytes) -> int:
+        _, samples = decode_wav(bytes(payload))
+        n_win = len(samples) // window
+        e = [
+            sum(s * s for s in samples[w * window : (w + 1) * window])
+            for w in range(n_win)
+        ]
+        return sum(1 << w for w in range(len(e) - 1) if e[w + 1] > e[w])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "afp": [one(p) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
 
 
 WAV_STATS_SCHEMA = StructType(
@@ -2128,6 +2223,145 @@ def synth_y4m(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def synth_texture_y4m(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic textured mono Y4M clips with PLANTED perceptual
+    near-duplicates — the video fingerprint test corpus.  16×16 frames
+    (the pHash 8×8 grid samples every other pixel), ``3 + seed mod 3``
+    frames; frame f pixel ``base(x, y, f) = ((17·seed
+    + (3 + (seed + f) mod 5)·x² + (11 + seed mod 13)·y² + 5xy) mod 251)``
+    — the frame index perturbs the QUADRATIC coefficient so frames
+    differ structurally, not just by brightness.  Ids group in tens:
+    slots 0-7 distinct clips (seed = id); slot 8 = the group's slot-0
+    clip at +4 brightness (every frame hash identical — video distance
+    0); slot 9 = contrast-reduced (``base − base div 16``, small
+    per-frame distances).  Pure arithmetic an SQL oracle mirrors."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                slot = k % 10
+                seed = k - slot if slot >= 8 else k
+                n = 3 + seed % 3
+                fs, ys, xs = np.mgrid[0:n, 0:16, 0:16]
+                base = (
+                    17 * seed
+                    + (3 + (seed + fs) % 5) * xs * xs
+                    + (11 + seed % 13) * ys * ys
+                    + 5 * xs * ys
+                ) % 251
+                if slot == 8:
+                    px = base + 4
+                elif slot == 9:
+                    px = base - base // 16
+                else:
+                    px = base
+                payload = encode_y4m(16, 16, px.astype(np.uint8))
+                rows.append((k, "video", payload, "y4m", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+VIDEO_PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def video_phash(df: DataFrame) -> DataFrame:
+    """Per-frame 63-bit pHash over the real Y4M codec — the SAME hash
+    arithmetic as still images (:func:`_phash_of_pixels`), one row per
+    frame.  Output: (media_id, frame_idx, phash)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = decode_y4m(bytes(payload))
+                for f, px in enumerate(frames):
+                    rows.append((int(mid), f, _phash_of_pixels(px, w, h)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "phash"]
+            )
+
+    return df.mapInPandas(run, schema=VIDEO_PHASH_SCHEMA)
+
+
+def video_near_pairs(
+    sigs: DataFrame,
+    id_col: str = "media_id",
+    bits: int = 63,
+    bands: int = 7,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs from per-frame signatures: two clips
+    match iff they have the SAME frame count and EVERY aligned frame
+    pair is within ``max_hamming``.  Candidates come from banding the
+    FIRST frame's hash (complete: the criterion requires frame 0 within
+    ``max_hamming`` too, so pigeonhole applies to it); the verify step
+    zips the full hash sequences JVM-side (``zip_with`` + ``bit_count``,
+    no Python).  Output: (id_a, id_b, n_frames, max_frame_hamming)."""
+    from .dedup import _hamming_banded
+
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs at least max_hamming+1 bands "
+            f"(got {bands}): the pigeonhole completeness guarantee breaks"
+        )
+    vec = (
+        sigs.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("frame_idx", "phash"))
+            ).alias("__fr")
+        )
+        .select(
+            F.col(id_col),
+            F.expr("transform(__fr, x -> x.phash)").alias("hashes"),
+        )
+        .withColumn("__h0", F.element_at("hashes", 1))
+    )
+    banded = _hamming_banded(vec, "__h0", id_col, bits, bands)
+    cand = (
+        banded.select("band", "chunk", F.col(id_col).alias("id_a"))
+        .join(
+            banded.select("band", "chunk", F.col(id_col).alias("id_b")),
+            ["band", "chunk"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vec.select(F.col(id_col).alias("id_a"), F.col("hashes").alias("ha"))
+    vb = vec.select(F.col(id_col).alias("id_b"), F.col("hashes").alias("hb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .where(F.size("ha") == F.size("hb"))
+        .withColumn(
+            "max_frame_hamming",
+            F.expr(
+                "aggregate(zip_with(ha, hb, (x, y) -> bit_count(x ^ y)),"
+                " 0, (acc, v) -> greatest(acc, v))"
+            ).cast("bigint"),
+        )
+        .where(F.col("max_frame_hamming") <= max_hamming)
+        .select(
+            "id_a", "id_b",
+            F.size("ha").cast("bigint").alias("n_frames"),
+            "max_frame_hamming",
+        )
+    )
 
 
 Y4M_FRAME_STATS_SCHEMA = StructType(

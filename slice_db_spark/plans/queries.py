@@ -3866,6 +3866,51 @@ def media_jpeg_stats(spark, sf_dir):
     return multimodal.jpeg_stats(multimodal.synth_jpeg(docs))
 
 
+def media_video_pairs(spark, sf_dir):
+    """Perceptual VIDEO near-dedup — per-frame pHash over the real Y4M
+    codec (`operators/multimodal.py::video_phash`, the SAME hash
+    arithmetic as still images via `_phash_of_pixels`), paired by
+    `video_near_pairs`: same frame count AND every aligned frame within
+    Hamming ≤ 6, candidates banded on the first frame (complete by
+    pigeonhole, verify = JVM-side zip_with/bit_count).  The synth corpus
+    (`synth_texture_y4m`) plants brightness-shifted (distance 0) and
+    contrast-reduced clip replays per ten-id group; the oracle replays
+    pixels→per-frame DCT hashes→sequence-zip brute force."""
+    docs = catalog(spark, sf_dir)["documents"]
+    sigs = multimodal.video_phash(multimodal.synth_texture_y4m(docs))
+    return multimodal.video_near_pairs(
+        sigs, bits=63, bands=PHASH_BANDS, max_hamming=PHASH_MAX_HAMMING
+    )
+
+
+#: audio fingerprint pairing knobs: 30 delta bits (31 windows), 6 bands
+#: of 5 — complete for Hamming ≤ 4 by pigeonhole
+AUDIO_FP_BANDS = 6
+AUDIO_FP_MAX_HAMMING = 4
+
+
+def media_audio_pairs(spark, sf_dir):
+    """Perceptual AUDIO near-dedup — the third modality gets the same
+    near-dup rights as text and images: synthesized PCM16 clips with
+    planted near-duplicates (`operators/multimodal.py::synth_audio_clips`
+    — every ten ids carry an amplitude-doubled and a jittered replay of
+    slot 0) decode through the real WAV codec, fingerprint to 30
+    energy-delta bits (`audio_fingerprint` — exact integer window
+    energies, bit per adjacent-window sign), and pair by Hamming ≤ 4 via
+    the SAME banding/verify core as SimHash and pHash.  The oracle
+    replays samples→energies→delta bits→fingerprint arithmetically and
+    brute-forces the pairing."""
+    docs = catalog(spark, sf_dir)["documents"]
+    sigs = multimodal.audio_fingerprint(multimodal.synth_audio_clips(docs))
+    pairs = dedup.hamming_near_pairs(
+        sigs, "afp", "media_id",
+        bits=30, bands=AUDIO_FP_BANDS, max_hamming=AUDIO_FP_MAX_HAMMING,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
 def media_jpeg_progressive(spark, sf_dir):
     """PROGRESSIVE (SOF2) JPEG under the hash gate: the same synth
     pattern as `media_jpeg_stats`, but encoded through the four-phase
@@ -6672,6 +6717,94 @@ FROM d
     # IS the baseline oracle verbatim
     o["media_jpeg_progressive"] = o["media_jpeg_stats"]
 
+    # shared fixed-point DCT basis literal (multimodal.PHASH_DCT_K is the
+    # single source of truth for the engine AND every pHash oracle)
+    _k_vals = ",".join(
+        f"({u},{x},{multimodal.PHASH_DCT_K[u][x]})"
+        for u in range(8)
+        for x in range(8)
+    )
+
+    # video: per-frame pHash (same DCT table literal), sequences zipped
+    # brute-force — same-length clips whose max aligned-frame distance
+    # stays within the threshold
+    o["media_video_pairs"] = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 10 AS slot,
+         CASE WHEN doc_id % 10 >= 8 THEN doc_id - doc_id % 10
+              ELSE doc_id END AS seed
+  FROM documents),
+df AS (SELECT media_id, slot, seed,
+              unnest(range(0, CAST(3 + seed % 3 AS INT))) AS f
+       FROM d),
+kk(u, x, c) AS (VALUES {_k_vals}),
+g AS (
+  SELECT media_id, f, gi, gj,
+         CASE WHEN slot = 8 THEN base + 4
+              WHEN slot = 9 THEN base - base // 16
+              ELSE base END AS val
+  FROM (
+    SELECT media_id, slot, f, gi, gj,
+           (17 * seed + (3 + (seed + f) % 5) * (2 * gj) * (2 * gj)
+            + (11 + seed % 13) * (2 * gi) * (2 * gi)
+            + 5 * (2 * gj) * (2 * gi)) % 251 AS base
+    FROM df, range(0, 8) r1(gi), range(0, 8) r2(gj))),
+coef AS (
+  SELECT media_id, f, ku.u AS u, kv.u AS v,
+         sum(CAST(ku.c AS BIGINT) * kv.c * val) AS cf
+  FROM g JOIN kk ku ON ku.x = g.gi JOIN kk kv ON kv.x = g.gj
+  GROUP BY media_id, f, ku.u, kv.u),
+ac AS (SELECT media_id, f, u * 8 + v - 1 AS bit_i, cf
+       FROM coef WHERE NOT (u = 0 AND v = 0)),
+med AS (SELECT media_id, f, list_sort(list(cf))[32] AS med
+        FROM ac GROUP BY media_id, f),
+ph AS (SELECT ac.media_id, ac.f,
+              CAST(sum(CASE WHEN cf > med THEN (CAST(1 AS BIGINT) << bit_i)
+                            ELSE 0 END) AS BIGINT) AS phash
+       FROM ac JOIN med USING (media_id, f) GROUP BY ac.media_id, ac.f),
+v AS (SELECT media_id, list(phash ORDER BY f) AS hs FROM ph GROUP BY media_id)
+SELECT id_a, id_b, n_frames, max_frame_hamming FROM (
+  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         CAST(len(a.hs) AS BIGINT) AS n_frames,
+         CAST(list_max(list_transform(range(1, len(a.hs) + 1),
+              i -> bit_count(xor(a.hs[i], b.hs[i])))) AS BIGINT)
+           AS max_frame_hamming
+  FROM v a JOIN v b ON a.media_id < b.media_id AND len(a.hs) = len(b.hs))
+WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
+"""
+
+    # audio fingerprint: samples -> exact integer window energies ->
+    # adjacent-delta sign bits -> 30-bit fingerprint, then brute-force
+    # xor/bit_count pairing (the completeness oracle of the banded join)
+    o["media_audio_pairs"] = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 10 AS slot,
+         CASE WHEN doc_id % 10 >= 8 THEN doc_id - doc_id % 10
+              ELSE doc_id END AS seed
+  FROM documents),
+s AS (
+  SELECT media_id, i // 50 AS w,
+         CASE WHEN slot = 8 THEN 2 * base
+              WHEN slot = 9 THEN base + (i % 127) - 63
+              ELSE base END AS smp
+  FROM (SELECT media_id, slot, i,
+               (17 * seed + (3 + seed % 5) * i * i
+                + (11 + seed % 13) * i) % 4096 - 2048 AS base
+        FROM d, range(0, 1550) r(i))),
+e AS (SELECT media_id, w, sum(smp * smp) AS energy FROM s GROUP BY media_id, w),
+b AS (SELECT e1.media_id, e1.w AS w,
+             CASE WHEN e2.energy > e1.energy THEN 1 ELSE 0 END AS bit
+      FROM e e1 JOIN e e2 ON e2.media_id = e1.media_id AND e2.w = e1.w + 1),
+f AS (SELECT media_id,
+             CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(w AS INT))) AS BIGINT)
+               AS afp
+      FROM b GROUP BY media_id)
+SELECT a.media_id AS id_a, bb.media_id AS id_b,
+       CAST(bit_count(xor(a.afp, bb.afp)) AS BIGINT) AS hamming
+FROM f a JOIN f bb ON a.media_id < bb.media_id
+WHERE bit_count(xor(a.afp, bb.afp)) <= {AUDIO_FP_MAX_HAMMING}
+"""
+
     # BPE training: the merge rounds unroll as CTE pairs (count+argmax,
     # then replace-merge), the doc_pagerank pattern.  Double-space symbol
     # delimiters make non-overlapping replace() the exact classic merge
@@ -6719,11 +6852,8 @@ v{_r} AS MATERIALIZED (
     # of truth for both engines), median threshold via list_sort, then
     # brute-force xor/bit_count pairing (the banding is complete for
     # hamming <= 6, so brute force is the oracle of the banded join)
-    _k_vals = ",".join(
-        f"({u},{x},{multimodal.PHASH_DCT_K[u][x]})"
-        for u in range(8)
-        for x in range(8)
-    )
+    # (defined before the FIRST consumer — the video oracle above also
+    # interpolates it, so it is hoisted near the top of the media block)
     _phash_cte = f"""d AS (
   SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 10 AS slot,
          CASE WHEN doc_id % 10 >= 8 THEN doc_id - doc_id % 10
@@ -7879,4 +8009,6 @@ def _all_queries():
         "media_phash_pairs": media_phash_pairs,
         "media_phash_incremental": media_phash_incremental,
         "media_jpeg_progressive": media_jpeg_progressive,
+        "media_audio_pairs": media_audio_pairs,
+        "media_video_pairs": media_video_pairs,
     }

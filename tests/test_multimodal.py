@@ -796,3 +796,69 @@ def test_jpeg_progressive_malformed_scan_headers_raise():
     arr[i + 5] = 9  # scan component id -> not in the frame
     with pytest.raises(ValueError, match="unknown component"):
         M.decode_jpeg(bytes(arr))
+
+
+def test_audio_fingerprint_planted_near_dups_and_recall(spark):
+    """r7 audio fingerprint pins: amplitude doubling leaves the
+    fingerprint IDENTICAL (energy-delta sign invariance), the jittered
+    replay stays within the pairing threshold, unrelated clips are far,
+    and the banded pairing recalls exactly the brute-force pairs."""
+    from slice_db_spark.operators.dedup import hamming_near_pairs
+
+    ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id bigint")
+    sigs = M.audio_fingerprint(M.synth_audio_clips(ids))
+    fps = {r.media_id: r.afp for r in sigs.collect()}
+
+    def ham(a, b):
+        return bin(fps[a] ^ fps[b]).count("1")
+
+    for g in (0, 10, 20, 30):
+        assert ham(g, g + 8) == 0       # amplitude-doubled replay
+        assert ham(g, g + 9) <= 4       # jittered replay
+    assert ham(0, 11) > 4 and ham(3, 25) > 4  # distinct clips far
+
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_pairs(
+            sigs, "afp", "media_id", bits=30, bands=6, max_hamming=4
+        ).collect()
+    }
+    brute = {
+        (a, b, ham(a, b))
+        for a in fps for b in fps if a < b and ham(a, b) <= 4
+    }
+    assert got == brute and len(brute) >= 8
+
+
+def test_video_phash_planted_near_dups_and_recall(spark):
+    """r7 video fingerprint pins: the brightness-shifted clip replay is
+    distance 0 on EVERY frame, the contrast replay stays within
+    threshold, different-frame-count clips never pair, and the banded
+    pairing recalls exactly the brute-force sequence matches."""
+    import itertools
+
+    ids = spark.createDataFrame([(i,) for i in range(30)], "doc_id bigint")
+    sigs = M.video_phash(M.synth_texture_y4m(ids))
+    by_vid: dict[int, list[int]] = {}
+    for r in sigs.collect():
+        by_vid.setdefault(r.media_id, []).append((r.frame_idx, r.phash))
+    seqs = {k: [p for _, p in sorted(v)] for k, v in by_vid.items()}
+
+    def maxham(a, b):
+        return max(bin(x ^ y).count("1") for x, y in zip(seqs[a], seqs[b]))
+
+    for g in (0, 10, 20):
+        assert len(seqs[g]) == len(seqs[g + 8]) == len(seqs[g + 9])
+        assert maxham(g, g + 8) == 0
+        assert maxham(g, g + 9) <= 6
+
+    got = {
+        (r.id_a, r.id_b, r.n_frames, r.max_frame_hamming)
+        for r in M.video_near_pairs(sigs).collect()
+    }
+    brute = {
+        (a, b, len(seqs[a]), maxham(a, b))
+        for a, b in itertools.combinations(sorted(seqs), 2)
+        if len(seqs[a]) == len(seqs[b]) and maxham(a, b) <= 6
+    }
+    assert got == brute and len(brute) >= 9
