@@ -143,6 +143,7 @@ HEADLINE = [
     "media_jpeg_progressive",
     "media_audio_pairs",
     "media_video_pairs",
+    "media_dedup_panorama",
     "quality",
     "language_id",
     "lang_confusion",

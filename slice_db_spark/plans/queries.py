@@ -3883,6 +3883,27 @@ def media_video_pairs(spark, sf_dir):
     )
 
 
+def media_dedup_panorama(spark, sf_dir):
+    """One MEDIA dedup report across all three perceptual modalities —
+    the multimodal analog of `dedup_panorama`: per modality, the
+    near-dup pair count and how many items would drop under the
+    min-id-wins convention (distinct ids on the losing side).  Reuses
+    the exact pair queries (`media_phash_pairs`/`media_audio_pairs`/
+    `media_video_pairs`); the oracle embeds their oracle SQL verbatim as
+    subqueries, so the panorama can never drift from its components."""
+    def summarize(pairs, modality):
+        return pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("id_b").cast("bigint").alias("n_dup_items"),
+        ).select(F.lit(modality).alias("modality"), "n_pairs", "n_dup_items")
+
+    return (
+        summarize(media_phash_pairs(spark, sf_dir), "image")
+        .unionByName(summarize(media_audio_pairs(spark, sf_dir), "audio"))
+        .unionByName(summarize(media_video_pairs(spark, sf_dir), "video"))
+    )
+
+
 #: audio fingerprint pairing knobs: 30 delta bits (31 windows), 6 bands
 #: of 5 — complete for Hamming ≤ 4 by pigeonhole
 AUDIO_FP_BANDS = 6
@@ -6773,6 +6794,11 @@ SELECT id_a, id_b, n_frames, max_frame_hamming FROM (
 WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
 """
 
+    # cross-modality panorama: component pair oracles embedded verbatim
+    # as subqueries (the dedup_panorama drift-proof composition pattern);
+    # defined AFTER its dependencies land in o
+    # (assigned below once media_phash_pairs exists)
+
     # audio fingerprint: samples -> exact integer window energies ->
     # adjacent-delta sign bits -> 30-bit fingerprint, then brute-force
     # xor/bit_count pairing (the completeness oracle of the banded join)
@@ -6895,6 +6921,20 @@ SELECT a.media_id AS id_a, b.media_id AS id_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
 FROM ph a JOIN ph b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+"""
+
+    # cross-modality panorama: the three pair oracles verbatim as
+    # subqueries — composition can't drift from the gated components
+    o["media_dedup_panorama"] = f"""
+SELECT 'image' AS modality, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT id_b) AS BIGINT) AS n_dup_items
+FROM ({o["media_phash_pairs"]})
+UNION ALL
+SELECT 'audio', CAST(count(*) AS BIGINT), CAST(count(DISTINCT id_b) AS BIGINT)
+FROM ({o["media_audio_pairs"]})
+UNION ALL
+SELECT 'video', CAST(count(*) AS BIGINT), CAST(count(DISTINCT id_b) AS BIGINT)
+FROM ({o["media_video_pairs"]})
 """
 
     # continuous image-dedup regime: corpus half's signatures are the
@@ -8011,4 +8051,5 @@ def _all_queries():
         "media_jpeg_progressive": media_jpeg_progressive,
         "media_audio_pairs": media_audio_pairs,
         "media_video_pairs": media_video_pairs,
+        "media_dedup_panorama": media_dedup_panorama,
     }

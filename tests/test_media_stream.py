@@ -144,3 +144,46 @@ def test_compact_phash_index_dedups_and_preserves_meta(spark, tmp_path):
         probe, spark.read.parquet(idx), "phash"
     ).collect()
     assert {(r.new_id, r.corpus_id, r.hamming) for r in hits} == {(8, 0, 0)}
+
+
+def test_media_ingest_cross_format_perceptual_dedup(spark, tmp_path):
+    """A re-encode of the SAME pixels (baseline JPEG in batch 1,
+    progressive JPEG in batch 2) has a different payload hash — exact
+    dedup cannot catch it — but an IDENTICAL pHash: the perceptual probe
+    against the standing index drops it.  This is the format-shift
+    refetch case only perceptual dedup covers."""
+    import numpy as np
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    out = str(tmp_path / "media")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "phash_idx")
+    rej = str(tmp_path / "rej")
+
+    k = 7
+    w, h = 8 * (1 + k % 3), 8 * (1 + (3 * k + 1) % 2)
+    import numpy as np
+
+    bys, bxs = np.mgrid[0 : h // 8, 0 : w // 8]
+    blocks = (128 + 2 * ((3 * k + 5 * bxs + 7 * bys) % 48)).astype(np.uint8)
+    px = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    base = M.encode_jpeg(w, h, px)
+    prog = M.encode_jpeg_progressive(w, h, px)
+    assert base != prog  # different bytes, same pixels
+
+    b0 = spark.createDataFrame(
+        [(1, "image", bytearray(base), "jpeg", len(base))], M.MEDIA_SCHEMA
+    )
+    _land(b0, land, "b0.parquet", 1_000_000_000)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx, rejects=rej)
+
+    b1 = spark.createDataFrame(
+        [(2, "image", bytearray(prog), "jpeg", len(prog))], M.MEDIA_SCHEMA
+    )
+    _land(b1, land, "b1.parquet", 1_000_000_100)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx, rejects=rej)
+
+    assert {r.media_id for r in spark.read.parquet(out).collect()} == {1}
+    neardup = {r.media_id for r in spark.read.json(rej + ".neardup").collect()}
+    assert neardup == {2}
