@@ -210,6 +210,7 @@ SWEEP = [
     "dedup_incremental",
     "dedup_clusters",
     "simhash_pairs",
+    "media_phash_pairs",
     # NOT swept: dedup_embedding (r=4 demo) grows ~quadratically in candidate
     # volume by design (documented in operators/similarity.py) — it stays a
     # base-SF headline + correctness query only.  The production-selectivity
@@ -562,6 +563,46 @@ def main():
             "docs_per_sec": round(n_docs / dt, 1),
         }
         print(f"# ingest_pipeline: {out['ingest_pipeline']}", file=sys.stderr)
+        shutil.rmtree(land, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
+        checkpoint()
+
+    # Media ingest throughput: exact payload dedup + perceptual pHash
+    # near-dedup with persisted-index growth, over real-codec BMP
+    # payloads — the images/sec a crawl's media lane plans with.
+    # Reported OUTSIDE the total (setup untimed, one-shot run).
+    if os.environ.get("SPARK_GRAFT_BENCH_INGEST", "1") == "1":
+        import shutil
+        import tempfile
+
+        from slice_db_spark.operators.multimodal import synth_texture_bmp
+        from slice_db_spark.streaming.media import ingest_media_stream
+
+        land = tempfile.mkdtemp(prefix="bench_media_land_")
+        work = tempfile.mkdtemp(prefix="bench_media_")
+        ids = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id"
+        )
+        n_imgs = ids.count()
+        synth_texture_bmp(ids).coalesce(4).write.mode("overwrite").parquet(land)
+        t0 = time.time()
+        ingest_media_stream(
+            spark, land, os.path.join(work, "media"),
+            os.path.join(work, "ckpt"),
+            phash_index=os.path.join(work, "phash"),
+        )
+        dt = time.time() - t0
+        landed = spark.read.parquet(os.path.join(work, "media")).count()
+        out["media_ingest_pipeline"] = {
+            "imgs_in": n_imgs,
+            "imgs_landed": landed,
+            "sec": round(dt, 3),
+            "imgs_per_sec": round(n_imgs / dt, 1),
+        }
+        print(
+            f"# media_ingest_pipeline: {out['media_ingest_pipeline']}",
+            file=sys.stderr,
+        )
         shutil.rmtree(land, ignore_errors=True)
         shutil.rmtree(work, ignore_errors=True)
         checkpoint()

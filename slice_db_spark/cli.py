@@ -679,6 +679,12 @@ def cmd_fsck(args) -> int:
         report["lsh_index"] = _index_entry(args.lsh_index, D.read_lsh_meta, "LSH index")
     if args.span_index:
         report["span_index"] = _index_entry(args.span_index, D.read_span_meta, "span index")
+    if args.phash_index:
+        from .streaming.media import read_phash_meta
+
+        report["phash_index"] = _index_entry(
+            args.phash_index, read_phash_meta, "pHash index"
+        )
     if args.ivf_index:
         import json as _json
 
@@ -1292,6 +1298,8 @@ def main(argv: list[str] | None = None) -> int:
     fs.add_argument("--lsh-index", default=None)
     fs.add_argument("--span-index", default=None)
     fs.add_argument("--ivf-index", default=None)
+    fs.add_argument("--phash-index", default=None,
+                    help="image pHash signature index dir to check")
     fs.add_argument("corpus", help="parquet corpus directory")
     fs.set_defaults(fn=cmd_fsck)
 

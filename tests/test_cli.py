@@ -920,3 +920,34 @@ def test_cli_ingest_media_and_phash_compact(spark, tmp_path):
     rep = json.loads(out.strip().splitlines()[-1])
     assert spark.read.parquet(idx).count() == 2
     assert read_phash_meta(idx)["bands"] == 7
+
+
+def test_cli_fsck_phash_index(spark, tmp_path):
+    """fsck validates the pHash signature index: row health (replay
+    duplicate share) and the banding sidecar ride the same _index_entry
+    machinery as the LSH/span indexes."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from slice_db_spark.operators import multimodal as M
+    from slice_db_spark.streaming.media import write_phash_meta
+
+    corpus = str(tmp_path / "media")
+    idx = str(tmp_path / "idx")
+    imgs = M.synth_texture_bmp(
+        spark.createDataFrame([(0,), (1,)], "doc_id bigint")
+    )
+    imgs.write.mode("overwrite").parquet(corpus)
+    sigs = M.phash_media(imgs).select(
+        F.col("media_id").alias("corpus_id"), "phash"
+    )
+    sigs.write.mode("append").parquet(idx)
+    sigs.write.mode("append").parquet(idx)  # replay duplicates
+    write_phash_meta(idx, 63, 7, 6)
+
+    out = run_cli("fsck", "--phash-index", idx, corpus)
+    rep = json.loads(out.strip().splitlines()[-1])
+    assert rep["errors"] == []
+    assert rep["phash_index"]["replay_dup_ppm"] == 500_000
+    assert rep["phash_index"]["meta"]["bands"] == 7

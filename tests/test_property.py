@@ -553,3 +553,21 @@ def test_phash_brightness_invariance_property(seed):
     rng = np.random.default_rng(seed)
     g = rng.integers(0, 240, (8, 8))
     assert phash_of(g) == phash_of(g + 7)
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(2, 5))
+@settings(max_examples=25, deadline=None)
+def test_audio_fingerprint_amplitude_invariance_property(seed, scale):
+    """The energy-delta fingerprint is EXACTLY invariant under any
+    positive amplitude scaling: energies scale by scale² > 0, so every
+    adjacent-window comparison keeps its truth value."""
+    import random
+
+    rng = random.Random(seed)
+    samples = [rng.randint(-2048, 2048) for _ in range(1550)]
+
+    def fp(s):
+        e = [sum(x * x for x in s[w * 50 : (w + 1) * 50]) for w in range(31)]
+        return sum(1 << w for w in range(30) if e[w + 1] > e[w])
+
+    assert fp(samples) == fp([scale * x for x in samples])
