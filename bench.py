@@ -144,6 +144,7 @@ HEADLINE = [
     "media_audio_pairs",
     "media_video_pairs",
     "media_dedup_panorama",
+    "ann_ivfpq",
     "quality",
     "language_id",
     "lang_confusion",

@@ -585,6 +585,52 @@ def pq_encode(
     )
 
 
+def _adc_dtable(
+    queries: DataFrame,
+    codebook: list[list[int]],
+    m_subspaces: int,
+    query_id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query integer ADC distance table ``(q, m, code, __d)`` — tiny
+    (|Q| × m × n_codes rows), broadcast by callers; ONE definition
+    shared by the flat ADC scan (:func:`pq_adc_topk`) and the IVF-PQ
+    composite (:func:`ivfpq_topk`)."""
+    C = _pq_subspace_codes(codebook, m_subspaces)
+    sub = C.shape[1] // m_subspaces
+
+    @pandas_udf(ArrayType(ArrayType(DoubleType())))
+    def dtable_of(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array(v.tolist(), dtype=np.int64)
+        out = []
+        for row in M:
+            t = np.empty((m_subspaces, C.shape[0]), dtype=np.int64)
+            for m in range(m_subspaces):
+                q = row[m * sub : (m + 1) * sub]
+                Cm = C[:, m * sub : (m + 1) * sub]
+                t[m] = ((Cm - q[None, :]) ** 2).sum(axis=1)
+            out.append(t.astype(np.float64))
+        return pd.Series(out)
+
+    return (
+        queries.select(F.col(query_id_col), quantize_expr(vec_col).alias("__e"))
+        .select(F.col(query_id_col), F.posexplode(dtable_of(F.col("__e"))).alias("m", "__row"))
+        .select(
+            query_id_col,
+            F.col("m").cast("bigint").alias("m"),
+            F.posexplode("__row").alias("__j", "__d"),
+        )
+        .select(
+            query_id_col,
+            "m",
+            F.col("__j").cast("bigint").alias("code"),
+            F.col("__d").cast("bigint").alias("__d"),
+        )
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -606,40 +652,8 @@ def pq_adc_topk(
     distances are exact int64 (quantized inputs), so ranking is
     deterministic with an id tie-break.  Output
     ``(q_id, vec_id, adist, rank)``."""
-    C = _pq_subspace_codes(codebook, m_subspaces)
-    sub = C.shape[1] // m_subspaces
     codes = pq_encode(corpus, codebook, m_subspaces, id_col=id_col, vec_col=vec_col)
-
-    @pandas_udf(ArrayType(ArrayType(DoubleType())))
-    def dtable_of(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype=object)
-        M = np.array(v.tolist(), dtype=np.int64)
-        out = []
-        for row in M:
-            t = np.empty((m_subspaces, C.shape[0]), dtype=np.int64)
-            for m in range(m_subspaces):
-                q = row[m * sub : (m + 1) * sub]
-                Cm = C[:, m * sub : (m + 1) * sub]
-                t[m] = ((Cm - q[None, :]) ** 2).sum(axis=1)
-            out.append(t.astype(np.float64))
-        return pd.Series(out)
-
-    dt = (
-        queries.select(F.col(query_id_col), quantize_expr(vec_col).alias("__e"))
-        .select(F.col(query_id_col), F.posexplode(dtable_of(F.col("__e"))).alias("m", "__row"))
-        .select(
-            query_id_col,
-            F.col("m").cast("bigint").alias("m"),
-            F.posexplode("__row").alias("__j", "__d"),
-        )
-        .select(
-            query_id_col,
-            "m",
-            F.col("__j").cast("bigint").alias("code"),
-            F.col("__d").cast("bigint").alias("__d"),
-        )
-    )
+    dt = _adc_dtable(queries, codebook, m_subspaces, query_id_col, vec_col)
     scored = (
         codes.join(F.broadcast(dt), on=["m", "code"])
         .groupBy(query_id_col, id_col)
@@ -795,6 +809,62 @@ def ivf_topk_kmeans(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "dot", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    codebook: list[list[int]],
+    m_subspaces: int = 4,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """IVF-PQ composite ANN — the production shape (FAISS's IVFPQ): the
+    coarse quantizer prunes the scan to each query's ``nprobe`` nearest
+    cells, and WITHIN those cells the ranking is the asymmetric-distance
+    PQ scan — codes only, no raw vectors read.  At 100 TB this is the
+    pairing that works: IVF bounds the scan volume (nprobe/cells of the
+    corpus), PQ bounds the bytes per scanned vector (m codes vs dim×4),
+    and the two costs multiply.
+
+    Everything stays exact int64 (quantized inputs, integer L2 cell
+    assignment with first-min tie-break, integer ADC tables), so ranks
+    are deterministic and the DuckDB oracle replays them bit-for-bit.
+    Output ``(q_id, vec_id, adist, rank)`` — ascending approximate
+    distance, id tie-break."""
+    codes = pq_encode(corpus, codebook, m_subspaces, id_col=id_col, vec_col=vec_col)
+    cells = _assign_cells_int(
+        corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e")), centroids
+    ).select(id_col, "__cell")
+    dists = _cell_l2_vec(centroids)
+    q = (
+        queries.select(F.col(query_id_col), quantize_expr(vec_col).alias("__qe"))
+        .withColumn("__d", dists(F.col("__qe")))
+        .select(query_id_col, F.posexplode("__d").alias("__i", "__dist"))
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(F.asc("__dist"), F.asc("__i"))
+    probes = (
+        q.withColumn("__pr", F.row_number().over(w_probe))
+        .where(F.col("__pr") <= nprobe)
+        .select(query_id_col, (F.col("__i") + 1).alias("__cell"))
+    )
+    dt = _adc_dtable(queries, codebook, m_subspaces, query_id_col, vec_col)
+    cand = codes.join(cells, id_col).join(F.broadcast(probes), "__cell")
+    scored = (
+        cand.join(F.broadcast(dt), on=[query_id_col, "m", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__d").alias("adist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adist"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adist", F.col("rank").cast("bigint").alias("rank"))
     )
 
 

@@ -3654,6 +3654,28 @@ def ann_ivf_kmeans(spark, sf_dir):
     return similarity.ivf_topk_kmeans(corpus, q, cents, k=5, nprobe=ANN_IVF_NPROBE)
 
 
+def ann_ivfpq(spark, sf_dir):
+    """IVF-PQ composite ANN under the hash gate — the production pairing
+    (FAISS IVFPQ): k-means-refined coarse cells prune the scan to nprobe
+    cells per query, and within them the PQ asymmetric-distance scan
+    ranks by summed integer table lookups over CODES only
+    (`operators/similarity.py::ivfpq_topk`).  IVF bounds scan volume, PQ
+    bounds bytes per scanned vector — the two costs multiply, which is
+    the 100 TB plan.  All-int64 arithmetic end to end, so the oracle
+    composes the unrolled Lloyd chain with the PQ code/table chain and
+    replays every rank."""
+    emb = catalog(spark, sf_dir)["embeddings"]
+    corpus = emb.where("vec_id >= 5")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    cents = similarity.ivf_centroids_kmeans(
+        corpus, ANN_IVF_CELLS, iters=ANN_IVF_KM_ITERS
+    )
+    cb = similarity.pq_codebook(corpus, n_codes=PQ_CODES)
+    return similarity.ivfpq_topk(
+        corpus, q, cents, cb, m_subspaces=PQ_M, k=5, nprobe=ANN_IVF_NPROBE
+    )
+
+
 DEDUP_PLANES = similarity.random_planes(16, 64, seed="dedup")
 DEDUP_EMB_THRESHOLD = 0.42
 DEDUP_EMB_BANDS = 4
@@ -6491,6 +6513,57 @@ SELECT q_id, vec_id, adist,
 FROM scored QUALIFY rank <= 5
 """
 
+    # IVF-PQ composite: the unrolled Lloyd chain (cells + probes) feeds
+    # the PQ code/table chain — candidates are the probed cells' members,
+    # ranked by summed integer ADC lookups.  PQ centroids renamed `pqc`
+    # (the Lloyd chain owns the `cents{{n}}` names).
+    o["ann_ivfpq"] = f"""
+WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+  FROM embeddings),
+corp AS (SELECT vec_id, e FROM v WHERE vec_id >= 5),
+qry AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+dims AS (SELECT unnest(range(1, 65)) AS i),
+cents0 AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) AS ci, e AS cv FROM (
+    SELECT vec_id, e, {_hash64_sql("CAST(vec_id AS VARCHAR)")} AS h
+    FROM corp ORDER BY h, vec_id LIMIT {ANN_IVF_CELLS})),
+{','.join(_lloyd_iter(n) for n in range(ANN_IVF_KM_ITERS))},
+cellF AS (
+  SELECT vec_id, ci FROM (
+    SELECT c.vec_id, ct.ci, {_il2('c.e', 'ct.cv')} AS d
+    FROM corp c CROSS JOIN {_km_final} ct)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) = 1),
+probes AS (
+  SELECT q_id, ci FROM (
+    SELECT q.q_id, ct.ci, {_il2('q.qe', 'ct.cv')} AS d
+    FROM qry q CROSS JOIN {_km_final} ct)
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d, ci) <= {ANN_IVF_NPROBE}),
+pqc AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS j, e AS ce FROM
+        (SELECT vec_id, e, {_hash64_sql("CAST(vec_id AS VARCHAR)")} AS h
+         FROM corp ORDER BY h, vec_id LIMIT {PQ_CODES})),
+sp AS (SELECT unnest(range(0, {PQ_M})) AS m),
+cdists AS (
+  SELECT c.vec_id, sp.m, pc.j, {_pq_sqdist('c.e', 'pc.ce')} AS d
+  FROM corp c CROSS JOIN sp CROSS JOIN pqc pc),
+codes AS (
+  SELECT vec_id, m, j AS code FROM cdists
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1),
+dt AS (
+  SELECT q.q_id, sp.m, pc.j AS code, {_pq_sqdist('q.qe', 'pc.ce')} AS d
+  FROM qry q CROSS JOIN sp CROSS JOIN pqc pc),
+scored AS (
+  SELECT p.q_id, codes.vec_id, CAST(sum(dt.d) AS BIGINT) AS adist
+  FROM probes p
+  JOIN cellF cf ON cf.ci = p.ci
+  JOIN codes ON codes.vec_id = cf.vec_id
+  JOIN dt ON dt.q_id = p.q_id AND dt.m = codes.m AND dt.code = codes.code
+  GROUP BY 1, 2)
+SELECT q_id, vec_id, adist,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
     # normalize-then-dot mirrors operators/similarity.embedding_near_pairs:
     # one normalization per vector, a single dot per candidate pair
     _NORM_CTE = (
@@ -8052,4 +8125,5 @@ def _all_queries():
         "media_audio_pairs": media_audio_pairs,
         "media_video_pairs": media_video_pairs,
         "media_dedup_panorama": media_dedup_panorama,
+        "ann_ivfpq": ann_ivfpq,
     }

@@ -424,3 +424,43 @@ def test_ivf_index_append_and_compact_parity(spark, tmp_path):
     after = {(r.q_id, r.vec_id, r.rank)
              for r in probe_ivf_index(spark, idx, queries, k=4, nprobe=2).collect()}
     assert after == want
+
+
+def test_ivfpq_full_probe_equals_flat_adc_and_prunes(spark, catalog):
+    """r7 IVF-PQ pins: probing ALL cells makes the composite EXACTLY the
+    flat ADC scan (same codes, same tables, full candidate set); probing
+    one cell returns only members of each query's nearest cell (the
+    pruning contract)."""
+    from pyspark.sql import functions as F
+
+    from slice_db_spark.operators import similarity as S
+
+    emb = catalog["embeddings"]
+    corpus = emb.where("vec_id >= 5")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    cents = S.ivf_centroids_kmeans(corpus, 8, iters=2)
+    cb = S.pq_codebook(corpus, n_codes=16)
+
+    full = {
+        (r.q_id, r.vec_id, r.adist, r.rank)
+        for r in S.ivfpq_topk(corpus, q, cents, cb, m_subspaces=4,
+                              k=5, nprobe=8).collect()
+    }
+    flat = {
+        (r.q_id, r.vec_id, r.adist, r.rank)
+        for r in S.pq_adc_topk(corpus, q, cb, m_subspaces=4, k=5).collect()
+    }
+    assert full == flat  # nprobe = n_cells degenerates to the flat scan
+
+    one = S.ivfpq_topk(corpus, q, cents, cb, m_subspaces=4, k=5, nprobe=1)
+    # every returned vec sits in its query's single probed cell
+    cq = corpus.select(F.col("vec_id"), S.quantize_expr("embedding").alias("__e"))
+    cells = {r["vec_id"]: r["__cell"]
+             for r in S._assign_cells_int(cq, cents).collect()}
+    qq = q.select(F.col("q_id").alias("vec_id"), "embedding")
+    qcells = {r["vec_id"]: r["__cell"]
+              for r in S._assign_cells_int(
+                  qq.select("vec_id", S.quantize_expr("embedding").alias("__e")),
+                  cents).collect()}
+    for r in one.collect():
+        assert cells[r.vec_id] == qcells[r.q_id]
