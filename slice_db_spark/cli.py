@@ -516,6 +516,7 @@ def cmd_ingest_media(args) -> int:
         phash_index=args.phash_index,
         quarantine=args.quarantine,
         rejects=args.rejects,
+        fingerprint=args.fingerprint,
         max_hamming=args.max_hamming,
     )
     report = {"corpus_rows": spark.read.parquet(args.corpus).count()}
@@ -1253,7 +1254,11 @@ def main(argv: list[str] | None = None) -> int:
     im.add_argument("--rejects", default=None,
                     help="JSON sink root for perceptual near-dup drops "
                     "(sibling <rejects>.neardup)")
-    im.add_argument("--max-hamming", type=int, default=6)
+    im.add_argument("--fingerprint", choices=["phash", "audio"], default="phash",
+                    help="signature modality: 63-bit image pHash (banding "
+                    "63/7, threshold 6) or 30-bit audio energy fingerprint "
+                    "(30/6, threshold 4)")
+    im.add_argument("--max-hamming", type=int, default=None)
     im.add_argument("landing", help="landing directory of parquet shards "
                     "with MEDIA_SCHEMA columns")
     im.add_argument("corpus", help="parquet media corpus directory (appended)")

@@ -435,7 +435,9 @@ AUDIO_FP_SCHEMA = StructType(
 )
 
 
-def audio_fingerprint(df: DataFrame, window: int = 50) -> DataFrame:
+def audio_fingerprint(
+    df: DataFrame, window: int = 50, null_on_error: bool = False
+) -> DataFrame:
     """Energy-profile audio fingerprint — the dependency-free
     Haitsma-Kalker shape (their spectral bands become time windows here:
     no FFT in this sandbox, and the delta-sign construction is the part
@@ -457,12 +459,22 @@ def audio_fingerprint(df: DataFrame, window: int = 50) -> DataFrame:
         ]
         return sum(1 << w for w in range(len(e) - 1) if e[w + 1] > e[w])
 
+    def guarded(payload: bytes):
+        try:
+            return one(payload)
+        except (ValueError, struct.error):
+            return None
+
+    hasher = guarded if null_on_error else one
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "afp": [one(p) for p in pdf["payload"]],
+                    "afp": pd.array(
+                        [hasher(p) for p in pdf["payload"]], dtype="Int64"
+                    ),
                 }
             )
 

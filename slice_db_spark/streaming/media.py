@@ -44,13 +44,21 @@ from ..sources.atomic import dir_lock, recover_dir
 PHASH_META_NAME = "_phash_meta.json"
 
 
-def write_phash_meta(path: str, bits: int, bands: int, max_hamming: int) -> None:
-    """Persist the banding parameters the index serves — probing with a
-    different (bits, bands) silently matches nothing."""
+def write_phash_meta(
+    path: str, bits: int, bands: int, max_hamming: int,
+    fingerprint: str = "phash",
+) -> None:
+    """Persist the signature mode + banding parameters the index serves —
+    probing with different (fingerprint, bits, bands) silently matches
+    nothing (or mixes incomparable signatures)."""
     import json
 
     with open(os.path.join(path, PHASH_META_NAME), "w") as f:
-        json.dump({"bits": bits, "bands": bands, "max_hamming": max_hamming}, f)
+        json.dump(
+            {"bits": bits, "bands": bands, "max_hamming": max_hamming,
+             "fingerprint": fingerprint},
+            f,
+        )
 
 
 def read_phash_meta(path: str) -> dict | None:
@@ -86,25 +94,46 @@ def ingest_media_stream(
     quarantine: str | None = None,
     rejects: str | None = None,
     available_now: bool = True,
-    bits: int = 63,
-    bands: int = 7,
-    max_hamming: int = 6,
+    fingerprint: str = "phash",
+    bits: int | None = None,
+    bands: int | None = None,
+    max_hamming: int | None = None,
     lock_timeout: float = 600.0,
 ):
     """Start (and with ``available_now`` run to completion) the media
     ingestion stream — see the module docstring for the per-batch
     pipeline.  ``phash_index`` turns on continuous perceptual dedup;
-    (bits, bands) come from the index's own sidecar when it already
-    exists — ``max_hamming`` is a per-probe threshold and always the
-    caller's.  Returns the StreamingQuery."""
+    ``fingerprint`` picks the modality's signature: ``"phash"`` (images:
+    63-bit DCT hash, banding 63/7, threshold 6) or ``"audio"`` (PCM
+    clips: 30-bit energy-delta fingerprint, banding 30/6, threshold 4) —
+    ONE lane per modality, all machinery shared.  (fingerprint, bits,
+    bands) come from the index's own sidecar when it already exists (a
+    mode mismatch raises); ``max_hamming`` is a per-probe threshold and
+    always the caller's.  Returns the StreamingQuery."""
+    from ..operators import dedup as _dedup
+    from ..operators import multimodal as _mm
+    from ..operators.hashing import hash64
+
+    _MODES = {
+        "phash": (63, 7, 6, lambda b: _mm.phash_media(b, null_on_error=True)),
+        "audio": (
+            30, 6, 4,
+            lambda b: _mm.audio_fingerprint(b, null_on_error=True).select(
+                "media_id", F.col("afp").alias("phash")
+            ),
+        ),
+    }
+    if fingerprint not in _MODES:
+        raise ValueError(f"unknown fingerprint mode {fingerprint!r}")
+    _def_bits, _def_bands, _def_h, _sig_fn = _MODES[fingerprint]
+    bits = _def_bits if bits is None else bits
+    bands = _def_bands if bands is None else bands
+    max_hamming = _def_h if max_hamming is None else max_hamming
     if max_hamming >= bands:
         raise ValueError(
             f"max_hamming={max_hamming} needs at least max_hamming+1 bands "
             f"(got {bands}): the banded probe would silently under-recall"
         )
-    from ..operators import dedup as _dedup
-    from ..operators import multimodal as _mm
-    from ..operators.hashing import hash64
 
     def _sink(batch: DataFrame, epoch_id: int) -> None:
         import contextlib
@@ -142,7 +171,9 @@ def ingest_media_stream(
             survivors = survivors.join(seen, "content_hash", "left_anti")
 
         # decode ONLY the exact-dedup survivors: NULL phash = undecodable
-        sigs_all = _mm.phash_media(survivors, null_on_error=True)
+        # (the mode's signature column is aliased to `phash` — the
+        # generic "perceptual signature" slot of the index layout)
+        sigs_all = _sig_fn(survivors)
         joined = survivors.join(sigs_all, "media_id").persist()
         try:
             bad = joined.where(F.col("phash").isNull())
@@ -160,10 +191,16 @@ def ingest_media_stream(
                     if os.path.isdir(phash_index)
                     else None
                 )
-                # bits/bands are INDEX properties (the banding the stored
-                # signatures were built for); max_hamming is a per-probe
-                # threshold — the sidecar records it as provenance but
-                # must not override the caller's
+                # fingerprint/bits/bands are INDEX properties (what the
+                # stored signatures were built from); max_hamming is a
+                # per-probe threshold — the sidecar records it as
+                # provenance but must not override the caller's
+                if meta and meta.get("fingerprint", "phash") != fingerprint:
+                    raise ValueError(
+                        f"index at {phash_index} was built with fingerprint="
+                        f"{meta.get('fingerprint', 'phash')!r}; ingesting with "
+                        f"{fingerprint!r} would mix incomparable signatures"
+                    )
                 b_, n_ = (meta["bits"], meta["bands"]) if meta else (bits, bands)
                 h_ = max_hamming
                 sigs = uniq.select("media_id", "phash")
@@ -199,7 +236,7 @@ def ingest_media_stream(
                     F.col("media_id").alias("corpus_id"), "phash"
                 ).write.mode("append").parquet(phash_index)
                 if meta is None:
-                    write_phash_meta(phash_index, b_, n_, h_)
+                    write_phash_meta(phash_index, b_, n_, h_, fingerprint)
             corpus_lease.check()
             uniq.write.mode("append").parquet(out_path)
         finally:

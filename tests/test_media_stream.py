@@ -46,7 +46,7 @@ def test_media_ingest_three_batch_growth(spark, tmp_path):
                            quarantine=quar, rejects=rej)
     assert {r.media_id for r in spark.read.parquet(out).collect()} == {0, 1, 2}
     assert spark.read.parquet(idx).count() == 3
-    assert SM.read_phash_meta(idx) == {"bits": 63, "bands": 7, "max_hamming": 6}
+    assert SM.read_phash_meta(idx) == {"bits": 63, "bands": 7, "max_hamming": 6, "fingerprint": "phash"}
 
     # batch 2: id 8 = brightness replay of id 0 (perceptual near-dup via
     # the STANDING index), id 10 = fresh texture, id 100 = byte-identical
@@ -137,7 +137,7 @@ def test_compact_phash_index_dedups_and_preserves_meta(spark, tmp_path):
     report = compact_phash_index(spark, idx)
     assert report["files_after"] <= report["files_before"]
     assert spark.read.parquet(idx).count() == 3  # duplicates reclaimed
-    assert SM.read_phash_meta(idx) == {"bits": 63, "bands": 7, "max_hamming": 6}
+    assert SM.read_phash_meta(idx) == {"bits": 63, "bands": 7, "max_hamming": 6, "fingerprint": "phash"}
 
     probe = M.phash_media(_synth_rows(spark, [8]))  # brightness replay of 0
     hits = hamming_near_pairs_asym(
@@ -187,3 +187,51 @@ def test_media_ingest_cross_format_perceptual_dedup(spark, tmp_path):
     assert {r.media_id for r in spark.read.parquet(out).collect()} == {1}
     neardup = {r.media_id for r in spark.read.json(rej + ".neardup").collect()}
     assert neardup == {2}
+
+
+def test_media_ingest_audio_lane(spark, tmp_path):
+    """The ingest lane serves audio too: fingerprint='audio' swaps the
+    signature function and banding (30/6, threshold 4) while sharing
+    every other stage — the amplitude-doubled replay drops against the
+    standing index, corrupt WAVs quarantine, and a mode-mismatched
+    re-ingest raises instead of mixing incomparable signatures."""
+    import pytest
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    out = str(tmp_path / "audio")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "afp_idx")
+    rej = str(tmp_path / "rej")
+    quar = str(tmp_path / "quar")
+
+    def clips(ids):
+        return M.synth_audio_clips(
+            spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+        )
+
+    _land(clips([0, 1]), land, "b0.parquet", 1_000_000_000)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           rejects=rej, quarantine=quar, fingerprint="audio")
+    meta = SM.read_phash_meta(idx)
+    assert meta["fingerprint"] == "audio" and (meta["bits"], meta["bands"]) == (30, 6)
+
+    # batch 2: id 8 = amplitude-doubled replay of id 0 (near-dup via the
+    # standing index), id 12 fresh, one corrupt payload
+    b1 = clips([8, 12]).unionByName(
+        spark.createDataFrame(
+            [(999, "audio", bytearray(b"not a wav"), "wav", 9)], M.MEDIA_SCHEMA
+        )
+    )
+    _land(b1, land, "b1.parquet", 1_000_000_100)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           rejects=rej, quarantine=quar, fingerprint="audio")
+    assert {r.media_id for r in spark.read.parquet(out).collect()} == {0, 1, 12}
+    assert {r.media_id for r in spark.read.json(rej + ".neardup").collect()} == {8}
+    assert {r.media_id for r in spark.read.json(quar).collect()} == {999}
+
+    # mode mismatch against the standing index raises
+    _land(clips([20]), land, "b2.parquet", 1_000_000_200)
+    with pytest.raises(Exception, match="fingerprint"):
+        SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                               fingerprint="phash")

@@ -69,7 +69,9 @@ def test_semi_join_shape(plans):
 def test_lsh_paths_have_no_cross_join(plans):
     """The LSH scale paths must stay equi-joins; only the documented
     brute-force baseline may nest-loop (and only as a BROADCAST loop)."""
-    for name in ("minhash_lsh", "simhash_pairs", "dedup_embedding", "ann_lsh", "ann_ivf", "media_phash_pairs"):
+    for name in ("minhash_lsh", "simhash_pairs", "dedup_embedding", "ann_lsh",
+                 "ann_ivf", "ann_ivfpq", "media_phash_pairs",
+                 "media_audio_pairs", "media_video_pairs"):
         p = plans(name)
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
