@@ -2330,6 +2330,9 @@ def video_near_pairs(
             f"max_hamming={max_hamming} needs at least max_hamming+1 bands "
             f"(got {bands}): the pigeonhole completeness guarantee breaks"
         )
+    # the sequence frame feeds FOUR join branches (both banding sides,
+    # both verify sides); without eager materialization each branch
+    # recomputes the upstream decode+per-frame-DCT Python pipeline
     vec = (
         sigs.groupBy(id_col)
         .agg(
@@ -2342,6 +2345,7 @@ def video_near_pairs(
             F.expr("transform(__fr, x -> x.phash)").alias("hashes"),
         )
         .withColumn("__h0", F.element_at("hashes", 1))
+        .localCheckpoint(eager=True)
     )
     banded = _hamming_banded(vec, "__h0", id_col, bits, bands)
     cand = (

@@ -85,6 +85,19 @@ def read_phash_meta(path: str) -> dict | None:
     return meta
 
 
+def _index_has_rows(path: str) -> bool:
+    """True when the signature index holds at least one parquet file —
+    a dir containing only the sidecar (fresh, meta-first stamped) must
+    neither be probed (read.parquet would fail on an empty dir) nor be
+    treated as untagged rows."""
+    if not os.path.isdir(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def ingest_media_stream(
     spark: SparkSession,
     in_path: str,
@@ -201,8 +214,27 @@ def ingest_media_stream(
                         f"{meta.get('fingerprint', 'phash')!r}; ingesting with "
                         f"{fingerprint!r} would mix incomparable signatures"
                     )
+                if meta is None and _index_has_rows(phash_index):
+                    # rows but no sidecar: our writer stamps the sidecar
+                    # BEFORE the first append, so this state means the
+                    # sidecar was deleted or the dir was built by hand —
+                    # the rows' signature mode is UNKNOWABLE; refuse
+                    # rather than risk mixing modes
+                    raise ValueError(
+                        f"index at {phash_index} has rows but no "
+                        f"{PHASH_META_NAME} sidecar — restore the sidecar "
+                        "(write_phash_meta) or rebuild the index"
+                    )
                 b_, n_ = (meta["bits"], meta["bands"]) if meta else (bits, bands)
                 h_ = max_hamming
+                if meta is None:
+                    # sidecar FIRST: a crash between the first append and
+                    # a trailing meta write would leave rows whose mode a
+                    # replay (possibly with a different --fingerprint)
+                    # could no longer establish; a sidecar with zero rows
+                    # is harmless
+                    os.makedirs(phash_index, exist_ok=True)
+                    write_phash_meta(phash_index, b_, n_, h_, fingerprint)
                 sigs = uniq.select("media_id", "phash")
                 # within-batch perceptual pairs: min media_id wins (the
                 # standing index only covers prior batches)
@@ -213,7 +245,7 @@ def ingest_media_stream(
                     .select(F.col("id_b").alias("media_id"))
                     .distinct()
                 )
-                if os.path.isdir(phash_index):
+                if _index_has_rows(phash_index):
                     near = near.union(
                         _dedup.hamming_near_pairs_asym(
                             sigs, sp.read.parquet(phash_index), "phash",
@@ -235,8 +267,6 @@ def ingest_media_stream(
                 uniq.select(
                     F.col("media_id").alias("corpus_id"), "phash"
                 ).write.mode("append").parquet(phash_index)
-                if meta is None:
-                    write_phash_meta(phash_index, b_, n_, h_, fingerprint)
             corpus_lease.check()
             uniq.write.mode("append").parquet(out_path)
         finally:

@@ -235,3 +235,33 @@ def test_media_ingest_audio_lane(spark, tmp_path):
     with pytest.raises(Exception, match="fingerprint"):
         SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
                                fingerprint="phash")
+
+
+def test_media_index_sidecar_first_and_untagged_refusal(spark, tmp_path):
+    """REVIEW r7 pins: (1) the sidecar lands BEFORE the first signature
+    append, so no crash window can leave rows whose fingerprint mode is
+    unknowable; (2) an index with rows but no sidecar (hand-built or
+    tampered) is refused instead of silently mixed into."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    out = str(tmp_path / "media")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "idx")
+
+    _land(_synth_rows(spark, [0]), land, "b0.parquet", 1_000_000_000)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx)
+    assert SM.read_phash_meta(idx)["fingerprint"] == "phash"
+
+    # untagged index: rows, no sidecar -> refused either mode
+    idx2 = str(tmp_path / "idx2")
+    M.phash_media(_synth_rows(spark, [1])).select(
+        F.col("media_id").alias("corpus_id"), "phash"
+    ).write.mode("append").parquet(idx2)
+    _land(_synth_rows(spark, [2]), land, "b1.parquet", 1_000_000_100)
+    with pytest.raises(Exception, match="no _phash_meta"):
+        SM.ingest_media_stream(spark, land, out, str(tmp_path / "ck2"),
+                               phash_index=idx2)
