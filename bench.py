@@ -145,6 +145,7 @@ HEADLINE = [
     "media_video_pairs",
     "media_dedup_panorama",
     "ann_ivfpq",
+    "media_video_incremental",
     "quality",
     "language_id",
     "lang_confusion",

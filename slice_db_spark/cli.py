@@ -1254,10 +1254,12 @@ def main(argv: list[str] | None = None) -> int:
     im.add_argument("--rejects", default=None,
                     help="JSON sink root for perceptual near-dup drops "
                     "(sibling <rejects>.neardup)")
-    im.add_argument("--fingerprint", choices=["phash", "audio"], default="phash",
+    im.add_argument("--fingerprint", choices=["phash", "audio", "video"],
+                    default="phash",
                     help="signature modality: 63-bit image pHash (banding "
-                    "63/7, threshold 6) or 30-bit audio energy fingerprint "
-                    "(30/6, threshold 4)")
+                    "63/7, threshold 6), 30-bit audio energy fingerprint "
+                    "(30/6, threshold 4), or per-frame video pHash (equal "
+                    "frame counts, every aligned frame within threshold)")
     im.add_argument("--max-hamming", type=int, default=None)
     im.add_argument("landing", help="landing directory of parquet shards "
                     "with MEDIA_SCHEMA columns")

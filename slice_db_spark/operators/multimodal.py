@@ -2290,21 +2290,30 @@ VIDEO_PHASH_SCHEMA = StructType(
 )
 
 
-def video_phash(df: DataFrame) -> DataFrame:
+def video_phash(df: DataFrame, null_on_error: bool = False) -> DataFrame:
     """Per-frame 63-bit pHash over the real Y4M codec — the SAME hash
     arithmetic as still images (:func:`_phash_of_pixels`), one row per
-    frame.  Output: (media_id, frame_idx, phash)."""
+    frame.  Output: (media_id, frame_idx, phash).
+    ``null_on_error=True`` emits one (media_id, 0, NULL) row per
+    undecodable payload instead of failing the job (the ingest
+    quarantine split); analytic queries keep the default raise."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, frames = decode_y4m(bytes(payload))
+                try:
+                    w, h, frames = decode_y4m(bytes(payload))
+                except (ValueError, struct.error):
+                    if not null_on_error:
+                        raise
+                    rows.append((int(mid), 0, None))
+                    continue
                 for f, px in enumerate(frames):
                     rows.append((int(mid), f, _phash_of_pixels(px, w, h)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_idx", "phash"]
-            )
+            ).astype({"phash": "Int64"})
 
     return df.mapInPandas(run, schema=VIDEO_PHASH_SCHEMA)
 
@@ -2377,6 +2386,95 @@ def video_near_pairs(
             F.size("ha").cast("bigint").alias("n_frames"),
             "max_frame_hamming",
         )
+    )
+
+
+def video_near_pairs_asym(
+    new_sigs: DataFrame,
+    corpus_index: DataFrame,
+    bits: int = 63,
+    bands: int = 7,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Asymmetric video probe: NEW clips' per-frame signatures against a
+    persisted video signature index whose rows are
+    ``(corpus_id, frame_idx, phash, n_frames)`` — the continuous-ingest
+    analog of :func:`video_near_pairs`, same match contract (equal frame
+    counts, every ALIGNED frame within ``max_hamming``).
+
+    Candidates band the FIRST frame of both sides (complete: the
+    criterion bounds frame 0 too) and must agree on the frame count;
+    verification joins the aligned frame pairs and requires every one
+    within threshold.  Pairs where corpus_id equals the probing id are
+    EXCLUDED (replay self-immunity, the owner-exclusion contract).
+    Output: (new_id, corpus_id, n_frames, max_frame_hamming)."""
+    from .dedup import _hamming_banded
+
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs at least max_hamming+1 bands "
+            f"(got {bands}): the pigeonhole completeness guarantee breaks"
+        )
+    nn = new_sigs.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    ).localCheckpoint(eager=True)
+    nh = new_sigs.where(F.col("frame_idx") == 0).join(nn, "media_id")
+    nb = _hamming_banded(nh, "phash", "media_id", bits, bands).join(
+        nn, "media_id"
+    )
+    ch = corpus_index.where(F.col("frame_idx") == 0).select(
+        "corpus_id", "phash", F.col("n_frames").alias("__cn")
+    )
+    cb = _hamming_banded(ch, "phash", "corpus_id", bits, bands).join(
+        ch.select("corpus_id", "__cn"), "corpus_id"
+    )
+    cand = (
+        nb.select("band", "chunk", F.col("media_id").alias("new_id"), "__n")
+        .join(
+            cb.select("band", "chunk", "corpus_id", "__cn"),
+            ["band", "chunk"],
+        )
+        .where(
+            (F.col("new_id") != F.col("corpus_id"))
+            & (F.col("__n") == F.col("__cn"))
+        )
+        .select("new_id", "corpus_id", F.col("__n").alias("n_frames"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # aligned-frame verify: every frame pair within threshold
+    aligned = (
+        cand.join(
+            new_sigs.select(
+                F.col("media_id").alias("new_id"), "frame_idx",
+                F.col("phash").alias("__pa"),
+            ),
+            "new_id",
+        )
+        .join(
+            corpus_index.select(
+                "corpus_id", "frame_idx", F.col("phash").alias("__pb")
+            ),
+            ["corpus_id", "frame_idx"],
+        )
+        .withColumn(
+            "__ham", F.bit_count(F.col("__pa").bitwiseXOR(F.col("__pb")))
+        )
+    )
+    return (
+        aligned.groupBy("new_id", "corpus_id", "n_frames")
+        .agg(
+            # DISTINCT frame indexes: crash-replayed index appends leave
+            # duplicate rows, which would otherwise inflate the match
+            # count past n_frames and break the all-frames criterion
+            F.count_distinct("frame_idx").alias("__matched"),
+            F.max("__ham").cast("bigint").alias("max_frame_hamming"),
+        )
+        .where(
+            (F.col("__matched") == F.col("n_frames"))
+            & (F.col("max_frame_hamming") <= max_hamming)
+        )
+        .select("new_id", "corpus_id", "n_frames", "max_frame_hamming")
     )
 
 

@@ -3926,6 +3926,42 @@ def media_dedup_panorama(spark, sf_dir):
     )
 
 
+def media_video_incremental(spark, sf_dir):
+    """Continuous video-dedup regime under the hash gate: the standing
+    corpus (doc_id % 5 != 0) materializes its persisted per-frame
+    signature index (the video lane's layout: (corpus_id, frame_idx,
+    phash, n_frames) parquet), the arriving batch (% 5 == 0) probes it
+    via `operators/multimodal.py::video_near_pairs_asym` — exactly the
+    per-micro-batch machinery of `ingest_media_stream(fingerprint=
+    "video")`, so continuous video ingest sits under the same oracle as
+    the batch pairing.  Result checkpointed before the temp index dir is
+    deleted."""
+    import shutil
+    import tempfile
+
+    docs = catalog(spark, sf_dir)["documents"]
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    tmp = tempfile.mkdtemp(prefix="vfp_idx_q_")
+    idx = os.path.join(tmp, "idx")
+    try:
+        csigs = multimodal.video_phash(multimodal.synth_texture_y4m(corpus))
+        nfr = csigs.groupBy("media_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames")
+        )
+        csigs.join(nfr, "media_id").select(
+            F.col("media_id").alias("corpus_id"), "frame_idx", "phash",
+            "n_frames",
+        ).write.mode("overwrite").parquet(idx)
+        probe = multimodal.video_phash(multimodal.synth_texture_y4m(batch))
+        return multimodal.video_near_pairs_asym(
+            probe, spark.read.parquet(idx),
+            bits=63, bands=PHASH_BANDS, max_hamming=PHASH_MAX_HAMMING,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 #: audio fingerprint pairing knobs: 30 delta bits (31 windows), 6 bands
 #: of 5 — complete for Hamming ≤ 4 by pigeonhole
 AUDIO_FP_BANDS = 6
@@ -6822,8 +6858,7 @@ FROM d
     # video: per-frame pHash (same DCT table literal), sequences zipped
     # brute-force — same-length clips whose max aligned-frame distance
     # stays within the threshold
-    o["media_video_pairs"] = f"""
-WITH d AS (
+    _video_cte = f"""d AS (
   SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 10 AS slot,
          CASE WHEN doc_id % 10 >= 8 THEN doc_id - doc_id % 10
               ELSE doc_id END AS seed
@@ -6856,7 +6891,10 @@ ph AS (SELECT ac.media_id, ac.f,
               CAST(sum(CASE WHEN cf > med THEN (CAST(1 AS BIGINT) << bit_i)
                             ELSE 0 END) AS BIGINT) AS phash
        FROM ac JOIN med USING (media_id, f) GROUP BY ac.media_id, ac.f),
-v AS (SELECT media_id, list(phash ORDER BY f) AS hs FROM ph GROUP BY media_id)
+v AS (SELECT media_id, list(phash ORDER BY f) AS hs FROM ph GROUP BY media_id)"""
+
+    o["media_video_pairs"] = f"""
+WITH {_video_cte}
 SELECT id_a, id_b, n_frames, max_frame_hamming FROM (
   SELECT a.media_id AS id_a, b.media_id AS id_b,
          CAST(len(a.hs) AS BIGINT) AS n_frames,
@@ -6864,6 +6902,24 @@ SELECT id_a, id_b, n_frames, max_frame_hamming FROM (
               i -> bit_count(xor(a.hs[i], b.hs[i])))) AS BIGINT)
            AS max_frame_hamming
   FROM v a JOIN v b ON a.media_id < b.media_id AND len(a.hs) = len(b.hs))
+WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
+"""
+
+    # continuous video regime: corpus half's per-frame signatures are the
+    # standing index, batch half probes with the same aligned-sequence
+    # contract — shared CTE chain, split readout (disjoint id spaces make
+    # the probe's self-exclusion moot, the streaming contract)
+    o["media_video_incremental"] = f"""
+WITH {_video_cte}
+SELECT new_id, corpus_id, n_frames, max_frame_hamming FROM (
+  SELECT a.media_id AS new_id, b.media_id AS corpus_id,
+         CAST(len(a.hs) AS BIGINT) AS n_frames,
+         CAST(list_max(list_transform(range(1, len(a.hs) + 1),
+              i -> bit_count(xor(a.hs[i], b.hs[i])))) AS BIGINT)
+           AS max_frame_hamming
+  FROM v a JOIN v b
+    ON a.media_id % 5 = 0 AND b.media_id % 5 != 0
+   AND len(a.hs) = len(b.hs))
 WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
 """
 
@@ -8126,4 +8182,5 @@ def _all_queries():
         "media_video_pairs": media_video_pairs,
         "media_dedup_panorama": media_dedup_panorama,
         "ann_ivfpq": ann_ivfpq,
+        "media_video_incremental": media_video_incremental,
     }

@@ -117,8 +117,11 @@ def ingest_media_stream(
     ingestion stream — see the module docstring for the per-batch
     pipeline.  ``phash_index`` turns on continuous perceptual dedup;
     ``fingerprint`` picks the modality's signature: ``"phash"`` (images:
-    63-bit DCT hash, banding 63/7, threshold 6) or ``"audio"`` (PCM
-    clips: 30-bit energy-delta fingerprint, banding 30/6, threshold 4) —
+    63-bit DCT hash, banding 63/7, threshold 6), ``"audio"`` (PCM clips:
+    30-bit energy-delta fingerprint, banding 30/6, threshold 4), or
+    ``"video"`` (one 63-bit pHash PER FRAME; near-dup = equal frame
+    counts with every aligned frame within threshold; index rows carry
+    (frame_idx, n_frames) so the asym probe replays the same contract) —
     ONE lane per modality, all machinery shared.  (fingerprint, bits,
     bands) come from the index's own sidecar when it already exists (a
     mode mismatch raises); ``max_hamming`` is a per-probe threshold and
@@ -135,6 +138,8 @@ def ingest_media_stream(
                 "media_id", F.col("afp").alias("phash")
             ),
         ),
+        # video: one signature row per FRAME (media_id, frame_idx, phash)
+        "video": (63, 7, 6, lambda b: _mm.video_phash(b, null_on_error=True)),
     }
     if fingerprint not in _MODES:
         raise ValueError(f"unknown fingerprint mode {fingerprint!r}")
@@ -185,18 +190,26 @@ def ingest_media_stream(
 
         # decode ONLY the exact-dedup survivors: NULL phash = undecodable
         # (the mode's signature column is aliased to `phash` — the
-        # generic "perceptual signature" slot of the index layout)
-        sigs_all = _sig_fn(survivors)
-        joined = survivors.join(sigs_all, "media_id").persist()
+        # generic "perceptual signature" slot of the index layout;
+        # video emits one row PER FRAME, so signatures stay in their own
+        # frame and the corpus row set joins by id only)
+        survivors = survivors.persist()
+        sigs_all = _sig_fn(survivors).persist()
         try:
-            bad = joined.where(F.col("phash").isNull())
+            bad_ids = (
+                sigs_all.where(F.col("phash").isNull())
+                .select("media_id").distinct()
+            )
             if quarantine is not None:
                 # per-epoch overwrite: idempotent on replay, like the
                 # text sink's quarantine
-                bad.select("media_id", "format", "n_bytes").write.mode(
-                    "overwrite"
-                ).json(os.path.join(quarantine, f"epoch_id={int(epoch_id)}"))
-            uniq = joined.where(F.col("phash").isNotNull())
+                survivors.join(bad_ids, "media_id", "left_semi").select(
+                    "media_id", "format", "n_bytes"
+                ).write.mode("overwrite").json(
+                    os.path.join(quarantine, f"epoch_id={int(epoch_id)}")
+                )
+            uniq = survivors.join(bad_ids, "media_id", "left_anti")
+            sigs = sigs_all.join(bad_ids, "media_id", "left_anti")
 
             if phash_index is not None:
                 meta = (
@@ -235,24 +248,41 @@ def ingest_media_stream(
                     # is harmless
                     os.makedirs(phash_index, exist_ok=True)
                     write_phash_meta(phash_index, b_, n_, h_, fingerprint)
-                sigs = uniq.select("media_id", "phash")
                 # within-batch perceptual pairs: min media_id wins (the
                 # standing index only covers prior batches)
-                near = (
-                    _dedup.hamming_near_pairs(
-                        sigs, "phash", "media_id", bits=b_, bands=n_, max_hamming=h_
+                if fingerprint == "video":
+                    near = (
+                        _mm.video_near_pairs(
+                            sigs, bits=b_, bands=n_, max_hamming=h_
+                        )
+                        .select(F.col("id_b").alias("media_id"))
+                        .distinct()
                     )
-                    .select(F.col("id_b").alias("media_id"))
-                    .distinct()
-                )
-                if _index_has_rows(phash_index):
-                    near = near.union(
-                        _dedup.hamming_near_pairs_asym(
-                            sigs, sp.read.parquet(phash_index), "phash",
-                            id_col="media_id", corpus_id_col="corpus_id",
+                    if _index_has_rows(phash_index):
+                        near = near.union(
+                            _mm.video_near_pairs_asym(
+                                sigs, sp.read.parquet(phash_index),
+                                bits=b_, bands=n_, max_hamming=h_,
+                            ).select(F.col("new_id").alias("media_id"))
+                        ).distinct()
+                else:
+                    flat = sigs.select("media_id", "phash")
+                    near = (
+                        _dedup.hamming_near_pairs(
+                            flat, "phash", "media_id",
                             bits=b_, bands=n_, max_hamming=h_,
-                        ).select(F.col("new_id").alias("media_id"))
-                    ).distinct()
+                        )
+                        .select(F.col("id_b").alias("media_id"))
+                        .distinct()
+                    )
+                    if _index_has_rows(phash_index):
+                        near = near.union(
+                            _dedup.hamming_near_pairs_asym(
+                                flat, sp.read.parquet(phash_index), "phash",
+                                id_col="media_id", corpus_id_col="corpus_id",
+                                bits=b_, bands=n_, max_hamming=h_,
+                            ).select(F.col("new_id").alias("media_id"))
+                        ).distinct()
                 near = near.localCheckpoint(eager=True)
                 if rejects is not None:
                     uniq.join(near, "media_id", "left_semi").select(
@@ -264,13 +294,29 @@ def ingest_media_stream(
                     )
                 uniq = uniq.join(near, "media_id", "left_anti")
                 index_lease.check()  # fenced: never append on a lost lease
-                uniq.select(
-                    F.col("media_id").alias("corpus_id"), "phash"
-                ).write.mode("append").parquet(phash_index)
+                idx_rows = sigs.join(near, "media_id", "left_anti")
+                if fingerprint == "video":
+                    # video index rows carry frame alignment + the frame
+                    # count the asym probe's equal-length contract needs
+                    nfr = idx_rows.groupBy("media_id").agg(
+                        F.count(F.lit(1)).cast("bigint").alias("n_frames")
+                    )
+                    idx_rows = idx_rows.join(nfr, "media_id").select(
+                        F.col("media_id").alias("corpus_id"),
+                        "frame_idx", "phash", "n_frames",
+                    )
+                else:
+                    idx_rows = idx_rows.select(
+                        F.col("media_id").alias("corpus_id"), "phash"
+                    )
+                idx_rows.write.mode("append").parquet(phash_index)
             corpus_lease.check()
+            # signatures live in the INDEX; the corpus stores the payload
+            # row + content_hash uniformly across modes
             uniq.write.mode("append").parquet(out_path)
         finally:
-            joined.unpersist()
+            sigs_all.unpersist()
+            survivors.unpersist()
 
     from ..operators.multimodal import MEDIA_SCHEMA
 

@@ -265,3 +265,61 @@ def test_media_index_sidecar_first_and_untagged_refusal(spark, tmp_path):
     with pytest.raises(Exception, match="no _phash_meta"):
         SM.ingest_media_stream(spark, land, out, str(tmp_path / "ck2"),
                                phash_index=idx2)
+
+
+def test_media_ingest_video_lane(spark, tmp_path):
+    """The ingest lane serves video: fingerprint='video' hashes every
+    frame, the index carries (frame_idx, n_frames), and the aligned-
+    sequence contract holds continuously — the brightness-shifted clip
+    replay drops against the standing index, a corrupt stream
+    quarantines, and a crash-replayed epoch lands intact (id
+    self-exclusion)."""
+    from pyspark.sql import functions as F
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    out = str(tmp_path / "video")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "vfp_idx")
+    rej = str(tmp_path / "rej")
+    quar = str(tmp_path / "quar")
+
+    def clips(ids):
+        return M.synth_texture_y4m(
+            spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+        )
+
+    _land(clips([0, 1]), land, "b0.parquet", 1_000_000_000)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           rejects=rej, quarantine=quar, fingerprint="video")
+    meta = SM.read_phash_meta(idx)
+    assert meta["fingerprint"] == "video"
+    assert set(spark.read.parquet(idx).columns) == {
+        "corpus_id", "frame_idx", "phash", "n_frames"}
+
+    # batch 2: id 8 = brightness replay of clip 0 (every frame distance 0
+    # via the standing index), id 12 fresh, one corrupt payload
+    b1 = clips([8, 12]).unionByName(
+        spark.createDataFrame(
+            [(999, "video", bytearray(b"not a y4m"), "y4m", 9)], M.MEDIA_SCHEMA
+        )
+    )
+    _land(b1, land, "b1.parquet", 1_000_000_100)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           rejects=rej, quarantine=quar, fingerprint="video")
+    assert {r.media_id for r in spark.read.parquet(out).collect()} == {0, 1, 12}
+    assert {r.media_id for r in spark.read.json(rej + ".neardup").collect()} == {8}
+    assert {r.media_id for r in spark.read.json(quar).collect()} == {999}
+
+    # crash state: id 30's per-frame signatures already in the index
+    sigs30 = M.video_phash(clips([30]))
+    n30 = sigs30.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"))
+    sigs30.join(n30, "media_id").select(
+        F.col("media_id").alias("corpus_id"), "frame_idx", "phash", "n_frames"
+    ).write.mode("append").parquet(idx)
+    _land(clips([30]), land, "b2.parquet", 1_000_000_200)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           rejects=rej, quarantine=quar, fingerprint="video")
+    got = {r.media_id for r in spark.read.parquet(out).collect()}
+    assert got == {0, 1, 12, 30}  # own signatures ignored, clip intact
