@@ -1247,8 +1247,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     im.add_argument("--checkpoint", required=True)
     im.add_argument("--phash-index", default=None,
-                    help="persisted (corpus_id, phash) signature index dir: "
-                    "turns on continuous perceptual near-dedup")
+                    help="persisted signature index dir ((corpus_id, phash) "
+                    "rows; video mode adds frame_idx/n_frames): turns on "
+                    "continuous perceptual near-dedup")
     im.add_argument("--quarantine", default=None,
                     help="JSON sink for undecodable payloads")
     im.add_argument("--rejects", default=None,
@@ -1283,9 +1284,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="treat the path as a span-gram index: drop "
                     "replay-duplicated (hash, owner) rows, keep the sidecar")
     cp.add_argument("--phash-index", action="store_true",
-                    help="treat the path as an image pHash signature index: "
-                    "drop replay-duplicated (corpus_id, phash) rows, keep "
-                    "the banding sidecar")
+                    help="treat the path as a media signature index (image/"
+                    "audio: (corpus_id, phash) rows; video adds frame_idx/"
+                    "n_frames): drop replay-duplicated rows, keep the "
+                    "mode/banding sidecar")
     cp.add_argument("path", help="parquet directory to compact in place")
     cp.set_defaults(fn=cmd_compact)
 
@@ -1306,7 +1308,7 @@ def main(argv: list[str] | None = None) -> int:
     fs.add_argument("--span-index", default=None)
     fs.add_argument("--ivf-index", default=None)
     fs.add_argument("--phash-index", default=None,
-                    help="image pHash signature index dir to check")
+                    help="media signature index dir to check (any mode)")
     fs.add_argument("corpus", help="parquet corpus directory")
     fs.set_defaults(fn=cmd_fsck)
 

@@ -2309,6 +2309,15 @@ def video_phash(df: DataFrame, null_on_error: bool = False) -> DataFrame:
                         raise
                     rows.append((int(mid), 0, None))
                     continue
+                if len(frames) == 0:
+                    # a header-only stream decodes "successfully" with
+                    # zero frames — there is nothing to fingerprint, so
+                    # it must take the quarantine path, not silently
+                    # bypass perceptual dedup forever
+                    if not null_on_error:
+                        raise ValueError("zero-frame Y4M stream")
+                    rows.append((int(mid), 0, None))
+                    continue
                 for f, px in enumerate(frames):
                     rows.append((int(mid), f, _phash_of_pixels(px, w, h)))
             yield pd.DataFrame(
@@ -2418,7 +2427,7 @@ def video_near_pairs_asym(
     nn = new_sigs.groupBy("media_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("__n")
     ).localCheckpoint(eager=True)
-    nh = new_sigs.where(F.col("frame_idx") == 0).join(nn, "media_id")
+    nh = new_sigs.where(F.col("frame_idx") == 0)
     nb = _hamming_banded(nh, "phash", "media_id", bits, bands).join(
         nn, "media_id"
     )

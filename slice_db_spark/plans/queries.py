@@ -3945,7 +3945,13 @@ def media_video_incremental(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="vfp_idx_q_")
     idx = os.path.join(tmp, "idx")
     try:
-        csigs = multimodal.video_phash(multimodal.synth_texture_y4m(corpus))
+        # eager checkpoints: both signature frames feed multiple joins
+        # (nfr self-aggregate; banding/candidate/verify branches in the
+        # asym probe) and would otherwise recompute the Python
+        # synth+decode+DCT pipeline per consumer
+        csigs = multimodal.video_phash(
+            multimodal.synth_texture_y4m(corpus)
+        ).localCheckpoint(eager=True)
         nfr = csigs.groupBy("media_id").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_frames")
         )
@@ -3953,7 +3959,9 @@ def media_video_incremental(spark, sf_dir):
             F.col("media_id").alias("corpus_id"), "frame_idx", "phash",
             "n_frames",
         ).write.mode("overwrite").parquet(idx)
-        probe = multimodal.video_phash(multimodal.synth_texture_y4m(batch))
+        probe = multimodal.video_phash(
+            multimodal.synth_texture_y4m(batch)
+        ).localCheckpoint(eager=True)
         return multimodal.video_near_pairs_asym(
             probe, spark.read.parquet(idx),
             bits=63, bands=PHASH_BANDS, max_hamming=PHASH_MAX_HAMMING,

@@ -312,11 +312,12 @@ def compact_span_index(spark, path: str, target_file_bytes: int = 128 << 20) -> 
 
 
 def compact_phash_index(spark, path: str, target_file_bytes: int = 128 << 20) -> dict:
-    """Maintenance for the continuous image-dedup signature index
+    """Maintenance for the continuous media-dedup signature index
     (`..streaming.media.ingest_media_stream` layout: (corpus_id, phash)
-    rows): drop the duplicate rows crash-replayed appends leave behind,
-    compact to size-targeted files, and keep the ``_phash_meta.json``
-    banding sidecar."""
+    rows for image/audio modes, (corpus_id, frame_idx, phash, n_frames)
+    for video — the all-column dedup handles both): drop the duplicate
+    rows crash-replayed appends leave behind, compact to size-targeted
+    files, and keep the ``_phash_meta.json`` mode/banding sidecar."""
     from ..streaming.media import PHASH_META_NAME
 
     return _compact_dir(

@@ -19,12 +19,18 @@ anyway.  Each micro-batch:
    pairs (min media_id wins) plus an asymmetric banded probe against the
    persisted signature index
    (:func:`..operators.dedup.hamming_near_pairs_asym`),
-4. appends the survivors' (corpus_id, phash) rows to the index BEFORE
-   the corpus append — the LSH/span ordering: the probe excludes rows
-   whose corpus_id equals the probing id, so a replayed epoch ignores
-   its own pre-crash signatures and rewrites bit-identically; a crash
-   between the appends can only duplicate signature rows (reclaimed by
+4. appends the survivors' signature rows to the index BEFORE the
+   corpus append — ``(corpus_id, phash)`` for image/audio modes,
+   ``(corpus_id, frame_idx, phash, n_frames)`` for video (the LSH/span
+   ordering): the probe excludes rows whose corpus_id equals the
+   probing id, so a replayed epoch ignores its own pre-crash signatures
+   and rewrites bit-identically; a crash between the appends can only
+   duplicate signature rows (reclaimed by
    ``plans.scale.compact_phash_index``), never lose coverage.
+   Signatures live ONLY in the index; the corpus stores the payload row
+   plus ``content_hash`` uniformly across modes (corpora written by
+   pre-video versions additionally carry a ``phash`` column — compact
+   once or read with ``mergeSchema`` when migrating).
 
 Every read->append section holds the same fenced writer leases the text
 sink uses (``sources.atomic.dir_lock``), so live compaction can never
@@ -182,6 +188,16 @@ def ingest_media_stream(
         # re-quarantining — the cheaper of the two correct outcomes
         hashed = batch.withColumn("content_hash", hash64(F.col("payload")))
         hashed = hashed.dropDuplicates(["content_hash", "media_id"])
+        # media_id is the IDENTITY key: two rows sharing an id with
+        # DIFFERENT payloads would both survive the per-hash winner join
+        # and corrupt the per-id signature grouping (the video lane's
+        # frame sequences interleave, n_frames inflates, and every later
+        # genuine near-dup is rejected) — keep one row per id
+        # deterministically (min content hash wins)
+        wid = hashed.groupBy("media_id").agg(
+            F.min("content_hash").alias("content_hash")
+        )
+        hashed = hashed.join(wid, ["media_id", "content_hash"], "left_semi")
         w = hashed.groupBy("content_hash").agg(F.min("media_id").alias("media_id"))
         survivors = hashed.join(w, ["content_hash", "media_id"], "left_semi")
         if target_exists:

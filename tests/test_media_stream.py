@@ -323,3 +323,48 @@ def test_media_ingest_video_lane(spark, tmp_path):
                            rejects=rej, quarantine=quar, fingerprint="video")
     got = {r.media_id for r in spark.read.parquet(out).collect()}
     assert got == {0, 1, 12, 30}  # own signatures ignored, clip intact
+
+
+def test_media_ingest_zero_frame_video_and_id_collisions(spark, tmp_path):
+    """REVIEW r7 pins: (1) a header-only zero-frame Y4M stream takes the
+    quarantine path instead of silently bypassing perceptual dedup
+    forever; (2) two rows sharing a media_id with DIFFERENT payloads
+    collapse deterministically to one (min content hash) instead of
+    interleaving two clips' frame sequences in the index."""
+    from pyspark.sql import functions as F
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    out = str(tmp_path / "video")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "idx")
+    quar = str(tmp_path / "quar")
+
+    def clip_rows(ids):
+        return M.synth_texture_y4m(
+            spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+        )
+
+    empty = M.encode_y4m(8, 8, __import__("numpy").zeros((0, 8, 8), "uint8"))
+    collide = clip_rows([1]).collect()[0]
+    b0 = clip_rows([0, 1]).unionByName(
+        spark.createDataFrame(
+            [
+                (7, "video", bytearray(empty), "y4m", len(empty)),
+                # id 1 again with a DIFFERENT payload (clip 2's bytes)
+                (1, collide.kind,
+                 clip_rows([2]).collect()[0].payload, "y4m", 1),
+            ],
+            M.MEDIA_SCHEMA,
+        )
+    )
+    _land(b0, land, "b0.parquet", 1_000_000_000)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, fingerprint="video")
+    assert {r.media_id for r in spark.read.json(quar).collect()} == {7}
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.media_id for r in rows) == [0, 1]  # one row per id
+    # the index carries exactly one clip's frames for id 1
+    n1 = spark.read.parquet(idx).where(F.col("corpus_id") == 1)
+    n_frames = {r.n_frames for r in n1.collect()}
+    assert len(n_frames) == 1 and n1.count() == n_frames.pop()
