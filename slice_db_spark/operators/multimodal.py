@@ -436,7 +436,7 @@ AUDIO_FP_SCHEMA = StructType(
 
 
 def audio_fingerprint(
-    df: DataFrame, window: int = 50, null_on_error: bool = False
+    df: DataFrame, window: int = 50, bits: int = 63, null_on_error: bool = False
 ) -> DataFrame:
     """Energy-profile audio fingerprint — the dependency-free
     Haitsma-Kalker shape (their spectral bands become time windows here:
@@ -446,9 +446,26 @@ def audio_fingerprint(
     pair, set iff ``E_{w+1} > E_w``.  Doubling the amplitude scales
     every energy by 4 and flips no delta sign — amplitude-invariant the
     way pHash is brightness-invariant — while structurally different
-    audio diverges in ~half the bits.  Output: (media_id, afp BIGINT,
-    bit w = window-w delta); pair with
-    :func:`..operators.dedup.hamming_near_pairs`."""
+    audio diverges in ~half the bits.
+
+    The signature is BOUNDED to ``bits`` delta bits so it always fits a
+    signed BIGINT: clips with more than ``bits + 1`` raw windows fold
+    consecutive windows into ``≤ bits + 1`` equal-stride groups (group
+    energy = sum of member energies) before taking deltas — whole-clip
+    coverage rather than a head truncation, and a clip short enough to
+    need no fold (≤ ``bits + 1`` windows) hashes exactly as before.
+    Without the bound, any clip over ``(bits + 1) · window`` samples
+    (~0.2 s at 16 kHz with the defaults) would shift past bit 63 and
+    overflow the Int64 Arrow column — crashing the ingest stream instead
+    of quarantining.  Output: (media_id, afp BIGINT, bit w = group-w
+    delta); pair with :func:`..operators.dedup.hamming_near_pairs`.
+
+    Offset sensitivity: one clip-level signature shifts wholesale when a
+    replay is clipped or padded — use :func:`audio_subfingerprints` +
+    :func:`audio_offset_pairs` for offset-robust pairing; this stays the
+    cheap first pass."""
+    if not (1 <= bits <= 63):
+        raise ValueError(f"bits must be in [1, 63], got {bits}")
 
     def one(payload: bytes) -> int:
         _, samples = decode_wav(bytes(payload))
@@ -457,12 +474,18 @@ def audio_fingerprint(
             sum(s * s for s in samples[w * window : (w + 1) * window])
             for w in range(n_win)
         ]
+        if len(e) > bits + 1:
+            stride = -(-len(e) // (bits + 1))  # ceil
+            e = [
+                sum(e[g * stride : (g + 1) * stride])
+                for g in range(-(-len(e) // stride))
+            ]
         return sum(1 << w for w in range(len(e) - 1) if e[w + 1] > e[w])
 
     def guarded(payload: bytes):
         try:
             return one(payload)
-        except (ValueError, struct.error):
+        except (ValueError, struct.error, OverflowError):
             return None
 
     hasher = guarded if null_on_error else one

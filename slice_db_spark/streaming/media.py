@@ -8,12 +8,22 @@ columns (media_id, kind, payload, format, n_bytes): binary payloads
 don't survive JSONL, and a crawl's media fetcher writes parquet shards
 anyway.  Each micro-batch:
 
-1. exact-deduplicates by payload md5 within the batch and against the
-   corpus's persisted ``content_hash`` column — byte-identical refetches
-   drop on the hash alone, BEFORE the expensive pure-Python decode,
+1. exact-deduplicates by the FULL payload md5 (32-hex string — the
+   128-bit width keeps birthday collisions negligible at ~1e9 media
+   rows, where the text pipeline's 60-bit ``hash64`` would start
+   silently dropping distinct payloads at ~n²/2⁶¹) within the batch and
+   against the corpus's persisted ``content_hash`` column —
+   byte-identical refetches drop on the hash alone, BEFORE the
+   expensive pure-Python decode.  Corpora written by pre-r8 versions
+   carry a BIGINT (60-bit) ``content_hash``; the sink refuses them with
+   a pointer to :func:`migrate_media_corpus`,
 2. quarantines undecodable survivors (unknown format / malformed bytes —
    the codecs' ValueError contract, surfaced as NULL pHashes; an
-   undecodable exact-dup of a corpus row drops as a dup instead),
+   undecodable exact-dup of a corpus row drops as a dup instead) and
+   cross-batch media_id reuse (a DIFFERENT payload arriving under an id
+   the corpus already owns — appending it would interleave two clips'
+   signature rows under one corpus_id and silently break later
+   near-dup recall; quarantined to ``<quarantine>.idreuse`` per epoch),
 3. near-deduplicates perceptually: 63-bit fixed-point-DCT pHash
    (:func:`..operators.multimodal.phash_media`), within-batch Hamming
    pairs (min media_id wins) plus an asymmetric banded probe against the
@@ -89,6 +99,32 @@ def read_phash_meta(path: str) -> dict | None:
             f"max_hamming, got {meta!r}"
         )
     return meta
+
+
+def migrate_media_corpus(
+    spark: SparkSession, path: str, lock_timeout: float = 600.0
+) -> dict:
+    """One-time migration of a pre-r8 media corpus whose ``content_hash``
+    is the legacy 60-bit BIGINT prefix: recompute the FULL 32-hex md5
+    from the stored payloads and atomically swap the rewritten corpus in
+    (staging + ``swap_dir``, under the corpus writer lease so a live
+    ingest can never interleave).  Idempotent — a corpus already carrying
+    a string hash is returned unchanged.  Returns a small report dict."""
+    from ..sources.atomic import swap_dir
+
+    with dir_lock(path, timeout=lock_timeout) as lease:
+        recover_dir(path)
+        corpus = spark.read.parquet(path)
+        if dict(corpus.dtypes).get("content_hash") == "string":
+            return {"migrated": False, "rows": corpus.count()}
+        staging = os.path.normpath(path) + ".staging"
+        out = corpus.drop("content_hash").withColumn(
+            "content_hash", F.md5(F.col("payload"))
+        )
+        out.write.mode("overwrite").parquet(staging)
+        lease.check()  # fenced: never promote on a lost lease
+        swap_dir(path)
+        return {"migrated": True, "rows": spark.read.parquet(path).count()}
 
 
 def _index_has_rows(path: str) -> bool:
@@ -185,8 +221,11 @@ def ingest_media_stream(
         # refetches drop on the hash alone, before the expensive
         # pure-Python decode ever touches them.  An undecodable payload
         # that exactly duplicates a corpus row drops as a dup instead of
-        # re-quarantining — the cheaper of the two correct outcomes
-        hashed = batch.withColumn("content_hash", hash64(F.col("payload")))
+        # re-quarantining — the cheaper of the two correct outcomes.
+        # FULL 32-hex md5, not the 60-bit hash64 prefix: at the media
+        # scale this sink targets (~1e9 rows), 60-bit birthday collisions
+        # (~n²/2⁶¹) would silently drop distinct payloads as exact dups
+        hashed = batch.withColumn("content_hash", F.md5(F.col("payload")))
         hashed = hashed.dropDuplicates(["content_hash", "media_id"])
         # media_id is the IDENTITY key: two rows sharing an id with
         # DIFFERENT payloads would both survive the per-hash winner join
@@ -201,8 +240,46 @@ def ingest_media_stream(
         w = hashed.groupBy("content_hash").agg(F.min("media_id").alias("media_id"))
         survivors = hashed.join(w, ["content_hash", "media_id"], "left_semi")
         if target_exists:
-            seen = sp.read.parquet(out_path).select("content_hash")
-            survivors = survivors.join(seen, "content_hash", "left_anti")
+            corpus_keys = sp.read.parquet(out_path).select(
+                "media_id", "content_hash"
+            )
+            if dict(corpus_keys.dtypes)["content_hash"] != "string":
+                raise ValueError(
+                    f"media corpus at {out_path} carries a legacy 60-bit "
+                    "BIGINT content_hash; run migrate_media_corpus to "
+                    "rewrite it with the full 128-bit md5 before ingesting "
+                    "further batches — mixing widths would break the "
+                    "exact-dedup anti-join"
+                )
+            survivors = survivors.join(
+                corpus_keys.select("content_hash"), "content_hash", "left_anti"
+            )
+            # cross-batch id-reuse guard: a NEW payload arriving under a
+            # media_id the corpus already owns would land a SECOND
+            # signature sequence under the same corpus_id — the video
+            # lane's aligned-frame join would then mix frames from both
+            # clips, inflate max_frame_hamming, and silently stop
+            # matching genuine near-duplicates of either.  (A replay of
+            # the SAME payload never reaches here — it dropped on the
+            # content-hash anti-join above.)  Quarantine the colliding
+            # rows per epoch (idempotent overwrite) and drop them.
+            reused = (
+                survivors.join(
+                    corpus_keys.select("media_id").distinct(),
+                    "media_id", "left_semi",
+                )
+                .select("media_id", "format", "n_bytes")
+                .localCheckpoint(eager=True)
+            )
+            if quarantine is not None:
+                reused.write.mode("overwrite").json(
+                    os.path.join(
+                        quarantine + ".idreuse", f"epoch_id={int(epoch_id)}"
+                    )
+                )
+            survivors = survivors.join(
+                reused.select("media_id"), "media_id", "left_anti"
+            )
 
         # decode ONLY the exact-dedup survivors: NULL phash = undecodable
         # (the mode's signature column is aliased to `phash` — the

@@ -325,6 +325,111 @@ def test_media_ingest_video_lane(spark, tmp_path):
     assert got == {0, 1, 12, 30}  # own signatures ignored, clip intact
 
 
+def test_media_ingest_cross_batch_id_reuse_quarantined(spark, tmp_path):
+    """r8 ADVICE fix: a LATER batch reusing an existing media_id with a
+    DIFFERENT payload must quarantine (``<quarantine>.idreuse``), not
+    append a second frame sequence under the same corpus_id — the mixed
+    sequence would inflate max_frame_hamming and silently break near-dup
+    recall of the original clip.  After the guard, a brightness replay
+    of the ORIGINAL clip still matches the standing index."""
+    from pyspark.sql import functions as F
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    out = str(tmp_path / "video")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "idx")
+    rej = str(tmp_path / "rej")
+    quar = str(tmp_path / "quar")
+
+    def clips(ids):
+        return M.synth_texture_y4m(
+            spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+        )
+
+    _land(clips([0, 1]), land, "b0.parquet", 1_000_000_000)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           rejects=rej, quarantine=quar, fingerprint="video")
+    idx0 = spark.read.parquet(idx).where(F.col("corpus_id") == 0)
+    n_frames_0 = idx0.count()
+
+    # batch 2: id 0 re-arrives carrying clip 2's payload (cross-batch id
+    # reuse), plus a fresh clip
+    other = clips([2]).collect()[0]
+    b1 = clips([12]).unionByName(
+        spark.createDataFrame(
+            [(0, "video", other.payload, "y4m", other.n_bytes)],
+            M.MEDIA_SCHEMA,
+        )
+    )
+    _land(b1, land, "b1.parquet", 1_000_000_100)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           rejects=rej, quarantine=quar, fingerprint="video")
+    reused = {r.media_id
+              for r in spark.read.json(quar + ".idreuse").collect()}
+    assert reused == {0}
+    assert {r.media_id for r in spark.read.parquet(out).collect()} == {0, 1, 12}
+    # index still carries exactly ONE clean sequence for corpus_id 0
+    idx0 = spark.read.parquet(idx).where(F.col("corpus_id") == 0)
+    assert idx0.count() == n_frames_0
+    assert {r.n_frames for r in idx0.collect()} == {n_frames_0}
+
+    # batch 3: the brightness replay of the ORIGINAL clip 0 must still be
+    # recalled as a near-dup — the recall the mixed sequence would lose
+    _land(clips([8]), land, "b2.parquet", 1_000_000_200)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           rejects=rej, quarantine=quar, fingerprint="video")
+    assert {r.media_id
+            for r in spark.read.json(rej + ".neardup").collect()} == {8}
+    assert 8 not in {r.media_id for r in spark.read.parquet(out).collect()}
+
+
+def test_media_corpus_legacy_hash_refused_and_migrated(spark, tmp_path):
+    """r8 ADVICE fix: the media corpus content_hash is the FULL 128-bit
+    md5; a legacy corpus carrying the 60-bit BIGINT prefix is refused
+    (mixing widths breaks the exact-dedup anti-join), and
+    migrate_media_corpus rewrites it in place, after which a
+    byte-identical refetch drops exactly as before."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from slice_db_spark.operators.hashing import hash64
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    out = str(tmp_path / "media")
+    ckpt = str(tmp_path / "ckpt")
+
+    # hand-write a legacy corpus (pre-r8 layout: BIGINT hash64 prefix)
+    legacy = _synth_rows(spark, [0, 1]).withColumn(
+        "content_hash", hash64(F.col("payload"))
+    )
+    legacy.write.mode("overwrite").parquet(out)
+
+    _land(_synth_rows(spark, [2]), land, "b0.parquet", 1_000_000_000)
+    with pytest.raises(Exception, match="legacy"):
+        SM.ingest_media_stream(spark, land, out, ckpt)
+
+    report = SM.migrate_media_corpus(spark, out)
+    assert report == {"migrated": True, "rows": 2}
+    assert dict(spark.read.parquet(out).dtypes)["content_hash"] == "string"
+    # idempotent second run
+    assert SM.migrate_media_corpus(spark, out) == {"migrated": False, "rows": 2}
+
+    # ingest proceeds, and a refetch of a migrated row still drops on the
+    # recomputed hash
+    refetch = _synth_rows(spark, [0]).collect()[0]
+    b1 = spark.createDataFrame(
+        [(100, refetch.kind, refetch.payload, refetch.format,
+          refetch.n_bytes)],
+        M.MEDIA_SCHEMA,
+    )
+    _land(b1, land, "b1.parquet", 1_000_000_100)
+    SM.ingest_media_stream(spark, land, out, str(tmp_path / "ck2"))
+    assert {r.media_id for r in spark.read.parquet(out).collect()} == {0, 1, 2}
+
+
 def test_media_ingest_zero_frame_video_and_id_collisions(spark, tmp_path):
     """REVIEW r7 pins: (1) a header-only zero-frame Y4M stream takes the
     quarantine path instead of silently bypassing perceptual dedup

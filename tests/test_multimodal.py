@@ -830,6 +830,40 @@ def test_audio_fingerprint_planted_near_dups_and_recall(spark):
     assert got == brute and len(brute) >= 8
 
 
+def test_audio_fingerprint_long_clip_bounded(spark):
+    """r8 ADVICE fix: a realistic-length clip (1 s at 16 kHz = 320 raw
+    windows, far past the 64-window signature width) must FOLD into a
+    bounded fingerprint, not overflow Int64 and crash the stream.  The
+    fold keeps amplitude invariance, a short clip's fingerprint is
+    unchanged by the bounding code, and the guarded mode still routes
+    malformed payloads to NULL."""
+    rows = []
+    long_samples = [((i * i * 3 + 11 * i) % 4096) - 2048 for i in range(16000)]
+    rows.append((0, "audio", M.encode_wav(long_samples, 16000), "wav",
+                 len(long_samples) * 2 + 44))
+    rows.append((1, "audio", M.encode_wav([2 * s for s in long_samples], 16000),
+                 "wav", len(long_samples) * 2 + 44))
+    short = [((7 * i * i + 5 * i) % 4096) - 2048 for i in range(1550)]
+    rows.append((2, "audio", M.encode_wav(short, 16000), "wav", len(short) * 2 + 44))
+    rows.append((3, "audio", b"not a wav at all", "wav", 16))
+    df = spark.createDataFrame(
+        rows, "media_id bigint, kind string, payload binary, format string, n_bytes bigint"
+    )
+    fps = {r.media_id: r.afp
+           for r in M.audio_fingerprint(df, null_on_error=True).collect()}
+    assert fps[0] is not None and 0 <= fps[0] < (1 << 63)
+    assert fps[1] == fps[0]            # amplitude ×2 survives the fold
+    assert fps[3] is None              # malformed -> quarantine, not crash
+    # a clip that needs no fold hashes exactly as the unbounded formula
+    e = [sum(s * s for s in short[w * 50 : (w + 1) * 50]) for w in range(31)]
+    expect = sum(1 << w for w in range(30) if e[w + 1] > e[w])
+    assert fps[2] == expect
+    # the fingerprint must raise on an out-of-range width rather than wrap
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bits"):
+        M.audio_fingerprint(df, bits=64)
+
+
 def test_video_phash_planted_near_dups_and_recall(spark):
     """r7 video fingerprint pins: the brightness-shifted clip replay is
     distance 0 on EVERY frame, the contrast replay stays within
