@@ -142,6 +142,7 @@ HEADLINE = [
     "media_phash_incremental",
     "media_jpeg_progressive",
     "media_audio_pairs",
+    "media_audio_offset_pairs",
     "media_video_pairs",
     "media_dedup_panorama",
     "ann_ivfpq",

@@ -24,7 +24,7 @@ import hashlib
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -502,6 +502,188 @@ def audio_fingerprint(
             )
 
     return df.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+
+
+def synth_audio_clips_offset(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PCM16 clips with PLANTED OFFSET replays — the
+    offset-robust fingerprint test corpus.  Slots 0-7 are the same
+    quadratic pseudo-noise clips as :func:`synth_audio_clips` (seed =
+    id, 1550 samples); slot 8 replays the group's slot-0 clip TRIMMED
+    by 100 samples (two energy windows) off the front — every window
+    energy shifts two positions, so the clip-level fingerprint misses
+    it entirely; slot 9 replays it PADDED with 150 samples (three
+    windows) of seed-dependent pseudo-noise at the front.  Trim/pad
+    lengths are window multiples so the replayed windows align exactly
+    (the sub-fingerprint granularity note on
+    :func:`audio_subfingerprints`).  Pure arithmetic an SQL oracle
+    mirrors sample-for-sample."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                slot = k % 10
+                seed = k - slot if slot >= 8 else k
+
+                def base(i: int) -> int:
+                    return (
+                        (17 * seed + (3 + seed % 5) * i * i
+                         + (11 + seed % 13) * i) % 4096
+                    ) - 2048
+
+                if slot == 8:
+                    samples = [base(i + 100) for i in range(1450)]
+                elif slot == 9:
+                    samples = [
+                        ((29 * seed + 7 * i * i + 3 * i) % 4096) - 2048
+                        for i in range(150)
+                    ] + [base(i) for i in range(1550)]
+                else:
+                    samples = [base(i) for i in range(1550)]
+                payload = encode_wav(samples, 16000)
+                rows.append((k, "audio", payload, "wav", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+AUDIO_SUBFP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("win_idx", LongType()),
+        StructField("subfp", LongType()),
+    ]
+)
+
+
+def audio_subfingerprints(
+    df: DataFrame,
+    window: int = 50,
+    frame_bits: int = 16,
+    null_on_error: bool = False,
+) -> DataFrame:
+    """Per-window SUB-fingerprint sequence — the actual Haitsma-Kalker
+    probe shape (one fingerprint per overlapping frame, matched by ANY
+    window, not one fingerprint per clip): for every start window
+    ``w``, ``frame_bits`` adjacent energy-delta sign bits
+    (bit j = ``E_{w+j+1} > E_{w+j}``) pack into one small integer.  A
+    replay clipped or padded by a multiple of ``window`` samples shifts
+    its windows wholesale, so its sub-fingerprints EQUAL the original's
+    at a constant index offset — :func:`audio_offset_pairs` recovers
+    the pair (and the offset) by exact-match voting, where the single
+    clip-level :func:`audio_fingerprint` shifts every bit and misses.
+    Offsets that are not window multiples land between window
+    boundaries; production deployments shrink ``window`` (denser
+    window starts, the Haitsma-Kalker heavily-overlapped frames) to
+    bound that quantization — the knob, not the algorithm, is
+    sandbox-scaled here.
+
+    Output: one row per (clip, start window) — (media_id, win_idx,
+    subfp), subfp in [0, 2^frame_bits).  ``null_on_error=True`` emits a
+    single NULL-subfp row for undecodable payloads (the quarantine
+    contract of :func:`phash_media`/:func:`video_phash`)."""
+    if not (1 <= frame_bits <= 62):
+        raise ValueError(f"frame_bits must be in [1, 62], got {frame_bits}")
+
+    def one(payload: bytes) -> list[tuple[int, int]]:
+        _, samples = decode_wav(bytes(payload))
+        n_win = len(samples) // window
+        e = [
+            sum(s * s for s in samples[w * window : (w + 1) * window])
+            for w in range(n_win)
+        ]
+        bits = [1 if e[w + 1] > e[w] else 0 for w in range(len(e) - 1)]
+        return [
+            (w0, sum(bits[w0 + j] << j for j in range(frame_bits)))
+            for w0 in range(len(bits) - frame_bits + 1)
+        ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_w, out_fp = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    subs = one(payload)
+                except (ValueError, struct.error):
+                    if not null_on_error:
+                        raise
+                    out_id.append(int(mid))
+                    out_w.append(0)
+                    out_fp.append(None)
+                    continue
+                for w0, fp in subs:
+                    out_id.append(int(mid))
+                    out_w.append(w0)
+                    out_fp.append(fp)
+            yield pd.DataFrame(
+                {
+                    "media_id": out_id,
+                    "win_idx": out_w,
+                    "subfp": pd.array(out_fp, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_SUBFP_SCHEMA)
+
+
+def audio_offset_pairs(
+    sigs: DataFrame,
+    min_matches: int = 8,
+    max_df: int = 1000,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Offset-robust audio pairing over sub-fingerprint sequences: join
+    on EXACT sub-fingerprint value, let every match vote for its index
+    offset (``win_a − win_b``), and keep a pair when its best-voted
+    offset explains at least ``min_matches`` matching windows.  Output
+    ``(id_a, id_b, offset, n_matched)`` — one row per pair, best offset
+    (vote-count desc, smaller offset tie-break).
+
+    Scale shape: the join is an equi-join on the subfp value — one hash
+    shuffle, never corpus²; ``max_df`` drops "stopword" sub-fingerprints
+    (global row count above the cap) before the join, the posting-list
+    cap that keeps degenerate constant-energy audio from creating
+    quadratic hot keys.  At corpus scale, raise ``frame_bits`` (32 bits
+    = the published Haitsma-Kalker width) so the key space, not the
+    cap, bounds bucket sizes."""
+    s = sigs.where(F.col("subfp").isNotNull())
+    keep = (
+        s.groupBy("subfp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= max_df)
+        .select("subfp")
+    )
+    sk = s.join(keep, "subfp", "left_semi")
+    a = sk.select(
+        F.col(id_col).alias("id_a"), F.col("win_idx").alias("__wa"), "subfp"
+    )
+    b = sk.select(
+        F.col(id_col).alias("id_b"), F.col("win_idx").alias("__wb"), "subfp"
+    )
+    votes = (
+        a.join(b, "subfp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy(
+            "id_a", "id_b", (F.col("__wa") - F.col("__wb")).alias("win_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    w = Window.partitionBy("id_a", "id_b").orderBy(
+        F.desc("n_matched"), F.asc("win_offset")
+    )
+    return (
+        votes.withColumn("__rk", F.row_number().over(w))
+        .where((F.col("__rk") == 1) & (F.col("n_matched") >= min_matches))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("win_offset").cast("bigint").alias("win_offset"),
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+        )
+    )
 
 
 WAV_STATS_SCHEMA = StructType(

@@ -3998,6 +3998,39 @@ def media_audio_pairs(spark, sf_dir):
     )
 
 
+#: offset-robust audio pairing knobs: 16-bit sub-fingerprints, a pair
+#: needs >= 8 matching windows at its best-voted offset, stopword
+#: sub-fingerprints (row count > 1000) dropped before the join
+AUDIO_SUBFP_BITS = 16
+AUDIO_OFFSET_MIN_MATCHES = 8
+AUDIO_SUBFP_MAX_DF = 1000
+
+
+def media_audio_offset_pairs(spark, sf_dir):
+    """OFFSET-ROBUST audio near-dedup — the gap the clip-level
+    fingerprint leaves open: a clipped or padded replay shifts every
+    energy window, so its single 30-bit fingerprint diverges wholesale
+    and `media_audio_pairs` misses it.  Here each clip emits a per-window
+    sub-fingerprint SEQUENCE (`operators/multimodal.py::
+    audio_subfingerprints` — the actual Haitsma-Kalker probe shape) and
+    pairs match by exact sub-fingerprint votes at a consistent window
+    offset (`audio_offset_pairs`).  The synth corpus
+    (`synth_audio_clips_offset`) plants a front-TRIMMED (2 windows) and
+    a front-PADDED (3 windows) replay per ten-id group; the oracle
+    replays samples→window energies→delta bits→sub-fingerprints
+    arithmetically and brute-forces the vote."""
+    docs = catalog(spark, sf_dir)["documents"]
+    sigs = multimodal.audio_subfingerprints(
+        multimodal.synth_audio_clips_offset(docs),
+        frame_bits=AUDIO_SUBFP_BITS,
+    )
+    return multimodal.audio_offset_pairs(
+        sigs,
+        min_matches=AUDIO_OFFSET_MIN_MATCHES,
+        max_df=AUDIO_SUBFP_MAX_DF,
+    )
+
+
 def media_jpeg_progressive(spark, sf_dir):
     """PROGRESSIVE (SOF2) JPEG under the hash gate: the same synth
     pattern as `media_jpeg_stats`, but encoded through the four-phase
@@ -6968,6 +7001,64 @@ FROM f a JOIN f bb ON a.media_id < bb.media_id
 WHERE bit_count(xor(a.afp, bb.afp)) <= {AUDIO_FP_MAX_HAMMING}
 """
 
+    # offset-robust audio: the trimmed/padded synth replays window-align
+    # by construction; the oracle replays samples -> window energies ->
+    # delta-sign bits -> per-start-window sub-fingerprints, then votes
+    # exact-match pairs per offset and keeps each pair's best offset
+    o["media_audio_offset_pairs"] = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 10 AS slot,
+         CASE WHEN doc_id % 10 >= 8 THEN doc_id - doc_id % 10
+              ELSE doc_id END AS seed
+  FROM documents),
+si AS (SELECT media_id, slot, seed,
+              unnest(range(0, CASE WHEN slot = 8 THEN 1450
+                                   WHEN slot = 9 THEN 1700
+                                   ELSE 1550 END)) AS i
+       FROM d),
+s AS (SELECT media_id, i // 50 AS w,
+             CASE WHEN slot = 8 THEN
+                    (17 * seed + (3 + seed % 5) * (i + 100) * (i + 100)
+                     + (11 + seed % 13) * (i + 100)) % 4096 - 2048
+                  WHEN slot = 9 AND i < 150 THEN
+                    (29 * seed + 7 * i * i + 3 * i) % 4096 - 2048
+                  WHEN slot = 9 THEN
+                    (17 * seed + (3 + seed % 5) * (i - 150) * (i - 150)
+                     + (11 + seed % 13) * (i - 150)) % 4096 - 2048
+                  ELSE
+                    (17 * seed + (3 + seed % 5) * i * i
+                     + (11 + seed % 13) * i) % 4096 - 2048
+             END AS smp
+      FROM si),
+e AS (SELECT media_id, w, sum(smp * smp) AS energy FROM s GROUP BY media_id, w),
+bit AS (SELECT e1.media_id, e1.w AS w,
+               CASE WHEN e2.energy > e1.energy THEN 1 ELSE 0 END AS b
+        FROM e e1 JOIN e e2 ON e2.media_id = e1.media_id AND e2.w = e1.w + 1),
+sub AS (SELECT b0.media_id, b0.w AS win_idx,
+               CAST(sum(bj.b * (CAST(1 AS BIGINT)
+                                << CAST(bj.w - b0.w AS INT))) AS BIGINT) AS subfp
+        FROM bit b0 JOIN bit bj
+          ON bj.media_id = b0.media_id
+         AND bj.w BETWEEN b0.w AND b0.w + {AUDIO_SUBFP_BITS - 1}
+        GROUP BY b0.media_id, b0.w
+        HAVING count(*) = {AUDIO_SUBFP_BITS}),
+keep AS (SELECT subfp FROM sub GROUP BY subfp
+         HAVING count(*) <= {AUDIO_SUBFP_MAX_DF}),
+subk AS (SELECT sub.media_id, sub.win_idx, sub.subfp
+         FROM sub JOIN keep USING (subfp)),
+votes AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+                 a.win_idx - b.win_idx AS woff, count(*) AS n
+          FROM subk a JOIN subk b
+            ON a.subfp = b.subfp AND a.media_id < b.media_id
+          GROUP BY 1, 2, 3)
+SELECT id_a, id_b, CAST(woff AS BIGINT) AS win_offset,
+       CAST(n AS BIGINT) AS n_matched
+FROM (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+                                   ORDER BY n DESC, woff) AS rk
+      FROM votes)
+WHERE rk = 1 AND n >= {AUDIO_OFFSET_MIN_MATCHES}
+"""
+
     # BPE training: the merge rounds unroll as CTE pairs (count+argmax,
     # then replace-merge), the doc_pagerank pattern.  Double-space symbol
     # delimiters make non-overlapping replace() the exact classic merge
@@ -8187,6 +8278,7 @@ def _all_queries():
         "media_phash_incremental": media_phash_incremental,
         "media_jpeg_progressive": media_jpeg_progressive,
         "media_audio_pairs": media_audio_pairs,
+        "media_audio_offset_pairs": media_audio_offset_pairs,
         "media_video_pairs": media_video_pairs,
         "media_dedup_panorama": media_dedup_panorama,
         "ann_ivfpq": ann_ivfpq,

@@ -864,6 +864,54 @@ def test_audio_fingerprint_long_clip_bounded(spark):
         M.audio_fingerprint(df, bits=64)
 
 
+def test_audio_offset_pairs_recall_where_clip_fingerprint_misses(spark):
+    """r8 offset-robust audio pins: the front-trimmed (2 windows) and
+    front-padded (3 windows) replays pair with their original at the
+    planted offsets (+2 / −3) via sub-fingerprint voting — while the
+    clip-level fingerprint, whose every bit shifted, misses ALL of
+    them.  Unrelated clips never reach the vote threshold."""
+    from slice_db_spark.operators.dedup import hamming_near_pairs
+
+    ids = spark.createDataFrame([(i,) for i in range(30)], "doc_id bigint")
+    clips = M.synth_audio_clips_offset(ids)
+    subs = M.audio_subfingerprints(clips)
+    got = {
+        (r.id_a, r.id_b): (r.win_offset, r.n_matched)
+        for r in M.audio_offset_pairs(subs).collect()
+    }
+    for g in (0, 10, 20):
+        off, n = got[(g, g + 8)]          # trimmed replay recovered
+        assert off == 2 and n >= 8
+        off, n = got[(g, g + 9)]          # padded replay recovered
+        assert off == -3 and n >= 8
+        off, n = got[(g + 8, g + 9)]      # the two replays pair too
+        assert off == -5 and n >= 8
+    assert (0, 11) not in got and (3, 25) not in got
+
+    # the clip-level fingerprint misses every planted offset replay
+    afp = M.audio_fingerprint(clips)
+    clip_pairs = {
+        (r.id_a, r.id_b)
+        for r in hamming_near_pairs(
+            afp, "afp", "media_id", bits=30, bands=6, max_hamming=4
+        ).collect()
+    }
+    for g in (0, 10, 20):
+        assert (g, g + 8) not in clip_pairs
+        assert (g, g + 9) not in clip_pairs
+
+    # undecodable payloads take the NULL row path, and the pairing
+    # ignores them
+    bad = spark.createDataFrame(
+        [(99, "audio", bytearray(b"nope"), "wav", 4)], M.MEDIA_SCHEMA
+    )
+    rows = M.audio_subfingerprints(bad, null_on_error=True).collect()
+    assert len(rows) == 1 and rows[0].subfp is None
+    assert M.audio_offset_pairs(
+        M.audio_subfingerprints(bad, null_on_error=True)
+    ).count() == 0
+
+
 def test_video_phash_planted_near_dups_and_recall(spark):
     """r7 video fingerprint pins: the brightness-shifted clip replay is
     distance 0 on EVERY frame, the contrast replay stays within
