@@ -144,6 +144,7 @@ HEADLINE = [
     "media_audio_pairs",
     "media_audio_offset_pairs",
     "media_video_pairs",
+    "media_video_trimmed_pairs",
     "media_dedup_panorama",
     "ann_ivfpq",
     "media_video_incremental",

@@ -2486,6 +2486,48 @@ def synth_texture_y4m(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def synth_texture_y4m_trim(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic textured Y4M clips with PLANTED TRIMMED replays —
+    the trim-robust video pairing test corpus.  Slots 0-7 are the same
+    textured clips as :func:`synth_texture_y4m` (seed = id, ``3 + seed
+    mod 3`` frames); slot 8 replays the group's slot-0 clip with the
+    FIRST FRAME DROPPED (the one-frame front trim a re-encode commonly
+    introduces — its frame count differs, so the equal-length contract
+    of :func:`video_near_pairs` can never match it); slot 9 is the same
+    trim at +4 brightness (per-frame pHash distance 0 — brightness
+    invariance).  Pure arithmetic an SQL oracle mirrors."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                slot = k % 10
+                seed = k - slot if slot >= 8 else k
+                n = 3 + seed % 3
+                fs, ys, xs = np.mgrid[0:n, 0:16, 0:16]
+                base = (
+                    17 * seed
+                    + (3 + (seed + fs) % 5) * xs * xs
+                    + (11 + seed % 13) * ys * ys
+                    + 5 * xs * ys
+                ) % 251
+                if slot == 8:
+                    px = base[1:]
+                elif slot == 9:
+                    px = base[1:] + 4
+                else:
+                    px = base
+                payload = encode_y4m(16, 16, px.astype(np.uint8))
+                rows.append((k, "video", payload, "y4m", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 VIDEO_PHASH_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -2599,6 +2641,117 @@ def video_near_pairs(
             "id_a", "id_b",
             F.size("ha").cast("bigint").alias("n_frames"),
             "max_frame_hamming",
+        )
+    )
+
+
+def video_trimmed_pairs(
+    sigs: DataFrame,
+    id_col: str = "media_id",
+    bits: int = 63,
+    bands: int = 7,
+    max_hamming: int = 6,
+    max_trim: int = 1,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """TRIM-ROBUST video pairing — the gap the equal-length contract of
+    :func:`video_near_pairs` leaves open: a re-encoded clip with one
+    frame trimmed has a different frame count and never matches there.
+    Here two clips pair at frame offset ``d`` (|d| ≤ ``max_trim``,
+    frame ``f`` of A aligns with frame ``f − d`` of B) when EVERY
+    overlapping aligned frame is within ``max_hamming``, the overlap is
+    at least ``min_overlap`` frames, and at most ``max_trim`` frames of
+    the longer clip are unexplained — the longest-aligned-run
+    formulation restricted to contiguous head/tail trims.
+
+    Candidates band EVERY frame's hash (complete: a qualifying pair's
+    every aligned frame is within ``max_hamming``, so each one shares a
+    band by pigeonhole and votes the (pair, offset) hypothesis);
+    verification joins the aligned frames per hypothesis and aggregates
+    count + max Hamming — one equi-join on (band, chunk), one on the
+    alignment key, never clips².  Output: one row per qualifying
+    (pair, offset): (id_a, id_b, frame_offset, n_overlap,
+    max_frame_hamming)."""
+    from .dedup import _hamming_banded
+
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs at least max_hamming+1 bands "
+            f"(got {bands}): the pigeonhole completeness guarantee breaks"
+        )
+    if max_trim < 0:
+        raise ValueError(f"max_trim must be >= 0, got {max_trim}")
+    if min_overlap < 1:
+        raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
+    # the signature frame feeds the banding (twice), both verify sides
+    # and the frame-count aggregate — eager materialization keeps the
+    # Python decode+DCT pipeline from recomputing per consumer
+    sigs = sigs.select(id_col, "frame_idx", "phash").localCheckpoint(
+        eager=True
+    )
+    keyed = sigs.select(
+        F.struct(
+            F.col(id_col).alias("i"), F.col("frame_idx").alias("f")
+        ).alias("__k"),
+        "phash",
+    )
+    banded = _hamming_banded(keyed, "phash", "__k", bits, bands)
+    left = banded.select(
+        "band", "chunk", F.col("__k.i").alias("id_a"), F.col("__k.f").alias("__fa")
+    )
+    right = banded.select(
+        "band", "chunk", F.col("__k.i").alias("id_b"), F.col("__k.f").alias("__fb")
+    )
+    cand = (
+        left.join(right, ["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", (F.col("__fa") - F.col("__fb")).alias("frame_offset")
+        )
+        .where(F.abs(F.col("frame_offset")) <= max_trim)
+        .distinct()
+    )
+    fa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("frame_idx").alias("__fa"),
+        F.col("phash").alias("__pa"),
+    )
+    fb = sigs.select(
+        F.col(id_col).alias("__idb"),
+        F.col("frame_idx").alias("__fb"),
+        F.col("phash").alias("__pb"),
+    )
+    aligned = cand.join(fa, "id_a").join(
+        fb,
+        (F.col("id_b") == F.col("__idb"))
+        & (F.col("__fb") == F.col("__fa") - F.col("frame_offset")),
+    )
+    stats = aligned.groupBy("id_a", "id_b", "frame_offset").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.max(
+            F.bit_count(F.col("__pa").bitwiseXOR(F.col("__pb")))
+        ).alias("max_frame_hamming"),
+    )
+    nfr = sigs.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    na = nfr.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = nfr.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        stats.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(
+            (F.col("max_frame_hamming") <= max_hamming)
+            & (F.col("n_overlap") >= min_overlap)
+            & (
+                F.col("n_overlap")
+                >= F.greatest(F.col("__na"), F.col("__nb")) - max_trim
+            )
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("frame_offset").cast("bigint").alias("frame_offset"),
+            F.col("n_overlap").cast("bigint").alias("n_overlap"),
+            F.col("max_frame_hamming").cast("bigint").alias("max_frame_hamming"),
         )
     )
 

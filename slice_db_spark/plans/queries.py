@@ -3905,6 +3905,36 @@ def media_video_pairs(spark, sf_dir):
     )
 
 
+#: trim-robust video pairing knobs: offsets within ±1 frame, at least 2
+#: overlapping frames, at most 1 frame of the longer clip unexplained
+VIDEO_TRIM_MAX = 1
+VIDEO_TRIM_MIN_OVERLAP = 2
+
+
+def media_video_trimmed_pairs(spark, sf_dir):
+    """TRIM-ROBUST video near-dedup — the gap the equal-length contract
+    leaves open: a re-encoded clip with one frame trimmed never matches
+    `media_video_pairs`.  Per-frame pHashes pair by aligned-run voting
+    (`operators/multimodal.py::video_trimmed_pairs`: candidates band
+    EVERY frame, a (pair, offset) hypothesis qualifies when every
+    overlapping aligned frame is within Hamming ≤ 6 and at most one
+    frame of the longer clip is unexplained).  The synth corpus
+    (`synth_texture_y4m_trim`) plants a one-frame-front-trimmed replay
+    and the same trim at +4 brightness per ten-id group; the oracle
+    replays pixels→per-frame DCT hashes and brute-forces every pair ×
+    offset."""
+    docs = catalog(spark, sf_dir)["documents"]
+    sigs = multimodal.video_phash(multimodal.synth_texture_y4m_trim(docs))
+    return multimodal.video_trimmed_pairs(
+        sigs,
+        bits=63,
+        bands=PHASH_BANDS,
+        max_hamming=PHASH_MAX_HAMMING,
+        max_trim=VIDEO_TRIM_MAX,
+        min_overlap=VIDEO_TRIM_MIN_OVERLAP,
+    )
+
+
 def media_dedup_panorama(spark, sf_dir):
     """One MEDIA dedup report across all three perceptual modalities —
     the multimodal analog of `dedup_panorama`: per modality, the
@@ -6964,6 +6994,70 @@ SELECT new_id, corpus_id, n_frames, max_frame_hamming FROM (
 WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
 """
 
+    # trim-robust video pairing: the trim synth re-derives each frame
+    # from its SOURCE index (emitted frame f of a trimmed slot renders
+    # source frame f+1), per-frame hashes go through the same DCT chain,
+    # and the readout brute-forces every pair x offset in [-1, 1] —
+    # every overlapping aligned frame within threshold, at most one
+    # frame of the longer clip unexplained
+    o["media_video_trimmed_pairs"] = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 10 AS slot,
+         CASE WHEN doc_id % 10 >= 8 THEN doc_id - doc_id % 10
+              ELSE doc_id END AS seed
+  FROM documents),
+df AS (SELECT media_id, slot, seed,
+              unnest(range(0, CAST(3 + seed % 3 AS INT)
+                              - CASE WHEN slot >= 8 THEN 1 ELSE 0 END)) AS f
+       FROM d),
+kk(u, x, c) AS (VALUES {_k_vals}),
+g AS (
+  SELECT media_id, f, gi, gj,
+         base + CASE WHEN slot = 9 THEN 4 ELSE 0 END AS val
+  FROM (
+    SELECT media_id, slot, f, gi, gj,
+           (17 * seed
+            + (3 + (seed + f + CASE WHEN slot >= 8 THEN 1 ELSE 0 END) % 5)
+              * (2 * gj) * (2 * gj)
+            + (11 + seed % 13) * (2 * gi) * (2 * gi)
+            + 5 * (2 * gj) * (2 * gi)) % 251 AS base
+    FROM df, range(0, 8) r1(gi), range(0, 8) r2(gj))),
+coef AS (
+  SELECT media_id, f, ku.u AS u, kv.u AS v,
+         sum(CAST(ku.c AS BIGINT) * kv.c * val) AS cf
+  FROM g JOIN kk ku ON ku.x = g.gi JOIN kk kv ON kv.x = g.gj
+  GROUP BY media_id, f, ku.u, kv.u),
+ac AS (SELECT media_id, f, u * 8 + v - 1 AS bit_i, cf
+       FROM coef WHERE NOT (u = 0 AND v = 0)),
+med AS (SELECT media_id, f, list_sort(list(cf))[32] AS med
+        FROM ac GROUP BY media_id, f),
+ph AS (SELECT ac.media_id, ac.f,
+              CAST(sum(CASE WHEN cf > med THEN (CAST(1 AS BIGINT) << bit_i)
+                            ELSE 0 END) AS BIGINT) AS phash
+       FROM ac JOIN med USING (media_id, f) GROUP BY ac.media_id, ac.f),
+v AS (SELECT media_id, list(phash ORDER BY f) AS hs FROM ph GROUP BY media_id),
+pairs AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b, dd.d AS frame_offset,
+         len(a.hs) AS na, len(b.hs) AS nb, a.hs AS ahs, b.hs AS bhs
+  FROM v a JOIN v b ON a.media_id < b.media_id
+  CROSS JOIN (SELECT unnest(range(-{VIDEO_TRIM_MAX}, {VIDEO_TRIM_MAX} + 1)) AS d) dd),
+scored AS (
+  SELECT id_a, id_b, frame_offset, na, nb,
+         least(na, nb + frame_offset) - greatest(0, frame_offset) AS ov,
+         list_max(list_transform(
+           range(greatest(0, frame_offset) + 1,
+                 least(na, nb + frame_offset) + 1),
+           i -> bit_count(xor(ahs[i], bhs[i - frame_offset])))) AS mh
+  FROM pairs)
+SELECT id_a, id_b, CAST(frame_offset AS BIGINT) AS frame_offset,
+       CAST(ov AS BIGINT) AS n_overlap,
+       CAST(mh AS BIGINT) AS max_frame_hamming
+FROM scored
+WHERE mh IS NOT NULL AND mh <= {PHASH_MAX_HAMMING}
+  AND ov >= {VIDEO_TRIM_MIN_OVERLAP}
+  AND ov >= greatest(na, nb) - {VIDEO_TRIM_MAX}
+"""
+
     # cross-modality panorama: component pair oracles embedded verbatim
     # as subqueries (the dedup_panorama drift-proof composition pattern);
     # defined AFTER its dependencies land in o
@@ -8280,6 +8374,7 @@ def _all_queries():
         "media_audio_pairs": media_audio_pairs,
         "media_audio_offset_pairs": media_audio_offset_pairs,
         "media_video_pairs": media_video_pairs,
+        "media_video_trimmed_pairs": media_video_trimmed_pairs,
         "media_dedup_panorama": media_dedup_panorama,
         "ann_ivfpq": ann_ivfpq,
         "media_video_incremental": media_video_incremental,

@@ -912,6 +912,37 @@ def test_audio_offset_pairs_recall_where_clip_fingerprint_misses(spark):
     ).count() == 0
 
 
+def test_video_trimmed_pairs_recall_where_aligned_contract_misses(spark):
+    """r8 trim-robust video pins: the one-frame-front-trimmed replay
+    (and its +4-brightness variant) pair with the original at frame
+    offset +1 with every overlapping frame at distance 0 — while the
+    equal-length contract of video_near_pairs, which requires matching
+    frame counts, misses them entirely.  The two trimmed variants pair
+    with each other at offset 0, and unrelated clips never qualify."""
+    ids = spark.createDataFrame([(i,) for i in range(30)], "doc_id bigint")
+    sigs = M.video_phash(M.synth_texture_y4m_trim(ids))
+    got = {
+        (r.id_a, r.id_b, r.frame_offset): (r.n_overlap, r.max_frame_hamming)
+        for r in M.video_trimmed_pairs(sigs).collect()
+    }
+    for g in (0, 10, 20):
+        n = 3 + g % 3
+        assert got[(g, g + 8, 1)] == (n - 1, 0)   # trimmed replay
+        assert got[(g, g + 9, 1)] == (n - 1, 0)   # trimmed + brightness
+        assert got[(g + 8, g + 9, 0)] == (n - 1, 0)
+    assert not any(a == 0 and b == 11 for a, b, _ in got)
+
+    # the equal-length contract misses every trimmed replay
+    aligned = {
+        (r.id_a, r.id_b)
+        for r in M.video_near_pairs(sigs).collect()
+    }
+    for g in (0, 10, 20):
+        assert (g, g + 8) not in aligned
+        assert (g, g + 9) not in aligned
+        assert (g + 8, g + 9) in aligned  # equal length, frame-wise d=0
+
+
 def test_video_phash_planted_near_dups_and_recall(spark):
     """r7 video fingerprint pins: the brightness-shifted clip replay is
     distance 0 on EVERY frame, the contrast replay stays within
