@@ -147,6 +147,7 @@ HEADLINE = [
     "media_video_trimmed_pairs",
     "media_dedup_panorama",
     "ann_ivfpq",
+    "ann_ivfpq_refined",
     "media_video_incremental",
     "quality",
     "language_id",

@@ -868,6 +868,267 @@ def ivfpq_topk(
     )
 
 
+def _centroid_lookup_expr(centroids: list[list[int]]):
+    """Array-literal centroid table indexed by the 1-based ``__cell``
+    column — a JVM-side lookup (no join, no Python) for residual
+    computation; cells × dim literals stay tiny (metadata-sized)."""
+    table = F.array(
+        *[F.array(*[F.lit(int(x)) for x in cv]) for cv in centroids]
+    )
+    return F.element_at(table, F.col("__cell"))
+
+
+def residual_codebooks(
+    corpus: DataFrame,
+    centroids: list[list[int]],
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """PER-SUBSPACE PQ codebooks trained on IVF RESIDUALS — the FAISS
+    IVFPQ construction the single shared raw-vector codebook
+    (:func:`pq_codebook`) approximates: residual r = quantized vector −
+    its cell centroid concentrates the energy PQ must encode, and each
+    subspace gets its OWN codebook (subspace m samples the ``n_codes``
+    residual subvectors of the corpus rows with smallest
+    ``md5(id || ':' || m)`` — distinct deterministic training rows per
+    subspace, the md5-order sampling of :func:`pq_codebook` made
+    per-subspace).  Returns ``codebooks[m] = n_codes × (dim/m)`` exact
+    ints; collected state is m × n_codes × dim/m — metadata-sized."""
+    from .hashing import hash64
+
+    assigned = (
+        _assign_cells_int(
+            corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e")),
+            centroids,
+        )
+        .withColumn(
+            "__r",
+            F.zip_with(
+                F.col("__e"), _centroid_lookup_expr(centroids),
+                lambda a, b: a - b,
+            ),
+        )
+        .select(id_col, "__r")
+        .persist()
+    )
+    try:
+        dim = len(centroids[0])
+        if dim % m_subspaces:
+            raise ValueError(
+                f"dim {dim} not divisible by {m_subspaces} subspaces"
+            )
+        sub = dim // m_subspaces
+        cbs: list[list[list[int]]] = []
+        for m in range(m_subspaces):
+            rows = (
+                assigned.orderBy(
+                    hash64(
+                        F.concat(
+                            F.col(id_col).cast("string"), F.lit(f":{m}")
+                        )
+                    ),
+                    F.col(id_col),
+                )
+                .limit(n_codes)
+                .collect()
+            )
+            cbs.append(
+                [list(r["__r"])[m * sub : (m + 1) * sub] for r in rows]
+            )
+        return cbs
+    finally:
+        assigned.unpersist()
+
+
+def _residual_codes_vec(codebooks: list[list[list[int]]]):
+    """Arrow-vectorized per-subspace argmin over residual arrays —
+    code m = index of the L2-nearest entry of codebook m (first-min
+    tie-break, exact int64)."""
+    CBS = [np.array(cb, dtype=np.int64) for cb in codebooks]
+    m_subspaces = len(CBS)
+    sub = CBS[0].shape[1]
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def codes_of(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array(v.tolist(), dtype=np.int64)
+        out = np.empty((M.shape[0], m_subspaces), dtype=np.int32)
+        for m in range(m_subspaces):
+            S = M[:, m * sub : (m + 1) * sub]
+            Cm = CBS[m]
+            d = (
+                (S * S).sum(axis=1, keepdims=True)
+                + (Cm * Cm).sum(axis=1)[None, :]
+                - 2 * (S @ Cm.T)
+            )
+            out[:, m] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return codes_of
+
+
+def _residual_dtable_vec(codebooks: list[list[list[int]]]):
+    """Arrow-vectorized per-(query, cell) ADC table over residual
+    arrays: m × n_codes integer squared-L2 entries."""
+    CBS = [np.array(cb, dtype=np.int64) for cb in codebooks]
+    m_subspaces = len(CBS)
+    sub = CBS[0].shape[1]
+
+    @pandas_udf(ArrayType(ArrayType(DoubleType())))
+    def dtable_of(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array(v.tolist(), dtype=np.int64)
+        out = []
+        for row in M:
+            t = np.empty((m_subspaces, CBS[0].shape[0]), dtype=np.int64)
+            for m in range(m_subspaces):
+                q = row[m * sub : (m + 1) * sub]
+                t[m] = ((CBS[m] - q[None, :]) ** 2).sum(axis=1)
+            out.append(t.astype(np.float64))
+        return pd.Series(out)
+
+    return dtable_of
+
+
+def ivfpq_refined_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    m_subspaces: int = 4,
+    k: int = 5,
+    k_prime: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """REFINED IVF-PQ — :func:`ivfpq_topk` upgraded to the full FAISS
+    recipe: (1) PQ encodes RESIDUALS (vector − cell centroid) with
+    PER-SUBSPACE codebooks (:func:`residual_codebooks`), so the codes
+    spend their bits on the within-cell detail the coarse quantizer
+    left; (2) the query's ADC table is built per PROBED CELL from the
+    query residual in that cell; (3) the top-``k_prime`` ADC candidates
+    are RE-RANKED by the exact integer dot product of the raw quantized
+    vectors — a broadcast-semi-join-pruned fetch of ``|Q| × k_prime``
+    vectors, never a second corpus scan.
+
+    Scale shape: same as :func:`ivfpq_topk` (codes ⋈ broadcast probes ⋈
+    broadcast tables + one partial-agg sum), plus the re-rank's pruned
+    vector fetch.  Everything is exact int64, so ranks replay
+    bit-for-bit in the DuckDB oracle.  Output
+    ``(q_id, vec_id, dot, rank)`` — exact-dot descending, id
+    tie-break."""
+    corpus_q = corpus.select(
+        F.col(id_col), quantize_expr(vec_col).alias("__e")
+    )
+    cells = _assign_cells_int(corpus_q, centroids)
+    res = cells.withColumn(
+        "__r",
+        F.zip_with(
+            F.col("__e"), _centroid_lookup_expr(centroids), lambda a, b: a - b
+        ),
+    )
+    codes_of = _residual_codes_vec(codebooks)
+    codes = res.select(
+        F.col(id_col),
+        F.col("__cell"),
+        F.posexplode(codes_of(F.col("__r"))).alias("m", "code"),
+    ).select(
+        id_col,
+        "__cell",
+        F.col("m").cast("bigint").alias("m"),
+        F.col("code").cast("bigint").alias("code"),
+    )
+
+    dists = _cell_l2_vec(centroids)
+    q = (
+        queries.select(F.col(query_id_col), quantize_expr(vec_col).alias("__qe"))
+        .withColumn("__d", dists(F.col("__qe")))
+        .select(query_id_col, "__qe", F.posexplode("__d").alias("__i", "__dist"))
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        F.asc("__dist"), F.asc("__i")
+    )
+    probes = (
+        q.withColumn("__pr", F.row_number().over(w_probe))
+        .where(F.col("__pr") <= nprobe)
+        .select(query_id_col, "__qe", (F.col("__i") + 1).alias("__cell"))
+    )
+    qres = probes.withColumn(
+        "__qr",
+        F.zip_with(
+            F.col("__qe"), _centroid_lookup_expr(centroids), lambda a, b: a - b
+        ),
+    )
+    dtable_of = _residual_dtable_vec(codebooks)
+    dt = (
+        qres.select(
+            query_id_col,
+            "__cell",
+            F.posexplode(dtable_of(F.col("__qr"))).alias("m", "__row"),
+        )
+        .select(
+            query_id_col,
+            "__cell",
+            F.col("m").cast("bigint").alias("m"),
+            F.posexplode("__row").alias("__j", "__d"),
+        )
+        .select(
+            query_id_col,
+            "__cell",
+            "m",
+            F.col("__j").cast("bigint").alias("code"),
+            F.col("__d").cast("bigint").alias("__d"),
+        )
+    )
+    scored = (
+        codes.join(
+            F.broadcast(probes.select(query_id_col, "__cell")), "__cell"
+        )
+        .join(F.broadcast(dt), on=[query_id_col, "__cell", "m", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__d").alias("adist"))
+    )
+    w_adc = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adist"), F.asc(id_col)
+    )
+    shortlist = (
+        scored.withColumn("__rk", F.row_number().over(w_adc))
+        .where(F.col("__rk") <= k_prime)
+        .select(query_id_col, id_col)
+    )
+    # exact re-rank: broadcast the |Q| x k_prime shortlist into the
+    # corpus scan (semi-join-pruned vector fetch), one exact int dot per
+    # candidate
+    qvec = queries.select(
+        F.col(query_id_col), quantize_expr(vec_col).alias("__qe")
+    )
+    dot = F.aggregate(
+        F.zip_with("__qe", "__e", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    rr = (
+        corpus_q.join(F.broadcast(shortlist), id_col)
+        .join(F.broadcast(qvec), query_id_col)
+        .select(query_id_col, id_col, dot.alias("dot"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("dot"), F.asc(id_col))
+    return (
+        rr.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "dot",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     centroids: list[list[int]],

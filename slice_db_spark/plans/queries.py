@@ -3676,6 +3676,35 @@ def ann_ivfpq(spark, sf_dir):
     )
 
 
+#: refined IVF-PQ: ADC shortlist size handed to the exact re-rank
+RERANK_K = 10
+
+
+def ann_ivfpq_refined(spark, sf_dir):
+    """REFINED IVF-PQ under the hash gate — the full FAISS recipe the
+    composite `ann_ivfpq` approximates: PQ codes encode RESIDUALS
+    (vector − cell centroid) with PER-SUBSPACE codebooks
+    (`operators/similarity.py::residual_codebooks`), the query's ADC
+    table is built per probed cell from the query residual, and the
+    top-k′ ADC candidates re-rank by EXACT integer dot product
+    (broadcast-pruned vector fetch).  All-int64 end to end; the oracle
+    composes the unrolled Lloyd chain, the per-subspace residual
+    codebook sampling, the per-cell ADC tables, and the re-rank."""
+    emb = catalog(spark, sf_dir)["embeddings"]
+    corpus = emb.where("vec_id >= 5")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    cents = similarity.ivf_centroids_kmeans(
+        corpus, ANN_IVF_CELLS, iters=ANN_IVF_KM_ITERS
+    )
+    cbs = similarity.residual_codebooks(
+        corpus, cents, m_subspaces=PQ_M, n_codes=PQ_CODES
+    )
+    return similarity.ivfpq_refined_topk(
+        corpus, q, cents, cbs,
+        m_subspaces=PQ_M, k=5, k_prime=RERANK_K, nprobe=ANN_IVF_NPROBE,
+    )
+
+
 DEDUP_PLANES = similarity.random_planes(16, 64, seed="dedup")
 DEDUP_EMB_THRESHOLD = 0.42
 DEDUP_EMB_BANDS = 4
@@ -6671,6 +6700,79 @@ SELECT q_id, vec_id, adist,
 FROM scored QUALIFY rank <= 5
 """
 
+    # refined IVF-PQ: the Lloyd chain feeds residuals (vector - cell
+    # centroid), per-subspace codebooks sample residual subvectors in
+    # per-subspace md5 order, ADC tables are built per (query, probed
+    # cell) from the query residual, and the top-k' shortlist re-ranks
+    # by exact integer dot product
+    o["ann_ivfpq_refined"] = f"""
+WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+  FROM embeddings),
+corp AS (SELECT vec_id, e FROM v WHERE vec_id >= 5),
+qry AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+dims AS (SELECT unnest(range(1, 65)) AS i),
+cents0 AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) AS ci, e AS cv FROM (
+    SELECT vec_id, e, {_hash64_sql("CAST(vec_id AS VARCHAR)")} AS h
+    FROM corp ORDER BY h, vec_id LIMIT {ANN_IVF_CELLS})),
+{','.join(_lloyd_iter(n) for n in range(ANN_IVF_KM_ITERS))},
+cellE AS (
+  SELECT vec_id, e, ci FROM (
+    SELECT c.vec_id, c.e, ct.ci, {_il2('c.e', 'ct.cv')} AS d
+    FROM corp c CROSS JOIN {_km_final} ct)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) = 1),
+res AS (SELECT cf.vec_id, cf.ci,
+               list_transform(range(1, 65), i -> cf.e[i] - ct.cv[i]) AS re
+        FROM cellE cf JOIN {_km_final} ct USING (ci)),
+sp AS (SELECT unnest(range(0, {PQ_M})) AS m),
+rcb AS (
+  SELECT m, row_number() OVER (PARTITION BY m ORDER BY h, vec_id) - 1 AS j, re
+  FROM (SELECT sp.m AS m, r.vec_id AS vec_id, r.re AS re,
+               {_hash64_sql("CAST(r.vec_id AS VARCHAR) || ':' || CAST(sp.m AS VARCHAR)")} AS h
+        FROM res r CROSS JOIN sp)
+  QUALIFY row_number() OVER (PARTITION BY m ORDER BY h, vec_id) <= {PQ_CODES}),
+cdist AS (
+  SELECT r.vec_id, c.m, c.j,
+         list_sum(list_transform(range(1, {_sub} + 1), i ->
+           (r.re[c.m * {_sub} + i] - c.re[c.m * {_sub} + i])
+           * (r.re[c.m * {_sub} + i] - c.re[c.m * {_sub} + i]))) AS d
+  FROM res r CROSS JOIN rcb c),
+codes AS (SELECT vec_id, m, j AS code FROM cdist
+          QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1),
+probes AS (
+  SELECT q_id, qe, ci FROM (
+    SELECT q.q_id, q.qe, ct.ci, {_il2('q.qe', 'ct.cv')} AS d
+    FROM qry q CROSS JOIN {_km_final} ct)
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d, ci) <= {ANN_IVF_NPROBE}),
+qres AS (SELECT p.q_id, p.ci,
+                list_transform(range(1, 65), i -> p.qe[i] - ct.cv[i]) AS qr
+         FROM probes p JOIN {_km_final} ct USING (ci)),
+dt AS (
+  SELECT qr.q_id, qr.ci, c.m, c.j AS code,
+         list_sum(list_transform(range(1, {_sub} + 1), i ->
+           (qr.qr[c.m * {_sub} + i] - c.re[c.m * {_sub} + i])
+           * (qr.qr[c.m * {_sub} + i] - c.re[c.m * {_sub} + i]))) AS d
+  FROM qres qr CROSS JOIN rcb c),
+scored AS (
+  SELECT p.q_id, cf.vec_id, CAST(sum(dt.d) AS BIGINT) AS adist
+  FROM probes p
+  JOIN cellE cf ON cf.ci = p.ci
+  JOIN codes ON codes.vec_id = cf.vec_id
+  JOIN dt ON dt.q_id = p.q_id AND dt.ci = p.ci
+         AND dt.m = codes.m AND dt.code = codes.code
+  GROUP BY 1, 2),
+shortlist AS (
+  SELECT q_id, vec_id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id)
+          <= {RERANK_K}),
+rr AS (SELECT s.q_id, s.vec_id, {_idot('q.qe', 'c.e')} AS dot
+       FROM shortlist s JOIN qry q USING (q_id) JOIN corp c USING (vec_id))
+SELECT q_id, vec_id, CAST(dot AS BIGINT) AS dot,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS BIGINT) AS rank
+FROM rr QUALIFY rank <= 5
+"""
+
     # normalize-then-dot mirrors operators/similarity.embedding_near_pairs:
     # one normalization per vector, a single dot per candidate pair
     _NORM_CTE = (
@@ -8377,5 +8479,6 @@ def _all_queries():
         "media_video_trimmed_pairs": media_video_trimmed_pairs,
         "media_dedup_panorama": media_dedup_panorama,
         "ann_ivfpq": ann_ivfpq,
+        "ann_ivfpq_refined": ann_ivfpq_refined,
         "media_video_incremental": media_video_incremental,
     }

@@ -194,6 +194,23 @@ def test_ann_methods_recall_on_planted_clusters(spark):
     refined = recall(S.ivf_topk_kmeans(corpus, qdf, km, k=per, nprobe=2))
     assert refined >= sampled, (refined, sampled)
 
+    # r8 pin: the refined IVF-PQ (per-subspace residual codebooks +
+    # exact re-rank) must not lose recall vs the plain composite on the
+    # same planted clusters — residual encoding concentrates the code
+    # bits on within-cell detail and the re-rank fixes ADC ordering
+    plain = recall(
+        S.ivfpq_topk(corpus, qdf, km, cb, m_subspaces=4, k=per, nprobe=2)
+    )
+    rcbs = S.residual_codebooks(corpus, km, m_subspaces=4, n_codes=16)
+    ref = recall(
+        S.ivfpq_refined_topk(
+            corpus, qdf, km, rcbs,
+            m_subspaces=4, k=per, k_prime=2 * per, nprobe=2,
+        )
+    )
+    assert ref >= plain, (ref, plain)
+    assert ref >= 0.85, ref
+
 
 def test_ivf_kmeans_centroids_converge_to_blob_means(spark):
     """Two well-separated blobs, two cells: after refinement each centroid
