@@ -110,6 +110,7 @@ HEADLINE = [
     "dedup_substring",
     "dedup_substring_rewrite",
     "dedup_span_incremental",
+    "dedup_span_incremental_wide",
     "dedup_cross_source",
     "dedup_panorama",
     "nearest_doc",

@@ -1606,14 +1606,20 @@ def _span_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _span_grams(base: DataFrame, L: int, id_col: str) -> DataFrame:
-    """(id, pos, 8-byte gram hash) for every L-gram position, reduced in
-    ONE projection and eagerly checkpointed: its consumers (dup-gram
-    groupBy, index probe, coverage join) would otherwise each recompute
-    the dominant normalize/shingle explode, and the hash keeps every
-    shuffle 8 bytes/key instead of the raw L-word string."""
-    from .hashing import hash64
+def _span_grams(
+    base: DataFrame, L: int, id_col: str, wide: bool = False
+) -> DataFrame:
+    """(id, pos, 8-byte gram hash[, second hash half]) for every L-gram
+    position, reduced in ONE projection and eagerly checkpointed: its
+    consumers (dup-gram groupBy, index probe, coverage join) would
+    otherwise each recompute the dominant normalize/shingle explode, and
+    the hash keeps every shuffle 8 (or 16, ``wide``) bytes/key instead
+    of the raw L-word string."""
+    from .hashing import hash64, hash64_hi
 
+    cols = [F.col(id_col), F.col("pos"), hash64(F.col("gram")).alias("gh")]
+    if wide:
+        cols.append(hash64_hi(F.col("gram")).alias("gh2"))
     return (
         base.where(F.col("__n") >= L)
         .select(
@@ -1622,16 +1628,22 @@ def _span_grams(base: DataFrame, L: int, id_col: str) -> DataFrame:
                 "pos", "gram"
             ),
         )
-        .select(F.col(id_col), F.col("pos"), hash64(F.col("gram")).alias("gh"))
+        .select(*cols)
         .localCheckpoint(eager=True)
     )
 
 
-def _covered_positions(grams: DataFrame, hits: DataFrame, L: int, id_col: str) -> DataFrame:
+def _covered_positions(
+    grams: DataFrame, hits: DataFrame, L: int, id_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
     """DISTINCT (id, __idx) token positions inside hit grams; ``hits``
-    is (id, gh) pairs (per-document, so owner exclusions apply)."""
+    is (id, gram-key) pairs (per-document, so owner exclusions apply);
+    ``keys`` defaults to the 64-bit ``gh``, the wide mode passes both
+    halves."""
+    keys = keys or ["gh"]
     return (
-        grams.join(hits.distinct(), [id_col, "gh"], "left_semi")
+        grams.join(hits.distinct(), [id_col, *keys], "left_semi")
         .select(
             F.col(id_col),
             F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))).alias(
@@ -1765,6 +1777,7 @@ def build_span_index(
     span_tokens: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    wide_hash: bool = False,
 ) -> None:
     """Materialize the corpus SPAN index at ``path``: the DISTINCT
     (8-byte gram hash, owner doc id) pairs of every ``span_tokens``-token
@@ -1779,37 +1792,47 @@ def build_span_index(
     duplicate hashes, never lose coverage.
 
     Index rows carry the same 64-bit gram hash as
-    :func:`duplicate_span_stats` (see its hash-width note): beyond ~10⁹
-    standing grams, widen the row to a 128-bit md5 pair before trusting
-    probe hits blindly."""
-    _span_gram_hashes(corpus_df, span_tokens, text_col, id_col).write.mode(
-        "overwrite"
-    ).parquet(path)
-    write_span_meta(path, span_tokens)
+    :func:`duplicate_span_stats` (see its hash-width note) by default;
+    ``wide_hash=True`` stores BOTH md5 halves (columns ``gh``/``gh2``, a
+    120-bit key — DuckDB mirrors the second half as
+    ``CAST(('0x' || substr(md5(e), 16, 15)) AS BIGINT)``), pushing the
+    birthday horizon past any real corpus — the mode to build a
+    standing index expected to exceed ~10⁹ grams with.  The sidecar
+    records the width; probes with the other width raise."""
+    _span_gram_hashes(
+        corpus_df, span_tokens, text_col, id_col, wide=wide_hash
+    ).write.mode("overwrite").parquet(path)
+    write_span_meta(path, span_tokens, wide_hash)
 
 
 def _span_gram_hashes(
-    df: DataFrame, span_tokens: int, text_col: str, id_col: str
+    df: DataFrame, span_tokens: int, text_col: str, id_col: str,
+    wide: bool = False,
 ) -> DataFrame:
-    """DISTINCT (gh, owner_id) span-gram hashes of a document frame —
-    the index row shape shared by build and append."""
+    """DISTINCT (gh[, gh2], owner_id) span-gram hashes of a document
+    frame — the index row shape shared by build and append."""
     base = _span_base(df, text_col, id_col)
+    cols = ["gh", "gh2"] if wide else ["gh"]
     return (
-        _span_grams(base, span_tokens, id_col)
-        .select(F.col(id_col).alias("owner_id"), "gh")
+        _span_grams(base, span_tokens, id_col, wide=wide)
+        .select(F.col(id_col).alias("owner_id"), *cols)
         .distinct()
     )
 
 
-def write_span_meta(path: str, span_tokens: int) -> None:
-    """Persist the span length the index was built with (gram hashes are
-    a pure function of it — a mismatched probe would silently remove
-    nothing or the wrong spans)."""
+def write_span_meta(
+    path: str, span_tokens: int, wide_hash: bool = False
+) -> None:
+    """Persist the span length AND key width the index was built with
+    (gram hashes are a pure function of the length — a mismatched probe
+    would silently remove nothing or the wrong spans; a width mismatch
+    either fails on the missing ``gh2`` column or silently forfeits the
+    collision protection the wide build paid for)."""
     import json
     import os
 
     with open(os.path.join(path, SPAN_META_NAME), "w") as f:
-        json.dump({"span_tokens": span_tokens}, f)
+        json.dump({"span_tokens": span_tokens, "wide_hash": wide_hash}, f)
 
 
 def read_span_meta(path: str) -> dict | None:
@@ -1831,16 +1854,26 @@ def read_span_meta(path: str) -> dict | None:
             f"corrupt span index sidecar {fp}: expected integer span_tokens, "
             f"got {meta!r}"
         )
+    if not isinstance(meta.get("wide_hash", False), bool):
+        raise ValueError(
+            f"corrupt span index sidecar {fp}: expected boolean wide_hash, "
+            f"got {meta!r}"
+        )
     return meta
 
 
-def check_span_meta(path: str, span_tokens: int) -> None:
+def check_span_meta(
+    path: str, span_tokens: int, wide_hash: bool | None = None
+) -> None:
     """Raise ``ValueError`` when the persisted span index at ``path`` was
     built with a different ``span_tokens`` than the probe is about to use
     (mirrors :func:`check_lsh_meta`): mismatched gram lengths hash to
     disjoint keys, so the probe would silently remove nothing — or, when
     the probe length divides the index length's grams coincidentally,
-    the wrong spans."""
+    the wrong spans.  When ``wide_hash`` is given, a key-width mismatch
+    raises too: a wide probe of a narrow index fails on the missing
+    ``gh2`` column, and a narrow probe of a wide index would silently
+    forfeit the collision protection the build paid for."""
     meta = read_span_meta(path)
     if meta is None:
         return
@@ -1851,6 +1884,12 @@ def check_span_meta(path: str, span_tokens: int) -> None:
             f"probing with span_tokens={span_tokens} would hash disjoint "
             "gram keys and silently match nothing"
         )
+    if wide_hash is not None and meta.get("wide_hash", False) != wide_hash:
+        raise ValueError(
+            f"span index at {path} was built with "
+            f"wide_hash={meta.get('wide_hash', False)}; probing with "
+            f"wide_hash={wide_hash} would mismatch the gram key width"
+        )
 
 
 def incremental_span_rewrite(
@@ -1860,6 +1899,7 @@ def incremental_span_rewrite(
     span_tokens: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    wide_hash: bool = False,
 ) -> DataFrame:
     """Continuous exact-substring dedup for an arriving batch: every
     token covered by a ``span_tokens``-gram that (a) already exists in
@@ -1876,24 +1916,29 @@ def incremental_span_rewrite(
     rewritten frame (id, text, n_removed); like
     :func:`duplicate_span_rewrite`, the output text is the NORMALIZED
     reassembly (the streaming sink keeps original formatting for
-    unaffected documents by applying this only where n_removed > 0)."""
-    check_span_meta(index_path, span_tokens)
+    unaffected documents by applying this only where n_removed > 0).
+    ``wide_hash=True`` probes on BOTH md5 halves — the index must have
+    been built wide (the sidecar check raises otherwise)."""
+    check_span_meta(index_path, span_tokens, wide_hash)
     L = span_tokens
+    keys = ["gh", "gh2"] if wide_hash else ["gh"]
     base = _span_base(new_df, text_col, id_col)
-    grams = _span_grams(base, L, id_col)
-    dup_within = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("__c")).where(
-        F.col("__c") >= 2
-    ).select("gh")
+    grams = _span_grams(base, L, id_col, wide=wide_hash)
+    dup_within = grams.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__c")
+    ).where(F.col("__c") >= 2).select(*keys)
     # cross-corpus hits, EXCLUDING rows this document itself owns (replay
     # self-match guard — see docstring); the join output is id-paired so
     # the owner inequality can apply per probing document
     in_corpus = (
-        grams.join(spark.read.parquet(index_path), "gh")
+        grams.join(spark.read.parquet(index_path), keys)
         .where(F.col("owner_id") != F.col(id_col))
-        .select(id_col, "gh")
+        .select(id_col, *keys)
     )
-    dup_hits = grams.join(dup_within, "gh").select(id_col, "gh")
-    covered = _covered_positions(grams, in_corpus.union(dup_hits), L, id_col)
+    dup_hits = grams.join(dup_within, keys).select(id_col, *keys)
+    covered = _covered_positions(
+        grams, in_corpus.union(dup_hits), L, id_col, keys=keys
+    )
     return _rewrite_from_covered(base, covered, text_col, id_col)
 
 
@@ -1904,12 +1949,14 @@ def append_span_index(
     span_tokens: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    wide_hash: bool = False,
 ) -> None:
     """Extend the span index with (gh, owner_id) rows — run BEFORE the
     corpus append (the owner exclusion makes replays self-immune), so a
     crash between the two appends can only duplicate hashes, never lose
     coverage; duplicates cost probe I/O only and compaction
     (`plans.scale.compact_parquet` + dropDuplicates) reclaims them."""
-    _span_gram_hashes(df, span_tokens, text_col, id_col).write.mode(
-        "append"
-    ).parquet(index_path)
+    check_span_meta(index_path, span_tokens, wide_hash)
+    _span_gram_hashes(
+        df, span_tokens, text_col, id_col, wide=wide_hash
+    ).write.mode("append").parquet(index_path)

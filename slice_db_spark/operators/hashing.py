@@ -49,6 +49,29 @@ def hash64(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
+def hash64_hi(col: Column | str) -> Column:
+    """The SECOND 60-bit half of the md5 (hex digits 16-30) — paired
+    with :func:`hash64` it forms a 120-bit key whose birthday horizon
+    (~2⁶⁰ keys) covers any real corpus, for callers that opted into the
+    wide-hash mode (the span index's ``wide_hash=True``).  Under
+    ``SLICE_FAST_HASH=1`` the second half is an independent xxhash64 of
+    the salted input (the oracles only pin the md5 form).
+
+    * Spark  : ``CAST(conv(substr(md5(s), 16, 15), 16, 10) AS BIGINT)``
+    * DuckDB : ``CAST(('0x' || substr(md5(s), 16, 15)) AS BIGINT)``"""
+    c = F.col(col) if isinstance(col, str) else col
+    if fast_hash_enabled():
+        return F.xxhash64(F.concat(c, F.lit("\x01hi"))).bitwiseAND(
+            F.lit((1 << 63) - 1)
+        )
+    return F.conv(F.substring(F.md5(c), 16, 15), 16, 10).cast("bigint")
+
+
+def hash64_hi_sql(expr: str) -> str:
+    """DuckDB SQL rendering of :func:`hash64_hi` over ``expr``."""
+    return f"CAST(('0x' || substr(md5({expr}), 16, 15)) AS BIGINT)"
+
+
 def hash64_sql(expr: str) -> str:
     """DuckDB SQL rendering of :func:`hash64` over ``expr``."""
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"

@@ -4197,6 +4197,33 @@ def dedup_span_incremental(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def dedup_span_incremental_wide(spark, sf_dir):
+    """The continuous exact-substring regime in WIDE-HASH mode: the
+    standing index stores BOTH md5 halves per gram (120-bit key — the
+    collision horizon past ~10⁹ standing grams the 64-bit docstring
+    caveat names), the probe joins on both.  Results are identical to
+    `dedup_span_incremental` wherever 64-bit keys don't collide — i.e.
+    everywhere below the birthday horizon — so the oracle IS that
+    query's oracle verbatim; the unit suite plants an artificial
+    low-half collision to show the wide probe rejecting what the narrow
+    key would falsely match."""
+    import shutil
+    import tempfile
+
+    docs = catalog(spark, sf_dir)["documents"]
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    tmp = tempfile.mkdtemp(prefix="span_idx_w_")
+    idx = os.path.join(tmp, "idx")
+    try:
+        dedup.build_span_index(corpus, idx, span_tokens=8, wide_hash=True)
+        return dedup.incremental_span_rewrite(
+            spark, idx, batch, span_tokens=8, wide_hash=True
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def media_wav_windows(spark, sf_dir):
     """Short-time audio features over the real WAV byte path: per
     50-sample window, exact integer energy and zero-crossing count — the
@@ -7434,6 +7461,11 @@ SELECT bt.doc_id, coalesce(r.text, '') AS text,
 FROM bt LEFT JOIN r USING (doc_id)
 """
 
+    # wide-hash mode: identical results below the 64-bit birthday
+    # horizon (the whole point of the width is what happens ABOVE it),
+    # so the narrow oracle string applies verbatim
+    o["dedup_span_incremental_wide"] = o["dedup_span_incremental"]
+
     o["dedup_substring_rewrite"] = f"""
 WITH {_span_cte},
 k AS (SELECT doc_id, idx, t[idx + 1] AS tok
@@ -8467,6 +8499,7 @@ def _all_queries():
         "dedup_substring_rewrite": dedup_substring_rewrite,
         "media_wav_windows": media_wav_windows,
         "dedup_span_incremental": dedup_span_incremental,
+        "dedup_span_incremental_wide": dedup_span_incremental_wide,
         # r7 additions (whole registry driver-verified after r6, so new
         # names land straight in the checked window)
         "bpe_train_batched": bpe_train_batched,

@@ -423,10 +423,13 @@ def ingest_corpus_stream(
             else None
         )
         stok = meta["span_tokens"] if meta else span_tokens
+        # key width is an INDEX property (what the stored rows carry) —
+        # a wide standing index keeps probing wide at ingest
+        swide = bool(meta.get("wide_hash", False)) if meta else False
         if os.path.isdir(span_index):
             rw = _sdedup.incremental_span_rewrite(
                 bu.sparkSession, span_index, bu,
-                span_tokens=stok, text_col=text_col,
+                span_tokens=stok, text_col=text_col, wide_hash=swide,
             )
         else:
             # first batch: no standing grams yet — within-batch only
@@ -449,10 +452,10 @@ def ingest_corpus_stream(
         # PRE-rewrite grams (see docstring): removed spans stay probe-able
         _sdedup.append_span_index(
             bu.sparkSession, span_index, bu,
-            span_tokens=stok, text_col=text_col,
+            span_tokens=stok, text_col=text_col, wide_hash=swide,
         )
         if meta is None:
-            _sdedup.write_span_meta(span_index, stok)
+            _sdedup.write_span_meta(span_index, stok, swide)
         return out, affected.select("doc_id")
 
     schema = DOCUMENTS_SCHEMA

@@ -674,6 +674,99 @@ def test_incremental_span_rewrite_crafted(spark, tmp_path):
     assert again[13] == 0  # self-owned grams ignored
 
 
+def test_span_index_wide_hash_mode(spark, tmp_path):
+    """r8 wide-hash span index pins: (1) the wide build/probe round-trip
+    behaves identically to narrow on collision-free data; (2) a planted
+    LOW-HALF collision (same gh, different gh2) falsely matches through
+    the narrow key but is REJECTED by the wide probe — the exact failure
+    the 120-bit key buys protection from; (3) key-width mismatches raise
+    both directions instead of silently probing wrong."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from slice_db_spark.operators import dedup as D
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(1, f"{span} corpus tail")], "doc_id bigint, text string"
+    )
+    widx = str(tmp_path / "widx")
+    D.build_span_index(corpus, widx, wide_hash=True)
+    assert D.read_span_meta(widx) == {"span_tokens": 8, "wide_hash": True}
+    assert set(spark.read.parquet(widx).columns) == {"owner_id", "gh", "gh2"}
+
+    batch = spark.createDataFrame(
+        [(10, f"intro {span} outro"),
+         (13, "novel content with nothing shared anywhere at all")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_removed)
+           for r in D.incremental_span_rewrite(
+               spark, widx, batch, wide_hash=True).collect()}
+    assert got[10] == ("intro outro", 8)
+    assert got[13][1] == 0
+
+    # planted low-half collision: an index row carrying doc 13's REAL
+    # 64-bit gh but a different high half.  Narrow key -> false match
+    # (clean tokens silently deleted); wide key -> rejected.
+    probe = batch.where("doc_id = 13")
+    g = D._span_grams(
+        D._span_base(probe, "text", "doc_id"), 8, "doc_id", wide=True
+    ).collect()
+    fake = spark.createDataFrame(
+        [(999, r.gh, r.gh2 + 1) for r in g],
+        "owner_id bigint, gh bigint, gh2 bigint",
+    )
+    cidx = str(tmp_path / "collide_wide")
+    fake.write.parquet(cidx)
+    D.write_span_meta(cidx, 8, True)
+    wide_rm = {r.doc_id: r.n_removed
+               for r in D.incremental_span_rewrite(
+                   spark, cidx, probe, wide_hash=True).collect()}
+    assert wide_rm[13] == 0  # collision rejected on the high half
+
+    nidx = str(tmp_path / "collide_narrow")
+    fake.select("owner_id", "gh").write.parquet(nidx)
+    D.write_span_meta(nidx, 8, False)
+    narrow_rm = {r.doc_id: r.n_removed
+                 for r in D.incremental_span_rewrite(
+                     spark, nidx, probe).collect()}
+    assert narrow_rm[13] > 0  # the 64-bit key false-matches
+
+    # width mismatch raises both directions
+    with pytest.raises(ValueError, match="wide_hash"):
+        D.incremental_span_rewrite(spark, widx, batch, wide_hash=False)
+    with pytest.raises(ValueError, match="wide_hash"):
+        D.incremental_span_rewrite(spark, nidx, probe, wide_hash=True)
+    with pytest.raises(ValueError, match="wide_hash"):
+        D.append_span_index(spark, widx, batch, wide_hash=False)
+
+    # replay immunity holds in wide mode: own grams appended, re-probe
+    # removes nothing
+    D.append_span_index(spark, widx, probe, wide_hash=True)
+    again = {r.doc_id: r.n_removed
+             for r in D.incremental_span_rewrite(
+                 spark, widx, probe, wide_hash=True).collect()}
+    assert again[13] == 0
+
+    # gh2 mirrors the documented DuckDB rendering
+    import duckdb
+
+    row = D._span_grams(
+        D._span_base(probe, "text", "doc_id"), 8, "doc_id", wide=True
+    ).select("gh", "gh2").first()
+    base = D._span_base(probe, "text", "doc_id").select(
+        F.concat_ws(" ", F.slice("__toks", 1, 8)).alias("gram")
+    ).first()
+    lo, hi = duckdb.sql(
+        "SELECT CAST(('0x' || substr(md5(?), 1, 15)) AS BIGINT),"
+        "       CAST(('0x' || substr(md5(?), 16, 15)) AS BIGINT)",
+        params=[base.gram, base.gram],
+    ).fetchone()
+    assert (row.gh, row.gh2) == (lo, hi)
+
+
 def test_incremental_span_rewrite_checks_meta(spark, tmp_path):
     """ADVICE r6 pin: a direct caller probing a persisted span index with
     a mismatched span_tokens raises instead of silently removing nothing
