@@ -140,6 +140,7 @@ HEADLINE = [
     "bpe_apply",
     "bpe_train_batched",
     "media_phash_pairs",
+    "media_phash_imageio",
     "media_phash_incremental",
     "media_jpeg_progressive",
     "media_audio_pairs",
@@ -382,13 +383,28 @@ def main():
             best = dt if best is None or dt < best else best
         return round(best, 3)
 
+    # Dead-state reclaim between queries: localCheckpoint RDDs from a
+    # finished query hold executor memory until BOTH garbage collectors
+    # notice the dropped references — without the nudge, a growing suite
+    # taxes the queries that FOLLOW the checkpoint-heavy ones (the r7
+    # +18% drift).  Deliberately NOT clearCache(): designed cross-query
+    # memoization (closure -> slice_export, the shared pair graphs) is
+    # pipeline semantics and must keep working.
+    import gc as _gc
+
+    def reclaim_dead_state():
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
         times[name] = timed(
             lambda: qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save(),
             1 if name in memoized else repeat,
         )
         print(f"# {name}: {times[name]}s", file=sys.stderr)
+        if (i + 1) % 20 == 0:
+            reclaim_dead_state()
     total = round(sum(times.values()), 3)
 
     out = {
@@ -611,6 +627,130 @@ def main():
         )
         shutil.rmtree(land, ignore_errors=True)
         shutil.rmtree(work, ignore_errors=True)
+        checkpoint()
+
+    # Media decode DATASHEET: measured bytes/s of the pure-Python codec
+    # lane vs the JVM ImageIO lane on the SAME realistic-size images,
+    # plus the per-stage cost split of a media ingest batch (md5 exact
+    # gate / decode+pHash / index probe) — the numbers behind the
+    # production note that file-backed corpora should take the ImageIO
+    # lane.  Reported OUTSIDE the total (setup untimed, one-shot runs).
+    if os.environ.get("SPARK_GRAFT_BENCH_MEDIA_SHEET", "1") == "1":
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from slice_db_spark.operators import multimodal as MM
+        from slice_db_spark.operators.dedup import hamming_near_pairs_asym
+        from slice_db_spark.operators.hashing import hash64
+
+        def synth_big(ids_df, side: int, fmt: str):
+            """Textured side×side images (~196 KB BMP / entropy-coded
+            JPEG) — decode work scales with pixels, so realistic
+            dimensions, not the 8-16 px oracle synths."""
+            import numpy as np
+
+            def run(batches):
+                for pdf in batches:
+                    rows = []
+                    for k in pdf["doc_id"]:
+                        k = int(k)
+                        xs = np.arange(side)[None, :]
+                        ys = np.arange(side)[:, None]
+                        px = (
+                            (17 * k + 3 * xs * xs + 7 * ys * ys + 5 * xs * ys)
+                            % 251
+                        ).astype("uint8")
+                        if fmt == "bmp":
+                            payload = MM.encode_bmp(
+                                side, side,
+                                np.repeat(px[:, :, None], 3, axis=2),
+                            )
+                        else:
+                            payload = MM.encode_jpeg(side, side, px)
+                        rows.append((k, "image", payload, fmt, len(payload)))
+                    yield pd.DataFrame(
+                        rows,
+                        columns=["media_id", "kind", "payload", "format",
+                                 "n_bytes"],
+                    )
+
+            return ids_df.mapInPandas(run, schema=MM.MEDIA_SCHEMA)
+
+        sheet: dict = {}
+        # JPEG at realistic dimensions: per-file overhead dominates tiny
+        # images and hides the decode constant factor the sheet exists to
+        # measure (synthetic entropy is still ~10x lighter than a photo,
+        # noted in the committed artifact's interpretation)
+        for fmt, side, n_img in (("bmp", 256, 192), ("jpeg", 256, 96)):
+            ids = spark.range(0, n_img).selectExpr("id AS doc_id")
+            land = tempfile.mkdtemp(prefix=f"bench_sheet_{fmt}_")
+            media = synth_big(ids, side, fmt)
+            media.coalesce(8).write.mode("overwrite").parquet(land)  # untimed
+            payloads = spark.read.parquet(land)
+            total_bytes = payloads.agg(F.sum("n_bytes")).first()[0]
+            t0 = time.time()
+            MM.phash_media(payloads).write.format("noop").mode("overwrite").save()
+            py_sec = time.time() - t0
+            files = tempfile.mkdtemp(prefix=f"bench_sheet_files_{fmt}_")
+            for r in payloads.select("media_id", "payload").collect():
+                ext = "jpg" if fmt == "jpeg" else fmt
+                with open(os.path.join(files, f"{r.media_id}.{ext}"), "wb") as f:
+                    f.write(bytes(r.payload))
+            t0 = time.time()
+            MM.phash_image_files(spark, files).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            jvm_sec = time.time() - t0
+            sheet[fmt] = {
+                "images": n_img,
+                "side_px": side,
+                "payload_mb": round(total_bytes / 1e6, 1),
+                "python_codec_sec": round(py_sec, 3),
+                "python_codec_mb_per_sec": round(total_bytes / 1e6 / py_sec, 2),
+                "imageio_sec": round(jvm_sec, 3),
+                "imageio_mb_per_sec": round(total_bytes / 1e6 / jvm_sec, 2),
+                "speedup": round(py_sec / jvm_sec, 1),
+            }
+            shutil.rmtree(land, ignore_errors=True)
+            shutil.rmtree(files, ignore_errors=True)
+
+        # per-stage split of one media ingest batch over the BMP set:
+        # the md5 exact gate is a fraction of a decode, which is why the
+        # sink hashes BEFORE decoding
+        ids = spark.range(0, 192).selectExpr("id AS doc_id")
+        land = tempfile.mkdtemp(prefix="bench_sheet_stages_")
+        synth_big(ids, 256, "bmp").coalesce(8).write.mode("overwrite").parquet(land)
+        payloads = spark.read.parquet(land)
+        t0 = time.time()
+        payloads.withColumn("content_hash", F.md5(F.col("payload"))).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        md5_sec = time.time() - t0
+        sigs = MM.phash_media(payloads)
+        t0 = time.time()
+        sigs.write.format("noop").mode("overwrite").save()
+        decode_sec = time.time() - t0
+        idx = tempfile.mkdtemp(prefix="bench_sheet_idx_")
+        sigs.select(
+            F.col("media_id").alias("corpus_id"), "phash"
+        ).write.mode("overwrite").parquet(idx)  # untimed index build
+        probe_sigs = sigs.localCheckpoint(eager=True)  # untimed: isolate probe
+        t0 = time.time()
+        hamming_near_pairs_asym(
+            probe_sigs, spark.read.parquet(idx), "phash"
+        ).write.format("noop").mode("overwrite").save()
+        probe_sec = time.time() - t0
+        sheet["ingest_stage_split_bmp_256px"] = {
+            "md5_gate_sec": round(md5_sec, 3),
+            "decode_phash_sec": round(decode_sec, 3),
+            "index_probe_sec": round(probe_sec, 3),
+        }
+        shutil.rmtree(land, ignore_errors=True)
+        shutil.rmtree(idx, ignore_errors=True)
+        out["media_decode_datasheet"] = sheet
+        print(f"# media_decode_datasheet: {sheet}", file=sys.stderr)
         checkpoint()
 
     print(json.dumps(_terse_stdout_line(out, ckpt_path)))

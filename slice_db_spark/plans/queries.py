@@ -3964,6 +3964,43 @@ def media_video_trimmed_pairs(spark, sf_dir):
     )
 
 
+def media_phash_imageio(spark, sf_dir):
+    """The JVM-NATIVE decode lane under the hash gate: the same textured
+    synth corpus lands as .bmp FILES, Spark's built-in `image` data
+    source (Java ImageIO) decodes them inside the scan, the decoded
+    pixels feed the SAME fixed-point DCT pHash, and the banded pairing
+    must reproduce `media_phash_pairs` exactly — ImageIO's BMP decode is
+    bit-exact vs the repo codec, so the arithmetic oracle holds
+    VERBATIM (`operators/multimodal.py::phash_image_files`; the
+    driver-side file staging is test scaffolding — production corpora
+    already sit in files, which is the lane's premise)."""
+    import shutil
+    import tempfile
+
+    docs = catalog(spark, sf_dir)["documents"]
+    tmp = tempfile.mkdtemp(prefix="imageio_q_")
+    try:
+        for r in (
+            multimodal.synth_texture_bmp(docs)
+            .select("media_id", "payload")
+            .collect()
+        ):
+            with open(os.path.join(tmp, f"{r.media_id}.bmp"), "wb") as f:
+                f.write(bytes(r.payload))
+        sigs = multimodal.phash_image_files(spark, tmp).localCheckpoint(
+            eager=True
+        )
+        pairs = dedup.hamming_near_pairs(
+            sigs, "phash", "media_id",
+            bits=63, bands=PHASH_BANDS, max_hamming=PHASH_MAX_HAMMING,
+        )
+        return pairs.select(
+            "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def media_dedup_panorama(spark, sf_dir):
     """One MEDIA dedup report across all three perceptual modalities —
     the multimodal analog of `dedup_panorama`: per modality, the
@@ -7388,6 +7425,11 @@ SELECT 'video', CAST(count(*) AS BIGINT), CAST(count(DISTINCT id_b) AS BIGINT)
 FROM ({o["media_video_pairs"]})
 """
 
+    # ImageIO lane: BMP decode is bit-exact vs the repo codec (pinned by
+    # tests), so the file-based JVM-decoded pairing sits under the SAME
+    # arithmetic oracle
+    o["media_phash_imageio"] = o["media_phash_pairs"]
+
     # continuous image-dedup regime: corpus half's signatures are the
     # standing index, batch half probes asymmetrically — same CTE chain,
     # split readout (the id spaces are disjoint, so the probe's
@@ -8504,6 +8546,7 @@ def _all_queries():
         # names land straight in the checked window)
         "bpe_train_batched": bpe_train_batched,
         "media_phash_pairs": media_phash_pairs,
+        "media_phash_imageio": media_phash_imageio,
         "media_phash_incremental": media_phash_incremental,
         "media_jpeg_progressive": media_jpeg_progressive,
         "media_audio_pairs": media_audio_pairs,

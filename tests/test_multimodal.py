@@ -798,6 +798,94 @@ def test_jpeg_progressive_malformed_scan_headers_raise():
         M.decode_jpeg(bytes(arr))
 
 
+def test_imageio_lane_bitexact_on_lossless_formats(spark, tmp_path):
+    """r8 JVM decode lane pins: ImageIO's BMP and PNG decodes are
+    BIT-EXACT vs the repo codecs, so the file-based lane's pHashes
+    equal phash_media's on the same pixels — the property that lets the
+    arithmetic oracles hold verbatim for the ImageIO-lane query."""
+    import os
+
+    ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id bigint")
+    bmp_rows = M.synth_texture_bmp(ids).select("media_id", "payload").collect()
+    png_rows = M.synth_png(ids).select("media_id", "payload").collect()
+    d = str(tmp_path / "imgs")
+    os.makedirs(d)
+    for r in bmp_rows:
+        open(os.path.join(d, f"{r.media_id}.bmp"), "wb").write(bytes(r.payload))
+    for r in png_rows:
+        open(os.path.join(d, f"{r.media_id + 1000}.png"), "wb").write(
+            bytes(r.payload)
+        )
+    got = {r.media_id: r.phash
+           for r in M.phash_image_files(spark, d).collect()}
+    ref_bmp = {r.media_id: r.phash
+               for r in M.phash_media(M.synth_texture_bmp(ids)).collect()}
+    ref_png = {r.media_id: r.phash
+               for r in M.phash_media(M.synth_png(ids)).collect()}
+    assert len(got) == 40
+    for k, v in ref_bmp.items():
+        assert got[k] == v
+    for k, v in ref_png.items():
+        assert got[k + 1000] == v
+
+
+def test_imageio_lane_jpeg_parity_and_quarantine(spark, tmp_path):
+    """r8 JVM decode lane pins: (1) ImageIO's JPEG IDCT agrees with the
+    repo decoder within ±1 per pixel on the synth patterns, so the
+    pHash stays within the pairing threshold (lossy decode rounding is
+    implementation-defined — exactness is only contractual for lossless
+    formats); (2) an undecodable file NULLs under null_on_error and
+    raises otherwise."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    d = str(tmp_path / "imgs")
+    os.makedirs(d)
+    payloads = {}
+    for k in range(6):
+        w, h = 8 * (1 + k % 3), 8 * (1 + (3 * k + 1) % 2)
+        bys, bxs = np.mgrid[0 : h // 8, 0 : w // 8]
+        blocks = (128 + 2 * ((3 * k + 5 * bxs + 7 * bys) % 48)).astype(np.uint8)
+        px = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+        payloads[k] = (M.encode_jpeg(w, h, px), w, h)
+        open(os.path.join(d, f"{k}.jpg"), "wb").write(payloads[k][0])
+    img = (
+        spark.read.format("image").load(d)
+        .select("image.origin", "image.height", "image.width",
+                "image.nChannels", "image.data")
+        .collect()
+    )
+    assert len(img) == 6
+    for r in img:
+        k = int(os.path.basename(r.origin).split(".")[0])
+        payload, w, h = payloads[k]
+        ww, hh, ours = M.decode_jpeg(payload)
+        assert (ww, hh) == (r.width, r.height) == (w, h)
+        arr = np.frombuffer(bytes(r.data), np.uint8).reshape(
+            r.height, r.width, r.nChannels
+        )
+        gray = arr[:, :, 0] if r.nChannels > 1 else arr[:, :, 0]
+        diff = np.abs(gray.astype(int) - np.asarray(ours).astype(int))
+        assert diff.max() <= 1, diff.max()
+
+    sigs = {r.media_id: r.phash
+            for r in M.phash_image_files(spark, d).collect()}
+    for k, (payload, w, h) in payloads.items():
+        _, _, ours = M.decode_jpeg(payload)
+        ref = M._phash_of_pixels(np.asarray(ours), w, h)
+        assert bin(sigs[k] ^ ref).count("1") <= 6
+
+    # quarantine contract
+    open(os.path.join(d, "999.jpg"), "wb").write(b"not an image at all")
+    got = {r.media_id: r.phash
+           for r in M.phash_image_files(spark, d, null_on_error=True).collect()}
+    assert got[999] is None and len(got) == 7
+    with pytest.raises(Exception, match="undecodable|SparkException"):
+        M.phash_image_files(spark, d).collect()
+
+
 def test_audio_fingerprint_planted_near_dups_and_recall(spark):
     """r7 audio fingerprint pins: amplitude doubling leaves the
     fingerprint IDENTICAL (energy-delta sign invariance), the jittered
