@@ -480,6 +480,7 @@ def cmd_ingest(args) -> int:
         compact_every=args.compact_every,
         span_index=args.span_index,
         span_tokens=args.span_tokens,
+        span_wide=args.span_wide,
         max_files_per_trigger=args.max_files_per_trigger,
     )
     report = {"corpus_rows": spark.read.parquet(args.corpus).count()}
@@ -1230,6 +1231,12 @@ def main(argv: list[str] | None = None) -> int:
         "exact-substring dedup) and extend the index with the survivors",
     )
     ing.add_argument("--span-tokens", type=int, default=8)
+    ing.add_argument(
+        "--span-wide", action="store_true",
+        help="build a NEW span index with the 120-bit (both md5 halves) "
+             "gram key — the width for standing indexes expected to "
+             "exceed ~1e9 grams; an existing index keeps its own width",
+    )
     ing.add_argument(
         "--max-files-per-trigger",
         type=int,

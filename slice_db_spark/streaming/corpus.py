@@ -67,6 +67,7 @@ def ingest_corpus_stream(
     compact_every: int | None = None,
     span_index: str | None = None,
     span_tokens: int = 8,
+    span_wide: bool = False,
     max_files_per_trigger: int | None = None,
 ):
     """Start (and with ``available_now`` run to completion) the ingestion
@@ -424,8 +425,9 @@ def ingest_corpus_stream(
         )
         stok = meta["span_tokens"] if meta else span_tokens
         # key width is an INDEX property (what the stored rows carry) —
-        # a wide standing index keeps probing wide at ingest
-        swide = bool(meta.get("wide_hash", False)) if meta else False
+        # a wide standing index keeps probing wide at ingest; span_wide
+        # only picks the width for a FIRST build (no sidecar yet)
+        swide = bool(meta.get("wide_hash", False)) if meta else span_wide
         if os.path.isdir(span_index):
             rw = _sdedup.incremental_span_rewrite(
                 bu.sparkSession, span_index, bu,

@@ -557,6 +557,40 @@ def test_streaming_ingest_span_dedup(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 10, 11, 20, 21}
 
 
+def test_streaming_ingest_span_dedup_wide(spark, tmp_path):
+    """r8 wide-hash plumbing: span_wide=True on a FIRST build lands a
+    wide index (sidecar records it, rows carry gh2), a later batch
+    inherits the width from the sidecar (no flag needed) and the
+    cross-batch rewrite works identically."""
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    sidx = str(tmp_path / "span_idx")
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    b0 = [{"doc_id": 1, "text": f"{span} unique tail one", "lang": "en",
+           "source": "a", "n_chars": 1}]
+    _write_batch(land, "b0.jsonl", b0)
+    os.utime(os.path.join(land, "b0.jsonl"), (1_000_000_000,) * 2)
+    SC.ingest_corpus_stream(
+        spark, str(land), out, ckpt, span_index=sidx, span_wide=True
+    )
+    from slice_db_spark.operators.dedup import read_span_meta
+
+    assert read_span_meta(sidx) == {"span_tokens": 8, "wide_hash": True}
+    assert "gh2" in spark.read.parquet(sidx).columns
+
+    b1 = [{"doc_id": 10, "text": f"intro {span} and fresh words after",
+           "lang": "en", "source": "a", "n_chars": 1}]
+    _write_batch(land, "b1.jsonl", b1)
+    os.utime(os.path.join(land, "b1.jsonl"), (1_000_000_100,) * 2)
+    # no flag on the second run: width comes from the sidecar
+    SC.ingest_corpus_stream(spark, str(land), out, ckpt, span_index=sidx)
+    texts = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert texts[10] == "intro and fresh words after"
+
+
 def test_streaming_span_dedup_replay_self_immune(spark, tmp_path):
     """Crash between span-index append and corpus append: on replay the
     batch's grams are ALREADY in the index (owned by its own doc ids) —
