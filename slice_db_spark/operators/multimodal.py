@@ -718,7 +718,10 @@ def audio_offset_pairs(
     quadratic hot keys.  At corpus scale, raise ``frame_bits`` (32 bits
     = the published Haitsma-Kalker width) so the key space, not the
     cap, bounds bucket sizes."""
-    s = sigs.where(F.col("subfp").isNotNull())
+    # the sub-fingerprint frame feeds THREE consumers (the stopword
+    # aggregate and both join sides) — without eager materialization
+    # each branch recomputes the upstream decode+energy Python pipeline
+    s = sigs.where(F.col("subfp").isNotNull()).localCheckpoint(eager=True)
     keep = (
         s.groupBy("subfp")
         .agg(F.count(F.lit(1)).alias("__df"))

@@ -823,7 +823,7 @@ def test_cli_fsck(capsys, tmp_path, spark):
     assert rc == 0
     assert rep["corpus"]["rows"] == 1 and not rep["corpus"]["has_canon_url"]
     assert rep["span_index"]["replay_dup_ppm"] == 500_000  # exactly doubled
-    assert rep["span_index"]["meta"] == {"span_tokens": 8}
+    assert rep["span_index"]["meta"] == {"span_tokens": 8, "wide_hash": False}
 
     # violations: url contract + corrupt sidecar
     (sidx / "_span_meta.json").write_text("[8]")

@@ -592,7 +592,7 @@ def test_compact_span_index_dedups_and_preserves_meta(spark, tmp_path):
     report = compact_span_index(spark, idx)
     after = spark.read.parquet(idx)
     assert after.count() < before and after.count() == after.distinct().count()
-    assert D.read_span_meta(idx) == {"span_tokens": 8}
+    assert D.read_span_meta(idx) == {"span_tokens": 8, "wide_hash": False}
     probe = spark.createDataFrame(
         [(9, "intro alpha beta gamma delta epsilon zeta eta theta after")],
         "doc_id bigint, text string",
