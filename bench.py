@@ -643,7 +643,6 @@ def main():
 
         from slice_db_spark.operators import multimodal as MM
         from slice_db_spark.operators.dedup import hamming_near_pairs_asym
-        from slice_db_spark.operators.hashing import hash64
 
         def synth_big(ids_df, side: int, fmt: str):
             """Textured side×side images (~196 KB BMP / entropy-coded

@@ -293,7 +293,7 @@ def phash_media(df: DataFrame, null_on_error: bool = False) -> DataFrame:
 
 
 def phash_image_files(
-    spark, path: str, null_on_error: bool = False
+    spark, path: str, null_on_error: bool = False, ids: str = "digits"
 ) -> DataFrame:
     """JVM-NATIVE image decode lane — the production path for
     FILE-BACKED image corpora: Spark's built-in ``image`` data source
@@ -312,16 +312,31 @@ def phash_image_files(
     is implementation-defined) agrees within ±1 per pixel on this
     repo's synth patterns, keeping pHash within the pairing threshold.
 
-    ``media_id`` is the first digit run of the file name.  Undecodable
-    files (ImageIO signals mode == -1 / empty data) raise by default;
-    ``null_on_error=True`` emits NULL pHashes (the ingest quarantine
-    contract).  Output: (media_id, phash)."""
+    ``ids`` picks the identity: ``"digits"`` (default) takes the first
+    digit run of the file NAME — the oracle-replayable layout of the
+    synth gates, which REQUIRES unique digit runs (``img_12.jpg`` and
+    ``12_thumb.png`` would silently merge under one id and same-id
+    near-dups stop pairing); production corpora with arbitrary names use
+    ``"path-hash"`` (60-bit md5 of the full origin path — collision-safe
+    and unique per file, not SQL-replayable).  Files without a usable
+    identity or that ImageIO cannot decode (mode == -1 / empty data)
+    raise by default; ``null_on_error=True`` emits a NULL pHash row
+    instead (the ingest quarantine contract; a digit-less file also gets
+    a NULL media_id).  Output: (media_id, phash)."""
+    if ids not in ("digits", "path-hash"):
+        raise ValueError(f"ids must be 'digits' or 'path-hash', got {ids!r}")
     img = spark.read.format("image").load(path).select("image.*")
-    mid = F.regexp_extract(
-        F.regexp_extract(F.col("origin"), r"([^/]+)$", 1), r"(\d+)", 1
-    )
+    if ids == "digits":
+        mid = F.expr(
+            "try_cast(regexp_extract(regexp_extract(origin, '([^/]+)$', 1),"
+            " '(\\\\d+)', 1) AS BIGINT)"
+        )
+    else:
+        from .hashing import hash64
+
+        mid = hash64(F.col("origin"))
     df = img.select(
-        mid.cast("bigint").alias("media_id"),
+        mid.alias("media_id"),
         "height", "width", "nChannels", "mode", "data",
     )
 
@@ -329,12 +344,15 @@ def phash_image_files(
         import numpy as np
 
         for pdf in batches:
-            ids, fps = [], []
+            out_id, fps = [], []
             for mid_, h, w, nc, mode, data in zip(
                 pdf["media_id"], pdf["height"], pdf["width"],
                 pdf["nChannels"], pdf["mode"], pdf["data"],
             ):
+                fp = None
                 try:
+                    if pd.isna(mid_):
+                        raise ValueError("no digit run in image file name")
                     buf = bytes(data) if data is not None else b""
                     if mode == -1 or h <= 0 or w <= 0 or len(buf) != h * w * nc:
                         raise ValueError("undecodable image file")
@@ -351,11 +369,13 @@ def phash_image_files(
                 except (ValueError, struct.error):
                     if not null_on_error:
                         raise
-                    fp = None
-                ids.append(int(mid_))
+                out_id.append(None if pd.isna(mid_) else int(mid_))
                 fps.append(fp)
             yield pd.DataFrame(
-                {"media_id": ids, "phash": pd.array(fps, dtype="Int64")}
+                {
+                    "media_id": pd.array(out_id, dtype="Int64"),
+                    "phash": pd.array(fps, dtype="Int64"),
+                }
             )
 
     return df.mapInPandas(run, schema=PHASH_SCHEMA)
@@ -676,6 +696,15 @@ def audio_subfingerprints(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     subs = one(payload)
+                    if not subs:
+                        # decodable but too short to carry ANY
+                        # sub-fingerprint (< frame_bits + 1 windows) —
+                        # take the quarantine path instead of silently
+                        # emitting zero rows and vanishing from pairing
+                        # (the video_phash zero-frame contract)
+                        raise ValueError(
+                            "clip too short for any sub-fingerprint"
+                        )
                 except (ValueError, struct.error):
                     if not null_on_error:
                         raise

@@ -428,7 +428,31 @@ def ingest_corpus_stream(
         # a wide standing index keeps probing wide at ingest; span_wide
         # only picks the width for a FIRST build (no sidecar yet)
         swide = bool(meta.get("wide_hash", False)) if meta else span_wide
-        if os.path.isdir(span_index):
+        from .media import _index_has_rows
+
+        has_rows = (
+            _index_has_rows(span_index) if os.path.isdir(span_index) else False
+        )
+        if meta is None and has_rows:
+            # rows but no sidecar: this writer stamps the sidecar BEFORE
+            # the first append, so this state means the sidecar was
+            # deleted or the dir was built by hand — the rows' span
+            # length AND key width are unknowable; a replay started with
+            # different flags would silently downgrade a wide index (or
+            # probe with disjoint gram keys).  Refuse.
+            raise ValueError(
+                f"span index at {span_index} has rows but no "
+                "_span_meta.json sidecar — restore the sidecar "
+                "(write_span_meta) or rebuild the index"
+            )
+        if meta is None:
+            # sidecar FIRST: a crash between the first append and a
+            # trailing meta write would leave rows whose parameters a
+            # replay (possibly with different flags) could no longer
+            # establish; a sidecar with zero rows is harmless
+            os.makedirs(span_index, exist_ok=True)
+            _sdedup.write_span_meta(span_index, stok, swide)
+        if has_rows:
             rw = _sdedup.incremental_span_rewrite(
                 bu.sparkSession, span_index, bu,
                 span_tokens=stok, text_col=text_col, wide_hash=swide,
@@ -456,8 +480,6 @@ def ingest_corpus_stream(
             bu.sparkSession, span_index, bu,
             span_tokens=stok, text_col=text_col, wide_hash=swide,
         )
-        if meta is None:
-            _sdedup.write_span_meta(span_index, stok, swide)
         return out, affected.select("doc_id")
 
     schema = DOCUMENTS_SCHEMA

@@ -237,9 +237,12 @@ def ingest_media_stream(
             F.min("content_hash").alias("content_hash")
         )
         hashed = hashed.join(wid, ["media_id", "content_hash"], "left_semi")
-        w = hashed.groupBy("content_hash").agg(F.min("media_id").alias("media_id"))
-        survivors = hashed.join(w, ["content_hash", "media_id"], "left_semi")
         if target_exists:
+            # two column-pruned scans of the corpus (content_hash for the
+            # exact gate, media_id for the id-reuse guard) — deliberate:
+            # materializing both key columns per epoch would pin
+            # corpus-sized state in executor memory, while pruned parquet
+            # scans stream and stay per-column cheap at any corpus size
             corpus_keys = sp.read.parquet(out_path).select(
                 "media_id", "content_hash"
             )
@@ -251,7 +254,7 @@ def ingest_media_stream(
                     "further batches — mixing widths would break the "
                     "exact-dedup anti-join"
                 )
-            survivors = survivors.join(
+            hashed = hashed.join(
                 corpus_keys.select("content_hash"), "content_hash", "left_anti"
             )
             # cross-batch id-reuse guard: a NEW payload arriving under a
@@ -262,9 +265,13 @@ def ingest_media_stream(
             # matching genuine near-duplicates of either.  (A replay of
             # the SAME payload never reaches here — it dropped on the
             # content-hash anti-join above.)  Quarantine the colliding
-            # rows per epoch (idempotent overwrite) and drop them.
+            # rows per epoch (idempotent overwrite) and drop them —
+            # BEFORE the per-payload winner selection below, so a new
+            # payload arriving under BOTH a reused and a fresh id still
+            # lands under the fresh one instead of vanishing with its
+            # quarantined min-id row.
             reused = (
-                survivors.join(
+                hashed.join(
                     corpus_keys.select("media_id").distinct(),
                     "media_id", "left_semi",
                 )
@@ -277,9 +284,11 @@ def ingest_media_stream(
                         quarantine + ".idreuse", f"epoch_id={int(epoch_id)}"
                     )
                 )
-            survivors = survivors.join(
+            hashed = hashed.join(
                 reused.select("media_id"), "media_id", "left_anti"
             )
+        w = hashed.groupBy("content_hash").agg(F.min("media_id").alias("media_id"))
+        survivors = hashed.join(w, ["content_hash", "media_id"], "left_semi")
 
         # decode ONLY the exact-dedup survivors: NULL phash = undecodable
         # (the mode's signature column is aliased to `phash` — the

@@ -591,6 +591,43 @@ def test_streaming_ingest_span_dedup_wide(spark, tmp_path):
     assert texts[10] == "intro and fresh words after"
 
 
+def test_streaming_span_index_meta_first_and_untagged_refusal(spark, tmp_path):
+    """REVIEW r8 pins: (1) the span sidecar lands BEFORE the first gram
+    append, so no crash window can leave rows whose span length / key
+    width a differently-flagged replay would silently mismatch; (2) an
+    index with rows but no sidecar is refused."""
+    import pytest
+
+    from slice_db_spark.operators.dedup import read_span_meta
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "corpus")
+    sidx = str(tmp_path / "span_idx")
+
+    b0 = [{"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta",
+           "lang": "en", "source": "a", "n_chars": 1}]
+    _write_batch(land, "b0.jsonl", b0)
+    os.utime(os.path.join(land, "b0.jsonl"), (1_000_000_000,) * 2)
+    SC.ingest_corpus_stream(
+        spark, str(land), out, str(tmp_path / "ck1"),
+        span_index=sidx, span_wide=True,
+    )
+    assert read_span_meta(sidx)["wide_hash"] is True
+
+    # untagged index (rows, no sidecar) is refused instead of silently
+    # re-parameterized by whatever flags the replay happens to carry
+    sidx2 = str(tmp_path / "span_idx2")
+    spark.createDataFrame(
+        [(1, 2, 3)], "owner_id bigint, gh bigint, gh2 bigint"
+    ).write.parquet(sidx2)
+    with pytest.raises(Exception, match="no _span_meta"):
+        SC.ingest_corpus_stream(
+            spark, str(land), str(tmp_path / "corpus2"),
+            str(tmp_path / "ck2"), span_index=sidx2,
+        )
+
+
 def test_streaming_span_dedup_replay_self_immune(spark, tmp_path):
     """Crash between span-index append and corpus append: on replay the
     batch's grams are ALREADY in the index (owned by its own doc ids) —

@@ -384,6 +384,47 @@ def test_media_ingest_cross_batch_id_reuse_quarantined(spark, tmp_path):
     assert 8 not in {r.media_id for r in spark.read.parquet(out).collect()}
 
 
+def test_media_id_reuse_with_fresh_alias_still_lands(spark, tmp_path):
+    """REVIEW r8 pin: the id-reuse guard runs BEFORE the per-payload
+    winner selection — a NEW payload arriving under BOTH a reused id and
+    a fresh id must land under the fresh id (previously the min-id
+    winner row was quarantined and the payload vanished entirely)."""
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    out = str(tmp_path / "video")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "idx")
+    quar = str(tmp_path / "quar")
+
+    def clips(ids):
+        return M.synth_texture_y4m(
+            spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+        )
+
+    _land(clips([5]), land, "b0.parquet", 1_000_000_000)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, fingerprint="video")
+
+    # batch 2: clip 2's payload arrives under BOTH id 5 (reused) and 7
+    other = clips([2]).collect()[0]
+    b1 = spark.createDataFrame(
+        [(5, "video", other.payload, "y4m", other.n_bytes),
+         (7, "video", other.payload, "y4m", other.n_bytes)],
+        M.MEDIA_SCHEMA,
+    )
+    _land(b1, land, "b1.parquet", 1_000_000_100)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, fingerprint="video")
+    rows = {r.media_id: bytes(r.payload)
+            for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {5, 7}
+    assert rows[7] == bytes(other.payload)       # payload landed under 7
+    assert rows[5] != bytes(other.payload)       # original clip 5 intact
+    reused = {r.media_id
+              for r in spark.read.json(quar + ".idreuse").collect()}
+    assert reused == {5}
+
+
 def test_media_corpus_legacy_hash_refused_and_migrated(spark, tmp_path):
     """r8 ADVICE fix: the media corpus content_hash is the FULL 128-bit
     md5; a legacy corpus carrying the 60-bit BIGINT prefix is refused

@@ -886,6 +886,61 @@ def test_imageio_lane_jpeg_parity_and_quarantine(spark, tmp_path):
         M.phash_image_files(spark, d).collect()
 
 
+def test_imageio_lane_id_contract_and_digitless_files(spark, tmp_path):
+    """REVIEW r8 pins: (1) a digit-less file name takes the quarantine
+    path (NULL row under null_on_error, raise otherwise) instead of
+    crashing the job on int(NaN); (2) ids='path-hash' gives colliding
+    digit runs distinct identities; (3) an unknown ids mode raises."""
+    import os
+
+    import pytest
+
+    ids = spark.createDataFrame([(0,), (1,)], "doc_id bigint")
+    rows = M.synth_texture_bmp(ids).select("media_id", "payload").collect()
+    d = str(tmp_path / "imgs")
+    os.makedirs(d)
+    # two different images whose names carry the SAME digit run, plus a
+    # digit-less name
+    open(os.path.join(d, "img_12.bmp"), "wb").write(bytes(rows[0].payload))
+    open(os.path.join(d, "12_thumb.bmp"), "wb").write(bytes(rows[1].payload))
+    open(os.path.join(d, "cover.bmp"), "wb").write(bytes(rows[0].payload))
+
+    got = M.phash_image_files(spark, d, null_on_error=True).collect()
+    assert len(got) == 3
+    nulls = [r for r in got if r.media_id is None]
+    assert len(nulls) == 1 and nulls[0].phash is None  # digit-less -> NULL
+    assert {r.media_id for r in got if r.media_id is not None} == {12}
+
+    with pytest.raises(Exception, match="digit run|SparkException"):
+        M.phash_image_files(spark, d).collect()
+
+    hashed = M.phash_image_files(spark, d, ids="path-hash").collect()
+    assert len({r.media_id for r in hashed}) == 3  # unique per file
+    assert all(r.phash is not None for r in hashed)
+
+    with pytest.raises(ValueError, match="ids"):
+        M.phash_image_files(spark, d, ids="stem")
+
+
+def test_audio_subfingerprints_short_clip_quarantines(spark):
+    """REVIEW r8 pin: a decodable clip too short to carry ANY
+    sub-fingerprint (< frame_bits + 1 windows) takes the quarantine path
+    (NULL row / raise) instead of silently emitting zero rows and
+    vanishing from offset pairing."""
+    import pytest
+
+    short = [((5 * i * i + 3 * i) % 4096) - 2048 for i in range(800)]
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(M.encode_wav(short, 16000)), "wav",
+          1600 + 44)],
+        M.MEDIA_SCHEMA,
+    )
+    rows = M.audio_subfingerprints(df, null_on_error=True).collect()
+    assert len(rows) == 1 and rows[0].subfp is None
+    with pytest.raises(Exception, match="too short|SparkException"):
+        M.audio_subfingerprints(df).collect()
+
+
 def test_audio_fingerprint_planted_near_dups_and_recall(spark):
     """r7 audio fingerprint pins: amplitude doubling leaves the
     fingerprint IDENTICAL (energy-delta sign invariance), the jittered
