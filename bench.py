@@ -403,7 +403,7 @@ def main():
             1 if name in memoized else repeat,
         )
         print(f"# {name}: {times[name]}s", file=sys.stderr)
-        if (i + 1) % 20 == 0:
+        if (i + 1) % 10 == 0:
             reclaim_dead_state()
     total = round(sum(times.values()), 3)
 

@@ -702,9 +702,72 @@ def cmd_fsck(args) -> int:
         if cells is not None:
             entry["rows"] = cells.count()
         report["ivf_index"] = entry
+    if args.media_corpus:
+        mc, _ = _readable(args.media_corpus, "media corpus")
+        if mc is not None:
+            entry = {"rows": mc.count()}
+            width = dict(mc.dtypes).get("content_hash")
+            entry["content_hash_type"] = width
+            if width == "bigint":
+                errors.append(
+                    "media corpus carries the legacy 60-bit BIGINT "
+                    "content_hash — run migrate_media_corpus before "
+                    "further ingest (collision horizon ~1e9 rows)"
+                )
+            elif width != "string":
+                errors.append(
+                    f"media corpus content_hash has unexpected type "
+                    f"{width!r} (expected the 32-hex md5 string)"
+                )
+            # media_id is the identity key: duplicates mean the sink's
+            # id guards were bypassed (hand-written corpus) and the
+            # video lane's frame grouping is corrupt
+            n_ids, n_distinct = mc.agg(
+                F.count(F.lit(1)), F.count_distinct("media_id")
+            ).first()
+            entry["duplicate_ids"] = n_ids - n_distinct
+            if n_ids != n_distinct:
+                errors.append(
+                    f"media corpus has {n_ids - n_distinct} duplicate "
+                    "media_id rows — one id must own exactly one payload"
+                )
+            report["media_corpus"] = entry
     report["errors"] = errors
     print(json.dumps(report))
     return 2 if errors else 0
+
+
+def cmd_phash_files(args) -> int:
+    """Perceptual near-dup pairs over a DIRECTORY OF IMAGE FILES through
+    the JVM-native ImageIO decode lane — the production entry point for
+    file-backed corpora (`operators/multimodal.py::phash_image_files`):
+    decode happens inside the scan at native rate, undecodable files
+    surface as a quarantine count, and the pairing is the same banded
+    Hamming join every perceptual lane uses.  Prints one JSON report."""
+    from pyspark.sql import functions as F
+
+    from .operators import multimodal as _mm
+    from .operators.dedup import hamming_near_pairs
+    from .session import get_spark
+
+    spark = get_spark("slicedb-phash-files")
+    sigs = _mm.phash_image_files(
+        spark, args.path, null_on_error=True, ids=args.ids
+    ).localCheckpoint(eager=True)
+    bad = sigs.where(F.col("phash").isNull()).count()
+    good = sigs.where(F.col("phash").isNotNull())
+    pairs = hamming_near_pairs(
+        good, "phash", "media_id",
+        bits=63, bands=7, max_hamming=args.max_hamming,
+    )
+    rows = [r.asDict() for r in pairs.orderBy("id_a", "id_b").collect()]
+    print(json.dumps({
+        "files": sigs.count(),
+        "undecodable_or_unidentified": bad,
+        "n_pairs": len(rows),
+        "pairs": rows[: args.limit],
+    }))
+    return 0
 
 
 def cmd_train_bpe(args) -> int:
@@ -1274,6 +1337,22 @@ def main(argv: list[str] | None = None) -> int:
     im.add_argument("corpus", help="parquet media corpus directory (appended)")
     im.set_defaults(fn=cmd_ingest_media)
 
+    pf = sub.add_parser(
+        "phash-files",
+        help="perceptual near-dup pairs over a directory of image FILES "
+        "via the JVM-native ImageIO decode lane",
+    )
+    pf.add_argument("--ids", choices=["digits", "path-hash"],
+                    default="digits",
+                    help="identity: first digit run of the file name "
+                    "(unique digit runs required) or a 60-bit hash of "
+                    "the full path (collision-safe for arbitrary names)")
+    pf.add_argument("--max-hamming", type=int, default=6)
+    pf.add_argument("--limit", type=int, default=1000,
+                    help="cap on pairs printed in the report")
+    pf.add_argument("path", help="directory of image files (jpg/png/bmp/gif)")
+    pf.set_defaults(fn=cmd_phash_files)
+
     cp = sub.add_parser("compact", help="rewrite an append-heavy parquet sink to size-targeted files")
     cp.add_argument("--target-bytes", type=int, default=128 << 20)
     cp.add_argument("--partition-by", default=None,
@@ -1313,6 +1392,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="assert the corpus carries the url-dedup column contract")
     fs.add_argument("--lsh-index", default=None)
     fs.add_argument("--span-index", default=None)
+    fs.add_argument("--media-corpus", default=None,
+                    help="media corpus dir: checks content_hash width "
+                    "(legacy 60-bit is an error) and media_id uniqueness")
     fs.add_argument("--ivf-index", default=None)
     fs.add_argument("--phash-index", default=None,
                     help="media signature index dir to check (any mode)")

@@ -951,3 +951,57 @@ def test_cli_fsck_phash_index(spark, tmp_path):
     assert rep["errors"] == []
     assert rep["phash_index"]["replay_dup_ppm"] == 500_000
     assert rep["phash_index"]["meta"]["bands"] == 7
+
+
+def test_cli_fsck_media_corpus_width_and_ids(spark, tmp_path):
+    """r8: fsck --media-corpus flags the legacy 60-bit BIGINT
+    content_hash (exit 2 with a migration pointer) and duplicate
+    media_id rows; a current-layout corpus passes clean."""
+    from pyspark.sql import functions as F
+
+    from slice_db_spark.operators import multimodal as M
+    from slice_db_spark.operators.hashing import hash64
+
+    imgs = M.synth_texture_bmp(
+        spark.createDataFrame([(0,), (1,)], "doc_id bigint")
+    )
+    good = str(tmp_path / "good")
+    imgs.withColumn("content_hash", F.md5(F.col("payload"))).write.parquet(good)
+    rep = json.loads(
+        run_cli("fsck", "--media-corpus", good, good).strip().splitlines()[-1]
+    )
+    assert rep["errors"] == []
+    assert rep["media_corpus"] == {
+        "rows": 2, "content_hash_type": "string", "duplicate_ids": 0,
+    }
+
+    legacy = str(tmp_path / "legacy")
+    imgs.withColumn("content_hash", hash64(F.col("payload"))).write.parquet(legacy)
+    rep = json.loads(
+        run_cli("fsck", "--media-corpus", legacy, legacy, expect_rc=2)
+        .strip().splitlines()[-1]
+    )
+    assert any("legacy" in e for e in rep["errors"])
+
+
+def test_cli_phash_files(spark, tmp_path):
+    """r8: the phash-files subcommand runs the ImageIO decode lane over
+    a directory of image files — planted brightness replays pair, the
+    undecodable file lands in the quarantine count."""
+    import os as _os
+
+    from slice_db_spark.operators import multimodal as M
+
+    d = str(tmp_path / "imgs")
+    _os.makedirs(d)
+    rows = M.synth_texture_bmp(
+        spark.createDataFrame([(i,) for i in range(10)], "doc_id bigint")
+    ).select("media_id", "payload").collect()
+    for r in rows:
+        open(_os.path.join(d, f"{r.media_id}.bmp"), "wb").write(bytes(r.payload))
+    open(_os.path.join(d, "junk.bmp"), "wb").write(b"nope")
+
+    rep = json.loads(run_cli("phash-files", d).strip().splitlines()[-1])
+    assert rep["files"] == 11 and rep["undecodable_or_unidentified"] == 1
+    got = {(p["id_a"], p["id_b"]) for p in rep["pairs"]}
+    assert (0, 8) in got and (0, 9) in got  # planted replays of slot 0
