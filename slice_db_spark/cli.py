@@ -519,6 +519,8 @@ def cmd_ingest_media(args) -> int:
         rejects=args.rejects,
         fingerprint=args.fingerprint,
         max_hamming=args.max_hamming,
+        source=args.source,
+        file_ids=args.file_ids,
     )
     report = {"corpus_rows": spark.read.parquet(args.corpus).count()}
     import os as _os
@@ -1332,6 +1334,16 @@ def main(argv: list[str] | None = None) -> int:
                     "(30/6, threshold 4), or per-frame video pHash (equal "
                     "frame counts, every aligned frame within threshold)")
     im.add_argument("--max-hamming", type=int, default=None)
+    im.add_argument("--source", choices=["parquet", "files"],
+                    default="parquet",
+                    help="landing layout: MEDIA_SCHEMA parquet shards, or "
+                    "a directory of raw media FILES drained through the "
+                    "binaryFile streaming source (the fetcher layout)")
+    im.add_argument("--file-ids", choices=["digits", "path-hash"],
+                    default="digits",
+                    help="file-source identity: first digit run of the "
+                    "name (path-hash fallback for digit-less names) or "
+                    "always the 60-bit path hash")
     im.add_argument("landing", help="landing directory of parquet shards "
                     "with MEDIA_SCHEMA columns")
     im.add_argument("corpus", help="parquet media corpus directory (appended)")

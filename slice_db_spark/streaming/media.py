@@ -154,6 +154,8 @@ def ingest_media_stream(
     bands: int | None = None,
     max_hamming: int | None = None,
     lock_timeout: float = 600.0,
+    source: str = "parquet",
+    file_ids: str = "digits",
 ):
     """Start (and with ``available_now`` run to completion) the media
     ingestion stream — see the module docstring for the per-batch
@@ -167,7 +169,20 @@ def ingest_media_stream(
     ONE lane per modality, all machinery shared.  (fingerprint, bits,
     bands) come from the index's own sidecar when it already exists (a
     mode mismatch raises); ``max_hamming`` is a per-probe threshold and
-    always the caller's.  Returns the StreamingQuery."""
+    always the caller's.
+
+    ``source`` picks the landing layout: ``"parquet"`` (default — shards
+    already carrying MEDIA_SCHEMA columns) or ``"files"`` — a directory
+    of RAW media files drained through Spark's ``binaryFile`` streaming
+    source (the layout a crawler's fetcher actually writes): media_id =
+    the file name's first digit run (``file_ids="digits"``, falling back
+    to a 60-bit path hash for digit-less names so NULL ids can never
+    collapse distinct files in the id-winner join) or always the path
+    hash (``file_ids="path-hash"`` — collision-safe for arbitrary
+    names); format = the lowercased extension (``jpg`` normalized to
+    ``jpeg``).  Every downstream stage (exact md5 gate, id guards,
+    quarantine, perceptual index) is SHARED with the parquet lane.
+    Returns the StreamingQuery."""
     from ..operators import dedup as _dedup
     from ..operators import multimodal as _mm
     from ..operators.hashing import hash64
@@ -422,7 +437,54 @@ def ingest_media_stream(
 
     from ..operators.multimodal import MEDIA_SCHEMA
 
-    stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(in_path)
+    if source == "parquet":
+        stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(in_path)
+    elif source == "files":
+        from pyspark.sql.types import (
+            BinaryType, LongType, StringType, StructField, StructType,
+            TimestampType,
+        )
+
+        if file_ids not in ("digits", "path-hash"):
+            raise ValueError(
+                f"file_ids must be 'digits' or 'path-hash', got {file_ids!r}"
+            )
+        bin_schema = StructType([
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ])
+        raw = spark.readStream.format("binaryFile").schema(bin_schema).load(
+            in_path
+        )
+        path_hash = hash64(F.col("path"))
+        if file_ids == "digits":
+            digit_id = F.expr(
+                "try_cast(regexp_extract(regexp_extract(path, '([^/]+)$', 1),"
+                " '(\\\\d+)', 1) AS BIGINT)"
+            )
+            # digit-less names fall back to the path hash: a NULL id
+            # would collapse EVERY unidentified file into one row at the
+            # per-id winner join
+            mid = F.coalesce(digit_id, path_hash)
+        else:
+            mid = path_hash
+        ext = F.lower(
+            F.regexp_extract(
+                F.regexp_extract(F.col("path"), r"([^/]+)$", 1),
+                r"\.([A-Za-z0-9]+)$", 1,
+            )
+        )
+        stream = raw.select(
+            mid.alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.col("content").alias("payload"),
+            F.when(ext == "jpg", F.lit("jpeg")).otherwise(ext).alias("format"),
+            F.length("content").cast("bigint").alias("n_bytes"),
+        )
+    else:
+        raise ValueError(f"unknown source {source!r}")
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint
     )

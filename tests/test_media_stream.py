@@ -384,6 +384,54 @@ def test_media_ingest_cross_batch_id_reuse_quarantined(spark, tmp_path):
     assert 8 not in {r.media_id for r in spark.read.parquet(out).collect()}
 
 
+def test_media_ingest_file_source(spark, tmp_path):
+    """r8 file-backed lane: raw image FILES drain through the binaryFile
+    streaming source into the SAME dedup pipeline — exact refetches drop
+    on the payload hash even under a new digit-less name (path-hash id
+    fallback), brightness replays drop against the standing index, and
+    corrupt files quarantine."""
+    import time
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    out = str(tmp_path / "media")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "idx")
+    rej = str(tmp_path / "rej")
+    quar = str(tmp_path / "quar")
+
+    payloads = {r.media_id: bytes(r.payload)
+                for r in _synth_rows(spark, [0, 1, 8]).collect()}
+
+    def put(name, data, mt):
+        p = os.path.join(land, name)
+        with open(p, "wb") as f:
+            f.write(data)
+        os.utime(p, (mt, mt))
+
+    put("0.bmp", payloads[0], 1_000_000_000)
+    put("1.bmp", payloads[1], 1_000_000_000)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, rejects=rej, source="files")
+    rows = {r.media_id: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0].format == "bmp" and bytes(rows[0].payload) == payloads[0]
+
+    # batch 2: brightness replay (near-dup), byte-identical refetch under
+    # a DIGIT-LESS name (exact dup via the path-hash id fallback), and a
+    # corrupt file
+    put("8.bmp", payloads[8], 1_000_000_100)
+    put("refetch.bmp", payloads[0], 1_000_000_100)
+    put("junk.bmp", b"not an image", 1_000_000_100)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, rejects=rej, source="files")
+    assert {r.media_id for r in spark.read.parquet(out).collect()} == {0, 1}
+    assert {r.media_id
+            for r in spark.read.json(rej + ".neardup").collect()} == {8}
+    quarantined = [r.media_id for r in spark.read.json(quar).collect()]
+    assert len(quarantined) == 1 and quarantined[0] not in (0, 1, 8)
+
+
 def test_media_id_reuse_with_fresh_alias_still_lands(spark, tmp_path):
     """REVIEW r8 pin: the id-reuse guard runs BEFORE the per-payload
     winner selection — a NEW payload arriving under BOTH a reused id and
