@@ -145,8 +145,10 @@ HEADLINE = [
     "media_jpeg_progressive",
     "media_audio_pairs",
     "media_audio_offset_pairs",
+    "media_audio_offset_incremental",
     "media_video_pairs",
     "media_video_trimmed_pairs",
+    "media_video_trimmed_incremental",
     "media_dedup_panorama",
     "ann_ivfpq",
     "ann_ivfpq_refined",

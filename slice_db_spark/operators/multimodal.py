@@ -787,6 +787,65 @@ def audio_offset_pairs(
     )
 
 
+def audio_offset_pairs_asym(
+    new_sigs: DataFrame,
+    corpus_index: DataFrame,
+    min_matches: int = 8,
+    max_df: int = 1000,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Asymmetric OFFSET-ROBUST audio probe: a batch's sub-fingerprint
+    sequences against a persisted index whose rows are
+    ``(corpus_id, win_idx, subfp)`` — the continuous-ingest analog of
+    :func:`audio_offset_pairs`, same vote contract (exact sub-fingerprint
+    matches at a consistent window offset, best offset must explain ≥
+    ``min_matches`` windows).  Per-batch cost scales with the new side's
+    sub-fingerprints, never with corpus-internal pair volume; the
+    ``max_df`` stopword cap is computed over the STANDING index (its
+    posting lengths are what explode on degenerate audio).  Rows whose
+    corpus_id equals the probing id are EXCLUDED (replay self-immunity,
+    the owner-exclusion contract).  Output:
+    ``(new_id, corpus_id, win_offset, n_matched)``."""
+    new_s = new_sigs.where(F.col("subfp").isNotNull()).localCheckpoint(
+        eager=True
+    )
+    corpus = corpus_index.where(F.col("subfp").isNotNull())
+    keep = (
+        corpus.groupBy("subfp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= max_df)
+        .select("subfp")
+    )
+    a = new_s.join(keep, "subfp", "left_semi").select(
+        F.col(id_col).alias("new_id"), F.col("win_idx").alias("__wa"), "subfp"
+    )
+    b = corpus.join(keep, "subfp", "left_semi").select(
+        "corpus_id", F.col("win_idx").alias("__wb"), "subfp"
+    )
+    votes = (
+        a.join(b, "subfp")
+        .where(F.col("new_id") != F.col("corpus_id"))
+        .groupBy(
+            "new_id", "corpus_id",
+            (F.col("__wa") - F.col("__wb")).alias("win_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    w = Window.partitionBy("new_id", "corpus_id").orderBy(
+        F.desc("n_matched"), F.asc("win_offset")
+    )
+    return (
+        votes.withColumn("__rk", F.row_number().over(w))
+        .where((F.col("__rk") == 1) & (F.col("n_matched") >= min_matches))
+        .select(
+            "new_id",
+            "corpus_id",
+            F.col("win_offset").cast("bigint").alias("win_offset"),
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+        )
+    )
+
+
 WAV_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -2850,6 +2909,129 @@ def video_trimmed_pairs(
         .select(
             "id_a",
             "id_b",
+            F.col("frame_offset").cast("bigint").alias("frame_offset"),
+            F.col("n_overlap").cast("bigint").alias("n_overlap"),
+            F.col("max_frame_hamming").cast("bigint").alias("max_frame_hamming"),
+        )
+    )
+
+
+def video_trimmed_pairs_asym(
+    new_sigs: DataFrame,
+    corpus_index: DataFrame,
+    bits: int = 63,
+    bands: int = 7,
+    max_hamming: int = 6,
+    max_trim: int = 1,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Asymmetric TRIM-ROBUST video probe: a batch's per-frame pHashes
+    against the persisted video signature index
+    (``(corpus_id, frame_idx, phash, n_frames)`` rows) — the
+    continuous-ingest analog of :func:`video_trimmed_pairs`, same
+    aligned-run contract (a (pair, offset) hypothesis with |offset| ≤
+    ``max_trim`` qualifies when every overlapping aligned frame is
+    within ``max_hamming``, the overlap is ≥ ``min_overlap``, and at
+    most ``max_trim`` frames of the longer clip are unexplained).
+    Candidates band EVERY frame of both sides; per-batch cost follows
+    the new side's band buckets.  With ``max_trim ≥ 0`` the offset-0
+    full-overlap case subsumes the equal-length contract of
+    :func:`video_near_pairs_asym`, so a sink can widen its match
+    contract by swapping probes.  Pairs where corpus_id equals the
+    probing id are EXCLUDED (replay self-immunity).  Output:
+    ``(new_id, corpus_id, frame_offset, n_overlap, max_frame_hamming)``."""
+    from .dedup import _hamming_banded
+
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs at least max_hamming+1 bands "
+            f"(got {bands}): the pigeonhole completeness guarantee breaks"
+        )
+    if max_trim < 0:
+        raise ValueError(f"max_trim must be >= 0, got {max_trim}")
+    if min_overlap < 1:
+        raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
+    new_s = new_sigs.select("media_id", "frame_idx", "phash").localCheckpoint(
+        eager=True
+    )
+    # replay-duplicated index rows (the crash contract) must not inflate
+    # counts: reduce to distinct frames first
+    corpus = corpus_index.select(
+        "corpus_id", "frame_idx", "phash", "n_frames"
+    ).distinct()
+    nk = new_s.select(
+        F.struct(
+            F.col("media_id").alias("i"), F.col("frame_idx").alias("f")
+        ).alias("__k"),
+        "phash",
+    )
+    ck = corpus.select(
+        F.struct(
+            F.col("corpus_id").alias("i"), F.col("frame_idx").alias("f")
+        ).alias("__k"),
+        "phash",
+    )
+    nb = _hamming_banded(nk, "phash", "__k", bits, bands)
+    cb = _hamming_banded(ck, "phash", "__k", bits, bands)
+    cand = (
+        nb.select(
+            "band", "chunk",
+            F.col("__k.i").alias("new_id"), F.col("__k.f").alias("__fa"),
+        )
+        .join(
+            cb.select(
+                "band", "chunk",
+                F.col("__k.i").alias("corpus_id"), F.col("__k.f").alias("__fb"),
+            ),
+            ["band", "chunk"],
+        )
+        .where(F.col("new_id") != F.col("corpus_id"))
+        .select(
+            "new_id", "corpus_id",
+            (F.col("__fa") - F.col("__fb")).alias("frame_offset"),
+        )
+        .where(F.abs(F.col("frame_offset")) <= max_trim)
+        .distinct()
+    )
+    fa = new_s.select(
+        F.col("media_id").alias("new_id"),
+        F.col("frame_idx").alias("__fa"),
+        F.col("phash").alias("__pa"),
+    )
+    fb = corpus.select(
+        F.col("corpus_id").alias("__idb"),
+        F.col("frame_idx").alias("__fb"),
+        F.col("phash").alias("__pb"),
+    )
+    aligned = cand.join(fa, "new_id").join(
+        fb,
+        (F.col("corpus_id") == F.col("__idb"))
+        & (F.col("__fb") == F.col("__fa") - F.col("frame_offset")),
+    )
+    stats = aligned.groupBy("new_id", "corpus_id", "frame_offset").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.max(
+            F.bit_count(F.col("__pa").bitwiseXOR(F.col("__pb")))
+        ).alias("max_frame_hamming"),
+    )
+    na = new_s.groupBy("media_id").agg(F.count(F.lit(1)).alias("__na")).select(
+        F.col("media_id").alias("new_id"), "__na"
+    )
+    nbf = corpus.groupBy("corpus_id").agg(F.max("n_frames").alias("__nb"))
+    return (
+        stats.join(na, "new_id")
+        .join(nbf, "corpus_id")
+        .where(
+            (F.col("max_frame_hamming") <= max_hamming)
+            & (F.col("n_overlap") >= min_overlap)
+            & (
+                F.col("n_overlap")
+                >= F.greatest(F.col("__na"), F.col("__nb")) - max_trim
+            )
+        )
+        .select(
+            "new_id",
+            "corpus_id",
             F.col("frame_offset").cast("bigint").alias("frame_offset"),
             F.col("n_overlap").cast("bigint").alias("n_overlap"),
             F.col("max_frame_hamming").cast("bigint").alias("max_frame_hamming"),

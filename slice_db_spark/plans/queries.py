@@ -4127,6 +4127,84 @@ def media_audio_offset_pairs(spark, sf_dir):
     )
 
 
+def media_audio_offset_incremental(spark, sf_dir):
+    """Continuous OFFSET-ROBUST audio dedup under the hash gate: the
+    standing corpus (doc_id % 5 != 0) materializes its persisted
+    sub-fingerprint index ((corpus_id, win_idx, subfp) parquet), the
+    arriving batch (% 5 == 0) probes it via
+    `operators/multimodal.py::audio_offset_pairs_asym` — the per-batch
+    machinery a fingerprint='audio-offset' ingest lane runs, so the
+    continuous regime sits under the same arithmetic oracle as the batch
+    pairing (stopword cap computed over the STANDING index).  Result
+    checkpointed before the temp index dir is deleted."""
+    import shutil
+    import tempfile
+
+    docs = catalog(spark, sf_dir)["documents"]
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    tmp = tempfile.mkdtemp(prefix="afp_idx_q_")
+    idx = os.path.join(tmp, "idx")
+    try:
+        multimodal.audio_subfingerprints(
+            multimodal.synth_audio_clips_offset(corpus),
+            frame_bits=AUDIO_SUBFP_BITS,
+        ).select(
+            F.col("media_id").alias("corpus_id"), "win_idx", "subfp"
+        ).write.mode("overwrite").parquet(idx)
+        probe = multimodal.audio_subfingerprints(
+            multimodal.synth_audio_clips_offset(batch),
+            frame_bits=AUDIO_SUBFP_BITS,
+        )
+        return multimodal.audio_offset_pairs_asym(
+            probe, spark.read.parquet(idx),
+            min_matches=AUDIO_OFFSET_MIN_MATCHES, max_df=AUDIO_SUBFP_MAX_DF,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def media_video_trimmed_incremental(spark, sf_dir):
+    """Continuous TRIM-ROBUST video dedup under the hash gate: the
+    standing corpus (doc_id % 5 != 0) materializes its persisted
+    per-frame signature index (the video lane's (corpus_id, frame_idx,
+    phash, n_frames) layout), the arriving batch (% 5 == 0) probes it
+    via `operators/multimodal.py::video_trimmed_pairs_asym` — the
+    aligned-run contract made continuous, which also subsumes the
+    equal-length contract at offset 0 (the probe a sink swaps in to
+    widen its match contract).  Result checkpointed before the temp
+    index dir is deleted."""
+    import shutil
+    import tempfile
+
+    docs = catalog(spark, sf_dir)["documents"]
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    tmp = tempfile.mkdtemp(prefix="vtp_idx_q_")
+    idx = os.path.join(tmp, "idx")
+    try:
+        csigs = multimodal.video_phash(
+            multimodal.synth_texture_y4m_trim(corpus)
+        ).localCheckpoint(eager=True)
+        nfr = csigs.groupBy("media_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames")
+        )
+        csigs.join(nfr, "media_id").select(
+            F.col("media_id").alias("corpus_id"), "frame_idx", "phash",
+            "n_frames",
+        ).write.mode("overwrite").parquet(idx)
+        probe = multimodal.video_phash(
+            multimodal.synth_texture_y4m_trim(batch)
+        ).localCheckpoint(eager=True)
+        return multimodal.video_trimmed_pairs_asym(
+            probe, spark.read.parquet(idx),
+            bits=63, bands=PHASH_BANDS, max_hamming=PHASH_MAX_HAMMING,
+            max_trim=VIDEO_TRIM_MAX, min_overlap=VIDEO_TRIM_MIN_OVERLAP,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def media_jpeg_progressive(spark, sf_dir):
     """PROGRESSIVE (SOF2) JPEG under the hash gate: the same synth
     pattern as `media_jpeg_stats`, but encoded through the four-phase
@@ -7166,8 +7244,7 @@ WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
     # and the readout brute-forces every pair x offset in [-1, 1] —
     # every overlapping aligned frame within threshold, at most one
     # frame of the longer clip unexplained
-    o["media_video_trimmed_pairs"] = f"""
-WITH d AS (
+    _video_trim_cte = f"""d AS (
   SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 10 AS slot,
          CASE WHEN doc_id % 10 >= 8 THEN doc_id - doc_id % 10
               ELSE doc_id END AS seed
@@ -7201,28 +7278,53 @@ ph AS (SELECT ac.media_id, ac.f,
               CAST(sum(CASE WHEN cf > med THEN (CAST(1 AS BIGINT) << bit_i)
                             ELSE 0 END) AS BIGINT) AS phash
        FROM ac JOIN med USING (media_id, f) GROUP BY ac.media_id, ac.f),
-v AS (SELECT media_id, list(phash ORDER BY f) AS hs FROM ph GROUP BY media_id),
-pairs AS (
-  SELECT a.media_id AS id_a, b.media_id AS id_b, dd.d AS frame_offset,
-         len(a.hs) AS na, len(b.hs) AS nb, a.hs AS ahs, b.hs AS bhs
-  FROM v a JOIN v b ON a.media_id < b.media_id
-  CROSS JOIN (SELECT unnest(range(-{VIDEO_TRIM_MAX}, {VIDEO_TRIM_MAX} + 1)) AS d) dd),
+v AS (SELECT media_id, list(phash ORDER BY f) AS hs FROM ph GROUP BY media_id)"""
+
+    _video_trim_readout = """
 scored AS (
-  SELECT id_a, id_b, frame_offset, na, nb,
+  SELECT {ca}, {cb}, frame_offset, na, nb,
          least(na, nb + frame_offset) - greatest(0, frame_offset) AS ov,
          list_max(list_transform(
            range(greatest(0, frame_offset) + 1,
                  least(na, nb + frame_offset) + 1),
            i -> bit_count(xor(ahs[i], bhs[i - frame_offset])))) AS mh
   FROM pairs)
-SELECT id_a, id_b, CAST(frame_offset AS BIGINT) AS frame_offset,
+SELECT {ca}, {cb}, CAST(frame_offset AS BIGINT) AS frame_offset,
        CAST(ov AS BIGINT) AS n_overlap,
        CAST(mh AS BIGINT) AS max_frame_hamming
 FROM scored
-WHERE mh IS NOT NULL AND mh <= {PHASH_MAX_HAMMING}
-  AND ov >= {VIDEO_TRIM_MIN_OVERLAP}
-  AND ov >= greatest(na, nb) - {VIDEO_TRIM_MAX}
+WHERE mh IS NOT NULL AND mh <= {mh_max}
+  AND ov >= {min_ov}
+  AND ov >= greatest(na, nb) - {max_trim}
 """
+
+    _vt_read_sym = _video_trim_readout.format(
+        ca="id_a", cb="id_b", mh_max=PHASH_MAX_HAMMING,
+        min_ov=VIDEO_TRIM_MIN_OVERLAP, max_trim=VIDEO_TRIM_MAX,
+    )
+    _vt_read_asym = _video_trim_readout.format(
+        ca="new_id", cb="corpus_id", mh_max=PHASH_MAX_HAMMING,
+        min_ov=VIDEO_TRIM_MIN_OVERLAP, max_trim=VIDEO_TRIM_MAX,
+    )
+    o["media_video_trimmed_pairs"] = f"""
+WITH {_video_trim_cte},
+pairs AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b, dd.d AS frame_offset,
+         len(a.hs) AS na, len(b.hs) AS nb, a.hs AS ahs, b.hs AS bhs
+  FROM v a JOIN v b ON a.media_id < b.media_id
+  CROSS JOIN (SELECT unnest(range(-{VIDEO_TRIM_MAX}, {VIDEO_TRIM_MAX} + 1)) AS d) dd),{_vt_read_sym}"""
+
+    # continuous trim-robust regime: corpus half's per-frame hashes are
+    # the standing index, batch half probes — same CTE chain and readout
+    # template, split pairing (disjoint id spaces make self-exclusion
+    # moot, the streaming contract)
+    o["media_video_trimmed_incremental"] = f"""
+WITH {_video_trim_cte},
+pairs AS (
+  SELECT a.media_id AS new_id, b.media_id AS corpus_id, dd.d AS frame_offset,
+         len(a.hs) AS na, len(b.hs) AS nb, a.hs AS ahs, b.hs AS bhs
+  FROM v a JOIN v b ON a.media_id % 5 = 0 AND b.media_id % 5 != 0
+  CROSS JOIN (SELECT unnest(range(-{VIDEO_TRIM_MAX}, {VIDEO_TRIM_MAX} + 1)) AS d) dd),{_vt_read_asym}"""
 
     # cross-modality panorama: component pair oracles embedded verbatim
     # as subqueries (the dedup_panorama drift-proof composition pattern);
@@ -7264,9 +7366,10 @@ WHERE bit_count(xor(a.afp, bb.afp)) <= {AUDIO_FP_MAX_HAMMING}
     # offset-robust audio: the trimmed/padded synth replays window-align
     # by construction; the oracle replays samples -> window energies ->
     # delta-sign bits -> per-start-window sub-fingerprints, then votes
-    # exact-match pairs per offset and keeps each pair's best offset
-    o["media_audio_offset_pairs"] = f"""
-WITH d AS (
+    # exact-match pairs per offset and keeps each pair's best offset.
+    # The CTE prefix (through `sub`) is SHARED with the incremental
+    # readout so the batch and continuous regimes can never drift.
+    _audio_sub_cte = f"""d AS (
   SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 10 AS slot,
          CASE WHEN doc_id % 10 >= 8 THEN doc_id - doc_id % 10
               ELSE doc_id END AS seed
@@ -7301,7 +7404,10 @@ sub AS (SELECT b0.media_id, b0.w AS win_idx,
           ON bj.media_id = b0.media_id
          AND bj.w BETWEEN b0.w AND b0.w + {AUDIO_SUBFP_BITS - 1}
         GROUP BY b0.media_id, b0.w
-        HAVING count(*) = {AUDIO_SUBFP_BITS}),
+        HAVING count(*) = {AUDIO_SUBFP_BITS})"""
+
+    o["media_audio_offset_pairs"] = f"""
+WITH {_audio_sub_cte},
 keep AS (SELECT subfp FROM sub GROUP BY subfp
          HAVING count(*) <= {AUDIO_SUBFP_MAX_DF}),
 subk AS (SELECT sub.media_id, sub.win_idx, sub.subfp
@@ -7314,6 +7420,30 @@ votes AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
 SELECT id_a, id_b, CAST(woff AS BIGINT) AS win_offset,
        CAST(n AS BIGINT) AS n_matched
 FROM (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+                                   ORDER BY n DESC, woff) AS rk
+      FROM votes)
+WHERE rk = 1 AND n >= {AUDIO_OFFSET_MIN_MATCHES}
+"""
+
+    # continuous offset-audio regime: corpus half's sub-fingerprints are
+    # the standing index (the stopword cap is computed over THAT side,
+    # the side whose posting lengths explode), batch half probes — same
+    # CTE prefix, split readout (disjoint id spaces make the probe's
+    # self-exclusion moot, the streaming contract)
+    o["media_audio_offset_incremental"] = f"""
+WITH {_audio_sub_cte},
+keep AS (SELECT subfp FROM sub WHERE media_id % 5 != 0 GROUP BY subfp
+         HAVING count(*) <= {AUDIO_SUBFP_MAX_DF}),
+votes AS (SELECT a.media_id AS new_id, b.media_id AS corpus_id,
+                 a.win_idx - b.win_idx AS woff, count(*) AS n
+          FROM sub a
+          JOIN keep ON a.subfp = keep.subfp
+          JOIN sub b ON a.subfp = b.subfp
+           AND a.media_id % 5 = 0 AND b.media_id % 5 != 0
+          GROUP BY 1, 2, 3)
+SELECT new_id, corpus_id, CAST(woff AS BIGINT) AS win_offset,
+       CAST(n AS BIGINT) AS n_matched
+FROM (SELECT *, row_number() OVER (PARTITION BY new_id, corpus_id
                                    ORDER BY n DESC, woff) AS rk
       FROM votes)
 WHERE rk = 1 AND n >= {AUDIO_OFFSET_MIN_MATCHES}
@@ -8551,8 +8681,10 @@ def _all_queries():
         "media_jpeg_progressive": media_jpeg_progressive,
         "media_audio_pairs": media_audio_pairs,
         "media_audio_offset_pairs": media_audio_offset_pairs,
+        "media_audio_offset_incremental": media_audio_offset_incremental,
         "media_video_pairs": media_video_pairs,
         "media_video_trimmed_pairs": media_video_trimmed_pairs,
+        "media_video_trimmed_incremental": media_video_trimmed_incremental,
         "media_dedup_panorama": media_dedup_panorama,
         "ann_ivfpq": ann_ivfpq,
         "ann_ivfpq_refined": ann_ivfpq_refined,

@@ -941,6 +941,64 @@ def test_audio_subfingerprints_short_clip_quarantines(spark):
         M.audio_subfingerprints(df).collect()
 
 
+def test_asym_offset_audio_and_trimmed_video_probes(spark):
+    """r8 continuous-regime pins for the new modal probes: (1) the
+    asymmetric offset-audio probe recovers the trimmed/padded replays of
+    a STANDING clip at the planted offsets, and a probe whose own id is
+    in the index matches nothing (replay self-immunity); (2) the
+    asymmetric trimmed-video probe recovers a one-frame-trimmed replay,
+    is immune to replay-duplicated index rows (distinct-frame reduce),
+    and subsumes the equal-length contract at offset 0."""
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id bigint")
+
+    # --- audio: index holds slots 0-7, batch brings the replays
+    subs = M.audio_subfingerprints(M.synth_audio_clips_offset(ids))
+    from pyspark.sql import functions as F
+
+    idx = subs.where("media_id % 10 < 8").select(
+        F.col("media_id").alias("corpus_id"), "win_idx", "subfp"
+    )
+    probe = subs.where("media_id % 10 >= 8")
+    got = {(r.new_id, r.corpus_id): (r.win_offset, r.n_matched)
+           for r in M.audio_offset_pairs_asym(probe, idx).collect()}
+    assert got[(8, 0)][0] == -2    # trimmed replay: new windows lag by 2
+    assert got[(9, 0)][0] == 3     # padded replay: new windows lead by 3
+    # self-immunity: the probe's own rows already in the index
+    self_idx = idx.unionByName(
+        probe.select(F.col("media_id").alias("corpus_id"), "win_idx", "subfp")
+    )
+    again = {(r.new_id, r.corpus_id)
+             for r in M.audio_offset_pairs_asym(probe, self_idx).collect()}
+    assert (8, 8) not in again and (9, 9) not in again
+    assert (8, 0) in again         # genuine matches survive
+
+    # --- video: index holds the original clip, batch brings the trim
+    sigs = M.video_phash(M.synth_texture_y4m_trim(ids))
+    nfr = sigs.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames")
+    )
+    vidx = sigs.where("media_id % 10 < 8").join(nfr, "media_id").select(
+        F.col("media_id").alias("corpus_id"), "frame_idx", "phash", "n_frames"
+    )
+    vidx_dup = vidx.unionByName(vidx)   # replayed appends
+    vprobe = sigs.where("media_id % 10 >= 8")
+    res = {(r.new_id, r.corpus_id): (r.frame_offset, r.n_overlap,
+                                     r.max_frame_hamming)
+           for r in M.video_trimmed_pairs_asym(vprobe, vidx_dup).collect()}
+    n = 3  # group 0's clip has 3 frames, trims have 2
+    assert res[(8, 0)] == (-1, n - 1, 0)   # trim recovered, counts exact
+    assert res[(9, 0)] == (-1, n - 1, 0)
+    # equal-length subsumption: probe the ORIGINAL clip against an index
+    # of its brightness replay (same frame count) -> offset-0 full match
+    bidx = sigs.where("media_id = 8").join(nfr, "media_id").select(
+        F.col("media_id").alias("corpus_id"), "frame_idx", "phash", "n_frames"
+    )
+    eq = {(r.new_id, r.corpus_id): r.frame_offset
+          for r in M.video_trimmed_pairs_asym(
+              sigs.where("media_id = 9"), bidx).collect()}
+    assert eq[(9, 8)] == 0
+
+
 def test_audio_fingerprint_planted_near_dups_and_recall(spark):
     """r7 audio fingerprint pins: amplitude doubling leaves the
     fingerprint IDENTICAL (energy-delta sign invariance), the jittered
