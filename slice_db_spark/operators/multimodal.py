@@ -809,7 +809,16 @@ def audio_offset_pairs_asym(
     new_s = new_sigs.where(F.col("subfp").isNotNull()).localCheckpoint(
         eager=True
     )
-    corpus = corpus_index.where(F.col("subfp").isNotNull())
+    # replay-duplicated index rows (the crash contract: index appends land
+    # before the corpus append, so a replayed epoch re-appends its rows)
+    # must not inflate the per-offset vote counts — reduce to distinct
+    # (corpus_id, win_idx, subfp) BEFORE the df cap and the vote join, the
+    # same reduction video_trimmed_pairs_asym applies to its frame rows
+    corpus = (
+        corpus_index.where(F.col("subfp").isNotNull())
+        .select("corpus_id", "win_idx", "subfp")
+        .distinct()
+    )
     keep = (
         corpus.groupBy("subfp")
         .agg(F.count(F.lit(1)).alias("__df"))

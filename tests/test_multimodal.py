@@ -971,6 +971,12 @@ def test_asym_offset_audio_and_trimmed_video_probes(spark):
              for r in M.audio_offset_pairs_asym(probe, self_idx).collect()}
     assert (8, 8) not in again and (9, 9) not in again
     assert (8, 0) in again         # genuine matches survive
+    # replay-duplicated index rows (crash contract) must not inflate the
+    # per-offset vote counts: a doubled index yields IDENTICAL results
+    dup = {(r.new_id, r.corpus_id): (r.win_offset, r.n_matched)
+           for r in M.audio_offset_pairs_asym(
+               probe, idx.unionByName(idx)).collect()}
+    assert dup == got
 
     # --- video: index holds the original clip, batch brings the trim
     sigs = M.video_phash(M.synth_texture_y4m_trim(ids))
