@@ -153,6 +153,7 @@ HEADLINE = [
     "ann_ivfpq",
     "ann_ivfpq_refined",
     "media_video_incremental",
+    "media_video_shots",
     "quality",
     "language_id",
     "lang_confusion",

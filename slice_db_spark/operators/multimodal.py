@@ -2697,6 +2697,43 @@ def synth_texture_y4m_trim(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def synth_texture_y4m_shots(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic textured mono Y4M clips with PLANTED SHOT
+    STRUCTURE — the scene-change detection test corpus.  Each clip has
+    ``2 + seed mod 3`` shots of exactly 2 frames: frame f belongs to
+    shot ``f div 2`` and renders the quadratic texture of
+    ``seed + 101·(f div 2)`` (a shot change re-seeds the texture, so
+    consecutive cross-shot frames diverge in ~half their pHash bits),
+    while the shot's second frame adds a +3 BRIGHTNESS drift (uniform
+    shift — every AC coefficient, hence the pHash, is identical:
+    within-shot frame distance is exactly 0).  Pure arithmetic an SQL
+    oracle mirrors."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                seed = k
+                n = 2 * (2 + seed % 3)
+                fs, ys, xs = np.mgrid[0:n, 0:16, 0:16]
+                s2 = seed + 101 * (fs // 2)
+                px = (
+                    17 * s2
+                    + (3 + s2 % 5) * xs * xs
+                    + (11 + s2 % 13) * ys * ys
+                    + 5 * xs * ys
+                ) % 251 + 3 * (fs % 2)
+                payload = encode_y4m(16, 16, px.astype(np.uint8))
+                rows.append((k, "video", payload, "y4m", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 VIDEO_PHASH_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -2741,6 +2778,65 @@ def video_phash(df: DataFrame, null_on_error: bool = False) -> DataFrame:
             ).astype({"phash": "Int64"})
 
     return df.mapInPandas(run, schema=VIDEO_PHASH_SCHEMA)
+
+
+def video_shots(
+    sigs: DataFrame,
+    cut_threshold: int = 16,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """SHOT (scene-change) detection over per-frame pHashes — the
+    standard content-based segmentation a video training-data pipeline
+    runs before sampling frames: decoding every frame of every clip
+    into the training set is redundant (adjacent frames are
+    near-identical), so clips split at perceptual cuts and ONE keyframe
+    per shot represents it.
+
+    A frame starts a new shot when its pHash is more than
+    ``cut_threshold`` Hamming bits from the PREVIOUS frame (a hard cut;
+    the first frame always starts shot 0).  Output one row per shot:
+    ``(media_id, shot_idx, start_frame, n_frames, keyframe_idx)`` with
+    ``keyframe_idx`` the shot's MIDDLE frame (``start + (n-1) div 2`` —
+    the first frame of a shot often still carries transition artifacts
+    in real encodes; the middle is the stable representative).
+
+    Scale: both windows partition BY CLIP and order by frame index —
+    state is one clip's frames, never global; the groupBy is map-side
+    combinable on (clip, shot).  Composes downstream: join keyframe_idx
+    back to the frame table to fetch keyframe signatures, then pair
+    them with ``hamming_near_pairs`` for shot-level near-dedup."""
+    if cut_threshold < 0:
+        raise ValueError(f"cut_threshold must be >= 0, got {cut_threshold}")
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    prev = F.lag("phash").over(w)
+    cut = F.when(
+        prev.isNull()
+        | (F.bit_count(F.col("phash").bitwiseXOR(prev)) > cut_threshold),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy(id_col).orderBy("frame_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    framed = sigs.select(id_col, "frame_idx", "phash").withColumn(
+        "__shot", F.sum(cut).over(run) - F.lit(1)
+    )
+    return (
+        framed.groupBy(id_col, "__shot")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__shot").cast("bigint").alias("shot_idx"),
+            F.col("start_frame").cast("bigint").alias("start_frame"),
+            F.col("n_frames").cast("bigint").alias("n_frames"),
+            (
+                F.col("start_frame")
+                + F.floor((F.col("n_frames") - 1) / 2)
+            ).cast("bigint").alias("keyframe_idx"),
+        )
+    )
 
 
 def video_near_pairs(

@@ -3939,6 +3939,28 @@ def media_video_pairs(spark, sf_dir):
 VIDEO_TRIM_MAX = 1
 VIDEO_TRIM_MIN_OVERLAP = 2
 
+#: shot-cut threshold: a frame more than this many pHash bits from its
+#: predecessor starts a new shot (planted synth: within-shot distance is
+#: exactly 0, cross-shot 22-46 — 16 sits safely between)
+VIDEO_CUT_HAMMING = 16
+
+
+def media_video_shots(spark, sf_dir):
+    """SHOT (scene-change) detection + keyframe sampling — the
+    segmentation a video pipeline runs before frame-sampling into a
+    training set (`operators/multimodal.py::video_shots`): a frame more
+    than `VIDEO_CUT_HAMMING` pHash bits from its predecessor starts a
+    new shot, and each shot's MIDDLE frame is its keyframe.  The synth
+    corpus (`synth_texture_y4m_shots`) plants `2 + seed mod 3` shots of
+    two frames each — the shot's second frame is a +3 brightness drift
+    (pHash distance exactly 0), a shot change re-seeds the quadratic
+    texture (distance 22-46).  Per-clip windows only (state is one
+    clip's frames, never global); the oracle replays
+    pixels→per-frame DCT hashes→lag cuts→running shot ids."""
+    docs = catalog(spark, sf_dir)["documents"]
+    sigs = multimodal.video_phash(multimodal.synth_texture_y4m_shots(docs))
+    return multimodal.video_shots(sigs, cut_threshold=VIDEO_CUT_HAMMING)
+
 
 def media_video_trimmed_pairs(spark, sf_dir):
     """TRIM-ROBUST video near-dedup — the gap the equal-length contract
@@ -7238,6 +7260,58 @@ SELECT new_id, corpus_id, n_frames, max_frame_hamming FROM (
 WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
 """
 
+    # shot detection: the shots synth re-seeds the quadratic texture per
+    # 2-frame shot (+3 brightness on each shot's second frame — AC
+    # invariant, distance 0); per-frame hashes go through the same DCT
+    # chain, then lag-window cuts and a running shot id replay the
+    # operator's windows verbatim
+    o["media_video_shots"] = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(doc_id AS BIGINT) AS seed
+  FROM documents),
+df AS (SELECT media_id, seed,
+              unnest(range(0, CAST(2 * (2 + seed % 3) AS INT))) AS f
+       FROM d),
+kk(u, x, c) AS (VALUES {_k_vals}),
+g AS (
+  SELECT media_id, f, gi, gj,
+         (17 * s2 + (3 + s2 % 5) * (2 * gj) * (2 * gj)
+          + (11 + s2 % 13) * (2 * gi) * (2 * gi)
+          + 5 * (2 * gj) * (2 * gi)) % 251 + 3 * (f % 2) AS val
+  FROM (SELECT media_id, f, seed + 101 * (f // 2) AS s2 FROM df),
+       range(0, 8) r1(gi), range(0, 8) r2(gj)),
+coef AS (
+  SELECT media_id, f, ku.u AS u, kv.u AS v,
+         sum(CAST(ku.c AS BIGINT) * kv.c * val) AS cf
+  FROM g JOIN kk ku ON ku.x = g.gi JOIN kk kv ON kv.x = g.gj
+  GROUP BY media_id, f, ku.u, kv.u),
+ac AS (SELECT media_id, f, u * 8 + v - 1 AS bit_i, cf
+       FROM coef WHERE NOT (u = 0 AND v = 0)),
+med AS (SELECT media_id, f, list_sort(list(cf))[32] AS med
+        FROM ac GROUP BY media_id, f),
+ph AS (SELECT ac.media_id, ac.f,
+              CAST(sum(CASE WHEN cf > med THEN (CAST(1 AS BIGINT) << bit_i)
+                            ELSE 0 END) AS BIGINT) AS phash
+       FROM ac JOIN med USING (media_id, f) GROUP BY ac.media_id, ac.f),
+lagged AS (SELECT media_id, f, phash,
+                  lag(phash) OVER (PARTITION BY media_id ORDER BY f) AS prev
+           FROM ph),
+cuts AS (SELECT media_id, f,
+                CASE WHEN prev IS NULL
+                          OR bit_count(xor(phash, prev)) > {VIDEO_CUT_HAMMING}
+                     THEN 1 ELSE 0 END AS is_cut
+         FROM lagged),
+sh AS (SELECT media_id, f,
+              sum(is_cut) OVER (PARTITION BY media_id ORDER BY f) - 1
+                AS shot_idx
+       FROM cuts)
+SELECT media_id, CAST(shot_idx AS BIGINT) AS shot_idx,
+       CAST(min(f) AS BIGINT) AS start_frame,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(min(f) + (count(*) - 1) // 2 AS BIGINT) AS keyframe_idx
+FROM sh GROUP BY media_id, shot_idx
+"""
+
     # trim-robust video pairing: the trim synth re-derives each frame
     # from its SOURCE index (emitted frame f of a trimmed slot renders
     # source frame f+1), per-frame hashes go through the same DCT chain,
@@ -8689,4 +8763,6 @@ def _all_queries():
         "ann_ivfpq": ann_ivfpq,
         "ann_ivfpq_refined": ann_ivfpq_refined,
         "media_video_incremental": media_video_incremental,
+        # r8 additions
+        "media_video_shots": media_video_shots,
     }

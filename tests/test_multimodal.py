@@ -1005,6 +1005,46 @@ def test_asym_offset_audio_and_trimmed_video_probes(spark):
     assert eq[(9, 8)] == 0
 
 
+def test_video_shots_planted_structure(spark):
+    """r8 shot-detection pins: the shots synth plants 2+seed%3 two-frame
+    shots per clip — detected boundaries land exactly on the planted
+    even frames, within-shot distance is exactly 0 (+3 brightness is AC
+    invariant), keyframes are each shot's middle (= second-of-two here
+    start+0), and a threshold above the cross-shot distances collapses
+    every clip to ONE shot."""
+    from pyspark.sql import functions as F
+
+    ids = spark.createDataFrame([(i,) for i in range(30)], "doc_id bigint")
+    sigs = M.video_phash(M.synth_texture_y4m_shots(ids))
+    shots = M.video_shots(sigs, cut_threshold=16).collect()
+    by_clip = {}
+    for r in shots:
+        by_clip.setdefault(r.media_id, []).append(r)
+    for mid, rows in by_clip.items():
+        rows.sort(key=lambda r: r.shot_idx)
+        assert len(rows) == 2 + mid % 3          # planted shot count
+        for s, r in enumerate(rows):
+            assert r.shot_idx == s
+            assert r.start_frame == 2 * s        # cuts on even frames
+            assert r.n_frames == 2
+            assert r.keyframe_idx == 2 * s       # middle of 2 = first
+    # a threshold above every cross-shot distance -> one shot per clip
+    one = M.video_shots(sigs, cut_threshold=63).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n")).where("n != 1").count()
+    assert one == 0
+    # keyframe fetch composes: join back to the frame table
+    keyed = (
+        M.video_shots(sigs, cut_threshold=16)
+        .join(
+            sigs.select("media_id", F.col("frame_idx").alias("keyframe_idx"),
+                        "phash"),
+            ["media_id", "keyframe_idx"],
+        )
+    )
+    assert keyed.where(F.col("phash").isNull()).count() == 0
+    assert keyed.count() == sum(2 + i % 3 for i in range(30))
+
+
 def test_audio_fingerprint_planted_near_dups_and_recall(spark):
     """r7 audio fingerprint pins: amplitude doubling leaves the
     fingerprint IDENTICAL (energy-delta sign invariance), the jittered
