@@ -154,6 +154,7 @@ HEADLINE = [
     "ann_ivfpq_refined",
     "media_video_incremental",
     "media_video_shots",
+    "media_exif",
     "quality",
     "language_id",
     "lang_confusion",

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     FloatType,
     IntegerType,
     LongType,
@@ -2513,6 +2514,312 @@ def jpeg_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=JPEG_STATS_SCHEMA)
+
+
+# ------------------------------------------------------------ EXIF metadata
+# Real crawl JPEGs carry an APP1 Exif segment (a TIFF IFD tree) with the
+# metadata an image-curation gate actually filters on: orientation (needed
+# before any geometry-sensitive signature), capture timestamp (temporal
+# filtering / dedup tie-breaks), camera make/model (source stratification),
+# and the declared pixel dimensions.  Parsed here dependency-free from the
+# TIFF structure per CIPA DC-008: byte-order mark (II little / MM big),
+# magic 42, IFD0 entries of (tag u16, type u16, count u32, value-or-offset
+# u32), values longer than 4 bytes indirected relative to the TIFF header.
+
+_EXIF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def _build_exif_app1(
+    byte_order: str,
+    make: str,
+    model: str,
+    datetime_str: str,
+    datetime_original: str,
+    orientation: int,
+    exif_w: int,
+    exif_h: int,
+) -> bytes:
+    """Serialize one APP1 Exif segment (marker + length + "Exif\\0\\0" +
+    TIFF blob): IFD0 holds Make/Model/Orientation/DateTime and the Exif
+    IFD pointer; the Exif IFD holds DateTimeOriginal and the pixel
+    dimensions.  Offsets are TIFF-relative per the spec."""
+    e = "<" if byte_order == "II" else ">"
+    mk = make.encode() + b"\0"
+    md = model.encode() + b"\0"
+    dt = datetime_str.encode() + b"\0"
+    dto = datetime_original.encode() + b"\0"
+
+    def ser_ifd(entries, ifd_off):
+        """Serialize one IFD at ``ifd_off``: values ≤ 4 bytes inline
+        (right-padded, per the TIFF spec), longer values indirected into
+        the data area that follows the IFD table."""
+        data_start = ifd_off + 2 + 12 * len(entries) + 4
+        blob = b""
+        out = struct.pack(e + "H", len(entries))
+        for tag, typ, cnt, raw in entries:
+            if len(raw) <= 4:
+                val4 = raw + b"\0" * (4 - len(raw))
+            else:
+                val4 = struct.pack(e + "I", data_start + len(blob))
+                blob += raw
+            out += struct.pack(e + "HHI", tag, typ, cnt) + val4
+        out += struct.pack(e + "I", 0)  # no chained IFD
+        return out + blob
+
+    def indirect_size(entries):
+        return sum(len(raw) for _, _, _, raw in entries if len(raw) > 4)
+
+    ifd0_off = 8
+    ifd0_entries = [
+        (0x010F, 2, len(mk), mk),                              # Make
+        (0x0110, 2, len(md), md),                              # Model
+        (0x0112, 3, 1, struct.pack(e + "H", orientation)),     # Orientation
+        (0x0132, 2, len(dt), dt),                              # DateTime
+    ]
+    exif_ifd_off = (
+        ifd0_off + 2 + 12 * 5 + 4 + indirect_size(ifd0_entries)
+    )
+    if exif_ifd_off % 2:  # word-align the sub-IFD
+        exif_ifd_off += 1
+    ifd0_entries.append(
+        (0x8769, 4, 1, struct.pack(e + "I", exif_ifd_off))     # Exif pointer
+    )
+    ifd0 = ser_ifd(ifd0_entries, ifd0_off)
+    exif_entries = [
+        (0x9003, 2, len(dto), dto),                        # DateTimeOriginal
+        (0xA002, 4, 1, struct.pack(e + "I", exif_w)),      # PixelXDimension
+        (0xA003, 4, 1, struct.pack(e + "I", exif_h)),      # PixelYDimension
+    ]
+    tiff = (
+        (b"II" if byte_order == "II" else b"MM")
+        + struct.pack(e + "H", 42)
+        + struct.pack(e + "I", ifd0_off)
+        + ifd0
+    )
+    tiff += b"\0" * (exif_ifd_off - len(tiff))
+    tiff += ser_ifd(exif_entries, exif_ifd_off)
+    body = b"Exif\0\0" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def synth_jpeg_exif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic EXIF-tagged JPEGs: the :func:`synth_jpeg` byte path
+    with an APP1 Exif segment spliced after SOI.  Every field derives
+    from id arithmetic so an SQL oracle constructs the expected values
+    independently (the `synth_url` pattern): byte order alternates II/MM
+    by id parity (both parser paths exercised under the oracle),
+    ``orientation = 1 + k mod 8`` (all eight spec values),
+    ``make = CAM(k mod 5)``, ``model = MODEL-(k mod 7)``,
+    ``DateTime = (2010 + k mod 15):(1 + k mod 12):(1 + k mod 28)
+    (k mod 24):(k mod 60):(7k mod 60)`` in the spec's
+    ``YYYY:MM:DD HH:MM:SS`` form, ``DateTimeOriginal`` one year earlier,
+    and declared dimensions ``100 + k mod 900`` × ``50 + k mod 500``.
+    Ids divisible by 10 get NO EXIF segment (the common crawl case —
+    the parser must pass them through with null fields, not fail)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                px = np.full((8, 8), 128, dtype=np.uint8)
+                payload = encode_jpeg(8, 8, px)
+                if k % 10 != 0:
+                    dt = (
+                        f"{2010 + k % 15:04d}:{1 + k % 12:02d}:"
+                        f"{1 + k % 28:02d} {k % 24:02d}:{k % 60:02d}:"
+                        f"{(7 * k) % 60:02d}"
+                    )
+                    dto = (
+                        f"{2009 + k % 15:04d}:{1 + k % 12:02d}:"
+                        f"{1 + k % 28:02d} {k % 24:02d}:{k % 60:02d}:"
+                        f"{(7 * k) % 60:02d}"
+                    )
+                    app1 = _build_exif_app1(
+                        "II" if k % 2 == 0 else "MM",
+                        f"CAM{k % 5}",
+                        f"MODEL-{k % 7}",
+                        dt,
+                        dto,
+                        1 + k % 8,
+                        100 + k % 900,
+                        50 + k % 500,
+                    )
+                    payload = payload[:2] + app1 + payload[2:]
+                rows.append((k, "image", payload, "jpeg", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+EXIF_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("has_exif", BooleanType()),
+        StructField("byte_order", StringType()),
+        StructField("orientation", LongType()),
+        StructField("make", StringType()),
+        StructField("model", StringType()),
+        StructField("datetime", StringType()),
+        StructField("datetime_original", StringType()),
+        StructField("exif_w", LongType()),
+        StructField("exif_h", LongType()),
+    ]
+)
+
+
+def _parse_exif_tiff(data: bytes) -> dict:
+    """Walk a TIFF blob (IFD0 + optional Exif sub-IFD) and return the
+    curation-relevant tags.  Raises ValueError on structural damage
+    (truncation, bad byte order, bad magic) — the quarantine contract."""
+    if len(data) < 8:
+        raise ValueError("EXIF TIFF header truncated")
+    bo = data[0:2]
+    if bo == b"II":
+        e = "<"
+    elif bo == b"MM":
+        e = ">"
+    else:
+        raise ValueError(f"EXIF bad byte-order mark {bo!r}")
+    if struct.unpack_from(e + "H", data, 2)[0] != 42:
+        raise ValueError("EXIF bad TIFF magic")
+    out = {"byte_order": bo.decode()}
+
+    def read_value(typ, cnt, raw_off):
+        size = _EXIF_TYPE_SIZE.get(typ, 1) * cnt
+        if size > 4:
+            off = struct.unpack_from(e + "I", data, raw_off)[0]
+        else:
+            off = raw_off
+        if off + size > len(data):
+            raise ValueError("EXIF value runs past segment end")
+        if typ == 2:
+            return data[off : off + cnt].split(b"\0")[0].decode(
+                "ascii", "replace"
+            )
+        if typ == 3:
+            return struct.unpack_from(e + "H", data, off)[0]
+        if typ == 4:
+            return struct.unpack_from(e + "I", data, off)[0]
+        return None
+
+    def walk(ifd_off, tags):
+        if ifd_off + 2 > len(data):
+            raise ValueError("EXIF IFD offset past segment end")
+        n = struct.unpack_from(e + "H", data, ifd_off)[0]
+        if ifd_off + 2 + 12 * n > len(data):
+            raise ValueError("EXIF IFD entries truncated")
+        found = {}
+        for i in range(n):
+            base = ifd_off + 2 + 12 * i
+            tag, typ, cnt = struct.unpack_from(e + "HHI", data, base)
+            if tag in tags:
+                found[tag] = read_value(typ, cnt, base + 8)
+        return found
+
+    ifd0 = walk(
+        struct.unpack_from(e + "I", data, 4)[0],
+        {0x010F, 0x0110, 0x0112, 0x0132, 0x8769},
+    )
+    out["make"] = ifd0.get(0x010F)
+    out["model"] = ifd0.get(0x0110)
+    out["orientation"] = ifd0.get(0x0112)
+    out["datetime"] = ifd0.get(0x0132)
+    out["datetime_original"] = None
+    out["exif_w"] = None
+    out["exif_h"] = None
+    if 0x8769 in ifd0:
+        sub = walk(int(ifd0[0x8769]), {0x9003, 0xA002, 0xA003})
+        out["datetime_original"] = sub.get(0x9003)
+        out["exif_w"] = sub.get(0xA002)
+        out["exif_h"] = sub.get(0xA003)
+    return out
+
+
+def exif_metadata(df: DataFrame, null_on_error: bool = False) -> DataFrame:
+    """Extract EXIF curation metadata from JPEG payloads, Arrow-batched:
+    walk the marker stream for an APP1 segment with the ``Exif\\0\\0``
+    prefix and parse its TIFF IFDs (:func:`_parse_exif_tiff`).  A JPEG
+    with NO Exif segment is a normal row with ``has_exif = false`` and
+    null fields (most crawl images); a STRUCTURALLY DAMAGED Exif
+    segment raises (or nulls the whole row under ``null_on_error`` —
+    the ingest quarantine split).  Output: (media_id, has_exif,
+    byte_order, orientation, make, model, datetime, datetime_original,
+    exif_w, exif_h)."""
+
+    def one(payload: bytes):
+        data = bytes(payload)
+        if data[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG (no SOI)")
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError(f"JPEG marker sync lost at {pos}")
+            marker = data[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no EXIF
+                break
+            seg_len = struct.unpack_from(">H", data, pos + 2)[0]
+            if seg_len < 2 or pos + 2 + seg_len > len(data):
+                raise ValueError("JPEG segment length runs past payload")
+            if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\0\0":
+                return _parse_exif_tiff(data[pos + 10 : pos + 2 + seg_len])
+            pos += 2 + seg_len
+        return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    meta = one(payload)
+                except (ValueError, struct.error):
+                    if not null_on_error:
+                        raise
+                    rows.append(
+                        (int(mid), None, None, None, None, None, None,
+                         None, None, None)
+                    )
+                    continue
+                if meta is None:
+                    rows.append(
+                        (int(mid), False, None, None, None, None, None,
+                         None, None, None)
+                    )
+                else:
+                    rows.append(
+                        (
+                            int(mid),
+                            True,
+                            meta["byte_order"],
+                            meta["orientation"],
+                            meta["make"],
+                            meta["model"],
+                            meta["datetime"],
+                            meta["datetime_original"],
+                            meta["exif_w"],
+                            meta["exif_h"],
+                        )
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "has_exif", "byte_order", "orientation",
+                    "make", "model", "datetime", "datetime_original",
+                    "exif_w", "exif_h",
+                ],
+            )
+            for c in ("orientation", "exif_w", "exif_h"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            out["has_exif"] = pd.array(out["has_exif"], dtype="boolean")
+            yield out
+
+    return df.mapInPandas(run, schema=EXIF_SCHEMA)
 
 
 # ---------------------------------------------------------- real Y4M codec

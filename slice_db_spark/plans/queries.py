@@ -3917,6 +3917,22 @@ def media_jpeg_stats(spark, sf_dir):
     return multimodal.jpeg_stats(multimodal.synth_jpeg(docs))
 
 
+def media_exif(spark, sf_dir):
+    """EXIF curation metadata from real JPEG bytes — orientation (needed
+    before geometry-sensitive signatures), capture timestamps (temporal
+    filtering), camera make/model (source stratification), declared
+    dimensions.  `synth_jpeg_exif` splices a spec-shaped APP1 TIFF tree
+    (both II and MM byte orders by id parity, all eight orientation
+    values, indirected ASCII + inline SHORT/LONG entries, a chained Exif
+    sub-IFD) into the real JPEG byte path; ids divisible by 10 carry no
+    EXIF at all (the common crawl case — null fields, not a failure).
+    `operators/multimodal.py::exif_metadata` walks markers and IFDs
+    dependency-free; the oracle constructs every expected field
+    independently from the id arithmetic (the `synth_url` pattern)."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.exif_metadata(multimodal.synth_jpeg_exif(docs))
+
+
 def media_video_pairs(spark, sf_dir):
     """Perceptual VIDEO near-dedup — per-frame pHash over the real Y4M
     codec (`operators/multimodal.py::video_phash`, the SAME hash
@@ -7260,6 +7276,38 @@ SELECT new_id, corpus_id, n_frames, max_frame_hamming FROM (
 WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
 """
 
+    # EXIF: the oracle never parses bytes — it constructs the expected
+    # fields from the same id arithmetic the synth used (the synth_url
+    # pattern), so any marker-walk / byte-order / IFD-offset / inline-vs-
+    # indirected bug in the parser breaks the match
+    o["media_exif"] = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       doc_id % 10 != 0 AS has_exif,
+       CASE WHEN doc_id % 10 = 0 THEN NULL
+            WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+       CASE WHEN doc_id % 10 = 0 THEN NULL
+            ELSE CAST(1 + doc_id % 8 AS BIGINT) END AS orientation,
+       CASE WHEN doc_id % 10 = 0 THEN NULL
+            ELSE 'CAM' || (doc_id % 5) END AS make,
+       CASE WHEN doc_id % 10 = 0 THEN NULL
+            ELSE 'MODEL-' || (doc_id % 7) END AS model,
+       CASE WHEN doc_id % 10 = 0 THEN NULL
+            ELSE printf('%04d:%02d:%02d %02d:%02d:%02d',
+                        2010 + doc_id % 15, 1 + doc_id % 12,
+                        1 + doc_id % 28, doc_id % 24, doc_id % 60,
+                        (7 * doc_id) % 60) END AS "datetime",
+       CASE WHEN doc_id % 10 = 0 THEN NULL
+            ELSE printf('%04d:%02d:%02d %02d:%02d:%02d',
+                        2009 + doc_id % 15, 1 + doc_id % 12,
+                        1 + doc_id % 28, doc_id % 24, doc_id % 60,
+                        (7 * doc_id) % 60) END AS datetime_original,
+       CASE WHEN doc_id % 10 = 0 THEN NULL
+            ELSE CAST(100 + doc_id % 900 AS BIGINT) END AS exif_w,
+       CASE WHEN doc_id % 10 = 0 THEN NULL
+            ELSE CAST(50 + doc_id % 500 AS BIGINT) END AS exif_h
+FROM documents
+"""
+
     # shot detection: the shots synth re-seeds the quadratic texture per
     # 2-frame shot (+3 brightness on each shot's second frame — AC
     # invariant, distance 0); per-frame hashes go through the same DCT
@@ -8765,4 +8813,5 @@ def _all_queries():
         "media_video_incremental": media_video_incremental,
         # r8 additions
         "media_video_shots": media_video_shots,
+        "media_exif": media_exif,
     }

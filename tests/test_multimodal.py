@@ -1005,6 +1005,61 @@ def test_asym_offset_audio_and_trimmed_video_probes(spark):
     assert eq[(9, 8)] == 0
 
 
+def test_exif_parse_golden_and_quarantine(spark):
+    """r8 EXIF pins: (1) a hand-authored little-endian TIFF blob parses
+    to exactly the written fields (byte-level golden, independent of the
+    builder); (2) a non-Exif APP1 (XMP) is a normal no-EXIF row; (3) a
+    structurally damaged Exif segment raises by default and nulls the
+    row under null_on_error (the quarantine contract)."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    # --- hand-authored golden: IFD0 with Orientation (inline SHORT) and
+    # Make (indirected ASCII), no sub-IFD.  Offsets computed by hand:
+    # header 8 + count 2 + 2*12 entries + next 4 = 38 -> Make at 38.
+    tiff = (
+        b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+        + struct.pack("<H", 2)
+        + struct.pack("<HHI", 0x010F, 2, 5) + struct.pack("<I", 38)
+        + struct.pack("<HHI", 0x0112, 3, 1) + struct.pack("<H", 6) + b"\0\0"
+        + struct.pack("<I", 0)
+        + b"Leic\0"
+    )
+    meta = M._parse_exif_tiff(tiff)
+    assert meta["byte_order"] == "II"
+    assert meta["make"] == "Leic"
+    assert meta["orientation"] == 6
+    assert meta["model"] is None and meta["exif_w"] is None
+
+    # --- assemble JPEGs: valid EXIF / XMP APP1 / damaged EXIF
+    import numpy as np
+
+    body = M.encode_jpeg(8, 8, np.full((8, 8), 128, dtype=np.uint8))
+    good = M._build_exif_app1("MM", "A", "B", "2020:01:01 00:00:00",
+                              "2019:01:01 00:00:00", 3, 10, 20)
+    xmp_body = b"http://ns.adobe.com/xap/1.0/\0<x/>"
+    xmp = b"\xff\xe1" + struct.pack(">H", len(xmp_body) + 2) + xmp_body
+    bad = good[:14] + b"ZZ" + good[16:]   # clobber the byte-order mark
+    rows = [
+        (0, "image", body[:2] + good + body[2:], "jpeg", 0),
+        (1, "image", body[:2] + xmp + body[2:], "jpeg", 0),
+        (2, "image", body[:2] + bad + body[2:], "jpeg", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id bigint, kind string, payload binary, format string,"
+              " n_bytes bigint")
+    got = {r.media_id: r for r in M.exif_metadata(
+        df, null_on_error=True).collect()}
+    assert got[0].has_exif and got[0].byte_order == "MM"
+    assert got[0].orientation == 3 and got[0].make == "A"
+    assert got[1].has_exif is False and got[1].byte_order is None
+    assert got[2].has_exif is None          # quarantined whole-row null
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        M.exif_metadata(df).collect()       # default path raises
+
+
 def test_video_shots_planted_structure(spark):
     """r8 shot-detection pins: the shots synth plants 2+seed%3 two-frame
     shots per clip — detected boundaries land exactly on the planted
