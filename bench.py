@@ -155,6 +155,7 @@ HEADLINE = [
     "media_video_incremental",
     "media_video_shots",
     "media_exif",
+    "media_curation_gate",
     "quality",
     "language_id",
     "lang_confusion",

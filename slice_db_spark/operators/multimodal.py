@@ -2516,6 +2516,66 @@ def jpeg_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=JPEG_STATS_SCHEMA)
 
 
+def synth_varied_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic constant-color BMPs with WIDELY VARYING dimensions —
+    the curation-gate test corpus: ``w = 4 + 7k mod 61``,
+    ``h = 4 + 11k mod 93`` (tiny through 96px, many skewed aspects),
+    fill value ``37k mod 251``.  Real 24-bit BMP bytes; dims and sizes
+    are pure id arithmetic an SQL oracle mirrors."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                w = 4 + (7 * k) % 61
+                h = 4 + (11 * k) % 93
+                px = np.full((h, w, 3), (37 * k) % 251, dtype=np.uint8)
+                payload = encode_bmp(w, h, px)
+                rows.append((k, "image", payload, "bmp", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def media_gate(
+    decoded: DataFrame,
+    min_side: int = 32,
+    max_aspect: int = 3,
+) -> DataFrame:
+    """Image curation gate over DECODED dimensions — the LAION-style
+    pre-filter every image-text corpus applies before any expensive
+    stage (too-small images carry no signal; extreme aspect ratios are
+    banners/sprites, not photographs): keep iff ``min(w, h) ≥
+    min_side`` AND ``max(w, h) ≤ max_aspect · min(w, h)``.  Pure JVM
+    column expressions over the (media_id, width, height) frame — the
+    gate itself never touches Python, so it composes with
+    :func:`decode_media` (in-column payloads) or the ImageIO file lane
+    at scan rate.  ``reason`` is the FIRST failing check (side before
+    aspect — deterministic), ``'ok'`` for keepers.  Output:
+    (media_id, width, height, keep, reason)."""
+    if min_side < 1 or max_aspect < 1:
+        raise ValueError(
+            f"min_side and max_aspect must be >= 1, got {min_side}, {max_aspect}"
+        )
+    w, h = F.col("width"), F.col("height")
+    small = F.least(w, h) < min_side
+    skewed = F.greatest(w, h) > max_aspect * F.least(w, h)
+    return decoded.select(
+        "media_id",
+        w.cast("bigint").alias("width"),
+        h.cast("bigint").alias("height"),
+        (~small & ~skewed).alias("keep"),
+        F.when(small, F.lit("small"))
+        .when(skewed, F.lit("aspect"))
+        .otherwise(F.lit("ok"))
+        .alias("reason"),
+    )
+
+
 # ------------------------------------------------------------ EXIF metadata
 # Real crawl JPEGs carry an APP1 Exif segment (a TIFF IFD tree) with the
 # metadata an image-curation gate actually filters on: orientation (needed

@@ -3917,6 +3917,27 @@ def media_jpeg_stats(spark, sf_dir):
     return multimodal.jpeg_stats(multimodal.synth_jpeg(docs))
 
 
+#: image curation gate knobs: both sides at least 32px, longer side at
+#: most 3x the shorter (the LAION-style pre-filter defaults)
+GATE_MIN_SIDE = 32
+GATE_MAX_ASPECT = 3
+
+
+def media_curation_gate(spark, sf_dir):
+    """Image curation gate — the LAION-style dimension/aspect pre-filter
+    every image-text corpus applies before any expensive stage
+    (`operators/multimodal.py::media_gate`, pure JVM expressions over
+    decoded dims).  The synth corpus (`synth_varied_bmp`) spans 4-96px
+    with many skewed aspects; the REAL BMP decode supplies the
+    dimensions (a header/stride bug breaks the match), the oracle
+    re-derives them from the id arithmetic and replays the gate."""
+    docs = catalog(spark, sf_dir)["documents"]
+    decoded = multimodal.decode_media(multimodal.synth_varied_bmp(docs))
+    return multimodal.media_gate(
+        decoded, min_side=GATE_MIN_SIDE, max_aspect=GATE_MAX_ASPECT
+    )
+
+
 def media_exif(spark, sf_dir):
     """EXIF curation metadata from real JPEG bytes — orientation (needed
     before geometry-sensitive signatures), capture timestamps (temporal
@@ -7276,6 +7297,24 @@ SELECT new_id, corpus_id, n_frames, max_frame_hamming FROM (
 WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
 """
 
+    # curation gate: dims re-derived from the synth arithmetic, gate
+    # conditions replayed verbatim — the ENGINE's dims come from the
+    # real BMP decode, so a header/stride bug breaks the match
+    o["media_curation_gate"] = f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                  CAST(4 + (7 * doc_id) % 61 AS BIGINT) AS w,
+                  CAST(4 + (11 * doc_id) % 93 AS BIGINT) AS h
+           FROM documents)
+SELECT media_id, w AS width, h AS height,
+       least(w, h) >= {GATE_MIN_SIDE}
+         AND greatest(w, h) <= {GATE_MAX_ASPECT} * least(w, h) AS keep,
+       CASE WHEN least(w, h) < {GATE_MIN_SIDE} THEN 'small'
+            WHEN greatest(w, h) > {GATE_MAX_ASPECT} * least(w, h)
+              THEN 'aspect'
+            ELSE 'ok' END AS reason
+FROM d
+"""
+
     # EXIF: the oracle never parses bytes — it constructs the expected
     # fields from the same id arithmetic the synth used (the synth_url
     # pattern), so any marker-walk / byte-order / IFD-offset / inline-vs-
@@ -8814,4 +8853,5 @@ def _all_queries():
         # r8 additions
         "media_video_shots": media_video_shots,
         "media_exif": media_exif,
+        "media_curation_gate": media_curation_gate,
     }

@@ -1005,6 +1005,28 @@ def test_asym_offset_audio_and_trimmed_video_probes(spark):
     assert eq[(9, 8)] == 0
 
 
+def test_media_gate_boundaries_and_reason_order(spark):
+    """r8 curation-gate pins: boundary dims keep (exactly min_side,
+    exactly max_aspect), one-off dims drop, and when BOTH checks fail
+    the reason is 'small' (side before aspect, the deterministic
+    order)."""
+    rows = [
+        (1, 32, 32),    # keep: exactly min_side
+        (2, 31, 64),    # small
+        (3, 32, 96),    # keep: aspect exactly 3x
+        (4, 32, 97),    # aspect
+        (5, 8, 100),    # both fail -> 'small' wins
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, width int, height int")
+    got = {r.media_id: (r.keep, r.reason)
+           for r in M.media_gate(df, min_side=32, max_aspect=3).collect()}
+    assert got[1] == (True, "ok")
+    assert got[2] == (False, "small")
+    assert got[3] == (True, "ok")
+    assert got[4] == (False, "aspect")
+    assert got[5] == (False, "small")
+
+
 def test_exif_parse_golden_and_quarantine(spark):
     """r8 EXIF pins: (1) a hand-authored little-endian TIFF blob parses
     to exactly the written fields (byte-level golden, independent of the
