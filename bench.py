@@ -156,6 +156,7 @@ HEADLINE = [
     "media_video_shots",
     "media_exif",
     "media_curation_gate",
+    "media_phash_oriented",
     "quality",
     "language_id",
     "lang_confusion",

@@ -2799,6 +2799,32 @@ def _parse_exif_tiff(data: bytes) -> dict:
     return out
 
 
+def _find_exif_tiff(data: bytes) -> bytes | None:
+    """Walk a JPEG's marker stream and return the TIFF blob of its Exif
+    APP1 segment, or None when the image carries no EXIF.  Raises
+    ValueError on marker-stream damage (no SOI, lost sync, segment
+    length past the payload)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG marker sync lost at {pos}")
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no EXIF
+            break
+        seg_len = struct.unpack_from(">H", data, pos + 2)[0]
+        if seg_len < 2 or pos + 2 + seg_len > len(data):
+            raise ValueError("JPEG segment length runs past payload")
+        if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\0\0":
+            return data[pos + 10 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+    return None
+
+
 def exif_metadata(df: DataFrame, null_on_error: bool = False) -> DataFrame:
     """Extract EXIF curation metadata from JPEG payloads, Arrow-batched:
     walk the marker stream for an APP1 segment with the ``Exif\\0\\0``
@@ -2811,26 +2837,8 @@ def exif_metadata(df: DataFrame, null_on_error: bool = False) -> DataFrame:
     exif_w, exif_h)."""
 
     def one(payload: bytes):
-        data = bytes(payload)
-        if data[:2] != b"\xff\xd8":
-            raise ValueError("not a JPEG (no SOI)")
-        pos = 2
-        while pos + 4 <= len(data):
-            if data[pos] != 0xFF:
-                raise ValueError(f"JPEG marker sync lost at {pos}")
-            marker = data[pos + 1]
-            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                pos += 2
-                continue
-            if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no EXIF
-                break
-            seg_len = struct.unpack_from(">H", data, pos + 2)[0]
-            if seg_len < 2 or pos + 2 + seg_len > len(data):
-                raise ValueError("JPEG segment length runs past payload")
-            if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\0\0":
-                return _parse_exif_tiff(data[pos + 10 : pos + 2 + seg_len])
-            pos += 2 + seg_len
-        return None
+        tiff = _find_exif_tiff(bytes(payload))
+        return None if tiff is None else _parse_exif_tiff(tiff)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2880,6 +2888,160 @@ def exif_metadata(df: DataFrame, null_on_error: bool = False) -> DataFrame:
             yield out
 
     return df.mapInPandas(run, schema=EXIF_SCHEMA)
+
+
+def _apply_exif_orientation(px, orientation: int):
+    """Map STORED pixels to DISPLAY pixels per the EXIF orientation tag
+    (CIPA DC-008 / the PIL ``exif_transpose`` table).  Pure index
+    permutations — lossless, so a rotated refetch normalizes to the
+    bit-identical pixel matrix.  Works on 2-D (grayscale) and 3-D (RGB)
+    arrays."""
+    import numpy as np
+
+    if orientation == 2:
+        return px[:, ::-1]
+    if orientation == 3:
+        return px[::-1, ::-1]
+    if orientation == 4:
+        return px[::-1, :]
+    if orientation == 5:
+        return np.swapaxes(px, 0, 1)
+    if orientation == 6:
+        return np.rot90(px, k=-1)
+    if orientation == 7:
+        return np.swapaxes(px[::-1, ::-1], 0, 1)
+    if orientation == 8:
+        return np.rot90(px, k=1)
+    if orientation == 1:
+        return px
+    raise ValueError(f"EXIF orientation out of range: {orientation}")
+
+
+def phash_media_oriented(df: DataFrame, null_on_error: bool = False) -> DataFrame:
+    """ORIENTATION-NORMALIZED perceptual hash — the rotated-refetch gap
+    :func:`phash_media` leaves open: a phone photo re-served with its
+    EXIF orientation tag (the camera stores the sensor matrix and tags
+    how to display it) has a wildly different raw pHash, so genuine
+    duplicates never pair.  Here JPEG payloads first yield their EXIF
+    orientation (:func:`_find_exif_tiff`; missing EXIF or a non-JPEG
+    format = orientation 1), the decoded pixels are normalized to
+    DISPLAY orientation (:func:`_apply_exif_orientation` — lossless
+    index permutations), and the SAME fixed-point DCT hash runs on the
+    normalized matrix.  Output: (media_id, phash) — pair with
+    ``hamming_near_pairs`` exactly like the raw hash."""
+
+    def one(fmt: str, payload: bytes) -> int:
+        data = bytes(payload)
+        orientation = 1
+        if fmt in ("jpeg", "jpg"):
+            tiff = _find_exif_tiff(data)
+            if tiff is not None:
+                parsed = _parse_exif_tiff(tiff).get("orientation")
+                if parsed is not None:
+                    if not 1 <= int(parsed) <= 8:
+                        raise ValueError(
+                            f"EXIF orientation out of range: {parsed}"
+                        )
+                    orientation = int(parsed)
+        decoded = _decode_pixels(fmt, data)
+        if decoded is None:
+            raise ValueError(
+                f"phash_media_oriented: no real codec for format {fmt!r}"
+            )
+        w, h, px = decoded
+        import numpy as np
+
+        px = _apply_exif_orientation(np.asarray(px), orientation)
+        return _phash_of_pixels(px, px.shape[1], px.shape[0])
+
+    def guarded(fmt: str, payload: bytes):
+        try:
+            return one(fmt, payload)
+        except (ValueError, struct.error):
+            return None
+
+    hasher = guarded if null_on_error else one
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pd.array(
+                        [
+                            hasher(f, p)
+                            for f, p in zip(pdf["format"], pdf["payload"])
+                        ],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def synth_jpeg_oriented(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic JPEGs with PLANTED EXIF-ROTATED refetches — the
+    orientation-normalization test corpus.  Slots 0-7 are the
+    :func:`synth_jpeg` block-textured exact images in display
+    orientation (even ids carry an EXIF block with orientation 1, odd
+    ids carry NO EXIF — both parser paths sit under the oracle); slot 8
+    STORES the group's slot-0 image rotated 90° counter-clockwise and
+    tags orientation 6 (rotate 90° CW to display — the phone-camera
+    case); slot 9 stores it mirrored and tags orientation 2.  Rotation
+    and mirroring keep the 8×8-block-constant structure, so the q=16
+    JPEG pipeline stays bit-exact and normalized pixels equal slot-0's
+    display matrix EXACTLY (pHash distance 0).
+
+    Unlike :func:`synth_jpeg` (whose ``3k mod 48`` block pattern
+    collapses distinct seeds onto identical images every 48 ids — fine
+    for a stats gate, catastrophic for a PAIRING gate), the block value
+    mixes the seed through four coprime residues (``3s, s mod 17,
+    s mod 13, s mod 5`` — CRT period ≫ any test corpus) and dims start
+    at 16 so no image degenerates to one constant block (whose all-zero
+    AC spectrum would pair with every other constant image)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                slot = k % 10
+                seed = k - slot if slot >= 8 else k
+                w, h = 8 * (2 + seed % 3), 8 * (2 + (3 * seed + 1) % 2)
+                bys, bxs = np.mgrid[0 : h // 8, 0 : w // 8]
+                blocks = (
+                    128 + 2 * (
+                        (3 * seed
+                         + (5 + seed % 17) * bxs
+                         + (7 + seed % 13) * bys
+                         + (1 + seed % 5) * bxs * bys) % 48
+                    )
+                ).astype(np.uint8)
+                px = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                orientation = 1
+                if slot == 8:
+                    px = np.rot90(px, k=1)   # stored CCW; display = CW
+                    orientation = 6
+                elif slot == 9:
+                    px = px[:, ::-1]         # stored mirrored
+                    orientation = 2
+                payload = encode_jpeg(px.shape[1], px.shape[0], px)
+                if slot >= 8 or k % 2 == 0:
+                    app1 = _build_exif_app1(
+                        "II" if k % 2 == 0 else "MM",
+                        "CAM", "M",
+                        "2020:01:01 00:00:00", "2020:01:01 00:00:00",
+                        orientation, px.shape[1], px.shape[0],
+                    )
+                    payload = payload[:2] + app1 + payload[2:]
+                rows.append((k, "image", payload, "jpeg", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 # ---------------------------------------------------------- real Y4M codec

@@ -4486,6 +4486,33 @@ def media_phash_pairs(spark, sf_dir):
     )
 
 
+def media_phash_oriented(spark, sf_dir):
+    """ORIENTATION-NORMALIZED image near-dedup — the rotated-refetch gap
+    the raw pHash leaves open: a phone photo re-served with an EXIF
+    orientation tag (sensor matrix stored, display rotation tagged) has
+    a wildly different raw hash.  `synth_jpeg_oriented` plants a
+    90°-CCW-stored/orientation-6 and a mirrored/orientation-2 refetch
+    of each group's slot-0 image;
+    `operators/multimodal.py::phash_media_oriented` parses the tag,
+    normalizes pixels to display orientation (lossless index
+    permutations over the exact q=16 JPEG decode), and runs the SAME
+    fixed-point DCT hash, so the planted refetches land at distance 0.
+    The oracle replays the DISPLAY-orientation pixel arithmetic (slots
+    8/9 fold to their group seed) through the shared DCT chain and
+    brute-forces the pairing."""
+    docs = catalog(spark, sf_dir)["documents"]
+    sigs = multimodal.phash_media_oriented(
+        multimodal.synth_jpeg_oriented(docs)
+    )
+    pairs = dedup.hamming_near_pairs(
+        sigs, "phash", "media_id",
+        bits=63, bands=PHASH_BANDS, max_hamming=PHASH_MAX_HAMMING,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
 def media_phash_incremental(spark, sf_dir):
     """Continuous image-dedup regime under the hash gate: the standing
     media corpus (doc_id % 5 != 0) materializes its persisted pHash
@@ -7721,6 +7748,52 @@ FROM ({o["media_video_pairs"]})
     # arithmetic oracle
     o["media_phash_imageio"] = o["media_phash_pairs"]
 
+    # orientation-normalized pairing: the oracle renders every id's
+    # DISPLAY pixels (slots 8/9 fold to their group seed — normalization
+    # makes their matrices EQUAL slot-0's by construction, which is
+    # exactly what the engine must reproduce through the EXIF parse +
+    # index permutation + exact JPEG decode), then the shared DCT chain
+    # and brute-force pairing
+    o["media_phash_oriented"] = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CASE WHEN doc_id % 10 >= 8 THEN doc_id - doc_id % 10
+              ELSE doc_id END AS seed
+  FROM documents),
+d2 AS (SELECT media_id, seed,
+              8 * (2 + seed % 3) AS w,
+              8 * (2 + (3 * seed + 1) % 2) AS h
+       FROM d),
+kk(u, x, c) AS (VALUES {_k_vals}),
+g AS (
+  SELECT media_id, gi, gj,
+         128 + 2 * ((3 * seed
+                     + (5 + seed % 17) * bx
+                     + (7 + seed % 13) * by
+                     + (1 + seed % 5) * bx * by) % 48) AS val
+  FROM (SELECT media_id, seed,
+               gi, gj,
+               ((gj * w) // 8) // 8 AS bx, ((gi * h) // 8) // 8 AS by
+        FROM d2, range(0, 8) r1(gi), range(0, 8) r2(gj))),
+coef AS (
+  SELECT media_id, ku.u AS u, kv.u AS v,
+         sum(CAST(ku.c AS BIGINT) * kv.c * val) AS cf
+  FROM g JOIN kk ku ON ku.x = g.gi JOIN kk kv ON kv.x = g.gj
+  GROUP BY media_id, ku.u, kv.u),
+ac AS (SELECT media_id, u * 8 + v - 1 AS bit_i, cf
+       FROM coef WHERE NOT (u = 0 AND v = 0)),
+med AS (SELECT media_id, list_sort(list(cf))[32] AS med
+        FROM ac GROUP BY media_id),
+ph AS (SELECT ac.media_id,
+              CAST(sum(CASE WHEN cf > med THEN (CAST(1 AS BIGINT) << bit_i)
+                            ELSE 0 END) AS BIGINT) AS phash
+       FROM ac JOIN med USING (media_id) GROUP BY ac.media_id)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM ph a JOIN ph b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+"""
+
     # continuous image-dedup regime: corpus half's signatures are the
     # standing index, batch half probes asymmetrically — same CTE chain,
     # split readout (the id spaces are disjoint, so the probe's
@@ -8854,4 +8927,5 @@ def _all_queries():
         "media_video_shots": media_video_shots,
         "media_exif": media_exif,
         "media_curation_gate": media_curation_gate,
+        "media_phash_oriented": media_phash_oriented,
     }

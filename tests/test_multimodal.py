@@ -1005,6 +1005,51 @@ def test_asym_offset_audio_and_trimmed_video_probes(spark):
     assert eq[(9, 8)] == 0
 
 
+def test_phash_oriented_planted_rotations(spark):
+    """r8 orientation-normalization pins: the planted orientation-6
+    (90°-CCW-stored) and orientation-2 (mirrored) refetches land at
+    pHash distance EXACTLY 0 after normalization, the RAW pHash misses
+    both (the gap the operator closes), all eight orientation
+    transforms are exact inverses of their storage transforms, and an
+    out-of-range orientation quarantines."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id bigint")
+    media = M.synth_jpeg_oriented(ids)
+    oriented = {r.media_id: r.phash
+                for r in M.phash_media_oriented(media).collect()}
+    raw = {r.media_id: r.phash for r in M.phash_media(media).collect()}
+    assert oriented[8] == oriented[0] and oriented[9] == oriented[0]
+    assert bin(raw[8] ^ raw[0]).count("1") > 6      # raw hash misses
+    assert bin(raw[9] ^ raw[0]).count("1") > 6
+    # slots 0-7 unchanged by normalization (orientation 1 / no EXIF)
+    for k in range(8):
+        assert oriented[k] == raw[k]
+
+    # all 8 transforms undo their storage transforms exactly
+    m = np.arange(24).reshape(4, 6)
+    stored = {
+        1: m, 2: m[:, ::-1], 3: m[::-1, ::-1], 4: m[::-1, :],
+        5: np.swapaxes(m, 0, 1), 6: np.rot90(m, k=1),
+        7: np.swapaxes(m[::-1, ::-1], 0, 1), 8: np.rot90(m, k=-1),
+    }
+    for o, s in stored.items():
+        assert np.array_equal(M._apply_exif_orientation(s, o), m), o
+
+    # out-of-range orientation tag -> quarantine path
+    bad = M._build_exif_app1("II", "A", "B", "2020:01:01 00:00:00",
+                             "2020:01:01 00:00:00", 9, 1, 1)
+    body = M.encode_jpeg(8, 8, np.full((8, 8), 128, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(0, "image", body[:2] + bad + body[2:], "jpeg", 0)],
+        "media_id bigint, kind string, payload binary, format string,"
+        " n_bytes bigint")
+    got = M.phash_media_oriented(df, null_on_error=True).collect()
+    assert got[0].phash is None
+
+
 def test_media_gate_boundaries_and_reason_order(spark):
     """r8 curation-gate pins: boundary dims keep (exactly min_side,
     exactly max_aspect), one-off dims drop, and when BOTH checks fail
