@@ -157,6 +157,7 @@ HEADLINE = [
     "media_exif",
     "media_curation_gate",
     "media_phash_oriented",
+    "sketch_theta_diff",
     "quality",
     "language_id",
     "lang_confusion",

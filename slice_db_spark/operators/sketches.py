@@ -335,3 +335,92 @@ def hll_estimates_by(regs: DataFrame, by: list[str]) -> DataFrame:
         harmonic.cast("bigint").alias("harmonic_scaled"),
         F.floor(est).cast("bigint").alias("estimate"),
     )
+
+
+# ------------------------------------------------------------ KMV / Theta
+# Bottom-k (KMV) distinct sketch with theta-sketch set algebra: where HLL
+# gives distinct counts and union/intersection by inclusion-exclusion, the
+# KMV sample supports DIFFERENCE estimates (A-not-B) directly — the
+# "how many documents does source A contribute that B doesn't" question a
+# corpus-mixing pass asks — because the sketch keeps actual hash SAMPLES,
+# not registers.  k smallest distinct salted hashes; merge = union,
+# re-take k smallest (associative/commutative, the shard-merge property
+# shared with sample_bottomk).  Estimates in the same 2^40 fixed point as
+# the weighted sampler: n-hat = (k-1)*2^60/theta rendered as
+# ((k-1) << 40) div ((theta >> 20) + 1) — identical integer arithmetic in
+# both engines; a sketch that holds its WHOLE set (n < k) reports the
+# exact count instead.
+
+KMV_K = 256
+#: hash64 upper bound (exclusive): 2^60
+KMV_RANGE = 1 << 60
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = KMV_K, salt: str = "kmv") -> DataFrame:
+    """The k smallest distinct salted hashes of ``col`` — a KB-sized
+    frame whatever the input volume.  distinct + TakeOrdered, never a
+    global sort materialization."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = hash64(F.concat(F.lit(salt + ":"), F.col(col).cast("string")))
+    return df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+
+
+def kmv_merge(*sketches: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Union sketch: pool the samples, dedup, re-take the k smallest —
+    the same merge shape shards would apply."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("h").limit(k)
+
+
+def _kmv_scalars(sk: DataFrame, k: int) -> tuple[int, int]:
+    """(n_rows, theta) of one sketch — theta is the largest retained
+    hash when the sketch is FULL, else the hash range (an unfull sketch
+    holds its whole set, so every hash is below 'the k-th smallest').
+    A ≤1-row aggregate collect — metadata-scale, like the IVF centroid
+    fetches."""
+    row = sk.agg(
+        F.count(F.lit(1)).alias("n"), F.max("h").alias("mx")
+    ).collect()[0]
+    n = int(row["n"])
+    return n, (int(row["mx"]) if n >= k else KMV_RANGE)
+
+
+def _kmv_estimate(c: int, theta: int) -> int:
+    """Scale a below-theta sample count to a cardinality estimate in
+    exact integer arithmetic (theta = full range -> the count IS the
+    cardinality)."""
+    if theta >= KMV_RANGE:
+        return c
+    return (c * (1 << 40)) // ((theta >> 20) + 1)
+
+
+def kmv_set_stats(
+    a: DataFrame, b: DataFrame, k: int = KMV_K
+) -> tuple[int, int, int, int, int]:
+    """Theta-sketch set algebra over two KMV sketches: (a_est, b_est,
+    union_est, inter_est, diff_est) where diff is A-not-B.  theta =
+    min of the two sketch thresholds; every sample below theta is a
+    uniform sample of the union at rate theta/2^60, so scaled counts of
+    'in A', 'in both', 'in A not B' estimate the respective
+    cardinalities.  All driver arithmetic here runs on ≤k-row frames —
+    the sketches themselves are the distributed part."""
+    na, ta = _kmv_scalars(a, k)
+    nb, tb = _kmv_scalars(b, k)
+    theta = min(ta, tb)
+    ha = a.where(F.col("h") < theta)
+    hb = b.where(F.col("h") < theta)
+    c_a = ha.count()
+    c_b = hb.count()
+    c_int = ha.join(hb, "h", "left_semi").count()
+    # single-set estimates use each sketch's OWN theta (tighter)
+    a_est = _kmv_estimate(na if ta >= KMV_RANGE else k - 1, ta)
+    b_est = _kmv_estimate(nb if tb >= KMV_RANGE else k - 1, tb)
+    u = kmv_merge(a, b, k=k)
+    nu, tu = _kmv_scalars(u, k)
+    union_est = _kmv_estimate(nu if tu >= KMV_RANGE else k - 1, tu)
+    inter_est = _kmv_estimate(c_int, theta)
+    diff_est = _kmv_estimate(c_a - c_int, theta)
+    return a_est, b_est, union_est, inter_est, diff_est

@@ -2312,6 +2312,37 @@ def sketch_hll_union(spark, sf_dir):
     )
 
 
+def sketch_theta_diff(spark, sf_dir):
+    """KMV/theta-sketch SET ALGEBRA with the estimate HLL can't give:
+    a DIFFERENCE cardinality (A-not-B — 'how many customers does the
+    first half contribute that the second doesn't', the corpus-mixing
+    question), from bottom-k hash SAMPLES
+    (`operators/sketches.py::kmv_sketch/kmv_set_stats`): theta = the
+    smaller of the two sketch thresholds, every retained hash below
+    theta is a uniform union sample at rate theta/2^60, and scaled
+    'in A' / 'in both' / 'in A not B' counts estimate the set sizes in
+    exact 2^40 fixed-point integer arithmetic.  Sketches are KB-sized
+    TakeOrdered frames (merge = pool + re-take k — the shard-merge
+    property); the driver only touches ≤k-row aggregates.  Every
+    estimate sits next to its exact count."""
+    o = catalog(spark, sf_dir)["orders"]
+    a_keys = o.where(f"o_orderdate < {HLL_SPLIT_TS}").select("o_custkey")
+    b_keys = o.where(f"o_orderdate >= {HLL_SPLIT_TS}").select("o_custkey")
+    ska = sketches.kmv_sketch(a_keys, "o_custkey").localCheckpoint(eager=True)
+    skb = sketches.kmv_sketch(b_keys, "o_custkey").localCheckpoint(eager=True)
+    a_est, b_est, u_est, i_est, d_est = sketches.kmv_set_stats(ska, skb)
+    a_ex = a_keys.distinct().count()
+    b_ex = b_keys.distinct().count()
+    u_ex = o.select("o_custkey").distinct().count()
+    return spark.createDataFrame(
+        [(a_est, b_est, u_est, i_est, d_est,
+          a_ex, b_ex, u_ex, a_ex + b_ex - u_ex, u_ex - b_ex)],
+        "a_est bigint, b_est bigint, union_est bigint, inter_est bigint,"
+        " diff_est bigint, a_exact bigint, b_exact bigint,"
+        " union_exact bigint, inter_exact bigint, diff_exact bigint",
+    )
+
+
 def minhash_est(spark, sf_dir):
     """MinHash self-evaluation: per verified LSH pair, the signature
     estimate of Jaccard (matching components / k, the quantity banding
@@ -8232,6 +8263,57 @@ FROM (""" + "\nUNION ALL ".join(_bb_reads) + ")"
         FROM eae, ebe, eue, xa, xb, xu
     """)
 
+    # KMV/theta set algebra: bottom-k samples, thresholds, the union
+    # re-take, and the 2^40 fixed-point scaling replayed verbatim
+    _KK = sketches.KMV_K
+    _KR = sketches.KMV_RANGE
+    _KS = 1 << 40
+    o["sketch_theta_diff"] = f"""
+WITH ha AS (SELECT DISTINCT {_hash64_sql("'kmv:' || CAST(o_custkey AS VARCHAR)")} AS h
+            FROM orders WHERE {_split}),
+hb AS (SELECT DISTINCT {_hash64_sql("'kmv:' || CAST(o_custkey AS VARCHAR)")} AS h
+       FROM orders WHERE {_split_ge}),
+ska AS (SELECT h FROM ha ORDER BY h LIMIT {_KK}),
+skb AS (SELECT h FROM hb ORDER BY h LIMIT {_KK}),
+sa AS (SELECT count(*) AS n, max(h) AS mx FROM ska),
+sb AS (SELECT count(*) AS n, max(h) AS mx FROM skb),
+ta AS (SELECT CASE WHEN n >= {_KK} THEN mx ELSE {_KR} END AS t, n FROM sa),
+tb AS (SELECT CASE WHEN n >= {_KK} THEN mx ELSE {_KR} END AS t, n FROM sb),
+th AS (SELECT least(ta.t, tb.t) AS theta FROM ta, tb),
+um AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+       ORDER BY h LIMIT {_KK}),
+su AS (SELECT count(*) AS n, max(h) AS mx FROM um),
+tu AS (SELECT CASE WHEN n >= {_KK} THEN mx ELSE {_KR} END AS t, n FROM su),
+c AS (SELECT
+        (SELECT count(*) FROM ska, th WHERE h < theta) AS c_a,
+        (SELECT count(*) FROM ska JOIN skb USING (h), th WHERE h < theta)
+          AS c_int),
+xa AS (SELECT count(DISTINCT o_custkey) AS n FROM orders WHERE {_split}),
+xb AS (SELECT count(DISTINCT o_custkey) AS n FROM orders WHERE {_split_ge}),
+xu AS (SELECT count(DISTINCT o_custkey) AS n FROM orders)
+SELECT
+  CAST(CASE WHEN ta.t >= {_KR} THEN ta.n
+            ELSE ({_KK - 1} * {_KS}) // ((ta.t >> 20) + 1) END AS BIGINT)
+    AS a_est,
+  CAST(CASE WHEN tb.t >= {_KR} THEN tb.n
+            ELSE ({_KK - 1} * {_KS}) // ((tb.t >> 20) + 1) END AS BIGINT)
+    AS b_est,
+  CAST(CASE WHEN tu.t >= {_KR} THEN tu.n
+            ELSE ({_KK - 1} * {_KS}) // ((tu.t >> 20) + 1) END AS BIGINT)
+    AS union_est,
+  CAST(CASE WHEN th.theta >= {_KR} THEN c.c_int
+            ELSE (c.c_int * {_KS}) // ((th.theta >> 20) + 1) END AS BIGINT)
+    AS inter_est,
+  CAST(CASE WHEN th.theta >= {_KR} THEN c.c_a - c.c_int
+            ELSE ((c.c_a - c.c_int) * {_KS}) // ((th.theta >> 20) + 1) END
+       AS BIGINT) AS diff_est,
+  CAST(xa.n AS BIGINT) AS a_exact, CAST(xb.n AS BIGINT) AS b_exact,
+  CAST(xu.n AS BIGINT) AS union_exact,
+  CAST(xa.n + xb.n - xu.n AS BIGINT) AS inter_exact,
+  CAST(xu.n - xb.n AS BIGINT) AS diff_exact
+FROM ta, tb, tu, th, c, xa, xb, xu
+"""
+
     o["minhash_est"] = f"""
 WITH vp AS ({o["minhash_lsh"]}),
 {_minhash_cte(16, 3).lstrip()},
@@ -8928,4 +9010,5 @@ def _all_queries():
         "media_exif": media_exif,
         "media_curation_gate": media_curation_gate,
         "media_phash_oriented": media_phash_oriented,
+        "sketch_theta_diff": sketch_theta_diff,
     }

@@ -193,3 +193,41 @@ def test_hist_counts_excludes_nulls(spark):
     want = {r.bucket: r.cnt for r in hist_counts(clean, "v", 0, 10000).collect()}
     assert got == want
     assert sum(got.values()) == 3
+
+
+def test_kmv_sketch_exact_full_merge_and_setops(spark):
+    """r8 KMV/theta pins: (1) an unfull sketch reports the EXACT count;
+    (2) a full sketch estimates within the ~1/sqrt(k-2) RSE envelope;
+    (3) pooling two sketches equals sketching the union (the shard-merge
+    property); (4) identical sets estimate difference 0, disjoint sets
+    estimate difference ~|A|."""
+    from pyspark.sql import functions as F
+
+    from slice_db_spark.operators import sketches as S
+
+    def ids(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("v"))
+
+    # unfull: n < k -> exact
+    small = S.kmv_sketch(ids(0, 100), "v")
+    a, b, u, i, d = S.kmv_set_stats(small, S.kmv_sketch(ids(0, 100), "v"))
+    assert (a, b, u, i, d) == (100, 100, 100, 100, 0)
+
+    # full: 4000 distinct, k=256 -> within 4 RSE (~25%)
+    big = S.kmv_sketch(ids(0, 4000), "v")
+    est, _, _, _, _ = S.kmv_set_stats(big, small)
+    assert abs(est - 4000) < 1000, est
+
+    # merge property: pool+retake == sketch of the union
+    m = sorted(r.h for r in S.kmv_merge(
+        S.kmv_sketch(ids(0, 2000), "v"), S.kmv_sketch(ids(1000, 3000), "v")
+    ).collect())
+    whole = sorted(r.h for r in S.kmv_sketch(ids(0, 3000), "v").collect())
+    assert m == whole
+
+    # disjoint halves: intersection ~0, difference ~|A|
+    a_est, b_est, u_est, i_est, d_est = S.kmv_set_stats(
+        S.kmv_sketch(ids(0, 2000), "v"), S.kmv_sketch(ids(2000, 4000), "v"))
+    assert i_est < 350, i_est
+    assert abs(d_est - 2000) < 700, d_est
+    assert abs(u_est - 4000) < 1000, u_est
