@@ -521,6 +521,8 @@ def cmd_ingest_media(args) -> int:
         max_hamming=args.max_hamming,
         source=args.source,
         file_ids=args.file_ids,
+        min_side=args.min_side,
+        max_aspect=args.max_aspect,
     )
     report = {"corpus_rows": spark.read.parquet(args.corpus).count()}
     import os as _os
@@ -528,6 +530,8 @@ def cmd_ingest_media(args) -> int:
     sinks = {"quarantined": args.quarantine}
     if args.rejects:
         sinks["near_dup_rejected"] = args.rejects + ".neardup"
+        if args.min_side is not None or args.max_aspect is not None:
+            sinks["gate_rejected"] = args.rejects + ".gate"
     for key, path in sinks.items():
         if path and _os.path.isdir(path):
             report[key] = spark.read.json(path).count()
@@ -1344,6 +1348,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="file-source identity: first digit run of the "
                     "name (path-hash fallback for digit-less names) or "
                     "always the 60-bit path hash")
+    im.add_argument("--min-side", type=int, default=None,
+                    help="image curation gate: drop images whose shorter "
+                    "side is below this (header-parsed dims, pre-decode; "
+                    "rejects land in <rejects>.gate)")
+    im.add_argument("--max-aspect", type=int, default=None,
+                    help="image curation gate: drop images whose longer "
+                    "side exceeds this multiple of the shorter")
     im.add_argument("landing", help="landing directory of parquet shards "
                     "with MEDIA_SCHEMA columns")
     im.add_argument("corpus", help="parquet media corpus directory (appended)")

@@ -2541,6 +2541,123 @@ def synth_varied_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+DIMS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def _header_dims(fmt: str, data: bytes) -> tuple[int, int] | None:
+    """Image dimensions from the HEADER ALONE — no entropy decode, no
+    pixel pass: BMP reads the info header, PNG the IHDR chunk, JPEG
+    walks markers to the first SOF frame header, PGM parses the netpbm
+    token header.  Raises ValueError on structural damage; returns None
+    for formats without a header parser here (audio/video/unknown —
+    the caller decides whether that passes through)."""
+    if fmt == "bmp":
+        if len(data) < 26 or data[:2] != b"BM":
+            raise ValueError("BMP header truncated or bad magic")
+        w, h = struct.unpack_from("<ii", data, 18)
+        return int(w), int(abs(h))  # negative height = top-down rows
+    if fmt == "png":
+        if len(data) < 24 or data[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("PNG signature truncated or bad")
+        if data[12:16] != b"IHDR":
+            raise ValueError("PNG first chunk is not IHDR")
+        w, h = struct.unpack_from(">II", data, 16)
+        return int(w), int(h)
+    if fmt in ("jpeg", "jpg"):
+        if data[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG (no SOI)")
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError(f"JPEG marker sync lost at {pos}")
+            marker = data[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker in (0xD9, 0xDA):
+                break
+            seg_len = struct.unpack_from(">H", data, pos + 2)[0]
+            if seg_len < 2 or pos + 2 + seg_len > len(data):
+                raise ValueError("JPEG segment length runs past payload")
+            # every SOF frame header (baseline/extended/progressive,
+            # 0xC0-0xCF minus DHT 0xC4 / DAC 0xCC) carries h@+5, w@+7
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if seg_len < 7:
+                    raise ValueError("JPEG SOF segment too short")
+                h, w = struct.unpack_from(">HH", data, pos + 5)
+                return int(w), int(h)
+            pos += 2 + seg_len
+        raise ValueError("JPEG has no SOF frame header")
+    if fmt == "pgm":
+        if data[:2] != b"P5":
+            raise ValueError("PGM bad magic")
+        toks: list[int] = []
+        pos = 2
+        while len(toks) < 2 and pos < min(len(data), 512):
+            ch = data[pos]
+            if ch == 0x23:  # comment
+                while pos < len(data) and data[pos] != 0x0A:
+                    pos += 1
+            elif 0x30 <= ch <= 0x39:
+                start = pos
+                while pos < len(data) and 0x30 <= data[pos] <= 0x39:
+                    pos += 1
+                toks.append(int(data[start:pos]))
+            else:
+                pos += 1
+        if len(toks) < 2:
+            raise ValueError("PGM header truncated")
+        return toks[0], toks[1]
+    return None
+
+
+def media_dims(df: DataFrame, null_on_error: bool = False) -> DataFrame:
+    """Image dimensions from HEADERS ONLY (:func:`_header_dims`) — the
+    cheap pre-decode probe a dimension gate should run on: a 100 TB
+    image ingest must reject a 16px thumbnail for the cost of reading
+    ~30 bytes, not a full Huffman+IDCT decode.  Formats without a
+    header parser (audio/video) return NULL dims — the caller's gate
+    passes them through to the stage that understands them.  Malformed
+    headers raise (or null the row under ``null_on_error``).  Output:
+    (media_id, width, height)."""
+
+    def one(fmt: str, payload):
+        return _header_dims(fmt, bytes(payload))
+
+    def guarded(fmt: str, payload):
+        try:
+            return one(fmt, payload)
+        except (ValueError, struct.error):
+            return None
+
+    prober = guarded if null_on_error else one
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [
+                prober(f, p) for f, p in zip(pdf["format"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array(
+                        [d[0] if d else None for d in dims], dtype="Int64"
+                    ),
+                    "height": pd.array(
+                        [d[1] if d else None for d in dims], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, schema=DIMS_SCHEMA)
+
+
 def media_gate(
     decoded: DataFrame,
     min_side: int = 32,

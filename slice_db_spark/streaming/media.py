@@ -156,6 +156,8 @@ def ingest_media_stream(
     lock_timeout: float = 600.0,
     source: str = "parquet",
     file_ids: str = "digits",
+    min_side: int | None = None,
+    max_aspect: int | None = None,
 ):
     """Start (and with ``available_now`` run to completion) the media
     ingestion stream — see the module docstring for the per-batch
@@ -182,7 +184,16 @@ def ingest_media_stream(
     names); format = the lowercased extension (``jpg`` normalized to
     ``jpeg``).  Every downstream stage (exact md5 gate, id guards,
     quarantine, perceptual index) is SHARED with the parquet lane.
-    Returns the StreamingQuery."""
+
+    ``min_side``/``max_aspect`` turn on the image CURATION GATE (the
+    text lane's ``min_quality`` analog): exact-dedup survivors whose
+    HEADER-parsed dimensions (:func:`..operators.multimodal.media_dims`
+    — ~30 bytes read, no decode) fail ``min(w,h) >= min_side`` or
+    ``max(w,h) <= max_aspect*min(w,h)`` drop to ``<rejects>.gate``
+    BEFORE the expensive signature decode ever touches them.  Rows
+    whose header doesn't parse pass through — the codec quarantine
+    downstream owns undecodable payloads.  Image lane only
+    (``fingerprint="phash"``).  Returns the StreamingQuery."""
     from ..operators import dedup as _dedup
     from ..operators import multimodal as _mm
     from ..operators.hashing import hash64
@@ -209,6 +220,15 @@ def ingest_media_stream(
             f"max_hamming={max_hamming} needs at least max_hamming+1 bands "
             f"(got {bands}): the banded probe would silently under-recall"
         )
+    if (min_side is not None or max_aspect is not None) and fingerprint != "phash":
+        raise ValueError(
+            "min_side/max_aspect gate image dimensions — only the "
+            f"fingerprint='phash' lane, not {fingerprint!r}"
+        )
+    if min_side is not None and min_side < 1:
+        raise ValueError(f"min_side must be >= 1, got {min_side}")
+    if max_aspect is not None and max_aspect < 1:
+        raise ValueError(f"max_aspect must be >= 1, got {max_aspect}")
 
     def _sink(batch: DataFrame, epoch_id: int) -> None:
         import contextlib
@@ -304,6 +324,31 @@ def ingest_media_stream(
             )
         w = hashed.groupBy("content_hash").agg(F.min("media_id").alias("media_id"))
         survivors = hashed.join(w, ["content_hash", "media_id"], "left_semi")
+
+        # image curation gate on HEADER-parsed dims — rejects drop
+        # BEFORE the expensive signature decode (the md5-gate-first
+        # philosophy, one stage later); unparseable headers pass
+        # through, the codec quarantine downstream owns them
+        if min_side is not None or max_aspect is not None:
+            dims = _mm.media_dims(survivors, null_on_error=True)
+            wc, hc = F.col("width"), F.col("height")
+            fail = F.lit(False)
+            if min_side is not None:
+                fail = fail | (F.least(wc, hc) < min_side)
+            if max_aspect is not None:
+                fail = fail | (F.greatest(wc, hc) > max_aspect * F.least(wc, hc))
+            gated = (
+                dims.where(wc.isNotNull() & hc.isNotNull() & fail)
+                .select("media_id")
+                .localCheckpoint(eager=True)
+            )
+            if rejects is not None:
+                survivors.join(gated, "media_id", "left_semi").select(
+                    "media_id", "format", "n_bytes"
+                ).write.mode("overwrite").json(
+                    os.path.join(rejects + ".gate", f"epoch_id={int(epoch_id)}")
+                )
+            survivors = survivors.join(gated, "media_id", "left_anti")
 
         # decode ONLY the exact-dedup survivors: NULL phash = undecodable
         # (the mode's signature column is aliased to `phash` — the

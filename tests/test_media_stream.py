@@ -562,3 +562,49 @@ def test_media_ingest_zero_frame_video_and_id_collisions(spark, tmp_path):
     n1 = spark.read.parquet(idx).where(F.col("corpus_id") == 1)
     n_frames = {r.n_frames for r in n1.collect()}
     assert len(n_frames) == 1 and n1.count() == n_frames.pop()
+
+
+def test_media_ingest_dims_gate(spark, tmp_path):
+    """r8 image curation gate at ingest: header-parsed dims drop
+    too-small / too-skewed images to <rejects>.gate BEFORE the signature
+    decode, keepers land normally, an unparseable header passes through
+    to the codec quarantine (not the gate), and the gate refuses
+    non-image lanes at plan time."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    out = str(tmp_path / "media")
+    ckpt = str(tmp_path / "ckpt")
+    rej = str(tmp_path / "rejects")
+    quar = str(tmp_path / "quarantine")
+
+    # varied dims: keep iff min(w,h) >= 32 and max <= 3*min
+    ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id bigint")
+    batch = M.synth_varied_bmp(ids)
+    dims = {r.media_id: (4 + (7 * r.media_id) % 61, 4 + (11 * r.media_id) % 93)
+            for r in batch.select("media_id").collect()}
+    keep = {k for k, (w, h) in dims.items()
+            if min(w, h) >= 32 and max(w, h) <= 3 * min(w, h)}
+    drop = set(dims) - keep
+    assert keep and drop  # the synth really spans the gate
+    # plus one header-garbage payload: must reach the CODEC quarantine
+    batch = batch.unionByName(spark.createDataFrame(
+        [(999, "image", b"BM\x01", "bmp", 3)], M.MEDIA_SCHEMA))
+    _land(batch, land, "b0.parquet", 1_000_000_000)
+
+    SM.ingest_media_stream(spark, land, out, ckpt, quarantine=quar,
+                           rejects=rej, min_side=32, max_aspect=3)
+    landed = {r.media_id for r in spark.read.parquet(out).collect()}
+    assert landed == keep
+    gated = {r.media_id for r in spark.read.json(rej + ".gate").collect()}
+    assert gated == drop
+    quard = {r.media_id for r in spark.read.json(quar).collect()}
+    assert quard == {999}
+
+    # non-image lanes refuse the dims gate at plan time
+    with pytest.raises(ValueError, match="phash"):
+        SM.ingest_media_stream(spark, land, out, ckpt,
+                               fingerprint="audio", min_side=32)

@@ -1005,6 +1005,43 @@ def test_asym_offset_audio_and_trimmed_video_probes(spark):
     assert eq[(9, 8)] == 0
 
 
+def test_media_dims_header_parity(spark):
+    """r8 header-dims pins: for every format with a real codec the
+    header-parsed dims equal the full decode's (BMP/PNG/JPEG incl. the
+    EXIF-APP1-prefixed and progressive variants/PGM), audio returns
+    NULL dims (pass-through contract), and a truncated header raises /
+    nulls under the quarantine flag."""
+    import numpy as np
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id bigint")
+    corpora = [
+        M.synth_varied_bmp(ids),
+        M.synth_png(ids),
+        M.synth_jpeg(ids),
+        M.synth_jpeg(ids, progressive=True),
+        M.synth_jpeg_exif(ids),          # APP1 before SOF
+        M.synth_pgm(ids),
+    ]
+    for media in corpora:
+        hd = {r.media_id: (r.width, r.height)
+              for r in M.media_dims(media).collect()}
+        full = {r.media_id: (r.width, r.height)
+                for r in M.decode_media(media).collect()}
+        assert hd == full, media
+    # audio: no header parser -> NULL dims, no error
+    wav = M.synth_wav(ids.limit(2))
+    got = M.media_dims(wav).collect()
+    assert all(r.width is None and r.height is None for r in got)
+    # malformed: raises by default, nulls under the flag
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(0, "image", b"BM\x01", "bmp", 3)], M.MEDIA_SCHEMA)
+    with _pytest.raises(Exception):
+        M.media_dims(bad).collect()
+    assert M.media_dims(bad, null_on_error=True).collect()[0].width is None
+
+
 def test_phash_oriented_planted_rotations(spark):
     """r8 orientation-normalization pins: the planted orientation-6
     (90°-CCW-stored) and orientation-2 (mirrored) refetches land at
