@@ -158,6 +158,7 @@ HEADLINE = [
     "media_curation_gate",
     "media_phash_oriented",
     "sketch_theta_diff",
+    "media_shot_reuse",
     "quality",
     "language_id",
     "lang_confusion",

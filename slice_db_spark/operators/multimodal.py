@@ -3380,6 +3380,55 @@ def synth_texture_y4m_shots(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def synth_texture_y4m_shot_reuse(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic shot-structured Y4M clips with PLANTED CROSS-CLIP
+    SHOT REUSE — the partial-content-dedup test corpus (a compilation
+    reusing one scene of another clip matches NO whole-clip contract).
+    Slots 0-7: own clips with ``2 + k mod 3`` two-frame shots, shot s
+    textured by ``seed + 101·s`` (the :func:`synth_texture_y4m_shots`
+    scheme, mod 247 to leave brightness headroom).  Slot 8: shot 0 its
+    own texture, shot 1 REUSES the group slot-0 clip's shot-0 texture
+    verbatim.  Slot 9: shot 1 reuses the group clip's shot-1 texture at
+    +4 brightness (keyframe pHash distance exactly 0).  Within-shot
+    second frames add a +2 drift (AC-invariant).  Pure arithmetic an
+    SQL oracle mirrors."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                slot = k % 10
+                g = k - slot
+                n = 4 if slot >= 8 else 2 * (2 + k % 3)
+                fs, ys, xs = np.mgrid[0:n, 0:16, 0:16]
+                if slot == 8:
+                    s2 = np.where(fs < 2, k, g)
+                    add = 0 * fs
+                elif slot == 9:
+                    s2 = np.where(fs < 2, k, g + 101)
+                    add = np.where(fs < 2, 0, 4)
+                else:
+                    s2 = k + 101 * (fs // 2)
+                    add = 0 * fs
+                px = (
+                    17 * s2
+                    + (3 + s2 % 5) * xs * xs
+                    + (11 + s2 % 13) * ys * ys
+                    + 5 * xs * ys
+                ) % 247 + 2 * (fs % 2) + add
+                payload = encode_y4m(16, 16, px.astype(np.uint8))
+                rows.append((k, "video", payload, "y4m", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 VIDEO_PHASH_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -3481,6 +3530,68 @@ def video_shots(
                 F.col("start_frame")
                 + F.floor((F.col("n_frames") - 1) / 2)
             ).cast("bigint").alias("keyframe_idx"),
+        )
+    )
+
+
+def shot_reuse_pairs(
+    sigs: DataFrame,
+    cut_threshold: int = 16,
+    bits: int = 63,
+    bands: int = 7,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """PARTIAL-CONTENT video dedup: clip pairs sharing at least one SHOT
+    — the compilation/re-edit case every whole-clip contract
+    (equal-length, trimmed, aligned-run) misses, because the reused
+    scene is a fraction of either clip.  Composes the shot machinery:
+    segment each clip (:func:`video_shots`), fetch one KEYFRAME hash
+    per shot (an equi-join back to the frame table), and pair keyframes
+    ACROSS clips with the shared Hamming-banding core — candidate
+    volume follows keyframe count (shots, not frames), the banding is
+    pigeonhole-complete, and the per-pair rollup counts matching
+    (shot_a, shot_b) keyframe pairs.  Output:
+    ``(id_a, id_b, n_shot_matches, min_hamming)`` with id_a < id_b."""
+    from .dedup import hamming_near_pairs
+
+    shots = video_shots(sigs, cut_threshold=cut_threshold)
+    kf = (
+        shots.join(
+            sigs.select(
+                "media_id",
+                F.col("frame_idx").alias("keyframe_idx"),
+                "phash",
+            ),
+            ["media_id", "keyframe_idx"],
+        )
+        .select(
+            F.struct(
+                F.col("media_id").alias("i"), F.col("shot_idx").alias("s")
+            ).alias("__k"),
+            "phash",
+        )
+        # the banding self-join consumes this frame four ways; without
+        # eager materialization each branch re-runs the upstream Python
+        # decode + per-frame DCT + both shot windows
+        .localCheckpoint(eager=True)
+    )
+    pairs = hamming_near_pairs(
+        kf, "phash", "__k", bits=bits, bands=bands, max_hamming=max_hamming
+    )
+    return (
+        pairs.where(F.col("id_a.i") != F.col("id_b.i"))
+        .groupBy(
+            F.col("id_a.i").alias("id_a"), F.col("id_b.i").alias("id_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shot_matches"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            F.col("n_shot_matches").cast("bigint").alias("n_shot_matches"),
+            F.col("min_hamming").cast("bigint").alias("min_hamming"),
         )
     )
 

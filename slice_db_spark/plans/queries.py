@@ -3969,6 +3969,29 @@ def media_curation_gate(spark, sf_dir):
     )
 
 
+def media_shot_reuse(spark, sf_dir):
+    """PARTIAL-CONTENT video dedup — clip pairs sharing a SHOT, the
+    compilation/re-edit case whole-clip contracts miss
+    (`operators/multimodal.py::shot_reuse_pairs`: segment at perceptual
+    cuts, fetch one keyframe hash per shot, band keyframes across clips,
+    roll up per clip pair).  `synth_texture_y4m_shot_reuse` plants a
+    verbatim shot reuse (slot 8) and a +4-brightness shot reuse (slot 9,
+    keyframe distance exactly 0) per ten-id group; the oracle replays
+    pixels→frame hashes→lag cuts→shot ids→keyframes→brute-force
+    cross-clip keyframe pairing."""
+    docs = catalog(spark, sf_dir)["documents"]
+    sigs = multimodal.video_phash(
+        multimodal.synth_texture_y4m_shot_reuse(docs)
+    )
+    return multimodal.shot_reuse_pairs(
+        sigs,
+        cut_threshold=VIDEO_CUT_HAMMING,
+        bits=63,
+        bands=PHASH_BANDS,
+        max_hamming=PHASH_MAX_HAMMING,
+    )
+
+
 def media_exif(spark, sf_dir):
     """EXIF curation metadata from real JPEG bytes — orientation (needed
     before geometry-sensitive signatures), capture timestamps (temporal
@@ -7457,6 +7480,74 @@ SELECT media_id, CAST(shot_idx AS BIGINT) AS shot_idx,
 FROM sh GROUP BY media_id, shot_idx
 """
 
+    # shot reuse: the reuse synth renders slot 8/9 second shots from the
+    # group clip's shot textures; hashes, lag cuts, shot ids and
+    # keyframes replay the operator's windows, then keyframe pairs
+    # brute-force across clips and roll up per clip pair
+    o["media_shot_reuse"] = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 10 AS slot,
+         CAST(doc_id - doc_id % 10 AS BIGINT) AS g
+  FROM documents),
+df AS (SELECT media_id, slot, g,
+              unnest(range(0, CAST(CASE WHEN slot >= 8 THEN 4
+                                        ELSE 2 * (2 + media_id % 3)
+                                   END AS INT))) AS f
+       FROM d),
+kk(u, x, c) AS (VALUES {_k_vals}),
+g AS (
+  SELECT media_id, f, gi, gj,
+         (17 * s2 + (3 + s2 % 5) * (2 * gj) * (2 * gj)
+          + (11 + s2 % 13) * (2 * gi) * (2 * gi)
+          + 5 * (2 * gj) * (2 * gi)) % 247 + 2 * (f % 2) + add AS val
+  FROM (SELECT media_id, f,
+               CASE WHEN slot = 8 THEN
+                      CASE WHEN f < 2 THEN media_id ELSE g END
+                    WHEN slot = 9 THEN
+                      CASE WHEN f < 2 THEN media_id ELSE g + 101 END
+                    ELSE media_id + 101 * (f // 2) END AS s2,
+               CASE WHEN slot = 9 AND f >= 2 THEN 4 ELSE 0 END AS add
+        FROM df),
+       range(0, 8) r1(gi), range(0, 8) r2(gj)),
+coef AS (
+  SELECT media_id, f, ku.u AS u, kv.u AS v,
+         sum(CAST(ku.c AS BIGINT) * kv.c * val) AS cf
+  FROM g JOIN kk ku ON ku.x = g.gi JOIN kk kv ON kv.x = g.gj
+  GROUP BY media_id, f, ku.u, kv.u),
+ac AS (SELECT media_id, f, u * 8 + v - 1 AS bit_i, cf
+       FROM coef WHERE NOT (u = 0 AND v = 0)),
+med AS (SELECT media_id, f, list_sort(list(cf))[32] AS med
+        FROM ac GROUP BY media_id, f),
+ph AS (SELECT ac.media_id, ac.f,
+              CAST(sum(CASE WHEN cf > med THEN (CAST(1 AS BIGINT) << bit_i)
+                            ELSE 0 END) AS BIGINT) AS phash
+       FROM ac JOIN med USING (media_id, f) GROUP BY ac.media_id, ac.f),
+lagged AS (SELECT media_id, f, phash,
+                  lag(phash) OVER (PARTITION BY media_id ORDER BY f) AS prev
+           FROM ph),
+cuts AS (SELECT media_id, f,
+                CASE WHEN prev IS NULL
+                          OR bit_count(xor(phash, prev)) > {VIDEO_CUT_HAMMING}
+                     THEN 1 ELSE 0 END AS is_cut
+         FROM lagged),
+sh AS (SELECT media_id, f,
+              sum(is_cut) OVER (PARTITION BY media_id ORDER BY f) - 1
+                AS shot_idx
+       FROM cuts),
+shots AS (SELECT media_id, shot_idx,
+                 min(f) + (count(*) - 1) // 2 AS kf
+          FROM sh GROUP BY media_id, shot_idx),
+kfh AS (SELECT s.media_id, s.shot_idx, p.phash
+        FROM shots s JOIN ph p ON p.media_id = s.media_id AND p.f = s.kf)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shot_matches,
+       CAST(min(bit_count(xor(a.phash, b.phash))) AS BIGINT) AS min_hamming
+FROM kfh a JOIN kfh b
+  ON a.media_id < b.media_id
+ AND bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+GROUP BY a.media_id, b.media_id
+"""
+
     # trim-robust video pairing: the trim synth re-derives each frame
     # from its SOURCE index (emitted frame f of a trimmed slot renders
     # source frame f+1), per-frame hashes go through the same DCT chain,
@@ -9011,4 +9102,5 @@ def _all_queries():
         "media_curation_gate": media_curation_gate,
         "media_phash_oriented": media_phash_oriented,
         "sketch_theta_diff": sketch_theta_diff,
+        "media_shot_reuse": media_shot_reuse,
     }

@@ -1204,6 +1204,28 @@ def test_video_shots_planted_structure(spark):
     assert keyed.count() == sum(2 + i % 3 for i in range(30))
 
 
+def test_shot_reuse_pairs_planted(spark):
+    """r8 partial-content dedup pins: clip 8 reuses clip 0's shot-0
+    texture as its second shot (keyframe distance 0), clip 9 reuses
+    clip 0's shot-1 texture at +4 brightness (AC-invariant, also 0);
+    both pair with exactly one shot match, (8, 9) does NOT pair, and
+    every whole-clip contract misses the reuse (different lengths /
+    non-aligned content)."""
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id bigint")
+    sigs = M.video_phash(M.synth_texture_y4m_shot_reuse(ids))
+    got = {(r.id_a, r.id_b): (r.n_shot_matches, r.min_hamming)
+           for r in M.shot_reuse_pairs(sigs).collect()}
+    assert got[(0, 8)] == (1, 0)
+    assert got[(0, 9)] == (1, 0)
+    assert (8, 9) not in got
+    # whole-clip contracts miss it: clip 0 has 4 frames, 8/9 have 4 too
+    # but only ONE aligned shot — aligned/trimmed pairing can't qualify
+    eq = {(r.id_a, r.id_b) for r in M.video_near_pairs(sigs).collect()}
+    tr = {(r.id_a, r.id_b) for r in M.video_trimmed_pairs(sigs).collect()}
+    assert (0, 8) not in eq and (0, 8) not in tr
+    assert (0, 9) not in eq and (0, 9) not in tr
+
+
 def test_audio_fingerprint_planted_near_dups_and_recall(spark):
     """r7 audio fingerprint pins: amplitude doubling leaves the
     fingerprint IDENTICAL (energy-delta sign invariance), the jittered
