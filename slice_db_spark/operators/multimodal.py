@@ -526,7 +526,11 @@ AUDIO_FP_SCHEMA = StructType(
 
 
 def audio_fingerprint(
-    df: DataFrame, window: int = 50, bits: int = 63, null_on_error: bool = False
+    df: DataFrame,
+    window: int = 50,
+    bits: int = 63,
+    null_on_error: bool = False,
+    windows_per_sec: int | None = None,
 ) -> DataFrame:
     """Energy-profile audio fingerprint — the dependency-free
     Haitsma-Kalker shape (their spectral bands become time windows here:
@@ -553,15 +557,34 @@ def audio_fingerprint(
     Offset sensitivity: one clip-level signature shifts wholesale when a
     replay is clipped or padded — use :func:`audio_subfingerprints` +
     :func:`audio_offset_pairs` for offset-robust pairing; this stays the
-    cheap first pass."""
+    cheap first pass.
+
+    RESAMPLE sensitivity: fixed SAMPLE-count windows tie the signature
+    to the encoding rate — the same audio re-encoded at 2× the sample
+    rate puts different content in every window and never matches.
+    ``windows_per_sec`` switches to TIME-based windows
+    (``window = max(1, rate // windows_per_sec)`` from the WAV header):
+    windows then cover the same time spans at any rate, and a resample
+    scales window energies uniformly — delta signs (hence the
+    fingerprint) are preserved exactly for integral-factor resamples
+    and approximately for the rest."""
     if not (1 <= bits <= 63):
         raise ValueError(f"bits must be in [1, 63], got {bits}")
+    if windows_per_sec is not None and windows_per_sec < 1:
+        raise ValueError(
+            f"windows_per_sec must be >= 1, got {windows_per_sec}"
+        )
 
     def one(payload: bytes) -> int:
-        _, samples = decode_wav(bytes(payload))
-        n_win = len(samples) // window
+        rate, samples = decode_wav(bytes(payload))
+        win = (
+            window
+            if windows_per_sec is None
+            else max(1, rate // windows_per_sec)
+        )
+        n_win = len(samples) // win
         e = [
-            sum(s * s for s in samples[w * window : (w + 1) * window])
+            sum(s * s for s in samples[w * win : (w + 1) * win])
             for w in range(n_win)
         ]
         if len(e) > bits + 1:
@@ -647,6 +670,50 @@ AUDIO_SUBFP_SCHEMA = StructType(
         StructField("subfp", LongType()),
     ]
 )
+
+
+def synth_audio_clips_resampled(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic PCM16 clips with PLANTED RESAMPLED replays — the
+    resample-robust fingerprint test corpus.  Slots 0-7 are the
+    :func:`synth_audio_clips` quadratic pseudo-noise clips at 16 kHz
+    (seed = id); slot 8 replays the group's slot-0 clip SAMPLE-
+    DUPLICATED 2× at a 32 kHz header rate (the integral-factor
+    re-encode: every time-based window's energy doubles, no delta sign
+    flips); slot 9 is the same resample at DOUBLE amplitude (energy ×8
+    — still sign-invariant).  Under fixed sample-count windows both
+    replays put different content in every window and never match; the
+    oracle mirrors sample-for-sample."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                slot = k % 10
+                seed = k - slot if slot >= 8 else k
+                base = [
+                    ((17 * seed + (3 + seed % 5) * i * i
+                      + (11 + seed % 13) * i) % 4096) - 2048
+                    for i in range(1550)
+                ]
+                if slot == 8:
+                    samples = [s for s in base for _ in (0, 1)]
+                    rate = 32000
+                elif slot == 9:
+                    samples = [2 * s for s in base for _ in (0, 1)]
+                    rate = 32000
+                else:
+                    samples = base
+                    rate = 16000
+                payload = encode_wav(samples, rate)
+                rows.append((k, "audio", payload, "wav", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def audio_subfingerprints(

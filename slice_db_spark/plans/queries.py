@@ -4008,6 +4008,38 @@ def media_exif(spark, sf_dir):
     return multimodal.exif_metadata(multimodal.synth_jpeg_exif(docs))
 
 
+#: time-based audio windows: 320 windows/sec = 50 samples at 16 kHz (the
+#: synth rate), 100 at 32 kHz — same time spans at any rate
+AUDIO_WINDOWS_PER_SEC = 320
+
+
+def media_audio_resampled_pairs(spark, sf_dir):
+    """RESAMPLE-ROBUST audio near-dedup — the re-encode gap fixed
+    sample-count windows leave open: the same audio at 2× the sample
+    rate puts different content in every window and never matches.
+    TIME-based windows (`audio_fingerprint(windows_per_sec=320)` —
+    window length from the WAV header rate) cover the same time spans
+    at any rate, so an integral-factor resample scales each window's
+    energy uniformly and no delta sign flips.
+    `synth_audio_clips_resampled` plants a 2×-sample-duplicated 32 kHz
+    replay and the same at double amplitude (energy ×8) per ten-id
+    group — both land at distance exactly 0; the oracle replays original
+    samples→time-window energies→the slot's exact energy multiplier→
+    delta bits→brute-force pairing."""
+    docs = catalog(spark, sf_dir)["documents"]
+    sigs = multimodal.audio_fingerprint(
+        multimodal.synth_audio_clips_resampled(docs),
+        windows_per_sec=AUDIO_WINDOWS_PER_SEC,
+    )
+    pairs = dedup.hamming_near_pairs(
+        sigs, "afp", "media_id",
+        bits=30, bands=AUDIO_FP_BANDS, max_hamming=AUDIO_FP_MAX_HAMMING,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
 def media_video_pairs(spark, sf_dir):
     """Perceptual VIDEO near-dedup — per-frame pHash over the real Y4M
     codec (`operators/multimodal.py::video_phash`, the SAME hash
@@ -7673,6 +7705,41 @@ FROM f a JOIN f bb ON a.media_id < bb.media_id
 WHERE bit_count(xor(a.afp, bb.afp)) <= {AUDIO_FP_MAX_HAMMING}
 """
 
+    # resample-robust audio: time-based windows make a duplicated-sample
+    # re-encode's windows cover the SAME original spans — the oracle
+    # computes original-window energies once and applies each slot's
+    # exact energy multiplier (x2 duplication, x8 with amplitude
+    # doubling), which flips no strict comparison
+    o["media_audio_resampled_pairs"] = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 10 AS slot,
+         CASE WHEN doc_id % 10 >= 8 THEN doc_id - doc_id % 10
+              ELSE doc_id END AS seed
+  FROM documents),
+e0 AS (
+  SELECT media_id, slot, i // 50 AS w, sum(base * base) AS energy0
+  FROM (SELECT media_id, slot, i,
+               (17 * seed + (3 + seed % 5) * i * i
+                + (11 + seed % 13) * i) % 4096 - 2048 AS base
+        FROM d, range(0, 1550) r(i))
+  GROUP BY media_id, slot, i // 50),
+e AS (SELECT media_id, w,
+             energy0 * CASE WHEN slot = 8 THEN 2
+                            WHEN slot = 9 THEN 8 ELSE 1 END AS energy
+      FROM e0),
+b AS (SELECT e1.media_id, e1.w AS w,
+             CASE WHEN e2.energy > e1.energy THEN 1 ELSE 0 END AS bit
+      FROM e e1 JOIN e e2 ON e2.media_id = e1.media_id AND e2.w = e1.w + 1),
+f AS (SELECT media_id,
+             CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(w AS INT))) AS BIGINT)
+               AS afp
+      FROM b GROUP BY media_id)
+SELECT a.media_id AS id_a, bb.media_id AS id_b,
+       CAST(bit_count(xor(a.afp, bb.afp)) AS BIGINT) AS hamming
+FROM f a JOIN f bb ON a.media_id < bb.media_id
+WHERE bit_count(xor(a.afp, bb.afp)) <= {AUDIO_FP_MAX_HAMMING}
+"""
+
     # offset-robust audio: the trimmed/padded synth replays window-align
     # by construction; the oracle replays samples -> window energies ->
     # delta-sign bits -> per-start-window sub-fingerprints, then votes
@@ -9103,4 +9170,5 @@ def _all_queries():
         "media_phash_oriented": media_phash_oriented,
         "sketch_theta_diff": sketch_theta_diff,
         "media_shot_reuse": media_shot_reuse,
+        "media_audio_resampled_pairs": media_audio_resampled_pairs,
     }

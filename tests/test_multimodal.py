@@ -1204,6 +1204,25 @@ def test_video_shots_planted_structure(spark):
     assert keyed.count() == sum(2 + i % 3 for i in range(30))
 
 
+def test_audio_resampled_planted_recall(spark):
+    """r8 resample-robustness pins: under TIME-based windows the
+    2x-sample-duplicated 32kHz replay and its double-amplitude variant
+    land at distance EXACTLY 0 from the 16kHz original, while fixed
+    SAMPLE-count windows miss both (the gap the mode closes)."""
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id bigint")
+    media = M.synth_audio_clips_resampled(ids)
+    timed = {r.media_id: r.afp
+             for r in M.audio_fingerprint(media, windows_per_sec=320).collect()}
+    assert timed[8] == timed[0] and timed[9] == timed[0]
+    fixed = {r.media_id: r.afp
+             for r in M.audio_fingerprint(media).collect()}
+    assert bin(fixed[8] ^ fixed[0]).count("1") > 4
+    assert bin(fixed[9] ^ fixed[0]).count("1") > 4
+    # 16kHz originals hash identically in both modes (window 50 either way)
+    for k in range(8):
+        assert timed[k] == fixed[k]
+
+
 def test_shot_reuse_pairs_planted(spark):
     """r8 partial-content dedup pins: clip 8 reuses clip 0's shot-0
     texture as its second shot (keyframe distance 0), clip 9 reuses
