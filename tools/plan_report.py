@@ -129,6 +129,16 @@ AUDIT = [
     "media_phash_imageio",
     "ann_ivfpq_refined",
     "dedup_span_incremental_wide",
+    # round-8 session-2 shapes: per-clip shot windows + keyframe-banded
+    # cross-clip pairing, header-dims gate expressions, EXIF parse over
+    # mapInPandas, KMV TakeOrdered sketch algebra, time-window audio
+    "media_video_shots",
+    "media_shot_reuse",
+    "media_curation_gate",
+    "media_exif",
+    "media_phash_oriented",
+    "sketch_theta_diff",
+    "media_audio_resampled_pairs",
 ]
 
 MAX_LINES = 80
