@@ -850,6 +850,72 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_analyze_media(args) -> int:
+    """Media-corpus analytics report as one JSON object on stdout:
+    format mix, header-parsed dimension quantiles, curation-gate pass
+    rates, and EXIF coverage — the numbers an image-curation run reads
+    BEFORE setting its gate thresholds.  Each section reuses the
+    oracle-gated operator (`media_dims`/`media_gate`/`exif_metadata`),
+    so the CLI can never disagree with the query surface."""
+    from pyspark.sql import functions as F
+
+    from .operators import multimodal as mm
+    from .session import get_spark
+
+    spark = get_spark("slicedb-analyze-media")
+    media = spark.read.parquet(args.corpus)
+    report: dict = {"rows": media.count()}
+    report["formats"] = {
+        r["format"]: r["n"]
+        for r in media.groupBy("format")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    dims = mm.media_dims(media, null_on_error=True).persist()
+    try:
+        parsed = dims.where(F.col("width").isNotNull())
+        n_parsed = parsed.count()
+        report["dims_parsed"] = n_parsed
+        if n_parsed:
+            q = parsed.agg(
+                F.expr("percentile(width, array(0.5, 0.9))").alias("wq"),
+                F.expr("percentile(height, array(0.5, 0.9))").alias("hq"),
+            ).collect()[0]
+            report["width_p50_p90"] = [int(v) for v in q["wq"]]
+            report["height_p50_p90"] = [int(v) for v in q["hq"]]
+            gate = mm.media_gate(
+                parsed, min_side=args.min_side, max_aspect=args.max_aspect
+            )
+            report["gate"] = {
+                r["reason"]: r["n"]
+                for r in gate.groupBy("reason")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+    finally:
+        dims.unpersist()
+    jpegs = media.where(F.col("format").isin("jpeg", "jpg"))
+    if jpegs.limit(1).count():
+        ex = mm.exif_metadata(jpegs, null_on_error=True).persist()
+        try:
+            report["exif"] = {
+                "jpeg_rows": ex.count(),
+                "with_exif": ex.where("has_exif").count(),
+                "damaged": ex.where("has_exif is null").count(),
+                "orientation_hist": {
+                    int(r["orientation"]): r["n"]
+                    for r in ex.where(F.col("orientation").isNotNull())
+                    .groupBy("orientation")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                },
+            }
+        finally:
+            ex.unpersist()
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_schema_filter(args) -> int:
     from .config.graph import filter_children
 
@@ -1445,6 +1511,16 @@ def main(argv: list[str] | None = None) -> int:
     an.add_argument("--max-df", type=int, default=1000)
     an.add_argument("input", help="corpus path (documents shape)")
     an.set_defaults(fn=cmd_analyze)
+
+    am = sub.add_parser(
+        "analyze-media",
+        help="media-corpus analytics report (JSON on stdout): format mix, "
+        "header-dims quantiles, curation-gate pass rates, EXIF coverage",
+    )
+    am.add_argument("--min-side", type=int, default=32)
+    am.add_argument("--max-aspect", type=int, default=3)
+    am.add_argument("corpus", help="parquet media corpus (MEDIA_SCHEMA columns)")
+    am.set_defaults(fn=cmd_analyze_media)
 
     sf = sub.add_parser("schema-filter", help="children-closure reverse pruning")
     sf.add_argument("--schema", required=True)

@@ -1005,3 +1005,31 @@ def test_cli_phash_files(spark, tmp_path):
     assert rep["files"] == 11 and rep["undecodable_or_unidentified"] == 1
     got = {(p["id_a"], p["id_b"]) for p in rep["pairs"]}
     assert (0, 8) in got and (0, 9) in got  # planted replays of slot 0
+
+
+def test_analyze_media_cli(spark, tmp_path):
+    """r8 analyze-media: format mix, header-dims quantiles, gate pass
+    rates, and EXIF coverage land in one JSON report over a mixed media
+    corpus — each section reusing the gated operators."""
+    from slice_db_spark.operators import multimodal as M
+
+    ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id bigint")
+    corpus = str(tmp_path / "media")
+    M.synth_varied_bmp(ids).unionByName(
+        M.synth_jpeg_exif(
+            spark.createDataFrame([(i,) for i in range(100, 110)],
+                                  "doc_id bigint"))
+    ).write.parquet(corpus)
+
+    report = json.loads(run_cli("analyze-media", corpus))
+    assert report["rows"] == 30
+    assert report["formats"] == {"bmp": 20, "jpeg": 10}
+    assert report["dims_parsed"] == 30
+    assert len(report["width_p50_p90"]) == 2
+    assert sum(report["gate"].values()) == 30
+    assert set(report["gate"]) <= {"ok", "small", "aspect"}
+    # ids 100-109: id 100 (%10==0) carries no EXIF, the rest do
+    assert report["exif"]["jpeg_rows"] == 10
+    assert report["exif"]["with_exif"] == 9
+    assert report["exif"]["damaged"] == 0
+    assert sum(report["exif"]["orientation_hist"].values()) == 9
