@@ -159,6 +159,8 @@ HEADLINE = [
     "media_phash_oriented",
     "sketch_theta_diff",
     "media_shot_reuse",
+    "media_audio_resampled_pairs",
+    "media_robust_panorama",
     "quality",
     "language_id",
     "lang_confusion",

@@ -4167,6 +4167,41 @@ def media_dedup_panorama(spark, sf_dir):
     )
 
 
+def media_robust_panorama(spark, sf_dir):
+    """One report across the five ROBUSTNESS lanes the plain perceptual
+    contracts miss (r8): EXIF-rotated refetches (`media_phash_oriented`),
+    clipped/padded audio replays (`media_audio_offset_pairs`), resampled
+    re-encodes (`media_audio_resampled_pairs`), one-frame video trims
+    (`media_video_trimmed_pairs`), and cross-clip shot reuse
+    (`media_shot_reuse`) — per lane, the pair count and the items a
+    min-id-wins pass would drop.  The oracle embeds each lane's oracle
+    SQL verbatim as a subquery (the dedup_panorama drift-proof
+    composition pattern)."""
+    def summarize(pairs, lane):
+        return pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("id_b").cast("bigint").alias("n_dup_items"),
+        ).select(F.lit(lane).alias("lane"), "n_pairs", "n_dup_items")
+
+    return (
+        summarize(media_phash_oriented(spark, sf_dir), "image_oriented")
+        .unionByName(
+            summarize(media_audio_offset_pairs(spark, sf_dir), "audio_offset")
+        )
+        .unionByName(
+            summarize(
+                media_audio_resampled_pairs(spark, sf_dir), "audio_resampled"
+            )
+        )
+        .unionByName(
+            summarize(media_video_trimmed_pairs(spark, sf_dir), "video_trimmed")
+        )
+        .unionByName(
+            summarize(media_shot_reuse(spark, sf_dir), "video_shot_reuse")
+        )
+    )
+
+
 def media_video_incremental(spark, sf_dir):
     """Continuous video-dedup regime under the hash gate: the standing
     corpus (doc_id % 5 != 0) materializes its persisted per-frame
@@ -7983,6 +8018,30 @@ FROM ph a JOIN ph b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
 """
 
+    # robustness panorama: the five r8 lane oracles verbatim as
+    # subqueries — composition can't drift from the gated components
+    o["media_robust_panorama"] = f"""
+SELECT 'image_oriented' AS lane, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT id_b) AS BIGINT) AS n_dup_items
+FROM ({o["media_phash_oriented"]})
+UNION ALL
+SELECT 'audio_offset', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT id_b) AS BIGINT)
+FROM ({o["media_audio_offset_pairs"]})
+UNION ALL
+SELECT 'audio_resampled', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT id_b) AS BIGINT)
+FROM ({o["media_audio_resampled_pairs"]})
+UNION ALL
+SELECT 'video_trimmed', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT id_b) AS BIGINT)
+FROM ({o["media_video_trimmed_pairs"]})
+UNION ALL
+SELECT 'video_shot_reuse', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT id_b) AS BIGINT)
+FROM ({o["media_shot_reuse"]})
+"""
+
     # continuous image-dedup regime: corpus half's signatures are the
     # standing index, batch half probes asymmetrically — same CTE chain,
     # split readout (the id spaces are disjoint, so the probe's
@@ -9171,4 +9230,5 @@ def _all_queries():
         "sketch_theta_diff": sketch_theta_diff,
         "media_shot_reuse": media_shot_reuse,
         "media_audio_resampled_pairs": media_audio_resampled_pairs,
+        "media_robust_panorama": media_robust_panorama,
     }
