@@ -751,8 +751,14 @@ def main():
             probe_sigs, spark.read.parquet(idx), "phash"
         ).write.format("noop").mode("overwrite").save()
         probe_sec = time.time() - t0
+        t0 = time.time()
+        MM.media_dims(payloads, null_on_error=True).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dims_sec = time.time() - t0
         sheet["ingest_stage_split_bmp_256px"] = {
             "md5_gate_sec": round(md5_sec, 3),
+            "header_dims_gate_sec": round(dims_sec, 3),
             "decode_phash_sec": round(decode_sec, 3),
             "index_probe_sec": round(probe_sec, 3),
         }
