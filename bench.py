@@ -161,6 +161,7 @@ HEADLINE = [
     "media_shot_reuse",
     "media_audio_resampled_pairs",
     "media_robust_panorama",
+    "media_gif_stats",
     "quality",
     "language_id",
     "lang_confusion",

@@ -139,6 +139,8 @@ def _decode_pixels(fmt: str, payload: bytes):
         return decode_bmp(payload)
     if fmt == "pgm":
         return decode_pgm(payload)
+    if fmt == "gif":
+        return decode_gif(payload)
     return None
 
 
@@ -150,7 +152,7 @@ def decode_media(df: DataFrame, n_features: int = 8) -> DataFrame:
     dropped as early as possible so only features shuffle downstream.
 
     Formats with a real codec in this repo — ``wav``, ``bmp``, ``pgm``,
-    ``png``, ``jpeg``/``jpg``, ``y4m`` (true frame count) — decode for
+    ``png``, ``jpeg``/``jpg``, ``gif``, ``y4m`` (true frame count) — decode for
     real (true dimensions + band features); anything
     else goes through the clearly-marked deterministic stub, so the
     generic entry point is exactly what a PIL/ffmpeg deployment would
@@ -2661,6 +2663,11 @@ def _header_dims(fmt: str, data: bytes) -> tuple[int, int] | None:
                 return int(w), int(h)
             pos += 2 + seg_len
         raise ValueError("JPEG has no SOF frame header")
+    if fmt == "gif":
+        if len(data) < 10 or data[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("GIF header truncated or bad magic")
+        w, h = struct.unpack_from("<HH", data, 6)
+        return int(w), int(h)
     if fmt == "pgm":
         if data[:2] != b"P5":
             raise ValueError("PGM bad magic")
@@ -3221,6 +3228,272 @@ def synth_jpeg_oriented(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     )
                     payload = payload[:2] + app1 + payload[2:]
                 rows.append((k, "image", payload, "jpeg", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# ------------------------------------------------------------ real GIF codec
+# The third most common crawl image format after JPEG/PNG.  File-backed
+# GIFs already decode at native rate through the ImageIO lane; this codec
+# gives IN-COLUMN payloads the same rights (they quarantined before).
+# Real LZW both directions: variable code widths 9→12 bits LSB-first,
+# dictionary reset on the 4096-entry fill, data framed in ≤255-byte
+# sub-blocks per the spec.  Animation/interlace deliberately raise for
+# quarantine (first-frame-only and de-interlacing are library territory).
+
+
+def encode_gif(width: int, height: int, pixels) -> bytes:
+    """Minimal GIF89a writer: one image, 256-entry GRAYSCALE global color
+    table (``palette[i] = (i, i, i)``), REAL LZW compression.
+    ``pixels`` is a numpy (h, w) uint8 array of palette indices (= gray
+    values)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.shape != (height, width):
+        raise ValueError(f"pixels shape {px.shape} != ({height}, {width})")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    out += bytes(i for i in range(256) for _ in range(3))       # gray GCT
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    mcs = 8
+    out.append(mcs)
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    codes: list[tuple[int, int]] = []  # (code, bit width)
+    width_bits = mcs + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    codes.append((clear, width_bits))
+    cur = b""
+    for b in px.tobytes():
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        codes.append((table[cur], width_bits))
+        table[nxt] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width_bits) and width_bits < 12:
+            width_bits += 1
+        if next_code > 4095:
+            codes.append((clear, width_bits))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width_bits = mcs + 1
+        cur = bytes([b])
+    if cur:
+        codes.append((table[cur], width_bits))
+    codes.append((eoi, width_bits))
+
+    acc = n_bits = 0
+    data = bytearray()
+    for code, wb in codes:
+        acc |= code << n_bits
+        n_bits += wb
+        while n_bits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+    if n_bits:
+        data.append(acc & 0xFF)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """Minimal GIF parser → (width, height, numpy (h, w, 3) RGB top-down)
+    of the FIRST image.  Real LZW decode (variable widths, clear-code
+    resets).  Raises ``ValueError`` on structural damage, interlaced
+    images, out-of-palette indices, or a stream with no image —
+    quarantine upstream, the shared codec contract."""
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed = struct.unpack_from("<HHB", payload, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("GIF global color table truncated")
+        palette = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF unknown block 0x{block:02x} at {pos - 1}")
+        if pos + 9 > len(payload):
+            raise ValueError("GIF image descriptor truncated")
+        _, _, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        pal = palette
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("GIF local color table truncated")
+            pal = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        if pos >= len(payload):
+            raise ValueError("GIF LZW header truncated")
+        mcs = payload[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise ValueError(f"GIF bad LZW min code size {mcs}")
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            if pos + 1 + ln > len(payload):
+                raise ValueError("GIF data sub-block truncated")
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        if pos >= len(payload):
+            raise ValueError("GIF data blocks unterminated")
+        pos += 1
+
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+        next_code = eoi + 1
+        width_bits = mcs + 1
+        need = iw * ih
+        out = bytearray()
+        acc = n_bits = di = 0
+        prev: bytes | None = None
+
+        def read_code():
+            nonlocal acc, n_bits, di
+            while n_bits < width_bits:
+                if di >= len(data):
+                    return None
+                acc |= data[di] << n_bits
+                di += 1
+                n_bits += 8
+            code = acc & ((1 << width_bits) - 1)
+            acc >>= width_bits
+            n_bits -= width_bits
+            return code
+
+        while len(out) < need:
+            code = read_code()
+            if code is None:
+                raise ValueError("GIF LZW stream truncated")
+            if code == clear:
+                table = {i: bytes([i]) for i in range(clear)}
+                next_code = eoi + 1
+                width_bits = mcs + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise ValueError(f"GIF LZW bad first code {code}")
+            else:
+                if code in table:
+                    entry = table[code]
+                elif code == next_code:  # the KwKwK case
+                    entry = prev + prev[:1]
+                else:
+                    raise ValueError(f"GIF LZW code {code} out of range")
+                if next_code < 4096:
+                    table[next_code] = prev + entry[:1]
+                    next_code += 1
+                    if next_code == (1 << width_bits) and width_bits < 12:
+                        width_bits += 1
+            out += entry
+            prev = entry
+        if len(out) < need:
+            raise ValueError("GIF pixel data short of descriptor size")
+        idx = np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(ih, iw)
+        if int(idx.max(initial=0)) * 3 + 2 >= len(pal):
+            raise ValueError("GIF pixel index outside the color table")
+        lut = np.frombuffer(pal, dtype=np.uint8)
+        lut = lut[: (len(pal) // 3) * 3].reshape(-1, 3)
+        return iw, ih, lut[idx]
+    raise ValueError("GIF stream contains no image")
+
+
+GIF_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_px", LongType()),
+        StructField("max_px", LongType()),
+        StructField("ds2_sum", LongType()),
+    ]
+)
+
+
+def gif_stats(df: DataFrame) -> DataFrame:
+    """REAL decode over the GIF byte path: LZW-decode, palette-map, then
+    exact integer pixel statistics on the red channel (the grayscale
+    synth's palette is ``(i, i, i)``, so red = the original gray value —
+    same contract as :func:`jpeg_stats`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_gif(bytes(payload))
+                g = px[:, :, 0].astype("int64")
+                ds = g[::2, ::2]
+                out.append(
+                    (int(mid), w, h, int(g.sum()), int(g.max()), int(ds.sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "sum_px", "max_px", "ds2_sum"],
+            )
+
+    return df.mapInPandas(run, schema=GIF_STATS_SCHEMA)
+
+
+def synth_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic textured grayscale GIFs: the quadratic texture of
+    :func:`synth_texture_bmp` (``(17k + 3x² + 7y² + 5xy + 11x + 13y)
+    mod 251`` — 251 distinct values force the LZW dictionary through
+    real code-width growth), size ``(8 + k mod 5) × (8 + 3k mod 7)``.
+    GIF is lossless, so an SQL oracle mirrors the texture arithmetic
+    pixel-for-pixel."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                w, h = 8 + k % 5, 8 + (3 * k) % 7
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                px = (
+                    (17 * k + 3 * xs * xs + 7 * ys * ys + 5 * xs * ys
+                     + 11 * xs + 13 * ys) % 251
+                ).astype(np.uint8)
+                payload = encode_gif(w, h, px)
+                rows.append((k, "image", payload, "gif", len(payload)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
             )

@@ -4040,6 +4040,21 @@ def media_audio_resampled_pairs(spark, sf_dir):
     )
 
 
+def media_gif_stats(spark, sf_dir):
+    """REAL codec gate #6 — GIF, the third most common crawl image
+    format: textured grayscale GIFs synthesized from doc_id arithmetic
+    (251 distinct values force the LZW dictionary through real
+    code-width growth), then parsed, LZW-decoded and palette-mapped
+    back to exact integer pixel statistics
+    (`operators/multimodal.py::encode_gif/decode_gif/gif_stats`).  GIF
+    is lossless, so the oracle mirrors the texture arithmetic
+    pixel-for-pixel — any bit-packing, code-width, clear-code, or
+    palette bug breaks the hash.  In-column GIF payloads get the same
+    decode rights the ImageIO file lane already had."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.gif_stats(multimodal.synth_gif(docs))
+
+
 def media_video_pairs(spark, sf_dir):
     """Perceptual VIDEO near-dedup — per-frame pHash over the real Y4M
     codec (`operators/multimodal.py::video_phash`, the SAME hash
@@ -7740,6 +7755,40 @@ FROM f a JOIN f bb ON a.media_id < bb.media_id
 WHERE bit_count(xor(a.afp, bb.afp)) <= {AUDIO_FP_MAX_HAMMING}
 """
 
+    # GIF: lossless, so the oracle mirrors the synth texture arithmetic
+    # pixel-for-pixel (the PGM/BMP stats pattern) — the engine's numbers
+    # come through real LZW decode + palette mapping
+    o["media_gif_stats"] = _q("""
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS media_id,
+                 CAST(8 + doc_id % 5 AS BIGINT) AS w,
+                 CAST(8 + (3 * doc_id) % 7 AS BIGINT) AS h
+          FROM documents),
+        px AS (
+          SELECT media_id, w, h,
+                 list_transform(range(0, CAST(w * h AS INT)),
+                   i -> (17 * media_id + 3 * (i % w) * (i % w)
+                         + 7 * (i // w) * (i // w)
+                         + 5 * (i % w) * (i // w)
+                         + 11 * (i % w) + 13 * (i // w)) % 251) AS p
+          FROM d),
+        ds AS (
+          SELECT media_id,
+                 list_sum(list_transform(
+                   list_filter(range(0, CAST(w * h AS INT)),
+                               i -> (i % w) % 2 = 0 AND (i // w) % 2 = 0),
+                   i -> (17 * media_id + 3 * (i % w) * (i % w)
+                         + 7 * (i // w) * (i // w)
+                         + 5 * (i % w) * (i // w)
+                         + 11 * (i % w) + 13 * (i // w)) % 251)) AS dsum
+          FROM px)
+        SELECT px.media_id, w AS width, h AS height,
+               CAST(list_sum(p) AS BIGINT) AS sum_px,
+               CAST(list_max(p) AS BIGINT) AS max_px,
+               CAST(dsum AS BIGINT) AS ds2_sum
+        FROM px JOIN ds ON ds.media_id = px.media_id
+    """)
+
     # resample-robust audio: time-based windows make a duplicated-sample
     # re-encode's windows cover the SAME original spans — the oracle
     # computes original-window energies once and applies each slot's
@@ -9231,4 +9280,5 @@ def _all_queries():
         "media_shot_reuse": media_shot_reuse,
         "media_audio_resampled_pairs": media_audio_resampled_pairs,
         "media_robust_panorama": media_robust_panorama,
+        "media_gif_stats": media_gif_stats,
     }

@@ -1005,6 +1005,85 @@ def test_asym_offset_audio_and_trimmed_video_probes(spark):
     assert eq[(9, 8)] == 0
 
 
+def test_gif_codec_roundtrip_and_contracts(spark):
+    """r8 GIF pins: (1) encode->decode round-trips textures bit-exactly
+    through real LZW incl. code-width growth (251 distinct values) and
+    a >4096-pixel image (dictionary reset); (2) a hand-built
+    'uncompressed-style' stream with redundant clear codes decodes;
+    (3) interlaced images and structural damage quarantine; (4) the
+    generic decode_media/pHash paths treat gif as a REAL codec."""
+    import struct as _struct
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    # round-trip incl. dict reset (80x70 = 5600 px > 4096 entries)
+    for k, (w, h) in ((3, (13, 9)), (11, (80, 70))):
+        xs = np.arange(w)[None, :]
+        ys = np.arange(h)[:, None]
+        px = ((17 * k + 3 * xs * xs + 7 * ys * ys + 5 * xs * ys
+               + 11 * xs + 13 * ys) % 251).astype(np.uint8)
+        w2, h2, rgb = M.decode_gif(M.encode_gif(w, h, px))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(rgb[:, :, 0], px)
+        assert np.array_equal(rgb[:, :, 2], px)  # gray palette
+    # KwKwK stress: constant image emits runs that hit code==next_code
+    flat = np.zeros((33, 57), dtype=np.uint8)
+    assert np.array_equal(
+        M.decode_gif(M.encode_gif(57, 33, flat))[2][:, :, 0], flat)
+
+    # hand-built uncompressed-style stream: literal codes with a clear
+    # before every pixel (valid per the spec, never grows the dict)
+    w, h = 4, 2
+    pix = [10, 20, 30, 40, 50, 60, 70, 80]
+    codes = []
+    for p in pix:
+        codes += [(256, 9), (p, 9)]
+    codes.append((257, 9))
+    acc = nb = 0
+    data = bytearray()
+    for c, wd in codes:
+        acc |= c << nb
+        nb += wd
+        while nb >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        data.append(acc & 0xFF)
+    raw = bytearray(b"GIF89a")
+    raw += _struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    raw += bytes(i for i in range(256) for _ in range(3))
+    raw += b"\x2c" + _struct.pack("<HHHHB", 0, 0, w, h, 0) + b"\x08"
+    raw += bytes([len(data)]) + data + b"\x00\x3b"
+    w2, h2, rgb = M.decode_gif(bytes(raw))
+    assert list(rgb[:, :, 0].ravel()) == pix
+
+    # interlace + damage quarantine
+    import pytest as _pytest
+
+    good = M.encode_gif(8, 8, np.zeros((8, 8), dtype=np.uint8))
+    interlaced = bytearray(good)
+    # image descriptor packed byte: 6 (header) + 7 (LSD) + 768 (GCT)
+    # + 1 (0x2C) + 8 = offset of packed field
+    interlaced[6 + 7 + 768 + 9] |= 0x40
+    with _pytest.raises(ValueError, match="interlaced"):
+        M.decode_gif(bytes(interlaced))
+    with _pytest.raises(ValueError):
+        M.decode_gif(good[:30])
+    with _pytest.raises(ValueError):
+        M.decode_gif(b"GIF89a" + b"\x00" * 3)
+
+    # generic paths: real dims/features via decode_media, real pHash
+    ids = spark.createDataFrame([(i,) for i in range(4)], "doc_id bigint")
+    media = M.synth_gif(ids)
+    dec = {r.media_id: (r.width, r.height) for r in M.decode_media(media).collect()}
+    assert dec[0] == (8, 8) and dec[1] == (9, 11)
+    ph = M.phash_media(media)
+    assert ph.where(F.col("phash").isNull()).count() == 0
+
+
 def test_media_dims_header_parity(spark):
     """r8 header-dims pins: for every format with a real codec the
     header-parsed dims equal the full decode's (BMP/PNG/JPEG incl. the
@@ -1021,6 +1100,7 @@ def test_media_dims_header_parity(spark):
         M.synth_jpeg(ids, progressive=True),
         M.synth_jpeg_exif(ids),          # APP1 before SOF
         M.synth_pgm(ids),
+        M.synth_gif(ids),
     ]
     for media in corpora:
         hd = {r.media_id: (r.width, r.height)
