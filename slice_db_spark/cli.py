@@ -523,6 +523,7 @@ def cmd_ingest_media(args) -> int:
         file_ids=args.file_ids,
         min_side=args.min_side,
         max_aspect=args.max_aspect,
+        windows_per_sec=args.windows_per_sec,
     )
     report = {"corpus_rows": spark.read.parquet(args.corpus).count()}
     import os as _os
@@ -1421,6 +1422,11 @@ def main(argv: list[str] | None = None) -> int:
     im.add_argument("--max-aspect", type=int, default=None,
                     help="image curation gate: drop images whose longer "
                     "side exceeds this multiple of the shorter")
+    im.add_argument("--windows-per-sec", type=int, default=None,
+                    help="audio lane: TIME-based energy windows (window "
+                    "length = rate/this from the WAV header) — resample-"
+                    "robust fingerprints; recorded in the index sidecar, "
+                    "a mismatched re-ingest raises")
     im.add_argument("landing", help="landing directory of parquet shards "
                     "with MEDIA_SCHEMA columns")
     im.add_argument("corpus", help="parquet media corpus directory (appended)")

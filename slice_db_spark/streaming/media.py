@@ -63,18 +63,22 @@ PHASH_META_NAME = "_phash_meta.json"
 def write_phash_meta(
     path: str, bits: int, bands: int, max_hamming: int,
     fingerprint: str = "phash",
+    windows_per_sec: int | None = None,
 ) -> None:
     """Persist the signature mode + banding parameters the index serves —
     probing with different (fingerprint, bits, bands) silently matches
-    nothing (or mixes incomparable signatures)."""
+    nothing (or mixes incomparable signatures).  ``windows_per_sec``
+    (audio time-window mode) is recorded only when set: fingerprints
+    built with different windowings are just as incomparable as
+    different modalities."""
     import json
 
+    meta = {"bits": bits, "bands": bands, "max_hamming": max_hamming,
+            "fingerprint": fingerprint}
+    if windows_per_sec is not None:
+        meta["windows_per_sec"] = windows_per_sec
     with open(os.path.join(path, PHASH_META_NAME), "w") as f:
-        json.dump(
-            {"bits": bits, "bands": bands, "max_hamming": max_hamming,
-             "fingerprint": fingerprint},
-            f,
-        )
+        json.dump(meta, f)
 
 
 def read_phash_meta(path: str) -> dict | None:
@@ -158,6 +162,7 @@ def ingest_media_stream(
     file_ids: str = "digits",
     min_side: int | None = None,
     max_aspect: int | None = None,
+    windows_per_sec: int | None = None,
 ):
     """Start (and with ``available_now`` run to completion) the media
     ingestion stream — see the module docstring for the per-batch
@@ -202,9 +207,9 @@ def ingest_media_stream(
         "phash": (63, 7, 6, lambda b: _mm.phash_media(b, null_on_error=True)),
         "audio": (
             30, 6, 4,
-            lambda b: _mm.audio_fingerprint(b, null_on_error=True).select(
-                "media_id", F.col("afp").alias("phash")
-            ),
+            lambda b: _mm.audio_fingerprint(
+                b, null_on_error=True, windows_per_sec=windows_per_sec
+            ).select("media_id", F.col("afp").alias("phash")),
         ),
         # video: one signature row per FRAME (media_id, frame_idx, phash)
         "video": (63, 7, 6, lambda b: _mm.video_phash(b, null_on_error=True)),
@@ -229,6 +234,11 @@ def ingest_media_stream(
         raise ValueError(f"min_side must be >= 1, got {min_side}")
     if max_aspect is not None and max_aspect < 1:
         raise ValueError(f"max_aspect must be >= 1, got {max_aspect}")
+    if windows_per_sec is not None and fingerprint != "audio":
+        raise ValueError(
+            "windows_per_sec is the audio lane's time-window mode — "
+            f"meaningless with fingerprint={fingerprint!r}"
+        )
 
     def _sink(batch: DataFrame, epoch_id: int) -> None:
         import contextlib
@@ -389,6 +399,13 @@ def ingest_media_stream(
                         f"{meta.get('fingerprint', 'phash')!r}; ingesting with "
                         f"{fingerprint!r} would mix incomparable signatures"
                     )
+                if meta and meta.get("windows_per_sec") != windows_per_sec:
+                    raise ValueError(
+                        f"index at {phash_index} was built with "
+                        f"windows_per_sec={meta.get('windows_per_sec')!r}; "
+                        f"ingesting with {windows_per_sec!r} would mix "
+                        "fingerprints from different window lengths"
+                    )
                 if meta is None and _index_has_rows(phash_index):
                     # rows but no sidecar: our writer stamps the sidecar
                     # BEFORE the first append, so this state means the
@@ -409,7 +426,10 @@ def ingest_media_stream(
                     # could no longer establish; a sidecar with zero rows
                     # is harmless
                     os.makedirs(phash_index, exist_ok=True)
-                    write_phash_meta(phash_index, b_, n_, h_, fingerprint)
+                    write_phash_meta(
+                        phash_index, b_, n_, h_, fingerprint,
+                        windows_per_sec=windows_per_sec,
+                    )
                 # within-batch perceptual pairs: min media_id wins (the
                 # standing index only covers prior batches)
                 if fingerprint == "video":

@@ -608,3 +608,53 @@ def test_media_ingest_dims_gate(spark, tmp_path):
     with pytest.raises(ValueError, match="phash"):
         SM.ingest_media_stream(spark, land, out, ckpt,
                                fingerprint="audio", min_side=32)
+
+
+def test_media_ingest_audio_time_windows(spark, tmp_path):
+    """r8 time-window audio lane: windows_per_sec is recorded in the
+    index sidecar, a resampled (2x-rate) replay arriving in a LATER
+    batch drops via the standing index (the continuous resample-robust
+    regime), a mismatched re-ingest raises, and non-audio lanes refuse
+    the knob at plan time."""
+    import pytest
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    out = str(tmp_path / "media")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "afp_idx")
+    rej = str(tmp_path / "rejects")
+
+    ids0 = spark.createDataFrame([(0,), (1,)], "doc_id bigint")
+    b0 = M.synth_audio_clips_resampled(ids0)   # slots 0/1: 16kHz originals
+    _land(b0, land, "b0.parquet", 1_000_000_000)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           rejects=rej, fingerprint="audio",
+                           windows_per_sec=320)
+    meta = SM.read_phash_meta(idx)
+    assert meta["fingerprint"] == "audio" and meta["windows_per_sec"] == 320
+
+    # batch 2: id 8 = 32kHz sample-duplicated replay of id 0 — the
+    # time-window fingerprint matches the STANDING index entry exactly
+    b1 = M.synth_audio_clips_resampled(
+        spark.createDataFrame([(8,), (25,)], "doc_id bigint"))
+    _land(b1, land, "b1.parquet", 1_000_000_100)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           rejects=rej, fingerprint="audio",
+                           windows_per_sec=320)
+    landed = {r.media_id for r in spark.read.parquet(out).collect()}
+    assert landed == {0, 1, 25}            # 8 dropped as a near-dup
+    dropped = {r.media_id for r in spark.read.json(rej + ".neardup").collect()}
+    assert dropped == {8}
+
+    # mismatched windowing on an existing index raises
+    _land(M.synth_audio_clips_resampled(
+        spark.createDataFrame([(30,)], "doc_id bigint")),
+        land, "b2.parquet", 1_000_000_200)
+    with pytest.raises(Exception, match="windows_per_sec"):
+        SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                               fingerprint="audio")
+    # non-audio lanes refuse the knob
+    with pytest.raises(ValueError, match="audio"):
+        SM.ingest_media_stream(spark, land, out, ckpt,
+                               windows_per_sec=320)
