@@ -2639,29 +2639,15 @@ def _header_dims(fmt: str, data: bytes) -> tuple[int, int] | None:
         w, h = struct.unpack_from(">II", data, 16)
         return int(w), int(h)
     if fmt in ("jpeg", "jpg"):
-        if data[:2] != b"\xff\xd8":
-            raise ValueError("not a JPEG (no SOI)")
-        pos = 2
-        while pos + 4 <= len(data):
-            if data[pos] != 0xFF:
-                raise ValueError(f"JPEG marker sync lost at {pos}")
-            marker = data[pos + 1]
-            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                pos += 2
-                continue
-            if marker in (0xD9, 0xDA):
-                break
-            seg_len = struct.unpack_from(">H", data, pos + 2)[0]
-            if seg_len < 2 or pos + 2 + seg_len > len(data):
-                raise ValueError("JPEG segment length runs past payload")
+        for marker, start, seg_len in _jpeg_marker_segments(data):
             # every SOF frame header (baseline/extended/progressive,
-            # 0xC0-0xCF minus DHT 0xC4 / DAC 0xCC) carries h@+5, w@+7
+            # 0xC0-0xCF minus DHT 0xC4 / JPG 0xC8 / DAC 0xCC) carries
+            # h at payload offset +1, w at +3
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 if seg_len < 7:
                     raise ValueError("JPEG SOF segment too short")
-                h, w = struct.unpack_from(">HH", data, pos + 5)
+                h, w = struct.unpack_from(">HH", data, start + 1)
                 return int(w), int(h)
-            pos += 2 + seg_len
         raise ValueError("JPEG has no SOF frame header")
     if fmt == "gif":
         if len(data) < 10 or data[:6] not in (b"GIF87a", b"GIF89a"):
@@ -2732,6 +2718,21 @@ def media_dims(df: DataFrame, null_on_error: bool = False) -> DataFrame:
     return df.mapInPandas(run, schema=DIMS_SCHEMA)
 
 
+def media_gate_conditions(w, h, min_side: int, max_aspect: int | None):
+    """The gate's two failure predicates as column expressions —
+    ONE definition shared by :func:`media_gate` (the query surface and
+    its oracle) and the ingest sink's pre-decode gate, so the two can
+    never drift.  ``max_aspect=None`` disables the aspect check
+    (a never-true literal)."""
+    small = F.least(w, h) < min_side if min_side is not None else F.lit(False)
+    skewed = (
+        F.greatest(w, h) > max_aspect * F.least(w, h)
+        if max_aspect is not None
+        else F.lit(False)
+    )
+    return small, skewed
+
+
 def media_gate(
     decoded: DataFrame,
     min_side: int = 32,
@@ -2753,16 +2754,20 @@ def media_gate(
             f"min_side and max_aspect must be >= 1, got {min_side}, {max_aspect}"
         )
     w, h = F.col("width"), F.col("height")
-    small = F.least(w, h) < min_side
-    skewed = F.greatest(w, h) > max_aspect * F.least(w, h)
+    small, skewed = media_gate_conditions(w, h, min_side, max_aspect)
+    known = w.isNotNull() & h.isNotNull()
     return decoded.select(
         "media_id",
         w.cast("bigint").alias("width"),
         h.cast("bigint").alias("height"),
-        (~small & ~skewed).alias("keep"),
-        F.when(small, F.lit("small"))
-        .when(skewed, F.lit("aspect"))
-        .otherwise(F.lit("ok"))
+        # NULL dims (a non-image row, or a header the prober couldn't
+        # parse) stay NULL in BOTH columns — a keep=NULL/reason='ok'
+        # split would let a groupBy(reason) report count ungated rows
+        # as passing while a where(keep) filter drops them
+        F.when(known, ~small & ~skewed).alias("keep"),
+        F.when(known & small, F.lit("small"))
+        .when(known & skewed, F.lit("aspect"))
+        .when(known, F.lit("ok"))
         .alias("reason"),
     )
 
@@ -2990,29 +2995,46 @@ def _parse_exif_tiff(data: bytes) -> dict:
     return out
 
 
-def _find_exif_tiff(data: bytes) -> bytes | None:
-    """Walk a JPEG's marker stream and return the TIFF blob of its Exif
-    APP1 segment, or None when the image carries no EXIF.  Raises
-    ValueError on marker-stream damage (no SOI, lost sync, segment
-    length past the payload)."""
+def _jpeg_marker_segments(data: bytes):
+    """Yield ``(marker, seg_start, seg_len)`` for each sized segment of
+    a JPEG's header marker stream, stopping at SOS/EOI — the ONE marker
+    walk shared by the header-dims probe and the EXIF finder.  Skips
+    0xFF fill bytes before markers (T.81 B.1.1.2 allows any number; the
+    full decoder consumes them too) and standalone markers (SOI/TEM/
+    RSTn).  ``seg_start`` points at the segment's first payload byte
+    (after the 2-byte length).  Raises ValueError on damage (no SOI,
+    lost sync, segment length past the payload)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG marker sync lost at {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # fill byte: 0xFF repeated before the marker code
+        if pos + 4 > len(data):
+            break
         marker = data[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
-        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no EXIF
-            break
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: header ends
+            return
         seg_len = struct.unpack_from(">H", data, pos + 2)[0]
         if seg_len < 2 or pos + 2 + seg_len > len(data):
             raise ValueError("JPEG segment length runs past payload")
-        if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\0\0":
-            return data[pos + 10 : pos + 2 + seg_len]
+        yield marker, pos + 4, seg_len
         pos += 2 + seg_len
+
+
+def _find_exif_tiff(data: bytes) -> bytes | None:
+    """Walk a JPEG's marker stream and return the TIFF blob of its Exif
+    APP1 segment, or None when the image carries no EXIF.  Raises
+    ValueError on marker-stream damage (the shared walker's
+    contract)."""
+    for marker, start, seg_len in _jpeg_marker_segments(data):
+        if marker == 0xE1 and data[start : start + 6] == b"Exif\0\0":
+            return data[start + 6 : start - 2 + seg_len]
     return None
 
 
@@ -3474,9 +3496,13 @@ def gif_stats(df: DataFrame) -> DataFrame:
 def synth_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic textured grayscale GIFs: the quadratic texture of
     :func:`synth_texture_bmp` (``(17k + 3x² + 7y² + 5xy + 11x + 13y)
-    mod 251`` — 251 distinct values force the LZW dictionary through
-    real code-width growth), size ``(8 + k mod 5) × (8 + 3k mod 7)``.
-    GIF is lossless, so an SQL oracle mirrors the texture arithmetic
+    mod 251``), size ``(40 + k mod 9) × (36 + 3k mod 11)`` — 1440-2208
+    pixels of 251 distinct values add 1675-2423 LZW dictionary entries,
+    so EVERY image drives the code width through the 512/1024 (and the
+    larger ones through the 2048) transitions under the oracle; the
+    4096-entry dictionary reset is unit-test territory
+    (test_gif_codec_roundtrip_and_contracts' 120×100 image).  GIF is
+    lossless, so an SQL oracle mirrors the texture arithmetic
     pixel-for-pixel."""
     import numpy as np
 
@@ -3485,7 +3511,7 @@ def synth_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             rows = []
             for k in pdf[id_col]:
                 k = int(k)
-                w, h = 8 + k % 5, 8 + (3 * k) % 7
+                w, h = 40 + k % 9, 36 + (3 * k) % 11
                 xs = np.arange(w)[None, :]
                 ys = np.arange(h)[:, None]
                 px = (

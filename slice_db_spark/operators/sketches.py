@@ -352,8 +352,19 @@ def hll_estimates_by(regs: DataFrame, by: list[str]) -> DataFrame:
 # exact count instead.
 
 KMV_K = 256
-#: hash64 upper bound (exclusive): 2^60
+#: md5-mode hash64 upper bound (exclusive): 2^60.  The ORACLES pin this
+#: value (they replay the md5 form); the operator itself derives the
+#: active range from the hashing module so ``SLICE_FAST_HASH=1`` (63-bit
+#: xxhash64) keeps every estimate correct — the hash-agnostic contract
+#: every other operator honors.
 KMV_RANGE = 1 << 60
+
+
+def _kmv_active_range() -> int:
+    """Exclusive upper bound of the ACTIVE hash64 output."""
+    from .hashing import HASH_BITS, fast_hash_enabled
+
+    return 1 << (63 if fast_hash_enabled() else HASH_BITS)
 
 
 def kmv_sketch(df: DataFrame, col: str, k: int = KMV_K, salt: str = "kmv") -> DataFrame:
@@ -385,16 +396,19 @@ def _kmv_scalars(sk: DataFrame, k: int) -> tuple[int, int]:
         F.count(F.lit(1)).alias("n"), F.max("h").alias("mx")
     ).collect()[0]
     n = int(row["n"])
-    return n, (int(row["mx"]) if n >= k else KMV_RANGE)
+    return n, (int(row["mx"]) if n >= k else _kmv_active_range())
 
 
 def _kmv_estimate(c: int, theta: int) -> int:
     """Scale a below-theta sample count to a cardinality estimate in
-    exact integer arithmetic (theta = full range -> the count IS the
-    cardinality)."""
-    if theta >= KMV_RANGE:
+    exact integer arithmetic: ``n-hat = c · range / theta`` in the 2^40
+    fixed point (``(c << 40) div ((theta >> (range_bits − 40)) + 1)``,
+    so the shift tracks the ACTIVE hash width).  theta = full range ->
+    the count IS the cardinality."""
+    rng = _kmv_active_range()
+    if theta >= rng:
         return c
-    return (c * (1 << 40)) // ((theta >> 20) + 1)
+    return (c * (1 << 40)) // ((theta >> (rng.bit_length() - 1 - 40)) + 1)
 
 
 def kmv_set_stats(
@@ -403,24 +417,27 @@ def kmv_set_stats(
     """Theta-sketch set algebra over two KMV sketches: (a_est, b_est,
     union_est, inter_est, diff_est) where diff is A-not-B.  theta =
     min of the two sketch thresholds; every sample below theta is a
-    uniform sample of the union at rate theta/2^60, so scaled counts of
+    uniform sample of the union at rate theta/range, so scaled counts of
     'in A', 'in both', 'in A not B' estimate the respective
     cardinalities.  All driver arithmetic here runs on ≤k-row frames —
     the sketches themselves are the distributed part."""
     na, ta = _kmv_scalars(a, k)
     nb, tb = _kmv_scalars(b, k)
     theta = min(ta, tb)
-    ha = a.where(F.col("h") < theta)
-    hb = b.where(F.col("h") < theta)
+    rng = _kmv_active_range()
+    # theta == range means both sketches hold their whole sets — every
+    # sample qualifies, and the range itself (2^63 in fast-hash mode)
+    # would overflow an int64 literal in the filter
+    ha = a if theta >= rng else a.where(F.col("h") < theta)
+    hb = b if theta >= rng else b.where(F.col("h") < theta)
     c_a = ha.count()
-    c_b = hb.count()
     c_int = ha.join(hb, "h", "left_semi").count()
     # single-set estimates use each sketch's OWN theta (tighter)
-    a_est = _kmv_estimate(na if ta >= KMV_RANGE else k - 1, ta)
-    b_est = _kmv_estimate(nb if tb >= KMV_RANGE else k - 1, tb)
+    a_est = _kmv_estimate(na if ta >= rng else k - 1, ta)
+    b_est = _kmv_estimate(nb if tb >= rng else k - 1, tb)
     u = kmv_merge(a, b, k=k)
     nu, tu = _kmv_scalars(u, k)
-    union_est = _kmv_estimate(nu if tu >= KMV_RANGE else k - 1, tu)
+    union_est = _kmv_estimate(nu if tu >= rng else k - 1, tu)
     inter_est = _kmv_estimate(c_int, theta)
     diff_est = _kmv_estimate(c_a - c_int, theta)
     return a_est, b_est, union_est, inter_est, diff_est

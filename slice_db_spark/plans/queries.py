@@ -4043,8 +4043,8 @@ def media_audio_resampled_pairs(spark, sf_dir):
 def media_gif_stats(spark, sf_dir):
     """REAL codec gate #6 — GIF, the third most common crawl image
     format: textured grayscale GIFs synthesized from doc_id arithmetic
-    (251 distinct values force the LZW dictionary through real
-    code-width growth), then parsed, LZW-decoded and palette-mapped
+    (1440-2208 pixels of 251 distinct values — every image drives the
+    LZW code width through real 9→10→11-bit growth), then parsed, LZW-decoded and palette-mapped
     back to exact integer pixel statistics
     (`operators/multimodal.py::encode_gif/decode_gif/gif_stats`).  GIF
     is lossless, so the oracle mirrors the texture arithmetic
@@ -7761,8 +7761,8 @@ WHERE bit_count(xor(a.afp, bb.afp)) <= {AUDIO_FP_MAX_HAMMING}
     o["media_gif_stats"] = _q("""
         WITH d AS (
           SELECT CAST(doc_id AS BIGINT) AS media_id,
-                 CAST(8 + doc_id % 5 AS BIGINT) AS w,
-                 CAST(8 + (3 * doc_id) % 7 AS BIGINT) AS h
+                 CAST(40 + doc_id % 9 AS BIGINT) AS w,
+                 CAST(36 + (3 * doc_id) % 11 AS BIGINT) AS h
           FROM documents),
         px AS (
           SELECT media_id, w, h,

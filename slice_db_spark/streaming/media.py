@@ -342,13 +342,11 @@ def ingest_media_stream(
         if min_side is not None or max_aspect is not None:
             dims = _mm.media_dims(survivors, null_on_error=True)
             wc, hc = F.col("width"), F.col("height")
-            fail = F.lit(False)
-            if min_side is not None:
-                fail = fail | (F.least(wc, hc) < min_side)
-            if max_aspect is not None:
-                fail = fail | (F.greatest(wc, hc) > max_aspect * F.least(wc, hc))
+            small, skewed = _mm.media_gate_conditions(
+                wc, hc, min_side, max_aspect
+            )
             gated = (
-                dims.where(wc.isNotNull() & hc.isNotNull() & fail)
+                dims.where(wc.isNotNull() & hc.isNotNull() & (small | skewed))
                 .select("media_id")
                 .localCheckpoint(eager=True)
             )

@@ -1075,11 +1075,20 @@ def test_gif_codec_roundtrip_and_contracts(spark):
     with _pytest.raises(ValueError):
         M.decode_gif(b"GIF89a" + b"\x00" * 3)
 
+    # 4096-entry dictionary RESET coverage: 120x100 = 12000 px of the
+    # textured field adds >4095 entries, forcing a mid-stream clear
+    xs = np.arange(120)[None, :]
+    ys = np.arange(100)[:, None]
+    big = ((17 * 5 + 3 * xs * xs + 7 * ys * ys + 5 * xs * ys
+            + 11 * xs + 13 * ys) % 251).astype(np.uint8)
+    assert np.array_equal(
+        M.decode_gif(M.encode_gif(120, 100, big))[2][:, :, 0], big)
+
     # generic paths: real dims/features via decode_media, real pHash
     ids = spark.createDataFrame([(i,) for i in range(4)], "doc_id bigint")
     media = M.synth_gif(ids)
     dec = {r.media_id: (r.width, r.height) for r in M.decode_media(media).collect()}
-    assert dec[0] == (8, 8) and dec[1] == (9, 11)
+    assert dec[0] == (40, 36) and dec[1] == (41, 39)
     ph = M.phash_media(media)
     assert ph.where(F.col("phash").isNull()).count() == 0
 
@@ -1120,6 +1129,15 @@ def test_media_dims_header_parity(spark):
     with _pytest.raises(Exception):
         M.media_dims(bad).collect()
     assert M.media_dims(bad, null_on_error=True).collect()[0].width is None
+
+    # T.81 B.1.1.2 fill bytes (0xFF padding before a marker) must not
+    # break the header walkers — the full decoder consumes them too
+    body = M.synth_jpeg_exif(ids.limit(2)).collect()[1]  # id 1: has EXIF
+    raw = bytes(body.payload)
+    filled = raw[:2] + b"\xff\xff\xff" + raw[2:]
+    assert M._header_dims("jpeg", filled) == M._header_dims("jpeg", raw)
+    assert M._find_exif_tiff(filled) == M._find_exif_tiff(raw)
+    assert M._find_exif_tiff(filled) is not None
 
 
 def test_phash_oriented_planted_rotations(spark):
@@ -1187,6 +1205,13 @@ def test_media_gate_boundaries_and_reason_order(spark):
     assert got[3] == (True, "ok")
     assert got[4] == (False, "aspect")
     assert got[5] == (False, "small")
+    # NULL dims (non-image rows / unparsed headers) must stay NULL in
+    # BOTH columns — keep=NULL with reason='ok' would let a reason
+    # report and a keep filter disagree about the same row
+    nulls = spark.createDataFrame(
+        [(9, None, None)], "media_id bigint, width int, height int")
+    r = M.media_gate(nulls, min_side=32, max_aspect=3).collect()[0]
+    assert r.keep is None and r.reason is None
 
 
 def test_exif_parse_golden_and_quarantine(spark):

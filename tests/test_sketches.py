@@ -231,3 +231,21 @@ def test_kmv_sketch_exact_full_merge_and_setops(spark):
     assert i_est < 350, i_est
     assert abs(d_est - 2000) < 700, d_est
     assert abs(u_est - 4000) < 1000, u_est
+
+    # hash-agnostic contract: under SLICE_FAST_HASH=1 (63-bit xxhash64)
+    # the range/shift derive from the active hash — estimates stay in
+    # the envelope and unfull sketches stay exact
+    import os
+
+    os.environ["SLICE_FAST_HASH"] = "1"
+    try:
+        f_small = S.kmv_sketch(ids(0, 100), "v")
+        fa, fb, fu, fi, fd = S.kmv_set_stats(f_small, S.kmv_sketch(ids(0, 100), "v"))
+        assert (fa, fb, fu, fi, fd) == (100, 100, 100, 100, 0)
+        fa, _, fu, fi, fd = S.kmv_set_stats(
+            S.kmv_sketch(ids(0, 2000), "v"), S.kmv_sketch(ids(2000, 4000), "v"))
+        assert abs(fa - 2000) < 700, fa
+        assert abs(fu - 4000) < 1000, fu
+        assert fi < 350 and abs(fd - 2000) < 700, (fi, fd)
+    finally:
+        del os.environ["SLICE_FAST_HASH"]
