@@ -162,6 +162,7 @@ HEADLINE = [
     "media_audio_resampled_pairs",
     "media_robust_panorama",
     "media_gif_stats",
+    "media_wav_stereo",
     "quality",
     "language_id",
     "lang_confusion",

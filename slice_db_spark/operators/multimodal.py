@@ -433,21 +433,74 @@ def encode_wav(samples: list[int], rate: int) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[int, list[int]]:
-    """Minimal RIFF/WAVE parser: returns (sample_rate, samples).  Raises
-    ``ValueError`` on anything that is not mono PCM16 — a real pipeline
-    routes those rows to quarantine, mirroring the corpus readers."""
+    """Minimal RIFF/WAVE parser: returns (sample_rate, samples).  Mono
+    PCM16 passes through; STEREO PCM16 (the most common real WAV shape)
+    downmixes to mono as ``(L + R + 65536) div 2 − 32768`` — the
+    shifted numerator is non-negative, so floor division and truncation
+    agree and Python, Spark SQL, and DuckDB compute the identical
+    sample (a bare ``(L+R)//2`` floors in Python but truncates in both
+    SQL engines on odd negative sums).  Anything else raises
+    ``ValueError`` — a real pipeline routes those rows to quarantine,
+    mirroring the corpus readers."""
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     fmt, channels, rate, bits = struct.unpack("<HHI", payload[20:28]) + (
         struct.unpack("<H", payload[34:36])[0],
     )
-    if fmt != 1 or channels != 1 or bits != 16:
+    if fmt != 1 or channels not in (1, 2) or bits != 16:
         raise ValueError(f"unsupported WAV encoding fmt={fmt} ch={channels} bits={bits}")
     if payload[36:40] != b"data":
         raise ValueError("missing data chunk")
     (n_bytes,) = struct.unpack("<I", payload[40:44])
     data = payload[44 : 44 + n_bytes]
-    return rate, list(struct.unpack(f"<{len(data) // 2}h", data))
+    samples = list(struct.unpack(f"<{len(data) // 2}h", data))
+    if channels == 2:
+        samples = [
+            (samples[i] + samples[i + 1] + 65536) // 2 - 32768
+            for i in range(0, len(samples) - 1, 2)
+        ]
+    return rate, samples
+
+
+def encode_wav_stereo(left: list[int], right: list[int], rate: int) -> bytes:
+    """Minimal RIFF/WAVE writer: STEREO PCM16 little-endian, L/R
+    interleaved per frame."""
+    if len(left) != len(right):
+        raise ValueError("stereo channels must have equal length")
+    inter = [s for pair in zip(left, right) for s in pair]
+    data = struct.pack(f"<{len(inter)}h", *inter)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 2, rate, rate * 4, 4, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def synth_wav_stereo(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic STEREO PCM16 WAV per row — left channel is the
+    :func:`synth_wav` field ``((31k + 7i) mod 65536) − 32768``, right is
+    an independent ``((13k + 11i) mod 65536) − 32768``, ``50 + k mod
+    200`` frames at ``8000 + (k mod 8)·1000`` Hz.  Exercises the decode
+    downmix on real interleaved bytes; the SQL oracle mirrors the
+    shifted floor-average arithmetic sample-for-sample."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                n = 50 + k % 200
+                left = [((k * 31 + i * 7) % 65536) - 32768 for i in range(n)]
+                right = [((k * 13 + i * 11) % 65536) - 32768 for i in range(n)]
+                payload = encode_wav_stereo(left, right, 8000 + (k % 8) * 1000)
+                rows.append((k, "audio", payload, "wav", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def synth_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -4040,6 +4040,19 @@ def media_audio_resampled_pairs(spark, sf_dir):
     )
 
 
+def media_wav_stereo(spark, sf_dir):
+    """STEREO WAV decode under the hash gate — the most common real WAV
+    shape, previously a quarantine: `decode_wav` downmixes interleaved
+    PCM16 L/R to mono as ``(L + R + 65536) div 2 − 32768`` (shifted so
+    floor division and truncation agree — Python, Spark SQL and DuckDB
+    compute the identical sample).  `synth_wav_stereo` carries two
+    independent deterministic channel fields; the oracle replays the
+    interleave, the downmix arithmetic, and the abs-statistics over the
+    mono projection."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.wav_stats(multimodal.synth_wav_stereo(docs))
+
+
 def media_gif_stats(spark, sf_dir):
     """REAL codec gate #6 — GIF, the third most common crawl image
     format: textured grayscale GIFs synthesized from doc_id arithmetic
@@ -7755,6 +7768,25 @@ FROM f a JOIN f bb ON a.media_id < bb.media_id
 WHERE bit_count(xor(a.afp, bb.afp)) <= {AUDIO_FP_MAX_HAMMING}
 """
 
+    # stereo WAV: the oracle rebuilds both channel fields and the
+    # shifted floor-average downmix, then the abs statistics — any
+    # interleave/stride/downmix-rounding bug breaks the hash
+    o["media_wav_stereo"] = _q("""
+        WITH s AS (
+          SELECT CAST(doc_id AS BIGINT) AS media_id,
+            CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+            CAST(50 + doc_id % 200 AS BIGINT) AS n_samples,
+            list_transform(range(0, CAST(50 + doc_id % 200 AS INT)),
+              i -> abs((((doc_id * 31 + i * 7) % 65536 - 32768)
+                        + ((doc_id * 13 + i * 11) % 65536 - 32768)
+                        + 65536) // 2 - 32768)) AS aa
+          FROM documents)
+        SELECT media_id, sample_rate, n_samples,
+               CAST(list_sum(aa) AS BIGINT) AS sum_abs,
+               CAST(list_max(aa) AS BIGINT) AS max_abs
+        FROM s
+    """)
+
     # GIF: lossless, so the oracle mirrors the synth texture arithmetic
     # pixel-for-pixel (the PGM/BMP stats pattern) — the engine's numbers
     # come through real LZW decode + palette mapping
@@ -9281,4 +9313,5 @@ def _all_queries():
         "media_audio_resampled_pairs": media_audio_resampled_pairs,
         "media_robust_panorama": media_robust_panorama,
         "media_gif_stats": media_gif_stats,
+        "media_wav_stereo": media_wav_stereo,
     }

@@ -1005,6 +1005,29 @@ def test_asym_offset_audio_and_trimmed_video_probes(spark):
     assert eq[(9, 8)] == 0
 
 
+def test_wav_stereo_downmix(spark):
+    """r8 stereo pins: interleaved L/R downmixes to the shifted
+    floor-average (odd NEGATIVE sums round down, matching both SQL
+    engines' arithmetic on the shifted numerator), mono decode is
+    unchanged, and >2 channels still quarantines."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    left, right = [100, -3, 32767, -32768], [50, 0, 32767, -32768]
+    rate, got = M.decode_wav(M.encode_wav_stereo(left, right, 16000))
+    assert rate == 16000
+    assert got == [75, -2, 32767, -32768]   # (-3+0) -> floor -1.5 = -2
+    # mono path unchanged
+    r2, mono = M.decode_wav(M.encode_wav([5, -5, 7], 8000))
+    assert (r2, mono) == (8000, [5, -5, 7])
+    # >2 channels: quarantine contract
+    quad = bytearray(M.encode_wav_stereo(left, right, 16000))
+    _struct.pack_into("<H", quad, 22, 4)
+    with _pytest.raises(ValueError, match="ch=4"):
+        M.decode_wav(bytes(quad))
+
+
 def test_gif_codec_roundtrip_and_contracts(spark):
     """r8 GIF pins: (1) encode->decode round-trips textures bit-exactly
     through real LZW incl. code-width growth (251 distinct values) and
