@@ -163,6 +163,7 @@ HEADLINE = [
     "media_robust_panorama",
     "media_gif_stats",
     "media_wav_stereo",
+    "media_png_variants",
     "quality",
     "language_id",
     "lang_confusion",

@@ -1360,17 +1360,95 @@ def encode_png(width: int, height: int, pixels, row_filters=None) -> bytes:
     )
 
 
+def encode_png_typed(
+    width: int, height: int, samples, color_type: int, plte: bytes | None = None
+) -> bytes:
+    """Minimal PNG writer for an EXPLICIT color type (palette 3 needs
+    ``plte``; gray+alpha 4 / RGBA 6 take the alpha in the last
+    channel).  Filter-0 scanlines — the filter variety is the grayscale
+    gate's job; this writer exists to drive the decoder's color-type
+    branches with real chunk streams."""
+    import numpy as np
+
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    px = np.asarray(samples, dtype=np.uint8).reshape(height, width * bpp)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(height))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG needs a PLTE table")
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+
+
+def synth_png_variants(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PNGs cycling the NON-gray color types by id mod 3 —
+    the shapes the web actually serves: palette (indices
+    ``(7k + 3x + 5y) mod 251`` through a 256-gray PLTE), RGBA
+    (``r = (7k+3x+5y) mod 256, g = (11k+2x+3y) mod 256,
+    b = (13k+x+7y) mod 256`` with an ignored alpha), and gray+alpha.
+    Size ``(8 + k mod 9) × (8 + 3k mod 7)``; pure arithmetic an SQL
+    oracle mirrors through the decoder's palette-map / alpha-drop."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                w, h = 8 + k % 9, 8 + (3 * k) % 7
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                base = ((7 * k + 3 * xs + 5 * ys) % 256).astype(np.uint8)
+                v = k % 3
+                if v == 0:
+                    idx = ((7 * k + 3 * xs + 5 * ys) % 251).astype(np.uint8)
+                    plte = bytes(i for i in range(256) for _ in range(3))
+                    payload = encode_png_typed(w, h, idx, 3, plte)
+                elif v == 1:
+                    rgba = np.stack(
+                        [
+                            base,
+                            ((11 * k + 2 * xs + 3 * ys) % 256).astype(np.uint8)
+                            + 0 * base,
+                            ((13 * k + xs + 7 * ys) % 256).astype(np.uint8)
+                            + 0 * base,
+                            ((xs + ys) % 256).astype(np.uint8) + 0 * base,
+                        ],
+                        axis=2,
+                    )
+                    payload = encode_png_typed(w, h, rgba, 6)
+                else:
+                    ga = np.stack(
+                        [base, ((xs * ys) % 256).astype(np.uint8) + 0 * base],
+                        axis=2,
+                    )
+                    payload = encode_png_typed(w, h, ga, 4)
+                rows.append((k, "image", payload, "png", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def decode_png(payload: bytes):
     """Minimal PNG parser → ``(width, height, numpy uint8 (h, w) or
     (h, w, 3))``.  Verifies chunk CRCs, inflates the concatenated IDAT
-    stream, and reconstructs each scanline per its filter byte.  Raises
-    ``ValueError`` for malformed payloads or layouts outside bit-depth-8
-    gray/RGB non-interlaced (quarantine rows)."""
+    stream, and reconstructs each scanline per its filter byte.  All
+    five bit-depth-8 color types decode: gray (0), RGB (2), PALETTE (3
+    — indices map through the PLTE table, the web's icon/chart format),
+    gray+alpha (4) and RGBA (6) — alpha drops (treated as opaque; the
+    curation/dedup pipelines consume opaque statistics).  Raises
+    ``ValueError`` for malformed payloads, sub-8-bit depths, or
+    interlacing (quarantine rows)."""
     import numpy as np
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, ihdr, idat, seen_end = 8, None, bytearray(), False
+    plte = None
     while pos + 12 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
@@ -1382,6 +1460,8 @@ def decode_png(payload: bytes):
             raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
         if tag == b"IHDR":
             ihdr = body
+        elif tag == b"PLTE":
+            plte = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -1391,11 +1471,11 @@ def decode_png(payload: bytes):
     if ihdr is None or not seen_end:
         raise ValueError("missing IHDR/IEND")
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or color not in (0, 2) or comp or filt or interlace:
+    if depth != 8 or color not in (0, 2, 3, 4, 6) or comp or filt or interlace:
         raise ValueError(
             f"unsupported PNG: depth={depth} color={color} interlace={interlace}"
         )
-    bpp = 1 if color == 0 else 3
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     stride = w * bpp
     try:
         raw = zlib.decompress(bytes(idat))
@@ -1435,7 +1515,21 @@ def decode_png(payload: bytes):
         recon += line
         prev = bytes(line)
     arr = np.frombuffer(bytes(recon), dtype=np.uint8)
-    return w, h, arr.reshape(h, w) if color == 0 else arr.reshape(h, w, 3)
+    if color == 0:
+        return w, h, arr.reshape(h, w)
+    if color == 2:
+        return w, h, arr.reshape(h, w, 3)
+    if color == 3:
+        if plte is None or len(plte) == 0 or len(plte) % 3:
+            raise ValueError("palette PNG without a valid PLTE chunk")
+        idx = arr.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte) // 3:
+            raise ValueError("PNG palette index outside the PLTE table")
+        lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return w, h, lut[idx]
+    if color == 4:
+        return w, h, arr.reshape(h, w, 2)[:, :, 0]
+    return w, h, arr.reshape(h, w, 4)[:, :, :3]
 
 
 def synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -4040,6 +4040,20 @@ def media_audio_resampled_pairs(spark, sf_dir):
     )
 
 
+def media_png_variants(spark, sf_dir):
+    """PNG COLOR-TYPE coverage under the hash gate — the shapes the web
+    actually serves beyond gray/RGB, previously quarantined: PALETTE
+    (indices through the PLTE table), RGBA and gray+alpha (alpha drops,
+    opaque statistics).  `synth_png_variants` cycles the three by id
+    mod 3 with channel fields from id arithmetic;
+    `operators/multimodal.py::decode_png` inflates, unfilters,
+    palette-maps / alpha-drops, and `png_stats` reports exact integer
+    statistics the oracle re-derives per variant — any PLTE indexing,
+    channel-stride, or alpha-slicing bug breaks the hash."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.png_stats(multimodal.synth_png_variants(docs))
+
+
 def media_wav_stereo(spark, sf_dir):
     """STEREO WAV decode under the hash gate — the most common real WAV
     shape, previously a quarantine: `decode_wav` downmixes interleaved
@@ -7768,6 +7782,50 @@ FROM f a JOIN f bb ON a.media_id < bb.media_id
 WHERE bit_count(xor(a.afp, bb.afp)) <= {AUDIO_FP_MAX_HAMMING}
 """
 
+    # PNG color-type variants: per-pixel contributions re-derived from
+    # the synth arithmetic per variant (palette = 3x the index through
+    # the gray PLTE, RGBA = r+g+b with alpha dropped, gray+alpha = gray)
+    o["media_png_variants"] = _q("""
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 3 AS v,
+                 CAST(8 + doc_id % 9 AS BIGINT) AS w,
+                 CAST(8 + (3 * doc_id) % 7 AS BIGINT) AS h
+          FROM documents),
+        cells AS (
+          SELECT media_id, v, w, h,
+                 unnest(range(0, CAST(w * h AS INT))) AS i
+          FROM d),
+        px AS (
+          SELECT media_id, w, h, i % w AS x, i // w AS y,
+                 CASE v
+                   WHEN 0 THEN 3 * ((7 * media_id + 3 * (i % w)
+                                     + 5 * (i // w)) % 251)
+                   WHEN 1 THEN ((7 * media_id + 3 * (i % w)
+                                 + 5 * (i // w)) % 256)
+                             + ((11 * media_id + 2 * (i % w)
+                                 + 3 * (i // w)) % 256)
+                             + ((13 * media_id + (i % w)
+                                 + 7 * (i // w)) % 256)
+                   ELSE (7 * media_id + 3 * (i % w) + 5 * (i // w)) % 256
+                 END AS s,
+                 CASE v
+                   WHEN 0 THEN (7 * media_id + 3 * (i % w)
+                                + 5 * (i // w)) % 251
+                   WHEN 1 THEN greatest(
+                     (7 * media_id + 3 * (i % w) + 5 * (i // w)) % 256,
+                     (11 * media_id + 2 * (i % w) + 3 * (i // w)) % 256,
+                     (13 * media_id + (i % w) + 7 * (i // w)) % 256)
+                   ELSE (7 * media_id + 3 * (i % w) + 5 * (i // w)) % 256
+                 END AS m
+          FROM cells)
+        SELECT media_id, w AS width, h AS height,
+               CAST(sum(s) AS BIGINT) AS sum_px,
+               CAST(max(m) AS BIGINT) AS max_px,
+               CAST(sum(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN s
+                             ELSE 0 END) AS BIGINT) AS ds2_sum
+        FROM px GROUP BY media_id, w, h
+    """)
+
     # stereo WAV: the oracle rebuilds both channel fields and the
     # shifted floor-average downmix, then the abs statistics — any
     # interleave/stride/downmix-rounding bug breaks the hash
@@ -9314,4 +9372,5 @@ def _all_queries():
         "media_robust_panorama": media_robust_panorama,
         "media_gif_stats": media_gif_stats,
         "media_wav_stereo": media_wav_stereo,
+        "media_png_variants": media_png_variants,
     }

@@ -1005,6 +1005,48 @@ def test_asym_offset_audio_and_trimmed_video_probes(spark):
     assert eq[(9, 8)] == 0
 
 
+def test_png_color_type_variants(spark):
+    """r8 PNG color-type pins: palette indices map through PLTE exactly,
+    RGBA/gray+alpha drop alpha (opaque statistics), an out-of-range
+    palette index and a missing PLTE quarantine, and the pHash path
+    decodes every variant for real."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    # palette: decoded RGB = PLTE triple of each index
+    idx = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    plte = bytes(b for i in range(256) for b in ((i, 255 - i, i // 2)))
+    w, h, rgb = M.decode_png(M.encode_png_typed(4, 3, idx, 3, plte))
+    assert (w, h) == (4, 3)
+    assert np.array_equal(rgb[:, :, 0], idx)
+    assert np.array_equal(rgb[:, :, 1], 255 - idx)
+    assert np.array_equal(rgb[:, :, 2], idx // 2)
+    # RGBA: alpha sliced off
+    rgba = np.arange(4 * 3 * 4, dtype=np.uint8).reshape(3, 4, 4)
+    _, _, got = M.decode_png(M.encode_png_typed(4, 3, rgba, 6))
+    assert np.array_equal(got, rgba[:, :, :3])
+    # gray+alpha: first channel survives
+    ga = np.arange(4 * 3 * 2, dtype=np.uint8).reshape(3, 4, 2)
+    _, _, gotg = M.decode_png(M.encode_png_typed(4, 3, ga, 4))
+    assert np.array_equal(gotg, ga[:, :, 0])
+    # out-of-range palette index / missing PLTE -> quarantine
+    small_plte = bytes(b for i in range(8) for b in ((i, i, i)))
+    with _pytest.raises(ValueError, match="outside the PLTE"):
+        M.decode_png(M.encode_png_typed(4, 3, idx, 3, small_plte))
+    bad = M.encode_png_typed(4, 3, idx, 3, plte)
+    # strip the PLTE chunk: signature + IHDR(25) then PLTE
+    no_plte = bad[:33] + bad[33 + 12 + 768:]
+    with _pytest.raises(ValueError, match="PLTE"):
+        M.decode_png(no_plte)
+    # pHash decodes every synth variant
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id bigint")
+    ph = M.phash_media(M.synth_png_variants(ids))
+    assert ph.where(F.col("phash").isNull()).count() == 0
+
+
 def test_wav_stereo_downmix(spark):
     """r8 stereo pins: interleaved L/R downmixes to the shifted
     floor-average (odd NEGATIVE sums round down, matching both SQL
