@@ -455,9 +455,11 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
     data = payload[44 : 44 + n_bytes]
     samples = list(struct.unpack(f"<{len(data) // 2}h", data))
     if channels == 2:
+        if len(samples) % 2:
+            raise ValueError("stereo WAV with a half frame (odd sample count)")
         samples = [
             (samples[i] + samples[i + 1] + 65536) // 2 - 32768
-            for i in range(0, len(samples) - 1, 2)
+            for i in range(0, len(samples), 2)
         ]
     return rate, samples
 

@@ -22,10 +22,11 @@ def test_wav_decode_rejects_malformed():
         M.decode_wav(b"not a wav file at all, nope, still not one....")
     with pytest.raises(ValueError):
         M.decode_wav(b"")
-    # stereo payload must be refused, not mis-parsed
+    # a stereo header over an ODD sample count is a half frame —
+    # refused, not mis-parsed (proper stereo now downmixes, r8)
     good = bytearray(M.encode_wav([1, 2, 3], 8000))
     good[22] = 2  # channels = 2
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="half frame"):
         M.decode_wav(bytes(good))
 
 
