@@ -139,6 +139,9 @@ AUDIT = [
     "media_phash_oriented",
     "sketch_theta_diff",
     "media_audio_resampled_pairs",
+    "media_gif_stats",
+    "media_png_variants",
+    "media_wav_stereo",
 ]
 
 MAX_LINES = 80
