@@ -830,6 +830,28 @@ def test_imageio_lane_bitexact_on_lossless_formats(spark, tmp_path):
         assert got[k + 1000] == v
 
 
+def test_imageio_lane_gif_bitexact(spark, tmp_path):
+    """r8 GIF x ImageIO parity: both decode paths are lossless (LZW +
+    palette map here, Java ImageIO in the lane), so file-backed .gif
+    corpora hash BIT-EXACTLY like in-column payloads — the same
+    property that lets the arithmetic oracles hold for BMP/PNG."""
+    import os
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id bigint")
+    rows = M.synth_gif(ids).select("media_id", "payload").collect()
+    d = str(tmp_path / "gifs")
+    os.makedirs(d)
+    for r in rows:
+        open(os.path.join(d, f"{r.media_id}.gif"), "wb").write(bytes(r.payload))
+    got = {r.media_id: r.phash
+           for r in M.phash_image_files(spark, d).collect()}
+    ref = {r.media_id: r.phash
+           for r in M.phash_media(M.synth_gif(ids)).collect()}
+    assert len(got) == 12
+    for k, v in ref.items():
+        assert got[k] == v, k
+
+
 def test_imageio_lane_jpeg_parity_and_quarantine(spark, tmp_path):
     """r8 JVM decode lane pins: (1) ImageIO's JPEG IDCT agrees with the
     repo decoder within ±1 per pixel on the synth patterns, so the
