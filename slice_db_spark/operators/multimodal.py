@@ -2778,7 +2778,12 @@ def _header_dims(fmt: str, data: bytes) -> tuple[int, int] | None:
     if fmt == "bmp":
         if len(data) < 26 or data[:2] != b"BM":
             raise ValueError("BMP header truncated or bad magic")
+        hdr_size = struct.unpack_from("<I", data, 14)[0]
+        if hdr_size < 40:
+            raise ValueError(f"BMP info header too small ({hdr_size} < 40)")
         w, h = struct.unpack_from("<ii", data, 18)
+        if w <= 0 or h == 0:
+            raise ValueError(f"BMP dims invalid ({w}x{h})")
         return int(w), int(abs(h))  # negative height = top-down rows
     if fmt == "png":
         if len(data) < 24 or data[:8] != b"\x89PNG\r\n\x1a\n":

@@ -374,12 +374,24 @@ def kmv_sketch(df: DataFrame, col: str, k: int = KMV_K, salt: str = "kmv") -> Da
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     h = hash64(F.concat(F.lit(salt + ":"), F.col(col).cast("string")))
-    return df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+    # NULL keys hash to NULL, and ascending orderBy sorts NULLs first —
+    # an unfiltered NULL would silently occupy one of the k smallest
+    # slots (inflating n while max('h') ignores it).  KMV counts the
+    # distinct NON-NULL domain.
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
 
 
 def kmv_merge(*sketches: DataFrame, k: int = KMV_K) -> DataFrame:
     """Union sketch: pool the samples, dedup, re-take the k smallest —
     the same merge shape shards would apply."""
+    if not sketches:
+        raise ValueError("kmv_merge needs at least one sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)

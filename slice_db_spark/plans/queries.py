@@ -4029,6 +4029,11 @@ def media_audio_resampled_pairs(spark, sf_dir):
     docs = catalog(spark, sf_dir)["documents"]
     sigs = multimodal.audio_fingerprint(
         multimodal.synth_audio_clips_resampled(docs),
+        # bits pinned to the pairing width below: the 1550-sample synth
+        # happens to cap at 31 windows (30 delta bits), but a longer
+        # clip under the default bits=63 would exceed the banding's
+        # 30-bit pigeonhole and silently break completeness.
+        bits=30,
         windows_per_sec=AUDIO_WINDOWS_PER_SEC,
     )
     pairs = dedup.hamming_near_pairs(

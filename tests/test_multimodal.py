@@ -1615,3 +1615,33 @@ def test_video_phash_planted_near_dups_and_recall(spark):
         if len(seqs[a]) == len(seqs[b]) and maxham(a, b) <= 6
     }
     assert got == brute and len(brute) >= 9
+
+
+def test_header_dims_bmp_rejects_invalid():
+    """r9 ADVICE pin: _header_dims('bmp') must match decode_bmp's
+    strictness — non-positive width, zero height, and an info header
+    smaller than BITMAPINFOHEADER all raise instead of reporting a
+    negative width the curation gate would misclassify as 'small'."""
+    import struct
+
+    import numpy as np
+
+    from slice_db_spark.operators.multimodal import _header_dims, encode_bmp
+
+    p = encode_bmp(5, 3, np.zeros((3, 5, 3), dtype="uint8"))
+    assert _header_dims("bmp", p) == (5, 3)
+
+    bad_w = bytearray(p)
+    struct.pack_into("<i", bad_w, 18, -5)
+    with pytest.raises(ValueError, match="dims invalid"):
+        _header_dims("bmp", bytes(bad_w))
+
+    bad_h = bytearray(p)
+    struct.pack_into("<i", bad_h, 22, 0)
+    with pytest.raises(ValueError, match="dims invalid"):
+        _header_dims("bmp", bytes(bad_h))
+
+    bad_hdr = bytearray(p)
+    struct.pack_into("<I", bad_hdr, 14, 12)
+    with pytest.raises(ValueError, match="header too small"):
+        _header_dims("bmp", bytes(bad_hdr))

@@ -249,3 +249,29 @@ def test_kmv_sketch_exact_full_merge_and_setops(spark):
         assert fi < 350 and abs(fd - 2000) < 700, (fi, fd)
     finally:
         del os.environ["SLICE_FAST_HASH"]
+
+
+def test_kmv_null_keys_and_empty_merge(spark):
+    """r9 ADVICE pins: (1) NULL keys are excluded from the sketch — a
+    NULL hash would sort FIRST and silently occupy a smallest-k slot,
+    inflating n while max('h') ignores it; (2) kmv_merge() with zero
+    sketches raises a descriptive ValueError, not IndexError."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from slice_db_spark.operators import sketches as S
+
+    base = spark.range(0, 50).select(F.col("id").alias("v"))
+    with_nulls = base.unionByName(
+        spark.range(0, 7).select(F.lit(None).cast("long").alias("v"))
+    )
+    sk_clean = S.kmv_sketch(base, "v")
+    sk_nulls = S.kmv_sketch(with_nulls, "v")
+    assert sorted(r.h for r in sk_nulls.collect()) == sorted(
+        r.h for r in sk_clean.collect()
+    )
+    a, b, u, i, d = S.kmv_set_stats(sk_nulls, sk_clean)
+    assert (a, b, u, i, d) == (50, 50, 50, 50, 0)
+
+    with pytest.raises(ValueError, match="at least one sketch"):
+        S.kmv_merge()
