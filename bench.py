@@ -141,6 +141,7 @@ HEADLINE = [
     "bpe_train_batched",
     "media_phash_pairs",
     "media_phash_imageio",
+    "media_phash_incolumn_imageio",
     "media_phash_incremental",
     "media_jpeg_progressive",
     "media_audio_pairs",
@@ -715,6 +716,16 @@ def main():
                 "overwrite"
             ).save()
             jvm_sec = time.time() - t0
+            # r9 in-column spill bridge: executor-side file spill + the
+            # same ImageIO scan, timed END TO END (spill included) —
+            # the honest number for column-resident payloads
+            spill_dest = tempfile.mkdtemp(prefix=f"bench_sheet_spill_{fmt}_")
+            shutil.rmtree(spill_dest)
+            t0 = time.time()
+            MM.phash_media_spilled(spark, payloads, spill_dest).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            spill_sec = time.time() - t0
             sheet[fmt] = {
                 "images": n_img,
                 "side_px": side,
@@ -724,9 +735,50 @@ def main():
                 "imageio_sec": round(jvm_sec, 3),
                 "imageio_mb_per_sec": round(total_bytes / 1e6 / jvm_sec, 2),
                 "speedup": round(py_sec / jvm_sec, 1),
+                "incolumn_spill_sec": round(spill_sec, 3),
+                "incolumn_spill_mb_per_sec": round(
+                    total_bytes / 1e6 / spill_sec, 2
+                ),
+                "incolumn_spill_speedup": round(py_sec / spill_sec, 1),
             }
             shutil.rmtree(land, ignore_errors=True)
             shutil.rmtree(files, ignore_errors=True)
+            shutil.rmtree(spill_dest, ignore_errors=True)
+
+        # r9 in-column spill bridge at PHOTO-SCALE dimensions: at 256px
+        # fixed job costs still mask the decode gap (the entries above
+        # stay for cross-round comparability); at 768px decode work
+        # dominates and the bridge shows its real margin — the Python
+        # lane saturates near 9 MB/s while spill+ImageIO keeps scaling
+        ids = spark.range(0, 128, 1, 32).selectExpr("id AS doc_id")
+        land = tempfile.mkdtemp(prefix="bench_sheet_incol_")
+        synth_big(ids, 768, "jpeg").write.mode("overwrite").parquet(land)
+        payloads = spark.read.parquet(land)
+        total_bytes = payloads.agg(F.sum("n_bytes")).first()[0]
+        t0 = time.time()
+        MM.phash_media(payloads).write.format("noop").mode("overwrite").save()
+        py_sec = time.time() - t0
+        spill_dest = tempfile.mkdtemp(prefix="bench_sheet_incol_spill_")
+        shutil.rmtree(spill_dest)
+        t0 = time.time()
+        MM.phash_media_spilled(spark, payloads, spill_dest).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        spill_sec = time.time() - t0
+        sheet["jpeg_768px_incolumn"] = {
+            "images": 128,
+            "side_px": 768,
+            "payload_mb": round(total_bytes / 1e6, 1),
+            "python_codec_sec": round(py_sec, 3),
+            "python_codec_mb_per_sec": round(total_bytes / 1e6 / py_sec, 2),
+            "incolumn_spill_sec": round(spill_sec, 3),
+            "incolumn_spill_mb_per_sec": round(
+                total_bytes / 1e6 / spill_sec, 2
+            ),
+            "incolumn_spill_speedup": round(py_sec / spill_sec, 1),
+        }
+        shutil.rmtree(land, ignore_errors=True)
+        shutil.rmtree(spill_dest, ignore_errors=True)
 
         # per-stage split of one media ingest batch over the BMP set:
         # the md5 exact gate is a fraction of a decode, which is why the

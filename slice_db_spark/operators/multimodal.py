@@ -384,6 +384,97 @@ def phash_image_files(
     return df.mapInPandas(run, schema=PHASH_SCHEMA)
 
 
+#: payload format -> spilled file extension (ImageIO sniffs content, but
+#: conventional extensions keep the corpus browsable / glob-filterable)
+_SPILL_EXT = {"jpeg": "jpg"}
+
+
+def spill_media_to_files(df: DataFrame, dest: str) -> str:
+    """DISTRIBUTED in-column → file spill: write each ``(media_id,
+    format, payload)`` row to ``<dest>/shard=<partitionId>/
+    <media_id>.<ext>`` from the EXECUTORS (``foreachPartition``) — zero
+    driver staging, so the bridge scales with the cluster, not with one
+    machine's heap.  The ``shard=<pid>`` layout is standard Spark
+    partition discovery: a plain ``spark.read.format("image")
+    .load(dest)`` enumerates every shard with no recursive-lookup
+    option, and the synthetic ``shard`` partition column is dropped by
+    the lane's ``select("image.*")``.
+
+    Crash-safe like every sink here (``sources/atomic.py``): shards land
+    in ``<dest>.staging``, the driver stamps ``_SUCCESS`` only after the
+    spill job COMPLETES, and :func:`..sources.atomic.swap_dir` promotes
+    staging to live — a killed spill leaves no half-written corpus at
+    ``dest``, and :func:`..sources.atomic.recover_dir` applies.
+
+    Deployment note: ``dest`` must be storage every executor can reach
+    (in local mode any directory; on a cluster a shared filesystem or a
+    FUSE-mounted object store — the same requirement as Spark's own
+    file sinks).  Rows with a NULL media_id or payload raise — the
+    caller's ingest gate quarantines those before the bridge.
+    Returns ``dest`` (normalized)."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..sources.atomic import swap_dir
+
+    dest = _os.path.normpath(dest)
+    staging = dest + ".staging"
+    if _os.path.isdir(staging):
+        _shutil.rmtree(staging)
+    _os.makedirs(staging)
+
+    def write_partition(rows):
+        import os
+
+        from pyspark import TaskContext
+
+        shard = None
+        for r in rows:
+            if r.media_id is None or r.payload is None:
+                raise ValueError(
+                    "spill_media_to_files: NULL media_id/payload — "
+                    "quarantine upstream before spilling"
+                )
+            if shard is None:  # lazily, so empty partitions write nothing
+                pid = TaskContext.get().partitionId()
+                shard = os.path.join(staging, f"shard={pid}")
+                os.makedirs(shard, exist_ok=True)
+            ext = _SPILL_EXT.get(r.format, r.format)
+            name = os.path.join(shard, f"{int(r.media_id)}.{ext}")
+            with open(name, "wb") as f:
+                f.write(bytes(r.payload))
+
+    df.select("media_id", "format", "payload").foreachPartition(write_partition)
+    with open(_os.path.join(staging, "_SUCCESS"), "w"):
+        pass
+    swap_dir(dest)
+    return dest
+
+
+def phash_media_spilled(
+    spark, df: DataFrame, staging_dir: str, null_on_error: bool = False
+) -> DataFrame:
+    """IN-COLUMN payloads through the JVM-NATIVE decode lane — the
+    bridge that retires the pure-Python codecs' constant factor for
+    column-resident corpora too (files were already covered by
+    :func:`phash_image_files`): :func:`spill_media_to_files` spills the
+    payload column to sharded files executor-side, then the ImageIO
+    lane decodes them inside the scan and the SAME fixed-point DCT
+    pHash runs over the decoded pixels.  Same parity contract as the
+    file lane (BMP/PNG bit-exact, JPEG ±1/pixel), so pHashes — and the
+    arithmetic DuckDB oracles — are unchanged.
+
+    The spill is EAGER (a Spark job); the returned frame is lazy over
+    the spilled files, so keep ``staging_dir`` alive until the result
+    is consumed (or ``localCheckpoint(eager=True)`` it first).  The
+    spill I/O is one sequential write + one sequential read of the
+    payload bytes — amortized many times over by native-vs-Python
+    decode on compressed formats (measured in
+    ``BENCH_LOCAL.json::media_decode_datasheet``)."""
+    spill_media_to_files(df, staging_dir)
+    return phash_image_files(spark, staging_dir, null_on_error=null_on_error)
+
+
 def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize stage: binary payload in → binary payload out via Arrow-batched
     mapInPandas over MEDIA_SCHEMA rows.

@@ -4193,6 +4193,38 @@ def media_phash_imageio(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def media_phash_incolumn_imageio(spark, sf_dir):
+    """IN-COLUMN payloads through the JVM-native decode lane (r9) — the
+    last Python-rate decode path retired: the same textured synth
+    corpus stays a PAYLOAD COLUMN, `operators/multimodal.py::
+    phash_media_spilled` spills it to sharded files from the EXECUTORS
+    (`spill_media_to_files` — foreachPartition, `shard=<pid>` partition
+    discovery, crash-safe staging swap, zero driver staging), Spark's
+    `image` source (Java ImageIO) decodes the spilled files inside the
+    scan, and the banded pairing must reproduce the `media_phash_pairs`
+    oracle VERBATIM — ImageIO's BMP decode is bit-exact vs the repo
+    codec, so spilling changes nothing but the decode rate."""
+    import shutil
+    import tempfile
+
+    docs = catalog(spark, sf_dir)["documents"]
+    tmp = tempfile.mkdtemp(prefix="incolumn_q_")
+    corpus = os.path.join(tmp, "corpus")
+    try:
+        sigs = multimodal.phash_media_spilled(
+            spark, multimodal.synth_texture_bmp(docs), corpus
+        ).localCheckpoint(eager=True)
+        pairs = dedup.hamming_near_pairs(
+            sigs, "phash", "media_id",
+            bits=63, bands=PHASH_BANDS, max_hamming=PHASH_MAX_HAMMING,
+        )
+        return pairs.select(
+            "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def media_dedup_panorama(spark, sf_dir):
     """One MEDIA dedup report across all three perceptual modalities —
     the multimodal analog of `dedup_panorama`: per modality, the
@@ -8116,6 +8148,10 @@ FROM ({o["media_video_pairs"]})
     # arithmetic oracle
     o["media_phash_imageio"] = o["media_phash_pairs"]
 
+    # in-column spill bridge: the executor-side file spill changes the
+    # decode rate, not one pixel — same verbatim oracle
+    o["media_phash_incolumn_imageio"] = o["media_phash_pairs"]
+
     # orientation-normalized pairing: the oracle renders every id's
     # DISPLAY pixels (slots 8/9 fold to their group seed — normalization
     # makes their matrices EQUAL slot-0's by construction, which is
@@ -9354,6 +9390,7 @@ def _all_queries():
         "bpe_train_batched": bpe_train_batched,
         "media_phash_pairs": media_phash_pairs,
         "media_phash_imageio": media_phash_imageio,
+        "media_phash_incolumn_imageio": media_phash_incolumn_imageio,
         "media_phash_incremental": media_phash_incremental,
         "media_jpeg_progressive": media_jpeg_progressive,
         "media_audio_pairs": media_audio_pairs,

@@ -1645,3 +1645,74 @@ def test_header_dims_bmp_rejects_invalid():
     struct.pack_into("<I", bad_hdr, 14, 12)
     with pytest.raises(ValueError, match="header too small"):
         _header_dims("bmp", bytes(bad_hdr))
+
+
+def test_spill_media_to_files_distributed_and_atomic(spark, tmp_path):
+    """r9 spill bridge pins: (1) the executor-side spill lands every
+    payload byte-exact under shard=<pid> dirs with a _SUCCESS marker;
+    (2) a pre-existing dangling .staging dir is replaced, and the
+    promote is the sources/atomic.py swap (old contents recoverable
+    until promote); (3) NULL media_id raises instead of silently
+    dropping a row; (4) jpeg payloads spill as .jpg."""
+    import os
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id bigint")
+    media = M.synth_texture_bmp(ids).repartition(3)
+    dest = str(tmp_path / "corpus")
+    # dangling staging from a "crashed" prior spill must not leak in
+    os.makedirs(dest + ".staging/shard=9")
+    open(dest + ".staging/shard=9/999.bmp", "wb").write(b"stale")
+
+    out = M.spill_media_to_files(media, dest)
+    assert out == dest
+    assert not os.path.exists(dest + ".staging")
+    assert os.path.isfile(os.path.join(dest, "_SUCCESS"))
+    shards = [d for d in os.listdir(dest) if d.startswith("shard=")]
+    assert 1 <= len(shards) <= 3
+    spilled = {}
+    for sh in shards:
+        for name in os.listdir(os.path.join(dest, sh)):
+            mid, ext = name.split(".")
+            assert ext == "bmp"
+            spilled[int(mid)] = open(os.path.join(dest, sh, name), "rb").read()
+    expect = {r.media_id: bytes(r.payload)
+              for r in media.select("media_id", "payload").collect()}
+    assert spilled == expect
+    assert not any(v == b"stale" for v in spilled.values())
+
+    # jpeg extension mapping
+    jdest = str(tmp_path / "jcorpus")
+    M.spill_media_to_files(M.synth_jpeg(ids.limit(3)), jdest)
+    names = [n for sh in os.listdir(jdest) if sh.startswith("shard=")
+             for n in os.listdir(os.path.join(jdest, sh))]
+    assert names and all(n.endswith(".jpg") for n in names)
+
+    # NULL media_id raises executor-side
+    from pyspark.sql import functions as SF
+
+    bad = media.withColumn(
+        "media_id",
+        SF.when(SF.col("media_id") == 5, SF.lit(None)).otherwise(
+            SF.col("media_id")
+        ),
+    )
+    with pytest.raises(Exception, match="NULL media_id"):
+        M.spill_media_to_files(bad, str(tmp_path / "badcorpus"))
+
+
+def test_phash_media_spilled_matches_python_codec(spark, tmp_path):
+    """r9 bridge parity: in-column payloads routed through the spill +
+    ImageIO lane produce the IDENTICAL pHash set as the pure-Python
+    codec path on lossless formats — the property that lets
+    media_phash_incolumn_imageio sit under the media_phash_pairs oracle
+    verbatim."""
+    ids = spark.createDataFrame([(i,) for i in range(25)], "doc_id bigint")
+    got = {
+        r.media_id: r.phash
+        for r in M.phash_media_spilled(
+            spark, M.synth_texture_bmp(ids), str(tmp_path / "c")
+        ).collect()
+    }
+    ref = {r.media_id: r.phash
+           for r in M.phash_media(M.synth_texture_bmp(ids)).collect()}
+    assert got == ref and len(got) == 25
