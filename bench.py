@@ -163,6 +163,7 @@ HEADLINE = [
     "media_audio_resampled_pairs",
     "media_robust_panorama",
     "media_gif_stats",
+    "media_gif_animated",
     "media_wav_stereo",
     "media_png_variants",
     "quality",

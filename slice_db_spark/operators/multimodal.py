@@ -3525,7 +3525,17 @@ def encode_gif(width: int, height: int, pixels) -> bytes:
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
     out += bytes(i for i in range(256) for _ in range(3))       # gray GCT
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out += _gif_image_block(width, height, px.tobytes())
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _gif_image_block(width: int, height: int, raw: bytes) -> bytes:
+    """One full-screen image block: descriptor + LZW min-code-size +
+    framed sub-blocks + terminator (shared by the still and animated
+    writers).  Real LZW: variable code widths 9→12 bits LSB-first,
+    dictionary reset on the 4096-entry fill."""
+    out = bytearray(b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0))
     mcs = 8
     out.append(mcs)
     clear, eoi = 1 << mcs, (1 << mcs) + 1
@@ -3536,7 +3546,7 @@ def encode_gif(width: int, height: int, pixels) -> bytes:
     next_code = eoi + 1
     codes.append((clear, width_bits))
     cur = b""
-    for b in px.tobytes():
+    for b in raw:
         nxt = cur + bytes([b])
         if nxt in table:
             cur = nxt
@@ -3571,16 +3581,115 @@ def encode_gif(width: int, height: int, pixels) -> bytes:
         chunk = data[i : i + 255]
         out.append(len(chunk))
         out += chunk
-    out += b"\x00\x3b"
+    out.append(0)
     return bytes(out)
+
+
+def encode_gif_animated(
+    width: int,
+    height: int,
+    frames,
+    delays_cs: list[int],
+    loop: int = 0,
+) -> bytes:
+    """Minimal ANIMATED GIF89a writer: full-screen grayscale frames
+    (numpy ``(n, h, w)`` uint8 palette indices), one Graphic Control
+    Extension per frame carrying its delay in centiseconds, and the
+    NETSCAPE2.0 looping application extension (``loop=0`` = forever —
+    the web default).  Same 256-entry gray global color table and real
+    LZW as :func:`encode_gif`."""
+    import numpy as np
+
+    fr = np.asarray(frames, dtype=np.uint8)
+    if fr.ndim != 3 or fr.shape[1:] != (height, width):
+        raise ValueError(f"frames shape {fr.shape} != (n, {height}, {width})")
+    if len(delays_cs) != fr.shape[0]:
+        raise ValueError("one delay per frame required")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    out += bytes(i for i in range(256) for _ in range(3))       # gray GCT
+    out += (
+        b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+        + struct.pack("<H", loop)
+        + b"\x00"
+    )
+    for f, delay in zip(fr, delays_cs):
+        out += b"\x21\xf9\x04" + struct.pack("<BHB", 0x04, delay, 0) + b"\x00"
+        out += _gif_image_block(width, height, f.tobytes())
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, need: int) -> bytes:
+    """GIF LZW decode of one image's pooled sub-block data → exactly
+    ``need`` palette-index bytes.  Variable code widths, clear-code
+    resets, the KwKwK case; raises ``ValueError`` on truncation or
+    out-of-range codes (the shared quarantine contract)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = eoi + 1
+    width_bits = mcs + 1
+    out = bytearray()
+    acc = n_bits = di = 0
+    prev: bytes | None = None
+
+    def read_code():
+        nonlocal acc, n_bits, di
+        while n_bits < width_bits:
+            if di >= len(data):
+                return None
+            acc |= data[di] << n_bits
+            di += 1
+            n_bits += 8
+        code = acc & ((1 << width_bits) - 1)
+        acc >>= width_bits
+        n_bits -= width_bits
+        return code
+
+    while len(out) < need:
+        code = read_code()
+        if code is None:
+            raise ValueError("GIF LZW stream truncated")
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = eoi + 1
+            width_bits = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError(f"GIF LZW bad first code {code}")
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"GIF LZW code {code} out of range")
+            if next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << width_bits) and width_bits < 12:
+                    width_bits += 1
+        out += entry
+        prev = entry
+    if len(out) < need:
+        raise ValueError("GIF pixel data short of descriptor size")
+    return bytes(out[:need])
 
 
 def decode_gif(payload: bytes):
     """Minimal GIF parser → (width, height, numpy (h, w, 3) RGB top-down)
-    of the FIRST image.  Real LZW decode (variable widths, clear-code
-    resets).  Raises ``ValueError`` on structural damage, interlaced
-    images, out-of-palette indices, or a stream with no image —
-    quarantine upstream, the shared codec contract."""
+    of the FIRST image — for an ANIMATED GIF this is the first frame
+    (the thumbnail/dedup convention; :func:`gif_anim_info` reads the
+    animation metadata and :func:`gif_frames` decodes every frame).
+    Real LZW decode (variable widths, clear-code resets).  Raises
+    ``ValueError`` on structural damage, interlaced images,
+    out-of-palette indices, or a stream with no image — quarantine
+    upstream, the shared codec contract."""
     import numpy as np
 
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -3639,61 +3748,8 @@ def decode_gif(payload: bytes):
             raise ValueError("GIF data blocks unterminated")
         pos += 1
 
-        clear, eoi = 1 << mcs, (1 << mcs) + 1
-        table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
-        next_code = eoi + 1
-        width_bits = mcs + 1
-        need = iw * ih
-        out = bytearray()
-        acc = n_bits = di = 0
-        prev: bytes | None = None
-
-        def read_code():
-            nonlocal acc, n_bits, di
-            while n_bits < width_bits:
-                if di >= len(data):
-                    return None
-                acc |= data[di] << n_bits
-                di += 1
-                n_bits += 8
-            code = acc & ((1 << width_bits) - 1)
-            acc >>= width_bits
-            n_bits -= width_bits
-            return code
-
-        while len(out) < need:
-            code = read_code()
-            if code is None:
-                raise ValueError("GIF LZW stream truncated")
-            if code == clear:
-                table = {i: bytes([i]) for i in range(clear)}
-                next_code = eoi + 1
-                width_bits = mcs + 1
-                prev = None
-                continue
-            if code == eoi:
-                break
-            if prev is None:
-                entry = table.get(code)
-                if entry is None:
-                    raise ValueError(f"GIF LZW bad first code {code}")
-            else:
-                if code in table:
-                    entry = table[code]
-                elif code == next_code:  # the KwKwK case
-                    entry = prev + prev[:1]
-                else:
-                    raise ValueError(f"GIF LZW code {code} out of range")
-                if next_code < 4096:
-                    table[next_code] = prev + entry[:1]
-                    next_code += 1
-                    if next_code == (1 << width_bits) and width_bits < 12:
-                        width_bits += 1
-            out += entry
-            prev = entry
-        if len(out) < need:
-            raise ValueError("GIF pixel data short of descriptor size")
-        idx = np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(ih, iw)
+        out = _gif_lzw_decode(bytes(data), mcs, iw * ih)
+        idx = np.frombuffer(out, dtype=np.uint8).reshape(ih, iw)
         if int(idx.max(initial=0)) * 3 + 2 >= len(pal):
             raise ValueError("GIF pixel index outside the color table")
         lut = np.frombuffer(pal, dtype=np.uint8)
@@ -3764,6 +3820,292 @@ def synth_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                      + 11 * xs + 13 * ys) % 251
                 ).astype(np.uint8)
                 payload = encode_gif(w, h, px)
+                rows.append((k, "image", payload, "gif", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def _gif_walk_blocks(payload: bytes):
+    """STRICT block walk of a GIF stream — yields ``("gce", delay_cs)``,
+    ``("ext", label)``, and ``("image", iw, ih, interlaced)`` events up
+    to the trailer.  Unlike :func:`decode_gif`'s lenient first-image
+    scan, this validates the framing the animation metadata depends on:
+    a Graphic Control Extension whose block size isn't 4 (or that is
+    missing its terminator) raises — a malformed GCE would otherwise
+    silently misreport delays/frame counts."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+        if pos > len(payload):
+            raise ValueError("GIF global color table truncated")
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            return
+        if block == 0x21:
+            if pos >= len(payload):
+                raise ValueError("GIF extension label truncated")
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:
+                if pos + 6 > len(payload):
+                    raise ValueError("GIF GCE truncated")
+                size = payload[pos]
+                if size != 4:
+                    raise ValueError(f"GIF GCE block size {size} != 4")
+                delay = struct.unpack_from("<H", payload, pos + 2)[0]
+                if payload[pos + 5] != 0:
+                    raise ValueError("GIF GCE missing terminator")
+                pos += 6
+                yield ("gce", delay)
+            else:
+                yield ("ext", label)
+                while pos < len(payload) and payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                if pos >= len(payload):
+                    raise ValueError("GIF extension unterminated")
+                pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF unknown block 0x{block:02x} at {pos - 1}")
+        if pos + 9 > len(payload):
+            raise ValueError("GIF image descriptor truncated")
+        _, _, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if ipacked & 0x80:
+            pos += 3 * (2 << (ipacked & 0x07))
+            if pos > len(payload):
+                raise ValueError("GIF local color table truncated")
+        pos += 1  # LZW min code size
+        while pos < len(payload) and payload[pos] != 0:
+            pos += 1 + payload[pos]
+        if pos >= len(payload):
+            raise ValueError("GIF data blocks unterminated")
+        pos += 1
+        yield ("image", iw, ih, bool(ipacked & 0x40))
+    raise ValueError("GIF stream missing trailer")
+
+
+def gif_anim_info(payload: bytes) -> tuple[int, int, int, int]:
+    """Animation metadata from the block structure ALONE — no LZW
+    decode, the header-dims-gate idea applied to animation: returns
+    ``(width, height, n_frames, duration_cs)`` where n_frames counts
+    image descriptors and duration sums each frame's GCE delay
+    (a frame without a preceding GCE contributes 0 — the spec default).
+    Raises on structural damage including a malformed GCE."""
+    sw, sh = struct.unpack_from("<HH", payload, 6) if len(payload) >= 10 else (0, 0)
+    n_frames = 0
+    duration = 0
+    pending_delay = 0
+    saw_any = False
+    for ev in _gif_walk_blocks(payload):
+        saw_any = True
+        if ev[0] == "gce":
+            pending_delay = ev[1]
+        elif ev[0] == "image":
+            n_frames += 1
+            duration += pending_delay
+            pending_delay = 0
+    if not saw_any or n_frames == 0:
+        raise ValueError("GIF stream contains no image")
+    return int(sw), int(sh), n_frames, duration
+
+
+def gif_frames(payload: bytes):
+    """Decode EVERY frame of a (possibly animated) GIF →
+    ``(width, height, numpy (n, h, w, 3) RGB)``.  Scope contract:
+    full-screen frames only — a frame with a nonzero offset or a size
+    below the logical screen needs disposal-method compositing
+    (library territory, like interlace) and raises for quarantine;
+    the synth writer and the overwhelmingly common animated-meme shape
+    emit full-screen frames."""
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed = struct.unpack_from("<HHB", payload, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("GIF global color table truncated")
+        palette = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    frames = []
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF unknown block 0x{block:02x} at {pos - 1}")
+        if pos + 9 > len(payload):
+            raise ValueError("GIF image descriptor truncated")
+        ix, iy, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        if (ix, iy) != (0, 0) or (iw, ih) != (sw, sh):
+            raise ValueError(
+                "GIF partial frame needs disposal compositing — quarantine"
+            )
+        pal = palette
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("GIF local color table truncated")
+            pal = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        if pos >= len(payload):
+            raise ValueError("GIF LZW header truncated")
+        mcs = payload[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise ValueError(f"GIF bad LZW min code size {mcs}")
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            if pos + 1 + ln > len(payload):
+                raise ValueError("GIF data sub-block truncated")
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        if pos >= len(payload):
+            raise ValueError("GIF data blocks unterminated")
+        pos += 1
+        out = _gif_lzw_decode(bytes(data), mcs, iw * ih)
+        idx = np.frombuffer(out, dtype=np.uint8).reshape(ih, iw)
+        if int(idx.max(initial=0)) * 3 + 2 >= len(pal):
+            raise ValueError("GIF pixel index outside the color table")
+        lut = np.frombuffer(pal, dtype=np.uint8)
+        lut = lut[: (len(pal) // 3) * 3].reshape(-1, 3)
+        frames.append(lut[idx])
+    if not frames:
+        raise ValueError("GIF stream contains no image")
+    return sw, sh, np.stack(frames)
+
+
+GIF_ANIM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_cs", LongType()),
+        StructField("first_sum_px", LongType()),
+        StructField("first_max_px", LongType()),
+    ]
+)
+
+
+def gif_anim_stats(df: DataFrame) -> DataFrame:
+    """Animated-GIF report under the hash gate: the structural walk's
+    frame count + total duration (:func:`gif_anim_info` — strict GCE
+    framing) paired with FIRST-FRAME exact pixel statistics through the
+    real LZW decode (:func:`decode_gif` — the first-frame convention
+    thumbnails and perceptual dedup use).  Any GCE misparse, frame
+    miscount, or first-frame decode drift breaks the oracle hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload)
+                w, h, n_frames, duration = gif_anim_info(p)
+                dw, dh, px = decode_gif(p)
+                if (dw, dh) != (w, h):
+                    raise ValueError("GIF first-frame dims != screen dims")
+                g = px[:, :, 0].astype("int64")
+                out.append(
+                    (int(mid), w, h, n_frames, duration,
+                     int(g.sum()), int(g.max()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "n_frames",
+                         "duration_cs", "first_sum_px", "first_max_px"],
+            )
+
+    return df.mapInPandas(run, schema=GIF_ANIM_SCHEMA)
+
+
+def gif_video_phash(df: DataFrame, null_on_error: bool = False) -> DataFrame:
+    """Per-FRAME 63-bit pHash over animated GIFs — the adapter that
+    gives animated GIFs the video lane's dedup rights: one row per
+    frame with the same schema as :func:`video_phash`, so the
+    sequence-pairing machinery (``video_near_pairs`` /
+    ``video_trimmed_pairs`` / shot reuse) applies unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, frames = gif_frames(bytes(payload))
+                    for i, fr in enumerate(frames):
+                        g = (
+                            299 * fr[:, :, 0].astype("int64")
+                            + 587 * fr[:, :, 1].astype("int64")
+                            + 114 * fr[:, :, 2].astype("int64")
+                        ) // 1000
+                        rows.append((int(mid), i, _phash_of_pixels(g, w, h)))
+                except (ValueError, struct.error):
+                    if not null_on_error:
+                        raise
+                    rows.append((int(mid), 0, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "phash"]
+            )
+
+    return df.mapInPandas(run, schema=VIDEO_PHASH_SCHEMA)
+
+
+def synth_gif_animated(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic ANIMATED grayscale GIFs: ``2 + k mod 4`` full-screen
+    frames of the :func:`synth_gif` texture shifted by ``29·f`` per
+    frame (``(17k + 3x² + 7y² + 5xy + 11x + 13y + 29f) mod 251`` —
+    frame 0 is EXACTLY the still synth's image, so first-frame oracles
+    share its arithmetic), per-frame GCE delay ``4 + k mod 7``
+    centiseconds, NETSCAPE loop extension.  Size ``(40 + k mod 9) ×
+    (36 + 3k mod 11)`` like the still synth."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                w, h = 40 + k % 9, 36 + (3 * k) % 11
+                n_frames = 2 + k % 4
+                delay = 4 + k % 7
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                base = (
+                    17 * k + 3 * xs * xs + 7 * ys * ys + 5 * xs * ys
+                    + 11 * xs + 13 * ys
+                )
+                frames = np.stack(
+                    [((base + 29 * f) % 251).astype(np.uint8)
+                     for f in range(n_frames)]
+                )
+                payload = encode_gif_animated(
+                    w, h, frames, [delay] * n_frames
+                )
                 rows.append((k, "image", payload, "gif", len(payload)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]

@@ -4087,6 +4087,23 @@ def media_gif_stats(spark, sf_dir):
     return multimodal.gif_stats(multimodal.synth_gif(docs))
 
 
+def media_gif_animated(spark, sf_dir):
+    """ANIMATED GIF under the hash gate (r9) — the web's animation
+    container, previously first-frame-only with no metadata: per
+    payload, the STRICT block walk's frame count + summed GCE delays
+    (`operators/multimodal.py::gif_anim_info` — a malformed Graphic
+    Control Extension raises instead of misreporting) paired with
+    first-frame exact pixel statistics through the real LZW decode.
+    `synth_gif_animated` derives everything from id arithmetic
+    (``2 + k mod 4`` frames at ``4 + k mod 7`` cs each; frame 0 is
+    EXACTLY the still synth's texture), so the oracle re-derives frame
+    count, duration, and first-frame statistics with no decoder at
+    all — any GCE misparse, frame miscount, or first-frame drift
+    breaks the hash."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.gif_anim_stats(multimodal.synth_gif_animated(docs))
+
+
 def media_video_pairs(spark, sf_dir):
     """Perceptual VIDEO near-dedup — per-frame pHash over the real Y4M
     codec (`operators/multimodal.py::video_phash`, the SAME hash
@@ -7916,6 +7933,33 @@ WHERE bit_count(xor(a.afp, bb.afp)) <= {AUDIO_FP_MAX_HAMMING}
         FROM px JOIN ds ON ds.media_id = px.media_id
     """)
 
+    # animated GIF: frame count / duration / first-frame stats all from
+    # id arithmetic (frame 0 IS the still synth's texture) — no decoder
+    # in the oracle at all
+    o["media_gif_animated"] = _q("""
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS media_id,
+                 CAST(40 + doc_id % 9 AS BIGINT) AS w,
+                 CAST(36 + (3 * doc_id) % 11 AS BIGINT) AS h,
+                 CAST(2 + doc_id % 4 AS BIGINT) AS nf,
+                 CAST(4 + doc_id % 7 AS BIGINT) AS delay_cs
+          FROM documents),
+        px AS (
+          SELECT media_id, w, h, nf, delay_cs,
+                 list_transform(range(0, CAST(w * h AS INT)),
+                   i -> (17 * media_id + 3 * (i % w) * (i % w)
+                         + 7 * (i // w) * (i // w)
+                         + 5 * (i % w) * (i // w)
+                         + 11 * (i % w) + 13 * (i // w)) % 251) AS p
+          FROM d)
+        SELECT media_id, w AS width, h AS height,
+               nf AS n_frames,
+               CAST(nf * delay_cs AS BIGINT) AS duration_cs,
+               CAST(list_sum(p) AS BIGINT) AS first_sum_px,
+               CAST(list_max(p) AS BIGINT) AS first_max_px
+        FROM px
+    """)
+
     # resample-robust audio: time-based windows make a duplicated-sample
     # re-encode's windows cover the SAME original spans — the oracle
     # computes original-window energies once and applies each slot's
@@ -9413,6 +9457,7 @@ def _all_queries():
         "media_audio_resampled_pairs": media_audio_resampled_pairs,
         "media_robust_panorama": media_robust_panorama,
         "media_gif_stats": media_gif_stats,
+        "media_gif_animated": media_gif_animated,
         "media_wav_stereo": media_wav_stereo,
         "media_png_variants": media_png_variants,
     }

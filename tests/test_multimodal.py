@@ -1716,3 +1716,98 @@ def test_phash_media_spilled_matches_python_codec(spark, tmp_path):
     ref = {r.media_id: r.phash
            for r in M.phash_media(M.synth_texture_bmp(ids)).collect()}
     assert got == ref and len(got) == 25
+
+
+def test_gif_animated_roundtrip_and_strict_gce():
+    """r9 animated GIF pins: (1) encode_gif_animated -> gif_frames
+    round-trips every frame byte-exact and gif_anim_info reports the
+    exact frame count + summed delays; (2) decode_gif returns frame 0
+    (the thumbnail convention); (3) a malformed GCE — wrong block size
+    or missing terminator — raises for quarantine instead of
+    misreporting; (4) partial (offset/undersized) frames raise in
+    gif_frames (disposal compositing is out of contract); (5) a still
+    GIF reports (n_frames=1, duration=0)."""
+    import numpy as np
+
+    w, h = 41, 37
+    frames = np.stack(
+        [((np.arange(h * w).reshape(h, w) * 3 + 29 * f) % 251).astype("uint8")
+         for f in range(4)]
+    )
+    p = M.encode_gif_animated(w, h, frames, [5, 6, 7, 8], loop=2)
+    assert M.gif_anim_info(p) == (w, h, 4, 26)
+    gw, gh, back = M.gif_frames(p)
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(back[:, :, :, 0], frames)
+    assert all(np.array_equal(back[..., c], back[..., 0]) for c in (1, 2))
+    _, _, first = M.decode_gif(p)
+    assert np.array_equal(first[:, :, 0], frames[0])
+
+    i = p.find(b"\x21\xf9\x04")
+    bad_size = bytearray(p)
+    bad_size[i + 2] = 5
+    with pytest.raises(ValueError, match="GCE block size"):
+        M.gif_anim_info(bytes(bad_size))
+    bad_term = bytearray(p)
+    bad_term[i + 7] = 9  # the 0x00 terminator after size+4 payload
+    with pytest.raises(ValueError, match="GCE missing terminator"):
+        M.gif_anim_info(bytes(bad_term))
+
+    # partial frame: shrink the first image descriptor's width (the
+    # descriptor follows the 8-byte GCE — a bare find(0x2c) can land in
+    # the gray palette)
+    j = i + 8
+    assert p[j] == 0x2C
+    partial = bytearray(p)
+    partial[j + 5] -= 1  # iw low byte
+    with pytest.raises(ValueError, match="partial frame"):
+        M.gif_frames(bytes(partial))
+
+    still = M.encode_gif(w, h, frames[0])
+    assert M.gif_anim_info(still) == (w, h, 1, 0)
+
+
+def test_gif_animated_imageio_first_frame_parity(spark, tmp_path):
+    """r9 parity pin: Spark's image source (Java ImageIO) reads the
+    FIRST frame of an animated GIF, and our LZW decode of frame 0 is
+    bit-exact vs it — so animated GIFs flow through both the Python
+    lane and the JVM lane with identical pHashes."""
+    import os
+
+    ids = spark.createDataFrame([(i,) for i in range(15)], "doc_id bigint")
+    rows = M.synth_gif_animated(ids).select("media_id", "payload").collect()
+    d = str(tmp_path / "gifs")
+    os.makedirs(d)
+    for r in rows:
+        open(os.path.join(d, f"{r.media_id}.gif"), "wb").write(bytes(r.payload))
+    got = {r.media_id: r.phash for r in M.phash_image_files(spark, d).collect()}
+    ref = {r.media_id: r.phash
+           for r in M.phash_media(M.synth_gif_animated(ids)).collect()}
+    assert got == ref and len(got) == 15
+
+
+def test_gif_video_phash_feeds_video_pairing(spark):
+    """r9 adapter pin: gif_video_phash emits the video lane's schema and
+    planted identical animations pair at distance 0 through the same
+    sequence machinery video uses."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as SF
+
+    # ids 0 and 100: identical animations (same k-arithmetic mod nothing)
+    ids = spark.createDataFrame([(0,), (3,), (7,)], "doc_id bigint")
+    sigs = M.gif_video_phash(M.synth_gif_animated(ids))
+    pdf = sigs.toPandas()
+    assert list(pdf.columns) == ["media_id", "frame_idx", "phash"]
+    # frame-row counts match the synth arithmetic: 2 + k % 4
+    got_nf = dict(pdf.groupby("media_id").size().astype(int).items())
+    assert got_nf == {0: 2, 3: 1 + 4, 7: 2 + 3}
+    # a duplicated payload pairs with itself at distance 0 per frame
+    dup = M.synth_gif_animated(ids).withColumn(
+        "media_id", SF.col("media_id") + 1000
+    )
+    both = M.synth_gif_animated(ids).unionByName(dup)
+    allsigs = M.gif_video_phash(both)
+    pairs = M.video_near_pairs(allsigs).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert {(0, 1000), (3, 1003), (7, 1007)} <= got
