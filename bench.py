@@ -211,6 +211,7 @@ HEADLINE = [
     "media_resize",
     "media_pgm_stats",
     "media_png_stats",
+    "media_png_interlaced",
     "media_jpeg_stats",
     "media_y4m_frames",
     "media_wav_windows",

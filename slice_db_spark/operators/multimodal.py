@@ -1526,59 +1526,26 @@ def synth_png_variants(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
-def decode_png(payload: bytes):
-    """Minimal PNG parser → ``(width, height, numpy uint8 (h, w) or
-    (h, w, 3))``.  Verifies chunk CRCs, inflates the concatenated IDAT
-    stream, and reconstructs each scanline per its filter byte.  All
-    five bit-depth-8 color types decode: gray (0), RGB (2), PALETTE (3
-    — indices map through the PLTE table, the web's icon/chart format),
-    gray+alpha (4) and RGBA (6) — alpha drops (treated as opaque; the
-    curation/dedup pipelines consume opaque statistics).  Raises
-    ``ValueError`` for malformed payloads, sub-8-bit depths, or
-    interlacing (quarantine rows)."""
-    import numpy as np
+#: Adam7 pass origins and strides: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, ihdr, idat, seen_end = 8, None, bytearray(), False
-    plte = None
-    while pos + 12 <= len(payload):
-        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
-        tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + ln]
-        if len(body) != ln or pos + 12 + ln > len(payload):
-            raise ValueError("truncated PNG chunk")
-        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
-        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
-        if tag == b"IHDR":
-            ihdr = body
-        elif tag == b"PLTE":
-            plte = body
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            seen_end = True
-            break
-        pos += 12 + ln
-    if ihdr is None or not seen_end:
-        raise ValueError("missing IHDR/IEND")
-    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or color not in (0, 2, 3, 4, 6) or comp or filt or interlace:
-        raise ValueError(
-            f"unsupported PNG: depth={depth} color={color} interlace={interlace}"
-        )
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    stride = w * bpp
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as e:
-        raise ValueError(f"corrupt IDAT stream: {e}") from e
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG data length mismatch")
+
+def _png_unfilter(raw: bytes, n_rows: int, stride: int, bpp: int) -> bytes:
+    """Reconstruct ``n_rows`` scanlines of ``stride`` bytes each from
+    filtered data (one filter byte + stride bytes per row) — the five
+    PNG filter types, shared by the sequential and Adam7 paths (each
+    Adam7 pass filters against ITS OWN previous scanline)."""
     recon = bytearray()
     prev = bytes(stride)
-    for y in range(h):
+    for y in range(n_rows):
         base = y * (stride + 1)
         ft = raw[base]
         line = bytearray(raw[base + 1 : base + 1 + stride])
@@ -1607,6 +1574,93 @@ def decode_png(payload: bytes):
             raise ValueError(f"bad PNG filter type {ft}")
         recon += line
         prev = bytes(line)
+    return bytes(recon)
+
+
+def decode_png(payload: bytes):
+    """Minimal PNG parser → ``(width, height, numpy uint8 (h, w) or
+    (h, w, 3))``.  Verifies chunk CRCs, inflates the concatenated IDAT
+    stream, and reconstructs each scanline per its filter byte.  All
+    five bit-depth-8 color types decode: gray (0), RGB (2), PALETTE (3
+    — indices map through the PLTE table, the web's icon/chart format),
+    gray+alpha (4) and RGBA (6) — alpha drops (treated as opaque; the
+    curation/dedup pipelines consume opaque statistics).  ADAM7
+    interlacing (r9) de-interlaces through the same unfilter: seven
+    independently-filtered sub-images scattered back by stride —
+    a reordering, never a change, of the sample values.  Raises
+    ``ValueError`` for malformed payloads or sub-8-bit depths
+    (quarantine rows)."""
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, seen_end = 8, None, bytearray(), False
+    plte = None
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln or pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + ln
+    if ihdr is None or not seen_end:
+        raise ValueError("missing IHDR/IEND")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if (
+        depth != 8
+        or color not in (0, 2, 3, 4, 6)
+        or comp
+        or filt
+        or interlace not in (0, 1)
+    ):
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={color} interlace={interlace}"
+        )
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    stride = w * bpp
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
+    if interlace == 0:
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG data length mismatch")
+        recon = _png_unfilter(raw, h, stride, bpp)
+    else:
+        # Adam7: seven independently-filtered sub-images, reassembled by
+        # strided scatter — interlacing REORDERS samples, it never
+        # changes them, so the non-interlaced oracles gate this verbatim
+        recon_arr = np.zeros(h * stride, dtype=np.uint8).reshape(h, w, bpp)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue  # empty pass: NO scanlines at all, per spec
+            pstride = pw * bpp
+            end = off + ph * (pstride + 1)
+            if end > len(raw):
+                raise ValueError("PNG interlaced data length mismatch")
+            sub = _png_unfilter(raw[off:end], ph, pstride, bpp)
+            off = end
+            recon_arr[y0::dy, x0::dx] = np.frombuffer(
+                sub, dtype=np.uint8
+            ).reshape(ph, pw, bpp)
+        if off != len(raw):
+            raise ValueError("PNG interlaced data length mismatch")
+        recon = recon_arr.tobytes()
     arr = np.frombuffer(bytes(recon), dtype=np.uint8)
     if color == 0:
         return w, h, arr.reshape(h, w)
@@ -1641,6 +1695,98 @@ def synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ys, xs = np.mgrid[0:h, 0:w]
                 px = ((7 * k + 3 * xs + 5 * ys) % 256).astype(np.uint8)
                 payload = encode_png(w, h, px, row_filters=[(k + y) % 5 for y in range(h)])
+                rows.append((k, "image", payload, "png", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def encode_png_interlaced(width: int, height: int, pixels, row_filters=None) -> bytes:
+    """Minimal ADAM7-interlaced PNG writer: uint8 ``(h, w)`` grayscale
+    or ``(h, w, 3)`` RGB.  Each of the seven passes is extracted by
+    stride, filtered as an independent sub-image (``row_filters`` picks
+    the filter per GLOBAL pass-scanline index, default cycles 0..4 so
+    the interlaced path exercises every unfilter branch), and an empty
+    pass emits no scanlines at all — the spec shape tiny images hit."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    bpp = 1 if gray else 3
+    px3 = px.reshape(height, width, bpp).astype(np.int64)
+    raw = bytearray()
+    row_no = 0
+    zeros = np.zeros(bpp, dtype=np.int64)
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        sub = px3[y0::dy, x0::dx]
+        ph, pw = sub.shape[0], sub.shape[1]
+        if pw == 0 or ph == 0:
+            continue
+        pstride = pw * bpp
+        flat = sub.reshape(ph, pstride)
+        prev = np.zeros(pstride, dtype=np.int64)
+        for y in range(ph):
+            row = flat[y]
+            left = (
+                np.concatenate([zeros, row[:-bpp]])
+                if pstride > bpp
+                else np.zeros_like(row)
+            )
+            up_left = (
+                np.concatenate([zeros, prev[:-bpp]])
+                if pstride > bpp
+                else np.zeros_like(row)
+            )
+            ft = (
+                int(row_filters[row_no]) % 5
+                if row_filters is not None
+                else row_no % 5
+            )
+            row_no += 1
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = prev
+            elif ft == 3:
+                pred = (left + prev) >> 1
+            else:
+                pred = _paeth_vec(left, prev, up_left)
+            raw.append(ft)
+            raw += ((row - pred) & 0xFF).astype(np.uint8).tobytes()
+            prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0 if gray else 2, 0, 0, 1)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synth_png_interlaced(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The :func:`synth_png` texture encoded ADAM7-INTERLACED — same
+    size and pixel arithmetic (``(7k + 3x + 5y) mod 256``, ``(8 + k mod
+    9) × (8 + 3k mod 7)``), filters cycling ``(k + r) mod 5`` over the
+    pass scanlines.  Interlacing reorders samples without changing
+    them, so the non-interlaced stats oracle gates this corpus
+    VERBATIM."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                w, h = 8 + k % 9, 8 + (3 * k) % 7
+                ys, xs = np.mgrid[0:h, 0:w]
+                px = ((7 * k + 3 * xs + 5 * ys) % 256).astype(np.uint8)
+                payload = encode_png_interlaced(
+                    w, h, px, row_filters=[(k + r) % 5 for r in range(7 * h)]
+                )
                 rows.append((k, "image", payload, "png", len(payload)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]

@@ -3935,6 +3935,21 @@ def media_png_stats(spark, sf_dir):
     return multimodal.png_stats(multimodal.synth_png(docs))
 
 
+def media_png_interlaced(spark, sf_dir):
+    """ADAM7-INTERLACED PNG under the hash gate (r9) — the progressive-
+    render shape older encoders emit, previously a quarantine: the SAME
+    texture corpus as `media_png_stats` encoded interlaced
+    (`operators/multimodal.py::encode_png_interlaced` — seven
+    independently-filtered sub-images, filters cycling over pass
+    scanlines, empty passes emitting no scanlines), de-interlaced by
+    `decode_png`'s strided scatter through the shared unfilter.
+    Interlacing REORDERS samples without changing them, so the
+    NON-INTERLACED pixel oracle gates this corpus verbatim — any pass
+    geometry, per-pass filter state, or scatter bug breaks the hash."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.png_stats(multimodal.synth_png_interlaced(docs))
+
+
 def media_jpeg_stats(spark, sf_dir):
     """REAL codec gate #5 — the format MOST of a crawl actually is:
     baseline JPEGs synthesized from doc_id arithmetic (8x8-constant
@@ -7436,6 +7451,10 @@ FROM d
         FROM px JOIN ds ON ds.media_id = px.media_id
     """)
 
+    # Adam7: interlacing reorders samples, it never changes them — the
+    # non-interlaced pixel oracle gates the interlaced corpus VERBATIM
+    o["media_png_interlaced"] = o["media_png_stats"]
+
     # pixels == synth values by construction (even-offset constant blocks
     # survive the q=16 quantize/IDCT pipeline exactly; proven in
     # tests/test_multimodal.py::test_jpeg_exact_roundtrip_piecewise_constant),
@@ -9414,6 +9433,7 @@ def _all_queries():
         # r5 additions stay LAST: the driver's 50-entry correctness window
         # must clear the older unverified names first (consolidation round)
         "media_png_stats": media_png_stats,
+        "media_png_interlaced": media_png_interlaced,
         "url_canonical": url_canonical,
         "domain_stats": domain_stats,
         # r6 additions, after the r5 ones for the same reason (24 old-debt

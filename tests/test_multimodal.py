@@ -1811,3 +1811,65 @@ def test_gif_video_phash_feeds_video_pairing(spark):
     pairs = M.video_near_pairs(allsigs).collect()
     got = {(r.id_a, r.id_b) for r in pairs}
     assert {(0, 1000), (3, 1003), (7, 1007)} <= got
+
+
+def test_png_adam7_roundtrip_and_parity():
+    """r9 Adam7 pins: (1) interlaced encode -> decode round-trips
+    byte-exact for gray and RGB across sizes including the tiny shapes
+    where passes are EMPTY (w or h < 5/3/2); (2) interlaced and plain
+    encodes of the same pixels decode identically (reordering, not
+    change); (3) a truncated interlaced stream raises."""
+    import numpy as np
+    import zlib as _zlib
+
+    rng = np.random.default_rng(11)
+    for (w, h, rgb) in [(16, 13, False), (8, 8, True), (1, 1, False),
+                        (3, 2, True), (7, 5, False), (2, 9, True),
+                        (5, 1, False), (4, 4, True)]:
+        shape = (h, w, 3) if rgb else (h, w)
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        dw, dh, back = M.decode_png(M.encode_png_interlaced(w, h, px))
+        assert (dw, dh) == (w, h) and np.array_equal(back, px), (w, h, rgb)
+
+    ys, xs = np.mgrid[0:11, 0:13]
+    px = ((3 * xs + 5 * ys) % 256).astype(np.uint8)
+    plain = M.decode_png(M.encode_png(13, 11, px))[2]
+    inter = M.decode_png(M.encode_png_interlaced(13, 11, px))[2]
+    assert np.array_equal(plain, inter)
+
+    # truncate the inflated stream: rebuild the IDAT with a short body
+    p = M.encode_png_interlaced(13, 11, px)
+    sig_end = 8 + 12 + 13  # signature + IHDR chunk
+    ihdr_chunk = p[8:sig_end]
+    raw_len = sum(
+        ((13 - x0 + dx - 1) // dx * 1 + 1) * ((11 - y0 + dy - 1) // dy)
+        for x0, y0, dx, dy in M._ADAM7_PASSES
+        if (13 - x0 + dx - 1) // dx > 0 and (11 - y0 + dy - 1) // dy > 0
+    )
+    short = _zlib.compress(b"\x00" * (raw_len - 3))
+    bad = (
+        p[:sig_end]
+        + M._png_chunk(b"IDAT", short)
+        + M._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlaced data length"):
+        M.decode_png(bad)
+
+
+def test_png_adam7_imageio_bitexact(spark, tmp_path):
+    """r9 parity pin: ImageIO de-interlaces Adam7 PNGs bit-exactly vs
+    this decoder (PNG is lossless), so interlaced files flow through
+    the JVM lane with identical pHashes — the arithmetic oracles hold
+    verbatim for interlaced corpora too."""
+    import os
+
+    ids = spark.createDataFrame([(i,) for i in range(18)], "doc_id bigint")
+    rows = M.synth_png_interlaced(ids).select("media_id", "payload").collect()
+    d = str(tmp_path / "ipngs")
+    os.makedirs(d)
+    for r in rows:
+        open(os.path.join(d, f"{r.media_id}.png"), "wb").write(bytes(r.payload))
+    got = {r.media_id: r.phash for r in M.phash_image_files(spark, d).collect()}
+    ref = {r.media_id: r.phash
+           for r in M.phash_media(M.synth_png_interlaced(ids)).collect()}
+    assert got == ref and len(got) == 18
