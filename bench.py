@@ -158,6 +158,7 @@ HEADLINE = [
     "media_exif",
     "media_curation_gate",
     "media_phash_oriented",
+    "media_phash_dihedral",
     "sketch_theta_diff",
     "media_shot_reuse",
     "media_audio_resampled_pairs",

@@ -3584,6 +3584,113 @@ def phash_media_oriented(df: DataFrame, null_on_error: bool = False) -> DataFram
     return df.mapInPandas(run, schema=PHASH_SCHEMA)
 
 
+def phash_media_dihedral(df: DataFrame, null_on_error: bool = False) -> DataFrame:
+    """ROTATION/REFLECTION-INVARIANT perceptual hash WITHOUT EXIF — the
+    gap :func:`phash_media_oriented` leaves open: a rotated refetch
+    whose EXIF was STRIPPED (most re-hosting pipelines strip metadata)
+    carries no orientation tag to normalize by.  The canonical hash is
+    the MINIMUM of the 8 pHashes over the image's dihedral orbit
+    (:func:`_apply_exif_orientation` for orientations 1-8 — the full
+    D4 group: identity, 3 rotations, 4 reflections).  Group closure
+    makes this EXACTLY invariant: if B = T(A) for any dihedral T, the
+    orbit {T_o(B)} equals {T_o(A)} as a set, so the hash multisets —
+    and their minimum — are identical, even for non-square images
+    (where individual transforms resample a swapped grid).  For
+    NEAR-duplicates the invariance is approximate (the argmin
+    orientation may differ between copies — the standard min-over-orbit
+    canonicalization caveat); exact transforms land at distance 0.
+    Output: (media_id, phash) — pair with ``hamming_near_pairs``."""
+    import numpy as np
+
+    def one(fmt: str, payload: bytes) -> int:
+        decoded = _decode_pixels(fmt, bytes(payload))
+        if decoded is None:
+            raise ValueError(
+                f"phash_media_dihedral: no real codec for format {fmt!r}"
+            )
+        _, _, px = decoded
+        px = np.asarray(px)
+        return min(
+            _phash_of_pixels(t, t.shape[1], t.shape[0])
+            for t in (_apply_exif_orientation(px, o) for o in range(1, 9))
+        )
+
+    def guarded(fmt: str, payload: bytes):
+        try:
+            return one(fmt, payload)
+        except (ValueError, struct.error):
+            return None
+
+    hasher = guarded if null_on_error else one
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pd.array(
+                        [
+                            hasher(f, p)
+                            for f, p in zip(pdf["format"], pdf["payload"])
+                        ],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def synth_jpeg_dihedral(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic JPEGs with PLANTED EXIF-STRIPPED rotated refetches
+    — the dihedral-hash test corpus: the :func:`synth_jpeg_oriented`
+    seed images (same CRT-mixed block texture, so no two seeds
+    collide), but slot 8 stores the group's slot-0 image rotated 90°
+    CCW and slot 9 stores it mirrored, BOTH WITH NO EXIF AT ALL — the
+    re-hosted-and-stripped case the oriented lane cannot recover.
+    Rotation/mirroring preserve the 8×8-block-constant structure, so
+    the q=16 JPEG pipeline stays bit-exact and the dihedral orbits of
+    slots 8/9 EQUAL slot-0's (pHash distance 0 under the min-hash).
+
+    Dims are ``8·(8 + s mod 3) × 8·(8 + (3s+1) mod 2)`` — DELIBERATELY
+    larger block grids than the oriented synth: under the ORBIT MIN the
+    oriented corpus's 2-4-block grids collapse to 152 distinct hashes
+    over 500 ids (incidental cross-orientation coincidences — 7.9k
+    spurious pairs), while 8-10-per-side grids keep all 400 folded ids
+    distinct (150 planted pairs + 1 near-miss at sf0.01)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                slot = k % 10
+                seed = k - slot if slot >= 8 else k
+                w, h = 8 * (8 + seed % 3), 8 * (8 + (3 * seed + 1) % 2)
+                bys, bxs = np.mgrid[0 : h // 8, 0 : w // 8]
+                blocks = (
+                    128 + 2 * (
+                        (3 * seed
+                         + (5 + seed % 17) * bxs
+                         + (7 + seed % 13) * bys
+                         + (1 + seed % 5) * bxs * bys) % 48
+                    )
+                ).astype(np.uint8)
+                px = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                if slot == 8:
+                    px = np.rot90(px, k=1)
+                elif slot == 9:
+                    px = px[:, ::-1]
+                payload = encode_jpeg(px.shape[1], px.shape[0], px)
+                rows.append((k, "image", payload, "jpeg", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def synth_jpeg_oriented(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic JPEGs with PLANTED EXIF-ROTATED refetches — the
     orientation-normalization test corpus.  Slots 0-7 are the

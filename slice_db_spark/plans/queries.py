@@ -4745,6 +4745,31 @@ def media_phash_oriented(spark, sf_dir):
     )
 
 
+def media_phash_dihedral(spark, sf_dir):
+    """ROTATION-INVARIANT image near-dedup WITHOUT EXIF (r9) — the
+    stripped-refetch gap the oriented lane leaves open: re-hosting
+    pipelines strip metadata, so a rotated copy carries no orientation
+    tag to normalize by.  `synth_jpeg_dihedral` plants a 90°-rotated
+    and a mirrored refetch of each group's slot-0 image with NO EXIF;
+    `operators/multimodal.py::phash_media_dihedral` hashes the MINIMUM
+    over the 8 dihedral-orbit pHashes (D4 group closure makes exact
+    transforms land at distance 0 even for non-square images).  The
+    oracle renders ALL EIGHT orientation-sampled grids per seed through
+    the shared DCT chain, takes the min, and brute-forces the pairing —
+    any transform-indexing, orbit, or min bug breaks the hash."""
+    docs = catalog(spark, sf_dir)["documents"]
+    sigs = multimodal.phash_media_dihedral(
+        multimodal.synth_jpeg_dihedral(docs)
+    )
+    pairs = dedup.hamming_near_pairs(
+        sigs, "phash", "media_id",
+        bits=63, bands=PHASH_BANDS, max_hamming=PHASH_MAX_HAMMING,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
 def media_phash_incremental(spark, sf_dir):
     """Continuous image-dedup regime under the hash gate: the standing
     media corpus (doc_id % 5 != 0) materializes its persisted pHash
@@ -8261,6 +8286,62 @@ FROM ph a JOIN ph b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
 """
 
+    # dihedral-minimum pairing: the oracle renders the FULL ORBIT — all
+    # eight orientation-sampled grids per seed (slots 8/9 fold to their
+    # group seed: their stored matrices are dihedral transforms of
+    # slot-0's, and group closure makes the orbits — hence the min —
+    # EQUAL), then the shared DCT chain, min over orientations, and
+    # brute-force pairing
+    o["media_phash_dihedral"] = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CASE WHEN doc_id % 10 >= 8 THEN doc_id - doc_id % 10
+              ELSE doc_id END AS seed
+  FROM documents),
+d2 AS (SELECT media_id, seed,
+              8 * (8 + seed % 3) AS w,
+              8 * (8 + (3 * seed + 1) % 2) AS h
+       FROM d),
+kk(u, x, c) AS (VALUES {_k_vals}),
+base AS (
+  SELECT media_id, seed, w, h, o, gi, gj,
+         CASE WHEN o <= 4 THEN (gi * h) // 8 ELSE (gi * w) // 8 END AS ri,
+         CASE WHEN o <= 4 THEN (gj * w) // 8 ELSE (gj * h) // 8 END AS cj
+  FROM d2, range(1, 9) ro(o), range(0, 8) r1(gi), range(0, 8) r2(gj)),
+src AS (
+  SELECT media_id, seed, o, gi, gj,
+         CASE WHEN o IN (1, 2) THEN ri WHEN o IN (3, 4) THEN h - 1 - ri
+              WHEN o IN (5, 8) THEN cj ELSE h - 1 - cj END AS r,
+         CASE WHEN o IN (1, 4) THEN cj WHEN o IN (2, 3) THEN w - 1 - cj
+              WHEN o IN (5, 6) THEN ri ELSE w - 1 - ri END AS c
+  FROM base),
+g AS (
+  SELECT media_id, o, gi, gj,
+         128 + 2 * ((3 * seed
+                     + (5 + seed % 17) * (c // 8)
+                     + (7 + seed % 13) * (r // 8)
+                     + (1 + seed % 5) * (c // 8) * (r // 8)) % 48) AS val
+  FROM src),
+coef AS (
+  SELECT media_id, o, ku.u AS u, kv.u AS v,
+         sum(CAST(ku.c AS BIGINT) * kv.c * val) AS cf
+  FROM g JOIN kk ku ON ku.x = g.gi JOIN kk kv ON kv.x = g.gj
+  GROUP BY media_id, o, ku.u, kv.u),
+ac AS (SELECT media_id, o, u * 8 + v - 1 AS bit_i, cf
+       FROM coef WHERE NOT (u = 0 AND v = 0)),
+med AS (SELECT media_id, o, list_sort(list(cf))[32] AS med
+        FROM ac GROUP BY media_id, o),
+ph8 AS (SELECT ac.media_id, ac.o,
+               CAST(sum(CASE WHEN cf > med THEN (CAST(1 AS BIGINT) << bit_i)
+                             ELSE 0 END) AS BIGINT) AS phash
+        FROM ac JOIN med USING (media_id, o) GROUP BY ac.media_id, ac.o),
+ph AS (SELECT media_id, min(phash) AS phash FROM ph8 GROUP BY media_id)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM ph a JOIN ph b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+"""
+
     # robustness panorama: the five r8 lane oracles verbatim as
     # subqueries — composition can't drift from the gated components
     o["media_robust_panorama"] = f"""
@@ -9472,6 +9553,7 @@ def _all_queries():
         "media_exif": media_exif,
         "media_curation_gate": media_curation_gate,
         "media_phash_oriented": media_phash_oriented,
+        "media_phash_dihedral": media_phash_dihedral,
         "sketch_theta_diff": sketch_theta_diff,
         "media_shot_reuse": media_shot_reuse,
         "media_audio_resampled_pairs": media_audio_resampled_pairs,

@@ -1873,3 +1873,50 @@ def test_png_adam7_imageio_bitexact(spark, tmp_path):
     ref = {r.media_id: r.phash
            for r in M.phash_media(M.synth_png_interlaced(ids)).collect()}
     assert got == ref and len(got) == 18
+
+
+def test_phash_dihedral_recovers_stripped_rotations(spark):
+    """r9 dihedral pins: (1) EXIF-STRIPPED rotated/mirrored refetches
+    (synth slots 8/9) land at distance 0 under the orbit-min hash —
+    the case the oriented lane cannot recover; (2) when EXIF IS present
+    the oriented lane agrees: for every planted pair the oriented
+    normalization also pairs them at 0, and the dihedral hash of the
+    tagged corpus equals the dihedral hash of the stripped corpus
+    (EXIF never changes pixels); (3) the orbit min is exactly invariant
+    under each of the 8 transforms on a non-square image."""
+    import numpy as np
+
+    ids = spark.createDataFrame([(i,) for i in range(30)], "doc_id bigint")
+    sigs = {r.media_id: r.phash for r in M.phash_media_dihedral(
+        M.synth_jpeg_dihedral(ids)).collect()}
+    for seed in (0, 10, 20):
+        assert sigs[seed + 8] == sigs[seed] == sigs[seed + 9]
+
+    # oriented lane agreement when EXIF is present: the tagged corpus's
+    # dihedral hashes equal the stripped corpus's per media_id-fold,
+    # and the oriented lane pairs the same planted refetches at 0
+    osigs = {r.media_id: r.phash for r in M.phash_media_oriented(
+        M.synth_jpeg_oriented(ids)).collect()}
+    for seed in (0, 10, 20):
+        assert osigs[seed + 8] == osigs[seed] == osigs[seed + 9]
+    # the dihedral lane recovers the oriented corpus's planted pairs
+    # WITHOUT reading the tag (stored pixels are dihedral transforms)
+    dsigs_tagged = {r.media_id: r.phash for r in M.phash_media_dihedral(
+        M.synth_jpeg_oriented(ids)).collect()}
+    for seed in (0, 10, 20):
+        assert (dsigs_tagged[seed + 8] == dsigs_tagged[seed]
+                == dsigs_tagged[seed + 9])
+
+    # exact orbit invariance on a non-square random image
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (24, 16), dtype=np.uint8)
+
+    def dmin(p):
+        return min(
+            M._phash_of_pixels(t, t.shape[1], t.shape[0])
+            for t in (M._apply_exif_orientation(p, o) for o in range(1, 9))
+        )
+
+    base = dmin(px)
+    for o in range(1, 9):
+        assert dmin(M._apply_exif_orientation(px, o)) == base
