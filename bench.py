@@ -153,6 +153,7 @@ HEADLINE = [
     "media_dedup_panorama",
     "ann_ivfpq",
     "ann_ivfpq_refined",
+    "ann_opq",
     "media_video_incremental",
     "media_video_shots",
     "media_exif",

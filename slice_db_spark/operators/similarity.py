@@ -878,27 +878,57 @@ def _centroid_lookup_expr(centroids: list[list[int]]):
     return F.element_at(table, F.col("__cell"))
 
 
-def residual_codebooks(
+def _rotate_expr(col: str, perm: list[int], signs: list[int]):
+    """JVM-side signed-permutation rotation of an integer array column:
+    ``y[r] = signs[r] · x[perm[r]]`` — an ORTHOGONAL matrix whose
+    entries are ±1/0, so the rotation is exact in int64 and replays
+    verbatim in the DuckDB oracle (the property a real-valued OPQ
+    rotation could never have cross-engine)."""
+    return F.array(
+        *[
+            (F.col(col)[perm[r]] * F.lit(int(signs[r]))).cast("long")
+            for r in range(len(perm))
+        ]
+    )
+
+
+def _greedy_signed_permutation(D) -> tuple[list[int], list[int]]:
+    """Procrustes restricted to SIGNED PERMUTATIONS: maximize
+    ``Σ_r s[r] · D[r, perm[r]]`` by greedy extraction — repeatedly take
+    the largest ``|D[r, c]|`` over unused rows/cols (ties: row, then
+    col; sign +1 on D ≥ 0).  Scanning one global (|v| desc, r, c) order
+    and skipping used rows/cols picks exactly the same entries as the
+    step-by-step argmax, which is how the SQL oracle unrolls it."""
+    dim = D.shape[0]
+    perm = [0] * dim
+    signs = [1] * dim
+    used_r: set[int] = set()
+    used_c: set[int] = set()
+    order = sorted(
+        ((abs(int(D[r, c])), r, c) for r in range(dim) for c in range(dim)),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )
+    for _, r, c in order:
+        if r in used_r or c in used_c:
+            continue
+        perm[r] = c
+        signs[r] = 1 if int(D[r, c]) >= 0 else -1
+        used_r.add(r)
+        used_c.add(c)
+        if len(used_r) == dim:
+            break
+    return perm, signs
+
+
+def _residuals_frame(
     corpus: DataFrame,
     centroids: list[list[int]],
-    m_subspaces: int = 4,
-    n_codes: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> list[list[list[int]]]:
-    """PER-SUBSPACE PQ codebooks trained on IVF RESIDUALS — the FAISS
-    IVFPQ construction the single shared raw-vector codebook
-    (:func:`pq_codebook`) approximates: residual r = quantized vector −
-    its cell centroid concentrates the energy PQ must encode, and each
-    subspace gets its OWN codebook (subspace m samples the ``n_codes``
-    residual subvectors of the corpus rows with smallest
-    ``md5(id || ':' || m)`` — distinct deterministic training rows per
-    subspace, the md5-order sampling of :func:`pq_codebook` made
-    per-subspace).  Returns ``codebooks[m] = n_codes × (dim/m)`` exact
-    ints; collected state is m × n_codes × dim/m — metadata-sized."""
-    from .hashing import hash64
-
-    assigned = (
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, __r) IVF residuals — the shared front end of the residual
+    codebook sampling and the OPQ trainer."""
+    return (
         _assign_cells_int(
             corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e")),
             centroids,
@@ -911,8 +941,40 @@ def residual_codebooks(
             ),
         )
         .select(id_col, "__r")
-        .persist()
     )
+
+
+def opq_signed_permutation(
+    corpus: DataFrame,
+    centroids: list[list[int]],
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[int], list[int]]:
+    """OPQ rotation for the PQ stack (Ge et al.'s non-parametric loop,
+    restricted to the HYPEROCTAHEDRAL group so every step is exact
+    int64): alternate (1) ASSIGNMENT — sample per-subspace codebooks
+    from the currently-rotated residuals and encode every corpus
+    residual to its reconstruction — with (2) ROTATION — solve the
+    Procrustes problem ``min_R Σ‖R·x − x̂‖²`` over signed permutations,
+    which reduces to greedy extraction on the cross-covariance
+    ``D[r, c] = Σ_i x̂_i[r] · x_i[c]`` (:func:`_greedy_signed_permutation`).
+    Deterministic init = identity; each round re-solves R against the
+    ORIGINAL residuals (not composed), so the oracle unrolls the rounds
+    as independent chains.
+
+    Scale shape: per round, one corpus scan for the Arrow-batched
+    encode+partial-D (map-side 64×64 int sums, driver-summed — KB-sized
+    like the centroid fetches) plus the m metadata-sized codebook
+    samples.  Returns ``(perm, signs)`` for :func:`_rotate_expr`."""
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType as _AT, LongType as _LT
+    from pyspark.sql.types import StructField as _SF, StructType as _ST
+
+    res = _residuals_frame(corpus, centroids, id_col, vec_col).persist()
     try:
         dim = len(centroids[0])
         if dim % m_subspaces:
@@ -920,24 +982,119 @@ def residual_codebooks(
                 f"dim {dim} not divisible by {m_subspaces} subspaces"
             )
         sub = dim // m_subspaces
-        cbs: list[list[list[int]]] = []
-        for m in range(m_subspaces):
-            rows = (
-                assigned.orderBy(
-                    hash64(
-                        F.concat(
-                            F.col(id_col).cast("string"), F.lit(f":{m}")
+        perm = list(range(dim))
+        signs = [1] * dim
+        for _ in range(rounds):
+            rot = res.select(
+                F.col(id_col),
+                F.col("__r").alias("__x"),
+                _rotate_expr("__r", perm, signs).alias("__y"),
+            )
+            cbs = _sample_subspace_codebooks(
+                rot.select(id_col, F.col("__y").alias("__r")),
+                m_subspaces, n_codes, sub, id_col,
+            )
+            CBS = [np.array(cb, dtype=np.int64) for cb in cbs]
+
+            def dsum(batches, _CBS=CBS, _m=m_subspaces, _sub=sub, _dim=dim):
+                total = np.zeros((_dim, _dim), dtype=np.int64)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = np.array(pdf["__x"].tolist(), dtype=np.int64)
+                    Y = np.array(pdf["__y"].tolist(), dtype=np.int64)
+                    R = np.empty_like(Y)
+                    for m in range(_m):
+                        S = Y[:, m * _sub : (m + 1) * _sub]
+                        Cm = _CBS[m]
+                        d = (
+                            (S * S).sum(axis=1, keepdims=True)
+                            + (Cm * Cm).sum(axis=1)[None, :]
+                            - 2 * (S @ Cm.T)
                         )
-                    ),
-                    F.col(id_col),
-                )
-                .limit(n_codes)
-                .collect()
+                        R[:, m * _sub : (m + 1) * _sub] = Cm[
+                            np.argmin(d, axis=1)
+                        ]
+                    total += R.T @ X
+                yield pd.DataFrame({"d": [total.ravel().tolist()]})
+
+            partials = rot.mapInPandas(
+                dsum, schema=_ST([_SF("d", _AT(_LT()))])
+            ).collect()
+            D = np.zeros((dim, dim), dtype=np.int64)
+            for row in partials:
+                D += np.array(row["d"], dtype=np.int64).reshape(dim, dim)
+            perm, signs = _greedy_signed_permutation(D)
+        return perm, signs
+    finally:
+        res.unpersist()
+
+
+def _sample_subspace_codebooks(
+    res: DataFrame, m_subspaces: int, n_codes: int, sub: int, id_col: str
+) -> list[list[list[int]]]:
+    """Per-subspace md5-order sampling of residual subvectors from a
+    ``(id, __r)`` frame — the codebook construction of
+    :func:`residual_codebooks`, shared with the OPQ trainer (which
+    feeds it ROTATED residuals)."""
+    from .hashing import hash64
+
+    cbs: list[list[list[int]]] = []
+    for m in range(m_subspaces):
+        rows = (
+            res.orderBy(
+                hash64(
+                    F.concat(F.col(id_col).cast("string"), F.lit(f":{m}"))
+                ),
+                F.col(id_col),
             )
-            cbs.append(
-                [list(r["__r"])[m * sub : (m + 1) * sub] for r in rows]
+            .limit(n_codes)
+            .collect()
+        )
+        cbs.append([list(r["__r"])[m * sub : (m + 1) * sub] for r in rows])
+    return cbs
+
+
+def residual_codebooks(
+    corpus: DataFrame,
+    centroids: list[list[int]],
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    perm: list[int] | None = None,
+    signs: list[int] | None = None,
+) -> list[list[list[int]]]:
+    """PER-SUBSPACE PQ codebooks trained on IVF RESIDUALS — the FAISS
+    IVFPQ construction the single shared raw-vector codebook
+    (:func:`pq_codebook`) approximates: residual r = quantized vector −
+    its cell centroid concentrates the energy PQ must encode, and each
+    subspace gets its OWN codebook (subspace m samples the ``n_codes``
+    residual subvectors of the corpus rows with smallest
+    ``md5(id || ':' || m)`` — distinct deterministic training rows per
+    subspace, the md5-order sampling of :func:`pq_codebook` made
+    per-subspace).  With ``perm``/``signs`` (from
+    :func:`opq_signed_permutation`) the residuals are OPQ-ROTATED
+    before slicing, so each codebook trains in the rotated space the
+    encoder will quantize in.  Returns ``codebooks[m] = n_codes ×
+    (dim/m)`` exact ints; collected state is m × n_codes × dim/m —
+    metadata-sized."""
+    assigned = _residuals_frame(corpus, centroids, id_col, vec_col)
+    if perm is not None:
+        assigned = assigned.select(
+            F.col(id_col), _rotate_expr("__r", perm, signs).alias("__r")
+        )
+    assigned = assigned.persist()
+    try:
+        dim = len(centroids[0])
+        if dim % m_subspaces:
+            raise ValueError(
+                f"dim {dim} not divisible by {m_subspaces} subspaces"
             )
-        return cbs
+        sub = dim // m_subspaces
+        return _sample_subspace_codebooks(
+            assigned, m_subspaces, n_codes, sub, id_col
+        )
     finally:
         assigned.unpersist()
 
@@ -1006,6 +1163,8 @@ def ivfpq_refined_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
+    perm: list[int] | None = None,
+    signs: list[int] | None = None,
 ) -> DataFrame:
     """REFINED IVF-PQ — :func:`ivfpq_topk` upgraded to the full FAISS
     recipe: (1) PQ encodes RESIDUALS (vector − cell centroid) with
@@ -1033,6 +1192,10 @@ def ivfpq_refined_topk(
             F.col("__e"), _centroid_lookup_expr(centroids), lambda a, b: a - b
         ),
     )
+    if perm is not None:
+        # OPQ: encode/ADC operate in the rotated space; the exact
+        # re-rank below stays on raw vectors (rotation preserves L2)
+        res = res.withColumn("__r", _rotate_expr("__r", perm, signs))
     codes_of = _residual_codes_vec(codebooks)
     codes = res.select(
         F.col(id_col),
@@ -1065,6 +1228,8 @@ def ivfpq_refined_topk(
             F.col("__qe"), _centroid_lookup_expr(centroids), lambda a, b: a - b
         ),
     )
+    if perm is not None:
+        qres = qres.withColumn("__qr", _rotate_expr("__qr", perm, signs))
     dtable_of = _residual_dtable_vec(codebooks)
     dt = (
         qres.select(

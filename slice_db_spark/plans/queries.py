@@ -3736,6 +3736,44 @@ def ann_ivfpq_refined(spark, sf_dir):
     )
 
 
+OPQ_ROUNDS = 2
+
+
+def ann_opq(spark, sf_dir):
+    """OPQ-rotated refined IVF-PQ under the hash gate (r9) — the Ge et
+    al. optimization the plain subspace split leaves on the table: an
+    ORTHOGONAL rotation learned before splitting, restricted to the
+    hyperoctahedral group (signed permutations) so every step is exact
+    int64 and the oracle can replay it bit-for-bit.
+    `operators/similarity.py::opq_signed_permutation` alternates
+    assignment (sample codebooks from rotated residuals, encode,
+    reconstruct) with rotation (Procrustes over signed permutations =
+    greedy max-|cross-covariance| extraction) for OPQ_ROUNDS rounds
+    from a deterministic identity init; the final rotation feeds
+    `residual_codebooks` and `ivfpq_refined_topk` (encode/ADC in the
+    rotated space, exact re-rank on raw vectors).  The oracle unrolls
+    BOTH rounds: codebook sampling, per-vector encode+reconstruct, the
+    64×64 covariance, and the 64-step greedy via a recursive CTE."""
+    emb = catalog(spark, sf_dir)["embeddings"]
+    corpus = emb.where("vec_id >= 5")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    cents = similarity.ivf_centroids_kmeans(
+        corpus, ANN_IVF_CELLS, iters=ANN_IVF_KM_ITERS
+    )
+    perm, signs = similarity.opq_signed_permutation(
+        corpus, cents, m_subspaces=PQ_M, n_codes=PQ_CODES, rounds=OPQ_ROUNDS
+    )
+    cbs = similarity.residual_codebooks(
+        corpus, cents, m_subspaces=PQ_M, n_codes=PQ_CODES,
+        perm=perm, signs=signs,
+    )
+    return similarity.ivfpq_refined_topk(
+        corpus, q, cents, cbs,
+        m_subspaces=PQ_M, k=5, k_prime=RERANK_K, nprobe=ANN_IVF_NPROBE,
+        perm=perm, signs=signs,
+    )
+
+
 DEDUP_PLANES = similarity.random_planes(16, 64, seed="dedup")
 DEDUP_EMB_THRESHOLD = 0.42
 DEDUP_EMB_BANDS = 4
@@ -7258,6 +7296,132 @@ SELECT q_id, vec_id, CAST(dot AS BIGINT) AS dot,
 FROM rr QUALIFY rank <= 5
 """
 
+    # OPQ: the refined chain with a LEARNED signed-permutation rotation
+    # unrolled round by round — per round: per-subspace codebook sample
+    # from the rotated residuals, per-vector encode + reconstruction,
+    # the 64x64 cross-covariance D[r,c] = sum recon[r]*residual[c], and
+    # the 64-step greedy Procrustes extraction (max |D| over unused
+    # rows/cols via JOIN+QUALIFY, not LATERAL: DuckDB 1.0 silently ends a
+    # recursive CTE whose LATERAL scans a parquet-backed chain
+    # rows/cols, ties row-then-col, sign of the chosen entry) as a
+    # RECURSIVE CTE; the final rotation feeds the encode/ADC while the
+    # re-rank stays on raw vectors
+    def _opq_encode_sql(t: int, y_src: str) -> str:
+        """CTEs rcb{t}/cdist{t}/codes{t}: sample + encode in the
+        rotated space of round t."""
+        return f"""rcb{t} AS MATERIALIZED (
+  SELECT m, row_number() OVER (PARTITION BY m ORDER BY h, vec_id) - 1 AS j,
+         y AS re
+  FROM (SELECT sp.m AS m, yy.vec_id AS vec_id, yy.y AS y,
+               {_hash64_sql("CAST(yy.vec_id AS VARCHAR) || ':' || CAST(sp.m AS VARCHAR)")} AS h
+        FROM {y_src} yy CROSS JOIN sp)
+  QUALIFY row_number() OVER (PARTITION BY m ORDER BY h, vec_id) <= {PQ_CODES}),
+cdist{t} AS (
+  SELECT yy.vec_id, c.m, c.j,
+         list_sum(list_transform(range(1, {_sub} + 1), i ->
+           (yy.y[c.m * {_sub} + i] - c.re[c.m * {_sub} + i])
+           * (yy.y[c.m * {_sub} + i] - c.re[c.m * {_sub} + i]))) AS d
+  FROM {y_src} yy CROSS JOIN rcb{t} c),
+codes{t} AS MATERIALIZED (SELECT vec_id, m, j AS code FROM cdist{t}
+             QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1)"""
+
+    def _opq_round_sql(t: int, y_src: str) -> str:
+        """One full OPQ round: encode CTEs + reconstruction + covariance
+        + the recursive greedy -> rot{t}(r, c, s)."""
+        return f"""{_opq_encode_sql(t, y_src)},
+recon{t} AS (SELECT cd.vec_id, p.r, b.re[p.r] AS yv
+             FROM codes{t} cd JOIN pos p ON p.m = cd.m
+             JOIN rcb{t} b ON b.m = cd.m AND b.j = cd.code),
+D{t} AS MATERIALIZED (SELECT rc.r AS r, cols.c AS c,
+                CAST(sum(rc.yv * res.re[cols.c]) AS BIGINT) AS v
+         FROM recon{t} rc JOIN res ON res.vec_id = rc.vec_id
+         CROSS JOIN (SELECT unnest(range(1, 65)) AS c) cols
+         GROUP BY rc.r, cols.c),
+pick{t}(step, rr_, cc_, vv_, used_r, used_c) AS (
+  SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+  UNION ALL
+  SELECT pick{t}.step + 1, D{t}.r, D{t}.c, D{t}.v,
+         list_append(pick{t}.used_r, D{t}.r),
+         list_append(pick{t}.used_c, D{t}.c)
+  FROM pick{t} JOIN D{t}
+    ON NOT list_contains(pick{t}.used_r, D{t}.r)
+   AND NOT list_contains(pick{t}.used_c, D{t}.c)
+  WHERE pick{t}.step < 64
+  QUALIFY row_number() OVER (ORDER BY abs(D{t}.v) DESC, D{t}.r, D{t}.c) = 1),
+rot{t} AS MATERIALIZED (SELECT rr_ AS r, cc_ AS c, CASE WHEN vv_ >= 0 THEN 1 ELSE -1 END AS s
+           FROM pick{t} WHERE step > 0)"""
+
+    def _opq_rotate_sql(name: str, rot: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT res.vec_id, list({rot}.s * res.re[{rot}.c] ORDER BY {rot}.r) AS y
+  FROM res CROSS JOIN {rot} GROUP BY res.vec_id)"""
+
+    o["ann_opq"] = f"""
+WITH RECURSIVE v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+  FROM embeddings),
+corp AS (SELECT vec_id, e FROM v WHERE vec_id >= 5),
+qry AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+dims AS (SELECT unnest(range(1, 65)) AS i),
+cents0 AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) AS ci, e AS cv FROM (
+    SELECT vec_id, e, {_hash64_sql("CAST(vec_id AS VARCHAR)")} AS h
+    FROM corp ORDER BY h, vec_id LIMIT {ANN_IVF_CELLS})),
+{','.join(_lloyd_iter(n) for n in range(ANN_IVF_KM_ITERS))},
+cellE AS (
+  SELECT vec_id, e, ci FROM (
+    SELECT c.vec_id, c.e, ct.ci, {_il2('c.e', 'ct.cv')} AS d
+    FROM corp c CROSS JOIN {_km_final} ct)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) = 1),
+res AS MATERIALIZED (SELECT cf.vec_id, cf.ci,
+               list_transform(range(1, 65), i -> cf.e[i] - ct.cv[i]) AS re
+        FROM cellE cf JOIN {_km_final} ct USING (ci)),
+sp AS (SELECT unnest(range(0, {PQ_M})) AS m),
+pos AS (SELECT sp.m AS m, sp.m * {_sub} + i AS r
+        FROM sp, range(1, {_sub} + 1) t(i)),
+y1 AS MATERIALIZED (SELECT vec_id, re AS y FROM res),
+{_opq_round_sql(1, 'y1')},
+{_opq_rotate_sql('y2', 'rot1')},
+{_opq_round_sql(2, 'y2')},
+{_opq_rotate_sql('y3', 'rot2')},
+{_opq_encode_sql(3, 'y3')},
+probes AS (
+  SELECT q_id, qe, ci FROM (
+    SELECT q.q_id, q.qe, ct.ci, {_il2('q.qe', 'ct.cv')} AS d
+    FROM qry q CROSS JOIN {_km_final} ct)
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d, ci) <= {ANN_IVF_NPROBE}),
+qres AS (SELECT p.q_id, p.ci,
+                list_transform(range(1, 65), i -> p.qe[i] - ct.cv[i]) AS qr
+         FROM probes p JOIN {_km_final} ct USING (ci)),
+qy AS (SELECT qres.q_id, qres.ci,
+              list(rot2.s * qres.qr[rot2.c] ORDER BY rot2.r) AS qyv
+       FROM qres CROSS JOIN rot2 GROUP BY qres.q_id, qres.ci),
+dt AS (
+  SELECT qy.q_id, qy.ci, c.m, c.j AS code,
+         list_sum(list_transform(range(1, {_sub} + 1), i ->
+           (qy.qyv[c.m * {_sub} + i] - c.re[c.m * {_sub} + i])
+           * (qy.qyv[c.m * {_sub} + i] - c.re[c.m * {_sub} + i]))) AS d
+  FROM qy CROSS JOIN rcb3 c),
+scored AS (
+  SELECT p.q_id, cf.vec_id, CAST(sum(dt.d) AS BIGINT) AS adist
+  FROM probes p
+  JOIN cellE cf ON cf.ci = p.ci
+  JOIN codes3 ON codes3.vec_id = cf.vec_id
+  JOIN dt ON dt.q_id = p.q_id AND dt.ci = p.ci
+         AND dt.m = codes3.m AND dt.code = codes3.code
+  GROUP BY 1, 2),
+shortlist AS (
+  SELECT q_id, vec_id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id)
+          <= {RERANK_K}),
+rr AS (SELECT s.q_id, s.vec_id, {_idot('q.qe', 'c.e')} AS dot
+       FROM shortlist s JOIN qry q USING (q_id) JOIN corp c USING (vec_id))
+SELECT q_id, vec_id, CAST(dot AS BIGINT) AS dot,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS BIGINT) AS rank
+FROM rr QUALIFY rank <= 5
+"""
+
     # normalize-then-dot mirrors operators/similarity.embedding_near_pairs:
     # one normalization per vector, a single dot per candidate pair
     _NORM_CTE = (
@@ -9547,6 +9711,7 @@ def _all_queries():
         "media_dedup_panorama": media_dedup_panorama,
         "ann_ivfpq": ann_ivfpq,
         "ann_ivfpq_refined": ann_ivfpq_refined,
+        "ann_opq": ann_opq,
         "media_video_incremental": media_video_incremental,
         # r8 additions
         "media_video_shots": media_video_shots,

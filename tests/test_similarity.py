@@ -481,3 +481,73 @@ def test_ivfpq_full_probe_equals_flat_adc_and_prunes(spark, catalog):
                   cents).collect()}
     for r in one.collect():
         assert cells[r.vec_id] == qcells[r.q_id]
+
+
+def test_opq_rotation_recall_and_invariants(spark):
+    """r9 OPQ pins: (1) the learned signed permutation IS a signed
+    permutation (bijective map, ±1 signs — orthogonality in the
+    hyperoctahedral group); (2) greedy Procrustes extraction is
+    deterministic and matches a step-by-step argmax; (3) OPQ-rotated
+    refined IVF-PQ does not LOSE recall vs the unrotated refined stack
+    on the same planted clusters (the VERDICT r9 pin)."""
+    import random
+
+    import numpy as np
+
+    from slice_db_spark.operators import similarity as S
+
+    # greedy vs step-by-step argmax on a random integer matrix
+    rng = np.random.default_rng(9)
+    D = rng.integers(-50, 50, (12, 12)).astype(np.int64)
+    perm, signs = S._greedy_signed_permutation(D)
+    used_r, used_c = set(), set()
+    for _ in range(12):
+        best = max(
+            ((abs(int(D[r, c])), -r, -c, r, c)
+             for r in range(12) for c in range(12)
+             if r not in used_r and c not in used_c),
+        )
+        _, _, _, r, c = best
+        assert perm[r] == c
+        assert signs[r] == (1 if int(D[r, c]) >= 0 else -1)
+        used_r.add(r)
+        used_c.add(c)
+
+    rnd = random.Random(11)
+    dim, n_clusters, per = 16, 10, 5
+    rows, queries = [], []
+    vid = 100
+    for ci in range(n_clusters):
+        center = [rnd.uniform(-0.5, 0.5) for _ in range(dim)]
+        queries.append((ci, center))
+        for _ in range(per):
+            rows.append((vid, [x + rnd.uniform(-0.02, 0.02) for x in center]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    qdf = spark.createDataFrame(queries, "q_id bigint, embedding array<float>")
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["q_id"], set()).add(r["vec_id"])
+        hit = sum(
+            len({100 + q * per + j for j in range(per)} & got.get(q, set()))
+            for q in range(n_clusters)
+        )
+        return hit / (n_clusters * per)
+
+    km = S.ivf_centroids_kmeans(corpus, 8, iters=2)
+    rcbs = S.residual_codebooks(corpus, km, m_subspaces=4, n_codes=16)
+    ref = recall(S.ivfpq_refined_topk(
+        corpus, qdf, km, rcbs, m_subspaces=4, k=per, k_prime=2 * per, nprobe=2))
+    perm, signs = S.opq_signed_permutation(
+        corpus, km, m_subspaces=4, n_codes=16, rounds=2)
+    assert sorted(perm) == list(range(dim))          # bijective
+    assert set(signs) <= {1, -1}
+    ocbs = S.residual_codebooks(
+        corpus, km, m_subspaces=4, n_codes=16, perm=perm, signs=signs)
+    opq = recall(S.ivfpq_refined_topk(
+        corpus, qdf, km, ocbs, m_subspaces=4, k=per, k_prime=2 * per,
+        nprobe=2, perm=perm, signs=signs))
+    assert opq >= ref, (opq, ref)
+    assert opq >= 0.85, opq
