@@ -167,6 +167,7 @@ HEADLINE = [
     "media_gif_stats",
     "media_gif_animated",
     "media_wav_stereo",
+    "media_wav_depths",
     "media_png_variants",
     "quality",
     "language_id",

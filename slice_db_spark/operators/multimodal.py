@@ -524,27 +524,60 @@ def encode_wav(samples: list[int], rate: int) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[int, list[int]]:
-    """Minimal RIFF/WAVE parser: returns (sample_rate, samples).  Mono
-    PCM16 passes through; STEREO PCM16 (the most common real WAV shape)
-    downmixes to mono as ``(L + R + 65536) div 2 − 32768`` — the
-    shifted numerator is non-negative, so floor division and truncation
-    agree and Python, Spark SQL, and DuckDB compute the identical
-    sample (a bare ``(L+R)//2`` floors in Python but truncates in both
-    SQL engines on odd negative sums).  Anything else raises
-    ``ValueError`` — a real pipeline routes those rows to quarantine,
-    mirroring the corpus readers."""
+    """Minimal RIFF/WAVE parser: returns (sample_rate, samples) with
+    every depth NORMALIZED to the 16-bit scale — PCM at 8 (unsigned),
+    16, and 24 bits plus IEEE float32 (fmt 3), the depths real corpora
+    actually ship (r9).  STEREO downmixes to mono AFTER normalization
+    as ``(L + R + 65536) div 2 − 32768`` — the shifted numerator is
+    non-negative, so floor division and truncation agree and Python,
+    Spark SQL, and DuckDB compute the identical sample (a bare
+    ``(L+R)//2`` floors in Python but truncates in both SQL engines on
+    odd negative sums).  Anything else — including partial 24-bit/
+    float32 samples, stereo half frames, and float samples outside
+    [−1, 1] (NaN included) — raises ``ValueError``: a real pipeline
+    routes those rows to quarantine, mirroring the corpus readers."""
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     fmt, channels, rate, bits = struct.unpack("<HHI", payload[20:28]) + (
         struct.unpack("<H", payload[34:36])[0],
     )
-    if fmt != 1 or channels not in (1, 2) or bits != 16:
+    if channels not in (1, 2) or (fmt, bits) not in (
+        (1, 8), (1, 16), (1, 24), (3, 32)
+    ):
         raise ValueError(f"unsupported WAV encoding fmt={fmt} ch={channels} bits={bits}")
     if payload[36:40] != b"data":
         raise ValueError("missing data chunk")
     (n_bytes,) = struct.unpack("<I", payload[40:44])
     data = payload[44 : 44 + n_bytes]
-    samples = list(struct.unpack(f"<{len(data) // 2}h", data))
+    # every depth normalizes to the 16-BIT SCALE with floor semantics,
+    # so downstream features (windows, fingerprints) are depth-agnostic:
+    # 8-bit unsigned -> (b − 128)·256; 24-bit -> s >> 8 (arithmetic
+    # shift = the non-negative floor form (s + 2^23) div 256 − 32768,
+    # identical in Python and both SQL engines); float32 -> floor
+    # (f·32768) with +1.0 clamped to 32767 (f is required in [−1, 1];
+    # NaN fails the range check and quarantines)
+    if bits == 16:
+        samples = list(struct.unpack(f"<{len(data) // 2}h", data))
+    elif bits == 8:
+        samples = [(b - 128) * 256 for b in data]
+    elif bits == 24:
+        if len(data) % 3:
+            raise ValueError("24-bit WAV with a partial sample")
+        samples = [
+            int.from_bytes(data[j : j + 3], "little", signed=True) >> 8
+            for j in range(0, len(data), 3)
+        ]
+    else:  # float32
+        if len(data) % 4:
+            raise ValueError("float32 WAV with a partial sample")
+        samples = []
+        for f_ in struct.unpack(f"<{len(data) // 4}f", data):
+            if not (-1.0 <= f_ <= 1.0):  # also rejects NaN
+                raise ValueError(f"float WAV sample out of [-1, 1]: {f_}")
+            import math
+
+            s = math.floor(f_ * 32768.0)
+            samples.append(32767 if s == 32768 else s)
     if channels == 2:
         if len(samples) % 2:
             raise ValueError("stereo WAV with a half frame (odd sample count)")
@@ -594,6 +627,125 @@ def synth_wav_stereo(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def encode_wav_typed(
+    samples, rate: int, bits: int, channels: int = 1
+) -> bytes:
+    """Minimal RIFF/WAVE writer for an EXPLICIT depth: PCM 8 (unsigned
+    bytes 0-255) / 16 / 24 bits or IEEE float32 (fmt code 3).
+    ``samples`` are NATIVE-depth values, already interleaved when
+    ``channels=2`` — this writer exists to drive the decoder's depth
+    branches with real bytes."""
+    if bits == 8:
+        data = bytes(int(s) for s in samples)
+    elif bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    elif bits == 24:
+        data = b"".join(
+            int(s).to_bytes(3, "little", signed=True) for s in samples
+        )
+    elif bits == 32:
+        data = struct.pack(f"<{len(samples)}f", *samples)
+    else:
+        raise ValueError(f"unsupported depth {bits}")
+    fmt_code = 3 if bits == 32 else 1
+    block = channels * bits // 8
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, fmt_code, channels, rate, rate * block, block, bits,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def synth_wav_depths(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic WAVs cycling DEPTH by ``k mod 4`` (8-bit unsigned,
+    PCM16, PCM24, float32) and CHANNELS by ``(k div 4) mod 2`` (mono /
+    stereo), ``40 + k mod 50`` frames at ``8000 + (k mod 8)·1000`` Hz.
+    Raw stream value j (interleaved when stereo):
+
+    * 8-bit:   ``(7k + 11j) mod 256`` (unsigned byte)
+    * 16-bit:  ``(31k + 7j) mod 65536 − 32768``
+    * 24-bit:  ``(131k + 17j) mod 2^24 − 2^23``
+    * float32: ``((13k + 5j) mod 2049 − 1024) / 1024`` — dyadic
+      rationals, exactly representable in float32, so the decoder's
+      ``floor(f · 32768)`` equals the oracle's pure-integer ``n · 32``
+      (with the +1.0 → 32767 clamp mirrored on both sides)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                bits = (8, 16, 24, 32)[k % 4]
+                channels = 1 + (k // 4) % 2
+                n = (40 + k % 50) * channels
+                if bits == 8:
+                    raw = [(7 * k + 11 * j) % 256 for j in range(n)]
+                elif bits == 16:
+                    raw = [(31 * k + 7 * j) % 65536 - 32768 for j in range(n)]
+                elif bits == 24:
+                    raw = [
+                        (131 * k + 17 * j) % 16777216 - 8388608
+                        for j in range(n)
+                    ]
+                else:
+                    raw = [
+                        ((13 * k + 5 * j) % 2049 - 1024) / 1024.0
+                        for j in range(n)
+                    ]
+                payload = encode_wav_typed(
+                    raw, 8000 + (k % 8) * 1000, bits, channels
+                )
+                rows.append((k, "audio", payload, "wav", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+WAV_DEPTH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("bits", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("max_abs", LongType()),
+    ]
+)
+
+
+def wav_depth_stats(df: DataFrame) -> DataFrame:
+    """REAL decode over every WAV depth branch: parse, normalize to the
+    16-bit scale, downmix when stereo, then exact integer |sample|
+    statistics — plus the header's depth/channel fields so the oracle
+    pins that the RIGHT branch ran, not just that some samples came
+    out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload)
+                bits = struct.unpack("<H", p[34:36])[0]
+                channels = struct.unpack("<H", p[22:24])[0]
+                rate, samples = decode_wav(p)
+                aa = [abs(s) for s in samples]
+                out.append(
+                    (int(mid), rate, bits, channels, len(samples),
+                     sum(aa), max(aa))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "sample_rate", "bits", "channels",
+                         "n_samples", "sum_abs", "max_abs"],
+            )
+
+    return df.mapInPandas(run, schema=WAV_DEPTH_SCHEMA)
 
 
 def synth_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

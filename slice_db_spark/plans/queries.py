@@ -4125,6 +4125,23 @@ def media_wav_stereo(spark, sf_dir):
     return multimodal.wav_stats(multimodal.synth_wav_stereo(docs))
 
 
+def media_wav_depths(spark, sf_dir):
+    """WAV DEPTH coverage under the hash gate (r9) — the depths real
+    corpora actually ship beyond PCM16: 8-bit unsigned, 24-bit PCM, and
+    IEEE float32, each normalized to the 16-bit scale with pinned floor
+    semantics (`operators/multimodal.py::decode_wav` — 8-bit
+    ``(b−128)·256``, 24-bit arithmetic-shift floor, float32
+    ``floor(f·32768)`` with the +1.0 → 32767 clamp), mono and stereo
+    with the SAME downmix contract as the 16-bit path.
+    `synth_wav_depths` cycles depth and channels from id arithmetic
+    with float samples chosen as dyadic rationals, so the oracle
+    re-derives every normalized sample in pure integers — any depth
+    branch, sign-extension, normalization, or clamp bug breaks the
+    hash."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.wav_depth_stats(multimodal.synth_wav_depths(docs))
+
+
 def media_gif_stats(spark, sf_dir):
     """REAL codec gate #6 — GIF, the third most common crawl image
     format: textured grayscale GIFs synthesized from doc_id arithmetic
@@ -8107,6 +8124,47 @@ WHERE bit_count(xor(a.afp, bb.afp)) <= {AUDIO_FP_MAX_HAMMING}
         FROM s
     """)
 
+    # WAV depths: every normalized sample re-derived in pure integers —
+    # the mod results feeding // are non-negative, so floor and truncate
+    # agree across engines; the float32 lane's dyadic samples make
+    # floor(f*32768) equal n*32 exactly, clamp mirrored via LEAST
+    o["media_wav_depths"] = _q("""
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS media_id,
+                 doc_id % 4 AS v,
+                 CAST(1 + (doc_id // 4) % 2 AS BIGINT) AS ch,
+                 CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+                 CAST(40 + doc_id % 50 AS BIGINT) AS nf
+          FROM documents),
+        s AS (
+          SELECT media_id, v, ch, sample_rate, nf,
+                 CASE v WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 24
+                        ELSE 32 END AS bits,
+                 list_transform(range(0, CAST(nf * ch AS INT)), j ->
+                   CASE v
+                     WHEN 0 THEN ((7 * media_id + 11 * j) % 256 - 128) * 256
+                     WHEN 1 THEN (31 * media_id + 7 * j) % 65536 - 32768
+                     WHEN 2 THEN ((131 * media_id + 17 * j) % 16777216) // 256
+                                 - 32768
+                     ELSE LEAST(((13 * media_id + 5 * j) % 2049 - 1024) * 32,
+                                32767)
+                   END) AS s16
+          FROM d),
+        m AS (
+          SELECT media_id, sample_rate, bits, ch, nf,
+                 CASE WHEN ch = 1 THEN list_transform(s16, x -> abs(x))
+                      ELSE list_transform(range(0, CAST(nf AS INT)), i ->
+                        abs((s16[2 * i + 1] + s16[2 * i + 2] + 65536) // 2
+                            - 32768))
+                 END AS aa
+          FROM s)
+        SELECT media_id, sample_rate, CAST(bits AS BIGINT) AS bits,
+               ch AS channels, nf AS n_samples,
+               CAST(list_sum(aa) AS BIGINT) AS sum_abs,
+               CAST(list_max(aa) AS BIGINT) AS max_abs
+        FROM m
+    """)
+
     # GIF: lossless, so the oracle mirrors the synth texture arithmetic
     # pixel-for-pixel (the PGM/BMP stats pattern) — the engine's numbers
     # come through real LZW decode + palette mapping
@@ -9726,5 +9784,6 @@ def _all_queries():
         "media_gif_stats": media_gif_stats,
         "media_gif_animated": media_gif_animated,
         "media_wav_stereo": media_wav_stereo,
+        "media_wav_depths": media_wav_depths,
         "media_png_variants": media_png_variants,
     }

@@ -1920,3 +1920,40 @@ def test_phash_dihedral_recovers_stripped_rotations(spark):
     base = dmin(px)
     for o in range(1, 9):
         assert dmin(M._apply_exif_orientation(px, o)) == base
+
+
+def test_wav_depths_roundtrip_and_quarantines():
+    """r9 WAV depth pins: (1) every depth (8/16/24-bit PCM, float32)
+    normalizes to the 16-bit scale with the pinned floor semantics and
+    round-trips encode_wav_typed -> decode_wav; (2) +1.0 clamps to
+    32767, -1.0 lands at -32768; (3) partial 24-bit/float32 samples,
+    out-of-range and NaN floats, and stereo half frames at any depth
+    all raise — parity with the 16-bit path's quarantine contract."""
+    rate, s = M.decode_wav(M.encode_wav_typed([0, 128, 255], 8000, 8))
+    assert s == [-32768, 0, 32512] and rate == 8000
+    rate, s = M.decode_wav(
+        M.encode_wav_typed([-8388608, -1, 255, 8388607], 8000, 24)
+    )
+    assert s == [-32768, -1, 0, 32767]
+    rate, s = M.decode_wav(
+        M.encode_wav_typed([1.0, -1.0, 0.5, -0.25], 8000, 32)
+    )
+    assert s == [32767, -32768, 16384, -8192]
+    # stereo downmix parity across depths: same normalized L/R as PCM16
+    p8 = M.encode_wav_typed([0, 255, 128, 128], 8000, 8, channels=2)
+    p16 = M.encode_wav_typed([-32768, 32512, 0, 0], 8000, 16, channels=2)
+    assert M.decode_wav(p8)[1] == M.decode_wav(p16)[1]
+
+    with pytest.raises(ValueError, match="partial sample"):
+        M.decode_wav(M.encode_wav_typed([0, 1, 2], 8000, 24)[:-1])
+    with pytest.raises(ValueError, match="partial sample"):
+        M.decode_wav(M.encode_wav_typed([0.5, 0.5], 8000, 32)[:-2])
+    with pytest.raises(ValueError, match="out of"):
+        M.decode_wav(M.encode_wav_typed([0.5, 1.5], 8000, 32))
+    with pytest.raises(ValueError, match="out of"):
+        M.decode_wav(M.encode_wav_typed([float("nan")], 8000, 32))
+    with pytest.raises(ValueError, match="half frame"):
+        M.decode_wav(M.encode_wav_typed([1, 2, 3], 8000, 8, channels=2))
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        M.decode_wav(M.encode_wav_typed([0], 8000, 8)[:20]
+                     + b"\x02\x00" + M.encode_wav_typed([0], 8000, 8)[22:])
