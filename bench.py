@@ -440,6 +440,43 @@ def main():
     # section also lands in a local JSON file that survives truncation.
     ckpt_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
 
+    # Same-host regression control (r9): load the PRIOR artifact's
+    # per-query map BEFORE this run overwrites the checkpoint file, and
+    # emit a machine-checkable {prior vs current common-query subtotal}
+    # block into this artifact — raw cross-day totals swing ±30% with VM
+    # speed, so the verdict must compare THIS host's numbers on the
+    # COMMON query list, not totals across hosts/rounds.  Source:
+    # --control <path> / SPARK_GRAFT_BENCH_CONTROL, defaulting to the
+    # committed BENCH_LOCAL.json from the previous round.
+    control_path = None
+    if "--control" in sys.argv:
+        control_path = sys.argv[sys.argv.index("--control") + 1]
+    else:
+        control_path = os.environ.get("SPARK_GRAFT_BENCH_CONTROL") or (
+            "BENCH_LOCAL.json" if os.path.exists("BENCH_LOCAL.json") else None
+        )
+    control_prior: dict | None = None
+    if control_path and os.path.exists(control_path):
+        try:
+            with open(control_path) as f:
+                control_prior = json.load(f)
+        except (OSError, ValueError):
+            control_prior = None
+    if control_prior is not None:
+        prior_q = control_prior.get("queries", {})
+        common = sorted(q for q in prior_q if q in times)
+        prior_sub = sum(prior_q[q] for q in common)
+        cur_sub = sum(times[q] for q in common)
+        out["control"] = {
+            "control_file": control_path,
+            "control_total": control_prior.get("value"),
+            "n_common": len(common),
+            "prior_common_subtotal": round(prior_sub, 3),
+            "current_common_subtotal": round(cur_sub, 3),
+            "ratio": round(cur_sub / prior_sub, 3) if prior_sub else None,
+        }
+        print(f"# control: {out['control']}", file=sys.stderr)
+
     def checkpoint():
         if not ckpt_path:
             return
@@ -847,6 +884,8 @@ def _terse_stdout_line(out: dict, detail_path: str, budget: int = 1900) -> dict:
         "detail_file": detail_path or "BENCH_LOCAL.json",
         "queries": {},
     }
+    if "control" in out:
+        line["control"] = out["control"]
     for name, sec in sorted(out["queries"].items(), key=lambda kv: -kv[1]):
         line["queries"][name] = sec
         if len(json.dumps(line)) > budget:
