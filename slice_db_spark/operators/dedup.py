@@ -421,10 +421,21 @@ def incremental_lsh_pairs(
     )
     if not verify:
         return cands
+    # PROBE-SIDE PRUNING (r9): the verify stage only ever reads corpus
+    # shingles of CANDIDATE docs, but an unpruned join shuffles the FULL
+    # corpus shingle table — the term that grew the 4x-corpus sweep to
+    # 2.43x.  A broadcast semi-join on the (per-batch-bounded) candidate
+    # corpus ids cuts both the shared-shingle join and the corpus-size
+    # aggregation to candidate rows only, so verify cost scales with the
+    # batch's collision volume, not |corpus|.  (The banding pass above
+    # still scans the corpus once — at scale that side is the PERSISTED
+    # index, see build_lsh_index/probe_lsh_index.)
+    cand_corpus = cands.select(F.col("corpus_id").alias(id_col)).distinct()
+    st_corp_hit = st_corp.join(F.broadcast(cand_corpus), id_col)
     shared = (
         cands.join(st_new.select(F.col(id_col).alias("new_id"), "shingle"), "new_id")
         .join(
-            st_corp.select(F.col(id_col).alias("corpus_id"), "shingle"),
+            st_corp_hit.select(F.col(id_col).alias("corpus_id"), "shingle"),
             ["corpus_id", "shingle"],
         )
         .groupBy("new_id", "corpus_id")
@@ -433,7 +444,7 @@ def incremental_lsh_pairs(
     sa = st_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("na")).select(
         F.col(id_col).alias("new_id"), "na"
     )
-    sb = st_corp.groupBy(id_col).agg(F.count(F.lit(1)).alias("nb")).select(
+    sb = st_corp_hit.groupBy(id_col).agg(F.count(F.lit(1)).alias("nb")).select(
         F.col(id_col).alias("corpus_id"), "nb"
     )
     out = (
