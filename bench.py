@@ -166,6 +166,7 @@ HEADLINE = [
     "media_robust_panorama",
     "media_gif_stats",
     "media_gif_animated",
+    "media_gif_video_pairs",
     "media_wav_stereo",
     "media_wav_depths",
     "media_png_variants",

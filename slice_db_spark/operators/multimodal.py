@@ -4519,6 +4519,51 @@ def synth_gif_animated(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def synth_gif_animated_dups(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """:func:`synth_gif_animated` with PLANTED re-encoded replays — the
+    animated-meme dedup corpus: slots 0-7 are the plain animated synth;
+    slot 8 replays the group's slot-0 ANIMATION at +4 brightness (every
+    frame's pHash lands at distance 0 — brightness invariance); slot 9
+    replays it contrast-reduced (``v − v div 16`` — most threshold signs
+    survive, within the pairing threshold).  Transforms apply AFTER the
+    mod (pixel ≤ 254, inside the gray palette); dims/frame count/delays
+    fold to the seed so the equal-length video pairing contract holds."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                slot = k % 10
+                seed = k - slot if slot >= 8 else k
+                w, h = 40 + seed % 9, 36 + (3 * seed) % 11
+                n_frames = 2 + seed % 4
+                delay = 4 + seed % 7
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                base = (
+                    17 * seed + 3 * xs * xs + 7 * ys * ys + 5 * xs * ys
+                    + 11 * xs + 13 * ys
+                )
+                frames = np.stack(
+                    [((base + 29 * f) % 251) for f in range(n_frames)]
+                )
+                if slot == 8:
+                    frames = frames + 4
+                elif slot == 9:
+                    frames = frames - frames // 16
+                payload = encode_gif_animated(
+                    w, h, frames.astype(np.uint8), [delay] * n_frames
+                )
+                rows.append((k, "image", payload, "gif", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 # ---------------------------------------------------------- real Y4M codec
 # VIDEO, dependency-free: YUV4MPEG2 is the uncompressed interchange format
 # every ffmpeg pipeline can emit (`-f yuv4mpeg2`) — an ASCII stream header

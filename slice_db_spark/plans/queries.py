@@ -4174,6 +4174,24 @@ def media_gif_animated(spark, sf_dir):
     return multimodal.gif_anim_stats(multimodal.synth_gif_animated(docs))
 
 
+def media_gif_video_pairs(spark, sf_dir):
+    """ANIMATED-GIF near-dedup through the VIDEO lane (r9) — the meme
+    re-encode case: `gif_video_phash` adapts every GIF frame into the
+    video lane's per-frame signature schema, and the UNCHANGED
+    `video_near_pairs` machinery (same frame count + every aligned
+    frame within Hamming ≤ 6, candidates banded on frame 0) pairs the
+    planted replays: `synth_gif_animated_dups` re-encodes each group's
+    slot-0 animation at +4 brightness (distance 0) and contrast-reduced
+    per ten-id group.  The oracle replays frames→per-frame DCT hashes→
+    sequence-zip brute force with the GIF texture arithmetic — any LZW,
+    frame-walk, luma, or sequence-zip bug breaks the hash."""
+    docs = catalog(spark, sf_dir)["documents"]
+    sigs = multimodal.gif_video_phash(multimodal.synth_gif_animated_dups(docs))
+    return multimodal.video_near_pairs(
+        sigs, bits=63, bands=PHASH_BANDS, max_hamming=PHASH_MAX_HAMMING
+    )
+
+
 def media_video_pairs(spark, sf_dir):
     """Perceptual VIDEO near-dedup — per-frame pHash over the real Y4M
     codec (`operators/multimodal.py::video_phash`, the SAME hash
@@ -4334,10 +4352,12 @@ def media_dedup_panorama(spark, sf_dir):
 
 
 def media_robust_panorama(spark, sf_dir):
-    """One report across the five ROBUSTNESS lanes the plain perceptual
-    contracts miss (r8): EXIF-rotated refetches (`media_phash_oriented`),
-    clipped/padded audio replays (`media_audio_offset_pairs`), resampled
-    re-encodes (`media_audio_resampled_pairs`), one-frame video trims
+    """One report across the six ROBUSTNESS lanes the plain perceptual
+    contracts miss (r8, +dihedral r9): EXIF-rotated refetches
+    (`media_phash_oriented`), EXIF-STRIPPED rotations
+    (`media_phash_dihedral`), clipped/padded audio replays
+    (`media_audio_offset_pairs`), resampled re-encodes
+    (`media_audio_resampled_pairs`), one-frame video trims
     (`media_video_trimmed_pairs`), and cross-clip shot reuse
     (`media_shot_reuse`) — per lane, the pair count and the items a
     min-id-wins pass would drop.  The oracle embeds each lane's oracle
@@ -4351,6 +4371,9 @@ def media_robust_panorama(spark, sf_dir):
 
     return (
         summarize(media_phash_oriented(spark, sf_dir), "image_oriented")
+        .unionByName(
+            summarize(media_phash_dihedral(spark, sf_dir), "image_dihedral")
+        )
         .unionByName(
             summarize(media_audio_offset_pairs(spark, sf_dir), "audio_offset")
         )
@@ -7736,6 +7759,63 @@ ph AS (SELECT ac.media_id, ac.f,
        FROM ac JOIN med USING (media_id, f) GROUP BY ac.media_id, ac.f),
 v AS (SELECT media_id, list(phash ORDER BY f) AS hs FROM ph GROUP BY media_id)"""
 
+    # animated-GIF pairing via the video lane: the SAME per-frame
+    # DCT/median/sequence-zip chain over the GIF texture arithmetic,
+    # slots 8/9 folding to their seed with the planted brightness /
+    # contrast transforms applied after the mod
+    _gif_video_cte = f"""d AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 10 AS slot,
+         CASE WHEN doc_id % 10 >= 8 THEN doc_id - doc_id % 10
+              ELSE doc_id END AS seed
+  FROM documents),
+d2 AS (SELECT media_id, slot, seed,
+              40 + seed % 9 AS w, 36 + (3 * seed) % 11 AS h
+       FROM d),
+df AS (SELECT media_id, slot, seed, w, h,
+              unnest(range(0, CAST(2 + seed % 4 AS INT))) AS f
+       FROM d2),
+kk(u, x, c) AS (VALUES {_k_vals}),
+g AS (
+  SELECT media_id, f, gi, gj,
+         CASE WHEN slot = 8 THEN base + 4
+              WHEN slot = 9 THEN base - base // 16
+              ELSE base END AS val
+  FROM (
+    SELECT media_id, slot, f, gi, gj,
+           (17 * seed
+            + 3 * ((gj * w) // 8) * ((gj * w) // 8)
+            + 7 * ((gi * h) // 8) * ((gi * h) // 8)
+            + 5 * ((gj * w) // 8) * ((gi * h) // 8)
+            + 11 * ((gj * w) // 8) + 13 * ((gi * h) // 8)
+            + 29 * f) % 251 AS base
+    FROM df, range(0, 8) r1(gi), range(0, 8) r2(gj))),
+coef AS (
+  SELECT media_id, f, ku.u AS u, kv.u AS v,
+         sum(CAST(ku.c AS BIGINT) * kv.c * val) AS cf
+  FROM g JOIN kk ku ON ku.x = g.gi JOIN kk kv ON kv.x = g.gj
+  GROUP BY media_id, f, ku.u, kv.u),
+ac AS (SELECT media_id, f, u * 8 + v - 1 AS bit_i, cf
+       FROM coef WHERE NOT (u = 0 AND v = 0)),
+med AS (SELECT media_id, f, list_sort(list(cf))[32] AS med
+        FROM ac GROUP BY media_id, f),
+ph AS (SELECT ac.media_id, ac.f,
+              CAST(sum(CASE WHEN cf > med THEN (CAST(1 AS BIGINT) << bit_i)
+                            ELSE 0 END) AS BIGINT) AS phash
+       FROM ac JOIN med USING (media_id, f) GROUP BY ac.media_id, ac.f),
+v AS (SELECT media_id, list(phash ORDER BY f) AS hs FROM ph GROUP BY media_id)"""
+
+    o["media_gif_video_pairs"] = f"""
+WITH {_gif_video_cte}
+SELECT id_a, id_b, n_frames, max_frame_hamming FROM (
+  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         CAST(len(a.hs) AS BIGINT) AS n_frames,
+         CAST(list_max(list_transform(range(1, len(a.hs) + 1),
+              i -> bit_count(xor(a.hs[i], b.hs[i])))) AS BIGINT)
+           AS max_frame_hamming
+  FROM v a JOIN v b ON a.media_id < b.media_id AND len(a.hs) = len(b.hs))
+WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
+"""
+
     o["media_video_pairs"] = f"""
 WITH {_video_cte}
 SELECT id_a, id_b, n_frames, max_frame_hamming FROM (
@@ -8564,12 +8644,16 @@ FROM ph a JOIN ph b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
 """
 
-    # robustness panorama: the five r8 lane oracles verbatim as
+    # robustness panorama: the six lane oracles verbatim as
     # subqueries — composition can't drift from the gated components
     o["media_robust_panorama"] = f"""
 SELECT 'image_oriented' AS lane, CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(count(DISTINCT id_b) AS BIGINT) AS n_dup_items
 FROM ({o["media_phash_oriented"]})
+UNION ALL
+SELECT 'image_dihedral', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT id_b) AS BIGINT)
+FROM ({o["media_phash_dihedral"]})
 UNION ALL
 SELECT 'audio_offset', CAST(count(*) AS BIGINT),
        CAST(count(DISTINCT id_b) AS BIGINT)
@@ -9783,6 +9867,7 @@ def _all_queries():
         "media_robust_panorama": media_robust_panorama,
         "media_gif_stats": media_gif_stats,
         "media_gif_animated": media_gif_animated,
+        "media_gif_video_pairs": media_gif_video_pairs,
         "media_wav_stereo": media_wav_stereo,
         "media_wav_depths": media_wav_depths,
         "media_png_variants": media_png_variants,

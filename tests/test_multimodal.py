@@ -1957,3 +1957,19 @@ def test_wav_depths_roundtrip_and_quarantines():
     with pytest.raises(ValueError, match="unsupported WAV"):
         M.decode_wav(M.encode_wav_typed([0], 8000, 8)[:20]
                      + b"\x02\x00" + M.encode_wav_typed([0], 8000, 8)[22:])
+
+
+def test_gif_video_pairs_planted_replays(spark):
+    """r9 pin: animated-GIF replays pair through the unchanged video
+    machinery — +4-brightness re-encodes at per-frame distance 0, and
+    contrast-reduced ones within the pairing threshold; a clip with a
+    different frame count never pairs (the equal-length contract)."""
+    ids = spark.createDataFrame([(i,) for i in range(30)], "doc_id bigint")
+    sigs = M.gif_video_phash(M.synth_gif_animated_dups(ids))
+    pairs = {(r.id_a, r.id_b): r.max_frame_hamming
+             for r in M.video_near_pairs(sigs).collect()}
+    for seed in (0, 10, 20):
+        assert pairs[(seed, seed + 8)] == 0
+        assert pairs[(seed, seed + 9)] <= 6
+    # different frame counts never pair: seeds 0 (2 frames) vs 1 (3)
+    assert (0, 1) not in pairs
