@@ -160,6 +160,7 @@ HEADLINE = [
     "media_curation_gate",
     "media_phash_oriented",
     "media_phash_dihedral",
+    "media_dihedral_incremental",
     "sketch_theta_diff",
     "media_shot_reuse",
     "media_audio_resampled_pairs",

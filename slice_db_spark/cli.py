@@ -1398,7 +1398,8 @@ def main(argv: list[str] | None = None) -> int:
     im.add_argument("--rejects", default=None,
                     help="JSON sink root for perceptual near-dup drops "
                     "(sibling <rejects>.neardup)")
-    im.add_argument("--fingerprint", choices=["phash", "audio", "video"],
+    im.add_argument("--fingerprint",
+                    choices=["phash", "phash-dihedral", "audio", "video"],
                     default="phash",
                     help="signature modality: 63-bit image pHash (banding "
                     "63/7, threshold 6), 30-bit audio energy fingerprint "

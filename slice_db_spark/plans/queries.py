@@ -4885,6 +4885,46 @@ def media_phash_incremental(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def media_dihedral_incremental(spark, sf_dir):
+    """Continuous ROTATION-INVARIANT image dedup (r9) — the streaming
+    regime of `media_phash_dihedral`: the standing corpus (doc_id % 5 !=
+    0) materializes its persisted DIHEDRAL signature index (the
+    `ingest_media_stream(fingerprint="phash-dihedral")` layout), the
+    arriving batch (% 5 == 0) probes it via the banded asymmetric join —
+    so a stripped-rotation refetch dedups at the door, continuously.
+    The oracle reuses the full-orbit dihedral chain with an asymmetric
+    readout."""
+    import shutil
+    import tempfile
+
+    from ..streaming.media import write_phash_meta
+
+    docs = catalog(spark, sf_dir)["documents"]
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    tmp = tempfile.mkdtemp(prefix="dihedral_idx_q_")
+    idx = os.path.join(tmp, "idx")
+    try:
+        multimodal.phash_media_dihedral(
+            multimodal.synth_jpeg_dihedral(corpus)
+        ).select(
+            F.col("media_id").alias("corpus_id"), "phash"
+        ).write.mode("overwrite").parquet(idx)
+        write_phash_meta(idx, 63, PHASH_BANDS, PHASH_MAX_HAMMING)
+        probe = multimodal.phash_media_dihedral(
+            multimodal.synth_jpeg_dihedral(batch)
+        )
+        return dedup.hamming_near_pairs_asym(
+            probe, spark.read.parquet(idx), "phash",
+            bits=63, bands=PHASH_BANDS, max_hamming=PHASH_MAX_HAMMING,
+        ).select(
+            "new_id", "corpus_id",
+            F.col("hamming").cast("bigint").alias("hamming"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def ann_index_probe(spark, sf_dir):
     """Persisted-index ANN path under the hash gate: train + materialize
     the IVF index (`similarity.build_ivf_index`: centroids.json +
@@ -8644,6 +8684,21 @@ FROM ph a JOIN ph b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
 """
 
+    # continuous dihedral regime: the full-orbit chain with an
+    # asymmetric batch-vs-corpus readout (disjoint id spaces, the
+    # streaming contract — same derivation pattern as the other
+    # *_incremental oracles)
+    _dihedral_readout = 'SELECT a.media_id AS id_a'
+    _dihedral_body = o["media_phash_dihedral"][
+        : o["media_phash_dihedral"].rindex(_dihedral_readout)
+    ]
+    o["media_dihedral_incremental"] = _dihedral_body + f"""SELECT a.media_id AS new_id, b.media_id AS corpus_id,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM ph a JOIN ph b
+  ON a.media_id % 5 = 0 AND b.media_id % 5 != 0
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+"""
+
     # robustness panorama: the six lane oracles verbatim as
     # subqueries — composition can't drift from the gated components
     o["media_robust_panorama"] = f"""
@@ -9861,6 +9916,7 @@ def _all_queries():
         "media_curation_gate": media_curation_gate,
         "media_phash_oriented": media_phash_oriented,
         "media_phash_dihedral": media_phash_dihedral,
+        "media_dihedral_incremental": media_dihedral_incremental,
         "sketch_theta_diff": sketch_theta_diff,
         "media_shot_reuse": media_shot_reuse,
         "media_audio_resampled_pairs": media_audio_resampled_pairs,

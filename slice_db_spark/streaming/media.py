@@ -205,6 +205,12 @@ def ingest_media_stream(
 
     _MODES = {
         "phash": (63, 7, 6, lambda b: _mm.phash_media(b, null_on_error=True)),
+        # rotation-invariant image lane (r9): the orbit-min hash, so a
+        # stripped-rotation refetch dedups at the door like any other
+        "phash-dihedral": (
+            63, 7, 6,
+            lambda b: _mm.phash_media_dihedral(b, null_on_error=True),
+        ),
         "audio": (
             30, 6, 4,
             lambda b: _mm.audio_fingerprint(
@@ -225,10 +231,12 @@ def ingest_media_stream(
             f"max_hamming={max_hamming} needs at least max_hamming+1 bands "
             f"(got {bands}): the banded probe would silently under-recall"
         )
-    if (min_side is not None or max_aspect is not None) and fingerprint != "phash":
+    if (min_side is not None or max_aspect is not None) and fingerprint not in (
+        "phash", "phash-dihedral"
+    ):
         raise ValueError(
             "min_side/max_aspect gate image dimensions — only the "
-            f"fingerprint='phash' lane, not {fingerprint!r}"
+            f"image lanes (phash/phash-dihedral), not {fingerprint!r}"
         )
     if min_side is not None and min_side < 1:
         raise ValueError(f"min_side must be >= 1, got {min_side}")

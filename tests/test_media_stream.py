@@ -658,3 +658,52 @@ def test_media_ingest_audio_time_windows(spark, tmp_path):
     with pytest.raises(ValueError, match="audio"):
         SM.ingest_media_stream(spark, land, out, ckpt,
                                windows_per_sec=320)
+
+
+def test_media_ingest_dihedral_lane(spark, tmp_path):
+    """r9 rotation-invariant ingest lane: batch 0 builds the DIHEDRAL
+    signature index (sidecar records the mode); batch 1's EXIF-stripped
+    90-degree-rotated refetch of a standing image drops to the neardup
+    rejects — the refetch the plain phash lane would admit — while a
+    fresh image lands; a plain-phash probe against the dihedral index
+    refuses (sidecar mismatch)."""
+    import pytest
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    quar = str(tmp_path / "quar")
+    rej = str(tmp_path / "rej")
+    os.makedirs(land)
+
+    def jpeg_rows(ids):
+        return M.synth_jpeg_dihedral(
+            spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+        )
+
+    _land(jpeg_rows(ids=[0, 1]), land, "b0.parquet", 1_000_000_000)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, rejects=rej,
+                           fingerprint="phash-dihedral")
+    assert SM.read_phash_meta(idx)["fingerprint"] == "phash-dihedral"
+    assert {r.media_id for r in spark.read.parquet(out).collect()} == {0, 1}
+
+    # id 8 = EXIF-stripped 90-degree rotation of id 0 (synth slot 8),
+    # id 3 = fresh content
+    _land(jpeg_rows(ids=[8, 3]), land, "b1.parquet", 1_000_000_100)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, rejects=rej,
+                           fingerprint="phash-dihedral")
+    got = {r.media_id for r in spark.read.parquet(out).collect()}
+    assert got == {0, 1, 3}
+    neardup = {r.media_id for r in spark.read.json(rej + ".neardup").collect()}
+    assert neardup == {8}
+
+    # sidecar mismatch: probing the dihedral index in plain-phash mode
+    # must refuse instead of silently matching nothing
+    _land(jpeg_rows(ids=[5]), land, "b2.parquet", 1_000_000_200)
+    with pytest.raises(Exception, match="fingerprint|meta|mismatch"):
+        SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                               quarantine=quar, rejects=rej,
+                               fingerprint="phash")
