@@ -524,6 +524,7 @@ def cmd_ingest_media(args) -> int:
         min_side=args.min_side,
         max_aspect=args.max_aspect,
         windows_per_sec=args.windows_per_sec,
+        jvm_decode=args.jvm_decode,
     )
     report = {"corpus_rows": spark.read.parquet(args.corpus).count()}
     import os as _os
@@ -1402,9 +1403,14 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["phash", "phash-dihedral", "audio", "video"],
                     default="phash",
                     help="signature modality: 63-bit image pHash (banding "
-                    "63/7, threshold 6), 30-bit audio energy fingerprint "
+                    "63/7, threshold 6), its rotation-invariant dihedral "
+                    "variant, 30-bit audio energy fingerprint "
                     "(30/6, threshold 4), or per-frame video pHash (equal "
                     "frame counts, every aligned frame within threshold)")
+    im.add_argument("--jvm-decode", action="store_true",
+                    help="decode image batches through the JVM ImageIO "
+                    "lane via an executor-side file spill (native-rate "
+                    "for compressed formats; JPEG/PNG/GIF/BMP only)")
     im.add_argument("--max-hamming", type=int, default=None)
     im.add_argument("--source", choices=["parquet", "files"],
                     default="parquet",

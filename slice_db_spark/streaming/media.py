@@ -163,6 +163,7 @@ def ingest_media_stream(
     min_side: int | None = None,
     max_aspect: int | None = None,
     windows_per_sec: int | None = None,
+    jvm_decode: bool = False,
 ):
     """Start (and with ``available_now`` run to completion) the media
     ingestion stream — see the module docstring for the per-batch
@@ -223,6 +224,44 @@ def ingest_media_stream(
     if fingerprint not in _MODES:
         raise ValueError(f"unknown fingerprint mode {fingerprint!r}")
     _def_bits, _def_bands, _def_h, _sig_fn = _MODES[fingerprint]
+    if jvm_decode:
+        # JVM decode lane for the image ingest (r9): per batch, spill
+        # the survivor payloads to sharded files executor-side and hash
+        # through Spark's ImageIO scan (operators/multimodal.py::
+        # phash_media_spilled) — native-rate decode for compressed
+        # formats instead of the Python codecs.  Signature parity with
+        # the Python lane: BMP/PNG/GIF bit-exact, JPEG within the
+        # pairing threshold (±1/pixel IDCT rounding — the r8 parity
+        # pin), so an index built by either lane probes correctly with
+        # the other.  The spill dir lives next to the corpus (shared
+        # storage on a cluster, the sink's own requirement) and is
+        # removed as soon as the batch's signatures are checkpointed.
+        if fingerprint != "phash":
+            raise ValueError(
+                "jvm_decode applies to the image phash lane only, "
+                f"not {fingerprint!r}"
+            )
+        # Coverage caveat: ImageIO reads the web formats (JPEG/PNG/GIF/
+        # BMP); formats only the Python codecs decode (e.g. PGM) emit
+        # NULL signatures under this lane and land in quarantine —
+        # corpora containing them should keep the default Python lane.
+
+        def _sig_fn(b):  # noqa: F811 — deliberate lane override
+            import shutil as _sh
+            import tempfile as _tf
+
+            root = out_path + ".jvmspill"
+            os.makedirs(root, exist_ok=True)
+            d = _tf.mkdtemp(dir=root)
+            try:
+                return _mm.phash_media_spilled(
+                    spark,
+                    b.select("media_id", "format", "payload"),
+                    os.path.join(d, "corpus"),
+                    null_on_error=True,
+                ).localCheckpoint(eager=True)
+            finally:
+                _sh.rmtree(d, ignore_errors=True)
     bits = _def_bits if bits is None else bits
     bands = _def_bands if bands is None else bands
     max_hamming = _def_h if max_hamming is None else max_hamming

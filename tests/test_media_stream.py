@@ -707,3 +707,53 @@ def test_media_ingest_dihedral_lane(spark, tmp_path):
         SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
                                quarantine=quar, rejects=rej,
                                fingerprint="phash")
+
+
+def test_media_ingest_jvm_decode_lane(spark, tmp_path):
+    """r9 JVM-decode ingest: the same three-batch growth contract as the
+    Python lane, but signatures come from the executor-spill + ImageIO
+    scan — (1) BMP hashes are bit-exact vs the Python lane, so a
+    near-dup replay still rejects against an index the PYTHON lane
+    built (cross-lane probe parity); (2) undecodable payloads quarantine
+    under the JVM lane too; (3) the non-image lanes refuse the flag."""
+    import pytest
+    from pyspark.sql import functions as SF
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    quar = str(tmp_path / "quar")
+    rej = str(tmp_path / "rej")
+    os.makedirs(land)
+
+    # batch 0 builds the index through the PYTHON lane
+    _land(_synth_rows(spark, [0, 1, 2]), land, "b0.parquet", 1_000_000_000)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, rejects=rej)
+    # batch 1 probes through the JVM lane: id 8 = brightness replay of
+    # id 0 (synth plants it) -> neardup reject; id 10 fresh; one
+    # undecodable payload -> quarantine
+    b1 = _synth_rows(spark, [8, 10]).unionByName(
+        spark.createDataFrame(
+            [(99, "image", bytearray(b"not an image at all......"), "bmp", 25)],
+            M.MEDIA_SCHEMA,
+        )
+    )
+    _land(b1, land, "b1.parquet", 1_000_000_100)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, rejects=rej, jvm_decode=True)
+    got = {r.media_id for r in spark.read.parquet(out).collect()}
+    assert got == {0, 1, 2, 10}
+    neardup = {r.media_id for r in spark.read.json(rej + ".neardup").collect()}
+    assert neardup == {8}
+    quarantined = {r.media_id for r in spark.read.json(quar).collect()}
+    assert quarantined == {99}
+    # the spill staging is cleaned up after each batch
+    assert not os.path.exists(out + ".jvmspill") or not any(
+        os.scandir(out + ".jvmspill")
+    )
+
+    with pytest.raises(ValueError, match="image phash lane"):
+        SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                               fingerprint="audio", jvm_decode=True)
