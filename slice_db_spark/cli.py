@@ -914,6 +914,33 @@ def cmd_analyze_media(args) -> int:
             }
         finally:
             ex.unpersist()
+    gifs = media.where(F.col("format") == "gif")
+    if gifs.limit(1).count():
+        am = mm.gif_anim_meta(gifs, null_on_error=True).persist()
+        try:
+            parsed = am.where(F.col("n_frames").isNotNull())
+            section = {
+                "gif_rows": am.count(),
+                "damaged": am.where(F.col("n_frames").isNull()).count(),
+                "animated": parsed.where("n_frames > 1").count(),
+                "frames_hist": {
+                    int(r["n_frames"]): r["n"]
+                    for r in parsed.groupBy("n_frames")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                },
+            }
+            anim = parsed.where("n_frames > 1")
+            if anim.limit(1).count():
+                q = anim.agg(
+                    F.expr(
+                        "percentile(duration_cs, array(0.5, 0.9))"
+                    ).alias("dq")
+                ).collect()[0]
+                section["duration_cs_p50_p90"] = [int(v) for v in q["dq"]]
+            report["animation"] = section
+        finally:
+            am.unpersist()
     print(json.dumps(report))
     return 0
 

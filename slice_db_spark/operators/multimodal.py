@@ -4449,6 +4449,47 @@ def gif_anim_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=GIF_ANIM_SCHEMA)
 
 
+GIF_ANIM_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_cs", LongType()),
+    ]
+)
+
+
+def gif_anim_meta(df: DataFrame, null_on_error: bool = False) -> DataFrame:
+    """Animation metadata ALONE (:func:`gif_anim_info` — the strict
+    block walk, no LZW decode): the cheap per-payload pass the
+    `analyze-media` report and gate-threshold tuning read.
+    ``null_on_error=True`` emits NULL fields for structurally damaged
+    payloads instead of failing the report."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, nf, dur = gif_anim_info(bytes(payload))
+                    out.append((int(mid), w, h, nf, dur))
+                except (ValueError, struct.error):
+                    if not null_on_error:
+                        raise
+                    out.append((int(mid), None, None, None, None))
+            res = pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "n_frames",
+                         "duration_cs"],
+            )
+            for c in ("width", "height", "n_frames", "duration_cs"):
+                res[c] = pd.array(res[c], dtype="Int64")
+            yield res
+
+    return df.mapInPandas(run, schema=GIF_ANIM_META_SCHEMA)
+
+
 def gif_video_phash(df: DataFrame, null_on_error: bool = False) -> DataFrame:
     """Per-FRAME 63-bit pHash over animated GIFs — the adapter that
     gives animated GIFs the video lane's dedup rights: one row per

@@ -1033,3 +1033,35 @@ def test_analyze_media_cli(spark, tmp_path):
     assert report["exif"]["with_exif"] == 9
     assert report["exif"]["damaged"] == 0
     assert sum(report["exif"]["orientation_hist"].values()) == 9
+
+
+def test_analyze_media_animation_section(spark, tmp_path):
+    """r9 analyze-media animation section: GIF corpora report animated
+    share, frame-count histogram, duration quantiles, and damaged
+    payload counts — all through the strict-GCE block walk, no LZW
+    decode."""
+    from slice_db_spark.operators import multimodal as M
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id bigint")
+    stills = M.synth_gif(
+        spark.createDataFrame([(i,) for i in range(100, 104)], "doc_id bigint")
+    )
+    corpus = str(tmp_path / "media")
+    damaged = spark.createDataFrame(
+        [(999, "image", bytearray(b"GIF89a then nothing sensible"), "gif", 28)],
+        M.MEDIA_SCHEMA,
+    )
+    M.synth_gif_animated(ids).unionByName(stills).unionByName(
+        damaged
+    ).write.parquet(corpus)
+
+    report = json.loads(run_cli("analyze-media", corpus))
+    anim = report["animation"]
+    assert anim["gif_rows"] == 17
+    assert anim["damaged"] == 1
+    # synth_gif_animated: 2 + k % 4 frames, all > 1; stills are 1-frame
+    assert anim["animated"] == 12
+    assert anim["frames_hist"]["1"] == 4 or anim["frames_hist"].get(1) == 4
+    total = sum(anim["frames_hist"].values())
+    assert total == 16
+    assert len(anim["duration_cs_p50_p90"]) == 2
