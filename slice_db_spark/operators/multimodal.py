@@ -296,7 +296,11 @@ def phash_media(df: DataFrame, null_on_error: bool = False) -> DataFrame:
 
 
 def phash_image_files(
-    spark, path: str, null_on_error: bool = False, ids: str = "digits"
+    spark,
+    path: str,
+    null_on_error: bool = False,
+    ids: str = "digits",
+    dihedral: bool = False,
 ) -> DataFrame:
     """JVM-NATIVE image decode lane — the production path for
     FILE-BACKED image corpora: Spark's built-in ``image`` data source
@@ -368,7 +372,19 @@ def phash_image_files(
                         px = arr[:, :, [2, 1, 0]]     # BGRA -> RGB
                     else:
                         raise ValueError(f"unsupported channel count {nc}")
-                    fp = _phash_of_pixels(px, int(w), int(h))
+                    if dihedral:
+                        # orbit-min canonical hash — identical values to
+                        # phash_media_dihedral (the decode lane changes
+                        # the rate, not the pixels, on lossless formats)
+                        fp = min(
+                            _phash_of_pixels(t, t.shape[1], t.shape[0])
+                            for t in (
+                                _apply_exif_orientation(px, o)
+                                for o in range(1, 9)
+                            )
+                        )
+                    else:
+                        fp = _phash_of_pixels(px, int(w), int(h))
                 except (ValueError, struct.error):
                     if not null_on_error:
                         raise
@@ -452,7 +468,11 @@ def spill_media_to_files(df: DataFrame, dest: str) -> str:
 
 
 def phash_media_spilled(
-    spark, df: DataFrame, staging_dir: str, null_on_error: bool = False
+    spark,
+    df: DataFrame,
+    staging_dir: str,
+    null_on_error: bool = False,
+    dihedral: bool = False,
 ) -> DataFrame:
     """IN-COLUMN payloads through the JVM-NATIVE decode lane — the
     bridge that retires the pure-Python codecs' constant factor for
@@ -472,7 +492,9 @@ def phash_media_spilled(
     decode on compressed formats (measured in
     ``BENCH_LOCAL.json::media_decode_datasheet``)."""
     spill_media_to_files(df, staging_dir)
-    return phash_image_files(spark, staging_dir, null_on_error=null_on_error)
+    return phash_image_files(
+        spark, staging_dir, null_on_error=null_on_error, dihedral=dihedral
+    )
 
 
 def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:

@@ -236,10 +236,10 @@ def ingest_media_stream(
         # the other.  The spill dir lives next to the corpus (shared
         # storage on a cluster, the sink's own requirement) and is
         # removed as soon as the batch's signatures are checkpointed.
-        if fingerprint != "phash":
+        if fingerprint not in ("phash", "phash-dihedral"):
             raise ValueError(
-                "jvm_decode applies to the image phash lane only, "
-                f"not {fingerprint!r}"
+                "jvm_decode applies to the image lanes "
+                f"(phash/phash-dihedral), not {fingerprint!r}"
             )
         # Coverage caveat: ImageIO reads the web formats (JPEG/PNG/GIF/
         # BMP); formats only the Python codecs decode (e.g. PGM) emit
@@ -259,6 +259,7 @@ def ingest_media_stream(
                     b.select("media_id", "format", "payload"),
                     os.path.join(d, "corpus"),
                     null_on_error=True,
+                    dihedral=(fingerprint == "phash-dihedral"),
                 ).localCheckpoint(eager=True)
             finally:
                 _sh.rmtree(d, ignore_errors=True)

@@ -754,6 +754,6 @@ def test_media_ingest_jvm_decode_lane(spark, tmp_path):
         os.scandir(out + ".jvmspill")
     )
 
-    with pytest.raises(ValueError, match="image phash lane"):
+    with pytest.raises(ValueError, match="image lanes"):
         SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
                                fingerprint="audio", jvm_decode=True)

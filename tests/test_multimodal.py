@@ -1973,3 +1973,32 @@ def test_gif_video_pairs_planted_replays(spark):
         assert pairs[(seed, seed + 9)] <= 6
     # different frame counts never pair: seeds 0 (2 frames) vs 1 (3)
     assert (0, 1) not in pairs
+
+
+def test_phash_image_files_dihedral_parity(spark, tmp_path):
+    """r9: the ImageIO lane's dihedral option produces the IDENTICAL
+    orbit-min hashes as phash_media_dihedral on lossless payloads, and
+    the spill bridge passes the flag through — so the rotation-
+    invariant lane runs at native decode rate too."""
+    import os
+
+    ids = spark.createDataFrame([(i,) for i in range(15)], "doc_id bigint")
+    rows = M.synth_texture_bmp(ids).select("media_id", "payload").collect()
+    d = str(tmp_path / "imgs")
+    os.makedirs(d)
+    for r in rows:
+        open(os.path.join(d, f"{r.media_id}.bmp"), "wb").write(bytes(r.payload))
+    got = {r.media_id: r.phash
+           for r in M.phash_image_files(spark, d, dihedral=True).collect()}
+    ref = {r.media_id: r.phash
+           for r in M.phash_media_dihedral(M.synth_texture_bmp(ids)).collect()}
+    assert got == ref and len(got) == 15
+
+    spilled = {
+        r.media_id: r.phash
+        for r in M.phash_media_spilled(
+            spark, M.synth_texture_bmp(ids), str(tmp_path / "c"),
+            dihedral=True,
+        ).collect()
+    }
+    assert spilled == ref
