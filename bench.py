@@ -154,6 +154,7 @@ HEADLINE = [
     "ann_ivfpq",
     "ann_ivfpq_refined",
     "ann_opq",
+    "ann_opq_index",
     "media_video_incremental",
     "media_video_shots",
     "media_exif",

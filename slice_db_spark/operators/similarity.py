@@ -1604,6 +1604,183 @@ def probe_ivf_index(
     )
 
 
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    iters: int = 2,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    opq_rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train and materialize the FULL OPQ-IVFPQ index — the persisted
+    form of the :func:`ivfpq_refined_topk` + :func:`opq_signed_permutation`
+    pipeline, so continuous query serving never re-trains: ``meta.json``
+    (centroids, the learned signed-permutation rotation, the per-subspace
+    residual codebooks — all exact ints, driver-side KBs) and ``cells/``
+    parquet partitioned by ``__cell`` holding ``(id, quantized vector,
+    PQ codes)`` — the raw vector rides along for the exact re-rank, the
+    codes for the ADC scan.  Returns the meta dict."""
+    import json
+    import os
+
+    cents = ivf_centroids_kmeans(
+        corpus, n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    perm, signs = opq_signed_permutation(
+        corpus, cents, m_subspaces=m_subspaces, n_codes=n_codes,
+        rounds=opq_rounds, id_col=id_col, vec_col=vec_col,
+    )
+    cbs = residual_codebooks(
+        corpus, cents, m_subspaces=m_subspaces, n_codes=n_codes,
+        id_col=id_col, vec_col=vec_col, perm=perm, signs=signs,
+    )
+    corpus_q = corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e"))
+    res = _assign_cells_int(corpus_q, cents).withColumn(
+        "__r",
+        F.zip_with(
+            F.col("__e"), _centroid_lookup_expr(cents), lambda a, b: a - b
+        ),
+    ).withColumn("__r", _rotate_expr("__r", perm, signs))
+    codes_of = _residual_codes_vec(cbs)
+    res.select(
+        id_col, "__e", "__cell", codes_of(F.col("__r")).alias("__codes")
+    ).write.mode("overwrite").partitionBy("__cell").parquet(
+        os.path.join(path, "cells")
+    )
+    meta = {
+        "centroids": cents,
+        "perm": perm,
+        "signs": signs,
+        "codebooks": cbs,
+        "m_subspaces": m_subspaces,
+        "n_codes": n_codes,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def probe_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    k_prime: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Refined OPQ-IVFPQ search against a persisted index — IDENTICAL
+    ranking to :func:`ivfpq_refined_topk` with the index's rotation and
+    codebooks (the parity contract every persisted probe here honors),
+    but the corpus side is the pre-encoded index: probes rank centroids
+    from the (tiny) meta, the broadcast cell join prunes unprobed
+    ``__cell`` partitions, the ADC sums stored codes against the
+    query's per-cell rotated-residual tables, and the top-k′ shortlist
+    re-ranks by exact integer dot against the STORED vectors — no
+    re-quantization, no re-encoding, no second corpus scan."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    cents = meta["centroids"]
+    perm, signs = meta["perm"], meta["signs"]
+    cbs = meta["codebooks"]
+    sub = len(cents[0]) // meta["m_subspaces"]
+
+    c = spark.read.parquet(os.path.join(path, "cells"))
+    dists = _cell_l2_vec(cents)
+    q = (
+        queries.select(F.col(query_id_col), quantize_expr(vec_col).alias("__qe"))
+        .withColumn("__d", dists(F.col("__qe")))
+        .select(query_id_col, "__qe", F.posexplode("__d").alias("__i", "__dist"))
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        F.asc("__dist"), F.asc("__i")
+    )
+    probes = (
+        q.withColumn("__pr", F.row_number().over(w_probe))
+        .where(F.col("__pr") <= nprobe)
+        .select(query_id_col, "__qe", (F.col("__i") + 1).alias("__cell"))
+    )
+    qres = probes.withColumn(
+        "__qr",
+        F.zip_with(
+            F.col("__qe"), _centroid_lookup_expr(cents), lambda a, b: a - b
+        ),
+    ).withColumn("__qr", _rotate_expr("__qr", perm, signs))
+    dtable_of = _residual_dtable_vec(cbs)
+    dt = (
+        qres.select(
+            query_id_col,
+            "__cell",
+            F.posexplode(dtable_of(F.col("__qr"))).alias("m", "__row"),
+        )
+        .select(
+            query_id_col, "__cell",
+            F.col("m").cast("bigint").alias("m"),
+            F.posexplode("__row").alias("__j", "__d"),
+        )
+        .select(
+            query_id_col, "__cell", "m",
+            F.col("__j").cast("bigint").alias("code"),
+            F.col("__d").cast("bigint").alias("__d"),
+        )
+    )
+    codes = c.select(
+        id_col, "__cell",
+        F.posexplode("__codes").alias("m", "code"),
+    ).select(
+        id_col, "__cell",
+        F.col("m").cast("bigint").alias("m"),
+        F.col("code").cast("bigint").alias("code"),
+    )
+    scored = (
+        codes.join(
+            F.broadcast(probes.select(query_id_col, "__cell")), "__cell"
+        )
+        .join(F.broadcast(dt), on=[query_id_col, "__cell", "m", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__d").alias("adist"))
+    )
+    w_adc = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adist"), F.asc(id_col)
+    )
+    shortlist = (
+        scored.withColumn("__rk", F.row_number().over(w_adc))
+        .where(F.col("__rk") <= k_prime)
+        .select(query_id_col, id_col)
+    )
+    qvec = queries.select(
+        F.col(query_id_col), quantize_expr(vec_col).alias("__qe")
+    )
+    dot = F.aggregate(
+        F.zip_with("__qe", "__e", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    rr = (
+        c.select(id_col, "__e")
+        .join(F.broadcast(shortlist), id_col)
+        .join(F.broadcast(qvec), query_id_col)
+        .select(query_id_col, id_col, dot.alias("dot"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("dot"), F.asc(id_col))
+    return (
+        rr.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "dot",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def append_ivf_index(
     spark,
     path: str,

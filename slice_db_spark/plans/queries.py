@@ -4925,6 +4925,35 @@ def media_dihedral_incremental(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def ann_opq_index(spark, sf_dir):
+    """Persisted OPQ-IVFPQ path under the hash gate (r9): train +
+    materialize the full index (`similarity.build_ivfpq_index`:
+    meta.json with centroids/rotation/codebooks + __cell-partitioned
+    (id, vector, codes) lists), then answer the SAME query batch through
+    `probe_ivfpq_index` — identical ranking contract to the in-memory
+    `ann_opq` chain (parity-tested), so the oracle is the same string;
+    any index-layout, rotation-sidecar, code-storage, or probe drift
+    breaks this hash.  Result checkpointed before the temp index dir is
+    deleted."""
+    import shutil
+    import tempfile
+
+    emb = catalog(spark, sf_dir)["embeddings"]
+    corpus = emb.where("vec_id >= 5")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    tmp = tempfile.mkdtemp(prefix="opq_idx_q_")
+    try:
+        similarity.build_ivfpq_index(
+            corpus, tmp, n_cells=ANN_IVF_CELLS, iters=ANN_IVF_KM_ITERS,
+            m_subspaces=PQ_M, n_codes=PQ_CODES, opq_rounds=OPQ_ROUNDS,
+        )
+        return similarity.probe_ivfpq_index(
+            spark, tmp, q, k=5, k_prime=RERANK_K, nprobe=ANN_IVF_NPROBE,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def ann_index_probe(spark, sf_dir):
     """Persisted-index ANN path under the hash gate: train + materialize
     the IVF index (`similarity.build_ivf_index`: centroids.json +
@@ -8699,6 +8728,11 @@ FROM ph a JOIN ph b
 WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
 """
 
+    # persisted OPQ-IVFPQ probe: identical ranking contract to the
+    # in-memory OPQ chain (parity-tested), so the oracle is the same
+    # string — any index-layout/rotation-sidecar/probe drift breaks it
+    o["ann_opq_index"] = o["ann_opq"]
+
     # robustness panorama: the six lane oracles verbatim as
     # subqueries — composition can't drift from the gated components
     o["media_robust_panorama"] = f"""
@@ -9909,6 +9943,7 @@ def _all_queries():
         "ann_ivfpq": ann_ivfpq,
         "ann_ivfpq_refined": ann_ivfpq_refined,
         "ann_opq": ann_opq,
+        "ann_opq_index": ann_opq_index,
         "media_video_incremental": media_video_incremental,
         # r8 additions
         "media_video_shots": media_video_shots,

@@ -551,3 +551,41 @@ def test_opq_rotation_recall_and_invariants(spark):
         nprobe=2, perm=perm, signs=signs))
     assert opq >= ref, (opq, ref)
     assert opq >= 0.85, opq
+
+
+def test_opq_index_probe_parity(spark, tmp_path):
+    """r9 persisted OPQ-IVFPQ: probe_ivfpq_index over the materialized
+    index returns BIT-IDENTICAL (q_id, vec_id, dot, rank) rows to the
+    in-memory ivfpq_refined_topk with the same learned rotation and
+    codebooks — the parity contract every persisted probe honors."""
+    import random
+
+    from slice_db_spark.operators import similarity as S
+
+    rng = random.Random(7)
+    dim = 16
+    rows = [(100 + i, [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(40)]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    qdf = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(4)],
+        "q_id bigint, embedding array<float>",
+    )
+    d = str(tmp_path / "idx")
+    meta = S.build_ivfpq_index(
+        corpus, d, n_cells=4, iters=2, m_subspaces=4, n_codes=8, opq_rounds=2
+    )
+    assert sorted(meta["perm"]) == list(range(dim))
+    got = sorted((r.q_id, r.vec_id, r.dot, r.rank)
+                 for r in S.probe_ivfpq_index(
+                     spark, d, qdf, k=3, k_prime=6, nprobe=2).collect())
+    km = S.ivf_centroids_kmeans(corpus, 4, iters=2)
+    perm, signs = S.opq_signed_permutation(
+        corpus, km, m_subspaces=4, n_codes=8, rounds=2)
+    cbs = S.residual_codebooks(
+        corpus, km, m_subspaces=4, n_codes=8, perm=perm, signs=signs)
+    ref = sorted((r.q_id, r.vec_id, r.dot, r.rank)
+                 for r in S.ivfpq_refined_topk(
+                     corpus, qdf, km, cbs, m_subspaces=4, k=3, k_prime=6,
+                     nprobe=2, perm=perm, signs=signs).collect())
+    assert got == ref and got
