@@ -148,6 +148,102 @@ def test_bmp_roundtrip_property(w, h, rnd):
     assert np.array_equal(px, back)
 
 
+@given(
+    st.integers(min_value=1, max_value=14),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=4),
+    st.randoms(),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_animated_roundtrip_property(w, h, n_frames, rnd):
+    """r9: encode_gif_animated -> gif_frames/gif_anim_info round-trips
+    arbitrary frame stacks and delays byte-exact (real LZW both ways,
+    strict GCE framing)."""
+    import numpy as np
+
+    from slice_db_spark.operators.multimodal import (
+        encode_gif_animated, gif_anim_info, gif_frames,
+    )
+
+    frames = np.array(
+        [[[rnd.randrange(256) for _ in range(w)] for _ in range(h)]
+         for _ in range(n_frames)],
+        dtype="uint8",
+    )
+    delays = [rnd.randrange(1000) for _ in range(n_frames)]
+    p = encode_gif_animated(w, h, frames, delays)
+    assert gif_anim_info(p) == (w, h, n_frames, sum(delays))
+    gw, gh, back = gif_frames(p)
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(back[:, :, :, 0], frames)
+
+
+@given(
+    st.integers(min_value=1, max_value=13),
+    st.integers(min_value=1, max_value=13),
+    st.booleans(),
+    st.randoms(),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_adam7_roundtrip_property(w, h, rgb, rnd):
+    """r9: Adam7 interlaced encode -> decode round-trips arbitrary
+    images byte-exact, including sizes with EMPTY passes."""
+    import numpy as np
+
+    from slice_db_spark.operators.multimodal import (
+        decode_png, encode_png, encode_png_interlaced,
+    )
+
+    shape = (h, w, 3) if rgb else (h, w)
+    px = np.frombuffer(
+        bytes(rnd.randrange(256) for _ in range(h * w * (3 if rgb else 1))),
+        dtype="uint8",
+    ).reshape(shape)
+    gw, gh, back = decode_png(encode_png_interlaced(w, h, px))
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(back, px)
+    assert np.array_equal(back, decode_png(encode_png(w, h, px))[2])
+
+
+@given(
+    st.sampled_from([8, 16, 24, 32]),
+    st.integers(min_value=1, max_value=2),
+    st.integers(min_value=1, max_value=40),
+    st.randoms(),
+)
+@settings(max_examples=80, deadline=None)
+def test_wav_depths_roundtrip_property(bits, channels, n_frames, rnd):
+    """r9: every WAV depth round-trips through the pinned 16-bit-scale
+    normalization; the Python model below IS the oracle arithmetic."""
+    import math
+
+    from slice_db_spark.operators.multimodal import (
+        decode_wav, encode_wav_typed,
+    )
+
+    n = n_frames * channels
+    if bits == 8:
+        raw = [rnd.randrange(256) for _ in range(n)]
+        norm = [(b - 128) * 256 for b in raw]
+    elif bits == 16:
+        raw = [rnd.randrange(65536) - 32768 for _ in range(n)]
+        norm = list(raw)
+    elif bits == 24:
+        raw = [rnd.randrange(1 << 24) - (1 << 23) for _ in range(n)]
+        norm = [s >> 8 for s in raw]
+    else:
+        nums = [rnd.randrange(2049) - 1024 for _ in range(n)]
+        raw = [v / 1024.0 for v in nums]
+        norm = [min(v * 32, 32767) for v in nums]
+    rate, got = decode_wav(encode_wav_typed(raw, 8000, bits, channels))
+    if channels == 2:
+        norm = [
+            (norm[i] + norm[i + 1] + 65536) // 2 - 32768
+            for i in range(0, n, 2)
+        ]
+    assert rate == 8000 and got == norm
+
+
 # ------------------------------------------------- event-join operators
 
 _timeline = st.lists(

@@ -142,6 +142,21 @@ AUDIT = [
     "media_gif_stats",
     "media_png_variants",
     "media_wav_stereo",
+    # round-9 shapes: executor-spill + ImageIO scan over in-column
+    # payloads, strict-GCE animation walk, Adam7 de-interlace over the
+    # shared unfilter, orbit-min dihedral hashing (batch + asymmetric
+    # persisted probe), OPQ rotated encode/ADC (in-memory + persisted
+    # partition-pruned probe), depth-normalized WAV decode, GIF frames
+    # through the video sequence-zip pairing
+    "media_phash_incolumn_imageio",
+    "media_gif_animated",
+    "media_png_interlaced",
+    "media_phash_dihedral",
+    "media_dihedral_incremental",
+    "ann_opq",
+    "ann_opq_index",
+    "media_wav_depths",
+    "media_gif_video_pairs",
 ]
 
 MAX_LINES = 80
