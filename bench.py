@@ -453,7 +453,10 @@ def main():
     # committed BENCH_LOCAL.json from the previous round.
     control_path = None
     if "--control" in sys.argv:
-        control_path = sys.argv[sys.argv.index("--control") + 1]
+        ci = sys.argv.index("--control")
+        if ci + 1 >= len(sys.argv) or sys.argv[ci + 1].startswith("-"):
+            raise SystemExit("--control needs a path argument")
+        control_path = sys.argv[ci + 1]
     else:
         control_path = os.environ.get("SPARK_GRAFT_BENCH_CONTROL") or (
             "BENCH_LOCAL.json" if os.path.exists("BENCH_LOCAL.json") else None

@@ -421,6 +421,11 @@ def incremental_lsh_pairs(
     )
     if not verify:
         return cands
+    # cache the (small) candidate frame: both the broadcast prune below
+    # and the shared-shingle join consume it, and an uncached plan would
+    # re-run the banding join per consumer (released with the shingle
+    # tables below — no per-batch executor-storage leak)
+    cands = cands.persist()
     # PROBE-SIDE PRUNING (r9): the verify stage only ever reads corpus
     # shingles of CANDIDATE docs, but an unpruned join shuffles the FULL
     # corpus shingle table — the term that grew the 4x-corpus sweep to
@@ -461,6 +466,7 @@ def incremental_lsh_pairs(
     # shingle tables — otherwise they leak into executor storage for the
     # session's lifetime (same pattern as connected_components).
     out = out.localCheckpoint(eager=True)
+    cands.unpersist()
     st_new.unpersist()
     st_corp.unpersist()
     return out

@@ -451,6 +451,14 @@ def spill_media_to_files(df: DataFrame, dest: str) -> str:
                     "spill_media_to_files: NULL media_id/payload — "
                     "quarantine upstream before spilling"
                 )
+            if r.media_id < 0:
+                # the file lane's digit-run identity would silently
+                # drop the sign and attribute the hash to the wrong id
+                raise ValueError(
+                    f"spill_media_to_files: negative media_id "
+                    f"{r.media_id} cannot round-trip the file lane's "
+                    "digit-run identity — remap upstream"
+                )
             if shard is None:  # lazily, so empty partitions write nothing
                 pid = TaskContext.get().partitionId()
                 shard = os.path.join(staging, f"shard={pid}")
@@ -530,6 +538,7 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
 # Spark binary column → parse-and-extract runs the same path a PIL/ffmpeg
 # deployment would, with an arithmetic oracle checking the bytes survived.
 
+import math
 import struct
 
 
@@ -596,8 +605,6 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
         for f_ in struct.unpack(f"<{len(data) // 4}f", data):
             if not (-1.0 <= f_ <= 1.0):  # also rejects NaN
                 raise ValueError(f"float WAV sample out of [-1, 1]: {f_}")
-            import math
-
             s = math.floor(f_ * 32768.0)
             samples.append(32767 if s == 32768 else s)
     if channels == 2:
@@ -4367,15 +4374,19 @@ def gif_frames(payload: bytes):
         palette = payload[pos : pos + 3 * n]
         pos += 3 * n
     frames = []
+    saw_trailer = False
     while pos < len(payload):
         block = payload[pos]
         pos += 1
         if block == 0x3B:
+            saw_trailer = True
             break
         if block == 0x21:
-            pos += 1
+            pos += 1  # label
             while pos < len(payload) and payload[pos] != 0:
                 pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("GIF extension unterminated")
             pos += 1
             continue
         if block != 0x2C:
@@ -4422,6 +4433,11 @@ def gif_frames(payload: bytes):
         lut = np.frombuffer(pal, dtype=np.uint8)
         lut = lut[: (len(pal) // 3) * 3].reshape(-1, 3)
         frames.append(lut[idx])
+    if not saw_trailer:
+        # a partial frame stack from a truncated stream would silently
+        # change n_frames (and so the equal-length video pairing) — the
+        # strict-walk quarantine contract applies to EVERY frame reader
+        raise ValueError("GIF stream missing trailer")
     if not frames:
         raise ValueError("GIF stream contains no image")
     return sw, sh, np.stack(frames)

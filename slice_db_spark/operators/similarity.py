@@ -1691,7 +1691,6 @@ def probe_ivfpq_index(
     cents = meta["centroids"]
     perm, signs = meta["perm"], meta["signs"]
     cbs = meta["codebooks"]
-    sub = len(cents[0]) // meta["m_subspaces"]
 
     c = spark.read.parquet(os.path.join(path, "cells"))
     dists = _cell_l2_vec(cents)

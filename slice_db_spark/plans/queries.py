@@ -4910,7 +4910,10 @@ def media_dihedral_incremental(spark, sf_dir):
         ).select(
             F.col("media_id").alias("corpus_id"), "phash"
         ).write.mode("overwrite").parquet(idx)
-        write_phash_meta(idx, 63, PHASH_BANDS, PHASH_MAX_HAMMING)
+        write_phash_meta(
+            idx, 63, PHASH_BANDS, PHASH_MAX_HAMMING,
+            fingerprint="phash-dihedral",
+        )
         probe = multimodal.phash_media_dihedral(
             multimodal.synth_jpeg_dihedral(batch)
         )

@@ -2002,3 +2002,31 @@ def test_phash_image_files_dihedral_parity(spark, tmp_path):
         ).collect()
     }
     assert spilled == ref
+
+
+def test_gif_frames_strict_stream_end_and_negative_spill_ids(spark, tmp_path):
+    """r9 review fixes: (1) gif_frames enforces the strict-walk stream
+    end — a truncated extension or missing trailer raises instead of
+    returning a PARTIAL frame stack (which would silently change
+    n_frames and break the equal-length video pairing); (2)
+    spill_media_to_files rejects negative media_ids (the file lane's
+    digit-run identity would drop the sign and attribute the hash to
+    the wrong id)."""
+    import numpy as np
+
+    frames = np.stack(
+        [((np.arange(36 * 40).reshape(36, 40)) * (f + 1) % 251)
+         for f in range(2)]
+    ).astype("uint8")
+    p = M.encode_gif_animated(40, 36, frames, [5, 6])
+    i1 = p.find(b"\x21\xf9\x04")
+    i2 = p.find(b"\x21\xf9\x04", i1 + 1)
+    with pytest.raises(ValueError, match="unterminated"):
+        M.gif_frames(p[: i2 + 2])
+    with pytest.raises(ValueError, match="missing trailer"):
+        M.gif_frames(p[:-1])
+
+    ids = spark.createDataFrame([(-5,), (3,)], "doc_id bigint")
+    with pytest.raises(Exception, match="negative media_id"):
+        M.spill_media_to_files(M.synth_texture_bmp(ids),
+                               str(tmp_path / "neg"))
