@@ -710,6 +710,59 @@ def cmd_fsck(args) -> int:
         if cells is not None:
             entry["rows"] = cells.count()
         report["ivf_index"] = entry
+    if args.ivfpq_index:
+        import json as _json
+
+        mj = _os.path.join(args.ivfpq_index, "meta.json")
+        entry = {}
+        meta = None
+        try:
+            with open(mj) as f:
+                meta = _json.load(f)
+        except (OSError, ValueError) as e:
+            errors.append(f"OPQ-IVFPQ meta.json unreadable: {e}")
+        if meta is not None:
+            dim = len(meta.get("centroids", [[]])[0])
+            entry["n_cells"] = len(meta.get("centroids", []))
+            entry["m_subspaces"] = meta.get("m_subspaces")
+            perm, signs = meta.get("perm", []), meta.get("signs", [])
+            if sorted(perm) != list(range(dim)):
+                errors.append(
+                    "OPQ rotation perm is not a permutation of the "
+                    f"dimension range (dim={dim})"
+                )
+            if not set(signs) <= {1, -1} or len(signs) != dim:
+                errors.append("OPQ rotation signs must be ±1 per dimension")
+            cbs = meta.get("codebooks", [])
+            if len(cbs) != meta.get("m_subspaces") or any(
+                len(cb) != meta.get("n_codes")
+                or any(len(e) != dim // meta["m_subspaces"] for e in cb)
+                for cb in cbs
+            ):
+                errors.append(
+                    "OPQ-IVFPQ codebooks shape mismatch vs "
+                    "m_subspaces/n_codes/dim"
+                )
+        cells, _ = _readable(
+            _os.path.join(args.ivfpq_index, "cells"), "OPQ-IVFPQ cells"
+        )
+        if cells is not None and meta is not None:
+            entry["rows"] = cells.count()
+            bad = cells.where(
+                (F.size("__codes") != int(meta["m_subspaces"]))
+                | F.exists(
+                    "__codes",
+                    lambda c: (c < 0) | (c >= int(meta["n_codes"])),
+                )
+            ).count()
+            entry["bad_code_rows"] = bad
+            if bad:
+                errors.append(
+                    f"OPQ-IVFPQ index has {bad} rows with out-of-contract "
+                    "code vectors (wrong arity or code outside the "
+                    "codebook range)"
+                )
+        report["ivfpq_index"] = entry
     if args.media_corpus:
         mc, _ = _readable(args.media_corpus, "media corpus")
         if mc is not None:
@@ -1525,6 +1578,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="media corpus dir: checks content_hash width "
                     "(legacy 60-bit is an error) and media_id uniqueness")
     fs.add_argument("--ivf-index", default=None)
+    fs.add_argument("--ivfpq-index", default=None,
+                    help="OPQ-IVFPQ index dir (meta.json rotation/codebook "
+                    "contract + cell list code-range check)")
     fs.add_argument("--phash-index", default=None,
                     help="media signature index dir to check (any mode)")
     fs.add_argument("corpus", help="parquet corpus directory")

@@ -1065,3 +1065,36 @@ def test_analyze_media_animation_section(spark, tmp_path):
     total = sum(anim["frames_hist"].values())
     assert total == 16
     assert len(anim["duration_cs_p50_p90"]) == 2
+
+
+def test_fsck_ivfpq_index(spark, tmp_path):
+    """r9 fsck over the persisted OPQ-IVFPQ index: a healthy index
+    reports shape/row stats with no errors; a corrupted rotation (perm
+    no longer a permutation) and an out-of-range code row both land as
+    error entries with exit 2."""
+    import random
+
+    from slice_db_spark.operators import similarity as S
+
+    rng = random.Random(3)
+    rows = [(100 + i, [rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(30)]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    d = str(tmp_path / "idx")
+    S.build_ivfpq_index(corpus, d, n_cells=4, iters=1, m_subspaces=4,
+                        n_codes=8, opq_rounds=1)
+    cdir = str(tmp_path / "docs")
+    spark.createDataFrame([(1, "t", "s")], "doc_id bigint, text string, source string").write.parquet(cdir)
+    report = json.loads(run_cli("fsck", "--ivfpq-index", d, cdir))
+    assert report["errors"] == []
+    e = report["ivfpq_index"]
+    assert e["n_cells"] == 4 and e["m_subspaces"] == 4
+    assert e["rows"] == 30 and e["bad_code_rows"] == 0
+
+    # corrupt the rotation: duplicate one perm entry
+    meta = json.load(open(os.path.join(d, "meta.json")))
+    meta["perm"][0] = meta["perm"][1]
+    json.dump(meta, open(os.path.join(d, "meta.json"), "w"))
+    report = json.loads(run_cli("fsck", "--ivfpq-index", d, cdir,
+                                expect_rc=2))
+    assert any("not a permutation" in err for err in report["errors"])
