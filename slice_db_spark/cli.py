@@ -813,7 +813,8 @@ def cmd_phash_files(args) -> int:
 
     spark = get_spark("slicedb-phash-files")
     sigs = _mm.phash_image_files(
-        spark, args.path, null_on_error=True, ids=args.ids
+        spark, args.path, null_on_error=True, ids=args.ids,
+        dihedral=args.dihedral,
     ).localCheckpoint(eager=True)
     bad = sigs.where(F.col("phash").isNull()).count()
     good = sigs.where(F.col("phash").isNotNull())
@@ -1530,6 +1531,9 @@ def main(argv: list[str] | None = None) -> int:
                     "(unique digit runs required) or a 60-bit hash of "
                     "the full path (collision-safe for arbitrary names)")
     pf.add_argument("--max-hamming", type=int, default=6)
+    pf.add_argument("--dihedral", action="store_true",
+                    help="orbit-min rotation-invariant hash: pairs "
+                    "EXIF-stripped rotated refetches too")
     pf.add_argument("--limit", type=int, default=1000,
                     help="cap on pairs printed in the report")
     pf.add_argument("path", help="directory of image files (jpg/png/bmp/gif)")

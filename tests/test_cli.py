@@ -1098,3 +1098,21 @@ def test_fsck_ivfpq_index(spark, tmp_path):
     report = json.loads(run_cli("fsck", "--ivfpq-index", d, cdir,
                                 expect_rc=2))
     assert any("not a permutation" in err for err in report["errors"])
+
+
+def test_phash_files_dihedral_flag(spark, tmp_path):
+    """r9: phash-files --dihedral pairs an EXIF-stripped 90-degree
+    rotated refetch the plain run misses."""
+    from slice_db_spark.operators import multimodal as M
+
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id bigint")
+    d = str(tmp_path / "imgs")
+    os.makedirs(d)
+    for r in M.synth_jpeg_dihedral(ids).select("media_id", "payload").collect():
+        open(os.path.join(d, f"{r.media_id}.jpg"), "wb").write(bytes(r.payload))
+    plain = json.loads(run_cli("phash-files", d))
+    dih = json.loads(run_cli("phash-files", "--dihedral", d))
+    plain_pairs = {(p["id_a"], p["id_b"]) for p in plain["pairs"]}
+    dih_pairs = {(p["id_a"], p["id_b"]) for p in dih["pairs"]}
+    assert (0, 8) in dih_pairs and (0, 9) in dih_pairs
+    assert (0, 8) not in plain_pairs
