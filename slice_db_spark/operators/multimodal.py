@@ -3946,11 +3946,25 @@ def synth_jpeg_oriented(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # quarantine (first-frame-only and de-interlacing are library territory).
 
 
-def encode_gif(width: int, height: int, pixels) -> bytes:
+def _gif_interlace_rows(height: int) -> list[int]:
+    """GIF 4-pass interlace row order (spec appendix E): rows 0,8,16…
+    then 4,12…, then 2,6,10…, then the odd rows.  The writer emits
+    pixel rows in this order; the reader scatters decoded row ``j``
+    back to original row ``order[j]`` — pure reordering, shared with
+    nothing else (PNG's Adam7 interlaces columns too)."""
+    return [
+        r
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+        for r in range(start, height, step)
+    ]
+
+
+def encode_gif(width: int, height: int, pixels, interlaced: bool = False) -> bytes:
     """Minimal GIF89a writer: one image, 256-entry GRAYSCALE global color
     table (``palette[i] = (i, i, i)``), REAL LZW compression.
     ``pixels`` is a numpy (h, w) uint8 array of palette indices (= gray
-    values)."""
+    values).  ``interlaced=True`` writes the 4-pass interlaced row
+    order with the descriptor's interlace flag set (r10)."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
@@ -3959,17 +3973,34 @@ def encode_gif(width: int, height: int, pixels) -> bytes:
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
     out += bytes(i for i in range(256) for _ in range(3))       # gray GCT
-    out += _gif_image_block(width, height, px.tobytes())
+    out += _gif_image_block(width, height, px, interlaced=interlaced)
     out += b"\x3b"
     return bytes(out)
 
 
-def _gif_image_block(width: int, height: int, raw: bytes) -> bytes:
-    """One full-screen image block: descriptor + LZW min-code-size +
-    framed sub-blocks + terminator (shared by the still and animated
-    writers).  Real LZW: variable code widths 9→12 bits LSB-first,
-    dictionary reset on the 4096-entry fill."""
-    out = bytearray(b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0))
+def _gif_image_block(
+    width: int,
+    height: int,
+    pixels,
+    x: int = 0,
+    y: int = 0,
+    interlaced: bool = False,
+) -> bytes:
+    """One image block: descriptor (with offset + interlace flag) + LZW
+    min-code-size + framed sub-blocks + terminator (shared by the
+    still, animated, and composited writers).  Real LZW: variable code
+    widths 9→12 bits LSB-first, dictionary reset on the 4096-entry
+    fill.  ``pixels`` is a numpy (height, width) uint8 index array."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if interlaced:
+        px = px[_gif_interlace_rows(height)]
+    raw = px.tobytes()
+    ipacked = 0x40 if interlaced else 0
+    out = bytearray(
+        b"\x2c" + struct.pack("<HHHHB", x, y, width, height, ipacked)
+    )
     mcs = 8
     out.append(mcs)
     clear, eoi = 1 << mcs, (1 << mcs) + 1
@@ -4039,17 +4070,64 @@ def encode_gif_animated(
         raise ValueError(f"frames shape {fr.shape} != (n, {height}, {width})")
     if len(delays_cs) != fr.shape[0]:
         raise ValueError("one delay per frame required")
+    specs = [
+        {"px": f, "delay_cs": int(delay), "disposal": 1}
+        for f, delay in zip(fr, delays_cs)
+    ]
+    return encode_gif_frames(width, height, specs, loop=loop)
+
+
+def encode_gif_frames(
+    width: int,
+    height: int,
+    specs: list[dict],
+    loop: int = 0,
+    bg_index: int = 0,
+) -> bytes:
+    """GENERAL animated-GIF89a writer (r10): per-frame dict specs drive
+    everything the compositing reader consumes —
+
+    - ``px``: numpy ``(fh, fw)`` uint8 palette indices (gray palette)
+    - ``x``/``y``: frame offset on the logical screen (default 0)
+    - ``delay_cs``: GCE delay, centiseconds (default 0)
+    - ``disposal``: GCE disposal method 0-3 (default 0)
+    - ``transparent``: palette index drawn as transparent, or None
+    - ``interlaced``: write this frame's rows in 4-pass order
+
+    Same 256-entry gray global color table and real LZW as
+    :func:`encode_gif`; the logical-screen background color index
+    (``bg_index``) is what disposal-2 restores to."""
+    import numpy as np
+
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    out += struct.pack("<HHBBB", width, height, 0xF7, bg_index, 0)
     out += bytes(i for i in range(256) for _ in range(3))       # gray GCT
     out += (
         b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
         + struct.pack("<H", loop)
         + b"\x00"
     )
-    for f, delay in zip(fr, delays_cs):
-        out += b"\x21\xf9\x04" + struct.pack("<BHB", 0x04, delay, 0) + b"\x00"
-        out += _gif_image_block(width, height, f.tobytes())
+    for spec in specs:
+        px = np.asarray(spec["px"], dtype=np.uint8)
+        fh, fw = px.shape
+        x, y = int(spec.get("x", 0)), int(spec.get("y", 0))
+        if x + fw > width or y + fh > height:
+            raise ValueError("GIF frame rect outside the logical screen")
+        disposal = int(spec.get("disposal", 0))
+        if not 0 <= disposal <= 3:
+            raise ValueError(f"GIF disposal method {disposal} undefined")
+        transparent = spec.get("transparent")
+        gpacked = disposal << 2
+        if transparent is not None:
+            gpacked |= 0x01
+        out += b"\x21\xf9\x04" + struct.pack(
+            "<BHB", gpacked, int(spec.get("delay_cs", 0)),
+            int(transparent or 0),
+        ) + b"\x00"
+        out += _gif_image_block(
+            fw, fh, px, x=x, y=y,
+            interlaced=bool(spec.get("interlaced", False)),
+        )
     out += b"\x3b"
     return bytes(out)
 
@@ -4115,20 +4193,34 @@ def _gif_lzw_decode(data: bytes, mcs: int, need: int) -> bytes:
     return bytes(out[:need])
 
 
-def decode_gif(payload: bytes):
-    """Minimal GIF parser → (width, height, numpy (h, w, 3) RGB top-down)
-    of the FIRST image — for an ANIMATED GIF this is the first frame
-    (the thumbnail/dedup convention; :func:`gif_anim_info` reads the
-    animation metadata and :func:`gif_frames` decodes every frame).
-    Real LZW decode (variable widths, clear-code resets).  Raises
-    ``ValueError`` on structural damage, interlaced images,
-    out-of-palette indices, or a stream with no image — quarantine
-    upstream, the shared codec contract."""
+def _gif_decode_frames(
+    payload: bytes, need_trailer: bool, max_frames: int | None = None
+):
+    """Shared GIF decode + COMPOSITING core (r10) → ``(sw, sh, [frame
+    RGB arrays])`` of composited FULL-SCREEN frames, the way a browser
+    renders them:
+
+    - canvas starts as the logical-screen background color (the LSD's
+      background index through the global palette; black when absent),
+    - each image is drawn at its descriptor offset; pixels equal to the
+      GCE transparent index are skipped (the prior canvas shows
+      through),
+    - after a frame is emitted its disposal method runs: 0/1 keep,
+      2 restore the frame rect to the background color, 3 restore the
+      rect to the canvas as it was before the frame drew,
+    - interlaced images are de-interlaced (4-pass row scatter).
+
+    Strict-walk quarantine contract: structural damage, a malformed or
+    DUPLICATE Graphic Control Extension, an undefined disposal method
+    (4-7), a frame rect outside the logical screen, or an out-of-palette
+    VISIBLE pixel all raise ``ValueError`` (a transparent pixel's index
+    may legally exceed the palette).  ``need_trailer=False`` +
+    ``max_frames=1`` is the lenient first-frame path thumbnails use."""
     import numpy as np
 
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
-    sw, sh, packed = struct.unpack_from("<HHB", payload, 6)
+    sw, sh, packed, bg_index = struct.unpack_from("<HHBB", payload, 6)
     pos = 13
     palette = None
     if packed & 0x80:
@@ -4137,25 +4229,66 @@ def decode_gif(payload: bytes):
             raise ValueError("GIF global color table truncated")
         palette = payload[pos : pos + 3 * n]
         pos += 3 * n
+    if palette is not None and bg_index * 3 + 2 < len(palette):
+        bg_rgb = np.frombuffer(
+            palette[bg_index * 3 : bg_index * 3 + 3], dtype=np.uint8
+        )
+    else:
+        bg_rgb = np.zeros(3, dtype=np.uint8)
+    if sw == 0 or sh == 0:
+        raise ValueError("GIF zero-size logical screen")
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames: list = []
+    pending: tuple[int, int | None] | None = None
+    saw_trailer = False
     while pos < len(payload):
         block = payload[pos]
         pos += 1
         if block == 0x3B:  # trailer
+            saw_trailer = True
             break
-        if block == 0x21:  # extension: label + sub-blocks
+        if block == 0x21:  # extension
+            if pos >= len(payload):
+                raise ValueError("GIF extension label truncated")
+            label = payload[pos]
             pos += 1
-            while pos < len(payload) and payload[pos] != 0:
-                pos += 1 + payload[pos]
-            pos += 1
+            if label == 0xF9:  # Graphic Control Extension — strict
+                if pos + 6 > len(payload):
+                    raise ValueError("GIF GCE truncated")
+                if payload[pos] != 4:
+                    raise ValueError(
+                        f"GIF GCE block size {payload[pos]} != 4"
+                    )
+                gpacked = payload[pos + 1]
+                tindex = payload[pos + 4]
+                if payload[pos + 5] != 0:
+                    raise ValueError("GIF GCE missing terminator")
+                pos += 6
+                disposal = (gpacked >> 2) & 0x07
+                if disposal > 3:
+                    raise ValueError(
+                        f"GIF disposal method {disposal} undefined"
+                    )
+                if pending is not None:
+                    raise ValueError("GIF duplicate GCE before image")
+                pending = (disposal, tindex if gpacked & 0x01 else None)
+            else:
+                while pos < len(payload) and payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                if pos >= len(payload):
+                    raise ValueError("GIF extension unterminated")
+                pos += 1
             continue
         if block != 0x2C:
             raise ValueError(f"GIF unknown block 0x{block:02x} at {pos - 1}")
         if pos + 9 > len(payload):
             raise ValueError("GIF image descriptor truncated")
-        _, _, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        ix, iy, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
-        if ipacked & 0x40:
-            raise ValueError("interlaced GIF unsupported")
+        if iw == 0 or ih == 0:
+            raise ValueError("GIF zero-size frame")
+        if ix + iw > sw or iy + ih > sh:
+            raise ValueError("GIF frame rect outside the logical screen")
         pal = palette
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
@@ -4184,12 +4317,62 @@ def decode_gif(payload: bytes):
 
         out = _gif_lzw_decode(bytes(data), mcs, iw * ih)
         idx = np.frombuffer(out, dtype=np.uint8).reshape(ih, iw)
-        if int(idx.max(initial=0)) * 3 + 2 >= len(pal):
+        if ipacked & 0x40:
+            deinter = np.empty_like(idx)
+            deinter[_gif_interlace_rows(ih)] = idx
+            idx = deinter
+        disposal, tindex = pending if pending is not None else (0, None)
+        pending = None
+        visible = None if tindex is None else (idx != tindex)
+        if visible is None:
+            vmax = int(idx.max(initial=0))
+        elif visible.any():
+            vmax = int(idx[visible].max())
+        else:
+            vmax = -1  # fully transparent frame: nothing to palette-map
+        if vmax * 3 + 2 >= len(pal):
             raise ValueError("GIF pixel index outside the color table")
         lut = np.frombuffer(pal, dtype=np.uint8)
         lut = lut[: (len(pal) // 3) * 3].reshape(-1, 3)
-        return iw, ih, lut[idx]
-    raise ValueError("GIF stream contains no image")
+        rgb = lut[np.minimum(idx, len(lut) - 1)]
+        region = canvas[iy : iy + ih, ix : ix + iw]
+        prev = region.copy() if disposal == 3 else None
+        if visible is None:
+            region[:] = rgb
+        else:
+            region[visible] = rgb[visible]
+        frames.append(canvas.copy())
+        if max_frames is not None and len(frames) >= max_frames:
+            return sw, sh, frames
+        if disposal == 2:
+            canvas[iy : iy + ih, ix : ix + iw] = bg_rgb
+        elif disposal == 3:
+            canvas[iy : iy + ih, ix : ix + iw] = prev
+    if need_trailer and not saw_trailer:
+        # a partial frame stack from a truncated stream would silently
+        # change n_frames (and so the equal-length video pairing) — the
+        # strict-walk quarantine contract applies to EVERY frame reader
+        raise ValueError("GIF stream missing trailer")
+    if not frames:
+        raise ValueError("GIF stream contains no image")
+    return sw, sh, frames
+
+
+def decode_gif(payload: bytes):
+    """Minimal GIF parser → (width, height, numpy (h, w, 3) RGB top-down)
+    of the FIRST composited frame — for an ANIMATED GIF this is the
+    first frame as a browser paints it (the thumbnail/dedup convention;
+    :func:`gif_anim_info` reads the animation metadata and
+    :func:`gif_frames` decodes every frame).  Real LZW decode (variable
+    widths, clear-code resets), 4-pass de-interlace, offset/transparency
+    compositing over the background canvas (r10 — previously these
+    quarantined).  Raises ``ValueError`` on structural damage,
+    out-of-palette visible indices, or a stream with no image —
+    quarantine upstream, the shared codec contract."""
+    sw, sh, frames = _gif_decode_frames(
+        payload, need_trailer=False, max_frames=1
+    )
+    return sw, sh, frames[0]
 
 
 GIF_STATS_SCHEMA = StructType(
@@ -4228,7 +4411,9 @@ def gif_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=GIF_STATS_SCHEMA)
 
 
-def synth_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_gif(
+    df: DataFrame, id_col: str = "doc_id", interlaced: bool = False
+) -> DataFrame:
     """Deterministic textured grayscale GIFs: the quadratic texture of
     :func:`synth_texture_bmp` (``(17k + 3x² + 7y² + 5xy + 11x + 13y)
     mod 251``), size ``(40 + k mod 9) × (36 + 3k mod 11)`` — 1440-2208
@@ -4253,7 +4438,7 @@ def synth_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     (17 * k + 3 * xs * xs + 7 * ys * ys + 5 * xs * ys
                      + 11 * xs + 13 * ys) % 251
                 ).astype(np.uint8)
-                payload = encode_gif(w, h, px)
+                payload = encode_gif(w, h, px, interlaced=interlaced)
                 rows.append((k, "image", payload, "gif", len(payload)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
@@ -4354,92 +4539,17 @@ def gif_anim_info(payload: bytes) -> tuple[int, int, int, int]:
 
 def gif_frames(payload: bytes):
     """Decode EVERY frame of a (possibly animated) GIF →
-    ``(width, height, numpy (n, h, w, 3) RGB)``.  Scope contract:
-    full-screen frames only — a frame with a nonzero offset or a size
-    below the logical screen needs disposal-method compositing
-    (library territory, like interlace) and raises for quarantine;
-    the synth writer and the overwhelmingly common animated-meme shape
-    emit full-screen frames."""
+    ``(width, height, numpy (n, h, w, 3) RGB)`` of COMPOSITED
+    full-screen frames (r10): partial/offset frames, disposal methods
+    0-3, the GCE transparent index, and 4-pass interlace all composite
+    the way a browser renders them (:func:`_gif_decode_frames`) — the
+    real-crawl animated-GIF shape, which previously quarantined.
+    Structural damage, undefined disposal (4-7), duplicate GCEs,
+    out-of-screen rects, and a missing trailer still raise for
+    quarantine."""
     import numpy as np
 
-    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
-        raise ValueError("not a GIF payload")
-    sw, sh, packed = struct.unpack_from("<HHB", payload, 6)
-    pos = 13
-    palette = None
-    if packed & 0x80:
-        n = 2 << (packed & 0x07)
-        if pos + 3 * n > len(payload):
-            raise ValueError("GIF global color table truncated")
-        palette = payload[pos : pos + 3 * n]
-        pos += 3 * n
-    frames = []
-    saw_trailer = False
-    while pos < len(payload):
-        block = payload[pos]
-        pos += 1
-        if block == 0x3B:
-            saw_trailer = True
-            break
-        if block == 0x21:
-            pos += 1  # label
-            while pos < len(payload) and payload[pos] != 0:
-                pos += 1 + payload[pos]
-            if pos >= len(payload):
-                raise ValueError("GIF extension unterminated")
-            pos += 1
-            continue
-        if block != 0x2C:
-            raise ValueError(f"GIF unknown block 0x{block:02x} at {pos - 1}")
-        if pos + 9 > len(payload):
-            raise ValueError("GIF image descriptor truncated")
-        ix, iy, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
-        pos += 9
-        if ipacked & 0x40:
-            raise ValueError("interlaced GIF unsupported")
-        if (ix, iy) != (0, 0) or (iw, ih) != (sw, sh):
-            raise ValueError(
-                "GIF partial frame needs disposal compositing — quarantine"
-            )
-        pal = palette
-        if ipacked & 0x80:
-            n = 2 << (ipacked & 0x07)
-            if pos + 3 * n > len(payload):
-                raise ValueError("GIF local color table truncated")
-            pal = payload[pos : pos + 3 * n]
-            pos += 3 * n
-        if pal is None:
-            raise ValueError("GIF image has no color table")
-        if pos >= len(payload):
-            raise ValueError("GIF LZW header truncated")
-        mcs = payload[pos]
-        pos += 1
-        if not 2 <= mcs <= 11:
-            raise ValueError(f"GIF bad LZW min code size {mcs}")
-        data = bytearray()
-        while pos < len(payload) and payload[pos] != 0:
-            ln = payload[pos]
-            if pos + 1 + ln > len(payload):
-                raise ValueError("GIF data sub-block truncated")
-            data += payload[pos + 1 : pos + 1 + ln]
-            pos += 1 + ln
-        if pos >= len(payload):
-            raise ValueError("GIF data blocks unterminated")
-        pos += 1
-        out = _gif_lzw_decode(bytes(data), mcs, iw * ih)
-        idx = np.frombuffer(out, dtype=np.uint8).reshape(ih, iw)
-        if int(idx.max(initial=0)) * 3 + 2 >= len(pal):
-            raise ValueError("GIF pixel index outside the color table")
-        lut = np.frombuffer(pal, dtype=np.uint8)
-        lut = lut[: (len(pal) // 3) * 3].reshape(-1, 3)
-        frames.append(lut[idx])
-    if not saw_trailer:
-        # a partial frame stack from a truncated stream would silently
-        # change n_frames (and so the equal-length video pairing) — the
-        # strict-walk quarantine contract applies to EVERY frame reader
-        raise ValueError("GIF stream missing trailer")
-    if not frames:
-        raise ValueError("GIF stream contains no image")
+    sw, sh, frames = _gif_decode_frames(payload, need_trailer=True)
     return sw, sh, np.stack(frames)
 
 
@@ -4634,6 +4744,115 @@ def synth_gif_animated_dups(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     frames = frames - frames // 16
                 payload = encode_gif_animated(
                     w, h, frames.astype(np.uint8), [delay] * n_frames
+                )
+                rows.append((k, "image", payload, "gif", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+GIF_COMPOSITED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("sum_px", LongType()),
+        StructField("wsum_px", LongType()),
+    ]
+)
+
+
+def gif_composited_stats(df: DataFrame) -> DataFrame:
+    """Per-COMPOSITED-FRAME exact integer statistics (r10): every frame
+    through :func:`gif_frames`' disposal/transparency/offset/interlace
+    compositing, then the red channel's plain sum and a
+    POSITION-WEIGHTED sum ``Σ (1 + (y·w + x) mod 97) · px`` — the
+    weighting makes a correctly-valued but misplaced overlay (wrong
+    offset, wrong disposal restore region, transposed de-interlace)
+    break the oracle hash even when the plain sum survives."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = gif_frames(bytes(payload))
+                wts = (1 + (np.arange(h * w, dtype=np.int64) % 97)).reshape(
+                    h, w
+                )
+                for i, fr in enumerate(frames):
+                    g = fr[:, :, 0].astype("int64")
+                    rows.append(
+                        (int(mid), i, int(g.sum()), int((g * wts).sum()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "sum_px", "wsum_px"]
+            )
+
+    return df.mapInPandas(run, schema=GIF_COMPOSITED_SCHEMA)
+
+
+def synth_gif_composited(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic COMPOSITED-ANIMATION corpus (r10) — three frames
+    per id ``k`` on the ``(40 + k mod 9) × (36 + 3k mod 11)`` logical
+    screen with background index 0, exercising every disposal method ×
+    transparency × offset × interlace combination from id arithmetic:
+
+    - frame 0: full-screen opaque base texture ``B = (17k + 3x² + 7y²
+      + 5xy + 11x + 13y) mod 251`` (the shared still-synth field),
+      disposal ``d0 = 1 + k mod 3``,
+    - frame 1: PARTIAL rect at ``(3 + k mod 5, 2 + k mod 7)`` sized
+      ``(11 + k mod 6) × (9 + k mod 5)``, texture ``P1 = (23k + 7u² +
+      5v + 3uv) mod 251`` with TRANSPARENT index 255 planted where
+      ``(u + 2v + k) mod 5 = 0`` (the underlying canvas shows
+      through), disposal ``d1 = 1 + (k div 3) mod 3`` — k mod 9 cycles
+      all nine (d0, d1) combinations,
+    - frame 2: partial opaque rect at ``(1 + k mod 9, 4 + k mod 3)``
+      sized ``(13 + k mod 4) × (7 + k mod 6)``, texture ``P2 = (31k +
+      11u + 13v + u²) mod 251``, INTERLACED for even k.
+
+    Every composited pixel is pure id arithmetic, so a SQL oracle
+    re-derives all three canvases CASE-by-CASE with no decoder."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                w, h = 40 + k % 9, 36 + (3 * k) % 11
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                base = (
+                    (17 * k + 3 * xs * xs + 7 * ys * ys + 5 * xs * ys
+                     + 11 * xs + 13 * ys) % 251
+                ).astype(np.uint8)
+                pw1, ph1 = 11 + k % 6, 9 + k % 5
+                us = np.arange(pw1)[None, :]
+                vs = np.arange(ph1)[:, None]
+                p1 = (
+                    (23 * k + 7 * us * us + 5 * vs + 3 * us * vs) % 251
+                ).astype(np.uint8)
+                p1[(us + 2 * vs + k) % 5 == 0] = 255  # transparent index
+                pw2, ph2 = 13 + k % 4, 7 + k % 6
+                us = np.arange(pw2)[None, :]
+                vs = np.arange(ph2)[:, None]
+                p2 = (
+                    (31 * k + 11 * us + 13 * vs + us * us) % 251
+                ).astype(np.uint8)
+                payload = encode_gif_frames(
+                    w, h,
+                    [
+                        {"px": base, "delay_cs": 3,
+                         "disposal": 1 + k % 3},
+                        {"px": p1, "x": 3 + k % 5, "y": 2 + k % 7,
+                         "delay_cs": 4, "disposal": 1 + (k // 3) % 3,
+                         "transparent": 255},
+                        {"px": p2, "x": 1 + k % 9, "y": 4 + k % 3,
+                         "delay_cs": 5, "disposal": 0,
+                         "interlaced": k % 2 == 0},
+                    ],
                 )
                 rows.append((k, "image", payload, "gif", len(payload)))
             yield pd.DataFrame(

@@ -4192,6 +4192,37 @@ def media_gif_video_pairs(spark, sf_dir):
     )
 
 
+def media_gif_composited(spark, sf_dir):
+    """GIF disposal/transparency COMPOSITING under the hash gate (r10) —
+    the real-crawl animated-GIF shape that previously quarantined:
+    partial frames at nonzero offsets, disposal methods 1/2/3, a GCE
+    transparent index (underlying canvas shows through), and a 4-pass
+    interlaced frame, all composited the way a browser paints them
+    (`operators/multimodal.py::gif_frames/_gif_decode_frames`).
+    `synth_gif_composited` plants three frames per id cycling all nine
+    (d0, d1) disposal combinations with arithmetic textures, and
+    `gif_composited_stats` reduces each composited canvas to a plain +
+    POSITION-WEIGHTED pixel sum — the oracle re-derives every canvas
+    CASE-by-CASE from id arithmetic, so a wrong offset, wrong disposal
+    restore region, transparency misread, or transposed de-interlace
+    breaks the hash even when the plain sum survives."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.gif_composited_stats(multimodal.synth_gif_composited(docs))
+
+
+def media_gif_interlaced(spark, sf_dir):
+    """INTERLACED still GIF under the hash gate (r10) — same LZW, same
+    palette mapping, rows written in the GIF 4-pass order with the
+    descriptor's interlace flag set (`encode_gif(..., interlaced=True)`
+    → `_gif_interlace_rows` scatter on decode).  De-interlacing is pure
+    row reordering, so the ORACLE IS THE NON-INTERLACED ONE VERBATIM —
+    any off-by-one in the pass boundaries shuffles rows and breaks the
+    position-sensitive downsampled-sum column (`ds2_sum` keeps even
+    rows only, so row misplacement moves different values into it)."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.gif_stats(multimodal.synth_gif(docs, interlaced=True))
+
+
 def media_video_pairs(spark, sf_dir):
     """Perceptual VIDEO near-dedup — per-frame pHash over the real Y4M
     codec (`operators/multimodal.py::video_phash`, the SAME hash
@@ -8378,6 +8409,70 @@ WHERE bit_count(xor(a.afp, bb.afp)) <= {AUDIO_FP_MAX_HAMMING}
         FROM px
     """)
 
+    # composited animated GIF (r10): the oracle re-derives all three
+    # composited canvases CASE-by-CASE — frame 0 is the base texture;
+    # frame 1 overlays the partial rect minus its transparent holes on
+    # the disposal-d0 canvas; frame 2 overlays on the disposal-d1
+    # result.  Interlace never appears: it's pure row reordering the
+    # reader undoes, which is exactly the point of the verbatim check.
+    o["media_gif_composited"] = _q("""
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS m,
+                 40 + doc_id % 9 AS w, 36 + (3 * doc_id) % 11 AS h,
+                 1 + doc_id % 3 AS d0, 1 + (doc_id // 3) % 3 AS d1,
+                 3 + doc_id % 5 AS ox1, 2 + doc_id % 7 AS oy1,
+                 11 + doc_id % 6 AS pw1, 9 + doc_id % 5 AS ph1,
+                 1 + doc_id % 9 AS ox2, 4 + doc_id % 3 AS oy2,
+                 13 + doc_id % 4 AS pw2, 7 + doc_id % 6 AS ph2
+          FROM documents),
+        px0 AS (
+          SELECT d.*, f.f AS f, unnest(range(0, w * h)) AS i
+          FROM d, range(0, 3) f(f)),
+        px AS (SELECT *, i % w AS x, i // w AS y FROM px0),
+        c AS (
+          SELECT m, f, i, d0, d1,
+                 (17 * m + 3 * x * x + 7 * y * y + 5 * x * y
+                  + 11 * x + 13 * y) % 251 AS b,
+                 (x >= ox1 AND x < ox1 + pw1
+                  AND y >= oy1 AND y < oy1 + ph1) AS in1,
+                 (23 * m + 7 * (x - ox1) * (x - ox1) + 5 * (y - oy1)
+                  + 3 * (x - ox1) * (y - oy1)) % 251 AS p1,
+                 (((x - ox1) + 2 * (y - oy1) + m) % 5 = 0) AS tr1,
+                 (x >= ox2 AND x < ox2 + pw2
+                  AND y >= oy2 AND y < oy2 + ph2) AS in2,
+                 (31 * m + 11 * (x - ox2) + 13 * (y - oy2)
+                  + (x - ox2) * (x - ox2)) % 251 AS p2
+          FROM px),
+        l1 AS (
+          SELECT m, f, i, d1, in1, in2, p1, tr1, p2, b,
+                 CASE WHEN d0 = 1 THEN b ELSE 0 END AS u1
+          FROM c),
+        l2 AS (
+          SELECT m, f, i, d1, in1, in2, p2, b, u1,
+                 CASE WHEN in1 AND NOT tr1 THEN p1 ELSE u1 END AS c1
+          FROM l1),
+        l3 AS (
+          SELECT m, f, i, in2, p2, b, c1,
+                 CASE WHEN d1 = 1 THEN c1
+                      WHEN d1 = 2 THEN (CASE WHEN in1 THEN 0 ELSE c1 END)
+                      ELSE u1 END AS u2
+          FROM l2),
+        v AS (
+          SELECT m, f, i,
+                 CASE WHEN f = 0 THEN b
+                      WHEN f = 1 THEN c1
+                      ELSE (CASE WHEN in2 THEN p2 ELSE u2 END) END AS val
+          FROM l3)
+        SELECT m AS media_id, CAST(f AS BIGINT) AS frame_idx,
+               CAST(sum(val) AS BIGINT) AS sum_px,
+               CAST(sum((1 + i % 97) * val) AS BIGINT) AS wsum_px
+        FROM v GROUP BY m, f
+    """)
+
+    # interlaced still GIF (r10): de-interlacing is pure row
+    # reordering, so the oracle is the non-interlaced one VERBATIM
+    o["media_gif_interlaced"] = o["media_gif_stats"]
+
     # resample-robust audio: time-based windows make a duplicated-sample
     # re-encode's windows cover the SAME original spans — the oracle
     # computes original-window energies once and applies each slot's
@@ -9962,6 +10057,8 @@ def _all_queries():
         "media_gif_stats": media_gif_stats,
         "media_gif_animated": media_gif_animated,
         "media_gif_video_pairs": media_gif_video_pairs,
+        "media_gif_composited": media_gif_composited,
+        "media_gif_interlaced": media_gif_interlaced,
         "media_wav_stereo": media_wav_stereo,
         "media_wav_depths": media_wav_depths,
         "media_png_variants": media_png_variants,

@@ -1148,16 +1148,17 @@ def test_gif_codec_roundtrip_and_contracts(spark):
     w2, h2, rgb = M.decode_gif(bytes(raw))
     assert list(rgb[:, :, 0].ravel()) == pix
 
-    # interlace + damage quarantine
+    # interlace round-trips (r10): the writer emits 4-pass row order,
+    # the reader scatters it back — a position-sensitive texture (not a
+    # constant) so any pass-boundary off-by-one shuffles rows
     import pytest as _pytest
 
+    tex = (np.arange(9 * 13).reshape(13, 9) * 7 % 251).astype(np.uint8)
+    assert np.array_equal(
+        M.decode_gif(M.encode_gif(9, 13, tex, interlaced=True))[2][:, :, 0],
+        tex,
+    )
     good = M.encode_gif(8, 8, np.zeros((8, 8), dtype=np.uint8))
-    interlaced = bytearray(good)
-    # image descriptor packed byte: 6 (header) + 7 (LSD) + 768 (GCT)
-    # + 1 (0x2C) + 8 = offset of packed field
-    interlaced[6 + 7 + 768 + 9] |= 0x40
-    with _pytest.raises(ValueError, match="interlaced"):
-        M.decode_gif(bytes(interlaced))
     with _pytest.raises(ValueError):
         M.decode_gif(good[:30])
     with _pytest.raises(ValueError):
@@ -1724,8 +1725,9 @@ def test_gif_animated_roundtrip_and_strict_gce():
     exact frame count + summed delays; (2) decode_gif returns frame 0
     (the thumbnail convention); (3) a malformed GCE — wrong block size
     or missing terminator — raises for quarantine instead of
-    misreporting; (4) partial (offset/undersized) frames raise in
-    gif_frames (disposal compositing is out of contract); (5) a still
+    misreporting; (4, r10) an undersized frame COMPOSITES over the
+    canvas instead of quarantining, while undefined disposal methods,
+    duplicate GCEs, and out-of-screen rects still raise; (5) a still
     GIF reports (n_frames=1, duration=0)."""
     import numpy as np
 
@@ -1753,15 +1755,33 @@ def test_gif_animated_roundtrip_and_strict_gce():
     with pytest.raises(ValueError, match="GCE missing terminator"):
         M.gif_anim_info(bytes(bad_term))
 
-    # partial frame: shrink the first image descriptor's width (the
-    # descriptor follows the 8-byte GCE — a bare find(0x2c) can land in
-    # the gray palette)
+    # r10: an undersized first frame now COMPOSITES — the uncovered
+    # right column stays the background color (index 0 → black)
+    # (the descriptor follows the 8-byte GCE — a bare find(0x2c) can
+    # land in the gray palette)
     j = i + 8
     assert p[j] == 0x2C
     partial = bytearray(p)
     partial[j + 5] -= 1  # iw low byte
-    with pytest.raises(ValueError, match="partial frame"):
-        M.gif_frames(bytes(partial))
+    _, _, pframes = M.gif_frames(bytes(partial))
+    assert pframes.shape == (4, h, w, 3)
+    assert (pframes[0, :, w - 1, :] == 0).all()
+
+    # quarantine pins that replaced the partial-frame guard
+    bad_disp = bytearray(p)
+    bad_disp[i + 3] = 5 << 2  # GCE packed: disposal 5 (undefined)
+    with pytest.raises(ValueError, match="disposal method 5"):
+        M.gif_frames(bytes(bad_disp))
+    dup_gce = bytearray(p)
+    dup_gce[i:i] = p[i : i + 8]
+    with pytest.raises(ValueError, match="duplicate GCE"):
+        M.gif_frames(bytes(dup_gce))
+    import struct as _struct
+
+    oob = bytearray(p)
+    oob[j + 1 : j + 3] = _struct.pack("<H", 60000)  # descriptor x
+    with pytest.raises(ValueError, match="outside the logical screen"):
+        M.gif_frames(bytes(oob))
 
     still = M.encode_gif(w, h, frames[0])
     assert M.gif_anim_info(still) == (w, h, 1, 0)
@@ -1811,6 +1831,74 @@ def test_gif_video_phash_feeds_video_pairing(spark):
     pairs = M.video_near_pairs(allsigs).collect()
     got = {(r.id_a, r.id_b) for r in pairs}
     assert {(0, 1000), (3, 1003), (7, 1007)} <= got
+
+
+def test_gif_disposal_transparency_compositing(spark):
+    """r10 compositing pins: (1) gif_frames composites partial/offset
+    frames, disposal methods 1/2/3, the GCE transparent index, and an
+    interlaced frame exactly like an independent numpy canvas
+    simulation, across 30 seeds (all nine (d0, d1) combinations);
+    (2) the Spark operator gif_composited_stats reproduces the
+    simulation's plain + position-weighted sums; (3) gif_video_phash
+    now accepts partial-frame animations (the real-crawl shape)."""
+    import numpy as np
+
+    def sim(k):
+        w, h = 40 + k % 9, 36 + (3 * k) % 11
+        xs = np.arange(w)[None, :]
+        ys = np.arange(h)[:, None]
+        B = (17 * k + 3 * xs * xs + 7 * ys * ys + 5 * xs * ys
+             + 11 * xs + 13 * ys) % 251
+        d0, d1 = 1 + k % 3, 1 + (k // 3) % 3
+        ox1, oy1, pw1, ph1 = 3 + k % 5, 2 + k % 7, 11 + k % 6, 9 + k % 5
+        ox2, oy2, pw2, ph2 = 1 + k % 9, 4 + k % 3, 13 + k % 4, 7 + k % 6
+        us = np.arange(pw1)[None, :]
+        vs = np.arange(ph1)[:, None]
+        P1 = (23 * k + 7 * us * us + 5 * vs + 3 * us * vs) % 251
+        T1 = (us + 2 * vs + k) % 5 == 0
+        us = np.arange(pw2)[None, :]
+        vs = np.arange(ph2)[:, None]
+        P2 = (31 * k + 11 * us + 13 * vs + us * us) % 251
+        C0 = B.copy()
+        U1 = B.copy() if d0 == 1 else np.zeros_like(B)
+        C1 = U1.copy()
+        reg = C1[oy1:oy1 + ph1, ox1:ox1 + pw1]
+        reg[~T1] = P1[~T1]
+        U2 = C1.copy()
+        if d1 == 2:
+            U2[oy1:oy1 + ph1, ox1:ox1 + pw1] = 0
+        elif d1 == 3:
+            U2 = U1.copy()
+        C2 = U2.copy()
+        C2[oy2:oy2 + ph2, ox2:ox2 + pw2] = P2
+        return w, h, [C0, C1, C2]
+
+    ids = spark.createDataFrame([(i,) for i in range(30)], "doc_id bigint")
+    payloads = {
+        r.media_id: bytes(r.payload)
+        for r in M.synth_gif_composited(ids).collect()
+    }
+    for k in range(30):
+        w, h, exp = sim(k)
+        gw, gh, fr = M.gif_frames(payloads[k])
+        assert (gw, gh) == (w, h) and fr.shape[0] == 3
+        for i in range(3):
+            assert np.array_equal(fr[i][:, :, 0], exp[i]), (k, i)
+            assert np.array_equal(fr[i][:, :, 2], exp[i]), (k, i)
+
+    stats = M.gif_composited_stats(M.synth_gif_composited(ids)).collect()
+    got = {(r.media_id, r.frame_idx): (r.sum_px, r.wsum_px) for r in stats}
+    for k in range(30):
+        w, h, exp = sim(k)
+        wts = (1 + (np.arange(h * w, dtype=np.int64) % 97)).reshape(h, w)
+        for i in range(3):
+            assert got[(k, i)] == (
+                int(exp[i].sum()), int((exp[i] * wts).sum())
+            ), (k, i)
+
+    # partial-frame animations flow into the video lane now
+    sigs = M.gif_video_phash(M.synth_gif_composited(ids)).toPandas()
+    assert len(sigs) == 90 and sigs["phash"].notna().all()
 
 
 def test_png_adam7_roundtrip_and_parity():
@@ -2021,7 +2109,7 @@ def test_gif_frames_strict_stream_end_and_negative_spill_ids(spark, tmp_path):
     p = M.encode_gif_animated(40, 36, frames, [5, 6])
     i1 = p.find(b"\x21\xf9\x04")
     i2 = p.find(b"\x21\xf9\x04", i1 + 1)
-    with pytest.raises(ValueError, match="unterminated"):
+    with pytest.raises(ValueError, match="GCE truncated"):
         M.gif_frames(p[: i2 + 2])
     with pytest.raises(ValueError, match="missing trailer"):
         M.gif_frames(p[:-1])
