@@ -722,27 +722,61 @@ def cmd_fsck(args) -> int:
         except (OSError, ValueError) as e:
             errors.append(f"OPQ-IVFPQ meta.json unreadable: {e}")
         if meta is not None:
-            dim = len(meta.get("centroids", [[]])[0])
-            entry["n_cells"] = len(meta.get("centroids", []))
-            entry["m_subspaces"] = meta.get("m_subspaces")
-            perm, signs = meta.get("perm", []), meta.get("signs", [])
-            if sorted(perm) != list(range(dim)):
-                errors.append(
-                    "OPQ rotation perm is not a permutation of the "
-                    f"dimension range (dim={dim})"
-                )
-            if not set(signs) <= {1, -1} or len(signs) != dim:
-                errors.append("OPQ rotation signs must be ±1 per dimension")
-            cbs = meta.get("codebooks", [])
-            if len(cbs) != meta.get("m_subspaces") or any(
-                len(cb) != meta.get("n_codes")
-                or any(len(e) != dim // meta["m_subspaces"] for e in cb)
-                for cb in cbs
+            # fsck exists to REPORT corruption — a structurally broken
+            # meta (empty centroids, missing/zero m_subspaces, missing
+            # n_codes) must land in errors[], not crash the checker
+            # with IndexError/KeyError/ZeroDivisionError (r10, advisory
+            # fix)
+            cents = meta.get("centroids")
+            m_sub = meta.get("m_subspaces")
+            n_codes = meta.get("n_codes")
+            entry["n_cells"] = len(cents) if isinstance(cents, list) else None
+            entry["m_subspaces"] = m_sub
+            shape_ok = True
+            if (
+                not isinstance(cents, list)
+                or not cents
+                or not isinstance(cents[0], list)
+                or not cents[0]
             ):
+                errors.append("OPQ-IVFPQ meta has no/empty centroids")
+                shape_ok = False
+            if not isinstance(m_sub, int) or m_sub <= 0:
                 errors.append(
-                    "OPQ-IVFPQ codebooks shape mismatch vs "
-                    "m_subspaces/n_codes/dim"
+                    f"OPQ-IVFPQ meta m_subspaces must be a positive "
+                    f"integer, got {m_sub!r}"
                 )
+                shape_ok = False
+            if not isinstance(n_codes, int) or n_codes <= 0:
+                errors.append(
+                    f"OPQ-IVFPQ meta n_codes must be a positive "
+                    f"integer, got {n_codes!r}"
+                )
+                shape_ok = False
+            if shape_ok:
+                dim = len(cents[0])
+                perm, signs = meta.get("perm", []), meta.get("signs", [])
+                if sorted(perm) != list(range(dim)):
+                    errors.append(
+                        "OPQ rotation perm is not a permutation of the "
+                        f"dimension range (dim={dim})"
+                    )
+                if not set(signs) <= {1, -1} or len(signs) != dim:
+                    errors.append(
+                        "OPQ rotation signs must be ±1 per dimension"
+                    )
+                cbs = meta.get("codebooks", [])
+                if len(cbs) != m_sub or any(
+                    len(cb) != n_codes
+                    or any(len(e) != dim // m_sub for e in cb)
+                    for cb in cbs
+                ):
+                    errors.append(
+                        "OPQ-IVFPQ codebooks shape mismatch vs "
+                        "m_subspaces/n_codes/dim"
+                    )
+            else:
+                meta = None  # the cell scan below needs a sane meta
         cells, _ = _readable(
             _os.path.join(args.ivfpq_index, "cells"), "OPQ-IVFPQ cells"
         )

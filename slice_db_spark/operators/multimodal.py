@@ -425,8 +425,13 @@ def spill_media_to_files(df: DataFrame, dest: str) -> str:
     Deployment note: ``dest`` must be storage every executor can reach
     (in local mode any directory; on a cluster a shared filesystem or a
     FUSE-mounted object store — the same requirement as Spark's own
-    file sinks).  Rows with a NULL media_id or payload raise — the
-    caller's ingest gate quarantines those before the bridge.
+    file sinks).  Misconfiguration there is SILENT data loss (executors
+    write their local disks, the driver promotes an empty staging dir),
+    so after the spill job the driver RECONCILES the job-side written
+    count against the files it can actually see under staging and
+    raises on mismatch — before ``_SUCCESS`` is stamped (r10, advisory
+    fix).  Rows with a NULL media_id or payload raise — the caller's
+    ingest gate quarantines those before the bridge.
     Returns ``dest`` (normalized)."""
     import os as _os
     import shutil as _shutil
@@ -445,6 +450,7 @@ def spill_media_to_files(df: DataFrame, dest: str) -> str:
         from pyspark import TaskContext
 
         shard = None
+        n_written = 0
         for r in rows:
             if r.media_id is None or r.payload is None:
                 raise ValueError(
@@ -467,8 +473,28 @@ def spill_media_to_files(df: DataFrame, dest: str) -> str:
             name = os.path.join(shard, f"{int(r.media_id)}.{ext}")
             with open(name, "wb") as f:
                 f.write(bytes(r.payload))
+            n_written += 1
+        yield n_written
 
-    df.select("media_id", "format", "payload").foreachPartition(write_partition)
+    written = (
+        df.select("media_id", "format", "payload")
+        .rdd.mapPartitions(write_partition)
+        .sum()
+    )
+    landed = sum(
+        len(files)
+        for root, _dirs, files in _os.walk(staging)
+        if _os.path.basename(root).startswith("shard=")
+    )
+    if landed != int(written):
+        _shutil.rmtree(staging, ignore_errors=True)
+        raise IOError(
+            f"spill_media_to_files: executors reported {int(written)} "
+            f"files written but only {landed} are visible under "
+            f"{staging} — dest is not executor-shared storage (or "
+            "duplicate media_ids overwrote within a shard); refusing "
+            "to promote a partial corpus"
+        )
     with open(_os.path.join(staging, "_SUCCESS"), "w"):
         pass
     swap_dir(dest)

@@ -250,17 +250,40 @@ def ingest_media_stream(
             import shutil as _sh
             import tempfile as _tf
 
+            from pyspark.sql import functions as F
+
             root = out_path + ".jvmspill"
             os.makedirs(root, exist_ok=True)
             d = _tf.mkdtemp(dir=root)
             try:
-                return _mm.phash_media_spilled(
+                # rows the file bridge cannot carry (negative media_id —
+                # the digit-run identity would drop the sign — or NULL
+                # id/payload) would raise EXECUTOR-SIDE in
+                # spill_media_to_files and fail the whole streaming
+                # batch; split them out and emit NULL-phash rows so they
+                # flow to quarantine like any other undecodable (r10,
+                # advisory fix) — one bad row must not become a stream
+                # outage when the default Python lane survives it.
+                spillable = (
+                    F.col("media_id").isNotNull()
+                    & (F.col("media_id") >= 0)
+                    & F.col("payload").isNotNull()
+                )
+                good = b.filter(spillable)
+                bad = b.filter(~spillable)
+                sigs = _mm.phash_media_spilled(
                     spark,
-                    b.select("media_id", "format", "payload"),
+                    good.select("media_id", "format", "payload"),
                     os.path.join(d, "corpus"),
                     null_on_error=True,
                     dihedral=(fingerprint == "phash-dihedral"),
-                ).localCheckpoint(eager=True)
+                ).unionByName(
+                    bad.select(
+                        "media_id",
+                        F.lit(None).cast("long").alias("phash"),
+                    )
+                )
+                return sigs.localCheckpoint(eager=True)
             finally:
                 _sh.rmtree(d, ignore_errors=True)
     bits = _def_bits if bits is None else bits

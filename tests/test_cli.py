@@ -1099,6 +1099,21 @@ def test_fsck_ivfpq_index(spark, tmp_path):
                                 expect_rc=2))
     assert any("not a permutation" in err for err in report["errors"])
 
+    # r10 advisory fix: STRUCTURALLY corrupt meta must be reported, not
+    # crash the checker (empty centroids -> IndexError, missing
+    # m_subspaces -> KeyError/ZeroDivisionError before)
+    meta = json.load(open(os.path.join(d, "meta.json")))
+    meta["centroids"] = []
+    del meta["m_subspaces"]
+    meta["n_codes"] = 0
+    json.dump(meta, open(os.path.join(d, "meta.json"), "w"))
+    report = json.loads(run_cli("fsck", "--ivfpq-index", d, cdir,
+                                expect_rc=2))
+    errs = "\n".join(report["errors"])
+    assert "no/empty centroids" in errs
+    assert "m_subspaces must be a positive integer" in errs
+    assert "n_codes must be a positive integer" in errs
+
 
 def test_phash_files_dihedral_flag(spark, tmp_path):
     """r9: phash-files --dihedral pairs an EXIF-stripped 90-degree

@@ -757,3 +757,29 @@ def test_media_ingest_jvm_decode_lane(spark, tmp_path):
     with pytest.raises(ValueError, match="image lanes"):
         SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
                                fingerprint="audio", jvm_decode=True)
+
+
+def test_media_ingest_jvm_decode_quarantines_negative_ids(spark, tmp_path):
+    """r10 advisory fix: a single negative media_id in a batch must NOT
+    fail the whole streaming batch under jvm_decode (spill_media_to_files
+    raises on negative ids executor-side) — the lane splits it out
+    pre-spill and emits a NULL-phash row so it flows to quarantine,
+    while the rest of the batch ingests normally."""
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    quar = str(tmp_path / "quar")
+    os.makedirs(land)
+
+    bad = spark.createDataFrame(
+        [(-7, "image", bytearray(b"payload that never spills"), "bmp", 26)],
+        M.MEDIA_SCHEMA,
+    )
+    b0 = _synth_rows(spark, [0, 1]).unionByName(bad)
+    _land(b0, land, "b0.parquet", 1_000_000_000)
+    SM.ingest_media_stream(spark, land, out, ckpt,
+                           quarantine=quar, jvm_decode=True)
+    got = {r.media_id for r in spark.read.parquet(out).collect()}
+    assert got == {0, 1}
+    quarantined = {r.media_id for r in spark.read.json(quar).collect()}
+    assert quarantined == {-7}

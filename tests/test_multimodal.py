@@ -2118,3 +2118,28 @@ def test_gif_frames_strict_stream_end_and_negative_spill_ids(spark, tmp_path):
     with pytest.raises(Exception, match="negative media_id"):
         M.spill_media_to_files(M.synth_texture_bmp(ids),
                                str(tmp_path / "neg"))
+
+
+def test_spill_reconciles_written_vs_landed(spark, tmp_path):
+    """r10 advisory fix: spill_media_to_files reconciles the job-side
+    written count against the files the DRIVER can actually see under
+    staging, and refuses to stamp _SUCCESS on mismatch — the silent
+    data-loss mode when dest is not executor-shared storage.  Local
+    mode can't fake a split filesystem, so the mismatch is driven by
+    the other cause the check catches: duplicate media_ids overwriting
+    within one shard (2 writes, 1 file)."""
+    import os
+
+    ok_ids = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
+    d = str(tmp_path / "ok")
+    M.spill_media_to_files(M.synth_texture_bmp(ok_ids), d)
+    assert os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    dup = M.synth_texture_bmp(
+        spark.createDataFrame([(4,), (4,)], "doc_id bigint")
+    ).coalesce(1)
+    with pytest.raises(Exception, match="visible under|not executor-shared"):
+        M.spill_media_to_files(dup, str(tmp_path / "dup"))
+    # the half-written staging is torn down, nothing promoted
+    assert not os.path.exists(str(tmp_path / "dup"))
+    assert not os.path.exists(str(tmp_path / "dup") + ".staging")
