@@ -155,6 +155,9 @@ HEADLINE = [
     "ann_ivfpq_refined",
     "ann_opq",
     "ann_opq_index",
+    "ann_pq_opq",
+    "media_gif_composited",
+    "media_gif_interlaced",
     "media_video_incremental",
     "media_video_shots",
     "media_exif",

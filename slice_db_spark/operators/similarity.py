@@ -34,6 +34,7 @@ exact baseline either way.
 from __future__ import annotations
 
 import hashlib
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -512,6 +513,8 @@ def pq_codebook(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    perm: list[int] | None = None,
+    signs: list[int] | None = None,
 ) -> list[list[int]]:
     """Deterministic PQ codebook source: the ``n_codes`` corpus vectors
     with the smallest md5-derived id hash, QUANTIZED (the same md5-order
@@ -519,12 +522,20 @@ def pq_codebook(
     cross-engine determinism).  Returns ``n_codes`` full-dimension int
     vectors; subspace slicing happens at encode time, so one codebook
     serves every subspace (code j of subspace m = centroid j's m-th
-    subvector)."""
+    subvector).  With ``perm``/``signs`` (r10 — the OPQ rotation from
+    :func:`opq_signed_permutation` trained with ``centroids=None``) the
+    sampled vectors are stored ROTATED: the SAME rows are picked
+    (sampling keys on the id, not the vector), but the codebook lives
+    in the rotated space the encoder and ADC table will quantize in."""
     from .hashing import hash64
 
+    keyed = corpus.select(F.col(id_col), quantize_expr(vec_col).alias("e"))
+    if perm is not None:
+        keyed = keyed.select(
+            F.col(id_col), _rotate_expr("e", perm, signs).alias("e")
+        )
     rows = (
-        corpus.select(F.col(id_col), quantize_expr(vec_col).alias("e"))
-        .orderBy(hash64(F.col(id_col).cast("string")), F.col(id_col))
+        keyed.orderBy(hash64(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_codes)
         .collect()
     )
@@ -544,6 +555,8 @@ def pq_encode(
     m_subspaces: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    perm: list[int] | None = None,
+    signs: list[int] | None = None,
 ) -> DataFrame:
     """PQ encoding: split each (quantized) vector into ``m_subspaces``
     subvectors and store, per subspace, the index of the nearest codebook
@@ -555,7 +568,9 @@ def pq_encode(
     embedding corpus's codes fit hot storage and the ADC scan
     (:func:`pq_adc_topk`) never touches raw vectors.  Encoding is one
     int64 matmul per (Arrow batch × subspace) — exact arithmetic, no
-    float ties."""
+    float ties.  With ``perm``/``signs`` each vector is OPQ-rotated
+    (JVM-side, exact) before the subspace split — the codebook must
+    come from :func:`pq_codebook` with the SAME rotation."""
     C = _pq_subspace_codes(codebook, m_subspaces)
     sub = C.shape[1] // m_subspaces
 
@@ -576,8 +591,13 @@ def pq_encode(
             out[:, m] = np.argmin(d, axis=1)  # first-min tie-break
         return pd.Series(list(out))
 
+    quant = corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e"))
+    if perm is not None:
+        quant = quant.select(
+            F.col(id_col), _rotate_expr("__e", perm, signs).alias("__e")
+        )
     return (
-        corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e"))
+        quant
         .select(F.col(id_col), F.posexplode(codes_of(F.col("__e"))).alias("m", "code"))
         .select(
             id_col, F.col("m").cast("bigint").alias("m"), F.col("code").cast("bigint").alias("code")
@@ -591,6 +611,8 @@ def _adc_dtable(
     m_subspaces: int,
     query_id_col: str,
     vec_col: str,
+    perm: list[int] | None = None,
+    signs: list[int] | None = None,
 ) -> DataFrame:
     """Per-query integer ADC distance table ``(q, m, code, __d)`` — tiny
     (|Q| × m × n_codes rows), broadcast by callers; ONE definition
@@ -614,8 +636,15 @@ def _adc_dtable(
             out.append(t.astype(np.float64))
         return pd.Series(out)
 
+    qq = queries.select(
+        F.col(query_id_col), quantize_expr(vec_col).alias("__e")
+    )
+    if perm is not None:
+        qq = qq.select(
+            F.col(query_id_col), _rotate_expr("__e", perm, signs).alias("__e")
+        )
     return (
-        queries.select(F.col(query_id_col), quantize_expr(vec_col).alias("__e"))
+        qq
         .select(F.col(query_id_col), F.posexplode(dtable_of(F.col("__e"))).alias("m", "__row"))
         .select(
             query_id_col,
@@ -640,11 +669,18 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
+    perm: list[int] | None = None,
+    signs: list[int] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: each query precomputes a
     (subspace × code) integer distance table; a corpus vector's
     approximate distance is the SUM of m table lookups on its codes —
-    no raw vectors are read during the scan.
+    no raw vectors are read during the scan.  With ``perm``/``signs``
+    the whole chain runs in the OPQ-rotated space (r10): corpus encode,
+    codebook, and query table all rotate with the SAME exact
+    signed-permutation, so ADC distances approximate true L2 better
+    while staying int64 (rotation is an isometry — exact distances are
+    unchanged, only the subspace split improves).
 
     Scale shape: the distance table is |Q| × m × n_codes rows — tiny —
     and broadcasts; the scan is one map-side hash join (codes ⋈ table on
@@ -652,8 +688,14 @@ def pq_adc_topk(
     distances are exact int64 (quantized inputs), so ranking is
     deterministic with an id tie-break.  Output
     ``(q_id, vec_id, adist, rank)``."""
-    codes = pq_encode(corpus, codebook, m_subspaces, id_col=id_col, vec_col=vec_col)
-    dt = _adc_dtable(queries, codebook, m_subspaces, query_id_col, vec_col)
+    codes = pq_encode(
+        corpus, codebook, m_subspaces, id_col=id_col, vec_col=vec_col,
+        perm=perm, signs=signs,
+    )
+    dt = _adc_dtable(
+        queries, codebook, m_subspaces, query_id_col, vec_col,
+        perm=perm, signs=signs,
+    )
     scored = (
         codes.join(F.broadcast(dt), on=["m", "code"])
         .groupBy(query_id_col, id_col)
@@ -946,7 +988,7 @@ def _residuals_frame(
 
 def opq_signed_permutation(
     corpus: DataFrame,
-    centroids: list[list[int]],
+    centroids: list[list[int]] | None,
     m_subspaces: int = 4,
     n_codes: int = 16,
     rounds: int = 2,
@@ -965,18 +1007,34 @@ def opq_signed_permutation(
     ORIGINAL residuals (not composed), so the oracle unrolls the rounds
     as independent chains.
 
+    ``centroids=None`` (r10) trains the rotation for the FLAT PQ stack:
+    the "residual" is the quantized vector itself (centroid ≡ 0), so
+    the learned rotation feeds :func:`pq_codebook`/:func:`pq_encode`/
+    :func:`pq_adc_topk` instead of the residual chain — the same loop,
+    one fewer subtraction.
+
     Scale shape: per round, one corpus scan for the Arrow-batched
     encode+partial-D (map-side 64×64 int sums, driver-summed — KB-sized
-    like the centroid fetches) plus the m metadata-sized codebook
-    samples.  Returns ``(perm, signs)`` for :func:`_rotate_expr`."""
+    like the centroid fetches) plus ONE codebook-sampling scan covering
+    all m subspaces (fused in r10 — previously m TakeOrdered jobs per
+    round re-read the spilled residual frame).  Returns ``(perm,
+    signs)`` for :func:`_rotate_expr`."""
     import numpy as np
 
     from pyspark.sql.types import ArrayType as _AT, LongType as _LT
     from pyspark.sql.types import StructField as _SF, StructType as _ST
 
-    res = _residuals_frame(corpus, centroids, id_col, vec_col).persist()
+    if centroids is None:
+        res = corpus.select(
+            F.col(id_col), quantize_expr(vec_col).alias("__r")
+        ).persist()
+    else:
+        res = _residuals_frame(corpus, centroids, id_col, vec_col).persist()
     try:
-        dim = len(centroids[0])
+        if centroids is None:
+            dim = len(res.select("__r").first()["__r"])
+        else:
+            dim = len(centroids[0])
         if dim % m_subspaces:
             raise ValueError(
                 f"dim {dim} not divisible by {m_subspaces} subspaces"
@@ -1036,22 +1094,84 @@ def _sample_subspace_codebooks(
     """Per-subspace md5-order sampling of residual subvectors from a
     ``(id, __r)`` frame — the codebook construction of
     :func:`residual_codebooks`, shared with the OPQ trainer (which
-    feeds it ROTATED residuals)."""
+    feeds it ROTATED residuals).
+
+    ONE scan for all m codebooks (r10): the previous shape ran one
+    ``orderBy(hash).limit(n_codes)`` job per subspace — m × rounds
+    TakeOrdered passes over a residual frame that spills (= re-reads)
+    at corpus scale.  Now every partition keeps m running
+    ``(hash, id)``-smallest accumulators across its Arrow batches and
+    emits ≤ m × n_codes candidate rows carrying only the m-th
+    SUBVECTOR; the driver merge handles numPartitions × m × n_codes
+    rows — metadata-sized.  The sampling order is UNCHANGED
+    (``md5(id || ':' || m)`` asc, id asc — integer ids, which every
+    caller has), so codebooks — and the downstream oracle hashes —
+    are bit-identical to the per-subspace jobs."""
+    from pyspark.sql.types import (
+        ArrayType as _AT,
+        IntegerType as _IT,
+        LongType as _LT,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
     from .hashing import hash64
 
+    keyed = res.select(
+        F.col(id_col).cast("long").alias("__id"),
+        "__r",
+        *[
+            hash64(
+                F.concat(F.col(id_col).cast("string"), F.lit(f":{m}"))
+            ).alias(f"__h{m}")
+            for m in range(m_subspaces)
+        ],
+    )
+    out_schema = _ST(
+        [
+            _SF("m", _IT()),
+            _SF("h", _LT()),
+            _SF("id", _LT()),
+            _SF("sv", _AT(_LT())),
+        ]
+    )
+
+    def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: list[pd.DataFrame | None] = [None] * m_subspaces
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for m in range(m_subspaces):
+                cand = pd.DataFrame(
+                    {
+                        "h": pdf[f"__h{m}"],
+                        "id": pdf["__id"],
+                        "sv": [
+                            list(r)[m * sub : (m + 1) * sub]
+                            for r in pdf["__r"]
+                        ],
+                    }
+                )
+                if best[m] is not None:
+                    cand = pd.concat([best[m], cand], ignore_index=True)
+                best[m] = cand.sort_values(["h", "id"]).head(n_codes)
+        rows = [
+            (m, int(r.h), int(r.id), list(r.sv))
+            for m in range(m_subspaces)
+            if best[m] is not None
+            for r in best[m].itertuples()
+        ]
+        if rows:  # empty partitions yield nothing (Arrow dtype safety)
+            yield pd.DataFrame(rows, columns=["m", "h", "id", "sv"])
+
+    cand_rows = keyed.mapInPandas(topk, schema=out_schema).collect()
     cbs: list[list[list[int]]] = []
     for m in range(m_subspaces):
-        rows = (
-            res.orderBy(
-                hash64(
-                    F.concat(F.col(id_col).cast("string"), F.lit(f":{m}"))
-                ),
-                F.col(id_col),
-            )
-            .limit(n_codes)
-            .collect()
-        )
-        cbs.append([list(r["__r"])[m * sub : (m + 1) * sub] for r in rows])
+        rows = sorted(
+            (r for r in cand_rows if r["m"] == m),
+            key=lambda r: (r["h"], r["id"]),
+        )[:n_codes]
+        cbs.append([list(r["sv"]) for r in rows])
     return cbs
 
 

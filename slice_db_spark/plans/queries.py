@@ -3774,6 +3774,32 @@ def ann_opq(spark, sf_dir):
     )
 
 
+def ann_pq_opq(spark, sf_dir):
+    """OPQ for the FLAT (non-residual) PQ stack (r10) — the rotation the
+    residual chain got in r9, threaded through
+    `pq_codebook`/`pq_encode`/`pq_adc_topk`: the trainer runs with
+    ``centroids=None`` (the "residual" is the quantized vector itself),
+    and the learned signed permutation rotates the corpus encode, the
+    shared codebook, and the query ADC table in lockstep — same rows
+    sampled (the codebook keys on ids, not vectors), same int64
+    exactness, better subspace splits.  The oracle reuses the `ann_opq`
+    round unroll (recursive greedy Procrustes) with the residual frame
+    replaced by the quantized vectors, then replays the flat `ann_pq`
+    code/table chain in the rotated space."""
+    emb = catalog(spark, sf_dir)["embeddings"]
+    corpus = emb.where("vec_id >= 5")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    perm, signs = similarity.opq_signed_permutation(
+        corpus, None, m_subspaces=PQ_M, n_codes=PQ_CODES, rounds=OPQ_ROUNDS
+    )
+    cb = similarity.pq_codebook(
+        corpus, n_codes=PQ_CODES, perm=perm, signs=signs
+    )
+    return similarity.pq_adc_topk(
+        corpus, q, cb, m_subspaces=PQ_M, k=5, perm=perm, signs=signs
+    )
+
+
 DEDUP_PLANES = similarity.random_planes(16, 64, seed="dedup")
 DEDUP_EMB_THRESHOLD = 0.42
 DEDUP_EMB_BANDS = 4
@@ -7565,6 +7591,49 @@ SELECT q_id, vec_id, CAST(dot AS BIGINT) AS dot,
 FROM rr QUALIFY rank <= 5
 """
 
+    # OPQ for the FLAT PQ stack (r10): the SAME two-round rotation
+    # unroll with res = the quantized vectors themselves (centroid = 0),
+    # then the plain ann_pq chain — shared md5(id)-order codebook,
+    # per-subspace nearest-code, query distance table — entirely in the
+    # rot2-rotated space
+    o["ann_pq_opq"] = f"""
+WITH RECURSIVE qv AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+  FROM embeddings),
+corp AS (SELECT vec_id, e FROM qv WHERE vec_id >= 5),
+qry AS (SELECT vec_id AS q_id, e AS qe FROM qv WHERE vec_id < 5),
+res AS MATERIALIZED (SELECT vec_id, e AS re FROM corp),
+sp AS (SELECT unnest(range(0, {PQ_M})) AS m),
+pos AS (SELECT sp.m AS m, sp.m * {_sub} + i AS r
+        FROM sp, range(1, {_sub} + 1) t(i)),
+y1 AS MATERIALIZED (SELECT vec_id, re AS y FROM res),
+{_opq_round_sql(1, 'y1')},
+{_opq_rotate_sql('y2', 'rot1')},
+{_opq_round_sql(2, 'y2')},
+{_opq_rotate_sql('y3', 'rot2')},
+pcb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS j, y AS ce FROM (
+  SELECT vec_id, y, {_hash64_sql("CAST(vec_id AS VARCHAR)")} AS h
+  FROM y3 ORDER BY h, vec_id LIMIT {PQ_CODES})),
+fdists AS (
+  SELECT v.vec_id, sp.m, c.j, {_pq_sqdist('v.y', 'c.ce')} AS d
+  FROM y3 v CROSS JOIN sp CROSS JOIN pcb c),
+fcodes AS (
+  SELECT vec_id, m, j AS code FROM fdists
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1),
+qrot AS (SELECT qry.q_id, list(rot2.s * qry.qe[rot2.c] ORDER BY rot2.r) AS qy
+         FROM qry CROSS JOIN rot2 GROUP BY qry.q_id),
+fdt AS (
+  SELECT q.q_id, sp.m, c.j AS code, {_pq_sqdist('q.qy', 'c.ce')} AS d
+  FROM qrot q CROSS JOIN sp CROSS JOIN pcb c),
+scored AS (
+  SELECT fdt.q_id, fcodes.vec_id, CAST(sum(fdt.d) AS BIGINT) AS adist
+  FROM fcodes JOIN fdt ON fdt.m = fcodes.m AND fdt.code = fcodes.code
+  GROUP BY 1, 2)
+SELECT q_id, vec_id, adist,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
     # normalize-then-dot mirrors operators/similarity.embedding_near_pairs:
     # one normalization per vector, a single dot per candidate pair
     _NORM_CTE = (
@@ -10042,6 +10111,7 @@ def _all_queries():
         "ann_ivfpq_refined": ann_ivfpq_refined,
         "ann_opq": ann_opq,
         "ann_opq_index": ann_opq_index,
+        "ann_pq_opq": ann_pq_opq,
         "media_video_incremental": media_video_incremental,
         # r8 additions
         "media_video_shots": media_video_shots,
