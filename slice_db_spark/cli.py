@@ -866,6 +866,106 @@ def cmd_phash_files(args) -> int:
     return 0
 
 
+def cmd_build_index(args) -> int:
+    """Train and materialize a persisted ANN index from an embedding
+    parquet — the CLI lifecycle for the vector indexes (r10): the LSH
+    text index has had ``ingest --lsh-index`` since r5, but the
+    IVF / OPQ-IVFPQ stacks were library-only — a production operator
+    could not train or probe without writing Python.  Wraps
+    `operators/similarity.py::build_ivf_index/build_ivfpq_index`,
+    writes an ``index.json`` sidecar recording kind + build params
+    (the probe and `fsck` read it), and prints one JSON build report."""
+    from .operators import similarity as S
+    from .session import get_spark
+
+    spark = get_spark("slicedb-build-index")
+    corpus = spark.read.parquet(args.corpus)
+    if args.kind == "ivfpq":
+        meta = S.build_ivfpq_index(
+            corpus, args.index, n_cells=args.cells, iters=args.iters,
+            m_subspaces=args.m_subspaces, n_codes=args.codes,
+            opq_rounds=args.opq_rounds,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+        sidecar = {
+            "kind": "ivfpq", "n_cells": len(meta["centroids"]),
+            "iters": args.iters, "m_subspaces": meta["m_subspaces"],
+            "n_codes": meta["n_codes"], "opq_rounds": args.opq_rounds,
+            "id_col": args.id_col, "vec_col": args.vec_col,
+        }
+    else:
+        cents = S.build_ivf_index(
+            corpus, args.index, n_cells=args.cells, iters=args.iters,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+        sidecar = {
+            "kind": "ivf", "n_cells": len(cents), "iters": args.iters,
+            "id_col": args.id_col, "vec_col": args.vec_col,
+        }
+    with open(os.path.join(args.index, "index.json"), "w") as f:
+        json.dump(sidecar, f)
+    print(json.dumps({**sidecar, "rows": corpus.count(), "index": args.index}))
+    return 0
+
+
+def cmd_probe_index(args) -> int:
+    """Top-k search against a persisted ANN index built by
+    ``build-index`` — reads the ``index.json`` sidecar for the kind and
+    column names (layout fallback for hand-built indexes: ``meta.json``
+    = ivfpq, ``centroids.json`` = ivf), probes with
+    `operators/similarity.py::probe_ivf_index/probe_ivfpq_index`
+    (partition-pruned cell reads, exact integer ranking — bit-identical
+    to the library call), and prints one JSON result set."""
+    from .operators import similarity as S
+    from .session import get_spark
+
+    sidecar_path = os.path.join(args.index, "index.json")
+    if os.path.exists(sidecar_path):
+        with open(sidecar_path) as f:
+            sidecar = json.load(f)
+        kind = sidecar.get("kind")
+        id_col = sidecar.get("id_col", "vec_id")
+        vec_col = sidecar.get("vec_col", "embedding")
+    elif os.path.exists(os.path.join(args.index, "meta.json")):
+        kind, id_col, vec_col = "ivfpq", "vec_id", "embedding"
+    elif os.path.exists(os.path.join(args.index, "centroids.json")):
+        kind, id_col, vec_col = "ivf", "vec_id", "embedding"
+    else:
+        print(f"no ANN index at {args.index} (index.json / meta.json / "
+              "centroids.json all missing)", file=sys.stderr)
+        return 2
+    if kind not in ("ivf", "ivfpq"):
+        print(f"unknown index kind {kind!r} in {sidecar_path}",
+              file=sys.stderr)
+        return 2
+
+    spark = get_spark("slicedb-probe-index")
+    queries = spark.read.parquet(args.queries)
+    if "q_id" not in queries.columns:
+        if id_col not in queries.columns:
+            print(f"queries parquet needs a q_id or {id_col} column",
+                  file=sys.stderr)
+            return 2
+        queries = queries.withColumnRenamed(id_col, "q_id")
+    if kind == "ivfpq":
+        res = S.probe_ivfpq_index(
+            spark, args.index, queries, k=args.k, k_prime=args.k_prime,
+            nprobe=args.nprobe, id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        res = S.probe_ivf_index(
+            spark, args.index, queries, k=args.k, nprobe=args.nprobe,
+            id_col=id_col, vec_col=vec_col,
+        )
+    rows = [r.asDict() for r in res.orderBy("q_id", "rank").collect()]
+    print(json.dumps({
+        "kind": kind, "k": args.k, "nprobe": args.nprobe,
+        "n_queries": queries.count(), "n_results": len(rows),
+        "results": rows[: args.limit],
+    }))
+    return 0
+
+
 def cmd_train_bpe(args) -> int:
     """Learn BPE merges from the corpus (the tokenizer-training pass) and
     write them as parquet at the output path; prints a JSON summary with
@@ -1623,6 +1723,45 @@ def main(argv: list[str] | None = None) -> int:
                     help="media signature index dir to check (any mode)")
     fs.add_argument("corpus", help="parquet corpus directory")
     fs.set_defaults(fn=cmd_fsck)
+
+    bi = sub.add_parser(
+        "build-index",
+        help="train + persist an ANN index (IVF or OPQ-IVFPQ) from an "
+        "embedding parquet",
+    )
+    bi.add_argument("--kind", choices=["ivf", "ivfpq"], default="ivfpq")
+    bi.add_argument("--cells", type=int, default=8,
+                    help="coarse-quantizer cells (k-means)")
+    bi.add_argument("--iters", type=int, default=2,
+                    help="Lloyd refinement iterations")
+    bi.add_argument("--m-subspaces", type=int, default=4,
+                    help="PQ subspaces (ivfpq)")
+    bi.add_argument("--codes", type=int, default=16,
+                    help="PQ codes per subspace (ivfpq)")
+    bi.add_argument("--opq-rounds", type=int, default=2,
+                    help="OPQ rotation training rounds (ivfpq)")
+    bi.add_argument("--id-col", default="vec_id")
+    bi.add_argument("--vec-col", default="embedding")
+    bi.add_argument("corpus", help="embedding parquet (id + vector columns)")
+    bi.add_argument("index", help="index output directory")
+    bi.set_defaults(fn=cmd_build_index)
+
+    pi = sub.add_parser(
+        "probe-index",
+        help="top-k search against a persisted ANN index (kind "
+        "auto-detected from its sidecar)",
+    )
+    pi.add_argument("--k", type=int, default=5)
+    pi.add_argument("--k-prime", type=int, default=10,
+                    help="ADC shortlist handed to the exact re-rank (ivfpq)")
+    pi.add_argument("--nprobe", type=int, default=2,
+                    help="cells probed per query")
+    pi.add_argument("--limit", type=int, default=1000,
+                    help="cap on result rows printed")
+    pi.add_argument("index", help="index directory from build-index")
+    pi.add_argument("queries", help="query parquet (q_id or the index's "
+                    "id column + vector column)")
+    pi.set_defaults(fn=cmd_probe_index)
 
     tb = sub.add_parser("train-bpe", help="learn BPE merges from a corpus (tokenizer training)")
     tb.add_argument("--input-format", choices=["jsonl", "csv", "parquet"], default="parquet")

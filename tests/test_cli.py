@@ -1115,6 +1115,74 @@ def test_fsck_ivfpq_index(spark, tmp_path):
     assert "n_codes must be a positive integer" in errs
 
 
+def test_build_probe_index_cli_roundtrip(spark, tmp_path):
+    """r10 ANN index CLI lifecycle: build-index --kind ivfpq trains +
+    persists the OPQ-IVFPQ index with an index.json sidecar, fsck
+    --ivfpq-index passes on it, and probe-index returns EXACTLY the
+    library probe's rows (bit-for-bit parity — the contract every
+    persisted probe honors).  The IVF kind round-trips through the same
+    pair, and a sidecar-less directory fails with a clear error."""
+    import random
+
+    from slice_db_spark.operators import similarity as S
+
+    rng = random.Random(5)
+    rows = [(100 + i, [rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(40)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    ).write.parquet(str(tmp_path / "emb"))
+    spark.createDataFrame(
+        rows[:3], "vec_id bigint, embedding array<float>"
+    ).write.parquet(str(tmp_path / "q"))
+    cdir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "t", "s")], "doc_id bigint, text string, source string"
+    ).write.parquet(cdir)
+
+    d = str(tmp_path / "idx")
+    rep = json.loads(run_cli(
+        "build-index", "--kind", "ivfpq", "--cells", "4", "--iters", "1",
+        "--m-subspaces", "4", "--codes", "8", "--opq-rounds", "1",
+        str(tmp_path / "emb"), d,
+    ))
+    assert rep["kind"] == "ivfpq" and rep["rows"] == 40
+    assert rep["n_cells"] == 4 and os.path.exists(os.path.join(d, "index.json"))
+
+    fsck = json.loads(run_cli("fsck", "--ivfpq-index", d, cdir))
+    assert fsck["errors"] == []
+
+    got = json.loads(run_cli(
+        "probe-index", "--k", "3", "--k-prime", "6", "--nprobe", "2",
+        d, str(tmp_path / "q"),
+    ))
+    assert got["kind"] == "ivfpq" and got["n_queries"] == 3
+    q = spark.read.parquet(str(tmp_path / "q")).withColumnRenamed(
+        "vec_id", "q_id")
+    lib = [r.asDict() for r in S.probe_ivfpq_index(
+        spark, d, q, k=3, k_prime=6, nprobe=2,
+    ).orderBy("q_id", "rank").collect()]
+    assert got["results"] == lib  # bit-for-bit parity with the library
+
+    # IVF kind through the same pair
+    d2 = str(tmp_path / "idx2")
+    rep2 = json.loads(run_cli(
+        "build-index", "--kind", "ivf", "--cells", "4", "--iters", "1",
+        str(tmp_path / "emb"), d2,
+    ))
+    assert rep2["kind"] == "ivf"
+    got2 = json.loads(run_cli(
+        "probe-index", "--k", "3", "--nprobe", "2", d2, str(tmp_path / "q")))
+    lib2 = [r.asDict() for r in S.probe_ivf_index(
+        spark, d2, q, k=3, nprobe=2,
+    ).orderBy("q_id", "rank").collect()]
+    assert got2["kind"] == "ivf" and got2["results"] == lib2
+
+    # not an index -> rc 2
+    run_cli("probe-index", str(tmp_path / "docs"), str(tmp_path / "q"),
+            expect_rc=2)
+
+
 def test_phash_files_dihedral_flag(spark, tmp_path):
     """r9: phash-files --dihedral pairs an EXIF-stripped 90-degree
     rotated refetch the plain run misses."""
