@@ -831,6 +831,52 @@ def main():
         shutil.rmtree(land, ignore_errors=True)
         shutil.rmtree(spill_dest, ignore_errors=True)
 
+        # r10: the STREAMING --jvm-decode lane end to end — one landed
+        # JPEG micro-batch through ingest_media_stream with the default
+        # Python decode vs the per-batch spill+ImageIO lane (fresh
+        # out/checkpoint dirs each; the whole sink pipeline is timed:
+        # md5 gate, decode, index build, corpus append)
+        from slice_db_spark.streaming.media import ingest_media_stream
+
+        ids = spark.range(0, 96, 1, 8).selectExpr("id AS doc_id")
+        land = tempfile.mkdtemp(prefix="bench_sheet_stream_")
+        # the file source reads bare parquet FILES from the landing dir
+        # (the crawler-fetcher layout) — land one micro-batch file
+        staged = tempfile.mkdtemp(prefix="bench_sheet_stream_stage_")
+        synth_big(ids, 512, "jpeg").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        part = [f for f in os.listdir(staged) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(staged, part),
+                    os.path.join(land, "b0.parquet"))
+        shutil.rmtree(staged, ignore_errors=True)
+        stream_secs = {}
+        for label, flag in (("python", False), ("jvm", True)):
+            out_dir = tempfile.mkdtemp(prefix=f"bench_stream_out_{label}_")
+            ck = tempfile.mkdtemp(prefix=f"bench_stream_ck_{label}_")
+            shutil.rmtree(out_dir)  # the sink creates it; idx is a sibling
+            idx = out_dir + "_idx"
+            t0 = time.time()
+            ingest_media_stream(
+                spark, land, out_dir, ck,
+                phash_index=idx, jvm_decode=flag,
+            )
+            stream_secs[label] = time.time() - t0
+            shutil.rmtree(out_dir, ignore_errors=True)
+            shutil.rmtree(idx, ignore_errors=True)
+            shutil.rmtree(ck, ignore_errors=True)
+        sheet["streaming_jvm"] = {
+            "images": 96,
+            "side_px": 512,
+            "format": "jpeg",
+            "python_lane_sec": round(stream_secs["python"], 3),
+            "jvm_lane_sec": round(stream_secs["jvm"], 3),
+            "jvm_lane_speedup": round(
+                stream_secs["python"] / stream_secs["jvm"], 2
+            ),
+        }
+        shutil.rmtree(land, ignore_errors=True)
+
         # per-stage split of one media ingest batch over the BMP set:
         # the md5 exact gate is a fraction of a decode, which is why the
         # sink hashes BEFORE decoding

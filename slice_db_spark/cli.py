@@ -1625,7 +1625,9 @@ def main(argv: list[str] | None = None) -> int:
     im.add_argument("--jvm-decode", action="store_true",
                     help="decode image batches through the JVM ImageIO "
                     "lane via an executor-side file spill (native-rate "
-                    "for compressed formats; JPEG/PNG/GIF/BMP only)")
+                    "for compressed formats; uncompressed BMP/PGM "
+                    "auto-route to the Python lane where decode is a "
+                    "numpy slice)")
     im.add_argument("--max-hamming", type=int, default=None)
     im.add_argument("--source", choices=["parquet", "files"],
                     default="parquet",

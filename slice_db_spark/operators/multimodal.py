@@ -404,6 +404,11 @@ def phash_image_files(
 #: conventional extensions keep the corpus browsable / glob-filterable)
 _SPILL_EXT = {"jpeg": "jpg"}
 
+#: formats whose "decode" is a numpy slice — the spill bridge is pure
+#: overhead for these (datasheet-measured 0.3-0.4×), so
+#: phash_media_spilled routes them to the Python lane instead
+_UNCOMPRESSED_FORMATS = ("bmp", "pgm")
+
 
 def spill_media_to_files(df: DataFrame, dest: str) -> str:
     """DISTRIBUTED in-column → file spill: write each ``(media_id,
@@ -524,11 +529,43 @@ def phash_media_spilled(
     spill I/O is one sequential write + one sequential read of the
     payload bytes — amortized many times over by native-vs-Python
     decode on compressed formats (measured in
-    ``BENCH_LOCAL.json::media_decode_datasheet``)."""
-    spill_media_to_files(df, staging_dir)
-    return phash_image_files(
-        spark, staging_dir, null_on_error=null_on_error, dihedral=dihedral
-    )
+    ``BENCH_LOCAL.json::media_decode_datasheet``).
+
+    FORMAT DISPATCH (r10): only ENTROPY-CODED formats take the spill
+    bridge — for uncompressed formats (BMP/PGM) "decode" is a numpy
+    slice, so the file round-trip was a measured 0.3-0.4×
+    PESSIMIZATION; those rows stay on the Python lane (which is also
+    bit-exact vs ImageIO on BMP, the r8 parity pin) and the two lanes
+    union.  Side effect: PGM — which ImageIO cannot read, so it
+    NULL-quarantined under the pure bridge — now hashes like any
+    in-column payload."""
+    dispatch_py = F.col("format").isin(*_UNCOMPRESSED_FORMATS)
+    uncomp = df.where(dispatch_py)
+    comp = df.where(~dispatch_py)
+    py_hash = phash_media_dihedral if dihedral else phash_media
+    parts = []
+    if not uncomp.isEmpty():
+        parts.append(
+            py_hash(uncomp, null_on_error=null_on_error).select(
+                "media_id", "phash"
+            )
+        )
+    if not comp.isEmpty():
+        spill_media_to_files(comp, staging_dir)
+        parts.append(
+            phash_image_files(
+                spark, staging_dir,
+                null_on_error=null_on_error, dihedral=dihedral,
+            )
+        )
+    if not parts:
+        return py_hash(df, null_on_error=null_on_error).select(
+            "media_id", "phash"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:

@@ -241,10 +241,11 @@ def ingest_media_stream(
                 "jvm_decode applies to the image lanes "
                 f"(phash/phash-dihedral), not {fingerprint!r}"
             )
-        # Coverage caveat: ImageIO reads the web formats (JPEG/PNG/GIF/
-        # BMP); formats only the Python codecs decode (e.g. PGM) emit
-        # NULL signatures under this lane and land in quarantine —
-        # corpora containing them should keep the default Python lane.
+        # Coverage: ImageIO reads the web formats (JPEG/PNG/GIF); the
+        # bridge's r10 format dispatch keeps uncompressed formats
+        # (BMP/PGM — "decode" is a numpy slice, spilling was a measured
+        # pessimization) on the Python lane, so PGM-class payloads now
+        # hash under this flag too instead of NULL-quarantining.
 
         def _sig_fn(b):  # noqa: F811 — deliberate lane override
             import shutil as _sh

@@ -1706,7 +1706,9 @@ def test_phash_media_spilled_matches_python_codec(spark, tmp_path):
     ImageIO lane produce the IDENTICAL pHash set as the pure-Python
     codec path on lossless formats — the property that lets
     media_phash_incolumn_imageio sit under the media_phash_pairs oracle
-    verbatim."""
+    verbatim.  (Since the r10 format dispatch, BMP rows take the Python
+    lane inside phash_media_spilled — the parity contract is unchanged;
+    test_phash_media_spilled_format_dispatch covers the routing.)"""
     ids = spark.createDataFrame([(i,) for i in range(25)], "doc_id bigint")
     got = {
         r.media_id: r.phash
@@ -1717,6 +1719,53 @@ def test_phash_media_spilled_matches_python_codec(spark, tmp_path):
     ref = {r.media_id: r.phash
            for r in M.phash_media(M.synth_texture_bmp(ids)).collect()}
     assert got == ref and len(got) == 25
+
+
+def test_phash_media_spilled_format_dispatch(spark, tmp_path):
+    """r10 format dispatch in the spill bridge: (1) uncompressed
+    formats (BMP/PGM) never touch the spill — no staging dir is even
+    created for an all-BMP corpus (the datasheet measured the file
+    round-trip as a 0.3-0.4x pessimization there); (2) a mixed
+    BMP+JPEG corpus spills ONLY the JPEGs and the unioned hashes match
+    each format's own lane; (3) PGM — unreadable by ImageIO, so it
+    NULL-quarantined under the pure bridge — now hashes."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id bigint")
+    bmp = M.synth_texture_bmp(ids)
+    dest = str(tmp_path / "allbmp")
+    got = {r.media_id: r.phash
+           for r in M.phash_media_spilled(spark, bmp, dest).collect()}
+    assert len(got) == 8 and not os.path.exists(dest)
+
+    jpeg = M.synth_jpeg(ids).withColumn(
+        "media_id", SF.col("media_id") + 100)
+    mixed = bmp.unionByName(jpeg)
+    dest2 = str(tmp_path / "mixed")
+    got2 = {r.media_id: r.phash
+            for r in M.phash_media_spilled(spark, mixed, dest2)
+            .localCheckpoint(eager=True).collect()}
+    spilled_files = [
+        n for sh in os.listdir(dest2) if sh.startswith("shard=")
+        for n in os.listdir(os.path.join(dest2, sh))
+    ]
+    assert len(spilled_files) == 8          # only the JPEGs spilled
+    assert all(n.endswith(".jpg") for n in spilled_files)
+    ref_bmp = {r.media_id: r.phash for r in M.phash_media(bmp).collect()}
+    ref_jpg = {r.media_id: r.phash
+               for r in M.phash_image_files(
+                   spark, dest2, null_on_error=True).collect()}
+    assert got2 == {**ref_bmp, **ref_jpg} and len(got2) == 16
+
+    pgm = M.synth_pgm(ids)
+    got3 = {r.media_id: r.phash
+            for r in M.phash_media_spilled(
+                spark, pgm, str(tmp_path / "pgm"), null_on_error=True
+            ).collect()}
+    ref3 = {r.media_id: r.phash for r in M.phash_media(pgm).collect()}
+    assert got3 == ref3 and all(v is not None for v in got3.values())
 
 
 def test_gif_animated_roundtrip_and_strict_gce():
