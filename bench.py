@@ -158,6 +158,7 @@ HEADLINE = [
     "ann_pq_opq",
     "media_gif_composited",
     "media_gif_interlaced",
+    "media_gif_optimized_pairs",
     "media_video_incremental",
     "media_video_shots",
     "media_exif",

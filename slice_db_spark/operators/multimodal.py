@@ -4883,40 +4883,121 @@ def synth_gif_composited(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             rows = []
             for k in pdf[id_col]:
+                payload = _gif_composited_payload(int(k))
+                rows.append((int(k), "image", payload, "gif", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def _gif_composited_payload(k: int) -> bytes:
+    """The :func:`synth_gif_composited` payload for one id — shared with
+    the dup-planting synth so the "original" bytes are identical."""
+    import numpy as np
+
+    w, h = 40 + k % 9, 36 + (3 * k) % 11
+    xs = np.arange(w)[None, :]
+    ys = np.arange(h)[:, None]
+    base = (
+        (17 * k + 3 * xs * xs + 7 * ys * ys + 5 * xs * ys
+         + 11 * xs + 13 * ys) % 251
+    ).astype(np.uint8)
+    pw1, ph1 = 11 + k % 6, 9 + k % 5
+    us = np.arange(pw1)[None, :]
+    vs = np.arange(ph1)[:, None]
+    p1 = (
+        (23 * k + 7 * us * us + 5 * vs + 3 * us * vs) % 251
+    ).astype(np.uint8)
+    p1[(us + 2 * vs + k) % 5 == 0] = 255  # transparent index
+    pw2, ph2 = 13 + k % 4, 7 + k % 6
+    us = np.arange(pw2)[None, :]
+    vs = np.arange(ph2)[:, None]
+    p2 = (
+        (31 * k + 11 * us + 13 * vs + us * us) % 251
+    ).astype(np.uint8)
+    return encode_gif_frames(
+        w, h,
+        [
+            {"px": base, "delay_cs": 3, "disposal": 1 + k % 3},
+            {"px": p1, "x": 3 + k % 5, "y": 2 + k % 7,
+             "delay_cs": 4, "disposal": 1 + (k // 3) % 3,
+             "transparent": 255},
+            {"px": p2, "x": 1 + k % 9, "y": 4 + k % 3,
+             "delay_cs": 5, "disposal": 0,
+             "interlaced": k % 2 == 0},
+        ],
+    )
+
+
+def synth_gif_composited_dups(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`synth_gif_composited` with planted FLATTENED re-encodes —
+    the optimized-vs-unoptimized GIF dedup case a real crawl hits
+    constantly: GIF optimizers emit partial frames with disposal
+    methods; re-encoders emit full composited frames; both render the
+    SAME animation.  Slots 0-7 are the partial-frame composited synth;
+    slot 8 re-encodes the group's slot-0 animation as FULL-SCREEN
+    flattened frames (the composited canvases written verbatim — every
+    frame pHash lands at distance 0 because compositing is exactly what
+    the reader reconstructs); slot 9 flattens at +4 brightness (DCT ACs
+    unchanged, distance 0 — brightness invariance).  All ids decode to
+    3 frames, so the equal-length video pairing contract holds."""
+    import numpy as np
+
+    def _composited(k: int):
+        w, h = 40 + k % 9, 36 + (3 * k) % 11
+        xs = np.arange(w)[None, :]
+        ys = np.arange(h)[:, None]
+        B = (17 * k + 3 * xs * xs + 7 * ys * ys + 5 * xs * ys
+             + 11 * xs + 13 * ys) % 251
+        d0, d1 = 1 + k % 3, 1 + (k // 3) % 3
+        ox1, oy1 = 3 + k % 5, 2 + k % 7
+        pw1, ph1 = 11 + k % 6, 9 + k % 5
+        ox2, oy2 = 1 + k % 9, 4 + k % 3
+        pw2, ph2 = 13 + k % 4, 7 + k % 6
+        us = np.arange(pw1)[None, :]
+        vs = np.arange(ph1)[:, None]
+        P1 = (23 * k + 7 * us * us + 5 * vs + 3 * us * vs) % 251
+        T1 = (us + 2 * vs + k) % 5 == 0
+        us = np.arange(pw2)[None, :]
+        vs = np.arange(ph2)[:, None]
+        P2 = (31 * k + 11 * us + 13 * vs + us * us) % 251
+        C0 = B.copy()
+        U1 = B.copy() if d0 == 1 else np.zeros_like(B)
+        C1 = U1.copy()
+        reg = C1[oy1:oy1 + ph1, ox1:ox1 + pw1]
+        reg[~T1] = P1[~T1]
+        U2 = C1.copy()
+        if d1 == 2:
+            U2[oy1:oy1 + ph1, ox1:ox1 + pw1] = 0
+        elif d1 == 3:
+            U2 = U1.copy()
+        C2 = U2.copy()
+        C2[oy2:oy2 + ph2, ox2:ox2 + pw2] = P2
+        return w, h, [C0, C1, C2]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
                 k = int(k)
-                w, h = 40 + k % 9, 36 + (3 * k) % 11
-                xs = np.arange(w)[None, :]
-                ys = np.arange(h)[:, None]
-                base = (
-                    (17 * k + 3 * xs * xs + 7 * ys * ys + 5 * xs * ys
-                     + 11 * xs + 13 * ys) % 251
-                ).astype(np.uint8)
-                pw1, ph1 = 11 + k % 6, 9 + k % 5
-                us = np.arange(pw1)[None, :]
-                vs = np.arange(ph1)[:, None]
-                p1 = (
-                    (23 * k + 7 * us * us + 5 * vs + 3 * us * vs) % 251
-                ).astype(np.uint8)
-                p1[(us + 2 * vs + k) % 5 == 0] = 255  # transparent index
-                pw2, ph2 = 13 + k % 4, 7 + k % 6
-                us = np.arange(pw2)[None, :]
-                vs = np.arange(ph2)[:, None]
-                p2 = (
-                    (31 * k + 11 * us + 13 * vs + us * us) % 251
-                ).astype(np.uint8)
-                payload = encode_gif_frames(
-                    w, h,
-                    [
-                        {"px": base, "delay_cs": 3,
-                         "disposal": 1 + k % 3},
-                        {"px": p1, "x": 3 + k % 5, "y": 2 + k % 7,
-                         "delay_cs": 4, "disposal": 1 + (k // 3) % 3,
-                         "transparent": 255},
-                        {"px": p2, "x": 1 + k % 9, "y": 4 + k % 3,
-                         "delay_cs": 5, "disposal": 0,
-                         "interlaced": k % 2 == 0},
-                    ],
-                )
+                slot = k % 10
+                if slot < 8:
+                    payload = _gif_composited_payload(k)
+                else:
+                    w, h, frames = _composited(k - slot)
+                    shift = 4 if slot == 9 else 0
+                    payload = encode_gif_frames(
+                        w, h,
+                        [
+                            {"px": (fr + shift).astype(np.uint8),
+                             "delay_cs": 3 + i, "disposal": 1}
+                            for i, fr in enumerate(frames)
+                        ],
+                    )
                 rows.append((k, "image", payload, "gif", len(payload)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]

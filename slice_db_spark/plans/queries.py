@@ -4236,6 +4236,27 @@ def media_gif_composited(spark, sf_dir):
     return multimodal.gif_composited_stats(multimodal.synth_gif_composited(docs))
 
 
+def media_gif_optimized_pairs(spark, sf_dir):
+    """OPTIMIZED-vs-FLATTENED GIF dedup through the video lane (r10) —
+    the compositing payoff: GIF optimizers emit partial frames with
+    disposal methods, re-encoders emit full flattened frames, and both
+    render the same animation, so they must pair.  Because `gif_frames`
+    COMPOSITES (r10), the partial-frame original's per-frame pHashes
+    equal its flattened re-encode's exactly — `synth_gif_composited_dups`
+    plants a verbatim flatten (distance 0) and a +4-brightness flatten
+    (distance 0 — brightness invariance) per ten-id group, and the
+    UNCHANGED `video_near_pairs` machinery pairs them.  The oracle
+    re-derives every composited canvas CASE-by-CASE at the 8×8
+    downsample points, replays the per-frame DCT/median hash, and
+    brute-forces the sequence zip — a compositing bug that merely
+    shifts pixels would break the pairing, not just a stats column."""
+    docs = catalog(spark, sf_dir)["documents"]
+    sigs = multimodal.gif_video_phash(multimodal.synth_gif_composited_dups(docs))
+    return multimodal.video_near_pairs(
+        sigs, bits=63, bands=PHASH_BANDS, max_hamming=PHASH_MAX_HAMMING
+    )
+
+
 def media_gif_interlaced(spark, sf_dir):
     """INTERLACED still GIF under the hash gate (r10) — same LZW, same
     palette mapping, rows written in the GIF 4-pass order with the
@@ -8542,6 +8563,90 @@ WHERE bit_count(xor(a.afp, bb.afp)) <= {AUDIO_FP_MAX_HAMMING}
     # reordering, so the oracle is the non-interlaced one VERBATIM
     o["media_gif_interlaced"] = o["media_gif_stats"]
 
+    # optimized-vs-flattened GIF pairing (r10): the composited CASE
+    # chain evaluated ONLY at the 8x8 nearest-neighbor downsample
+    # points, per-frame DCT/median hash, brute-force sequence zip;
+    # slot 8 = verbatim flatten (identical values), slot 9 = +4
+    # brightness (ACs unchanged) — both land at distance 0
+    o["media_gif_optimized_pairs"] = f"""
+WITH dd AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 10 AS slot,
+         CASE WHEN doc_id % 10 >= 8 THEN doc_id - doc_id % 10
+              ELSE doc_id END AS m
+  FROM documents),
+p AS (
+  SELECT media_id, slot, m,
+         40 + m % 9 AS w, 36 + (3 * m) % 11 AS h,
+         1 + m % 3 AS d0, 1 + (m // 3) % 3 AS d1,
+         3 + m % 5 AS ox1, 2 + m % 7 AS oy1,
+         11 + m % 6 AS pw1, 9 + m % 5 AS ph1,
+         1 + m % 9 AS ox2, 4 + m % 3 AS oy2,
+         13 + m % 4 AS pw2, 7 + m % 6 AS ph2
+  FROM dd),
+kk(u, x, c) AS (VALUES {_k_vals}),
+pts AS (
+  SELECT p.*, f.f AS f, gi.gi AS gi, gj.gj AS gj,
+         (gj.gj * w) // 8 AS x, (gi.gi * h) // 8 AS y
+  FROM p, range(0, 3) f(f), range(0, 8) gi(gi), range(0, 8) gj(gj)),
+c AS (
+  SELECT media_id, slot, f, gi, gj, d0, d1,
+         (17 * m + 3 * x * x + 7 * y * y + 5 * x * y
+          + 11 * x + 13 * y) % 251 AS b,
+         (x >= ox1 AND x < ox1 + pw1
+          AND y >= oy1 AND y < oy1 + ph1) AS in1,
+         (23 * m + 7 * (x - ox1) * (x - ox1) + 5 * (y - oy1)
+          + 3 * (x - ox1) * (y - oy1)) % 251 AS p1,
+         (((x - ox1) + 2 * (y - oy1) + m) % 5 = 0) AS tr1,
+         (x >= ox2 AND x < ox2 + pw2
+          AND y >= oy2 AND y < oy2 + ph2) AS in2,
+         (31 * m + 11 * (x - ox2) + 13 * (y - oy2)
+          + (x - ox2) * (x - ox2)) % 251 AS p2
+  FROM pts),
+l1 AS (
+  SELECT media_id, slot, f, gi, gj, d1, in1, in2, p1, tr1, p2, b,
+         CASE WHEN d0 = 1 THEN b ELSE 0 END AS u1
+  FROM c),
+l2 AS (
+  SELECT media_id, slot, f, gi, gj, d1, in1, in2, p2, b, u1,
+         CASE WHEN in1 AND NOT tr1 THEN p1 ELSE u1 END AS c1
+  FROM l1),
+l3 AS (
+  SELECT media_id, slot, f, gi, gj, in2, p2, b, c1,
+         CASE WHEN d1 = 1 THEN c1
+              WHEN d1 = 2 THEN (CASE WHEN in1 THEN 0 ELSE c1 END)
+              ELSE u1 END AS u2
+  FROM l2),
+g AS (
+  SELECT media_id, f, gi, gj,
+         (CASE WHEN f = 0 THEN b
+               WHEN f = 1 THEN c1
+               ELSE (CASE WHEN in2 THEN p2 ELSE u2 END) END)
+         + (CASE WHEN slot = 9 THEN 4 ELSE 0 END) AS val
+  FROM l3),
+coef AS (
+  SELECT media_id, f, ku.u AS u, kv.u AS v,
+         sum(CAST(ku.c AS BIGINT) * kv.c * val) AS cf
+  FROM g JOIN kk ku ON ku.x = g.gi JOIN kk kv ON kv.x = g.gj
+  GROUP BY media_id, f, ku.u, kv.u),
+ac AS (SELECT media_id, f, u * 8 + v - 1 AS bit_i, cf
+       FROM coef WHERE NOT (u = 0 AND v = 0)),
+med AS (SELECT media_id, f, list_sort(list(cf))[32] AS med
+        FROM ac GROUP BY media_id, f),
+ph AS (SELECT ac.media_id, ac.f,
+              CAST(sum(CASE WHEN cf > med THEN (CAST(1 AS BIGINT) << bit_i)
+                            ELSE 0 END) AS BIGINT) AS phash
+       FROM ac JOIN med USING (media_id, f) GROUP BY ac.media_id, ac.f),
+v AS (SELECT media_id, list(phash ORDER BY f) AS hs FROM ph GROUP BY media_id)
+SELECT id_a, id_b, n_frames, max_frame_hamming FROM (
+  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         CAST(len(a.hs) AS BIGINT) AS n_frames,
+         CAST(list_max(list_transform(range(1, len(a.hs) + 1),
+              i -> bit_count(xor(a.hs[i], b.hs[i])))) AS BIGINT)
+           AS max_frame_hamming
+  FROM v a JOIN v b ON a.media_id < b.media_id AND len(a.hs) = len(b.hs))
+WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
+"""
+
     # resample-robust audio: time-based windows make a duplicated-sample
     # re-encode's windows cover the SAME original spans — the oracle
     # computes original-window energies once and applies each slot's
@@ -10129,6 +10234,7 @@ def _all_queries():
         "media_gif_video_pairs": media_gif_video_pairs,
         "media_gif_composited": media_gif_composited,
         "media_gif_interlaced": media_gif_interlaced,
+        "media_gif_optimized_pairs": media_gif_optimized_pairs,
         "media_wav_stereo": media_wav_stereo,
         "media_wav_depths": media_wav_depths,
         "media_png_variants": media_png_variants,

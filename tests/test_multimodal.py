@@ -1950,6 +1950,22 @@ def test_gif_disposal_transparency_compositing(spark):
     assert len(sigs) == 90 and sigs["phash"].notna().all()
 
 
+def test_gif_optimized_vs_flattened_pairing(spark):
+    """r10 compositing payoff pin: a partial-frame (optimizer-style) GIF
+    pairs its FLATTENED full-frame re-encode at distance 0 through the
+    unchanged video machinery — per ten-id group, slot 8 (verbatim
+    flatten) and slot 9 (+4-brightness flatten) both pair with slot 0,
+    and with each other, at max_frame_hamming 0."""
+    ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id bigint")
+    sigs = M.gif_video_phash(M.synth_gif_composited_dups(ids))
+    pairs = {(r.id_a, r.id_b): r.max_frame_hamming
+             for r in M.video_near_pairs(sigs).collect()}
+    for g in (0, 10):
+        assert pairs[(g, g + 8)] == 0      # verbatim flatten
+        assert pairs[(g, g + 9)] == 0      # +4 brightness flatten
+        assert pairs[(g + 8, g + 9)] == 0
+
+
 def test_png_adam7_roundtrip_and_parity():
     """r9 Adam7 pins: (1) interlaced encode -> decode round-trips
     byte-exact for gray and RGB across sizes including the tiny shapes
