@@ -1126,6 +1126,27 @@ def cmd_analyze_media(args) -> int:
                     ).alias("dq")
                 ).collect()[0]
                 section["duration_cs_p50_p90"] = [int(v) for v in q["dq"]]
+            # compositing-relevance mix (r10): how much of this GIF
+            # corpus exercises partial frames / transparency / interlace
+            # / restore disposals — strict block walk only, no decode
+            feat = mm.gif_feature_meta(gifs, null_on_error=True)
+            fq = feat.where(F.col("n_frames").isNotNull()).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("partial_frames") > 0).cast("long")).alias("p"),
+                F.sum((F.col("transparent_frames") > 0).cast("long")).alias("t"),
+                F.sum((F.col("interlaced_frames") > 0).cast("long")).alias("i"),
+                F.sum(
+                    ((F.col("disposal_bg") + F.col("disposal_prev")) > 0)
+                    .cast("long")
+                ).alias("d"),
+            ).collect()[0]
+            if fq["n"]:
+                section["compositing"] = {
+                    "with_partial_frames": int(fq["p"]),
+                    "with_transparency": int(fq["t"]),
+                    "with_interlace": int(fq["i"]),
+                    "with_restore_disposal": int(fq["d"]),
+                }
             report["animation"] = section
         finally:
             am.unpersist()

@@ -4511,9 +4511,12 @@ def synth_gif(
 
 
 def _gif_walk_blocks(payload: bytes):
-    """STRICT block walk of a GIF stream — yields ``("gce", delay_cs)``,
-    ``("ext", label)``, and ``("image", iw, ih, interlaced)`` events up
-    to the trailer.  Unlike :func:`decode_gif`'s lenient first-image
+    """STRICT block walk of a GIF stream — yields
+    ``("gce", delay_cs, disposal, has_transparency)``, ``("ext",
+    label)``, and ``("image", iw, ih, interlaced, ix, iy)`` events up
+    to the trailer (consumers index positionally, so the r10 feature
+    fields extend the tuples without breaking ``ev[1]`` readers).
+    Unlike :func:`decode_gif`'s lenient first-image
     scan, this validates the framing the animation metadata depends on:
     a Graphic Control Extension whose block size isn't 4 (or that is
     missing its terminator) raises — a malformed GCE would otherwise
@@ -4542,11 +4545,13 @@ def _gif_walk_blocks(payload: bytes):
                 size = payload[pos]
                 if size != 4:
                     raise ValueError(f"GIF GCE block size {size} != 4")
+                gpacked = payload[pos + 1]
                 delay = struct.unpack_from("<H", payload, pos + 2)[0]
                 if payload[pos + 5] != 0:
                     raise ValueError("GIF GCE missing terminator")
                 pos += 6
-                yield ("gce", delay)
+                yield ("gce", delay, (gpacked >> 2) & 0x07,
+                       bool(gpacked & 0x01))
             else:
                 yield ("ext", label)
                 while pos < len(payload) and payload[pos] != 0:
@@ -4559,7 +4564,7 @@ def _gif_walk_blocks(payload: bytes):
             raise ValueError(f"GIF unknown block 0x{block:02x} at {pos - 1}")
         if pos + 9 > len(payload):
             raise ValueError("GIF image descriptor truncated")
-        _, _, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        ix, iy, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
         if ipacked & 0x80:
             pos += 3 * (2 << (ipacked & 0x07))
@@ -4571,7 +4576,7 @@ def _gif_walk_blocks(payload: bytes):
         if pos >= len(payload):
             raise ValueError("GIF data blocks unterminated")
         pos += 1
-        yield ("image", iw, ih, bool(ipacked & 0x40))
+        yield ("image", iw, ih, bool(ipacked & 0x40), ix, iy)
     raise ValueError("GIF stream missing trailer")
 
 
@@ -4699,6 +4704,87 @@ def gif_anim_meta(df: DataFrame, null_on_error: bool = False) -> DataFrame:
             yield res
 
     return df.mapInPandas(run, schema=GIF_ANIM_META_SCHEMA)
+
+
+def gif_anim_features(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """COMPOSITING-relevance features from the block structure ALONE
+    (r10, no LZW decode — the gate-threshold economics of
+    :func:`gif_anim_info`): ``(n_frames, partial_frames,
+    transparent_frames, interlaced_frames, disposal_bg, disposal_prev)``
+    where a frame is PARTIAL if its rect is offset or smaller than the
+    logical screen, TRANSPARENT if its GCE sets the transparency flag,
+    and disposal_bg/disposal_prev count methods 2 and 3 — the numbers
+    that say how much of a GIF corpus actually needs the compositing
+    lane (real crawls: most of it)."""
+    if len(payload) < 10:
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    n = partial = transparent = interlaced = d_bg = d_prev = 0
+    pending: tuple[int, bool] | None = None
+    for ev in _gif_walk_blocks(payload):
+        if ev[0] == "gce":
+            pending = (ev[2], ev[3])
+        elif ev[0] == "image":
+            _, iw, ih, inter, ix, iy = ev
+            n += 1
+            if (ix, iy) != (0, 0) or (iw, ih) != (sw, sh):
+                partial += 1
+            if inter:
+                interlaced += 1
+            disposal, transp = pending if pending is not None else (0, False)
+            pending = None
+            if transp:
+                transparent += 1
+            if disposal == 2:
+                d_bg += 1
+            elif disposal == 3:
+                d_prev += 1
+    if n == 0:
+        raise ValueError("GIF stream contains no image")
+    return n, partial, transparent, interlaced, d_bg, d_prev
+
+
+GIF_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("partial_frames", LongType()),
+        StructField("transparent_frames", LongType()),
+        StructField("interlaced_frames", LongType()),
+        StructField("disposal_bg", LongType()),
+        StructField("disposal_prev", LongType()),
+    ]
+)
+
+
+def gif_feature_meta(df: DataFrame, null_on_error: bool = False) -> DataFrame:
+    """Per-payload :func:`gif_anim_features` over a media frame — the
+    cheap structural pass `analyze-media` reads to report how much of a
+    GIF corpus uses partial frames / transparency / interlace /
+    restore-disposals (i.e. exercises the compositing reader) before
+    any decode is paid for."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    out.append((int(mid),) + gif_anim_features(bytes(payload)))
+                except (ValueError, struct.error):
+                    if not null_on_error:
+                        raise
+                    out.append((int(mid),) + (None,) * 6)
+            res = pd.DataFrame(
+                out,
+                columns=["media_id", "n_frames", "partial_frames",
+                         "transparent_frames", "interlaced_frames",
+                         "disposal_bg", "disposal_prev"],
+            )
+            for c in res.columns[1:]:
+                res[c] = pd.array(res[c], dtype="Int64")
+            yield res
+
+    return df.mapInPandas(run, schema=GIF_FEATURES_SCHEMA)
 
 
 def gif_video_phash(df: DataFrame, null_on_error: bool = False) -> DataFrame:

@@ -4270,6 +4270,24 @@ def media_gif_interlaced(spark, sf_dir):
     return multimodal.gif_stats(multimodal.synth_gif(docs, interlaced=True))
 
 
+def media_gif_features(spark, sf_dir):
+    """GIF compositing-relevance features under the hash gate (r10) —
+    the structural numbers `analyze-media` reports before any decode:
+    per payload, frame count, PARTIAL-frame count (offset or
+    sub-screen rect), transparency / interlace counts, and
+    restore-disposal counts (methods 2/3), all from the strict block
+    walk alone (`operators/multimodal.py::gif_anim_features` — no LZW).
+    Over `synth_gif_composited_dups` every field folds to id
+    arithmetic: slots 0-7 have 3 frames with 2 partial, 1 transparent,
+    interlace iff the id is even, and disposal counts derived from the
+    (1 + k mod 3, 1 + (k div 3) mod 3, 0) GCE cycle; flattened slots
+    8/9 are all-full-frame disposal-1 animations (all zeros)."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.gif_feature_meta(
+        multimodal.synth_gif_composited_dups(docs)
+    )
+
+
 def media_video_pairs(spark, sf_dir):
     """Perceptual VIDEO near-dedup — per-frame pHash over the real Y4M
     codec (`operators/multimodal.py::video_phash`, the SAME hash
@@ -8647,6 +8665,32 @@ SELECT id_a, id_b, n_frames, max_frame_hamming FROM (
 WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
 """
 
+    # GIF compositing-relevance features (r10): pure id arithmetic —
+    # slots 0-7 carry the composited synth's GCE/descriptor plan,
+    # flattened slots 8/9 are all-full-frame disposal-1
+    o["media_gif_features"] = _q("""
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 10 AS slot
+          FROM documents)
+        SELECT media_id,
+               CAST(3 AS BIGINT) AS n_frames,
+               CAST(CASE WHEN slot < 8 THEN 2 ELSE 0 END AS BIGINT)
+                 AS partial_frames,
+               CAST(CASE WHEN slot < 8 THEN 1 ELSE 0 END AS BIGINT)
+                 AS transparent_frames,
+               CAST(CASE WHEN slot < 8 AND media_id % 2 = 0 THEN 1 ELSE 0 END
+                 AS BIGINT) AS interlaced_frames,
+               CAST(CASE WHEN slot < 8 THEN
+                 (CASE WHEN 1 + media_id % 3 = 2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN 1 + (media_id // 3) % 3 = 2 THEN 1 ELSE 0 END)
+                 ELSE 0 END AS BIGINT) AS disposal_bg,
+               CAST(CASE WHEN slot < 8 THEN
+                 (CASE WHEN 1 + media_id % 3 = 3 THEN 1 ELSE 0 END)
+                 + (CASE WHEN 1 + (media_id // 3) % 3 = 3 THEN 1 ELSE 0 END)
+                 ELSE 0 END AS BIGINT) AS disposal_prev
+        FROM d
+    """)
+
     # resample-robust audio: time-based windows make a duplicated-sample
     # re-encode's windows cover the SAME original spans — the oracle
     # computes original-window energies once and applies each slot's
@@ -10235,6 +10279,7 @@ def _all_queries():
         "media_gif_composited": media_gif_composited,
         "media_gif_interlaced": media_gif_interlaced,
         "media_gif_optimized_pairs": media_gif_optimized_pairs,
+        "media_gif_features": media_gif_features,
         "media_wav_stereo": media_wav_stereo,
         "media_wav_depths": media_wav_depths,
         "media_png_variants": media_png_variants,

@@ -1065,6 +1065,36 @@ def test_analyze_media_animation_section(spark, tmp_path):
     total = sum(anim["frames_hist"].values())
     assert total == 16
     assert len(anim["duration_cs_p50_p90"]) == 2
+    # r10 compositing-relevance mix: this corpus is all full-frame
+    # opaque non-interlaced disposal-1 animations
+    assert anim["compositing"] == {
+        "with_partial_frames": 0,
+        "with_transparency": 0,
+        "with_interlace": 0,
+        "with_restore_disposal": 0,
+    }
+
+
+def test_analyze_media_compositing_mix(spark, tmp_path):
+    """r10: a composited-synth corpus reports the partial-frame /
+    transparency / interlace / restore-disposal mix — the numbers that
+    say how much of a GIF corpus needs the compositing lane."""
+    from slice_db_spark.operators import multimodal as M
+
+    ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id bigint")
+    corpus = str(tmp_path / "media")
+    M.synth_gif_composited_dups(ids).write.parquet(corpus)
+    report = json.loads(run_cli("analyze-media", corpus))
+    comp = report["animation"]["compositing"]
+    # slots 0-7 (16 ids) are partial+transparent; flattened 8/9 aren't
+    assert comp["with_partial_frames"] == 16
+    assert comp["with_transparency"] == 16
+    # interlace: even ids among slots 0-7
+    assert comp["with_interlace"] == 8
+    # restore disposal (2 or 3) present unless both GCE methods are 1:
+    # k%3==0 and (k//3)%3==0 -> k in {0,9,18} but 9,18 are slots 8/9
+    # (flattened); slot<8 ids with all-keep disposals: k=0 only
+    assert comp["with_restore_disposal"] == 15
 
 
 def test_fsck_ivfpq_index(spark, tmp_path):
