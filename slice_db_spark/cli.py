@@ -1636,13 +1636,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="JSON sink root for perceptual near-dup drops "
                     "(sibling <rejects>.neardup)")
     im.add_argument("--fingerprint",
-                    choices=["phash", "phash-dihedral", "audio", "video"],
+                    choices=["phash", "phash-dihedral", "audio", "video",
+                             "gif-video"],
                     default="phash",
                     help="signature modality: 63-bit image pHash (banding "
                     "63/7, threshold 6), its rotation-invariant dihedral "
                     "variant, 30-bit audio energy fingerprint "
-                    "(30/6, threshold 4), or per-frame video pHash (equal "
-                    "frame counts, every aligned frame within threshold)")
+                    "(30/6, threshold 4), per-frame video pHash (equal "
+                    "frame counts, every aligned frame within threshold), "
+                    "or gif-video (animated GIFs composited per frame "
+                    "through the same video contract)")
     im.add_argument("--jvm-decode", action="store_true",
                     help="decode image batches through the JVM ImageIO "
                     "lane via an executor-side file spill (native-rate "

@@ -173,8 +173,12 @@ def ingest_media_stream(
     30-bit energy-delta fingerprint, banding 30/6, threshold 4), or
     ``"video"`` (one 63-bit pHash PER FRAME; near-dup = equal frame
     counts with every aligned frame within threshold; index rows carry
-    (frame_idx, n_frames) so the asym probe replays the same contract) —
-    ONE lane per modality, all machinery shared.  (fingerprint, bits,
+    (frame_idx, n_frames) so the asym probe replays the same contract),
+    or ``"gif-video"`` (r10: animated GIFs COMPOSITED per frame —
+    `gif_frames` disposal/transparency/interlace reconstruction feeding
+    `gif_video_phash` — under the identical per-frame video contract,
+    so an optimizer-style partial-frame GIF and its flattened re-encode
+    dedup at the door) — ONE lane per modality, all machinery shared.  (fingerprint, bits,
     bands) come from the index's own sidecar when it already exists (a
     mode mismatch raises); ``max_hamming`` is a per-probe threshold and
     always the caller's.
@@ -220,6 +224,14 @@ def ingest_media_stream(
         ),
         # video: one signature row per FRAME (media_id, frame_idx, phash)
         "video": (63, 7, 6, lambda b: _mm.video_phash(b, null_on_error=True)),
+        # animated GIFs through the SAME per-frame contract (r10): the
+        # compositing decode (gif_frames) feeds gif_video_phash, so an
+        # optimizer-style partial-frame GIF and its flattened re-encode
+        # dedup at the door like any video replay
+        "gif-video": (
+            63, 7, 6,
+            lambda b: _mm.gif_video_phash(b, null_on_error=True),
+        ),
     }
     if fingerprint not in _MODES:
         raise ValueError(f"unknown fingerprint mode {fingerprint!r}")
@@ -296,11 +308,12 @@ def ingest_media_stream(
             f"(got {bands}): the banded probe would silently under-recall"
         )
     if (min_side is not None or max_aspect is not None) and fingerprint not in (
-        "phash", "phash-dihedral"
+        "phash", "phash-dihedral", "gif-video"
     ):
         raise ValueError(
             "min_side/max_aspect gate image dimensions — only the "
-            f"image lanes (phash/phash-dihedral), not {fingerprint!r}"
+            "image lanes (phash/phash-dihedral/gif-video), not "
+            f"{fingerprint!r}"
         )
     if min_side is not None and min_side < 1:
         raise ValueError(f"min_side must be >= 1, got {min_side}")
@@ -502,7 +515,7 @@ def ingest_media_stream(
                     )
                 # within-batch perceptual pairs: min media_id wins (the
                 # standing index only covers prior batches)
-                if fingerprint == "video":
+                if fingerprint in ("video", "gif-video"):
                     near = (
                         _mm.video_near_pairs(
                             sigs, bits=b_, bands=n_, max_hamming=h_
@@ -547,7 +560,7 @@ def ingest_media_stream(
                 uniq = uniq.join(near, "media_id", "left_anti")
                 index_lease.check()  # fenced: never append on a lost lease
                 idx_rows = sigs.join(near, "media_id", "left_anti")
-                if fingerprint == "video":
+                if fingerprint in ("video", "gif-video"):
                     # video index rows carry frame alignment + the frame
                     # count the asym probe's equal-length contract needs
                     nfr = idx_rows.groupBy("media_id").agg(

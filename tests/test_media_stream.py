@@ -759,6 +759,65 @@ def test_media_ingest_jvm_decode_lane(spark, tmp_path):
                                fingerprint="audio", jvm_decode=True)
 
 
+def test_media_ingest_gif_video_lane(spark, tmp_path):
+    """r10 gif-video fingerprint: animated GIFs get CONTINUOUS dedup
+    rights through the per-frame video contract — (1) batch 0 builds
+    the index from partial-frame composited GIFs; (2) batch 1's
+    flattened re-encode of a batch-0 animation (the optimizer-vs-
+    re-encoder case) rejects as a near-dup against the standing index
+    while a fresh animation ingests; (3) a damaged GIF quarantines;
+    (4) probing the index in plain-phash mode refuses (sidecar)."""
+    import pytest
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    quar = str(tmp_path / "quar")
+    rej = str(tmp_path / "rej")
+    os.makedirs(land)
+
+    def gifs(ids):
+        return M.synth_gif_composited_dups(
+            spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+        )
+
+    # batch 0: two partial-frame originals (slots 0 and 1)
+    _land(gifs([0, 1]), land, "b0.parquet", 1_000_000_000)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, rejects=rej,
+                           fingerprint="gif-video")
+    assert {r.media_id for r in spark.read.parquet(out).collect()} == {0, 1}
+
+    # batch 1: id 8 = flattened re-encode of id 0 -> neardup reject;
+    # id 10 = fresh animation; id 999 = damaged payload -> quarantine
+    damaged = spark.createDataFrame(
+        [(999, "image", bytearray(b"GIF89a then garbage........"), "gif", 27)],
+        M.MEDIA_SCHEMA,
+    )
+    _land(gifs([8, 10]).unionByName(damaged), land, "b1.parquet",
+          1_000_000_100)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, rejects=rej,
+                           fingerprint="gif-video")
+    got = {r.media_id for r in spark.read.parquet(out).collect()}
+    assert got == {0, 1, 10}
+    neardup = {r.media_id for r in spark.read.json(rej + ".neardup").collect()}
+    assert neardup == {8}
+    quarantined = {r.media_id for r in spark.read.json(quar).collect()}
+    assert quarantined == {999}
+    # index rows carry the per-frame video contract columns
+    cols = set(spark.read.parquet(idx).columns)
+    assert {"corpus_id", "frame_idx", "phash", "n_frames"} <= cols
+
+    # sidecar: plain-phash probe of a gif-video index refuses
+    _land(gifs([20]), land, "b2.parquet", 1_000_000_200)
+    with pytest.raises(Exception, match="fingerprint|meta|mismatch"):
+        SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                               quarantine=quar, rejects=rej,
+                               fingerprint="phash")
+
+
 def test_media_ingest_jvm_decode_quarantines_negative_ids(spark, tmp_path):
     """r10 advisory fix: a single negative media_id in a batch must NOT
     fail the whole streaming batch under jvm_decode (spill_media_to_files
