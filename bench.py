@@ -160,6 +160,7 @@ HEADLINE = [
     "media_gif_interlaced",
     "media_gif_optimized_pairs",
     "media_gif_features",
+    "media_gif_local_palette",
     "media_video_incremental",
     "media_video_shots",
     "media_exif",

@@ -4048,12 +4048,15 @@ def _gif_image_block(
     x: int = 0,
     y: int = 0,
     interlaced: bool = False,
+    palette: bytes | None = None,
 ) -> bytes:
-    """One image block: descriptor (with offset + interlace flag) + LZW
-    min-code-size + framed sub-blocks + terminator (shared by the
-    still, animated, and composited writers).  Real LZW: variable code
-    widths 9→12 bits LSB-first, dictionary reset on the 4096-entry
-    fill.  ``pixels`` is a numpy (height, width) uint8 index array."""
+    """One image block: descriptor (with offset + interlace flag +
+    optional LOCAL color table) + LZW min-code-size + framed sub-blocks
+    + terminator (shared by the still, animated, and composited
+    writers).  Real LZW: variable code widths 9→12 bits LSB-first,
+    dictionary reset on the 4096-entry fill.  ``pixels`` is a numpy
+    (height, width) uint8 index array; ``palette`` is ``3·2^n`` RGB
+    bytes written as this frame's local color table (r10)."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
@@ -4061,9 +4064,20 @@ def _gif_image_block(
         px = px[_gif_interlace_rows(height)]
     raw = px.tobytes()
     ipacked = 0x40 if interlaced else 0
+    if palette is not None:
+        n_entries = len(palette) // 3
+        bits = n_entries.bit_length() - 1
+        if len(palette) != 3 * (1 << bits) or not 1 <= bits <= 8:
+            raise ValueError(
+                f"GIF local color table must be 3*2^n bytes (n in 1..8), "
+                f"got {len(palette)}"
+            )
+        ipacked |= 0x80 | (bits - 1)
     out = bytearray(
         b"\x2c" + struct.pack("<HHHHB", x, y, width, height, ipacked)
     )
+    if palette is not None:
+        out += palette
     mcs = 8
     out.append(mcs)
     clear, eoi = 1 << mcs, (1 << mcs) + 1
@@ -4156,6 +4170,8 @@ def encode_gif_frames(
     - ``disposal``: GCE disposal method 0-3 (default 0)
     - ``transparent``: palette index drawn as transparent, or None
     - ``interlaced``: write this frame's rows in 4-pass order
+    - ``palette``: ``3·2^n`` RGB bytes as this frame's LOCAL color
+      table (r10 — overrides the gray global table for this frame)
 
     Same 256-entry gray global color table and real LZW as
     :func:`encode_gif`; the logical-screen background color index
@@ -4190,6 +4206,7 @@ def encode_gif_frames(
         out += _gif_image_block(
             fw, fh, px, x=x, y=y,
             interlaced=bool(spec.get("interlaced", False)),
+            palette=spec.get("palette"),
         )
     out += b"\x3b"
     return bytes(out)
@@ -5015,6 +5032,55 @@ def _gif_composited_payload(k: int) -> bytes:
              "interlaced": k % 2 == 0},
         ],
     )
+
+
+def synth_gif_local_palette(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic LOCAL-color-table corpus (r10): frame 0 is the
+    full-screen gray-palette base texture; frame 1 overlays a partial
+    rect whose pixels index a 64-entry per-frame LOCAL palette
+    ``pal[i] = ((3i + k) mod 251, (5i + 2k) mod 251, (7i + 3k) mod
+    251)`` with indices ``(11k + 3u + 5v) mod 64`` — compositing must
+    happen in RGB SPACE through each frame's own table (an index-space
+    compositor, or one that reuses the global table, maps wrong colors
+    and breaks the red-channel oracle arithmetic)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                w, h = 40 + k % 9, 36 + (3 * k) % 11
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                base = (
+                    (17 * k + 3 * xs * xs + 7 * ys * ys + 5 * xs * ys
+                     + 11 * xs + 13 * ys) % 251
+                ).astype(np.uint8)
+                pw, ph = 12 + k % 5, 10 + k % 4
+                us = np.arange(pw)[None, :]
+                vs = np.arange(ph)[:, None]
+                idx = ((11 * k + 3 * us + 5 * vs) % 64).astype(np.uint8)
+                pal = bytes(
+                    c
+                    for i in range(64)
+                    for c in ((3 * i + k) % 251, (5 * i + 2 * k) % 251,
+                              (7 * i + 3 * k) % 251)
+                )
+                payload = encode_gif_frames(
+                    w, h,
+                    [
+                        {"px": base, "delay_cs": 2, "disposal": 1},
+                        {"px": idx, "x": 2 + k % 7, "y": 3 + k % 5,
+                         "delay_cs": 3, "disposal": 0, "palette": pal},
+                    ],
+                )
+                rows.append((k, "image", payload, "gif", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def synth_gif_composited_dups(

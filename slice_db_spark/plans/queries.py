@@ -4270,6 +4270,22 @@ def media_gif_interlaced(spark, sf_dir):
     return multimodal.gif_stats(multimodal.synth_gif(docs, interlaced=True))
 
 
+def media_gif_local_palette(spark, sf_dir):
+    """Per-frame LOCAL color tables under the hash gate (r10) — the GIF
+    feature that forces compositing into RGB SPACE: frame 1's partial
+    rect indexes its own 64-entry palette
+    (`synth_gif_local_palette`), so a compositor that blends palette
+    INDICES, or maps frame pixels through the global table, paints
+    wrong colors.  `gif_composited_stats`' red-channel plain +
+    position-weighted sums gate it; the oracle re-derives frame 0 from
+    the gray base arithmetic and frame 1 from ``(3·((11k + 3u + 5v)
+    mod 64) + k) mod 251`` inside the rect."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.gif_composited_stats(
+        multimodal.synth_gif_local_palette(docs)
+    )
+
+
 def media_gif_features(spark, sf_dir):
     """GIF compositing-relevance features under the hash gate (r10) —
     the structural numbers `analyze-media` reports before any decode:
@@ -8665,6 +8681,35 @@ SELECT id_a, id_b, n_frames, max_frame_hamming FROM (
 WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
 """
 
+    # local color tables (r10): frame 0 = gray base; frame 1 overlays
+    # the rect through ITS OWN 64-entry palette — red channel =
+    # (3*((11k + 3u + 5v) mod 64) + k) mod 251 inside the rect
+    o["media_gif_local_palette"] = _q("""
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS m,
+                 40 + doc_id % 9 AS w, 36 + (3 * doc_id) % 11 AS h,
+                 2 + doc_id % 7 AS ox, 3 + doc_id % 5 AS oy,
+                 12 + doc_id % 5 AS pw, 10 + doc_id % 4 AS ph
+          FROM documents),
+        px0 AS (
+          SELECT d.*, f.f AS f, unnest(range(0, w * h)) AS i
+          FROM d, range(0, 2) f(f)),
+        px AS (SELECT *, i % w AS x, i // w AS y FROM px0),
+        v AS (
+          SELECT m, f, i,
+                 CASE WHEN f = 1 AND x >= ox AND x < ox + pw
+                           AND y >= oy AND y < oy + ph
+                      THEN (3 * ((11 * m + 3 * (x - ox) + 5 * (y - oy))
+                                 % 64) + m) % 251
+                      ELSE (17 * m + 3 * x * x + 7 * y * y + 5 * x * y
+                            + 11 * x + 13 * y) % 251 END AS val
+          FROM px)
+        SELECT m AS media_id, CAST(f AS BIGINT) AS frame_idx,
+               CAST(sum(val) AS BIGINT) AS sum_px,
+               CAST(sum((1 + i % 97) * val) AS BIGINT) AS wsum_px
+        FROM v GROUP BY m, f
+    """)
+
     # GIF compositing-relevance features (r10): pure id arithmetic —
     # slots 0-7 carry the composited synth's GCE/descriptor plan,
     # flattened slots 8/9 are all-full-frame disposal-1
@@ -10280,6 +10325,7 @@ def _all_queries():
         "media_gif_interlaced": media_gif_interlaced,
         "media_gif_optimized_pairs": media_gif_optimized_pairs,
         "media_gif_features": media_gif_features,
+        "media_gif_local_palette": media_gif_local_palette,
         "media_wav_stereo": media_wav_stereo,
         "media_wav_depths": media_wav_depths,
         "media_png_variants": media_png_variants,

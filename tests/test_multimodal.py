@@ -1950,6 +1950,40 @@ def test_gif_disposal_transparency_compositing(spark):
     assert len(sigs) == 90 and sigs["phash"].notna().all()
 
 
+def test_gif_local_palette_compositing(spark):
+    """r10 local color tables: frame 1 maps through its OWN 64-entry
+    non-gray palette — (1) decoded RGB channels match the palette
+    arithmetic per channel (so compositing is RGB-space, not
+    index-space); (2) pixels outside the rect keep the gray base;
+    (3) a palette that isn't 3*2^n bytes is refused by the writer."""
+    import numpy as np
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id bigint")
+    payloads = {r.media_id: bytes(r.payload)
+                for r in M.synth_gif_local_palette(ids).collect()}
+    for k in range(6):
+        w, h = 40 + k % 9, 36 + (3 * k) % 11
+        ox, oy = 2 + k % 7, 3 + k % 5
+        pw, ph = 12 + k % 5, 10 + k % 4
+        gw, gh, fr = M.gif_frames(payloads[k])
+        assert (gw, gh) == (w, h) and fr.shape[0] == 2
+        f1 = fr[1]
+        us = np.arange(pw)[None, :]
+        vs = np.arange(ph)[:, None]
+        idx = (11 * k + 3 * us + 5 * vs) % 64
+        rect = f1[oy:oy + ph, ox:ox + pw]
+        assert np.array_equal(rect[:, :, 0], (3 * idx + k) % 251)
+        assert np.array_equal(rect[:, :, 1], (5 * idx + 2 * k) % 251)
+        assert np.array_equal(rect[:, :, 2], (7 * idx + 3 * k) % 251)
+        # outside the rect: gray base (all channels equal)
+        assert (f1[0, :, 0] == f1[0, :, 1]).all()
+
+    with pytest.raises(ValueError, match="3\\*2\\^n"):
+        M.encode_gif_frames(8, 8, [
+            {"px": np.zeros((8, 8), dtype="uint8"), "palette": b"\x00" * 9}
+        ])
+
+
 def test_gif_optimized_vs_flattened_pairing(spark):
     """r10 compositing payoff pin: a partial-frame (optimizer-style) GIF
     pairs its FLATTENED full-frame re-encode at distance 0 through the
