@@ -156,6 +156,7 @@ HEADLINE = [
     "ann_opq",
     "ann_opq_index",
     "ann_pq_opq",
+    "ann_ivfpq_opq",
     "media_gif_composited",
     "media_gif_interlaced",
     "media_gif_optimized_pairs",

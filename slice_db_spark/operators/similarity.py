@@ -865,6 +865,8 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
+    perm: list[int] | None = None,
+    signs: list[int] | None = None,
 ) -> DataFrame:
     """IVF-PQ composite ANN — the production shape (FAISS's IVFPQ): the
     coarse quantizer prunes the scan to each query's ``nprobe`` nearest
@@ -878,8 +880,15 @@ def ivfpq_topk(
     assignment with first-min tie-break, integer ADC tables), so ranks
     are deterministic and the DuckDB oracle replays them bit-for-bit.
     Output ``(q_id, vec_id, adist, rank)`` — ascending approximate
-    distance, id tie-break."""
-    codes = pq_encode(corpus, codebook, m_subspaces, id_col=id_col, vec_col=vec_col)
+    distance, id tie-break.  With ``perm``/``signs`` (r10) the PQ side
+    runs OPQ-rotated (encode + codebook + query tables in lockstep,
+    like :func:`pq_adc_topk`) while cell assignment stays on the raw
+    quantized vectors — rotation is an isometry, so rotating the coarse
+    quantizer too would change nothing but the constant factor."""
+    codes = pq_encode(
+        corpus, codebook, m_subspaces, id_col=id_col, vec_col=vec_col,
+        perm=perm, signs=signs,
+    )
     cells = _assign_cells_int(
         corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e")), centroids
     ).select(id_col, "__cell")
@@ -895,7 +904,10 @@ def ivfpq_topk(
         .where(F.col("__pr") <= nprobe)
         .select(query_id_col, (F.col("__i") + 1).alias("__cell"))
     )
-    dt = _adc_dtable(queries, codebook, m_subspaces, query_id_col, vec_col)
+    dt = _adc_dtable(
+        queries, codebook, m_subspaces, query_id_col, vec_col,
+        perm=perm, signs=signs,
+    )
     cand = codes.join(cells, id_col).join(F.broadcast(probes), "__cell")
     scored = (
         cand.join(F.broadcast(dt), on=[query_id_col, "m", "code"])

@@ -3800,6 +3800,33 @@ def ann_pq_opq(spark, sf_dir):
     )
 
 
+def ann_ivfpq_opq(spark, sf_dir):
+    """OPQ for the COMPOSITE IVF-PQ (r10) — completing the rotation
+    across all three PQ chains (flat `ann_pq_opq`, residual `ann_opq`,
+    and now the shared-codebook composite): cell assignment stays on
+    the raw quantized vectors (rotation is an isometry — rotating the
+    coarse quantizer would change nothing), while the PQ encode, the
+    shared codebook, and the query ADC tables all run in the learned
+    rotated space.  The oracle composes the unrolled Lloyd chain with
+    the two-round rotation unroll and the flat code/table chain."""
+    emb = catalog(spark, sf_dir)["embeddings"]
+    corpus = emb.where("vec_id >= 5")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    cents = similarity.ivf_centroids_kmeans(
+        corpus, ANN_IVF_CELLS, iters=ANN_IVF_KM_ITERS
+    )
+    perm, signs = similarity.opq_signed_permutation(
+        corpus, None, m_subspaces=PQ_M, n_codes=PQ_CODES, rounds=OPQ_ROUNDS
+    )
+    cb = similarity.pq_codebook(
+        corpus, n_codes=PQ_CODES, perm=perm, signs=signs
+    )
+    return similarity.ivfpq_topk(
+        corpus, q, cents, cb, m_subspaces=PQ_M, k=5,
+        nprobe=ANN_IVF_NPROBE, perm=perm, signs=signs,
+    )
+
+
 DEDUP_PLANES = similarity.random_planes(16, 64, seed="dedup")
 DEDUP_EMB_THRESHOLD = 0.42
 DEDUP_EMB_BANDS = 4
@@ -7689,6 +7716,68 @@ SELECT q_id, vec_id, adist,
 FROM scored QUALIFY rank <= 5
 """
 
+    # OPQ for the composite IVF-PQ (r10): the Lloyd cells/probes of
+    # ann_ivfpq + the two-round rotation unroll of ann_pq_opq + the
+    # flat code/table chain in the rotated space — cell assignment
+    # stays raw (isometry)
+    o["ann_ivfpq_opq"] = f"""
+WITH RECURSIVE v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+  FROM embeddings),
+corp AS (SELECT vec_id, e FROM v WHERE vec_id >= 5),
+qry AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+dims AS (SELECT unnest(range(1, 65)) AS i),
+cents0 AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) AS ci, e AS cv FROM (
+    SELECT vec_id, e, {_hash64_sql("CAST(vec_id AS VARCHAR)")} AS h
+    FROM corp ORDER BY h, vec_id LIMIT {ANN_IVF_CELLS})),
+{','.join(_lloyd_iter(n) for n in range(ANN_IVF_KM_ITERS))},
+cellF AS (
+  SELECT vec_id, ci FROM (
+    SELECT c.vec_id, ct.ci, {_il2('c.e', 'ct.cv')} AS d
+    FROM corp c CROSS JOIN {_km_final} ct)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) = 1),
+probes AS (
+  SELECT q_id, ci FROM (
+    SELECT q.q_id, ct.ci, {_il2('q.qe', 'ct.cv')} AS d
+    FROM qry q CROSS JOIN {_km_final} ct)
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d, ci) <= {ANN_IVF_NPROBE}),
+res AS MATERIALIZED (SELECT vec_id, e AS re FROM corp),
+sp AS (SELECT unnest(range(0, {PQ_M})) AS m),
+pos AS (SELECT sp.m AS m, sp.m * {_sub} + i AS r
+        FROM sp, range(1, {_sub} + 1) t(i)),
+y1 AS MATERIALIZED (SELECT vec_id, re AS y FROM res),
+{_opq_round_sql(1, 'y1')},
+{_opq_rotate_sql('y2', 'rot1')},
+{_opq_round_sql(2, 'y2')},
+{_opq_rotate_sql('y3', 'rot2')},
+pcb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS j, y AS ce FROM (
+  SELECT vec_id, y, {_hash64_sql("CAST(vec_id AS VARCHAR)")} AS h
+  FROM y3 ORDER BY h, vec_id LIMIT {PQ_CODES})),
+fdists AS (
+  SELECT v.vec_id, sp.m, c.j, {_pq_sqdist('v.y', 'c.ce')} AS d
+  FROM y3 v CROSS JOIN sp CROSS JOIN pcb c),
+fcodes AS (
+  SELECT vec_id, m, j AS code FROM fdists
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1),
+qrot AS (SELECT qry.q_id, list(rot2.s * qry.qe[rot2.c] ORDER BY rot2.r) AS qy
+         FROM qry CROSS JOIN rot2 GROUP BY qry.q_id),
+fdt AS (
+  SELECT q.q_id, sp.m, c.j AS code, {_pq_sqdist('q.qy', 'c.ce')} AS d
+  FROM qrot q CROSS JOIN sp CROSS JOIN pcb c),
+scored AS (
+  SELECT p.q_id, fcodes.vec_id, CAST(sum(fdt.d) AS BIGINT) AS adist
+  FROM probes p
+  JOIN cellF cf ON cf.ci = p.ci
+  JOIN fcodes ON fcodes.vec_id = cf.vec_id
+  JOIN fdt ON fdt.q_id = p.q_id AND fdt.m = fcodes.m
+          AND fdt.code = fcodes.code
+  GROUP BY 1, 2)
+SELECT q_id, vec_id, adist,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
     # normalize-then-dot mirrors operators/similarity.embedding_near_pairs:
     # one normalization per vector, a single dot per candidate pair
     _NORM_CTE = (
@@ -10306,6 +10395,7 @@ def _all_queries():
         "ann_opq": ann_opq,
         "ann_opq_index": ann_opq_index,
         "ann_pq_opq": ann_pq_opq,
+        "ann_ivfpq_opq": ann_ivfpq_opq,
         "media_video_incremental": media_video_incremental,
         # r8 additions
         "media_video_shots": media_video_shots,

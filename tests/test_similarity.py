@@ -648,6 +648,15 @@ def test_opq_flat_pq_stack(spark):
     ).collect()
     assert top[0]["vec_id"] == 100
 
+    # the COMPOSITE ivfpq_topk with the same rotation keeps recall too
+    km = S.ivf_centroids_kmeans(corpus, 8, iters=2)
+    comp_plain = recall(S.ivfpq_topk(
+        corpus, qdf, km, cb, m_subspaces=4, k=per, nprobe=2))
+    comp_opq = recall(S.ivfpq_topk(
+        corpus, qdf, km, ocb, m_subspaces=4, k=per, nprobe=2,
+        perm=perm, signs=signs))
+    assert comp_opq >= comp_plain, (comp_opq, comp_plain)
+
 
 def test_opq_index_probe_parity(spark, tmp_path):
     """r9 persisted OPQ-IVFPQ: probe_ivfpq_index over the materialized
