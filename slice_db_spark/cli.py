@@ -880,6 +880,30 @@ def cmd_build_index(args) -> int:
 
     spark = get_spark("slicedb-build-index")
     corpus = spark.read.parquet(args.corpus)
+    if args.append:
+        # incremental maintenance: assign new vectors to the EXISTING
+        # quantizer (no retrain) — ivf only; the ivfpq index encodes
+        # against trained codebooks+rotation and retrains via rebuild
+        sidecar_path = os.path.join(args.index, "index.json")
+        if not os.path.exists(sidecar_path):
+            print(f"--append needs an existing build-index output at "
+                  f"{args.index}", file=sys.stderr)
+            return 2
+        with open(sidecar_path) as f:
+            sidecar = json.load(f)
+        if sidecar.get("kind") != "ivf":
+            print("--append supports kind=ivf only (ivfpq retrains via "
+                  f"rebuild), index is {sidecar.get('kind')!r}",
+                  file=sys.stderr)
+            return 2
+        S.append_ivf_index(
+            spark, args.index, corpus,
+            id_col=sidecar.get("id_col", "vec_id"),
+            vec_col=sidecar.get("vec_col", "embedding"),
+        )
+        print(json.dumps({**sidecar, "appended": corpus.count(),
+                          "index": args.index}))
+        return 0
     if args.kind == "ivfpq":
         meta = S.build_ivfpq_index(
             corpus, args.index, n_cells=args.cells, iters=args.iters,
@@ -1766,6 +1790,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="PQ codes per subspace (ivfpq)")
     bi.add_argument("--opq-rounds", type=int, default=2,
                     help="OPQ rotation training rounds (ivfpq)")
+    bi.add_argument("--append", action="store_true",
+                    help="assign the corpus to an EXISTING index's "
+                    "quantizer and append to its cell lists (ivf only; "
+                    "no retrain — the production between-retrains shape)")
     bi.add_argument("--id-col", default="vec_id")
     bi.add_argument("--vec-col", default="embedding")
     bi.add_argument("corpus", help="embedding parquet (id + vector columns)")

@@ -1212,6 +1212,29 @@ def test_build_probe_index_cli_roundtrip(spark, tmp_path):
     run_cli("probe-index", str(tmp_path / "docs"), str(tmp_path / "q"),
             expect_rc=2)
 
+    # r10 --append: new vectors join the EXISTING ivf quantizer and are
+    # probe-visible; ivfpq and sidecar-less targets refuse
+    rng2 = random.Random(9)
+    extra = [(900 + i, [rng2.uniform(-1, 1) for _ in range(16)])
+             for i in range(5)]
+    spark.createDataFrame(
+        extra, "vec_id bigint, embedding array<float>"
+    ).write.parquet(str(tmp_path / "emb2"))
+    rep3 = json.loads(run_cli(
+        "build-index", "--append", str(tmp_path / "emb2"), d2))
+    assert rep3["appended"] == 5
+    spark.createDataFrame(
+        extra[:1], "vec_id bigint, embedding array<float>"
+    ).write.parquet(str(tmp_path / "q2"))
+    got3 = json.loads(run_cli(
+        "probe-index", "--k", "1", "--nprobe", "4",
+        d2, str(tmp_path / "q2")))
+    assert got3["results"][0]["vec_id"] == 900  # appended row found
+    run_cli("build-index", "--append", str(tmp_path / "emb2"), d,
+            expect_rc=2)   # ivfpq refuses
+    run_cli("build-index", "--append", str(tmp_path / "emb2"),
+            str(tmp_path / "docs"), expect_rc=2)  # no sidecar
+
 
 def test_phash_files_dihedral_flag(spark, tmp_path):
     """r9: phash-files --dihedral pairs an EXIF-stripped 90-degree

@@ -1855,6 +1855,26 @@ def test_gif_animated_imageio_first_frame_parity(spark, tmp_path):
     assert got == ref and len(got) == 15
 
 
+def test_gif_interlaced_imageio_parity(spark, tmp_path):
+    """r10 parity pin: Java ImageIO de-interlaces GIFs too, so our
+    4-pass row scatter must agree bit-exactly — interlaced files
+    through phash_image_files hash identically to the same pixels'
+    non-interlaced in-column payloads through the Python lane."""
+    import os
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id bigint")
+    rows = M.synth_gif(ids, interlaced=True).select(
+        "media_id", "payload").collect()
+    d = str(tmp_path / "gifs")
+    os.makedirs(d)
+    for r in rows:
+        open(os.path.join(d, f"{r.media_id}.gif"), "wb").write(bytes(r.payload))
+    got = {r.media_id: r.phash for r in M.phash_image_files(spark, d).collect()}
+    ref = {r.media_id: r.phash
+           for r in M.phash_media(M.synth_gif(ids)).collect()}
+    assert got == ref and len(got) == 12
+
+
 def test_gif_video_phash_feeds_video_pairing(spark):
     """r9 adapter pin: gif_video_phash emits the video lane's schema and
     planted identical animations pair at distance 0 through the same
