@@ -179,6 +179,66 @@ def test_gif_animated_roundtrip_property(w, h, n_frames, rnd):
 
 
 @given(
+    st.integers(min_value=4, max_value=16),
+    st.integers(min_value=4, max_value=16),
+    st.integers(min_value=1, max_value=4),
+    st.randoms(),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_compositing_property(sw, sh, n_frames, rnd):
+    """r10: encode_gif_frames -> gif_frames agrees with an independent
+    numpy canvas compositor over RANDOM frame specs — offsets, sizes,
+    disposal methods 0-3, transparency indexes, and interlace flags all
+    drawn arbitrarily."""
+    import numpy as np
+
+    from slice_db_spark.operators.multimodal import (
+        encode_gif_frames, gif_frames,
+    )
+
+    specs = []
+    for _ in range(n_frames):
+        fw = rnd.randrange(1, sw + 1)
+        fh = rnd.randrange(1, sh + 1)
+        x = rnd.randrange(sw - fw + 1)
+        y = rnd.randrange(sh - fh + 1)
+        px = np.array(
+            [[rnd.randrange(256) for _ in range(fw)] for _ in range(fh)],
+            dtype="uint8",
+        )
+        specs.append({
+            "px": px, "x": x, "y": y,
+            "delay_cs": rnd.randrange(100),
+            "disposal": rnd.randrange(4),
+            "transparent": rnd.choice([None, rnd.randrange(256)]),
+            "interlaced": rnd.random() < 0.5,
+        })
+    p = encode_gif_frames(sw, sh, specs, bg_index=rnd.randrange(256))
+    bg = p[11]  # LSD background index; gray palette -> gray value
+    gw, gh, got = gif_frames(p)
+    assert (gw, gh) == (sw, sh)
+
+    canvas = np.full((sh, sw), bg, dtype=np.uint8)
+    for i, s in enumerate(specs):
+        fh, fw = s["px"].shape
+        x, y = s["x"], s["y"]
+        region = canvas[y:y + fh, x:x + fw]
+        prev = region.copy()
+        if s["transparent"] is None:
+            region[:] = s["px"]
+        else:
+            vis = s["px"] != s["transparent"]
+            region[vis] = s["px"][vis]
+        # gray palette: every RGB channel equals the index
+        assert np.array_equal(got[i][:, :, 0], canvas), i
+        assert np.array_equal(got[i][:, :, 1], canvas), i
+        if s["disposal"] == 2:
+            canvas[y:y + fh, x:x + fw] = bg
+        elif s["disposal"] == 3:
+            canvas[y:y + fh, x:x + fw] = prev
+
+
+@given(
     st.integers(min_value=1, max_value=13),
     st.integers(min_value=1, max_value=13),
     st.booleans(),
