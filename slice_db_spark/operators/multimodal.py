@@ -536,22 +536,31 @@ def phash_media_spilled(
     slice, so the file round-trip was a measured 0.3-0.4×
     PESSIMIZATION; those rows stay on the Python lane (which is also
     bit-exact vs ImageIO on BMP, the r8 parity pin) and the two lanes
-    union.  Side effect: PGM — which ImageIO cannot read, so it
-    NULL-quarantined under the pure bridge — now hashes like any
-    in-column payload."""
-    dispatch_py = F.col("format").isin(*_UNCOMPRESSED_FORMATS)
-    uncomp = df.where(dispatch_py)
-    comp = df.where(~dispatch_py)
+    union.  A NULL format routes to the Python lane too (it raises
+    there, or NULL-quarantines under ``null_on_error`` — a NULL-safe
+    ``isin`` would drop the row from BOTH lanes).  Side effect: PGM —
+    which ImageIO cannot read, so it NULL-quarantined under the pure
+    bridge — now hashes like any in-column payload.  Lane presence is
+    decided by ONE column-pruned distinct-formats job, not per-lane
+    emptiness probes."""
+    fmts = {
+        r["format"] for r in df.select("format").distinct().collect()
+    }
+    has_py = bool(fmts & set(_UNCOMPRESSED_FORMATS)) or None in fmts
+    has_spill = bool(fmts - set(_UNCOMPRESSED_FORMATS) - {None})
+    dispatch_py = (
+        F.col("format").isin(*_UNCOMPRESSED_FORMATS)
+        | F.col("format").isNull()
+    )
     py_hash = phash_media_dihedral if dihedral else phash_media
     parts = []
-    if not uncomp.isEmpty():
+    if has_py:
         parts.append(
-            py_hash(uncomp, null_on_error=null_on_error).select(
-                "media_id", "phash"
-            )
+            py_hash(df.where(dispatch_py), null_on_error=null_on_error)
+            .select("media_id", "phash")
         )
-    if not comp.isEmpty():
-        spill_media_to_files(comp, staging_dir)
+    if has_spill:
+        spill_media_to_files(df.where(~dispatch_py), staging_dir)
         parts.append(
             phash_image_files(
                 spark, staging_dir,
@@ -4290,6 +4299,17 @@ def _gif_decode_frames(
       rect to the canvas as it was before the frame drew,
     - interlaced images are de-interlaced (4-pass row scatter).
 
+    Disposal-2 semantics note: the GIF spec says restore to the LSD
+    background color, which is what this reader does (an RGB canvas has
+    no alpha); browsers instead clear to TRANSPARENT and composite
+    against the page.  The two agree whenever later frames repaint the
+    cleared region or the background index maps to the flattener's
+    matte color — for cross-TOOL flatten comparisons (ImageMagick
+    -coalesce etc.) of disposal-2 streams with a nonzero background
+    index, expect divergence in the exposed region; everything this
+    repo derives (stats, pHashes, pairings, its own flattens) is
+    self-consistent under the spec reading.
+
     Strict-walk quarantine contract: structural damage, a malformed or
     DUPLICATE Graphic Control Extension, an undefined disposal method
     (4-7), a frame rect outside the logical screen, or an out-of-palette
@@ -4536,12 +4556,15 @@ def _gif_walk_blocks(payload: bytes):
     Unlike :func:`decode_gif`'s lenient first-image
     scan, this validates the framing the animation metadata depends on:
     a Graphic Control Extension whose block size isn't 4 (or that is
-    missing its terminator) raises — a malformed GCE would otherwise
-    silently misreport delays/frame counts."""
+    missing its terminator), or a DUPLICATE GCE before an image (r10 —
+    the compositing reader quarantines those streams, so the metadata
+    pass must not count them as healthy) raises — a malformed GCE would
+    otherwise silently misreport delays/frame counts."""
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     packed = payload[10]
     pos = 13
+    gce_pending = False
     if packed & 0x80:
         pos += 3 * (2 << (packed & 0x07))
         if pos > len(payload):
@@ -4567,6 +4590,9 @@ def _gif_walk_blocks(payload: bytes):
                 if payload[pos + 5] != 0:
                     raise ValueError("GIF GCE missing terminator")
                 pos += 6
+                if gce_pending:
+                    raise ValueError("GIF duplicate GCE before image")
+                gce_pending = True
                 yield ("gce", delay, (gpacked >> 2) & 0x07,
                        bool(gpacked & 0x01))
             else:
@@ -4593,6 +4619,7 @@ def _gif_walk_blocks(payload: bytes):
         if pos >= len(payload):
             raise ValueError("GIF data blocks unterminated")
         pos += 1
+        gce_pending = False
         yield ("image", iw, ih, bool(ipacked & 0x40), ix, iy)
     raise ValueError("GIF stream missing trailer")
 

@@ -1044,7 +1044,13 @@ def opq_signed_permutation(
         res = _residuals_frame(corpus, centroids, id_col, vec_col).persist()
     try:
         if centroids is None:
-            dim = len(res.select("__r").first()["__r"])
+            first = res.select("__r").first()
+            if first is None:
+                raise ValueError(
+                    "opq_signed_permutation: empty corpus — nothing to "
+                    "train the rotation on"
+                )
+            dim = len(first["__r"])
         else:
             dim = len(centroids[0])
         if dim % m_subspaces:

@@ -299,6 +299,10 @@ def ingest_media_stream(
                 return sigs.localCheckpoint(eager=True)
             finally:
                 _sh.rmtree(d, ignore_errors=True)
+                try:  # drop the spill root when no other batch is in it
+                    os.rmdir(root)
+                except OSError:
+                    pass
     bits = _def_bits if bits is None else bits
     bands = _def_bands if bands is None else bands
     max_hamming = _def_h if max_hamming is None else max_hamming

@@ -1767,6 +1767,17 @@ def test_phash_media_spilled_format_dispatch(spark, tmp_path):
     ref3 = {r.media_id: r.phash for r in M.phash_media(pgm).collect()}
     assert got3 == ref3 and all(v is not None for v in got3.values())
 
+    # review fix: a NULL format must not vanish from both lanes — it
+    # routes to the Python lane and NULL-quarantines
+    withnull = bmp.limit(2).unionByName(spark.createDataFrame(
+        [(777, "image", bytearray(b"??"), None, 2)], M.MEDIA_SCHEMA))
+    got4 = {r.media_id: r.phash
+            for r in M.phash_media_spilled(
+                spark, withnull, str(tmp_path / "nullfmt"),
+                null_on_error=True
+            ).collect()}
+    assert 777 in got4 and got4[777] is None and len(got4) == 3
+
 
 def test_gif_animated_roundtrip_and_strict_gce():
     """r9 animated GIF pins: (1) encode_gif_animated -> gif_frames
@@ -1803,6 +1814,15 @@ def test_gif_animated_roundtrip_and_strict_gce():
     bad_term[i + 7] = 9  # the 0x00 terminator after size+4 payload
     with pytest.raises(ValueError, match="GCE missing terminator"):
         M.gif_anim_info(bytes(bad_term))
+    # r10 consistency: the metadata walk rejects duplicate GCEs like
+    # the compositing reader, so analyze-media never counts a stream
+    # the gif-video lane will quarantine
+    dup_gce = bytearray(p)
+    dup_gce[i:i] = p[i : i + 8]
+    with pytest.raises(ValueError, match="duplicate GCE"):
+        M.gif_anim_info(bytes(dup_gce))
+    with pytest.raises(ValueError, match="duplicate GCE"):
+        M.gif_anim_features(bytes(dup_gce))
 
     # r10: an undersized first frame now COMPOSITES — the uncovered
     # right column stays the background color (index 0 → black)

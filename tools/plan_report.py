@@ -157,6 +157,16 @@ AUDIT = [
     "ann_opq_index",
     "media_wav_depths",
     "media_gif_video_pairs",
+    # r10 shapes: compositing gates, the optimized-vs-flattened pairing,
+    # the per-frame local palette gate, and OPQ across the flat +
+    # composite PQ chains
+    "media_gif_composited",
+    "media_gif_interlaced",
+    "media_gif_optimized_pairs",
+    "media_gif_features",
+    "media_gif_local_palette",
+    "ann_pq_opq",
+    "ann_ivfpq_opq",
 ]
 
 MAX_LINES = 80
