@@ -589,6 +589,43 @@ def test_persisted_probe_partition_pruning_pin(spark, tmp_path):
     assert "dynamicpruning" in plan2.lower(), plan2
 
 
+def test_ivfpq_index_compaction_preserves_probe(spark, tmp_path):
+    """r10 lifecycle pin: compact_ivf_index works on the OPQ-IVFPQ
+    index's cells dir too (same __cell layout, extra __codes column) —
+    after compacting an append-duplicated index, the probe returns
+    bit-identical rows to the pre-duplication index."""
+    import os
+    import random
+
+    from slice_db_spark.operators.similarity import (
+        build_ivfpq_index, compact_ivf_index, probe_ivfpq_index,
+    )
+
+    rng = random.Random(13)
+    rows = [(100 + i, [rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(30)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>")
+    q = corpus.limit(2).withColumnRenamed("vec_id", "q_id")
+    d = str(tmp_path / "idx")
+    build_ivfpq_index(corpus, d, n_cells=4, iters=1, m_subspaces=4,
+                      n_codes=8, opq_rounds=1)
+    before = [r.asDict() for r in probe_ivfpq_index(
+        spark, d, q, k=3, k_prime=6, nprobe=2
+    ).orderBy("q_id", "rank").collect()]
+
+    # simulate a replayed append: duplicate every cells row
+    cells = os.path.join(d, "cells")
+    spark.read.parquet(cells).write.mode("append").partitionBy(
+        "__cell").parquet(cells)
+    compact_ivf_index(spark, d, target_file_bytes=1 << 20)
+    assert spark.read.parquet(cells).count() == 30  # duplicates reclaimed
+    after = [r.asDict() for r in probe_ivfpq_index(
+        spark, d, q, k=3, k_prime=6, nprobe=2
+    ).orderBy("q_id", "rank").collect()]
+    assert after == before
+
+
 def test_opq_flat_pq_stack(spark):
     """r10 OPQ for the NON-residual PQ stack: (1) opq_signed_permutation
     with centroids=None trains on the quantized vectors themselves and
