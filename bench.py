@@ -260,6 +260,10 @@ SWEEP = [
     "ann_ivf",
     "ann_ivf_kmeans",
     "ann_pq",
+    # r10: the OPQ-rotated flat chain — sweeps the fused single-scan
+    # codebook sampling (2 trainer scans + KB driver state should track
+    # corpus growth ~linearly like plain ann_pq)
+    "ann_pq_opq",
 ]
 
 
