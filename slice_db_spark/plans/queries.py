@@ -3774,6 +3774,25 @@ def ann_opq(spark, sf_dir):
     )
 
 
+_FLAT_OPQ: dict = {}
+
+
+def _flat_opq_rotation(spark, sf_dir):
+    """The flat-stack OPQ rotation (trained with ``centroids=None``)
+    feeds BOTH `ann_pq_opq` and `ann_ivfpq_opq` — memoized per sf_dir
+    like the 0.5-Jaccard pair graph: one training pipeline whose tiny
+    (perm, signs) output downstream consumers share, exactly how a
+    production deployment trains a rotation once per corpus snapshot."""
+    if sf_dir not in _FLAT_OPQ:
+        emb = catalog(spark, sf_dir)["embeddings"]
+        corpus = emb.where("vec_id >= 5")
+        _FLAT_OPQ[sf_dir] = similarity.opq_signed_permutation(
+            corpus, None, m_subspaces=PQ_M, n_codes=PQ_CODES,
+            rounds=OPQ_ROUNDS,
+        )
+    return _FLAT_OPQ[sf_dir]
+
+
 def ann_pq_opq(spark, sf_dir):
     """OPQ for the FLAT (non-residual) PQ stack (r10) — the rotation the
     residual chain got in r9, threaded through
@@ -3789,9 +3808,7 @@ def ann_pq_opq(spark, sf_dir):
     emb = catalog(spark, sf_dir)["embeddings"]
     corpus = emb.where("vec_id >= 5")
     q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
-    perm, signs = similarity.opq_signed_permutation(
-        corpus, None, m_subspaces=PQ_M, n_codes=PQ_CODES, rounds=OPQ_ROUNDS
-    )
+    perm, signs = _flat_opq_rotation(spark, sf_dir)
     cb = similarity.pq_codebook(
         corpus, n_codes=PQ_CODES, perm=perm, signs=signs
     )
@@ -3815,9 +3832,7 @@ def ann_ivfpq_opq(spark, sf_dir):
     cents = similarity.ivf_centroids_kmeans(
         corpus, ANN_IVF_CELLS, iters=ANN_IVF_KM_ITERS
     )
-    perm, signs = similarity.opq_signed_permutation(
-        corpus, None, m_subspaces=PQ_M, n_codes=PQ_CODES, rounds=OPQ_ROUNDS
-    )
+    perm, signs = _flat_opq_rotation(spark, sf_dir)
     cb = similarity.pq_codebook(
         corpus, n_codes=PQ_CODES, perm=perm, signs=signs
     )
