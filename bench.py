@@ -369,6 +369,18 @@ def build_scaled_tpch(spark, sf_dir: str, factor: int, out_dir: str) -> dict:
 
 
 def main():
+    # argv is validated FIRST: the old shape parsed --control after the
+    # 35-minute query loop, so a bad invocation burned the whole run
+    # before erroring.  A bare --control now means "use the default
+    # prior" instead of failing at all.
+    control_arg: str | None = None
+    if "--control" in sys.argv:
+        ci = sys.argv.index("--control")
+        if ci + 1 < len(sys.argv) and not sys.argv[ci + 1].startswith("-"):
+            control_arg = sys.argv[ci + 1]
+        else:
+            control_arg = ""  # bare flag: fall through to the default
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -462,16 +474,9 @@ def main():
     # COMMON query list, not totals across hosts/rounds.  Source:
     # --control <path> / SPARK_GRAFT_BENCH_CONTROL, defaulting to the
     # committed BENCH_LOCAL.json from the previous round.
-    control_path = None
-    if "--control" in sys.argv:
-        ci = sys.argv.index("--control")
-        if ci + 1 >= len(sys.argv) or sys.argv[ci + 1].startswith("-"):
-            raise SystemExit("--control needs a path argument")
-        control_path = sys.argv[ci + 1]
-    else:
-        control_path = os.environ.get("SPARK_GRAFT_BENCH_CONTROL") or (
-            "BENCH_LOCAL.json" if os.path.exists("BENCH_LOCAL.json") else None
-        )
+    control_path = control_arg or os.environ.get(
+        "SPARK_GRAFT_BENCH_CONTROL"
+    ) or ("BENCH_LOCAL.json" if os.path.exists("BENCH_LOCAL.json") else None)
     control_prior: dict | None = None
     if control_path and os.path.exists(control_path):
         try:
