@@ -782,7 +782,14 @@ def main():
             jvm_sec = time.time() - t0
             # r9 in-column spill bridge: executor-side file spill + the
             # same ImageIO scan, timed END TO END (spill included) —
-            # the honest number for column-resident payloads
+            # the honest number for column-resident payloads.
+            # Since the r10 format dispatch the BMP row never spills
+            # (it re-routes to the Python lane), so its
+            # incolumn_spill_* fields measure the dispatch overhead
+            # (one column-pruned distinct-formats job ≈ 0.3 s fixed) on
+            # top of the Python lane — sub-1.0 at these synthetic sizes
+            # because the corpus hashes in ~0.3 s, NOT a decode-rate
+            # pessimization (the pre-dispatch 0.3-0.4x was)
             spill_dest = tempfile.mkdtemp(prefix=f"bench_sheet_spill_{fmt}_")
             shutil.rmtree(spill_dest)
             t0 = time.time()
