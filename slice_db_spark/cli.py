@@ -1733,9 +1733,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="treat the path as a band-partitioned LSH signature "
                     "index: also drop replay-duplicated rows")
     cp.add_argument("--ivf-index", action="store_true",
-                    help="treat the path as a persisted IVF index: compact "
-                    "its __cell-partitioned inverted lists, dropping "
-                    "replay-duplicated rows (centroids.json untouched)")
+                    help="treat the path as a persisted IVF (or OPQ-IVFPQ) "
+                    "index: compact its __cell-partitioned inverted lists, "
+                    "dropping replay-duplicated rows (centroids.json / "
+                    "meta.json untouched; probe results are bit-stable, "
+                    "pinned)")
     cp.add_argument("--span-index", action="store_true",
                     help="treat the path as a span-gram index: drop "
                     "replay-duplicated (hash, owner) rows, keep the sidecar")
