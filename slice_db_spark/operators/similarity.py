@@ -1683,15 +1683,31 @@ def build_ivf_index(
     import json
     import os
 
+    import shutil
+
+    from ..sources.atomic import swap_dir
+
     cents = ivf_centroids_kmeans(corpus, n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
     assigned = _assign_cells_int(
         corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e")), cents
     )
+    # crash-safe REBUILD (r10): everything lands in <path>.staging and
+    # promotes atomically — a plain overwrite deletes the live index
+    # first, so a mid-build crash would destroy the standing index a
+    # production probe is serving from
+    path = os.path.normpath(path)
+    staging = path + ".staging"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    os.makedirs(staging)
     assigned.write.mode("overwrite").partitionBy("__cell").parquet(
-        os.path.join(path, "cells")
+        os.path.join(staging, "cells")
     )
-    with open(os.path.join(path, "centroids.json"), "w") as f:
+    with open(os.path.join(staging, "centroids.json"), "w") as f:
         json.dump(cents, f)
+    with open(os.path.join(staging, "_SUCCESS"), "w"):
+        pass
+    swap_dir(path)
     return cents
 
 
@@ -1775,6 +1791,10 @@ def build_ivfpq_index(
         corpus, cents, m_subspaces=m_subspaces, n_codes=n_codes,
         id_col=id_col, vec_col=vec_col, perm=perm, signs=signs,
     )
+    import shutil
+
+    from ..sources.atomic import swap_dir
+
     corpus_q = corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e"))
     res = _assign_cells_int(corpus_q, cents).withColumn(
         "__r",
@@ -1783,10 +1803,17 @@ def build_ivfpq_index(
         ),
     ).withColumn("__r", _rotate_expr("__r", perm, signs))
     codes_of = _residual_codes_vec(cbs)
+    # crash-safe REBUILD (r10, like build_ivf_index): staging + swap,
+    # so the standing index survives a mid-build crash
+    path = os.path.normpath(path)
+    staging = path + ".staging"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    os.makedirs(staging)
     res.select(
         id_col, "__e", "__cell", codes_of(F.col("__r")).alias("__codes")
     ).write.mode("overwrite").partitionBy("__cell").parquet(
-        os.path.join(path, "cells")
+        os.path.join(staging, "cells")
     )
     meta = {
         "centroids": cents,
@@ -1796,8 +1823,11 @@ def build_ivfpq_index(
         "m_subspaces": m_subspaces,
         "n_codes": n_codes,
     }
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    with open(os.path.join(staging, "meta.json"), "w") as f:
         json.dump(meta, f)
+    with open(os.path.join(staging, "_SUCCESS"), "w"):
+        pass
+    swap_dir(path)
     return meta
 
 

@@ -626,6 +626,42 @@ def test_ivfpq_index_compaction_preserves_probe(spark, tmp_path):
     assert after == before
 
 
+def test_index_rebuild_is_staged(spark, tmp_path):
+    """r10 crash-safe rebuild: build_ivf_index / build_ivfpq_index land
+    in <path>.staging and promote atomically — a plain overwrite would
+    delete the live index first, so a mid-build crash destroyed the
+    standing index a production probe serves from.  Pins: (1) a stale
+    .staging (crashed prior build) is cleaned and the rebuild succeeds;
+    (2) rebuilding over a live index leaves no .staging behind and the
+    probe works; (3) a fresh build works on a nonexistent path."""
+    import os
+    import random
+
+    from slice_db_spark.operators import similarity as S
+
+    rng = random.Random(21)
+    rows = [(100 + i, [rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(30)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>")
+    q = corpus.limit(1).withColumnRenamed("vec_id", "q_id")
+
+    d = str(tmp_path / "ivf")
+    S.build_ivf_index(corpus, d, n_cells=4, iters=1)         # fresh
+    os.makedirs(d + ".staging/garbage")                      # crashed build
+    S.build_ivf_index(corpus, d, n_cells=4, iters=1)         # rebuild
+    assert not os.path.exists(d + ".staging")
+    assert S.probe_ivf_index(spark, d, q, k=1).count() == 1
+
+    d2 = str(tmp_path / "ivfpq")
+    S.build_ivfpq_index(corpus, d2, n_cells=4, iters=1, m_subspaces=4,
+                        n_codes=8, opq_rounds=1)
+    S.build_ivfpq_index(corpus, d2, n_cells=4, iters=1, m_subspaces=4,
+                        n_codes=8, opq_rounds=1)              # rebuild
+    assert not os.path.exists(d2 + ".staging")
+    assert S.probe_ivfpq_index(spark, d2, q, k=1).count() == 1
+
+
 def test_opq_flat_pq_stack(spark):
     """r10 OPQ for the NON-residual PQ stack: (1) opq_signed_permutation
     with centroids=None trains on the quantized vectors themselves and
