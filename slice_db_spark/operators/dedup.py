@@ -1514,18 +1514,32 @@ def build_lsh_index(
     probe can compute exact Jaccard denominators without re-shingling the
     corpus.  Rebuild (or append new partitions) when the corpus grows —
     the index is a pure function of (corpus, k, bands, n)."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..sources.atomic import swap_dir
+
     assert k % bands == 0, "k must divide into equal bands"
     st = shingle_table(corpus_df, text_col, id_col, n)
     sizes = st.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     banded = _banded_signatures(st, "corpus_id", k, bands, id_col)
+    # crash-safe REBUILD (r10, the ANN-index pattern): a plain overwrite
+    # deletes the live index first, so a mid-build crash would destroy
+    # the standing index the streaming probe serves from
+    path = _os.path.normpath(path)
+    staging = path + ".staging"
+    if _os.path.isdir(staging):
+        _shutil.rmtree(staging)
     (
         banded.join(sizes.select(F.col(id_col).alias("corpus_id"), "n_shingles"), "corpus_id")
         .write.mode("overwrite")
         .partitionBy("band")
-        .parquet(path)
+        .parquet(staging)
     )
-    # after the parquet write — mode("overwrite") clears the dir first
-    write_lsh_meta(path, k, bands, n)
+    write_lsh_meta(staging, k, bands, n)
+    with open(_os.path.join(staging, "_SUCCESS"), "w"):
+        pass
+    swap_dir(path)
 
 
 def probe_lsh_index(
@@ -1816,10 +1830,23 @@ def build_span_index(
     birthday horizon past any real corpus — the mode to build a
     standing index expected to exceed ~10⁹ grams with.  The sidecar
     records the width; probes with the other width raise."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..sources.atomic import swap_dir
+
+    # crash-safe REBUILD (r10): staging + swap, like build_lsh_index
+    path = _os.path.normpath(path)
+    staging = path + ".staging"
+    if _os.path.isdir(staging):
+        _shutil.rmtree(staging)
     _span_gram_hashes(
         corpus_df, span_tokens, text_col, id_col, wide=wide_hash
-    ).write.mode("overwrite").parquet(path)
-    write_span_meta(path, span_tokens, wide_hash)
+    ).write.mode("overwrite").parquet(staging)
+    write_span_meta(staging, span_tokens, wide_hash)
+    with open(_os.path.join(staging, "_SUCCESS"), "w"):
+        pass
+    swap_dir(path)
 
 
 def _span_gram_hashes(
