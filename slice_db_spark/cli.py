@@ -981,6 +981,17 @@ def cmd_probe_index(args) -> int:
             spark, args.index, queries, k=args.k, nprobe=args.nprobe,
             id_col=id_col, vec_col=vec_col,
         )
+    if args.output:
+        # production result sets don't fit a JSON report — write the
+        # full frame as parquet and print counts only
+        res = res.localCheckpoint(eager=True)
+        res.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "kind": kind, "k": args.k, "nprobe": args.nprobe,
+            "n_queries": queries.count(), "n_results": res.count(),
+            "output": args.output,
+        }))
+        return 0
     rows = [r.asDict() for r in res.orderBy("q_id", "rank").collect()]
     print(json.dumps({
         "kind": kind, "k": args.k, "nprobe": args.nprobe,
@@ -1814,6 +1825,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="cells probed per query")
     pi.add_argument("--limit", type=int, default=1000,
                     help="cap on result rows printed")
+    pi.add_argument("--output", default=None,
+                    help="write the FULL result set as parquet here "
+                    "instead of printing rows (production result sizes)")
     pi.add_argument("index", help="index directory from build-index")
     pi.add_argument("queries", help="query parquet (q_id or the index's "
                     "id column + vector column)")

@@ -1235,6 +1235,18 @@ def test_build_probe_index_cli_roundtrip(spark, tmp_path):
     run_cli("build-index", "--append", str(tmp_path / "emb2"),
             str(tmp_path / "docs"), expect_rc=2)  # no sidecar
 
+    # r10 --output: the full result set lands as parquet, rows equal
+    # the printed form
+    outp = str(tmp_path / "probe_out")
+    rep4 = json.loads(run_cli(
+        "probe-index", "--k", "3", "--k-prime", "6", "--nprobe", "2",
+        "--output", outp, d, str(tmp_path / "q"),
+    ))
+    assert rep4["output"] == outp and rep4["n_results"] == 9
+    written = [r.asDict() for r in spark.read.parquet(outp)
+               .orderBy("q_id", "rank").collect()]
+    assert written == lib
+
 
 def test_phash_files_dihedral_flag(spark, tmp_path):
     """r9: phash-files --dihedral pairs an EXIF-stripped 90-degree
