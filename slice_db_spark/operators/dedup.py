@@ -1533,6 +1533,12 @@ def build_lsh_index(
     (
         banded.join(sizes.select(F.col(id_col).alias("corpus_id"), "n_shingles"), "corpus_id")
         .write.mode("overwrite")
+        # Spark's own job-commit marker would land at the STAGING ROOT
+        # before the meta sidecar is written, and recover_dir promotes
+        # on that exact path — suppress it so the hand-stamped
+        # ``_SUCCESS`` below (meta included) is the only promotion
+        # token (r10 advisory)
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .partitionBy("band")
         .parquet(staging)
     )
@@ -1840,9 +1846,17 @@ def build_span_index(
     staging = path + ".staging"
     if _os.path.isdir(staging):
         _shutil.rmtree(staging)
-    _span_gram_hashes(
-        corpus_df, span_tokens, text_col, id_col, wide=wide_hash
-    ).write.mode("overwrite").parquet(staging)
+    (
+        _span_gram_hashes(
+            corpus_df, span_tokens, text_col, id_col, wide=wide_hash
+        )
+        .write.mode("overwrite")
+        # suppress Spark's own staging-root _SUCCESS: the hand-stamped
+        # marker below (after the meta sidecar) is the only promotion
+        # token recover_dir may trust (r10 advisory)
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .parquet(staging)
+    )
     write_span_meta(staging, span_tokens, wide_hash)
     with open(_os.path.join(staging, "_SUCCESS"), "w"):
         pass

@@ -840,3 +840,58 @@ def test_hamming_banding_exact_bit_extraction(spark):
     with pytest.raises(ValueError, match="divide evenly"):
         hamming_near_pairs(sigs, "phash", "media_id",
                            bits=63, bands=4, max_hamming=3)
+
+
+def test_index_staging_never_promotable_without_meta(spark, tmp_path, monkeypatch):
+    """r11 advisory fix: build_lsh_index / build_span_index suppress
+    Spark's own job-commit _SUCCESS at the staging root, so a crash in
+    the window between the parquet write and the meta sidecar leaves a
+    staging dir recover_dir will NOT promote (it promotes only on the
+    hand-stamped _SUCCESS, written after the sidecar).  Before the fix
+    a sidecar-less staging could be promoted and every probe would then
+    fail on the missing meta."""
+    import os
+
+    import pytest
+
+    import slice_db_spark.operators.dedup as D
+    from slice_db_spark.sources.atomic import recover_dir
+
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog %d" % i)
+         for i in range(10)],
+        "doc_id bigint, text string",
+    )
+
+    def boom(*_a, **_k):
+        raise RuntimeError("crash before sidecar")
+
+    # LSH: crash between parquet write and write_lsh_meta
+    idx = str(tmp_path / "lsh_idx")
+    monkeypatch.setattr(D, "write_lsh_meta", boom)
+    with pytest.raises(RuntimeError, match="crash before sidecar"):
+        D.build_lsh_index(corpus, idx, k=8, bands=2)
+    monkeypatch.undo()
+    staging = idx + ".staging"
+    assert os.path.isdir(staging), "parquet write itself completed"
+    assert not os.path.exists(os.path.join(staging, "_SUCCESS"))
+    recover_dir(idx)
+    assert not os.path.isdir(idx), "incomplete staging must not promote"
+    # the next build cleans the dangling staging and succeeds
+    D.build_lsh_index(corpus, idx, k=8, bands=2)
+    assert D.read_lsh_meta(idx) is not None
+    assert not os.path.exists(staging)
+
+    # span: same window, same invariant
+    sidx = str(tmp_path / "span_idx")
+    monkeypatch.setattr(D, "write_span_meta", boom)
+    with pytest.raises(RuntimeError, match="crash before sidecar"):
+        D.build_span_index(corpus, sidx)
+    monkeypatch.undo()
+    sstaging = sidx + ".staging"
+    assert os.path.isdir(sstaging)
+    assert not os.path.exists(os.path.join(sstaging, "_SUCCESS"))
+    recover_dir(sidx)
+    assert not os.path.isdir(sidx)
+    D.build_span_index(corpus, sidx)
+    assert D.read_span_meta(sidx) is not None
