@@ -432,11 +432,15 @@ def spill_media_to_files(df: DataFrame, dest: str) -> str:
     FUSE-mounted object store — the same requirement as Spark's own
     file sinks).  Misconfiguration there is SILENT data loss (executors
     write their local disks, the driver promotes an empty staging dir),
-    so after the spill job the driver RECONCILES the job-side written
-    count against the files it can actually see under staging and
-    raises on mismatch — before ``_SUCCESS`` is stamped (r10, advisory
-    fix).  Rows with a NULL media_id or payload raise — the caller's
-    ingest gate quarantines those before the bridge.
+    so after the spill job the driver RECONCILES the job-side
+    UNIQUE-FILENAME count against the files it can actually see under
+    staging and raises on mismatch — before ``_SUCCESS`` is stamped
+    (r10, advisory fix).  Exact duplicate rows (same id, same payload —
+    the exact-dedup stage's left_semi keeps duplicate left rows)
+    overwrite benignly and count once (r11 advisory); the same id with
+    a DIFFERENT payload raises as id reuse.  Rows with a NULL media_id
+    or payload raise — the caller's ingest gate quarantines those
+    before the bridge.
     Returns ``dest`` (normalized)."""
     import os as _os
     import shutil as _shutil
@@ -450,12 +454,21 @@ def spill_media_to_files(df: DataFrame, dest: str) -> str:
     _os.makedirs(staging)
 
     def write_partition(rows):
+        import hashlib as _hashlib
         import os
 
         from pyspark import TaskContext
 
         shard = None
-        n_written = 0
+        # name -> payload md5: EXACT duplicate rows (same media_id, same
+        # payload, twice in one micro-batch — the exact-dedup stage's
+        # left_semi keeps duplicate left rows) overwrite within a shard
+        # benignly; counting raw writes made the reconciliation below
+        # blame shared storage for them (r10 advisory).  Count UNIQUE
+        # filenames instead, and keep the loud failure for the case
+        # that IS corruption: the same id arriving with a DIFFERENT
+        # payload (id reuse the ingest gate should have quarantined).
+        written_names = {}
         for r in rows:
             if r.media_id is None or r.payload is None:
                 raise ValueError(
@@ -476,10 +489,22 @@ def spill_media_to_files(df: DataFrame, dest: str) -> str:
                 os.makedirs(shard, exist_ok=True)
             ext = _SPILL_EXT.get(r.format, r.format)
             name = os.path.join(shard, f"{int(r.media_id)}.{ext}")
+            payload = bytes(r.payload)
+            digest = _hashlib.md5(payload).digest()
+            prev = written_names.get(name)
+            if prev is not None:
+                if prev != digest:
+                    raise ValueError(
+                        f"spill_media_to_files: media_id "
+                        f"{int(r.media_id)} appears twice with "
+                        "DIFFERENT payloads — id reuse; quarantine "
+                        "upstream before spilling"
+                    )
+                continue  # benign exact duplicate: one file, one count
             with open(name, "wb") as f:
-                f.write(bytes(r.payload))
-            n_written += 1
-        yield n_written
+                f.write(payload)
+            written_names[name] = digest
+        yield len(written_names)
 
     written = (
         df.select("media_id", "format", "payload")
@@ -495,10 +520,9 @@ def spill_media_to_files(df: DataFrame, dest: str) -> str:
         _shutil.rmtree(staging, ignore_errors=True)
         raise IOError(
             f"spill_media_to_files: executors reported {int(written)} "
-            f"files written but only {landed} are visible under "
-            f"{staging} — dest is not executor-shared storage (or "
-            "duplicate media_ids overwrote within a shard); refusing "
-            "to promote a partial corpus"
+            f"unique files written but only {landed} are visible under "
+            f"{staging} — dest is not executor-shared storage; "
+            "refusing to promote a partial corpus"
         )
     with open(_os.path.join(staging, "_SUCCESS"), "w"):
         pass
@@ -542,7 +566,19 @@ def phash_media_spilled(
     which ImageIO cannot read, so it NULL-quarantined under the pure
     bridge — now hashes like any in-column payload.  Lane presence is
     decided by ONE column-pruned distinct-formats job, not per-lane
-    emptiness probes."""
+    emptiness probes.
+
+    The three-column projection is ``localCheckpoint``-ed (eager) so
+    the upstream plan — in the streaming jvm lane: the md5 gate,
+    anti-joins, and id-reuse quarantine joins — runs ONCE, not once
+    per consumer (distinct-formats job, Python-lane filter, spill
+    job) (r11, advisory fix).  Lineage truncation is safe here: the
+    spill lane is eager anyway, and a lost checkpoint block inside a
+    streaming micro-batch surfaces as a batch failure foreachBatch
+    retries."""
+    df = df.select("media_id", "format", "payload").localCheckpoint(
+        eager=True
+    )
     fmts = {
         r["format"] for r in df.select("format").distinct().collect()
     }
@@ -4282,33 +4318,81 @@ def _gif_lzw_decode(data: bytes, mcs: int, need: int) -> bytes:
     return bytes(out[:need])
 
 
+def _gif_resolve_matte(matte, bg_rgb):
+    """A flatten matte as an RGB triple: ``"background"`` = the LSD
+    background color (the spec reading — reproduces every pre-r11
+    hash), or an explicit ``(r, g, b)`` (browsers composite against
+    the PAGE, so cross-tool flatten comparisons pass the page color —
+    white for the ImageMagick ``-background white -flatten`` shape)."""
+    import numpy as np
+
+    if isinstance(matte, str):
+        if matte != "background":
+            raise ValueError(f"unknown GIF matte {matte!r}")
+        return bg_rgb
+    m = np.asarray(matte, dtype=np.uint8)
+    if m.shape != (3,):
+        raise ValueError("GIF matte must be 'background' or an RGB triple")
+    return m
+
+
+def _gif_flatten_rgba(frame, matte_rgb):
+    """RGBA composited frame → RGB against ``matte_rgb`` (alpha here is
+    binary: GIF pixels are opaque or fully transparent)."""
+    import numpy as np
+
+    return np.where(
+        frame[:, :, 3:] == 0, matte_rgb, frame[:, :, :3]
+    ).astype(np.uint8)
+
+
 def _gif_decode_frames(
+    payload: bytes,
+    need_trailer: bool,
+    max_frames: int | None = None,
+    matte="background",
+):
+    """Shared GIF decode + COMPOSITING core → ``(sw, sh, [frame RGB
+    arrays])`` of composited full-screen frames, flattened against
+    ``matte`` (see :func:`_gif_resolve_matte`).  Thin wrapper over the
+    RGBA core :func:`_gif_decode_frames_rgba`; the default matte is the
+    LSD background color, which makes it pixel-identical to the r10
+    spec-background reader — every pre-r11 stat/pHash/pairing is
+    reproduced bit-for-bit."""
+    sw, sh, frames, bg_rgb = _gif_decode_frames_rgba(
+        payload, need_trailer, max_frames
+    )
+    m = _gif_resolve_matte(matte, bg_rgb)
+    return sw, sh, [_gif_flatten_rgba(f, m) for f in frames]
+
+
+def _gif_decode_frames_rgba(
     payload: bytes, need_trailer: bool, max_frames: int | None = None
 ):
-    """Shared GIF decode + COMPOSITING core (r10) → ``(sw, sh, [frame
-    RGB arrays])`` of composited FULL-SCREEN frames, the way a browser
-    renders them:
+    """GIF decode + BROWSER-PARITY compositing core (r10, RGBA r11) →
+    ``(sw, sh, [frame RGBA arrays], bg_rgb)`` of composited FULL-SCREEN
+    frames, the way a browser renders them:
 
-    - canvas starts as the logical-screen background color (the LSD's
-      background index through the global palette; black when absent),
-    - each image is drawn at its descriptor offset; pixels equal to the
-      GCE transparent index are skipped (the prior canvas shows
-      through),
+    - the canvas starts fully TRANSPARENT (browser semantics — flatten
+      chooses what shows through; the spec's background-color reading
+      is the default matte at the wrapper),
+    - each image is drawn at its descriptor offset with alpha 255;
+      pixels equal to the GCE transparent index are skipped (the prior
+      canvas shows through),
     - after a frame is emitted its disposal method runs: 0/1 keep,
-      2 restore the frame rect to the background color, 3 restore the
-      rect to the canvas as it was before the frame drew,
+      2 clear the frame rect to TRANSPARENT (browser semantics, r11 —
+      under the default background matte this flattens to exactly the
+      spec's restore-to-background-color), 3 restore the rect to the
+      canvas as it was before the frame drew,
     - interlaced images are de-interlaced (4-pass row scatter).
 
-    Disposal-2 semantics note: the GIF spec says restore to the LSD
-    background color, which is what this reader does (an RGB canvas has
-    no alpha); browsers instead clear to TRANSPARENT and composite
-    against the page.  The two agree whenever later frames repaint the
-    cleared region or the background index maps to the flattener's
-    matte color — for cross-TOOL flatten comparisons (ImageMagick
-    -coalesce etc.) of disposal-2 streams with a nonzero background
-    index, expect divergence in the exposed region; everything this
-    repo derives (stats, pHashes, pairings, its own flattens) is
-    self-consistent under the spec reading.
+    The r10 reader kept an RGB canvas and wrote the background COLOR
+    into never-painted and disposal-2-cleared pixels, which diverged
+    from browser/ImageMagick-style flattens whenever a disposal-2
+    stream with a nonzero background index left the cleared region
+    exposed.  The RGBA canvas tracks exposure exactly; the flatten
+    matte decides its color — ``matte="background"`` reproduces every
+    r10 hash, an explicit page color gives the browser flatten.
 
     Strict-walk quarantine contract: structural damage, a malformed or
     DUPLICATE Graphic Control Extension, an undefined disposal method
@@ -4337,7 +4421,7 @@ def _gif_decode_frames(
         bg_rgb = np.zeros(3, dtype=np.uint8)
     if sw == 0 or sh == 0:
         raise ValueError("GIF zero-size logical screen")
-    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    canvas = np.zeros((sh, sw, 4), dtype=np.uint8)
     frames: list = []
     pending: tuple[int, int | None] | None = None
     saw_trailer = False
@@ -4438,14 +4522,18 @@ def _gif_decode_frames(
         region = canvas[iy : iy + ih, ix : ix + iw]
         prev = region.copy() if disposal == 3 else None
         if visible is None:
-            region[:] = rgb
+            region[:, :, :3] = rgb
+            region[:, :, 3] = 255
         else:
-            region[visible] = rgb[visible]
+            region[:, :, :3][visible] = rgb[visible]
+            region[:, :, 3][visible] = 255
         frames.append(canvas.copy())
         if max_frames is not None and len(frames) >= max_frames:
-            return sw, sh, frames
+            return sw, sh, frames, bg_rgb
         if disposal == 2:
-            canvas[iy : iy + ih, ix : ix + iw] = bg_rgb
+            # browser semantics (r11): clear to TRANSPARENT; the spec's
+            # restore-to-background-color is the default flatten matte
+            canvas[iy : iy + ih, ix : ix + iw] = 0
         elif disposal == 3:
             canvas[iy : iy + ih, ix : ix + iw] = prev
     if need_trailer and not saw_trailer:
@@ -4455,7 +4543,7 @@ def _gif_decode_frames(
         raise ValueError("GIF stream missing trailer")
     if not frames:
         raise ValueError("GIF stream contains no image")
-    return sw, sh, frames
+    return sw, sh, frames, bg_rgb
 
 
 def decode_gif(payload: bytes):
@@ -4649,19 +4737,25 @@ def gif_anim_info(payload: bytes) -> tuple[int, int, int, int]:
     return int(sw), int(sh), n_frames, duration
 
 
-def gif_frames(payload: bytes):
+def gif_frames(payload: bytes, matte="background"):
     """Decode EVERY frame of a (possibly animated) GIF →
     ``(width, height, numpy (n, h, w, 3) RGB)`` of COMPOSITED
     full-screen frames (r10): partial/offset frames, disposal methods
     0-3, the GCE transparent index, and 4-pass interlace all composite
-    the way a browser renders them (:func:`_gif_decode_frames`) — the
-    real-crawl animated-GIF shape, which previously quarantined.
+    the way a browser renders them (:func:`_gif_decode_frames_rgba`) —
+    the real-crawl animated-GIF shape, which previously quarantined.
+    ``matte`` picks the flatten color for exposed (transparent) canvas
+    pixels: the default ``"background"`` is the GIF spec's
+    restore-to-background reading; an explicit ``(r, g, b)`` is the
+    page color a browser/ImageMagick flatten composites against (r11).
     Structural damage, undefined disposal (4-7), duplicate GCEs,
     out-of-screen rects, and a missing trailer still raise for
     quarantine."""
     import numpy as np
 
-    sw, sh, frames = _gif_decode_frames(payload, need_trailer=True)
+    sw, sh, frames = _gif_decode_frames(
+        payload, need_trailer=True, matte=matte
+    )
     return sw, sh, np.stack(frames)
 
 
@@ -4831,19 +4925,25 @@ def gif_feature_meta(df: DataFrame, null_on_error: bool = False) -> DataFrame:
     return df.mapInPandas(run, schema=GIF_FEATURES_SCHEMA)
 
 
-def gif_video_phash(df: DataFrame, null_on_error: bool = False) -> DataFrame:
+def gif_video_phash(
+    df: DataFrame, null_on_error: bool = False, matte="background"
+) -> DataFrame:
     """Per-FRAME 63-bit pHash over animated GIFs — the adapter that
     gives animated GIFs the video lane's dedup rights: one row per
     frame with the same schema as :func:`video_phash`, so the
     sequence-pairing machinery (``video_near_pairs`` /
-    ``video_trimmed_pairs`` / shot reuse) applies unchanged."""
+    ``video_trimmed_pairs`` / shot reuse) applies unchanged.
+    ``matte`` (r11) picks the flatten color for exposed canvas pixels —
+    pass the page color (e.g. white) to pair originals against
+    BROWSER-style flattens of disposal-2 streams; the default
+    background matte reproduces the r10 hashes."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    w, h, frames = gif_frames(bytes(payload))
+                    w, h, frames = gif_frames(bytes(payload), matte=matte)
                     for i, fr in enumerate(frames):
                         g = (
                             299 * fr[:, :, 0].astype("int64")
@@ -4956,10 +5056,11 @@ GIF_COMPOSITED_SCHEMA = StructType(
 )
 
 
-def gif_composited_stats(df: DataFrame) -> DataFrame:
+def gif_composited_stats(df: DataFrame, matte="background") -> DataFrame:
     """Per-COMPOSITED-FRAME exact integer statistics (r10): every frame
     through :func:`gif_frames`' disposal/transparency/offset/interlace
-    compositing, then the red channel's plain sum and a
+    compositing (flattened against ``matte`` — default the spec's
+    background color, r11), then the red channel's plain sum and a
     POSITION-WEIGHTED sum ``Σ (1 + (y·w + x) mod 97) · px`` — the
     weighting makes a correctly-valued but misplaced overlay (wrong
     offset, wrong disposal restore region, transposed de-interlace)
@@ -4970,7 +5071,7 @@ def gif_composited_stats(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, frames = gif_frames(bytes(payload))
+                w, h, frames = gif_frames(bytes(payload), matte=matte)
                 wts = (1 + (np.arange(h * w, dtype=np.int64) % 97)).reshape(
                     h, w
                 )
@@ -5180,6 +5281,219 @@ def synth_gif_composited_dups(
                 rows.append((k, "image", payload, "gif", len(payload)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "payload", "format", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+GIF_DUAL_MATTE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("sum_bg", LongType()),
+        StructField("wsum_bg", LongType()),
+        StructField("sum_page", LongType()),
+        StructField("wsum_page", LongType()),
+    ]
+)
+
+
+def gif_dual_matte_stats(
+    df: DataFrame, page=(255, 255, 255)
+) -> DataFrame:
+    """Per-composited-frame statistics under BOTH flatten mattes (r11):
+    ONE RGBA decode per payload (:func:`_gif_decode_frames_rgba`), the
+    canvas flattened twice — against the GIF spec's LSD background
+    color and against a ``page`` color (browser/ImageMagick flatten) —
+    then the red channel's plain + position-weighted sums per matte.
+    On a disposal-2 stream whose cleared region stays exposed, the two
+    matte columns DIFFER over exactly that region — the gate that pins
+    browser semantics (clear to transparent) against the r10 RGB
+    reader, which baked the background color into the canvas and could
+    not express the page flatten at all."""
+    import numpy as np
+
+    page_rgb = np.asarray(page, dtype=np.uint8)
+    if page_rgb.shape != (3,):
+        raise ValueError("page matte must be an RGB triple")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames, bg = _gif_decode_frames_rgba(
+                    bytes(payload), need_trailer=True
+                )
+                wts = (
+                    1 + (np.arange(h * w, dtype=np.int64) % 97)
+                ).reshape(h, w)
+                for i, fr in enumerate(frames):
+                    gb = _gif_flatten_rgba(fr, bg)[:, :, 0].astype("int64")
+                    gp = _gif_flatten_rgba(fr, page_rgb)[:, :, 0].astype(
+                        "int64"
+                    )
+                    rows.append(
+                        (
+                            int(mid), i,
+                            int(gb.sum()), int((gb * wts).sum()),
+                            int(gp.sum()), int((gp * wts).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx",
+                    "sum_bg", "wsum_bg", "sum_page", "wsum_page",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=GIF_DUAL_MATTE_SCHEMA)
+
+
+def _gif_disposal2_geometry(k: int):
+    """The :func:`synth_gif_disposal2` frame plan for id ``k`` — shared
+    by the payload writer and the flatten arithmetic so the planted
+    browser-flatten replays are derived from id arithmetic alone (never
+    from this repo's decoder)."""
+    w, h = 40 + k % 9, 36 + (3 * k) % 11
+    bgi = 70 + k % 100
+    # rects cover MOST of the screen (so cross-id pHash distances are
+    # texture-driven, not matte-driven — a mostly-matte canvas would
+    # band every id near every other and the pairing query would grow
+    # quadratically with corpus size); frame 0's rect always reaches
+    # rows frame 1's cannot (y0+ph0 >= 31 > 28 >= y1+ph1), so the
+    # disposal-2 exposure is guaranteed nonempty
+    r0 = (2 + k % 3, 1 + k % 3, 33 + k % 3, 30 + k % 3)
+    r1 = (1 + k % 3, 2 + k % 3, 30 + k % 3, 22 + k % 3)
+    return w, h, bgi, r0, r1
+
+
+def _gif_disposal2_textures(k: int):
+    import numpy as np
+
+    _w, _h, _bgi, (x0, y0, pw0, ph0), (x1, y1, pw1, ph1) = (
+        _gif_disposal2_geometry(k)
+    )
+    us = np.arange(pw0)[None, :]
+    vs = np.arange(ph0)[:, None]
+    p0 = (
+        (19 * k + 5 * us * us + 7 * vs + 3 * us * vs) % 251
+    ).astype(np.uint8)
+    us = np.arange(pw1)[None, :]
+    vs = np.arange(ph1)[:, None]
+    p1 = ((29 * k + 3 * us + 11 * vs + us * vs) % 251).astype(np.uint8)
+    return p0, p1
+
+
+def _gif_disposal2_payload(k: int) -> bytes:
+    """One :func:`synth_gif_disposal2` payload: two PARTIAL frames on a
+    screen whose background index is NONZERO (gray value 70 + k mod
+    100), frame 0 disposal 2 — its cleared rect stays EXPOSED in frame
+    1 (frame 1's smaller rect never covers it), the exact shape where
+    the spec's restore-to-background and the browser's
+    clear-to-transparent diverge."""
+    _p0, _p1 = _gif_disposal2_textures(k)
+    w, h, bgi, (x0, y0, _pw0, _ph0), (x1, y1, _pw1, _ph1) = (
+        _gif_disposal2_geometry(k)
+    )
+    return encode_gif_frames(
+        w, h,
+        [
+            {"px": _p0, "x": x0, "y": y0, "delay_cs": 3, "disposal": 2},
+            {"px": _p1, "x": x1, "y": y1, "delay_cs": 4, "disposal": 0},
+        ],
+        bg_index=bgi,
+    )
+
+
+def _gif_disposal2_flat_frames(k: int, page: int = 255):
+    """Full-screen BROWSER flattens of :func:`_gif_disposal2_payload`
+    on a ``page``-gray matte, from id arithmetic alone: frame 0 = rect
+    0 over page, frame 1 = rect 1 over page (rect 0 was disposal-2
+    cleared to transparent, so the page shows through everywhere
+    else)."""
+    import numpy as np
+
+    p0, p1 = _gif_disposal2_textures(k)
+    w, h, _bgi, (x0, y0, pw0, ph0), (x1, y1, pw1, ph1) = (
+        _gif_disposal2_geometry(k)
+    )
+    f0 = np.full((h, w), page, dtype=np.uint8)
+    f0[y0:y0 + ph0, x0:x0 + pw0] = p0
+    f1 = np.full((h, w), page, dtype=np.uint8)
+    f1[y1:y1 + ph1, x1:x1 + pw1] = p1
+    return w, h, [f0, f1]
+
+
+def synth_gif_disposal2(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic DISPOSAL-2 EXPOSURE corpus (r11): per id, two
+    partial frames on a nonzero-background-index screen where frame
+    0's disposal-2 clear stays exposed in frame 1 (see
+    :func:`_gif_disposal2_payload`) — the case where spec-background
+    and browser flattens diverge, gated by
+    :func:`gif_dual_matte_stats`' per-matte sums."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                payload = _gif_disposal2_payload(int(k))
+                rows.append(
+                    (int(k), "image", payload, "gif", len(payload))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "format", "n_bytes"],
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def synth_gif_disposal2_dups(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`synth_gif_disposal2` with planted BROWSER-FLATTEN
+    re-encodes (r11) — the crawl case the r10 RGB reader could not
+    pair: a disposal-2 optimized GIF vs the full-frame flatten a
+    browser-side re-encoder (screenshot pipeline, ImageMagick
+    ``-coalesce -background white -flatten``) emits.  Slots 0-7 are
+    the partial-frame disposal-2 synth; slot 8 re-encodes the group's
+    slot-0 animation as FULL-SCREEN white-matte flattens (distance 0
+    under a white-matte :func:`gif_video_phash`); slot 9 flattens
+    contrast-reduced (``v − v div 16``, within the pairing threshold).
+    All ids decode to 2 frames, so the equal-length video pairing
+    contract holds."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                slot = k % 10
+                if slot < 8:
+                    payload = _gif_disposal2_payload(k)
+                else:
+                    w, h, frames = _gif_disposal2_flat_frames(k - slot)
+                    if slot == 9:
+                        frames = [
+                            (fr.astype(np.int64) - fr // 16).astype(
+                                np.uint8
+                            )
+                            for fr in frames
+                        ]
+                    payload = encode_gif_frames(
+                        w, h,
+                        [
+                            {"px": fr, "delay_cs": 3 + i, "disposal": 1}
+                            for i, fr in enumerate(frames)
+                        ],
+                    )
+                rows.append((k, "image", payload, "gif", len(payload)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "format", "n_bytes"],
             )
 
     return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -3777,20 +3777,47 @@ def ann_opq(spark, sf_dir):
 _FLAT_OPQ: dict = {}
 
 
+def _corpus_fingerprint(sf_dir: str, table: str = "embeddings") -> tuple:
+    """(mtime_ns, size) of every file under ``<sf_dir>/<table>.parquet``
+    (file or directory) — the memo key component that invalidates a
+    cached training artifact when the corpus parquet is REGENERATED
+    in-place mid-process (test harness, long bench session) rather
+    than silently reusing a stale rotation (r10 advisory)."""
+    import os as _os
+
+    path = _os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if _os.path.isdir(path):
+            out = []
+            for root, _dirs, files in sorted(_os.walk(path)):
+                for f in sorted(files):
+                    st = _os.stat(_os.path.join(root, f))
+                    out.append((f, st.st_mtime_ns, st.st_size))
+            return tuple(out)
+        st = _os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ()
+
+
 def _flat_opq_rotation(spark, sf_dir):
     """The flat-stack OPQ rotation (trained with ``centroids=None``)
-    feeds BOTH `ann_pq_opq` and `ann_ivfpq_opq` — memoized per sf_dir
-    like the 0.5-Jaccard pair graph: one training pipeline whose tiny
-    (perm, signs) output downstream consumers share, exactly how a
-    production deployment trains a rotation once per corpus snapshot."""
-    if sf_dir not in _FLAT_OPQ:
+    feeds BOTH `ann_pq_opq` and `ann_ivfpq_opq` — memoized per corpus
+    SNAPSHOT like the 0.5-Jaccard pair graph: one training pipeline
+    whose tiny (perm, signs) output downstream consumers share,
+    exactly how a production deployment trains a rotation once per
+    corpus snapshot.  The memo keys on (sf_dir, parquet mtimes/sizes),
+    so regenerating the embeddings table in-place retrains instead of
+    reusing a stale rotation (r11, advisory fix)."""
+    key = (sf_dir, _corpus_fingerprint(sf_dir))
+    if key not in _FLAT_OPQ:
         emb = catalog(spark, sf_dir)["embeddings"]
         corpus = emb.where("vec_id >= 5")
-        _FLAT_OPQ[sf_dir] = similarity.opq_signed_permutation(
+        _FLAT_OPQ[key] = similarity.opq_signed_permutation(
             corpus, None, m_subspaces=PQ_M, n_codes=PQ_CODES,
             rounds=OPQ_ROUNDS,
         )
-    return _FLAT_OPQ[sf_dir]
+    return _FLAT_OPQ[key]
 
 
 def ann_pq_opq(spark, sf_dir):
@@ -4325,6 +4352,47 @@ def media_gif_local_palette(spark, sf_dir):
     docs = catalog(spark, sf_dir)["documents"]
     return multimodal.gif_composited_stats(
         multimodal.synth_gif_local_palette(docs)
+    )
+
+
+def media_gif_disposal2(spark, sf_dir):
+    """Browser-parity DISPOSAL-2 compositing under the hash gate (r11)
+    — the r10 divergence retired: `_gif_decode_frames_rgba` keeps an
+    RGBA canvas (disposal 2 clears to TRANSPARENT, browser semantics)
+    and the flatten matte decides what exposed pixels show.
+    `synth_gif_disposal2` plants two partial frames on a
+    nonzero-background-index screen where frame 0's disposal-2 clear
+    stays exposed in frame 1; `gif_dual_matte_stats` decodes ONCE and
+    flattens under BOTH mattes — spec background (70 + k mod 100 gray)
+    and page white — so the exposed region's sums differ between the
+    matte columns by exactly the CASE arithmetic the oracle re-derives
+    per pixel.  A reader that still bakes the background color into
+    the canvas gets the page columns wrong; one that clears to the
+    wrong rect gets both wrong."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.gif_dual_matte_stats(
+        multimodal.synth_gif_disposal2(docs)
+    )
+
+
+def media_gif_disposal2_pairs(spark, sf_dir):
+    """DISPOSAL-2 original vs BROWSER-FLATTEN pairing (r11) — the crawl
+    case the r10 spec-background reader could not pair: a disposal-2
+    optimized GIF against the full-frame white-matte flatten a
+    browser-side re-encoder emits.  `gif_video_phash(matte=white)`
+    composites the original the way the flattener saw it, so the
+    planted verbatim flatten (slot 8 of `synth_gif_disposal2_dups`)
+    lands at distance 0 and the contrast-reduced flatten (slot 9)
+    within threshold, through the UNCHANGED `video_near_pairs`
+    machinery.  The oracle re-derives every white-matte canvas at the
+    8×8 downsample points, replays the DCT/median hash, and
+    brute-forces the sequence zip."""
+    docs = catalog(spark, sf_dir)["documents"]
+    sigs = multimodal.gif_video_phash(
+        multimodal.synth_gif_disposal2_dups(docs), matte=(255, 255, 255)
+    )
+    return multimodal.video_near_pairs(
+        sigs, bits=63, bands=PHASH_BANDS, max_hamming=PHASH_MAX_HAMMING
     )
 
 
@@ -8814,6 +8882,112 @@ WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
         FROM v GROUP BY m, f
     """)
 
+    # disposal-2 dual-matte compositing (r11): two partial frames, the
+    # first disposal-2-cleared and left exposed; per-pixel value = the
+    # frame's rect texture inside the rect, else the MATTE — the spec
+    # background gray (70 + m mod 100) for the *_bg columns, 255 for
+    # the *_page columns.  A reader with the r10 RGB canvas gets every
+    # page column wrong over the exposed region.
+    o["media_gif_disposal2"] = _q("""
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS m,
+                 40 + doc_id % 9 AS w, 36 + (3 * doc_id) % 11 AS h,
+                 70 + doc_id % 100 AS bgv,
+                 2 + doc_id % 3 AS x0, 1 + doc_id % 3 AS y0,
+                 33 + doc_id % 3 AS pw0, 30 + doc_id % 3 AS ph0,
+                 1 + doc_id % 3 AS x1, 2 + doc_id % 3 AS y1,
+                 30 + doc_id % 3 AS pw1, 22 + doc_id % 3 AS ph1
+          FROM documents),
+        px0 AS (
+          SELECT d.*, f.f AS f, unnest(range(0, w * h)) AS i
+          FROM d, range(0, 2) f(f)),
+        px AS (SELECT *, i % w AS x, i // w AS y FROM px0),
+        v AS (
+          SELECT m, f, i, bgv,
+                 CASE WHEN f = 0 AND x >= x0 AND x < x0 + pw0
+                           AND y >= y0 AND y < y0 + ph0
+                      THEN (19 * m + 5 * (x - x0) * (x - x0)
+                            + 7 * (y - y0)
+                            + 3 * (x - x0) * (y - y0)) % 251
+                      WHEN f = 1 AND x >= x1 AND x < x1 + pw1
+                           AND y >= y1 AND y < y1 + ph1
+                      THEN (29 * m + 3 * (x - x1) + 11 * (y - y1)
+                            + (x - x1) * (y - y1)) % 251
+                      ELSE NULL END AS pv
+          FROM px)
+        SELECT m AS media_id, CAST(f AS BIGINT) AS frame_idx,
+               CAST(sum(coalesce(pv, bgv)) AS BIGINT) AS sum_bg,
+               CAST(sum((1 + i % 97) * coalesce(pv, bgv)) AS BIGINT)
+                 AS wsum_bg,
+               CAST(sum(coalesce(pv, 255)) AS BIGINT) AS sum_page,
+               CAST(sum((1 + i % 97) * coalesce(pv, 255)) AS BIGINT)
+                 AS wsum_page
+        FROM v GROUP BY m, f
+    """)
+
+    # disposal-2 original vs browser flatten (r11): white-matte canvas
+    # values at the 8x8 downsample points, per-frame DCT/median hash,
+    # brute-force sequence zip — slot 8 = verbatim white flatten
+    # (distance 0), slot 9 = contrast-reduced (within threshold)
+    o["media_gif_disposal2_pairs"] = f"""
+WITH dd AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 10 AS slot,
+         CASE WHEN doc_id % 10 >= 8 THEN doc_id - doc_id % 10
+              ELSE doc_id END AS m
+  FROM documents),
+p AS (
+  SELECT media_id, slot, m,
+         40 + m % 9 AS w, 36 + (3 * m) % 11 AS h,
+         2 + m % 3 AS x0, 1 + m % 3 AS y0,
+         33 + m % 3 AS pw0, 30 + m % 3 AS ph0,
+         1 + m % 3 AS x1, 2 + m % 3 AS y1,
+         30 + m % 3 AS pw1, 22 + m % 3 AS ph1
+  FROM dd),
+kk(u, x, c) AS (VALUES {_k_vals}),
+pts AS (
+  SELECT p.*, f.f AS f, gi.gi AS gi, gj.gj AS gj,
+         (gj.gj * w) // 8 AS x, (gi.gi * h) // 8 AS y
+  FROM p, range(0, 2) f(f), range(0, 8) gi(gi), range(0, 8) gj(gj)),
+c AS (
+  SELECT media_id, slot, f, gi, gj,
+         CASE WHEN f = 0 AND x >= x0 AND x < x0 + pw0
+                   AND y >= y0 AND y < y0 + ph0
+              THEN (19 * m + 5 * (x - x0) * (x - x0) + 7 * (y - y0)
+                    + 3 * (x - x0) * (y - y0)) % 251
+              WHEN f = 1 AND x >= x1 AND x < x1 + pw1
+                   AND y >= y1 AND y < y1 + ph1
+              THEN (29 * m + 3 * (x - x1) + 11 * (y - y1)
+                    + (x - x1) * (y - y1)) % 251
+              ELSE 255 END AS v0
+  FROM pts),
+g AS (
+  SELECT media_id, f, gi, gj,
+         CASE WHEN slot = 9 THEN v0 - v0 // 16 ELSE v0 END AS val
+  FROM c),
+coef AS (
+  SELECT media_id, f, ku.u AS u, kv.u AS v,
+         sum(CAST(ku.c AS BIGINT) * kv.c * val) AS cf
+  FROM g JOIN kk ku ON ku.x = g.gi JOIN kk kv ON kv.x = g.gj
+  GROUP BY media_id, f, ku.u, kv.u),
+ac AS (SELECT media_id, f, u * 8 + v - 1 AS bit_i, cf
+       FROM coef WHERE NOT (u = 0 AND v = 0)),
+med AS (SELECT media_id, f, list_sort(list(cf))[32] AS med
+        FROM ac GROUP BY media_id, f),
+ph AS (SELECT ac.media_id, ac.f,
+              CAST(sum(CASE WHEN cf > med THEN (CAST(1 AS BIGINT) << bit_i)
+                            ELSE 0 END) AS BIGINT) AS phash
+       FROM ac JOIN med USING (media_id, f) GROUP BY ac.media_id, ac.f),
+v AS (SELECT media_id, list(phash ORDER BY f) AS hs FROM ph GROUP BY media_id)
+SELECT id_a, id_b, n_frames, max_frame_hamming FROM (
+  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         CAST(len(a.hs) AS BIGINT) AS n_frames,
+         CAST(list_max(list_transform(range(1, len(a.hs) + 1),
+              i -> bit_count(xor(a.hs[i], b.hs[i])))) AS BIGINT)
+           AS max_frame_hamming
+  FROM v a JOIN v b ON a.media_id < b.media_id AND len(a.hs) = len(b.hs))
+WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
+"""
+
     # GIF compositing-relevance features (r10): pure id arithmetic —
     # slots 0-7 carry the composited synth's GCE/descriptor plan,
     # flattened slots 8/9 are all-full-frame disposal-1
@@ -10431,6 +10605,8 @@ def _all_queries():
         "media_gif_optimized_pairs": media_gif_optimized_pairs,
         "media_gif_features": media_gif_features,
         "media_gif_local_palette": media_gif_local_palette,
+        "media_gif_disposal2": media_gif_disposal2,
+        "media_gif_disposal2_pairs": media_gif_disposal2_pairs,
         "media_wav_stereo": media_wav_stereo,
         "media_wav_depths": media_wav_depths,
         "media_png_variants": media_png_variants,

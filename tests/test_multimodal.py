@@ -2259,14 +2259,15 @@ def test_gif_frames_strict_stream_end_and_negative_spill_ids(spark, tmp_path):
                                str(tmp_path / "neg"))
 
 
-def test_spill_reconciles_written_vs_landed(spark, tmp_path):
-    """r10 advisory fix: spill_media_to_files reconciles the job-side
-    written count against the files the DRIVER can actually see under
-    staging, and refuses to stamp _SUCCESS on mismatch — the silent
-    data-loss mode when dest is not executor-shared storage.  Local
-    mode can't fake a split filesystem, so the mismatch is driven by
-    the other cause the check catches: duplicate media_ids overwriting
-    within one shard (2 writes, 1 file)."""
+def test_spill_reconciles_written_vs_landed(spark, tmp_path, monkeypatch):
+    """r10 advisory fix + r11 refinement: spill_media_to_files
+    reconciles the job-side UNIQUE-FILENAME count against the files
+    the DRIVER can actually see under staging, and refuses to stamp
+    _SUCCESS on mismatch — the silent data-loss mode when dest is not
+    executor-shared storage.  Exact duplicate rows (same id, same
+    payload — what the exact-dedup stage's left_semi legitimately
+    passes through) overwrite benignly and count once; the same id
+    with a DIFFERENT payload is id reuse and raises loudly."""
     import os
 
     ok_ids = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
@@ -2274,11 +2275,103 @@ def test_spill_reconciles_written_vs_landed(spark, tmp_path):
     M.spill_media_to_files(M.synth_texture_bmp(ok_ids), d)
     assert os.path.exists(os.path.join(d, "_SUCCESS"))
 
+    # exact duplicate in one partition: benign — one file, promoted
     dup = M.synth_texture_bmp(
         spark.createDataFrame([(4,), (4,)], "doc_id bigint")
     ).coalesce(1)
+    ddest = str(tmp_path / "dup")
+    M.spill_media_to_files(dup, ddest)
+    assert os.path.exists(os.path.join(ddest, "_SUCCESS"))
+    landed = [
+        f for _r, _d, fs in os.walk(ddest) for f in fs if f != "_SUCCESS"
+    ]
+    assert landed == ["4.bmp"]
+
+    # same id, DIFFERENT payload: id reuse — refuse before any promote
+    clash = spark.createDataFrame(
+        [(7, "bmp", bytearray(b"aaa")), (7, "bmp", bytearray(b"bbb"))],
+        "media_id bigint, format string, payload binary",
+    ).coalesce(1)
+    with pytest.raises(Exception, match="DIFFERENT payloads"):
+        M.spill_media_to_files(clash, str(tmp_path / "clash"))
+
+    # the shared-storage mismatch itself: hide the landed files from
+    # the driver's walk (local mode can't split the filesystem)
+    monkeypatch.setattr(os, "walk", lambda *_a, **_k: iter(()))
     with pytest.raises(Exception, match="visible under|not executor-shared"):
-        M.spill_media_to_files(dup, str(tmp_path / "dup"))
+        M.spill_media_to_files(
+            M.synth_texture_bmp(ok_ids), str(tmp_path / "split")
+        )
+    monkeypatch.undo()
     # the half-written staging is torn down, nothing promoted
-    assert not os.path.exists(str(tmp_path / "dup"))
-    assert not os.path.exists(str(tmp_path / "dup") + ".staging")
+    assert not os.path.exists(str(tmp_path / "split"))
+    assert not os.path.exists(str(tmp_path / "split") + ".staging")
+
+
+def test_gif_dual_matte_stats_disposal2(spark):
+    """r11 browser-parity gate: the dual-matte stats over the
+    disposal-2 synth match an in-test numpy rebuild of both flattens —
+    the exposed (cleared, never-repainted) region takes the background
+    gray under the bg matte and 255 under the page matte, and the two
+    column pairs DIFFER on every id (the r10 RGB reader could only
+    produce the bg columns)."""
+    import numpy as np
+
+    ids = spark.createDataFrame([(k,) for k in range(7)], "doc_id bigint")
+    got = {
+        (r.media_id, r.frame_idx): (r.sum_bg, r.wsum_bg, r.sum_page, r.wsum_page)
+        for r in M.gif_dual_matte_stats(M.synth_gif_disposal2(ids)).collect()
+    }
+    assert len(got) == 14
+    diverged = 0
+    for k in range(7):
+        w, h = 40 + k % 9, 36 + (3 * k) % 11
+        bgv = 70 + k % 100
+        x0, y0, pw0, ph0 = 2 + k % 3, 1 + k % 3, 33 + k % 3, 30 + k % 3
+        x1, y1, pw1, ph1 = 1 + k % 3, 2 + k % 3, 30 + k % 3, 22 + k % 3
+        us = np.arange(pw0)[None, :]; vs = np.arange(ph0)[:, None]
+        p0 = (19 * k + 5 * us * us + 7 * vs + 3 * us * vs) % 251
+        us = np.arange(pw1)[None, :]; vs = np.arange(ph1)[:, None]
+        p1 = (29 * k + 3 * us + 11 * vs + us * vs) % 251
+        wts = (1 + (np.arange(h * w, dtype=np.int64) % 97)).reshape(h, w)
+        for f, (rx, ry, rw, rh, tex) in enumerate(
+            [(x0, y0, pw0, ph0, p0), (x1, y1, pw1, ph1, p1)]
+        ):
+            for matte, cols in [(bgv, (0, 1)), (255, (2, 3))]:
+                e = np.full((h, w), matte, dtype=np.int64)
+                e[ry:ry + rh, rx:rx + rw] = tex
+                assert got[(k, f)][cols[0]] == int(e.sum()), (k, f, matte)
+                assert got[(k, f)][cols[1]] == int((e * wts).sum()), (k, f, matte)
+            if got[(k, f)][0] != got[(k, f)][2]:
+                diverged += 1
+    assert diverged == 14, "every frame leaves matte-exposed pixels"
+
+
+def test_gif_disposal2_browser_flatten_pairs(spark):
+    """r11: a disposal-2 partial-frame GIF pairs its planted BROWSER
+    flatten (white matte) at distance 0 through the unchanged video
+    lane — the cross-tool pairing the r10 spec-background reader
+    missed; the contrast-reduced flatten lands within threshold."""
+    ids = spark.createDataFrame([(k,) for k in range(10)], "doc_id bigint")
+    sigs = M.gif_video_phash(
+        M.synth_gif_disposal2_dups(ids), matte=(255, 255, 255)
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.max_frame_hamming
+        for r in M.video_near_pairs(
+            sigs, bits=63, bands=7, max_hamming=6
+        ).collect()
+    }
+    assert pairs[(0, 8)] == 0, pairs
+    assert (0, 9) in pairs and (8, 9) in pairs
+    # under the DEFAULT background matte the original composites the
+    # exposed region to its background gray, not white — it must NOT
+    # hash equal to the white flatten
+    sigs_bg = M.gif_video_phash(M.synth_gif_disposal2_dups(ids))
+    pairs_bg = {
+        (r.id_a, r.id_b): r.max_frame_hamming
+        for r in M.video_near_pairs(
+            sigs_bg, bits=63, bands=7, max_hamming=6
+        ).collect()
+    }
+    assert pairs_bg.get((0, 8), 99) > 0

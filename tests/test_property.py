@@ -239,6 +239,66 @@ def test_gif_compositing_property(sw, sh, n_frames, rnd):
 
 
 @given(
+    st.integers(min_value=4, max_value=24),
+    st.integers(min_value=4, max_value=24),
+    st.integers(min_value=1, max_value=5),
+    st.randoms(),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_matte_compositing_property(sw, sh, n_frames, rnd):
+    """r11: the RGBA canvas flattened against an ARBITRARY matte agrees
+    with an independent value-canvas compositor whose never-painted /
+    transparent / disposal-2-cleared pixels take the matte value — the
+    browser-parity contract over random specs.  (Flatten is pointwise
+    and GIF alpha is binary, so the value model is exact.)"""
+    import numpy as np
+
+    from slice_db_spark.operators.multimodal import (
+        encode_gif_frames, gif_frames,
+    )
+
+    specs = []
+    for _ in range(n_frames):
+        fw = rnd.randrange(1, sw + 1)
+        fh = rnd.randrange(1, sh + 1)
+        x = rnd.randrange(sw - fw + 1)
+        y = rnd.randrange(sh - fh + 1)
+        px = np.array(
+            [[rnd.randrange(256) for _ in range(fw)] for _ in range(fh)],
+            dtype="uint8",
+        )
+        specs.append({
+            "px": px, "x": x, "y": y,
+            "delay_cs": rnd.randrange(100),
+            "disposal": rnd.randrange(4),
+            "transparent": rnd.choice([None, rnd.randrange(256)]),
+            "interlaced": rnd.random() < 0.5,
+        })
+    p = encode_gif_frames(sw, sh, specs, bg_index=rnd.randrange(256))
+    mv = rnd.randrange(256)
+    gw, gh, got = gif_frames(p, matte=(mv, mv, mv))
+    assert (gw, gh) == (sw, sh)
+
+    canvas = np.full((sh, sw), mv, dtype=np.uint8)
+    for i, s in enumerate(specs):
+        fh, fw = s["px"].shape
+        x, y = s["x"], s["y"]
+        region = canvas[y:y + fh, x:x + fw]
+        prev = region.copy()
+        if s["transparent"] is None:
+            region[:] = s["px"]
+        else:
+            vis = s["px"] != s["transparent"]
+            region[vis] = s["px"][vis]
+        assert np.array_equal(got[i][:, :, 0], canvas), i
+        assert np.array_equal(got[i][:, :, 2], canvas), i
+        if s["disposal"] == 2:
+            canvas[y:y + fh, x:x + fw] = mv  # browser clear + matte
+        elif s["disposal"] == 3:
+            canvas[y:y + fh, x:x + fw] = prev
+
+
+@given(
     st.integers(min_value=1, max_value=13),
     st.integers(min_value=1, max_value=13),
     st.booleans(),
