@@ -882,8 +882,11 @@ def cmd_build_index(args) -> int:
     corpus = spark.read.parquet(args.corpus)
     if args.append:
         # incremental maintenance: assign new vectors to the EXISTING
-        # quantizer (no retrain) — ivf only; the ivfpq index encodes
-        # against trained codebooks+rotation and retrains via rebuild
+        # training artifacts (no retrain) — ivf appends quantized rows
+        # against the persisted centroids; ivfpq (r11) additionally
+        # encodes PQ codes with the persisted rotation + codebooks, so
+        # probes score appended vectors bit-identically to a rebuild
+        # that reused the same artifacts
         sidecar_path = os.path.join(args.index, "index.json")
         if not os.path.exists(sidecar_path):
             print(f"--append needs an existing build-index output at "
@@ -891,12 +894,16 @@ def cmd_build_index(args) -> int:
             return 2
         with open(sidecar_path) as f:
             sidecar = json.load(f)
-        if sidecar.get("kind") != "ivf":
-            print("--append supports kind=ivf only (ivfpq retrains via "
-                  f"rebuild), index is {sidecar.get('kind')!r}",
+        kind = sidecar.get("kind")
+        if kind == "ivf":
+            append = S.append_ivf_index
+        elif kind == "ivfpq":
+            append = S.append_ivfpq_index
+        else:
+            print(f"--append supports kind=ivf/ivfpq, index is {kind!r}",
                   file=sys.stderr)
             return 2
-        S.append_ivf_index(
+        append(
             spark, args.index, corpus,
             id_col=sidecar.get("id_col", "vec_id"),
             vec_col=sidecar.get("vec_col", "embedding"),
@@ -1804,9 +1811,10 @@ def main(argv: list[str] | None = None) -> int:
     bi.add_argument("--opq-rounds", type=int, default=2,
                     help="OPQ rotation training rounds (ivfpq)")
     bi.add_argument("--append", action="store_true",
-                    help="assign the corpus to an EXISTING index's "
-                    "quantizer and append to its cell lists (ivf only; "
-                    "no retrain — the production between-retrains shape)")
+                    help="assign (and for ivfpq: PQ-encode) the corpus "
+                    "with an EXISTING index's trained artifacts and "
+                    "append to its cell lists (no retrain — the "
+                    "production between-retrains shape)")
     bi.add_argument("--id-col", default="vec_id")
     bi.add_argument("--vec-col", default="embedding")
     bi.add_argument("corpus", help="embedding parquet (id + vector columns)")

@@ -1986,6 +1986,56 @@ def append_ivf_index(
         assigned.write.mode("append").partitionBy("__cell").parquet(cells)
 
 
+def append_ivfpq_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental OPQ-IVFPQ maintenance (r11): encode NEW vectors with
+    the index's EXISTING centroids, rotation, and codebooks (read from
+    the persisted ``meta.json`` — nothing retrains, exactly how a
+    production PQ deployment absorbs arrivals between periodic
+    retrains) and append ``(id, quantized vector, PQ codes)`` rows to
+    the cell-partitioned inverted lists.  Probes see the new vectors
+    immediately with bit-identical scoring to a rebuild that reuses the
+    same training artifacts; retrain via :func:`build_ivfpq_index` when
+    cell balance or quantization error drifts.
+
+    Same writer-lease + recover discipline as :func:`append_ivf_index`:
+    an unlocked append could land rows between a live compaction's
+    read and swap and silently lose them."""
+    import json
+    import os
+
+    from ..sources.atomic import dir_lock, recover_dir
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    cents = meta["centroids"]
+    perm, signs = meta["perm"], meta["signs"]
+    cbs = meta["codebooks"]
+    corpus_q = new_vectors.select(
+        F.col(id_col), quantize_expr(vec_col).alias("__e")
+    )
+    res = _assign_cells_int(corpus_q, cents).withColumn(
+        "__r",
+        F.zip_with(
+            F.col("__e"), _centroid_lookup_expr(cents), lambda a, b: a - b
+        ),
+    ).withColumn("__r", _rotate_expr("__r", perm, signs))
+    codes_of = _residual_codes_vec(cbs)
+    rows = res.select(
+        id_col, "__e", "__cell", codes_of(F.col("__r")).alias("__codes")
+    )
+    cells = os.path.join(path, "cells")
+    with dir_lock(cells) as lease:
+        recover_dir(cells)
+        lease.check()
+        rows.write.mode("append").partitionBy("__cell").parquet(cells)
+
+
 def compact_ivf_index(spark, path: str, target_file_bytes: int = 128 << 20) -> dict:
     """Maintenance for the persisted IVF index: compact the
     cell-partitioned inverted lists to size-targeted files (keeping the

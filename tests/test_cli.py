@@ -1230,8 +1230,6 @@ def test_build_probe_index_cli_roundtrip(spark, tmp_path):
         "probe-index", "--k", "1", "--nprobe", "4",
         d2, str(tmp_path / "q2")))
     assert got3["results"][0]["vec_id"] == 900  # appended row found
-    run_cli("build-index", "--append", str(tmp_path / "emb2"), d,
-            expect_rc=2)   # ivfpq refuses
     run_cli("build-index", "--append", str(tmp_path / "emb2"),
             str(tmp_path / "docs"), expect_rc=2)  # no sidecar
 
@@ -1246,6 +1244,21 @@ def test_build_probe_index_cli_roundtrip(spark, tmp_path):
     written = [r.asDict() for r in spark.read.parquet(outp)
                .orderBy("q_id", "rank").collect()]
     assert written == lib
+
+    # r11 --append for ivfpq: new vectors are PQ-encoded with the
+    # persisted rotation + codebooks (no retrain), probe-visible, and
+    # fsck still reports zero bad code rows
+    rep5 = json.loads(run_cli(
+        "build-index", "--append", str(tmp_path / "emb2"), d))
+    assert rep5["appended"] == 5 and rep5["kind"] == "ivfpq"
+    got5 = json.loads(run_cli(
+        "probe-index", "--k", "1", "--k-prime", "50", "--nprobe", "4",
+        d, str(tmp_path / "q2")))
+    assert got5["results"][0]["vec_id"] == 900
+    fsck2 = json.loads(run_cli("fsck", "--ivfpq-index", d, cdir))
+    assert fsck2["errors"] == []
+    assert fsck2["ivfpq_index"]["rows"] == 45
+    assert fsck2["ivfpq_index"]["bad_code_rows"] == 0
 
 
 def test_phash_files_dihedral_flag(spark, tmp_path):

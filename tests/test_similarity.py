@@ -767,3 +767,68 @@ def test_opq_index_probe_parity(spark, tmp_path):
                      corpus, qdf, km, cbs, m_subspaces=4, k=3, k_prime=6,
                      nprobe=2, perm=perm, signs=signs).collect())
     assert got == ref and got
+
+
+def test_ivfpq_index_append_matches_frozen_retrain(spark, tmp_path):
+    """r11 incremental OPQ-IVFPQ maintenance: vectors appended via
+    append_ivfpq_index are encoded with the PERSISTED centroids,
+    rotation, and codebooks (no retrain), so the probe over the
+    appended index is bit-identical to ivfpq_refined_topk over the
+    union corpus with those same frozen artifacts; a replayed append +
+    compaction (compact_ivf_index covers the ivfpq cells layout)
+    changes nothing; every stored code stays inside the codebook."""
+    import json
+    import os
+
+    from conftest import SF_DIR
+    from slice_db_spark.operators.similarity import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivf_index,
+        ivfpq_refined_topk,
+        probe_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    first = emb.where("vec_id >= 10 AND vec_id < 110")
+    more = emb.where("vec_id >= 110 AND vec_id < 160")
+    queries = emb.where("vec_id < 3").selectExpr("vec_id AS q_id", "embedding")
+
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(first, idx, n_cells=4, iters=1, m_subspaces=4,
+                      n_codes=8, opq_rounds=1)
+    meta = json.load(open(os.path.join(idx, "meta.json")))
+    append_ivfpq_index(spark, idx, more)
+
+    got = [r.asDict() for r in probe_ivfpq_index(
+        spark, idx, queries, k=4, k_prime=8, nprobe=2
+    ).orderBy("q_id", "rank").collect()]
+    want = [r.asDict() for r in ivfpq_refined_topk(
+        first.unionByName(more), queries, meta["centroids"],
+        meta["codebooks"], m_subspaces=4, k=4, k_prime=8, nprobe=2,
+        perm=meta["perm"], signs=meta["signs"],
+    ).orderBy("q_id", "rank").collect()]
+    assert got == want and got
+
+    # appended rows are actually probe-visible (not just parity on the
+    # original region): exhaustive probe must surface an appended id
+    exh = probe_ivfpq_index(spark, idx, queries, k=150, k_prime=200,
+                            nprobe=4)
+    assert exh.where("vec_id >= 110").count() > 0
+
+    # codes byte-valid after append: every stored code < n_codes
+    cells = spark.read.parquet(os.path.join(idx, "cells"))
+    from pyspark.sql import functions as F
+    bad = cells.where(
+        F.exists("__codes", lambda c: (c < 0) | (c >= meta["n_codes"]))
+    ).count()
+    assert bad == 0 and cells.count() == 150
+
+    # replayed append + compaction: duplicates reclaimed, probe frozen
+    append_ivfpq_index(spark, idx, more)
+    compact_ivf_index(spark, idx, target_file_bytes=1 << 20)
+    assert spark.read.parquet(os.path.join(idx, "cells")).count() == 150
+    after = [r.asDict() for r in probe_ivfpq_index(
+        spark, idx, queries, k=4, k_prime=8, nprobe=2
+    ).orderBy("q_id", "rank").collect()]
+    assert after == want
