@@ -641,7 +641,11 @@ def cmd_fsck(args) -> int:
     def _readable(path: str, what: str):
         """Missing / empty / mid-swap-crashed dirs are ERROR ENTRIES in
         the report (the exact broken states a checker exists to name),
-        never raw AnalysisException tracebacks."""
+        never raw AnalysisException tracebacks.  A BARE PARQUET FILE is
+        a valid corpus too (r11 — build-index/probe-index already took
+        one; fsck refused the same argument)."""
+        if _os.path.isfile(path):
+            return spark.read.parquet(path), [path]
         if not _os.path.isdir(path):
             hint = (" (a .old sibling exists — a compaction crashed "
                     "mid-swap; run recover or compact)"
@@ -676,7 +680,12 @@ def cmd_fsck(args) -> int:
 
     corpus, files = _readable(args.corpus, "corpus")
     if corpus is not None:
-        _, total_bytes, _, _ = _scan_parquet_files(_os.path.normpath(args.corpus))
+        if _os.path.isfile(args.corpus):
+            total_bytes = _os.path.getsize(args.corpus)
+        else:
+            _, total_bytes, _, _ = _scan_parquet_files(
+                _os.path.normpath(args.corpus)
+            )
         report["corpus"] = {
             "rows": corpus.count(),
             "files": len(files),
@@ -827,6 +836,10 @@ def cmd_fsck(args) -> int:
                     "media_id rows — one id must own exactly one payload"
                 )
             report["media_corpus"] = entry
+    # overall verdict rides IN the report (r11): a populated index
+    # section next to a fatal corpus error read as healthy to anything
+    # that didn't check errors[] / the exit code
+    report["status"] = "error" if errors else "ok"
     report["errors"] = errors
     print(json.dumps(report))
     return 2 if errors else 0
@@ -1181,6 +1194,12 @@ def cmd_analyze_media(args) -> int:
                     ((F.col("disposal_bg") + F.col("disposal_prev")) > 0)
                     .cast("long")
                 ).alias("d"),
+                # loop/comment metadata (r11): same strict-walk pass
+                F.sum(F.col("loop_count").isNotNull().cast("long"))
+                .alias("lp"),
+                F.sum((F.col("loop_count") == 0).cast("long")).alias("lf"),
+                F.sum((F.col("n_comments") > 0).cast("long")).alias("cm"),
+                F.sum("comment_bytes").alias("cb"),
             ).collect()[0]
             if fq["n"]:
                 section["compositing"] = {
@@ -1188,6 +1207,12 @@ def cmd_analyze_media(args) -> int:
                     "with_transparency": int(fq["t"]),
                     "with_interlace": int(fq["i"]),
                     "with_restore_disposal": int(fq["d"]),
+                }
+                section["metadata"] = {
+                    "with_loop_extension": int(fq["lp"]),
+                    "loop_forever": int(fq["lf"]),
+                    "with_comments": int(fq["cm"]),
+                    "comment_bytes": int(fq["cb"] or 0),
                 }
             report["animation"] = section
         finally:

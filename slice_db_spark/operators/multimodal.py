@@ -4203,8 +4203,9 @@ def encode_gif_frames(
     width: int,
     height: int,
     specs: list[dict],
-    loop: int = 0,
+    loop: int | None = 0,
     bg_index: int = 0,
+    comments: list[bytes] | None = None,
 ) -> bytes:
     """GENERAL animated-GIF89a writer (r10): per-frame dict specs drive
     everything the compositing reader consumes —
@@ -4220,17 +4221,27 @@ def encode_gif_frames(
 
     Same 256-entry gray global color table and real LZW as
     :func:`encode_gif`; the logical-screen background color index
-    (``bg_index``) is what disposal-2 restores to."""
+    (``bg_index``) is what disposal-2 restores to.  ``loop=None``
+    omits the NETSCAPE2.0 extension entirely (play once — the shape
+    single-pass encoders emit); ``comments`` writes one COMMENT
+    extension per entry, split into ≤255-byte sub-blocks (r11)."""
     import numpy as np
 
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", width, height, 0xF7, bg_index, 0)
     out += bytes(i for i in range(256) for _ in range(3))       # gray GCT
-    out += (
-        b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
-        + struct.pack("<H", loop)
-        + b"\x00"
-    )
+    if loop is not None:
+        out += (
+            b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+            + struct.pack("<H", loop)
+            + b"\x00"
+        )
+    for comment in comments or ():
+        out += b"\x21\xfe"
+        for i in range(0, len(comment), 255):
+            chunk = comment[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
     for spec in specs:
         px = np.asarray(spec["px"], dtype=np.uint8)
         fh, fw = px.shape
@@ -4638,16 +4649,25 @@ def synth_gif(
 def _gif_walk_blocks(payload: bytes):
     """STRICT block walk of a GIF stream — yields
     ``("gce", delay_cs, disposal, has_transparency)``, ``("ext",
-    label)``, and ``("image", iw, ih, interlaced, ix, iy)`` events up
+    label)``, ``("loop", count)`` for a NETSCAPE2.0 application
+    extension (r11), ``("comment", n_bytes)`` for a comment extension
+    (r11), and ``("image", iw, ih, interlaced, ix, iy)`` events up
     to the trailer (consumers index positionally, so the r10 feature
-    fields extend the tuples without breaking ``ev[1]`` readers).
+    fields extend the tuples without breaking ``ev[1]`` readers;
+    unknown event TYPES must be skipped by consumers, which every
+    reader here does by matching ``ev[0]``).
     Unlike :func:`decode_gif`'s lenient first-image
     scan, this validates the framing the animation metadata depends on:
     a Graphic Control Extension whose block size isn't 4 (or that is
     missing its terminator), or a DUPLICATE GCE before an image (r10 —
     the compositing reader quarantines those streams, so the metadata
     pass must not count them as healthy) raises — a malformed GCE would
-    otherwise silently misreport delays/frame counts."""
+    otherwise silently misreport delays/frame counts.  Sub-block
+    FRAMING stays strict for every extension (truncation raises, the
+    unchanged quarantine); an application extension whose body is not
+    the NETSCAPE2.0 ``\\x03\\x01<loop u16>`` shape degrades to a plain
+    ``("ext", 0xFF)`` event — browsers ignore unknown app extensions,
+    they don't quarantine the file."""
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     packed = payload[10]
@@ -4684,12 +4704,28 @@ def _gif_walk_blocks(payload: bytes):
                 yield ("gce", delay, (gpacked >> 2) & 0x07,
                        bool(gpacked & 0x01))
             else:
-                yield ("ext", label)
+                subs = []
                 while pos < len(payload) and payload[pos] != 0:
-                    pos += 1 + payload[pos]
+                    ln = payload[pos]
+                    if pos + 1 + ln > len(payload):
+                        raise ValueError("GIF extension sub-block truncated")
+                    subs.append(payload[pos + 1 : pos + 1 + ln])
+                    pos += 1 + ln
                 if pos >= len(payload):
                     raise ValueError("GIF extension unterminated")
                 pos += 1
+                if (
+                    label == 0xFF
+                    and len(subs) >= 2
+                    and subs[0] == b"NETSCAPE2.0"
+                    and len(subs[1]) == 3
+                    and subs[1][0] == 1
+                ):
+                    yield ("loop", struct.unpack_from("<H", subs[1], 1)[0])
+                elif label == 0xFE:
+                    yield ("comment", sum(len(s) for s in subs))
+                else:
+                    yield ("ext", label)
             continue
         if block != 0x2C:
             raise ValueError(f"GIF unknown block 0x{block:02x} at {pos - 1}")
@@ -4844,24 +4880,37 @@ def gif_anim_meta(df: DataFrame, null_on_error: bool = False) -> DataFrame:
     return df.mapInPandas(run, schema=GIF_ANIM_META_SCHEMA)
 
 
-def gif_anim_features(payload: bytes) -> tuple[int, int, int, int, int, int]:
+def gif_anim_features(payload: bytes) -> tuple:
     """COMPOSITING-relevance features from the block structure ALONE
     (r10, no LZW decode — the gate-threshold economics of
     :func:`gif_anim_info`): ``(n_frames, partial_frames,
-    transparent_frames, interlaced_frames, disposal_bg, disposal_prev)``
+    transparent_frames, interlaced_frames, disposal_bg, disposal_prev,
+    loop_count, n_comments, comment_bytes)``
     where a frame is PARTIAL if its rect is offset or smaller than the
     logical screen, TRANSPARENT if its GCE sets the transparency flag,
     and disposal_bg/disposal_prev count methods 2 and 3 — the numbers
     that say how much of a GIF corpus actually needs the compositing
-    lane (real crawls: most of it)."""
+    lane (real crawls: most of it).  r11 adds the NETSCAPE2.0 loop
+    count (``None`` when the extension is absent — play once; 0 means
+    loop forever; the FIRST extension wins, matching browsers) and
+    comment-extension counts/bytes — provenance markers encoders and
+    crawl pipelines stamp that a dedup report wants surfaced."""
     if len(payload) < 10:
         raise ValueError("not a GIF payload")
     sw, sh = struct.unpack_from("<HH", payload, 6)
     n = partial = transparent = interlaced = d_bg = d_prev = 0
+    n_comments = comment_bytes = 0
+    loop_count = None
     pending: tuple[int, bool] | None = None
     for ev in _gif_walk_blocks(payload):
         if ev[0] == "gce":
             pending = (ev[2], ev[3])
+        elif ev[0] == "loop":
+            if loop_count is None:
+                loop_count = ev[1]
+        elif ev[0] == "comment":
+            n_comments += 1
+            comment_bytes += ev[1]
         elif ev[0] == "image":
             _, iw, ih, inter, ix, iy = ev
             n += 1
@@ -4879,7 +4928,8 @@ def gif_anim_features(payload: bytes) -> tuple[int, int, int, int, int, int]:
                 d_prev += 1
     if n == 0:
         raise ValueError("GIF stream contains no image")
-    return n, partial, transparent, interlaced, d_bg, d_prev
+    return (n, partial, transparent, interlaced, d_bg, d_prev,
+            loop_count, n_comments, comment_bytes)
 
 
 GIF_FEATURES_SCHEMA = StructType(
@@ -4891,6 +4941,9 @@ GIF_FEATURES_SCHEMA = StructType(
         StructField("interlaced_frames", LongType()),
         StructField("disposal_bg", LongType()),
         StructField("disposal_prev", LongType()),
+        StructField("loop_count", LongType()),
+        StructField("n_comments", LongType()),
+        StructField("comment_bytes", LongType()),
     ]
 )
 
@@ -4899,8 +4952,8 @@ def gif_feature_meta(df: DataFrame, null_on_error: bool = False) -> DataFrame:
     """Per-payload :func:`gif_anim_features` over a media frame — the
     cheap structural pass `analyze-media` reads to report how much of a
     GIF corpus uses partial frames / transparency / interlace /
-    restore-disposals (i.e. exercises the compositing reader) before
-    any decode is paid for."""
+    restore-disposals (i.e. exercises the compositing reader), plus
+    loop/comment metadata (r11), before any decode is paid for."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -4911,12 +4964,13 @@ def gif_feature_meta(df: DataFrame, null_on_error: bool = False) -> DataFrame:
                 except (ValueError, struct.error):
                     if not null_on_error:
                         raise
-                    out.append((int(mid),) + (None,) * 6)
+                    out.append((int(mid),) + (None,) * 9)
             res = pd.DataFrame(
                 out,
                 columns=["media_id", "n_frames", "partial_frames",
                          "transparent_frames", "interlaced_frames",
-                         "disposal_bg", "disposal_prev"],
+                         "disposal_bg", "disposal_prev", "loop_count",
+                         "n_comments", "comment_bytes"],
             )
             for c in res.columns[1:]:
                 res[c] = pd.array(res[c], dtype="Int64")
@@ -5490,6 +5544,55 @@ def synth_gif_disposal2_dups(
                             for i, fr in enumerate(frames)
                         ],
                     )
+                rows.append((k, "image", payload, "gif", len(payload)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "format", "n_bytes"],
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def synth_gif_loop_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic LOOP/COMMENT metadata corpus (r11): two full-screen
+    frames of the animated synth texture per id ``k``, with the
+    metadata extensions planted from id arithmetic —
+
+    - NETSCAPE2.0 loop count ``(5k + 2) mod 60000`` when ``k mod 3 ≠
+      0``; the extension is OMITTED (play once, ``loop_count`` NULL)
+      when ``k mod 3 = 0``,
+    - ``k mod 3`` comment extensions, the i-th of length ``1 + (k + i)
+      mod 13`` bytes —
+
+    so :func:`gif_anim_features`' loop/comment fields fold to CASE
+    arithmetic for the oracle."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                w, h = 40 + k % 9, 36 + (3 * k) % 11
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                base = (
+                    17 * k + 3 * xs * xs + 7 * ys * ys + 5 * xs * ys
+                    + 11 * xs + 13 * ys
+                )
+                payload = encode_gif_frames(
+                    w, h,
+                    [
+                        {"px": ((base + 29 * f) % 251).astype(np.uint8),
+                         "delay_cs": 3 + f, "disposal": 1}
+                        for f in range(2)
+                    ],
+                    loop=None if k % 3 == 0 else (5 * k + 2) % 60000,
+                    comments=[
+                        bytes([(k + i) % 251]) * (1 + (k + i) % 13)
+                        for i in range(k % 3)
+                    ],
+                )
                 rows.append((k, "image", payload, "gif", len(payload)))
             yield pd.DataFrame(
                 rows,

@@ -4414,6 +4414,24 @@ def media_gif_features(spark, sf_dir):
     )
 
 
+def media_gif_loop_meta(spark, sf_dir):
+    """GIF loop/comment METADATA under the hash gate (r11): the strict
+    block walk now parses the NETSCAPE2.0 application extension (loop
+    count — None when absent, the play-once default; first one wins,
+    matching browsers) and comment extensions (count + total bytes)
+    instead of generically skipping them
+    (`operators/multimodal.py::_gif_walk_blocks`), surfacing them
+    through `gif_anim_features`/`gif_feature_meta` and the
+    `analyze-media` animation section.  `synth_gif_loop_meta` plants
+    id-arithmetic loop counts (omitted for k mod 3 = 0) and 0-2
+    comments of arithmetic lengths; the oracle folds every field to
+    CASE arithmetic.  Quarantine for malformed extension blocks is
+    unchanged (truncated sub-blocks still raise); a non-NETSCAPE app
+    extension degrades to a generic event, as browsers do."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.gif_feature_meta(multimodal.synth_gif_loop_meta(docs))
+
+
 def media_video_pairs(spark, sf_dir):
     """Perceptual VIDEO near-dedup — per-frame pHash over the real Y4M
     codec (`operators/multimodal.py::video_phash`, the SAME hash
@@ -8988,9 +9006,35 @@ SELECT id_a, id_b, n_frames, max_frame_hamming FROM (
 WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
 """
 
+    # GIF loop/comment metadata (r11): two full frames, disposal 1;
+    # loop_count NULL when the NETSCAPE ext is omitted (k mod 3 = 0),
+    # else (5k+2) mod 60000; comments fold to the planted lengths
+    o["media_gif_loop_meta"] = _q("""
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS m, doc_id % 3 AS r
+          FROM documents)
+        SELECT m AS media_id,
+               CAST(2 AS BIGINT) AS n_frames,
+               CAST(0 AS BIGINT) AS partial_frames,
+               CAST(0 AS BIGINT) AS transparent_frames,
+               CAST(0 AS BIGINT) AS interlaced_frames,
+               CAST(0 AS BIGINT) AS disposal_bg,
+               CAST(0 AS BIGINT) AS disposal_prev,
+               CAST(CASE WHEN r = 0 THEN NULL
+                         ELSE (5 * m + 2) % 60000 END AS BIGINT)
+                 AS loop_count,
+               CAST(r AS BIGINT) AS n_comments,
+               CAST(CASE WHEN r = 0 THEN 0
+                         WHEN r = 1 THEN 1 + m % 13
+                         ELSE 2 + m % 13 + (m + 1) % 13 END AS BIGINT)
+                 AS comment_bytes
+        FROM d
+    """)
+
     # GIF compositing-relevance features (r10): pure id arithmetic —
     # slots 0-7 carry the composited synth's GCE/descriptor plan,
-    # flattened slots 8/9 are all-full-frame disposal-1
+    # flattened slots 8/9 are all-full-frame disposal-1; r11 appends
+    # the loop/comment fields (the synth writes loop=0, no comments)
     o["media_gif_features"] = _q("""
         WITH d AS (
           SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 10 AS slot
@@ -9010,7 +9054,10 @@ WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
                CAST(CASE WHEN slot < 8 THEN
                  (CASE WHEN 1 + media_id % 3 = 3 THEN 1 ELSE 0 END)
                  + (CASE WHEN 1 + (media_id // 3) % 3 = 3 THEN 1 ELSE 0 END)
-                 ELSE 0 END AS BIGINT) AS disposal_prev
+                 ELSE 0 END AS BIGINT) AS disposal_prev,
+               CAST(0 AS BIGINT) AS loop_count,
+               CAST(0 AS BIGINT) AS n_comments,
+               CAST(0 AS BIGINT) AS comment_bytes
         FROM d
     """)
 
@@ -10607,6 +10654,7 @@ def _all_queries():
         "media_gif_local_palette": media_gif_local_palette,
         "media_gif_disposal2": media_gif_disposal2,
         "media_gif_disposal2_pairs": media_gif_disposal2_pairs,
+        "media_gif_loop_meta": media_gif_loop_meta,
         "media_wav_stereo": media_wav_stereo,
         "media_wav_depths": media_wav_depths,
         "media_png_variants": media_png_variants,

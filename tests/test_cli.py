@@ -1073,6 +1073,34 @@ def test_analyze_media_animation_section(spark, tmp_path):
         "with_interlace": 0,
         "with_restore_disposal": 0,
     }
+    # r11 loop/comment metadata: the 12 animated synths carry the
+    # NETSCAPE loop-forever extension; the 4 stills carry none
+    assert anim["metadata"] == {
+        "with_loop_extension": 12,
+        "loop_forever": 12,
+        "with_comments": 0,
+        "comment_bytes": 0,
+    }
+
+
+def test_analyze_media_loop_comment_metadata(spark, tmp_path):
+    """r11 analyze-media metadata block over the loop/comment synth:
+    loop extensions absent for k mod 3 = 0, comment counts/bytes fold
+    to the planted arithmetic — all from the strict walk, no decode."""
+    from slice_db_spark.operators import multimodal as M
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id bigint")
+    corpus = str(tmp_path / "media")
+    M.synth_gif_loop_meta(ids).write.parquet(corpus)
+    report = json.loads(run_cli("analyze-media", corpus))
+    md = report["animation"]["metadata"]
+    assert md["with_loop_extension"] == 8   # k % 3 != 0
+    assert md["loop_forever"] == 0          # planted counts are >= 2
+    assert md["with_comments"] == 8         # k % 3 in (1, 2)
+    want_bytes = sum(
+        1 + (k + i) % 13 for k in range(12) for i in range(k % 3)
+    )
+    assert md["comment_bytes"] == want_bytes
 
 
 def test_analyze_media_compositing_mix(spark, tmp_path):
@@ -1277,3 +1305,41 @@ def test_phash_files_dihedral_flag(spark, tmp_path):
     dih_pairs = {(p["id_a"], p["id_b"]) for p in dih["pairs"]}
     assert (0, 8) in dih_pairs and (0, 9) in dih_pairs
     assert (0, 8) not in plain_pairs
+
+
+def test_fsck_bare_parquet_corpus_and_status(spark, tmp_path):
+    """r11: fsck accepts a BARE parquet file as the corpus argument
+    (matching build-index/probe-index) and carries an overall status
+    field — a populated index section next to a fatal corpus error must
+    not read as healthy without checking errors[]."""
+    import random
+
+    from slice_db_spark.operators import similarity as S
+
+    rng = random.Random(7)
+    rows = [(100 + i, [rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(30)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>")
+    d = str(tmp_path / "idx")
+    S.build_ivfpq_index(corpus, d, n_cells=4, iters=1, m_subspaces=4,
+                        n_codes=8, opq_rounds=1)
+
+    # bare parquet FILE corpus: coalesce to one part and point at it
+    fdir = str(tmp_path / "one")
+    corpus.coalesce(1).write.parquet(fdir)
+    part = next(p for p in os.listdir(fdir) if p.endswith(".parquet"))
+    bare = os.path.join(fdir, part)
+
+    report = json.loads(run_cli("fsck", "--ivfpq-index", d, bare))
+    assert report["status"] == "ok" and report["errors"] == []
+    assert report["corpus"]["rows"] == 30 and report["corpus"]["files"] == 1
+    assert report["corpus"]["bytes"] == os.path.getsize(bare)
+    assert report["ivfpq_index"]["bad_code_rows"] == 0
+
+    # fatal corpus error + healthy index: status must say error
+    report = json.loads(run_cli(
+        "fsck", "--ivfpq-index", d, str(tmp_path / "nope"), expect_rc=2))
+    assert report["status"] == "error"
+    assert report["ivfpq_index"]["rows"] == 30  # section still populated
+    assert any("corpus dir missing" in e for e in report["errors"])

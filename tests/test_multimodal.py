@@ -2375,3 +2375,67 @@ def test_gif_disposal2_browser_flatten_pairs(spark):
         ).collect()
     }
     assert pairs_bg.get((0, 8), 99) > 0
+
+
+def test_gif_walk_loop_and_comment_extensions(spark):
+    """r11: the strict block walk PARSES the NETSCAPE2.0 loop count and
+    comment extensions instead of generically skipping them — absent
+    loop reads None (play once), the first NETSCAPE wins, a non-NETSCAPE
+    application extension degrades to a generic event (browsers ignore
+    those), and the unchanged quarantine still raises on truncated
+    extension sub-blocks."""
+    import numpy as np
+
+    import pytest
+
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    spec = [{"px": px, "delay_cs": 2, "disposal": 1}]
+
+    feats = M.gif_anim_features(
+        M.encode_gif_frames(4, 3, spec, loop=7,
+                            comments=[b"hello", b"x" * 300])
+    )
+    # (n, partial, transp, inter, d_bg, d_prev, loop, n_comments, bytes)
+    assert feats == (1, 0, 0, 0, 0, 0, 7, 2, 305)
+
+    # loop=None omits the extension entirely -> loop_count None
+    feats = M.gif_anim_features(M.encode_gif_frames(4, 3, spec, loop=None))
+    assert feats[6] is None and feats[7] == 0 and feats[8] == 0
+
+    # a second NETSCAPE extension does not override the first
+    p = bytearray(M.encode_gif_frames(4, 3, spec, loop=3))
+    i = p.index(b"NETSCAPE2.0") - 3
+    second = bytes(p[i:i + 19])
+    assert second[3:14] == b"NETSCAPE2.0" and len(second) == 19
+    forged = p[:i + 19] + bytearray(
+        b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x63\x00\x00"
+    ) + p[i + 19:]
+    assert M.gif_anim_features(bytes(forged))[6] == 3
+
+    # an unknown application extension is a generic event, not a loop
+    other = p[:i + 19] + bytearray(
+        b"\x21\xff\x0bXMP DataXMP\x03\x01\x63\x00\x00"
+    ) + p[i + 19:]
+    assert M.gif_anim_features(bytes(other))[6] == 3
+
+    # truncated comment sub-block: quarantine unchanged
+    good = M.encode_gif_frames(4, 3, spec, comments=[b"abcdef"])
+    j = good.index(b"\x21\xfe")
+    cut = good[: j + 4]  # inside the 6-byte comment sub-block
+    with pytest.raises(ValueError):
+        M.gif_anim_features(cut)
+
+    # Spark surface: the planted loop-meta synth folds to arithmetic
+    ids = spark.createDataFrame([(k,) for k in range(9)], "doc_id bigint")
+    rows = {r.media_id: r for r in M.gif_feature_meta(
+        M.synth_gif_loop_meta(ids)
+    ).collect()}
+    for k in range(9):
+        r = rows[k]
+        assert r.n_frames == 2 and r.partial_frames == 0
+        if k % 3 == 0:
+            assert r.loop_count is None
+        else:
+            assert r.loop_count == (5 * k + 2) % 60000
+        assert r.n_comments == k % 3
+        assert r.comment_bytes == sum(1 + (k + i) % 13 for i in range(k % 3))
