@@ -842,3 +842,97 @@ def test_media_ingest_jvm_decode_quarantines_negative_ids(spark, tmp_path):
     assert got == {0, 1}
     quarantined = {r.media_id for r in spark.read.json(quar).collect()}
     assert quarantined == {-7}
+
+
+def test_media_ingest_gif_video_interlaced_and_local_palette(spark, tmp_path):
+    """r11 gif-video lane over the two compositing shapes no stream
+    test planted before: an INTERLACED animation (frame 2 written in
+    4-pass order) and a per-frame LOCAL-COLOR-TABLE animation both
+    build the standing index in batch 0; batch 1's plain re-encodes —
+    the interlaced one's full-frame flatten and the local-palette one's
+    GRAY re-encode at the luma values (the per-frame hash is luma-only,
+    so a correct RGB-space compositor pairs it at distance 0; an
+    index-space compositor would not) — reject as near-dups while a
+    fresh animation ingests; batch 2 + a drained replay stay
+    exactly-once."""
+    import numpy as np
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    quar = str(tmp_path / "quar")
+    rej = str(tmp_path / "rej")
+    os.makedirs(land)
+
+    def ids_df(ids):
+        return spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+
+    # batch 0: id 0 = composited synth (k even -> interlaced frame 2);
+    # id 5 = local-palette animation
+    b0 = M.synth_gif_composited(ids_df([0])).unionByName(
+        M.synth_gif_local_palette(ids_df([5]))
+    )
+    _land(b0, land, "b0.parquet", 1_000_000_000)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, rejects=rej,
+                           fingerprint="gif-video")
+    assert {r.media_id for r in spark.read.parquet(out).collect()} == {0, 5}
+
+    # batch 1 re-encodes, derived from ID ARITHMETIC alone (never this
+    # repo's decoder):
+    # id 301 = full-frame flatten of id 0 (synth_gif_composited_dups'
+    # slot-8 arithmetic re-keyed), id 302 = gray-luma flatten of id 5,
+    # id 310 = fresh animation
+    flat0 = M.synth_gif_composited_dups(ids_df([8])).collect()[0]
+    flat0_row = spark.createDataFrame(
+        [(301, flat0.kind, flat0.payload, flat0.format, flat0.n_bytes)],
+        M.MEDIA_SCHEMA,
+    )
+    k = 5
+    w, h = 40 + k % 9, 36 + (3 * k) % 11
+    xs = np.arange(w)[None, :]
+    ys = np.arange(h)[:, None]
+    base = ((17 * k + 3 * xs * xs + 7 * ys * ys + 5 * xs * ys
+             + 11 * xs + 13 * ys) % 251).astype(np.int64)
+    ox, oy = 2 + k % 7, 3 + k % 5
+    pw, ph = 12 + k % 5, 10 + k % 4
+    us = np.arange(pw)[None, :]
+    vs = np.arange(ph)[:, None]
+    i_idx = (11 * k + 3 * us + 5 * vs) % 64
+    r = (3 * i_idx + k) % 251
+    g = (5 * i_idx + 2 * k) % 251
+    b = (7 * i_idx + 3 * k) % 251
+    luma = (299 * r + 587 * g + 114 * b) // 1000
+    f0, f1 = base.copy(), base.copy()
+    f1[oy:oy + ph, ox:ox + pw] = luma
+    flat5 = M.encode_gif_animated(
+        w, h, np.stack([f0, f1]).astype(np.uint8), [2, 3])
+    flat5_row = spark.createDataFrame(
+        [(302, "image", bytearray(flat5), "gif", len(flat5))],
+        M.MEDIA_SCHEMA,
+    )
+    fresh = M.synth_gif_composited(ids_df([310]))
+    _land(flat0_row.unionByName(flat5_row).unionByName(fresh),
+          land, "b1.parquet", 1_000_000_100)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, rejects=rej,
+                           fingerprint="gif-video")
+    assert {r.media_id for r in spark.read.parquet(out).collect()} == {0, 5, 310}
+    neardup = {r.media_id for r in spark.read.json(rej + ".neardup").collect()}
+    assert neardup == {301, 302}
+
+    # batch 2: another fresh animation; then a drained replay is a no-op
+    _land(M.synth_gif_local_palette(ids_df([6])), land, "b2.parquet",
+          1_000_000_200)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, rejects=rej,
+                           fingerprint="gif-video")
+    want = {0, 5, 310, 6}
+    assert {r.media_id for r in spark.read.parquet(out).collect()} == want
+    n_idx = spark.read.parquet(idx).count()
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, rejects=rej,
+                           fingerprint="gif-video")
+    assert {r.media_id for r in spark.read.parquet(out).collect()} == want
+    assert spark.read.parquet(idx).count() == n_idx
