@@ -164,6 +164,7 @@ HEADLINE = [
     "media_gif_local_palette",
     "media_gif_disposal2",
     "media_gif_disposal2_pairs",
+    "media_gif_loop_meta",
     "media_video_incremental",
     "media_video_shots",
     "media_exif",

@@ -501,6 +501,27 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def _parse_matte(spec: str | None):
+    """``--gif-matte`` parser: 'white' / 'black' / 'r,g,b' → RGB triple
+    (None passes through — the spec-background default)."""
+    if spec is None:
+        return None
+    named = {"white": (255, 255, 255), "black": (0, 0, 0)}
+    if spec.lower() in named:
+        return named[spec.lower()]
+    parts = spec.split(",")
+    try:
+        matte = tuple(int(v) for v in parts)
+    except ValueError:
+        matte = ()
+    if len(matte) != 3 or not all(0 <= v <= 255 for v in matte):
+        raise SystemExit(
+            f"--gif-matte must be 'white', 'black', or 'r,g,b' "
+            f"(0-255 each), got {spec!r}"
+        )
+    return matte
+
+
 def cmd_ingest_media(args) -> int:
     """One-shot streaming media ingestion run (availableNow): drain the
     landing directory's parquet image shards into the deduplicated media
@@ -525,6 +546,7 @@ def cmd_ingest_media(args) -> int:
         max_aspect=args.max_aspect,
         windows_per_sec=args.windows_per_sec,
         jvm_decode=args.jvm_decode,
+        gif_matte=_parse_matte(args.gif_matte),
     )
     report = {"corpus_rows": spark.read.parquet(args.corpus).count()}
     import os as _os
@@ -1737,6 +1759,13 @@ def main(argv: list[str] | None = None) -> int:
     im.add_argument("--max-aspect", type=int, default=None,
                     help="image curation gate: drop images whose longer "
                     "side exceeds this multiple of the shorter")
+    im.add_argument("--gif-matte", default=None,
+                    help="gif-video lane flatten matte: 'white', 'black', "
+                    "or 'r,g,b' — composite under the page color so the "
+                    "index pairs disposal-2 originals against browser-"
+                    "style flattens; default = the GIF spec's background "
+                    "color; recorded in the index sidecar, a mismatched "
+                    "re-ingest raises")
     im.add_argument("--windows-per-sec", type=int, default=None,
                     help="audio lane: TIME-based energy windows (window "
                     "length = rate/this from the WAV header) — resample-"

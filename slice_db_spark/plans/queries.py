@@ -4592,17 +4592,18 @@ def media_dedup_panorama(spark, sf_dir):
 
 
 def media_robust_panorama(spark, sf_dir):
-    """One report across the six ROBUSTNESS lanes the plain perceptual
-    contracts miss (r8, +dihedral r9): EXIF-rotated refetches
-    (`media_phash_oriented`), EXIF-STRIPPED rotations
+    """One report across the seven ROBUSTNESS lanes the plain perceptual
+    contracts miss (r8, +dihedral r9, +browser flatten r11): EXIF-rotated
+    refetches (`media_phash_oriented`), EXIF-STRIPPED rotations
     (`media_phash_dihedral`), clipped/padded audio replays
     (`media_audio_offset_pairs`), resampled re-encodes
     (`media_audio_resampled_pairs`), one-frame video trims
-    (`media_video_trimmed_pairs`), and cross-clip shot reuse
-    (`media_shot_reuse`) — per lane, the pair count and the items a
-    min-id-wins pass would drop.  The oracle embeds each lane's oracle
-    SQL verbatim as a subquery (the dedup_panorama drift-proof
-    composition pattern)."""
+    (`media_video_trimmed_pairs`), cross-clip shot reuse
+    (`media_shot_reuse`), and disposal-2 GIFs vs their browser-style
+    white-matte flattens (`media_gif_disposal2_pairs`) — per lane, the
+    pair count and the items a min-id-wins pass would drop.  The oracle
+    embeds each lane's oracle SQL verbatim as a subquery (the
+    dedup_panorama drift-proof composition pattern)."""
     def summarize(pairs, lane):
         return pairs.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
@@ -4627,6 +4628,12 @@ def media_robust_panorama(spark, sf_dir):
         )
         .unionByName(
             summarize(media_shot_reuse(spark, sf_dir), "video_shot_reuse")
+        )
+        .unionByName(
+            summarize(
+                media_gif_disposal2_pairs(spark, sf_dir),
+                "gif_browser_flatten",
+            )
         )
     )
 
@@ -9445,6 +9452,10 @@ UNION ALL
 SELECT 'video_shot_reuse', CAST(count(*) AS BIGINT),
        CAST(count(DISTINCT id_b) AS BIGINT)
 FROM ({o["media_shot_reuse"]})
+UNION ALL
+SELECT 'gif_browser_flatten', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT id_b) AS BIGINT)
+FROM ({o["media_gif_disposal2_pairs"]})
 """
 
     # continuous image-dedup regime: corpus half's signatures are the

@@ -64,19 +64,25 @@ def write_phash_meta(
     path: str, bits: int, bands: int, max_hamming: int,
     fingerprint: str = "phash",
     windows_per_sec: int | None = None,
+    gif_matte: tuple[int, int, int] | None = None,
 ) -> None:
     """Persist the signature mode + banding parameters the index serves —
     probing with different (fingerprint, bits, bands) silently matches
     nothing (or mixes incomparable signatures).  ``windows_per_sec``
     (audio time-window mode) is recorded only when set: fingerprints
     built with different windowings are just as incomparable as
-    different modalities."""
+    different modalities.  ``gif_matte`` (r11, gif-video mode) likewise:
+    per-frame hashes composited under different flatten mattes differ
+    over disposal-2-exposed regions, so the matte is an index
+    property."""
     import json
 
     meta = {"bits": bits, "bands": bands, "max_hamming": max_hamming,
             "fingerprint": fingerprint}
     if windows_per_sec is not None:
         meta["windows_per_sec"] = windows_per_sec
+    if gif_matte is not None:
+        meta["gif_matte"] = list(gif_matte)
     with open(os.path.join(path, PHASH_META_NAME), "w") as f:
         json.dump(meta, f)
 
@@ -164,6 +170,7 @@ def ingest_media_stream(
     max_aspect: int | None = None,
     windows_per_sec: int | None = None,
     jvm_decode: bool = False,
+    gif_matte: tuple[int, int, int] | None = None,
 ):
     """Start (and with ``available_now`` run to completion) the media
     ingestion stream — see the module docstring for the per-batch
@@ -228,9 +235,18 @@ def ingest_media_stream(
         # compositing decode (gif_frames) feeds gif_video_phash, so an
         # optimizer-style partial-frame GIF and its flattened re-encode
         # dedup at the door like any video replay
+        # gif_matte (r11): composite under an explicit page matte so
+        # the standing index pairs disposal-2 originals against
+        # BROWSER-style flattens (screenshot pipelines, ImageMagick
+        # -background ... -flatten re-encodes); default = the spec
+        # background reading
         "gif-video": (
             63, 7, 6,
-            lambda b: _mm.gif_video_phash(b, null_on_error=True),
+            lambda b: _mm.gif_video_phash(
+                b, null_on_error=True,
+                matte=("background" if gif_matte is None
+                       else tuple(gif_matte)),
+            ),
         ),
     }
     if fingerprint not in _MODES:
@@ -328,6 +344,17 @@ def ingest_media_stream(
             "windows_per_sec is the audio lane's time-window mode — "
             f"meaningless with fingerprint={fingerprint!r}"
         )
+    if gif_matte is not None:
+        if fingerprint != "gif-video":
+            raise ValueError(
+                "gif_matte picks the gif-video lane's flatten color — "
+                f"meaningless with fingerprint={fingerprint!r}"
+            )
+        gif_matte = tuple(int(v) for v in gif_matte)
+        if len(gif_matte) != 3 or not all(0 <= v <= 255 for v in gif_matte):
+            raise ValueError(
+                f"gif_matte must be an RGB triple in 0-255, got {gif_matte!r}"
+            )
 
     def _sink(batch: DataFrame, epoch_id: int) -> None:
         import contextlib
@@ -493,6 +520,15 @@ def ingest_media_stream(
                         f"ingesting with {windows_per_sec!r} would mix "
                         "fingerprints from different window lengths"
                     )
+                if meta and meta.get("gif_matte") != (
+                    list(gif_matte) if gif_matte is not None else None
+                ):
+                    raise ValueError(
+                        f"index at {phash_index} was built with "
+                        f"gif_matte={meta.get('gif_matte')!r}; ingesting "
+                        f"with {gif_matte!r} would mix hashes composited "
+                        "under different flatten mattes"
+                    )
                 if meta is None and _index_has_rows(phash_index):
                     # rows but no sidecar: our writer stamps the sidecar
                     # BEFORE the first append, so this state means the
@@ -516,6 +552,7 @@ def ingest_media_stream(
                     write_phash_meta(
                         phash_index, b_, n_, h_, fingerprint,
                         windows_per_sec=windows_per_sec,
+                        gif_matte=gif_matte,
                     )
                 # within-batch perceptual pairs: min media_id wins (the
                 # standing index only covers prior batches)

@@ -936,3 +936,70 @@ def test_media_ingest_gif_video_interlaced_and_local_palette(spark, tmp_path):
                            fingerprint="gif-video")
     assert {r.media_id for r in spark.read.parquet(out).collect()} == want
     assert spark.read.parquet(idx).count() == n_idx
+
+
+def test_media_ingest_gif_video_browser_matte(spark, tmp_path):
+    """r11 gif_matte: a gif-video index built under the WHITE page matte
+    pairs a disposal-2 original against its browser-style flatten at the
+    door (the default background matte would not — pinned), the matte
+    lands in the sidecar, and a mismatched re-ingest refuses."""
+    import pytest
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    quar = str(tmp_path / "quar")
+    rej = str(tmp_path / "rej")
+    os.makedirs(land)
+
+    def gifs(ids):
+        return M.synth_gif_disposal2_dups(
+            spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+        )
+
+    # batch 0: the disposal-2 original (slot 0) under matte white
+    _land(gifs([0]), land, "b0.parquet", 1_000_000_000)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, rejects=rej,
+                           fingerprint="gif-video",
+                           gif_matte=(255, 255, 255))
+    assert SM.read_phash_meta(idx)["gif_matte"] == [255, 255, 255]
+
+    # batch 1: id 8 = the browser flatten of id 0 -> near-dup reject
+    _land(gifs([8]), land, "b1.parquet", 1_000_000_100)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, rejects=rej,
+                           fingerprint="gif-video",
+                           gif_matte=(255, 255, 255))
+    assert {r.media_id for r in spark.read.parquet(out).collect()} == {0}
+    neardup = {r.media_id for r in spark.read.json(rej + ".neardup").collect()}
+    assert neardup == {8}
+
+    # mismatched matte on re-ingest refuses (index property)
+    _land(gifs([10]), land, "b2.parquet", 1_000_000_200)
+    with pytest.raises(Exception, match="gif_matte"):
+        SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                               quarantine=quar, rejects=rej,
+                               fingerprint="gif-video")
+
+    # negative pin: under the DEFAULT matte the flatten is NOT a
+    # near-dup of the original (separate index)
+    land2 = str(tmp_path / "land2")
+    os.makedirs(land2)
+    out2, idx2, ckpt2 = (str(tmp_path / n) for n in ("c2", "i2", "k2"))
+    _land(gifs([0]), land2, "b0.parquet", 1_000_000_000)
+    SM.ingest_media_stream(spark, land2, out2, ckpt2, phash_index=idx2,
+                           quarantine=quar, rejects=rej + "2",
+                           fingerprint="gif-video")
+    _land(gifs([8]), land2, "b1.parquet", 1_000_000_100)
+    SM.ingest_media_stream(spark, land2, out2, ckpt2, phash_index=idx2,
+                           quarantine=quar, rejects=rej + "2",
+                           fingerprint="gif-video")
+    assert {r.media_id for r in spark.read.parquet(out2).collect()} == {0, 8}
+
+    # matte on a non-gif lane refuses
+    with pytest.raises(Exception, match="gif_matte"):
+        SM.ingest_media_stream(spark, land2, out2, ckpt2,
+                               fingerprint="phash",
+                               gif_matte=(255, 255, 255))

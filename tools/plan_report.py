@@ -167,6 +167,13 @@ AUDIT = [
     "media_gif_local_palette",
     "ann_pq_opq",
     "ann_ivfpq_opq",
+    # r11 shapes: the RGBA dual-matte compositing gate, the disposal-2
+    # original vs browser-flatten pairing (white-matte gif_video_phash
+    # through the unchanged video lane), and the strict-walk
+    # loop/comment metadata gate
+    "media_gif_disposal2",
+    "media_gif_disposal2_pairs",
+    "media_gif_loop_meta",
 ]
 
 MAX_LINES = 80
