@@ -165,6 +165,8 @@ HEADLINE = [
     "media_gif_disposal2",
     "media_gif_disposal2_pairs",
     "media_gif_loop_meta",
+    "media_apng_composited",
+    "media_apng_gif_pairs",
     "media_video_incremental",
     "media_video_shots",
     "media_exif",

@@ -1726,15 +1726,18 @@ def main(argv: list[str] | None = None) -> int:
                     "(sibling <rejects>.neardup)")
     im.add_argument("--fingerprint",
                     choices=["phash", "phash-dihedral", "audio", "video",
-                             "gif-video"],
+                             "gif-video", "anim-video"],
                     default="phash",
                     help="signature modality: 63-bit image pHash (banding "
                     "63/7, threshold 6), its rotation-invariant dihedral "
                     "variant, 30-bit audio energy fingerprint "
                     "(30/6, threshold 4), per-frame video pHash (equal "
                     "frame counts, every aligned frame within threshold), "
-                    "or gif-video (animated GIFs composited per frame "
-                    "through the same video contract)")
+                    "gif-video (animated GIFs composited per frame "
+                    "through the same video contract), or anim-video "
+                    "(cross-format: GIF and APNG dispatch by magic bytes "
+                    "into one index, so re-encodes across containers "
+                    "dedup at the door)")
     im.add_argument("--jvm-decode", action="store_true",
                     help="decode image batches through the JVM ImageIO "
                     "lane via an executor-side file spill (native-rate "
@@ -1760,7 +1763,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="image curation gate: drop images whose longer "
                     "side exceeds this multiple of the shorter")
     im.add_argument("--gif-matte", default=None,
-                    help="gif-video lane flatten matte: 'white', 'black', "
+                    help="gif-/anim-video lane flatten matte: 'white', "
+                    "'black', "
                     "or 'r,g,b' — composite under the page color so the "
                     "index pairs disposal-2 originals against browser-"
                     "style flattens; default = the GIF spec's background "

@@ -5602,6 +5602,815 @@ def synth_gif_loop_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+# ------------------------------------------------------------- APNG codec
+# ANIMATED PNG — the other animation container a crawl actually holds
+# (GIF's successor on the modern web: stickers, emoji, UI captures).  The
+# reference has no media code at all (slice_db is a PostgreSQL capture
+# tool); this lane exists for the large-scale training-data pipeline: an
+# animation that circulates as BOTH GIF and APNG re-encodes must dedup
+# across the container formats, and APNG's alpha compositing (blend OVER,
+# fractional alpha) is the arithmetic GIF's binary transparency never
+# exercises.  Frame data rides the EXISTING PNG machinery (`_png_unfilter`
+# per frame region, the same zlib/CRC framing), compositing rides the r11
+# RGBA-canvas + matte-flatten design — generalized to REAL alpha: the
+# flatten is alpha-weighted, dispose/blend follow the APNG spec (PNG third
+# edition §12 / the original Mozilla spec), and blend OVER uses an
+# integer-exact form of the spec's straight-alpha compositing so the
+# DuckDB oracles re-derive every blended pixel.
+
+
+def _apng_chunk_walk(payload: bytes):
+    """Yield ``(tag, body)`` for every chunk of a PNG stream, verifying
+    length framing and CRCs — the strict-walk quarantine contract the
+    GIF block walk set: structural damage raises ``ValueError`` instead
+    of misreporting.  Stops after IEND."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln or pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        yield tag, body
+        if tag == b"IEND":
+            return
+        pos += 12 + ln
+    raise ValueError("PNG stream missing IEND")
+
+
+def encode_apng_frames(
+    width: int,
+    height: int,
+    specs: list[dict],
+    num_plays: int = 0,
+    bkgd: tuple[int, int, int] | None = None,
+    hidden_default=None,
+) -> bytes:
+    """GENERAL APNG writer (r11) — the fixture generator that drives
+    every branch of the compositing reader.  Per-frame dict specs:
+
+    - ``px``: numpy ``(fh, fw, 4)`` uint8 straight-alpha RGBA samples
+    - ``x``/``y``: frame offset on the canvas (default 0)
+    - ``delay_num``/``delay_den``: fcTL delay fraction (default 0/100)
+    - ``dispose``: 0 none / 1 background / 2 previous
+    - ``blend``: 0 SOURCE (replace incl. alpha) / 1 OVER (composite)
+
+    Layout: IHDR (RGBA-8) → acTL → [bKGD] → fcTL(0) → IDAT holding
+    frame 0 (which must be full-canvas at (0,0), per spec for an
+    IDAT-backed first frame) → per later frame fcTL + fdAT, one shared
+    sequence counter.  ``hidden_default`` (a full-canvas RGBA array)
+    writes the default image to IDAT WITHOUT a leading fcTL — the
+    "default image is not part of the animation" shape — and every
+    spec'd frame goes to fdAT.  Frame scanlines are filter-0; the
+    filter variety gate is the still-PNG synth's job."""
+    import numpy as np
+
+    def frame_data(px):
+        fh, fw = px.shape[:2]
+        raw = b"".join(
+            b"\x00" + px[yy].tobytes() for yy in range(fh)
+        )
+        return zlib.compress(raw)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    out = bytearray(_PNG_SIG + _png_chunk(b"IHDR", ihdr))
+    out += _png_chunk(b"acTL", struct.pack(">II", len(specs), num_plays))
+    if bkgd is not None:
+        out += _png_chunk(b"bKGD", struct.pack(">HHH", *bkgd))
+    seq = 0
+    for i, spec in enumerate(specs):
+        px = np.ascontiguousarray(np.asarray(spec["px"], dtype=np.uint8))
+        if px.ndim != 3 or px.shape[2] != 4:
+            raise ValueError("APNG frame px must be (fh, fw, 4) RGBA")
+        fh, fw = px.shape[:2]
+        x, y = int(spec.get("x", 0)), int(spec.get("y", 0))
+        if x < 0 or y < 0 or x + fw > width or y + fh > height:
+            raise ValueError("APNG frame rect outside the canvas")
+        dispose = int(spec.get("dispose", 0))
+        blend = int(spec.get("blend", 0))
+        if not 0 <= dispose <= 2:
+            raise ValueError(f"APNG dispose_op {dispose} undefined")
+        if blend not in (0, 1):
+            raise ValueError(f"APNG blend_op {blend} undefined")
+        if i == 0 and hidden_default is None and (
+            (x, y) != (0, 0) or (fw, fh) != (width, height)
+        ):
+            raise ValueError("APNG IDAT-backed first frame must be full-canvas")
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, fw, fh, x, y,
+            int(spec.get("delay_num", 0)), int(spec.get("delay_den", 100)),
+            dispose, blend,
+        )
+        out += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        data = frame_data(px)
+        if i == 0 and hidden_default is None:
+            out += _png_chunk(b"IDAT", data)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + data)
+            seq += 1
+    if hidden_default is not None:
+        dflt = np.ascontiguousarray(
+            np.asarray(hidden_default, dtype=np.uint8)
+        )
+        if dflt.shape != (height, width, 4):
+            raise ValueError("APNG hidden default image must be full-canvas RGBA")
+        # the default image bytes follow every fcTL/fdAT in sequence
+        # space but IDAT itself carries no sequence number; chunk order
+        # still places it after acTL and before the first fdAT
+        body = _png_chunk(b"IDAT", frame_data(dflt))
+        # splice IDAT before the first fcTL's fdAT: simplest correct
+        # order is acTL, fcTL(0), IDAT?  No — a hidden default means
+        # the FIRST fcTL comes after IDAT.  Rebuild: IHDR acTL [bKGD]
+        # IDAT then the fcTL/fdAT stream with fdAT for every frame.
+        out = bytearray(_PNG_SIG + _png_chunk(b"IHDR", ihdr))
+        out += _png_chunk(b"acTL", struct.pack(">II", len(specs), num_plays))
+        if bkgd is not None:
+            out += _png_chunk(b"bKGD", struct.pack(">HHH", *bkgd))
+        out += body
+        seq = 0
+        for spec in specs:
+            px = np.ascontiguousarray(np.asarray(spec["px"], dtype=np.uint8))
+            fh, fw = px.shape[:2]
+            x, y = int(spec.get("x", 0)), int(spec.get("y", 0))
+            fctl = struct.pack(
+                ">IIIIIHHBB", seq, fw, fh, x, y,
+                int(spec.get("delay_num", 0)),
+                int(spec.get("delay_den", 100)),
+                int(spec.get("dispose", 0)), int(spec.get("blend", 0)),
+            )
+            out += _png_chunk(b"fcTL", fctl)
+            seq += 1
+            out += _png_chunk(
+                b"fdAT", struct.pack(">I", seq) + frame_data(px)
+            )
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def _apng_blend_over(dst, src):
+    """Integer-exact APNG blend OVER (straight alpha, uint8 in/out).
+    The spec composes in [0, 1] floats; with 0-255 channels the exact
+    rationals are ``out_a = (fa·255 + ba·(255−fa)) / 255`` and
+    ``out_c = (fc·fa·255 + bc·ba·(255−fa)) / (fa·255 + ba·(255−fa))``
+    — both rounded HALF-UP here, so every blended pixel is one integer
+    expression the SQL oracles restate.  Fully-transparent results keep
+    zeroed color channels."""
+    import numpy as np
+
+    fa = src[..., 3:].astype(np.int64)
+    ba = dst[..., 3:].astype(np.int64)
+    fc = src[..., :3].astype(np.int64)
+    bc = dst[..., :3].astype(np.int64)
+    num_a = fa * 255 + ba * (255 - fa)
+    out_a = (num_a + 127) // 255
+    safe = np.maximum(num_a, 1)
+    out_c = (fc * fa * 255 + bc * ba * (255 - fa) + safe // 2) // safe
+    out_c = np.where(num_a == 0, 0, out_c)
+    return np.concatenate([out_c, out_a], axis=2).astype(np.uint8)
+
+
+def _rgba_flatten(frame, matte_rgb):
+    """RGBA → RGB against ``matte_rgb`` with REAL alpha weighting
+    (round half-up) — the generalization of :func:`_gif_flatten_rgba`
+    APNG's fractional alpha needs; identical on binary-alpha frames."""
+    import numpy as np
+
+    a = frame[:, :, 3:].astype(np.int64)
+    c = frame[:, :, :3].astype(np.int64)
+    m = np.asarray(matte_rgb, dtype=np.int64)
+    return ((c * a + m * (255 - a) + 127) // 255).astype(np.uint8)
+
+
+def _png_samples_to_rgba(arr, color: int, plte, fw: int, fh: int):
+    """Decoded PNG samples (any depth-8 color type) → straight-alpha
+    ``(fh, fw, 4)`` RGBA.  Gray / palette / RGB frames are opaque;
+    gray+alpha and RGBA carry their alpha through."""
+    import numpy as np
+
+    out = np.empty((fh, fw, 4), dtype=np.uint8)
+    if color == 0:
+        g = arr.reshape(fh, fw)
+        out[:, :, 0] = out[:, :, 1] = out[:, :, 2] = g
+        out[:, :, 3] = 255
+    elif color == 2:
+        out[:, :, :3] = arr.reshape(fh, fw, 3)
+        out[:, :, 3] = 255
+    elif color == 3:
+        if plte is None or len(plte) == 0 or len(plte) % 3:
+            raise ValueError("palette PNG without a valid PLTE chunk")
+        idx = arr.reshape(fh, fw)
+        if int(idx.max(initial=0)) >= len(plte) // 3:
+            raise ValueError("PNG palette index outside the PLTE table")
+        lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        out[:, :, :3] = lut[idx]
+        out[:, :, 3] = 255
+    elif color == 4:
+        ga = arr.reshape(fh, fw, 2)
+        out[:, :, 0] = out[:, :, 1] = out[:, :, 2] = ga[:, :, 0]
+        out[:, :, 3] = ga[:, :, 1]
+    else:
+        out[:] = arr.reshape(fh, fw, 4)
+    return out
+
+
+def _apng_decode_frames_rgba(payload: bytes):
+    """APNG decode + compositing core (r11) → ``(w, h, [frame RGBA
+    arrays], bg_rgb, num_plays)`` of composited full-canvas frames,
+    browser-style:
+
+    - the canvas starts fully TRANSPARENT,
+    - each frame's region decodes through the SHARED PNG scanline
+      machinery (its own zlib stream, its own filter bytes,
+      :func:`_png_unfilter` at the region's stride),
+    - blend 0 (SOURCE) replaces the region INCLUDING alpha — an
+      alpha-0 source pixel punches a hole GIF's skip-the-index
+      transparency cannot, blend 1 (OVER) alpha-composites via
+      :func:`_apng_blend_over`,
+    - after a frame is emitted its dispose_op runs: 0 keep, 1 clear
+      the region to transparent, 2 restore the region to the canvas as
+      it was before the frame drew; the FIRST frame's dispose 2 is
+      treated as 1 (spec: there is no previous),
+    - the default image: an fcTL BEFORE IDAT makes the IDAT image
+      frame 0 (and it must be full-canvas); otherwise the IDAT image
+      is a fallback for non-animated readers and is NOT composited.
+
+    ``bg_rgb`` is the bKGD chunk's color (zeros when absent) — the
+    matte :func:`apng_frames` resolves ``"background"`` to.  Strict
+    quarantine contract (ValueError): missing/duplicate acTL, fcTL
+    count vs acTL mismatch, out-of-order sequence numbers, undefined
+    dispose/blend ops, out-of-canvas rects, non-full-canvas IDAT
+    frame 0, fdAT before any fcTL, tRNS (palette alpha — unsupported),
+    truncated or CRC-damaged chunks, non-depth-8 streams."""
+    import numpy as np
+
+    ihdr = None
+    plte = None
+    bkgd = None
+    actl = None
+    idat = bytearray()
+    fctl_list: list = []  # (fctl fields, bytearray data, uses_idat)
+    cur = None
+    expect_seq = 0
+    saw_idat = False
+    saw_end = False
+    for tag, body in _apng_chunk_walk(payload):
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"tRNS":
+            raise ValueError("APNG tRNS (palette alpha) unsupported")
+        elif tag == b"bKGD":
+            bkgd = body
+        elif tag == b"acTL":
+            if actl is not None:
+                raise ValueError("duplicate acTL chunk")
+            if saw_idat:
+                raise ValueError("acTL after IDAT")
+            if len(body) != 8:
+                raise ValueError("acTL length != 8")
+            actl = struct.unpack(">II", body)
+        elif tag == b"fcTL":
+            if len(body) != 26:
+                raise ValueError("fcTL length != 26")
+            seq, fw, fh, fx, fy, dnum, dden, dispose, blend = struct.unpack(
+                ">IIIIIHHBB", body
+            )
+            if seq != expect_seq:
+                raise ValueError(
+                    f"APNG sequence number {seq} != expected {expect_seq}"
+                )
+            expect_seq += 1
+            if dispose > 2:
+                raise ValueError(f"APNG dispose_op {dispose} undefined")
+            if blend > 1:
+                raise ValueError(f"APNG blend_op {blend} undefined")
+            cur = [
+                (fw, fh, fx, fy, dnum, dden, dispose, blend),
+                bytearray(),
+                not saw_idat,
+            ]
+            fctl_list.append(cur)
+        elif tag == b"fdAT":
+            if len(body) < 4:
+                raise ValueError("fdAT missing sequence number")
+            (seq,) = struct.unpack(">I", body[:4])
+            if seq != expect_seq:
+                raise ValueError(
+                    f"APNG sequence number {seq} != expected {expect_seq}"
+                )
+            expect_seq += 1
+            if cur is None or cur[2]:
+                raise ValueError("fdAT without a preceding post-IDAT fcTL")
+            cur[1] += body[4:]
+        elif tag == b"IDAT":
+            saw_idat = True
+            idat += body
+        elif tag == b"IEND":
+            saw_end = True
+    if ihdr is None or not saw_end or not saw_idat:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    if actl is None:
+        raise ValueError("PNG without acTL is not animated")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color not in (0, 2, 3, 4, 6) or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported APNG: depth={depth} color={color} "
+            f"interlace={interlace}"
+        )
+    if w == 0 or h == 0:
+        raise ValueError("APNG zero-size canvas")
+    n_frames, num_plays = actl
+    if n_frames != len(fctl_list) or n_frames == 0:
+        raise ValueError(
+            f"acTL num_frames {n_frames} != {len(fctl_list)} fcTL chunks"
+        )
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    if bkgd is not None:
+        if color == 3:
+            if len(bkgd) != 1:
+                raise ValueError("bKGD length for palette PNG != 1")
+            bg_rgb = _png_samples_to_rgba(
+                np.array([bkgd[0]], dtype=np.uint8), 3, plte, 1, 1
+            )[0, 0, :3]
+        elif color in (0, 4):
+            if len(bkgd) != 2:
+                raise ValueError("bKGD length for grayscale PNG != 2")
+            v = struct.unpack(">H", bkgd)[0]
+            if v > 255:
+                raise ValueError("bKGD sample exceeds bit depth")
+            bg_rgb = np.full(3, v, dtype=np.uint8)
+        else:
+            if len(bkgd) != 6:
+                raise ValueError("bKGD length for RGB PNG != 6")
+            vals = struct.unpack(">HHH", bkgd)
+            if max(vals) > 255:
+                raise ValueError("bKGD sample exceeds bit depth")
+            bg_rgb = np.asarray(vals, dtype=np.uint8)
+    else:
+        bg_rgb = np.zeros(3, dtype=np.uint8)
+
+    def decode_region(data: bytes, fw: int, fh: int):
+        try:
+            raw = zlib.decompress(bytes(data))
+        except zlib.error as e:
+            raise ValueError(f"corrupt APNG frame data: {e}") from e
+        stride = fw * bpp
+        if len(raw) != fh * (stride + 1):
+            raise ValueError("APNG frame data length mismatch")
+        recon = _png_unfilter(raw, fh, stride, bpp)
+        return _png_samples_to_rgba(
+            np.frombuffer(recon, dtype=np.uint8), color, plte, fw, fh
+        )
+
+    canvas = np.zeros((h, w, 4), dtype=np.uint8)
+    frames: list = []
+    for i, (meta, data, uses_idat) in enumerate(fctl_list):
+        fw, fh, fx, fy, _dn, _dd, dispose, blend = meta
+        if fw == 0 or fh == 0 or fx + fw > w or fy + fh > h:
+            raise ValueError("APNG frame rect outside the canvas")
+        if uses_idat:
+            if (fx, fy) != (0, 0) or (fw, fh) != (w, h):
+                raise ValueError(
+                    "APNG IDAT-backed first frame must be full-canvas"
+                )
+            if len(data):
+                raise ValueError("fdAT attached to the IDAT-backed frame")
+            px = decode_region(bytes(idat), fw, fh)
+        else:
+            px = decode_region(bytes(data), fw, fh)
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if dispose == 2:
+            saved = region.copy()
+        if blend == 0:
+            canvas[fy : fy + fh, fx : fx + fw] = px
+        else:
+            canvas[fy : fy + fh, fx : fx + fw] = _apng_blend_over(region, px)
+        frames.append(canvas.copy())
+        if dispose == 1 or (dispose == 2 and i == 0):
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+        elif dispose == 2:
+            canvas[fy : fy + fh, fx : fx + fw] = saved
+    return w, h, frames, bg_rgb, num_plays
+
+
+def apng_frames(payload: bytes, matte="background"):
+    """APNG → ``(w, h, [composited full-canvas RGB frames])`` flattened
+    against ``matte``: ``"background"`` = the bKGD chunk's color (black
+    when absent — APNG has no GIF-style mandatory background, and the
+    canvas itself starts transparent), or an explicit RGB triple (the
+    page color a browser would flatten against).  The flatten is
+    ALPHA-WEIGHTED (:func:`_rgba_flatten`) — APNG frames carry real
+    fractional alpha, not GIF's binary transparency."""
+    w, h, frames, bg_rgb, _plays = _apng_decode_frames_rgba(payload)
+    m = _gif_resolve_matte(matte, bg_rgb)
+    return w, h, [_rgba_flatten(f, m) for f in frames]
+
+
+def apng_video_phash(
+    df: DataFrame, null_on_error: bool = False, matte="background"
+) -> DataFrame:
+    """Per-frame 63-bit pHash over animated PNGs — the adapter that
+    gives APNG the video lane's dedup rights, exactly as
+    :func:`gif_video_phash` did for GIF: one row per composited frame
+    in the :data:`VIDEO_PHASH_SCHEMA` shape, the SAME integer luma +
+    fixed-point DCT chain, so ``video_near_pairs`` and the streaming
+    index apply unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, frames = apng_frames(bytes(payload), matte=matte)
+                    for i, fr in enumerate(frames):
+                        g = (
+                            299 * fr[:, :, 0].astype("int64")
+                            + 587 * fr[:, :, 1].astype("int64")
+                            + 114 * fr[:, :, 2].astype("int64")
+                        ) // 1000
+                        rows.append((int(mid), i, _phash_of_pixels(g, w, h)))
+                except (ValueError, struct.error):
+                    if not null_on_error:
+                        raise
+                    rows.append((int(mid), 0, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "phash"]
+            ).astype({"phash": "Int64"})
+
+    return df.mapInPandas(run, schema=VIDEO_PHASH_SCHEMA)
+
+
+def anim_video_phash(
+    df: DataFrame, null_on_error: bool = False, matte="background"
+) -> DataFrame:
+    """CROSS-FORMAT animation fingerprints: per-payload magic-byte
+    dispatch between the GIF and APNG compositing readers, emitting the
+    ONE per-frame pHash contract — so an animation that circulates as
+    both a GIF and an APNG re-encode pairs through the unchanged video
+    machinery, and one streaming index dedups animations regardless of
+    container (``fingerprint="anim-video"``).  ``matte`` applies to
+    both readers (``"background"`` = each format's own reading: the
+    GIF LSD background color / the PNG bKGD chunk or black); payloads
+    that are neither format raise (or NULL-quarantine)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    b = bytes(payload)
+                    if b[:6] in (b"GIF87a", b"GIF89a"):
+                        w, h, frames = gif_frames(b, matte=matte)
+                    elif b[:8] == _PNG_SIG:
+                        w, h, frames = apng_frames(b, matte=matte)
+                    else:
+                        raise ValueError("neither a GIF nor a PNG payload")
+                    for i, fr in enumerate(frames):
+                        g = (
+                            299 * fr[:, :, 0].astype("int64")
+                            + 587 * fr[:, :, 1].astype("int64")
+                            + 114 * fr[:, :, 2].astype("int64")
+                        ) // 1000
+                        rows.append((int(mid), i, _phash_of_pixels(g, w, h)))
+                except (ValueError, struct.error):
+                    if not null_on_error:
+                        raise
+                    rows.append((int(mid), 0, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "phash"]
+            ).astype({"phash": "Int64"})
+
+    return df.mapInPandas(run, schema=VIDEO_PHASH_SCHEMA)
+
+
+def apng_anim_features(payload: bytes) -> tuple:
+    """APNG structural features from the CHUNK WALK alone (no inflate —
+    the gate-threshold economics of :func:`gif_anim_features`):
+    ``(n_frames, partial_frames, over_frames, dispose_bg, dispose_prev,
+    num_plays, default_hidden, total_delay_ms)`` where a frame is
+    PARTIAL if its fcTL region is offset or smaller than the canvas,
+    OVER counts blend_op 1 (the frames that actually need alpha
+    compositing), dispose_bg/prev count dispose_ops 1/2, num_plays is
+    acTL's loop field (0 = forever), ``default_hidden`` flags the
+    default-image-not-in-animation layout, and the total delay sums
+    ``round(1000·num/den)`` with the spec's den-0→100 reading.
+    Raises on structural damage — the strict-walk quarantine
+    contract."""
+    ihdr = None
+    actl = None
+    saw_idat = saw_end = False
+    n = partial = over = d_bg = d_prev = 0
+    first_before_idat = None
+    delay_ms = 0
+    expect_seq = 0
+    for tag, body in _apng_chunk_walk(payload):
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"acTL":
+            if actl is not None:
+                raise ValueError("duplicate acTL chunk")
+            if len(body) != 8:
+                raise ValueError("acTL length != 8")
+            actl = struct.unpack(">II", body)
+        elif tag == b"fcTL":
+            if len(body) != 26:
+                raise ValueError("fcTL length != 26")
+            seq, fw, fh, fx, fy, dnum, dden, dispose, blend = struct.unpack(
+                ">IIIIIHHBB", body
+            )
+            if seq != expect_seq:
+                raise ValueError(
+                    f"APNG sequence number {seq} != expected {expect_seq}"
+                )
+            expect_seq += 1
+            if first_before_idat is None:
+                first_before_idat = not saw_idat
+            n += 1
+            if ihdr is None:
+                raise ValueError("fcTL before IHDR")
+            w, h = struct.unpack(">II", ihdr[:8])
+            if (fx, fy) != (0, 0) or (fw, fh) != (w, h):
+                partial += 1
+            if blend == 1:
+                over += 1
+            if dispose == 1:
+                d_bg += 1
+            elif dispose == 2:
+                d_prev += 1
+            delay_ms += round(1000 * dnum / (dden or 100))
+        elif tag == b"fdAT":
+            if len(body) < 4:
+                raise ValueError("fdAT missing sequence number")
+            (seq,) = struct.unpack(">I", body[:4])
+            if seq != expect_seq:
+                raise ValueError(
+                    f"APNG sequence number {seq} != expected {expect_seq}"
+                )
+            expect_seq += 1
+        elif tag == b"IDAT":
+            saw_idat = True
+        elif tag == b"IEND":
+            saw_end = True
+    if ihdr is None or not saw_end or not saw_idat:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    if actl is None:
+        raise ValueError("PNG without acTL is not animated")
+    if actl[0] != n or n == 0:
+        raise ValueError(f"acTL num_frames {actl[0]} != {n} fcTL chunks")
+    return (
+        n, partial, over, d_bg, d_prev, actl[1],
+        0 if first_before_idat else 1, delay_ms,
+    )
+
+
+APNG_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("partial_frames", LongType()),
+        StructField("over_frames", LongType()),
+        StructField("dispose_bg", LongType()),
+        StructField("dispose_prev", LongType()),
+        StructField("num_plays", LongType()),
+        StructField("default_hidden", LongType()),
+        StructField("total_delay_ms", LongType()),
+    ]
+)
+
+
+def apng_feature_meta(df: DataFrame, null_on_error: bool = False) -> DataFrame:
+    """Per-payload :func:`apng_anim_features` over a media frame — the
+    cheap structural pass `analyze-media` reads for APNG corpora,
+    before any inflate is paid for."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    out.append(
+                        (int(mid),) + apng_anim_features(bytes(payload))
+                    )
+                except (ValueError, struct.error):
+                    if not null_on_error:
+                        raise
+                    out.append((int(mid),) + (None,) * 8)
+            res = pd.DataFrame(
+                out,
+                columns=["media_id", "n_frames", "partial_frames",
+                         "over_frames", "dispose_bg", "dispose_prev",
+                         "num_plays", "default_hidden", "total_delay_ms"],
+            )
+            for c in res.columns[1:]:
+                res[c] = pd.array(res[c], dtype="Int64")
+            yield res
+
+    return df.mapInPandas(run, schema=APNG_FEATURES_SCHEMA)
+
+
+APNG_DUAL_MATTE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("sum_white", LongType()),
+        StructField("wsum_white", LongType()),
+        StructField("sum_black", LongType()),
+        StructField("wsum_black", LongType()),
+    ]
+)
+
+
+def apng_dual_matte_stats(df: DataFrame) -> DataFrame:
+    """Per-composited-frame statistics under TWO flatten mattes (white
+    page / black): ONE RGBA decode per payload, the canvas flattened
+    twice, then the red channel's plain + position-weighted sums per
+    matte.  Exposed-transparent and FRACTIONAL-alpha pixels track the
+    matte by exactly the alpha-weighted arithmetic the oracle
+    re-derives — a reader that mishandles SOURCE's alpha punch-through,
+    OVER's integer blend, or any dispose op breaks at least one
+    column."""
+    import numpy as np
+
+    white = np.full(3, 255, dtype=np.uint8)
+    black = np.zeros(3, dtype=np.uint8)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames, _bg, _plays = _apng_decode_frames_rgba(
+                    bytes(payload)
+                )
+                wts = (
+                    1 + (np.arange(h * w, dtype=np.int64) % 97)
+                ).reshape(h, w)
+                for i, fr in enumerate(frames):
+                    gw = _rgba_flatten(fr, white)[:, :, 0].astype("int64")
+                    gb = _rgba_flatten(fr, black)[:, :, 0].astype("int64")
+                    rows.append(
+                        (
+                            int(mid), i,
+                            int(gw.sum()), int((gw * wts).sum()),
+                            int(gb.sum()), int((gb * wts).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx",
+                    "sum_white", "wsum_white", "sum_black", "wsum_black",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=APNG_DUAL_MATTE_SCHEMA)
+
+
+def synth_apng_composited(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic APNG corpus cycling dispose × blend semantics —
+    the APNG analog of :func:`synth_gif_composited`, with the two
+    things GIF cannot express planted on purpose: SOURCE-blend alpha-0
+    punch-through and fractional-alpha OVER blending.  Per id ``k``
+    (canvas ``(40 + k mod 9) × (36 + 3k mod 11)``, grayscale RGBA):
+
+    - frame 0: full-canvas opaque base ``b = (17k + 3x² + 7y² + 5xy +
+      11x + 13y) mod 251``, dispose ``k mod 3`` (0 keep / 1 clears the
+      whole canvas / 2 ≡ background on the first frame),
+    - frame 1: rect ``(3 + k mod 5, 2 + k mod 7) · (11 + k mod 6) ×
+      (9 + k mod 5)``, SOURCE blend of ``p1 = (23k + 7u² + 5v + 3uv)
+      mod 251`` with alpha 0 where ``(u + 2v + k) mod 5 = 0`` (the
+      punch-through holes) else 255, dispose ``(k div 3) mod 3``,
+    - frame 2: rect ``(1 + k mod 9, 4 + k mod 3) · (13 + k mod 4) ×
+      (7 + k mod 6)``, OVER blend of ``p2 = (31k + 11u + 13v + u²)
+      mod 251`` at alpha ``(37k + 2u² + 3v) mod 256`` — every blended
+      pixel exercises the integer-exact compositing formula.
+
+    Pure id arithmetic end to end, so the dual-matte oracle re-derives
+    every flattened pixel CASE-by-CASE."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                w, h = 40 + k % 9, 36 + (3 * k) % 11
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                b = (
+                    (17 * k + 3 * xs * xs + 7 * ys * ys + 5 * xs * ys
+                     + 11 * xs + 13 * ys) % 251
+                ).astype(np.uint8) + np.zeros((h, w), dtype=np.uint8)
+                f0 = np.dstack([b, b, b, np.full((h, w), 255, np.uint8)])
+                ox1, oy1 = 3 + k % 5, 2 + k % 7
+                pw1, ph1 = 11 + k % 6, 9 + k % 5
+                us = np.arange(pw1)[None, :]
+                vs = np.arange(ph1)[:, None]
+                p1 = (
+                    (23 * k + 7 * us * us + 5 * vs + 3 * us * vs) % 251
+                ).astype(np.uint8) + np.zeros((ph1, pw1), dtype=np.uint8)
+                a1 = np.where(
+                    (us + 2 * vs + k) % 5 == 0, 0, 255
+                ).astype(np.uint8) + np.zeros((ph1, pw1), dtype=np.uint8)
+                f1 = np.dstack([p1, p1, p1, a1])
+                ox2, oy2 = 1 + k % 9, 4 + k % 3
+                pw2, ph2 = 13 + k % 4, 7 + k % 6
+                us = np.arange(pw2)[None, :]
+                vs = np.arange(ph2)[:, None]
+                p2 = (
+                    (31 * k + 11 * us + 13 * vs + us * us) % 251
+                ).astype(np.uint8) + np.zeros((ph2, pw2), dtype=np.uint8)
+                a2 = (
+                    (37 * k + 2 * us * us + 3 * vs) % 256
+                ).astype(np.uint8) + np.zeros((ph2, pw2), dtype=np.uint8)
+                f2 = np.dstack([p2, p2, p2, a2])
+                payload = encode_apng_frames(
+                    w, h,
+                    [
+                        {"px": f0, "dispose": k % 3, "blend": 0},
+                        {"px": f1, "x": ox1, "y": oy1,
+                         "dispose": (k // 3) % 3, "blend": 0},
+                        {"px": f2, "x": ox2, "y": oy2,
+                         "dispose": 0, "blend": 1},
+                    ],
+                    num_plays=k % 7,
+                )
+                rows.append((k, "image", payload, "png", len(payload)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "format", "n_bytes"],
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def synth_apng_gif_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """CROSS-FORMAT duplicate corpus: per group of ten ids, slots 0-7
+    are the :func:`synth_gif_animated` GIF animations verbatim (their
+    own ids as seeds), slot 8 is the SAME animation as slot 0
+    re-encoded as an opaque full-frame APNG (identical gray values —
+    the GIF→APNG re-encode a modern pipeline emits), and slot 9 the
+    APNG re-encode at +4 brightness (pHash distance 0 — AC
+    invariance).  `anim_video_phash` must land (0,8), (0,9), (8,9) at
+    distance 0 per group through the UNCHANGED `video_near_pairs`
+    machinery — the cross-container dedup payoff."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                slot = k % 10
+                seed = k - slot if slot >= 8 else k
+                w, h = 40 + seed % 9, 36 + (3 * seed) % 11
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                base = (
+                    17 * seed + 3 * xs * xs + 7 * ys * ys + 5 * xs * ys
+                    + 11 * xs + 13 * ys
+                )
+                n_frames = 2 + seed % 4
+                if slot < 8:
+                    payload = encode_gif_frames(
+                        w, h,
+                        [
+                            {"px": ((base + 29 * f) % 251).astype(np.uint8),
+                             "delay_cs": 4 + seed % 7, "disposal": 1}
+                            for f in range(n_frames)
+                        ],
+                    )
+                    fmt = "gif"
+                else:
+                    add = 4 if slot == 9 else 0
+                    specs = []
+                    for f in range(n_frames):
+                        g = (
+                            ((base + 29 * f) % 251 + add) % 256
+                        ).astype(np.uint8) + np.zeros((h, w), np.uint8)
+                        specs.append(
+                            {"px": np.dstack(
+                                [g, g, g, np.full((h, w), 255, np.uint8)]
+                            ), "dispose": 0, "blend": 0}
+                        )
+                    payload = encode_apng_frames(w, h, specs)
+                    fmt = "png"
+                rows.append((k, "image", payload, fmt, len(payload)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "format", "n_bytes"],
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 # ---------------------------------------------------------- real Y4M codec
 # VIDEO, dependency-free: YUV4MPEG2 is the uncompressed interchange format
 # every ffmpeg pipeline can emit (`-f yuv4mpeg2`) — an ASCII stream header

@@ -4432,6 +4432,63 @@ def media_gif_loop_meta(spark, sf_dir):
     return multimodal.gif_feature_meta(multimodal.synth_gif_loop_meta(docs))
 
 
+def media_apng_composited(spark, sf_dir):
+    """APNG compositing under the hash gate (r11) — the animation
+    semantics GIF cannot express: `operators/multimodal.py::
+    _apng_decode_frames_rgba` parses acTL/fcTL/fdAT through the SHARED
+    PNG chunk/zlib/unfilter machinery and composites dispose 0-2 with
+    blend SOURCE (replaces the region INCLUDING alpha — an alpha-0
+    source pixel punches a hole) and blend OVER (integer-exact
+    straight-alpha compositing).  `synth_apng_composited` plants all
+    of it from id arithmetic — frame 1 SOURCE-writes punch-through
+    holes, frame 2 OVER-blends at per-pixel fractional alpha onto a
+    dispose-shaped canvas — and `apng_dual_matte_stats` flattens each
+    composited frame under BOTH white and black mattes, so exposed
+    and fractional-alpha pixels must track the matte by exactly the
+    alpha-weighted arithmetic the oracle re-derives CASE-by-CASE.  A
+    reader that skips alpha-0 SOURCE pixels (GIF semantics), rounds
+    the blend differently, or mis-scopes a dispose region breaks at
+    least one of the four sum columns."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.apng_dual_matte_stats(
+        multimodal.synth_apng_composited(docs)
+    )
+
+
+def media_apng_gif_pairs(spark, sf_dir):
+    """CROSS-FORMAT animation dedup (r11) — the container-migration
+    case a modern crawl actually contains: the same animation
+    circulating as a GIF and as its APNG re-encode.
+    `synth_apng_gif_pairs` plants, per ten-id group, eight GIF
+    animations plus slot 0's APNG re-encode (verbatim gray values) and
+    a +4-brightness APNG; `anim_video_phash` dispatches each payload
+    to the right compositing reader by magic bytes and emits the ONE
+    per-frame pHash contract, so `video_near_pairs` — UNCHANGED —
+    lands (0,8), (0,9), (8,9) at distance 0.  The oracle replays the
+    shared texture arithmetic at the 8×8 downsample points through
+    the DCT/median chain and brute-forces the sequence zip; container
+    format never enters the hash, which is the point."""
+    docs = catalog(spark, sf_dir)["documents"]
+    sigs = multimodal.anim_video_phash(multimodal.synth_apng_gif_pairs(docs))
+    return multimodal.video_near_pairs(
+        sigs, bits=63, bands=PHASH_BANDS, max_hamming=PHASH_MAX_HAMMING
+    )
+
+
+def media_apng_features(spark, sf_dir):
+    """APNG structural features under the hash gate (r11) — the
+    `analyze-media` numbers from the CHUNK WALK alone (CRC-verified,
+    no inflate): frame/partial counts, blend-OVER and dispose 1/2
+    counts (how much of an APNG corpus needs the full compositing
+    lane), acTL num_plays, and the default-image-hidden layout flag
+    (`operators/multimodal.py::apng_anim_features`).  Over
+    `synth_apng_composited` every field folds to id arithmetic."""
+    docs = catalog(spark, sf_dir)["documents"]
+    return multimodal.apng_feature_meta(
+        multimodal.synth_apng_composited(docs)
+    )
+
+
 def media_video_pairs(spark, sf_dir):
     """Perceptual VIDEO near-dedup — per-frame pHash over the real Y4M
     codec (`operators/multimodal.py::video_phash`, the SAME hash
@@ -9068,6 +9125,160 @@ WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
         FROM d
     """)
 
+    # APNG dual-matte compositing (r11): three frames — opaque base
+    # (dispose d0), a SOURCE rect with alpha-0 punch-through holes
+    # (dispose d1), and an OVER rect at per-pixel fractional alpha.
+    # NULL models a transparent canvas pixel; the blend arithmetic is
+    # the integer-exact half-up form the engine uses: bg opaque v →
+    # (255·(p2·fa + v·(255−fa)) + 32512) // 65025 (matte-independent),
+    # bg transparent → p2 at alpha fa, flattened per matte as
+    # (p2·fa + m·(255−fa) + 127) // 255
+    o["media_apng_composited"] = _q("""
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS m,
+                 40 + doc_id % 9 AS w, 36 + (3 * doc_id) % 11 AS h,
+                 doc_id % 3 AS d0, (doc_id // 3) % 3 AS d1,
+                 3 + doc_id % 5 AS ox1, 2 + doc_id % 7 AS oy1,
+                 11 + doc_id % 6 AS pw1, 9 + doc_id % 5 AS ph1,
+                 1 + doc_id % 9 AS ox2, 4 + doc_id % 3 AS oy2,
+                 13 + doc_id % 4 AS pw2, 7 + doc_id % 6 AS ph2
+          FROM documents),
+        px0 AS (
+          SELECT d.*, f.f AS f, unnest(range(0, w * h)) AS i
+          FROM d, range(0, 3) f(f)),
+        px AS (SELECT *, i % w AS x, i // w AS y FROM px0),
+        c AS (
+          SELECT m, f, i, d0, d1,
+                 (17 * m + 3 * x * x + 7 * y * y + 5 * x * y
+                  + 11 * x + 13 * y) % 251 AS b,
+                 (x >= ox1 AND x < ox1 + pw1
+                  AND y >= oy1 AND y < oy1 + ph1) AS in1,
+                 (23 * m + 7 * (x - ox1) * (x - ox1) + 5 * (y - oy1)
+                  + 3 * (x - ox1) * (y - oy1)) % 251 AS p1,
+                 (((x - ox1) + 2 * (y - oy1) + m) % 5 = 0) AS hole,
+                 (x >= ox2 AND x < ox2 + pw2
+                  AND y >= oy2 AND y < oy2 + ph2) AS in2,
+                 (31 * m + 11 * (x - ox2) + 13 * (y - oy2)
+                  + (x - ox2) * (x - ox2)) % 251 AS p2,
+                 (37 * m + 2 * (x - ox2) * (x - ox2)
+                  + 3 * (y - oy2)) % 256 AS fa
+          FROM px),
+        l1 AS (
+          SELECT *, CASE WHEN d0 = 0 THEN b ELSE NULL END AS u0
+          FROM c),
+        l2 AS (
+          SELECT *,
+                 CASE WHEN in1
+                      THEN (CASE WHEN hole THEN NULL ELSE p1 END)
+                      ELSE u0 END AS o1,
+                 CASE WHEN in1 AND d1 = 0
+                      THEN (CASE WHEN hole THEN NULL ELSE p1 END)
+                      WHEN in1 AND d1 = 1 THEN NULL
+                      ELSE u0 END AS s1
+          FROM l1),
+        v AS (
+          SELECT m, f, i,
+                 CASE WHEN f = 0 THEN b
+                      WHEN f = 1 THEN coalesce(o1, 255)
+                      WHEN NOT in2 THEN coalesce(s1, 255)
+                      WHEN s1 IS NOT NULL THEN
+                        (255 * (p2 * fa + s1 * (255 - fa)) + 32512) // 65025
+                      WHEN fa = 0 THEN 255
+                      ELSE (p2 * fa + 255 * (255 - fa) + 127) // 255
+                 END AS vw,
+                 CASE WHEN f = 0 THEN b
+                      WHEN f = 1 THEN coalesce(o1, 0)
+                      WHEN NOT in2 THEN coalesce(s1, 0)
+                      WHEN s1 IS NOT NULL THEN
+                        (255 * (p2 * fa + s1 * (255 - fa)) + 32512) // 65025
+                      WHEN fa = 0 THEN 0
+                      ELSE (p2 * fa + 127) // 255
+                 END AS vb
+          FROM l2)
+        SELECT m AS media_id, CAST(f AS BIGINT) AS frame_idx,
+               CAST(sum(vw) AS BIGINT) AS sum_white,
+               CAST(sum((1 + i % 97) * vw) AS BIGINT) AS wsum_white,
+               CAST(sum(vb) AS BIGINT) AS sum_black,
+               CAST(sum((1 + i % 97) * vb) AS BIGINT) AS wsum_black
+        FROM v GROUP BY m, f
+    """)
+
+    # cross-format GIF/APNG pairing (r11): the gif-video texture chain
+    # verbatim — slots 0-7 GIF originals, slot 8 the APNG re-encode
+    # (identical values), slot 9 the +4-brightness APNG (AC-invariant)
+    o["media_apng_gif_pairs"] = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 10 AS slot,
+         CASE WHEN doc_id % 10 >= 8 THEN doc_id - doc_id % 10
+              ELSE doc_id END AS seed
+  FROM documents),
+d2 AS (SELECT media_id, slot, seed,
+              40 + seed % 9 AS w, 36 + (3 * seed) % 11 AS h
+       FROM d),
+df AS (SELECT media_id, slot, seed, w, h,
+              unnest(range(0, CAST(2 + seed % 4 AS INT))) AS f
+       FROM d2),
+kk(u, x, c) AS (VALUES {_k_vals}),
+g AS (
+  SELECT media_id, f, gi, gj,
+         CASE WHEN slot = 9 THEN base + 4 ELSE base END AS val
+  FROM (
+    SELECT media_id, slot, f, gi, gj,
+           (17 * seed
+            + 3 * ((gj * w) // 8) * ((gj * w) // 8)
+            + 7 * ((gi * h) // 8) * ((gi * h) // 8)
+            + 5 * ((gj * w) // 8) * ((gi * h) // 8)
+            + 11 * ((gj * w) // 8) + 13 * ((gi * h) // 8)
+            + 29 * f) % 251 AS base
+    FROM df, range(0, 8) r1(gi), range(0, 8) r2(gj))),
+coef AS (
+  SELECT media_id, f, ku.u AS u, kv.u AS v,
+         sum(CAST(ku.c AS BIGINT) * kv.c * val) AS cf
+  FROM g JOIN kk ku ON ku.x = g.gi JOIN kk kv ON kv.x = g.gj
+  GROUP BY media_id, f, ku.u, kv.u),
+ac AS (SELECT media_id, f, u * 8 + v - 1 AS bit_i, cf
+       FROM coef WHERE NOT (u = 0 AND v = 0)),
+med AS (SELECT media_id, f, list_sort(list(cf))[32] AS med
+        FROM ac GROUP BY media_id, f),
+ph AS (SELECT ac.media_id, ac.f,
+              CAST(sum(CASE WHEN cf > med THEN (CAST(1 AS BIGINT) << bit_i)
+                            ELSE 0 END) AS BIGINT) AS phash
+       FROM ac JOIN med USING (media_id, f) GROUP BY ac.media_id, ac.f),
+v AS (SELECT media_id, list(phash ORDER BY f) AS hs FROM ph GROUP BY media_id)
+SELECT id_a, id_b, n_frames, max_frame_hamming FROM (
+  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         CAST(len(a.hs) AS BIGINT) AS n_frames,
+         CAST(list_max(list_transform(range(1, len(a.hs) + 1),
+              i -> bit_count(xor(a.hs[i], b.hs[i])))) AS BIGINT)
+           AS max_frame_hamming
+  FROM v a JOIN v b ON a.media_id < b.media_id AND len(a.hs) = len(b.hs))
+WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
+"""
+
+    # APNG structural features (r11): pure id arithmetic — 3 frames,
+    # frames 1/2 always sub-canvas, one OVER frame, dispose counts
+    # from the (k mod 3, (k div 3) mod 3, 0) plan, num_plays = k mod 7
+    o["media_apng_features"] = _q("""
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS m,
+                 doc_id % 3 AS d0, (doc_id // 3) % 3 AS d1
+          FROM documents)
+        SELECT m AS media_id,
+               CAST(3 AS BIGINT) AS n_frames,
+               CAST(2 AS BIGINT) AS partial_frames,
+               CAST(1 AS BIGINT) AS over_frames,
+               CAST((CASE WHEN d0 = 1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN d1 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS dispose_bg,
+               CAST((CASE WHEN d0 = 2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN d1 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS dispose_prev,
+               CAST(m % 7 AS BIGINT) AS num_plays,
+               CAST(0 AS BIGINT) AS default_hidden,
+               CAST(0 AS BIGINT) AS total_delay_ms
+        FROM d
+    """)
+
     # resample-robust audio: time-based windows make a duplicated-sample
     # re-encode's windows cover the SAME original spans — the oracle
     # computes original-window energies once and applies each slot's
@@ -10666,6 +10877,9 @@ def _all_queries():
         "media_gif_disposal2": media_gif_disposal2,
         "media_gif_disposal2_pairs": media_gif_disposal2_pairs,
         "media_gif_loop_meta": media_gif_loop_meta,
+        "media_apng_composited": media_apng_composited,
+        "media_apng_gif_pairs": media_apng_gif_pairs,
+        "media_apng_features": media_apng_features,
         "media_wav_stereo": media_wav_stereo,
         "media_wav_depths": media_wav_depths,
         "media_png_variants": media_png_variants,

@@ -185,7 +185,10 @@ def ingest_media_stream(
     `gif_frames` disposal/transparency/interlace reconstruction feeding
     `gif_video_phash` — under the identical per-frame video contract,
     so an optimizer-style partial-frame GIF and its flattened re-encode
-    dedup at the door) — ONE lane per modality, all machinery shared.  (fingerprint, bits,
+    dedup at the door), or ``"anim-video"`` (r11: CROSS-FORMAT — GIF and
+    APNG payloads magic-dispatch to their compositing readers into the
+    same per-frame contract, so ONE index dedups an animation across
+    containers) — ONE lane per modality, all machinery shared.  (fingerprint, bits,
     bands) come from the index's own sidecar when it already exists (a
     mode mismatch raises); ``max_hamming`` is a per-probe threshold and
     always the caller's.
@@ -243,6 +246,20 @@ def ingest_media_stream(
         "gif-video": (
             63, 7, 6,
             lambda b: _mm.gif_video_phash(
+                b, null_on_error=True,
+                matte=("background" if gif_matte is None
+                       else tuple(gif_matte)),
+            ),
+        ),
+        # CROSS-FORMAT animation lane (r11): per-payload magic-byte
+        # dispatch between the GIF and APNG compositing readers into
+        # the SAME per-frame contract — ONE standing index dedups an
+        # animation regardless of container, so a GIF's APNG re-encode
+        # (or vice versa) rejects at the door; gif_matte applies to
+        # both readers
+        "anim-video": (
+            63, 7, 6,
+            lambda b: _mm.anim_video_phash(
                 b, null_on_error=True,
                 matte=("background" if gif_matte is None
                        else tuple(gif_matte)),
@@ -328,11 +345,12 @@ def ingest_media_stream(
             f"(got {bands}): the banded probe would silently under-recall"
         )
     if (min_side is not None or max_aspect is not None) and fingerprint not in (
-        "phash", "phash-dihedral", "gif-video"
+        "phash", "phash-dihedral", "gif-video", "anim-video"
     ):
         raise ValueError(
             "min_side/max_aspect gate image dimensions — only the "
-            "image lanes (phash/phash-dihedral/gif-video), not "
+            "image lanes (phash/phash-dihedral/gif-video/anim-video), "
+            "not "
             f"{fingerprint!r}"
         )
     if min_side is not None and min_side < 1:
@@ -345,9 +363,9 @@ def ingest_media_stream(
             f"meaningless with fingerprint={fingerprint!r}"
         )
     if gif_matte is not None:
-        if fingerprint != "gif-video":
+        if fingerprint not in ("gif-video", "anim-video"):
             raise ValueError(
-                "gif_matte picks the gif-video lane's flatten color — "
+                "gif_matte picks the animation lanes' flatten color — "
                 f"meaningless with fingerprint={fingerprint!r}"
             )
         gif_matte = tuple(int(v) for v in gif_matte)
@@ -556,7 +574,7 @@ def ingest_media_stream(
                     )
                 # within-batch perceptual pairs: min media_id wins (the
                 # standing index only covers prior batches)
-                if fingerprint in ("video", "gif-video"):
+                if fingerprint in ("video", "gif-video", "anim-video"):
                     near = (
                         _mm.video_near_pairs(
                             sigs, bits=b_, bands=n_, max_hamming=h_
@@ -601,7 +619,7 @@ def ingest_media_stream(
                 uniq = uniq.join(near, "media_id", "left_anti")
                 index_lease.check()  # fenced: never append on a lost lease
                 idx_rows = sigs.join(near, "media_id", "left_anti")
-                if fingerprint in ("video", "gif-video"):
+                if fingerprint in ("video", "gif-video", "anim-video"):
                     # video index rows carry frame alignment + the frame
                     # count the asym probe's equal-length contract needs
                     nfr = idx_rows.groupBy("media_id").agg(

@@ -1003,3 +1003,60 @@ def test_media_ingest_gif_video_browser_matte(spark, tmp_path):
         SM.ingest_media_stream(spark, land2, out2, ckpt2,
                                fingerprint="phash",
                                gif_matte=(255, 255, 255))
+
+
+def test_media_ingest_anim_video_cross_format(spark, tmp_path):
+    """r11 anim-video lane: a GIF animation indexed in batch 0 rejects
+    its APNG re-encode at the door in batch 1 (cross-container dedup —
+    ONE index, magic-byte dispatch); a fresh animation in batch 2
+    ingests; the sidecar records the anim-video mode and a gif-video
+    re-ingest refuses."""
+    import pytest
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    quar = str(tmp_path / "quar")
+    rej = str(tmp_path / "rej")
+    os.makedirs(land)
+
+    def media(ids):
+        return M.synth_apng_gif_pairs(
+            spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+        )
+
+    # batch 0: the GIF original (slot 0)
+    _land(media([0]), land, "b0.parquet", 1_000_000_000)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, rejects=rej,
+                           fingerprint="anim-video")
+    assert SM.read_phash_meta(idx)["fingerprint"] == "anim-video"
+
+    # batch 1: id 8 = the APNG re-encode of id 0 -> rejects at the door
+    _land(media([8]), land, "b1.parquet", 1_000_000_100)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, rejects=rej,
+                           fingerprint="anim-video")
+    assert {r.media_id for r in spark.read.parquet(out).collect()} == {0}
+    neardup = {r.media_id for r in spark.read.json(rej + ".neardup").collect()}
+    assert neardup == {8}
+
+    # batch 2: a fresh animation (different group) ingests
+    _land(media([13]), land, "b2.parquet", 1_000_000_200)
+    SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                           quarantine=quar, rejects=rej,
+                           fingerprint="anim-video")
+    assert {r.media_id for r in spark.read.parquet(out).collect()} == {0, 13}
+
+    # the index rows carry the video lane's frame contract
+    assert {"corpus_id", "frame_idx", "phash", "n_frames"} <= set(
+        spark.read.parquet(idx).columns
+    )
+
+    # mode mismatch on re-ingest refuses (sidecar contract)
+    _land(media([17]), land, "b3.parquet", 1_000_000_300)
+    with pytest.raises(Exception, match="fingerprint"):
+        SM.ingest_media_stream(spark, land, out, ckpt, phash_index=idx,
+                               quarantine=quar, rejects=rej,
+                               fingerprint="gif-video")

@@ -2439,3 +2439,224 @@ def test_gif_walk_loop_and_comment_extensions(spark):
             assert r.loop_count == (5 * k + 2) % 60000
         assert r.n_comments == k % 3
         assert r.comment_bytes == sum(1 + (k + i) % 13 for i in range(k % 3))
+
+
+# ------------------------------------------------------------- APNG codec
+
+
+def _rgba(gray, alpha=255):
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.uint8)
+    a = np.broadcast_to(
+        np.asarray(alpha, dtype=np.uint8), g.shape
+    ).astype(np.uint8)
+    return np.dstack([g, g, g, a])
+
+
+def test_apng_roundtrip_composite_semantics():
+    """Encode→decode through every dispose/blend branch and check the
+    composited canvases against hand-computed expectations (an
+    independent derivation, not the engine's own arithmetic)."""
+    import numpy as np
+
+    base = np.full((3, 4), 10, np.uint8)
+    p1 = np.array([[100, 110], [120, 130]], np.uint8)
+    a1 = np.array([[255, 0], [255, 255]], np.uint8)
+    p2 = np.array([[200, 210]], np.uint8)
+    payload = M.encode_apng_frames(
+        4, 3,
+        [
+            {"px": _rgba(base), "dispose": 0, "blend": 0},
+            {"px": _rgba(p1, a1), "x": 1, "y": 1, "dispose": 2, "blend": 0},
+            {"px": _rgba(p2, 128), "x": 2, "y": 0, "dispose": 0, "blend": 1},
+        ],
+        num_plays=5, bkgd=(7, 8, 9),
+    )
+    w, h, frames, bg, plays = M._apng_decode_frames_rgba(payload)
+    assert (w, h, plays) == (4, 3, 5) and list(bg) == [7, 8, 9]
+    # frame 0: opaque base
+    assert (frames[0][:, :, 0] == 10).all() and (frames[0][:, :, 3] == 255).all()
+    # frame 1: SOURCE replaces alpha too — the hole punches through an
+    # OPAQUE canvas (the semantics GIF transparency cannot express)
+    f1 = frames[1]
+    assert f1[1, 1, 0] == 100 and f1[2, 1, 0] == 120 and f1[2, 2, 0] == 130
+    assert f1[1, 2, 3] == 0
+    # dispose 2 reverts the rect before frame 2 draws
+    f2 = frames[2]
+    assert f2[1, 1, 0] == 10 and f2[1, 1, 3] == 255
+    # OVER onto opaque 10 at alpha 128: the exact half-up integer form
+    for x, fg in ((2, 200), (3, 210)):
+        exp = (255 * (fg * 128 + 10 * (255 - 128)) + 32512) // 65025
+        assert f2[0, x, 0] == exp and f2[0, x, 3] == 255
+    # alpha-weighted flatten: hole shows the matte, blend is matte-free
+    _, _, white = M.apng_frames(payload, matte=(255, 255, 255))
+    _, _, bgm = M.apng_frames(payload)
+    assert white[1][1, 2, 0] == 255 and bgm[1][1, 2, 0] == 7
+    assert white[2][0, 2, 0] == bgm[2][0, 2, 0]
+
+
+def test_apng_over_onto_transparent_and_dispose_background():
+    """OVER onto a transparent canvas keeps the source's fractional
+    alpha (flatten weights it); dispose 1 clears only the frame rect."""
+    import numpy as np
+
+    base = np.full((3, 4), 40, np.uint8)
+    payload = M.encode_apng_frames(
+        4, 3,
+        [
+            {"px": _rgba(base), "dispose": 1, "blend": 0},
+            {"px": _rgba(np.full((1, 2), 200, np.uint8), 100),
+             "x": 1, "y": 1, "dispose": 0, "blend": 1},
+        ],
+    )
+    _, _, frames, _, _ = M._apng_decode_frames_rgba(payload)
+    f1 = frames[1]
+    # dispose 1 after a full-canvas frame: everything outside the new
+    # rect is transparent
+    assert f1[0, 0, 3] == 0 and f1[2, 3, 3] == 0
+    # OVER onto transparent = the source pixel, alpha preserved
+    assert f1[1, 1, 0] == 200 and f1[1, 1, 3] == 100
+    _, _, flat = M.apng_frames(payload, matte=(255, 255, 255))
+    assert flat[1][1, 1, 0] == (200 * 100 + 255 * 155 + 127) // 255
+    assert flat[1][0, 0, 0] == 255
+
+
+def test_apng_first_frame_dispose_previous_is_background():
+    import numpy as np
+
+    payload = M.encode_apng_frames(
+        2, 2,
+        [
+            {"px": _rgba(np.full((2, 2), 90, np.uint8)), "dispose": 2},
+            {"px": _rgba(np.full((1, 1), 7, np.uint8)),
+             "x": 0, "y": 0, "dispose": 0},
+        ],
+    )
+    _, _, frames, _, _ = M._apng_decode_frames_rgba(payload)
+    # spec: first-frame dispose PREVIOUS acts as BACKGROUND — the
+    # second frame's unpainted pixels are transparent, not 90
+    assert frames[1][1, 1, 3] == 0 and frames[1][0, 0, 0] == 7
+
+
+def test_apng_hidden_default_image():
+    """First fcTL after IDAT: the default image is a fallback for
+    still readers (decode_png serves it) and is NOT composited."""
+    import numpy as np
+
+    anim = np.full((2, 3), 10, np.uint8)
+    payload = M.encode_apng_frames(
+        3, 2, [{"px": _rgba(anim)}],
+        hidden_default=_rgba(np.full((2, 3), 200, np.uint8)),
+    )
+    _, _, frames, _, _ = M._apng_decode_frames_rgba(payload)
+    assert len(frames) == 1 and (frames[0][:, :, 0] == 10).all()
+    w, h, px = M.decode_png(payload)
+    assert (px[:, :, 0] == 200).all()
+    assert M.apng_anim_features(payload)[6] == 1
+
+
+def test_apng_still_png_readers_unaffected():
+    """decode_png on an APNG serves the default image (animation
+    chunks are ancillary); a plain PNG raises in the APNG reader."""
+    import numpy as np
+
+    base = np.full((3, 4), 10, np.uint8)
+    payload = M.encode_apng_frames(4, 3, [{"px": _rgba(base)}])
+    w, h, px = M.decode_png(payload)
+    assert (w, h) == (4, 3) and (px[:, :, 0] == 10).all()
+    still = M.encode_png(4, 3, base)
+    with pytest.raises(ValueError, match="acTL"):
+        M._apng_decode_frames_rgba(still)
+
+
+def test_apng_quarantines():
+    import struct as st
+
+    import numpy as np
+
+    base = _rgba(np.full((3, 4), 10, np.uint8))
+    sub = _rgba(np.full((2, 2), 5, np.uint8))
+    ok = M.encode_apng_frames(4, 3, [{"px": base},
+                                     {"px": sub, "x": 1, "y": 1}])
+    # undefined ops / bad rects refused at the writer
+    for bad in ({"dispose": 3}, {"blend": 2}, {"x": 3, "y": 2}):
+        with pytest.raises(ValueError):
+            M.encode_apng_frames(4, 3, [{"px": base},
+                                        {"px": sub, "x": 1, "y": 1, **bad}])
+    # IDAT-backed first frame must be full-canvas
+    with pytest.raises(ValueError, match="full-canvas"):
+        M.encode_apng_frames(4, 3, [{"px": sub, "x": 1, "y": 1}])
+    # sequence-number gap quarantines
+    i = ok.index(b"fcTL", ok.index(b"fcTL") + 4)
+    forged = bytearray(ok)
+    forged[i + 4: i + 8] = st.pack(">I", 9)
+    body = bytes(forged[i + 4: i + 30])
+    forged[i + 30: i + 34] = st.pack(
+        ">I", __import__("zlib").crc32(b"fcTL" + body) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="sequence"):
+        M._apng_decode_frames_rgba(bytes(forged))
+    # acTL frame-count mismatch
+    j = ok.index(b"acTL")
+    forged = bytearray(ok)
+    forged[j + 4: j + 8] = st.pack(">I", 5)
+    body = bytes(forged[j + 4: j + 12])
+    forged[j + 12: j + 16] = st.pack(
+        ">I", __import__("zlib").crc32(b"acTL" + body) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="num_frames"):
+        M._apng_decode_frames_rgba(bytes(forged))
+    # damaged CRC quarantines (no silent skip)
+    forged = bytearray(ok)
+    forged[j + 12] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        M._apng_decode_frames_rgba(bytes(forged))
+    # truncated stream
+    with pytest.raises(ValueError):
+        M._apng_decode_frames_rgba(ok[:40])
+    # tRNS (palette alpha) is out of contract
+    trns = ok[:j - 4] + M._png_chunk(b"tRNS", b"\x00") + ok[j - 4:]
+    with pytest.raises(ValueError, match="tRNS"):
+        M._apng_decode_frames_rgba(trns)
+
+
+def test_apng_features_fold(spark):
+    ids = spark.createDataFrame([(k,) for k in range(18)], "doc_id bigint")
+    rows = {r.media_id: r for r in M.apng_feature_meta(
+        M.synth_apng_composited(ids)
+    ).collect()}
+    for k in range(18):
+        r = rows[k]
+        assert r.n_frames == 3 and r.partial_frames == 2
+        assert r.over_frames == 1 and r.default_hidden == 0
+        assert r.dispose_bg == (k % 3 == 1) + ((k // 3) % 3 == 1)
+        assert r.dispose_prev == (k % 3 == 2) + ((k // 3) % 3 == 2)
+        assert r.num_plays == k % 7
+
+
+def test_apng_gif_cross_format_pairs(spark):
+    """The planted GIF↔APNG re-encodes pair at distance 0 through the
+    unchanged video machinery; no cross-group pair sneaks in."""
+    ids = spark.createDataFrame([(k,) for k in range(20)], "doc_id bigint")
+    sigs = M.anim_video_phash(M.synth_apng_gif_pairs(ids))
+    pairs = {(r.id_a, r.id_b): r.max_frame_hamming
+             for r in M.video_near_pairs(
+                 sigs, bits=63, bands=7, max_hamming=6).collect()}
+    want = {(g + a, g + b) for g in (0, 10)
+            for (a, b) in ((0, 8), (0, 9), (8, 9))}
+    assert want <= set(pairs)
+    assert all(pairs[p] == 0 for p in want)
+    assert not any(a // 10 != b // 10 for a, b in pairs)
+
+
+def test_anim_video_phash_dispatch_and_quarantine(spark):
+    df = spark.createDataFrame(
+        [(1, "image", b"neither format", "bin", 14)],
+        "media_id bigint, kind string, payload binary, format string, "
+        "n_bytes bigint",
+    )
+    with pytest.raises(Exception):
+        M.anim_video_phash(df).collect()
+    rows = M.anim_video_phash(df, null_on_error=True).collect()
+    assert len(rows) == 1 and rows[0].phash is None

@@ -174,6 +174,12 @@ AUDIT = [
     "media_gif_disposal2",
     "media_gif_disposal2_pairs",
     "media_gif_loop_meta",
+    # r11 APNG shapes: dual-matte dispose/blend compositing, the
+    # cross-format GIF<->APNG pairing through the unchanged video lane,
+    # and the chunk-walk structural features
+    "media_apng_composited",
+    "media_apng_gif_pairs",
+    "media_apng_features",
 ]
 
 MAX_LINES = 80
