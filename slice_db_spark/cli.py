@@ -1239,6 +1239,53 @@ def cmd_analyze_media(args) -> int:
             report["animation"] = section
         finally:
             am.unpersist()
+    pngs = media.where(F.col("format") == "png")
+    if pngs.limit(1).count():
+        # APNG mix (r11): the chunk-walk structural pass — a plain PNG
+        # is not animated (n_frames NULL via the acTL contract), so the
+        # same null_on_error split separates stills from animations;
+        # CRC-damaged streams land in the same NULL bucket, priced into
+        # the "still_or_damaged" reading
+        af = mm.apng_feature_meta(pngs, null_on_error=True).persist()
+        try:
+            anim = af.where(F.col("n_frames").isNotNull())
+            n_anim = anim.count()
+            section = {
+                "png_rows": af.count(),
+                "animated": n_anim,
+                "still_or_damaged": af.where(
+                    F.col("n_frames").isNull()
+                ).count(),
+            }
+            if n_anim:
+                fq = anim.agg(
+                    F.sum((F.col("partial_frames") > 0).cast("long"))
+                    .alias("p"),
+                    F.sum((F.col("over_frames") > 0).cast("long"))
+                    .alias("o"),
+                    F.sum(
+                        ((F.col("dispose_bg") + F.col("dispose_prev")) > 0)
+                        .cast("long")
+                    ).alias("d"),
+                    F.sum((F.col("num_plays") == 0).cast("long"))
+                    .alias("lf"),
+                    F.sum((F.col("default_hidden") > 0).cast("long"))
+                    .alias("hd"),
+                    F.expr(
+                        "percentile(total_delay_ms, array(0.5, 0.9))"
+                    ).alias("dq"),
+                ).collect()[0]
+                section["compositing"] = {
+                    "with_partial_frames": int(fq["p"]),
+                    "with_over_blend": int(fq["o"]),
+                    "with_restore_dispose": int(fq["d"]),
+                    "loop_forever": int(fq["lf"]),
+                    "hidden_default_image": int(fq["hd"]),
+                }
+                section["delay_ms_p50_p90"] = [int(v) for v in fq["dq"]]
+            report["apng"] = section
+        finally:
+            af.unpersist()
     print(json.dumps(report))
     return 0
 

@@ -4649,18 +4649,20 @@ def media_dedup_panorama(spark, sf_dir):
 
 
 def media_robust_panorama(spark, sf_dir):
-    """One report across the seven ROBUSTNESS lanes the plain perceptual
-    contracts miss (r8, +dihedral r9, +browser flatten r11): EXIF-rotated
-    refetches (`media_phash_oriented`), EXIF-STRIPPED rotations
-    (`media_phash_dihedral`), clipped/padded audio replays
+    """One report across the eight ROBUSTNESS lanes the plain perceptual
+    contracts miss (r8, +dihedral r9, +browser flatten and cross-format
+    r11): EXIF-rotated refetches (`media_phash_oriented`), EXIF-STRIPPED
+    rotations (`media_phash_dihedral`), clipped/padded audio replays
     (`media_audio_offset_pairs`), resampled re-encodes
     (`media_audio_resampled_pairs`), one-frame video trims
     (`media_video_trimmed_pairs`), cross-clip shot reuse
-    (`media_shot_reuse`), and disposal-2 GIFs vs their browser-style
-    white-matte flattens (`media_gif_disposal2_pairs`) — per lane, the
-    pair count and the items a min-id-wins pass would drop.  The oracle
-    embeds each lane's oracle SQL verbatim as a subquery (the
-    dedup_panorama drift-proof composition pattern)."""
+    (`media_shot_reuse`), disposal-2 GIFs vs their browser-style
+    white-matte flattens (`media_gif_disposal2_pairs`), and animations
+    re-encoded across CONTAINERS — GIF vs APNG
+    (`media_apng_gif_pairs`) — per lane, the pair count and the items a
+    min-id-wins pass would drop.  The oracle embeds each lane's oracle
+    SQL verbatim as a subquery (the dedup_panorama drift-proof
+    composition pattern)."""
     def summarize(pairs, lane):
         return pairs.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
@@ -4690,6 +4692,11 @@ def media_robust_panorama(spark, sf_dir):
             summarize(
                 media_gif_disposal2_pairs(spark, sf_dir),
                 "gif_browser_flatten",
+            )
+        )
+        .unionByName(
+            summarize(
+                media_apng_gif_pairs(spark, sf_dir), "anim_cross_format"
             )
         )
     )
@@ -9667,6 +9674,10 @@ UNION ALL
 SELECT 'gif_browser_flatten', CAST(count(*) AS BIGINT),
        CAST(count(DISTINCT id_b) AS BIGINT)
 FROM ({o["media_gif_disposal2_pairs"]})
+UNION ALL
+SELECT 'anim_cross_format', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT id_b) AS BIGINT)
+FROM ({o["media_apng_gif_pairs"]})
 """
 
     # continuous image-dedup regime: corpus half's signatures are the

@@ -1343,3 +1343,34 @@ def test_fsck_bare_parquet_corpus_and_status(spark, tmp_path):
     assert report["status"] == "error"
     assert report["ivfpq_index"]["rows"] == 30  # section still populated
     assert any("corpus dir missing" in e for e in report["errors"])
+
+
+def test_analyze_media_apng_section(spark, tmp_path):
+    """r11 analyze-media APNG block: a PNG corpus mixing animated
+    (synth_apng_composited) and still payloads reports the
+    animated/still split and the compositing-relevance mix — the
+    chunk-walk pass only, no inflate."""
+    from slice_db_spark.operators import multimodal as M
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id bigint")
+    stills = spark.createDataFrame(
+        [(100 + i,) for i in range(5)], "doc_id bigint"
+    )
+    corpus = str(tmp_path / "media")
+    M.synth_apng_composited(ids).unionByName(
+        M.synth_png(stills)
+    ).write.parquet(corpus)
+    report = json.loads(run_cli("analyze-media", corpus))
+    sec = report["apng"]
+    assert sec["png_rows"] == 17
+    assert sec["animated"] == 12 and sec["still_or_damaged"] == 5
+    comp = sec["compositing"]
+    # every composited synth has 2 partial frames and 1 OVER frame
+    assert comp["with_partial_frames"] == 12
+    assert comp["with_over_blend"] == 12
+    assert comp["hidden_default_image"] == 0
+    # dispose 1/2 present unless k%3 == 0 AND (k//3)%3 == 0 -> k in {0, 9}
+    assert comp["with_restore_dispose"] == 10
+    # num_plays = k%7 == 0 -> k in {0, 7}
+    assert comp["loop_forever"] == 2
+    assert sec["delay_ms_p50_p90"] == [0, 0]

@@ -787,3 +787,100 @@ def test_audio_fingerprint_amplitude_invariance_property(seed, scale):
         return sum(1 << w for w in range(30) if e[w + 1] > e[w])
 
     assert fp(samples) == fp([scale * x for x in samples])
+
+
+@given(
+    st.integers(min_value=3, max_value=12),
+    st.integers(min_value=3, max_value=12),
+    st.integers(min_value=1, max_value=4),
+    st.randoms(),
+)
+@settings(max_examples=30, deadline=None)
+def test_apng_compositing_property(sw, sh, n_frames, rnd):
+    """r11: encode_apng_frames -> _apng_decode_frames_rgba + the
+    alpha-weighted flatten agree with an INDEPENDENT scalar compositor
+    over random specs — offsets, sizes, dispose 0-2, blend SOURCE/OVER,
+    per-pixel fractional alpha.  The model keeps a straight-RGBA canvas
+    of exact rationals (fractions.Fraction, per-pixel Python loops) and
+    rounds half-up at each emit, which provably equals the engine's
+    (num + den//2) // den integer form — so any vectorized indexing,
+    broadcast, dispose-region, or blend-denominator bug diverges."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from slice_db_spark.operators.multimodal import (
+        _apng_decode_frames_rgba, _rgba_flatten, encode_apng_frames,
+    )
+
+    def half_up(x):
+        return int((2 * x.numerator + x.denominator)
+                   // (2 * x.denominator)) if isinstance(x, Fraction) else x
+
+    specs = []
+    for i in range(n_frames):
+        if i == 0:
+            fw, fh, x, y = sw, sh, 0, 0  # IDAT frame: full canvas
+        else:
+            fw = rnd.randrange(1, sw + 1)
+            fh = rnd.randrange(1, sh + 1)
+            x = rnd.randrange(sw - fw + 1)
+            y = rnd.randrange(sh - fh + 1)
+        px = np.zeros((fh, fw, 4), dtype=np.uint8)
+        for r in range(fh):
+            for c in range(fw):
+                v = rnd.randrange(256)
+                a = rnd.choice([0, 255, rnd.randrange(256)])
+                px[r, c] = (v, v, v, a)
+        specs.append({
+            "px": px, "x": x, "y": y,
+            "dispose": rnd.randrange(3), "blend": rnd.choice([0, 1]),
+        })
+    payload = encode_apng_frames(sw, sh, specs)
+    gw, gh, got, _bg, _plays = _apng_decode_frames_rgba(payload)
+    assert (gw, gh) == (sw, sh) and len(got) == n_frames
+
+    canvas = [[(0, 0) for _ in range(sw)] for _ in range(sh)]  # (v, a)
+    mv = rnd.randrange(256)
+    for i, s in enumerate(specs):
+        fh, fw = s["px"].shape[:2]
+        x, y = s["x"], s["y"]
+        prev = [row[x:x + fw] for row in canvas[y:y + fh]]
+        prev = [list(r) for r in prev]
+        for r in range(fh):
+            for c in range(fw):
+                v, a = int(s["px"][r, c, 0]), int(s["px"][r, c, 3])
+                if s["blend"] == 0:
+                    canvas[y + r][x + c] = (v, a)
+                else:
+                    bv, ba = canvas[y + r][x + c]
+                    fa, fb = Fraction(a, 255), Fraction(ba, 255)
+                    oa = fa + fb * (1 - fa)
+                    if oa == 0:
+                        canvas[y + r][x + c] = (0, 0)
+                    else:
+                        oc = (v * fa + bv * fb * (1 - fa)) / oa
+                        canvas[y + r][x + c] = (
+                            half_up(oc), half_up(oa * 255)
+                        )
+        for r in range(sh):
+            for c in range(sw):
+                ev, ea = canvas[r][c]
+                assert got[i][r, c, 0] == ev, (i, r, c)
+                assert got[i][r, c, 3] == ea, (i, r, c)
+        # flatten against a random matte: exact alpha weighting
+        flat = _rgba_flatten(got[i], (mv, mv, mv))
+        for r in range(sh):
+            for c in range(sw):
+                ev, ea = canvas[r][c]
+                want = half_up(Fraction(ev * ea + mv * (255 - ea), 255))
+                assert flat[r, c, 0] == want, (i, r, c)
+        dispose = s["dispose"]
+        if dispose == 1 or (dispose == 2 and i == 0):
+            for r in range(fh):
+                for c in range(fw):
+                    canvas[y + r][x + c] = (0, 0)
+        elif dispose == 2:
+            for r in range(fh):
+                for c in range(fw):
+                    canvas[y + r][x + c] = prev[r][c]
