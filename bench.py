@@ -156,6 +156,7 @@ HEADLINE = [
     "ann_opq",
     "ann_opq_index",
     "ann_pq_opq",
+    "ann_sq8",
     "ann_ivfpq_opq",
     "media_gif_composited",
     "media_gif_interlaced",
@@ -269,6 +270,7 @@ SWEEP = [
     # codebook sampling (2 trainer scans + KB driver state should track
     # corpus growth ~linearly like plain ann_pq)
     "ann_pq_opq",
+    "ann_sq8",
 ]
 
 

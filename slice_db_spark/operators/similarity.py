@@ -709,6 +709,138 @@ def pq_adc_topk(
     )
 
 
+# --------------------------------------------------- scalar quantization
+# SQ8 (r11): the OTHER classic memory-side ANN compression (FAISS's
+# ScalarQuantizer) — per-DIMENSION uint8 codes instead of PQ's per-
+# subspace centroids.  One corpus scan trains the quantizer (per-dim
+# min/max, map-side partial aggregation — 2·dim scalar aggregates, no
+# shuffle of vector rows); codes are 1 byte/dim (dim·8 bits vs PQ's
+# m·log2(n_codes) — coarser compression, zero training beyond min/max,
+# and NO codebook drift under appends, the operational case SQ exists
+# for).  Everything stays exact int64 on the PQ_SCALE fixed-point
+# vectors, so the DuckDB oracle replays the full chain: code =
+# ((x − vmin)·255) div span (floor; x spans [vmin, vmax] so codes span
+# [0, 255] with no clamp), dequantization works in the ×255 integer
+# space (recon255 = 255·vmin + code·span), and the asymmetric distance
+# is Σ_d (255·q_d − recon255_d)² — exact integers end to end.
+
+#: SQ8 quantization levels (codes 0..255)
+SQ8_LEVELS = 255
+
+
+def sq8_minmax(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[list[int], list[int]]:
+    """Train the SQ8 quantizer: per-dimension ``(vmin, span)`` of the
+    fixed-point corpus in ONE scan — ``2·dim`` scalar min/max
+    aggregates, all map-side partial (the reduce state is KB-sized, no
+    vector shuffle).  ``span`` floors at 1 so a constant dimension
+    quantizes to code 0 instead of dividing by zero."""
+    dim = len(corpus.select(vec_col).first()[0])
+    q = corpus.select(quantize_expr(vec_col).alias("__e"))
+    aggs = []
+    for d in range(dim):
+        aggs.append(F.min(F.col("__e")[d]).alias(f"__mn{d}"))
+        aggs.append(F.max(F.col("__e")[d]).alias(f"__mx{d}"))
+    row = q.agg(*aggs).collect()[0]
+    vmin = [int(row[f"__mn{d}"]) for d in range(dim)]
+    span = [max(int(row[f"__mx{d}"]) - vmin[d], 1) for d in range(dim)]
+    return vmin, span
+
+
+def _sq8_param_arrays(vmin: list[int], span: list[int]):
+    vm = F.array(*[F.lit(int(v)) for v in vmin])
+    sp = F.array(*[F.lit(int(s)) for s in span])
+    return vm, sp
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    vmin: list[int],
+    span: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 encoding → one ``(id, d, code)`` row per dimension (the PQ
+    ``(id, m, code)`` shape, so the ADC join plan is identical).  All
+    codegen: quantize, per-dim affine, integer division — no Python in
+    the scan."""
+    vm, sp = _sq8_param_arrays(vmin, span)
+    return (
+        corpus.select(
+            F.col(id_col),
+            F.posexplode(quantize_expr(vec_col)).alias("d", "__x"),
+            vm.alias("__vm"), sp.alias("__sp"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("d"),
+            F.expr(
+                f"CAST((__x - element_at(__vm, d + 1)) * {SQ8_LEVELS} AS BIGINT)"
+                " div element_at(__sp, d + 1)"
+            ).alias("code"),
+        )
+    )
+
+
+def sq8_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vmin: list[int],
+    span: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over SQ8 codes: each query precomputes
+    a (dimension × 256-code) integer distance table — ``dim·256`` rows
+    per query, KB-sized, broadcast — and a corpus vector's approximate
+    squared L2 is the sum of ``dim`` lookups on its codes.  Same scale
+    shape as :func:`pq_adc_topk` (map-side broadcast hash join +
+    partially-aggregating sum keyed by (q, id)); distances are exact
+    int64 in the ×255 space, so ranking is deterministic with an id
+    tie-break.  Output ``(q_id, vec_id, adist, rank)``."""
+    codes = sq8_encode(corpus, vmin, span, id_col=id_col, vec_col=vec_col)
+    vm, sp = _sq8_param_arrays(vmin, span)
+    dt = (
+        queries.select(
+            F.col(query_id_col),
+            F.posexplode(quantize_expr(vec_col)).alias("d", "__qx"),
+            vm.alias("__vm"), sp.alias("__sp"),
+        )
+        .select(
+            F.col(query_id_col), F.col("d"), "__qx", "__vm", "__sp",
+            F.explode(F.sequence(F.lit(0), F.lit(SQ8_LEVELS))).alias("code"),
+        )
+        .select(
+            F.col(query_id_col), F.col("d"), F.col("code"),
+            F.expr(
+                f"({SQ8_LEVELS} * __qx"
+                f" - ({SQ8_LEVELS} * element_at(__vm, d + 1)"
+                f"    + code * element_at(__sp, d + 1)))"
+                f" * ({SQ8_LEVELS} * __qx"
+                f"    - ({SQ8_LEVELS} * element_at(__vm, d + 1)"
+                f"       + code * element_at(__sp, d + 1)))"
+            ).alias("__d"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(dt), on=["d", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__d").alias("adist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adist"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "adist",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 # --------------------------------------------------------- k-means IVF
 # Lloyd-refined coarse quantizer, entirely in PQ_SCALE fixed-point int64 so
 # the DuckDB oracle replays it exactly: assignment is integer squared-L2

@@ -3655,6 +3655,24 @@ def ann_pq(spark, sf_dir):
     return similarity.pq_adc_topk(corpus, q, cb, m_subspaces=PQ_M, k=5)
 
 
+def ann_sq8(spark, sf_dir):
+    """SQ8 scalar-quantization ADC top-k (r11) — the OTHER classic
+    memory-side ANN compression (per-DIMENSION uint8 codes, FAISS's
+    ScalarQuantizer shape): training is ONE map-side-partial min/max
+    scan (`operators/similarity.py::sq8_minmax` — no codebook, no
+    centroid drift under appends), encoding is a codegen affine +
+    integer division per dimension, and the probe broadcasts a
+    dim×256 integer distance table per query — the same
+    broadcast-join + partial-sum plan as `ann_pq`, exact int64 in the
+    ×255 fixed-point space end to end.  The oracle replays min/max →
+    codes → ADC verbatim."""
+    emb = catalog(spark, sf_dir)["embeddings"]
+    corpus = emb.where("vec_id >= 5")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    vmin, span = similarity.sq8_minmax(corpus)
+    return similarity.sq8_adc_topk(corpus, q, vmin, span, k=5)
+
+
 def ann_ivf(spark, sf_dir):
     """IVF scale path: md5-sampled centroids → cell assignment (one matmul
     per Arrow batch) → probe-cell equi-join → exact scoring."""
@@ -7595,6 +7613,35 @@ SELECT q_id, vec_id, adist,
 FROM scored QUALIFY rank <= 5
 """
 
+    # SQ8 scalar quantization (r11): per-dim min/max over the corpus,
+    # floor-affine codes, exact x255-space integer ADC — the whole
+    # chain restated
+    o["ann_sq8"] = """
+WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+  FROM embeddings),
+corp AS (SELECT vec_id, e FROM v WHERE vec_id >= 5),
+qry AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+dims AS (SELECT unnest(range(0, 64)) AS d),
+mm AS (SELECT d.d AS d, min(c.e[d.d + 1]) AS vmin,
+              greatest(max(c.e[d.d + 1]) - min(c.e[d.d + 1]), 1) AS sp
+       FROM corp c, dims d GROUP BY d.d),
+codes AS (SELECT c.vec_id, m.d,
+                 ((c.e[m.d + 1] - m.vmin) * 255) // m.sp AS code
+          FROM corp c, mm m),
+scored AS (
+  SELECT q.q_id, k.vec_id,
+         CAST(sum((255 * q.qe[k.d + 1] - (255 * m.vmin + k.code * m.sp))
+                  * (255 * q.qe[k.d + 1] - (255 * m.vmin + k.code * m.sp)))
+              AS BIGINT) AS adist
+  FROM codes k JOIN mm m USING (d) CROSS JOIN qry q
+  GROUP BY 1, 2)
+SELECT q_id, vec_id, adist,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id)
+            AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
     # IVF-PQ composite: the unrolled Lloyd chain (cells + probes) feeds
     # the PQ code/table chain — candidates are the probed cells' members,
     # ranked by summed integer ADC lookups.  PQ centroids renamed `pqc`
@@ -10815,6 +10862,7 @@ def _all_queries():
         "ann_ivf_kmeans": ann_ivf_kmeans,
         "pq_codes": pq_codes,
         "ann_pq": ann_pq,
+        "ann_sq8": ann_sq8,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_hi": dedup_embedding_hi,
         "semdedup": semdedup,

@@ -832,3 +832,89 @@ def test_ivfpq_index_append_matches_frozen_retrain(spark, tmp_path):
         spark, idx, queries, k=4, k_prime=8, nprobe=2
     ).orderBy("q_id", "rank").collect()]
     assert after == want
+
+
+def test_sq8_codes_and_adc_exactness(spark):
+    """r11 SQ8: codes span [0, 255] with the extremes hit exactly, a
+    constant dimension floors its span at 1 (all-zero codes, no
+    division blowup), and the ADC chain reproduces an independent
+    per-vector integer computation bit-for-bit."""
+    import random
+
+    import numpy as np
+
+    from slice_db_spark.operators import similarity as S
+
+    rng = random.Random(19)
+    dim = 6
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim - 1)] + [0.25])
+            for i in range(40)]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = spark.createDataFrame(
+        [(0, rows[5][1]), (1, [0.0] * (dim - 1) + [0.25])],
+        "q_id bigint, embedding array<float>",
+    )
+    vmin, span = S.sq8_minmax(corpus)
+    assert span[dim - 1] == 1 and vmin[dim - 1] == 250  # constant dim
+    codes = S.sq8_encode(corpus, vmin, span).collect()
+    by_vec = {}
+    for r in codes:
+        by_vec.setdefault(r.vec_id, {})[r.d] = r.code
+    assert all(0 <= c <= 255 for m in by_vec.values() for c in m.values())
+    # the per-dim min and max rows hit codes 0 and 255 exactly
+    qv = {i: np.round(np.array(v, dtype=np.float64) * 1000).astype(np.int64)
+          for i, v in rows}
+    for d in range(dim - 1):
+        col = {i: qv[i][d] for i in qv}
+        lo = min(col, key=lambda i: (col[i], i))
+        hi = min(col, key=lambda i: (-col[i], i))
+        assert by_vec[lo][d] == 0 and by_vec[hi][d] == 255
+    # constant dim: every code 0
+    assert all(m[dim - 1] == 0 for m in by_vec.values())
+    # ADC equals the independent integer chain
+    vm, sp = np.array(vmin), np.array(span)
+    got = {(r.q_id, r.vec_id): (r.adist, r.rank)
+           for r in S.sq8_adc_topk(corpus, q, vmin, span, k=40).collect()}
+    for qid, qvec in ((0, rows[5][1]), (1, [0.0] * (dim - 1) + [0.25])):
+        qq = np.round(np.array(qvec, dtype=np.float64) * 1000).astype(np.int64)
+        want = []
+        for i in qv:
+            c = ((qv[i] - vm) * 255) // sp
+            dfv = 255 * qq - (255 * vm + c * sp)
+            want.append((int((dfv * dfv).sum()), i))
+        want.sort()
+        for rank, (ad, i) in enumerate(want, 1):
+            assert got[(qid, i)] == (ad, rank)
+    # the exact duplicate of query 0 ranks first
+    assert got[(0, 5)][1] == 1
+
+
+def test_sq8_recall_on_planted_clusters(spark):
+    """SQ8 retrieves planted tight clusters like the other memory-side
+    chains — the structured-data pin (and appends need NO retrain:
+    min/max of the union only widens, unlike codebook drift)."""
+    import random
+
+    from slice_db_spark.operators import similarity as S
+
+    rng = random.Random(23)
+    dim, n_clusters, per = 16, 10, 5
+    rows, queries = [], []
+    vid = 100
+    for ci in range(n_clusters):
+        center = [rng.uniform(-0.5, 0.5) for _ in range(dim)]
+        queries.append((ci, center))
+        for _ in range(per):
+            rows.append((vid, [x + rng.uniform(-0.02, 0.02) for x in center]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    qdf = spark.createDataFrame(queries, "q_id bigint, embedding array<float>")
+    vmin, span = S.sq8_minmax(corpus)
+    got = {}
+    for r in S.sq8_adc_topk(corpus, qdf, vmin, span, k=per).collect():
+        got.setdefault(r.q_id, set()).add(r.vec_id)
+    hit = sum(
+        len({100 + q * per + j for j in range(per)} & got.get(q, set()))
+        for q in range(n_clusters)
+    )
+    assert hit / (n_clusters * per) >= 0.95

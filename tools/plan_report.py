@@ -180,6 +180,8 @@ AUDIT = [
     "media_apng_composited",
     "media_apng_gif_pairs",
     "media_apng_features",
+    # r11 SQ8: one min/max training scan + broadcast dim x 256 ADC table
+    "ann_sq8",
 ]
 
 MAX_LINES = 80
