@@ -584,9 +584,30 @@ def cmd_compact(args) -> int:
     if args.lsh_index:
         report = compact_lsh_index(spark, args.path, target_file_bytes=args.target_bytes)
     elif args.ivf_index:
-        from .operators.similarity import compact_ivf_index
+        import os as _os
 
-        report = compact_ivf_index(spark, args.path, target_file_bytes=args.target_bytes)
+        from .operators.similarity import compact_ivf_index, compact_sq8_index
+
+        # the flag covers every build-index output; an SQ8 index has a
+        # codes/ dir (no cells), detected via the sidecar or the layout
+        _kind = None
+        try:
+            with open(_os.path.join(args.path, "index.json")) as f:
+                _kind = json.load(f).get("kind")
+        except (OSError, ValueError):
+            pass
+        if _kind == "sq8" or (
+            _kind is None
+            and _os.path.isdir(_os.path.join(args.path, "codes"))
+            and not _os.path.isdir(_os.path.join(args.path, "cells"))
+        ):
+            report = compact_sq8_index(
+                spark, args.path, target_file_bytes=args.target_bytes
+            )
+        else:
+            report = compact_ivf_index(
+                spark, args.path, target_file_bytes=args.target_bytes
+            )
     elif args.span_index:
         from .plans.scale import compact_span_index
 
@@ -741,6 +762,57 @@ def cmd_fsck(args) -> int:
         if cells is not None:
             entry["rows"] = cells.count()
         report["ivf_index"] = entry
+    if args.sq8_index:
+        import json as _json
+
+        mj = _os.path.join(args.sq8_index, "meta.json")
+        entry = {}
+        meta = None
+        try:
+            with open(mj) as f:
+                meta = _json.load(f)
+        except (OSError, ValueError) as e:
+            errors.append(f"SQ8 meta.json unreadable: {e}")
+        shape_ok = False
+        if meta is not None:
+            vmin, span = meta.get("vmin"), meta.get("span")
+            ok_lists = (
+                isinstance(vmin, list) and isinstance(span, list)
+                and vmin and len(vmin) == len(span)
+                and all(isinstance(v, int) for v in vmin)
+                and all(isinstance(v, int) for v in span)
+            )
+            if not ok_lists:
+                errors.append(
+                    "SQ8 meta needs equal-length integer vmin/span lists"
+                )
+            elif any(v < 1 for v in span):
+                errors.append("SQ8 meta span entries must be >= 1")
+            else:
+                shape_ok = True
+                entry["dim"] = len(vmin)
+        codes, _ = _readable(
+            _os.path.join(args.sq8_index, "codes"), "SQ8 codes"
+        )
+        if codes is not None:
+            entry["rows"] = codes.count()
+            if shape_ok:
+                from pyspark.sql import functions as _F
+
+                dim = len(meta["vmin"])
+                bad = codes.where(
+                    (_F.size("__codes") != dim)
+                    | _F.exists(
+                        "__codes", lambda c: (c < 0) | (c > 255)
+                    )
+                ).count()
+                entry["bad_code_rows"] = bad
+                if bad:
+                    errors.append(
+                        f"SQ8 codes: {bad} rows with wrong arity or "
+                        "out-of-range codes"
+                    )
+        report["sq8_index"] = entry
     if args.ivfpq_index:
         import json as _json
 
@@ -934,8 +1006,11 @@ def cmd_build_index(args) -> int:
             append = S.append_ivf_index
         elif kind == "ivfpq":
             append = S.append_ivfpq_index
+        elif kind == "sq8":
+            # frozen per-dim quantizer; out-of-range arrivals saturate
+            append = S.append_sq8_index
         else:
-            print(f"--append supports kind=ivf/ivfpq, index is {kind!r}",
+            print(f"--append supports kind=ivf/ivfpq/sq8, index is {kind!r}",
                   file=sys.stderr)
             return 2
         append(
@@ -957,6 +1032,14 @@ def cmd_build_index(args) -> int:
             "kind": "ivfpq", "n_cells": len(meta["centroids"]),
             "iters": args.iters, "m_subspaces": meta["m_subspaces"],
             "n_codes": meta["n_codes"], "opq_rounds": args.opq_rounds,
+            "id_col": args.id_col, "vec_col": args.vec_col,
+        }
+    elif args.kind == "sq8":
+        meta = S.build_sq8_index(
+            corpus, args.index, id_col=args.id_col, vec_col=args.vec_col,
+        )
+        sidecar = {
+            "kind": "sq8", "dim": len(meta["vmin"]),
             "id_col": args.id_col, "vec_col": args.vec_col,
         }
     else:
@@ -993,14 +1076,19 @@ def cmd_probe_index(args) -> int:
         id_col = sidecar.get("id_col", "vec_id")
         vec_col = sidecar.get("vec_col", "embedding")
     elif os.path.exists(os.path.join(args.index, "meta.json")):
-        kind, id_col, vec_col = "ivfpq", "vec_id", "embedding"
+        with open(os.path.join(args.index, "meta.json")) as f:
+            _m = json.load(f)
+        # both ivfpq and sq8 persist meta.json; the quantizer keys tell
+        # them apart for hand-built indexes without an index.json
+        kind = "sq8" if "vmin" in _m else "ivfpq"
+        id_col, vec_col = "vec_id", "embedding"
     elif os.path.exists(os.path.join(args.index, "centroids.json")):
         kind, id_col, vec_col = "ivf", "vec_id", "embedding"
     else:
         print(f"no ANN index at {args.index} (index.json / meta.json / "
               "centroids.json all missing)", file=sys.stderr)
         return 2
-    if kind not in ("ivf", "ivfpq"):
+    if kind not in ("ivf", "ivfpq", "sq8"):
         print(f"unknown index kind {kind!r} in {sidecar_path}",
               file=sys.stderr)
         return 2
@@ -1017,6 +1105,11 @@ def cmd_probe_index(args) -> int:
         res = S.probe_ivfpq_index(
             spark, args.index, queries, k=args.k, k_prime=args.k_prime,
             nprobe=args.nprobe, id_col=id_col, vec_col=vec_col,
+        )
+    elif kind == "sq8":
+        res = S.probe_sq8_index(
+            spark, args.index, queries, k=args.k,
+            id_col=id_col, vec_col=vec_col,
         )
     else:
         res = S.probe_ivf_index(
@@ -1891,6 +1984,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="media corpus dir: checks content_hash width "
                     "(legacy 60-bit is an error) and media_id uniqueness")
     fs.add_argument("--ivf-index", default=None)
+    fs.add_argument("--sq8-index", default=None,
+                    help="SQ8 index dir (meta.json vmin/span contract + "
+                    "code arity/range check)")
     fs.add_argument("--ivfpq-index", default=None,
                     help="OPQ-IVFPQ index dir (meta.json rotation/codebook "
                     "contract + cell list code-range check)")
@@ -1904,7 +2000,7 @@ def main(argv: list[str] | None = None) -> int:
         help="train + persist an ANN index (IVF or OPQ-IVFPQ) from an "
         "embedding parquet",
     )
-    bi.add_argument("--kind", choices=["ivf", "ivfpq"], default="ivfpq")
+    bi.add_argument("--kind", choices=["ivf", "ivfpq", "sq8"], default="ivfpq")
     bi.add_argument("--cells", type=int, default=8,
                     help="coarse-quantizer cells (k-means)")
     bi.add_argument("--iters", type=int, default=2,

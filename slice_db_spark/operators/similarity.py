@@ -754,6 +754,23 @@ def _sq8_param_arrays(vmin: list[int], span: list[int]):
     return vm, sp
 
 
+def _sq8_codes_array(vmin: list[int], span: list[int], quant_col: str = "__e"):
+    """array<bigint> SQ8 codes of a quantized-vector column — one
+    indexed ``transform`` (codegen).  Codes CLAMP to [0, 255]: vectors
+    inside the training range are unaffected (the affine maps [vmin,
+    vmax] onto [0, 255] exactly), and APPENDED vectors outside it
+    saturate instead of escaping the code space — the standard SQ
+    append contract between retrains."""
+    vm = "array(" + ",".join(str(int(v)) for v in vmin) + ")"
+    sp = "array(" + ",".join(str(int(s)) for s in span) + ")"
+    return F.expr(
+        f"transform({quant_col}, (x, i) -> greatest(CAST(0 AS BIGINT),"
+        f" least(CAST({SQ8_LEVELS} AS BIGINT),"
+        f" CAST((x - element_at({vm}, i + 1)) * {SQ8_LEVELS} AS BIGINT)"
+        f" div element_at({sp}, i + 1))))"
+    )
+
+
 def sq8_encode(
     corpus: DataFrame,
     vmin: list[int],
@@ -765,21 +782,12 @@ def sq8_encode(
     ``(id, m, code)`` shape, so the ADC join plan is identical).  All
     codegen: quantize, per-dim affine, integer division — no Python in
     the scan."""
-    vm, sp = _sq8_param_arrays(vmin, span)
-    return (
-        corpus.select(
-            F.col(id_col),
-            F.posexplode(quantize_expr(vec_col)).alias("d", "__x"),
-            vm.alias("__vm"), sp.alias("__sp"),
-        )
-        .select(
-            F.col(id_col),
-            F.col("d"),
-            F.expr(
-                f"CAST((__x - element_at(__vm, d + 1)) * {SQ8_LEVELS} AS BIGINT)"
-                " div element_at(__sp, d + 1)"
-            ).alias("code"),
-        )
+    return corpus.select(
+        F.col(id_col),
+        quantize_expr(vec_col).alias("__e"),
+    ).select(
+        F.col(id_col),
+        F.posexplode(_sq8_codes_array(vmin, span)).alias("d", "code"),
     )
 
 
@@ -802,8 +810,18 @@ def sq8_adc_topk(
     int64 in the ×255 space, so ranking is deterministic with an id
     tie-break.  Output ``(q_id, vec_id, adist, rank)``."""
     codes = sq8_encode(corpus, vmin, span, id_col=id_col, vec_col=vec_col)
+    dt = _sq8_dtable(queries, vmin, span, query_id_col, vec_col)
+    return _sq8_rank(codes, dt, k, id_col, query_id_col)
+
+
+def _sq8_dtable(
+    queries: DataFrame, vmin: list[int], span: list[int],
+    query_id_col: str, vec_col: str,
+) -> DataFrame:
+    """Per-query SQ8 ADC table: (q, d, code 0..255, exact ×255-space
+    squared distance) — dim·256 rows per query, broadcast-sized."""
     vm, sp = _sq8_param_arrays(vmin, span)
-    dt = (
+    return (
         queries.select(
             F.col(query_id_col),
             F.posexplode(quantize_expr(vec_col)).alias("d", "__qx"),
@@ -814,7 +832,8 @@ def sq8_adc_topk(
             F.explode(F.sequence(F.lit(0), F.lit(SQ8_LEVELS))).alias("code"),
         )
         .select(
-            F.col(query_id_col), F.col("d"), F.col("code"),
+            F.col(query_id_col), F.col("d"),
+            F.col("code").cast("bigint").alias("code"),
             F.expr(
                 f"({SQ8_LEVELS} * __qx"
                 f" - ({SQ8_LEVELS} * element_at(__vm, d + 1)"
@@ -825,8 +844,18 @@ def sq8_adc_topk(
             ).alias("__d"),
         )
     )
+
+
+def _sq8_rank(
+    codes: DataFrame, dt: DataFrame, k: int, id_col: str, query_id_col: str
+) -> DataFrame:
+    """Shared SQ8 scoring: broadcast-hash-join the ADC table onto the
+    (id, d, code) rows, partially-aggregating sum keyed by (q, id),
+    deterministic id tie-break — the in-memory chain and the persisted
+    probe run this IDENTICAL plan, which is the bit-parity contract."""
     scored = (
-        codes.join(F.broadcast(dt), on=["d", "code"])
+        codes.withColumn("code", F.col("code").cast("bigint"))
+        .join(F.broadcast(dt), on=["d", "code"])
         .groupBy(query_id_col, id_col)
         .agg(F.sum("__d").alias("adist"))
     )
@@ -838,6 +867,122 @@ def sq8_adc_topk(
             query_id_col, id_col, "adist",
             F.col("rank").cast("bigint").alias("rank"),
         )
+    )
+
+
+def build_sq8_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train and materialize the persisted SQ8 index: ``meta.json``
+    (per-dimension vmin/span — the ENTIRE quantizer, driver-side bytes)
+    and ``codes/`` parquet holding one ``(id, array<code>)`` row per
+    vector — dim bytes of signal per row, no raw vectors.  Same
+    crash-safe staging + ``_SUCCESS`` + atomic-swap discipline as the
+    other persisted builders (a plain overwrite would destroy the live
+    index a production probe serves from).  Returns the meta dict."""
+    import json
+    import os
+    import shutil
+
+    from ..sources.atomic import swap_dir
+
+    vmin, span = sq8_minmax(corpus, id_col=id_col, vec_col=vec_col)
+    rows = corpus.select(
+        F.col(id_col), quantize_expr(vec_col).alias("__e")
+    ).select(F.col(id_col), _sq8_codes_array(vmin, span).alias("__codes"))
+    path = os.path.normpath(path)
+    staging = path + ".staging"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    os.makedirs(staging)
+    rows.write.mode("overwrite").parquet(os.path.join(staging, "codes"))
+    meta = {"vmin": vmin, "span": span}
+    with open(os.path.join(staging, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(staging, "_SUCCESS"), "w"):
+        pass
+    swap_dir(path)
+    return meta
+
+
+def probe_sq8_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Top-k search against a persisted SQ8 index — reads the quantizer
+    from ``meta.json`` (bytes), unrolls the stored code arrays, and
+    runs the IDENTICAL broadcast-ADC ranking as :func:`sq8_adc_topk`
+    (bit-parity pinned).  SQ8 is the sequential-scan compression: no
+    cells to prune, the scan reads dim-byte codes instead of raw
+    vectors — the bytes/vector lever, complementing IVF's
+    scan-volume lever."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    codes = (
+        spark.read.parquet(os.path.join(path, "codes"))
+        .select(F.col(id_col), F.posexplode("__codes").alias("d", "code"))
+    )
+    dt = _sq8_dtable(queries, meta["vmin"], meta["span"], query_id_col, vec_col)
+    return _sq8_rank(codes, dt, k, id_col, query_id_col)
+
+
+def append_sq8_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental SQ8 maintenance: encode NEW vectors with the
+    persisted ``meta.json`` quantizer (nothing retrains — min/max of
+    the union only widens, and out-of-range arrivals SATURATE at codes
+    0/255 per the shared clamp, the standard SQ contract between
+    retrains) and append their code rows.  Probes see them immediately,
+    bit-identically to :func:`sq8_adc_topk` over the union corpus with
+    the frozen quantizer.  Same writer-lease + recover discipline as
+    the other appenders."""
+    import json
+    import os
+
+    from ..sources.atomic import dir_lock, recover_dir
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    rows = new_vectors.select(
+        F.col(id_col), quantize_expr(vec_col).alias("__e")
+    ).select(
+        F.col(id_col),
+        _sq8_codes_array(meta["vmin"], meta["span"]).alias("__codes"),
+    )
+    codes_dir = os.path.join(path, "codes")
+    with dir_lock(codes_dir) as lease:
+        recover_dir(codes_dir)
+        lease.check()
+        rows.write.mode("append").parquet(codes_dir)
+
+
+def compact_sq8_index(spark, path: str, target_file_bytes: int = 128 << 20) -> dict:
+    """Maintenance for the persisted SQ8 index: rewrite the append-heavy
+    ``codes/`` dir to size-targeted files, dropping replay-duplicated
+    rows; ``meta.json`` lives outside and is untouched by the swap."""
+    import os
+
+    from ..plans.scale import _compact_dir
+
+    return _compact_dir(
+        spark, os.path.join(path, "codes"), target_file_bytes, [],
+        lambda df: df.dropDuplicates(),
     )
 
 

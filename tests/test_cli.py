@@ -1374,3 +1374,68 @@ def test_analyze_media_apng_section(spark, tmp_path):
     # num_plays = k%7 == 0 -> k in {0, 7}
     assert comp["loop_forever"] == 2
     assert sec["delay_ms_p50_p90"] == [0, 0]
+
+
+def test_build_probe_index_sq8_lifecycle(spark, tmp_path):
+    """r11 SQ8 CLI lifecycle: build-index --kind sq8 trains the min/max
+    quantizer and persists codes; probe-index is bit-identical to the
+    library probe; --append encodes with the FROZEN quantizer (out-of-
+    range vectors saturate) and the probe equals the frozen-artifact
+    chain over the union; compact --ivf-index reclaims a replayed
+    append with bit-stable probes; fsck --sq8-index reports 0 bad
+    rows."""
+    import random
+
+    from slice_db_spark.operators import similarity as S
+
+    rng = random.Random(31)
+    dim = 8
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)]
+    emb = str(tmp_path / "emb")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    ).write.parquet(emb)
+    qp = str(tmp_path / "q")
+    spark.createDataFrame(
+        [(0, rows[2][1]), (1, rows[7][1])],
+        "q_id bigint, embedding array<float>",
+    ).write.parquet(qp)
+    idx = str(tmp_path / "idx")
+
+    rep = json.loads(run_cli("build-index", "--kind", "sq8", emb, idx))
+    assert rep["kind"] == "sq8" and rep["dim"] == dim and rep["rows"] == 40
+    probe = json.loads(run_cli("probe-index", "--k", "4", idx, qp))
+    assert probe["kind"] == "sq8" and probe["n_results"] == 8
+    got = {(r["q_id"], r["vec_id"], r["adist"], r["rank"])
+           for r in probe["results"]}
+    q = spark.read.parquet(qp)
+    lib = {tuple(r) for r in S.probe_sq8_index(spark, idx, q, k=4).collect()}
+    assert got == lib
+
+    # append out-of-range vectors: frozen quantizer, saturating codes
+    newp = str(tmp_path / "new")
+    new = [(100 + i, [2.0 * v for v in rows[i][1]]) for i in range(6)]
+    spark.createDataFrame(
+        new, "vec_id bigint, embedding array<float>"
+    ).write.parquet(newp)
+    rep = json.loads(run_cli("build-index", "--append", newp, idx))
+    assert rep["appended"] == 6
+    meta = json.load(open(os.path.join(idx, "meta.json")))
+    union = spark.createDataFrame(
+        rows + new, "vec_id bigint, embedding array<float>"
+    )
+    after = {tuple(r) for r in S.probe_sq8_index(spark, idx, q, k=4).collect()}
+    frozen = {tuple(r) for r in S.sq8_adc_topk(
+        union, q, meta["vmin"], meta["span"], k=4
+    ).collect()}
+    assert after == frozen
+
+    # replayed append -> compact reclaims, probe bit-stable, fsck clean
+    json.loads(run_cli("build-index", "--append", newp, idx))
+    json.loads(run_cli("compact", "--ivf-index", idx))
+    assert spark.read.parquet(os.path.join(idx, "codes")).count() == 46
+    stable = {tuple(r) for r in S.probe_sq8_index(spark, idx, q, k=4).collect()}
+    assert stable == after
+    rep = json.loads(run_cli("fsck", "--sq8-index", idx, emb))
+    assert rep["sq8_index"] == {"dim": dim, "rows": 46, "bad_code_rows": 0}
+    assert not rep.get("errors")
