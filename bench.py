@@ -155,6 +155,7 @@ HEADLINE = [
     "ann_ivfpq_refined",
     "ann_opq",
     "ann_opq_index",
+    "ann_sq8_index",
     "ann_pq_opq",
     "ann_sq8",
     "ann_ivfpq_opq",
@@ -168,6 +169,7 @@ HEADLINE = [
     "media_gif_loop_meta",
     "media_apng_composited",
     "media_apng_gif_pairs",
+    "media_anim_incremental",
     "media_video_incremental",
     "media_video_shots",
     "media_exif",

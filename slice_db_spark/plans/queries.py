@@ -4507,6 +4507,45 @@ def media_apng_features(spark, sf_dir):
     )
 
 
+def media_anim_incremental(spark, sf_dir):
+    """CROSS-FORMAT continuous animation dedup under the hash gate
+    (r11): the standing corpus (GIF slots of `synth_apng_gif_pairs`)
+    materializes its persisted per-frame signature index in the video
+    lane's layout, and the arriving batch — the APNG re-encodes —
+    probes it via `video_near_pairs_asym` THROUGH `anim_video_phash`,
+    exactly the per-micro-batch machinery of
+    `ingest_media_stream(fingerprint="anim-video")`: a GIF indexed
+    yesterday rejects its APNG re-encode arriving today.  The oracle is
+    the cross-format hash chain with a batch-vs-corpus split readout."""
+    import shutil
+    import tempfile
+
+    docs = catalog(spark, sf_dir)["documents"]
+    media = multimodal.synth_apng_gif_pairs(docs)
+    tmp = tempfile.mkdtemp(prefix="anim_idx_q_")
+    idx = os.path.join(tmp, "idx")
+    try:
+        csigs = multimodal.anim_video_phash(
+            media.where(F.col("media_id") % 10 < 8)
+        ).localCheckpoint(eager=True)
+        nfr = csigs.groupBy("media_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames")
+        )
+        csigs.join(nfr, "media_id").select(
+            F.col("media_id").alias("corpus_id"), "frame_idx", "phash",
+            "n_frames",
+        ).write.mode("overwrite").parquet(idx)
+        probe = multimodal.anim_video_phash(
+            media.where(F.col("media_id") % 10 >= 8)
+        ).localCheckpoint(eager=True)
+        return multimodal.video_near_pairs_asym(
+            probe, spark.read.parquet(idx),
+            bits=63, bands=PHASH_BANDS, max_hamming=PHASH_MAX_HAMMING,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def media_video_pairs(spark, sf_dir):
     """Perceptual VIDEO near-dedup — per-frame pHash over the real Y4M
     codec (`operators/multimodal.py::video_phash`, the SAME hash
@@ -5281,6 +5320,31 @@ def ann_opq_index(spark, sf_dir):
         )
         return similarity.probe_ivfpq_index(
             spark, tmp, q, k=5, k_prime=RERANK_K, nprobe=ANN_IVF_NPROBE,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def ann_sq8_index(spark, sf_dir):
+    """Persisted SQ8 path under the hash gate (r11): train +
+    materialize the index (`similarity.build_sq8_index`: meta.json =
+    the whole per-dim min/max quantizer, codes/ parquet), then answer
+    the SAME query batch through `probe_sq8_index` — the probe runs
+    the IDENTICAL shared broadcast-ADC plan as the in-memory
+    `ann_sq8` chain, so the oracle is the same string; any code-array
+    storage, quantizer-sidecar, or probe drift breaks this hash.
+    Result checkpointed before the temp index dir is deleted."""
+    import shutil
+    import tempfile
+
+    emb = catalog(spark, sf_dir)["embeddings"]
+    corpus = emb.where("vec_id >= 5")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    tmp = tempfile.mkdtemp(prefix="sq8_idx_q_")
+    try:
+        similarity.build_sq8_index(corpus, tmp)
+        return similarity.probe_sq8_index(
+            spark, tmp, q, k=5
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -7642,6 +7706,10 @@ SELECT q_id, vec_id, adist,
 FROM scored QUALIFY rank <= 5
 """
 
+    # persisted SQ8: identical ranking contract to the in-memory chain
+    # (shared plan, parity-pinned), so the oracle string is shared
+    o["ann_sq8_index"] = o["ann_sq8"]
+
     # IVF-PQ composite: the unrolled Lloyd chain (cells + probes) feeds
     # the PQ code/table chain — candidates are the probed cells' members,
     # ranked by summed integer ADC lookups.  PQ centroids renamed `pqc`
@@ -9260,8 +9328,7 @@ WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
     # cross-format GIF/APNG pairing (r11): the gif-video texture chain
     # verbatim — slots 0-7 GIF originals, slot 8 the APNG re-encode
     # (identical values), slot 9 the +4-brightness APNG (AC-invariant)
-    o["media_apng_gif_pairs"] = f"""
-WITH d AS (
+    _apng_gif_cte = f"""d AS (
   SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 10 AS slot,
          CASE WHEN doc_id % 10 >= 8 THEN doc_id - doc_id % 10
               ELSE doc_id END AS seed
@@ -9298,7 +9365,10 @@ ph AS (SELECT ac.media_id, ac.f,
               CAST(sum(CASE WHEN cf > med THEN (CAST(1 AS BIGINT) << bit_i)
                             ELSE 0 END) AS BIGINT) AS phash
        FROM ac JOIN med USING (media_id, f) GROUP BY ac.media_id, ac.f),
-v AS (SELECT media_id, list(phash ORDER BY f) AS hs FROM ph GROUP BY media_id)
+v AS (SELECT media_id, list(phash ORDER BY f) AS hs FROM ph GROUP BY media_id)"""
+
+    o["media_apng_gif_pairs"] = f"""
+WITH {_apng_gif_cte}
 SELECT id_a, id_b, n_frames, max_frame_hamming FROM (
   SELECT a.media_id AS id_a, b.media_id AS id_b,
          CAST(len(a.hs) AS BIGINT) AS n_frames,
@@ -9306,6 +9376,24 @@ SELECT id_a, id_b, n_frames, max_frame_hamming FROM (
               i -> bit_count(xor(a.hs[i], b.hs[i])))) AS BIGINT)
            AS max_frame_hamming
   FROM v a JOIN v b ON a.media_id < b.media_id AND len(a.hs) = len(b.hs))
+WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
+"""
+
+    # cross-format continuous regime: GIF slots are the standing index,
+    # APNG slots probe — same hash chain, split readout (disjoint id
+    # spaces make the probe's self-exclusion moot, the streaming
+    # contract)
+    o["media_anim_incremental"] = f"""
+WITH {_apng_gif_cte}
+SELECT new_id, corpus_id, n_frames, max_frame_hamming FROM (
+  SELECT a.media_id AS new_id, b.media_id AS corpus_id,
+         CAST(len(a.hs) AS BIGINT) AS n_frames,
+         CAST(list_max(list_transform(range(1, len(a.hs) + 1),
+              i -> bit_count(xor(a.hs[i], b.hs[i])))) AS BIGINT)
+           AS max_frame_hamming
+  FROM v a JOIN v b
+    ON a.media_id % 10 >= 8 AND b.media_id % 10 < 8
+   AND len(a.hs) = len(b.hs))
 WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
 """
 
@@ -10863,6 +10951,7 @@ def _all_queries():
         "pq_codes": pq_codes,
         "ann_pq": ann_pq,
         "ann_sq8": ann_sq8,
+        "ann_sq8_index": ann_sq8_index,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_hi": dedup_embedding_hi,
         "semdedup": semdedup,
@@ -10938,6 +11027,7 @@ def _all_queries():
         "media_gif_loop_meta": media_gif_loop_meta,
         "media_apng_composited": media_apng_composited,
         "media_apng_gif_pairs": media_apng_gif_pairs,
+        "media_anim_incremental": media_anim_incremental,
         "media_apng_features": media_apng_features,
         "media_wav_stereo": media_wav_stereo,
         "media_wav_depths": media_wav_depths,

@@ -182,6 +182,8 @@ AUDIT = [
     "media_apng_features",
     # r11 SQ8: one min/max training scan + broadcast dim x 256 ADC table
     "ann_sq8",
+    "ann_sq8_index",
+    "media_anim_incremental",
 ]
 
 MAX_LINES = 80
