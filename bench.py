@@ -995,6 +995,12 @@ def main():
 
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         pdir = tempfile.mkdtemp(prefix="bench_probe_sheet_")
+        # an assertion mid-block must not leak the replicated 100k-row
+        # corpus under /tmp: cleanup is registered up front and the
+        # happy path still removes it eagerly (r11 review fix)
+        import atexit as _atexit
+
+        _atexit.register(shutil.rmtree, pdir, ignore_errors=True)
         idx = os.path.join(pdir, "idx")
         build_ivf_index(emb, idx, n_cells=8, iters=1)  # untimed setup
         with open(os.path.join(idx, "index.json"), "w") as f:
@@ -1063,6 +1069,9 @@ def main():
         sub = dim // M_SUB
         reps = max(1, 100_000 // max(1, emb0.count()))
         rdir = tempfile.mkdtemp(prefix="bench_opq_sampler_")
+        import atexit as _atexit
+
+        _atexit.register(shutil.rmtree, rdir, ignore_errors=True)
         (
             emb0.crossJoin(spark.range(reps).selectExpr("id AS rep"))
             .selectExpr(f"vec_id * {reps} + rep AS vec_id", "embedding")

@@ -688,7 +688,20 @@ def cmd_fsck(args) -> int:
         a valid corpus too (r11 — build-index/probe-index already took
         one; fsck refused the same argument)."""
         if _os.path.isfile(path):
-            return spark.read.parquet(path), [path]
+            # a non-parquet / truncated / zero-byte file is an error
+            # ENTRY like the broken-dir states, not a traceback (the
+            # read is forced with a schema probe so the failure
+            # surfaces here, not at the first count)
+            try:
+                frame = spark.read.parquet(path)
+                frame.schema  # forces footer/schema read
+            except Exception as e:  # AnalysisException/Py4J wrappers
+                errors.append(
+                    f"{what} file is not readable parquet: {path} "
+                    f"({str(e).splitlines()[0][:200]})"
+                )
+                return None, []
+            return frame, [path]
         if not _os.path.isdir(path):
             hint = (" (a .old sibling exists — a compaction crashed "
                     "mid-swap; run recover or compact)"

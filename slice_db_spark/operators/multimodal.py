@@ -438,7 +438,15 @@ def spill_media_to_files(df: DataFrame, dest: str) -> str:
     (r10, advisory fix).  Exact duplicate rows (same id, same payload —
     the exact-dedup stage's left_semi keeps duplicate left rows)
     overwrite benignly and count once (r11 advisory); the same id with
-    a DIFFERENT payload raises as id reuse.  Rows with a NULL media_id
+    a DIFFERENT payload raises as id reuse.  Duplicate ids are handled
+    ACROSS partitions too (r11 review fix): one cheap keys-only
+    aggregate (id, payload-md5 — map-side partial, no payload shuffle)
+    detects them up front; the common no-duplicate case pays only that
+    aggregate, a rare benign-duplicate batch reshuffles JUST the
+    duplicated ids' rows, and cross-partition id reuse raises instead
+    of landing two conflicting ``<id>.<ext>`` files in different
+    shards.  The per-partition digest map stays as the within-partition
+    backstop.  Rows with a NULL media_id
     or payload raise — the caller's ingest gate quarantines those
     before the bridge.
     Returns ``dest`` (normalized)."""
@@ -446,6 +454,39 @@ def spill_media_to_files(df: DataFrame, dest: str) -> str:
     import shutil as _shutil
 
     from ..sources.atomic import swap_dir
+
+    key_stats = (
+        # NULL ids are excluded here so the executor-side NULL guard
+        # keeps owning that error; NULL payloads md5 to NULL (ignored
+        # by countDistinct) for the same reason
+        df.where(F.col("media_id").isNotNull())
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.countDistinct(F.md5("payload")).alias("__k"),
+        )
+        .where("__n > 1")
+    )
+    dup_keys = key_stats.collect()
+    reused = [r.media_id for r in dup_keys if r["__k"] > 1]
+    if reused:
+        raise ValueError(
+            f"spill_media_to_files: media_id(s) {sorted(reused)[:5]} appear "
+            "with DIFFERENT payloads — id reuse; quarantine upstream "
+            "before spilling"
+        )
+    if dup_keys:
+        # benign exact duplicates possibly split across partitions:
+        # reshuffle only those ids' rows so each id writes exactly once
+        dup_ids = df.sparkSession.createDataFrame(
+            [(int(r.media_id),) for r in dup_keys], "media_id bigint"
+        )
+        uniq = df.join(F.broadcast(dup_ids), "media_id", "left_anti")
+        deduped = (
+            df.join(F.broadcast(dup_ids), "media_id", "left_semi")
+            .dropDuplicates(["media_id"])
+        )
+        df = uniq.unionByName(deduped)
 
     dest = _os.path.normpath(dest)
     staging = dest + ".staging"
@@ -5677,12 +5718,12 @@ def encode_apng_frames(
         )
         return zlib.compress(raw)
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
-    out = bytearray(_PNG_SIG + _png_chunk(b"IHDR", ihdr))
-    out += _png_chunk(b"acTL", struct.pack(">II", len(specs), num_plays))
-    if bkgd is not None:
-        out += _png_chunk(b"bKGD", struct.pack(">HHH", *bkgd))
-    seq = 0
+    # validate every spec before writing a byte, then emit ONE stream:
+    # a hidden default means IDAT (no sequence number) comes right
+    # after acTL/bKGD and every animation frame rides fdAT; otherwise
+    # frame 0 (which must be full-canvas) IS the IDAT image, preceded
+    # by its fcTL
+    frames = []
     for i, spec in enumerate(specs):
         px = np.ascontiguousarray(np.asarray(spec["px"], dtype=np.uint8))
         if px.ndim != 3 or px.shape[2] != 4:
@@ -5701,54 +5742,34 @@ def encode_apng_frames(
             (x, y) != (0, 0) or (fw, fh) != (width, height)
         ):
             raise ValueError("APNG IDAT-backed first frame must be full-canvas")
-        fctl = struct.pack(
-            ">IIIIIHHBB", seq, fw, fh, x, y,
-            int(spec.get("delay_num", 0)), int(spec.get("delay_den", 100)),
-            dispose, blend,
-        )
-        out += _png_chunk(b"fcTL", fctl)
-        seq += 1
-        data = frame_data(px)
-        if i == 0 and hidden_default is None:
-            out += _png_chunk(b"IDAT", data)
-        else:
-            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + data)
-            seq += 1
+        frames.append((px, fw, fh, x, y,
+                       int(spec.get("delay_num", 0)),
+                       int(spec.get("delay_den", 100)), dispose, blend))
     if hidden_default is not None:
         dflt = np.ascontiguousarray(
             np.asarray(hidden_default, dtype=np.uint8)
         )
         if dflt.shape != (height, width, 4):
             raise ValueError("APNG hidden default image must be full-canvas RGBA")
-        # the default image bytes follow every fcTL/fdAT in sequence
-        # space but IDAT itself carries no sequence number; chunk order
-        # still places it after acTL and before the first fdAT
-        body = _png_chunk(b"IDAT", frame_data(dflt))
-        # splice IDAT before the first fcTL's fdAT: simplest correct
-        # order is acTL, fcTL(0), IDAT?  No — a hidden default means
-        # the FIRST fcTL comes after IDAT.  Rebuild: IHDR acTL [bKGD]
-        # IDAT then the fcTL/fdAT stream with fdAT for every frame.
-        out = bytearray(_PNG_SIG + _png_chunk(b"IHDR", ihdr))
-        out += _png_chunk(b"acTL", struct.pack(">II", len(specs), num_plays))
-        if bkgd is not None:
-            out += _png_chunk(b"bKGD", struct.pack(">HHH", *bkgd))
-        out += body
-        seq = 0
-        for spec in specs:
-            px = np.ascontiguousarray(np.asarray(spec["px"], dtype=np.uint8))
-            fh, fw = px.shape[:2]
-            x, y = int(spec.get("x", 0)), int(spec.get("y", 0))
-            fctl = struct.pack(
-                ">IIIIIHHBB", seq, fw, fh, x, y,
-                int(spec.get("delay_num", 0)),
-                int(spec.get("delay_den", 100)),
-                int(spec.get("dispose", 0)), int(spec.get("blend", 0)),
-            )
-            out += _png_chunk(b"fcTL", fctl)
-            seq += 1
-            out += _png_chunk(
-                b"fdAT", struct.pack(">I", seq) + frame_data(px)
-            )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    out = bytearray(_PNG_SIG + _png_chunk(b"IHDR", ihdr))
+    out += _png_chunk(b"acTL", struct.pack(">II", len(specs), num_plays))
+    if bkgd is not None:
+        out += _png_chunk(b"bKGD", struct.pack(">HHH", *bkgd))
+    if hidden_default is not None:
+        out += _png_chunk(b"IDAT", frame_data(dflt))
+    seq = 0
+    for i, (px, fw, fh, x, y, dnum, dden, dispose, blend) in enumerate(frames):
+        out += _png_chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, fw, fh, x, y, dnum, dden, dispose, blend,
+        ))
+        seq += 1
+        data = frame_data(px)
+        if i == 0 and hidden_default is None:
+            out += _png_chunk(b"IDAT", data)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + data)
             seq += 1
     out += _png_chunk(b"IEND", b"")
     return bytes(out)
@@ -5892,6 +5913,11 @@ def _apng_decode_frames_rgba(payload: bytes):
                 raise ValueError(f"APNG dispose_op {dispose} undefined")
             if blend > 1:
                 raise ValueError(f"APNG blend_op {blend} undefined")
+            if not saw_idat and any(c[2] for c in fctl_list):
+                # the spec allows AT MOST ONE fcTL before IDAT (the
+                # IDAT-backed frame 0); a second one would replay the
+                # same IDAT bytes as a fabricated extra frame
+                raise ValueError("APNG multiple fcTL chunks before IDAT")
             cur = [
                 (fw, fh, fx, fy, dnum, dden, dispose, blend),
                 bytearray(),
@@ -6133,6 +6159,8 @@ def apng_anim_features(payload: bytes) -> tuple:
             expect_seq += 1
             if first_before_idat is None:
                 first_before_idat = not saw_idat
+            elif first_before_idat and not saw_idat:
+                raise ValueError("APNG multiple fcTL chunks before IDAT")
             n += 1
             if ihdr is None:
                 raise ValueError("fcTL before IHDR")

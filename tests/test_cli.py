@@ -1439,3 +1439,15 @@ def test_build_probe_index_sq8_lifecycle(spark, tmp_path):
     rep = json.loads(run_cli("fsck", "--sq8-index", idx, emb))
     assert rep["sq8_index"] == {"dim": dim, "rows": 46, "bad_code_rows": 0}
     assert not rep.get("errors")
+
+
+def test_fsck_bare_file_corpus_not_parquet(tmp_path):
+    """r11 review fix: fsck pointed at an existing but non-parquet file
+    reports an error ENTRY (status=error, exit 2), never a raw
+    AnalysisException traceback."""
+    bogus = tmp_path / "corpus.jsonl"
+    bogus.write_text('{"doc_id": 1}\n')
+    out = run_cli("fsck", str(bogus), expect_rc=2)
+    rep = json.loads(out.strip().splitlines()[-1])
+    assert rep["status"] == "error"
+    assert any("not readable parquet" in e for e in rep["errors"])

@@ -2660,3 +2660,64 @@ def test_anim_video_phash_dispatch_and_quarantine(spark):
         M.anim_video_phash(df).collect()
     rows = M.anim_video_phash(df, null_on_error=True).collect()
     assert len(rows) == 1 and rows[0].phash is None
+
+
+def test_spill_cross_partition_duplicates(spark, tmp_path):
+    """r11 review fix: benign exact duplicates of one media_id SPLIT
+    ACROSS partitions spill exactly one file, and cross-partition id
+    reuse (same id, different payload) raises instead of landing two
+    conflicting files in different shards."""
+    import os
+
+    import numpy as np
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:, :, 0] = np.arange(16).reshape(4, 4) * 15
+    pay = M.encode_bmp(4, 4, px)
+    rows = [(7, "image", pay, "bmp", len(pay))] * 2
+    schema = ("media_id bigint, kind string, payload binary, "
+              "format string, n_bytes bigint")
+    # force the two copies into different partitions
+    df = spark.createDataFrame(rows, schema).repartition(2)
+    assert df.rdd.glom().map(len).collect().count(1) == 2
+    dest = str(tmp_path / "spill")
+    M.spill_media_to_files(df, dest)
+    files = [os.path.join(r, f) for r, _d, fs in os.walk(dest) for f in fs
+             if f.endswith(".bmp")]
+    assert len(files) == 1
+
+    other = M.encode_bmp(4, 4, np.ones((4, 4, 3), dtype=np.uint8))
+    reuse = spark.createDataFrame(
+        [(7, "image", pay, "bmp", len(pay)),
+         (7, "image", other, "bmp", len(other))], schema
+    ).repartition(2)
+    with pytest.raises(ValueError, match="id reuse"):
+        M.spill_media_to_files(reuse, str(tmp_path / "spill2"))
+
+
+def test_apng_multiple_fctl_before_idat_quarantines():
+    """r11 review fix: the spec allows at most ONE fcTL before IDAT —
+    a second one must quarantine, not replay IDAT as an extra frame."""
+    import struct as st
+    import zlib as _zlib
+
+    import numpy as np
+
+    base = _rgba(np.full((2, 3), 9, np.uint8))
+    ok = M.encode_apng_frames(3, 2, [{"px": base}, {"px": base}])
+    # rebuild: IHDR acTL fcTL(0) fcTL(1) IDAT IEND
+    ihdr = st.pack(">IIBBBBB", 3, 2, 8, 6, 0, 0, 0)
+    raw = b"".join(b"\x00" + base[y].tobytes() for y in range(2))
+    fctl = lambda seq: M._png_chunk(b"fcTL", st.pack(
+        ">IIIIIHHBB", seq, 3, 2, 0, 0, 0, 100, 0, 0))
+    bad = (M._PNG_SIG + M._png_chunk(b"IHDR", ihdr)
+           + M._png_chunk(b"acTL", st.pack(">II", 2, 0))
+           + fctl(0) + fctl(1)
+           + M._png_chunk(b"IDAT", _zlib.compress(raw))
+           + M._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="before IDAT"):
+        M._apng_decode_frames_rgba(bad)
+    with pytest.raises(ValueError, match="before IDAT"):
+        M.apng_anim_features(bad)
+    # the valid two-frame stream still decodes
+    assert len(M._apng_decode_frames_rgba(ok)[2]) == 2
