@@ -1156,7 +1156,14 @@ def _terse_stdout_line(out: dict, detail_path: str, budget: int = 1900) -> dict:
         "queries": {},
     }
     if "control" in out:
-        line["control"] = out["control"]
+        # the full per-query ratio map (200+ entries) lives in the
+        # detail file ONLY — inlining it blew the stdout line past the
+        # driver's ~2000-char capture and would truncate mid-JSON
+        # (r11 review fix); the verdict fields + top movers stay
+        line["control"] = {
+            k: v for k, v in out["control"].items()
+            if k != "per_query_ratio"
+        }
     for name, sec in sorted(out["queries"].items(), key=lambda kv: -kv[1]):
         line["queries"][name] = sec
         if len(json.dumps(line)) > budget:
