@@ -158,6 +158,7 @@ HEADLINE = [
     "ann_sq8_index",
     "ann_pq_opq",
     "ann_sq8",
+    "ann_ivfsq8",
     "ann_ivfpq_opq",
     "media_gif_composited",
     "media_gif_interlaced",

@@ -870,6 +870,71 @@ def _sq8_rank(
     )
 
 
+def ivfsq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    vmin: list[int],
+    span: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """IVF,SQ8 composite top-k (r11) — the remaining cell of the
+    quantization matrix ({flat, IVF} × {PQ, SQ}, the FAISS
+    ``IVF<n>,SQ8`` shape): the Lloyd coarse quantizer prunes the SCAN
+    VOLUME to each query's ``nprobe`` nearest cells, SQ8 codes prune
+    the BYTES/VECTOR inside them — candidates are the probed cells'
+    code rows, ranked by the same exact ×255-space integer ADC as
+    :func:`sq8_adc_topk` (broadcast dim×256 table per query, id
+    tie-break).  Everything stays exact int64 (quantized vectors,
+    integer L2 cell assignment, integer ADC), so the DuckDB oracle
+    replays assignment → min/max → codes → probes → ADC verbatim.
+    Output ``(q_id, vec_id, adist, rank)``."""
+    corpus_q = corpus.select(
+        F.col(id_col), quantize_expr(vec_col).alias("__e")
+    )
+    codes = _assign_cells_int(corpus_q, centroids).select(
+        F.col(id_col), F.col("__cell"),
+        F.posexplode(_sq8_codes_array(vmin, span)).alias("d", "code"),
+    )
+    dists = _cell_l2_vec(centroids)
+    q = (
+        queries.select(
+            F.col(query_id_col), quantize_expr(vec_col).alias("__qe")
+        )
+        .withColumn("__d", dists(F.col("__qe")))
+        .select(query_id_col, F.posexplode("__d").alias("__i", "__dist"))
+    )
+    wp = Window.partitionBy(query_id_col).orderBy(
+        F.asc("__dist"), F.asc("__i")
+    )
+    probes = (
+        q.withColumn("__pr", F.row_number().over(wp))
+        .where(F.col("__pr") <= nprobe)
+        .select(query_id_col, (F.col("__i") + 1).alias("__cell"))
+    )
+    dt = _sq8_dtable(queries, vmin, span, query_id_col, vec_col)
+    scored = (
+        codes.withColumn("code", F.col("code").cast("bigint"))
+        .join(F.broadcast(probes), "__cell")
+        .join(F.broadcast(dt), on=[query_id_col, "d", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__d").alias("adist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adist"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "adist",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def build_sq8_index(
     corpus: DataFrame,
     path: str,

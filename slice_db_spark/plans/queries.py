@@ -3673,6 +3673,27 @@ def ann_sq8(spark, sf_dir):
     return similarity.sq8_adc_topk(corpus, q, vmin, span, k=5)
 
 
+def ann_ivfsq8(spark, sf_dir):
+    """IVF,SQ8 composite (r11) — the remaining quantization-matrix cell
+    ({flat, IVF} × {PQ, SQ}): the Lloyd coarse quantizer prunes scan
+    volume to the probed cells, SQ8 codes prune bytes/vector inside
+    them, and the ADC runs the same broadcast dim×256 integer table as
+    `ann_sq8` over candidates only
+    (`operators/similarity.py::ivfsq8_topk`).  Exact int64 end to end,
+    so the oracle unrolls Lloyd → per-dim min/max → codes → probes →
+    ADC verbatim."""
+    emb = catalog(spark, sf_dir)["embeddings"]
+    corpus = emb.where("vec_id >= 5")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    cents = similarity.ivf_centroids_kmeans(
+        corpus, ANN_IVF_CELLS, iters=ANN_IVF_KM_ITERS
+    )
+    vmin, span = similarity.sq8_minmax(corpus)
+    return similarity.ivfsq8_topk(
+        corpus, q, cents, vmin, span, k=5, nprobe=ANN_IVF_NPROBE
+    )
+
+
 def ann_ivf(spark, sf_dir):
     """IVF scale path: md5-sampled centroids → cell assignment (one matmul
     per Arrow batch) → probe-cell equi-join → exact scoring."""
@@ -7706,6 +7727,54 @@ SELECT q_id, vec_id, adist,
 FROM scored QUALIFY rank <= 5
 """
 
+    # IVF,SQ8 composite (r11): the Lloyd chain (cells + probes) scopes
+    # the SQ8 integer ADC to probed cells — min/max over the WHOLE
+    # corpus (the flat chain's quantizer), codes per candidate row
+    o["ann_ivfsq8"] = f"""
+WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+  FROM embeddings),
+corp AS (SELECT vec_id, e FROM v WHERE vec_id >= 5),
+qry AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+dims AS (SELECT unnest(range(1, 65)) AS i),
+cents0 AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) AS ci, e AS cv FROM (
+    SELECT vec_id, e, {_hash64_sql("CAST(vec_id AS VARCHAR)")} AS h
+    FROM corp ORDER BY h, vec_id LIMIT {ANN_IVF_CELLS})),
+{','.join(_lloyd_iter(n) for n in range(ANN_IVF_KM_ITERS))},
+cellF AS (
+  SELECT vec_id, e, ci FROM (
+    SELECT c.vec_id, c.e, ct.ci, {_il2('c.e', 'ct.cv')} AS d
+    FROM corp c CROSS JOIN {_km_final} ct)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) = 1),
+probes AS (
+  SELECT q_id, ci FROM (
+    SELECT q.q_id, ct.ci, {_il2('q.qe', 'ct.cv')} AS d
+    FROM qry q CROSS JOIN {_km_final} ct)
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d, ci) <= {ANN_IVF_NPROBE}),
+dcols AS (SELECT unnest(range(0, 64)) AS d),
+mm AS (SELECT dc.d AS d, min(c.e[dc.d + 1]) AS vmin,
+              greatest(max(c.e[dc.d + 1]) - min(c.e[dc.d + 1]), 1) AS sp
+       FROM corp c, dcols dc GROUP BY dc.d),
+codes AS (SELECT cf.vec_id, cf.ci, m.d,
+                 ((cf.e[m.d + 1] - m.vmin) * 255) // m.sp AS code
+          FROM cellF cf, mm m),
+scored AS (
+  SELECT p.q_id, k.vec_id,
+         CAST(sum((255 * q.qe[k.d + 1] - (255 * m.vmin + k.code * m.sp))
+                  * (255 * q.qe[k.d + 1] - (255 * m.vmin + k.code * m.sp)))
+              AS BIGINT) AS adist
+  FROM probes p
+  JOIN codes k ON k.ci = p.ci
+  JOIN mm m ON m.d = k.d
+  JOIN qry q ON q.q_id = p.q_id
+  GROUP BY 1, 2)
+SELECT q_id, vec_id, adist,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id)
+            AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
     # persisted SQ8: identical ranking contract to the in-memory chain
     # (shared plan, parity-pinned), so the oracle string is shared
     o["ann_sq8_index"] = o["ann_sq8"]
@@ -10951,6 +11020,7 @@ def _all_queries():
         "pq_codes": pq_codes,
         "ann_pq": ann_pq,
         "ann_sq8": ann_sq8,
+        "ann_ivfsq8": ann_ivfsq8,
         "ann_sq8_index": ann_sq8_index,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_hi": dedup_embedding_hi,

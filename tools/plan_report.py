@@ -183,6 +183,7 @@ AUDIT = [
     # r11 SQ8: one min/max training scan + broadcast dim x 256 ADC table
     "ann_sq8",
     "ann_sq8_index",
+    "ann_ivfsq8",
     "media_anim_incremental",
 ]
 
