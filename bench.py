@@ -159,6 +159,7 @@ HEADLINE = [
     "ann_pq_opq",
     "ann_sq8",
     "ann_ivfsq8",
+    "ann_sq8_refined",
     "ann_ivfpq_opq",
     "media_gif_composited",
     "media_gif_interlaced",

@@ -870,6 +870,57 @@ def _sq8_rank(
     )
 
 
+def sq8_refined_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vmin: list[int],
+    span: list[int],
+    k: int = 5,
+    k_prime: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """REFINED SQ8 — the FAISS two-stage recipe on the scalar-quantized
+    chain (r11, the SQ analog of :func:`ivfpq_refined_topk`'s re-rank):
+    the top-``k_prime`` ADC candidates from :func:`sq8_adc_topk` are
+    RE-RANKED by the exact integer dot product of the raw quantized
+    vectors — a broadcast-semi-join-pruned fetch of ``|Q| × k_prime``
+    vectors, never a second corpus scan, so the quantizer's rounding
+    can no longer flip the final ordering.  Exact int64 end to end;
+    output ``(q_id, vec_id, dot, rank)`` — exact-dot descending, id
+    tie-break."""
+    shortlist = sq8_adc_topk(
+        corpus, queries, vmin, span, k=k_prime,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    corpus_q = corpus.select(
+        F.col(id_col), quantize_expr(vec_col).alias("__e")
+    )
+    qvec = queries.select(
+        F.col(query_id_col), quantize_expr(vec_col).alias("__qe")
+    )
+    dot = F.aggregate(
+        F.zip_with("__qe", "__e", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    rr = (
+        corpus_q.join(F.broadcast(shortlist), id_col)
+        .join(F.broadcast(qvec), query_id_col)
+        .select(query_id_col, id_col, dot.alias("dot"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("dot"), F.asc(id_col))
+    return (
+        rr.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "dot",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def ivfsq8_topk(
     corpus: DataFrame,
     queries: DataFrame,

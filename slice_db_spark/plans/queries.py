@@ -3673,6 +3673,23 @@ def ann_sq8(spark, sf_dir):
     return similarity.sq8_adc_topk(corpus, q, vmin, span, k=5)
 
 
+def ann_sq8_refined(spark, sf_dir):
+    """REFINED SQ8 (r11) — the FAISS two-stage recipe on the
+    scalar-quantized chain: top-k_prime ADC candidates re-ranked by the
+    exact integer dot of the raw quantized vectors
+    (`operators/similarity.py::sq8_refined_topk` — a broadcast-pruned
+    |Q|×k_prime vector fetch, never a second corpus scan), so
+    quantizer rounding cannot flip the final order.  The oracle chains
+    the ann_sq8 ADC shortlist into an exact-dot re-rank."""
+    emb = catalog(spark, sf_dir)["embeddings"]
+    corpus = emb.where("vec_id >= 5")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    vmin, span = similarity.sq8_minmax(corpus)
+    return similarity.sq8_refined_topk(
+        corpus, q, vmin, span, k=5, k_prime=RERANK_K
+    )
+
+
 def ann_ivfsq8(spark, sf_dir):
     """IVF,SQ8 composite (r11) — the remaining quantization-matrix cell
     ({flat, IVF} × {PQ, SQ}): the Lloyd coarse quantizer prunes scan
@@ -7727,6 +7744,43 @@ SELECT q_id, vec_id, adist,
 FROM scored QUALIFY rank <= 5
 """
 
+    # refined SQ8 (r11): the ann_sq8 ADC chain keeps k_prime, then an
+    # exact integer dot over the raw quantized vectors re-ranks
+    o["ann_sq8_refined"] = f"""
+WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+  FROM embeddings),
+corp AS (SELECT vec_id, e FROM v WHERE vec_id >= 5),
+qry AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+dcols AS (SELECT unnest(range(0, 64)) AS d),
+mm AS (SELECT dc.d AS d, min(c.e[dc.d + 1]) AS vmin,
+              greatest(max(c.e[dc.d + 1]) - min(c.e[dc.d + 1]), 1) AS sp
+       FROM corp c, dcols dc GROUP BY dc.d),
+codes AS (SELECT c.vec_id, m.d,
+                 ((c.e[m.d + 1] - m.vmin) * 255) // m.sp AS code
+          FROM corp c, mm m),
+adist AS (
+  SELECT q.q_id, k.vec_id,
+         sum((255 * q.qe[k.d + 1] - (255 * m.vmin + k.code * m.sp))
+             * (255 * q.qe[k.d + 1] - (255 * m.vmin + k.code * m.sp)))
+           AS ad
+  FROM codes k JOIN mm m USING (d) CROSS JOIN qry q
+  GROUP BY 1, 2),
+short AS (
+  SELECT q_id, vec_id FROM adist
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY ad, vec_id)
+          <= {RERANK_K}),
+rr AS (
+  SELECT s.q_id, s.vec_id,
+         CAST({_idot('q.qe', 'c.e')} AS BIGINT) AS dot
+  FROM short s JOIN corp c ON c.vec_id = s.vec_id
+  JOIN qry q ON q.q_id = s.q_id)
+SELECT q_id, vec_id, dot,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id)
+            AS BIGINT) AS rank
+FROM rr QUALIFY rank <= 5
+"""
+
     # IVF,SQ8 composite (r11): the Lloyd chain (cells + probes) scopes
     # the SQ8 integer ADC to probed cells — min/max over the WHOLE
     # corpus (the flat chain's quantizer), codes per candidate row
@@ -11021,6 +11075,7 @@ def _all_queries():
         "ann_pq": ann_pq,
         "ann_sq8": ann_sq8,
         "ann_ivfsq8": ann_ivfsq8,
+        "ann_sq8_refined": ann_sq8_refined,
         "ann_sq8_index": ann_sq8_index,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_hi": dedup_embedding_hi,

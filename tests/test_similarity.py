@@ -971,3 +971,52 @@ def test_ivfsq8_recall_and_probe_scope(spark):
         qd = [int(((qv[r.q_id] - c) ** 2).sum()) for c in cents_np]
         probed = sorted(range(len(qd)), key=lambda i: (qd[i], i))[:2]
         assert cell_of(cv[r.vec_id]) in {p + 1 for p in probed}
+
+
+def test_sq8_refined_rerank(spark):
+    """r11 refined SQ8: the exact-dot re-rank must (a) return only
+    shortlist members, (b) order them by the true integer dot — so a
+    duplicate of the query ranks 1 even if ADC rounding tied it — and
+    (c) not lose planted-cluster recall vs the plain ADC chain."""
+    import random
+
+    import numpy as np
+
+    from slice_db_spark.operators import similarity as S
+
+    rng = random.Random(47)
+    dim, n_clusters, per = 16, 10, 5
+    rows, queries = [], []
+    vid = 100
+    for ci in range(n_clusters):
+        center = [rng.uniform(-0.5, 0.5) for _ in range(dim)]
+        queries.append((ci, center))
+        for _ in range(per):
+            rows.append((vid, [x + rng.uniform(-0.02, 0.02) for x in center]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    qdf = spark.createDataFrame(queries, "q_id bigint, embedding array<float>")
+    vmin, span = S.sq8_minmax(corpus)
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.q_id, set()).add(r.vec_id)
+        return sum(
+            len({100 + q * per + j for j in range(per)} & got.get(q, set()))
+            for q in range(n_clusters)
+        ) / (n_clusters * per)
+
+    plain = recall(S.sq8_adc_topk(corpus, qdf, vmin, span, k=per))
+    refined_df = S.sq8_refined_topk(corpus, qdf, vmin, span, k=per, k_prime=10)
+    assert recall(refined_df) >= plain
+
+    # exact-dot ordering: re-derive dots independently for one query
+    qv = np.round(np.array(queries[0][1], np.float64) * 1000).astype(np.int64)
+    cv = {i: np.round(np.array(v, np.float64) * 1000).astype(np.int64)
+          for i, v in rows}
+    got = [(r.vec_id, r.dot) for r in refined_df.where("q_id = 0")
+           .orderBy("rank").collect()]
+    for i, d in got:
+        assert d == int((qv * cv[i]).sum())
+    assert [d for _i, d in got] == sorted((d for _i, d in got), reverse=True)

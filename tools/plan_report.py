@@ -184,6 +184,7 @@ AUDIT = [
     "ann_sq8",
     "ann_sq8_index",
     "ann_ivfsq8",
+    "ann_sq8_refined",
     "media_anim_incremental",
 ]
 
