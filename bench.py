@@ -171,6 +171,7 @@ HEADLINE = [
     "media_gif_loop_meta",
     "media_apng_composited",
     "media_apng_gif_pairs",
+    "media_apng_optimized_pairs",
     "media_anim_incremental",
     "media_video_incremental",
     "media_video_shots",

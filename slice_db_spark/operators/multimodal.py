@@ -6301,6 +6301,160 @@ def apng_dual_matte_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=APNG_DUAL_MATTE_SCHEMA)
 
 
+def _apng_composited_fields(k: int):
+    """The :func:`synth_apng_composited` frame plan for id ``k`` as
+    numpy fields — shared by the payload writer and the arithmetic
+    flatten so planted re-encodes derive from id arithmetic alone
+    (never from the decoder under test)."""
+    import numpy as np
+
+    w, h = 40 + k % 9, 36 + (3 * k) % 11
+    xs = np.arange(w)[None, :]
+    ys = np.arange(h)[:, None]
+    b = (
+        (17 * k + 3 * xs * xs + 7 * ys * ys + 5 * xs * ys
+         + 11 * xs + 13 * ys) % 251
+    ).astype(np.int64) + np.zeros((h, w), dtype=np.int64)
+    ox1, oy1 = 3 + k % 5, 2 + k % 7
+    pw1, ph1 = 11 + k % 6, 9 + k % 5
+    us = np.arange(pw1)[None, :]
+    vs = np.arange(ph1)[:, None]
+    p1 = (
+        (23 * k + 7 * us * us + 5 * vs + 3 * us * vs) % 251
+    ).astype(np.int64) + np.zeros((ph1, pw1), dtype=np.int64)
+    hole = ((us + 2 * vs + k) % 5 == 0) | np.zeros(
+        (ph1, pw1), dtype=bool
+    )
+    ox2, oy2 = 1 + k % 9, 4 + k % 3
+    pw2, ph2 = 13 + k % 4, 7 + k % 6
+    us = np.arange(pw2)[None, :]
+    vs = np.arange(ph2)[:, None]
+    p2 = (
+        (31 * k + 11 * us + 13 * vs + us * us) % 251
+    ).astype(np.int64) + np.zeros((ph2, pw2), dtype=np.int64)
+    fa = (
+        (37 * k + 2 * us * us + 3 * vs) % 256
+    ).astype(np.int64) + np.zeros((ph2, pw2), dtype=np.int64)
+    return (w, h, b, (ox1, oy1, pw1, ph1, p1, hole),
+            (ox2, oy2, pw2, ph2, p2, fa))
+
+
+def _apng_composited_payload(k: int) -> bytes:
+    import numpy as np
+
+    (w, h, b, (ox1, oy1, pw1, ph1, p1, hole),
+     (ox2, oy2, pw2, ph2, p2, fa)) = _apng_composited_fields(k)
+    bb = b.astype(np.uint8)
+    f0 = np.dstack([bb, bb, bb, np.full((h, w), 255, np.uint8)])
+    pp1 = p1.astype(np.uint8)
+    a1 = np.where(hole, 0, 255).astype(np.uint8)
+    f1 = np.dstack([pp1, pp1, pp1, a1])
+    pp2 = p2.astype(np.uint8)
+    f2 = np.dstack([pp2, pp2, pp2, fa.astype(np.uint8)])
+    return encode_apng_frames(
+        w, h,
+        [
+            {"px": f0, "dispose": k % 3, "blend": 0},
+            {"px": f1, "x": ox1, "y": oy1,
+             "dispose": (k // 3) % 3, "blend": 0},
+            {"px": f2, "x": ox2, "y": oy2, "dispose": 0, "blend": 1},
+        ],
+        num_plays=k % 7,
+    )
+
+
+def _apng_composited_flat_frames(k: int, matte: int = 255):
+    """The three ``matte``-flattened composited frames of
+    :func:`_apng_composited_payload` from id arithmetic ALONE — the
+    same layered derivation the dual-matte SQL oracle states (canvas
+    state as value-or-transparent, the integer blend formulas), with
+    no call into the decoder under test."""
+    import numpy as np
+
+    (w, h, b, (ox1, oy1, pw1, ph1, p1, hole),
+     (ox2, oy2, pw2, ph2, p2, fa)) = _apng_composited_fields(k)
+    d0, d1 = k % 3, (k // 3) % 3
+    NONE = -1  # transparent marker in value space
+
+    u0 = b.copy() if d0 == 0 else np.full((h, w), NONE, np.int64)
+    # frame 1 visible + post-dispose state
+    o1 = u0.copy()
+    s1 = u0.copy()
+    r1v = np.where(hole, NONE, p1)
+    o1[oy1:oy1 + ph1, ox1:ox1 + pw1] = r1v
+    if d1 == 0:
+        s1[oy1:oy1 + ph1, ox1:ox1 + pw1] = r1v
+    elif d1 == 1:
+        s1[oy1:oy1 + ph1, ox1:ox1 + pw1] = NONE
+    # d1 == 2: rect reverts to u0 (already there)
+    # frame 2 visible over s1 in rect2
+    f2 = np.where(s1 == NONE, matte, s1)
+    bgv = s1[oy2:oy2 + ph2, ox2:ox2 + pw2]
+    opaque = bgv != NONE
+    blended = (
+        255 * (p2 * fa + np.where(opaque, bgv, 0) * (255 - fa)) + 32512
+    ) // 65025
+    over_transparent = np.where(
+        fa == 0, matte, (p2 * fa + matte * (255 - fa) + 127) // 255
+    )
+    f2[oy2:oy2 + ph2, ox2:ox2 + pw2] = np.where(
+        opaque, blended, over_transparent
+    )
+    f0 = b.copy()
+    f1 = np.where(o1 == NONE, matte, o1)
+    return w, h, [fr.astype(np.uint8) for fr in (f0, f1, f2)]
+
+
+def synth_apng_optimized_dups(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`synth_apng_composited` with planted FLATTEN re-encodes
+    (r11) — the APNG compositing payoff, mirroring the GIF
+    optimized-pairs gate: slots 0-7 are the dispose/blend synth
+    verbatim; slot 8 re-encodes the group's slot-0 animation as
+    FULL-CANVAS opaque white-matte flattens (distance 0 under a
+    white-matte :func:`apng_video_phash` — through the punch-through
+    holes AND the fractional-alpha blend); slot 9 flattens
+    contrast-reduced (``v − v div 16``, within the pairing threshold).
+    The flatten frames derive from id arithmetic alone."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                slot = k % 10
+                if slot < 8:
+                    payload = _apng_composited_payload(k)
+                else:
+                    w, h, frames = _apng_composited_flat_frames(k - slot)
+                    if slot == 9:
+                        frames = [
+                            (fr.astype(np.int64) - fr // 16).astype(
+                                np.uint8
+                            )
+                            for fr in frames
+                        ]
+                    payload = encode_apng_frames(
+                        w, h,
+                        [
+                            {"px": np.dstack(
+                                [fr, fr, fr,
+                                 np.full((h, w), 255, np.uint8)]
+                            ), "dispose": 0, "blend": 0}
+                            for fr in frames
+                        ],
+                    )
+                rows.append((k, "image", payload, "png", len(payload)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "format", "n_bytes"],
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def synth_apng_composited(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic APNG corpus cycling dispose × blend semantics —
     the APNG analog of :func:`synth_gif_composited`, with the two
@@ -6322,54 +6476,13 @@ def synth_apng_composited(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     Pure id arithmetic end to end, so the dual-matte oracle re-derives
     every flattened pixel CASE-by-CASE."""
-    import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for k in pdf[id_col]:
                 k = int(k)
-                w, h = 40 + k % 9, 36 + (3 * k) % 11
-                xs = np.arange(w)[None, :]
-                ys = np.arange(h)[:, None]
-                b = (
-                    (17 * k + 3 * xs * xs + 7 * ys * ys + 5 * xs * ys
-                     + 11 * xs + 13 * ys) % 251
-                ).astype(np.uint8) + np.zeros((h, w), dtype=np.uint8)
-                f0 = np.dstack([b, b, b, np.full((h, w), 255, np.uint8)])
-                ox1, oy1 = 3 + k % 5, 2 + k % 7
-                pw1, ph1 = 11 + k % 6, 9 + k % 5
-                us = np.arange(pw1)[None, :]
-                vs = np.arange(ph1)[:, None]
-                p1 = (
-                    (23 * k + 7 * us * us + 5 * vs + 3 * us * vs) % 251
-                ).astype(np.uint8) + np.zeros((ph1, pw1), dtype=np.uint8)
-                a1 = np.where(
-                    (us + 2 * vs + k) % 5 == 0, 0, 255
-                ).astype(np.uint8) + np.zeros((ph1, pw1), dtype=np.uint8)
-                f1 = np.dstack([p1, p1, p1, a1])
-                ox2, oy2 = 1 + k % 9, 4 + k % 3
-                pw2, ph2 = 13 + k % 4, 7 + k % 6
-                us = np.arange(pw2)[None, :]
-                vs = np.arange(ph2)[:, None]
-                p2 = (
-                    (31 * k + 11 * us + 13 * vs + us * us) % 251
-                ).astype(np.uint8) + np.zeros((ph2, pw2), dtype=np.uint8)
-                a2 = (
-                    (37 * k + 2 * us * us + 3 * vs) % 256
-                ).astype(np.uint8) + np.zeros((ph2, pw2), dtype=np.uint8)
-                f2 = np.dstack([p2, p2, p2, a2])
-                payload = encode_apng_frames(
-                    w, h,
-                    [
-                        {"px": f0, "dispose": k % 3, "blend": 0},
-                        {"px": f1, "x": ox1, "y": oy1,
-                         "dispose": (k // 3) % 3, "blend": 0},
-                        {"px": f2, "x": ox2, "y": oy2,
-                         "dispose": 0, "blend": 1},
-                    ],
-                    num_plays=k % 7,
-                )
+                payload = _apng_composited_payload(k)
                 rows.append((k, "image", payload, "png", len(payload)))
             yield pd.DataFrame(
                 rows,

@@ -4531,6 +4531,28 @@ def media_apng_gif_pairs(spark, sf_dir):
     )
 
 
+def media_apng_optimized_pairs(spark, sf_dir):
+    """APNG compositing PAYOFF (r11) — the optimized-pairs gate the GIF
+    lane got in r10, now through dispose/blend semantics GIF cannot
+    express: a partial-frame APNG with SOURCE punch-through holes and a
+    fractional-alpha OVER frame pairs its FULL-CANVAS white-matte
+    flatten re-encode at distance 0 (and a contrast-reduced flatten
+    within threshold) through the UNCHANGED `video_near_pairs`
+    machinery, under white-matte `apng_video_phash`.  The planted
+    flattens derive from id arithmetic alone
+    (`synth_apng_optimized_dups`); the oracle re-derives the full
+    layered CASE chain — canvas state, integer blend, matte — at the
+    8×8 downsample points, replays the DCT/median hash, and
+    brute-forces the sequence zip."""
+    docs = catalog(spark, sf_dir)["documents"]
+    sigs = multimodal.apng_video_phash(
+        multimodal.synth_apng_optimized_dups(docs), matte=(255, 255, 255)
+    )
+    return multimodal.video_near_pairs(
+        sigs, bits=63, bands=PHASH_BANDS, max_hamming=PHASH_MAX_HAMMING
+    )
+
+
 def media_apng_features(spark, sf_dir):
     """APNG structural features under the hash gate (r11) — the
     `analyze-media` numbers from the CHUNK WALK alone (CRC-verified,
@@ -9520,6 +9542,94 @@ SELECT new_id, corpus_id, n_frames, max_frame_hamming FROM (
 WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
 """
 
+    # APNG optimized-vs-flattened pairing (r11): the dual-matte CASE
+    # chain (white column) evaluated ONLY at the 8x8 downsample points,
+    # per-frame DCT/median hash, brute-force sequence zip; slot 8 =
+    # verbatim flatten (distance 0), slot 9 = contrast-reduced
+    o["media_apng_optimized_pairs"] = f"""
+WITH dd AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 10 AS slot,
+         CASE WHEN doc_id % 10 >= 8 THEN doc_id - doc_id % 10
+              ELSE doc_id END AS m
+  FROM documents),
+p AS (
+  SELECT media_id, slot, m,
+         40 + m % 9 AS w, 36 + (3 * m) % 11 AS h,
+         m % 3 AS d0, (m // 3) % 3 AS d1,
+         3 + m % 5 AS ox1, 2 + m % 7 AS oy1,
+         11 + m % 6 AS pw1, 9 + m % 5 AS ph1,
+         1 + m % 9 AS ox2, 4 + m % 3 AS oy2,
+         13 + m % 4 AS pw2, 7 + m % 6 AS ph2
+  FROM dd),
+kk(u, x, c) AS (VALUES {_k_vals}),
+pts AS (
+  SELECT p.*, f.f AS f, gi.gi AS gi, gj.gj AS gj,
+         (gj.gj * w) // 8 AS x, (gi.gi * h) // 8 AS y
+  FROM p, range(0, 3) f(f), range(0, 8) gi(gi), range(0, 8) gj(gj)),
+c AS (
+  SELECT media_id, slot, f, gi, gj, d0, d1,
+         (17 * m + 3 * x * x + 7 * y * y + 5 * x * y
+          + 11 * x + 13 * y) % 251 AS b,
+         (x >= ox1 AND x < ox1 + pw1
+          AND y >= oy1 AND y < oy1 + ph1) AS in1,
+         (23 * m + 7 * (x - ox1) * (x - ox1) + 5 * (y - oy1)
+          + 3 * (x - ox1) * (y - oy1)) % 251 AS p1,
+         (((x - ox1) + 2 * (y - oy1) + m) % 5 = 0) AS hole,
+         (x >= ox2 AND x < ox2 + pw2
+          AND y >= oy2 AND y < oy2 + ph2) AS in2,
+         (31 * m + 11 * (x - ox2) + 13 * (y - oy2)
+          + (x - ox2) * (x - ox2)) % 251 AS p2,
+         (37 * m + 2 * (x - ox2) * (x - ox2)
+          + 3 * (y - oy2)) % 256 AS fa
+  FROM pts),
+l1 AS (SELECT *, CASE WHEN d0 = 0 THEN b ELSE NULL END AS u0 FROM c),
+l2 AS (
+  SELECT *,
+         CASE WHEN in1 THEN (CASE WHEN hole THEN NULL ELSE p1 END)
+              ELSE u0 END AS o1,
+         CASE WHEN in1 AND d1 = 0
+              THEN (CASE WHEN hole THEN NULL ELSE p1 END)
+              WHEN in1 AND d1 = 1 THEN NULL
+              ELSE u0 END AS s1
+  FROM l1),
+g AS (
+  SELECT media_id, f, gi, gj,
+         CASE WHEN slot = 9 THEN v0 - v0 // 16 ELSE v0 END AS val
+  FROM (
+    SELECT media_id, slot, f, gi, gj,
+           CASE WHEN f = 0 THEN b
+                WHEN f = 1 THEN coalesce(o1, 255)
+                WHEN NOT in2 THEN coalesce(s1, 255)
+                WHEN s1 IS NOT NULL THEN
+                  (255 * (p2 * fa + s1 * (255 - fa)) + 32512) // 65025
+                WHEN fa = 0 THEN 255
+                ELSE (p2 * fa + 255 * (255 - fa) + 127) // 255
+           END AS v0
+    FROM l2)),
+coef AS (
+  SELECT media_id, f, ku.u AS u, kv.u AS v,
+         sum(CAST(ku.c AS BIGINT) * kv.c * val) AS cf
+  FROM g JOIN kk ku ON ku.x = g.gi JOIN kk kv ON kv.x = g.gj
+  GROUP BY media_id, f, ku.u, kv.u),
+ac AS (SELECT media_id, f, u * 8 + v - 1 AS bit_i, cf
+       FROM coef WHERE NOT (u = 0 AND v = 0)),
+med AS (SELECT media_id, f, list_sort(list(cf))[32] AS med
+        FROM ac GROUP BY media_id, f),
+ph AS (SELECT ac.media_id, ac.f,
+              CAST(sum(CASE WHEN cf > med THEN (CAST(1 AS BIGINT) << bit_i)
+                            ELSE 0 END) AS BIGINT) AS phash
+       FROM ac JOIN med USING (media_id, f) GROUP BY ac.media_id, ac.f),
+v AS (SELECT media_id, list(phash ORDER BY f) AS hs FROM ph GROUP BY media_id)
+SELECT id_a, id_b, n_frames, max_frame_hamming FROM (
+  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         CAST(len(a.hs) AS BIGINT) AS n_frames,
+         CAST(list_max(list_transform(range(1, len(a.hs) + 1),
+              i -> bit_count(xor(a.hs[i], b.hs[i])))) AS BIGINT)
+           AS max_frame_hamming
+  FROM v a JOIN v b ON a.media_id < b.media_id AND len(a.hs) = len(b.hs))
+WHERE max_frame_hamming <= {PHASH_MAX_HAMMING}
+"""
+
     # APNG structural features (r11): pure id arithmetic — 3 frames,
     # frames 1/2 always sub-canvas, one OVER frame, dispose counts
     # from the (k mod 3, (k div 3) mod 3, 0) plan, num_plays = k mod 7
@@ -11152,6 +11262,7 @@ def _all_queries():
         "media_gif_loop_meta": media_gif_loop_meta,
         "media_apng_composited": media_apng_composited,
         "media_apng_gif_pairs": media_apng_gif_pairs,
+        "media_apng_optimized_pairs": media_apng_optimized_pairs,
         "media_anim_incremental": media_anim_incremental,
         "media_apng_features": media_apng_features,
         "media_wav_stereo": media_wav_stereo,

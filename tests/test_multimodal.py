@@ -2721,3 +2721,31 @@ def test_apng_multiple_fctl_before_idat_quarantines():
         M.apng_anim_features(bad)
     # the valid two-frame stream still decodes
     assert len(M._apng_decode_frames_rgba(ok)[2]) == 2
+
+
+def test_apng_optimized_pairs_planted_recall(spark):
+    """r11: the planted flatten re-encodes pair their partial-frame
+    originals at distance 0 (verbatim) / within threshold (contrast)
+    through the white-matte anim lane; the arithmetic flatten helper is
+    pinned bit-exact vs the decoder's white-matte flatten."""
+    import numpy as np
+
+    for k in (0, 7, 13):
+        pay = M._apng_composited_payload(k)
+        _, _, dec = M.apng_frames(pay, matte=(255, 255, 255))
+        _, _, arith = M._apng_composited_flat_frames(k)
+        for a, b in zip(dec, arith):
+            assert np.array_equal(a[:, :, 0], b)
+
+    ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id bigint")
+    sigs = M.apng_video_phash(
+        M.synth_apng_optimized_dups(ids), matte=(255, 255, 255)
+    )
+    pairs = {(r.id_a, r.id_b): r.max_frame_hamming
+             for r in M.video_near_pairs(
+                 sigs, bits=63, bands=7, max_hamming=6).collect()}
+    for g in (0, 10):
+        assert pairs[(g, g + 8)] == 0
+        assert pairs[(g, g + 9)] <= 6
+        assert (g + 8, g + 9) in pairs
+    assert not any(a // 10 != b // 10 for a, b in pairs)

@@ -186,6 +186,7 @@ AUDIT = [
     "ann_ivfsq8",
     "ann_sq8_refined",
     "media_anim_incremental",
+    "media_apng_optimized_pairs",
 ]
 
 MAX_LINES = 80
