@@ -847,24 +847,39 @@ def _sq8_dtable(
 
 
 def _sq8_rank(
-    codes: DataFrame, dt: DataFrame, k: int, id_col: str, query_id_col: str
+    codes: DataFrame, dt: DataFrame, k: int, id_col: str, query_id_col: str,
+    join_keys: tuple = ("d", "code"),
 ) -> DataFrame:
     """Shared SQ8 scoring: broadcast-hash-join the ADC table onto the
     (id, d, code) rows, partially-aggregating sum keyed by (q, id),
-    deterministic id tie-break — the in-memory chain and the persisted
-    probe run this IDENTICAL plan, which is the bit-parity contract."""
+    deterministic id tie-break — the in-memory chain, the persisted
+    probe, and (with ``join_keys`` carrying the query id, r11) the
+    IVF-scoped composite all run this one plan, which is the
+    bit-parity / tie-break contract in a single place.  The rank tail
+    is exposed as :func:`_topk_rank` for chains that score by another
+    column (the refined exact-dot re-rank)."""
     scored = (
         codes.withColumn("code", F.col("code").cast("bigint"))
-        .join(F.broadcast(dt), on=["d", "code"])
+        .join(F.broadcast(dt), on=list(join_keys))
         .groupBy(query_id_col, id_col)
         .agg(F.sum("__d").alias("adist"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.asc("adist"), F.asc(id_col))
+    return _topk_rank(scored, "adist", False, k, id_col, query_id_col)
+
+
+def _topk_rank(
+    scored: DataFrame, score_col: str, descending: bool, k: int,
+    id_col: str, query_id_col: str,
+) -> DataFrame:
+    """The ONE rank tail every SQ8-family chain shares: window by
+    query, order by the score (id tie-break), keep k, cast rank."""
+    order = F.desc(score_col) if descending else F.asc(score_col)
+    w = Window.partitionBy(query_id_col).orderBy(order, F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
-            query_id_col, id_col, "adist",
+            query_id_col, id_col, score_col,
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
@@ -885,11 +900,17 @@ def sq8_refined_topk(
     chain (r11, the SQ analog of :func:`ivfpq_refined_topk`'s re-rank):
     the top-``k_prime`` ADC candidates from :func:`sq8_adc_topk` are
     RE-RANKED by the exact integer dot product of the raw quantized
-    vectors — a broadcast-semi-join-pruned fetch of ``|Q| × k_prime``
-    vectors, never a second corpus scan, so the quantizer's rounding
-    can no longer flip the final ordering.  Exact int64 end to end;
-    output ``(q_id, vec_id, dot, rank)`` — exact-dot descending, id
-    tie-break."""
+    vectors.  Within the shortlist, quantizer rounding can no longer
+    flip the ordering; the shortlist itself remains ADC-selected
+    (squared-L2 in the ×255 space), so — exactly like the FAISS
+    refine stage it mirrors — a vector the ADC metric ranks outside
+    ``k_prime`` stays pruned even if its exact dot is top-k.  The
+    re-rank output is pruned to ``|Q| × k_prime`` rows by a broadcast
+    semi-join; the fetch still SCANS the corpus once more to
+    re-quantize the shortlisted vectors (two corpus passes total —
+    cache the corpus upstream when probing repeatedly).  Exact int64
+    end to end; output ``(q_id, vec_id, dot, rank)`` — exact-dot
+    descending, id tie-break."""
     shortlist = sq8_adc_topk(
         corpus, queries, vmin, span, k=k_prime,
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
@@ -910,15 +931,7 @@ def sq8_refined_topk(
         .join(F.broadcast(qvec), query_id_col)
         .select(query_id_col, id_col, dot.alias("dot"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("dot"), F.asc(id_col))
-    return (
-        rr.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            query_id_col, id_col, "dot",
-            F.col("rank").cast("bigint").alias("rank"),
-        )
-    )
+    return _topk_rank(rr, "dot", True, k, id_col, query_id_col)
 
 
 def ivfsq8_topk(
@@ -968,21 +981,10 @@ def ivfsq8_topk(
         .select(query_id_col, (F.col("__i") + 1).alias("__cell"))
     )
     dt = _sq8_dtable(queries, vmin, span, query_id_col, vec_col)
-    scored = (
-        codes.withColumn("code", F.col("code").cast("bigint"))
-        .join(F.broadcast(probes), "__cell")
-        .join(F.broadcast(dt), on=[query_id_col, "d", "code"])
-        .groupBy(query_id_col, id_col)
-        .agg(F.sum("__d").alias("adist"))
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.asc("adist"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            query_id_col, id_col, "adist",
-            F.col("rank").cast("bigint").alias("rank"),
-        )
+    candidates = codes.join(F.broadcast(probes), "__cell")
+    return _sq8_rank(
+        candidates, dt, k, id_col, query_id_col,
+        join_keys=(query_id_col, "d", "code"),
     )
 
 
