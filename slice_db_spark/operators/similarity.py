@@ -515,6 +515,7 @@ def pq_codebook(
     vec_col: str = "embedding",
     perm: list[int] | None = None,
     signs: list[int] | None = None,
+    base: DataFrame | None = None,
 ) -> list[list[int]]:
     """Deterministic PQ codebook source: the ``n_codes`` corpus vectors
     with the smallest md5-derived id hash, QUANTIZED (the same md5-order
@@ -526,10 +527,16 @@ def pq_codebook(
     :func:`opq_signed_permutation` trained with ``centroids=None``) the
     sampled vectors are stored ROTATED: the SAME rows are picked
     (sampling keys on the id, not the vector), but the codebook lives
-    in the rotated space the encoder and ADC table will quantize in."""
+    in the rotated space the encoder and ADC table will quantize in.
+    ``base`` (r11): a caller-owned persisted ``(id, __e)`` quantized
+    projection — the sampling reads it instead of re-scanning the
+    corpus parquet."""
     from .hashing import hash64
 
-    keyed = corpus.select(F.col(id_col), quantize_expr(vec_col).alias("e"))
+    if base is not None:
+        keyed = base.select(F.col(id_col), F.col("__e").alias("e"))
+    else:
+        keyed = corpus.select(F.col(id_col), quantize_expr(vec_col).alias("e"))
     if perm is not None:
         keyed = keyed.select(
             F.col(id_col), _rotate_expr("e", perm, signs).alias("e")
@@ -549,28 +556,12 @@ def _pq_subspace_codes(codebook: list[list[int]], m_subspaces: int) -> "np.ndarr
     return C
 
 
-def pq_encode(
-    corpus: DataFrame,
-    codebook: list[list[int]],
-    m_subspaces: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    perm: list[int] | None = None,
-    signs: list[int] | None = None,
-) -> DataFrame:
-    """PQ encoding: split each (quantized) vector into ``m_subspaces``
-    subvectors and store, per subspace, the index of the nearest codebook
-    subvector (L2, first-min tie-break).  Output exploded to
-    ``(id, m, code)`` BIGINTs.
-
-    This is THE memory-side ANN scale move: m codes of ≤1 byte replace
-    dim × 4 raw bytes (64× compression at dim=64/m=4), so a 100 TB
-    embedding corpus's codes fit hot storage and the ADC scan
-    (:func:`pq_adc_topk`) never touches raw vectors.  Encoding is one
-    int64 matmul per (Arrow batch × subspace) — exact arithmetic, no
-    float ties.  With ``perm``/``signs`` each vector is OPQ-rotated
-    (JVM-side, exact) before the subspace split — the codebook must
-    come from :func:`pq_codebook` with the SAME rotation."""
+def _pq_codes_vec(codebook: list[list[int]], m_subspaces: int):
+    """Arrow-vectorized PQ encoder over a quantized-vector column —
+    the nearest-codebook-subvector argmin of :func:`pq_encode`, exposed
+    so composite chains (:func:`ivfpq_topk`) can compute codes in the
+    SAME projection as the cell assignment instead of re-scanning the
+    corpus and joining two derivations of the same row back together."""
     C = _pq_subspace_codes(codebook, m_subspaces)
     sub = C.shape[1] // m_subspaces
 
@@ -591,7 +582,39 @@ def pq_encode(
             out[:, m] = np.argmin(d, axis=1)  # first-min tie-break
         return pd.Series(list(out))
 
-    quant = corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e"))
+    return codes_of
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: list[list[int]],
+    m_subspaces: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    perm: list[int] | None = None,
+    signs: list[int] | None = None,
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """PQ encoding: split each (quantized) vector into ``m_subspaces``
+    subvectors and store, per subspace, the index of the nearest codebook
+    subvector (L2, first-min tie-break).  Output exploded to
+    ``(id, m, code)`` BIGINTs.
+
+    This is THE memory-side ANN scale move: m codes of ≤1 byte replace
+    dim × 4 raw bytes (64× compression at dim=64/m=4), so a 100 TB
+    embedding corpus's codes fit hot storage and the ADC scan
+    (:func:`pq_adc_topk`) never touches raw vectors.  Encoding is one
+    int64 matmul per (Arrow batch × subspace) — exact arithmetic, no
+    float ties.  With ``perm``/``signs`` each vector is OPQ-rotated
+    (JVM-side, exact) before the subspace split — the codebook must
+    come from :func:`pq_codebook` with the SAME rotation."""
+    codes_of = _pq_codes_vec(codebook, m_subspaces)
+
+    quant = (
+        base
+        if base is not None
+        else corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e"))
+    )
     if perm is not None:
         quant = quant.select(
             F.col(id_col), _rotate_expr("__e", perm, signs).alias("__e")
@@ -671,6 +694,7 @@ def pq_adc_topk(
     query_id_col: str = "q_id",
     perm: list[int] | None = None,
     signs: list[int] | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: each query precomputes a
     (subspace × code) integer distance table; a corpus vector's
@@ -690,7 +714,7 @@ def pq_adc_topk(
     ``(q_id, vec_id, adist, rank)``."""
     codes = pq_encode(
         corpus, codebook, m_subspaces, id_col=id_col, vec_col=vec_col,
-        perm=perm, signs=signs,
+        perm=perm, signs=signs, base=base,
     )
     dt = _adc_dtable(
         queries, codebook, m_subspaces, query_id_col, vec_col,
@@ -729,15 +753,23 @@ SQ8_LEVELS = 255
 
 
 def sq8_minmax(
-    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    base: DataFrame | None = None,
 ) -> tuple[list[int], list[int]]:
     """Train the SQ8 quantizer: per-dimension ``(vmin, span)`` of the
     fixed-point corpus in ONE scan — ``2·dim`` scalar min/max
     aggregates, all map-side partial (the reduce state is KB-sized, no
     vector shuffle).  ``span`` floors at 1 so a constant dimension
-    quantizes to code 0 instead of dividing by zero."""
-    dim = len(corpus.select(vec_col).first()[0])
-    q = corpus.select(quantize_expr(vec_col).alias("__e"))
+    quantizes to code 0 instead of dividing by zero.  ``base`` (r11):
+    a caller-owned persisted ``(id, __e)`` quantized projection —
+    the dim probe and the min/max scan read the cache instead of the
+    corpus parquet."""
+    if base is not None:
+        q = base.select("__e")
+        dim = len(q.first()[0])
+    else:
+        dim = len(corpus.select(vec_col).first()[0])
+        q = corpus.select(quantize_expr(vec_col).alias("__e"))
     aggs = []
     for d in range(dim):
         aggs.append(F.min(F.col("__e")[d]).alias(f"__mn{d}"))
@@ -777,15 +809,18 @@ def sq8_encode(
     span: list[int],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """SQ8 encoding → one ``(id, d, code)`` row per dimension (the PQ
     ``(id, m, code)`` shape, so the ADC join plan is identical).  All
     codegen: quantize, per-dim affine, integer division — no Python in
-    the scan."""
-    return corpus.select(
-        F.col(id_col),
-        quantize_expr(vec_col).alias("__e"),
-    ).select(
+    the scan.  ``base`` (r11): caller-owned persisted ``(id, __e)``."""
+    src = (
+        base
+        if base is not None
+        else corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e"))
+    )
+    return src.select(
         F.col(id_col),
         F.posexplode(_sq8_codes_array(vmin, span)).alias("d", "code"),
     )
@@ -800,6 +835,7 @@ def sq8_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over SQ8 codes: each query precomputes
     a (dimension × 256-code) integer distance table — ``dim·256`` rows
@@ -809,7 +845,9 @@ def sq8_adc_topk(
     partially-aggregating sum keyed by (q, id)); distances are exact
     int64 in the ×255 space, so ranking is deterministic with an id
     tie-break.  Output ``(q_id, vec_id, adist, rank)``."""
-    codes = sq8_encode(corpus, vmin, span, id_col=id_col, vec_col=vec_col)
+    codes = sq8_encode(
+        corpus, vmin, span, id_col=id_col, vec_col=vec_col, base=base
+    )
     dt = _sq8_dtable(queries, vmin, span, query_id_col, vec_col)
     return _sq8_rank(codes, dt, k, id_col, query_id_col)
 
@@ -895,6 +933,7 @@ def sq8_refined_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """REFINED SQ8 — the FAISS two-stage recipe on the scalar-quantized
     chain (r11, the SQ analog of :func:`ivfpq_refined_topk`'s re-rank):
@@ -914,9 +953,12 @@ def sq8_refined_topk(
     shortlist = sq8_adc_topk(
         corpus, queries, vmin, span, k=k_prime,
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        base=base,
     ).select(query_id_col, id_col)
-    corpus_q = corpus.select(
-        F.col(id_col), quantize_expr(vec_col).alias("__e")
+    corpus_q = (
+        base
+        if base is not None
+        else corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e"))
     )
     qvec = queries.select(
         F.col(query_id_col), quantize_expr(vec_col).alias("__qe")
@@ -945,6 +987,7 @@ def ivfsq8_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """IVF,SQ8 composite top-k (r11) — the remaining cell of the
     quantization matrix ({flat, IVF} × {PQ, SQ}, the FAISS
@@ -957,8 +1000,10 @@ def ivfsq8_topk(
     integer L2 cell assignment, integer ADC), so the DuckDB oracle
     replays assignment → min/max → codes → probes → ADC verbatim.
     Output ``(q_id, vec_id, adist, rank)``."""
-    corpus_q = corpus.select(
-        F.col(id_col), quantize_expr(vec_col).alias("__e")
+    corpus_q = (
+        base
+        if base is not None
+        else corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e"))
     )
     codes = _assign_cells_int(corpus_q, centroids).select(
         F.col(id_col), F.col("__cell"),
@@ -1007,16 +1052,24 @@ def build_sq8_index(
 
     from ..sources.atomic import swap_dir
 
-    vmin, span = sq8_minmax(corpus, id_col=id_col, vec_col=vec_col)
-    rows = corpus.select(
+    # r11: one persisted quantized projection serves the min/max
+    # training scan AND the code write (previously two corpus scans)
+    base = corpus.select(
         F.col(id_col), quantize_expr(vec_col).alias("__e")
-    ).select(F.col(id_col), _sq8_codes_array(vmin, span).alias("__codes"))
-    path = os.path.normpath(path)
-    staging = path + ".staging"
-    if os.path.isdir(staging):
-        shutil.rmtree(staging)
-    os.makedirs(staging)
-    rows.write.mode("overwrite").parquet(os.path.join(staging, "codes"))
+    ).persist()
+    try:
+        vmin, span = sq8_minmax(corpus, id_col=id_col, vec_col=vec_col, base=base)
+        rows = base.select(
+            F.col(id_col), _sq8_codes_array(vmin, span).alias("__codes")
+        )
+        path = os.path.normpath(path)
+        staging = path + ".staging"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        os.makedirs(staging)
+        rows.write.mode("overwrite").parquet(os.path.join(staging, "codes"))
+    finally:
+        base.unpersist()
     meta = {"vmin": vmin, "span": span}
     with open(os.path.join(staging, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -1151,20 +1204,31 @@ def ivf_centroids_kmeans(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    base: DataFrame | None = None,
 ) -> list[list[int]]:
     """Fixed-iteration Lloyd refinement of the md5-sampled seeds, in
     PQ_SCALE fixed-point (quantized centroids, integer assignment,
     floor-divided integer means) so the refinement is bit-reproducible in
     any engine.  Each iteration is two narrow distributed jobs: an
     assignment map and a (cell, dim) partial-aggregating sum — the
-    collected state is ``n_cells × dim`` ints, never corpus-sized."""
+    collected state is ``n_cells × dim`` ints, never corpus-sized.
+
+    ``base`` (r11): a caller-owned ``(id, __e)`` quantized projection,
+    already persisted, shared with the rest of the caller's chain (OPQ
+    training, codebook sampling, encode) so the whole query quantizes
+    and scans the corpus once instead of once per stage.  The caller
+    keeps lifecycle responsibility; results are bit-identical."""
     from .hashing import hash64
 
     # ONE quantized projection persisted across the seed scan and every
     # Lloyd iteration — the earlier shape re-read the parquet and re-ran
     # quantize_expr per iteration (seed + iters + 1 scans); with the cache
     # the corpus is scanned once
-    base = corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e")).persist()
+    own_base = base is None
+    if own_base:
+        base = corpus.select(
+            F.col(id_col), quantize_expr(vec_col).alias("__e")
+        ).persist()
     try:
         seeds = (
             base.orderBy(hash64(F.col(id_col).cast("string")), F.col(id_col))
@@ -1199,7 +1263,8 @@ def ivf_centroids_kmeans(
                 for ci in range(len(cents))
             ]
     finally:
-        base.unpersist()
+        if own_base:
+            base.unpersist()
     return cents
 
 
@@ -1212,6 +1277,7 @@ def ivf_topk_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k over k-means-refined integer centroids: corpus vectors
     assign to their L2-nearest cell, queries probe their ``nprobe``
@@ -1219,10 +1285,11 @@ def ivf_topk_kmeans(
     quantized vectors (descending, id tie-break) — every comparison is
     int64, so no cross-engine float tie can flip a rank.  Same scale
     shape as :func:`ivf_topk`: map-side assignment, equi-join on the cell
-    id, per-query top-k."""
-    c = _assign_cells_int(
-        corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e")), centroids
-    )
+    id, per-query top-k.  ``base`` (r11): caller-owned persisted
+    ``(id, __e)`` shared with the trainer."""
+    if base is None:
+        base = corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e"))
+    c = _assign_cells_int(base, centroids)
     dists = _cell_l2_vec(centroids)
     q = (
         queries.select(F.col(query_id_col), quantize_expr(vec_col).alias("__qe"))
@@ -1262,6 +1329,7 @@ def ivfpq_topk(
     query_id_col: str = "q_id",
     perm: list[int] | None = None,
     signs: list[int] | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ composite ANN — the production shape (FAISS's IVFPQ): the
     coarse quantizer prunes the scan to each query's ``nprobe`` nearest
@@ -1279,14 +1347,34 @@ def ivfpq_topk(
     runs OPQ-rotated (encode + codebook + query tables in lockstep,
     like :func:`pq_adc_topk`) while cell assignment stays on the raw
     quantized vectors — rotation is an isometry, so rotating the coarse
-    quantizer too would change nothing but the constant factor."""
-    codes = pq_encode(
-        corpus, codebook, m_subspaces, id_col=id_col, vec_col=vec_col,
-        perm=perm, signs=signs,
+    quantizer too would change nothing but the constant factor.
+
+    r11 (optimization): cell assignment and PQ codes are two functions
+    of the SAME corpus row, so they are computed in ONE projection over
+    one scan — the earlier shape derived them as two independent
+    subtrees (two corpus scans) and equi-joined them back on the id,
+    a corpus-sized shuffle that moved no information.  ``base``: a
+    caller-owned (persisted) ``(id, __e)`` quantized projection shared
+    with the rest of the caller's chain."""
+    codes_of = _pq_codes_vec(codebook, m_subspaces)
+    enc_col = F.col("__e")
+    if perm is not None:
+        enc_col = _rotate_expr("__e", perm, signs)
+    if base is None:
+        base = corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e"))
+    cand_rows = _assign_cells_int(
+        base,
+        centroids,
+    ).select(
+        F.col(id_col),
+        "__cell",
+        F.posexplode(codes_of(enc_col)).alias("m", "code"),
+    ).select(
+        id_col,
+        "__cell",
+        F.col("m").cast("bigint").alias("m"),
+        F.col("code").cast("bigint").alias("code"),
     )
-    cells = _assign_cells_int(
-        corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e")), centroids
-    ).select(id_col, "__cell")
     dists = _cell_l2_vec(centroids)
     q = (
         queries.select(F.col(query_id_col), quantize_expr(vec_col).alias("__qe"))
@@ -1303,7 +1391,7 @@ def ivfpq_topk(
         queries, codebook, m_subspaces, query_id_col, vec_col,
         perm=perm, signs=signs,
     )
-    cand = codes.join(cells, id_col).join(F.broadcast(probes), "__cell")
+    cand = cand_rows.join(F.broadcast(probes), "__cell")
     scored = (
         cand.join(F.broadcast(dt), on=[query_id_col, "m", "code"])
         .groupBy(query_id_col, id_col)
@@ -1374,22 +1462,46 @@ def _residuals_frame(
     centroids: list[list[int]],
     id_col: str,
     vec_col: str,
+    base: DataFrame | None = None,
+    full: bool = False,
 ) -> DataFrame:
     """(id, __r) IVF residuals — the shared front end of the residual
-    codebook sampling and the OPQ trainer."""
-    return (
-        _assign_cells_int(
-            corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e")),
-            centroids,
-        )
-        .withColumn(
-            "__r",
-            F.zip_with(
-                F.col("__e"), _centroid_lookup_expr(centroids),
-                lambda a, b: a - b,
-            ),
-        )
-        .select(id_col, "__r")
+    codebook sampling and the OPQ trainer.  ``base`` substitutes a
+    caller-persisted ``(id, __e)`` quantized projection for the corpus
+    re-scan; ``full=True`` keeps ``__e``/``__cell`` alongside ``__r`` so
+    ONE materialization can feed the trainer, the codebook sampler, the
+    encoder, and the exact re-rank (r11)."""
+    src = (
+        base
+        if base is not None
+        else corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e"))
+    )
+    out = _assign_cells_int(src, centroids).withColumn(
+        "__r",
+        F.zip_with(
+            F.col("__e"), _centroid_lookup_expr(centroids),
+            lambda a, b: a - b,
+        ),
+    )
+    return out if full else out.select(id_col, "__r")
+
+
+def assigned_residuals(
+    corpus: DataFrame,
+    centroids: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """Public full ``(id, __e, __cell, __r)`` assigned-residual frame
+    (r11) — the one materialization a residual-PQ chain needs: persist
+    it once and hand it to :func:`opq_signed_permutation`
+    (``residuals=``), :func:`residual_codebooks` (``residuals=``) and
+    :func:`ivfpq_refined_topk` (``assigned=``), so training, sampling,
+    encode and the exact re-rank all read one cached frame instead of
+    four corpus scans re-running the cell-assignment UDF."""
+    return _residuals_frame(
+        corpus, centroids, id_col, vec_col, base=base, full=True
     )
 
 
@@ -1401,6 +1513,7 @@ def opq_signed_permutation(
     rounds: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residuals: DataFrame | None = None,
 ) -> tuple[list[int], list[int]]:
     """OPQ rotation for the PQ stack (Ge et al.'s non-parametric loop,
     restricted to the HYPEROCTAHEDRAL group so every step is exact
@@ -1425,20 +1538,31 @@ def opq_signed_permutation(
     like the centroid fetches) plus ONE codebook-sampling scan covering
     all m subspaces (fused in r10 — previously m TakeOrdered jobs per
     round re-read the spilled residual frame).  Returns ``(perm,
-    signs)`` for :func:`_rotate_expr`."""
+    signs)`` for :func:`_rotate_expr`.
+
+    ``residuals`` (r11): a caller-owned, already-persisted residual
+    frame carrying ``(id, __r)`` (extra columns ignored) — the trainer
+    skips building and persisting its own, so one materialization can
+    be shared with the downstream codebook sampling and encode.  The
+    caller keeps lifecycle responsibility."""
     import numpy as np
 
     from pyspark.sql.types import ArrayType as _AT, LongType as _LT
     from pyspark.sql.types import StructField as _SF, StructType as _ST
 
-    if centroids is None:
+    own_res = residuals is None
+    if not own_res:
+        res = residuals
+    elif centroids is None:
         res = corpus.select(
             F.col(id_col), quantize_expr(vec_col).alias("__r")
         ).persist()
     else:
         res = _residuals_frame(corpus, centroids, id_col, vec_col).persist()
     try:
-        if centroids is None:
+        if centroids is not None:
+            dim = len(centroids[0])
+        else:
             first = res.select("__r").first()
             if first is None:
                 raise ValueError(
@@ -1446,8 +1570,6 @@ def opq_signed_permutation(
                     "train the rotation on"
                 )
             dim = len(first["__r"])
-        else:
-            dim = len(centroids[0])
         if dim % m_subspaces:
             raise ValueError(
                 f"dim {dim} not divisible by {m_subspaces} subspaces"
@@ -1498,7 +1620,8 @@ def opq_signed_permutation(
             perm, signs = _greedy_signed_permutation(D)
         return perm, signs
     finally:
-        res.unpersist()
+        if own_res:
+            res.unpersist()
 
 
 def _sample_subspace_codebooks(
@@ -1597,6 +1720,7 @@ def residual_codebooks(
     vec_col: str = "embedding",
     perm: list[int] | None = None,
     signs: list[int] | None = None,
+    residuals: DataFrame | None = None,
 ) -> list[list[list[int]]]:
     """PER-SUBSPACE PQ codebooks trained on IVF RESIDUALS — the FAISS
     IVFPQ construction the single shared raw-vector codebook
@@ -1611,13 +1735,24 @@ def residual_codebooks(
     before slicing, so each codebook trains in the rotated space the
     encoder will quantize in.  Returns ``codebooks[m] = n_codes ×
     (dim/m)`` exact ints; collected state is m × n_codes × dim/m —
-    metadata-sized."""
-    assigned = _residuals_frame(corpus, centroids, id_col, vec_col)
+    metadata-sized.
+
+    ``residuals`` (r11): a caller-owned, already-materialized RAW
+    (un-rotated) residual frame carrying ``(id, __r)`` — skips the
+    corpus re-scan and the private persist; the rotation (when any)
+    still applies here, JVM-side, bit-identically."""
+    own = residuals is None
+    assigned = (
+        residuals
+        if residuals is not None
+        else _residuals_frame(corpus, centroids, id_col, vec_col)
+    )
     if perm is not None:
         assigned = assigned.select(
             F.col(id_col), _rotate_expr("__r", perm, signs).alias("__r")
         )
-    assigned = assigned.persist()
+    if own:
+        assigned = assigned.persist()
     try:
         dim = len(centroids[0])
         if dim % m_subspaces:
@@ -1629,7 +1764,8 @@ def residual_codebooks(
             assigned, m_subspaces, n_codes, sub, id_col
         )
     finally:
-        assigned.unpersist()
+        if own:
+            assigned.unpersist()
 
 
 def _residual_codes_vec(codebooks: list[list[list[int]]]):
@@ -1698,6 +1834,7 @@ def ivfpq_refined_topk(
     query_id_col: str = "q_id",
     perm: list[int] | None = None,
     signs: list[int] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """REFINED IVF-PQ — :func:`ivfpq_topk` upgraded to the full FAISS
     recipe: (1) PQ encodes RESIDUALS (vector − cell centroid) with
@@ -1714,17 +1851,27 @@ def ivfpq_refined_topk(
     vector fetch.  Everything is exact int64, so ranks replay
     bit-for-bit in the DuckDB oracle.  Output
     ``(q_id, vec_id, dot, rank)`` — exact-dot descending, id
-    tie-break."""
-    corpus_q = corpus.select(
-        F.col(id_col), quantize_expr(vec_col).alias("__e")
-    )
-    cells = _assign_cells_int(corpus_q, centroids)
-    res = cells.withColumn(
-        "__r",
-        F.zip_with(
-            F.col("__e"), _centroid_lookup_expr(centroids), lambda a, b: a - b
-        ),
-    )
+    tie-break.
+
+    ``assigned`` (r11): a caller-owned, already-persisted
+    ``(id, __e, __cell, __r)`` frame (:func:`_residuals_frame` with
+    ``full=True``, RAW residuals) — both the encode chain and the
+    exact re-rank read it instead of re-scanning and re-assigning the
+    corpus, so one materialization serves the caller's whole chain."""
+    if assigned is not None:
+        corpus_q = assigned.select(F.col(id_col), "__e")
+        res = assigned
+    else:
+        corpus_q = corpus.select(
+            F.col(id_col), quantize_expr(vec_col).alias("__e")
+        )
+        cells = _assign_cells_int(corpus_q, centroids)
+        res = cells.withColumn(
+            "__r",
+            F.zip_with(
+                F.col("__e"), _centroid_lookup_expr(centroids), lambda a, b: a - b
+            ),
+        )
     if perm is not None:
         # OPQ: encode/ADC operate in the rotated space; the exact
         # re-rank below stays on raw vectors (rotation preserves L2)
@@ -2082,22 +2229,34 @@ def build_ivf_index(
 
     from ..sources.atomic import swap_dir
 
-    cents = ivf_centroids_kmeans(corpus, n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
-    assigned = _assign_cells_int(
-        corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e")), cents
-    )
-    # crash-safe REBUILD (r10): everything lands in <path>.staging and
-    # promotes atomically — a plain overwrite deletes the live index
-    # first, so a mid-build crash would destroy the standing index a
-    # production probe is serving from
-    path = os.path.normpath(path)
-    staging = path + ".staging"
-    if os.path.isdir(staging):
-        shutil.rmtree(staging)
-    os.makedirs(staging)
-    assigned.write.mode("overwrite").partitionBy("__cell").parquet(
-        os.path.join(staging, "cells")
-    )
+    # ONE quantized projection persisted for the whole build (r11): the
+    # trainer's seed/Lloyd passes and the final assignment write all
+    # read it — previously the corpus parquet was scanned (and
+    # re-quantized) once by the trainer's own persist and again for the
+    # write
+    base = corpus.select(
+        F.col(id_col), quantize_expr(vec_col).alias("__e")
+    ).persist()
+    try:
+        cents = ivf_centroids_kmeans(
+            corpus, n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
+            base=base,
+        )
+        assigned = _assign_cells_int(base, cents)
+        # crash-safe REBUILD (r10): everything lands in <path>.staging and
+        # promotes atomically — a plain overwrite deletes the live index
+        # first, so a mid-build crash would destroy the standing index a
+        # production probe is serving from
+        path = os.path.normpath(path)
+        staging = path + ".staging"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        os.makedirs(staging)
+        assigned.write.mode("overwrite").partitionBy("__cell").parquet(
+            os.path.join(staging, "cells")
+        )
+    finally:
+        base.unpersist()
     with open(os.path.join(staging, "centroids.json"), "w") as f:
         json.dump(cents, f)
     with open(os.path.join(staging, "_SUCCESS"), "w"):
@@ -2175,41 +2334,56 @@ def build_ivfpq_index(
     import json
     import os
 
-    cents = ivf_centroids_kmeans(
-        corpus, n_cells, iters=iters, id_col=id_col, vec_col=vec_col
-    )
-    perm, signs = opq_signed_permutation(
-        corpus, cents, m_subspaces=m_subspaces, n_codes=n_codes,
-        rounds=opq_rounds, id_col=id_col, vec_col=vec_col,
-    )
-    cbs = residual_codebooks(
-        corpus, cents, m_subspaces=m_subspaces, n_codes=n_codes,
-        id_col=id_col, vec_col=vec_col, perm=perm, signs=signs,
-    )
     import shutil
 
     from ..sources.atomic import swap_dir
 
-    corpus_q = corpus.select(F.col(id_col), quantize_expr(vec_col).alias("__e"))
-    res = _assign_cells_int(corpus_q, cents).withColumn(
-        "__r",
-        F.zip_with(
-            F.col("__e"), _centroid_lookup_expr(cents), lambda a, b: a - b
-        ),
-    ).withColumn("__r", _rotate_expr("__r", perm, signs))
-    codes_of = _residual_codes_vec(cbs)
-    # crash-safe REBUILD (r10, like build_ivf_index): staging + swap,
-    # so the standing index survives a mid-build crash
-    path = os.path.normpath(path)
-    staging = path + ".staging"
-    if os.path.isdir(staging):
-        shutil.rmtree(staging)
-    os.makedirs(staging)
-    res.select(
-        id_col, "__e", "__cell", codes_of(F.col("__r")).alias("__codes")
-    ).write.mode("overwrite").partitionBy("__cell").parquet(
-        os.path.join(staging, "cells")
-    )
+    # r11: ONE quantized projection + ONE assigned-residual frame serve
+    # the whole build.  Previously each stage re-derived its input from
+    # the corpus parquet: the trainer persisted its own quantized frame,
+    # the OPQ trainer and the codebook sampler each persisted their own
+    # residual frame (re-running the cell-assignment UDF), and the final
+    # encode assigned cells a fourth time — 4 corpus scans and 3
+    # redundant assignment passes for bit-identical numbers.
+    base = corpus.select(
+        F.col(id_col), quantize_expr(vec_col).alias("__e")
+    ).persist()
+    try:
+        cents = ivf_centroids_kmeans(
+            corpus, n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
+            base=base,
+        )
+        res = _residuals_frame(
+            corpus, cents, id_col, vec_col, base=base, full=True
+        ).persist()
+        try:
+            perm, signs = opq_signed_permutation(
+                corpus, cents, m_subspaces=m_subspaces, n_codes=n_codes,
+                rounds=opq_rounds, id_col=id_col, vec_col=vec_col,
+                residuals=res,
+            )
+            cbs = residual_codebooks(
+                corpus, cents, m_subspaces=m_subspaces, n_codes=n_codes,
+                id_col=id_col, vec_col=vec_col, perm=perm, signs=signs,
+                residuals=res,
+            )
+            codes_of = _residual_codes_vec(cbs)
+            # crash-safe REBUILD (r10, like build_ivf_index): staging +
+            # swap, so the standing index survives a mid-build crash
+            path = os.path.normpath(path)
+            staging = path + ".staging"
+            if os.path.isdir(staging):
+                shutil.rmtree(staging)
+            os.makedirs(staging)
+            res.withColumn("__r", _rotate_expr("__r", perm, signs)).select(
+                id_col, "__e", "__cell", codes_of(F.col("__r")).alias("__codes")
+            ).write.mode("overwrite").partitionBy("__cell").parquet(
+                os.path.join(staging, "cells")
+            )
+        finally:
+            res.unpersist()
+    finally:
+        base.unpersist()
     meta = {
         "centroids": cents,
         "perm": perm,

@@ -3644,6 +3644,20 @@ def pq_codes(spark, sf_dir):
     return similarity.pq_encode(emb, cb, m_subspaces=PQ_M)
 
 
+def _ann_base(corpus):
+    """ONE persisted ``(vec_id, __e)`` quantized projection per ANN
+    query (r11 optimization): centroid training, codebook sampling,
+    min/max training, encode and the exact re-rank all read this cache
+    instead of each re-scanning (and re-quantizing) the corpus parquet
+    — the guide §2.1 "remove the pass, not the shuffle" move.  The
+    frame stays referenced by the returned plan, so the final action
+    reads the cache too; Spark's ContextCleaner reclaims the blocks
+    once the query result is dropped."""
+    return corpus.select(
+        F.col("vec_id"), similarity.quantize_expr("embedding").alias("__e")
+    ).persist()
+
+
 def ann_pq(spark, sf_dir):
     """PQ asymmetric-distance top-k: per-query integer distance table
     broadcast against the corpus codes — the memory-side ANN scale path
@@ -3651,8 +3665,11 @@ def ann_pq(spark, sf_dir):
     emb = catalog(spark, sf_dir)["embeddings"]
     corpus = emb.where("vec_id >= 5")
     q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
-    cb = similarity.pq_codebook(corpus, n_codes=PQ_CODES)
-    return similarity.pq_adc_topk(corpus, q, cb, m_subspaces=PQ_M, k=5)
+    base = _ann_base(corpus)
+    cb = similarity.pq_codebook(corpus, n_codes=PQ_CODES, base=base)
+    return similarity.pq_adc_topk(
+        corpus, q, cb, m_subspaces=PQ_M, k=5, base=base
+    )
 
 
 def ann_sq8(spark, sf_dir):
@@ -3669,8 +3686,9 @@ def ann_sq8(spark, sf_dir):
     emb = catalog(spark, sf_dir)["embeddings"]
     corpus = emb.where("vec_id >= 5")
     q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
-    vmin, span = similarity.sq8_minmax(corpus)
-    return similarity.sq8_adc_topk(corpus, q, vmin, span, k=5)
+    base = _ann_base(corpus)
+    vmin, span = similarity.sq8_minmax(corpus, base=base)
+    return similarity.sq8_adc_topk(corpus, q, vmin, span, k=5, base=base)
 
 
 def ann_sq8_refined(spark, sf_dir):
@@ -3684,9 +3702,10 @@ def ann_sq8_refined(spark, sf_dir):
     emb = catalog(spark, sf_dir)["embeddings"]
     corpus = emb.where("vec_id >= 5")
     q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
-    vmin, span = similarity.sq8_minmax(corpus)
+    base = _ann_base(corpus)
+    vmin, span = similarity.sq8_minmax(corpus, base=base)
     return similarity.sq8_refined_topk(
-        corpus, q, vmin, span, k=5, k_prime=RERANK_K
+        corpus, q, vmin, span, k=5, k_prime=RERANK_K, base=base
     )
 
 
@@ -3702,12 +3721,13 @@ def ann_ivfsq8(spark, sf_dir):
     emb = catalog(spark, sf_dir)["embeddings"]
     corpus = emb.where("vec_id >= 5")
     q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    base = _ann_base(corpus)
     cents = similarity.ivf_centroids_kmeans(
-        corpus, ANN_IVF_CELLS, iters=ANN_IVF_KM_ITERS
+        corpus, ANN_IVF_CELLS, iters=ANN_IVF_KM_ITERS, base=base
     )
-    vmin, span = similarity.sq8_minmax(corpus)
+    vmin, span = similarity.sq8_minmax(corpus, base=base)
     return similarity.ivfsq8_topk(
-        corpus, q, cents, vmin, span, k=5, nprobe=ANN_IVF_NPROBE
+        corpus, q, cents, vmin, span, k=5, nprobe=ANN_IVF_NPROBE, base=base
     )
 
 
@@ -3735,10 +3755,13 @@ def ann_ivf_kmeans(spark, sf_dir):
     emb = catalog(spark, sf_dir)["embeddings"]
     corpus = emb.where("vec_id >= 5")
     q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    base = _ann_base(corpus)
     cents = similarity.ivf_centroids_kmeans(
-        corpus, ANN_IVF_CELLS, iters=ANN_IVF_KM_ITERS
+        corpus, ANN_IVF_CELLS, iters=ANN_IVF_KM_ITERS, base=base
     )
-    return similarity.ivf_topk_kmeans(corpus, q, cents, k=5, nprobe=ANN_IVF_NPROBE)
+    return similarity.ivf_topk_kmeans(
+        corpus, q, cents, k=5, nprobe=ANN_IVF_NPROBE, base=base
+    )
 
 
 def ann_ivfpq(spark, sf_dir):
@@ -3754,12 +3777,14 @@ def ann_ivfpq(spark, sf_dir):
     emb = catalog(spark, sf_dir)["embeddings"]
     corpus = emb.where("vec_id >= 5")
     q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    base = _ann_base(corpus)
     cents = similarity.ivf_centroids_kmeans(
-        corpus, ANN_IVF_CELLS, iters=ANN_IVF_KM_ITERS
+        corpus, ANN_IVF_CELLS, iters=ANN_IVF_KM_ITERS, base=base
     )
-    cb = similarity.pq_codebook(corpus, n_codes=PQ_CODES)
+    cb = similarity.pq_codebook(corpus, n_codes=PQ_CODES, base=base)
     return similarity.ivfpq_topk(
-        corpus, q, cents, cb, m_subspaces=PQ_M, k=5, nprobe=ANN_IVF_NPROBE
+        corpus, q, cents, cb, m_subspaces=PQ_M, k=5, nprobe=ANN_IVF_NPROBE,
+        base=base,
     )
 
 
@@ -3780,15 +3805,18 @@ def ann_ivfpq_refined(spark, sf_dir):
     emb = catalog(spark, sf_dir)["embeddings"]
     corpus = emb.where("vec_id >= 5")
     q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    base = _ann_base(corpus)
     cents = similarity.ivf_centroids_kmeans(
-        corpus, ANN_IVF_CELLS, iters=ANN_IVF_KM_ITERS
+        corpus, ANN_IVF_CELLS, iters=ANN_IVF_KM_ITERS, base=base
     )
+    res = similarity.assigned_residuals(corpus, cents, base=base).persist()
     cbs = similarity.residual_codebooks(
-        corpus, cents, m_subspaces=PQ_M, n_codes=PQ_CODES
+        corpus, cents, m_subspaces=PQ_M, n_codes=PQ_CODES, residuals=res
     )
     return similarity.ivfpq_refined_topk(
         corpus, q, cents, cbs,
         m_subspaces=PQ_M, k=5, k_prime=RERANK_K, nprobe=ANN_IVF_NPROBE,
+        assigned=res,
     )
 
 
@@ -3813,20 +3841,23 @@ def ann_opq(spark, sf_dir):
     emb = catalog(spark, sf_dir)["embeddings"]
     corpus = emb.where("vec_id >= 5")
     q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    base = _ann_base(corpus)
     cents = similarity.ivf_centroids_kmeans(
-        corpus, ANN_IVF_CELLS, iters=ANN_IVF_KM_ITERS
+        corpus, ANN_IVF_CELLS, iters=ANN_IVF_KM_ITERS, base=base
     )
+    res = similarity.assigned_residuals(corpus, cents, base=base).persist()
     perm, signs = similarity.opq_signed_permutation(
-        corpus, cents, m_subspaces=PQ_M, n_codes=PQ_CODES, rounds=OPQ_ROUNDS
+        corpus, cents, m_subspaces=PQ_M, n_codes=PQ_CODES, rounds=OPQ_ROUNDS,
+        residuals=res,
     )
     cbs = similarity.residual_codebooks(
         corpus, cents, m_subspaces=PQ_M, n_codes=PQ_CODES,
-        perm=perm, signs=signs,
+        perm=perm, signs=signs, residuals=res,
     )
     return similarity.ivfpq_refined_topk(
         corpus, q, cents, cbs,
         m_subspaces=PQ_M, k=5, k_prime=RERANK_K, nprobe=ANN_IVF_NPROBE,
-        perm=perm, signs=signs,
+        perm=perm, signs=signs, assigned=res,
     )
 
 
@@ -3891,12 +3922,14 @@ def ann_pq_opq(spark, sf_dir):
     emb = catalog(spark, sf_dir)["embeddings"]
     corpus = emb.where("vec_id >= 5")
     q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    base = _ann_base(corpus)
     perm, signs = _flat_opq_rotation(spark, sf_dir)
     cb = similarity.pq_codebook(
-        corpus, n_codes=PQ_CODES, perm=perm, signs=signs
+        corpus, n_codes=PQ_CODES, perm=perm, signs=signs, base=base
     )
     return similarity.pq_adc_topk(
-        corpus, q, cb, m_subspaces=PQ_M, k=5, perm=perm, signs=signs
+        corpus, q, cb, m_subspaces=PQ_M, k=5, perm=perm, signs=signs,
+        base=base,
     )
 
 
@@ -3912,16 +3945,17 @@ def ann_ivfpq_opq(spark, sf_dir):
     emb = catalog(spark, sf_dir)["embeddings"]
     corpus = emb.where("vec_id >= 5")
     q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    base = _ann_base(corpus)
     cents = similarity.ivf_centroids_kmeans(
-        corpus, ANN_IVF_CELLS, iters=ANN_IVF_KM_ITERS
+        corpus, ANN_IVF_CELLS, iters=ANN_IVF_KM_ITERS, base=base
     )
     perm, signs = _flat_opq_rotation(spark, sf_dir)
     cb = similarity.pq_codebook(
-        corpus, n_codes=PQ_CODES, perm=perm, signs=signs
+        corpus, n_codes=PQ_CODES, perm=perm, signs=signs, base=base
     )
     return similarity.ivfpq_topk(
         corpus, q, cents, cb, m_subspaces=PQ_M, k=5,
-        nprobe=ANN_IVF_NPROBE, perm=perm, signs=signs,
+        nprobe=ANN_IVF_NPROBE, perm=perm, signs=signs, base=base,
     )
 
 
