@@ -4170,28 +4170,36 @@ def _gif_image_block(
 
     codes: list[tuple[int, int]] = []  # (code, bit width)
     width_bits = mcs + 1
-    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    # dictionary keyed on (prefix CODE, next byte) instead of the grown
+    # byte string: same entries, same indices, same emitted code stream
+    # (r11 — the bytes-keyed form paid O(len) concat+hash per input
+    # byte, quadratic on runs; this is O(1) per byte)
+    table: dict[tuple[int, int], int] = {}
     next_code = eoi + 1
     codes.append((clear, width_bits))
-    cur = b""
+    cur = -1  # current prefix as a code; roots are the bytes themselves
     for b in raw:
-        nxt = cur + bytes([b])
-        if nxt in table:
+        if cur < 0:
+            cur = b
+            continue
+        key = (cur, b)
+        nxt = table.get(key)
+        if nxt is not None:
             cur = nxt
             continue
-        codes.append((table[cur], width_bits))
-        table[nxt] = next_code
+        codes.append((cur, width_bits))
+        table[key] = next_code
         next_code += 1
         if next_code - 1 == (1 << width_bits) and width_bits < 12:
             width_bits += 1
         if next_code > 4095:
             codes.append((clear, width_bits))
-            table = {bytes([i]): i for i in range(clear)}
+            table = {}
             next_code = eoi + 1
             width_bits = mcs + 1
-        cur = bytes([b])
-    if cur:
-        codes.append((table[cur], width_bits))
+        cur = b
+    if cur >= 0:
+        codes.append((cur, width_bits))
     codes.append((eoi, width_bits))
 
     acc = n_bits = 0
@@ -4314,59 +4322,86 @@ def _gif_lzw_decode(data: bytes, mcs: int, need: int) -> bytes:
     ``need`` palette-index bytes.  Variable code widths, clear-code
     resets, the KwKwK case; raises ``ValueError`` on truncation or
     out-of-range codes (the shared quarantine contract)."""
+    import numpy as np
+
     clear, eoi = 1 << mcs, (1 << mcs) + 1
-    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    # r11: codes are pulled in numpy BATCHES at the current width instead
+    # of a per-code Python bit loop; a batch never outlives its width (it
+    # is capped at the worst-case distance to the next width bump and cut
+    # short on clear/bump), so the extracted values are exactly the ones
+    # the serial reader would produce.  The table is a dense list (codes
+    # are allocated contiguously), clear/eoi slots unused.
+    roots = [bytes([i]) for i in range(clear)]
+    table: list[bytes] = roots + [b"", b""]
     next_code = eoi + 1
     width_bits = mcs + 1
     out = bytearray()
-    acc = n_bits = di = 0
+    buf = np.frombuffer(bytes(data) + b"\x00\x00", np.uint8)
+    total_bits = len(data) * 8
+    pos = 0
     prev: bytes | None = None
 
-    def read_code():
-        nonlocal acc, n_bits, di
-        while n_bits < width_bits:
-            if di >= len(data):
-                return None
-            acc |= data[di] << n_bits
-            di += 1
-            n_bits += 8
-        code = acc & ((1 << width_bits) - 1)
-        acc >>= width_bits
-        n_bits -= width_bits
-        return code
-
     while len(out) < need:
-        code = read_code()
-        if code is None:
+        k_width = (
+            ((1 << width_bits) - next_code + 1) if width_bits < 12 else (1 << 30)
+        )
+        k_avail = (total_bits - pos) // width_bits
+        if k_avail <= 0:
             raise ValueError("GIF LZW stream truncated")
-        if code == clear:
-            table = {i: bytes([i]) for i in range(clear)}
-            next_code = eoi + 1
-            width_bits = mcs + 1
-            prev = None
-            continue
-        if code == eoi:
-            break
-        if prev is None:
-            entry = table.get(code)
-            if entry is None:
-                raise ValueError(f"GIF LZW bad first code {code}")
-        else:
-            if code in table:
+        n = min(k_width, k_avail, need - len(out) + 1, 4096)
+        offs = pos + width_bits * np.arange(n, dtype=np.int64)
+        bi = offs >> 3
+        sh = (offs & 7).astype(np.uint32)
+        codes = (
+            (
+                (
+                    buf[bi].astype(np.uint32)
+                    | (buf[bi + 1].astype(np.uint32) << 8)
+                    | (buf[bi + 2].astype(np.uint32) << 16)
+                )
+                >> sh
+            )
+            & ((1 << width_bits) - 1)
+        ).tolist()
+        consumed = 0
+        w_used = width_bits
+        for code in codes:
+            consumed += 1
+            if code == clear:
+                table = roots + [b"", b""]
+                next_code = eoi + 1
+                width_bits = mcs + 1
+                prev = None
+                break
+            if code == eoi:
+                pos += consumed * w_used
+                if len(out) < need:
+                    raise ValueError("GIF pixel data short of descriptor size")
+                return bytes(out[:need])
+            if prev is None:
+                if code >= clear:
+                    raise ValueError(f"GIF LZW bad first code {code}")
                 entry = table[code]
-            elif code == next_code:  # the KwKwK case
-                entry = prev + prev[:1]
             else:
-                raise ValueError(f"GIF LZW code {code} out of range")
-            if next_code < 4096:
-                table[next_code] = prev + entry[:1]
-                next_code += 1
-                if next_code == (1 << width_bits) and width_bits < 12:
-                    width_bits += 1
-        out += entry
-        prev = entry
-    if len(out) < need:
-        raise ValueError("GIF pixel data short of descriptor size")
+                if code < next_code:
+                    entry = table[code]
+                elif code == next_code:  # the KwKwK case
+                    entry = prev + prev[:1]
+                else:
+                    raise ValueError(f"GIF LZW code {code} out of range")
+                if next_code < 4096:
+                    table.append(prev + entry[:1])
+                    next_code += 1
+                    if next_code == (1 << width_bits) and width_bits < 12:
+                        width_bits += 1
+                        out += entry
+                        prev = entry
+                        break
+            out += entry
+            prev = entry
+            if len(out) >= need:
+                break
+        pos += consumed * w_used
     return bytes(out[:need])
 
 

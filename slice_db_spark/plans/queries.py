@@ -4615,12 +4615,21 @@ def media_anim_incremental(spark, sf_dir):
     import tempfile
 
     docs = catalog(spark, sf_dir)["documents"]
-    media = multimodal.synth_apng_gif_pairs(docs)
     tmp = tempfile.mkdtemp(prefix="anim_idx_q_")
     idx = os.path.join(tmp, "idx")
+
+    # corpus/batch split BELOW the opaque synth: `synth_apng_gif_pairs`
+    # emits exactly one row per input id with media_id == doc_id, so
+    # filtering doc_id before the synth is row-identical to filtering
+    # media_id after — and Spark cannot push a filter through
+    # mapInPandas, so the post-synth form encoded the FULL corpus in
+    # BOTH branches (2× the Python GIF/APNG encode work).
+    def media_split(pred):
+        return multimodal.synth_apng_gif_pairs(docs.where(pred))
+
     try:
         csigs = multimodal.anim_video_phash(
-            media.where(F.col("media_id") % 10 < 8)
+            media_split(F.col("doc_id") % 10 < 8)
         ).localCheckpoint(eager=True)
         nfr = csigs.groupBy("media_id").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_frames")
@@ -4630,7 +4639,7 @@ def media_anim_incremental(spark, sf_dir):
             "n_frames",
         ).write.mode("overwrite").parquet(idx)
         probe = multimodal.anim_video_phash(
-            media.where(F.col("media_id") % 10 >= 8)
+            media_split(F.col("doc_id") % 10 >= 8)
         ).localCheckpoint(eager=True)
         return multimodal.video_near_pairs_asym(
             probe, spark.read.parquet(idx),
@@ -4724,15 +4733,21 @@ def media_phash_imageio(spark, sf_dir):
 
     docs = catalog(spark, sf_dir)["documents"]
     tmp = tempfile.mkdtemp(prefix="imageio_q_")
+    corpus = os.path.join(tmp, "corpus")
     try:
-        for r in (
+        # r11: executor-side staging through the crash-safe spill bridge
+        # (shard=<pid>/<media_id>.bmp — the same digit-run identity the
+        # ImageIO lane reads) instead of a serial driver collect+write
+        # loop over every payload; the synth frame is checkpointed once
+        # so the spill's id-reuse precheck and the write read one
+        # materialization
+        media = (
             multimodal.synth_texture_bmp(docs)
-            .select("media_id", "payload")
-            .collect()
-        ):
-            with open(os.path.join(tmp, f"{r.media_id}.bmp"), "wb") as f:
-                f.write(bytes(r.payload))
-        sigs = multimodal.phash_image_files(spark, tmp).localCheckpoint(
+            .select("media_id", "format", "payload")
+            .localCheckpoint(eager=True)
+        )
+        multimodal.spill_media_to_files(media, corpus)
+        sigs = multimodal.phash_image_files(spark, corpus).localCheckpoint(
             eager=True
         )
         pairs = dedup.hamming_near_pairs(
