@@ -2216,6 +2216,31 @@ def _jpeg_zigzag() -> list[tuple[int, int]]:
 
 _ZIGZAG = _jpeg_zigzag()
 
+#: flat (8·u + v) index per zigzag position — the vectorized gather the
+#: per-block coordinate loop used to do one scalar at a time (r11)
+_ZIGZAG_FLAT = [8 * u + v for (u, v) in _ZIGZAG]
+
+
+def _plane_zigzag_q(plane, a, qtab):
+    """Quantized zigzag coefficients of EVERY 8×8 block of a padded
+    float64 plane at once → ``(by, bx, 64)`` int64 (DC unclipped, ACs
+    clamped to the baseline ±1023 magnitude cap).  The per-block
+    arithmetic is exactly the serial form's — the same float64 8×8
+    GEMMs per block slice, the same floor+0.5 rounding, the same AC
+    clip — batched over the block axis, so emitted entropy streams are
+    byte-identical (r11)."""
+    import numpy as np
+
+    h, w = plane.shape
+    by, bx = h // 8, w // 8
+    blocks = (
+        plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(by * bx, 8, 8)
+    )
+    q = np.floor((a @ blocks @ a.T) / qtab + 0.5).astype(np.int64)
+    zz = q.reshape(by * bx, 64)[:, _ZIGZAG_FLAT]
+    zz[:, 1:] = np.clip(zz[:, 1:], -1023, 1023)
+    return zz.reshape(by, bx, 64)
+
 
 def _dct_basis():
     """Orthonormal 8-point DCT-II basis A (A @ f @ A.T = coefficients;
@@ -2501,17 +2526,17 @@ def encode_jpeg(
     w = _JpegBitWriter()
     pred = [0] * len(planes)
 
-    def _enc_block(plane, y0: int, x0: int, ci: int) -> None:
-        blk = plane[y0 : y0 + 8, x0 : x0 + 8]
-        coefs = a @ blk @ a.T
-        q = np.floor(coefs / qtab + 0.5).astype(np.int64)
-        # baseline 8-bit AC magnitudes cap at size 10 (±1023); a very
-        # small quant (q=1 on a checkerboard) can exceed that — clamp
-        # instead of KeyError deep in the bit writer (distortion only in
-        # that pathological regime).  DC keeps its full ±1024 range: the
-        # DC table carries size 11
-        q_ac = np.clip(q, -1023, 1023)
-        zz = [int(q[0, 0])] + [int(q_ac[u, v]) for (u, v) in _ZIGZAG[1:]]
+    # r11: DCT + quantization + zigzag (and the baseline ±1023 AC clamp
+    # — size 10 cap; DC keeps its full range, the DC table carries size
+    # 11) for EVERY block of every plane in one batched numpy pass; the
+    # serial loop below only does the entropy coding.  `.tolist()` once
+    # so the bit loop indexes Python ints, not numpy scalars.
+    zz_planes = [
+        _plane_zigzag_q(p, a, qtab).tolist() for p in padded
+    ]
+
+    def _enc_block(zz_plane, by_i: int, bx_i: int, ci: int) -> None:
+        zz = zz_plane[by_i][bx_i]
         size, bitsv = _jpeg_magnitude(zz[0] - pred[ci])
         pred[ci] = zz[0]
         code, ln = dc_map[size]
@@ -2546,11 +2571,11 @@ def encode_jpeg(
                 w.buf += bytes([0xFF, 0xD0 + (mcu_n // restart_interval - 1) % 8])
                 pred[:] = [0] * len(pred)
             mcu_n += 1
-            for ci, ((h_i, v_i), plane) in enumerate(zip(samp, padded)):
+            for ci, ((h_i, v_i), zz_plane) in enumerate(zip(samp, zz_planes)):
                 for by in range(v_i):
                     for bx in range(h_i):
                         _enc_block(
-                            plane, (my * v_i + by) * 8, (mx * h_i + bx) * 8, ci
+                            zz_plane, my * v_i + by, mx * h_i + bx, ci
                         )
     w.flush()
 
@@ -2620,23 +2645,16 @@ def encode_jpeg_progressive(
     ac_map = _huff_encode_map(ac_bits, ac_vals)
     mcux, mcuy = -(-width // 8), -(-height // 8)
 
-    # quantized zigzag coefficients per component, computed once
+    # quantized zigzag coefficients per component, computed once —
+    # batched over every block (r11, same arithmetic, see
+    # _plane_zigzag_q)
     coefs = []
     for p in planes:
         pad = np.pad(
             p, ((0, mcuy * 8 - p.shape[0]), (0, mcux * 8 - p.shape[1])),
             mode="edge",
         ).astype(np.float64) - 128.0
-        arr = np.zeros((mcuy, mcux, 64), dtype=np.int64)
-        for by in range(mcuy):
-            for bx in range(mcux):
-                blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                q = np.floor(a @ blk @ a.T / qtab + 0.5).astype(np.int64)
-                zz = [int(q[0, 0])] + [
-                    int(np.clip(q[u, v], -1023, 1023)) for (u, v) in _ZIGZAG[1:]
-                ]
-                arr[by, bx] = zz
-        coefs.append(arr)
+        coefs.append(_plane_zigzag_q(pad, a, qtab))
 
     def _emit(w, m, sym):
         code, ln = m[sym]
@@ -2980,17 +2998,20 @@ def _decode_jpeg_progressive(payload: bytes, frame, scans, qtabs):
             q = qtabs[tq]
         except KeyError as e:
             raise ValueError(f"missing JPEG table {e}") from e
-        plane = np.zeros((mcuy * 8 * v_i, mcux * 8 * h_i), dtype=np.uint8)
-        for by in range(coefs[ci].shape[0]):
-            for bx in range(coefs[ci].shape[1]):
-                zz = coefs[ci][by, bx]
-                c8 = np.zeros((8, 8))
-                for i, (u, v) in enumerate(_ZIGZAG):
-                    c8[u, v] = int(zz[i]) * q[i]
-                blk = a.T @ c8 @ a
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    np.floor(blk + 128.5), 0, 255
-                ).astype(np.uint8)
+        # batched dequant + IDCT + clip over every block (r11 — the same
+        # per-block float64 arithmetic as the serial loop, stacked)
+        nby, nbx = coefs[ci].shape[0], coefs[ci].shape[1]
+        qarr = np.asarray(q, dtype=np.int64)
+        co = np.zeros((nby * nbx, 64))
+        co[:, _ZIGZAG_FLAT] = coefs[ci].reshape(nby * nbx, 64) * qarr
+        px = np.clip(
+            np.floor(a.T @ co.reshape(-1, 8, 8) @ a + 128.5), 0, 255
+        ).astype(np.uint8)
+        plane = (
+            px.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )
         planes.append(plane)
     up = []
     for plane, (_, h_i, v_i, _) in zip(planes, comps):
@@ -3163,6 +3184,15 @@ def decode_jpeg(payload: bytes):
                 return sym
         raise ValueError("invalid JPEG Huffman code")
 
+    # r11: the entropy walk (inherently serial — DC predictors and the
+    # bit stream chain block to block) only COLLECTS each block's zigzag
+    # coefficients; dequantization, the 8×8 IDCTs and the clip run
+    # batched over all blocks per component afterwards — the identical
+    # per-block float64 arithmetic (zz·q into a float 8×8, A.T @ C @ A,
+    # floor(·+128.5) clip 0..255), so decoded pixels are bit-identical.
+    blocks_zz: list[list] = [[] for _ in comps]  # per ci: [(y0, x0, zz)]
+    qs_used: list = [None] * len(comps)
+
     def _decode_block(ci: int, dc_tab, ac_tab, q, y0: int, x0: int) -> None:
         zz = [0] * 64
         size = _decode_huff(dc_tab)
@@ -3184,13 +3214,8 @@ def decode_jpeg(payload: bytes):
                 raise ValueError("JPEG AC run past block end")
             zz[k] = _jpeg_extend(reader.bits(size), size)
             k += 1
-        coefs = np.zeros((8, 8))
-        for i, (u, v) in enumerate(_ZIGZAG):
-            coefs[u, v] = zz[i] * q[i]
-        blk = a.T @ coefs @ a
-        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = np.clip(
-            np.floor(blk + 128.5), 0, 255
-        ).astype(np.uint8)
+        qs_used[ci] = q
+        blocks_zz[ci].append((y0, x0, zz))
 
     mcu_n = 0
     for my in range(mcuy):
@@ -3215,6 +3240,20 @@ def decode_jpeg(payload: bytes):
                             ci, dc_tab, ac_tab, q,
                             (my * v_i + by) * 8, (mx * h_i + bx) * 8,
                         )
+    # batched dequant + IDCT + clip per component (r11)
+    for ci, blks in enumerate(blocks_zz):
+        if not blks:
+            continue
+        qarr = np.asarray(qs_used[ci], dtype=np.int64)
+        zzarr = np.asarray([zz for _, _, zz in blks], dtype=np.int64)
+        co = np.zeros((len(blks), 64))
+        co[:, _ZIGZAG_FLAT] = zzarr * qarr
+        px = np.clip(
+            np.floor(a.T @ co.reshape(-1, 8, 8) @ a + 128.5), 0, 255
+        ).astype(np.uint8)
+        plane = planes[ci]
+        for (y0, x0, _), blk in zip(blks, px):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = blk
     # chroma upsampling by sample replication (nearest), then crop
     up = []
     for plane, (_, h_i, v_i, _) in zip(planes, comps):

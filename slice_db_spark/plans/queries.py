@@ -4807,11 +4807,23 @@ def media_dedup_panorama(spark, sf_dir):
             F.countDistinct("id_b").cast("bigint").alias("n_dup_items"),
         ).select(F.lit(modality).alias("modality"), "n_pairs", "n_dup_items")
 
-    return (
-        summarize(media_phash_pairs(spark, sf_dir), "image")
-        .unionByName(summarize(media_audio_pairs(spark, sf_dir), "audio"))
-        .unionByName(summarize(media_video_pairs(spark, sf_dir), "video"))
-    )
+    # r11: overlap the three independent lanes' eager-checkpoint job
+    # chains (guide §2.6) — same plans, same union order, bit-identical
+    # result
+    from concurrent.futures import ThreadPoolExecutor
+
+    lanes = [
+        ("image", media_phash_pairs),
+        ("audio", media_audio_pairs),
+        ("video", media_video_pairs),
+    ]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(fn, spark, sf_dir) for _, fn in lanes]
+        built = [f.result() for f in futs]
+    out = summarize(built[0], lanes[0][0])
+    for (modality, _), pairs in zip(lanes[1:], built[1:]):
+        out = out.unionByName(summarize(pairs, modality))
+    return out
 
 
 def media_robust_panorama(spark, sf_dir):
@@ -4835,37 +4847,32 @@ def media_robust_panorama(spark, sf_dir):
             F.countDistinct("id_b").cast("bigint").alias("n_dup_items"),
         ).select(F.lit(lane).alias("lane"), "n_pairs", "n_dup_items")
 
-    return (
-        summarize(media_phash_oriented(spark, sf_dir), "image_oriented")
-        .unionByName(
-            summarize(media_phash_dihedral(spark, sf_dir), "image_dihedral")
-        )
-        .unionByName(
-            summarize(media_audio_offset_pairs(spark, sf_dir), "audio_offset")
-        )
-        .unionByName(
-            summarize(
-                media_audio_resampled_pairs(spark, sf_dir), "audio_resampled"
-            )
-        )
-        .unionByName(
-            summarize(media_video_trimmed_pairs(spark, sf_dir), "video_trimmed")
-        )
-        .unionByName(
-            summarize(media_shot_reuse(spark, sf_dir), "video_shot_reuse")
-        )
-        .unionByName(
-            summarize(
-                media_gif_disposal2_pairs(spark, sf_dir),
-                "gif_browser_flatten",
-            )
-        )
-        .unionByName(
-            summarize(
-                media_apng_gif_pairs(spark, sf_dir), "anim_cross_format"
-            )
-        )
-    )
+    # r11 (guide §2.6 "overlap independent jobs"): each lane's
+    # construction runs its own EAGER localCheckpoints (the synth→decode
+    # →fingerprint materializations), so building the eight lanes
+    # sequentially serialized eight independent job chains — one lane's
+    # straggler tail left the rest of the cluster idle.  A small driver
+    # pool overlaps them; each lane's plan (and the union order below)
+    # is unchanged, so the result is bit-identical.
+    lanes = [
+        ("image_oriented", media_phash_oriented),
+        ("image_dihedral", media_phash_dihedral),
+        ("audio_offset", media_audio_offset_pairs),
+        ("audio_resampled", media_audio_resampled_pairs),
+        ("video_trimmed", media_video_trimmed_pairs),
+        ("video_shot_reuse", media_shot_reuse),
+        ("gif_browser_flatten", media_gif_disposal2_pairs),
+        ("anim_cross_format", media_apng_gif_pairs),
+    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futs = [pool.submit(fn, spark, sf_dir) for _, fn in lanes]
+        built = [f.result() for f in futs]
+    out = summarize(built[0], lanes[0][0])
+    for (lane, _), pairs in zip(lanes[1:], built[1:]):
+        out = out.unionByName(summarize(pairs, lane))
+    return out
 
 
 def media_video_incremental(spark, sf_dir):
