@@ -4628,19 +4628,27 @@ def media_anim_incremental(spark, sf_dir):
         return multimodal.synth_apng_gif_pairs(docs.where(pred))
 
     try:
-        csigs = multimodal.anim_video_phash(
-            media_split(F.col("doc_id") % 10 < 8)
-        ).localCheckpoint(eager=True)
-        nfr = csigs.groupBy("media_id").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_frames")
-        )
-        csigs.join(nfr, "media_id").select(
-            F.col("media_id").alias("corpus_id"), "frame_idx", "phash",
-            "n_frames",
-        ).write.mode("overwrite").parquet(idx)
-        probe = multimodal.anim_video_phash(
-            media_split(F.col("doc_id") % 10 >= 8)
-        ).localCheckpoint(eager=True)
+        # r11: probe materialization overlapped with the corpus index
+        # build (guide §2.6) — see media_video_incremental
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            probe_fut = pool.submit(
+                lambda: multimodal.anim_video_phash(
+                    media_split(F.col("doc_id") % 10 >= 8)
+                ).localCheckpoint(eager=True)
+            )
+            csigs = multimodal.anim_video_phash(
+                media_split(F.col("doc_id") % 10 < 8)
+            ).localCheckpoint(eager=True)
+            nfr = csigs.groupBy("media_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_frames")
+            )
+            csigs.join(nfr, "media_id").select(
+                F.col("media_id").alias("corpus_id"), "frame_idx", "phash",
+                "n_frames",
+            ).write.mode("overwrite").parquet(idx)
+            probe = probe_fut.result()
         return multimodal.video_near_pairs_asym(
             probe, spark.read.parquet(idx),
             bits=63, bands=PHASH_BANDS, max_hamming=PHASH_MAX_HAMMING,
@@ -4897,20 +4905,29 @@ def media_video_incremental(spark, sf_dir):
         # eager checkpoints: both signature frames feed multiple joins
         # (nfr self-aggregate; banding/candidate/verify branches in the
         # asym probe) and would otherwise recompute the Python
-        # synth+decode+DCT pipeline per consumer
-        csigs = multimodal.video_phash(
-            multimodal.synth_texture_y4m(corpus)
-        ).localCheckpoint(eager=True)
-        nfr = csigs.groupBy("media_id").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_frames")
-        )
-        csigs.join(nfr, "media_id").select(
-            F.col("media_id").alias("corpus_id"), "frame_idx", "phash",
-            "n_frames",
-        ).write.mode("overwrite").parquet(idx)
-        probe = multimodal.video_phash(
-            multimodal.synth_texture_y4m(batch)
-        ).localCheckpoint(eager=True)
+        # synth+decode+DCT pipeline per consumer.  r11: the probe
+        # side's materialization is independent of the corpus index
+        # build, so it runs in a driver thread while the index writes
+        # (guide §2.6) — plans and results unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            probe_fut = pool.submit(
+                lambda: multimodal.video_phash(
+                    multimodal.synth_texture_y4m(batch)
+                ).localCheckpoint(eager=True)
+            )
+            csigs = multimodal.video_phash(
+                multimodal.synth_texture_y4m(corpus)
+            ).localCheckpoint(eager=True)
+            nfr = csigs.groupBy("media_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_frames")
+            )
+            csigs.join(nfr, "media_id").select(
+                F.col("media_id").alias("corpus_id"), "frame_idx", "phash",
+                "n_frames",
+            ).write.mode("overwrite").parquet(idx)
+            probe = probe_fut.result()
         return multimodal.video_near_pairs_asym(
             probe, spark.read.parquet(idx),
             bits=63, bands=PHASH_BANDS, max_hamming=PHASH_MAX_HAMMING,
@@ -5036,19 +5053,27 @@ def media_video_trimmed_incremental(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="vtp_idx_q_")
     idx = os.path.join(tmp, "idx")
     try:
-        csigs = multimodal.video_phash(
-            multimodal.synth_texture_y4m_trim(corpus)
-        ).localCheckpoint(eager=True)
-        nfr = csigs.groupBy("media_id").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_frames")
-        )
-        csigs.join(nfr, "media_id").select(
-            F.col("media_id").alias("corpus_id"), "frame_idx", "phash",
-            "n_frames",
-        ).write.mode("overwrite").parquet(idx)
-        probe = multimodal.video_phash(
-            multimodal.synth_texture_y4m_trim(batch)
-        ).localCheckpoint(eager=True)
+        # r11: probe materialization overlapped with the corpus index
+        # build (guide §2.6) — see media_video_incremental
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            probe_fut = pool.submit(
+                lambda: multimodal.video_phash(
+                    multimodal.synth_texture_y4m_trim(batch)
+                ).localCheckpoint(eager=True)
+            )
+            csigs = multimodal.video_phash(
+                multimodal.synth_texture_y4m_trim(corpus)
+            ).localCheckpoint(eager=True)
+            nfr = csigs.groupBy("media_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_frames")
+            )
+            csigs.join(nfr, "media_id").select(
+                F.col("media_id").alias("corpus_id"), "frame_idx", "phash",
+                "n_frames",
+            ).write.mode("overwrite").parquet(idx)
+            probe = probe_fut.result()
         return multimodal.video_trimmed_pairs_asym(
             probe, spark.read.parquet(idx),
             bits=63, bands=PHASH_BANDS, max_hamming=PHASH_MAX_HAMMING,
