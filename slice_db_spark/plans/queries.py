@@ -33,30 +33,42 @@ from .tpch import KEY_EXPRS, tpch_schema
 
 # --------------------------------------------------------------------- caches
 
+import threading as _threading
+
+#: guards every per-sf_dir memo below — the panorama queries build their
+#: component frames from a driver thread pool (r11, guide §2.6), so a
+#: memo's check-then-build must be atomic or two threads build (and one
+#: leaks) the same persisted frame.  RLock: memo builders call catalog()
+#: (itself guarded) while holding the lock.
+_MEMO_LOCK = _threading.RLock()
+
 _CATALOGS: dict[str, dict[str, DataFrame]] = {}
 _SUBSETS: dict = {}
 
 
 def catalog(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    if sf_dir not in _CATALOGS:
-        _CATALOGS[sf_dir] = load_catalog(spark, sf_dir)
-    return _CATALOGS[sf_dir]
+    with _MEMO_LOCK:
+        if sf_dir not in _CATALOGS:
+            _CATALOGS[sf_dir] = load_catalog(spark, sf_dir)
+        return _CATALOGS[sf_dir]
 
 
 def _subset(spark: SparkSession, sf_dir: str, name: str, roots: list[Root]):
     """Traversals are shared by several queries (closure, export, manifest
     counts) — memoize per (sf_dir, root-set)."""
     key = (sf_dir, name)
-    if key not in _SUBSETS:
-        from ..session import parquet_row_counts
+    with _MEMO_LOCK:
+        if key not in _SUBSETS:
+            from ..session import parquet_row_counts
 
-        schema = tpch_schema()
-        cat = {t: catalog(spark, sf_dir)[t] for t in schema.tables}
-        eng = Subsetter(
-            spark, cat, schema, table_rows=parquet_row_counts(sf_dir, list(schema.tables))
-        )
-        _SUBSETS[key] = (eng, eng.run(roots))
-    return _SUBSETS[key]
+            schema = tpch_schema()
+            cat = {t: catalog(spark, sf_dir)[t] for t in schema.tables}
+            eng = Subsetter(
+                spark, cat, schema,
+                table_rows=parquet_row_counts(sf_dir, list(schema.tables)),
+            )
+            _SUBSETS[key] = (eng, eng.run(roots))
+        return _SUBSETS[key]
 
 
 # =====================================================================
@@ -1391,16 +1403,25 @@ def dedup_panorama(spark, sf_dir):
     memoized pair cache); the oracle embeds each family's own oracle SQL
     verbatim, so the panorama can never drift from the operators it
     summarizes."""
+    # r11: family construction overlapped from a driver pool (guide
+    # §2.6) — several families run eager checkpoints while building, so
+    # the serial loop left the cluster idle between them.  The memo
+    # getters are lock-guarded; union order is unchanged, so the result
+    # is bit-identical.
+    from concurrent.futures import ThreadPoolExecutor
+
     all_q = _all_queries()
+    with ThreadPoolExecutor(max_workers=len(PANORAMA_FAMILIES)) as pool:
+        futs = [
+            pool.submit(all_q[name], spark, sf_dir)
+            for name in PANORAMA_FAMILIES
+        ]
+        built = [f.result() for f in futs]
     rows = None
-    for name in PANORAMA_FAMILIES:
-        r = (
-            all_q[name](spark, sf_dir)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .select(
-                F.lit(name).alias("family"),
-                F.col("__n").cast("bigint").alias("n_rows"),
-            )
+    for name, fam in zip(PANORAMA_FAMILIES, built):
+        r = fam.agg(F.count(F.lit(1)).alias("__n")).select(
+            F.lit(name).alias("family"),
+            F.col("__n").cast("bigint").alias("n_rows"),
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows
@@ -1414,11 +1435,13 @@ def _jaccard_pairs_05(spark, sf_dir):
     (nearest_doc's argmax, doc_pagerank's edges) — memoized per sf_dir
     like the traversals and LSH pairs, as one real pipeline stage whose
     output downstream analytics share."""
-    if sf_dir not in _JP05_PAIRS:
-        _JP05_PAIRS[sf_dir] = dedup.ngram_jaccard_pairs(
-            catalog(spark, sf_dir)["documents"], threshold=0.5, max_df=JACCARD_MAX_DF
-        ).persist()
-    return _JP05_PAIRS[sf_dir]
+    docs = catalog(spark, sf_dir)["documents"]
+    with _MEMO_LOCK:
+        if sf_dir not in _JP05_PAIRS:
+            _JP05_PAIRS[sf_dir] = dedup.ngram_jaccard_pairs(
+                docs, threshold=0.5, max_df=JACCARD_MAX_DF
+            ).persist()
+        return _JP05_PAIRS[sf_dir]
 
 
 def nearest_doc(spark, sf_dir):
@@ -3237,11 +3260,13 @@ _LSH_PAIRS: dict = {}
 def minhash_lsh(spark, sf_dir):
     """Memoized like the traversals (_subset): the clustering query
     consumes these pairs, as a real dedup pipeline would."""
-    if sf_dir not in _LSH_PAIRS:
-        _LSH_PAIRS[sf_dir] = dedup.minhash_lsh_pairs(
-            catalog(spark, sf_dir)["documents"], k=16, bands=4, threshold=0.5
-        ).persist()
-    return _LSH_PAIRS[sf_dir]
+    docs = catalog(spark, sf_dir)["documents"]
+    with _MEMO_LOCK:
+        if sf_dir not in _LSH_PAIRS:
+            _LSH_PAIRS[sf_dir] = dedup.minhash_lsh_pairs(
+                docs, k=16, bands=4, threshold=0.5
+            ).persist()
+        return _LSH_PAIRS[sf_dir]
 
 
 def feature_hash(spark, sf_dir):
@@ -3897,14 +3922,15 @@ def _flat_opq_rotation(spark, sf_dir):
     so regenerating the embeddings table in-place retrains instead of
     reusing a stale rotation (r11, advisory fix)."""
     key = (sf_dir, _corpus_fingerprint(sf_dir))
-    if key not in _FLAT_OPQ:
-        emb = catalog(spark, sf_dir)["embeddings"]
-        corpus = emb.where("vec_id >= 5")
-        _FLAT_OPQ[key] = similarity.opq_signed_permutation(
-            corpus, None, m_subspaces=PQ_M, n_codes=PQ_CODES,
-            rounds=OPQ_ROUNDS,
-        )
-    return _FLAT_OPQ[key]
+    with _MEMO_LOCK:
+        if key not in _FLAT_OPQ:
+            emb = catalog(spark, sf_dir)["embeddings"]
+            corpus = emb.where("vec_id >= 5")
+            _FLAT_OPQ[key] = similarity.opq_signed_permutation(
+                corpus, None, m_subspaces=PQ_M, n_codes=PQ_CODES,
+                rounds=OPQ_ROUNDS,
+            )
+        return _FLAT_OPQ[key]
 
 
 def ann_pq_opq(spark, sf_dir):
