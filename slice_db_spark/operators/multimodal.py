@@ -410,7 +410,9 @@ _SPILL_EXT = {"jpeg": "jpg"}
 _UNCOMPRESSED_FORMATS = ("bmp", "pgm")
 
 
-def spill_media_to_files(df: DataFrame, dest: str) -> str:
+def spill_media_to_files(
+    df: DataFrame, dest: str, precheck_ids: bool = True
+) -> str:
     """DISTRIBUTED in-column → file spill: write each ``(media_id,
     format, payload)`` row to ``<dest>/shard=<partitionId>/
     <media_id>.<ext>`` from the EXECUTORS (``foreachPartition``) — zero
@@ -449,44 +451,52 @@ def spill_media_to_files(df: DataFrame, dest: str) -> str:
     backstop.  Rows with a NULL media_id
     or payload raise — the caller's ingest gate quarantines those
     before the bridge.
+
+    ``precheck_ids=False`` (r11) skips the cross-partition duplicate-id
+    aggregate — ONE pass over the payloads instead of two — for callers
+    whose upstream CONTRACT already guarantees unique ids (the synth
+    generators emit exactly one row per id; a production ingest lane's
+    id-reuse quarantine runs before the bridge).  The within-partition
+    digest backstop and the written-vs-landed reconciliation stay on.
     Returns ``dest`` (normalized)."""
     import os as _os
     import shutil as _shutil
 
     from ..sources.atomic import swap_dir
 
-    key_stats = (
-        # NULL ids are excluded here so the executor-side NULL guard
-        # keeps owning that error; NULL payloads md5 to NULL (ignored
-        # by countDistinct) for the same reason
-        df.where(F.col("media_id").isNotNull())
-        .groupBy("media_id")
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.countDistinct(F.md5("payload")).alias("__k"),
+    if precheck_ids:
+        key_stats = (
+            # NULL ids are excluded here so the executor-side NULL guard
+            # keeps owning that error; NULL payloads md5 to NULL (ignored
+            # by countDistinct) for the same reason
+            df.where(F.col("media_id").isNotNull())
+            .groupBy("media_id")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.countDistinct(F.md5("payload")).alias("__k"),
+            )
+            .where("__n > 1")
         )
-        .where("__n > 1")
-    )
-    dup_keys = key_stats.collect()
-    reused = [r.media_id for r in dup_keys if r["__k"] > 1]
-    if reused:
-        raise ValueError(
-            f"spill_media_to_files: media_id(s) {sorted(reused)[:5]} appear "
-            "with DIFFERENT payloads — id reuse; quarantine upstream "
-            "before spilling"
-        )
-    if dup_keys:
-        # benign exact duplicates possibly split across partitions:
-        # reshuffle only those ids' rows so each id writes exactly once
-        dup_ids = df.sparkSession.createDataFrame(
-            [(int(r.media_id),) for r in dup_keys], "media_id bigint"
-        )
-        uniq = df.join(F.broadcast(dup_ids), "media_id", "left_anti")
-        deduped = (
-            df.join(F.broadcast(dup_ids), "media_id", "left_semi")
-            .dropDuplicates(["media_id"])
-        )
-        df = uniq.unionByName(deduped)
+        dup_keys = key_stats.collect()
+        reused = [r.media_id for r in dup_keys if r["__k"] > 1]
+        if reused:
+            raise ValueError(
+                f"spill_media_to_files: media_id(s) {sorted(reused)[:5]} "
+                "appear with DIFFERENT payloads — id reuse; quarantine "
+                "upstream before spilling"
+            )
+        if dup_keys:
+            # benign exact duplicates possibly split across partitions:
+            # reshuffle only those ids' rows so each id writes exactly once
+            dup_ids = df.sparkSession.createDataFrame(
+                [(int(r.media_id),) for r in dup_keys], "media_id bigint"
+            )
+            uniq = df.join(F.broadcast(dup_ids), "media_id", "left_anti")
+            deduped = (
+                df.join(F.broadcast(dup_ids), "media_id", "left_semi")
+                .dropDuplicates(["media_id"])
+            )
+            df = uniq.unionByName(deduped)
 
     dest = _os.path.normpath(dest)
     staging = dest + ".staging"

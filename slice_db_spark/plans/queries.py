@@ -4772,15 +4772,14 @@ def media_phash_imageio(spark, sf_dir):
         # r11: executor-side staging through the crash-safe spill bridge
         # (shard=<pid>/<media_id>.bmp — the same digit-run identity the
         # ImageIO lane reads) instead of a serial driver collect+write
-        # loop over every payload; the synth frame is checkpointed once
-        # so the spill's id-reuse precheck and the write read one
-        # materialization
-        media = (
-            multimodal.synth_texture_bmp(docs)
-            .select("media_id", "format", "payload")
-            .localCheckpoint(eager=True)
+        # loop over every payload.  precheck_ids=False: the synth emits
+        # exactly one row per id, so the spill is ONE distributed pass
+        # (the within-partition digest backstop and written-vs-landed
+        # reconciliation stay on).
+        media = multimodal.synth_texture_bmp(docs).select(
+            "media_id", "format", "payload"
         )
-        multimodal.spill_media_to_files(media, corpus)
+        multimodal.spill_media_to_files(media, corpus, precheck_ids=False)
         sigs = multimodal.phash_image_files(spark, corpus).localCheckpoint(
             eager=True
         )

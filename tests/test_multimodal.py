@@ -2695,6 +2695,50 @@ def test_spill_cross_partition_duplicates(spark, tmp_path):
         M.spill_media_to_files(reuse, str(tmp_path / "spill2"))
 
 
+def test_spill_precheck_ids_false_single_pass(spark, tmp_path):
+    """r11 optimization: precheck_ids=False skips the cross-partition
+    duplicate-id aggregate (one payload pass instead of two) for callers
+    whose upstream guarantees unique ids — same files land, and the
+    WITHIN-partition id-reuse digest backstop still raises."""
+    import os
+
+    import numpy as np
+
+    schema = ("media_id bigint, kind string, payload binary, "
+              "format string, n_bytes bigint")
+    rows = []
+    for k in range(6):
+        px = np.full((4, 4, 3), k * 11, dtype=np.uint8)
+        pay = M.encode_bmp(4, 4, px)
+        rows.append((k, "image", pay, "bmp", len(pay)))
+    df = spark.createDataFrame(rows, schema).repartition(3)
+
+    a, b = str(tmp_path / "checked"), str(tmp_path / "unchecked")
+    M.spill_media_to_files(df, a)
+    M.spill_media_to_files(df, b, precheck_ids=False)
+
+    def landed(root):
+        return sorted(
+            f for r, _d, fs in os.walk(root) for f in fs
+            if f.endswith(".bmp")
+        )
+
+    assert landed(a) == landed(b) and len(landed(b)) == 6
+
+    pay0 = M.encode_bmp(4, 4, np.zeros((4, 4, 3), dtype=np.uint8))
+    pay1 = M.encode_bmp(4, 4, np.ones((4, 4, 3), dtype=np.uint8))
+    reuse = spark.createDataFrame(
+        [(7, "image", pay0, "bmp", len(pay0)),
+         (7, "image", pay1, "bmp", len(pay1))], schema
+    ).coalesce(1)  # same partition: the digest backstop owns the error
+    # with the precheck off the error surfaces from the executor task
+    # (wrapped by py4j), not as a driver-side ValueError
+    with pytest.raises(Exception, match="DIFFERENT payloads"):
+        M.spill_media_to_files(
+            reuse, str(tmp_path / "reuse"), precheck_ids=False
+        )
+
+
 def test_apng_multiple_fctl_before_idat_quarantines():
     """r11 review fix: the spec allows at most ONE fcTL before IDAT —
     a second one must quarantine, not replay IDAT as an extra frame."""
