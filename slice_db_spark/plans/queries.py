@@ -1435,11 +1435,12 @@ def _jaccard_pairs_05(spark, sf_dir):
     (nearest_doc's argmax, doc_pagerank's edges) — memoized per sf_dir
     like the traversals and LSH pairs, as one real pipeline stage whose
     output downstream analytics share."""
-    docs = catalog(spark, sf_dir)["documents"]
     with _MEMO_LOCK:
         if sf_dir not in _JP05_PAIRS:
             _JP05_PAIRS[sf_dir] = dedup.ngram_jaccard_pairs(
-                docs, threshold=0.5, max_df=JACCARD_MAX_DF
+                catalog(spark, sf_dir)["documents"],
+                threshold=0.5,
+                max_df=JACCARD_MAX_DF,
             ).persist()
         return _JP05_PAIRS[sf_dir]
 
@@ -3260,11 +3261,11 @@ _LSH_PAIRS: dict = {}
 def minhash_lsh(spark, sf_dir):
     """Memoized like the traversals (_subset): the clustering query
     consumes these pairs, as a real dedup pipeline would."""
-    docs = catalog(spark, sf_dir)["documents"]
     with _MEMO_LOCK:
         if sf_dir not in _LSH_PAIRS:
             _LSH_PAIRS[sf_dir] = dedup.minhash_lsh_pairs(
-                docs, k=16, bands=4, threshold=0.5
+                catalog(spark, sf_dir)["documents"], k=16, bands=4,
+                threshold=0.5
             ).persist()
         return _LSH_PAIRS[sf_dir]
 
