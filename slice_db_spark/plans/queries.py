@@ -4760,9 +4760,9 @@ def media_phash_imageio(spark, sf_dir):
     pixels feed the SAME fixed-point DCT pHash, and the banded pairing
     must reproduce `media_phash_pairs` exactly — ImageIO's BMP decode is
     bit-exact vs the repo codec, so the arithmetic oracle holds
-    VERBATIM (`operators/multimodal.py::phash_image_files`; the
-    driver-side file staging is test scaffolding — production corpora
-    already sit in files, which is the lane's premise)."""
+    VERBATIM (`operators/multimodal.py::phash_image_files`; staging goes
+    through the executor-side spill bridge since r11 — production
+    corpora already sit in files, which is the lane's premise)."""
     import shutil
     import tempfile
 
