@@ -512,12 +512,18 @@ def simhash_signatures(
     return st.groupBy(id_col).agg(*bit_aggs).select(F.col(id_col), sim.alias("simhash"))
 
 
-def _driver_components(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+def _driver_components(
+    pairs: DataFrame, a_col: str, b_col: str, rows: list | None = None
+) -> DataFrame:
     """Union-find on the driver with min-id roots — the hybrid regime for
     pair graphs under the budget (the subsetter's driver-regime argument,
     `plans/subset.py`: LSH pair sets are orders of magnitude smaller than
     the corpus, so a handful of distributed join rounds costs more in job
-    overhead than one collect + microseconds of union-find)."""
+    overhead than one collect + microseconds of union-find).  ``rows``
+    lets the caller hand over the already-collected edge list (the budget
+    probe collects it anyway) so the pair pipeline — often the expensive
+    verify join — is evaluated ONCE, not once per action.  Union-find is
+    row-order-independent: roots are component minima either way."""
     parent: dict = {}
 
     def find(x):
@@ -528,7 +534,7 @@ def _driver_components(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    rows = pairs.select(a_col, b_col).collect()
+    rows = pairs.select(a_col, b_col).collect() if rows is None else rows
     for a, b in rows:
         parent.setdefault(a, a)
         parent.setdefault(b, b)
@@ -563,11 +569,13 @@ def connected_components(
     ids appearing in ``pairs`` are emitted; unpaired docs are their own
     implicit singletons.
 
-    Hybrid regime: pair graphs at or under ``driver_rows`` edges (decided
-    by a capped count, reading at most the cap) collect to the driver and
-    run union-find — near-dup pair sets are tiny relative to the corpus,
-    and per-round Spark job overhead dominates them.  Bigger graphs run
-    the distributed loop; ``driver_rows=0`` forces it.
+    Hybrid regime: pair graphs at or under ``driver_rows`` edges collect
+    to the driver and run union-find — near-dup pair sets are tiny
+    relative to the corpus, and per-round Spark job overhead dominates
+    them.  The budget probe IS the edge fetch (one ``limit(cap+1)``
+    collect of the two id columns decides the regime and, under the cap,
+    already holds every edge), so the pair pipeline is evaluated once.
+    Bigger graphs run the distributed loop; ``driver_rows=0`` forces it.
 
     Raises ``RuntimeError`` if ``max_rounds`` is exhausted before the
     fixed point: partially-propagated labels are NOT component minima, and
@@ -578,8 +586,16 @@ def connected_components(
     """
     from pyspark.storagelevel import StorageLevel
 
-    if driver_rows and pairs.limit(driver_rows + 1).count() <= driver_rows:
-        return _driver_components(pairs, a_col, b_col)
+    if driver_rows:
+        # Budget probe and edge fetch in ONE action: collect at most
+        # cap+1 (id_a, id_b) rows — ≤16 MB at the default cap, driver-
+        # safe by construction.  The former shape ran limit().count()
+        # and then, in the driver regime, re-collected the SAME pairs —
+        # evaluating the candidate+verify pipeline twice (guide §1.2
+        # "don't compute things you throw away").
+        probe = pairs.select(a_col, b_col).limit(driver_rows + 1).collect()
+        if len(probe) <= driver_rows:
+            return _driver_components(pairs, a_col, b_col, rows=probe)
 
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = fwd.union(

@@ -398,19 +398,6 @@ def kmv_merge(*sketches: DataFrame, k: int = KMV_K) -> DataFrame:
     return out.distinct().orderBy("h").limit(k)
 
 
-def _kmv_scalars(sk: DataFrame, k: int) -> tuple[int, int]:
-    """(n_rows, theta) of one sketch — theta is the largest retained
-    hash when the sketch is FULL, else the hash range (an unfull sketch
-    holds its whole set, so every hash is below 'the k-th smallest').
-    A ≤1-row aggregate collect — metadata-scale, like the IVF centroid
-    fetches."""
-    row = sk.agg(
-        F.count(F.lit(1)).alias("n"), F.max("h").alias("mx")
-    ).collect()[0]
-    n = int(row["n"])
-    return n, (int(row["mx"]) if n >= k else _kmv_active_range())
-
-
 def _kmv_estimate(c: int, theta: int) -> int:
     """Scale a below-theta sample count to a cardinality estimate in
     exact integer arithmetic: ``n-hat = c · range / theta`` in the 2^40
@@ -431,24 +418,34 @@ def kmv_set_stats(
     min of the two sketch thresholds; every sample below theta is a
     uniform sample of the union at rate theta/range, so scaled counts of
     'in A', 'in both', 'in A not B' estimate the respective
-    cardinalities.  All driver arithmetic here runs on ≤k-row frames —
-    the sketches themselves are the distributed part."""
-    na, ta = _kmv_scalars(a, k)
-    nb, tb = _kmv_scalars(b, k)
-    theta = min(ta, tb)
+    cardinalities.
+
+    A sketch is ≤k rows BY CONSTRUCTION whatever the input volume, so
+    each one is collected ONCE and the whole set algebra (thresholds,
+    filtered counts, intersection, pool-and-retake union merge) runs as
+    driver integer arithmetic on two KB-sized hash lists — two
+    metadata-scale collects instead of the former five distributed
+    actions (counts, a semi-join, a re-merge), whose per-job scheduling
+    latency dominated at any scale (the operands never grow)."""
+    ha_all = sorted(int(r.h) for r in a.select("h").collect())
+    hb_all = sorted(int(r.h) for r in b.select("h").collect())
     rng = _kmv_active_range()
+    na, ta = len(ha_all), (ha_all[-1] if len(ha_all) >= k else rng)
+    nb, tb = len(hb_all), (hb_all[-1] if len(hb_all) >= k else rng)
+    theta = min(ta, tb)
     # theta == range means both sketches hold their whole sets — every
-    # sample qualifies, and the range itself (2^63 in fast-hash mode)
-    # would overflow an int64 literal in the filter
-    ha = a if theta >= rng else a.where(F.col("h") < theta)
-    hb = b if theta >= rng else b.where(F.col("h") < theta)
-    c_a = ha.count()
-    c_int = ha.join(hb, "h", "left_semi").count()
+    # sample qualifies
+    ha = ha_all if theta >= rng else [h for h in ha_all if h < theta]
+    hb = set(hb_all) if theta >= rng else {h for h in hb_all if h < theta}
+    c_a = len(ha)
+    c_int = sum(1 for h in ha if h in hb)
     # single-set estimates use each sketch's OWN theta (tighter)
     a_est = _kmv_estimate(na if ta >= rng else k - 1, ta)
     b_est = _kmv_estimate(nb if tb >= rng else k - 1, tb)
-    u = kmv_merge(a, b, k=k)
-    nu, tu = _kmv_scalars(u, k)
+    # union sketch: pool the samples, dedup, re-take the k smallest —
+    # the same merge shape kmv_merge applies distributedly
+    u = sorted(set(ha_all) | set(hb_all))[:k]
+    nu, tu = len(u), (u[-1] if len(u) >= k else rng)
     union_est = _kmv_estimate(nu if tu >= rng else k - 1, tu)
     inter_est = _kmv_estimate(c_int, theta)
     diff_est = _kmv_estimate(c_a - c_int, theta)

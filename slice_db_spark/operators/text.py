@@ -406,9 +406,11 @@ def lm_bigram_score(
     ``(doc, h1, h12, n_occ)``; (2) two narrow hash aggregations build the
     count tables (8-byte keys only — no strings shuffle); (3) two
     equi-joins back and one final per-document aggregation.  Hot bigrams
-    skew the ``h12`` join — AQE skew-join splits them; V is a scalar
-    (driver-side, metadata-sized).  Low score = improbable token
-    sequences (boilerplate/garble), high = formulaic text.
+    skew the ``h12`` join — AQE skew-join splits them; V is a broadcast
+    1-row aggregate (metadata-sized) evaluated inside the query's own
+    pipeline rather than as a blocking driver action.  Low score =
+    improbable token sequences (boilerplate/garble), high = formulaic
+    text.
     """
     occ = (
         bigram_table(df, text_col, id_col)
@@ -422,18 +424,24 @@ def lm_bigram_score(
     )
     c12 = occ.groupBy("h12").agg(F.sum("n_occ").alias("c12"))
     c1 = occ.groupBy("h1").agg(F.sum("n_occ").alias("c1"))
-    vocab_n = (
+    # V as a broadcast 1-row frame instead of an eager .first() — the
+    # former blocked the driver on a full tokenize pass DURING plan
+    # construction (a serial barrier per caller); as a lazy broadcast
+    # cross join the vocabulary count runs inside the query's own job
+    # pipeline, overlapped with the count-table aggregations.  Same V,
+    # same floor arithmetic, identical scores.
+    vocab = (
         df.select(F.explode(tokens(text_col)).alias("__t"))
         .where(F.col("__t") != "")
-        .agg(F.countDistinct("__t"))
-        .first()[0]
+        .agg(F.countDistinct("__t").cast("bigint").alias("__V"))
     )
     return (
         occ.join(c12, "h12")
         .join(c1, "h1")
+        .crossJoin(F.broadcast(vocab))
         .withColumn(
             "__fx",
-            F.floor(F.lit(1e6) * (F.col("c12") + F.lit(1)) / (F.col("c1") + F.lit(int(vocab_n)))),
+            F.floor(F.lit(1e6) * (F.col("c12") + F.lit(1)) / (F.col("c1") + F.col("__V"))),
         )
         .groupBy(id_col)
         .agg(

@@ -2352,12 +2352,25 @@ def sketch_theta_diff(spark, sf_dir):
     o = catalog(spark, sf_dir)["orders"]
     a_keys = o.where(f"o_orderdate < {HLL_SPLIT_TS}").select("o_custkey")
     b_keys = o.where(f"o_orderdate >= {HLL_SPLIT_TS}").select("o_custkey")
-    ska = sketches.kmv_sketch(a_keys, "o_custkey").localCheckpoint(eager=True)
-    skb = sketches.kmv_sketch(b_keys, "o_custkey").localCheckpoint(eager=True)
-    a_est, b_est, u_est, i_est, d_est = sketches.kmv_set_stats(ska, skb)
-    a_ex = a_keys.distinct().count()
-    b_ex = b_keys.distinct().count()
-    u_ex = o.select("o_custkey").distinct().count()
+    # r11 (guide §1.2): kmv_set_stats collects each KB-sized sketch once
+    # and runs the set algebra driver-side, so the eager checkpoints that
+    # fed its former five distributed actions are gone; the three exact
+    # counts fuse into ONE aggregation job (conditional countDistinct —
+    # a NULL-when row never counts).  25 jobs → 4, identical values.
+    a_est, b_est, u_est, i_est, d_est = sketches.kmv_set_stats(
+        sketches.kmv_sketch(a_keys, "o_custkey"),
+        sketches.kmv_sketch(b_keys, "o_custkey"),
+    )
+    ex = o.agg(
+        F.countDistinct(
+            F.when(F.expr(f"o_orderdate < {HLL_SPLIT_TS}"), F.col("o_custkey"))
+        ).alias("a"),
+        F.countDistinct(
+            F.when(F.expr(f"o_orderdate >= {HLL_SPLIT_TS}"), F.col("o_custkey"))
+        ).alias("b"),
+        F.countDistinct("o_custkey").alias("u"),
+    ).collect()[0]
+    a_ex, b_ex, u_ex = int(ex["a"]), int(ex["b"]), int(ex["u"])
     return spark.createDataFrame(
         [(a_est, b_est, u_est, i_est, d_est,
           a_ex, b_ex, u_ex, a_ex + b_ex - u_ex, u_ex - b_ex)],
