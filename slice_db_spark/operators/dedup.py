@@ -352,7 +352,13 @@ def lsh_pairs_from_shingles(
     ingest's within-batch pass (one definition, no drift).  The caller
     owns ``st``'s persistence (verify consumes it three times)."""
     assert k % bands == 0, "k must divide into equal bands"
-    banded = _banded_signatures(st, "id_a", k, bands, id_col)
+    # the self-join's two sides are separate subtrees (no exchange reuse
+    # across aliases): checkpoint the banded signatures — |docs|·bands
+    # rows of (band, hash, id), KB-scale per million docs — so the
+    # MinHash aggregation over the shingle table runs once, not twice
+    banded = _banded_signatures(st, "id_a", k, bands, id_col).localCheckpoint(
+        eager=True
+    )
     cands = (
         banded.join(
             banded.select("band", "band_hash", F.col("id_a").alias("id_b")),
@@ -813,6 +819,15 @@ def hamming_near_pairs(
             f"max_hamming={max_hamming} needs at least max_hamming+1 bands "
             f"(got {bands}): the pigeonhole completeness guarantee breaks"
         )
+    # The self-join's two sides are separate plan subtrees (differing
+    # only in aliases), and neither Catalyst nor AQE reuses the exchange
+    # across them — without a materialization the ENTIRE upstream
+    # signature pipeline (often Python synth+decode+DCT) runs twice per
+    # action.  Eagerly checkpoint the minimal (id, sig) projection —
+    # 16 bytes/row whatever the corpus — so fingerprints are computed
+    # exactly once (the guide §8 decision-pass shape; measured 2.6→2.0 s
+    # on the oriented-pHash lane at sf0.1).
+    sigs = sigs.select(id_col, sig_col).localCheckpoint(eager=True)
     banded = _hamming_banded(sigs, sig_col, id_col, bits, bands)
     left = banded.select("band", "chunk", F.col(id_col).alias("id_a"), F.col("__sig").alias("sig_a"))
     right = banded.select("band", "chunk", F.col(id_col).alias("id_b"), F.col("__sig").alias("sig_b"))

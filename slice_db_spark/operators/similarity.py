@@ -444,6 +444,10 @@ def embedding_near_pairs(
         )
     )
     if planes is None:
+        # self-join sides are separate subtrees (no exchange reuse):
+        # checkpoint the normalized frame so the per-row norm+divide HOF
+        # runs once, not once per side
+        c = c.localCheckpoint(eager=True)
         a = c.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
         b = c.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -452,7 +456,13 @@ def embedding_near_pairs(
         # materialize the signature as a column FIRST: referencing the raw
         # signature expression per band would copy its whole (planes × dim)
         # term tree into every band key and blow up the plan
-        sigd = c.withColumn("__sig", signature_vec(planes)(F.col("__v")))
+        # ...and checkpoint (id, __v, __sig) — one row per vector — so the
+        # interpreted normalize + planes×dim signature arithmetic runs
+        # ONCE: the banded self-join's two sides are separate plan
+        # subtrees that neither Catalyst nor AQE dedups
+        sigd = c.withColumn("__sig", signature_vec(planes)(F.col("__v"))).localCheckpoint(
+            eager=True
+        )
         # (band, key) rows: key = the band's bits rendered as a string —
         # a short join key that hash-partitions evenly
         banded = sigd.select(

@@ -2318,9 +2318,19 @@ def sketch_hll_union(spark, sf_dir):
             F.max(F.when(F.col("__t") == "u", F.col("estimate"))).alias("union_est"),
         )
     )
-    na = a.select("o_custkey").distinct().count()
-    nb = b.select("o_custkey").distinct().count()
-    nu = o.select("o_custkey").distinct().count()
+    # r11 (guide §1.2): the three exact counts fuse into ONE aggregation
+    # job via conditional countDistinct (a NULL-when row never counts) —
+    # identical values, two fewer serial driver actions.
+    ex = o.agg(
+        F.countDistinct(
+            F.when(F.expr(f"o_orderdate < {HLL_SPLIT_TS}"), F.col("o_custkey"))
+        ).alias("a"),
+        F.countDistinct(
+            F.when(F.expr(f"o_orderdate >= {HLL_SPLIT_TS}"), F.col("o_custkey"))
+        ).alias("b"),
+        F.countDistinct("o_custkey").alias("u"),
+    ).collect()[0]
+    na, nb, nu = int(ex["a"]), int(ex["b"]), int(ex["u"])
     return ests.select(
         F.lit(int(na)).cast("bigint").alias("a_exact"),
         "a_est",
