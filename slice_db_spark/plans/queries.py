@@ -526,10 +526,13 @@ def q15_top_supplier(spark, sf_dir):
         .groupBy("l_suppkey")
         .agg(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))).alias("_r"))
     )
-    rev = rev.localCheckpoint(eager=True)  # two consumers: max scalar + filter
-    mx = rev.agg(F.max("_r")).first()[0]
+    rev = rev.localCheckpoint(eager=True)  # two consumers: max agg + filter
+    # the max as a broadcast 1-row aggregate instead of a blocking driver
+    # scalar (r11): one job, identical DECIMAL equality
+    mx = rev.agg(F.max("_r").alias("__mx"))
     return (
-        rev.where(F.col("_r") == F.lit(mx))
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("_r") == F.col("__mx"))
         .join(F.broadcast(c["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
@@ -709,13 +712,19 @@ def q22_idle_customers(spark, sf_dir):
     probes only the pre-filtered high-value order keys."""
     c = catalog(spark, sf_dir)
     dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
-    tot, cnt = (
-        c["customer"].where("c_acctbal > 0").agg(F.sum(dec("c_acctbal")), F.count(F.lit(1))).first()
+    # the (sum, count) pair as a broadcast 1-row aggregate instead of a
+    # blocking driver scalar (r11): one job; `bal·cnt > sum` stays
+    # DECIMAL-exact with the scalars as columns
+    scal = (
+        c["customer"].where("c_acctbal > 0")
+        .agg(F.sum(dec("c_acctbal")).alias("__tot"),
+             F.count(F.lit(1)).alias("__cnt"))
     )
     big = c["orders"].where("o_totalprice > 400000").select("o_custkey")
     rich_idle = (
         c["customer"]
-        .where(dec("c_acctbal") * F.lit(int(cnt)) > F.lit(tot).cast("decimal(28,6)"))
+        .crossJoin(F.broadcast(scal))
+        .where(dec("c_acctbal") * F.col("__cnt") > F.col("__tot"))
         .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
     )
     return (
@@ -782,7 +791,9 @@ def basket_affinity(spark, sf_dir):
         .distinct()
     )
     li = li.localCheckpoint(eager=True)  # pair join + both marginals
-    (n_orders,) = li.select("l_orderkey").distinct().agg(F.count(F.lit(1))).first()
+    # basket count as a broadcast 1-row aggregate instead of a blocking
+    # driver scalar (r11): one job, same exact count
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("__no"))
     marg = li.groupBy(F.col("p_brand").alias("__b")).agg(F.count(F.lit(1)).alias("__nb"))
     pairs = (
         li.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
@@ -799,9 +810,10 @@ def basket_affinity(spark, sf_dir):
         pairs.join(F.broadcast(marg.withColumnRenamed("__b", "brand_a")
                                .withColumnRenamed("__nb", "__na")), "brand_a")
         .join(F.broadcast(marg.withColumnRenamed("__b", "brand_b")), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
     )
     lift = (
-        F.col("n_ab").cast("double") * F.lit(float(n_orders))
+        F.col("n_ab").cast("double") * F.col("__no").cast("double")
         / (F.col("__na").cast("double") * F.col("__nb").cast("double"))
     )
     return j.select(
@@ -927,9 +939,12 @@ def q11_important_stock(spark, sf_dir):
         )
     )
     per_part = per_part.localCheckpoint(eager=True)
-    (tot,) = per_part.agg(F.sum("_v")).first()
+    # the total as a broadcast 1-row aggregate instead of a blocking
+    # driver scalar (r11): one job, identical DECIMAL comparison
+    tot = per_part.agg(F.sum("_v").alias("__tot"))
     return (
-        per_part.where(F.col("_v") * F.lit(1000) > F.lit(tot).cast("decimal(28,6)"))
+        per_part.crossJoin(F.broadcast(tot))
+        .where(F.col("_v") * F.lit(1000) > F.col("__tot"))
         .select(
             F.col("l_partkey").alias("ps_partkey"),
             F.round(F.col("_v"), 2).cast("double").alias("part_value"),
@@ -1739,16 +1754,18 @@ def sketch_hll(spark, sf_dir):
     `approx_count_distinct` can never be cross-verified).  Exact distinct
     is a driver scalar for the error column."""
     o = catalog(spark, sf_dir)["orders"]
-    nd = o.select("o_custkey").distinct().count()
+    # exact distinct as a broadcast 1-row aggregate instead of a blocking
+    # driver scalar (r11): one job, same exact count
+    nd = o.agg(F.countDistinct("o_custkey").cast("bigint").alias("__nd"))
     est = sketches.hll_estimate(o, "o_custkey")
-    return est.select(
+    return est.crossJoin(F.broadcast(nd)).select(
         F.lit("o_custkey").alias("col_name"),
-        F.lit(int(nd)).cast("bigint").alias("exact_distinct"),
+        F.col("__nd").alias("exact_distinct"),
         "n_registers",
         "harmonic_scaled",
         "estimate",
         F.floor(
-            F.lit(1e6) * F.abs(F.col("estimate") - F.lit(int(nd))) / F.lit(int(nd))
+            F.lit(1e6) * F.abs(F.col("estimate") - F.col("__nd")) / F.col("__nd")
         ).cast("bigint").alias("err_ppm"),
     )
 
@@ -2000,17 +2017,21 @@ def events_heatmap(spark, sf_dir):
     rules two engines may disagree on.  Share is integer ppm against
     the driver-scalar total.  One partial-agg groupBy over ≤168 cells."""
     e = catalog(spark, sf_dir)["events"]
-    (total,) = e.agg(F.count(F.lit(1))).first()
+    # total as a broadcast 1-row aggregate instead of a blocking driver
+    # scalar (r11, guide §1.2): one job instead of two serial ones;
+    # identical integer arithmetic
+    total = e.agg(F.count(F.lit(1)).cast("bigint").alias("__tot"))
     dow = F.expr("((unix_micros(ts) div 86400000000) + 4) % 7")
     hour = F.expr("(unix_micros(ts) div 3600000000) % 24")
     return (
         e.groupBy(dow.alias("dow"), hour.alias("hour"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
         .select(
             F.col("dow").cast("int").alias("dow"),
             F.col("hour").cast("int").alias("hour"),
             F.col("n").cast("bigint").alias("n"),
-            F.expr(f"(n * 1000000) div {int(total)}").cast("bigint").alias("share_ppm"),
+            F.expr("(n * 1000000) div __tot").cast("bigint").alias("share_ppm"),
         )
     )
 
@@ -2038,8 +2059,7 @@ def customer_abc(spark, sf_dir):
     per = o.groupBy("o_custkey").agg(
         F.round(F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("__cents")
     )
-    per = per.localCheckpoint(eager=True)  # total scalar + bounds + window
-    (tot,) = per.agg(F.sum("__cents")).first()
+    per = per.localCheckpoint(eager=True)  # bounds + bucket sums + window
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     bounds = per.selectExpr("CAST(__cents AS DOUBLE) AS __k").approxQuantile(
         "__k", [i / n_parts for i in range(1, n_parts)], 0.01
@@ -2056,6 +2076,10 @@ def customer_abc(spark, sf_dir):
         r["__b"]: r["__s"]
         for r in bucketed.groupBy("__b").agg(F.sum("__cents").alias("__s")).collect()
     }  # metadata-sized (<= n_parts rows)
+    # the global total is the sum of the bucket sums already on the
+    # driver — the former separate per.agg(sum) action computed the
+    # identical exact integer (r11, one fewer serial job)
+    tot = sum(sums.values())
     running, offsets = 0, {}
     for b in sorted(sums):
         offsets[b] = running
@@ -2099,14 +2123,16 @@ def customer_rfm(spark, sf_dir):
     DECIMAL cents; the composite code is ``r·100 + f·10 + m``."""
     o = catalog(spark, sf_dir)["orders"]
     dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
-    (mx,) = o.agg(F.max(F.unix_micros("o_orderdate"))).first()
+    # corpus max order date as a broadcast 1-row aggregate instead of a
+    # blocking driver scalar (r11): one job, identical integer arithmetic
+    mx = o.agg(F.max(F.unix_micros("o_orderdate")).alias("__mx"))
     g = o.groupBy("o_custkey").agg(
         F.max(F.unix_micros("o_orderdate")).alias("__last"),
         F.count(F.lit(1)).alias("__f"),
         F.round(F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("__cents"),
-    )
-    recency_days = F.expr(f"({int(mx)} - __last) div 86400000000")
-    r_band = F.lit(4) - F.expr(f"least(4, (({int(mx)} - __last) div 86400000000) div 180)")
+    ).crossJoin(F.broadcast(mx))
+    recency_days = F.expr("(__mx - __last) div 86400000000")
+    r_band = F.lit(4) - F.expr("least(4, ((__mx - __last) div 86400000000) div 180)")
     f_band = F.expr("least(4, __f div 2)")
     m_band = F.expr("least(4, __cents div 100000000)")  # $1M-wide monetary bands
     return g.select(
