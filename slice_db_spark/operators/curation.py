@@ -380,12 +380,15 @@ def temperature_weights(
     s = F.floor(F.lit(1_000_000.0) * F.sqrt(F.col("n_docs"))).cast("bigint") \
         if alpha_sqrt else (F.col("n_docs") * F.lit(1_000_000)).cast("bigint")
     n = n.withColumn("__s", s).localCheckpoint(eager=True)  # total + projection
-    (tot,) = n.agg(F.sum("__s")).first()
-    return n.select(
+    # r11 (guide §5): Σs joins the weight projection as a broadcast 1-row
+    # aggregate over the checkpointed |strata|-row frame instead of a
+    # blocking .first() — identical integer division, one fewer serial job.
+    totf = n.agg(F.sum("__s").alias("__tot"))
+    return n.crossJoin(F.broadcast(totf)).select(
         strata_col,
         F.col("n_docs").cast("bigint").alias("n_docs"),
-        F.expr(f"(__s * 1000000) div {int(tot)}").cast("bigint").alias("weight_ppm"),
-        F.expr(f"({int(budget)} * __s) div {int(tot)}").cast("bigint").alias("quota_docs"),
+        F.expr("(__s * 1000000) div __tot").cast("bigint").alias("weight_ppm"),
+        F.expr(f"({int(budget)} * __s) div __tot").cast("bigint").alias("quota_docs"),
     )
 
 

@@ -1109,15 +1109,38 @@ def lsh_recall_report(
     lsh = minhash_lsh_pairs(
         df, k=k, bands=bands, threshold=threshold, n=n, text_col=text_col, id_col=id_col
     ).select("id_a", "id_b")
-    both = exact.join(lsh, ["id_a", "id_b"], "left_semi")
-    n_exact = exact.count()
-    n_lsh = lsh.count()
-    n_common = both.count()
-    spark = df.sparkSession
-    recall_ppm = (1_000_000 * n_common) // n_exact if n_exact else 1_000_000
-    return spark.createDataFrame(
-        [(n_exact, n_lsh, n_exact - n_common, recall_ppm)],
-        "n_exact bigint, n_lsh bigint, n_missed bigint, recall_ppm bigint",
+    # r11 (guide §1.2/§2.4): the old shape ran THREE blocking count jobs
+    # (exact, lsh, exact⋉lsh), and because neither pair frame was
+    # materialized, the left_semi re-evaluated BOTH heavyweight pair
+    # pipelines a second time — the shingle/MinHash work ran twice per
+    # report.  A tagged union + per-pair aggregate computes all three
+    # counts in ONE job that evaluates each pipeline exactly once; the
+    # multiset semantics match the old counts (an exact-side row counts
+    # toward n_common iff its pair key appears on the LSH side — the
+    # left_semi definition).
+    tagged = exact.select(
+        "id_a", "id_b", F.lit(1).alias("__e"), F.lit(0).alias("__l")
+    ).unionByName(
+        lsh.select("id_a", "id_b", F.lit(0).alias("__e"), F.lit(1).alias("__l"))
+    )
+    per_pair = tagged.groupBy("id_a", "id_b").agg(
+        F.sum("__e").alias("__se"), F.sum("__l").alias("__sl")
+    )
+    row = per_pair.agg(
+        F.sum("__se").alias("__n_exact"),
+        F.sum("__sl").alias("__n_lsh"),
+        F.sum(F.when(F.col("__sl") > 0, F.col("__se")).otherwise(0)).alias("__n_common"),
+    )
+    return row.select(
+        F.coalesce(F.col("__n_exact"), F.lit(0)).cast("bigint").alias("n_exact"),
+        F.coalesce(F.col("__n_lsh"), F.lit(0)).cast("bigint").alias("n_lsh"),
+        F.coalesce(F.col("__n_exact") - F.col("__n_common"), F.lit(0))
+        .cast("bigint").alias("n_missed"),
+        F.when(
+            F.coalesce(F.col("__n_exact"), F.lit(0)) == 0, F.lit(1_000_000)
+        ).otherwise(
+            F.expr("(1000000 * __n_common) div __n_exact")
+        ).cast("bigint").alias("recall_ppm"),
     )
 
 

@@ -555,35 +555,73 @@ def bm25_topk(
     aggregate map-side; dl/avgdl ride a per-doc projection and one scalar.
     TakeOrdered top-k, ``(score desc, id)`` deterministic tie-break."""
     terms = sorted(set(t for t in query.lower().split() if t))
+    if not terms:
+        return (
+            df.select(F.col(id_col)).where(F.lit(False)).select(
+                F.col(id_col),
+                F.lit(0).cast("bigint").alias("score_fx"),
+                F.lit(0).cast("bigint").alias("n_terms"),
+            )
+        )
+    # r11 (guide §1.2 "the distributed algorithm first"): the old shape
+    # tokenized the corpus FOUR times per report (dl, the dl-stats job,
+    # tf, and tf again under the df aggregate) across two serial actions.
+    # The query's term set is tiny and literal, so ONE tokenize pass now
+    # computes, per document, the length AND a conditional per-term tf
+    # column; that per-doc frame (one narrow row per document) is
+    # checkpointed, and N/avgdl/df fold in as broadcast 1-row aggregates
+    # over it.  Per-term arithmetic, flooring, tie-breaks — and therefore
+    # scores and ranks — are unchanged (same operand values and order).
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t")).where(
         F.col("__t") != ""
     )
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")).first()
-    n_docs, avgdl = stats["n"], stats["total"] / stats["n"]
-    hits = toks.where(F.col("__t").isin(terms))
-    tf = hits.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("df"))
-    contrib = (
-        tf.join(dfreq, "__t")
-        .join(dl, id_col)
-        .withColumn(
-            "__c",
-            F.floor(
-                F.lit(1e6)
-                * ((F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
-                * (F.col("tf") * F.lit(k1 + 1.0))
-                / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)))
-            ),
-        )
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("__t") == t, 1).otherwise(0)).alias(f"__tf_{i}")
+            for i, t in enumerate(terms)
+        ],
     )
+    per_doc = per_doc.localCheckpoint(eager=True)  # stats + df + scoring
+    scalars = per_doc.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum("dl").alias("__dl_total"),
+        *[
+            F.sum(F.when(F.col(f"__tf_{i}") > 0, 1).otherwise(0)).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    # avgdl exactly as before: ONE double division of the two bigint
+    # totals (the Python total/n), then dl/avgdl
+    avgdl = (F.col("__dl_total") / F.col("__n_docs"))
+
+    def term_contrib(i: int):
+        tf = F.col(f"__tf_{i}")
+        idf = (F.col("__n_docs") - F.col(f"__df_{i}") + F.lit(0.5)) / (
+            F.col(f"__df_{i}") + F.lit(0.5)
+        )
+        c = F.floor(
+            F.lit(1e6)
+            * idf
+            * (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl))
+        )
+        return F.when(tf > 0, c).otherwise(F.lit(0))
+
+    score = term_contrib(0)
+    n_terms = F.when(F.col("__tf_0") > 0, 1).otherwise(0)
+    for i in range(1, len(terms)):
+        score = score + term_contrib(i)
+        n_terms = n_terms + F.when(F.col(f"__tf_{i}") > 0, 1).otherwise(0)
+    any_hit = F.greatest(*[F.col(f"__tf_{i}") for i in range(len(terms))]) > 0 \
+        if len(terms) > 1 else (F.col("__tf_0") > 0)
     return (
-        contrib.groupBy(id_col)
-        .agg(F.sum("__c").alias("score_fx"), F.count(F.lit(1)).alias("n_terms"))
+        per_doc.crossJoin(F.broadcast(scalars))
+        .where(any_hit)
         .select(
             F.col(id_col),
-            F.col("score_fx").cast("bigint").alias("score_fx"),
-            F.col("n_terms").cast("bigint").alias("n_terms"),
+            score.cast("bigint").alias("score_fx"),
+            n_terms.cast("bigint").alias("n_terms"),
         )
         .orderBy(F.desc("score_fx"), id_col)
         .limit(k)
@@ -649,14 +687,19 @@ def tfidf_top_terms(
     )
     tf = tf.localCheckpoint(eager=True)  # two consumers: df counts + the join back
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.select(F.col(id_col)).distinct().count()
+    # r11 (guide §5): N used to be a blocking distinct().count() job over
+    # the full corpus — it joins the score projection as a broadcast 1-row
+    # countDistinct aggregate now (identical value, one fewer full-corpus
+    # serial job; the double arithmetic is unchanged: 1e6 * N first, / df).
+    ndf = df.agg(F.countDistinct(F.col(id_col)).alias("__n_docs"))
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
     return (
         tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(ndf))
         .select(
             F.col(id_col),
             "token",
-            (F.col("tf") * F.floor(F.lit(1e6) * F.lit(int(n_docs)) / F.col("df")))
+            (F.col("tf") * F.floor(F.lit(1e6) * F.col("__n_docs") / F.col("df")))
             .cast("bigint")
             .alias("score"),
         )
@@ -701,20 +744,28 @@ def collocations(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     uni = uni.localCheckpoint(eager=True)  # three consumers: totals + two joins
-    n_total = uni.agg(F.sum("n")).first()[0]
-    b_total = (
-        df.select(token_count(text_col).alias("c"))
-        .agg(F.sum(F.greatest(F.col("c") - 1, F.lit(0))))
-        .first()[0]
+    # r11 (guide §5): the unigram and bigram totals used to be two blocking
+    # .first() jobs (the bigram one re-scanned the corpus serially) — they
+    # ride as ONE broadcast 1-row cross join now: the corpus token-count
+    # scan folds into the main job and two serial actions disappear.  The
+    # double arithmetic is unchanged (same operand order, bigint operands
+    # promote to the identical doubles the int literals did).
+    totf = (
+        uni.agg(F.sum("n").alias("__n_total"))
+        .crossJoin(
+            df.select(token_count(text_col).alias("c"))
+            .agg(F.sum(F.greatest(F.col("c") - 1, F.lit(0))).alias("__b_total"))
+        )
     )
     lift = F.floor(
-        (F.lit(1e6) * F.col("n_ab") / F.lit(int(b_total)))
-        * (F.lit(int(n_total)) / F.col("n_a"))
-        * (F.lit(int(n_total)) / F.col("n_b"))
+        (F.lit(1e6) * F.col("n_ab") / F.col("__b_total"))
+        * (F.col("__n_total") / F.col("n_a"))
+        * (F.col("__n_total") / F.col("n_b"))
     )
     return (
         bg.join(F.broadcast(uni.select(F.col("t").alias("w1"), F.col("n").alias("n_a"))), "w1")
         .join(F.broadcast(uni.select(F.col("t").alias("w2"), F.col("n").alias("n_b"))), "w2")
+        .crossJoin(F.broadcast(totf))
         .select(
             "w1",
             "w2",
@@ -760,12 +811,17 @@ def source_token_drift(
     corpus = per_src_tok.groupBy("t").agg(F.sum("o").alias("c"))
     vocab = corpus.orderBy(F.desc("c"), "t").limit(top_v)
     totals = per_src_tok.groupBy(stratum_col).agg(F.sum("o").alias("n_tokens"))
-    n_total = int(totals.agg(F.sum("n_tokens")).first()[0])
+    # r11 (guide §5): the corpus grand total used to be a blocking .first()
+    # over the (checkpointed) per-source-token frame — it rides as a
+    # broadcast 1-row aggregate now; cast-to-double of the same bigint is
+    # the identical double the float literal was.
+    ntf = totals.agg(F.sum("n_tokens").alias("__n_total"))
     cells = (
         per_src_tok.join(F.broadcast(vocab), "t")
         .join(F.broadcast(totals), stratum_col)
+        .crossJoin(F.broadcast(ntf))
     )
-    e = F.col("c").cast("double") * F.col("n_tokens") / F.lit(float(n_total))
+    e = F.col("c").cast("double") * F.col("n_tokens") / F.col("__n_total").cast("double")
     cell_fx = F.floor(F.lit(1e6) * (F.col("o") - e) * (F.col("o") - e) / e)
     return (
         cells.groupBy(stratum_col, "n_tokens")

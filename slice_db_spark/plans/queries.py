@@ -1038,8 +1038,15 @@ def daily_gapfill(spark, sf_dir):
         F.count(F.lit(1)).alias("__n"),
         F.sum(dec("o_totalprice")).alias("__s"),
     )
-    mn, mx = o.agg(F.min(day), F.max(day)).first()
-    days = spark.range(int(mn), int(mx) + 1, DAY_US).select(F.col("id").alias("day_us"))
+    # r11 (guide §5): the min/max used to be a blocking .first() feeding a
+    # driver-built Range leaf — the day spine is now exploded from the same
+    # 1-row aggregate INSIDE the plan (sequence() is inclusive of every
+    # mn + k·step ≤ mx, exactly the old range(mn, mx+1, step) set), so the
+    # query is one job instead of two serial ones.
+    bounds = o.agg(F.min(day).alias("__mn"), F.max(day).alias("__mx"))
+    days = bounds.select(
+        F.explode(F.sequence("__mn", "__mx", F.lit(DAY_US))).alias("day_us")
+    )
     return (
         days.join(F.broadcast(daily), days.day_us == daily.__d, "left_outer")
         .select(
@@ -1076,8 +1083,13 @@ def markov_stationary(spark, sf_dir):
     )
     tm = tm.localCheckpoint(eager=True)  # reused every round
     states = tm.select(F.col("prev_type").alias("state")).distinct()
-    (k,) = states.agg(F.count(F.lit(1))).first()
-    pi = states.select("state", F.lit(1_000_000 // int(k)).cast("bigint").alias("pi_ppm"))
+    # r11 (guide §5): |states| as a broadcast 1-row aggregate instead of a
+    # blocking .first() — 1_000_000 // k == 1000000 div k for positive k,
+    # so the uniform prior is identical and one serial job disappears.
+    kf = states.agg(F.count(F.lit(1)).alias("__k"))
+    pi = states.crossJoin(F.broadcast(kf)).select(
+        "state", F.expr("CAST(1000000 div __k AS BIGINT)").alias("pi_ppm")
+    )
     for _ in range(MARKOV_ROUNDS):
         pi = (
             tm.join(pi.withColumnRenamed("state", "prev_type"), "prev_type")
@@ -1678,11 +1690,14 @@ def sessions_promo_overlap(spark, sf_dir):
 
     e = catalog(spark, sf_dir)["events"]
     sessions = sessionize(e)
-    (t0,) = e.agg(F.min(F.unix_micros("ts"))).first()
-    promos = spark.range(PROMO_N).select(
+    # r11 (guide §5): the corpus-min timestamp joins the promo spine as a
+    # broadcast 1-row aggregate instead of a blocking .first() — identical
+    # bigint arithmetic, one job instead of two serial ones.
+    t0f = e.agg(F.min(F.unix_micros("ts")).alias("__t0"))
+    promos = spark.range(PROMO_N).crossJoin(F.broadcast(t0f)).select(
         F.col("id").cast("bigint").alias("promo_id"),
-        (F.lit(int(t0)) + F.col("id") * F.lit(PROMO_EVERY_US)).alias("promo_start_us"),
-        (F.lit(int(t0)) + F.col("id") * F.lit(PROMO_EVERY_US) + F.lit(PROMO_LEN_US)).alias(
+        (F.col("__t0") + F.col("id") * F.lit(PROMO_EVERY_US)).alias("promo_start_us"),
+        (F.col("__t0") + F.col("id") * F.lit(PROMO_EVERY_US) + F.lit(PROMO_LEN_US)).alias(
             "promo_end_us"
         ),
     )
@@ -1942,8 +1957,13 @@ def join_size_est(spark, sf_dir):
     tables + two row counts — shuffle sizing BEFORE paying for it."""
     c = catalog(spark, sf_dir)
     W = sketches.CMS_WIDTH
-    na = c["orders"].count()
-    nb = c["lineitem"].count()
+    # r11 (guide §5): the two table row counts used to be blocking .count()
+    # driver round-trips feeding long literals — they ride as a broadcast
+    # 1-row cross join now (same bigint product, two fewer serial jobs).
+    nf = (
+        c["orders"].agg(F.count(F.lit(1)).alias("__na"))
+        .crossJoin(c["lineitem"].agg(F.count(F.lit(1)).alias("__nb")))
+    )
     a = sketches.cms_cells(c["orders"].select("o_orderkey"), "o_orderkey", salt="jsz")
     b = sketches.cms_cells(c["lineitem"].select("l_orderkey"), "l_orderkey", salt="jsz")
     prod = (
@@ -1951,7 +1971,8 @@ def join_size_est(spark, sf_dir):
         .join(b.withColumnRenamed("cnt", "__cb"), ["row", "cell"])
         .groupBy("row")
         .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
-        .select(F.expr(f"(__ip * {W} - {na}L * {nb}L) div {W - 1}").alias("__corr"))
+        .crossJoin(F.broadcast(nf))
+        .select(F.expr(f"(__ip * {W} - __na * __nb) div {W - 1}").alias("__corr"))
         .agg(F.sort_array(F.collect_list("__corr")).alias("__cs"))
         .select(
             F.expr("(element_at(__cs, 2) + element_at(__cs, 3)) div 2").alias(
@@ -3576,18 +3597,21 @@ def shard_rebalance(spark, sf_dir):
         (F.col("doc_id") % SHARDS_OLD).alias("__m_old"),
         (F.col("doc_id") % SHARDS_NEW).alias("__m_new"),
     )
-    (n_total,) = d.agg(F.count(F.lit(1))).first()
+    # r11 (guide §1.2): `t` is a row-preserving projection of `d`, so the
+    # total rides the SAME aggregation as the two movement sums — the old
+    # shape paid a separate blocking .count() job for it.
     return (
         t.agg(
+            F.count(F.lit(1)).alias("__n"),
             F.sum(F.when(F.col("__r_old") != F.col("__r_new"), 1).otherwise(0)).alias("__rm"),
             F.sum(F.when(F.col("__m_old") != F.col("__m_new"), 1).otherwise(0)).alias("__mm"),
         )
         .select(
-            F.lit(int(n_total)).cast("bigint").alias("n_docs"),
+            F.col("__n").cast("bigint").alias("n_docs"),
             F.col("__rm").cast("bigint").alias("moved_rendezvous"),
             F.col("__mm").cast("bigint").alias("moved_mod"),
-            F.expr(f"(__rm * 1000000) div {int(n_total)}").cast("bigint").alias("rdv_moved_ppm"),
-            F.expr(f"(__mm * 1000000) div {int(n_total)}").cast("bigint").alias("mod_moved_ppm"),
+            F.expr("(__rm * 1000000) div __n").cast("bigint").alias("rdv_moved_ppm"),
+            F.expr("(__mm * 1000000) div __n").cast("bigint").alias("mod_moved_ppm"),
         )
     )
 
@@ -3609,9 +3633,12 @@ def nation_hhi(spark, sf_dir):
         .agg(F.round(F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("__cents"))
     )
     per = per.localCheckpoint(eager=True)  # total + share projection
-    (tot,) = per.agg(F.sum("__cents")).first()
-    shares = per.select(
-        "n_name", F.expr(f"(__cents * 1000000) div {int(tot)}").alias("__ppm")
+    # r11 (guide §5): the grand total joins the share projection as a
+    # broadcast 1-row aggregate over the checkpointed 25-row frame instead
+    # of a blocking .first() — identical integer division, one fewer job.
+    totf = per.agg(F.sum("__cents").alias("__tot"))
+    shares = per.crossJoin(F.broadcast(totf)).select(
+        "n_name", F.expr("(__cents * 1000000) div __tot").alias("__ppm")
     )
     return shares.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nations"),

@@ -214,13 +214,22 @@ _ALLOWED_NESTED_LOOP = {"ann_brute", "knn_classify"}
 #: volume, so it is not the all-pairs scale killer the lint hunts.
 _ALLOWED_SCALAR_BROADCAST = {
     "basket_affinity",
+    "bm25_rank",
+    "collocations",
     "customer_rfm",
     "events_heatmap",
+    "join_size_est",
     "lm_score",
+    "markov_stationary",
+    "nation_hhi",
     "q11_important_stock",
     "q22_idle_customers",
     "quality_blend",
+    "sessions_promo_overlap",
     "sketch_hll",
+    "source_drift",
+    "source_temperature",
+    "tfidf_terms",
 }
 
 #: global (unpartitioned) windows allowed only where the window input is
