@@ -4378,26 +4378,42 @@ def _gif_lzw_decode(data: bytes, mcs: int, need: int) -> bytes:
     # of a per-code Python bit loop; a batch never outlives its width (it
     # is capped at the worst-case distance to the next width bump and cut
     # short on clear/bump), so the extracted values are exactly the ones
-    # the serial reader would produce.  The table is a dense list (codes
-    # are allocated contiguously), clear/eoi slots unused.
-    roots = [bytes([i]) for i in range(clear)]
-    table: list[bytes] = roots + [b"", b""]
-    next_code = eoi + 1
+    # the serial reader would produce.
+    #
+    # r11 second pass (guide §1.2 "per-task work"): every LZW table entry
+    # created after a code is, by construction, a SLICE of the output
+    # already produced — the entry appended while emitting code t equals
+    # out[prev_start : prev_start + prev_len + 1] (prev was the previous
+    # emission, and the current emission's first byte lands right after
+    # it).  So the table stores (start, len) int pairs into the output
+    # buffer and emission is one memoryview slice copy — no per-code
+    # bytes concatenation.  Same codes, same emissions, same errors at
+    # the same positions (differential-pinned incl. corruptions).
     width_bits = mcs + 1
-    out = bytearray()
+    next_code = eoi + 1
+    starts: list[int] = []  # table entry (code eoi+1+i) -> out[start:start+len]
+    lens: list[int] = []
+    # overshoot headroom: the final emission may exceed `need` by at most
+    # one table-entry length (< 4104 — entries grow by one byte per code)
+    out = bytearray(need + 4104)
+    mv = memoryview(out)
+    out_len = 0
     buf = np.frombuffer(bytes(data) + b"\x00\x00", np.uint8)
     total_bits = len(data) * 8
     pos = 0
-    prev: bytes | None = None
+    prev_start = 0
+    prev_len = 0  # 0 <=> no previous code (stream start / after clear)
+    s_app = starts.append
+    l_app = lens.append
 
-    while len(out) < need:
+    while out_len < need:
         k_width = (
             ((1 << width_bits) - next_code + 1) if width_bits < 12 else (1 << 30)
         )
         k_avail = (total_bits - pos) // width_bits
         if k_avail <= 0:
             raise ValueError("GIF LZW stream truncated")
-        n = min(k_width, k_avail, need - len(out) + 1, 4096)
+        n = min(k_width, k_avail, need - out_len + 1, 4096)
         offs = pos + width_bits * np.arange(n, dtype=np.int64)
         bi = offs >> 3
         sh = (offs & 7).astype(np.uint32)
@@ -4417,38 +4433,71 @@ def _gif_lzw_decode(data: bytes, mcs: int, need: int) -> bytes:
         for code in codes:
             consumed += 1
             if code == clear:
-                table = roots + [b"", b""]
+                starts.clear()
+                lens.clear()
                 next_code = eoi + 1
                 width_bits = mcs + 1
-                prev = None
+                prev_len = 0
                 break
             if code == eoi:
                 pos += consumed * w_used
-                if len(out) < need:
+                if out_len < need:
                     raise ValueError("GIF pixel data short of descriptor size")
                 return bytes(out[:need])
-            if prev is None:
+            if prev_len == 0:
                 if code >= clear:
                     raise ValueError(f"GIF LZW bad first code {code}")
-                entry = table[code]
-            else:
-                if code < next_code:
-                    entry = table[code]
-                elif code == next_code:  # the KwKwK case
-                    entry = prev + prev[:1]
-                else:
-                    raise ValueError(f"GIF LZW code {code} out of range")
+                out[out_len] = code
+                prev_start = out_len
+                prev_len = 1
+                out_len += 1
+                if out_len >= need:
+                    break
+                continue
+            grew = False
+            if code < clear:  # root: single byte
                 if next_code < 4096:
-                    table.append(prev + entry[:1])
+                    s_app(prev_start)
+                    l_app(prev_len + 1)
                     next_code += 1
-                    if next_code == (1 << width_bits) and width_bits < 12:
-                        width_bits += 1
-                        out += entry
-                        prev = entry
-                        break
-            out += entry
-            prev = entry
-            if len(out) >= need:
+                    grew = next_code == (1 << width_bits) and width_bits < 12
+                out[out_len] = code
+                prev_start = out_len
+                prev_len = 1
+                out_len += 1
+            elif code < next_code:
+                if code <= eoi:  # the unused clear/eoi table slots
+                    raise ValueError(f"GIF LZW code {code} out of range")
+                i = code - eoi - 1
+                es = starts[i]
+                el = lens[i]
+                if next_code < 4096:
+                    s_app(prev_start)
+                    l_app(prev_len + 1)
+                    next_code += 1
+                    grew = next_code == (1 << width_bits) and width_bits < 12
+                out[out_len:out_len + el] = mv[es:es + el]
+                prev_start = out_len
+                prev_len = el
+                out_len += el
+            elif code == next_code:  # the KwKwK case: entry = prev + prev[0]
+                el = prev_len + 1
+                if next_code < 4096:
+                    s_app(prev_start)
+                    l_app(el)
+                    next_code += 1
+                    grew = next_code == (1 << width_bits) and width_bits < 12
+                out[out_len:out_len + prev_len] = mv[prev_start:prev_start + prev_len]
+                out[out_len + prev_len] = out[prev_start]
+                prev_start = out_len
+                prev_len = el
+                out_len += el
+            else:
+                raise ValueError(f"GIF LZW code {code} out of range")
+            if grew:
+                width_bits += 1
+                break
+            if out_len >= need:
                 break
         pos += consumed * w_used
     return bytes(out[:need])

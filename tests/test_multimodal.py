@@ -2793,3 +2793,123 @@ def test_apng_optimized_pairs_planted_recall(spark):
         assert pairs[(g, g + 9)] <= 6
         assert (g + 8, g + 9) in pairs
     assert not any(a // 10 != b // 10 for a, b in pairs)
+
+
+def test_gif_lzw_slice_table_decoder_differential():
+    """r11 pin for the slice-table LZW decoder: the table stores
+    (start, len) spans into the output buffer instead of materialized
+    byte strings, so emissions are memoryview copies.  Differential
+    against a straight serial reference (the pre-r11 table-of-bytes
+    loop) on encoder round-trips — low-entropy runs (KwKwK-heavy),
+    mod-251 textures (4096-entry table resets), width bumps — and on
+    bit-flip / truncation corruptions: output bytes, error PRESENCE and
+    error MESSAGE must all agree."""
+    import random
+
+    import numpy as np
+
+    def reference(data: bytes, mcs: int, need: int) -> bytes:
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        roots = [bytes([i]) for i in range(clear)]
+        table = roots + [b"", b""]
+        next_code, width_bits = eoi + 1, mcs + 1
+        out = bytearray()
+        bits = int.from_bytes(bytes(data), "little")
+        total_bits, pos = len(data) * 8, 0
+        prev = None
+        while len(out) < need:
+            if total_bits - pos < width_bits:
+                raise ValueError("GIF LZW stream truncated")
+            code = (bits >> pos) & ((1 << width_bits) - 1)
+            pos += width_bits
+            if code == clear:
+                table = roots + [b"", b""]
+                next_code, width_bits, prev = eoi + 1, mcs + 1, None
+                continue
+            if code == eoi:
+                if len(out) < need:
+                    raise ValueError("GIF pixel data short of descriptor size")
+                break
+            if prev is None:
+                if code >= clear:
+                    raise ValueError(f"GIF LZW bad first code {code}")
+                entry = table[code]
+            else:
+                if code < next_code:
+                    entry = table[code]
+                elif code == next_code:
+                    entry = prev + prev[:1]
+                else:
+                    raise ValueError(f"GIF LZW code {code} out of range")
+                if next_code < 4096:
+                    table.append(prev + entry[:1])
+                    next_code += 1
+                    if next_code == (1 << width_bits) and width_bits < 12:
+                        width_bits += 1
+            out += entry
+            prev = entry
+        return bytes(out[:need])
+
+    def image_blocks(payload: bytes):
+        p, flags = 13, payload[10]
+        if flags & 0x80:
+            p += 3 * (2 << (flags & 7))
+        while p < len(payload) and payload[p] != 0x3B:
+            if payload[p] == 0x21:
+                p += 2
+                while payload[p]:
+                    p += 1 + payload[p]
+                p += 1
+                continue
+            assert payload[p] == 0x2C
+            iw = int.from_bytes(payload[p + 5:p + 7], "little")
+            ih = int.from_bytes(payload[p + 7:p + 9], "little")
+            lflags = payload[p + 9]
+            p += 10
+            if lflags & 0x80:
+                p += 3 * (2 << (lflags & 7))
+            mcs = payload[p]
+            p += 1
+            data = bytearray()
+            while payload[p]:
+                ln = payload[p]
+                data += payload[p + 1:p + 1 + ln]
+                p += 1 + ln
+            p += 1
+            yield bytes(data), mcs, iw * ih
+
+    rng = random.Random(11)
+    n_cases = n_err = 0
+    for t in range(40):
+        w, h = rng.randint(3, 80), rng.randint(3, 70)
+        mode = t % 4
+        xs, ys = np.arange(w)[None, :], np.arange(h)[:, None]
+        if mode == 0:      # constant runs: KwKwK-heavy
+            px = np.full((h, w), t % 7, dtype=np.uint8)
+        elif mode == 1:    # texture: table churn to 4096 resets
+            px = ((17 * t + 3 * xs * xs + 7 * ys * ys) % 251).astype(np.uint8)
+        elif mode == 2:    # tiny palette: width bumps from mcs=2
+            px = ((xs + ys + t) % 3).astype(np.uint8)
+        else:              # stripes: mid-entropy
+            px = ((xs // 2 + t) % 16).astype(np.uint8)
+        payload = M.encode_gif_frames(w, h, [{"px": px}])
+        for data, mcs, need in image_blocks(payload):
+            variants = [data]
+            for _ in range(4):
+                b2 = bytearray(data)
+                b2[rng.randrange(len(b2))] ^= 1 << rng.randrange(8)
+                variants.append(bytes(b2))
+                variants.append(data[:rng.randrange(len(data))])
+            for v in variants:
+                n_cases += 1
+                try:
+                    want = ("ok", reference(v, mcs, need))
+                except ValueError as e:
+                    want = ("err", str(e))
+                    n_err += 1
+                try:
+                    got = ("ok", M._gif_lzw_decode(v, mcs, need))
+                except ValueError as e:
+                    got = ("err", str(e))
+                assert got == want, (mcs, need, want[0], got[0])
+    assert n_cases > 300 and n_err > 20  # corruptions actually exercised
