@@ -1819,14 +1819,22 @@ def bloom_decontam(spark, sf_dir):
     no-false-negative / bounded-false-positive contract a measured
     number."""
     docs = catalog(spark, sf_dir)["documents"]
-    corpus_st = dedup.shingle_table(
-        docs.where("doc_id % 97 != 0"), n=DECONTAM_N
-    ).localCheckpoint(eager=True)  # three consumers: sizes, bloom probe, exact join
-    bench_sh = (
-        dedup.shingle_table(docs.where("doc_id % 97 = 0"), n=DECONTAM_N)
-        .select("shingle").distinct()
-    )
-    bench_sh = bench_sh.localCheckpoint(eager=True)  # bits + exact join
+    # r11 (guide §2.6): the corpus and benchmark shingle materializations
+    # are independent job chains over disjoint doc slices — build them
+    # from a driver pool so one side's tail backfills the other (plans
+    # and results unchanged; both frames were already eager).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        bench_fut = pool.submit(
+            lambda: dedup.shingle_table(
+                docs.where("doc_id % 97 = 0"), n=DECONTAM_N
+            ).select("shingle").distinct().localCheckpoint(eager=True)
+        )
+        corpus_st = dedup.shingle_table(
+            docs.where("doc_id % 97 != 0"), n=DECONTAM_N
+        ).localCheckpoint(eager=True)  # three consumers: sizes, bloom probe, exact join
+        bench_sh = bench_fut.result()  # bits + exact join
     bits = sketches.bloom_bits(bench_sh, "shingle")
     n_bloom = (
         sketches.bloom_candidates(corpus_st, "shingle", bits)
@@ -2344,8 +2352,17 @@ def sketch_hll_union(spark, sf_dir):
     o = catalog(spark, sf_dir)["orders"]
     a = o.where(f"o_orderdate < {HLL_SPLIT_TS}")
     b = o.where(f"o_orderdate >= {HLL_SPLIT_TS}")
-    ra = sketches.hll_registers(a, "o_custkey").localCheckpoint(eager=True)
-    rb = sketches.hll_registers(b, "o_custkey").localCheckpoint(eager=True)
+    # r11 (guide §2.6): the two half-corpus register materializations are
+    # independent job chains — overlap them from a driver thread (plans
+    # and results unchanged; both were already eager).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        rb_fut = pool.submit(
+            lambda: sketches.hll_registers(b, "o_custkey").localCheckpoint(eager=True)
+        )
+        ra = sketches.hll_registers(a, "o_custkey").localCheckpoint(eager=True)
+        rb = rb_fut.result()
     # tagged union + one-row conditional aggregate (a literal-key join of
     # single-row frames constant-folds into a nested loop — harmless at
     # one row, but the plan lint rightly has no way to know that)
