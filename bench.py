@@ -429,7 +429,12 @@ def main():
     # operator — these stay single-shot so the materialization cost is
     # honestly reported exactly once
     memoized = {"closure_customers", "slice_export_lineitem", "minhash_lsh",
-                "nearest_doc", "doc_pagerank"}
+                "nearest_doc", "doc_pagerank",
+                # ann_pq_opq trains the shared _FLAT_OPQ rotation memo on its
+                # first run; a second run reads the memo, so best-of-2 would
+                # report the cache-read time and hide training (r11 verdict
+                # item 6).  Single-shot reports the training cost once.
+                "ann_pq_opq"}
 
     def timed(fn, n: int) -> float:
         best = None
@@ -1159,13 +1164,14 @@ def _terse_stdout_line(out: dict, detail_path: str, budget: int = 1900) -> dict:
         "queries": {},
     }
     if "control" in out:
-        # the full per-query ratio map (200+ entries) lives in the
-        # detail file ONLY — inlining it blew the stdout line past the
-        # driver's ~2000-char capture and would truncate mid-JSON
-        # (r11 review fix); the verdict fields + top movers stay
+        # the full per-query ratio map (200+ entries) AND top_movers live
+        # in the detail file ONLY — inlining them ate the stdout budget
+        # (r11: top_movers left room for just 26 queries vs 57 in r10,
+        # collapsing the driver's round-over-round comparison window to
+        # 20 queries).  Keep only the verdict fields.
         line["control"] = {
             k: v for k, v in out["control"].items()
-            if k != "per_query_ratio"
+            if k not in ("per_query_ratio", "top_movers")
         }
     for name, sec in sorted(out["queries"].items(), key=lambda kv: -kv[1]):
         line["queries"][name] = sec
